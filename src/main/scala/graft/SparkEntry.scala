@@ -1,13 +1,102 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions) is
+  * exposed as a named query `(SparkSession, sfDir) => DataFrame`, with an
+  * equivalent DuckDB SQL oracle where the operator is SQL-expressible.
+  * Column names and numeric expression shapes are kept identical on both
+  * sides (see graft.functions.Deterministic for the discipline).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Medallion.goldMonthlyRollup(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Workload A — financial medallion (SURVEY.md §2.1 S2, §2.4 P1/P5/P9,
+    // §2.6 G1-G4)
+    "a1_bronze_quotes"       -> ((s, d) => Medallion.bronze(s, d)),
+    "a2_silver_asset_perf"   -> ((s, d) => Medallion.silverAssetPerf(s, d)),
+    "a3_silver_market_trend" -> ((s, d) => Medallion.silverMarketTrend(s, d)),
+    "a4_gold_monthly_rollup" -> ((s, d) => Medallion.goldMonthlyRollup(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "a1_bronze_quotes" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_shipdate AS DATE) AS trade_date,
+        |  l_returnflag AS ticker, 'GRAFT' AS exchange,
+        |  CAST(l_extendedprice AS DECIMAL(38,10)) AS price,
+        |  CAST(l_quantity AS DECIMAL(38,10)) AS qty,
+        |  CAST(l_discount AS DECIMAL(38,10)) AS discount,
+        |  CAST(l_tax AS DECIMAL(38,10)) AS tax
+        |FROM lineitem""".stripMargin,
+    "a2_silver_asset_perf" ->
+      """SELECT trade_date, ticker,
+        |  CAST(max(price) AS DECIMAL(38,10)) AS high_price,
+        |  CAST(min(price) AS DECIMAL(38,10)) AS low_price,
+        |  CAST(arg_min(price, seq) AS DECIMAL(38,10)) AS open_price,
+        |  CAST(arg_max(price, seq) AS DECIMAL(38,10)) AS close_price,
+        |  sum(CAST(qty AS DECIMAL(38,10))) AS total_volume,
+        |  count(*) AS n_trades,
+        |  TRUE AS is_active, 1 AS version,
+        |  trade_date AS valid_from, DATE '2099-01-01' AS valid_to
+        |FROM (SELECT CAST(l_shipdate AS DATE) AS trade_date,
+        |        l_returnflag AS ticker, l_extendedprice AS price,
+        |        l_quantity AS qty,
+        |        l_orderkey*10 + l_linenumber AS seq
+        |      FROM lineitem)
+        |GROUP BY trade_date, ticker""".stripMargin,
+    "a3_silver_market_trend" ->
+      """SELECT trade_date, ticker,
+        |  sum(CAST(qty AS DECIMAL(38,10))) AS total_volume,
+        |  sum(CAST(revenue AS DECIMAL(38,10))) AS total_revenue,
+        |  round(CAST(sum(CAST(price AS DECIMAL(38,10))) AS DOUBLE)
+        |        / count(*), 6) AS avg_price,
+        |  CAST(max(price) AS DECIMAL(38,10)) AS high_price,
+        |  CAST(min(price) AS DECIMAL(38,10)) AS low_price,
+        |  TRUE AS is_active, 1 AS version,
+        |  trade_date AS valid_from, DATE '2099-01-01' AS valid_to
+        |FROM (SELECT CAST(l_shipdate AS DATE) AS trade_date,
+        |        l_returnflag AS ticker, l_extendedprice AS price,
+        |        l_quantity AS qty,
+        |        l_extendedprice * (1.0 - l_discount) AS revenue
+        |      FROM lineitem)
+        |GROUP BY trade_date, ticker""".stripMargin,
+    "a4_gold_monthly_rollup" ->
+      """WITH silver AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS trade_date,
+        |    l_returnflag AS ticker,
+        |    CAST(CAST(arg_max(l_extendedprice, l_orderkey*10 + l_linenumber)
+        |         AS DECIMAL(38,10)) AS DOUBLE) AS close
+        |  FROM lineitem
+        |  GROUP BY 1, 2
+        |), sums AS (
+        |  SELECT CAST(year(trade_date) AS INTEGER) AS year,
+        |    CAST(month(trade_date) AS INTEGER) AS month, ticker,
+        |    sum(CAST(close AS DECIMAL(38,10))) AS s_dec,
+        |    sum(CAST(close * close AS DECIMAL(38,10))) AS ss_dec,
+        |    count(*) AS n_days
+        |  FROM silver GROUP BY 1, 2, 3
+        |)
+        |SELECT year, month, ticker,
+        |  round(CAST(s_dec AS DOUBLE) / n_days, 6) AS average_roi,
+        |  CASE WHEN n_days > 1 THEN
+        |    round(sqrt(greatest(
+        |      (CAST(ss_dec AS DOUBLE)
+        |        - CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE)
+        |          / CAST(n_days AS DOUBLE))
+        |      / (CAST(n_days AS DOUBLE) - 1.0), 0.0)), 6)
+        |  ELSE NULL END AS volatility,
+        |  n_days
+        |FROM sums""".stripMargin,
+  )
 }

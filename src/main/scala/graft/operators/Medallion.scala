@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic._
+import graft.sources.Sources
+
+/** Workload A — the financial medallion ETL (SURVEY.md §0 table row A),
+  * re-keyed to the driver's `lineitem` table: `(trade_date, ticker)` =
+  * `(CAST(l_shipdate AS DATE), l_returnflag)` stands in for the reference's
+  * `(Date, Ticker)` OHLCV key (`financial_dl_etl.py:53`).
+  *
+  * Layers (all cites into /root/reference):
+  *   - bronze: typed load + ticker tag + DECIMAL(38,10) casts
+  *     (`financial_dl_etl.py:19-31,48-51`)
+  *   - silver asset performance: G1 per-key max/min/first/last/avg
+  *     (`financial_dl_etl.py:53-58`) + SCD-2 columns (`:59-62`)
+  *   - silver market trend: G2 per-key sum/avg/max/min (`:68-73`) + SCD-2
+  *   - gold monthly rollup: G3 year/month avg + stddev (`:88-94`)
+  *
+  * Scale design: each layer is one `groupBy().agg()` — Catalyst plans it as
+  * partial HashAggregate → single hash-partitioned exchange on the group key →
+  * final HashAggregate, the minimal-shuffle shape. The group key cardinality
+  * (date × ticker) grows with data volume, so the shuffle stays balanced at
+  * 100 TB; no driver-side collection anywhere. The reference re-read bronze
+  * once per silver branch with no cache (`financial_dl_etl.py:53,68`); here
+  * each layer is an independent declarative frame, so a caller materializing
+  * several layers should `persist()` bronze — see [[bronzeCached]].
+  */
+object Medallion {
+
+  /** Unique per-row ordering key: `l_linenumber` is 1..7 within an order, so
+    * `l_orderkey*10 + l_linenumber` is globally unique. Replaces the
+    * reference's order-nondeterministic `first`/`last` (SURVEY.md §7.5). */
+  private def seqKey = col("l_orderkey") * 10 + col("l_linenumber")
+
+  /** Bronze: declared-schema load, ticker tag (P1/P9), DECIMAL casts (P5).
+    * Mirrors `financial_dl_etl.py:19-42` with `lit` tag per `:31`. */
+  def bronze(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.testTable(spark, sfDir, "lineitem")
+      .withColumn("trade_date", to_date(col("l_shipdate")))
+      .withColumn("ticker", col("l_returnflag"))
+      .withColumn("exchange", lit("GRAFT")) // lit-tag, financial_dl_etl.py:31
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("trade_date"), col("ticker"), col("exchange"),
+        dec(col("l_extendedprice")).as("price"),
+        dec(col("l_quantity")).as("qty"),
+        dec(col("l_discount")).as("discount"),
+        dec(col("l_tax")).as("tax"))
+
+  /** Bronze, cached for multi-branch consumption — the deliberate improvement
+    * over the reference's double-scan (SURVEY.md §4 "Caching / reuse"). */
+  def bronzeCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = bronze(spark, sfDir)
+    b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b
+  }
+
+  /** G1 — silver asset performance: OHLC per (trade_date, ticker) with SCD-2
+    * columns. `first(Open)`/`last(Close)` (`financial_dl_etl.py:56-57`)
+    * become `min_by`/`max_by` over the unique row sequence for determinism. */
+  def silverAssetPerf(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.testTable(spark, sfDir, "lineitem")
+      .withColumn("trade_date", to_date(col("l_shipdate")))
+      .withColumn("seq", seqKey)
+      .groupBy(col("trade_date"), col("l_returnflag").as("ticker"))
+      .agg(
+        dec(max(col("l_extendedprice"))).as("high_price"),
+        dec(min(col("l_extendedprice"))).as("low_price"),
+        dec(min_by(col("l_extendedprice"), col("seq"))).as("open_price"),
+        dec(max_by(col("l_extendedprice"), col("seq"))).as("close_price"),
+        sumExact(col("l_quantity")).as("total_volume"),
+        count(lit(1)).as("n_trades"))
+      // SCD-2 columns, financial_dl_etl.py:59-62
+      .withColumn("is_active", lit(true))
+      .withColumn("version", lit(1))
+      .withColumn("valid_from", col("trade_date"))
+      .withColumn("valid_to", to_date(lit("2099-01-01"), "yyyy-MM-dd"))
+
+  /** G2 — silver market trend: volume/avg/extremes per (trade_date, ticker).
+    * `avg` is computed from the exact decimal sum (see Deterministic).
+    * `revenue` = price*(1-discount) is per-row double math — the reference's
+    * decimal-cast-then-aggregate pattern (`financial_dl_etl.py:68-73`). */
+  def silverMarketTrend(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.testTable(spark, sfDir, "lineitem")
+      .withColumn("trade_date", to_date(col("l_shipdate")))
+      .withColumn("revenue",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(col("trade_date"), col("l_returnflag").as("ticker"))
+      .agg(
+        sumExact(col("l_quantity")).as("total_volume"),
+        sumExact(col("revenue")).as("total_revenue"),
+        avg6(sumExact(col("l_extendedprice")), count(lit(1)))
+          .as("avg_price"),
+        dec(max(col("l_extendedprice"))).as("high_price"),
+        dec(min(col("l_extendedprice"))).as("low_price"))
+      .withColumn("is_active", lit(true))
+      .withColumn("version", lit(1))
+      .withColumn("valid_from", col("trade_date"))
+      .withColumn("valid_to", to_date(lit("2099-01-01"), "yyyy-MM-dd"))
+
+  /** G3 — gold monthly rollup over silver close prices: AverageROI = avg,
+    * Volatility = sample stddev (`financial_dl_etl.py:88-94`), both derived
+    * from exact decimal sums so the result is order-independent. */
+  def goldMonthlyRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val silver = silverAssetPerf(spark, sfDir)
+      .select(col("trade_date"), col("ticker"),
+        col("close_price").cast("double").as("close"))
+      .withColumn("year", year(col("trade_date")))
+      .withColumn("month", month(col("trade_date")))
+    silver
+      .groupBy(col("year"), col("month"), col("ticker"))
+      .agg(
+        sumExact(col("close")).as("sum_close"),
+        sumExact(col("close") * col("close")).as("sum_close_sq"),
+        count(lit(1)).as("n_days"))
+      .select(
+        col("year"), col("month"), col("ticker"),
+        avg6(col("sum_close"), col("n_days")).as("average_roi"),
+        stddev6(col("sum_close"), col("sum_close_sq"), col("n_days"))
+          .as("volatility"),
+        col("n_days"))
+  }
+}

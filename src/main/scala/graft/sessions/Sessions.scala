@@ -1,0 +1,98 @@
+package graft.sessions
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Re-expresses the reference's session-factory pattern
+  * (`mage_demo/utils/spark_session_factory.py:6-89` — an ABC with Delta and
+  * Iceberg concrete builders plus a `get_spark_session(type)` dispatcher) as a
+  * single Scala builder object with named profiles.
+  *
+  * Deliberate semantic pins (see SURVEY.md §4, §7.4):
+  *   - `spark.sql.ansi.enabled=false`: the reference ran Spark 3.4 with ANSI
+  *     explicitly off (`financial_dl_etl.py:13`); Spark 4 defaults it ON, which
+  *     changes DECIMAL overflow/cast behavior from silent-null to error. Parity
+  *     requires the reference's silent-null semantics.
+  *   - UTC session timezone: keeps date/timestamp functions stable against the
+  *     DuckDB oracle regardless of host TZ.
+  *   - `spark.sql.shuffle.partitions` sized to cores, not the 200 default:
+  *     local[32] with 200 partitions means tiny shuffle blocks and scheduler
+  *     overhead. On a real cluster this knob is sized to ~2-3× total cores (or
+  *     left to AQE coalescing, which we enable).
+  *   - AQE on: runtime shuffle-partition coalescing + skew-join splitting are
+  *     the first line of defense at 100 TB where static tuning is impossible.
+  */
+object Sessions {
+
+  sealed trait Profile { def name: String }
+  /** Plain parquet lakehouse (the test/bench profile). */
+  case object ParquetLake extends Profile { val name = "parquet" }
+  /** Delta-format profile — only valid when delta jars are on the classpath.
+    * Mirrors `DeltaSparkSession` (`spark_session_factory.py:53-81`). */
+  case object DeltaLake extends Profile { val name = "delta" }
+  /** Iceberg-format profile — only valid when iceberg jars are present.
+    * Mirrors `IcebergSparkSession` (`spark_session_factory.py:16-51`). */
+  case object IcebergLake extends Profile { val name = "iceberg" }
+
+  /** True when the given table-format runtime is actually on the classpath. */
+  def formatAvailable(profile: Profile): Boolean = profile match {
+    case ParquetLake => true
+    case DeltaLake   => classpathHas("io.delta.sql.DeltaSparkSessionExtension")
+    case IcebergLake => classpathHas(
+      "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+  }
+
+  private def classpathHas(cls: String): Boolean =
+    try { Class.forName(cls); true } catch { case _: Throwable => false }
+
+  def builder(
+      appName: String = "graft",
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: Int =
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      profile: Profile = ParquetLake): SparkSession.Builder = {
+    var b = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // 128m file-split target: at 100 TB this yields ~800k input splits,
+      // which a 1000-executor cluster digests without straggler-sized tasks.
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+    profile match {
+      case DeltaLake if formatAvailable(DeltaLake) =>
+        b = b
+          .config("spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension")
+          .config("spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+      case IcebergLake if formatAvailable(IcebergLake) =>
+        b = b
+          .config("spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+          .config("spark.sql.catalog.local",
+            "org.apache.iceberg.spark.SparkCatalog")
+          .config("spark.sql.catalog.local.type", "hadoop")
+      case _ => // ParquetLake or requested format unavailable → plain parquet
+    }
+    b
+  }
+
+  /** Dispatcher mirroring `get_spark_session(type)`
+    * (`spark_session_factory.py:83-89`): pick the profile by name, fall back
+    * to parquet when the format runtime is absent. */
+  def get(profileName: String, appName: String = "graft"): SparkSession = {
+    val p = profileName.toLowerCase match {
+      case "delta"   => DeltaLake
+      case "iceberg" => IcebergLake
+      case _         => ParquetLake
+    }
+    builder(appName, profile = p).getOrCreate()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** Scan-side operators (SURVEY.md §2.1, S1–S7).
+  *
+  * The reference reads CSVs three ways — inferred schema
+  * (`custom/delta_table_write.py:53`), explicit `StructType`
+  * (`financial_dl_etl.py:19-30`), and a per-file directory loop
+  * (`custom/delta_table_write.py:49-51`) — plus Delta/catalog scans and
+  * literal-row frames (`increamental_dataload.py:25-31`).
+  *
+  * Scale note: S7's one-Spark-job-per-file loop is an anti-pattern at 100 TB
+  * (job-submission overhead per file, no cross-file parallelism). We keep it
+  * for parity but [[csvDir]] is the scale path: one multi-file scan whose
+  * splits parallelize across the cluster.
+  */
+object Sources {
+
+  /** S1 — CSV scan with schema inference (two passes over the data: one
+    * sampling job for inference, one for the read; at scale prefer S2). */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S2 — CSV scan with a declared schema (single pass; the scale path). */
+  def csvDeclared(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** S7 (scale form) — one scan over every CSV in a directory. Spark's file
+    * index lists the dir once; splits parallelize across executors. */
+  def csvDir(spark: SparkSession, dir: String, schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema.fold(base.option("inferSchema", "true"))(base.schema)
+      .csv(dir)
+  }
+
+  /** S3 — format scan by path, degrading delta→parquet when the Delta runtime
+    * is absent (SURVEY.md §7.4). Delta tables store their data as parquet, so
+    * the fallback reads the current files (without time travel). */
+  def load(spark: SparkSession, path: String, format: String = "parquet"): DataFrame = {
+    val fmt = if (format == "delta" &&
+      !graft.sessions.Sessions.formatAvailable(graft.sessions.Sessions.DeltaLake))
+      "parquet" else format
+    spark.read.format(fmt).load(path)
+  }
+
+  /** S4/S5 — catalog table scan (`spark.table("db.tbl")`). */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** S6 — local-collection source with a declared schema, the literal-row
+    * fixture pattern of `increamental_dataload.py:25-45`. */
+  def fromRows(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
+  /** Driver-testdata helper: one parquet file per table under sfDir. */
+  def testTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = graft.sessions.Sessions
+    .builder(appName = "graft-test", master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class MedallionSpec extends AnyFunSuite {
+  import graft.operators.Medallion
+  lazy val spark = TestSpark.spark
+
+  test("bronze: schema + row preservation + decimal casts") {
+    val b = Medallion.bronze(spark, TestSpark.sf)
+    assert(b.count() == 6000)
+    val types = b.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("price") == "decimal(38,10)")
+    assert(types("trade_date") == "date")
+    assert(types("exchange") == "string")
+  }
+
+  test("silver asset perf: one row per (trade_date, ticker), OHLC invariants") {
+    val s = Medallion.silverAssetPerf(spark, TestSpark.sf)
+    val n = s.count()
+    assert(n == s.select("trade_date", "ticker").distinct().count())
+    // high >= low, high >= open/close >= low
+    import org.apache.spark.sql.functions._
+    val bad = s.filter(
+      col("high_price") < col("low_price") ||
+      col("open_price") > col("high_price") ||
+      col("open_price") < col("low_price") ||
+      col("close_price") > col("high_price") ||
+      col("close_price") < col("low_price")).count()
+    assert(bad == 0)
+    assert(s.filter(col("is_active") && col("version") === 1).count() == n)
+  }
+
+  test("silver asset perf: min_by/max_by deterministic across runs") {
+    val a = Medallion.silverAssetPerf(spark, TestSpark.sf).collect().toSet
+    val b = Medallion.silverAssetPerf(spark, TestSpark.sf)
+      .repartition(7).collect().toSet
+    assert(a == b)
+  }
+
+  test("gold rollup: volatility null iff single-day month, avg within range") {
+    import org.apache.spark.sql.functions._
+    val g = Medallion.goldMonthlyRollup(spark, TestSpark.sf)
+    assert(g.count() > 0)
+    assert(g.filter(col("n_days") > 1 && col("volatility").isNull).count() == 0)
+    assert(g.filter(col("n_days") === 1 && col("volatility").isNotNull).count() == 0)
+    assert(g.filter(col("average_roi") <= 0).count() == 0)
+  }
+
+  test("entry smoke: flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
