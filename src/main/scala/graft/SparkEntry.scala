@@ -25,7 +25,44 @@ object SparkEntry {
     "a2_silver_asset_perf"   -> ((s, d) => Medallion.silverAssetPerf(s, d)),
     "a3_silver_market_trend" -> ((s, d) => Medallion.silverMarketTrend(s, d)),
     "a4_gold_monthly_rollup" -> ((s, d) => Medallion.goldMonthlyRollup(s, d)),
+    // Workload C — incremental load (SURVEY.md §2.5 J1-J4, §2.4 P3/P4/P6/P7,
+    // §2.8 U1)
+    "c1_changed_rows"        -> ((s, d) => Incremental.changedRows(s, d)),
+    "c2_new_rows_leftouter"  -> ((s, d) => Incremental.newRowsLeftOuter(s, d)),
+    "c3_new_rows_anti"       -> ((s, d) => Incremental.newRowsAnti(s, d)),
+    "c4_upsert"              -> ((s, d) => Incremental.upsert(s, d)),
+    // Workload B — packed-string cleanse (SURVEY.md §2.4 P1/P2/P8,
+    // §2.9 F1-F5)
+    "b1_listings_cleanse"    -> ((s, d) => Cleanse.listingsCleanse(s, d)),
   )
+
+  /** Shared oracle fragment: the deterministic incremental batch
+    * (mirrors Incremental.incrementalBatch). */
+  private val incCte: String =
+    """inc AS (
+      |  SELECT c_custkey AS inc_custkey, c_name AS inc_name,
+      |    c_nationkey AS inc_nationkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.5
+      |         ELSE c_acctbal END AS inc_acctbal,
+      |    CASE WHEN c_custkey % 5 = 0 THEN 'PREMIUM'
+      |         ELSE c_mktsegment END AS inc_mktsegment
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |    'NewCustomer#' || CAST(c_custkey AS VARCHAR),
+      |    c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |)""".stripMargin
+
+  private val changedCte: String =
+    """changed AS (
+      |  SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal,
+      |    inc_mktsegment
+      |  FROM customer b JOIN inc ON b.c_custkey = inc.inc_custkey
+      |  WHERE b.c_acctbal != inc.inc_acctbal
+      |     OR b.c_name != inc.inc_name
+      |     OR b.c_mktsegment != inc.inc_mktsegment
+      |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -98,5 +135,57 @@ object SparkEntry {
         |  ELSE NULL END AS volatility,
         |  n_days
         |FROM sums""".stripMargin,
+    "c1_changed_rows" ->
+      s"""WITH $incCte, $changedCte
+         |SELECT * FROM changed""".stripMargin,
+    "c2_new_rows_leftouter" ->
+      s"""WITH $incCte
+         |SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal,
+         |  inc_mktsegment
+         |FROM inc LEFT OUTER JOIN customer b
+         |  ON inc.inc_custkey = b.c_custkey
+         |WHERE b.c_custkey IS NULL""".stripMargin,
+    "c3_new_rows_anti" ->
+      s"""WITH $incCte
+         |SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal,
+         |  inc_mktsegment
+         |FROM inc
+         |WHERE NOT EXISTS
+         |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
+         |""".stripMargin,
+    "c4_upsert" ->
+      s"""WITH $incCte, $changedCte,
+         |upd AS (
+         |  SELECT b.c_custkey,
+         |    coalesce(c.inc_name, b.c_name) AS c_name,
+         |    coalesce(c.inc_nationkey, b.c_nationkey) AS c_nationkey,
+         |    coalesce(c.inc_acctbal, b.c_acctbal) AS c_acctbal,
+         |    coalesce(c.inc_mktsegment, b.c_mktsegment) AS c_mktsegment
+         |  FROM customer b LEFT OUTER JOIN changed c
+         |    ON b.c_custkey = c.inc_custkey
+         |)
+         |SELECT * FROM upd
+         |UNION ALL
+         |SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal,
+         |  inc_mktsegment
+         |FROM inc
+         |WHERE NOT EXISTS
+         |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
+         |""".stripMargin,
+    "b1_listings_cleanse" ->
+      """SELECT doc_id, lang, n_chars,
+        |  trim(parts[1]) AS description,
+        |  CASE WHEN parts[2] LIKE 's%'
+        |    THEN trim(regexp_replace(parts[2], '^s', '')) ELSE NULL
+        |  END AS rating,
+        |  CASE WHEN parts[2] LIKE 's%' THEN trim(parts[3])
+        |    ELSE trim(parts[2]) END AS reviews,
+        |  CASE WHEN parts[2] LIKE 's%' THEN trim(parts[4])
+        |    ELSE trim(parts[3]) END AS bedrooms,
+        |  CASE WHEN parts[2] LIKE 's%' THEN trim(parts[5])
+        |    ELSE trim(parts[4]) END AS beds
+        |FROM (SELECT doc_id, lang, n_chars,
+        |        string_split(text, ' ') AS parts
+        |      FROM documents)""".stripMargin,
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** Workload C — CDC-style incremental load (SURVEY.md §2 rows J1-J4, P3-P4,
+  * P6-P7, U1), re-expressed from `scratchpads/increamental_dataload.py` onto
+  * the driver's `customer` table.
+  *
+  * The reference's pattern: given a base table and an incremental batch with
+  * `inc_`-prefixed columns (`increamental_dataload.py:17-22` — the prefix is
+  * its disambiguation discipline, SURVEY.md §7.5 item 3):
+  *   1. changed rows  = inner join on key + any-field-differs filter (`:49-53`)
+  *   2. new rows      = left-outer join + null-key filter (`:60`) — a
+  *      left-anti join in disguise; we expose both forms
+  *   3. apply updates = left-outer USING join + per-column coalesce (`:69-77`)
+  *   4. append new    = union (`:85`)
+  *
+  * Scale design: an incremental batch is orders of magnitude smaller than the
+  * base table, so every join here broadcasts the batch side — the base table
+  * never shuffles. At 100 TB that is the difference between a metadata-sized
+  * broadcast and re-hashing the whole lake. (The reference relied on
+  * Catalyst's automatic choice with default thresholds.)
+  */
+object Incremental {
+
+  /** Deterministic synthetic incremental batch derived from `customer`:
+    * every even custkey arrives in the batch; keys %3==0 carry a changed
+    * balance, %5==0 a changed segment; keys %7==0 additionally appear as
+    * brand-new customers (key shifted by 1,000,000). Mirrors the literal-row
+    * fixture of `increamental_dataload.py:37-45` at table scale. */
+  def incrementalBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Sources.testTable(spark, sfDir, "customer")
+    val updates = c.filter(col("c_custkey") % 2 === 0).select(
+      col("c_custkey").as("inc_custkey"),
+      col("c_name").as("inc_name"),
+      col("c_nationkey").as("inc_nationkey"),
+      when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.5)
+        .otherwise(col("c_acctbal")).as("inc_acctbal"),
+      when(col("c_custkey") % 5 === 0, lit("PREMIUM"))
+        .otherwise(col("c_mktsegment")).as("inc_mktsegment"))
+    val newRows = c.filter(col("c_custkey") % 7 === 0).select(
+      (col("c_custkey") + 1000000).as("inc_custkey"),
+      concat(lit("NewCustomer#"), col("c_custkey").cast("string"))
+        .as("inc_name"),
+      col("c_nationkey").as("inc_nationkey"),
+      col("c_acctbal").as("inc_acctbal"),
+      col("c_mktsegment").as("inc_mktsegment"))
+    updates.unionAll(newRows)
+  }
+
+  /** J1 + P6 — changed-record detection: inner join on key, keep batch rows
+    * where any tracked field differs (`increamental_dataload.py:49-53`). */
+  def changedRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Sources.testTable(spark, sfDir, "customer")
+    val inc  = incrementalBatch(spark, sfDir)
+    base.join(broadcast(inc),
+        base("c_custkey") === inc("inc_custkey"), "inner")
+      .filter(
+        col("c_acctbal") =!= col("inc_acctbal") ||
+        col("c_name") =!= col("inc_name") ||
+        col("c_mktsegment") =!= col("inc_mktsegment"))
+      .select("inc_custkey", "inc_name", "inc_nationkey",
+        "inc_acctbal", "inc_mktsegment")
+  }
+
+  /** J2 + P7 — the reference's new-row detection verbatim: batch left-outer
+    * base, filter base key IS NULL (`increamental_dataload.py:60`). */
+  def newRowsLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Sources.testTable(spark, sfDir, "customer")
+    val inc  = incrementalBatch(spark, sfDir)
+    inc.join(base, inc("inc_custkey") === base("c_custkey"), "left_outer")
+      .filter(base("c_custkey").isNull)
+      .select("inc_custkey", "inc_name", "inc_nationkey",
+        "inc_acctbal", "inc_mktsegment")
+  }
+
+  /** The idiomatic form of J2: a left-anti join — same rows, but the planner
+    * never materializes the non-matching base columns. */
+  def newRowsAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Sources.testTable(spark, sfDir, "customer")
+      .select(col("c_custkey"))
+    incrementalBatch(spark, sfDir)
+      .join(base, col("inc_custkey") === col("c_custkey"), "left_anti")
+  }
+
+  /** J3 + J4 + F8 + U1 + P4 — full upsert: apply changed rows to the base via
+    * left-outer join + coalesce (`increamental_dataload.py:69-77`), then
+    * union the new rows (`:85`) with a selectExpr-style rename (`:70`). */
+  def upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Sources.testTable(spark, sfDir, "customer")
+    val changed = changedRows(spark, sfDir)
+      .withColumnRenamed("inc_custkey", "c_custkey")
+    val updated = base.join(broadcast(changed), Seq("c_custkey"), "left_outer")
+      .withColumn("c_name", coalesce(col("inc_name"), col("c_name")))
+      .withColumn("c_nationkey",
+        coalesce(col("inc_nationkey"), col("c_nationkey")))
+      .withColumn("c_acctbal", coalesce(col("inc_acctbal"), col("c_acctbal")))
+      .withColumn("c_mktsegment",
+        coalesce(col("inc_mktsegment"), col("c_mktsegment")))
+      .drop("inc_name", "inc_nationkey", "inc_acctbal", "inc_mktsegment")
+    val newRows = newRowsAnti(spark, sfDir).selectExpr(
+      "inc_custkey as c_custkey", "inc_name as c_name",
+      "inc_nationkey as c_nationkey", "inc_acctbal as c_acctbal",
+      "inc_mktsegment as c_mktsegment")
+    updated.unionByName(newRows)
+  }
+}

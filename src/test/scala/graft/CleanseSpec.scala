@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Cleanse
+import graft.sources.Sources
+
+/** Pins the reference's unicode cleanse semantics: split on '·' with a
+  * conditional '★'-prefixed rating (custom/delta_table_write.py:61-68;
+  * SURVEY.md §7.5 item 5 — the delimiters must survive source encoding). */
+class CleanseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val schema = StructType(Seq(StructField("name", StringType)))
+
+  test("airbnb cleanse: rating branch and no-rating branch (FIXTURES.md §1.2)") {
+    val df = Sources.fromRows(spark, Seq(
+      Row("Cozy loft · ★4.85 · 2 bedrooms · 2 beds · 1 bath"),
+      Row("Studio near park · 1 bedroom · 1 bed · 1 shared bath")),
+      schema)
+    val out = Cleanse.airbnbCleanse(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(out == Set(
+      ("Cozy loft", "4.85", "2 bedrooms", "2 beds", "1 bath"),
+      ("Studio near park", null, "1 bedroom", "1 bed", "1 shared bath")))
+  }
+
+  test("listings cleanse on documents: no shuffle in the plan") {
+    val q = Cleanse.listingsCleanse(spark, TestSpark.sf)
+    assert(q.count() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("listings cleanse: rating null iff second token lacks marker") {
+    import org.apache.spark.sql.functions._
+    val q = Cleanse.listingsCleanse(spark, TestSpark.sf)
+    val bad = q.filter(
+      (col("rating").isNotNull && !concat(lit("s"), col("rating"))
+        .startsWith("s")) ||
+      (col("rating").isNull && col("reviews").isNull &&
+        col("description").isNull)).count()
+    assert(bad == 0)
+  }
+}

@@ -4,9 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
-  lazy val spark: SparkSession = graft.sessions.Sessions
-    .builder(appName = "graft-test", master = "local[4]", shufflePartitions = 4)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = graft.sessions.Sessions
+      .builder(appName = "graft-test", master = "local[4]", shufflePartitions = 4)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
   val sf: String = "/root/testdata/sf0.001"
 }
 
