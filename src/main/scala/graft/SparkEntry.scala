@@ -34,6 +34,9 @@ object SparkEntry {
     // Workload B — packed-string cleanse (SURVEY.md §2.4 P1/P2/P8,
     // §2.9 F1-F5)
     "b1_listings_cleanse"    -> ((s, d) => Cleanse.listingsCleanse(s, d)),
+    // DDL / catalog / sinks (SURVEY.md §2.2 K4-K5, §2.3 D1-D3, §2.1 S4)
+    "d1_catalog_roundtrip"   -> ((s, d) => Ddl.catalogRoundTrip(s, d)),
+    "d2_writeto_roundtrip"   -> ((s, d) => Ddl.writeToRoundTrip(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -66,7 +69,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracle ++ Map(
+    // catalog round-trips re-surface the silver frames unchanged
+    "d1_catalog_roundtrip" -> baseOracle("a2_silver_asset_perf"),
+    "d2_writeto_roundtrip" -> baseOracle("a3_silver_market_trend"),
+  )
+
+  private val baseOracle: Map[String, String] = Map(
     "a1_bronze_quotes" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_shipdate AS DATE) AS trade_date,

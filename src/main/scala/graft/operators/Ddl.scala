@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DDL / catalog operators (SURVEY.md §2.3, D1-D4).
+  *
+  * The reference issues its DDL as SQL text against a Hive-backed Delta
+  * catalog (`financial_dl_bronze.py:8-29`, `financial_dl_silver.py:8-59`,
+  * `delta_lake_jenkins.py:39-123`). Under Spark 4 with no Delta jars the
+  * same statements run with `USING PARQUET` (SURVEY.md §7.4): the format
+  * clause is feature-detected via [[preferredFormat]].
+  */
+object Ddl {
+
+  /** Best available table format: delta when its runtime is present,
+    * parquet otherwise. */
+  def preferredFormat(): String =
+    if (graft.sessions.Sessions.formatAvailable(
+      graft.sessions.Sessions.DeltaLake)) "delta" else "parquet"
+
+  /** D1 — `CREATE DATABASE IF NOT EXISTS` (`financial_dl_bronze.py:8`). */
+  def createDatabase(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+
+  /** D2 — `CREATE TABLE ... USING <fmt> [PARTITIONED BY] [LOCATION]`
+    * (`financial_dl_bronze.py:14-29`). `cols` is SQL DDL text, e.g.
+    * `"Date DATE, Ticker STRING, Open DECIMAL(38,10)"`. */
+  def createTable(
+      spark: SparkSession, name: String, cols: String,
+      partitionBy: Seq[String] = Nil, location: Option[String] = None,
+      format: String = preferredFormat()): Unit = {
+    val part =
+      if (partitionBy.nonEmpty) s" PARTITIONED BY (${partitionBy.mkString(", ")})"
+      else ""
+    val loc = location.fold("")(l => s" LOCATION '$l'")
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $name ($cols) USING $format$part$loc")
+  }
+
+  /** CTAS convenience: drop-and-recreate a managed table from a frame —
+    * the bronze-load shape (`financial_dl_etl.py:42-46`) without Delta. */
+  def createTableAs(spark: SparkSession, name: String, df: DataFrame,
+      format: String = preferredFormat()): Unit = {
+    dropTable(spark, name)
+    purgeManagedLocation(spark, name)
+    df.write.format(format).saveAsTable(name)
+  }
+
+  /** Remove a managed table's on-disk location. The in-memory catalog dies
+    * with the session but `spark-warehouse/` does not, so a fresh session's
+    * `DROP TABLE IF EXISTS` (a no-op — the table isn't registered) followed
+    * by CTAS would hit LOCATION_ALREADY_EXISTS on the stale directory. */
+  def purgeManagedLocation(spark: SparkSession, name: String): Unit = {
+    val parts = name.split('.')
+    val (db, table) =
+      if (parts.length == 2) (parts(0), parts(1)) else ("default", parts(0))
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** D3 — `DROP TABLE IF EXISTS` (`financial_dl_bronze.py:11`). */
+  def dropTable(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+
+  /** D3 — `DROP DATABASE IF EXISTS [CASCADE]` (`financial_dl_silver.py:57-59`). */
+  def dropDatabase(spark: SparkSession, db: String, cascade: Boolean = false): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS $db${if (cascade) " CASCADE" else ""}")
+
+  /** D4 — `SHOW TABLES` (`delta_datalake.py:77`). */
+  def showTables(spark: SparkSession, db: Option[String] = None): DataFrame =
+    spark.sql(db.fold("SHOW TABLES")(d => s"SHOW TABLES IN $d"))
+
+  /** Driver-visible D1-D4 + S4 + K5 round-trip: silver frame → managed
+    * catalog table → catalog scan back. Values must survive the parquet
+    * round-trip bit-exactly (decimal/date/long), so the a2 oracle applies
+    * unchanged. */
+  def catalogRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    createDatabase(spark, "graft_lake")
+    createTableAs(spark, "graft_lake.silver_asset_perf",
+      Medallion.silverAssetPerf(spark, sfDir))
+    spark.table("graft_lake.silver_asset_perf")
+  }
+
+  /** K4 round-trip: DataFrameWriterV2 `createOrReplace` + catalog scan. */
+  def writeToRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    createDatabase(spark, "graft_lake")
+    graft.sources.Sinks.createOrReplace(
+      Medallion.silverMarketTrend(spark, sfDir),
+      "graft_lake.silver_market_trend")
+    spark.table("graft_lake.silver_market_trend")
+  }
+}

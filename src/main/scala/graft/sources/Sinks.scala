@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink operators (SURVEY.md §2.2, K1-K6).
+  *
+  * The reference writes Delta by path with `overwrite` + schema-evolution
+  * options (`custom/delta_table_write.py:72-75`, `financial_dl_etl.py:66,81,99`,
+  * `delta_datalake.py:74`) and Iceberg via `writeTo(...).createOrReplace()`
+  * (`custom/iceberg_demo_write.py:74-75`). Every writer here feature-detects
+  * the requested format and degrades to parquet (SURVEY.md §7.4); the
+  * schema-evolution options are only attached when the format understands
+  * them (they are Delta writer options, not parquet ones).
+  *
+  * Scale notes:
+  *   - [[singleFile]] (`coalesce(1)`, `increamental_dataload.py:73`) is kept
+  *     for parity but is an anti-pattern beyond MB-scale output: one task
+  *     writes everything. [[partitioned]] is the scale path — partition
+  *     column cardinality, not file count, drives parallelism.
+  *   - Overwrites of partitioned tables should use dynamic partition
+  *     overwrite ([[overwritePartitions]]) so one late partition's rewrite
+  *     doesn't truncate the whole table.
+  */
+object Sinks {
+
+  private def resolve(format: String): String =
+    if (format == "delta" && !graft.sessions.Sessions.formatAvailable(
+      graft.sessions.Sessions.DeltaLake)) "parquet"
+    else if (format == "iceberg" && !graft.sessions.Sessions.formatAvailable(
+      graft.sessions.Sessions.IcebergLake)) "parquet"
+    else format
+
+  /** K1 — overwrite by path. */
+  def overwrite(df: DataFrame, path: String, format: String = "delta"): Unit =
+    df.write.format(resolve(format)).mode(SaveMode.Overwrite).save(path)
+
+  /** K2 — overwrite + additive schema merge (`mergeSchema`). */
+  def overwriteMergeSchema(df: DataFrame, path: String,
+      format: String = "delta"): Unit = {
+    val fmt = resolve(format)
+    val w = df.write.format(fmt).mode(SaveMode.Overwrite)
+    (if (fmt == "delta") w.option("mergeSchema", "true") else w).save(path)
+  }
+
+  /** K3 — overwrite + full schema replacement (`overwriteSchema`). */
+  def overwriteNewSchema(df: DataFrame, path: String,
+      format: String = "delta"): Unit = {
+    val fmt = resolve(format)
+    val w = df.write.format(fmt).mode(SaveMode.Overwrite)
+    (if (fmt == "delta") w.option("overwriteSchema", "true") else w).save(path)
+  }
+
+  /** K4 — DataFrameWriterV2 create-or-replace into the catalog
+    * (`custom/iceberg_demo_write.py:74-75`). The built-in V2 session catalog
+    * does not stage REPLACE TABLE AS SELECT, so absent a real V2 catalog
+    * (Iceberg/Delta) this degrades to drop + CTAS with the same visible
+    * semantics. */
+  def createOrReplace(df: DataFrame, table: String,
+      format: String = "parquet"): Unit = {
+    val fmt = resolve(format)
+    try df.writeTo(table).using(fmt).createOrReplace()
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+        graft.operators.Ddl.purgeManagedLocation(df.sparkSession, table)
+        df.write.format(fmt).saveAsTable(table)
+    }
+  }
+
+  /** K5 — `saveAsTable` overwrite into the catalog. */
+  def saveAsTable(df: DataFrame, table: String,
+      format: String = "parquet"): Unit =
+    df.write.format(resolve(format)).mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
+  /** K6 — single-output-file write (parity only; see scale note above). */
+  def singleFile(df: DataFrame, path: String, format: String = "parquet"): Unit =
+    df.coalesce(1).write.format(resolve(format))
+      .mode(SaveMode.Overwrite).save(path)
+
+  /** Scale path: partition-pruned layout (`PARTITIONED BY (Date)` analog,
+    * `financial_dl_bronze.py:26`). */
+  def partitioned(df: DataFrame, path: String, cols: Seq[String],
+      format: String = "parquet"): Unit =
+    df.write.format(resolve(format)).mode(SaveMode.Overwrite)
+      .partitionBy(cols: _*).save(path)
+
+  /** Dynamic partition overwrite: replaces only the partitions present in
+    * `df`, the idiom for incremental re-loads of a partitioned lake table. */
+  def overwritePartitions(df: DataFrame, path: String, cols: Seq[String],
+      format: String = "parquet"): Unit =
+    df.write.format(resolve(format)).mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).save(path)
+}

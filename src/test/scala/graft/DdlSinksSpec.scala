@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ddl
+import graft.sources.{Sinks, Sources}
+
+class DdlSinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink_").toString
+
+  test("ddl: create/drop database + table, show tables") {
+    Ddl.createDatabase(spark, "graft_ddl_test")
+    Ddl.createTable(spark, "graft_ddl_test.quotes",
+      "trade_date DATE, ticker STRING, price DECIMAL(38,10)",
+      partitionBy = Seq("trade_date"))
+    val tables = Ddl.showTables(spark, Some("graft_ddl_test"))
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(tables.contains("quotes"))
+    Ddl.dropTable(spark, "graft_ddl_test.quotes")
+    assert(Ddl.showTables(spark, Some("graft_ddl_test")).count() == 0)
+    Ddl.dropDatabase(spark, "graft_ddl_test", cascade = true)
+  }
+
+  test("sinks: partitioned write prunes on partition filter") {
+    val dir = tmp()
+    val li = Sources.testTable(spark, TestSpark.sf, "lineitem")
+      .withColumn("flag", col("l_returnflag"))
+    Sinks.partitioned(li, dir, Seq("flag"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    // partition pruning: only one partition dir scanned for flag='R'
+    val pruned = back.filter(col("flag") === "R")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(flag"), scan)
+  }
+
+  test("sinks: dynamic partition overwrite replaces only matching partitions") {
+    val dir = tmp()
+    val li = Sources.testTable(spark, TestSpark.sf, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity"))
+    Sinks.partitioned(li, dir, Seq("flag"))
+    val before = spark.read.parquet(dir).count()
+    // rewrite only flag='R' with a single row
+    val one = li.filter(col("flag") === "R").limit(1)
+    Sinks.overwritePartitions(one, dir, Seq("flag"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("flag") === "R").count() == 1)
+    assert(after.filter(col("flag") =!= "R").count() ==
+      spark.read.parquet(dir).count() - 1)
+    assert(after.count() < before)
+  }
+
+  test("sinks: singleFile writes exactly one data file") {
+    val dir = tmp()
+    Sinks.singleFile(
+      Sources.testTable(spark, TestSpark.sf, "nation"), dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+  }
+
+  test("sinks: delta format degrades to parquet when runtime absent") {
+    val dir = tmp()
+    val nation = Sources.testTable(spark, TestSpark.sf, "nation")
+    Sinks.overwrite(nation, dir, format = "delta")
+    assert(spark.read.parquet(dir).count() == 25)
+    Sinks.overwriteMergeSchema(nation.withColumn("extra", lit(1)), dir,
+      format = "delta")
+    assert(spark.read.parquet(dir).columns.contains("extra"))
+  }
+
+  test("sources: csv round-trip, inferred and declared schema (S1/S2)") {
+    val dir = tmp() + "/csv"
+    val li = Sources.testTable(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag").limit(100)
+    li.write.option("header", "true").csv(dir)
+    val inferred = Sources.csvInferred(spark, dir)
+    assert(inferred.count() == 100)
+    assert(inferred.schema("l_orderkey").dataType.typeName == "integer" ||
+      inferred.schema("l_orderkey").dataType.typeName == "long")
+    val declared = Sources.csvDeclared(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "l_orderkey LONG, l_quantity DOUBLE, l_returnflag STRING"))
+    assert(declared.count() == 100)
+    assert(declared.schema("l_quantity").dataType.typeName == "double")
+    // S7 scale form: whole-directory scan
+    assert(Sources.csvDir(spark, dir).count() == 100)
+  }
+}
