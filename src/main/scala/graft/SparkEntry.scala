@@ -37,6 +37,12 @@ object SparkEntry {
     // DDL / catalog / sinks (SURVEY.md §2.2 K4-K5, §2.3 D1-D3, §2.1 S4)
     "d1_catalog_roundtrip"   -> ((s, d) => Ddl.catalogRoundTrip(s, d)),
     "d2_writeto_roundtrip"   -> ((s, d) => Ddl.writeToRoundTrip(s, d)),
+    // LLM-pipeline extensions: deduplication (SURVEY.md §7.6)
+    "e1_dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
+    "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
+    "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -196,5 +202,38 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang, n_chars,
         |        string_split(text, ' ') AS parts
         |      FROM documents)""".stripMargin,
+    // e3/e4 are hash-function-dependent (xxhash64/murmur3 have no DuckDB
+    // equivalent) → intentionally no oracle; invariants are pinned by
+    // DedupSpec against the exact-Jaccard oracle queries instead.
+    "e1_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "e2_dedup_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents WHERE doc_id < 200)
+        |  WHERE len(toks) >= 3
+        |)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        |         AS DOUBLE) AS jaccard
+        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |WHERE jaccard >= 0.1""".stripMargin,
+    "e5_dedup_embedding_cosine" ->
+      """WITH n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |)
+        |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4""".stripMargin,
   )
 }

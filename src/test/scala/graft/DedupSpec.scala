@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("exact dedup: one row per distinct text, copies sum to corpus size") {
+    val d = Dedup.exact(spark, TestSpark.sf)
+    val total = d.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == 500)
+    assert(d.count() == d.select("content_hash").distinct().count())
+  }
+
+  test("minhash LSH finds every high-Jaccard pair the exact oracle finds") {
+    // exact pairs at j >= 0.35 within doc_id < 200 (LSH r=4/b=16 → ~98%
+    // per-pair collision prob at 0.35; these must all surface)
+    val exact = Dedup.ngramJaccard(spark, TestSpark.sf,
+        threshold = 0.35, maxDocId = 200)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain at least one near-dup pair")
+    val lsh = Dedup.minhashLsh(spark, TestSpark.sf, threshold = 0.2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh),
+      s"LSH missed high-jaccard pairs: ${exact.diff(lsh)}")
+  }
+
+  test("minhash LSH output is verified: every pair truly >= threshold") {
+    val lsh = Dedup.minhashLsh(spark, TestSpark.sf, threshold = 0.2)
+    assert(lsh.filter(col("jaccard") < 0.2).count() == 0)
+  }
+
+  test("simhash: identical docs collide at distance 0, output bounded") {
+    import spark.implicits._
+    // identical texts → identical shingles → identical simhash
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different document about spark and catalyst"))
+      .toDF("doc_id", "text")
+    val withSim = docs.select(col("doc_id"),
+      Dedup.simhashCol(Dedup.shingles(col("text"), 3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withSim(1L) == withSim(2L))
+    assert(withSim(1L) != withSim(3L))
+  }
+
+  test("simhash near-dup query runs and respects the distance bound") {
+    val s = Dedup.simhash(spark, TestSpark.sf)
+    assert(s.filter(col("hamming") > 7).count() == 0)
+  }
+
+  test("embedding cosine pairs are symmetric-free and within [threshold, 1]") {
+    val e = Dedup.embeddingCosine(spark, TestSpark.sf)
+    assert(e.count() > 0)
+    assert(e.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(e.filter(col("cosine") < 0.4 || col("cosine") > 1.0).count() == 0)
+  }
+}
