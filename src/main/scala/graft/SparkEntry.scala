@@ -43,6 +43,9 @@ object SparkEntry {
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    // LLM-pipeline extensions: similarity search (SURVEY.md §7.6)
+    "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -235,5 +238,24 @@ object SparkEntry {
         |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4""".stripMargin,
+    // f2 is LSH-approximate (recall depends on the hyperplane draw) →
+    // no oracle; SimilaritySpec pins recall against f1 instead.
+    "f1_knn_bruteforce" ->
+      """WITH n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cosine
+        |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10
+        |)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
   )
 }

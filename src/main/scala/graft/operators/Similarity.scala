@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** Similarity search over the embedding column (BASELINE.json north star).
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *     batch against a single scan of the corpus, rank per query with a
+  *     window. The corpus is never shuffled; per-query ranking parallelizes
+  *     across queries. Exact baseline + DuckDB oracle.
+  *   - [[lshTopK]] — random-hyperplane (SimHash-for-vectors) LSH: L
+  *     signature tables of b bits; candidates are pairs sharing a table
+  *     signature, then exact cosine re-ranking among candidates only. At
+  *     100 TB the corpus signature table is computed once in a narrow pass
+  *     and the probe is an equi-join on (table, signature) — sublinear
+  *     candidate volume replaces the O(|Q|·n) score matrix.
+  *
+  * Vectors are float-from-parquet promoted to double; dot products are
+  * strict left folds (see [[Dedup.dot]]) so scores are engine-portable.
+  */
+object Similarity {
+
+  private def normed(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.testTable(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+
+  /** Exact cosine top-k neighbors for every query vector (vec_id <
+    * numQueries), deterministic tiebreak (score desc, neighbor id asc). */
+  def bruteForceTopK(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val corpus = normed(spark, sfDir)
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val scored = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes: `tables` × `bits`
+    * planes in `dim` dimensions, seeded — same planes every run/JVM. */
+  private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Signature of vector `v` in one table: an int whose bit j is the sign
+    * of <v, plane_j>. */
+  private def signature(v: Column, tablePlanes: Array[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (p, j) =>
+      val d = Dedup.dot(v, typedLit(p.toSeq))
+      when(d >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _) // disjoint bits: sum == OR
+
+  /** Approximate cosine top-k via multi-table hyperplane LSH with exact
+    * re-ranking of candidates. Recall rises with `tables`, selectivity
+    * with `bits`. Defaults (16×6) are tuned for weakly-similar corpora
+    * (p_bit ≈ 0.63 at cos 0.4 → recall ≈ 0.65); strongly-similar corpora
+    * (real near-dups, cos ≥ 0.9 → p_bit ≥ 0.9) reach recall ≥ 0.99 with
+    * far fewer tables — tighten `bits` there for selectivity. */
+  def lshTopK(spark: SparkSession, sfDir: String, numQueries: Int = 10,
+      k: Int = 5, tables: Int = 16, bits: Int = 6, dim: Int = 64): DataFrame = {
+    val ps = planes(tables, bits, dim)
+    val corpus = normed(spark, sfDir)
+
+    def signatures(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("v"), col("norm"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("t"), signature(col("v"), ps(t)).as("sig"))
+        }: _*)).as("s"))
+        .select(col(idCol), col("v"), col("norm"),
+          col("s.t"), col("s.sig"))
+
+    val corpusSig = signatures(corpus, "vec_id")
+    val querySig = signatures(
+      corpus.filter(col("vec_id") < numQueries), "query_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("norm", "qnorm")
+
+    val cand = corpusSig.join(broadcast(querySig), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qnorm"),
+        col("v"), col("norm"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("brute force: exactly k neighbors per query, ranks contiguous, no self") {
+    val r = Similarity.bruteForceTopK(spark, TestSpark.sf)
+    val perQuery = r.groupBy("query_id").count().collect()
+    assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 5))
+    assert(r.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val ranks = r.filter(col("query_id") === 0)
+      .orderBy("rank").collect().map(_.getInt(2)).toSeq
+    assert(ranks == Seq(1, 2, 3, 4, 5))
+    // scores non-increasing by rank
+    val scores = r.filter(col("query_id") === 0)
+      .orderBy("rank").collect().map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("LSH top-k: recall against exact top-k is useful and re-ranking exact") {
+    val exact = Similarity.bruteForceTopK(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"LSH recall@5 = $recall")
+    assert(recall >= 0.3, s"recall $recall too low")
+    // every approx score must equal the exact cosine (re-ranking is exact):
+    // any (q,n) pair present in both must carry the same rounded score
+    val exactScores = Similarity.bruteForceTopK(spark, TestSpark.sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val mismatches = Similarity.lshTopK(spark, TestSpark.sf).collect()
+      .flatMap { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        exactScores.get(key).filter(_ != r.getDouble(3)).map(e => (key, e))
+      }
+    assert(mismatches.isEmpty, s"score drift: ${mismatches.take(3).toSeq}")
+  }
+
+  test("brute force broadcasts the query side (no corpus shuffle join)") {
+    val plan = Similarity.bruteForceTopK(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
