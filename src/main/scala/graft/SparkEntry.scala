@@ -46,6 +46,14 @@ object SparkEntry {
     // LLM-pipeline extensions: similarity search (SURVEY.md §7.6)
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
+    // LLM-pipeline extensions: text analysis (SURVEY.md §7.6)
+    "g1_token_stats"         -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "g2_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "g3_lang_id"             -> ((s, d) => TextAnalysis.langId(s, d)),
+    "g4_fingerprint"         -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // LLM-pipeline extensions: multimodal columns
+    "h1_media_metadata"      -> ((s, d) => Multimodal.mediaMetadata(s, d)),
+    "h2_media_features"      -> ((s, d) => Multimodal.extractFeatures(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -257,5 +265,78 @@ object SparkEntry {
         |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // g4 (hash-valued fingerprints) and h2 (decode-stub features) have no
+    // SQL oracle; specs pin determinism + codegen/interpreted agreement.
+    "g1_token_stats" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+        |  CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |       AS INTEGER) AS sum_token_len,
+        |  round(CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |        AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE), 6) AS ttr
+        |FROM (SELECT doc_id, lang, n_chars,
+        |        string_split(lower(text), ' ') AS toks FROM documents)""".stripMargin,
+    "g2_quality_score" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(toks, t ->
+        |      list_contains(['the','a','and','of','to'], t))) AS INTEGER)
+        |      AS n_stop,
+        |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |      AS INTEGER) AS sum_len
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        |        FROM documents)
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS stopword_ratio,
+        |  round(0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |    + 0.2 * greatest(1.0 - abs(CAST(sum_len AS DOUBLE)
+        |        / CAST(n_tokens AS DOUBLE) - 5.0) / 10.0, 0.0), 6)
+        |    AS quality_score
+        |FROM c""".stripMargin,
+    "g3_lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id, declared_lang,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['the','a','and','of','to'], x))) AS INTEGER)
+        |      AS cnt_en,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['el','la','de','que','y'], x))) AS INTEGER)
+        |      AS cnt_es,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['der','die','und','das','ist'], x))) AS INTEGER)
+        |      AS cnt_de,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['le','la','et','les','des'], x))) AS INTEGER)
+        |      AS cnt_fr
+        |  FROM (SELECT doc_id, lang AS declared_lang,
+        |          string_split(lower(text), ' ') AS toks FROM documents)
+        |)
+        |SELECT doc_id, declared_lang,
+        |  CASE
+        |    WHEN cnt_en >= cnt_es AND cnt_en >= cnt_de AND cnt_en >= cnt_fr
+        |      THEN 'en'
+        |    WHEN cnt_es >= cnt_de AND cnt_es >= cnt_fr THEN 'es'
+        |    WHEN cnt_de >= cnt_fr THEN 'de'
+        |    ELSE 'fr' END AS predicted_lang,
+        |  round(CAST(greatest(cnt_en, cnt_es, cnt_de, cnt_fr) AS DOUBLE)
+        |        / greatest(CAST(n_tokens AS DOUBLE), 1.0), 6) AS confidence,
+        |  n_tokens
+        |FROM c""".stripMargin,
+    "h1_media_metadata" ->
+      """SELECT doc_id,
+        |  (['png','jpeg','wav','mp4'])[CAST(doc_id % 4 + 1 AS INTEGER)]
+        |    AS format,
+        |  CAST((doc_id % 16 + 1) * 64 AS INTEGER) AS width,
+        |  CAST((doc_id % 9 + 1) * 64 AS INTEGER) AS height,
+        |  CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
   )
 }

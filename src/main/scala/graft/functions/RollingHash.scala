@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: polynomial (Karp-Rabin-style) rolling hash of
+  * a string's UTF-8 bytes — h = Σ bytes[i]·31^(n-1-i) in wrapping 64-bit
+  * arithmetic. The document-fingerprinting primitive (SURVEY.md §7.6):
+  * equal normalized texts ⇒ equal fingerprints, and prefix hashes compose
+  * (h(ab) = h(a)·31^|b| + h(b)), which is what makes window/winnowing
+  * schemes cheap at scale.
+  *
+  * Implemented with real `doGenCode` (not CodegenFallback) so it stays
+  * inside whole-stage codegen: the generated loop runs over the UTF8String
+  * byte array with zero boxing or JVM↔interpreter transitions — the same
+  * reason the engine prefers built-in `functions._` over UDFs everywhere
+  * else.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash requires a string argument, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long ${ev.value}_h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  ${ev.value}_h = ${ev.value}_h * 31L + $bytes[$i];
+         |}
+         |${ev.value} = ${ev.value}_h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+  /** Column-API form (Spark 4: Column↔Expression bridge lives in
+    * classic.ExpressionUtils). */
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  /** Register `rolling_hash` for SQL use in this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** Multimodal-column plumbing for LLM training-data pipelines
+  * (BASELINE.json north star): media as opaque `binary` columns with typed
+  * metadata, and decode / feature-extract / resize / frame-sample stages as
+  * per-partition batch transforms.
+  *
+  * The container has no image/audio codecs, so the DECODE step is stubbed
+  * behind [[DecodeBackend]] with a deterministic fake ([[FakeDecoder]]) —
+  * but everything Spark-side is real and tested: the binary+struct schema,
+  * the typed `Dataset[MediaRow]` encoder, the `mapPartitions` batch shape
+  * (one backend instance per partition, streaming iterator — the Scala
+  * analog of PySpark's `mapInPandas` batching), and the partitioning
+  * contract (narrow transform, no shuffle; scale comes from input splits).
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata (the schema a real pipeline
+    * would carry for images/audio/video). */
+  final case class MediaRow(
+      doc_id: Long, format: String, width: Int, height: Int,
+      n_bytes: Long, payload: Array[Byte])
+
+  /** Decoded features per media item. */
+  final case class MediaFeatures(
+      doc_id: Long, format: String, mean_byte: Double,
+      frame_offsets: Seq[Long], thumb_w: Int, thumb_h: Int)
+
+  /** The codec seam. A real deployment binds an image/audio library here
+    * (one instance per partition — expensive native init amortizes across
+    * the batch). The container ships no codecs, so [[FakeDecoder]] stands
+    * in deterministically. */
+  trait DecodeBackend extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
+  /** Deterministic stand-in for the absent codec libraries: "decodes" the
+    * payload as byte statistics, "frame-samples" at fixed stride, and
+    * "resizes" by halving until <= 64px. Replace with a real codec-backed
+    * DecodeBackend in deployment. */
+  object FakeDecoder extends DecodeBackend {
+    def decode(row: MediaRow): MediaFeatures = {
+      val bytes = row.payload
+      val mean =
+        if (bytes.isEmpty) 0.0
+        else bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / bytes.length
+      val stride = math.max(1L, row.n_bytes / 4)
+      val offsets = (0L until row.n_bytes by stride).take(4).toSeq
+      var (w, h) = (row.width, row.height)
+      while (w > 64 || h > 64) { w /= 2; h /= 2 }
+      MediaFeatures(row.doc_id, row.format, mean, offsets, w, h)
+    }
+  }
+
+  /** Synthesize the media table from `documents`: payload = UTF-8 bytes of
+    * the text (deterministic fake), metadata derived arithmetically. This
+    * is the ingest shape — binary column + typed metadata struct. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.testTable(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        element_at(array(lit("png"), lit("jpeg"), lit("wav"), lit("mp4")),
+          (col("doc_id") % 4 + 1).cast("int")).as("format"),
+        ((col("doc_id") % 16 + 1) * 64).cast("int").as("width"),
+        ((col("doc_id") % 9 + 1) * 64).cast("int").as("height"),
+        length(col("text")).cast("long").as("n_bytes"),
+        encode(col("text"), "UTF-8").as("payload"))
+
+  /** Metadata projection (oracle-checked): everything except the decode. */
+  def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).drop("payload")
+
+  /** The decode/feature stage: per-partition batch transform through the
+    * backend seam. Narrow (no shuffle); each task streams its partition
+    * through one backend instance. */
+  def extractFeatures(spark: SparkSession, sfDir: String,
+      backend: DecodeBackend = FakeDecoder): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, sfDir).as[MediaRow]
+    media.mapPartitions { it: Iterator[MediaRow] =>
+      // one backend per partition: codec init cost amortizes over the batch
+      val b = backend
+      it.map(b.decode)
+    }.toDF()
+      .select(col("doc_id"), col("format"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        col("frame_offsets"), col("thumb_w"), col("thumb_h"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.sources.Sources
+
+/** Text-analysis operators for LLM training-data pipelines (BASELINE.json
+  * north star): token statistics, quality scoring, marker-based language
+  * ID, and document fingerprinting. All narrow codegen'd projections over
+  * the scan — no shuffle anywhere, trivially linear at 100 TB.
+  *
+  * Oracle discipline: every score is built from exact integer counts with
+  * a fixed double expression shape (+,-,*,/, abs, least/greatest only — no
+  * libm functions whose rounding could differ across engines).
+  */
+object TextAnalysis {
+
+  private def toks = split(lower(col("text")), " ")
+
+  /** Token statistics per document: counts are exact ints; the mean token
+    * length is the fixed int-sum / int-count double division. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        toks.as("toks"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        aggregate(transform(col("toks"), t => length(t)),
+          lit(0), (a, x) => a + x).as("sum_token_len"))
+      .withColumn("avg_token_len",
+        round(col("sum_token_len").cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .withColumn("ttr",
+        round(col("n_distinct_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6))
+
+  /** Stopword markers per language for [[langId]] and [[qualityScore]]:
+    * tiny profiles of high-frequency function words (the classic
+    * stopword-profile heuristic; an n-gram model would use the same
+    * argmax plumbing with bigger profiles). */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def markerCount(lang: String): Column =
+    size(filter(toks, t => markers(lang).map(t === lit(_)).reduce(_ || _)))
+
+  /** Heuristic quality score in [0,1]: weighted mix of stopword ratio,
+    * length saturation, and mean-word-length proximity to 5 chars. The
+    * formula uses only IEEE-exact ops so the oracle matches bit-for-bit. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        markerCount("en").as("n_stop"),
+        aggregate(transform(toks, t => length(t)),
+          lit(0), (a, x) => a + x).as("sum_len"))
+      .withColumn("stopword_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("quality_score", {
+        val stopR = col("n_stop").cast("double") / col("n_tokens").cast("double")
+        val lenSat = least(col("n_tokens").cast("double") / lit(100.0), lit(1.0))
+        val avgLen = col("sum_len").cast("double") / col("n_tokens").cast("double")
+        val lenShape = greatest(
+          lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0), lit(0.0))
+        round(lit(0.5) * stopR + lit(0.3) * lenSat + lit(0.2) * lenShape, 6)
+      })
+      .drop("n_stop", "sum_len")
+
+  /** Marker-profile language ID: argmax of per-language marker counts with
+    * a fixed en>es>de>fr preference on ties. On this corpus (English-ish
+    * synthetic vocabulary) it exposes the mismatch with the random `lang`
+    * labels — exactly what a lang-ID quality gate does in a real pipeline. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = Seq("en", "es", "de", "fr")
+    val withCounts = Sources.testTable(spark, sfDir, "documents")
+      .select(Seq(col("doc_id"), col("lang").as("declared_lang"),
+        size(toks).as("n_tokens")) ++
+        langs.map(l => markerCount(l).as(s"cnt_$l")): _*)
+    // argmax with explicit CASE chain (same shape as the oracle SQL)
+    val c = (l: String) => col(s"cnt_$l")
+    val predicted =
+      when(c("en") >= c("es") && c("en") >= c("de") && c("en") >= c("fr"), "en")
+        .when(c("es") >= c("de") && c("es") >= c("fr"), "es")
+        .when(c("de") >= c("fr"), "de")
+        .otherwise("fr")
+    withCounts
+      .withColumn("predicted_lang", predicted)
+      .withColumn("confidence", round(
+        greatest(langs.map(c): _*).cast("double") /
+          greatest(col("n_tokens").cast("double"), lit(1.0)), 6))
+      .select("doc_id", "declared_lang", "predicted_lang", "confidence",
+        "n_tokens")
+  }
+
+  /** Document fingerprints: whole-text rolling hash (native codegen'd
+    * [[graft.functions.RollingHash]] expression) plus a winnowing-style
+    * minimum over 4-gram shingle hashes. Hash-valued → no SQL oracle;
+    * determinism and codegen/interpreted agreement are pinned by spec. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.rolling_hash(lower(col("text"))).as("fingerprint"),
+        array_min(transform(Dedup.shingles(col("text"), 4),
+          s => xxhash64(s))).as("winnow_min"))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("rolling_hash: codegen and interpreted paths agree, SQL registration works") {
+    import spark.implicits._
+    val df = Seq("hello world", "", "★ unicode · text", "hello world")
+      .toDF("text")
+    val codegen = df.select(GraftFunctions.rolling_hash(col("text")))
+      .collect().map(_.getLong(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp =
+      try df.select(GraftFunctions.rolling_hash(col("text")))
+        .collect().map(_.getLong(0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(codegen == interp)
+    assert(codegen(0) == codegen(3)) // equal text, equal fingerprint
+    assert(codegen(0) != codegen(2))
+    assert(codegen(1) == 0L) // empty string
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT rolling_hash('hello world')")
+      .collect()(0).getLong(0)
+    assert(viaSql == codegen(0))
+  }
+
+  test("rolling_hash prefix-composition property: h(ab) = h(a)*31^|b| + h(b)") {
+    import spark.implicits._
+    val r = Seq(("spark", " sql")).toDF("a", "b")
+      .select(
+        GraftFunctions.rolling_hash(concat(col("a"), col("b"))).as("hab"),
+        GraftFunctions.rolling_hash(col("a")).as("ha"),
+        GraftFunctions.rolling_hash(col("b")).as("hb"),
+        length(col("b")).as("lb"))
+      .collect()(0)
+    val pow = (0 until r.getInt(3)).foldLeft(1L)((p, _) => p * 31L)
+    assert(r.getLong(0) == r.getLong(1) * pow + r.getLong(2))
+  }
+
+  test("fingerprint query: deterministic across runs and shuffle-free") {
+    val a = TextAnalysis.fingerprint(spark, TestSpark.sf).collect().toSet
+    val b = TextAnalysis.fingerprint(spark, TestSpark.sf).collect().toSet
+    assert(a == b && a.nonEmpty)
+    val plan = TextAnalysis.fingerprint(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("lang id: predictions drawn from profile set, confidence in [0,1]") {
+    val r = TextAnalysis.langId(spark, TestSpark.sf)
+    val langs = r.select("predicted_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr")))
+    assert(r.filter(col("confidence") < 0 || col("confidence") > 1).count() == 0)
+  }
+
+  test("media features: stub decode is deterministic, bounded, shuffle-free") {
+    val f = Multimodal.extractFeatures(spark, TestSpark.sf)
+    assert(f.count() == 500)
+    assert(f.filter(col("thumb_w") > 64 || col("thumb_h") > 64).count() == 0)
+    assert(f.filter(size(col("frame_offsets")) > 4).count() == 0)
+    assert(f.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    val a = f.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val b = Multimodal.extractFeatures(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("media table: payload is a real binary column matching text bytes") {
+    val m = Multimodal.mediaTable(spark, TestSpark.sf)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val row = m.select(col("payload"), col("n_bytes")).head()
+    assert(row.getAs[Array[Byte]](0).length == row.getLong(1))
+  }
+}
