@@ -54,6 +54,17 @@ object SparkEntry {
     // LLM-pipeline extensions: multimodal columns
     "h1_media_metadata"      -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "h2_media_features"      -> ((s, d) => Multimodal.extractFeatures(s, d)),
+    // Streaming over events (reference declared-but-unbuilt, SURVEY.md
+    // §2.10; windowed agg batch+stream share one plan, sessionize in both
+    // window-function and flatMapGroupsWithState forms)
+    "i1_events_windowed_agg" ->
+      ((s, d) => graft.streaming.Streaming.windowedAggBatch(s, d)),
+    "i2_events_windowed_agg_stream" ->
+      ((s, d) => graft.streaming.Streaming.windowedAggStream(s, d)),
+    "i3_events_sessionize" ->
+      ((s, d) => graft.streaming.Streaming.sessionizeBatch(s, d)),
+    "i4_events_sessionize_stateful" ->
+      ((s, d) => graft.streaming.Streaming.sessionizeStateful(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -92,7 +103,38 @@ object SparkEntry {
     "d2_writeto_roundtrip" -> baseOracle("a3_silver_market_trend"),
   )
 
+  private val windowedAggOracle: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+      |  event_type, count(*) AS n_events,
+      |  sum(CAST(value AS DECIMAL(38,10))) AS total_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  private val sessionizeOracle: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+      |), o AS (
+      |  SELECT user_id, event_id, ts, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |              OR us - lag(us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts, us,
+      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |)
+      |SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+      |  count(*) AS n_events, min(ts) AS session_start,
+      |  max(ts) AS session_end, max(us) - min(us) AS duration_us
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   private val baseOracle: Map[String, String] = Map(
+    "i1_events_windowed_agg"        -> windowedAggOracle,
+    "i2_events_windowed_agg_stream" -> windowedAggOracle,
+    "i3_events_sessionize"          -> sessionizeOracle,
+    "i4_events_sessionize_stateful" -> sessionizeOracle,
     "a1_bronze_quotes" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_shipdate AS DATE) AS trade_date,

@@ -65,6 +65,10 @@ object Sessions {
       // 128m file-split target: at 100 TB this yields ~800k input splits,
       // which a 1000-executor cluster digests without straggler-sized tasks.
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // Spark 4 rejects INT64 TIMESTAMP(NANOS) parquet (PARQUET_TYPE_ILLEGAL)
+      // — read as raw nanos longs; graft.streaming converts to μs timestamps
+      // (same truncation DuckDB applies reading TIMESTAMP_NS).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     profile match {
       case DeltaLake if formatAvailable(DeltaLake) =>
         b = b

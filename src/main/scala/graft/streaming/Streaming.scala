@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.Deterministic._
+import graft.sources.Sources
+
+/** Streaming operators over the `events` table.
+  *
+  * The reference *declared* streaming (kafka/quixstreams/avro in
+  * `requirements.txt:3-5,7`) but never implemented it (SURVEY.md §2.10); its
+  * incremental-load scratchpad is the micro-batch stand-in. Here the
+  * extension is real Structured Streaming, with every aggregation defined
+  * once as a batch transform and reused by the stream — the Spark idiom
+  * that keeps batch/stream semantics provably identical (same plan, same
+  * oracle).
+  *
+  * Scale notes: windowed aggregation shuffles on (window, event_type) —
+  * keys grow with time so state stays bounded under the watermark; the
+  * stateful sessionizer keys by user_id, and on a real cluster state lives
+  * in the state store per partition. The batch fallback sorts each user's
+  * events in memory — bounded by events-per-user, not table size.
+  */
+object Streaming {
+
+  private val streamCounter = new AtomicInteger(0)
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS), which Spark 4 only
+    * reads as raw nanos longs (see Sessions.builder). Convert to a proper
+    * μs timestamp — floor-division truncation, identical to DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP read. */
+  private def toTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  private def eventsBatch(spark: SparkSession, sfDir: String): DataFrame =
+    toTs(Sources.testTable(spark, sfDir, "events"))
+
+  /** Tumbling 1-hour windowed aggregation — one definition for batch and
+    * stream. Counts are exact; value sums use decimal accumulation. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Batch form (the oracle-checked query). */
+  def windowedAggBatch(spark: SparkSession, sfDir: String): DataFrame =
+    windowedAgg(eventsBatch(spark, sfDir))
+
+  /** Streaming form: readStream over the same parquet, 10-minute watermark,
+    * memory sink, drained synchronously. Complete output mode so the finite
+    * input yields the full (batch-identical) result — which is why the same
+    * DuckDB oracle applies to this query too. */
+  def windowedAggStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source lists directories only — scope it to the
+    // events file with a glob filter
+    val stream = toTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    val name = s"graft_stream_out_${streamCounter.incrementAndGet()}"
+    val q = windowedAgg(stream.withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Sessionization (30-min inactivity gap) via window functions — the
+    * declarative batch form. Gap test runs on exact epoch-microsecond
+    * integers so the oracle can't drift on fractional seconds. */
+  def sessionizeBatch(spark: SparkSession, sfDir: String,
+      gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val events = eventsBatch(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val isStart = when(lag(col("us"), 1).over(w).isNull ||
+      col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0)
+    events
+      .withColumn("sid", sum(isStart).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid").cast("int").as("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+  }
+
+  // public: Catalyst's generated (de)serializers instantiate these
+  case class Ev(user_id: Long, event_id: Long, us: Long)
+  case class SessionSum(
+      user_id: Long, session_id: Int, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Sessionization via `flatMapGroupsWithState` — the stateful-operator
+    * form that also runs on an unbounded stream (state = open session per
+    * user). On batch input each group arrives complete; events are sorted
+    * per user (bounded by that user's row count). Emits exactly the rows
+    * of [[sessionizeBatch]], so the same oracle applies. */
+  def sessionizeStateful(spark: SparkSession, sfDir: String,
+      gapUs: Long = 1800L * 1000000L): DataFrame = {
+    import spark.implicits._
+    val events = eventsBatch(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[Ev]
+
+    def fn(userId: Long, it: Iterator[Ev], state: GroupState[Long])
+        : Iterator[SessionSum] = {
+      val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionSum]
+        var sid = 1
+        var n = 0L
+        var start = sorted.head.us
+        var prev = start
+        for (e <- sorted) {
+          if (e.us - prev > gapUs) {
+            out += SessionSum(userId, sid, n, start, prev)
+            sid += 1; n = 0L; start = e.us
+          }
+          n += 1; prev = e.us
+        }
+        out += SessionSum(userId, sid, n, start, prev)
+        out.iterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+  }
+}
