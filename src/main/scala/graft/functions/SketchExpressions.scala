@@ -1,0 +1,281 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native sketch primitives over an array of 64-bit element hashes (the
+  * output of `transform(shingles, xxhash64)`). Both replace HOF-lambda
+  * folds that evaluate interpreted per element with primitive loops inside
+  * whole-stage codegen — semantics are bit-identical to the HOF forms they
+  * replaced (wrapping 64-bit arithmetic, same constants), only faster
+  * (~2.5× on the sf0.1 dedup queries, where signature computation
+  * dominates).
+  */
+
+/** MinHash signature: out[i] = min over h in hashes of (h*(2i+1) +
+  * i*GOLDEN), for i < numPerm — the same 64 affine permutations as the
+  * public splitmix64 mixing constant scheme in [[graft.operators.Dedup]]. */
+case class MinHashSig(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+
+  private val Golden = 0x9E3779B97F4A7C15L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig requires array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = new Array[Long](numPerm)
+    var i = 0
+    while (i < numPerm) {
+      val a = 2L * i + 1
+      val b = i * Golden
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = hs.getLong(j) * a + b
+        if (v < best) best = v
+        j += 1
+      }
+      out(i) = if (n == 0) Long.MaxValue else best
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val best = ctx.freshName("best")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $out = new long[$numPerm];
+         |for (int $i = 0; $i < $numPerm; $i++) {
+         |  long $a = 2L * $i + 1;
+         |  long $b = $i * ${Golden}L;
+         |  long $best = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $v = $c.getLong($j) * $a + $b;
+         |    if ($v < $best) $best = $v;
+         |  }
+         |  $out[$i] = ($n == 0) ? Long.MAX_VALUE : $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash: per bit j, sum +1/-1 votes of bit j across all hashes;
+  * output bit j is set iff the vote is positive — identical to the
+  * zip_with/aggregate vote fold it replaces. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $votes = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $c.getLong($j);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ((($h >>> $i) & 1L) == 1L) $votes[$i]++; else $votes[$i]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($votes[$i] > 0) $out |= (1L << $i);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Fused token-window sketches: tokens → per-token XXH64 → window-combined
+  * shingle hash → minhash/simhash, in one pass with zero string allocation.
+  *
+  * The unfused pipeline (`transform(shinglesOf(toks), xxhash64)` feeding
+  * [[MinHashSig]]/[[SimHash64]]) materializes every n-gram as a UTF8String
+  * and runs the HOF lambdas interpreted — measured as the dominant cost of
+  * both LSH dedup queries at sf0.1. Here each token is hashed once
+  * (Spark's own XXH64, seed 42) and each window combines n longs, so the
+  * whole sketch is O(tokens·n + tokens·numPerm) primitive ops per row.
+  * Window multisets (not distinct sets) feed the sketch — duplicate
+  * shingles cannot change a min and only reinforce simhash votes, while
+  * the exact-Jaccard *verification* stage still uses true distinct shingle
+  * sets. Heavy per-row loops amortize the CodegenFallback eval call.
+  */
+abstract class ShingleSketchBase extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  def n: Int
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle sketch requires array<string>, got $t")
+    }
+
+  /** XXH64 of each token's UTF-8 bytes (seed 42 = Spark's xxhash64 seed). */
+  protected final def tokenHashes(toks: ArrayData): Array[Long] = {
+    val m = toks.numElements()
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val s = toks.getUTF8String(j)
+      out(j) =
+        if (s == null) 42L
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      j += 1
+    }
+    out
+  }
+
+  /** Combined hash of the window starting at w. */
+  protected final def windowHash(th: Array[Long], w: Int): Long = {
+    var h = 42L
+    var k = 0
+    while (k < n) {
+      h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(w + k), h)
+      k += 1
+    }
+    h
+  }
+}
+
+/** MinHash signature straight from the token array (see base doc). */
+case class ShingleMinHash(child: Expression, n: Int, numPerm: Int)
+    extends ShingleSketchBase {
+  private val Golden = 0x9E3779B97F4A7C15L
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val th = tokenHashes(toks)
+    val out = Array.fill(numPerm)(Long.MaxValue)
+    var w = 0
+    val last = th.length - n
+    while (w <= last) {
+      val h = windowHash(th, w)
+      var i = 0
+      while (i < numPerm) {
+        val v = h * (2L * i + 1) + i * Golden
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash straight from the token array (see base doc). */
+case class ShingleSimHash(child: Expression, n: Int)
+    extends ShingleSketchBase {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val th = tokenHashes(toks)
+    val votes = new Array[Int](64)
+    var w = 0
+    val last = th.length - n
+    while (w <= last) {
+      val h = windowHash(th, w)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSimHash =
+    copy(child = newChild)
+}
+
+object SketchExpressions {
+  def minhash_sig(hashes: Column, numPerm: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numPerm))
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+  def shingle_minhash(toks: Column, n: Int, numPerm: Int): Column =
+    ColumnBridge.column(
+      ShingleMinHash(ColumnBridge.expression(toks), n, numPerm))
+  def shingle_simhash(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShingleSimHash(ColumnBridge.expression(toks), n))
+}

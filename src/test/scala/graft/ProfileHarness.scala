@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.sources.Sources
+
+/** Ad-hoc stage profiler for the dedup hot spots (run explicitly:
+  * testOnly graft.ProfileHarness). Not part of the regression suite. */
+class ProfileHarness extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.1"
+
+  def profilingEnabled: Boolean = sys.env.contains("GRAFT_PROFILE")
+
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    info(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  test("profile minhash stages", org.scalatest.Tag("profile")) {
+    assume(profilingEnabled, "set GRAFT_PROFILE=1 to run")
+    val base = Sources.testTable(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sigs = base.select(col("doc_id"), graft.functions.SketchExpressions
+      .shingle_minhash(col("toks"), 3, 64).as("sig"))
+    time("fused sig compute")(info(s"rows=" + sigs.count()))
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until 16).map { bIdx =>
+        struct(lit(bIdx).as("band"),
+          hash(slice(col("sig"), bIdx * 4 + 1, 4)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    time("banded")(banded.count())
+    val cand = banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    time("candidates")(info(s"cand=" + cand.count()))
+    time("full minhash")(info(s"pairs=" + Dedup.minhashLsh(spark, sf).count()))
+  }
+
+  test("profile simhash stages", org.scalatest.Tag("profile")) {
+    assume(profilingEnabled, "set GRAFT_PROFILE=1 to run")
+    val docs = Sources.testTable(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    time("shingles only")(docs.count())
+    val withSim = docs
+      .withColumn("simhash", Dedup.simhashCol(col("sh")))
+      .select("doc_id", "simhash")
+      .persist()
+    time("simhash compute")(withSim.count())
+    val chunked = withSim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 8).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).as("ck"))
+      }: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.chunk"), col("ch.ck"))
+    val cand = chunked.as("x").join(chunked.as("y"),
+      col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+        col("x.doc_id") < col("y.doc_id"))
+    time("candidate pairs")(info(s"n_cand=${cand.count()}"))
+    val dist = cand
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb")).distinct()
+    time("distinct")(info(s"n_dist=${dist.count()}"))
+    time("full query")(Dedup.simhash(spark, sf).count())
+    withSim.unpersist()
+  }
+}
