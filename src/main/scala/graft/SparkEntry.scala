@@ -25,6 +25,8 @@ object SparkEntry {
     "a2_silver_asset_perf"   -> ((s, d) => Medallion.silverAssetPerf(s, d)),
     "a3_silver_market_trend" -> ((s, d) => Medallion.silverMarketTrend(s, d)),
     "a4_gold_monthly_rollup" -> ((s, d) => Medallion.goldMonthlyRollup(s, d)),
+    "a5_medallion_lake_e2e"  -> ((s, d) => Medallion.lakePipeline(s, d,
+      java.nio.file.Files.createTempDirectory("graft_lake_").toString)),
     // Workload C — incremental load (SURVEY.md §2.5 J1-J4, §2.4 P3/P4/P6/P7,
     // §2.8 U1)
     "c1_changed_rows"        -> ((s, d) => Incremental.changedRows(s, d)),
@@ -101,6 +103,9 @@ object SparkEntry {
     // catalog round-trips re-surface the silver frames unchanged
     "d1_catalog_roundtrip" -> baseOracle("a2_silver_asset_perf"),
     "d2_writeto_roundtrip" -> baseOracle("a3_silver_market_trend"),
+    // the lake pipeline's gold layer is goldMonthlyRollup persisted and
+    // read back (bit-exact parquet round-trip at every layer)
+    "a5_medallion_lake_e2e" -> baseOracle("a4_gold_monthly_rollup"),
   )
 
   private val windowedAggOracle: String =

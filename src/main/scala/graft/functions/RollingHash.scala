@@ -64,8 +64,30 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 
-  /** Register `rolling_hash` for SQL use in this session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  /** Register every graft native expression for SQL use in this session:
+    * rolling_hash(str), dot_product(arr, arr), minhash_sig(arr<bigint>, k),
+    * simhash64(arr<bigint>), shingle_minhash(arr<string>, n, k),
+    * shingle_simhash(arr<string>, n). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSig(exprs(0), litInt(exprs(1))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "shingle_minhash",
+      exprs => ShingleMinHash(exprs(0), litInt(exprs(1)), litInt(exprs(2))),
+      "scala_udf")
+    r.createOrReplaceTempFunction(
+      "shingle_simhash",
+      exprs => ShingleSimHash(exprs(0), litInt(exprs(1))), "scala_udf")
+  }
 }

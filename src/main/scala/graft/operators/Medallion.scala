@@ -100,6 +100,57 @@ object Medallion {
       .withColumn("valid_from", col("trade_date"))
       .withColumn("valid_to", to_date(lit("2099-01-01"), "yyyy-MM-dd"))
 
+  /** The reference's actual pipeline behavior: persist each medallion
+    * layer to the lake, then read the next layer's input back from disk
+    * (`financial_dl_etl.py:42,46,66,81,85,99` — write bronze, `spark.table`
+    * it back, write both silvers, read silver, write gold). Bronze is laid
+    * out partitioned (PARTITIONED BY analog, `financial_dl_bronze.py:26`)
+    * so downstream per-ticker reads prune; silver/gold are small rollups.
+    * Values survive parquet round-trips bit-exactly, so the gold frame this
+    * returns carries the same oracle as [[goldMonthlyRollup]]. */
+  def lakePipeline(spark: SparkSession, sfDir: String,
+      baseDir: String): DataFrame = {
+    import graft.sources.Sinks
+    val bronzeDir = s"$baseDir/bronze_quotes"
+    val silverDir = s"$baseDir/silver_asset_perf"
+    val goldDir   = s"$baseDir/gold_monthly_rollup"
+
+    Sinks.partitioned(bronze(spark, sfDir), bronzeDir, Seq("ticker"))
+
+    val bronzeBack = spark.read.parquet(bronzeDir)
+      .withColumn("seq", seqKey)
+    val silver = bronzeBack
+      .groupBy(col("trade_date"), col("ticker"))
+      .agg(
+        max(col("price")).as("high_price"),
+        min(col("price")).as("low_price"),
+        min_by(col("price"), col("seq")).as("open_price"),
+        max_by(col("price"), col("seq")).as("close_price"),
+        sum(col("qty")).as("total_volume"),
+        count(lit(1)).as("n_trades"))
+    Sinks.overwrite(silver, silverDir, format = "parquet")
+
+    val silverBack = spark.read.parquet(silverDir)
+      .select(col("trade_date"), col("ticker"),
+        col("close_price").cast("double").as("close"))
+      .withColumn("year", year(col("trade_date")))
+      .withColumn("month", month(col("trade_date")))
+    val gold = silverBack
+      .groupBy(col("year"), col("month"), col("ticker"))
+      .agg(
+        sumExact(col("close")).as("sum_close"),
+        sumExact(col("close") * col("close")).as("sum_close_sq"),
+        count(lit(1)).as("n_days"))
+      .select(
+        col("year"), col("month"), col("ticker"),
+        avg6(col("sum_close"), col("n_days")).as("average_roi"),
+        stddev6(col("sum_close"), col("sum_close_sq"), col("n_days"))
+          .as("volatility"),
+        col("n_days"))
+    Sinks.overwrite(gold, goldDir, format = "parquet")
+    spark.read.parquet(goldDir)
+  }
+
   /** G3 — gold monthly rollup over silver close prices: AverageROI = avg,
     * Volatility = sample stddev (`financial_dl_etl.py:88-94`), both derived
     * from exact decimal sums so the result is order-independent. */

@@ -62,4 +62,17 @@ class MedallionSpec extends AnyFunSuite {
   test("entry smoke: flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("lake pipeline e2e: persisted gold equals directly-computed gold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_test_")
+    val fromLake = Medallion.lakePipeline(spark, TestSpark.sf, dir.toString)
+      .collect().map(_.toSeq).toSet
+    val direct = Medallion.goldMonthlyRollup(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    assert(fromLake == direct)
+    // bronze landed partitioned by ticker
+    val bronzeDirs = new java.io.File(s"$dir/bronze_quotes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("ticker="))
+    assert(bronzeDirs.length >= 3)
+  }
 }

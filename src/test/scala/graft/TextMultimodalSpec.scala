@@ -29,6 +29,26 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(viaSql == codegen(0))
   }
 
+  test("all graft native expressions are SQL-registered and agree with Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  simhash64(array(7L, 7L, 7L)) AS sh,
+        |  minhash_sig(array(5L, 9L), 4) AS ms,
+        |  shingle_simhash(array('a','b','c','d'), 3) AS ss,
+        |  shingle_minhash(array('a','b','c','d'), 3, 8) AS sm
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 7L) // all votes from identical hashes
+    assert(r.getSeq[Long](2).length == 4)
+    assert(r.getSeq[Long](4).length == 8)
+    // shingle_simhash of identical token lists is stable
+    val again = spark.sql(
+      "SELECT shingle_simhash(array('a','b','c','d'), 3)").collect()(0).getLong(0)
+    assert(again == r.getLong(3))
+  }
+
   test("rolling_hash prefix-composition property: h(ab) = h(a)*31^|b| + h(b)") {
     import spark.implicits._
     val r = Seq(("spark", " sql")).toDF("a", "b")
