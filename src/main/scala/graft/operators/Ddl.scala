@@ -55,7 +55,9 @@ object Ddl {
     val (db, table) =
       if (parts.length == 2) (parts(0), parts(1)) else ("default", parts(0))
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$table")
+    // the default database lives at the warehouse root, not default.db/
+    val rel = if (db == "default") table else s"$db.db/$table"
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$rel")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

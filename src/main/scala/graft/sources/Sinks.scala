@@ -85,6 +85,22 @@ object Sinks {
     df.write.format(resolve(format)).mode(SaveMode.Overwrite)
       .partitionBy(cols: _*).save(path)
 
+  /** Bucketed managed table: pre-shuffles the data into `numBuckets` by
+    * `bucketCols` at write time so later equi-joins/aggregations on those
+    * columns run with NO exchange — the layout investment that pays for
+    * itself on every downstream fact-fact join at scale. (Bucketing only
+    * exists for catalog tables; path-based writes can't carry the bucket
+    * spec.) */
+  def bucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, format: String = "parquet"): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    graft.operators.Ddl.purgeManagedLocation(df.sparkSession, table)
+    df.write.format(resolve(format))
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Dynamic partition overwrite: replaces only the partitions present in
     * `df`, the idiom for incremental re-loads of a partitioned lake table. */
   def overwritePartitions(df: DataFrame, path: String, cols: Seq[String],

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Joins
+import graft.sources.{Sinks, Sources}
+
+class ScaleJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed tables join with zero exchange on either side") {
+    val li = Sources.testTable(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Sources.testTable(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Sinks.bucketed(li, "graft_b_lineitem", Seq("l_orderkey"), 8)
+    Sinks.bucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "graft_b_orders", Seq("l_orderkey"), 8)
+    // disable broadcast so the planner must exploit the bucket layout
+    // (at real fact-fact scale neither side fits a broadcast anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_b_lineitem")
+        .join(spark.table("graft_b_orders"), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join shuffled:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the rows of the plain join") {
+    // skewed fixture: orders keyed to a dominant customer
+    val large = Sources.testTable(spark, TestSpark.sf, "orders")
+      .withColumn("k", when(col("o_orderkey") % 3 === 0, 0L)
+        .otherwise(col("o_custkey")))
+      .select(col("k"), col("o_orderkey"))
+    val small = Sources.testTable(spark, TestSpark.sf, "customer")
+      .select(col("c_custkey").as("k"), col("c_name"))
+    val plain = large.join(small, Seq("k"))
+      .select("k", "o_orderkey", "c_name")
+      .collect().map(_.toSeq).toSet
+    val salted = Joins.saltedJoin(large, small, "k")
+      .select("k", "o_orderkey", "c_name")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("session profiles: delta/iceberg absent -> parquet fallback engages") {
+    import graft.sessions.Sessions
+    assert(!Sessions.formatAvailable(Sessions.DeltaLake))
+    assert(!Sessions.formatAvailable(Sessions.IcebergLake))
+    assert(Sessions.formatAvailable(Sessions.ParquetLake))
+    assert(graft.operators.Ddl.preferredFormat() == "parquet")
+  }
+}
