@@ -48,6 +48,7 @@ object SparkEntry {
     // LLM-pipeline extensions: similarity search (SURVEY.md §7.6)
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
+    "f3_knn_ivf"             -> ((s, d) => Similarity.ivfTopK(s, d)),
     // LLM-pipeline extensions: text analysis (SURVEY.md §7.6)
     "g1_token_stats"         -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "g2_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -311,6 +312,46 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    // IVF is fully relational (deterministic centroids = first 16 corpus
+    // vectors), so unlike LSH it carries a complete oracle.
+    "f3_knn_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |), cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+        |  FROM n WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT vec_id, cent_id, v, norm FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+        |          DESC, c.cent_id) AS crank
+        |    FROM n x CROSS JOIN cents c)
+        |  WHERE crank = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cent_id, v AS qv, norm AS qnorm
+        |  FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+        |          DESC, c.cent_id) AS crank
+        |    FROM n x CROSS JOIN cents c
+        |    WHERE x.vec_id < 10)
+        |  WHERE crank <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    list_dot_product(p.qv, a.v) / (p.qnorm * a.norm) AS cosine
+        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id != p.query_id
+        |)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM cand)
         |WHERE rank <= 5""".stripMargin,
     // g4 (hash-valued fingerprints) and h2 (decode-stub features) have no
     // SQL oracle; specs pin determinism + codegen/interpreted agreement.

@@ -51,6 +51,57 @@ object Similarity {
         col("rank"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus to `nCent` centroid cells
+    * (centroids = the first nCent corpus vectors — deterministic and
+    * relational, so the whole operator is DuckDB-oracle-checkable; a
+    * k-means refinement would only move the centroids, not the plumbing),
+    * then probe the `nprobe` cells nearest each query and re-rank
+    * candidates with the exact cosine.
+    *
+    * Scale shape: assignment is a broadcast of nCent centroids over one
+    * corpus scan (narrow, no corpus shuffle); the probe join is a
+    * hash-partitioned equi-join on cent_id touching ~nprobe/nCent of the
+    * corpus per query. The inverted-file layout would be persisted
+    * (partitioned by cent_id) in a real deployment so probes prune files.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, numQueries: Int = 10,
+      k: Int = 5, nCent: Int = 16, nprobe: Int = 4): DataFrame = {
+    val corpus = normed(spark, sfDir)
+    val cents = corpus.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+
+    // nearest centroid per corpus vector (cosine argmax, id tiebreak)
+    def nearestCents(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cents))
+        .withColumn("csim",
+          Dedup.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cent_id").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+    }
+
+    val assigned = nearestCents(corpus, "vec_id", 1)
+      .select(col("vec_id"), col("cent_id"), col("v"), col("norm"))
+    val probes = nearestCents(
+      corpus.filter(col("vec_id") < numQueries), "vec_id", nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes: `tables` × `bits`
     * planes in `dim` dimensions, seeded — same planes every run/JVM. */
   private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {

@@ -41,6 +41,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatches.isEmpty, s"score drift: ${mismatches.take(3).toSeq}")
   }
 
+  test("IVF top-k: k rows per query, scores exact, useful recall") {
+    val ivf = Similarity.ivfTopK(spark, TestSpark.sf)
+    val perQuery = ivf.groupBy("query_id").count().collect()
+    assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 5))
+    val exact = Similarity.bruteForceTopK(spark, TestSpark.sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val pairs = ivf.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val recall = pairs.count(p => exact.contains(p._1)).toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.2) // 4/16 cells probed on near-random vectors
+    // candidate scores must be the exact cosine
+    val drift = pairs.filter(p => exact.get(p._1).exists(_ != p._2))
+    assert(drift.isEmpty)
+  }
+
   test("brute force broadcasts the query side (no corpus shuffle join)") {
     val plan = Similarity.bruteForceTopK(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
