@@ -39,6 +39,8 @@ object SparkEntry {
     // DDL / catalog / sinks (SURVEY.md §2.2 K4-K5, §2.3 D1-D3, §2.1 S4)
     "d1_catalog_roundtrip"   -> ((s, d) => Ddl.catalogRoundTrip(s, d)),
     "d2_writeto_roundtrip"   -> ((s, d) => Ddl.writeToRoundTrip(s, d)),
+    // Multi-way star join (beyond the reference's 2-table joins)
+    "j1_star_revenue"        -> ((s, d) => StarJoin.revenueByNation(s, d)),
     // LLM-pipeline extensions: deduplication (SURVEY.md §7.6)
     "e1_dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -261,6 +263,17 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang, n_chars,
         |        string_split(text, ' ') AS parts
         |      FROM documents)""".stripMargin,
+    "j1_star_revenue" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |  sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |      AS DECIMAL(38,10))) AS total_revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem l
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
     // e3/e4 are hash-function-dependent (xxhash64/murmur3 have no DuckDB
     // equivalent) → intentionally no oracle; invariants are pinned by
     // DedupSpec against the exact-Jaccard oracle queries instead.

@@ -22,8 +22,12 @@ import graft.sources.Sources
   *      (brute-force form; the LSH-bucketed scale variant lives in
   *      [[Similarity]]).
   *
-  * Everything is built-in `functions._` (codegen'd higher-order functions) —
-  * no UDFs, no collect. See SURVEY.md §7.6.
+  * Everything is built-in `functions._` plus graft's native sketch
+  * expressions — no UDFs, no collect. See SURVEY.md §7.6. Literature:
+  * MinHash resemblance sketches (Broder 1997, "On the resemblance and
+  * containment of documents"); banded LSH (Leskovec/Rajaraman/Ullman,
+  * Mining of Massive Datasets, ch. 3); SimHash (Charikar 2002, STOC;
+  * Hamming-chunk candidate generation per Manku/Jain/Sarma, WWW 2007).
   */
 object Dedup {
 

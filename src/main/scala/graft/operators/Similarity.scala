@@ -21,6 +21,9 @@ import graft.sources.Sources
   *
   * Vectors are float-from-parquet promoted to double; dot products are
   * strict left folds (see [[Dedup.dot]]) so scores are engine-portable.
+  * Literature: random-hyperplane LSH (Charikar 2002, STOC); IVF coarse
+  * quantization (Jegou/Douze/Schmid 2011, TPAMI — the inverted-file part,
+  * without product quantization).
   */
 object Similarity {
 

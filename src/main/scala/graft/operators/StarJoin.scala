@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic._
+import graft.sources.Sources
+
+/** Multi-way star join — the canonical warehouse query shape the reference
+  * never exercises (SURVEY.md §2.5: only sequential two-table joins).
+  * Revenue per region/nation over customer ⋈ orders ⋈ lineitem with the
+  * dimension chain nation ⋈ region, TPC-H-Q5-flavored.
+  *
+  * Scale design: the two fact tables join on their shared key (one shuffle
+  * each side, co-partitioned); every dimension (customer at 1% of
+  * lineitem, nation, region) is broadcast — at 100 TB the only exchanges
+  * are the two fact shuffles, and AQE re-plans the fact join if one side's
+  * runtime size permits a broadcast. Revenue aggregates in exact decimal
+  * (Deterministic discipline) keyed by low-cardinality names.
+  */
+object StarJoin {
+
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Sources.testTable(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    val orders = Sources.testTable(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val customer = Sources.testTable(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = Sources.testTable(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val region = Sources.testTable(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        sumExact(col("revenue")).as("total_revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+}

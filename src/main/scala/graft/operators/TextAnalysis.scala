@@ -98,8 +98,9 @@ object TextAnalysis {
   }
 
   /** Document fingerprints: whole-text rolling hash (native codegen'd
-    * [[graft.functions.RollingHash]] expression) plus a winnowing-style
-    * minimum over 4-gram shingle hashes. Hash-valued → no SQL oracle;
+    * [[graft.functions.RollingHash]] expression; Karp-Rabin 1987) plus a
+    * winnowing-style minimum over 4-gram shingle hashes (Schleimer/
+    * Wilkerson/Aiken 2003, SIGMOD). Hash-valued → no SQL oracle;
     * determinism and codegen/interpreted agreement are pinned by spec. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Sources.testTable(spark, sfDir, "documents")
