@@ -95,7 +95,9 @@ object Dedup {
     * (bounded to `maxDocId` docs); [[minhashLsh]] is the scale path. */
   def ngramJaccard(spark: SparkSession, sfDir: String, n: Int = 3,
       threshold: Double = 0.1, maxDocId: Long = 200): DataFrame = {
+    // both self-join sides consume the shingles — compute once
     val docs = shingled(spark, sfDir, n, maxDocId)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))

