@@ -84,7 +84,7 @@ object SparkEntry {
       |         ELSE c_mktsegment END AS inc_mktsegment
       |  FROM customer WHERE c_custkey % 2 = 0
       |  UNION ALL
-      |  SELECT c_custkey + 1000000,
+      |  SELECT c_custkey + (SELECT max(c_custkey) FROM customer) + 1,
       |    'NewCustomer#' || CAST(c_custkey AS VARCHAR),
       |    c_nationkey, c_acctbal, c_mktsegment
       |  FROM customer WHERE c_custkey % 7 = 0
@@ -437,7 +437,7 @@ object SparkEntry {
         |    AS format,
         |  CAST((doc_id % 16 + 1) * 64 AS INTEGER) AS width,
         |  CAST((doc_id % 9 + 1) * 64 AS INTEGER) AS height,
-        |  CAST(length(text) AS BIGINT) AS n_bytes
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
   )
 }

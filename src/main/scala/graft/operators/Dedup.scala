@@ -122,6 +122,11 @@ object Dedup {
     * bulk (measured on this corpus) almost never collides. */
   def minhashLsh(spark: SparkSession, sfDir: String, n: Int = 3,
       threshold: Double = 0.2, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    // bands must tile the signature exactly: rows=0 would hash an empty
+    // slice (every doc collides in every band → O(n²)), and a non-dividing
+    // bands count silently ignores trailing permutations
+    require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
     val rows = numPerm / bands
     val base = Sources.testTable(spark, sfDir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))

@@ -32,6 +32,11 @@ object Incremental {
     * fixture of `increamental_dataload.py:37-45` at table scale. */
   def incrementalBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Sources.testTable(spark, sfDir, "customer")
+    // new-row keys live above max(c_custkey) so they can never collide with
+    // a real customer at any scale factor (a fixed +1,000,000 offset would
+    // collide once the base table passes 1M keys). Relational (scalar-agg
+    // cross join, broadcast single row) so the oracle mirrors it exactly.
+    val maxKey = c.agg(max(col("c_custkey")).as("max_key"))
     val updates = c.filter(col("c_custkey") % 2 === 0).select(
       col("c_custkey").as("inc_custkey"),
       col("c_name").as("inc_name"),
@@ -40,8 +45,9 @@ object Incremental {
         .otherwise(col("c_acctbal")).as("inc_acctbal"),
       when(col("c_custkey") % 5 === 0, lit("PREMIUM"))
         .otherwise(col("c_mktsegment")).as("inc_mktsegment"))
-    val newRows = c.filter(col("c_custkey") % 7 === 0).select(
-      (col("c_custkey") + 1000000).as("inc_custkey"),
+    val newRows = c.filter(col("c_custkey") % 7 === 0)
+      .crossJoin(broadcast(maxKey)).select(
+      (col("c_custkey") + col("max_key") + 1).as("inc_custkey"),
       concat(lit("NewCustomer#"), col("c_custkey").cast("string"))
         .as("inc_name"),
       col("c_nationkey").as("inc_nationkey"),

@@ -67,7 +67,9 @@ object Multimodal {
           (col("doc_id") % 4 + 1).cast("int")).as("format"),
         ((col("doc_id") % 16 + 1) * 64).cast("int").as("width"),
         ((col("doc_id") % 9 + 1) * 64).cast("int").as("height"),
-        length(col("text")).cast("long").as("n_bytes"),
+        // byte length of the payload, not character count — they differ
+        // for multi-byte text
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
         encode(col("text"), "UTF-8").as("payload"))
 
   /** Metadata projection (oracle-checked): everything except the decode. */

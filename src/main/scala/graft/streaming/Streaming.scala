@@ -30,10 +30,13 @@ object Streaming {
 
   /** events.parquet carries INT64 TIMESTAMP(NANOS), which Spark 4 only
     * reads as raw nanos longs (see Sessions.builder). Convert to a proper
-    * μs timestamp — floor-division truncation, identical to DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP read. */
+    * μs timestamp with FLOOR division (`div` alone truncates toward zero,
+    * which would diverge from DuckDB's ns→μs conversion for pre-1970
+    * timestamps; pmod makes the remainder nonnegative so the quotient
+    * floors for any sign). */
   private def toTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    df.withColumn("ts",
+      expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
 
   private def eventsBatch(spark: SparkSession, sfDir: String): DataFrame =
     toTs(Sources.testTable(spark, sfDir, "events"))
@@ -69,7 +72,12 @@ object Streaming {
       .writeStream.outputMode("complete").format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    // hand the analyzed frame to the caller and drop the sink's temp view
+    // so repeated calls don't accumulate catalog entries
+    val out = spark.table(name)
+    out.schema // force analysis while the view still exists
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Sessionization (30-min inactivity gap) via window functions — the

@@ -36,12 +36,20 @@ class CleanseSpec extends AnyFunSuite {
 
   test("listings cleanse: rating null iff second token lacks marker") {
     import org.apache.spark.sql.functions._
+    // independent recomputation of the marker condition from raw text
+    val docs = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"),
+        split(col("text"), " ").getItem(1).startsWith("s").as("has_marker"))
     val q = Cleanse.listingsCleanse(spark, TestSpark.sf)
-    val bad = q.filter(
-      (col("rating").isNotNull && !concat(lit("s"), col("rating"))
-        .startsWith("s")) ||
-      (col("rating").isNull && col("reviews").isNull &&
-        col("description").isNull)).count()
-    assert(bad == 0)
+      .select(col("doc_id"), col("rating"))
+    val joined = q.join(docs, Seq("doc_id"))
+    assert(joined.filter(col("has_marker") && col("rating").isNull)
+      .count() == 0)
+    assert(joined.filter(!col("has_marker") && col("rating").isNotNull)
+      .count() == 0)
+    // both branches actually occur in the corpus
+    assert(joined.filter(col("has_marker")).count() > 0)
+    assert(joined.filter(!col("has_marker")).count() > 0)
   }
 }

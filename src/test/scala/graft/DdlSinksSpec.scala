@@ -43,15 +43,17 @@ class DdlSinksSpec extends AnyFunSuite {
     val li = Sources.testTable(spark, TestSpark.sf, "lineitem")
       .select(col("l_returnflag").as("flag"), col("l_quantity"))
     Sinks.partitioned(li, dir, Seq("flag"))
-    val before = spark.read.parquet(dir).count()
+    val beforeNonR = spark.read.parquet(dir)
+      .filter(col("flag") =!= "R").count()
+    assert(beforeNonR > 0)
     // rewrite only flag='R' with a single row
     val one = li.filter(col("flag") === "R").limit(1)
     Sinks.overwritePartitions(one, dir, Seq("flag"))
     val after = spark.read.parquet(dir)
     assert(after.filter(col("flag") === "R").count() == 1)
-    assert(after.filter(col("flag") =!= "R").count() ==
-      spark.read.parquet(dir).count() - 1)
-    assert(after.count() < before)
+    // every non-R partition survived untouched (a static overwrite would
+    // have truncated them)
+    assert(after.filter(col("flag") =!= "R").count() == beforeNonR)
   }
 
   test("sinks: singleFile writes exactly one data file") {

@@ -66,7 +66,12 @@ class IncrementalSpec extends AnyFunSuite {
     val b = Incremental.newRowsAnti(spark, TestSpark.sf)
       .select("inc_custkey").collect().map(_.getLong(0)).toSet
     assert(a == b && a.nonEmpty)
-    assert(a.forall(_ >= 1000000)) // custkeys start at 0
+    // new keys live strictly above the base key range at every scale
+    val maxBase = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "customer")
+      .agg(org.apache.spark.sql.functions.max("c_custkey"))
+      .collect()(0).getLong(0)
+    assert(a.forall(_ > maxBase))
   }
 
   test("upsert preserves base cardinality + new rows, applies changes") {
@@ -74,9 +79,11 @@ class IncrementalSpec extends AnyFunSuite {
     val up = Incremental.upsert(spark, TestSpark.sf)
     val nNew = Incremental.newRowsAnti(spark, TestSpark.sf).count()
     assert(up.count() == base.count() + nNew)
-    // every key%30==0 (even, %3, %5) customer must carry both changes
+    // every key%30==0 (even, %3, %5) BASE customer must carry both changes
+    val maxBase = base.agg(org.apache.spark.sql.functions.max("c_custkey"))
+      .collect()(0).getLong(0)
     val touched = up.filter(col("c_custkey") % 30 === 0 &&
-      col("c_custkey") < 1000000)
+      col("c_custkey") <= maxBase)
     assert(touched.filter(col("c_mktsegment") =!= "PREMIUM").count() == 0)
   }
 

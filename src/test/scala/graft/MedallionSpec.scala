@@ -63,6 +63,19 @@ class MedallionSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("ANSI-off semantic pin: DECIMAL(38,10) overflow yields silent null (SURVEY §7.5.4)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // two values near the decimal(38,10) cap; their sum overflows p=38
+    val big = new java.math.BigDecimal("9" * 28 + "." + "9" * 10)
+    val df = graft.sources.Sources.fromRows(spark,
+      Seq(Row(big), Row(big)),
+      StructType(Seq(StructField("v", DecimalType(38, 10)))))
+    val out = df.agg(org.apache.spark.sql.functions.sum("v")).collect()(0)
+    assert(out.isNullAt(0), // reference semantics: silent null, not error
+      s"expected overflow->null under ANSI off, got ${out.get(0)}")
+  }
+
   test("lake pipeline e2e: persisted gold equals directly-computed gold") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lake_test_")
     val fromLake = Medallion.lakePipeline(spark, TestSpark.sf, dir.toString)

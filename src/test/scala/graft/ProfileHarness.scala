@@ -20,6 +20,15 @@ class ProfileHarness extends AnyFunSuite {
     r
   }
 
+  test("profile media features warm", org.scalatest.Tag("profile")) {
+    assume(profilingEnabled, "set GRAFT_PROFILE=1 to run")
+    val f = graft.operators.Multimodal.extractFeatures(spark, sf)
+    time("h2 cold")(f.count())
+    time("h2 warm")(graft.operators.Multimodal.extractFeatures(spark, sf).count())
+    time("h2 warm2")(graft.operators.Multimodal.extractFeatures(spark, sf).count())
+    time("mediaTable only")(graft.operators.Multimodal.mediaTable(spark, sf).count())
+  }
+
   test("profile minhash stages", org.scalatest.Tag("profile")) {
     assume(profilingEnabled, "set GRAFT_PROFILE=1 to run")
     val base = Sources.testTable(spark, sf, "documents")
