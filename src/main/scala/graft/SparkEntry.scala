@@ -56,6 +56,8 @@ object SparkEntry {
     "g2_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "g3_lang_id"             -> ((s, d) => TextAnalysis.langId(s, d)),
     "g4_fingerprint"         -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "g5_corpus_stats"        -> ((s, d) => TextAnalysis.corpusStats(s, d)),
+    "g6_quality_filter"      -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // LLM-pipeline extensions: multimodal columns
     "h1_media_metadata"      -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "h2_media_features"      -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -431,6 +433,44 @@ object SparkEntry {
         |        / greatest(CAST(n_tokens AS DOUBLE), 1.0), 6) AS confidence,
         |  n_tokens
         |FROM c""".stripMargin,
+    "g5_corpus_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source,
+        |    string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+        |  FROM base GROUP BY 1, 2
+        |), d AS (
+        |  SELECT lang, source, count(DISTINCT tok) AS n_distinct_tokens
+        |  FROM (SELECT lang, source, unnest(toks) AS tok FROM base)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.lang, s.source, n_docs, total_tokens, n_distinct_tokens
+        |FROM s JOIN d USING (lang, source)""".stripMargin,
+    "g6_quality_filter" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(toks, t ->
+        |      list_contains(['the','a','and','of','to'], t))) AS INTEGER)
+        |      AS n_stop,
+        |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |      AS INTEGER) AS sum_len
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        |        FROM documents)
+        |), scored AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    round(0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |      + 0.2 * greatest(1.0 - abs(CAST(sum_len AS DOUBLE)
+        |          / CAST(n_tokens AS DOUBLE) - 5.0) / 10.0, 0.0), 6)
+        |      AS quality_score
+        |  FROM c
+        |)
+        |SELECT doc_id, lang, n_tokens, quality_score
+        |FROM scored WHERE quality_score >= 0.4""".stripMargin,
     "h1_media_metadata" ->
       """SELECT doc_id,
         |  (['png','jpeg','wav','mp4'])[CAST(doc_id % 4 + 1 AS INTEGER)]

@@ -97,6 +97,36 @@ object TextAnalysis {
         "n_tokens")
   }
 
+  /** Corpus statistics rollup per (lang, source) slice: doc counts, exact
+    * token totals, and exact distinct-token cardinality — the reporting
+    * query a curation pipeline runs after every filter stage. The distinct
+    * count shuffles (lang, source, token) triples; at 100 TB swap
+    * `countDistinct` for `approx_count_distinct` (HLL) to keep the shuffle
+    * sketch-sized — same plumbing, documented trade-off. */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        Dedup.tokens(col("text")).as("toks"))
+    val stats = base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("total_tokens"))
+    val distinctToks = base
+      .select(col("lang"), col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+    stats.join(distinctToks, Seq("lang", "source"))
+  }
+
+  /** Quality gate: keep documents whose [[qualityScore]] clears the
+    * threshold — the filter stage those scores exist for. Narrow
+    * projection + filter, pushed to the scan. */
+  def qualityFilter(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame =
+    qualityScore(spark, sfDir)
+      .filter(col("quality_score") >= threshold)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"))
+
   /** Document fingerprints: whole-text rolling hash (native codegen'd
     * [[graft.functions.RollingHash]] expression; Karp-Rabin 1987) plus a
     * winnowing-style minimum over 4-gram shingle hashes (Schleimer/
