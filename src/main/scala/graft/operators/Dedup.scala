@@ -95,7 +95,10 @@ object Dedup {
     * (bounded to `maxDocId` docs); [[minhashLsh]] is the scale path. */
   def ngramJaccard(spark: SparkSession, sfDir: String, n: Int = 3,
       threshold: Double = 0.1, maxDocId: Long = 200): DataFrame = {
-    // both self-join sides consume the shingles — compute once
+    // both self-join sides consume the shingles — compute once. Persist
+    // contract (here and in the LSH/similarity operators): frames stay
+    // cached for intra-query reuse; the session owner releases them
+    // (Verify/Bench call spark.catalog.clearCache() per query).
     val docs = shingled(spark, sfDir, n, maxDocId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))

@@ -69,7 +69,7 @@ object Multimodal {
         ((col("doc_id") % 9 + 1) * 64).cast("int").as("height"),
         // byte length of the payload, not character count — they differ
         // for multi-byte text
-        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
         encode(col("text"), "UTF-8").as("payload"))
 
   /** Metadata projection (oracle-checked): everything except the decode. */

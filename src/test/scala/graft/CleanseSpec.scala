@@ -40,7 +40,9 @@ class CleanseSpec extends AnyFunSuite {
     val docs = graft.sources.Sources
       .testTable(spark, TestSpark.sf, "documents")
       .select(col("doc_id"),
-        split(col("text"), " ").getItem(1).startsWith("s").as("has_marker"))
+        // single-token docs have no second token: marker is absent, not null
+        coalesce(split(col("text"), " ").getItem(1).startsWith("s"),
+          lit(false)).as("has_marker"))
     val q = Cleanse.listingsCleanse(spark, TestSpark.sf)
       .select(col("doc_id"), col("rating"))
     val joined = q.join(docs, Seq("doc_id"))

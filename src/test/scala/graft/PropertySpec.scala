@@ -50,6 +50,8 @@ class PropertySpec extends AnyFunSuite {
       val (jab, jba) = (r.getDouble(2), r.getDouble(3))
       assert(jab >= 0.0 && jab <= 1.0)
       assert(jab == jba)
+      // 1 iff identical shingle sets (both directions)
+      assert((jab == 1.0) == r.getBoolean(4))
       if (r.getLong(0) == r.getLong(1)) assert(jab == 1.0)
     }
   }
