@@ -56,4 +56,13 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(Sessions.formatAvailable(Sessions.ParquetLake))
     assert(graft.operators.Ddl.preferredFormat() == "parquet")
   }
+
+  test("session pins the reference-parity semantics (SURVEY §4/§7.4)") {
+    // ANSI off is load-bearing: Spark 4 defaults it on, which errors on
+    // wraparound hash arithmetic and changes decimal overflow to throw
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "false")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+  }
 }
