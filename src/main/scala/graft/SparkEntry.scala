@@ -58,6 +58,8 @@ object SparkEntry {
     "g4_fingerprint"         -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "g5_corpus_stats"        -> ((s, d) => TextAnalysis.corpusStats(s, d)),
     "g6_quality_filter"      -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
+    "g7_pii_scrub"           -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "g8_contamination"       -> ((s, d) => TextAnalysis.contamination(s, d)),
     // LLM-pipeline extensions: multimodal columns
     "h1_media_metadata"      -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "h2_media_features"      -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -471,6 +473,36 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, n_tokens, quality_score
         |FROM scored WHERE quality_score >= 0.4""".stripMargin,
+    "g7_pii_scrub" ->
+      """SELECT doc_id, lang,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+        |    'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text,
+        |  CAST(
+        |    len(regexp_extract_all(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |    + len(regexp_extract_all(text, 'https?://[^ ]+'))
+        |    + len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]'))
+        |    AS INTEGER) AS n_redactions
+        |FROM documents""".stripMargin,
+    "g8_contamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3
+        |), probes AS (
+        |  SELECT DISTINCT sh_el AS probe
+        |  FROM (SELECT unnest(sh) AS sh_el FROM docs WHERE doc_id = 0)
+        |  ORDER BY 1 LIMIT 5
+        |)
+        |SELECT doc_id, count(DISTINCT probe) AS n_probe_hits
+        |FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs) d
+        |JOIN probes ON d.shingle = probes.probe
+        |GROUP BY doc_id""".stripMargin,
     "h1_media_metadata" ->
       """SELECT doc_id,
         |  (['png','jpeg','wav','mp4'])[CAST(doc_id % 4 + 1 AS INTEGER)]

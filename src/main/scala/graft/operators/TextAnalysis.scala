@@ -127,6 +127,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("quality_score"))
 
+  /** PII scrubbing: redact emails, URLs, and phone-number-shaped spans —
+    * the standard pre-training redaction stage. Patterns are RE2-safe (no
+    * backrefs/lookahead) so Java-regex Spark and RE2 DuckDB agree; a
+    * narrow codegen'd projection, linear at any scale. The test corpus
+    * contains no PII (the spec proves redaction on literal fixtures); the
+    * oracle still pins the mechanics end-to-end. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe   = "https?://[^ ]+"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubFrame(Sources.testTable(spark, sfDir, "documents"))
+
+  /** Reusable over any frame with (doc_id, lang, text). */
+  def piiScrubFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        PhoneRe, "<PHONE>").as("clean_text"),
+      (regexp_count(col("text"), lit(EmailRe)) +
+        regexp_count(col("text"), lit(UrlRe)) +
+        regexp_count(col("text"), lit(PhoneRe))).as("n_redactions"))
+
+  /** Benchmark-contamination screen: flag documents sharing any probe
+    * shingle with a probe document (doc_id 0 stands in for a benchmark
+    * set; probes = its 5 lexicographically-smallest 3-gram shingles so the
+    * set is deterministic). At scale the probe set broadcasts and the scan
+    * stays single-pass — the shape of every decontamination pass. */
+  def contamination(spark: SparkSession, sfDir: String,
+      nProbes: Int = 5): DataFrame = {
+    val shingleDocs = Dedup.shingled(spark, sfDir, 3)
+    val probes = shingleDocs.filter(col("doc_id") === 0)
+      .select(explode(col("sh")).as("probe")).distinct()
+      .orderBy(col("probe")).limit(nProbes)
+    shingleDocs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(probes), col("shingle") === col("probe"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("probe")).as("n_probe_hits"))
+  }
+
   /** Document fingerprints: whole-text rolling hash (native codegen'd
     * [[graft.functions.RollingHash]] expression; Karp-Rabin 1987) plus a
     * winnowing-style minimum over 4-gram shingle hashes (Schleimer/

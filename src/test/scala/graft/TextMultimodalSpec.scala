@@ -79,6 +79,30 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(r.filter(col("confidence") < 0 || col("confidence") > 1).count() == 0)
   }
 
+  test("pii scrub redacts emails, urls, phones on fixture rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "contact bob.smith+x@example.co.uk for details"),
+      (2L, "en", "see https://spark.apache.org/docs/latest for info"),
+      (3L, "en", "call +1 (555) 123-4567 now"),
+      (4L, "en", "nothing sensitive here at all"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.piiScrubFrame(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getInt(3))).toMap
+    assert(out(1L)._1 == "contact <EMAIL> for details" && out(1L)._2 == 1)
+    assert(out(2L)._1 == "see <URL> for info" && out(2L)._2 == 1)
+    assert(out(3L)._1 == "call <PHONE> now" && out(3L)._2 == 1)
+    assert(out(4L)._1 == "nothing sensitive here at all" && out(4L)._2 == 0)
+  }
+
+  test("contamination screen: probe doc flags itself, hits bounded by probe count") {
+    val c = TextAnalysis.contamination(spark, TestSpark.sf)
+    val hits = c.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(0L), "the probe document must flag itself")
+    assert(hits(0L) == 5L)
+    assert(hits.values.forall(h => h >= 1 && h <= 5))
+  }
+
   test("media features: stub decode is deterministic, bounded, shuffle-free") {
     val f = Multimodal.extractFeatures(spark, TestSpark.sf)
     assert(f.count() == 500)
