@@ -488,21 +488,22 @@ object SparkEntry {
         |    AS INTEGER) AS n_redactions
         |FROM documents""".stripMargin,
     "g8_contamination" ->
-      """WITH docs AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3
-        |), probes AS (
+      """WITH probes AS (
         |  SELECT DISTINCT sh_el AS probe
-        |  FROM (SELECT unnest(sh) AS sh_el FROM docs WHERE doc_id = 0)
+        |  FROM (SELECT unnest(list_distinct(list_transform(
+        |          range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |          AS sh_el
+        |        FROM (SELECT string_split(lower(text), ' ') AS toks
+        |              FROM documents WHERE doc_id = 0))
         |  ORDER BY 1 LIMIT 5
         |)
-        |SELECT doc_id, count(DISTINCT probe) AS n_probe_hits
-        |FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs) d
-        |JOIN probes ON d.shingle = probes.probe
-        |GROUP BY doc_id""".stripMargin,
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits
+        |FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded
+        |      FROM documents) d
+        |CROSS JOIN probes
+        |WHERE contains(d.padded, ' ' || probes.probe || ' ')
+        |GROUP BY 1""".stripMargin,
     "h1_media_metadata" ->
       """SELECT doc_id,
         |  (['png','jpeg','wav','mp4'])[CAST(doc_id % 4 + 1 AS INTEGER)]

@@ -20,6 +20,24 @@ class ProfileHarness extends AnyFunSuite {
     r
   }
 
+  test("profile g8 contamination", org.scalatest.Tag("profile")) {
+    assume(profilingEnabled, "set GRAFT_PROFILE=1 to run")
+    val probesDf = Sources.testTable(spark, sf, "documents")
+      .filter(col("doc_id") === 0)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesOf(col("toks"), 3).as("sh"))
+      .select(explode(col("sh")).as("probe")).distinct()
+      .orderBy(col("probe")).limit(5)
+    time("probes only (pre-filtered)")(probesDf.collect())
+    val viaShingled = {
+      val t0 = System.nanoTime()
+      graft.operators.TextAnalysis.contamination(spark, sf).count()
+      (System.nanoTime()-t0)/1e9
+    }
+    info(f"g8 cold: $viaShingled%.2f s")
+    time("g8 warm")(graft.operators.TextAnalysis.contamination(spark, sf).count())
+  }
+
   test("profile media features warm", org.scalatest.Tag("profile")) {
     assume(profilingEnabled, "set GRAFT_PROFILE=1 to run")
     val f = graft.operators.Multimodal.extractFeatures(spark, sf)
