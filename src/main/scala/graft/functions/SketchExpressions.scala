@@ -268,6 +268,59 @@ case class ShingleSimHash(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** All hyperplane-LSH signatures of a double vector in one expression:
+  * out[t] = bits of sign(<v, plane_{t,j}>) for each of `tables` tables of
+  * `bits` planes. Replaces tables×bits separate DotProduct+when trees —
+  * the expanded form generated ~100 sub-expressions whose whole-stage
+  * codegen compile alone cost seconds per plan (see spark4 lesson in
+  * project memory); here the planes are plain Scala state and the
+  * generated work is a single fused loop nest. Eval-heavy per row, so
+  * CodegenFallback's per-row call is amortized. */
+case class HyperplaneSigs(child: Expression,
+    planes: Array[Array[Array[Double]]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sigs requires array<double>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val out = new Array[Int](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var sig = 0
+      var j = 0
+      while (j < table.length) {
+        val p = table(j)
+        val n = math.min(dim, p.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v.getDouble(i) * p(i); i += 1 }
+        if (acc >= 0) sig |= (1 << j)
+        j += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   def minhash_sig(hashes: Column, numPerm: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numPerm))
@@ -278,4 +331,6 @@ object SketchExpressions {
       ShingleMinHash(ColumnBridge.expression(toks), n, numPerm))
   def shingle_simhash(toks: Column, n: Int): Column =
     ColumnBridge.column(ShingleSimHash(ColumnBridge.expression(toks), n))
+  def hyperplane_sigs(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(v), planes))
 }

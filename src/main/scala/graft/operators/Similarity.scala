@@ -112,13 +112,10 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
-  /** Signature of vector `v` in one table: an int whose bit j is the sign
-    * of <v, plane_j>. */
-  private def signature(v: Column, tablePlanes: Array[Array[Double]]): Column =
-    tablePlanes.zipWithIndex.map { case (p, j) =>
-      val d = Dedup.dot(v, typedLit(p.toSeq))
-      when(d >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _) // disjoint bits: sum == OR
+  // (all-tables signature computation lives in the fused native
+  // HyperplaneSigs expression — bit j of table t = sign of <v, plane_tj>;
+  // the expanded per-plane Column form generated ~100 sub-expressions and
+  // paid seconds of codegen compile per plan)
 
   /** Approximate cosine top-k via multi-table hyperplane LSH with exact
     * re-ranking of candidates. Recall rises with `tables`, selectivity
@@ -133,11 +130,8 @@ object Similarity {
 
     def signatures(df: DataFrame, idCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("v"), col("norm"),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("t"), signature(col("v"), ps(t)).as("sig"))
-        }: _*)).as("s"))
-        .select(col(idCol), col("v"), col("norm"),
-          col("s.t"), col("s.sig"))
+        posexplode(graft.functions.SketchExpressions
+          .hyperplane_sigs(col("v"), ps)).as(Seq("t", "sig")))
 
     val corpusSig = signatures(corpus, "vec_id")
     val querySig = signatures(
