@@ -33,6 +33,7 @@ object SparkEntry {
     "c2_new_rows_leftouter"  -> ((s, d) => Incremental.newRowsLeftOuter(s, d)),
     "c3_new_rows_anti"       -> ((s, d) => Incremental.newRowsAnti(s, d)),
     "c4_upsert"              -> ((s, d) => Incremental.upsert(s, d)),
+    "c5_scd2_apply"          -> ((s, d) => Incremental.scd2Apply(s, d)),
     // Workload B — packed-string cleanse (SURVEY.md §2.4 P1/P2/P8,
     // §2.9 F1-F5)
     "b1_listings_cleanse"    -> ((s, d) => Cleanse.listingsCleanse(s, d)),
@@ -251,6 +252,27 @@ object SparkEntry {
          |FROM inc
          |WHERE NOT EXISTS
          |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
+         |""".stripMargin,
+    "c5_scd2_apply" ->
+      s"""WITH $incCte, $changedCte,
+         |base AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |    TRUE AS is_active, 1 AS version,
+         |    DATE '2024-01-01' AS valid_from, DATE '2099-01-01' AS valid_to
+         |  FROM customer
+         |)
+         |SELECT * FROM base
+         |WHERE c_custkey NOT IN (SELECT inc_custkey FROM changed)
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |  FALSE, version, valid_from, DATE '2024-06-01'
+         |FROM base
+         |WHERE c_custkey IN (SELECT inc_custkey FROM changed)
+         |UNION ALL
+         |SELECT b.c_custkey, c.inc_name, c.inc_nationkey, c.inc_acctbal,
+         |  c.inc_mktsegment, TRUE, b.version + 1, DATE '2024-06-01',
+         |  DATE '2099-01-01'
+         |FROM base b JOIN changed c ON b.c_custkey = c.inc_custkey
          |""".stripMargin,
     "b1_listings_cleanse" ->
       """SELECT doc_id, lang, n_chars,

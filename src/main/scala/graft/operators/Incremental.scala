@@ -91,6 +91,45 @@ object Incremental {
       .join(base, col("inc_custkey") === col("c_custkey"), "left_anti")
   }
 
+  /** SCD-2 apply: the reference carries SCD-2 columns on its silver tables
+    * (IsActive/Version/ValidFrom/ValidTo, `financial_dl_etl.py:59-62`) but
+    * only ever writes Version=1 snapshots — this completes the semantic.
+    * Given the base dimension (seeded at version 1) and the changed-row
+    * batch: unchanged rows pass through, each changed key's current row is
+    * closed (is_active=false, valid_to=change date), and a new version+1
+    * row opens. History is append-only and exactly one row per key is
+    * active. Changed keys broadcast; the base never shuffles. */
+  def scd2Apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val loadDate   = "2024-01-01"
+    val changeDate = "2024-06-01"
+    val base = Sources.testTable(spark, sfDir, "customer")
+      .withColumn("is_active", lit(true))
+      .withColumn("version", lit(1))
+      .withColumn("valid_from", to_date(lit(loadDate)))
+      .withColumn("valid_to", to_date(lit("2099-01-01")))
+    val changed = changedRows(spark, sfDir)
+      .withColumnRenamed("inc_custkey", "c_custkey")
+    val changedKeys = changed.select(col("c_custkey"))
+
+    val unchanged = base.join(broadcast(changedKeys), Seq("c_custkey"),
+      "left_anti")
+    val closed = base.join(broadcast(changedKeys), Seq("c_custkey"))
+      .withColumn("is_active", lit(false))
+      .withColumn("valid_to", to_date(lit(changeDate)))
+    val opened = base.select(col("c_custkey"), col("version"))
+      .join(broadcast(changed), Seq("c_custkey"))
+      .select(col("c_custkey"),
+        col("inc_name").as("c_name"),
+        col("inc_nationkey").as("c_nationkey"),
+        col("inc_acctbal").as("c_acctbal"),
+        col("inc_mktsegment").as("c_mktsegment"),
+        lit(true).as("is_active"),
+        (col("version") + 1).as("version"),
+        to_date(lit(changeDate)).as("valid_from"),
+        to_date(lit("2099-01-01")).as("valid_to"))
+    unchanged.unionByName(closed).unionByName(opened)
+  }
+
   /** J3 + J4 + F8 + U1 + P4 — full upsert: apply changed rows to the base via
     * left-outer join + coalesce (`increamental_dataload.py:69-77`), then
     * union the new rows (`:85`) with a selectExpr-style rename (`:70`). */

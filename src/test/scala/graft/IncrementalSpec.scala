@@ -87,6 +87,26 @@ class IncrementalSpec extends AnyFunSuite {
     assert(touched.filter(col("c_mktsegment") =!= "PREMIUM").count() == 0)
   }
 
+  test("scd2: history append-only, exactly one active row per key, versions step") {
+    import graft.sources.Sources
+    val s = Incremental.scd2Apply(spark, TestSpark.sf)
+    val base = Sources.testTable(spark, TestSpark.sf, "customer")
+    val nChanged = Incremental.changedRows(spark, TestSpark.sf).count()
+    // every base row survives (open or closed) + one new version per change
+    assert(s.count() == base.count() + nChanged)
+    val perKeyActive = s.filter(col("is_active"))
+      .groupBy("c_custkey").count().filter(col("count") =!= 1).count()
+    assert(perKeyActive == 0)
+    // changed keys: closed v1 (valid_to = change date) + open v2
+    val changedKey = s.filter(col("version") === 2)
+    assert(changedKey.count() == nChanged)
+    assert(changedKey.filter(!col("is_active")).count() == 0)
+    val closed = s.filter(!col("is_active"))
+    assert(closed.count() == nChanged)
+    assert(closed.filter(col("valid_to") =!=
+      java.sql.Date.valueOf("2024-06-01")).count() == 0)
+  }
+
   test("incremental joins broadcast the batch side") {
     val plan = Incremental.upsert(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
