@@ -277,9 +277,15 @@ case class ShingleSimHash(child: Expression, n: Int)
   * generated work is a single fused loop nest. Eval-heavy per row, so
   * CodegenFallback's per-row call is amortized. */
 case class HyperplaneSigs(child: Expression,
-    planes: Array[Array[Array[Double]]])
+    planes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  // Seq field gives structural case-class equality (Catalyst semanticEquals
+  // / subexpression reuse see equal-content plane sets as equal); eval
+  // walks primitive arrays
+  @transient private lazy val planeArr: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
@@ -296,10 +302,10 @@ case class HyperplaneSigs(child: Expression,
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
-    val out = new Array[Int](planes.length)
+    val out = new Array[Int](planeArr.length)
     var t = 0
-    while (t < planes.length) {
-      val table = planes(t)
+    while (t < planeArr.length) {
+      val table = planeArr(t)
       var sig = 0
       var j = 0
       while (j < table.length) {
@@ -332,5 +338,6 @@ object SketchExpressions {
   def shingle_simhash(toks: Column, n: Int): Column =
     ColumnBridge.column(ShingleSimHash(ColumnBridge.expression(toks), n))
   def hyperplane_sigs(v: Column, planes: Array[Array[Array[Double]]]): Column =
-    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(v), planes))
+    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(v),
+      planes.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
 }

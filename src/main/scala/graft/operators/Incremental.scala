@@ -107,16 +107,23 @@ object Incremental {
       .withColumn("version", lit(1))
       .withColumn("valid_from", to_date(lit(loadDate)))
       .withColumn("valid_to", to_date(lit("2099-01-01")))
+    // computed once (three consumers below) per the persist contract
     val changed = changedRows(spark, sfDir)
       .withColumnRenamed("inc_custkey", "c_custkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val changedKeys = changed.select(col("c_custkey"))
 
-    val unchanged = base.join(broadcast(changedKeys), Seq("c_custkey"),
-      "left_anti")
-    val closed = base.join(broadcast(changedKeys), Seq("c_custkey"))
+    // only the ACTIVE row of a changed key closes / versions forward —
+    // already-closed history rows pass through untouched, so the operator
+    // is correct on real multi-version history, not just v1 snapshots
+    val active = base.filter(col("is_active"))
+    val untouched = base.filter(!col("is_active"))
+      .unionByName(active.join(broadcast(changedKeys), Seq("c_custkey"),
+        "left_anti"))
+    val closed = active.join(broadcast(changedKeys), Seq("c_custkey"))
       .withColumn("is_active", lit(false))
       .withColumn("valid_to", to_date(lit(changeDate)))
-    val opened = base.select(col("c_custkey"), col("version"))
+    val opened = active.select(col("c_custkey"), col("version"))
       .join(broadcast(changed), Seq("c_custkey"))
       .select(col("c_custkey"),
         col("inc_name").as("c_name"),
@@ -127,7 +134,7 @@ object Incremental {
         (col("version") + 1).as("version"),
         to_date(lit(changeDate)).as("valid_from"),
         to_date(lit("2099-01-01")).as("valid_to"))
-    unchanged.unionByName(closed).unionByName(opened)
+    untouched.unionByName(closed).unionByName(opened)
   }
 
   /** J3 + J4 + F8 + U1 + P4 — full upsert: apply changed rows to the base via

@@ -167,20 +167,57 @@ object TextAnalysis {
     // the space-padded probe", so the corpus scan needs no shingle
     // materialization, no explode, and no join — one codegen'd projection
     // (12.4s → ~0.6s at sf0.1).
-    val probeText = Sources.testTable(spark, sfDir, "documents")
-      .filter(col("doc_id") === 0).select(col("text"))
-      .collect()(0).getString(0)
-    val probes: Seq[String] = probeText.toLowerCase.split(" ").toSeq
-      .sliding(3).filter(_.size == 3).map(_.mkString(" "))
-      .toSeq.distinct.sorted.take(nProbes)
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val hits = probes.map(p =>
-        when(padded.contains(s" $p "), 1).otherwise(0))
-      .reduce(_ + _)
-    Sources.testTable(spark, sfDir, "documents")
-      .select(col("doc_id"), hits.cast("long").as("n_probe_hits"))
-      .filter(col("n_probe_hits") > 0)
+    val probes = contaminationProbes(spark, sfDir, nProbes)
+    val docs = Sources.testTable(spark, sfDir, "documents")
+    if (probes.isEmpty) {
+      // no probe doc / too short for a shingle: nothing can be flagged
+      docs.select(col("doc_id"), lit(0L).as("n_probe_hits")).filter(lit(false))
+    } else {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val hits = probes.map(p =>
+          when(padded.contains(s" $p "), 1).otherwise(0))
+        .reduce(_ + _)
+      docs.select(col("doc_id"), hits.cast("long").as("n_probe_hits"))
+        .filter(col("n_probe_hits") > 0)
+    }
   }
+
+  private val probeCache =
+    new scala.collection.concurrent.TrieMap[(String, Int), Seq[String]]
+
+  /** Probe shingles of doc 0, derived driver-side with semantics matched
+    * to the engine/oracle pair: split keeps trailing empties (Spark
+    * split/DuckDB string_split do), lowercase is locale-independent
+    * (Locale.ROOT, like Spark's lower()), and ordering is UTF-8 byte
+    * order (DuckDB ORDER BY / Spark sort), not Java's UTF-16 order.
+    * Memoized per (sfDir, n): the collect scan runs once per corpus. */
+  private def contaminationProbes(spark: SparkSession, sfDir: String,
+      nProbes: Int): Seq[String] =
+    probeCache.getOrElseUpdate((sfDir, nProbes), {
+      val utf8Order: Ordering[String] = new Ordering[String] {
+        def compare(a: String, b: String): Int = {
+          val x = a.getBytes("UTF-8")
+          val y = b.getBytes("UTF-8")
+          val n = math.min(x.length, y.length)
+          var i = 0
+          var r = 0
+          while (i < n && r == 0) {
+            r = (x(i) & 0xFF) - (y(i) & 0xFF)
+            i += 1
+          }
+          if (r != 0) r else x.length - y.length
+        }
+      }
+      Sources.testTable(spark, sfDir, "documents")
+        .filter(col("doc_id") === 0).select(col("text"))
+        .collect().headOption.map(_.getString(0)) match {
+        case None => Seq.empty
+        case Some(text) =>
+          text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).toSeq
+            .sliding(3).filter(_.size == 3).map(_.mkString(" "))
+            .toSeq.distinct.sorted(utf8Order).take(nProbes)
+      }
+    })
 
   /** Document fingerprints: whole-text rolling hash (native codegen'd
     * [[graft.functions.RollingHash]] expression; Karp-Rabin 1987) plus a
