@@ -1,9 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+/** Benchmark main: times every SparkEntry query at local[N] and emits ONE
+  * JSON metric line. Round-1's driver failed to parse the line out of
+  * sbt-wrapped stdout (`BENCH_r01.json parsed: null`), so the JSON now
+  * (a) goes to stdout unwrapped (build.sbt sets `run / outputStrategy :=
+  * StdoutOutput`), and (b) is also written to BENCH_LOCAL.json in the
+  * working directory as a driver-readable fallback. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the driver contract is local[32]; SPARK_GRAFT_CPUS only narrows it
+    // for local iteration
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.sessions.Sessions
       .builder(appName = "graft-bench", master = s"local[$cpus]",
         shufflePartitions = cpus.toInt)
@@ -22,7 +30,11 @@ object Bench {
       .mkString("{", ",", "}")
     // total covers successful queries; failures stay visible as -1 entries
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () } // stdout line is the primary channel
     spark.stop()
   }
 }

@@ -13,6 +13,12 @@ import graft.operators._
   */
 object SparkEntry {
 
+  /** Driver-facing decimal → round(double, 6) boundary; see
+    * [[graft.functions.Deterministic.doubleBoundary]]. DECIMAL(38,10)
+    * parity semantics stay internal (pinned in MedallionSpec). */
+  private def dbl(df: DataFrame): DataFrame =
+    graft.functions.Deterministic.doubleBoundary(df)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Medallion.goldMonthlyRollup(spark, "/root/testdata/sf0.001")
@@ -21,9 +27,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Workload A — financial medallion (SURVEY.md §2.1 S2, §2.4 P1/P5/P9,
     // §2.6 G1-G4)
-    "a1_bronze_quotes"       -> ((s, d) => Medallion.bronze(s, d)),
-    "a2_silver_asset_perf"   -> ((s, d) => Medallion.silverAssetPerf(s, d)),
-    "a3_silver_market_trend" -> ((s, d) => Medallion.silverMarketTrend(s, d)),
+    "a1_bronze_quotes"       -> ((s, d) => dbl(Medallion.bronze(s, d))),
+    "a2_silver_asset_perf"   -> ((s, d) => dbl(Medallion.silverAssetPerf(s, d))),
+    "a3_silver_market_trend" -> ((s, d) => dbl(Medallion.silverMarketTrend(s, d))),
     "a4_gold_monthly_rollup" -> ((s, d) => Medallion.goldMonthlyRollup(s, d)),
     "a5_medallion_lake_e2e"  -> ((s, d) => Medallion.lakePipeline(s, d,
       java.nio.file.Files.createTempDirectory("graft_lake_").toString)),
@@ -38,10 +44,10 @@ object SparkEntry {
     // §2.9 F1-F5)
     "b1_listings_cleanse"    -> ((s, d) => Cleanse.listingsCleanse(s, d)),
     // DDL / catalog / sinks (SURVEY.md §2.2 K4-K5, §2.3 D1-D3, §2.1 S4)
-    "d1_catalog_roundtrip"   -> ((s, d) => Ddl.catalogRoundTrip(s, d)),
-    "d2_writeto_roundtrip"   -> ((s, d) => Ddl.writeToRoundTrip(s, d)),
+    "d1_catalog_roundtrip"   -> ((s, d) => dbl(Ddl.catalogRoundTrip(s, d))),
+    "d2_writeto_roundtrip"   -> ((s, d) => dbl(Ddl.writeToRoundTrip(s, d))),
     // Multi-way star join (beyond the reference's 2-table joins)
-    "j1_star_revenue"        -> ((s, d) => StarJoin.revenueByNation(s, d)),
+    "j1_star_revenue"        -> ((s, d) => dbl(StarJoin.revenueByNation(s, d))),
     // LLM-pipeline extensions: deduplication (SURVEY.md §7.6)
     "e1_dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -68,9 +74,9 @@ object SparkEntry {
     // §2.10; windowed agg batch+stream share one plan, sessionize in both
     // window-function and flatMapGroupsWithState forms)
     "i1_events_windowed_agg" ->
-      ((s, d) => graft.streaming.Streaming.windowedAggBatch(s, d)),
+      ((s, d) => dbl(graft.streaming.Streaming.windowedAggBatch(s, d))),
     "i2_events_windowed_agg_stream" ->
-      ((s, d) => graft.streaming.Streaming.windowedAggStream(s, d)),
+      ((s, d) => dbl(graft.streaming.Streaming.windowedAggStream(s, d))),
     "i3_events_sessionize" ->
       ((s, d) => graft.streaming.Streaming.sessionizeBatch(s, d)),
     "i4_events_sessionize_stateful" ->
@@ -120,7 +126,8 @@ object SparkEntry {
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
       |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
       |  event_type, count(*) AS n_events,
-      |  sum(CAST(value AS DECIMAL(38,10))) AS total_value
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+      |    AS total_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
   private val sessionizeOracle: String =
@@ -152,18 +159,26 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_shipdate AS DATE) AS trade_date,
         |  l_returnflag AS ticker, 'GRAFT' AS exchange,
-        |  CAST(l_extendedprice AS DECIMAL(38,10)) AS price,
-        |  CAST(l_quantity AS DECIMAL(38,10)) AS qty,
-        |  CAST(l_discount AS DECIMAL(38,10)) AS discount,
-        |  CAST(l_tax AS DECIMAL(38,10)) AS tax
+        |  round(CAST(CAST(l_extendedprice AS DECIMAL(38,10)) AS DOUBLE), 6)
+        |    AS price,
+        |  round(CAST(CAST(l_quantity AS DECIMAL(38,10)) AS DOUBLE), 6)
+        |    AS qty,
+        |  round(CAST(CAST(l_discount AS DECIMAL(38,10)) AS DOUBLE), 6)
+        |    AS discount,
+        |  round(CAST(CAST(l_tax AS DECIMAL(38,10)) AS DOUBLE), 6) AS tax
         |FROM lineitem""".stripMargin,
     "a2_silver_asset_perf" ->
       """SELECT trade_date, ticker,
-        |  CAST(max(price) AS DECIMAL(38,10)) AS high_price,
-        |  CAST(min(price) AS DECIMAL(38,10)) AS low_price,
-        |  CAST(arg_min(price, seq) AS DECIMAL(38,10)) AS open_price,
-        |  CAST(arg_max(price, seq) AS DECIMAL(38,10)) AS close_price,
-        |  sum(CAST(qty AS DECIMAL(38,10))) AS total_volume,
+        |  round(CAST(CAST(max(price) AS DECIMAL(38,10)) AS DOUBLE), 6)
+        |    AS high_price,
+        |  round(CAST(CAST(min(price) AS DECIMAL(38,10)) AS DOUBLE), 6)
+        |    AS low_price,
+        |  round(CAST(CAST(arg_min(price, seq) AS DECIMAL(38,10))
+        |        AS DOUBLE), 6) AS open_price,
+        |  round(CAST(CAST(arg_max(price, seq) AS DECIMAL(38,10))
+        |        AS DOUBLE), 6) AS close_price,
+        |  round(CAST(sum(CAST(qty AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_volume,
         |  count(*) AS n_trades,
         |  TRUE AS is_active, 1 AS version,
         |  trade_date AS valid_from, DATE '2099-01-01' AS valid_to
@@ -175,12 +190,16 @@ object SparkEntry {
         |GROUP BY trade_date, ticker""".stripMargin,
     "a3_silver_market_trend" ->
       """SELECT trade_date, ticker,
-        |  sum(CAST(qty AS DECIMAL(38,10))) AS total_volume,
-        |  sum(CAST(revenue AS DECIMAL(38,10))) AS total_revenue,
+        |  round(CAST(sum(CAST(qty AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_volume,
+        |  round(CAST(sum(CAST(revenue AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_revenue,
         |  round(CAST(sum(CAST(price AS DECIMAL(38,10))) AS DOUBLE)
         |        / count(*), 6) AS avg_price,
-        |  CAST(max(price) AS DECIMAL(38,10)) AS high_price,
-        |  CAST(min(price) AS DECIMAL(38,10)) AS low_price,
+        |  round(CAST(CAST(max(price) AS DECIMAL(38,10)) AS DOUBLE), 6)
+        |    AS high_price,
+        |  round(CAST(CAST(min(price) AS DECIMAL(38,10)) AS DOUBLE), 6)
+        |    AS low_price,
         |  TRUE AS is_active, 1 AS version,
         |  trade_date AS valid_from, DATE '2099-01-01' AS valid_to
         |FROM (SELECT CAST(l_shipdate AS DATE) AS trade_date,
@@ -291,8 +310,8 @@ object SparkEntry {
         |      FROM documents)""".stripMargin,
     "j1_star_revenue" ->
       """SELECT r.r_name AS region, n.n_name AS nation,
-        |  sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
-        |      AS DECIMAL(38,10))) AS total_revenue,
+        |  round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |      AS DECIMAL(38,10))) AS DOUBLE), 6) AS total_revenue,
         |  count(*) AS n_lineitems
         |FROM lineitem l
         |JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -534,5 +553,56 @@ object SparkEntry {
         |  CAST((doc_id % 9 + 1) * 64 AS INTEGER) AS height,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    // h2: FakeDecoder (Multimodal.scala) is pure arithmetic over the
+    // payload bytes — mean byte via the hex expansion of the UTF-8
+    // encoding, strided frame offsets, thumb dims = halve-until-<=64px
+    // (unrolled: width <= 1024 needs at most 4 halvings).
+    "h2_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (['png','jpeg','wav','mp4'])[CAST(doc_id % 4 + 1 AS INTEGER)]
+        |      AS format,
+        |    (doc_id % 16 + 1) * 64 AS w0,
+        |    (doc_id % 9 + 1) * 64 AS h0,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    hex(encode(text)) AS hx
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, format, n_bytes, w0, h0,
+        |    round(CAST(list_aggregate(list_transform(
+        |        range(1, CAST(n_bytes AS INTEGER) + 1),
+        |        i -> ('0x' || substr(hx, CAST(2*i - 1 AS INTEGER), 2))::BIGINT),
+        |      'sum') AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6) AS mean_byte,
+        |    greatest(n_bytes // 4, 1) AS stride
+        |  FROM m
+        |), t1 AS (
+        |  SELECT *,
+        |    CASE WHEN w0 > 64 OR h0 > 64 THEN w0 // 2 ELSE w0 END AS w1,
+        |    CASE WHEN w0 > 64 OR h0 > 64 THEN h0 // 2 ELSE h0 END AS h1
+        |  FROM f
+        |), t2 AS (
+        |  SELECT *,
+        |    CASE WHEN w1 > 64 OR h1 > 64 THEN w1 // 2 ELSE w1 END AS w2,
+        |    CASE WHEN w1 > 64 OR h1 > 64 THEN h1 // 2 ELSE h1 END AS h2
+        |  FROM t1
+        |), t3 AS (
+        |  SELECT *,
+        |    CASE WHEN w2 > 64 OR h2 > 64 THEN w2 // 2 ELSE w2 END AS w3,
+        |    CASE WHEN w2 > 64 OR h2 > 64 THEN h2 // 2 ELSE h2 END AS h3
+        |  FROM t2
+        |), t4 AS (
+        |  SELECT *,
+        |    CASE WHEN w3 > 64 OR h3 > 64 THEN w3 // 2 ELSE w3 END AS w4,
+        |    CASE WHEN w3 > 64 OR h3 > 64 THEN h3 // 2 ELSE h3 END AS h4
+        |  FROM t3
+        |)
+        |SELECT doc_id, format, mean_byte,
+        |  CAST(least(4, (n_bytes + stride - 1) // stride) AS INTEGER)
+        |    AS n_frames,
+        |  CAST(0 AS BIGINT) AS first_offset,
+        |  CAST((least(4, (n_bytes + stride - 1) // stride) - 1) * stride
+        |    AS BIGINT) AS last_offset,
+        |  CAST(w4 AS INTEGER) AS thumb_w, CAST(h4 AS INTEGER) AS thumb_h
+        |FROM t4""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -40,6 +40,28 @@ object Deterministic {
     * double with a fixed expression shape (must mirror the oracle SQL). */
   def avg6(sumDec: Column, cnt: Column): Column =
     round(sumDec.cast("double") / cnt, 6)
+
+  /** Driver-boundary projection: every DecimalType column becomes
+    * `round(cast(x as double), 6)`, everything else passes through.
+    *
+    * The driver's correctness gate hashes query output through a pandas
+    * frame: parquet DECIMAL columns arrive as Python `Decimal` objects
+    * while DuckDB's `.df()` hands over floats — they can never hash equal
+    * even when the values are identical (round-1 CORRECTNESS: all 8
+    * hash_match=false queries had a decimal output column; every query
+    * without one passed). So decimal stays the *internal* accumulation
+    * type (exact, order-independent — the whole point of [[sumExact]])
+    * and the driver-facing schema is DOUBLE rounded to 6, mirrored
+    * verbatim in the oracle SQL. */
+  def doubleBoundary(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => round(col(f.name).cast("double"), 6).as(f.name)
+        case _              => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
 
   /** Sample standard deviation from exact sums: round(sqrt(max((ss - s²/n)
     * / (n-1), 0)), 6), NULL for n<2. Expression shape mirrors the oracle. */

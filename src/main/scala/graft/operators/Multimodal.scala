@@ -78,18 +78,32 @@ object Multimodal {
 
   /** The decode/feature stage: per-partition batch transform through the
     * backend seam. Narrow (no shuffle); each task streams its partition
-    * through one backend instance. */
-  def extractFeatures(spark: SparkSession, sfDir: String,
-      backend: DecodeBackend = FakeDecoder): DataFrame = {
+    * through one backend instance.
+    *
+    * The driver-facing frame flattens `frame_offsets` to scalar columns
+    * (`n_frames`, `first_offset`, `last_offset`): array columns are
+    * unhashable in the driver's pandas harness (round-1 h2 crash), and
+    * FakeDecoder's strided offsets are fully determined by those three
+    * scalars anyway. [[extractFeaturesRaw]] keeps the full array for
+    * downstream consumers. */
+  def extractFeaturesRaw(spark: SparkSession, sfDir: String,
+      backend: DecodeBackend = FakeDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
     val media: Dataset[MediaRow] = mediaTable(spark, sfDir).as[MediaRow]
     media.mapPartitions { it: Iterator[MediaRow] =>
       // one backend per partition: codec init cost amortizes over the batch
       val b = backend
       it.map(b.decode)
-    }.toDF()
+    }
+  }
+
+  def extractFeatures(spark: SparkSession, sfDir: String,
+      backend: DecodeBackend = FakeDecoder): DataFrame =
+    extractFeaturesRaw(spark, sfDir, backend).toDF()
       .select(col("doc_id"), col("format"),
         round(col("mean_byte"), 6).as("mean_byte"),
-        col("frame_offsets"), col("thumb_w"), col("thumb_h"))
-  }
+        size(col("frame_offsets")).as("n_frames"),
+        element_at(col("frame_offsets"), 1).as("first_offset"),
+        element_at(col("frame_offsets"), -1).as("last_offset"),
+        col("thumb_w"), col("thumb_h"))
 }
