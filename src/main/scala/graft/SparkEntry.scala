@@ -54,6 +54,7 @@ object SparkEntry {
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    "e6_dedup_embedding_lsh"    -> ((s, d) => Dedup.embeddingCosineLsh(s, d)),
     // LLM-pipeline extensions: similarity search (SURVEY.md §7.6)
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -110,6 +111,29 @@ object SparkEntry {
       |     OR b.c_name != inc.inc_name
       |     OR b.c_mktsegment != inc.inc_mktsegment
       |)""".stripMargin
+
+  /** Hyperplane-LSH signature CTEs shared by the f2/e6 oracles: planes are
+    * derived from the corpus exactly like [[graft.operators.Similarity
+    * .dataPlanes]] (plane p = v_2p − v_{2p+1}), signatures mirror the
+    * native HyperplaneSigs expression (bit j of table t set iff
+    * ⟨v, plane_{t,j}⟩ >= 0). */
+  private def hyperplaneSigCte(tables: Int, bits: Int): String =
+    s"""n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |), planes AS (
+       |  SELECT CAST(a.vec_id // 2 AS INTEGER) // $bits AS t,
+       |    CAST(a.vec_id // 2 AS INTEGER) % $bits AS j,
+       |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - b.v[i]) AS pl
+       |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
+       |  WHERE a.vec_id % 2 = 0 AND a.vec_id < ${2 * tables * bits}
+       |), sigs AS (
+       |  SELECT x.vec_id, pl.t,
+       |    CAST(sum(CASE WHEN list_dot_product(x.v, pl.pl) >= 0
+       |      THEN 1 << pl.j ELSE 0 END) AS INTEGER) AS sig
+       |  FROM n x CROSS JOIN planes pl
+       |  GROUP BY 1, 2
+       |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -319,9 +343,6 @@ object SparkEntry {
         |JOIN nation n   ON c.c_nationkey = n.n_nationkey
         |JOIN region r   ON n.n_regionkey = r.r_regionkey
         |GROUP BY 1, 2""".stripMargin,
-    // e3/e4 are hash-function-dependent (xxhash64/murmur3 have no DuckDB
-    // equivalent) → intentionally no oracle; invariants are pinned by
-    // DedupSpec against the exact-Jaccard oracle queries instead.
     "e1_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
@@ -342,6 +363,76 @@ object SparkEntry {
         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         |WHERE jaccard >= 0.1""".stripMargin,
+    // e3: the whole LSH pipeline is reproducible because the sketch hash
+    // is an md5 slice and the band key is the raw signature slice
+    // (SketchExpressions.ShingleMinHash doc) — candidates, verification,
+    // and output all mirror the Spark plan.
+    "e3_dedup_minhash_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |  FROM base WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT % 2147483647
+        |         AS BIGINT)) AS h
+        |  FROM sh
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(0, 64), i ->
+        |    list_aggregate(list_transform(h,
+        |      x -> ((2*i + 1) * x + i + 1) % 2147483647), 'min')) AS sig
+        |  FROM hs
+        |), banded AS (
+        |  SELECT doc_id, band,
+        |    sig[band*4 + 1] AS s0, sig[band*4 + 2] AS s1,
+        |    sig[band*4 + 3] AS s2, sig[band*4 + 4] AS s3
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) bs
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
+        |    AND x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
+        |), dsh AS (
+        |  SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+        |)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        |         AS DOUBLE) AS jaccard
+        |  FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+        |              JOIN dsh b ON b.doc_id = c.doc_b)
+        |WHERE jaccard >= 0.2""".stripMargin,
+    // e4: simhash votes over the full 64-bit md5 slice; the oracle skips
+    // the pigeonhole chunk join (pure candidate generation with
+    // guaranteed recall <= dist 7) and computes all pairs directly.
+    "e4_dedup_simhash" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |  FROM base WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles,
+        |    s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) AS h
+        |  FROM sh
+        |), sims AS (
+        |  SELECT doc_id, CAST(list_aggregate(list_transform(range(0, 64),
+        |    j -> CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1))
+        |              > len(h)
+        |      THEN (1::UBIGINT << CAST(j AS INTEGER)) ELSE 0::UBIGINT END),
+        |    'sum') AS UBIGINT) AS simhash
+        |  FROM hs
+        |)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 7""".stripMargin,
     "e5_dedup_embedding_cosine" ->
       """WITH n AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
@@ -352,8 +443,45 @@ object SparkEntry {
         |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4""".stripMargin,
-    // f2 is LSH-approximate (recall depends on the hyperplane draw) →
-    // no oracle; SimilaritySpec pins recall against f1 instead.
+    // e6: the bucketed scale path for e5 — candidates from shared
+    // (table, signature) LSH cells, then exact-cosine verification;
+    // data-derived planes make the whole pipeline relational.
+    "e6_dedup_embedding_lsh" ->
+      s"""WITH ${hyperplaneSigCte(8, 12)},
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM sigs x JOIN sigs y
+         |    ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id
+         |)
+         |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM (
+         |  SELECT c.vec_a, c.vec_b,
+         |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
+         |  FROM cand c JOIN n a ON a.vec_id = c.vec_a
+         |              JOIN n b ON b.vec_id = c.vec_b)
+         |WHERE cosine >= 0.4""".stripMargin,
+    // f2: same machinery, query-vs-corpus instead of self-join.
+    "f2_knn_lsh" ->
+      s"""WITH ${hyperplaneSigCte(16, 6)},
+         |qs AS (SELECT vec_id AS query_id, t, sig FROM sigs
+         |       WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, s.vec_id
+         |  FROM sigs s JOIN qs q ON s.t = q.t AND s.sig = q.sig
+         |  WHERE s.vec_id != q.query_id
+         |), scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
+         |  FROM cand c
+         |  JOIN n a ON a.vec_id = c.query_id
+         |  JOIN n b ON b.vec_id = c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
     "f1_knn_bruteforce" ->
       """WITH n AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
@@ -411,8 +539,33 @@ object SparkEntry {
         |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
         |  FROM cand)
         |WHERE rank <= 5""".stripMargin,
-    // g4 (hash-valued fingerprints) and h2 (decode-stub features) have no
-    // SQL oracle; specs pin determinism + codegen/interpreted agreement.
+    // g4: both fingerprint hashes are engine-portable by construction —
+    // mod-p polynomial over the UTF-8 bytes (RollingHash doc) and a
+    // 60-bit md5 slice winnow minimum.
+    "g4_fingerprint" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), fp AS (
+        |  SELECT doc_id, toks,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, CAST(strlen(lt) AS INTEGER) + 1),
+        |        i -> ('0x' || substr(hex(encode(lt)),
+        |                     CAST(2*i - 1 AS INTEGER), 2))::BIGINT)),
+        |      (a, x) -> (a * 131 + x) % 1000000007) AS fingerprint
+        |  FROM b
+        |)
+        |SELECT doc_id, fingerprint,
+        |  CASE WHEN len(toks) >= 4 THEN
+        |    CAST(list_aggregate(list_transform(
+        |      list_transform(range(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |             || ' ' || toks[i+3]),
+        |      s -> CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT)),
+        |      'min') AS BIGINT)
+        |  ELSE NULL END AS winnow_min
+        |FROM fp""".stripMargin,
     "g1_token_stats" ->
       """SELECT doc_id, lang, n_chars,
         |  CAST(len(toks) AS INTEGER) AS n_tokens,

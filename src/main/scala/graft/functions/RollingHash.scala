@@ -8,11 +8,18 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: polynomial (Karp-Rabin-style) rolling hash of
-  * a string's UTF-8 bytes — h = Σ bytes[i]·31^(n-1-i) in wrapping 64-bit
-  * arithmetic. The document-fingerprinting primitive (SURVEY.md §7.6):
-  * equal normalized texts ⇒ equal fingerprints, and prefix hashes compose
-  * (h(ab) = h(a)·31^|b| + h(b)), which is what makes window/winnowing
-  * schemes cheap at scale.
+  * a string's UTF-8 bytes — h = Σ ubyte[i]·131^(n-1-i) mod 1_000_000_007.
+  * The document-fingerprinting primitive (SURVEY.md §7.6): equal normalized
+  * texts ⇒ equal fingerprints, and prefix hashes compose
+  * (h(ab) = (h(a)·131^|b| + h(b)) mod p), which is what makes
+  * window/winnowing schemes cheap at scale.
+  *
+  * Mod-p (not wrapping-64-bit) on purpose: h < p and 131·p + 255 < 2^38,
+  * so every intermediate is exact in plain 64-bit integers and the value
+  * is reproducible in ANY engine — DuckDB's oracle recomputes it as a
+  * `list_reduce` over the hex-expanded UTF-8 bytes, where wrapping 64-bit
+  * products would overflow-error instead. Bytes are taken unsigned
+  * (0..255) for the same reason.
   *
   * Implemented with real `doGenCode` (not CodegenFallback) so it stays
   * inside whole-stage codegen: the generated loop runs over the UTF8String
@@ -36,7 +43,10 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     var h = 0L
     var i = 0
-    while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+    while (i < bytes.length) {
+      h = (h * RollingHash.Base + (bytes(i) & 0xFFL)) % RollingHash.Mod
+      i += 1
+    }
     h
   }
 
@@ -48,7 +58,8 @@ case class RollingHash(child: Expression) extends UnaryExpression {
          |byte[] $bytes = $c.getBytes();
          |long ${ev.value}_h = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  ${ev.value}_h = ${ev.value}_h * 31L + $bytes[$i];
+         |  ${ev.value}_h = (${ev.value}_h * ${RollingHash.Base}L
+         |    + ($bytes[$i] & 0xFFL)) % ${RollingHash.Mod}L;
          |}
          |${ev.value} = ${ev.value}_h;
        """.stripMargin
@@ -56,6 +67,11 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
+}
+
+object RollingHash {
+  val Base = 131L
+  val Mod = 1000000007L
 }
 
 object GraftFunctions {

@@ -154,19 +154,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Fused token-window sketches: tokens → per-token XXH64 → window-combined
-  * shingle hash → minhash/simhash, in one pass with zero string allocation.
+/** Fused token-window sketches: tokens → per-window MD5 shingle hash →
+  * minhash/simhash, in one pass with zero Spark-level string allocation.
   *
-  * The unfused pipeline (`transform(shinglesOf(toks), xxhash64)` feeding
-  * [[MinHashSig]]/[[SimHash64]]) materializes every n-gram as a UTF8String
-  * and runs the HOF lambdas interpreted — measured as the dominant cost of
-  * both LSH dedup queries at sf0.1. Here each token is hashed once
-  * (Spark's own XXH64, seed 42) and each window combines n longs, so the
-  * whole sketch is O(tokens·n + tokens·numPerm) primitive ops per row.
+  * The shingle hash is an *engine-portable* md5 slice: the hash of window
+  * `[tok_w .. tok_{w+n-1}]` is the first 8 bytes (16 hex chars) of
+  * `md5("tok_w tok_{w+1} ... ")` — exactly the value any SQL engine can
+  * derive as `('0x' || substr(md5(s), 1, 16))::UBIGINT`. That portability
+  * is what makes the LSH dedup queries oracle-checkable: DuckDB reproduces
+  * the signatures (and therefore the candidate sets) bit-for-bit, where a
+  * Spark-internal hash (xxhash64/murmur3) has no DuckDB equivalent.
+  *
   * Window multisets (not distinct sets) feed the sketch — duplicate
   * shingles cannot change a min and only reinforce simhash votes, while
   * the exact-Jaccard *verification* stage still uses true distinct shingle
-  * sets. Heavy per-row loops amortize the CodegenFallback eval call.
+  * sets. Heavy per-row loops amortize the CodegenFallback eval call; the
+  * MD5 (~100 ns/shingle, one digest reused per row) is a few percent of
+  * the sf0.1 query time.
   */
 abstract class ShingleSketchBase extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -181,51 +185,59 @@ abstract class ShingleSketchBase extends UnaryExpression
           s"shingle sketch requires array<string>, got $t")
     }
 
-  /** XXH64 of each token's UTF-8 bytes (seed 42 = Spark's xxhash64 seed). */
-  protected final def tokenHashes(toks: ArrayData): Array[Long] = {
+  /** 64-bit md5-slice hash of every n-token window: big-endian first 8
+    * digest bytes of the space-joined shingle string's UTF-8 encoding. */
+  protected final def shingleHashes(toks: ArrayData): Array[Long] = {
     val m = toks.numElements()
-    val out = new Array[Long](m)
-    var j = 0
-    while (j < m) {
-      val s = toks.getUTF8String(j)
-      out(j) =
-        if (s == null) 42L
-        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      j += 1
+    val cnt = m - n + 1
+    if (cnt <= 0) return Array.emptyLongArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](cnt)
+    var w = 0
+    while (w < cnt) {
+      md.reset()
+      var k = 0
+      while (k < n) {
+        if (k > 0) md.update(' '.toByte)
+        val s = toks.getUTF8String(w + k)
+        if (s != null) md.update(s.getBytes)
+        k += 1
+      }
+      val d = md.digest()
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+      out(w) = h
+      w += 1
     }
     out
   }
-
-  /** Combined hash of the window starting at w. */
-  protected final def windowHash(th: Array[Long], w: Int): Long = {
-    var h = 42L
-    var k = 0
-    while (k < n) {
-      h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(w + k), h)
-      k += 1
-    }
-    h
-  }
 }
 
-/** MinHash signature straight from the token array (see base doc). */
+/** MinHash signature straight from the token array (see base doc).
+  *
+  * Permutation scheme over the prime field p = 2^31-1: the shingle value
+  * is the top 32 bits of the md5 slice reduced mod p (DuckDB:
+  * `('0x'||substr(md5(s),1,8))::UBIGINT % 2147483647`), and
+  * sig[i] = min over shingles of ((2i+1)·h + (i+1)) mod p. Every quantity
+  * stays below 2^38, so the arithmetic is exact—and identical—in any
+  * engine with 64-bit integers; affine maps with p prime are bijections,
+  * which is all banded LSH needs from its "permutations". */
 case class ShingleMinHash(child: Expression, n: Int, numPerm: Int)
     extends ShingleSketchBase {
-  private val Golden = 0x9E3779B97F4A7C15L
+  private val P31 = 2147483647L // 2^31 - 1, prime
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
-    val th = tokenHashes(toks)
+    val th = shingleHashes(toks)
     val out = Array.fill(numPerm)(Long.MaxValue)
     var w = 0
-    val last = th.length - n
-    while (w <= last) {
-      val h = windowHash(th, w)
+    while (w < th.length) {
+      val h = (th(w) >>> 32) % P31 // top 32 bits = first 8 hex chars
       var i = 0
       while (i < numPerm) {
-        val v = h * (2L * i + 1) + i * Golden
+        val v = ((2L * i + 1) * h + (i + 1)) % P31
         if (v < out(i)) out(i) = v
         i += 1
       }
@@ -238,19 +250,21 @@ case class ShingleMinHash(child: Expression, n: Int, numPerm: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash straight from the token array (see base doc). */
+/** 64-bit SimHash straight from the token array (see base doc): per bit j
+  * of the full md5-slice hash, sum +1/-1 votes across shingles; output bit
+  * j is set iff the vote is strictly positive (DuckDB mirror: bit set iff
+  * `2*count(bit set) > count(shingles)`). */
 case class ShingleSimHash(child: Expression, n: Int)
     extends ShingleSketchBase {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
-    val th = tokenHashes(toks)
+    val th = shingleHashes(toks)
     val votes = new Array[Int](64)
     var w = 0
-    val last = th.length - n
-    while (w <= last) {
-      val h = windowHash(th, w)
+    while (w < th.length) {
+      val h = th(w)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

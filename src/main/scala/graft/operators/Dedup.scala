@@ -141,16 +141,22 @@ object Dedup {
         .shingle_minhash(col("toks"), n, numPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // band key = the raw signature slice itself (band index + its `rows`
+    // sig values), not a hash of it: candidate generation stays an
+    // equi-join with the same shuffle shape, and the key is reproducible
+    // verbatim in the DuckDB oracle (Spark's murmur3 `hash()` is not)
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until bands).map { bIdx =>
-        struct(lit(bIdx).as("band"),
-          hash(slice(col("sig"), bIdx * rows + 1, rows)).as("bh"))
+        struct((lit(bIdx).as("band") +: (0 until rows).map(r =>
+          col("sig").getItem(bIdx * rows + r).as(s"s$r"))): _*)
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+      .select(col("doc_id") +: (Seq("band") ++ (0 until rows).map(r => s"s$r"))
+        .map(c => col(s"bk.$c")): _*)
 
+    val bandKeyEq = (Seq("band") ++ (0 until rows).map(r => s"s$r"))
+      .map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
     val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
+        bandKeyEq && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
@@ -233,6 +239,50 @@ object Dedup {
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("norm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Scale path for embedding near-dup detection — the e3 pattern applied
+    * to vectors: hyperplane-LSH signature bucketing (candidates = pairs
+    * sharing a (table, signature) cell) + exact-cosine verification of
+    * candidates only. [[embeddingCosine]] stays the exact all-pairs
+    * baseline/oracle; this is the operator a 100 TB corpus runs, where
+    * the only joins are hash-partitioned equi-joins on the signature and
+    * the verification cost tracks colliding pairs, not n².
+    *
+    * Defaults (8 tables × 12 bits): unrelated pairs (cos ≈ 0) collide in
+    * a table w.p. ≈ 2^-12, so candidate volume ≈ n²·8/4096 — a ~500×
+    * reduction — while cos ≥ 0.9 near-dups are caught w.p. ≈ 0.74 per the
+    * (1−(1−p_bit^bits)^tables) curve; recall rises with `tables` at
+    * linear cost. Planes are data-derived ([[Similarity.dataPlanes]]), so
+    * the whole operator — candidates included — is reproducible
+    * relationally in the DuckDB oracle. */
+  def embeddingCosineLsh(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, tables: Int = 8, bits: Int = 12): DataFrame = {
+    val ps = Similarity.dataPlanes(spark, sfDir, tables, bits)
+    val e = Sources.testTable(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // id-only signature table: the self-join shuffles (t, sig, vec_id)
+    // triples, never the vectors
+    val sig = e.select(col("vec_id"),
+      posexplode(graft.functions.SketchExpressions
+        .hyperplane_sigs(col("v"), ps)).as(Seq("t", "sig")))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    // vectors re-attached for candidates only
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("norm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("norm").as("nb")), Seq("vec_b"))
       .withColumn("cosine",
         dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)

@@ -105,12 +105,41 @@ object Similarity {
         col("rank"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random unit-free hyperplanes: `tables` × `bits`
-    * planes in `dim` dimensions, seeded — same planes every run/JVM. */
-  private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian())
-  }
+  private val planeCache = new scala.collection.concurrent.TrieMap[
+    (String, Int, Int), Array[Array[Array[Double]]]]
+
+  /** Data-derived deterministic hyperplanes: plane p = v_{2p} − v_{2p+1}
+    * (element-wise difference of consecutive corpus vectors by vec_id),
+    * p = t·bits + j. Differences of independent embedding vectors point in
+    * "random" directions exactly like seeded gaussians — but unlike a JVM
+    * RNG, any SQL engine can re-derive them relationally from the corpus,
+    * which is what makes the LSH signatures (and so the f2/e6 queries)
+    * DuckDB-oracle-checkable. The 2·tables·bits-row collect is tiny query
+    * metadata (like the g8 contamination probes), memoized per corpus.
+    * Falls back to seeded gaussians when the corpus is smaller than
+    * 2·tables·bits vectors (then no oracle applies). */
+  private[operators] def dataPlanes(spark: SparkSession, sfDir: String,
+      tables: Int, bits: Int): Array[Array[Array[Double]]] =
+    planeCache.getOrElseUpdate((sfDir, tables, bits), {
+      val need = 2 * tables * bits
+      val rows = Sources.testTable(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < need)
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect()
+      if (rows.length < need) {
+        val rnd = new scala.util.Random(42)
+        Array.fill(tables, bits, 64)(rnd.nextGaussian())
+      } else {
+        val vecs = rows.map(_.getSeq[Double](0).toArray)
+        Array.tabulate(tables, bits) { (t, j) =>
+          val p = t * bits + j
+          val a = vecs(2 * p)
+          val b = vecs(2 * p + 1)
+          Array.tabulate(a.length)(i => a(i) - b(i))
+        }
+      }
+    })
 
   // (all-tables signature computation lives in the fused native
   // HyperplaneSigs expression — bit j of table t = sign of <v, plane_tj>;
@@ -124,8 +153,8 @@ object Similarity {
     * (real near-dups, cos ≥ 0.9 → p_bit ≥ 0.9) reach recall ≥ 0.99 with
     * far fewer tables — tighten `bits` there for selectivity. */
   def lshTopK(spark: SparkSession, sfDir: String, numQueries: Int = 10,
-      k: Int = 5, tables: Int = 16, bits: Int = 6, dim: Int = 64): DataFrame = {
-    val ps = planes(tables, bits, dim)
+      k: Int = 5, tables: Int = 16, bits: Int = 6): DataFrame = {
+    val ps = dataPlanes(spark, sfDir, tables, bits)
     val corpus = normed(spark, sfDir)
 
     def signatures(df: DataFrame, idCol: String): DataFrame =

@@ -222,8 +222,10 @@ object TextAnalysis {
   /** Document fingerprints: whole-text rolling hash (native codegen'd
     * [[graft.functions.RollingHash]] expression; Karp-Rabin 1987) plus a
     * winnowing-style minimum over 4-gram shingle hashes (Schleimer/
-    * Wilkerson/Aiken 2003, SIGMOD). Hash-valued → no SQL oracle;
-    * determinism and codegen/interpreted agreement are pinned by spec. */
+    * Wilkerson/Aiken 2003, SIGMOD). Both hashes are engine-portable by
+    * construction (mod-p polynomial; 60-bit md5 slice, always positive so
+    * signed and unsigned min agree), so unlike the xxhash64 form this is
+    * fully oracle-checkable in DuckDB. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Sources.testTable(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"),
@@ -231,5 +233,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         GraftFunctions.rolling_hash(lower(col("text"))).as("fingerprint"),
         array_min(transform(Dedup.shinglesOf(col("toks"), 4),
-          s => xxhash64(s))).as("winnow_min"))
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+          .as("winnow_min"))
 }

@@ -16,8 +16,10 @@ class PropertySpec extends AnyFunSuite {
   val doc: Gen[String] = Gen.choose(1, 30)
     .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
 
-  test("rolling_hash: prefix composition h(ab)=h(a)*31^|b|+h(b) for random pairs") {
+  test("rolling_hash: prefix composition h(ab)=(h(a)*131^|b|+h(b)) mod p") {
     import spark.implicits._
+    val Mod = graft.functions.RollingHash.Mod
+    // ASCII-only generator, so char count == UTF-8 byte count
     val pairs = Gen.listOfN(50, Gen.zip(doc, doc)).sample.get
     val rows = pairs.toDF("a", "b").select(
       GraftFunctions.rolling_hash(concat(col("a"), col("b"))).as("hab"),
@@ -25,8 +27,9 @@ class PropertySpec extends AnyFunSuite {
       GraftFunctions.rolling_hash(col("b")).as("hb"),
       length(col("b")).as("lb")).collect()
     rows.foreach { r =>
-      val pow = (0 until r.getInt(3)).foldLeft(1L)((p, _) => p * 31L)
-      assert(r.getLong(0) == r.getLong(1) * pow + r.getLong(2))
+      val pow = (0 until r.getInt(3))
+        .foldLeft(1L)((p, _) => p * graft.functions.RollingHash.Base % Mod)
+      assert(r.getLong(0) == (r.getLong(1) * pow + r.getLong(2)) % Mod)
     }
   }
 

@@ -49,8 +49,9 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(again == r.getLong(3))
   }
 
-  test("rolling_hash prefix-composition property: h(ab) = h(a)*31^|b| + h(b)") {
+  test("rolling_hash prefix-composition: h(ab) = (h(a)*131^|b| + h(b)) mod p") {
     import spark.implicits._
+    val Mod = graft.functions.RollingHash.Mod
     val r = Seq(("spark", " sql")).toDF("a", "b")
       .select(
         GraftFunctions.rolling_hash(concat(col("a"), col("b"))).as("hab"),
@@ -58,8 +59,9 @@ class TextMultimodalSpec extends AnyFunSuite {
         GraftFunctions.rolling_hash(col("b")).as("hb"),
         length(col("b")).as("lb"))
       .collect()(0)
-    val pow = (0 until r.getInt(3)).foldLeft(1L)((p, _) => p * 31L)
-    assert(r.getLong(0) == r.getLong(1) * pow + r.getLong(2))
+    val pow = (0 until r.getInt(3))
+      .foldLeft(1L)((p, _) => p * graft.functions.RollingHash.Base % Mod)
+    assert(r.getLong(0) == (r.getLong(1) * pow + r.getLong(2)) % Mod)
   }
 
   test("fingerprint query: deterministic across runs and shuffle-free") {
@@ -107,7 +109,9 @@ class TextMultimodalSpec extends AnyFunSuite {
     val f = Multimodal.extractFeatures(spark, TestSpark.sf)
     assert(f.count() == 500)
     assert(f.filter(col("thumb_w") > 64 || col("thumb_h") > 64).count() == 0)
-    assert(f.filter(size(col("frame_offsets")) > 4).count() == 0)
+    assert(f.filter(col("n_frames") > 4 || col("n_frames") < 1).count() == 0)
+    assert(f.filter(col("first_offset") =!= 0L ||
+      col("last_offset") < col("first_offset")).count() == 0)
     assert(f.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
     val plan = f.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
