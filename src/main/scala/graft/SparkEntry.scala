@@ -43,9 +43,13 @@ object SparkEntry {
     // Workload B — packed-string cleanse (SURVEY.md §2.4 P1/P2/P8,
     // §2.9 F1-F5)
     "b1_listings_cleanse"    -> ((s, d) => Cleanse.listingsCleanse(s, d)),
-    // DDL / catalog / sinks (SURVEY.md §2.2 K4-K5, §2.3 D1-D3, §2.1 S4)
+    // DDL / catalog / sinks (SURVEY.md §2.2 K4-K5, §2.3 D1-D4, §2.1 S4)
     "d1_catalog_roundtrip"   -> ((s, d) => dbl(Ddl.catalogRoundTrip(s, d))),
     "d2_writeto_roundtrip"   -> ((s, d) => dbl(Ddl.writeToRoundTrip(s, d))),
+    "d3_ddl_lifecycle"       -> ((s, d) => Ddl.ddlLifecycle(s, d)),
+    // CSV scans (SURVEY.md §2.1 S1/S2/S7)
+    "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
+    "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
     // Multi-way star join (beyond the reference's 2-table joins)
     "j1_star_revenue"        -> ((s, d) => dbl(StarJoin.revenueByNation(s, d))),
     // LLM-pipeline extensions: deduplication (SURVEY.md §7.6)
@@ -144,6 +148,19 @@ object SparkEntry {
     // the lake pipeline's gold layer is goldMonthlyRollup persisted and
     // read back (bit-exact parquet round-trip at every layer)
     "a5_medallion_lake_e2e" -> baseOracle("a4_gold_monthly_rollup"),
+    // CSV text round-trips losslessly (quoting + Java double printing),
+    // so the S1 scan must reproduce the parquet table verbatim
+    "s1_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s7_csv_dir_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+    // pure-DDL lifecycle: the surviving SHOW TABLES row is a literal
+    "d3_ddl_lifecycle" ->
+      """SELECT 'graft_ddl_q' AS namespace, 'quotes_part' AS tableName,
+        |  FALSE AS isTemporary""".stripMargin,
   )
 
   private val windowedAggOracle: String =

@@ -93,4 +93,21 @@ object Ddl {
       "graft_lake.silver_market_trend")
     spark.table("graft_lake.silver_market_trend")
   }
+
+  /** Driver-visible D1-D4 lifecycle: create database, create two tables
+    * (one PARTITIONED BY — the `financial_dl_bronze.py:14-29` shape), drop
+    * one, SHOW TABLES. The surviving catalog row is a literal, so the
+    * oracle is a constant SELECT. `sfDir` is unused — the query is pure
+    * DDL — but kept for the uniform driver signature. */
+  def ddlLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    createDatabase(spark, "graft_ddl_q")
+    dropTable(spark, "graft_ddl_q.quotes_part")
+    dropTable(spark, "graft_ddl_q.docs_tmp")
+    createTable(spark, "graft_ddl_q.quotes_part",
+      "trade_date DATE, ticker STRING, price DOUBLE",
+      partitionBy = Seq("ticker"))
+    createTable(spark, "graft_ddl_q.docs_tmp", "doc_id BIGINT, text STRING")
+    dropTable(spark, "graft_ddl_q.docs_tmp")
+    showTables(spark, Some("graft_ddl_q"))
+  }
 }

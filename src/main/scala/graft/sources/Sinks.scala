@@ -34,15 +34,45 @@ object Sinks {
   def overwrite(df: DataFrame, path: String, format: String = "delta"): Unit =
     df.write.format(resolve(format)).mode(SaveMode.Overwrite).save(path)
 
-  /** K2 — overwrite + additive schema merge (`mergeSchema`). */
+  /** K2 — overwrite + additive schema merge (`mergeSchema`,
+    * `financial_dl_etl.py:66`). Delta's semantics: the DATA is replaced,
+    * the SCHEMA becomes the union — columns that exist only in the old
+    * table survive in the schema and are NULL for the new rows. On the
+    * parquet fallback the same contract is implemented directly: read the
+    * existing footer schema (metadata-only, no data scan), extend `df`
+    * with typed nulls for the columns it lacks, then overwrite. Columns
+    * sharing a name keep `df`'s type (Delta would attempt an upcast;
+    * flagged here as the documented divergence). */
   def overwriteMergeSchema(df: DataFrame, path: String,
       format: String = "delta"): Unit = {
     val fmt = resolve(format)
-    val w = df.write.format(fmt).mode(SaveMode.Overwrite)
-    (if (fmt == "delta") w.option("mergeSchema", "true") else w).save(path)
+    if (fmt == "delta") {
+      df.write.format(fmt).mode(SaveMode.Overwrite)
+        .option("mergeSchema", "true").save(path)
+    } else {
+      val spark = df.sparkSession
+      val existing =
+        try Some(spark.read.format(fmt).load(path).schema)
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val dfCols = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val merged = existing match {
+        case Some(old) =>
+          old.fields
+            .filterNot(f =>
+              dfCols.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+            .foldLeft(df)((d, f) =>
+              d.withColumn(f.name,
+                org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+        case None => df
+      }
+      merged.write.format(fmt).mode(SaveMode.Overwrite).save(path)
+    }
   }
 
-  /** K3 — overwrite + full schema replacement (`overwriteSchema`). */
+  /** K3 — overwrite + full schema replacement (`overwriteSchema`,
+    * `delta_datalake.py:73`). Parquet's plain overwrite already replaces
+    * the schema wholesale, so the fallback is the unoptioned write — the
+    * option only exists to lift Delta's schema-enforcement guard. */
   def overwriteNewSchema(df: DataFrame, path: String,
       format: String = "delta"): Unit = {
     val fmt = resolve(format)

@@ -57,4 +57,40 @@ object Sources {
   /** Driver-testdata helper: one parquet file per table under sfDir. */
   def testTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Driver-visible S1 round-trip: `nation` → CSV (header) → inferred-schema
+    * scan, types normalized back to the parquet schema. CSV text survives
+    * quoting and doubles round-trip through Java's toString/parse exactly,
+    * so the result carries the plain `SELECT * FROM nation` oracle. */
+  def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_csv_").toString + "/nation"
+    testTable(spark, sfDir, "nation")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    csvInferred(spark, dir)
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+  }
+
+  /** Driver-visible S7 (scale form) + S2: `customer` split across 4 CSV
+    * part-files, one declared-schema directory scan, aggregated per market
+    * segment. The aggregate (exact decimal sum → double) proves the
+    * multi-file scan saw every row bit-exactly. */
+  def csvDirAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_csv_").toString + "/customer"
+    testTable(spark, sfDir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .repartition(4)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    csvDir(spark, dir, Some(StructType.fromDDL(
+      "c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal").cast(
+          graft.functions.Deterministic.Dec38)).cast("double"), 6)
+          .as("total_bal"))
+  }
 }

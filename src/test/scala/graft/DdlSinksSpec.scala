@@ -75,6 +75,28 @@ class DdlSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).columns.contains("extra"))
   }
 
+  test("sinks: overwrite+mergeSchema evolves schema like Delta (K2)") {
+    val dir = tmp()
+    val nation = Sources.testTable(spark, TestSpark.sf, "nation")
+    Sinks.overwrite(nation, dir, format = "parquet")
+    // new frame ADDS a column and DROPS n_name: Delta's
+    // overwrite+mergeSchema keeps the dropped column in the schema
+    // (NULL for the new rows) and adds the new one
+    val evolved = nation.drop("n_name")
+      .withColumn("region_grp", col("n_regionkey") % 2)
+    Sinks.overwriteMergeSchema(evolved, dir, format = "delta")
+    val back = spark.read.parquet(dir)
+    assert(back.columns.contains("region_grp"), "added column present")
+    assert(back.columns.contains("n_name"), "old-only column survives")
+    assert(back.count() == 25, "data replaced, not appended")
+    assert(back.filter(col("n_name").isNotNull).count() == 0,
+      "old-only column is NULL for the new rows")
+    assert(back.filter(col("region_grp").isNull).count() == 0)
+    // K3 overwriteSchema: schema replaced wholesale, dropped column gone
+    Sinks.overwriteNewSchema(evolved, dir, format = "delta")
+    assert(!spark.read.parquet(dir).columns.contains("n_name"))
+  }
+
   test("sources: csv round-trip, inferred and declared schema (S1/S2)") {
     val dir = tmp() + "/csv"
     val li = Sources.testTable(spark, TestSpark.sf, "lineitem")
