@@ -66,4 +66,20 @@ class DedupSpec extends AnyFunSuite {
     assert(e.filter(col("vec_a") >= col("vec_b")).count() == 0)
     assert(e.filter(col("cosine") < 0.4 || col("cosine") > 1.0).count() == 0)
   }
+
+  test("bucketed embedding dedup: verified subset of the exact pair set") {
+    val exact = Dedup.embeddingCosine(spark, TestSpark.sf)
+      .select("vec_a", "vec_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingCosineLsh(spark, TestSpark.sf)
+      .select("vec_a", "vec_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "LSH buckets should surface at least one pair")
+    // every LSH pair is real (exact-cosine verified, identical score) —
+    // precision 1 by construction; recall is the tunable approximation
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"$pair not in exact pair set")
+      assert(exact(pair) == cos)
+    }
+  }
 }
