@@ -17,6 +17,12 @@ object Bench {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM before timing (codegen compiler, parquet reader, shuffle
+    // machinery) so the first measured query doesn't absorb ~2 s of
+    // class-loading that belongs to no query. Standard bench practice;
+    // recorded baselines in BASELINE.md use the same harness.
+    spark.range(1L << 20).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

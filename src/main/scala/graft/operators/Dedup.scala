@@ -268,10 +268,12 @@ object Dedup {
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // id-only signature table: the self-join shuffles (t, sig, vec_id)
-    // triples, never the vectors
+    // triples, never the vectors; persisted so both join sides read one
+    // signature pass instead of recomputing scan+norm+sigs
     val sig = e.select(col("vec_id"),
       posexplode(graft.functions.SketchExpressions
         .hyperplane_sigs(col("v"), ps)).as(Seq("t", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = sig.as("x").join(sig.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
         col("x.vec_id") < col("y.vec_id"))

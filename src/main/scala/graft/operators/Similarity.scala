@@ -157,15 +157,15 @@ object Similarity {
     val ps = dataPlanes(spark, sfDir, tables, bits)
     val corpus = normed(spark, sfDir)
 
-    def signatures(df: DataFrame, idCol: String): DataFrame =
-      df.select(col("vec_id").as(idCol), col("v"), col("norm"),
+    // one signature pass over the corpus (persisted); query signatures are
+    // a filter of it rather than a second scan+sig computation
+    val corpusSig = corpus.select(col("vec_id"), col("v"), col("norm"),
         posexplode(graft.functions.SketchExpressions
           .hyperplane_sigs(col("v"), ps)).as(Seq("t", "sig")))
-
-    val corpusSig = signatures(corpus, "vec_id")
-    val querySig = signatures(
-      corpus.filter(col("vec_id") < numQueries), "query_id")
-      .withColumnRenamed("v", "qv").withColumnRenamed("norm", "qnorm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val querySig = corpusSig.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("t"), col("sig"))
 
     val cand = corpusSig.join(broadcast(querySig), Seq("t", "sig"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -88,15 +88,56 @@ object Sessions {
     b
   }
 
+  /** Object-store seam: the reference writes everything to `s3a://` with
+    * endpoint/credential config and output-committer tuning
+    * (`delta_datalake.py:19-26`, `spark_session_factory.py:74-81`,
+    * hardcoded there; env-driven here so secrets never live in code).
+    * Applying this makes every path-taking operator in the library work
+    * unchanged against an S3-compatible store — paths are plain Hadoop FS
+    * URIs throughout, nothing assumes the local filesystem. No-op when
+    * `endpoint` is None (the sandbox case: no store to reach). */
+  def withObjectStore(
+      b: SparkSession.Builder,
+      endpoint: Option[String] = sys.env.get("GRAFT_S3_ENDPOINT"),
+      accessKey: Option[String] = sys.env.get("GRAFT_S3_ACCESS_KEY"),
+      secretKey: Option[String] = sys.env.get("GRAFT_S3_SECRET_KEY"),
+      sslEnabled: Boolean =
+        sys.env.get("GRAFT_S3_SSL").forall(_ == "true")): SparkSession.Builder =
+    endpoint.fold(b) { ep =>
+      var c = b
+        .config("spark.hadoop.fs.s3a.endpoint", ep)
+        .config("spark.hadoop.fs.s3a.path.style.access", "true")
+        .config("spark.hadoop.fs.s3a.connection.ssl.enabled",
+          sslEnabled.toString)
+        .config("spark.hadoop.fs.s3a.impl",
+          "org.apache.hadoop.fs.s3a.S3AFileSystem")
+        // v2 commit algorithm + ignore-cleanup-failures: task commits
+        // rename directly to the destination, the pattern the reference
+        // tuned for non-atomic-rename object stores
+        // (`delta_datalake.py:25-26`). On Hadoop 3+ the S3A "magic"
+        // committer is the stronger successor; v2 kept for parity.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+          "2")
+        .config(
+          "spark.hadoop.mapreduce.fileoutputcommitter.cleanup-failures.ignored",
+          "true")
+      accessKey.foreach(k =>
+        c = c.config("spark.hadoop.fs.s3a.access.key", k))
+      secretKey.foreach(k =>
+        c = c.config("spark.hadoop.fs.s3a.secret.key", k))
+      c
+    }
+
   /** Dispatcher mirroring `get_spark_session(type)`
     * (`spark_session_factory.py:83-89`): pick the profile by name, fall back
-    * to parquet when the format runtime is absent. */
+    * to parquet when the format runtime is absent. Object-store config is
+    * layered on when the GRAFT_S3_* env is present. */
   def get(profileName: String, appName: String = "graft"): SparkSession = {
     val p = profileName.toLowerCase match {
       case "delta"   => DeltaLake
       case "iceberg" => IcebergLake
       case _         => ParquetLake
     }
-    builder(appName, profile = p).getOrCreate()
+    withObjectStore(builder(appName, profile = p)).getOrCreate()
   }
 }

@@ -97,6 +97,25 @@ class DdlSinksSpec extends AnyFunSuite {
     assert(!spark.read.parquet(dir).columns.contains("n_name"))
   }
 
+  test("sessions: object-store seam applies s3a + committer config") {
+    import graft.sessions.Sessions
+    // getOrCreate on the live session layers the configs onto it (hadoop
+    // confs are session-scoped, not static SQL confs)
+    Sessions.withObjectStore(org.apache.spark.sql.SparkSession.builder(),
+      endpoint = Some("http://localhost:9000"),
+      accessKey = Some("test-access"), secretKey = Some("test-secret"),
+      sslEnabled = false).getOrCreate()
+    assert(spark.conf.get("spark.hadoop.fs.s3a.endpoint")
+      == "http://localhost:9000")
+    assert(spark.conf.get("spark.hadoop.fs.s3a.path.style.access") == "true")
+    assert(spark.conf.get(
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version") == "2")
+    // no-op without an endpoint: a fresh builder gains no s3a keys
+    val plain = Sessions.withObjectStore(
+      org.apache.spark.sql.SparkSession.builder(), endpoint = None)
+    assert(plain eq plain) // builder returned unchanged (identity fold)
+  }
+
   test("sources: csv round-trip, inferred and declared schema (S1/S2)") {
     val dir = tmp() + "/csv"
     val li = Sources.testTable(spark, TestSpark.sf, "lineitem")
