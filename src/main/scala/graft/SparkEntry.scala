@@ -19,6 +19,14 @@ object SparkEntry {
   private def dbl(df: DataFrame): DataFrame =
     graft.functions.Deterministic.doubleBoundary(df)
 
+  // one lake staging dir per corpus per JVM (a5 overwrites in place on
+  // repeated runs instead of leaking a fresh /tmp tree per call)
+  private val lakeStage =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private def lakeDir(sfDir: String): String =
+    lakeStage.getOrElseUpdate(sfDir,
+      java.nio.file.Files.createTempDirectory("graft_lake_").toString)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Medallion.goldMonthlyRollup(spark, "/root/testdata/sf0.001")
@@ -32,7 +40,7 @@ object SparkEntry {
     "a3_silver_market_trend" -> ((s, d) => dbl(Medallion.silverMarketTrend(s, d))),
     "a4_gold_monthly_rollup" -> ((s, d) => Medallion.goldMonthlyRollup(s, d)),
     "a5_medallion_lake_e2e"  -> ((s, d) => Medallion.lakePipeline(s, d,
-      java.nio.file.Files.createTempDirectory("graft_lake_").toString)),
+      lakeDir(d))),
     // Workload C — incremental load (SURVEY.md §2.5 J1-J4, §2.4 P3/P4/P6/P7,
     // §2.8 U1)
     "c1_changed_rows"        -> ((s, d) => Incremental.changedRows(s, d)),
@@ -739,10 +747,12 @@ object SparkEntry {
         |  FROM documents
         |), f AS (
         |  SELECT doc_id, format, n_bytes, w0, h0,
-        |    round(CAST(list_aggregate(list_transform(
-        |        range(1, CAST(n_bytes AS INTEGER) + 1),
-        |        i -> ('0x' || substr(hx, CAST(2*i - 1 AS INTEGER), 2))::BIGINT),
-        |      'sum') AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6) AS mean_byte,
+        |    CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+        |      round(CAST(list_aggregate(list_transform(
+        |          range(1, CAST(n_bytes AS INTEGER) + 1),
+        |          i -> ('0x' || substr(hx, CAST(2*i - 1 AS INTEGER), 2))::BIGINT),
+        |        'sum') AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6)
+        |    END AS mean_byte,
         |    greatest(n_bytes // 4, 1) AS stride
         |  FROM m
         |), t1 AS (
@@ -769,9 +779,11 @@ object SparkEntry {
         |SELECT doc_id, format, mean_byte,
         |  CAST(least(4, (n_bytes + stride - 1) // stride) AS INTEGER)
         |    AS n_frames,
-        |  CAST(0 AS BIGINT) AS first_offset,
-        |  CAST((least(4, (n_bytes + stride - 1) // stride) - 1) * stride
-        |    AS BIGINT) AS last_offset,
+        |  CASE WHEN n_bytes = 0 THEN NULL
+        |    ELSE CAST(0 AS BIGINT) END AS first_offset,
+        |  CASE WHEN n_bytes = 0 THEN NULL
+        |    ELSE CAST((least(4, (n_bytes + stride - 1) // stride) - 1)
+        |         * stride AS BIGINT) END AS last_offset,
         |  CAST(w4 AS INTEGER) AS thumb_w, CAST(h4 AS INTEGER) AS thumb_h
         |FROM t4""".stripMargin,
   )

@@ -116,28 +116,33 @@ object Similarity {
     * which is what makes the LSH signatures (and so the f2/e6 queries)
     * DuckDB-oracle-checkable. The 2·tables·bits-row collect is tiny query
     * metadata (like the g8 contamination probes), memoized per corpus.
-    * Falls back to seeded gaussians when the corpus is smaller than
-    * 2·tables·bits vectors (then no oracle applies). */
+    * Requires vec_ids 0..2·tables·bits-1 to exist — throws rather than
+    * silently diverging from the registered oracle. */
   private[operators] def dataPlanes(spark: SparkSession, sfDir: String,
       tables: Int, bits: Int): Array[Array[Array[Double]]] =
     planeCache.getOrElseUpdate((sfDir, tables, bits), {
       val need = 2 * tables * bits
-      val rows = Sources.testTable(spark, sfDir, "embeddings")
+      val byId = Sources.testTable(spark, sfDir, "embeddings")
         .filter(col("vec_id") < need)
-        .orderBy(col("vec_id"))
-        .select(col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect()
-      if (rows.length < need) {
-        val rnd = new scala.util.Random(42)
-        Array.fill(tables, bits, 64)(rnd.nextGaussian())
-      } else {
-        val vecs = rows.map(_.getSeq[Double](0).toArray)
-        Array.tabulate(tables, bits) { (t, j) =>
-          val p = t * bits + j
-          val a = vecs(2 * p)
-          val b = vecs(2 * p + 1)
-          Array.tabulate(a.length)(i => a(i) - b(i))
-        }
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      // fail loudly rather than silently diverging from the registered
+      // oracle: the relational plane derivation is part of the operator's
+      // contract, and it needs vec_ids 0..2·tables·bits-1 present (keyed
+      // by id, not collection position, so gaps can't mispair vectors)
+      val missing = (0L until need.toLong).filterNot(byId.contains)
+      require(missing.isEmpty,
+        s"dataPlanes needs embeddings vec_id 0..${need - 1} " +
+          s"(2·tables·bits) to derive hyperplanes relationally; " +
+          s"missing: ${missing.take(5).mkString(",")}" +
+          (if (missing.size > 5) ",…" else ""))
+      Array.tabulate(tables, bits) { (t, j) =>
+        val p = t * bits + j
+        val a = byId(2L * p)
+        val b = byId(2L * p + 1)
+        Array.tabulate(a.length)(i => a(i) - b(i))
       }
     })
 

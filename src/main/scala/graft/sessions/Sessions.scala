@@ -101,8 +101,8 @@ object Sessions {
       endpoint: Option[String] = sys.env.get("GRAFT_S3_ENDPOINT"),
       accessKey: Option[String] = sys.env.get("GRAFT_S3_ACCESS_KEY"),
       secretKey: Option[String] = sys.env.get("GRAFT_S3_SECRET_KEY"),
-      sslEnabled: Boolean =
-        sys.env.get("GRAFT_S3_SSL").forall(_ == "true")): SparkSession.Builder =
+      sslEnabled: Boolean = sys.env.get("GRAFT_S3_SSL")
+        .forall(v => v.equalsIgnoreCase("true") || v == "1")): SparkSession.Builder =
     endpoint.fold(b) { ep =>
       var c = b
         .config("spark.hadoop.fs.s3a.endpoint", ep)

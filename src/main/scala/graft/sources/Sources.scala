@@ -58,14 +58,22 @@ object Sources {
   def testTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  // one CSV staging dir per (corpus, table) per JVM — repeated Bench/
+  // Verify/spec invocations overwrite in place instead of leaking a fresh
+  // /tmp copy per call
+  private val csvStage =
+    new scala.collection.concurrent.TrieMap[(String, String), String]
+  private def stageDir(sfDir: String, table: String): String =
+    csvStage.getOrElseUpdate((sfDir, table), java.nio.file.Files
+      .createTempDirectory("graft_csv_").toString + s"/$table")
+
   /** Driver-visible S1 round-trip: `nation` → CSV (header) → inferred-schema
     * scan, types normalized back to the parquet schema. CSV text survives
     * quoting and doubles round-trip through Java's toString/parse exactly,
     * so the result carries the plain `SELECT * FROM nation` oracle. */
   def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_csv_").toString + "/nation"
+    val dir = stageDir(sfDir, "nation")
     testTable(spark, sfDir, "nation")
       .write.mode("overwrite").option("header", "true").csv(dir)
     csvInferred(spark, dir)
@@ -79,8 +87,7 @@ object Sources {
     * multi-file scan saw every row bit-exactly. */
   def csvDirAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_csv_").toString + "/customer"
+    val dir = stageDir(sfDir, "customer")
     testTable(spark, sfDir, "customer")
       .select("c_custkey", "c_mktsegment", "c_acctbal")
       .repartition(4)

@@ -99,21 +99,29 @@ class DdlSinksSpec extends AnyFunSuite {
 
   test("sessions: object-store seam applies s3a + committer config") {
     import graft.sessions.Sessions
-    // getOrCreate on the live session layers the configs onto it (hadoop
-    // confs are session-scoped, not static SQL confs)
-    Sessions.withObjectStore(org.apache.spark.sql.SparkSession.builder(),
-      endpoint = Some("http://localhost:9000"),
-      accessKey = Some("test-access"), secretKey = Some("test-secret"),
-      sslEnabled = false).getOrCreate()
-    assert(spark.conf.get("spark.hadoop.fs.s3a.endpoint")
-      == "http://localhost:9000")
-    assert(spark.conf.get("spark.hadoop.fs.s3a.path.style.access") == "true")
-    assert(spark.conf.get(
-      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version") == "2")
-    // no-op without an endpoint: a fresh builder gains no s3a keys
-    val plain = Sessions.withObjectStore(
-      org.apache.spark.sql.SparkSession.builder(), endpoint = None)
-    assert(plain eq plain) // builder returned unchanged (identity fold)
+    val keys = Seq("spark.hadoop.fs.s3a.endpoint",
+      "spark.hadoop.fs.s3a.path.style.access",
+      "spark.hadoop.fs.s3a.connection.ssl.enabled",
+      "spark.hadoop.fs.s3a.impl",
+      "spark.hadoop.fs.s3a.access.key", "spark.hadoop.fs.s3a.secret.key",
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+      "spark.hadoop.mapreduce.fileoutputcommitter.cleanup-failures.ignored")
+    try {
+      // getOrCreate on the live session layers the configs onto it (hadoop
+      // confs are session-scoped, not static SQL confs)
+      Sessions.withObjectStore(org.apache.spark.sql.SparkSession.builder(),
+        endpoint = Some("http://localhost:9000"),
+        accessKey = Some("test-access"), secretKey = Some("test-secret"),
+        sslEnabled = false).getOrCreate()
+      assert(spark.conf.get("spark.hadoop.fs.s3a.endpoint")
+        == "http://localhost:9000")
+      assert(spark.conf.get("spark.hadoop.fs.s3a.path.style.access") == "true")
+      assert(spark.conf.get(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version") == "2")
+    } finally keys.foreach(spark.conf.unset) // don't leak into other specs
+    // no-op without an endpoint: the input builder comes back unchanged
+    val b = org.apache.spark.sql.SparkSession.builder()
+    assert(Sessions.withObjectStore(b, endpoint = None) eq b)
   }
 
   test("sources: csv round-trip, inferred and declared schema (S1/S2)") {
