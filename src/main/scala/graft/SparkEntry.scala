@@ -94,6 +94,19 @@ object SparkEntry {
       ((s, d) => graft.streaming.Streaming.sessionizeBatch(s, d)),
     "i4_events_sessionize_stateful" ->
       ((s, d) => graft.streaming.Streaming.sessionizeStateful(s, d)),
+    // stream-static enrichment join + streaming dedup (pipeline ingest
+    // shapes beyond the reference's declared-only streaming)
+    "i5_events_enrich" ->
+      ((s, d) => graft.streaming.Streaming.streamEnrichBatch(s, d)),
+    "i6_events_enrich_stream" ->
+      ((s, d) => graft.streaming.Streaming.streamEnrich(s, d)),
+    "i7_stream_dedup_keys" ->
+      ((s, d) => graft.streaming.Streaming.streamDedupKeys(s, d)),
+    // regex token counting + JSON props extraction
+    "g9_token_count_regex" ->
+      ((s, d) => TextAnalysis.tokenCountRegex(s, d)),
+    "j2_json_props" ->
+      ((s, d) => SemiStructured.jsonPropsStats(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -199,11 +212,46 @@ object SparkEntry {
       |  max(ts) AS session_end, max(us) - min(us) AS duration_us
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  private val enrichOracle: String =
+    """SELECT c_mktsegment AS segment, event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+      |    AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   private val baseOracle: Map[String, String] = Map(
     "i1_events_windowed_agg"        -> windowedAggOracle,
     "i2_events_windowed_agg_stream" -> windowedAggOracle,
     "i3_events_sessionize"          -> sessionizeOracle,
     "i4_events_sessionize_stateful" -> sessionizeOracle,
+    "i5_events_enrich"              -> enrichOracle,
+    "i6_events_enrich_stream"       -> enrichOracle,
+    "i7_stream_dedup_keys" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "g9_token_count_regex" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(lower(text), ' ')) AS INTEGER)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INTEGER)
+        |    AS n_bpe_tokens,
+        |  CASE WHEN len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) > 0
+        |    THEN round(CAST(n_chars AS DOUBLE) /
+        |      CAST(len(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS DOUBLE), 6)
+        |    ELSE NULL END AS chars_per_token
+        |FROM documents""".stripMargin,
+    "j2_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(json_extract_string(props, '$.k')) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |      AS DOUBLE) /
+        |    CAST(count(json_extract_string(props, '$.k')) AS DOUBLE), 6)
+        |    AS avg_k
+        |FROM events GROUP BY 1""".stripMargin,
     "a1_bronze_quotes" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_shipdate AS DATE) AS trade_date,

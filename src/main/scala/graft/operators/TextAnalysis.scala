@@ -219,6 +219,26 @@ object TextAnalysis {
       }
     })
 
+  /** BPE-ish token counting: alongside the whitespace count, a
+    * subword-flavored regex lexer — letter runs | digit runs | punctuation
+    * runs (the shape of GPT-2's pretokenizer, simplified to an RE2-safe
+    * pattern whose alternatives are disjoint character classes, so Java
+    * regex and RE2 tokenize identically). chars-per-token is the standard
+    * budget estimator a training pipeline derives from it. */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def tokenCountRegex(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(toks).as("n_ws_tokens"),
+        regexp_count(col("text"), lit(BpeTokenRe)).cast("int")
+          .as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") /
+            col("n_bpe_tokens").cast("double"), 6))
+          .otherwise(lit(null).cast("double")))
+
   /** Document fingerprints: whole-text rolling hash (native codegen'd
     * [[graft.functions.RollingHash]] expression; Karp-Rabin 1987) plus a
     * winnowing-style minimum over 4-gram shingle hashes (Schleimer/

@@ -60,25 +60,70 @@ object Streaming {
     * memory sink, drained synchronously. Complete output mode so the finite
     * input yields the full (batch-identical) result — which is why the same
     * DuckDB oracle applies to this query too. */
-  def windowedAggStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    // the file stream source lists directories only — scope it to the
-    // events file with a glob filter
-    val stream = toTs(spark.readStream.schema(schema)
+  def windowedAggStream(spark: SparkSession, sfDir: String): DataFrame =
+    drain(spark,
+      windowedAgg(eventsStream(spark, sfDir).withWatermark("ts", "10 minutes")),
+      mode = "complete")
+
+  /** readStream over the events parquet — the file stream source lists
+    * directories only, so the glob filter scopes it to the events file. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    toTs(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+  }
+
+  /** Drain a streaming frame through a memory sink and return the result
+    * (dropping the sink's temp view so repeated calls don't accumulate). */
+  private def drain(spark: SparkSession, df: DataFrame,
+      mode: String): DataFrame = {
     val name = s"graft_stream_out_${streamCounter.incrementAndGet()}"
-    val q = windowedAgg(stream.withWatermark("ts", "10 minutes"))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    // hand the analyzed frame to the caller and drop the sink's temp view
-    // so repeated calls don't accumulate catalog entries
     val out = spark.table(name)
     out.schema // force analysis while the view still exists
     spark.catalog.dropTempView(name)
     out
   }
+
+  /** Stream-static enrichment: per-event join to the (static, broadcast)
+    * customer dimension, then aggregation by (segment, event_type) — the
+    * canonical streaming enrichment shape: the dimension is read once per
+    * micro-batch and broadcast, the stream side never shuffles before the
+    * aggregation exchange. One transform definition serves batch and
+    * stream, so the DuckDB oracle applies to both. */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+
+  def streamEnrichBatch(spark: SparkSession, sfDir: String): DataFrame =
+    enrich(eventsBatch(spark, sfDir),
+      Sources.testTable(spark, sfDir, "customer"))
+
+  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame =
+    drain(spark,
+      enrich(eventsStream(spark, sfDir).withWatermark("ts", "10 minutes"),
+        Sources.testTable(spark, sfDir, "customer")),
+      mode = "complete")
+
+  /** Streaming deduplication — the pre-training ingest gate, as a stream:
+    * `dropDuplicates` over the dedup key holds one state entry per key
+    * (bounded by the watermark on a real unbounded stream) and emits each
+    * key's first arrival. Only the KEY columns are projected, so the
+    * result is arrival-order independent: exactly the distinct key set,
+    * which is what gives a deterministic DuckDB oracle. */
+  def streamDedupKeys(spark: SparkSession, sfDir: String): DataFrame =
+    drain(spark,
+      eventsStream(spark, sfDir).withWatermark("ts", "10 minutes")
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      mode = "append")
 
   /** Sessionization (30-min inactivity gap) via window functions — the
     * declarative batch form. Gap test runs on exact epoch-microsecond

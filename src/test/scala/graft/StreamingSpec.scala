@@ -16,6 +16,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment equals the batch plan on the same input") {
+    val batch = Streaming.streamEnrichBatch(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    val stream = Streaming.streamEnrich(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming dedup emits exactly the distinct key set") {
+    val keys = Streaming.streamDedupKeys(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    val expect = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "events")
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(keys == expect)
+  }
+
   test("stateful sessionize equals the window-function sessionize") {
     val a = Streaming.sessionizeBatch(spark, TestSpark.sf)
       .select("user_id", "session_id", "n_events", "duration_us")
