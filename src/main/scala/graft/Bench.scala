@@ -17,12 +17,20 @@ object Bench {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM before timing (codegen compiler, parquet reader, shuffle
-    // machinery) so the first measured query doesn't absorb ~2 s of
-    // class-loading that belongs to no query. Standard bench practice;
-    // recorded baselines in BASELINE.md use the same harness.
+    // Warm the JVM before timing (codegen compiler, parquet reader/writer,
+    // shuffle machinery, catalog) so the first measured query doesn't
+    // absorb seconds of class-loading that belongs to no query. Standard
+    // bench practice; recorded baselines in BASELINE.md use the same
+    // harness.
     spark.range(1L << 20).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    val warmDir = java.nio.file.Files
+      .createTempDirectory("graft_warm_").toString
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.mode("overwrite").parquet(s"$warmDir/t")
+    spark.sql("DROP TABLE IF EXISTS graft_warm")
+    graft.operators.Ddl.purgeManagedLocation(spark, "graft_warm")
+    spark.read.parquet(s"$warmDir/t").write.saveAsTable("graft_warm")
+    spark.sql("DROP TABLE IF EXISTS graft_warm")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
