@@ -74,6 +74,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash: sigs in [0, p), identical docs identical, permutation-wise monotone") {
+    import spark.implicits._
+    val P31 = 2147483647L
+    val docs = Gen.listOfN(30, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    // duplicate every doc under a shifted id: identical token arrays must
+    // produce identical signatures regardless of row position
+    val all = docs ++ docs.map { case (i, t) => (i + 1000L, t) }
+    val rows = all.toDF("id", "text")
+      .select(col("id"), graft.functions.SketchExpressions
+        .shingle_minhash(Dedup.tokens(col("text")), 2, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, sig) =>
+      assert(sig.length == 16)
+      // docs with >= 2 tokens have real minima inside the prime field;
+      // shorter docs keep the Long.MaxValue sentinel
+      assert(sig.forall(v => (v >= 0 && v < P31) || v == Long.MaxValue))
+      if (id < 1000L) assert(sig == rows(id + 1000L))
+    }
+  }
+
+  test("md5 winnow hashes are nonnegative (signed/unsigned min agree)") {
+    import spark.implicits._
+    val docs = Gen.listOfN(30, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val mins = docs.toDF("id", "text")
+      .select(col("id"), Dedup.tokens(col("text")).as("toks"))
+      .select(array_min(transform(Dedup.shinglesOf(col("toks"), 2),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("m"))
+      .collect().flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    // 60-bit md5 slice: always fits positive in a signed long
+    mins.foreach(m => assert(m >= 0L && m < (1L << 60)))
+  }
+
   test("dot product: bilinear in scalar multiples, matches BigDecimal-free fold") {
     import spark.implicits._
     val vecs = Gen.listOfN(20,
