@@ -58,8 +58,11 @@ object SparkEntry {
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
-    // Multi-way star join (beyond the reference's 2-table joins)
+    // Multi-way star join + multi-dim aggregation (beyond the reference's
+    // 2-table joins)
     "j1_star_revenue"        -> ((s, d) => dbl(StarJoin.revenueByNation(s, d))),
+    "j3_revenue_rollup"      -> ((s, d) => StarJoin.revenueRollup(s, d)),
+    "j4_revenue_pivot"       -> ((s, d) => StarJoin.revenuePivot(s, d)),
     // LLM-pipeline extensions: deduplication (SURVEY.md §7.6)
     "e1_dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -105,6 +108,8 @@ object SparkEntry {
     // regex token counting + JSON props extraction
     "g9_token_count_regex" ->
       ((s, d) => TextAnalysis.tokenCountRegex(s, d)),
+    "g10_train_val_split" ->
+      ((s, d) => TextAnalysis.hashSplit(s, d)),
     "j2_json_props" ->
       ((s, d) => SemiStructured.jsonPropsStats(s, d)),
   )
@@ -416,6 +421,50 @@ object SparkEntry {
         |JOIN nation n   ON c.c_nationkey = n.n_nationkey
         |JOIN region r   ON n.n_regionkey = r.r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+    "j3_revenue_rollup" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,10))) AS DOUBLE), 6) AS total_revenue,
+        |  count(*) AS n_lineitems,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "j4_revenue_pivot" ->
+      """SELECT n_name AS nation,
+        |  round(CAST(sum(CASE WHEN r_name = 'AFRICA'
+        |    THEN CAST(rev AS DECIMAL(38,10)) END) AS DOUBLE), 6)
+        |    AS "AFRICA",
+        |  round(CAST(sum(CASE WHEN r_name = 'AMERICA'
+        |    THEN CAST(rev AS DECIMAL(38,10)) END) AS DOUBLE), 6)
+        |    AS "AMERICA",
+        |  round(CAST(sum(CASE WHEN r_name = 'ASIA'
+        |    THEN CAST(rev AS DECIMAL(38,10)) END) AS DOUBLE), 6)
+        |    AS "ASIA",
+        |  round(CAST(sum(CASE WHEN r_name = 'EUROPE'
+        |    THEN CAST(rev AS DECIMAL(38,10)) END) AS DOUBLE), 6)
+        |    AS "EUROPE",
+        |  round(CAST(sum(CASE WHEN r_name = 'MIDDLE EAST'
+        |    THEN CAST(rev AS DECIMAL(38,10)) END) AS DOUBLE), 6)
+        |    AS "MIDDLE EAST"
+        |FROM (SELECT n_name, r_name,
+        |        l_extendedprice * (1.0 - l_discount) AS rev
+        |      FROM lineitem
+        |      JOIN orders   ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation   ON c_nationkey = n_nationkey
+        |      JOIN region   ON n_regionkey = r_regionkey)
+        |GROUP BY 1""".stripMargin,
+    "g10_train_val_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 AS BIGINT)
+        |    AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 10
+        |    THEN 'val' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
     "e1_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies

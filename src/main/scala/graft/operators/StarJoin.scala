@@ -19,7 +19,9 @@ import graft.sources.Sources
   */
 object StarJoin {
 
-  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The joined star: one row per lineitem with (region, nation, revenue).
+    * Two fact shuffles (lineitem ⋈ orders); every dimension broadcast. */
+  private def starBase(spark: SparkSession, sfDir: String): DataFrame = {
     val lineitem = Sources.testTable(spark, sfDir, "lineitem")
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -38,9 +40,40 @@ object StarJoin {
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("revenue"))
+  }
+
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame =
+    starBase(spark, sfDir)
+      .groupBy(col("region"), col("nation"))
       .agg(
         sumExact(col("revenue")).as("total_revenue"),
         count(lit(1)).as("n_lineitems"))
-  }
+
+  /** Multi-dimensional rollup — region → nation → grand total in ONE
+    * aggregation pass: Catalyst expands ROLLUP grouping sets map-side, so
+    * the plan is still partial+final hash agg with a single exchange, not
+    * three separate jobs. `grouping_id` (standard SQL bit encoding, NULL
+    * supergroup markers) matches DuckDB's `GROUPING()` exactly. */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
+    starBase(spark, sfDir)
+      .rollup(col("region"), col("nation"))
+      .agg(
+        round(sumExact(col("revenue")).cast("double"), 6)
+          .as("total_revenue"),
+        count(lit(1)).as("n_lineitems"),
+        grouping_id().as("gid"))
+
+  /** Region-pivoted revenue per nation: `pivot` with EXPLICIT values (the
+    * scale discipline — omitting them costs Spark an extra distinct scan
+    * to discover the column set, and makes the output schema data-
+    * dependent). Each nation belongs to one region, so off-region cells
+    * are NULL — same as the portable CASE-sum encoding the oracle uses. */
+  def revenuePivot(spark: SparkSession, sfDir: String): DataFrame =
+    starBase(spark, sfDir)
+      .groupBy(col("nation"))
+      .pivot("region",
+        Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+      .agg(round(sumExact(col("revenue")).cast("double"), 6))
 }

@@ -239,6 +239,22 @@ object TextAnalysis {
             col("n_bpe_tokens").cast("double"), 6))
           .otherwise(lit(null).cast("double")))
 
+  /** Deterministic train/validation split by content hash — the standard
+    * technique for reproducible dataset splits that survive re-runs,
+    * re-partitioning, and corpus growth (a row's split depends only on
+    * its text, never on RNG or row order). The bucket is an md5 slice mod
+    * 100, reproducible in any engine (same primitive as the dedup
+    * sketches), so unlike `sample()`/`sampleBy()` (Spark-internal RNG
+    * stream) this carries an exact oracle. */
+  def hashSplit(spark: SparkSession, sfDir: String,
+      valPct: Int = 10): DataFrame =
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+          % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < valPct, "val").otherwise("train"))
+
   /** Document fingerprints: whole-text rolling hash (native codegen'd
     * [[graft.functions.RollingHash]] expression; Karp-Rabin 1987) plus a
     * winnowing-style minimum over 4-gram shingle hashes (Schleimer/
