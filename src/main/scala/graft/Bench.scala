@@ -23,14 +23,20 @@ object Bench {
     // bench practice; recorded baselines in BASELINE.md use the same
     // harness.
     spark.range(1L << 20).selectExpr("sum(id)").collect()
-    val warmDir = java.nio.file.Files
-      .createTempDirectory("graft_warm_").toString
-    spark.read.parquet(s"$sfDir/nation.parquet")
-      .write.mode("overwrite").parquet(s"$warmDir/t")
-    spark.sql("DROP TABLE IF EXISTS graft_warm")
-    graft.operators.Ddl.purgeManagedLocation(spark, "graft_warm")
-    spark.read.parquet(s"$warmDir/t").write.saveAsTable("graft_warm")
-    spark.sql("DROP TABLE IF EXISTS graft_warm")
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm_")
+    try {
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .write.mode("overwrite").parquet(s"$warmDir/t")
+      spark.sql("DROP TABLE IF EXISTS graft_warm")
+      graft.operators.Ddl.purgeManagedLocation(spark, "graft_warm")
+      spark.read.parquet(s"$warmDir/t").write.saveAsTable("graft_warm")
+      spark.sql("DROP TABLE IF EXISTS graft_warm")
+    } finally { // no /tmp residue per run
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(warmDir.toFile)
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

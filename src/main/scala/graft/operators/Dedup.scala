@@ -230,10 +230,10 @@ object Dedup {
     * baseline and oracle; [[Similarity.lshTopK]] is the sublinear path. */
   def embeddingCosine(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
-    val e = Sources.testTable(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // single theta join carrying the vectors: candidates + verification
+    // fused — the right shape for the exact baseline, where every pair is
+    // scored anyway
+    val e = Similarity.normed(spark, sfDir)
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -244,6 +244,21 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Exact-cosine verification of candidate (vec_a, vec_b) pairs: attach
+    * vectors/norms from the shared normalized frame, keep pairs scoring
+    * >= threshold. */
+  private def verifyCosine(cand: DataFrame, normed: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(normed.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("norm").as("na")), Seq("vec_a"))
+      .join(normed.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("norm").as("nb")), Seq("vec_b"))
+      .withColumn("cosine",
+        dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
 
   /** Scale path for embedding near-dup detection — the e3 pattern applied
     * to vectors: hyperplane-LSH signature bucketing (candidates = pairs
@@ -263,10 +278,7 @@ object Dedup {
   def embeddingCosineLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4, tables: Int = 8, bits: Int = 12): DataFrame = {
     val ps = Similarity.dataPlanes(spark, sfDir, tables, bits)
-    val e = Sources.testTable(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = Similarity.normed(spark, sfDir)
     // id-only signature table: the self-join shuffles (t, sig, vec_id)
     // triples, never the vectors; persisted so both join sides read one
     // signature pass instead of recomputing scan+norm+sigs
@@ -280,15 +292,7 @@ object Dedup {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
     // vectors re-attached for candidates only
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-        col("norm").as("na")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("norm").as("nb")), Seq("vec_b"))
-      .withColumn("cosine",
-        dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+    verifyCosine(cand, e, threshold)
   }
 
   /** Strict sequential double fold dot product: sum_i a[i]*b[i], left to

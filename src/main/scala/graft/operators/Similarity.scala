@@ -27,7 +27,11 @@ import graft.sources.Sources
   */
 object Similarity {
 
-  private def normed(spark: SparkSession, sfDir: String): DataFrame =
+  /** The shared (vec_id, v, norm) frame every embedding operator builds
+    * on — ONE definition (Dedup reuses it), so a normalization change
+    * can't silently diverge between operators and their common oracle
+    * CTE. Persisted: every consumer scans it at least twice. */
+  private[operators] def normed(spark: SparkSession, sfDir: String): DataFrame =
     Sources.testTable(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))

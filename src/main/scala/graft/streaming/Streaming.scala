@@ -73,18 +73,25 @@ object Streaming {
       .option("pathGlobFilter", "events.parquet").parquet(sfDir))
   }
 
-  /** Drain a streaming frame through a memory sink and return the result
-    * (dropping the sink's temp view so repeated calls don't accumulate). */
+  /** Drain a streaming frame through a memory sink and return the result.
+    * The sink's temp view is dropped in ALL paths — a leaked view would
+    * not only accumulate, it would surface in any later SHOW TABLES
+    * (session temp views list under every database), corrupting the
+    * d3_ddl_lifecycle query after one failed stream. */
   private def drain(spark: SparkSession, df: DataFrame,
       mode: String): DataFrame = {
     val name = s"graft_stream_out_${streamCounter.incrementAndGet()}"
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
       .start()
-    try q.processAllAvailable() finally q.stop()
-    val out = spark.table(name)
-    out.schema // force analysis while the view still exists
-    spark.catalog.dropTempView(name)
-    out
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name)
+      out.schema // force analysis while the view still exists
+      out
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
   }
 
   /** Stream-static enrichment: per-event join to the (static, broadcast)

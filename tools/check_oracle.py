@@ -39,25 +39,30 @@ for name, sql in sorted(oracle.items()):
     if len(got) != len(want):
         print(f"[ROWS] {name}: spark={len(got)} oracle={len(want)}")
         fails.append(name); continue
-    # Driver-hash hazard scan: the driver's gate hashes via pandas, where
-    # parquet DECIMAL arrives as Python Decimal (never hash-equal to
-    # DuckDB's floats) and array columns crash sort_values (round-1 h2).
-    # Flag them here so they fail locally, not in the driver.
+    # Driver-hash hazard scan: the driver's gate reads the SPARK parquet
+    # via pandas/pyarrow, where DECIMAL arrives as Python Decimal (never
+    # hash-equal to DuckDB's floats) and array columns crash sort_values
+    # (round-1 h2). duckdb's .df() coerces DECIMAL to float64, hiding the
+    # hazard — so the scan must go through pandas.read_parquet, the same
+    # path the driver takes.
     import decimal
     import numpy as np
     hazard = None
-    for side, df in (("spark", got), ("oracle", want)):
-        for c in df.columns:
-            s = df[c].dropna()
-            if len(s) and isinstance(
-                    s.iloc[0], (decimal.Decimal, np.ndarray, list, dict)):
-                hazard = (side, c, type(s.iloc[0]).__name__)
-                break
-        if hazard:
+    try:
+        praw = pd.read_parquet(spark_dir)
+    except Exception as e:
+        print(f"[HAZ ] {name}: pandas cannot read spark output: {e}")
+        fails.append(name); continue
+    for c in praw.columns:
+        s = praw[c].dropna()
+        if len(s) and isinstance(
+                s.iloc[0], (decimal.Decimal, np.ndarray, list, dict)):
+            hazard = (c, type(s.iloc[0]).__name__)
             break
     if hazard:
-        side, c, t = hazard
-        print(f"[HAZ ] {name}: {side} col={c} is {t} — driver hash will fail")
+        c, t = hazard
+        print(f"[HAZ ] {name}: spark col={c} is {t} via pandas — "
+              f"driver hash will fail")
         fails.append(name); continue
     key = list(got.columns)
     g = got.sort_values(key, na_position="last").reset_index(drop=True)
