@@ -105,6 +105,11 @@ object SparkEntry {
       ((s, d) => graft.streaming.Streaming.streamEnrich(s, d)),
     "i7_stream_dedup_keys" ->
       ((s, d) => graft.streaming.Streaming.streamDedupKeys(s, d)),
+    // stream-stream time-bounded join (click → error funnel)
+    "i8_click_error_join" ->
+      ((s, d) => graft.streaming.Streaming.clickErrorJoinBatch(s, d)),
+    "i9_click_error_join_stream" ->
+      ((s, d) => graft.streaming.Streaming.clickErrorJoinStream(s, d)),
     // regex token counting + JSON props extraction
     "g9_token_count_regex" ->
       ((s, d) => TextAnalysis.tokenCountRegex(s, d)),
@@ -217,6 +222,14 @@ object SparkEntry {
       |  max(ts) AS session_end, max(us) - min(us) AS duration_us
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  private val clickErrorOracle: String =
+    """SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+      |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events c JOIN events e
+      |  ON c.user_id = e.user_id
+      | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+      |WHERE c.event_type = 'click' AND e.event_type = 'error'""".stripMargin
+
   private val enrichOracle: String =
     """SELECT c_mktsegment AS segment, event_type, count(*) AS n_events,
       |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
@@ -233,6 +246,8 @@ object SparkEntry {
     "i6_events_enrich_stream"       -> enrichOracle,
     "i7_stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "i8_click_error_join"        -> clickErrorOracle,
+    "i9_click_error_join_stream" -> clickErrorOracle,
     "g9_token_count_regex" ->
       """SELECT doc_id, n_chars,
         |  CAST(len(string_split(lower(text), ' ')) AS INTEGER)

@@ -132,6 +132,49 @@ object Streaming {
         .select(col("user_id"), col("event_type")),
       mode = "append")
 
+  /** Stream-stream inner join: correlate each click with the errors the
+    * same user hits within the following hour — the canonical funnel /
+    * attribution shape, and the one stateful-operator class the other
+    * i-queries don't cover. One definition serves batch and stream; in
+    * the streaming form BOTH sides carry watermarks and the join
+    * condition bounds event time in both directions, so each side's
+    * buffered state is evictable (without the time bound a stream-stream
+    * join buffers forever). Append output: each matched pair emits
+    * exactly once. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame =
+    clicks.join(errors,
+        col("c_user") === col("e_user") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"),
+        (unix_micros(col("error_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+
+  /** The disambiguated join sides (watermarks applied after the rename so
+    * the event-time column in the join is the watermarked one). */
+  private def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+  private def errorSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+
+  def clickErrorJoinBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsBatch(spark, sfDir)
+    clickErrorJoin(clickSide(ev), errorSide(ev))
+  }
+
+  def clickErrorJoinStream(spark: SparkSession, sfDir: String): DataFrame =
+    drain(spark,
+      clickErrorJoin(
+        clickSide(eventsStream(spark, sfDir))
+          .withWatermark("click_ts", "1 hour"),
+        errorSide(eventsStream(spark, sfDir))
+          .withWatermark("error_ts", "2 hours")),
+      mode = "append")
+
   /** Sessionization (30-min inactivity gap) via window functions — the
     * declarative batch form. Gap test runs on exact epoch-microsecond
     * integers so the oracle can't drift on fractional seconds. */

@@ -35,6 +35,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys == expect)
   }
 
+  test("stream-stream click-error join equals the batch join") {
+    val batch = Streaming.clickErrorJoinBatch(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    val stream = Streaming.clickErrorJoinStream(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful sessionize equals the window-function sessionize") {
     val a = Streaming.sessionizeBatch(spark, TestSpark.sf)
       .select("user_id", "session_id", "n_events", "duration_us")
