@@ -166,14 +166,16 @@ object Streaming {
     clickErrorJoin(clickSide(ev), errorSide(ev))
   }
 
-  def clickErrorJoinStream(spark: SparkSession, sfDir: String): DataFrame =
+  def clickErrorJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // streaming SELF-join: both sides branch from one source, so each
+    // micro-batch scans the input once, not twice
+    val ev = eventsStream(spark, sfDir)
     drain(spark,
       clickErrorJoin(
-        clickSide(eventsStream(spark, sfDir))
-          .withWatermark("click_ts", "1 hour"),
-        errorSide(eventsStream(spark, sfDir))
-          .withWatermark("error_ts", "2 hours")),
+        clickSide(ev).withWatermark("click_ts", "1 hour"),
+        errorSide(ev).withWatermark("error_ts", "2 hours")),
       mode = "append")
+  }
 
   /** Sessionization (30-min inactivity gap) via window functions — the
     * declarative batch form. Gap test runs on exact epoch-microsecond
