@@ -81,8 +81,17 @@ object Streaming {
   private def drain(spark: SparkSession, df: DataFrame,
       mode: String): DataFrame = {
     val name = s"graft_stream_out_${streamCounter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .start()
+    // Stateful operators pay per-partition state-store overhead every
+    // micro-batch; at this harness's volumes 8 partitions beat the
+    // session's CPU-sized default by a wide margin (results are
+    // partition-count independent — Deterministic discipline). On a real
+    // cluster this knob is sized to state volume, not cores.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try {
       q.processAllAvailable()
       val out = spark.table(name)
