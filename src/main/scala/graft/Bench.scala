@@ -23,7 +23,7 @@ object Bench {
     // bench practice; recorded baselines in BASELINE.md use the same
     // harness.
     spark.range(1L << 20).selectExpr("sum(id)").collect()
-    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm_")
+    val warmDir = Files.createTempDirectory("graft_warm_")
     try {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .write.mode("overwrite").parquet(s"$warmDir/t")

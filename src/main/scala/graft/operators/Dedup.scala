@@ -145,15 +145,15 @@ object Dedup {
     // sig values), not a hash of it: candidate generation stays an
     // equi-join with the same shuffle shape, and the key is reproducible
     // verbatim in the DuckDB oracle (Spark's murmur3 `hash()` is not)
+    val keyCols = "band" +: (0 until rows).map(r => s"s$r")
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until bands).map { bIdx =>
         struct((lit(bIdx).as("band") +: (0 until rows).map(r =>
           col("sig").getItem(bIdx * rows + r).as(s"s$r"))): _*)
       }: _*)).as("bk"))
-      .select(col("doc_id") +: (Seq("band") ++ (0 until rows).map(r => s"s$r"))
-        .map(c => col(s"bk.$c")): _*)
+      .select(col("doc_id") +: keyCols.map(c => col(s"bk.$c")): _*)
 
-    val bandKeyEq = (Seq("band") ++ (0 until rows).map(r => s"s$r"))
+    val bandKeyEq = keyCols
       .map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
     val cand = banded.as("x").join(banded.as("y"),
         bandKeyEq && col("x.doc_id") < col("y.doc_id"))

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.functions.Deterministic._
 import graft.sources.Sources
 
 /** Semi-structured (JSON) column handling — the `events.props` payload.

@@ -96,8 +96,7 @@ object Sources {
       "c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal").cast(
-          graft.functions.Deterministic.Dec38)).cast("double"), 6)
-          .as("total_bal"))
+        round(graft.functions.Deterministic.sumExact(col("c_acctbal"))
+          .cast("double"), 6).as("total_bal"))
   }
 }
