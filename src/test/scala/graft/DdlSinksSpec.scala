@@ -97,6 +97,25 @@ class DdlSinksSpec extends AnyFunSuite {
     assert(!spark.read.parquet(dir).columns.contains("n_name"))
   }
 
+  test("lake pipeline layout: one bronze file per ticker, single-file rollups") {
+    val dir = tmp()
+    graft.operators.Medallion.lakePipeline(spark, TestSpark.sf, dir)
+    def dataFiles(sub: String): Array[java.io.File] = {
+      def walk(f: java.io.File): Array[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toArray.flatten.flatMap(walk)
+        else Array(f)
+      walk(new java.io.File(s"$dir/$sub"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    // bronze: repartition(ticker) before partitionBy — one file per ticker
+    // value, not tasks x tickers (the write-amplification fix)
+    val tickers = spark.read.parquet(s"$dir/bronze_quotes")
+      .select("ticker").distinct().count()
+    assert(dataFiles("bronze_quotes").length == tickers)
+    assert(dataFiles("silver_asset_perf").length == 1)
+    assert(dataFiles("gold_monthly_rollup").length == 1)
+  }
+
   test("sessions: object-store seam applies s3a + committer config") {
     import graft.sessions.Sessions
     val keys = Seq("spark.hadoop.fs.s3a.endpoint",
