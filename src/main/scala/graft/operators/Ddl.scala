@@ -62,6 +62,11 @@ object Ddl {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** `USE <db>` — current-database switch (`delta_datalake.py`'s
+    * `USE airbnb`); subsequent unqualified table names resolve there. */
+  def useDatabase(spark: SparkSession, db: String): Unit =
+    spark.sql(s"USE $db")
+
   /** D3 — `DROP TABLE IF EXISTS` (`financial_dl_bronze.py:11`). */
   def dropTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -103,11 +108,17 @@ object Ddl {
     createDatabase(spark, "graft_ddl_q")
     dropTable(spark, "graft_ddl_q.quotes_part")
     dropTable(spark, "graft_ddl_q.docs_tmp")
-    createTable(spark, "graft_ddl_q.quotes_part",
-      "trade_date DATE, ticker STRING, price DOUBLE",
-      partitionBy = Seq("ticker"))
-    createTable(spark, "graft_ddl_q.docs_tmp", "doc_id BIGINT, text STRING")
-    dropTable(spark, "graft_ddl_q.docs_tmp")
-    showTables(spark, Some("graft_ddl_q"))
+    // USE makes the rest of the lifecycle run unqualified, like the
+    // reference's `USE airbnb` session flow — restored afterwards so the
+    // shared session's resolution doesn't leak across queries
+    useDatabase(spark, "graft_ddl_q")
+    try {
+      createTable(spark, "quotes_part",
+        "trade_date DATE, ticker STRING, price DOUBLE",
+        partitionBy = Seq("ticker"))
+      createTable(spark, "docs_tmp", "doc_id BIGINT, text STRING")
+      dropTable(spark, "docs_tmp")
+      showTables(spark)
+    } finally useDatabase(spark, "default")
   }
 }
