@@ -63,6 +63,7 @@ object SparkEntry {
     "j1_star_revenue"        -> ((s, d) => dbl(StarJoin.revenueByNation(s, d))),
     "j3_revenue_rollup"      -> ((s, d) => StarJoin.revenueRollup(s, d)),
     "j4_revenue_pivot"       -> ((s, d) => StarJoin.revenuePivot(s, d)),
+    "j5_asof_last_view"      -> ((s, d) => AsOf.lastViewBeforeClick(s, d)),
     // LLM-pipeline extensions: deduplication (SURVEY.md §7.6)
     "e1_dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -473,6 +474,24 @@ object SparkEntry {
         |      JOIN nation   ON c_nationkey = n_nationkey
         |      JOIN region   ON n_regionkey = r_regionkey)
         |GROUP BY 1""".stripMargin,
+    // j5: the as-of composition mirrors exactly — running max over a
+    // named struct; struct comparison is lexicographic in both engines
+    "j5_asof_last_view" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type = 'view' AS is_view
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), m AS (
+        |  SELECT user_id, event_id, us, is_view,
+        |    max(CASE WHEN is_view
+        |        THEN struct_pack(us := us, event_id := event_id) END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS lv
+        |  FROM t
+        |)
+        |SELECT user_id, event_id AS click_id,
+        |  lv.event_id AS view_id, us - lv.us AS gap_us
+        |FROM m WHERE NOT is_view""".stripMargin,
     "g10_train_val_split" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 AS BIGINT)

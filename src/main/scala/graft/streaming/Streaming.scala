@@ -38,7 +38,7 @@ object Streaming {
     df.withColumn("ts",
       expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
 
-  private def eventsBatch(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def eventsBatch(spark: SparkSession, sfDir: String): DataFrame =
     toTs(Sources.testTable(spark, sfDir, "events"))
 
   /** Tumbling 1-hour windowed aggregation — one definition for batch and
