@@ -64,6 +64,7 @@ object SparkEntry {
     "j3_revenue_rollup"      -> ((s, d) => StarJoin.revenueRollup(s, d)),
     "j4_revenue_pivot"       -> ((s, d) => StarJoin.revenuePivot(s, d)),
     "j5_asof_last_view"      -> ((s, d) => AsOf.lastViewBeforeClick(s, d)),
+    "j6_session_attach"      -> ((s, d) => Joins.sessionAttach(s, d)),
     // LLM-pipeline extensions: deduplication (SURVEY.md §7.6)
     "e1_dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -116,6 +117,8 @@ object SparkEntry {
       ((s, d) => TextAnalysis.tokenCountRegex(s, d)),
     "g10_train_val_split" ->
       ((s, d) => TextAnalysis.hashSplit(s, d)),
+    "g11_kmv_distinct_tokens" ->
+      ((s, d) => TextAnalysis.kmvDistinctTokens(s, d)),
     "j2_json_props" ->
       ((s, d) => SemiStructured.jsonPropsStats(s, d)),
   )
@@ -474,6 +477,29 @@ object SparkEntry {
         |      JOIN nation   ON c_nationkey = n_nationkey
         |      JOIN region   ON n_regionkey = r_regionkey)
         |GROUP BY 1""".stripMargin,
+    // g11: the KMV sketch is a pure function of the distinct hash set, so
+    // DuckDB reproduces the k minima (window rank) and the estimate
+    // formula exactly — an approximate algorithm with an exact oracle
+    "g11_kmv_distinct_tokens" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT AS BIGINT) AS hv
+        |  FROM toks
+        |), r AS (
+        |  SELECT lang, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS nd
+        |  FROM h
+        |)
+        |SELECT lang, CAST(max(nd) AS BIGINT) AS exact_distinct,
+        |  round(CASE WHEN max(nd) < 256 THEN CAST(max(nd) AS DOUBLE)
+        |    ELSE (256 - 1) * pow(2.0, 60)
+        |         / CAST(max(CASE WHEN rn = 256 THEN hv END) AS DOUBLE) END,
+        |    6) AS kmv_estimate
+        |FROM r GROUP BY lang""".stripMargin,
     // j5: the as-of composition mirrors exactly — running max over a
     // named struct; struct comparison is lexicographic in both engines
     "j5_asof_last_view" ->
@@ -492,6 +518,23 @@ object SparkEntry {
         |SELECT user_id, event_id AS click_id,
         |  lv.event_id AS view_id, us - lv.us AS gap_us
         |FROM m WHERE NOT is_view""".stripMargin,
+    // j6: the oracle derives each event's session id DIRECTLY via window
+    // functions — a different algorithm than the Spark side's
+    // sessions-aggregate + range join, so agreement is strong evidence
+    "j6_session_attach" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+        |), o AS (
+        |  SELECT user_id, event_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, event_id,
+        |  CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        |FROM o""".stripMargin,
     "g10_train_val_split" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 AS BIGINT)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Join utilities for the shapes that matter at 100 TB (the reference never
@@ -38,4 +38,27 @@ object Joins {
   def broadcastJoin(large: DataFrame, small: DataFrame, key: String,
       joinType: String = "inner"): DataFrame =
     large.join(broadcast(small), Seq(key), joinType)
+
+  /** Range (interval-containment) join, keyed: attach each event to the
+    * session whose [start, end] interval contains it — the standard
+    * enrichment that writes session ids back onto raw events. The
+    * equi-key (user_id) carries the shuffle; the range predicate then
+    * filters within each key group, so per-key cost is |events_u| ×
+    * |sessions_u| — bounded by per-user activity, never the table sizes.
+    * (An unkeyed range join would instead bin the range into buckets and
+    * equi-join on the bucket id — same discipline, synthetic key.)
+    * Every event lands in exactly one session by construction, so the
+    * output has one row per event — which the oracle checks for free. */
+  def sessionAttach(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = graft.streaming.Streaming.sessionizeBatch(spark, sfDir)
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), col("session_end"))
+    val events = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("user_id").as("e_user"), col("event_id"), col("ts"))
+    events.join(sessions,
+        col("e_user") === col("user_id") &&
+        col("ts") >= col("session_start") &&
+        col("ts") <= col("session_end"))
+      .select(col("user_id"), col("event_id"), col("session_id"))
+  }
 }

@@ -239,6 +239,31 @@ object TextAnalysis {
             col("n_bpe_tokens").cast("double"), 6))
           .otherwise(lit(null).cast("double")))
 
+  /** Distinct-token cardinality per language via the native KMV sketch
+    * aggregate ([[graft.functions.KMinValues]]): the shuffle carries at
+    * most k longs per (group, partition) instead of every distinct token
+    * — the sketch-sized distinct-count rollup g5 documents as the 100 TB
+    * swap, here as a real operator. Because the sketch is a pure
+    * function of the hashed input set (no RNG, engine-portable md5-slice
+    * hash), the DuckDB oracle reproduces sketch AND estimate exactly;
+    * the exact count rides along to exhibit the approximation error. */
+  def kmvDistinctTokens(spark: SparkSession, sfDir: String,
+      k: Int = 256): DataFrame =
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("lang"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .select(col("lang"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          .as("hv"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.KMinValues.kmv_sketch(col("hv"), k).as("kmv"),
+        countDistinct(col("hv")).as("exact_distinct"))
+      .select(col("lang"), col("exact_distinct"),
+        round(
+          when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+              element_at(col("kmv"), k).cast("double")), 6)
+          .as("kmv_estimate"))
+
   /** Deterministic train/validation split by content hash — the standard
     * technique for reproducible dataset splits that survive re-runs,
     * re-partitioning, and corpus growth (a row's split depends only on

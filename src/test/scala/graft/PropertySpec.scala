@@ -108,6 +108,22 @@ class PropertySpec extends AnyFunSuite {
     mins.foreach(m => assert(m >= 0L && m < (1L << 60)))
   }
 
+  test("kmv sketch: partitioning-invariant merges, sorted-distinct, capped") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(_ % 997).toDF("v")
+    def sk(parts: Int): Seq[Long] = df.repartition(parts)
+      .agg(graft.functions.KMinValues.kmv_sketch(col("v"), 64).as("s"))
+      .collect()(0).getSeq[Long](0)
+    val one = sk(1)
+    val many = sk(13)
+    // partition-order independence = merge correctness
+    assert(one == many)
+    assert(many.length == 64)
+    assert(many == many.sorted.distinct)
+    // values are 0..996, so the 64 distinct minima are exactly 0..63
+    assert(many == (0L until 64L).toSeq)
+  }
+
   test("dot product: bilinear in scalar multiples, matches BigDecimal-free fold") {
     import spark.implicits._
     val vecs = Gen.listOfN(20,
