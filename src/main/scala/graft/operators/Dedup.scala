@@ -90,21 +90,40 @@ object Dedup {
 
   // ------------------------------------------------------------- n-gram
 
-  /** Exact n-gram Jaccard pairs (j >= threshold) over a bounded id range.
-    * All-pairs exact Jaccard is O(n²) — this operator is the *oracle*
-    * (bounded to `maxDocId` docs); [[minhashLsh]] is the scale path. */
+  /** Exact n-gram Jaccard pairs (j >= threshold) over a bounded id range,
+    * via an INVERTED SHINGLE INDEX: explode distinct shingles, equi-join
+    * on the shingle, count co-occurrences per pair = |A∩B|, then derive
+    * Jaccard from the set sizes. Pairs sharing no shingle never
+    * materialize (their Jaccard is 0 < threshold — `threshold` must be
+    * positive), so cost tracks co-occurring pairs, not n²: the same
+    * exact answer as the naive all-pairs array-intersect join at a
+    * fraction of the work, and every join is a hash-partitioned
+    * equi-join. Bounded to `maxDocId` docs so the DuckDB oracle (which
+    * IS all-pairs) stays cheap; [[minhashLsh]] is the approximate scale
+    * path when even the inverted index is too much. */
   def ngramJaccard(spark: SparkSession, sfDir: String, n: Int = 3,
       threshold: Double = 0.1, maxDocId: Long = 200): DataFrame = {
-    // both self-join sides consume the shingles — compute once. Persist
-    // contract (here and in the LSH/similarity operators): frames stay
-    // cached for intra-query reuse; the session owner releases them
+    require(threshold > 0.0,
+      "threshold must be positive: zero-overlap pairs never materialize")
+    // sizes and the index both consume the shingles — compute once.
+    // Persist contract (here and in the LSH/similarity operators): frames
+    // stay cached for intra-query reuse; the session owner releases them
     // (Verify/Bench call spark.catalog.clearCache() per query).
     val docs = shingled(spark, sfDir, n, maxDocId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    inv.as("x").join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
