@@ -19,6 +19,9 @@ object SparkEntry {
   private def dbl(df: DataFrame): DataFrame =
     graft.functions.Deterministic.doubleBoundary(df)
 
+  /** KMV sketch size — shared by the g11 query and its oracle SQL. */
+  private val KmvK = 256
+
   // one lake staging dir per corpus per JVM (a5 overwrites in place on
   // repeated runs instead of leaking a fresh /tmp tree per call)
   private val lakeStage =
@@ -118,7 +121,7 @@ object SparkEntry {
     "g10_train_val_split" ->
       ((s, d) => TextAnalysis.hashSplit(s, d)),
     "g11_kmv_distinct_tokens" ->
-      ((s, d) => TextAnalysis.kmvDistinctTokens(s, d)),
+      ((s, d) => TextAnalysis.kmvDistinctTokens(s, d, KmvK)),
     "j2_json_props" ->
       ((s, d) => SemiStructured.jsonPropsStats(s, d)),
   )
@@ -479,27 +482,29 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // g11: the KMV sketch is a pure function of the distinct hash set, so
     // DuckDB reproduces the k minima (window rank) and the estimate
-    // formula exactly — an approximate algorithm with an exact oracle
+    // formula exactly — an approximate algorithm with an exact oracle.
+    // k is interpolated from KmvK so the Spark query and the oracle can
+    // never disagree on the sketch size.
     "g11_kmv_distinct_tokens" ->
-      """WITH toks AS (
-        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
-        |  FROM documents
-        |), h AS (
-        |  SELECT DISTINCT lang,
-        |    CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT AS BIGINT) AS hv
-        |  FROM toks
-        |), r AS (
-        |  SELECT lang, hv,
-        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
-        |    count(*) OVER (PARTITION BY lang) AS nd
-        |  FROM h
-        |)
-        |SELECT lang, CAST(max(nd) AS BIGINT) AS exact_distinct,
-        |  round(CASE WHEN max(nd) < 256 THEN CAST(max(nd) AS DOUBLE)
-        |    ELSE (256 - 1) * pow(2.0, 60)
-        |         / CAST(max(CASE WHEN rn = 256 THEN hv END) AS DOUBLE) END,
-        |    6) AS kmv_estimate
-        |FROM r GROUP BY lang""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents
+         |), h AS (
+         |  SELECT DISTINCT lang,
+         |    CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT AS BIGINT) AS hv
+         |  FROM toks
+         |), r AS (
+         |  SELECT lang, hv,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS nd
+         |  FROM h
+         |)
+         |SELECT lang, CAST(max(nd) AS BIGINT) AS exact_distinct,
+         |  round(CASE WHEN max(nd) < $KmvK THEN CAST(max(nd) AS DOUBLE)
+         |    ELSE ($KmvK - 1) * pow(2.0, 60)
+         |         / CAST(max(CASE WHEN rn = $KmvK THEN hv END) AS DOUBLE)
+         |    END, 6) AS kmv_estimate
+         |FROM r GROUP BY lang""".stripMargin,
     // j5: the as-of composition mirrors exactly — running max over a
     // named struct; struct comparison is lexicographic in both engines
     "j5_asof_last_view" ->

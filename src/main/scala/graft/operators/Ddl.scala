@@ -109,8 +109,10 @@ object Ddl {
     dropTable(spark, "graft_ddl_q.quotes_part")
     dropTable(spark, "graft_ddl_q.docs_tmp")
     // USE makes the rest of the lifecycle run unqualified, like the
-    // reference's `USE airbnb` session flow — restored afterwards so the
-    // shared session's resolution doesn't leak across queries
+    // reference's `USE airbnb` session flow — the ENTRY database is
+    // restored afterwards so the shared session's resolution doesn't
+    // leak across queries
+    val entryDb = spark.catalog.currentDatabase
     useDatabase(spark, "graft_ddl_q")
     try {
       createTable(spark, "quotes_part",
@@ -119,6 +121,6 @@ object Ddl {
       createTable(spark, "docs_tmp", "doc_id BIGINT, text STRING")
       dropTable(spark, "docs_tmp")
       showTables(spark)
-    } finally useDatabase(spark, "default")
+    } finally useDatabase(spark, entryDb)
   }
 }

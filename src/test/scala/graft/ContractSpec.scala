@@ -25,13 +25,20 @@ class ContractSpec extends AnyFunSuite {
     // analysis-only for most entries; the DDL/stream ones execute their
     // (sf0.001-sized) side effects, which keeps this spec honest about
     // the schema the driver actually receives.
+    import org.apache.spark.sql.types._
     SparkEntry.queries.foreach { case (name, fn) =>
       val schema = fn(spark, TestSpark.sf).schema
       schema.fields.foreach { f =>
-        val t = f.dataType.typeName
-        assert(t != "decimal" && !t.startsWith("decimal(") &&
-          t != "array" && t != "map",
-          s"$name.${f.name} is $t — driver hash will fail")
+        // banning struct/array/map at the top level also covers anything
+        // nested (nesting can only occur under one of them)
+        val bad = f.dataType match {
+          case _: DecimalType | _: ArrayType | _: MapType | _: StructType =>
+            true
+          case _ => false
+        }
+        assert(!bad,
+          s"$name.${f.name} is ${f.dataType.simpleString} — driver hash " +
+            "will fail (decimal, or a container that can hide one)")
       }
     }
     spark.catalog.clearCache()
