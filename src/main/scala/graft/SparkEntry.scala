@@ -122,6 +122,8 @@ object SparkEntry {
       ((s, d) => TextAnalysis.hashSplit(s, d)),
     "g11_kmv_distinct_tokens" ->
       ((s, d) => TextAnalysis.kmvDistinctTokens(s, d, KmvK)),
+    "g12_vocab_topk" ->
+      ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "j2_json_props" ->
       ((s, d) => SemiStructured.jsonPropsStats(s, d)),
   )
@@ -523,6 +525,16 @@ object SparkEntry {
         |SELECT user_id, event_id AS click_id,
         |  lv.event_id AS view_id, us - lv.us AS gap_us
         |FROM m WHERE NOT is_view""".stripMargin,
+    "g12_vocab_topk" ->
+      """SELECT token, n_occurrences, rank FROM (
+        |  SELECT token, n_occurrences,
+        |    CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+        |      AS INTEGER) AS rank
+        |  FROM (SELECT tok AS token, count(*) AS n_occurrences
+        |        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |              FROM documents)
+        |        GROUP BY 1))
+        |WHERE rank <= 100""".stripMargin,
     // j6: the oracle derives each event's session id DIRECTLY via window
     // functions — a different algorithm than the Spark side's
     // sessions-aggregate + range join, so agreement is strong evidence

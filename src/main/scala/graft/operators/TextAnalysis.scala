@@ -264,6 +264,23 @@ object TextAnalysis {
               element_at(col("kmv"), k).cast("double")), 6)
           .as("kmv_estimate"))
 
+  /** Vocabulary build: the K most frequent tokens with a deterministic
+    * (count desc, token asc) tie-break — the table a tokenizer/stopword
+    * pipeline derives first. Counting is partial+final hash aggregation
+    * on the token; only the final top-K pass is a single-partition sort
+    * of the (already tiny) candidate set. */
+  def vocabTopK(spark: SparkSession, sfDir: String,
+      k: Int = 100): DataFrame = {
+    val counts = Sources.testTable(spark, sfDir, "documents")
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic train/validation split by content hash — the standard
     * technique for reproducible dataset splits that survive re-runs,
     * re-partitioning, and corpus growth (a row's split depends only on
