@@ -61,6 +61,8 @@ object SparkEntry {
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
+    "s8_jsonl_roundtrip"     -> ((s, d) => graft.sources.Sources.jsonlRoundTrip(s, d)),
+    "s9_orc_roundtrip"       -> ((s, d) => graft.sources.Sources.orcRoundTrip(s, d)),
     // Multi-way star join + multi-dim aggregation (beyond the reference's
     // 2-table joins)
     "j1_star_revenue"        -> ((s, d) => dbl(StarJoin.revenueByNation(s, d))),
@@ -197,6 +199,11 @@ object SparkEntry {
         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_bal
         |FROM customer GROUP BY 1""".stripMargin,
+    "s8_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
+    "s9_orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part""".stripMargin,
     // pure-DDL lifecycle: the surviving SHOW TABLES row is a literal
     "d3_ddl_lifecycle" ->
       """SELECT 'graft_ddl_q' AS namespace, 'quotes_part' AS tableName,

@@ -81,6 +81,33 @@ object Sources {
         col("n_regionkey").cast("int"))
   }
 
+  /** Driver-visible JSONL round-trip — JSON-lines is THE training-data
+    * interchange format, so the library proves documents survive it
+    * verbatim: write (doc_id, lang, text) as JSONL, scan back with a
+    * DECLARED schema (one pass; inference would cost a second). JSON
+    * string escaping round-trips unicode and quotes exactly, so the
+    * plain `SELECT` oracle applies. */
+  def jsonlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "documents_jsonl")
+    testTable(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text")
+      .write.mode("overwrite").json(dir)
+    spark.read.schema(StructType.fromDDL(
+        "doc_id LONG, lang STRING, text STRING"))
+      .json(dir)
+  }
+
+  /** Driver-visible ORC round-trip (the third columnar format next to
+    * parquet and the CSV/JSONL text forms): `part` through ORC verbatim.
+    * ORC stores the same logical types, so values survive bit-exactly
+    * and the plain `SELECT` oracle applies. */
+  def orcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "part_orc")
+    testTable(spark, sfDir, "part")
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+  }
+
   /** Driver-visible S7 (scale form) + S2: `customer` split across 4 CSV
     * part-files, one declared-schema directory scan, aggregated per market
     * segment. The aggregate (exact decimal sum → double) proves the
