@@ -267,18 +267,21 @@ object TextAnalysis {
   /** Vocabulary build: the K most frequent tokens with a deterministic
     * (count desc, token asc) tie-break — the table a tokenizer/stopword
     * pipeline derives first. Counting is partial+final hash aggregation
-    * on the token; only the final top-K pass is a single-partition sort
-    * of the (already tiny) candidate set. */
+    * on the token; the top-K is `orderBy().limit(k)`, which Catalyst
+    * plans as TakeOrderedAndProject — each partition keeps its own k
+    * best and only those reach the driver-side merge, so there is NO
+    * global sort of the distinct-token table (a billion-row full sort
+    * at 100 TB). The rank window then runs over exactly k rows. */
   def vocabTopK(spark: SparkSession, sfDir: String,
       k: Int = 100): DataFrame = {
     val counts = Sources.testTable(spark, sfDir, "documents")
       .select(explode(Dedup.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+    val topk = counts
+      .orderBy(col("n_occurrences").desc, col("token").asc).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_occurrences").desc, col("token").asc)
-    counts
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topk.withColumn("rank", row_number().over(w))
   }
 
   /** Deterministic train/validation split by content hash — the standard
