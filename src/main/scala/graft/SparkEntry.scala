@@ -58,6 +58,7 @@ object SparkEntry {
     "d1_catalog_roundtrip"   -> ((s, d) => dbl(Ddl.catalogRoundTrip(s, d))),
     "d2_writeto_roundtrip"   -> ((s, d) => dbl(Ddl.writeToRoundTrip(s, d))),
     "d3_ddl_lifecycle"       -> ((s, d) => Ddl.ddlLifecycle(s, d)),
+    "d4_bucketed_join"       -> ((s, d) => Ddl.bucketedJoin(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -204,6 +205,12 @@ object SparkEntry {
     "s9_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part""".stripMargin,
+    "d4_bucketed_join" ->
+      """SELECT o_custkey, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     // pure-DDL lifecycle: the surviving SHOW TABLES row is a literal
     "d3_ddl_lifecycle" ->
       """SELECT 'graft_ddl_q' AS namespace, 'quotes_part' AS tableName,

@@ -99,6 +99,33 @@ object Ddl {
     spark.table("graft_lake.silver_market_trend")
   }
 
+  /** Driver-visible bucketed-layout round-trip: both fact tables written
+    * `bucketBy(8, key)` + sorted, then joined and aggregated. Values must
+    * survive the bucketed write bit-exactly (the plain-join oracle checks
+    * that); the zero-exchange JOIN PLAN the layout buys is pinned
+    * separately in ScaleJoinSpec — here AQE is free to broadcast at this
+    * tiny scale. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Deterministic.sumExact
+    createDatabase(spark, "graft_lake")
+    graft.sources.Sinks.bucketed(
+      graft.sources.Sources.testTable(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")),
+      "graft_lake.lineitem_bucketed", Seq("l_orderkey"), 8)
+    graft.sources.Sinks.bucketed(
+      graft.sources.Sources.testTable(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+      "graft_lake.orders_bucketed", Seq("o_orderkey"), 8)
+    spark.table("graft_lake.lineitem_bucketed")
+      .join(spark.table("graft_lake.orders_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sumExact(col("l_quantity")).cast("double"), 6)
+          .as("total_qty"))
+  }
+
   /** Driver-visible D1-D4 lifecycle: create database, create two tables
     * (one PARTITIONED BY — the `financial_dl_bronze.py:14-29` shape), drop
     * one, SHOW TABLES. The surviving catalog row is a literal, so the
