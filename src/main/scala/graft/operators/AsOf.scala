@@ -20,18 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** Attribution query: for every click, the user's most recent view at
-    * or before it ((ts, event_id) order), NULL when none precedes. */
-  def lastViewBeforeClick(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
-      .filter(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("us"),
-        (col("event_type") === "view").as("is_view"))
+  /** Core transform over a tagged frame (user_id, event_id, us, is_view):
+    * each non-view row gets the most recent view at-or-before it in
+    * (us, event_id) order — at equal timestamps, rows with a smaller id
+    * are "before". Exposed for fixture-level semantics specs. */
+  private[graft] def lastViewCore(tagged: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("lv",
+    tagged.withColumn("lv",
         max(when(col("is_view"), struct(col("us"), col("event_id"))))
           .over(w))
       .filter(!col("is_view"))
@@ -39,4 +36,14 @@ object AsOf {
         col("lv.event_id").as("view_id"),
         (col("us") - col("lv.us")).as("gap_us"))
   }
+
+  /** Attribution query: for every click, the user's most recent view at
+    * or before it ((ts, event_id) order), NULL when none precedes. */
+  def lastViewBeforeClick(spark: SparkSession, sfDir: String): DataFrame =
+    lastViewCore(
+      graft.streaming.Streaming.eventsBatch(spark, sfDir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("event_type") === "view").as("is_view")))
 }

@@ -44,6 +44,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("as-of semantics: most recent view, NULL before any view, tie by id") {
+    import spark.implicits._
+    // (user, event_id, us, is_view)
+    val tagged = Seq(
+      (1L, 10L, 100L, true),  // view
+      (1L, 12L, 120L, true),  // more recent view
+      (1L, 11L, 150L, false), //   click → view 12 (most recent wins)
+      (1L, 13L, 200L, false), //   click → view 12 still
+      (2L, 20L, 50L, false),  //   click with NO preceding view → NULL
+      (3L, 30L, 300L, true),  // tie: view id < click id at equal ts
+      (3L, 31L, 300L, false), //   click → view 30 (gap 0)
+      (3L, 33L, 300L, true),  // tie: view id > click id at equal ts
+      (3L, 32L, 300L, false)  //   click → still view 30 (33 is "after")
+    ).toDF("user_id", "event_id", "us", "is_view")
+    val out = graft.operators.AsOf.lastViewCore(tagged)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(11L) == (Some(12L), Some(30L)))
+    assert(out(13L) == (Some(12L), Some(80L)))
+    assert(out(20L) == (None, None))
+    assert(out(31L) == (Some(30L), Some(0L)))
+    assert(out(32L) == (Some(30L), Some(0L)))
+  }
+
   test("stateful sessionize equals the window-function sessionize") {
     val a = Streaming.sessionizeBatch(spark, TestSpark.sf)
       .select("user_id", "session_id", "n_events", "duration_us")
