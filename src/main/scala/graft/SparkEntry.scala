@@ -94,6 +94,7 @@ object SparkEntry {
     // LLM-pipeline extensions: multimodal columns
     "h1_media_metadata"      -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "h2_media_features"      -> ((s, d) => Multimodal.extractFeatures(s, d)),
+    "h3_wav_decode"          -> ((s, d) => Multimodal.wavDecode(s, d)),
     // Streaming over events (reference declared-but-unbuilt, SURVEY.md
     // §2.10; windowed agg batch+stream share one plan, sessionize in both
     // window-function and flatMapGroupsWithState forms)
@@ -935,6 +936,21 @@ object SparkEntry {
         |  CAST((doc_id % 16 + 1) * 64 AS INTEGER) AS width,
         |  CAST((doc_id % 9 + 1) * 64 AS INTEGER) AS height,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    // h3: a REAL RIFF/WAVE parse of deterministically synthesized PCM —
+    // every decoded field is an arithmetic function of doc_id, so the
+    // oracle recomputes what the binary parser must extract
+    "h3_wav_decode" ->
+      """SELECT doc_id,
+        |  1 AS channels,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+        |  8 AS bits_per_sample,
+        |  CAST(64 + (doc_id % 128) AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(
+        |      range(0, CAST(64 + (doc_id % 128) AS INTEGER)),
+        |      i -> (7 * i + doc_id) % 256)) AS INTEGER) AS peak,
+        |  round(CAST(64 + (doc_id % 128) AS DOUBLE) * 1000.0 /
+        |    CAST(8000 + (doc_id % 8) * 1000 AS DOUBLE), 6) AS duration_ms
         |FROM documents""".stripMargin,
     // h2: FakeDecoder (Multimodal.scala) is pure arithmetic over the
     // payload bytes — mean byte via the hex expansion of the UTF-8

@@ -9,13 +9,17 @@ import graft.sources.Sources
   * metadata, and decode / feature-extract / resize / frame-sample stages as
   * per-partition batch transforms.
   *
-  * The container has no image/audio codecs, so the DECODE step is stubbed
-  * behind [[DecodeBackend]] with a deterministic fake ([[FakeDecoder]]) —
-  * but everything Spark-side is real and tested: the binary+struct schema,
-  * the typed `Dataset[MediaRow]` encoder, the `mapPartitions` batch shape
-  * (one backend instance per partition, streaming iterator — the Scala
-  * analog of PySpark's `mapInPandas` batching), and the partitioning
-  * contract (narrow transform, no shuffle; scale comes from input splits).
+  * The container has no image/audio codec LIBRARIES, so the generic decode
+  * seam is stubbed behind [[DecodeBackend]] with a deterministic fake
+  * ([[FakeDecoder]]) — but everything Spark-side is real and tested: the
+  * binary+struct schema, the typed `Dataset[MediaRow]` encoder, the
+  * `mapPartitions` batch shape (one backend instance per partition,
+  * streaming iterator — the Scala analog of PySpark's `mapInPandas`
+  * batching), and the partitioning contract (narrow transform, no shuffle;
+  * scale comes from input splits). And for the one format that needs no
+  * library at all — RIFF/WAVE PCM is pure byte arithmetic — the decode is
+  * REAL: [[parseWav]] chunk-walks synthesized-but-valid WAV payloads
+  * end-to-end (h3, oracle-checked).
   */
 object Multimodal {
 
@@ -106,4 +110,90 @@ object Multimodal {
         element_at(col("frame_offsets"), 1).as("first_offset"),
         element_at(col("frame_offsets"), -1).as("last_offset"),
         col("thumb_w"), col("thumb_h"))
+
+  // ------------------------------------------------------------------ WAV
+
+  /** REAL binary decode, no codec library needed: canonical RIFF/WAVE
+    * PCM is pure byte arithmetic, so this corner of the multimodal
+    * pipeline runs an actual format parser end-to-end — synthesize a
+    * valid WAV per document (deterministic: every field derives from
+    * doc_id), then parse it back through the same mapPartitions seam the
+    * stubbed decoder uses. The parser is not a toy: it validates the
+    * RIFF/WAVE magic and WALKS the chunk list (skipping unknown chunks,
+    * honoring the word-aligned padding rule) rather than assuming the
+    * canonical 44-byte layout. */
+  final case class WavMeta(
+      doc_id: Long, channels: Int, sample_rate: Int, bits_per_sample: Int,
+      n_samples: Long, peak: Int)
+
+  /** 8-bit mono PCM: rate = 8000 + (doc_id%8)·1000, n = 64 + (doc_id%128)
+    * samples, sample(i) = (7i + doc_id) mod 256. */
+  private[graft] def synthWav(docId: Long): Array[Byte] = {
+    val rate = 8000 + (docId % 8).toInt * 1000
+    val n = 64 + (docId % 128).toInt
+    val pad = n & 1 // RIFF chunks are word-aligned: pad odd data sizes
+    val bb = java.nio.ByteBuffer.allocate(44 + n + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate) // byte rate = rate (8-bit mono)
+      .putShort(1).putShort(8) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) { bb.put(((7L * i + docId) % 256).toByte); i += 1 }
+    bb.array() // allocate() zero-fills, so the pad byte (if any) is 0
+  }
+
+  /** Chunk-walking RIFF parser. Throws on malformed input — a real
+    * pipeline routes failures to a quarantine, not to silent nulls. */
+  private[graft] def parseWav(docId: Long, bytes: Array[Byte]): WavMeta = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val a = new Array[Byte](n); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(ascii(4) == "RIFF", "not a RIFF file")
+    bb.getInt // riff size
+    require(ascii(4) == "WAVE", "not a WAVE file")
+    var channels, rate, bits = -1
+    var nSamples = -1L
+    var peak = 0
+    while (bb.remaining() >= 8) {
+      val id = ascii(4)
+      val size = bb.getInt
+      // chunks are word-aligned; clamp for writers that omit the final pad
+      val next = math.min(bb.position() + size + (size & 1), bb.limit())
+      id match {
+        case "fmt " =>
+          require(bb.getShort() == 1, "not PCM")
+          channels = bb.getShort()
+          rate = bb.getInt()
+          bb.getInt(); bb.getShort() // byte rate, block align
+          bits = bb.getShort()
+        case "data" =>
+          require(channels > 0 && bits == 8, "fmt must precede 8-bit data")
+          nSamples = size.toLong / channels
+          var i = 0
+          while (i < size) { peak = math.max(peak, bb.get() & 0xFF); i += 1 }
+        case _ => // skip unknown chunk
+      }
+      bb.position(next)
+    }
+    require(nSamples >= 0, "no data chunk")
+    WavMeta(docId, channels, rate, bits, nSamples, peak)
+  }
+
+  /** The h3 query: synthesize → REALLY parse, per partition. */
+  def wavDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => parseWav(id, synthWav(id))))
+      .toDF()
+      .withColumn("duration_ms",
+        round(col("n_samples").cast("double") * 1000.0 /
+          col("sample_rate").cast("double"), 6))
+  }
 }

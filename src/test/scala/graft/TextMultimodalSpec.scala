@@ -121,6 +121,32 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("wav parser: chunk walking skips unknown chunks, rejects malformed") {
+    import graft.operators.Multimodal.{parseWav, synthWav}
+    val m = parseWav(5L, synthWav(5L))
+    assert(m.channels == 1 && m.bits_per_sample == 8)
+    assert(m.sample_rate == 8000 + 5 * 1000)
+    assert(m.n_samples == 64 + 5)
+    // inject an unknown LIST chunk between fmt and data: a chunk-walking
+    // parser must skip it; a fixed-44-byte-offset parser would break
+    val wav = synthWav(5L)
+    val extra = java.nio.ByteBuffer
+      .allocate(wav.length + 12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(wav, 0, 36) // RIFF..fmt chunk end
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII"))
+    extra.put(wav, 36, wav.length - 36)
+    // patch the RIFF size for the inserted 12 bytes
+    val bytes = extra.array()
+    val riffSize = java.nio.ByteBuffer.wrap(bytes, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riffSize.putInt(riffSize.getInt(4) + 12)
+    assert(parseWav(5L, bytes) == m)
+    intercept[IllegalArgumentException] {
+      parseWav(0L, "JUNKJUNKJUNKJUNK".getBytes("US-ASCII"))
+    }
+  }
+
   test("media table: payload is a real binary column matching text bytes") {
     val m = Multimodal.mediaTable(spark, TestSpark.sf)
     assert(m.schema("payload").dataType.typeName == "binary")
