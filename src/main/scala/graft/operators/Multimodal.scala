@@ -163,10 +163,16 @@ object Multimodal {
     while (bb.remaining() >= 8) {
       val id = ascii(4)
       val size = bb.getInt
+      // malformed sizes must RAISE, not hang or underflow: a negative
+      // size would seek backwards (infinite loop), an oversized one past
+      // the buffer
+      require(size >= 0 && size <= bb.remaining(),
+        s"chunk '$id' declares $size bytes, ${bb.remaining()} remain")
       // chunks are word-aligned; clamp for writers that omit the final pad
       val next = math.min(bb.position() + size + (size & 1), bb.limit())
       id match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size")
           require(bb.getShort() == 1, "not PCM")
           channels = bb.getShort()
           rate = bb.getInt()
@@ -185,12 +191,14 @@ object Multimodal {
     WavMeta(docId, channels, rate, bits, nSamples, peak)
   }
 
-  /** The h3 query: synthesize → REALLY parse, per partition. */
+  /** The h3 query: synthesize → REALLY parse. Plain `map` — unlike
+    * [[extractFeatures]] there is no per-partition codec init to
+    * amortize, so the simpler narrow transform is the honest shape. */
   def wavDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Sources.testTable(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => parseWav(id, synthWav(id))))
+      .map(id => parseWav(id, synthWav(id)))
       .toDF()
       .withColumn("duration_ms",
         round(col("n_samples").cast("double") * 1000.0 /

@@ -145,6 +145,17 @@ class TextMultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       parseWav(0L, "JUNKJUNKJUNKJUNK".getBytes("US-ASCII"))
     }
+    // negative chunk size must RAISE (a backwards seek would loop forever)
+    val neg = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    neg.put("RIFF".getBytes("US-ASCII")).putInt(12)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("XXXX".getBytes("US-ASCII")).putInt(-8)
+    intercept[IllegalArgumentException] { parseWav(0L, neg.array()) }
+    // truncated data chunk must raise the contract exception too
+    intercept[IllegalArgumentException] {
+      parseWav(5L, synthWav(5L).dropRight(10))
+    }
   }
 
   test("media table: payload is a real binary column matching text bytes") {
