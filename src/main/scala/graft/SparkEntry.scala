@@ -130,6 +130,12 @@ object SparkEntry {
       ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "j2_json_props" ->
       ((s, d) => SemiStructured.jsonPropsStats(s, d)),
+    // Transactional table format (the reference's Delta layer re-expressed
+    // as a log-backed parquet protocol — atomic commits, time travel,
+    // file-pruned MERGE/DELETE)
+    "t1_graftlog_time_travel" -> ((s, d) => Transactions.timeTravelV0(s, d)),
+    "t2_graftlog_merge"       -> ((s, d) => Transactions.mergedV1(s, d)),
+    "t3_graftlog_delete"      -> ((s, d) => Transactions.afterDelete(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -216,6 +222,16 @@ object SparkEntry {
     "d3_ddl_lifecycle" ->
       """SELECT 'graft_ddl_q' AS namespace, 'quotes_part' AS tableName,
         |  FALSE AS isTemporary""".stripMargin,
+    // GraftLog: v0 time travel reproduces the seed table untouched; the
+    // merged v1 is by-value identical to the relational upsert (c4); the
+    // delete version is the anti-filter
+    "t1_graftlog_time_travel" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+    "t2_graftlog_merge" -> baseOracle("c4_upsert"),
+    "t3_graftlog_delete" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
   )
 
   private val windowedAggOracle: String =

@@ -1,0 +1,386 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Minimal log-backed transactional table format on parquet — the working
+  * analog of the reference's Delta Lake layer (the environment ships no
+  * Delta jars, SURVEY.md §7.4), closing the one capability the parquet
+  * shims in [[Sinks]] could not give: atomic commits, versioned reads and
+  * a file-pruned MERGE. Reference behaviors mirrored:
+  * `scratchpads/financial_dl_etl.py:42,66,81,99` (overwrite / merge
+  * cycles on a Delta table), `mage_demo/utils/spark_session_factory.py:70-71`
+  * (Delta-enabled session).
+  *
+  * == Layout ==
+  * {{{
+  *   <table>/_graft_log/00000000000000000000.json   // commit v0
+  *   <table>/_graft_log/00000000000000000001.json   // commit v1 ...
+  *   <table>/_data/<uuid>/part-*.parquet            // immutable data files
+  * }}}
+  * Each commit is a single JSON object: the schema (as Spark DDL), the
+  * files it adds and the files it removes relative to the table root. The
+  * table state at version v is the replay of commits 0..v — data files are
+  * immutable and never rewritten in place, so every historical version
+  * stays readable until [[vacuum]] drops it.
+  *
+  * == Atomicity / concurrency ==
+  * A commit becomes visible in one atomic put-if-absent of its log file
+  * (never a partially-written one: content is fully written to a hidden
+  * temp name first). On `file:` paths that is a hard link
+  * (`Files.createLink` — atomic, fails with EEXIST if the version was
+  * taken); on cluster filesystems it is `FileSystem.rename`, which on
+  * HDFS is an atomic no-overwrite rename. A losing writer surfaces as
+  * [[GraftLog.CommitConflictException]] — optimistic concurrency exactly
+  * like the Delta protocol's.
+  *
+  * == Scale ==
+  * The log holds file names and a schema string — metadata, never data.
+  * MERGE and DELETE prune at file granularity: only files that actually
+  * contain matching keys are rewritten (found with a broadcast left-semi
+  * probe over `input_file_name()`, so the target table never shuffles);
+  * untouched files are carried into the new version by reference. At
+  * 100 TB a merge of a small batch rewrites a handful of files, not the
+  * table.
+  */
+object GraftLog {
+
+  final class CommitConflictException(version: Long, table: String)
+    extends RuntimeException(
+      s"concurrent commit: version $version of $table was already written")
+
+  /** One log entry. `add`/`remove` are table-root-relative paths. */
+  case class Commit(version: Long, operation: String, add: Seq[String],
+      remove: Seq[String], schemaDdl: String, timestampMs: Long)
+
+  private val LogDirName  = "_graft_log"
+  private val DataDirName = "_data"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logName(v: Long): String = f"$v%020d.json"
+
+  // ---------------------------------------------------------------- JSON
+  // The commit schema is four scalars and two string arrays; writing is a
+  // hand-rolled escaper and parsing goes through Jackson's tree model
+  // (jackson-databind ships with Spark) — no extra dependencies.
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.result()
+  }
+
+  private def toJson(c: Commit): String = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"")
+      .mkString("[", ",", "]")
+    s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
+      s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
+      s""""schemaDdl":"${esc(c.schemaDdl)}","timestampMs":${c.timestampMs}}"""
+  }
+
+  private def fromJson(s: String): Commit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper
+    val n = m.readTree(s)
+    def arr(f: String): Seq[String] = {
+      val a = n.get(f)
+      (0 until a.size()).map(a.get(_).asText())
+    }
+    Commit(n.get("version").asLong(), n.get("operation").asText(),
+      arr("add"), arr("remove"), n.get("schemaDdl").asText(),
+      n.get("timestampMs").asLong())
+  }
+
+  // ------------------------------------------------------------- protocol
+
+  /** All committed versions, ascending (missing dir → empty). */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = new HPath(table, LogDirName)
+    val f = fs(spark, table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+  }
+
+  def latestVersion(spark: SparkSession, table: String): Option[Long] =
+    versions(spark, table).lastOption
+
+  private def readCommit(spark: SparkSession, table: String,
+      v: Long): Commit = {
+    val p = new HPath(new HPath(table, LogDirName), logName(v))
+    val in = fs(spark, table).open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      fromJson(new String(bytes.toByteArray, "UTF-8"))
+    } finally in.close()
+  }
+
+  /** Atomic put-if-absent of the commit file; the payload is complete on
+    * disk (hidden temp name) before it becomes visible under the version
+    * name, so a reader can never observe a torn commit. */
+  private[graft] def writeCommit(spark: SparkSession, table: String,
+      c: Commit): Unit = {
+    val logDir = new HPath(table, LogDirName)
+    val f = fs(spark, table)
+    f.mkdirs(logDir)
+    val tmp = new HPath(logDir, s".${UUID.randomUUID()}.json.tmp")
+    val out = f.create(tmp, false)
+    try out.write(toJson(c).getBytes("UTF-8")) finally out.close()
+    val target = new HPath(logDir, logName(c.version))
+    val committed =
+      if (f.getScheme == "file") {
+        // RawLocalFileSystem.rename is POSIX rename(2) — it silently
+        // REPLACES an existing destination, which would let two writers
+        // both believe they own the version. A hard link is the local
+        // put-if-absent: atomic, EEXIST if the version is taken.
+        try {
+          Files.createLink(Paths.get(target.toUri.getPath),
+            Paths.get(tmp.toUri.getPath))
+          f.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            f.delete(tmp, false); false
+        }
+      } else {
+        // HDFS rename: atomic, returns false when the destination exists.
+        val ok = f.rename(tmp, target)
+        if (!ok) f.delete(tmp, false)
+        ok
+      }
+    if (!committed) throw new CommitConflictException(c.version, table)
+  }
+
+  /** Live file set (table-root-relative) + schema after replaying
+    * commits 0..asOf (or all). */
+  def snapshot(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): (Seq[String], StructType) = {
+    val all = versions(spark, table)
+    require(all.nonEmpty, s"$table is not a GraftLog table (no $LogDirName)")
+    val upTo = asOf match {
+      case Some(v) =>
+        require(all.contains(v),
+          s"version $v of $table does not exist (have ${all.mkString(",")})")
+        all.filter(_ <= v)
+      case None => all
+    }
+    val live = mutable.LinkedHashSet.empty[String]
+    var schema: StructType = null
+    upTo.foreach { v =>
+      val c = readCommit(spark, table, v)
+      c.remove.foreach(live -= _)
+      live ++= c.add
+      schema = StructType.fromDDL(c.schemaDdl)
+    }
+    (live.toSeq, schema)
+  }
+
+  /** Read the table at its latest version (or `VERSION AS OF asOf`). An
+    * empty live set still yields a correctly-typed empty frame. */
+  def read(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val (files, schema) = snapshot(spark, table, asOf)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    else spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+  }
+
+  /** `VERSION AS OF n` — the time-travel read. */
+  def readVersion(spark: SparkSession, table: String, v: Long): DataFrame =
+    read(spark, table, Some(v))
+
+  /** Commit history, newest first — the `DESCRIBE HISTORY` analog. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val rows = versions(spark, table).map(readCommit(spark, table, _))
+      .map(c => (c.version, c.operation, c.add.size, c.remove.size,
+        new java.sql.Timestamp(c.timestampMs)))
+    spark.createDataFrame(rows.reverse)
+      .toDF("version", "operation", "n_added_files", "n_removed_files",
+        "timestamp")
+  }
+
+  // ------------------------------------------------------------ mutations
+
+  /** Write `df`'s rows into a fresh immutable data dir, return the
+    * relative paths of the files produced. */
+  private def stageData(df: DataFrame, table: String): Seq[String] = {
+    val rel = s"$DataDirName/${UUID.randomUUID()}"
+    val dir = s"$table/$rel"
+    df.write.parquet(dir)
+    val f = fs(df.sparkSession, table)
+    f.listStatus(new HPath(dir)).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .sorted.map(n => s"$rel/$n")
+  }
+
+  private def nextVersion(spark: SparkSession, table: String): Long =
+    latestVersion(spark, table).map(_ + 1).getOrElse(0L)
+
+  /** Atomic overwrite: readers see the old snapshot until the single
+    * commit-file link flips them to the new one — no window where the
+    * table is empty or mixed (the failure mode of a recursive
+    * delete-then-write on plain parquet dirs). */
+  def overwrite(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val prior =
+      if (versions(spark, table).isEmpty) Seq.empty[String]
+      else snapshot(spark, table)._1
+    val added = stageData(df, table)
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "overwrite", added, prior,
+      df.schema.toDDL, System.currentTimeMillis()))
+    v
+  }
+
+  /** Append: adds files, removes none. */
+  def append(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val added = stageData(df, table)
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "append", added, Seq.empty,
+      df.schema.toDDL, System.currentTimeMillis()))
+    v
+  }
+
+  /** Relative-path tail used to match `input_file_name()` URIs back to
+    * snapshot entries: the `<uuid>/<part-file>` suffix is unique because
+    * every staged dir is a fresh UUID. */
+  private def fileTail(p: String): String =
+    p.split('/').takeRight(2).mkString("/")
+
+  /** Data files of the current snapshot that contain at least one row
+    * matching `probe` (a left-semi broadcast — the table side never
+    * shuffles; the collect is file *names*, metadata-sized). */
+  private def touchedFiles(spark: SparkSession, table: String,
+      files: Seq[String], schema: StructType,
+      probe: DataFrame => DataFrame): Seq[String] = {
+    val withFile = spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+      .withColumn("__gf_file", input_file_name())
+    val tails = probe(withFile).select(col("__gf_file")).distinct()
+      .collect().map(r => fileTail(r.getString(0))).toSet
+    files.filter(f => tails.contains(fileTail(f)))
+  }
+
+  /** MERGE INTO-equivalent upsert (when matched update all, when not
+    * matched insert all), the reference's Delta merge pattern. `source`
+    * must carry the target schema; `keys` are the match columns; a key
+    * must appear at most once in `source` (Delta's own precondition).
+    *
+    * Only files containing a matched key are rewritten; everything else
+    * is carried by reference. The rewrite joins ONLY those files' rows
+    * against the broadcast source. */
+  def merge(source: DataFrame, table: String, keys: Seq[String]): Long = {
+    val spark = source.sparkSession
+    val (files, schema) = snapshot(spark, table)
+    require(source.columns.map(_.toLowerCase).sorted
+        .sameElements(schema.fieldNames.map(_.toLowerCase).sorted),
+      "merge source must carry the target schema")
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val touched = touchedFiles(spark, table, files, schema,
+      df => df.join(broadcast(srcKeys), keys, "left_semi"))
+
+    val dataCols = schema.fieldNames.filterNot(keys.contains)
+    val marked = source.select(
+      keys.map(col) ++
+        dataCols.map(c => col(c).as(s"__s_$c")) :+
+        lit(true).as("__s_matched"): _*)
+
+    val updated = if (touched.isEmpty) None else {
+      val t = spark.read.schema(schema)
+        .parquet(touched.map(f => s"$table/$f"): _*)
+      Some(t.join(broadcast(marked), keys, "left_outer")
+        .select(schema.fieldNames.map { c =>
+          if (keys.contains(c)) col(c)
+          else when(col("__s_matched"), col(s"__s_$c")).otherwise(col(c))
+            .as(c)
+        }: _*))
+    }
+    // a source key matching ANY target row makes its file touched, so
+    // "not matched in the touched files" == "not matched in the table"
+    val inserts = {
+      val touchedKeys =
+        if (touched.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(schema.fields.filter(f => keys.contains(f.name))))
+        else spark.read.schema(schema)
+          .parquet(touched.map(f => s"$table/$f"): _*)
+          .select(keys.map(col): _*)
+      source.join(touchedKeys, keys, "left_anti")
+        .select(schema.fieldNames.map(col): _*)
+    }
+    val rewritten = updated.map(_.unionByName(inserts)).getOrElse(inserts)
+    val added = stageData(rewritten, table)
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, new Commit(v, "merge", added, touched,
+      schema.toDDL, System.currentTimeMillis()))
+    v
+  }
+
+  /** Predicate DELETE, file-pruned like [[merge]]: files with no matching
+    * row are untouched; matching files are rewritten without the rows. */
+  def delete(spark: SparkSession, table: String, predicate: Column): Long = {
+    val (files, schema) = snapshot(spark, table)
+    val touched = touchedFiles(spark, table, files, schema,
+      _.filter(predicate))
+    val added = if (touched.isEmpty) Seq.empty[String] else {
+      val kept = spark.read.schema(schema)
+        .parquet(touched.map(f => s"$table/$f"): _*)
+        .filter(!predicate)
+      stageData(kept, table)
+    }
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, new Commit(v, "delete", added, touched,
+      schema.toDDL, System.currentTimeMillis()))
+    v
+  }
+
+  /** Drop data files referenced only by versions older than
+    * `retainVersions` back from latest, then drop those log entries.
+    * Version-count retention instead of Delta's wall-clock retention so
+    * tests are deterministic; the protocol is the same (vacuumed
+    * versions stop being time-travelable). */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int): Unit = {
+    val all = versions(spark, table)
+    if (all.size <= retainVersions) return
+    val keep = all.takeRight(retainVersions)
+    val needed = keep.flatMap(v => snapshot(spark, table, Some(v))._1).toSet
+    val f = fs(spark, table)
+    val dataDir = new HPath(table, DataDirName)
+    if (f.exists(dataDir)) {
+      f.listStatus(dataDir).foreach { d =>
+        f.listStatus(d.getPath).foreach { file =>
+          val rel = s"$DataDirName/${d.getPath.getName}/${file.getPath.getName}"
+          if (!needed.contains(rel)) f.delete(file.getPath, false)
+        }
+        if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false)
+      }
+    }
+    all.dropRight(retainVersions).foreach { v =>
+      f.delete(new HPath(new HPath(table, LogDirName), logName(v)), false)
+    }
+  }
+}

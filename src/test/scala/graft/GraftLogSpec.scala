@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftLog
+
+class GraftLogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_log_spec_").resolve("t").toString
+
+  private def df(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+
+  test("overwrite/append/read roundtrip + history") {
+    val t = tmp()
+    assert(GraftLog.overwrite(df(0 until 10, "a"), t) == 0L)
+    assert(GraftLog.append(df(10 until 15, "b"), t) == 1L)
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 15)
+    assert(back.filter($"tag" === "b").count() == 5)
+    val h = GraftLog.history(spark, t).collect()
+    assert(h.map(_.getString(1)).toSeq == Seq("append", "overwrite"))
+  }
+
+  test("time travel: every version stays readable after overwrite") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "v0"), t)
+    GraftLog.overwrite(df(0 until 3, "v1"), t)
+    assert(GraftLog.readVersion(spark, t, 0L).count() == 10)
+    assert(GraftLog.readVersion(spark, t, 1L).count() == 3)
+    assert(GraftLog.read(spark, t).count() == 3)
+    // immutability: v0's data files still on disk after the overwrite
+    val (v0Files, _) = GraftLog.snapshot(spark, t, Some(0L))
+    v0Files.foreach(f => assert(Files.exists(Paths.get(s"$t/$f")), f))
+  }
+
+  test("merge rewrites only files containing matched keys") {
+    val t = tmp()
+    // three appends with disjoint key ranges -> three separate data files
+    GraftLog.overwrite(df(0 until 10, "a").coalesce(1), t)
+    GraftLog.append(df(10 until 20, "b").coalesce(1), t)
+    GraftLog.append(df(20 until 30, "c").coalesce(1), t)
+    val (before, _) = GraftLog.snapshot(spark, t)
+    assert(before.size == 3)
+    // source touches only the middle file's keys, plus one insert
+    val src = Seq((12L, "UPD"), (99L, "NEW")).toDF("id", "tag")
+    GraftLog.merge(src, t, Seq("id"))
+    val (after, _) = GraftLog.snapshot(spark, t)
+    // files 1 and 3 carried by reference; file 2 replaced
+    assert(after.contains(before(0)) && after.contains(before(2)))
+    assert(!after.contains(before(1)))
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 31)
+    assert(back.filter($"id" === 12L).select("tag").as[String].head() == "UPD")
+    assert(back.filter($"id" === 99L).count() == 1)
+    assert(back.filter($"id" === 11L).select("tag").as[String].head() == "b")
+  }
+
+  test("merge with no matched keys is insert-only") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "a"), t)
+    GraftLog.merge(Seq((100L, "n")).toDF("id", "tag"), t, Seq("id"))
+    assert(GraftLog.read(spark, t).count() == 6)
+  }
+
+  test("merge rejects a source with a different schema") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "a"), t)
+    intercept[IllegalArgumentException] {
+      GraftLog.merge(Seq((1L, "x", 1.0)).toDF("id", "tag", "extra"), t,
+        Seq("id"))
+    }
+  }
+
+  test("concurrent commit of the same version loses with a conflict") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "a"), t)
+    val c = GraftLog.Commit(1L, "append", Seq.empty, Seq.empty,
+      "id BIGINT", 0L)
+    GraftLog.writeCommit(spark, t, c)
+    intercept[GraftLog.CommitConflictException] {
+      GraftLog.writeCommit(spark, t, c)
+    }
+    // and no torn/temp files left behind in the log dir
+    val logs = new java.io.File(s"$t/_graft_log").listFiles().map(_.getName)
+    assert(logs.forall(_.matches("\\d{20}\\.json")), logs.mkString(","))
+  }
+
+  test("delete is file-pruned and drops exactly the matching rows") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a").coalesce(1), t)
+    GraftLog.append(df(10 until 20, "b").coalesce(1), t)
+    val (before, _) = GraftLog.snapshot(spark, t)
+    GraftLog.delete(spark, t, $"id" >= 15L)
+    val (after, _) = GraftLog.snapshot(spark, t)
+    assert(after.contains(before(0)))          // untouched file carried over
+    assert(!after.contains(before(1)))
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 15)
+    assert(back.agg(max($"id")).as[Long].head() == 14L)
+  }
+
+  test("vacuum drops old versions but keeps the retained ones readable") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "v0"), t)
+    GraftLog.overwrite(df(0 until 5, "v1"), t)
+    GraftLog.overwrite(df(0 until 2, "v2"), t)
+    GraftLog.vacuum(spark, t, retainVersions = 2)
+    assert(GraftLog.versions(spark, t) == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      GraftLog.readVersion(spark, t, 0L)
+    }
+    assert(GraftLog.readVersion(spark, t, 1L).count() == 5)
+    assert(GraftLog.read(spark, t).count() == 2)
+  }
+
+  test("delete-everything leaves a readable typed empty table") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 4, "a"), t)
+    GraftLog.delete(spark, t, lit(true))
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag"))
+  }
+}
