@@ -71,9 +71,11 @@ object SparkEntry {
     "j4_revenue_pivot"       -> ((s, d) => StarJoin.revenuePivot(s, d)),
     "j5_asof_last_view"      -> ((s, d) => AsOf.lastViewBeforeClick(s, d)),
     "j6_session_attach"      -> ((s, d) => Joins.sessionAttach(s, d)),
+    "j7_salted_skew_join"    -> ((s, d) => Joins.saltedFlagRollup(s, d)),
     // LLM-pipeline extensions: deduplication (SURVEY.md §7.6)
     "e1_dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "e7_dedup_ngram_full"       -> ((s, d) => Dedup.ngramJaccardFull(s, d)),
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -88,6 +90,8 @@ object SparkEntry {
     "g3_lang_id"             -> ((s, d) => TextAnalysis.langId(s, d)),
     "g4_fingerprint"         -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "g5_corpus_stats"        -> ((s, d) => TextAnalysis.corpusStats(s, d)),
+    "g13_corpus_stats_sketch" ->
+      ((s, d) => TextAnalysis.corpusStatsSketch(s, d, KmvK)),
     "g6_quality_filter"      -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "g7_pii_scrub"           -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "g8_contamination"       -> ((s, d) => TextAnalysis.contamination(s, d)),
@@ -233,6 +237,26 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
   )
+
+  /** Shared e2/e7 oracle: exact all-pairs n-gram Jaccard over doc_id <
+    * bound, with the bound surfaced in the result like the Spark side. */
+  private def ngramJaccardOracle(bound: Long, lit: String): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |        FROM documents WHERE doc_id < $bound)
+       |  WHERE len(toks) >= 3
+       |)
+       |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard,
+       |  CAST($lit AS BIGINT) AS max_doc_id FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+       |         AS DOUBLE) AS jaccard
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+       |WHERE jaccard >= 0.1""".stripMargin
 
   private val windowedAggOracle: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -594,22 +618,11 @@ object SparkEntry {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "e2_dedup_ngram_jaccard" ->
-      """WITH docs AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |        FROM documents WHERE doc_id < 200)
-        |  WHERE len(toks) >= 3
-        |)
-        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-        |         AS DOUBLE) AS jaccard
-        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
-        |WHERE jaccard >= 0.1""".stripMargin,
+    "e2_dedup_ngram_jaccard" -> ngramJaccardOracle(200, "200"),
+    // e7: the uncapped twin — same inverted-index plan, full corpus; the
+    // sentinel max_doc_id = Long.MaxValue means "uncapped"
+    "e7_dedup_ngram_full" ->
+      ngramJaccardOracle(Long.MaxValue, "9223372036854775807"),
     // e3: the whole LSH pipeline is reproducible because the sketch hash
     // is an md5 slice and the band key is the raw signature slice
     // (SketchExpressions.ShingleMinHash doc) — candidates, verification,
@@ -683,9 +696,11 @@ object SparkEntry {
     "e5_dedup_embedding_cosine" ->
       """WITH n AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |        WHERE vec_id < 4096)
         |)
-        |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM (
+        |SELECT vec_a, vec_b, round(cosine, 6) AS cosine,
+        |  CAST(4096 AS BIGINT) AS max_vec_id FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
@@ -892,6 +907,49 @@ object SparkEntry {
         |)
         |SELECT s.lang, s.source, n_docs, total_tokens, n_distinct_tokens
         |FROM s JOIN d USING (lang, source)""".stripMargin,
+    // g13: g5 with the distinct count carried by the per-group KMV sketch
+    // (the g11 discipline per (lang, source)): the kth-smallest md5-slice
+    // hash is a pure function of the token set, so the approximate
+    // estimate has an exact oracle.
+    "g13_corpus_stats_sketch" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source,
+         |    string_split(lower(text), ' ') AS toks
+         |  FROM documents
+         |), s AS (
+         |  SELECT lang, source, count(*) AS n_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+         |  FROM base GROUP BY 1, 2
+         |), h AS (
+         |  SELECT DISTINCT lang, source,
+         |    CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT AS BIGINT) AS hv
+         |  FROM (SELECT lang, source, unnest(toks) AS tok FROM base)
+         |), r AS (
+         |  SELECT lang, source, hv,
+         |    row_number() OVER (PARTITION BY lang, source ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY lang, source) AS nd
+         |  FROM h
+         |), est AS (
+         |  SELECT lang, source,
+         |    round(CASE WHEN max(nd) < $KmvK THEN CAST(max(nd) AS DOUBLE)
+         |      ELSE ($KmvK - 1) * pow(2.0, 60)
+         |           / CAST(max(CASE WHEN rn = $KmvK THEN hv END) AS DOUBLE)
+         |      END, 6) AS distinct_tokens_est
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT s.lang, s.source, n_docs, total_tokens, distinct_tokens_est
+         |FROM s JOIN est USING (lang, source)""".stripMargin,
+    // j7: the salted join is row-identical to the plain join — the oracle
+    // IS the plain join; the dimension side derives from the data
+    "j7_salted_skew_join" ->
+      """SELECT flag, flag_name, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_qty
+        |FROM lineitem
+        |JOIN (SELECT DISTINCT l_returnflag AS flag,
+        |        'FLAG_' || l_returnflag AS flag_name FROM lineitem) d
+        |  ON l_returnflag = d.flag
+        |GROUP BY 1, 2""".stripMargin,
     "g6_quality_filter" ->
       """WITH c AS (
         |  SELECT doc_id, lang,

@@ -98,9 +98,12 @@ object Dedup {
     * positive), so cost tracks co-occurring pairs, not n²: the same
     * exact answer as the naive all-pairs array-intersect join at a
     * fraction of the work, and every join is a hash-partitioned
-    * equi-join. Bounded to `maxDocId` docs so the DuckDB oracle (which
-    * IS all-pairs) stays cheap; [[minhashLsh]] is the approximate scale
-    * path when even the inverted index is too much. */
+    * equi-join. The id bound is SURFACED in the result (`max_doc_id`
+    * column) so a consumer can never mistake a capped run for full-corpus
+    * coverage; the registered e7 twin runs uncapped. The default cap
+    * exists so the e2 DuckDB oracle (which IS all-pairs) stays cheap;
+    * [[minhashLsh]] is the approximate scale path when even the inverted
+    * index is too much. */
   def ngramJaccard(spark: SparkSession, sfDir: String, n: Int = 3,
       threshold: Double = 0.1, maxDocId: Long = 200): DataFrame = {
     require(threshold > 0.0,
@@ -126,8 +129,16 @@ object Dedup {
         (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+        round(col("jaccard"), 6).as("jaccard"),
+        lit(maxDocId).as("max_doc_id"))
   }
+
+  /** e7 — [[ngramJaccard]] without the id cap: full-corpus exact n-gram
+    * dedup through the inverted index. Same plan shape (the cap was an
+    * oracle-cost concession, not a scale requirement); `max_doc_id`
+    * carries the Long.MaxValue sentinel meaning "uncapped". */
+  def ngramJaccardFull(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccard(spark, sfDir, maxDocId = Long.MaxValue)
 
   // ------------------------------------------------------------- minhash
 
@@ -246,13 +257,20 @@ object Dedup {
     * table — float vectors promoted to double, dot products computed as a
     * strict left fold so the value is engine-independent (matches DuckDB's
     * list_dot_product bit-for-bit). Brute-force O(n²) self-join: correct
-    * baseline and oracle; [[Similarity.lshTopK]] is the sublinear path. */
+    * baseline and oracle; [[embeddingCosineLsh]] is the production path.
+    *
+    * The theta join (`vec_a < vec_b`) plans as a nested-loop over the
+    * FULL corpus — deliberate for a verification baseline, a scale-killer
+    * as a default. The registered query therefore BOUNDS the id range
+    * (`maxVecId`, surfaced in the `max_vec_id` column): the oracle role
+    * is intact on the bounded slice, and the blast radius of running it
+    * against a 100 TB corpus is capped at the bound, not the corpus. */
   def embeddingCosine(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, maxVecId: Long = 4096): DataFrame = {
     // single theta join carrying the vectors: candidates + verification
     // fused — the right shape for the exact baseline, where every pair is
     // scored anyway
-    val e = Similarity.normed(spark, sfDir)
+    val e = Similarity.normed(spark, sfDir).filter(col("vec_id") < maxVecId)
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -261,7 +279,8 @@ object Dedup {
       .withColumn("cosine",
         dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"),
+        lit(maxVecId).as("max_vec_id"))
   }
 
   /** Exact-cosine verification of candidate (vec_a, vec_b) pairs: attach

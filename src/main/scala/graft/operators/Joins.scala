@@ -33,6 +33,27 @@ object Joins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** j7 — [[saltedJoin]] registered against a DELIBERATELY skewed key:
+    * `l_returnflag` takes a handful of values across the whole lineitem
+    * table, so a plain shuffle join drops ~n/3 rows on three tasks — the
+    * classic hot-key stall at scale (one straggler task holds the stage).
+    * Salting fans each hot key over `saltFactor` buckets; the dimension
+    * side (derived from the data, so the oracle needs no literals)
+    * replicates once per salt. Result is row-identical to the plain
+    * join, which is exactly what the oracle runs. */
+  def saltedFlagRollup(spark: SparkSession, sfDir: String,
+      saltFactor: Int = 8): DataFrame = {
+    val large = graft.sources.Sources.testTable(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity"))
+    val dim = large.select(col("flag")).distinct()
+      .withColumn("flag_name", concat(lit("FLAG_"), col("flag")))
+    saltedJoin(large, dim, "flag", saltFactor)
+      .groupBy(col("flag"), col("flag_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(graft.functions.Deterministic.sumExact(col("l_quantity"))
+          .cast("double"), 6).as("total_qty"))
+  }
+
   /** Broadcast-hint helper: the incremental-batch idiom (see
     * [[Incremental]]) as a reusable form. */
   def broadcastJoin(large: DataFrame, small: DataFrame, key: String,

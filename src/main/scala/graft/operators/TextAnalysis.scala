@@ -100,9 +100,10 @@ object TextAnalysis {
   /** Corpus statistics rollup per (lang, source) slice: doc counts, exact
     * token totals, and exact distinct-token cardinality — the reporting
     * query a curation pipeline runs after every filter stage. The distinct
-    * count shuffles (lang, source, token) triples; at 100 TB swap
-    * `countDistinct` for `approx_count_distinct` (HLL) to keep the shuffle
-    * sketch-sized — same plumbing, documented trade-off. */
+    * count shuffles (lang, source, token) triples — the right answer for
+    * the exactness-required report, the wrong default at 100 TB.
+    * [[corpusStatsSketch]] (g13) is the production default: same output
+    * shape with a sketch-sized shuffle. */
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Sources.testTable(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
@@ -115,6 +116,40 @@ object TextAnalysis {
       .groupBy(col("lang"), col("source"))
       .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
     stats.join(distinctToks, Seq("lang", "source"))
+  }
+
+  /** g13 — [[corpusStats]] with the distinct-token cardinality carried by
+    * the KMV sketch ([[graft.functions.KMinValues]]) instead of an exact
+    * `countDistinct`: the production default at scale. The exact path
+    * shuffles every (lang, source, token) triple; here the shuffle
+    * carries one k-long buffer per group per partition (partial
+    * aggregation merges sketches map-side), so the reduce volume is
+    * groups × k × 8 bytes regardless of corpus size. The md5-slice hash
+    * keeps the sketch a pure function of the token set, so the estimate —
+    * an approximation of the cardinality — is itself EXACTLY reproducible
+    * by the DuckDB oracle (the g11 discipline, applied per group). */
+  def corpusStatsSketch(spark: SparkSession, sfDir: String,
+      k: Int = 256): DataFrame = {
+    val base = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        Dedup.tokens(col("text")).as("toks"))
+    val stats = base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("total_tokens"))
+    val est = base
+      .select(col("lang"), col("source"), explode(col("toks")).as("tok"))
+      .select(col("lang"), col("source"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          .as("hv"))
+      .groupBy(col("lang"), col("source"))
+      .agg(graft.functions.KMinValues.kmv_sketch(col("hv"), k).as("kmv"))
+      .select(col("lang"), col("source"),
+        round(
+          when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+              element_at(col("kmv"), k).cast("double")), 6)
+          .as("distinct_tokens_est"))
+    stats.join(est, Seq("lang", "source"))
   }
 
   /** Quality gate: keep documents whose [[qualityScore]] clears the

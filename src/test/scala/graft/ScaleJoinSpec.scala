@@ -49,6 +49,43 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("j7 salted rollup: salt reaches the exchange, result matches plain") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = Joins.saltedFlagRollup(spark, TestSpark.sf)
+      // the candidate-generation shuffle must partition on (flag, __salt) —
+      // the hot key fans out instead of landing on one task
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"no salt in the exchange:\n$plan")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val plain = Sources.testTable(spark, TestSpark.sf, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_items"))
+        .collect()
+        .map(r => (r.getString(0), s"FLAG_${r.getString(0)}", r.getLong(1)))
+        .toSet
+      assert(got == plain && got.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("g13 sketch estimate tracks g5 exact distinct counts") {
+    import graft.operators.TextAnalysis
+    val exact = TextAnalysis.corpusStats(spark, TestSpark.sf)
+      .select("lang", "source", "n_distinct_tokens").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val est = TextAnalysis.corpusStatsSketch(spark, TestSpark.sf)
+      .select("lang", "source", "distinct_tokens_est").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, e) =>
+      val x = exact(k).toDouble
+      // KMV with k=256: relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+      assert(math.abs(e - x) / x <= 0.25, s"$k: est $e vs exact $x")
+    }
+  }
+
   test("session profiles: delta/iceberg absent -> parquet fallback engages") {
     import graft.sessions.Sessions
     assert(!Sessions.formatAvailable(Sessions.DeltaLake))
