@@ -84,6 +84,7 @@ object SparkEntry {
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
     "f3_knn_ivf"             -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "f4_knn_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     // LLM-pipeline extensions: text analysis (SURVEY.md §7.6)
     "g1_token_stats"         -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "g2_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -237,6 +238,34 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
   )
+
+  /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →
+    * per-dimension mean with EXACT decimal sums (mirrors
+    * Deterministic.sumExact — a double sum would be partition-order
+    * dependent on the Spark side) → re-assembled centroid vector c_{i+1}. */
+  private def lloydCtes(iters: Int): String =
+    (0 until iters).map { i =>
+      s"""a$i AS (
+         |  SELECT cent_id, v FROM (
+         |    SELECT x.vec_id, c.cent_id, x.v,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+         |          DESC, c.cent_id) AS crank
+         |    FROM n x CROSS JOIN c$i c)
+         |  WHERE crank = 1
+         |), e$i AS (
+         |  SELECT cent_id, v, unnest(range(0, len(v))) AS pos FROM a$i
+         |), s$i AS (
+         |  SELECT cent_id, pos,
+         |    CAST(sum(CAST(v[pos + 1] AS DECIMAL(38,10))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS m
+         |  FROM e$i GROUP BY 1, 2
+         |), c${i + 1} AS (
+         |  SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT cent_id, array_agg(m ORDER BY pos) AS cv
+         |        FROM s$i GROUP BY 1)
+         |)""".stripMargin
+    }.mkString(",\n")
 
   /** Shared e2/e7 oracle: exact all-pairs n-gram Jaccard over doc_id <
     * bound, with the bound surfaced in the result like the Spark side. */
@@ -761,6 +790,50 @@ object SparkEntry {
         |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // f4: IVF after two Lloyd sweeps — every refinement step is
+    // relational (exact decimal per-dimension sums), so the oracle
+    // unrolls the iterations as CTEs and reproduces the refined
+    // centroids, and therefore the final ranking, exactly.
+    "f4_knn_ivf_kmeans" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |), c0 AS (
+         |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+         |  FROM n WHERE vec_id < 16
+         |),
+         |${lloydCtes(2)},
+         |assigned AS (
+         |  SELECT vec_id, cent_id, v, norm FROM (
+         |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+         |          DESC, c.cent_id) AS crank
+         |    FROM n x CROSS JOIN c2 c)
+         |  WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id AS query_id, cent_id, v AS qv, norm AS qnorm
+         |  FROM (
+         |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+         |          DESC, c.cent_id) AS crank
+         |    FROM n x CROSS JOIN c2 c
+         |    WHERE x.vec_id < 10)
+         |  WHERE crank <= 4
+         |), cand AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    list_dot_product(p.qv, a.v) / (p.qnorm * a.norm) AS cosine
+         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+         |  WHERE a.vec_id != p.query_id
+         |)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin,
     // IVF is fully relational (deterministic centroids = first 16 corpus
     // vectors), so unlike LSH it carries a complete oracle.
     "f3_knn_ivf" ->

@@ -74,25 +74,39 @@ object Similarity {
   def ivfTopK(spark: SparkSession, sfDir: String, numQueries: Int = 10,
       k: Int = 5, nCent: Int = 16, nprobe: Int = 4): DataFrame = {
     val corpus = normed(spark, sfDir)
-    val cents = corpus.filter(col("vec_id") < nCent)
+    val cents = seedCentroids(corpus, nCent)
+    ivfSearch(corpus, cents, numQueries, k, nprobe)
+  }
+
+  /** Seed centroids = the first `nCent` corpus vectors — deterministic
+    * and relational (shared by f3 and f4's iteration 0). */
+  private def seedCentroids(corpus: DataFrame, nCent: Int): DataFrame =
+    corpus.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("norm").as("cnorm"))
 
-    // nearest centroid per corpus vector (cosine argmax, id tiebreak)
-    def nearestCents(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cents))
-        .withColumn("csim",
-          Dedup.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("cent_id").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-    }
+  /** Nearest-centroid ranking (cosine argmax, cent_id tiebreak): a
+    * broadcast of the centroid table over one scan of `df` — the
+    * assignment step never shuffles the corpus. */
+  private def nearestCents(df: DataFrame, cents: DataFrame, idCol: String,
+      keep: Int): DataFrame = {
+    val scored = df.join(broadcast(cents))
+      .withColumn("csim",
+        Dedup.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+  }
 
-    val assigned = nearestCents(corpus, "vec_id", 1)
+  /** Shared IVF probe/re-rank tail: assign the corpus to cells once, probe
+    * the `nprobe` nearest cells per query, exact-cosine re-rank. */
+  private def ivfSearch(corpus: DataFrame, cents: DataFrame,
+      numQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val assigned = nearestCents(corpus, cents, "vec_id", 1)
       .select(col("vec_id"), col("cent_id"), col("v"), col("norm"))
     val probes = nearestCents(
-      corpus.filter(col("vec_id") < numQueries), "vec_id", nprobe)
+      corpus.filter(col("vec_id") < numQueries), cents, "vec_id", nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id"),
         col("v").as("qv"), col("norm").as("qnorm"))
 
@@ -107,6 +121,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** f4 — [[ivfTopK]] with `iters` Lloyd (k-means) refinement sweeps over
+    * the seed centroids before the probe: assign every vector to its
+    * nearest centroid, recompute each centroid as the per-dimension MEAN
+    * of its members, repeat. Better-centered cells raise recall at the
+    * same nprobe (pinned in SimilaritySpec against f3).
+    *
+    * Scale + determinism shape of one sweep:
+    *   - assignment: broadcast-centroids over one corpus scan (narrow);
+    *   - mean: posexplode to (cent_id, dim) and aggregate with EXACT
+    *     decimal sums ([[graft.functions.Deterministic.sumExact]]) — a
+    *     double sum's value depends on partition order, which would make
+    *     the refined centroids (and every downstream ranking) flaky; the
+    *     decimal sum is associative, so the shuffle carries nCent·dim
+    *     partial buffers and the result is bit-stable at any parallelism.
+    *   Every step is relational, so the DuckDB oracle unrolls the sweeps
+    *   as CTEs and reproduces the output exactly — empty cells drop out
+    *   of the groupBy on both sides identically (standard Lloyd keeps
+    *   them at their old position; dropping is the simpler contract and
+    *   the next assignment redistributes their members).
+    * Each sweep costs one scan + one (nCent·dim)-key shuffle; `iters`
+    * stays a small constant (Lloyd converges fast; IVF needs centered
+    * cells, not convergence). */
+  def ivfKmeansTopK(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nCent: Int = 16, nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val corpus = normed(spark, sfDir)
+    var cents = seedCentroids(corpus, nCent)
+    for (_ <- 0 until iters) {
+      val members = nearestCents(corpus, cents, "vec_id", 1)
+        .select(col("cent_id"), col("v"))
+      val dimMeans = members
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sumExact(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .withColumn("m",
+          col("sx").cast("double") / col("cnt").cast("double"))
+      cents = dimMeans.groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cent_id"),
+          transform(col("pm"), p => p.getField("m")).as("cv"))
+        .withColumn("cnorm", sqrt(Dedup.dot(col("cv"), col("cv"))))
+    }
+    ivfSearch(corpus, cents, numQueries, k, nprobe)
   }
 
   private val planeCache = new scala.collection.concurrent.TrieMap[

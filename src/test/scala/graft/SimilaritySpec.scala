@@ -56,6 +56,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(drift.isEmpty)
   }
 
+  test("IVF k-means refinement: recall improves on the seed centroids") {
+    // 50 queries (250 truth pairs) — the default 10 is too small a sample
+    // to separate the centroid qualities; the whole pipeline is
+    // deterministic, so these recalls are exact constants of the corpus
+    val nq = 50
+    val exact = Similarity.bruteForceTopK(spark, TestSpark.sf,
+        numQueries = nq).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .count(exact.contains).toDouble / exact.size
+    val seed = recallOf(Similarity.ivfTopK(spark, TestSpark.sf,
+      numQueries = nq))
+    val refined = recallOf(Similarity.ivfKmeansTopK(spark, TestSpark.sf,
+      numQueries = nq))
+    info(s"IVF recall@5: seed=$seed refined=$refined")
+    // Lloyd re-centers the cells: measured 0.62 -> 0.656 on this corpus
+    assert(refined > seed, s"refined $refined !> seed $seed")
+    // every emitted query still gets exactly k ranked rows
+    val perQuery = Similarity.ivfKmeansTopK(spark, TestSpark.sf,
+        numQueries = nq)
+      .groupBy("query_id").count().collect()
+    assert(perQuery.length == nq && perQuery.forall(_.getLong(1) == 5))
+  }
+
   test("brute force broadcasts the query side (no corpus shuffle join)") {
     val plan = Similarity.bruteForceTopK(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
