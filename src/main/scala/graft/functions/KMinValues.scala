@@ -2,6 +2,7 @@ package graft.functions
 
 import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -39,6 +40,15 @@ case class KMinValues(
 
   require(k > 0, s"k must be positive, got $k")
 
+  // Analysis-time contract: update() casts the child's value straight to
+  // Long, so anything but LongType must fail before execution, not with a
+  // ClassCastException mid-aggregation. (ExpectsInputTypes would say the
+  // same thing, but its Seq[AbstractDataType] is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch requires a BIGINT child (got ${child.dataType.sql}); " +
+        "hash non-long inputs first (md5-slice discipline)")
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

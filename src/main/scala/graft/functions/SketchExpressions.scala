@@ -222,15 +222,24 @@ abstract class ShingleSketchBase extends UnaryExpression
   * sig[i] = min over shingles of ((2i+1)·h + (i+1)) mod p. Every quantity
   * stays below 2^38, so the arithmetic is exact—and identical—in any
   * engine with 64-bit integers; affine maps with p prime are bijections,
-  * which is all banded LSH needs from its "permutations". */
+  * which is all banded LSH needs from its "permutations".
+  *
+  * Inputs with fewer than n tokens have NO shingles, hence no meaningful
+  * signature — the expression returns NULL for them (nullable). Returning
+  * a sentinel instead (the min over an empty set) would give every short
+  * doc the identical all-MaxValue signature, colliding them in every LSH
+  * band; NULL forces callers to decide (minhashLsh filters short docs
+  * before sketching, and its DuckDB oracle mirrors the same guard). */
 case class ShingleMinHash(child: Expression, n: Int, numPerm: Int)
     extends ShingleSketchBase {
   private val P31 = 2147483647L // 2^31 - 1, prime
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val th = shingleHashes(toks)
+    if (th.isEmpty) return null
     val out = Array.fill(numPerm)(Long.MaxValue)
     var w = 0
     while (w < th.length) {
@@ -253,14 +262,21 @@ case class ShingleMinHash(child: Expression, n: Int, numPerm: Int)
 /** 64-bit SimHash straight from the token array (see base doc): per bit j
   * of the full md5-slice hash, sum +1/-1 votes across shingles; output bit
   * j is set iff the vote is strictly positive (DuckDB mirror: bit set iff
-  * `2*count(bit set) > count(shingles)`). */
+  * `2*count(bit set) > count(shingles)`).
+  *
+  * As with [[ShingleMinHash]], a doc with fewer than n tokens has no
+  * shingles and returns NULL rather than the degenerate all-zero-votes
+  * hash 0L, which would collide every short doc in every pigeonhole
+  * chunk (simhash callers filter size(toks) >= n before sketching). */
 case class ShingleSimHash(child: Expression, n: Int)
     extends ShingleSketchBase {
+  override def nullable: Boolean = true
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val th = shingleHashes(toks)
+    if (th.isEmpty) return null
     val votes = new Array[Int](64)
     var w = 0
     while (w < th.length) {

@@ -170,6 +170,12 @@ object Similarity {
     ivfSearch(corpus, cents, numQueries, k, nprobe)
   }
 
+  // Memoized per (sfDir, tables, bits) for the JVM lifetime. Assumption:
+  // the embeddings file at sfDir is immutable while this JVM runs (true for
+  // the driver-generated testdata). If a caller rewrites that path, cached
+  // planes would silently diverge from the oracle's relational derivation —
+  // such a caller must key on content (e.g. add file mtime to the key) or
+  // drop the cache.
   private val planeCache = new scala.collection.concurrent.TrieMap[
     (String, Int, Int), Array[Array[Array[Double]]]]
 

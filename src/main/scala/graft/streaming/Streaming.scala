@@ -129,15 +129,40 @@ object Streaming {
       mode = "complete")
 
   /** Streaming deduplication — the pre-training ingest gate, as a stream:
-    * `dropDuplicates` over the dedup key holds one state entry per key
-    * (bounded by the watermark on a real unbounded stream) and emits each
-    * key's first arrival. Only the KEY columns are projected, so the
-    * result is arrival-order independent: exactly the distinct key set,
-    * which is what gives a deterministic DuckDB oracle. */
+    * `dropDuplicates` over the dedup key holds one state entry per key and
+    * emits each key's first arrival. NOTE on state growth: because the
+    * event-time column is NOT part of the dedup key, Spark never evicts
+    * this state — the watermark only bounds state when the key includes
+    * the watermarked column. That is exactly right here (global
+    * first-arrival semantics over a finite backfill; state = one entry
+    * per DISTINCT key, bounded by key cardinality, not stream length) but
+    * would grow without bound on an unbounded stream with unbounded key
+    * space — for that, use [[streamDedupKeysBounded]]. Only the KEY
+    * columns are projected, so the result is arrival-order independent:
+    * exactly the distinct key set, which is what gives a deterministic
+    * DuckDB oracle. */
   def streamDedupKeys(spark: SparkSession, sfDir: String): DataFrame =
     drain(spark,
       eventsStream(spark, sfDir).withWatermark("ts", "10 minutes")
         .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      mode = "append")
+
+  /** The bounded-state form for a truly unbounded stream:
+    * `dropDuplicatesWithinWatermark` evicts each key's state once the
+    * watermark passes its event time + delay, so state tracks the
+    * watermark window rather than all-time key cardinality. The trade:
+    * a duplicate arriving after its key's state was evicted re-emits, so
+    * the output is "distinct within any watermark window", not globally
+    * distinct — which is why this is the 100 TB ingest-gate shape but NOT
+    * a hash-stable driver query (re-emission depends on micro-batch
+    * boundaries). The spec pins the invariants that ARE deterministic:
+    * every distinct key appears, and with the whole finite input inside
+    * one watermark window the result equals the exact distinct set. */
+  def streamDedupKeysBounded(spark: SparkSession, sfDir: String): DataFrame =
+    drain(spark,
+      eventsStream(spark, sfDir).withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type")),
       mode = "append")
 

@@ -35,6 +35,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys == expect)
   }
 
+  test("bounded-state dedup (withinWatermark) covers the distinct key set") {
+    val keys = Streaming.streamDedupKeysBounded(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    val expect = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "events")
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    // Invariants that hold regardless of micro-batch boundaries: every
+    // distinct key appears, and nothing outside the distinct set does.
+    assert(keys.toSet == expect)
+    // With the finite input inside one watermark window, no state is
+    // evicted mid-stream, so nothing re-emits: exact distinct cardinality.
+    assert(keys.length == expect.size)
+  }
+
   test("stream-stream click-error join equals the batch join") {
     val batch = Streaming.clickErrorJoinBatch(spark, TestSpark.sf)
       .collect().map(_.toSeq).toSet
