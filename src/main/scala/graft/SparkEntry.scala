@@ -124,6 +124,10 @@ object SparkEntry {
       ((s, d) => graft.streaming.Streaming.clickErrorJoinBatch(s, d)),
     "i9_click_error_join_stream" ->
       ((s, d) => graft.streaming.Streaming.clickErrorJoinStream(s, d)),
+    // checkpointed file-sink ingest with kill-and-resume: final aggregate
+    // equals the plain batch SQL iff every row landed exactly once
+    "i10_restart_exactly_once" ->
+      ((s, d) => graft.streaming.Streaming.restartExactlyOnce(s, d)),
     // regex token counting + JSON props extraction
     "g9_token_count_regex" ->
       ((s, d) => TextAnalysis.tokenCountRegex(s, d)),
@@ -341,6 +345,11 @@ object SparkEntry {
       "SELECT DISTINCT user_id, event_type FROM events",
     "i8_click_error_join"        -> clickErrorOracle,
     "i9_click_error_join_stream" -> clickErrorOracle,
+    "i10_restart_exactly_once" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
     "g9_token_count_regex" ->
       """SELECT doc_id, n_chars,
         |  CAST(len(string_split(lower(text), ' ')) AS INTEGER)

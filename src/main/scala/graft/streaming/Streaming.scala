@@ -211,6 +211,69 @@ object Streaming {
       mode = "append")
   }
 
+  /** Checkpointed ingest with kill-and-resume: the exactly-once story the
+    * memory-sink drains can't tell. Flow (all under one temp root):
+    *
+    *   1. land phase-1 event files in an input dir; run a checkpointed
+    *      file-sink stream (`Trigger.AvailableNow`) until it drains, then
+    *      STOP — the "kill";
+    *   2. restart the same query (same checkpoint) with NOTHING new —
+    *      must add zero rows (restart is idempotent, no reprocessing);
+    *   3. land phase-2 files and restart again — the checkpoint's source
+    *      log ensures only the NEW files process, the sink's
+    *      `_spark_metadata` commit log ensures readers see each batch
+    *      exactly once (a torn write never becomes visible because the
+    *      reader trusts the metadata log, not directory listing).
+    *
+    * Returns the final sink aggregated by event_type — equal to the batch
+    * aggregate over ALL events iff every row arrived exactly once, which
+    * is what lets the plain batch SQL serve as the driver oracle for a
+    * restart protocol. Phases split by `event_id % 2` so neither phase is
+    * a time-prefix: resumption must come from the checkpoint, not
+    * accidental ordering.
+    *
+    * Scale shape: the checkpoint holds file NAMES (source log) and batch
+    * ids (sink log), not data — restart cost is O(files), independent of
+    * row volume. This is the same recovery contract a 1000-executor
+    * cluster relies on. */
+  def restartExactlyOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = new RestartHarness(spark, sfDir)
+    h.land(0); h.runToDrain() // phase 1, then "kill"
+    h.runToDrain()            // restart with nothing new: must be a no-op
+    h.land(1); h.runToDrain() // phase 2 lands, resume picks up ONLY new files
+    h.sinkFrame
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+  }
+
+  /** The steppable kill-and-resume flow (spec drives it stage by stage to
+    * pin the per-stage invariants; the driver query runs it end-to-end). */
+  private[graft] final class RestartHarness(
+      spark: SparkSession, sfDir: String) {
+    private val root = java.nio.file.Files
+      .createTempDirectory("graft_restart_").toString
+    private val (in, sink, ckpt) = (s"$root/in", s"$root/sink", s"$root/ckpt")
+    private val ev = eventsBatch(spark, sfDir)
+
+    def land(phase: Int): Unit =
+      ev.filter(pmod(col("event_id"), lit(2)) === phase)
+        .coalesce(2).write.mode("append").parquet(in)
+
+    def runToDrain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    /** `_spark_metadata`-backed view of the sink: only committed batches. */
+    def sinkFrame: DataFrame = spark.read.parquet(sink)
+  }
+
   /** Sessionization (30-min inactivity gap) via window functions — the
     * declarative batch form. Gap test runs on exact epoch-microsecond
     * integers so the oracle can't drift on fractional seconds. */

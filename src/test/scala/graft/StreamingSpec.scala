@@ -59,6 +59,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("checkpointed file-sink stream resumes exactly-once after kill") {
+    val ev = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "events")
+    val phase1 = ev.filter(pmod(col("event_id"), lit(2)) === 0).count()
+    val total = ev.count()
+
+    val h = new Streaming.RestartHarness(spark, TestSpark.sf)
+    h.land(0); h.runToDrain()
+    assert(h.sinkFrame.count() == phase1) // phase 1 fully committed
+
+    h.runToDrain() // restart with no new data
+    assert(h.sinkFrame.count() == phase1) // idempotent: zero reprocessing
+
+    h.land(1); h.runToDrain() // resume over newly landed files
+    assert(h.sinkFrame.count() == total) // every row exactly once
+    assert(h.sinkFrame.select("event_id").distinct().count() == total)
+  }
+
   test("as-of semantics: most recent view, NULL before any view, tie by id") {
     import spark.implicits._
     // (user, event_id, us, is_view)
