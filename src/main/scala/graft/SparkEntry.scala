@@ -100,6 +100,7 @@ object SparkEntry {
     "h1_media_metadata"      -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "h2_media_features"      -> ((s, d) => Multimodal.extractFeatures(s, d)),
     "h3_wav_decode"          -> ((s, d) => Multimodal.wavDecode(s, d)),
+    "h4_png_decode"          -> ((s, d) => Multimodal.pngDecode(s, d)),
     // Streaming over events (reference declared-but-unbuilt, SURVEY.md
     // §2.10; windowed agg batch+stream share one plan, sessionize in both
     // window-function and flatMapGroupsWithState forms)
@@ -1108,6 +1109,30 @@ object SparkEntry {
         |  round(CAST(64 + (doc_id % 128) AS DOUBLE) * 1000.0 /
         |    CAST(8000 + (doc_id % 8) * 1000 AS DOUBLE), 6) AS duration_ms
         |FROM documents""".stripMargin,
+    // h4: the decoded pixel grid is pure arithmetic in doc_id —
+    // pixel(x,y) = (7x + 31y + doc_id) mod 256 over a w×h grid — so the
+    // oracle re-derives the stats relationally; the Spark side only
+    // matches if signature/CRC/inflate/unfilter all round-trip.
+    "h4_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |    CAST(3 + doc_id % 7 AS INTEGER) AS height
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, width, height,
+        |    list_transform(range(0, CAST(width AS BIGINT) * height),
+        |      i -> (7 * (i % width) + 31 * (i // width) + doc_id) % 256)
+        |      AS px
+        |  FROM d
+        |)
+        |SELECT doc_id, width, height, 8 AS bit_depth, 0 AS color_type,
+        |  CAST(width AS BIGINT) * height AS n_pixels,
+        |  CAST(list_aggregate(px, 'sum') AS BIGINT) AS pix_sum,
+        |  CAST(list_max(px) AS INTEGER) AS peak,
+        |  round(CAST(list_aggregate(px, 'sum') AS DOUBLE) /
+        |    CAST(CAST(width AS BIGINT) * height AS DOUBLE), 6) AS mean_pixel
+        |FROM p""".stripMargin,
     // h2: FakeDecoder (Multimodal.scala) is pure arithmetic over the
     // payload bytes — mean byte via the hex expansion of the UTF-8
     // encoding, strided frame offsets, thumb dims = halve-until-<=64px

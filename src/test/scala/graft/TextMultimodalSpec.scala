@@ -158,6 +158,55 @@ class TextMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("png parser: full decode round-trip, CRC + structure enforced") {
+    import graft.operators.Multimodal.{parsePng, synthPng}
+    val m = parsePng(17L, synthPng(17L))
+    assert(m.width == 4 + 17 % 13 && m.height == 3 + 17 % 7)
+    assert(m.bit_depth == 8 && m.color_type == 0)
+    assert(m.n_pixels == m.width.toLong * m.height)
+    // decoded pixels must equal the synth formula (proves inflate +
+    // Sub-filter reconstruction, not just header parsing)
+    val expSum = (for {
+      y <- 0 until m.height; x <- 0 until m.width
+    } yield (7L * x + 31L * y + 17L) % 256).sum
+    assert(m.pix_sum == expSum)
+
+    val png = synthPng(17L)
+    // ancillary chunk between IHDR and IDAT is skipped (CRC still checked)
+    val ihdrEnd = 8 + 12 + 13
+    val text = {
+      val data = "graft".getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put("tEXt".getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    val withAncillary = java.nio.ByteBuffer
+      .allocate(png.length + text.length)
+      .put(png, 0, ihdrEnd).put(text)
+      .put(png, ihdrEnd, png.length - ihdrEnd).array()
+    assert(parsePng(17L, withAncillary) == m)
+
+    // single corrupted payload byte → CRC mismatch, must raise
+    val corrupt = png.clone()
+    corrupt(ihdrEnd + 20) = (corrupt(ihdrEnd + 20) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] { parsePng(17L, corrupt) }
+    assert(e.getMessage.contains("CRC"))
+
+    // not a PNG; truncated tail; trailing garbage after IEND
+    intercept[IllegalArgumentException] {
+      parsePng(0L, "definitely not a png".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { parsePng(17L, png.dropRight(6)) }
+    intercept[IllegalArgumentException] { parsePng(17L, png :+ 0x00.toByte) }
+
+    // oversized declared chunk length must raise, not read past the buffer
+    val oversize = png.clone()
+    java.nio.ByteBuffer.wrap(oversize, 8, 4).putInt(1 << 20)
+    intercept[IllegalArgumentException] { parsePng(17L, oversize) }
+  }
+
   test("media table: payload is a real binary column matching text bytes") {
     val m = Multimodal.mediaTable(spark, TestSpark.sf)
     assert(m.schema("payload").dataType.typeName == "binary")
