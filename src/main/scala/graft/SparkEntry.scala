@@ -146,6 +146,10 @@ object SparkEntry {
     "t1_graftlog_time_travel" -> ((s, d) => Transactions.timeTravelV0(s, d)),
     "t2_graftlog_merge"       -> ((s, d) => Transactions.mergedV1(s, d)),
     "t3_graftlog_delete"      -> ((s, d) => Transactions.afterDelete(s, d)),
+    // streaming ingest into the transactional format with kill/replay/
+    // resume: the (appId, batchId) ledger makes re-delivered batches
+    // no-ops, so the final aggregate matches the batch SQL exactly-once
+    "t4_graftlog_stream_sink" -> ((s, d) => Transactions.streamingSink(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -242,6 +246,11 @@ object SparkEntry {
     "t3_graftlog_delete" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
+    "t4_graftlog_stream_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

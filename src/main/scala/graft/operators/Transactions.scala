@@ -74,4 +74,78 @@ object Transactions {
   def afterDelete(spark: SparkSession, sfDir: String): DataFrame =
     GraftLog.readVersion(spark, deleteTable(spark, sfDir), 1L)
       .select(customerCols.map(col): _*)
+
+  /** Streaming ingest INTO the transactional format — the "streaming
+    * write to a Delta table" piece of the reference's stack, and the one
+    * place `foreachBatch` alone is not exactly-once: if the process dies
+    * after the sink commit but before the checkpoint write, the restarted
+    * query re-delivers the last batch. [[GraftLog.txnAppend]]'s
+    * (appId, batchId) ledger makes the re-delivery a no-op.
+    *
+    * The steppable harness drives: land phase-1 files → drain a
+    * checkpointed stream whose every batch is a `txnAppend` → "kill" →
+    * restart with nothing new (no-op) → REPLAY the last delivered batch
+    * out-of-band, simulating the crash-window re-delivery (ledger must
+    * reject it) → land phase 2 → resume. Exactly-once iff the final
+    * table aggregate equals the plain batch SQL over ALL events. */
+  private[graft] final class GraftSinkHarness(
+      spark: SparkSession, sfDir: String) {
+    private val root = java.nio.file.Files
+      .createTempDirectory("graft_sink_").toString
+    private val (in, ckpt) = (s"$root/in", s"$root/ckpt")
+    val table = s"$root/events_gl"
+    private val appId = "graft-sink-harness"
+    private val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+    // last batch foreachBatch delivered, kept so the spec/query can
+    // replay it the way a crashed-then-restarted sink would
+    @volatile private var lastBatch: Option[(DataFrame, Long)] = None
+
+    def land(phase: Int): Unit =
+      ev.filter(pmod(col("event_id"), lit(2)) === phase)
+        .coalesce(2).write.mode("append").parquet(in)
+
+    def runToDrain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          lastBatch.foreach(_._1.unpersist())
+          lastBatch = Some((batch.persist(), batchId))
+          GraftLog.txnAppend(batch, table, appId, batchId): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    /** Re-deliver the last batch (same data, same batch id) as a crashed
+      * sink would on restart. Returns whether the ledger accepted it —
+      * exactly-once demands false. */
+    def replayLastBatch(): Boolean = {
+      val (df, id) = lastBatch.getOrElse(
+        throw new IllegalStateException("no batch delivered yet"))
+      try GraftLog.txnAppend(df, table, appId, id)
+      finally { df.unpersist(); () }
+    }
+
+    def tableFrame: DataFrame = GraftLog.read(spark, table)
+  }
+
+  /** t4 — the full kill/replay/resume cycle; returns the final table
+    * aggregated by event_type (equal to the batch SQL over all events
+    * iff every batch committed exactly once). */
+  def streamingSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val h = new GraftSinkHarness(spark, sfDir)
+    h.land(0); h.runToDrain() // phase 1, then "kill"
+    h.runToDrain()            // restart, nothing new: no batch delivered
+    require(!h.replayLastBatch(), // crash-window re-delivery must no-op
+      "txn ledger accepted a duplicate batch")
+    h.land(1); h.runToDrain() // resume over phase 2
+    h.tableFrame
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+  }
 }

@@ -56,9 +56,14 @@ object GraftLog {
     extends RuntimeException(
       s"concurrent commit: version $version of $table was already written")
 
-  /** One log entry. `add`/`remove` are table-root-relative paths. */
+  /** One log entry. `add`/`remove` are table-root-relative paths. `txn`
+    * is the streaming-idempotence ledger entry (appId, batchId) — the
+    * analog of the Delta protocol's `txn` action: a committed batch id is
+    * durable evidence the batch landed, surviving the crash window
+    * between a sink commit and the checkpoint write. */
   case class Commit(version: Long, operation: String, add: Seq[String],
-      remove: Seq[String], schemaDdl: String, timestampMs: Long)
+      remove: Seq[String], schemaDdl: String, timestampMs: Long,
+      txn: Option[(String, Long)] = None)
 
   private val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
@@ -90,9 +95,13 @@ object GraftLog {
   private def toJson(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"")
       .mkString("[", ",", "]")
+    val txnPart = c.txn.map { case (app, batch) =>
+      s""","txnAppId":"${esc(app)}","txnBatchId":$batch"""
+    }.getOrElse("")
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
-      s""""schemaDdl":"${esc(c.schemaDdl)}","timestampMs":${c.timestampMs}}"""
+      s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
+      s""""timestampMs":${c.timestampMs}$txnPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -102,9 +111,13 @@ object GraftLog {
       val a = n.get(f)
       (0 until a.size()).map(a.get(_).asText())
     }
+    val txn =
+      if (n.has("txnAppId"))
+        Some((n.get("txnAppId").asText(), n.get("txnBatchId").asLong()))
+      else None
     Commit(n.get("version").asLong(), n.get("operation").asText(),
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
-      n.get("timestampMs").asLong())
+      n.get("timestampMs").asLong(), txn)
   }
 
   // ------------------------------------------------------------- protocol
@@ -262,6 +275,38 @@ object GraftLog {
     writeCommit(spark, table, Commit(v, "append", added, Seq.empty,
       df.schema.toDDL, System.currentTimeMillis()))
     v
+  }
+
+  /** Highest streaming batch id committed for `appId` — replaying the
+    * log is a metadata walk (file names + small JSON), never data. */
+  def lastCommittedBatch(spark: SparkSession, table: String,
+      appId: String): Option[Long] =
+    versions(spark, table)
+      .map(readCommit(spark, table, _))
+      .flatMap(_.txn)
+      .collect { case (app, batch) if app == appId => batch }
+      .maxOption
+
+  /** Idempotent transactional append for streaming sinks: commits `df`
+    * tagged (appId, batchId) unless that batch id (or a later one) is
+    * already in the log, in which case it is a NO-OP returning false.
+    * This closes the exactly-once gap `foreachBatch` leaves open — after
+    * a crash between sink commit and checkpoint write, the restarted
+    * query re-delivers the last batch, and the ledger rejects the
+    * duplicate. Same contract as Delta's `txn` action + idempotent
+    * writes. */
+  def txnAppend(df: DataFrame, table: String, appId: String,
+      batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) false
+    else {
+      val added = stageData(df, table)
+      val v = nextVersion(spark, table)
+      writeCommit(spark, table, Commit(v, "streamingAppend", added,
+        Seq.empty, df.schema.toDDL, System.currentTimeMillis(),
+        Some((appId, batchId))))
+      true
+    }
   }
 
   /** Relative-path tail used to match `input_file_name()` URIs back to

@@ -118,6 +118,45 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 2)
   }
 
+  test("txnAppend is idempotent per (appId, batchId) and per-app scoped") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "seed"), t)
+    assert(GraftLog.txnAppend(df(5 until 8, "b0"), t, "appA", 0L))
+    // same batch re-delivered (the crash-window replay): must no-op
+    assert(!GraftLog.txnAppend(df(5 until 8, "b0"), t, "appA", 0L))
+    assert(GraftLog.read(spark, t).count() == 8)
+    // an EARLIER batch id must also be rejected (ledger is monotone)
+    assert(!GraftLog.txnAppend(df(90 until 99, "x"), t, "appA", -1L))
+    // a different app's ledger is independent
+    assert(GraftLog.txnAppend(df(8 until 10, "other"), t, "appB", 0L))
+    assert(GraftLog.txnAppend(df(10 until 11, "b1"), t, "appA", 1L))
+    assert(GraftLog.read(spark, t).count() == 11)
+    assert(GraftLog.lastCommittedBatch(spark, t, "appA").contains(1L))
+    assert(GraftLog.lastCommittedBatch(spark, t, "appB").contains(0L))
+    assert(GraftLog.lastCommittedBatch(spark, t, "appC").isEmpty)
+    // ledger survives the log round-trip (txn is in the commit JSON),
+    // and time travel still works across streaming commits
+    assert(GraftLog.readVersion(spark, t, 1L).count() == 8)
+  }
+
+  test("streaming sink harness: kill, idempotent restart, replay, resume") {
+    val h = new graft.operators.Transactions.GraftSinkHarness(
+      spark, TestSpark.sf)
+    val ev = graft.sources.Sources.testTable(spark, TestSpark.sf, "events")
+    val phase1 = ev.filter(pmod(col("event_id"), lit(2)) === 0).count()
+    val total = ev.count()
+
+    h.land(0); h.runToDrain()
+    assert(h.tableFrame.count() == phase1)
+    h.runToDrain() // restart with nothing new
+    assert(h.tableFrame.count() == phase1)
+    assert(!h.replayLastBatch()) // crash-window re-delivery rejected
+    assert(h.tableFrame.count() == phase1)
+    h.land(1); h.runToDrain()
+    assert(h.tableFrame.count() == total)
+    assert(h.tableFrame.select("event_id").distinct().count() == total)
+  }
+
   test("delete-everything leaves a readable typed empty table") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 4, "a"), t)
