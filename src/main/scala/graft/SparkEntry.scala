@@ -76,6 +76,7 @@ object SparkEntry {
     "e1_dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "e7_dedup_ngram_full"       -> ((s, d) => Dedup.ngramJaccardFull(s, d)),
+    "e8_dedup_ppjoin"           -> ((s, d) => Dedup.ppjoin(s, d)),
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -138,6 +139,13 @@ object SparkEntry {
       ((s, d) => TextAnalysis.kmvDistinctTokens(s, d, KmvK)),
     "g12_vocab_topk" ->
       ((s, d) => TextAnalysis.vocabTopK(s, d)),
+    // repetition screen, deterministic mixture sampling, sequence packing
+    "g14_repetition_stats" ->
+      ((s, d) => TextAnalysis.repetitionStats(s, d)),
+    "g15_mixture_sample" ->
+      ((s, d) => TextAnalysis.mixtureSample(s, d)),
+    "g16_sequence_pack" ->
+      ((s, d) => TextAnalysis.sequencePack(s, d)),
     "j2_json_props" ->
       ((s, d) => SemiStructured.jsonPropsStats(s, d)),
     // Transactional table format (the reference's Delta layer re-expressed
@@ -666,11 +674,129 @@ object SparkEntry {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // g14: per-doc n-gram occurrence lists (NOT distinct) rebuilt
+    // relationally; top-bigram count scans distinct×occurrences inside
+    // list lambdas exactly like the Spark HOF form
+    "g14_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(g2) AS INTEGER) AS n_bigrams,
+        |    CASE WHEN len(g2) > 0 THEN
+        |      CAST(list_max(list_transform(list_distinct(g2),
+        |        d -> len(list_filter(g2, x -> x = d)))) AS INTEGER)
+        |      ELSE 0 END AS top_bigram_count,
+        |    CAST(len(g3) AS INTEGER) AS n_trigrams,
+        |    CAST(len(g3) - len(list_distinct(g3)) AS INTEGER)
+        |      AS dup_trigram_count
+        |  FROM g
+        |), f AS (
+        |  SELECT doc_id, n_bigrams, top_bigram_count, n_trigrams,
+        |    dup_trigram_count,
+        |    CASE WHEN n_bigrams > 0 THEN round(
+        |      CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE),
+        |      6) ELSE 0.0 END AS top_bigram_frac,
+        |    CASE WHEN n_trigrams > 0 THEN round(
+        |      CAST(dup_trigram_count AS DOUBLE) /
+        |      CAST(n_trigrams AS DOUBLE), 6) ELSE 0.0 END AS dup_trigram_frac
+        |  FROM s
+        |)
+        |SELECT *, top_bigram_frac > 0.2 OR dup_trigram_frac > 0.3
+        |  AS repetitive
+        |FROM f""".stripMargin,
+    "g15_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    CAST(CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 750
+        |      WHEN 'de' THEN 500 WHEN 'es' THEN 500 WHEN 'fr' THEN 250
+        |      ELSE 0 END AS INTEGER) AS target_permille,
+        |    ('0x' || substr(md5(text), 1, 8))::UBIGINT % 1000 AS bucket
+        |  FROM documents
+        |)
+        |SELECT lang, source, target_permille, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN bucket < target_permille THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN bucket < target_permille THEN 1 ELSE 0
+        |    END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+        |FROM d GROUP BY 1, 2, 3""".stripMargin,
+    "g16_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(lower(text), ' ')) AS INTEGER)
+        |      AS n_tokens
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS prefix_tokens
+        |  FROM t
+        |)
+        |SELECT lang, CAST(prefix_tokens // 512 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "e2_dedup_ngram_jaccard" -> ngramJaccardOracle(200, "200"),
     // e7: the uncapped twin — same inverted-index plan, full corpus; the
     // sentinel max_doc_id = Long.MaxValue means "uncapped"
     "e7_dedup_ngram_full" ->
       ngramJaccardOracle(Long.MaxValue, "9223372036854775807"),
+    // e8: the oracle mirrors the prefix-filtered plan itself (rare-first
+    // canonical rank, integer-exact prefix length, size filter, exact
+    // verification) — every stage is relational, so DuckDB replays the
+    // whole PPJoin pipeline; the Spark/oracle agreement plus the
+    // spec-pinned equality with the unfiltered inverted index at the
+    // same threshold makes the filters' exactness doubly checked
+    "e8_dedup_ppjoin" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), win AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS w
+        |  FROM base WHERE len(toks) >= 3
+        |), hu AS (
+        |  SELECT doc_id, list_transform(w,
+        |    s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) AS u
+        |  FROM win
+        |), sized AS (
+        |  -- two's-complement to the signed 64-bit value ShingleHashSet
+        |  -- emits (first 8 md5 bytes, big-endian, as a Java long)
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(u, x ->
+        |      CAST(CASE WHEN x >= '9223372036854775808'::HUGEINT
+        |        THEN x::HUGEINT - '18446744073709551616'::HUGEINT
+        |        ELSE x::HUGEINT END AS BIGINT)))) AS hsh,
+        |    CAST(len(list_distinct(u)) AS INTEGER) AS sz
+        |  FROM hu
+        |), prefix AS (
+        |  SELECT doc_id, sz,
+        |    unnest(list_slice(hsh, 1, sz - (sz + 2) // 3 + 1)) AS hs
+        |  FROM sized
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM prefix x JOIN prefix y ON x.hs = y.hs
+        |   AND x.doc_id < y.doc_id
+        |   AND x.sz <= 2 * y.sz AND y.sz <= 2 * x.sz
+        |)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+        |    CAST(a.sz + b.sz - len(list_intersect(a.hsh, b.hsh))
+        |         AS DOUBLE) AS jaccard
+        |  FROM cand c JOIN sized a ON c.doc_a = a.doc_id
+        |              JOIN sized b ON c.doc_b = b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
     // e3: the whole LSH pipeline is reproducible because the sketch hash
     // is an md5 slice and the band key is the raw signature slice
     // (SketchExpressions.ShingleMinHash doc) — candidates, verification,

@@ -259,6 +259,36 @@ case class ShingleMinHash(child: Expression, n: Int, numPerm: Int)
     copy(child = newChild)
 }
 
+/** SORTED DISTINCT array of the 64-bit md5-slice window hashes — the
+  * hash-domain representation of a doc's shingle SET (e8 PPJoin front
+  * end). Sorting inside the expression makes the canonical prefix order
+  * a free `slice` downstream, and set semantics here keep the
+  * verification `array_intersect` an exact set intersection. Returns an
+  * empty array only for sub-n-token docs the callers filter anyway
+  * (consistent with [[ShingleMinHash]]'s NULL, this returns null too). */
+case class ShingleHashSet(child: Expression, n: Int)
+    extends ShingleSketchBase {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val th = shingleHashes(input.asInstanceOf[ArrayData])
+    if (th.isEmpty) return null
+    java.util.Arrays.sort(th)
+    // in-place dedup of the sorted array
+    var w = 1
+    var i = 1
+    while (i < th.length) {
+      if (th(i) != th(i - 1)) { th(w) = th(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(th, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash straight from the token array (see base doc): per bit j
   * of the full md5-slice hash, sum +1/-1 votes across shingles; output bit
   * j is set iff the vote is strictly positive (DuckDB mirror: bit set iff
@@ -367,6 +397,8 @@ object SketchExpressions {
       ShingleMinHash(ColumnBridge.expression(toks), n, numPerm))
   def shingle_simhash(toks: Column, n: Int): Column =
     ColumnBridge.column(ShingleSimHash(ColumnBridge.expression(toks), n))
+  def shingle_hash_set(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(toks), n))
   def hyperplane_sigs(v: Column, planes: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(v),
       planes.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))

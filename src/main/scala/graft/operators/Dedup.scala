@@ -140,6 +140,91 @@ object Dedup {
   def ngramJaccardFull(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccard(spark, sfDir, maxDocId = Long.MaxValue)
 
+  /** e8 — EXACT near-duplicate join with prefix + size filtering, the
+    * AllPairs/PPJoin family (Bayardo/Ma/Srikant, WWW 2007; Xiao et al.,
+    * WWW 2008; MapReduce formulation per Vernica/Carey/Li, SIGMOD 2010).
+    * Same answer as the plain inverted index at the same threshold
+    * (spec-pinned), indexing only each doc's PREFIX: a pair can be a
+    * true match only if the two prefixes share a shingle, so the
+    * candidate join touches 2/3 of the postings and the size filter
+    * prunes cross-length pairs before verification.
+    *
+    * Canonical order: the filter is exact under ANY global total order
+    * of shingles. The classic heuristic order is
+    * document-frequency-ascending, but deriving it costs a df
+    * aggregation, an equi-join, and a per-doc ranking window BEFORE any
+    * filtering pays off (measured: those three shuffles cost more than
+    * they saved on this corpus — 113 s vs e7's 71 s at the ×10 point).
+    * Here the ENTIRE pipeline runs in the hash domain instead: each
+    * doc's shingle set becomes a SORTED array of 64-bit md5 slices
+    * (fused native [[graft.functions.ShingleHashSet]] — no shingle
+    * strings ever materialize), so the canonical order is the hash value
+    * itself, the prefix is a plain `slice` of the sorted array, the
+    * candidate join keys on a LONG (cheaper to hash/shuffle/compare than
+    * trigram strings), and verification intersects long arrays. Zero
+    * extra shuffles for the order; every per-element comparison is
+    * primitive.
+    *
+    * Exactness caveat of the hash domain: two distinct shingles colliding
+    * in 64 bits would fuse (P < 1e-13 per doc pair at these set sizes —
+    * and the spec pins equality with the string-domain inverted index on
+    * the test corpus; a certainty-grade deployment uses the full 128-bit
+    * digest, same plan). The DuckDB oracle replays the identical hash
+    * pipeline, so the differential gate is collision-for-collision exact.
+    *
+    * Correctness of the filters at threshold t (here t = 1/2):
+    *  - size: J ≥ t ⟹ |A∩B| ≥ t·max(na,nb) and |A∩B| ≤ min(na,nb)
+    *    ⟹ min ≥ t·max, i.e. na ≤ 2nb ∧ nb ≤ 2na.
+    *  - prefix: keep each doc's first p = sz − ⌈sz·t/(1+t)⌉ + 1 shingles
+    *    in the canonical order (t/(1+t) = 1/3, integer-exact as
+    *    ⌈sz/3⌉ = (sz+2) div 3 in BOTH engines — no float ceil drift).
+    *    If a pair shares NO prefix element, every common shingle lies in
+    *    one of the two suffixes, so |A∩B| ≤ (⌈na/3⌉−1)+(⌈nb/3⌉−1)
+    *    < (na+nb)/3 = t/(1+t)·(na+nb) ≤ |A∩B| for J ≥ t — contradiction.
+    *    Hence candidates from the prefix-index self-join are a superset
+    *    of all true pairs, and the exact verification keeps the answer
+    *    identical.
+    *
+    * Scale shape: one narrow prefix projection, one hash-partitioned
+    * equi-join on the shingle, exact verification on candidate pairs
+    * only. This is the exact-dedup path you CAN afford at 100 TB when
+    * the near-dup threshold is high (t=0.5); e3 remains the approximate
+    * path for low thresholds. */
+  def ppjoin(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    // fused native front end (ShingleHashSet): tokens → sorted distinct
+    // 64-bit window hashes in one pass, no shingle strings materialized —
+    // the string-HOF front end alone cost more than every join in this
+    // query combined (measured 7 s of a 12 s sf0.1 run)
+    val sized = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), graft.functions.SketchExpressions
+        .shingle_hash_set(col("toks"), n).as("hsh"))
+      .select(col("doc_id"), col("hsh"), size(col("hsh")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = sized.select(col("doc_id"), col("sz"),
+      explode(slice(col("hsh"), lit(1), expr("sz - (sz + 2) DIV 3 + 1")))
+        .as("hs"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.hs") === col("y.hs") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        col("x.sz") <= col("y.sz") * 2 &&
+        col("y.sz") <= col("x.sz") * 2)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sized.select(col("doc_id").as("doc_a"), col("hsh").as("ha"),
+        col("sz").as("na")), Seq("doc_a"))
+      .join(sized.select(col("doc_id").as("doc_b"), col("hsh").as("hb"),
+        col("sz").as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** MinHash + banded LSH near-dup detection, verified with exact Jaccard.

@@ -351,4 +351,112 @@ object TextAnalysis {
         array_min(transform(Dedup.shinglesOf(col("toks"), 4),
           s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
           .as("winnow_min"))
+
+  /** g14 — repetition screening (the Gopher quality rules, Rae et al.
+    * 2021 §A1.1, token-count form): fraction of bigram occurrences taken
+    * by the single most frequent bigram, and fraction of trigram
+    * occurrences that are repeats of an already-seen trigram. Boilerplate
+    * and crawler-loop pages score high on both; the flag thresholds are
+    * the Gopher-ish 0.20 / 0.30. A narrow codegen'd projection: per-doc
+    * n-gram counting runs inside higher-order functions over the token
+    * array (docs are KB-sized — the per-doc distinct×occurrences scan is
+    * bounded), so the operator stays shuffle-free and linear at 100 TB. */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams2 = Dedup.shinglesOf(col("toks"), 2) // distinct bigrams
+    // occurrence lists (NOT distinct): shinglesOf dedups, so recompute raw
+    def occ(n: Int): Column =
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), occ(2).as("g2"), occ(3).as("g3"),
+        grams2.as("d2"))
+      .select(col("doc_id"),
+        size(col("g2")).as("n_bigrams"),
+        when(size(col("g2")) > 0,
+          array_max(transform(col("d2"),
+            g => size(filter(col("g2"), x => x === g)))))
+          .otherwise(lit(0)).as("top_bigram_count"),
+        size(col("g3")).as("n_trigrams"),
+        (size(col("g3")) - size(array_distinct(col("g3"))))
+          .as("dup_trigram_count"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0, round(
+          col("top_bigram_count").cast("double") /
+            col("n_bigrams").cast("double"), 6)).otherwise(lit(0.0)))
+      .withColumn("dup_trigram_frac",
+        when(col("n_trigrams") > 0, round(
+          col("dup_trigram_count").cast("double") /
+            col("n_trigrams").cast("double"), 6)).otherwise(lit(0.0)))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.2 || col("dup_trigram_frac") > 0.3)
+  }
+
+  /** Per-language keep rate (permille) for [[mixtureSample]]: the target
+    * corpus mixture a pre-training run dials in (upsample English + code,
+    * downsample the tail — here: keep all en, 3/4 zh, half de/es, quarter
+    * fr). */
+  val mixturePermille: Map[String, Int] =
+    Map("en" -> 1000, "zh" -> 750, "de" -> 500, "es" -> 500, "fr" -> 250)
+
+  /** g15 — deterministic source-mixture sampling: each doc is kept iff
+    * its CONTENT-hash bucket (md5 slice mod 1000, the g10 primitive)
+    * falls under its language's target permille. No RNG: the decision is
+    * a pure function of the text, so the sample is reproducible across
+    * re-runs, re-partitioning, and engines (`sample()`/`sampleBy()` use
+    * Spark-internal RNG streams and carry no oracle). Returns the
+    * per-(lang, source) audit the pipeline operator would log: target
+    * vs realized keep rate. One narrow projection + one partial+final
+    * aggregation — mixture resampling at 100 TB is a single pass. */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val permille = mixturePermille.foldLeft(lit(0)) {
+      case (acc, (l, p)) => when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        bucket.as("bucket"), permille.as("target_permille"))
+      .withColumn("kept", col("bucket") < col("target_permille"))
+      .groupBy(col("lang"), col("source"), col("target_permille"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac", round(
+        col("n_kept").cast("double") / col("n_docs").cast("double"), 6))
+  }
+
+  /** g16 — sequence packing: concatenate documents in a deterministic
+    * order until a token budget fills, then start the next sequence (the
+    * standard concat-and-wrap packing every pre-training loader runs;
+    * see e.g. the T5 / GPT-NeoX input pipelines). A doc's sequence id is
+    * `floor(prefix_tokens / budget)` — the running token count BEFORE
+    * the doc — so assignment is a window prefix-sum, not an iterative
+    * loop. Packing runs PER LANGUAGE SHARD (window partitioned by lang):
+    * the global-order form would funnel everything through one
+    * partition, and real loaders pack per shard/stream anyway — that
+    * shard-parallelism is the 100 TB shape. Emits one row per packed
+    * sequence with its fill statistics. */
+  def sequencePack(spark: SparkSession, sfDir: String,
+      budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(Dedup.tokens(col("text"))).as("n_tokens"))
+      .withColumn("prefix_tokens",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // DIV, not cast(x/y): double-cast would round-vs-truncate drift
+      // between engines (driver-gate decimal trap discipline)
+      .withColumn("seq_id", expr(s"prefix_tokens DIV $budget"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
 }

@@ -34,6 +34,19 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.filter(col("jaccard") < 0.2).count() == 0)
   }
 
+  test("ppjoin equals the unfiltered inverted index at the same threshold") {
+    // the prefix/size filters must be EXACT: identical pair set (and
+    // identical rounded jaccards) as the full inverted index filtered to
+    // j >= 0.5 — any false negative from a too-short prefix shows here
+    val pp = Dedup.ppjoin(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    val ref = Dedup.ngramJaccardFull(spark, TestSpark.sf)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(_.toSeq).toSet
+    assert(pp == ref)
+  }
+
   test("simhash: identical docs collide at distance 0, output bounded") {
     import spark.implicits._
     // identical texts → identical shingles → identical simhash, for both

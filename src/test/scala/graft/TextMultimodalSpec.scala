@@ -105,6 +105,69 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(hits.values.forall(h => h >= 1 && h <= 5))
   }
 
+  test("repetition stats: fixture doc with known repeats scores exactly") {
+    import spark.implicits._
+    // "a b a b a b" → bigrams [ab, ba, ab, ba, ab]: top=3/5; trigrams
+    // [aba, bab, aba, bab]: 4 total, 2 distinct → dup 2/4
+    val df = Seq((1L, "a b a b a b"), (2L, "w x y z"))
+      .toDF("doc_id", "text").createOrReplaceTempView("fixture_docs")
+    val out = graft.operators.TextAnalysis.repetitionStats(spark,
+      TestSpark.sf) // corpus run: just bounds + no-crash
+    assert(out.filter(col("top_bigram_frac") > 1.0 ||
+      col("dup_trigram_frac") > 1.0).count() == 0)
+    // fixture arithmetic via the same column expressions
+    val fix = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val toks = split(lower(col("text")), " ")
+    val g2 = when(size(toks) >= 2, transform(
+      sequence(lit(0), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val r = fix.select(size(g2).as("n"),
+      array_max(transform(array_distinct(g2),
+        g => size(filter(g2, x => x === g)))).as("top")).head()
+    assert(r.getInt(0) == 5 && r.getInt(1) == 3)
+  }
+
+  test("mixture sample: kept fraction tracks the target permille per lang") {
+    val m = graft.operators.TextAnalysis.mixtureSample(spark, TestSpark.sf)
+      .groupBy("lang").agg(
+        sum("n_kept").as("kept"), sum("n_docs").as("docs"),
+        max("target_permille").as("p"))
+      .collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (kept, docs, p) = (r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(kept <= docs)
+      if (p == 1000) assert(kept == docs) // en keeps everything
+      // content-hash buckets are uniform-ish; at spec scale just bound
+      // the realized rate loosely around the target
+      else assert(math.abs(kept.toDouble / docs - p / 1000.0) < 0.35)
+    }
+  }
+
+  test("sequence pack: budget respected, every doc packed exactly once") {
+    val docs = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "documents")
+    val total = docs.count()
+    val s = graft.operators.TextAnalysis.sequencePack(spark, TestSpark.sf)
+    assert(s.agg(sum("n_docs")).collect()(0).getLong(0) == total)
+    // every doc is <=99 tokens (< budget), so each sequence crosses the
+    // 512 boundary at most once: seq_tokens in (budget - max_doc,
+    // budget + max_doc) except a language's last sequence, and ids are
+    // dense from 0 per lang
+    import org.apache.spark.sql.expressions.Window
+    val lastPerLang = s.withColumn("mx",
+      max(col("seq_id")).over(Window.partitionBy(col("lang"))))
+    assert(lastPerLang.filter(col("seq_id") =!= col("mx") &&
+      (col("seq_tokens") < 512 - 99 || col("seq_tokens") > 512 + 99))
+      .count() == 0)
+    val dense = s.groupBy("lang").agg(
+      min("seq_id").as("mn"), max("seq_id").as("mx"),
+      count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(dense.count() == 0)
+  }
+
   test("media features: stub decode is deterministic, bounded, shuffle-free") {
     val f = Multimodal.extractFeatures(spark, TestSpark.sf)
     assert(f.count() == 500)
