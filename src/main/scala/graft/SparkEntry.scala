@@ -158,6 +158,10 @@ object SparkEntry {
     // resume: the (appId, batchId) ledger makes re-delivered batches
     // no-ops, so the final aggregate matches the batch SQL exactly-once
     "t4_graftlog_stream_sink" -> ((s, d) => Transactions.streamingSink(s, d)),
+    // OPTIMIZE-style compaction (pure layout change, identical rows) and
+    // CDF-style version diff (insert/update_postimage/delete classes)
+    "t5_graftlog_compact"     -> ((s, d) => Transactions.afterCompact(s, d)),
+    "t6_graftlog_changes"     -> ((s, d) => Transactions.changeFeed(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -259,6 +263,35 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+    // t5: compaction is a pure layout change — the oracle is the seed
+    "t5_graftlog_compact" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+    // t6: the CDF classes re-derived from the deterministic batch —
+    // inserts are the above-max keys, updates the matched keys whose
+    // values actually changed (value-identical merge rewrites are not
+    // changes), deletes empty
+    "t6_graftlog_changes" ->
+      s"""WITH $incCte,
+         |ins AS (
+         |  SELECT inc_custkey AS c_custkey, inc_name AS c_name,
+         |    inc_nationkey AS c_nationkey, inc_acctbal AS c_acctbal,
+         |    inc_mktsegment AS c_mktsegment, 'insert' AS _change_type
+         |  FROM inc
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer b
+         |                    WHERE b.c_custkey = inc.inc_custkey)
+         |), upd AS (
+         |  SELECT inc_custkey AS c_custkey, inc_name AS c_name,
+         |    inc_nationkey AS c_nationkey, inc_acctbal AS c_acctbal,
+         |    inc_mktsegment AS c_mktsegment,
+         |    'update_postimage' AS _change_type
+         |  FROM customer b JOIN inc ON b.c_custkey = inc.inc_custkey
+         |  WHERE b.c_acctbal != inc.inc_acctbal
+         |     OR b.c_name != inc.inc_name
+         |     OR b.c_nationkey != inc.inc_nationkey
+         |     OR b.c_mktsegment != inc.inc_mktsegment
+         |)
+         |SELECT * FROM ins UNION ALL SELECT * FROM upd""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

@@ -75,6 +75,41 @@ object Transactions {
     GraftLog.readVersion(spark, deleteTable(spark, sfDir), 1L)
       .select(customerCols.map(col): _*)
 
+  private val stagedCompact =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  private def compactTable(spark: SparkSession, sfDir: String): String =
+    stagedCompact.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_txn_")
+        .resolve("customer_cmp").toString
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      // four appends land four separate staged file sets — the
+      // small-files layout streaming ingest produces
+      (0 until 4).foreach { i =>
+        GraftLog.append(cust.filter(col("c_custkey") % 4 === i), dir)
+      }
+      GraftLog.compact(spark, dir, targetFiles = 2)
+      dir
+    })
+
+  /** t5 — OPTIMIZE-style compaction: four appends rewritten into two
+    * files; the committed row set must be byte-identical to the union of
+    * the appends. Oracle: the plain customer table. */
+  def afterCompact(spark: SparkSession, sfDir: String): DataFrame =
+    GraftLog.read(spark, compactTable(spark, sfDir))
+      .select(customerCols.map(col): _*)
+
+  /** t6 — change data feed across the merge: row-level diff of v0→v1 of
+    * the [[mergeTable]] with Delta CDF change types. Inserts are the
+    * above-max-key batch rows; updates are matched keys whose VALUES
+    * changed (merge writes source values to every matched key, but
+    * value-identical rewrites are not changes); no deletes. Oracle
+    * re-derives all three classes relationally from customer + the
+    * deterministic batch definition. */
+  def changeFeed(spark: SparkSession, sfDir: String): DataFrame =
+    GraftLog.changes(spark, mergeTable(spark, sfDir),
+      Seq("c_custkey"), 0L, 1L)
+
   /** Streaming ingest INTO the transactional format — the "streaming
     * write to a Delta table" piece of the reference's stack, and the one
     * place `foreachBatch` alone is not exactly-once: if the process dies

@@ -403,6 +403,61 @@ object GraftLog {
     v
   }
 
+  /** OPTIMIZE-style compaction: rewrite the CURRENT live file set into
+    * `targetFiles` files and commit the swap. Pure layout change — the
+    * committed row set is identical (spec-pinned), older versions stay
+    * time-travelable until [[vacuum]]. The rewrite is `coalesce`, not
+    * `repartition`: no shuffle, each output task concatenates input
+    * splits — at 100 TB, compaction cost is IO-bound, not exchange-bound.
+    * The Delta OPTIMIZE analog for the small-files problem streaming
+    * appends create (each [[txnAppend]] micro-batch lands its own
+    * files). */
+  def compact(spark: SparkSession, table: String,
+      targetFiles: Int = 1): Long = {
+    val (files, schema) = snapshot(spark, table)
+    val current = spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+    val added = stageData(current.coalesce(targetFiles), table)
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "compact", added, files,
+      schema.toDDL, System.currentTimeMillis()))
+    v
+  }
+
+  /** Change data feed between two versions: per-key row-level diff with
+    * Delta CDF-style change types (`insert`, `update_postimage`,
+    * `delete`; postimage-only — preimages are a second join away if a
+    * consumer needs them). Computed relationally from the two snapshots:
+    * a full-outer join on the key, change classified by side presence
+    * and value inequality. Reading N versions of history costs two
+    * snapshot scans, not a log replay of data. */
+  def changes(spark: SparkSession, table: String, keys: Seq[String],
+      fromV: Long, toV: Long): DataFrame = {
+    val from = read(spark, table, Some(fromV))
+    val to = read(spark, table, Some(toV))
+    val dataCols = to.columns.filterNot(keys.contains)
+    val f = from.select(
+      keys.map(col) ++ dataCols.map(c => col(c).as(s"__f_$c")) :+
+        lit(true).as("__in_f"): _*)
+    val t = to.select(
+      keys.map(col) ++ dataCols.map(c => col(c).as(s"__t_$c")) :+
+        lit(true).as("__in_t"): _*)
+    val valueChanged = dataCols.map { c =>
+      // null-safe inequality so NULL→value and value→NULL both count
+      !(col(s"__f_$c") <=> col(s"__t_$c"))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    f.join(t, keys, "full_outer")
+      .withColumn("_change_type",
+        when(col("__in_f").isNull, "insert")
+          .when(col("__in_t").isNull, "delete")
+          .when(valueChanged, "update_postimage"))
+      .filter(col("_change_type").isNotNull)
+      .select(keys.map(col) ++ dataCols.map(c =>
+        // postimage for insert/update, last known values for delete
+        coalesce(col(s"__t_$c"), col(s"__f_$c")).as(c)) :+
+        col("_change_type"): _*)
+  }
+
   /** Drop data files referenced only by versions older than
     * `retainVersions` back from latest, then drop those log entries.
     * Version-count retention instead of Delta's wall-clock retention so

@@ -157,6 +157,43 @@ class GraftLogSpec extends AnyFunSuite {
     assert(h.tableFrame.select("event_id").distinct().count() == total)
   }
 
+  test("compact rewrites layout only: same rows, fewer files, history intact") {
+    val t = tmp()
+    (0 until 4).foreach(i =>
+      GraftLog.append(df(i * 10 until (i + 1) * 10, s"a$i"), t))
+    val before = GraftLog.read(spark, t).collect().map(_.toSeq).toSet
+    val filesBefore = GraftLog.snapshot(spark, t)._1.size
+    val v = GraftLog.compact(spark, t, targetFiles = 1)
+    assert(v == 4L)
+    val after = GraftLog.read(spark, t)
+    assert(after.collect().map(_.toSeq).toSet == before) // identical rows
+    val filesAfter = GraftLog.snapshot(spark, t)._1
+    assert(filesAfter.size == 1 && filesAfter.size < filesBefore)
+    // pre-compact versions still time-travelable until vacuum
+    assert(GraftLog.readVersion(spark, t, 3L).count() == 40)
+    assert(GraftLog.readVersion(spark, t, 1L).count() == 20)
+    GraftLog.vacuum(spark, t, retainVersions = 1)
+    assert(GraftLog.read(spark, t).count() == 40)
+  }
+
+  test("changes classifies insert/update/delete by key and value") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 6, "x"), t) // v0: ids 0..5 tag x
+    import spark.implicits._
+    // v1: drop id 0, change tag of 1 and 2, keep 3..5, add 6
+    val v1 = Seq((1L, "y"), (2L, "y"), (3L, "x"), (4L, "x"), (5L, "x"),
+      (6L, "new")).toDF("id", "tag")
+    GraftLog.overwrite(v1, t)
+    val ch = GraftLog.changes(spark, t, Seq("id"), 0L, 1L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(ch == Map(
+      0L -> (("x", "delete")),
+      1L -> (("y", "update_postimage")),
+      2L -> (("y", "update_postimage")),
+      6L -> (("new", "insert"))))
+  }
+
   test("delete-everything leaves a readable typed empty table") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 4, "a"), t)
