@@ -108,5 +108,8 @@ object GraftFunctions {
     r.createOrReplaceTempFunction(
       "shingle_hash_set",
       exprs => ShingleHashSet(exprs(0), litInt(exprs(1))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "shingle_set",
+      exprs => ShingleSet(exprs(0), litInt(exprs(1))), "scala_udf")
   }
 }

@@ -259,6 +259,56 @@ case class ShingleMinHash(child: Expression, n: Int, numPerm: Int)
     copy(child = newChild)
 }
 
+/** DISTINCT n-gram shingle STRINGS in one pass — the native form of
+  * `array_distinct(transform(sequence(...), concat_ws(...)))`
+  * ([[graft.operators.Dedup.shinglesOf]]), which evaluates a Catalyst HOF
+  * tree per window and measurably dominates the string-domain dedup
+  * queries (≈7 s of a 12 s sf0.1 run, see memory of the e8 rework).
+  * Output SET is identical — same strings, first-occurrence order, empty
+  * array (not null) below n tokens — so every oracle over the string
+  * domain is unchanged; only the evaluation path differs. `concat_ws`
+  * semantics mirrored: null tokens are skipped, separator only BETWEEN
+  * appended parts. */
+case class ShingleSet(child: Expression, n: Int)
+    extends ShingleSketchBase {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val sb = new java.lang.StringBuilder(64)
+    var w = 0
+    while (w < cnt) {
+      sb.setLength(0)
+      var first = true
+      var k = 0
+      while (k < n) {
+        val s = toks.getUTF8String(w + k)
+        if (s != null) { // concat_ws skips nulls
+          if (!first) sb.append(' ')
+          sb.append(s.toString)
+          first = false
+        }
+        k += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromString(
+        sb.toString)): Unit
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
 /** SORTED DISTINCT array of the 64-bit md5-slice window hashes — the
   * hash-domain representation of a doc's shingle SET (e8 PPJoin front
   * end). Sorting inside the expression makes the canonical prefix order
@@ -399,6 +449,8 @@ object SketchExpressions {
     ColumnBridge.column(ShingleSimHash(ColumnBridge.expression(toks), n))
   def shingle_hash_set(toks: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(toks), n))
+  def shingle_set(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShingleSet(ColumnBridge.expression(toks), n))
   def hyperplane_sigs(v: Column, planes: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(v),
       planes.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))

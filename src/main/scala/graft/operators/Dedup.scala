@@ -59,13 +59,17 @@ object Dedup {
   def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
 
   /** documents → (doc_id, sh) with tokens materialized in their own
-    * projection — the shared front end of every shingle-based operator. */
+    * projection — the shared front end of every shingle-based operator.
+    * Uses the native [[graft.functions.ShingleSet]] (same string set as
+    * [[shinglesOf]], one fused pass instead of a Catalyst HOF tree per
+    * window — the HOF form measurably dominated e2/e7). */
   private[operators] def shingled(spark: SparkSession, sfDir: String, n: Int,
       maxDocId: Long = Long.MaxValue): DataFrame = {
     val base = Sources.testTable(spark, sfDir, "documents")
       .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    base.select(col("doc_id"), shinglesOf(col("toks"), n).as("sh"))
+    base.select(col("doc_id"),
+        graft.functions.SketchExpressions.shingle_set(col("toks"), n).as("sh"))
       .filter(size(col("sh")) > 0)
   }
 

@@ -34,6 +34,22 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.filter(col("jaccard") < 0.2).count() == 0)
   }
 
+  test("native ShingleSet equals the HOF shinglesOf on the corpus") {
+    val docs = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    val both = docs.select(col("doc_id"),
+      graft.functions.SketchExpressions.shingle_set(col("toks"), 3).as("a"),
+      Dedup.shinglesOf(col("toks"), 3).as("b"))
+    // same SET per doc (native preserves first-occurrence order too, but
+    // the set is the contract the oracles rely on)
+    val bad = both.filter(
+      size(array_except(col("a"), col("b"))) > 0 ||
+      size(array_except(col("b"), col("a"))) > 0 ||
+      size(col("a")) =!= size(col("b"))).count()
+    assert(bad == 0)
+  }
+
   test("ppjoin equals the unfiltered inverted index at the same threshold") {
     // the prefix/size filters must be EXACT: identical pair set (and
     // identical rounded jaccards) as the full inverted index filtered to
