@@ -162,6 +162,10 @@ object SparkEntry {
     // CDF-style version diff (insert/update_postimage/delete classes)
     "t5_graftlog_compact"     -> ((s, d) => Transactions.afterCompact(s, d)),
     "t6_graftlog_changes"     -> ((s, d) => Transactions.changeFeed(s, d)),
+    // streaming MERGE INTO the transactional table (foreachBatch +
+    // idempotent txnMerge; last batch wins per key)
+    "t7_graftlog_stream_merge" ->
+      ((s, d) => Transactions.streamingMerge(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -292,6 +296,19 @@ object SparkEntry {
          |     OR b.c_mktsegment != inc.inc_mktsegment
          |)
          |SELECT * FROM ins UNION ALL SELECT * FROM upd""".stripMargin,
+    // t7: final upsert state = per (user_id, event_type) the latest event
+    // of the LAST phase that carries the key (phase = event_id % 2; phase
+    // 1 landed second so it wins), latest-within-phase by (us, event_id)
+    "t7_graftlog_stream_merge" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  value AS last_value
+        |FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY event_id % 2 DESC, epoch_us(ts) DESC,
+        |               event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

@@ -221,7 +221,11 @@ object Dedup {
         col("sz").as("na")), Seq("doc_a"))
       .join(sized.select(col("doc_id").as("doc_b"), col("hsh").as("hb"),
         col("sz").as("nb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      // ShingleHashSet arrays are sorted+distinct, so the intersection
+      // COUNT is a codegen'd two-pointer walk (no intersection array
+      // allocated per pair, unlike size(array_intersect))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("ha"), col("hb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)

@@ -124,7 +124,7 @@ object Transactions {
     * reject it) → land phase 2 → resume. Exactly-once iff the final
     * table aggregate equals the plain batch SQL over ALL events. */
   private[graft] final class GraftSinkHarness(
-      spark: SparkSession, sfDir: String) {
+      spark: SparkSession, sfDir: String, mode: String = "append") {
     private val root = java.nio.file.Files
       .createTempDirectory("graft_sink_").toString
     private val (in, ckpt) = (s"$root/in", s"$root/ckpt")
@@ -134,6 +134,30 @@ object Transactions {
     // last batch foreachBatch delivered, kept so the spec/query can
     // replay it the way a crashed-then-restarted sink would
     @volatile private var lastBatch: Option[(DataFrame, Long)] = None
+
+    /** One upsert row per key from a micro-batch: the latest event by
+      * (us, event_id) — a unique, totally ordered pair, so the struct
+      * max is deterministic. */
+    private def mergeSource(batch: DataFrame): DataFrame =
+      batch
+        .select(col("user_id"), col("event_type"),
+          struct(unix_micros(col("ts")).as("us"),
+            col("event_id"), col("value")).as("evt"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("evt")).as("m"))
+        .select(col("user_id"), col("event_type"),
+          col("m.event_id").as("last_event_id"),
+          col("m.value").as("last_value"))
+
+    if (mode == "merge") // seed v0: typed empty table to merge into
+      GraftLog.overwrite(
+        mergeSource(ev).limit(0), table): Unit
+
+    private def commit(df: DataFrame, batchId: Long): Boolean = mode match {
+      case "append" => GraftLog.txnAppend(df, table, appId, batchId)
+      case "merge" => GraftLog.txnMerge(mergeSource(df), table,
+        Seq("user_id", "event_type"), appId, batchId) >= 0
+    }
 
     def land(phase: Int): Unit =
       ev.filter(pmod(col("event_id"), lit(2)) === phase)
@@ -147,7 +171,7 @@ object Transactions {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           lastBatch.foreach(_._1.unpersist())
           lastBatch = Some((batch.persist(), batchId))
-          GraftLog.txnAppend(batch, table, appId, batchId): Unit
+          commit(batch, batchId): Unit
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -160,7 +184,7 @@ object Transactions {
     def replayLastBatch(): Boolean = {
       val (df, id) = lastBatch.getOrElse(
         throw new IllegalStateException("no batch delivered yet"))
-      try GraftLog.txnAppend(df, table, appId, id)
+      try commit(df, id)
       finally { df.unpersist(); () }
     }
 
@@ -182,5 +206,22 @@ object Transactions {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+  }
+
+  /** t7 — streaming MERGE INTO the transactional table: each micro-batch
+    * upserts its per-key latest event through [[GraftLog.txnMerge]], with
+    * the same kill/replay/resume cycle as t4. Batch 1 (odd event ids,
+    * landed second) overwrites batch 0's row for every key it carries —
+    * LAST BATCH WINS, regardless of event time — which is exactly Delta's
+    * foreachBatch-MERGE semantics and what the oracle mirrors (phase
+    * priority before in-phase recency). */
+  def streamingMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = new GraftSinkHarness(spark, sfDir, mode = "merge")
+    h.land(0); h.runToDrain()
+    h.runToDrain()
+    require(!h.replayLastBatch(),
+      "txn ledger accepted a duplicate merge batch")
+    h.land(1); h.runToDrain()
+    h.tableFrame
   }
 }

@@ -337,7 +337,23 @@ object GraftLog {
     * Only files containing a matched key are rewritten; everything else
     * is carried by reference. The rewrite joins ONLY those files' rows
     * against the broadcast source. */
-  def merge(source: DataFrame, table: String, keys: Seq[String]): Long = {
+  def merge(source: DataFrame, table: String, keys: Seq[String]): Long =
+    mergeImpl(source, table, keys, txn = None)
+
+  /** Idempotent transactional MERGE for streaming upsert sinks — the
+    * [[txnAppend]] ledger contract applied to [[merge]]: a re-delivered
+    * (appId, batchId) is a no-op returning -1. This is the "streaming
+    * MERGE INTO a Delta table" shape (foreachBatch + idempotent
+    * write). */
+  def txnMerge(source: DataFrame, table: String, keys: Seq[String],
+      appId: String, batchId: Long): Long = {
+    if (lastCommittedBatch(source.sparkSession, table, appId)
+        .exists(_ >= batchId)) -1L
+    else mergeImpl(source, table, keys, Some((appId, batchId)))
+  }
+
+  private def mergeImpl(source: DataFrame, table: String, keys: Seq[String],
+      txn: Option[(String, Long)]): Long = {
     val spark = source.sparkSession
     val (files, schema) = snapshot(spark, table)
     require(source.columns.map(_.toLowerCase).sorted
@@ -380,8 +396,8 @@ object GraftLog {
     val rewritten = updated.map(_.unionByName(inserts)).getOrElse(inserts)
     val added = stageData(rewritten, table)
     val v = nextVersion(spark, table)
-    writeCommit(spark, table, new Commit(v, "merge", added, touched,
-      schema.toDDL, System.currentTimeMillis()))
+    writeCommit(spark, table, Commit(v, "merge", added, touched,
+      schema.toDDL, System.currentTimeMillis(), txn))
     v
   }
 

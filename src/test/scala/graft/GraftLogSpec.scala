@@ -194,6 +194,30 @@ class GraftLogSpec extends AnyFunSuite {
       6L -> (("new", "insert"))))
   }
 
+  test("streaming merge sink: last batch wins per key, replay rejected") {
+    val h = new graft.operators.Transactions.GraftSinkHarness(
+      spark, TestSpark.sf, mode = "merge")
+    val ev = graft.sources.Sources.testTable(spark, TestSpark.sf, "events")
+    val keys0 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select("user_id", "event_type").distinct().count()
+    val keysAll = ev.select("user_id", "event_type").distinct().count()
+
+    h.land(0); h.runToDrain()
+    assert(h.tableFrame.count() == keys0) // one row per phase-0 key
+    h.runToDrain()
+    assert(!h.replayLastBatch()) // duplicate merge batch rejected
+    assert(h.tableFrame.count() == keys0)
+    h.land(1); h.runToDrain()
+    assert(h.tableFrame.count() == keysAll) // all keys, one row each
+    // every key present in phase 1 must now carry an ODD last_event_id
+    // (batch 1 overwrote batch 0 regardless of event time)
+    val phase1Keys = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select("user_id", "event_type").distinct()
+    val stale = h.tableFrame.join(phase1Keys, Seq("user_id", "event_type"))
+      .filter(pmod(col("last_event_id"), lit(2)) === 0).count()
+    assert(stale == 0)
+  }
+
   test("delete-everything leaves a readable typed empty table") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 4, "a"), t)

@@ -66,7 +66,10 @@ class PropertySpec extends AnyFunSuite {
     val df = docs.toDF("id", "text").select(col("id"),
       graft.functions.SketchExpressions
         .shingle_simhash(Dedup.tokens(col("text")), 2).as("s"))
-    val hs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sub-n-token docs are NULL under the sketch contract — drop them
+    val hs = df.collect().flatMap(r =>
+      Option(r.get(1)).map(v => r.getLong(0) -> v.asInstanceOf[Long])).toMap
+    assert(hs.nonEmpty)
     for ((i, hi) <- hs; (j, hj) <- hs) {
       val d = java.lang.Long.bitCount(hi ^ hj)
       assert(d >= 0 && d <= 64)
@@ -113,6 +116,35 @@ class PropertySpec extends AnyFunSuite {
       .collect().flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
     // 60-bit md5 slice: always fits positive in a signed long
     mins.foreach(m => assert(m >= 0L && m < (1L << 60)))
+  }
+
+  test("sorted_intersect_count == size(array_intersect) on sorted sets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      def arr() = rng.shuffle((0L to 400L).toList)
+        .take(rng.nextInt(60)).distinct.sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val bad = df.select(
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+    // codegen and interpreted paths agree (CodegenObjectFactoryMode spans
+    // both in practice; force the interpreted eval explicitly)
+    rows.foreach { case (_, a, b) =>
+      val e = graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, false)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, false)))
+      assert(e.eval(null) == a.toSet.intersect(b.toSet).size)
+    }
   }
 
   test("kmv sketch: partitioning-invariant merges, sorted-distinct, capped") {
