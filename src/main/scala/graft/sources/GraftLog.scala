@@ -267,13 +267,56 @@ object GraftLog {
     v
   }
 
-  /** Append: adds files, removes none. */
+  /** Append: adds files, removes none. Delta's schema enforcement: the
+    * batch must carry exactly the table's columns (first append on an
+    * empty log sets the schema) — a mismatched batch is REJECTED rather
+    * than silently re-pointing the table schema at the batch's. Widening
+    * appends go through [[appendMergeSchema]]. */
   def append(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
+    latestVersion(spark, table).foreach { v =>
+      val cur = snapshot(spark, table)._2
+      require(df.columns.map(_.toLowerCase).sorted
+          .sameElements(cur.fieldNames.map(_.toLowerCase).sorted),
+        s"append schema [${df.columns.sorted.mkString(",")}] does not " +
+          s"match table schema [${cur.fieldNames.sorted.mkString(",")}] " +
+          "at version " + v + "; use appendMergeSchema to evolve")
+    }
     val added = stageData(df, table)
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "append", added, Seq.empty,
       df.schema.toDDL, System.currentTimeMillis()))
+    v
+  }
+
+  /** Schema-evolving append (Delta `mergeSchema`): commit schema = union
+    * of the table's and the batch's columns (table order first, new
+    * batch columns appended). Data files are immutable — older files
+    * simply lack the new columns, and the schema-directed parquet read
+    * fills them as typed NULLs; batch files lacking legacy columns read
+    * the same way. Type CHANGES on a shared column are rejected. */
+  def appendMergeSchema(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val merged = latestVersion(spark, table) match {
+      case None => df.schema
+      case Some(_) =>
+        val cur = snapshot(spark, table)._2
+        val byName = df.schema.map(f => f.name.toLowerCase -> f).toMap
+        cur.foreach { f =>
+          byName.get(f.name.toLowerCase).foreach { g =>
+            require(g.dataType == f.dataType,
+              s"column ${f.name}: type change ${f.dataType.sql} -> " +
+                s"${g.dataType.sql} is not supported")
+          }
+        }
+        val curNames = cur.fieldNames.map(_.toLowerCase).toSet
+        StructType(cur.fields ++
+          df.schema.fields.filterNot(f => curNames(f.name.toLowerCase)))
+    }
+    val added = stageData(df, table)
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "appendMergeSchema", added,
+      Seq.empty, merged.toDDL, System.currentTimeMillis()))
     v
   }
 
@@ -300,6 +343,12 @@ object GraftLog {
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) false
     else {
+      latestVersion(spark, table).foreach { _ => // same gate as append()
+        val cur = snapshot(spark, table)._2
+        require(df.columns.map(_.toLowerCase).sorted
+            .sameElements(cur.fieldNames.map(_.toLowerCase).sorted),
+          "streaming append batch schema does not match the table schema")
+      }
       val added = stageData(df, table)
       val v = nextVersion(spark, table)
       writeCommit(spark, table, Commit(v, "streamingAppend", added,

@@ -157,6 +157,35 @@ class GraftLogSpec extends AnyFunSuite {
     assert(h.tableFrame.select("event_id").distinct().count() == total)
   }
 
+  test("append enforces schema; appendMergeSchema widens with typed nulls") {
+    import spark.implicits._
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "a"), t)
+    // mismatched append rejected (Delta schema enforcement)
+    val bad = Seq((9L, "x", 1.5)).toDF("id", "tag", "score")
+    val e = intercept[IllegalArgumentException] { GraftLog.append(bad, t) }
+    assert(e.getMessage.contains("appendMergeSchema"))
+    assert(GraftLog.read(spark, t).count() == 5)
+    // widening append: union schema, old rows read NULL in the new col
+    GraftLog.appendMergeSchema(bad, t)
+    val back = GraftLog.read(spark, t)
+    assert(back.columns.toSeq == Seq("id", "tag", "score"))
+    assert(back.count() == 6)
+    assert(back.filter(col("score").isNull).count() == 5)
+    assert(back.filter(col("id") === 9L).head().getDouble(2) == 1.5)
+    // narrow batch (missing the new col) still appends via merge-schema,
+    // reading NULL for it; type change on a shared column is rejected
+    GraftLog.appendMergeSchema(df(10 until 12, "b"), t)
+    assert(GraftLog.read(spark, t).filter(col("score").isNull).count() == 7)
+    val typeChange = Seq((20L, 3, 1.0)).toDF("id", "tag", "score") // tag int
+    intercept[IllegalArgumentException] {
+      GraftLog.appendMergeSchema(typeChange, t)
+    }
+    // history: pre-evolution version still reads with its own schema
+    assert(GraftLog.readVersion(spark, t, 0L).columns.toSeq ==
+      Seq("id", "tag"))
+  }
+
   test("compact rewrites layout only: same rows, fewer files, history intact") {
     val t = tmp()
     (0 until 4).foreach(i =>
