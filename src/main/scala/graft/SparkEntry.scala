@@ -86,6 +86,7 @@ object SparkEntry {
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
     "f3_knn_ivf"             -> ((s, d) => Similarity.ivfTopK(s, d)),
     "f4_knn_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
+    "f5_embedding_quantize"  -> ((s, d) => Similarity.quantizeAudit(s, d)),
     // LLM-pipeline extensions: text analysis (SURVEY.md §7.6)
     "g1_token_stats"         -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "g2_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -296,6 +297,42 @@ object SparkEntry {
          |     OR b.c_mktsegment != inc.inc_mktsegment
          |)
          |SELECT * FROM ins UNION ALL SELECT * FROM upd""".stripMargin,
+    // f5: the whole quantize/encode/audit pipeline is IEEE arithmetic on
+    // per-dim stats — floor (never round: engines disagree on halves),
+    // constant-dim guard, exact decimal error sums
+    "f5_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS pos, embedding
+        |  FROM embeddings
+        |), v AS (
+        |  SELECT vec_id, pos,
+        |    CAST(embedding[CAST(pos AS INTEGER) + 1] AS DOUBLE) AS v
+        |  FROM e
+        |), stats AS (
+        |  SELECT pos, min(v) AS mn, max(v) AS mx,
+        |    (max(v) - min(v)) / 255.0 AS scale
+        |  FROM v GROUP BY 1
+        |), coded AS (
+        |  SELECT vec_id,
+        |    CAST(CASE WHEN scale = 0.0 THEN 0 ELSE
+        |      least(255.0, greatest(0.0, floor((v - mn) / scale)))
+        |      END AS INTEGER) AS code,
+        |    v, mn, scale
+        |  FROM v JOIN stats USING (pos)
+        |), scored AS (
+        |  SELECT vec_id, code,
+        |    CASE WHEN scale = 0.0 THEN 0.0 ELSE
+        |      (v - (mn + (code + 0.5) * scale)) *
+        |      (v - (mn + (code + 0.5) * scale)) END AS err2
+        |  FROM coded
+        |)
+        |SELECT vec_id, count(*) AS n_dims,
+        |  CAST(max(code) AS INTEGER) AS max_code,
+        |  CAST(min(code) AS INTEGER) AS min_code,
+        |  round(CAST(sum(CAST(err2 AS DECIMAL(38,10))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS mse
+        |FROM scored GROUP BY 1""".stripMargin,
     // t7: final upsert state = per (user_id, event_type) the latest event
     // of the LAST phase that carries the key (phase = event_id % 2; phase
     // 1 landed second so it wins), latest-within-phase by (us, event_id)

@@ -81,6 +81,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.length == nq && perQuery.forall(_.getLong(1) == 5))
   }
 
+  test("quantize audit: codes bounded, every dim covered, error within cell") {
+    val q = graft.operators.Similarity.quantizeAudit(spark, TestSpark.sf)
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getLong(1) == 64) // n_dims
+      assert(r.getInt(2) <= 255 && r.getInt(3) >= 0) // max/min code
+      assert(r.getDouble(4) >= 0.0) // mse
+    }
+    // midpoint reconstruction: per-dim error <= scale/2, so per-vector
+    // mse <= max_dim(scale^2)/4 (+ rounding slack)
+    val emb = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "v")))
+    val maxScale = emb.groupBy("pos")
+      .agg(((max(col("v")) - min(col("v"))) / 255.0).as("s"))
+      .agg(max(col("s"))).collect()(0).getDouble(0)
+    val bound = maxScale * maxScale / 4.0 + 1e-9
+    assert(q.forall(_.getDouble(4) <= bound))
+  }
+
   test("brute force broadcasts the query side (no corpus shuffle join)") {
     val plan = Similarity.bruteForceTopK(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
