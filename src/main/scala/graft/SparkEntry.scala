@@ -167,6 +167,9 @@ object SparkEntry {
     // idempotent txnMerge; last batch wins per key)
     "t7_graftlog_stream_merge" ->
       ((s, d) => Transactions.streamingMerge(s, d)),
+    // commit-log min/max stats prune files on a range read
+    "t8_graftlog_data_skipping" ->
+      ((s, d) => Transactions.rangeRead(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -346,6 +349,11 @@ object SparkEntry {
         |               event_id DESC) AS rn
         |  FROM events
         |) WHERE rn = 1""".stripMargin,
+    // t8: pruning must lose no rows — the oracle is the plain range scan
+    "t8_graftlog_data_skipping" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey >= 101 AND c_custkey <= 400""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

@@ -110,6 +110,31 @@ object Transactions {
     GraftLog.changes(spark, mergeTable(spark, sfDir),
       Seq("c_custkey"), 0L, 1L)
 
+  private val stagedSkip =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Range-clustered GraftLog table: `repartitionByRange` before the
+    * write gives each data file a tight contiguous key range — the
+    * layout that makes min/max data skipping effective (random layout
+    * would leave every file's range spanning the whole domain). */
+  private def skipTable(spark: SparkSession, sfDir: String): String =
+    stagedSkip.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_txn_")
+        .resolve("customer_skip").toString
+      GraftLog.overwrite(
+        Sources.testTable(spark, sfDir, "customer")
+          .repartitionByRange(8, col("c_custkey")), dir)
+      dir
+    })
+
+  /** t8 — data skipping: a key-range read through the commit-log stats
+    * opens only the files whose [min, max] intersect the range (the spec
+    * pins the file count; the oracle pins that pruning loses no rows). */
+  def rangeRead(spark: SparkSession, sfDir: String): DataFrame =
+    GraftLog.readPruned(spark, skipTable(spark, sfDir),
+      "c_custkey", 101.0, 400.0)
+      .select(customerCols.map(col): _*)
+
   /** Streaming ingest INTO the transactional format — the "streaming
     * write to a Delta table" piece of the reference's stack, and the one
     * place `foreachBatch` alone is not exactly-once: if the process dies

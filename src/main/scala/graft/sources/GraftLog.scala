@@ -63,7 +63,8 @@ object GraftLog {
     * between a sink commit and the checkpoint write. */
   case class Commit(version: Long, operation: String, add: Seq[String],
       remove: Seq[String], schemaDdl: String, timestampMs: Long,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
   private val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
@@ -98,10 +99,17 @@ object GraftLog {
     val txnPart = c.txn.map { case (app, batch) =>
       s""","txnAppId":"${esc(app)}","txnBatchId":$batch"""
     }.getOrElse("")
+    val statsPart =
+      if (c.stats.isEmpty) ""
+      else ","+"\"stats\":" + c.stats.map { case (f, cols) =>
+        "\"" + esc(f) + "\":" + cols.map { case (col, (mn, mx)) =>
+          "\"" + esc(col) + "\":[" + mn + "," + mx + "]"
+        }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
-      s""""timestampMs":${c.timestampMs}$txnPart}"""
+      s""""timestampMs":${c.timestampMs}$txnPart$statsPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -115,9 +123,26 @@ object GraftLog {
       if (n.has("txnAppId"))
         Some((n.get("txnAppId").asText(), n.get("txnBatchId").asLong()))
       else None
+    val stats =
+      if (!n.has("stats")) Map.empty[String, Map[String, (Double, Double)]]
+      else {
+        val sn = n.get("stats")
+        val out = scala.collection.mutable.Map
+          .empty[String, Map[String, (Double, Double)]]
+        sn.fieldNames().forEachRemaining { f =>
+          val cn = sn.get(f)
+          val cols = scala.collection.mutable.Map.empty[String, (Double, Double)]
+          cn.fieldNames().forEachRemaining { c =>
+            val a = cn.get(c)
+            cols += c -> ((a.get(0).asDouble(), a.get(1).asDouble()))
+          }
+          out += f -> cols.toMap
+        }
+        out.toMap
+      }
     Commit(n.get("version").asLong(), n.get("operation").asText(),
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
-      n.get("timestampMs").asLong(), txn)
+      n.get("timestampMs").asLong(), txn, stats)
   }
 
   // ------------------------------------------------------------- protocol
@@ -251,6 +276,105 @@ object GraftLog {
   private def nextVersion(spark: SparkSession, table: String): Long =
     latestVersion(spark, table).map(_ + 1).getOrElse(0L)
 
+  // -------------------------------------------------------- data skipping
+
+  private def numericFields(schema: StructType) =
+    schema.fields.filter(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    })
+
+  /** Per-file min/max for every numeric column of freshly staged files —
+    * the Delta data-skipping stats, stored in the commit (as doubles;
+    * exact for integers up to 2^53, far beyond any key domain here). One
+    * grouped pass over the just-written files; a production writer would
+    * fold this into the write itself, the protocol is identical. */
+  private def collectStats(spark: SparkSession, table: String,
+      files: Seq[String], schema: StructType)
+      : Map[String, Map[String, (Double, Double)]] = {
+    val nf = numericFields(schema)
+    if (nf.isEmpty || files.isEmpty) return Map.empty
+    val aggs = nf.flatMap(f => Seq(
+      min(col(f.name).cast("double")).as(s"mn_${f.name}"),
+      max(col(f.name).cast("double")).as(s"mx_${f.name}")))
+    val rows = spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+      .withColumn("__gf_file", input_file_name())
+      .groupBy(col("__gf_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byTail = files.map(f => fileTail(f) -> f).toMap
+    rows.flatMap { r =>
+      byTail.get(fileTail(r.getString(0))).map { f =>
+        f -> nf.flatMap { fd =>
+          val mn = r.getAs[Any](s"mn_${fd.name}")
+          val mx = r.getAs[Any](s"mx_${fd.name}")
+          if (mn == null || mx == null) None // all-null column: no stats
+          else Some(fd.name ->
+            ((mn.asInstanceOf[Double], mx.asInstanceOf[Double])))
+        }.toMap
+      }
+    }.toMap
+  }
+
+  private def stageWithStats(df: DataFrame, table: String)
+      : (Seq[String], Map[String, Map[String, (Double, Double)]]) = {
+    val added = stageData(df, table)
+    (added, collectStats(df.sparkSession, table, added, df.schema))
+  }
+
+  /** Stats of the LIVE file set (same replay as [[snapshot]]). */
+  def fileStats(spark: SparkSession, table: String,
+      asOf: Option[Long] = None)
+      : Map[String, Map[String, (Double, Double)]] = {
+    val all = versions(spark, table)
+    val upTo = asOf.map(v => all.filter(_ <= v)).getOrElse(all)
+    val live = mutable.LinkedHashMap.empty[String, Map[String, (Double, Double)]]
+    upTo.foreach { v =>
+      val c = readCommit(spark, table, v)
+      c.remove.foreach(live -= _)
+      c.add.foreach(f => live += f -> c.stats.getOrElse(f, Map.empty))
+    }
+    live.toMap
+  }
+
+  /** Files of the current snapshot whose [min, max] stats for `column`
+    * intersect [lo, hi] (files without stats are conservatively kept). */
+  private[graft] def prunedFiles(spark: SparkSession, table: String,
+      column: String, lo: Double, hi: Double): Seq[String] = {
+    val (files, _) = snapshot(spark, table)
+    val stats = fileStats(spark, table)
+    files.filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+  }
+
+  /** Range read with file-level data skipping: only files whose stats
+    * intersect the range are opened; the residual filter still applies
+    * (stats prune FILES, they don't prove every row matches). At 100 TB
+    * with range-clustered writes this is the difference between scanning
+    * a table and scanning a slice — same contract as Delta data skipping,
+    * driven entirely by commit-log metadata. */
+  def readPruned(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double): DataFrame = {
+    val (_, schema) = snapshot(spark, table)
+    val kept = prunedFiles(spark, table, column, lo, hi)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(kept.map(f => s"$table/$f"): _*)
+    base.filter(col(column) >= lo && col(column) <= hi)
+  }
+
   /** Atomic overwrite: readers see the old snapshot until the single
     * commit-file link flips them to the new one — no window where the
     * table is empty or mixed (the failure mode of a recursive
@@ -260,10 +384,10 @@ object GraftLog {
     val prior =
       if (versions(spark, table).isEmpty) Seq.empty[String]
       else snapshot(spark, table)._1
-    val added = stageData(df, table)
+    val (added, st) = stageWithStats(df, table)
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "overwrite", added, prior,
-      df.schema.toDDL, System.currentTimeMillis()))
+      df.schema.toDDL, System.currentTimeMillis(), stats = st))
     v
   }
 
@@ -282,10 +406,10 @@ object GraftLog {
           s"match table schema [${cur.fieldNames.sorted.mkString(",")}] " +
           "at version " + v + "; use appendMergeSchema to evolve")
     }
-    val added = stageData(df, table)
+    val (added, st) = stageWithStats(df, table)
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "append", added, Seq.empty,
-      df.schema.toDDL, System.currentTimeMillis()))
+      df.schema.toDDL, System.currentTimeMillis(), stats = st))
     v
   }
 
@@ -313,10 +437,10 @@ object GraftLog {
         StructType(cur.fields ++
           df.schema.fields.filterNot(f => curNames(f.name.toLowerCase)))
     }
-    val added = stageData(df, table)
+    val (added, st) = stageWithStats(df, table)
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "appendMergeSchema", added,
-      Seq.empty, merged.toDDL, System.currentTimeMillis()))
+      Seq.empty, merged.toDDL, System.currentTimeMillis(), stats = st))
     v
   }
 
@@ -349,11 +473,11 @@ object GraftLog {
             .sameElements(cur.fieldNames.map(_.toLowerCase).sorted),
           "streaming append batch schema does not match the table schema")
       }
-      val added = stageData(df, table)
+      val (added, st) = stageWithStats(df, table)
       val v = nextVersion(spark, table)
       writeCommit(spark, table, Commit(v, "streamingAppend", added,
         Seq.empty, df.schema.toDDL, System.currentTimeMillis(),
-        Some((appId, batchId))))
+        Some((appId, batchId)), stats = st))
       true
     }
   }
@@ -443,10 +567,10 @@ object GraftLog {
         .select(schema.fieldNames.map(col): _*)
     }
     val rewritten = updated.map(_.unionByName(inserts)).getOrElse(inserts)
-    val added = stageData(rewritten, table)
+    val (added, st) = stageWithStats(rewritten, table)
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "merge", added, touched,
-      schema.toDDL, System.currentTimeMillis(), txn))
+      schema.toDDL, System.currentTimeMillis(), txn, stats = st))
     v
   }
 
@@ -482,10 +606,10 @@ object GraftLog {
     val (files, schema) = snapshot(spark, table)
     val current = spark.read.schema(schema)
       .parquet(files.map(f => s"$table/$f"): _*)
-    val added = stageData(current.coalesce(targetFiles), table)
+    val (added, st) = stageWithStats(current.coalesce(targetFiles), table)
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "compact", added, files,
-      schema.toDDL, System.currentTimeMillis()))
+      schema.toDDL, System.currentTimeMillis(), stats = st))
     v
   }
 

@@ -247,6 +247,39 @@ class GraftLogSpec extends AnyFunSuite {
     assert(stale == 0)
   }
 
+  test("data skipping: range read opens only stat-intersecting files") {
+    import spark.implicits._
+    val t = tmp()
+    // 4 range-clustered files: 0-24, 25-49, 50-74, 75-99
+    val data = (0L until 100L).map(i => (i, s"r$i")).toDF("id", "tag")
+    GraftLog.overwrite(data.repartitionByRange(4, col("id")), t)
+    val all = GraftLog.snapshot(spark, t)._1
+    assert(all.size == 4)
+    // stats recorded for every file
+    val stats = GraftLog.fileStats(spark, t)
+    assert(all.forall(f => stats(f).contains("id")))
+    // a range inside one file's span prunes to 1-2 files
+    val kept = GraftLog.prunedFiles(spark, t, "id", 30.0, 40.0)
+    assert(kept.size < all.size && kept.nonEmpty)
+    // pruning loses no rows vs the unpruned filter
+    val pruned = GraftLog.readPruned(spark, t, "id", 30.0, 40.0)
+      .collect().map(_.toSeq).toSet
+    val full = GraftLog.read(spark, t)
+      .filter(col("id") >= 30 && col("id") <= 40)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == full && pruned.size == 11)
+    // out-of-domain range prunes everything but stays a typed empty frame
+    assert(GraftLog.prunedFiles(spark, t, "id", 500.0, 600.0).isEmpty)
+    assert(GraftLog.readPruned(spark, t, "id", 500.0, 600.0).count() == 0)
+    // stats survive merge rewrites (file-level replay)
+    val src = Seq((30L, "updated")).toDF("id", "tag")
+    GraftLog.merge(src, t, Seq("id"))
+    val kept2 = GraftLog.prunedFiles(spark, t, "id", 30.0, 40.0)
+    assert(kept2.size < GraftLog.snapshot(spark, t)._1.size)
+    assert(GraftLog.readPruned(spark, t, "id", 30.0, 30.0)
+      .head().getString(1) == "updated")
+  }
+
   test("delete-everything leaves a readable typed empty table") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 4, "a"), t)
