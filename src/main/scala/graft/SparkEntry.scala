@@ -87,6 +87,7 @@ object SparkEntry {
     "f3_knn_ivf"             -> ((s, d) => Similarity.ivfTopK(s, d)),
     "f4_knn_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "f5_embedding_quantize"  -> ((s, d) => Similarity.quantizeAudit(s, d)),
+    "f6_knn_quantized"       -> ((s, d) => Similarity.quantizedTopK(s, d)),
     // LLM-pipeline extensions: text analysis (SURVEY.md §7.6)
     "g1_token_stats"         -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "g2_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -336,6 +337,48 @@ object SparkEntry {
         |  round(CAST(sum(CAST(err2 AS DECIMAL(38,10))) AS DOUBLE) /
         |    CAST(count(*) AS DOUBLE), 6) AS mse
         |FROM scored GROUP BY 1""".stripMargin,
+    // f6: the f1 ranking run on midpoint reconstructions — the quantize
+    // CTEs are f5's, the search CTEs f1's
+    "f6_knn_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS pos, embedding
+        |  FROM embeddings
+        |), vv AS (
+        |  SELECT vec_id, pos,
+        |    CAST(embedding[CAST(pos AS INTEGER) + 1] AS DOUBLE) AS v
+        |  FROM e
+        |), stats AS (
+        |  SELECT pos, min(v) AS mn, max(v) AS mx,
+        |    (max(v) - min(v)) / 255.0 AS scale
+        |  FROM vv GROUP BY 1
+        |), coded AS (
+        |  SELECT vec_id, pos,
+        |    CAST(CASE WHEN scale = 0.0 THEN 0 ELSE
+        |      least(255.0, greatest(0.0, floor((v - mn) / scale)))
+        |      END AS INTEGER) AS code,
+        |    mn, scale
+        |  FROM vv JOIN stats USING (pos)
+        |), vecs AS (
+        |  SELECT vec_id,
+        |    list(mn + (code + 0.5) * scale ORDER BY pos) AS rv
+        |  FROM coded GROUP BY 1
+        |), n AS (
+        |  SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS norm
+        |  FROM vecs
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.rv, c.rv) / (q.norm * c.norm) AS cosine
+        |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10
+        |)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     // t7: final upsert state = per (user_id, event_type) the latest event
     // of the LAST phase that carries the key (phase = event_id % 2; phase
     // 1 landed second so it wins), latest-within-phase by (us, event_id)

@@ -276,8 +276,10 @@ object Similarity {
     * Every arithmetic step is IEEE-exact and mirrored in the oracle:
     * floor (not round — engines disagree on half-rounding), constant-dim
     * guard (scale = 0 → code 0, recon = min, zero error). */
-  def quantizeAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.Deterministic.sumExact
+  /** The shared quantize pipeline: per-(vec_id, pos) code + midpoint
+    * reconstruction (see [[quantizeAudit]] for the arithmetic
+    * contract). */
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Sources.testTable(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>"))
@@ -285,7 +287,7 @@ object Similarity {
     val stats = e.groupBy(col("pos"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .withColumn("scale", (col("mx") - col("mn")) / 255.0)
-    val coded = e.join(broadcast(stats), Seq("pos"))
+    e.join(broadcast(stats), Seq("pos"))
       .withColumn("code",
         when(col("scale") === 0.0, lit(0L))
           .otherwise(least(lit(255L), greatest(lit(0L),
@@ -293,6 +295,11 @@ object Similarity {
           .cast("int"))
       .withColumn("recon",
         col("mn") + (col("code") + 0.5) * col("scale"))
+  }
+
+  def quantizeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val coded = quantized(spark, sfDir)
       .withColumn("err2",
         when(col("scale") === 0.0, 0.0)
           .otherwise((col("v") - col("recon")) * (col("v") - col("recon"))))
@@ -302,5 +309,40 @@ object Similarity {
         min(col("code")).as("min_code"),
         round(sumExact(col("err2")).cast("double") /
           count(lit(1)).cast("double"), 6).as("mse"))
+  }
+
+  /** f6 — top-k search over the QUANTIZED corpus: rebuild each vector
+    * from its int8 codes (midpoint reconstruction, sorted by dimension)
+    * and run the exact brute-force ranking on the reconstructions — the
+    * end-to-end answer to "what does 4× compression cost in ranking
+    * quality" (spec: recall vs the float top-k). On a real deployment
+    * the codes (not the reconstructions) ship to the executors and the
+    * reconstruction is fused into the distance kernel; the dataflow —
+    * tiny stats broadcast + narrow rebuild + the f1 search shape — is
+    * identical. Deterministic: collect_list order is laundered through
+    * array_sort on the (pos, recon) struct. */
+  def quantizedTopK(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val vecs = quantized(spark, sfDir)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("recon")))),
+        x => x.getField("recon")).as("rv"))
+      .withColumn("norm", sqrt(Dedup.dot(col("rv"), col("rv"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = vecs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("rv").as("qv"),
+        col("norm").as("qnorm"))
+    val scored = vecs.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("rv")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
   }
 }

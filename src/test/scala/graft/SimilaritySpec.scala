@@ -104,6 +104,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q.forall(_.getDouble(4) <= bound))
   }
 
+  test("quantized top-k: high recall vs the float top-k, exact shape") {
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = graft.operators.Similarity
+      .quantizedTopK(spark, TestSpark.sf)
+      .collect()
+    assert(quant.nonEmpty)
+    // per query exactly k rows with contiguous ranks
+    val byQ = quant.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+    }
+    val qPairs = quant.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(qPairs).size.toDouble / exact.size
+    // int8 midpoint reconstruction barely moves cosines; demand most of
+    // the float ranking survives
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("brute force broadcasts the query side (no corpus shuffle join)") {
     val plan = Similarity.bruteForceTopK(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
