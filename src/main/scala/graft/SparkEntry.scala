@@ -132,6 +132,11 @@ object SparkEntry {
     // equals the plain batch SQL iff every row landed exactly once
     "i10_restart_exactly_once" ->
       ((s, d) => graft.streaming.Streaming.restartExactlyOnce(s, d)),
+    // sliding windows (1h every 30min): each event in exactly 2 windows
+    "i11_events_sliding_agg" ->
+      ((s, d) => dbl(graft.streaming.Streaming.slidingAggBatch(s, d))),
+    "i12_events_sliding_agg_stream" ->
+      ((s, d) => dbl(graft.streaming.Streaming.slidingAggStream(s, d))),
     // regex token counting + JSON props extraction
     "g9_token_count_regex" ->
       ((s, d) => TextAnalysis.tokenCountRegex(s, d)),
@@ -455,6 +460,22 @@ object SparkEntry {
       |    AS total_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  // sliding 1h/30min: every event belongs to exactly two windows — the
+  // 30-min bucket's hour window and the one starting 30 min earlier
+  private val slidingAggOracle: String =
+    """WITH w AS (
+      |  SELECT event_type, value,
+      |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+      |            time_bucket(INTERVAL '30 minutes', ts)
+      |              - INTERVAL 30 MINUTE]) AS window_start
+      |  FROM events
+      |)
+      |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+      |  event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+      |    AS total_value
+      |FROM w GROUP BY 1, 2, 3""".stripMargin
+
   private val sessionizeOracle: String =
     """WITH t AS (
       |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
@@ -493,6 +514,8 @@ object SparkEntry {
   private val baseOracle: Map[String, String] = Map(
     "i1_events_windowed_agg"        -> windowedAggOracle,
     "i2_events_windowed_agg_stream" -> windowedAggOracle,
+    "i11_events_sliding_agg"        -> slidingAggOracle,
+    "i12_events_sliding_agg_stream" -> slidingAggOracle,
     "i3_events_sessionize"          -> sessionizeOracle,
     "i4_events_sessionize_stateful" -> sessionizeOracle,
     "i5_events_enrich"              -> enrichOracle,

@@ -65,6 +65,29 @@ object Streaming {
       windowedAgg(eventsStream(spark, sfDir).withWatermark("ts", "10 minutes")),
       mode = "complete")
 
+  /** Sliding 1-hour windows every 30 minutes — each event lands in
+    * exactly two windows (overlap = duration / slide). Same one-definition
+    * batch/stream discipline as [[windowedAgg]]; the state/shuffle key is
+    * (window, event_type) like the tumbling form, ×2 rows from the
+    * overlap. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  def slidingAggBatch(spark: SparkSession, sfDir: String): DataFrame =
+    slidingAgg(eventsBatch(spark, sfDir))
+
+  def slidingAggStream(spark: SparkSession, sfDir: String): DataFrame =
+    drain(spark,
+      slidingAgg(eventsStream(spark, sfDir).withWatermark("ts", "10 minutes")),
+      mode = "complete")
+
   /** readStream over the events parquet — the file stream source lists
     * directories only, so the glob filter scopes it to the events file. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -16,6 +16,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("sliding agg: stream equals batch; each event lands in 2 windows") {
+    val batch = Streaming.slidingAggBatch(spark, TestSpark.sf)
+    val stream = Streaming.slidingAggStream(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch.collect().map(_.toSeq).toSet)
+    // duration/slide = 2 → every event contributes to exactly 2 windows
+    assert(batch.agg(sum("n_events")).collect()(0).getLong(0) == 2000)
+    // window length always 1h, starts 30-min aligned
+    assert(batch.filter(
+      unix_micros(col("window_end")) - unix_micros(col("window_start"))
+        =!= 3600L * 1000000L).count() == 0)
+    assert(batch.filter(minute(col("window_start")) % 30 =!= 0 ||
+      second(col("window_start")) =!= 0).count() == 0)
+  }
+
   test("stream-static enrichment equals the batch plan on the same input") {
     val batch = Streaming.streamEnrichBatch(spark, TestSpark.sf)
       .collect().map(_.toSeq).toSet
