@@ -77,6 +77,7 @@ object SparkEntry {
     "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "e7_dedup_ngram_full"       -> ((s, d) => Dedup.ngramJaccardFull(s, d)),
     "e8_dedup_ppjoin"           -> ((s, d) => Dedup.ppjoin(s, d)),
+    "e9_dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -510,6 +511,48 @@ object SparkEntry {
       |    AS total_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2""".stripMargin
+
+  /** e3's full pair-producing SQL, shared verbatim by the e9
+    * connected-components oracle (which wraps it as a subquery). */
+  private val minhashPairsOracle: String =
+    """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |  FROM base WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT % 2147483647
+        |         AS BIGINT)) AS h
+        |  FROM sh
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(0, 64), i ->
+        |    list_aggregate(list_transform(h,
+        |      x -> ((2*i + 1) * x + i + 1) % 2147483647), 'min')) AS sig
+        |  FROM hs
+        |), banded AS (
+        |  SELECT doc_id, band,
+        |    sig[band*4 + 1] AS s0, sig[band*4 + 2] AS s1,
+        |    sig[band*4 + 3] AS s2, sig[band*4 + 4] AS s3
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) bs
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
+        |    AND x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
+        |), dsh AS (
+        |  SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+        |)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        |         AS DOUBLE) AS jaccard
+        |  FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+        |              JOIN dsh b ON b.doc_id = c.doc_b)
+        |WHERE jaccard >= 0.2""".stripMargin
 
   private val baseOracle: Map[String, String] = Map(
     "i1_events_windowed_agg"        -> windowedAggOracle,
@@ -962,45 +1005,28 @@ object SparkEntry {
     // is an md5 slice and the band key is the raw signature slice
     // (SketchExpressions.ShingleMinHash doc) — candidates, verification,
     // and output all mirror the Spark plan.
-    "e3_dedup_minhash_lsh" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
-        |  FROM base WHERE len(toks) >= 3
-        |), hs AS (
-        |  SELECT doc_id, list_transform(shingles,
-        |    s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT % 2147483647
-        |         AS BIGINT)) AS h
-        |  FROM sh
-        |), sigs AS (
-        |  SELECT doc_id, list_transform(range(0, 64), i ->
-        |    list_aggregate(list_transform(h,
-        |      x -> ((2*i + 1) * x + i + 1) % 2147483647), 'min')) AS sig
-        |  FROM hs
-        |), banded AS (
-        |  SELECT doc_id, band,
-        |    sig[band*4 + 1] AS s0, sig[band*4 + 2] AS s1,
-        |    sig[band*4 + 3] AS s2, sig[band*4 + 4] AS s3
-        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) bs
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM banded x JOIN banded y
-        |    ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
-        |    AND x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
-        |), dsh AS (
-        |  SELECT doc_id, list_distinct(shingles) AS sh FROM sh
-        |)
-        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
-        |  SELECT c.doc_a, c.doc_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-        |         AS DOUBLE) AS jaccard
-        |  FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
-        |              JOIN dsh b ON b.doc_id = c.doc_b)
-        |WHERE jaccard >= 0.2""".stripMargin,
+    "e3_dedup_minhash_lsh" -> minhashPairsOracle,
+    // e9: connected components over the e3 pair graph — the oracle walks
+    // undirected reachability to a fixpoint with a recursive CTE and
+    // takes min(root) per node; the Spark side converges min-label
+    // propagation to the same fixpoint
+    "e9_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM ($minhashPairsOracle) mh
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS doc FROM edges
+         |), reach AS (
+         |  SELECT doc, doc AS root FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc, r.root
+         |  FROM reach r JOIN edges e ON e.src = r.doc
+         |)
+         |SELECT doc AS doc_id, min(root) AS cluster_id
+         |FROM reach GROUP BY 1""".stripMargin,
     // e4: simhash votes over the full 64-bit md5 slice; the oracle skips
     // the pigeonhole chunk join (pure candidate generation with
     // guaranteed recall <= dist 7) and computes all pairs directly.

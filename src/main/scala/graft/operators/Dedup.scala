@@ -233,6 +233,61 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** e9 — near-duplicate CLUSTERS from pair evidence: connected
+    * components of the e3 pair graph, labeled by each component's minimum
+    * doc_id (the canonical "keep this one, drop the rest" assignment —
+    * the step that turns pairwise dedup output into an actionable
+    * keep-set; cf. the cluster stage of C4/RefinedWeb-style pipelines).
+    *
+    * Algorithm: min-label propagation to a fixpoint — labels start as
+    * each node's own id; every round each node takes the min of its own
+    * and its neighbors' labels; converged when a round changes nothing.
+    * Each round is two hash-partitioned equi-joins + a groupBy over the
+    * EDGE list; the driver sees one scalar count per round (the
+    * convergence check — justified driver-side control for an iterative
+    * fixpoint, same pattern as f4's Lloyd loop). Near-dup components are
+    * cliques and short chains, so rounds ≈ 2-3; a graph with
+    * pathological diameter would want the large-star/small-star
+    * variant (Kiveris et al. 2014) — same relational kernel, fewer
+    * rounds. Throws rather than returning a partial labeling if maxIter
+    * is hit (determinism over silent approximation). */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+      maxIter: Int = 50): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("doc") === neighborMin("src"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"label propagation did not converge within $maxIter rounds")
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** MinHash + banded LSH near-dup detection, verified with exact Jaccard.

@@ -63,6 +63,35 @@ class DedupSpec extends AnyFunSuite {
     assert(pp == ref)
   }
 
+  test("dedup clusters: valid component labeling of the pair graph") {
+    val pairs = Dedup.minhashLsh(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dedupClusters(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // every paired doc is labeled; endpoints of every pair share a label
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split")
+    }
+    // each cluster's label is its minimum member (and itself a member)
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+    // reference labeling via union-find on the driver must agree exactly
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.toList.map(x => x -> find(x)).toMap
+    assert(clusters == expect)
+  }
+
   test("simhash: identical docs collide at distance 0, output bounded") {
     import spark.implicits._
     // identical texts → identical shingles → identical simhash, for both
