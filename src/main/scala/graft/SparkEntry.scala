@@ -177,6 +177,10 @@ object SparkEntry {
     // commit-log min/max stats prune files on a range read
     "t8_graftlog_data_skipping" ->
       ((s, d) => Transactions.rangeRead(s, d)),
+    // checkpoint + vacuum: log truncation must not lose the files that
+    // only pre-checkpoint (non-self-contained) appends added
+    "t9_graftlog_checkpoint_vacuum" ->
+      ((s, d) => Transactions.afterVacuum(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -403,6 +407,11 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer
         |WHERE c_custkey >= 101 AND c_custkey <= 400""".stripMargin,
+    // t9: four appends + delete, then vacuum truncates the append log
+    // entries — checkpoint replay must still see every appended slice
+    "t9_graftlog_checkpoint_vacuum" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

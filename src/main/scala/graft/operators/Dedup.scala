@@ -114,10 +114,12 @@ object Dedup {
       "threshold must be positive: zero-overlap pairs never materialize")
     // sizes and the index both consume the shingles — compute once.
     // Persist contract (here and in the LSH/similarity operators): frames
-    // stay cached for intra-query reuse; the session owner releases them
-    // (Verify/Bench call spark.catalog.clearCache() per query).
+    // stay cached for intra-query reuse and are registered with
+    // graft.CacheScope — a consumer wraps the materializing action in
+    // CacheScope.withScope for scoped release; Verify/Bench additionally
+    // call spark.catalog.clearCache() per query.
     val docs = shingled(spark, sfDir, n, maxDocId)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.tracked)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
     inv.as("x").join(inv.as("y"),
@@ -205,7 +207,7 @@ object Dedup {
       .select(col("doc_id"), graft.functions.SketchExpressions
         .shingle_hash_set(col("toks"), n).as("hsh"))
       .select(col("doc_id"), col("hsh"), size(col("hsh")).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.tracked)
     val prefix = sized.select(col("doc_id"), col("sz"),
       explode(slice(col("hsh"), lit(1), expr("sz - (sz + 2) DIV 3 + 1")))
         .as("hs"))
@@ -259,10 +261,10 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.tracked)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.tracked)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -274,7 +276,7 @@ object Dedup {
         .select(col("doc"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.tracked)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.doc") === col("o.doc"))
         .filter(col("n.label") =!= col("o.label")).count()
@@ -317,7 +319,7 @@ object Dedup {
     val sigs = base
       .select(col("doc_id"), graft.functions.SketchExpressions
         .shingle_minhash(col("toks"), n, numPerm).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.tracked)
 
     // band key = the raw signature slice itself (band index + its `rows`
     // sig values), not a hash of it: candidate generation stays an
@@ -378,7 +380,7 @@ object Dedup {
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), graft.functions.SketchExpressions
         .shingle_simhash(col("toks"), n).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.tracked)
 
     val chunked = docs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 8).map { c =>
@@ -471,7 +473,7 @@ object Dedup {
     val sig = e.select(col("vec_id"),
       posexplode(graft.functions.SketchExpressions
         .hyperplane_sigs(col("v"), ps)).as(Seq("t", "sig")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.tracked)
     val cand = sig.as("x").join(sig.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
         col("x.vec_id") < col("y.vec_id"))

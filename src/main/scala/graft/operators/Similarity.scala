@@ -35,7 +35,7 @@ object Similarity {
     Sources.testTable(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.tracked)
 
   /** Exact cosine top-k neighbors for every query vector (vec_id <
     * numQueries), deterministic tiebreak (score desc, neighbor id asc). */
@@ -238,7 +238,7 @@ object Similarity {
     val corpusSig = corpus.select(col("vec_id"), col("v"), col("norm"),
         posexplode(graft.functions.SketchExpressions
           .hyperplane_sigs(col("v"), ps)).as(Seq("t", "sig")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.tracked)
     val querySig = corpusSig.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("t"), col("sig"))
@@ -329,7 +329,7 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("recon")))),
         x => x.getField("recon")).as("rv"))
       .withColumn("norm", sqrt(Dedup.dot(col("rv"), col("rv"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.tracked)
     val queries = vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("rv").as("qv"),
         col("norm").as("qnorm"))

@@ -135,6 +135,37 @@ object Transactions {
       "c_custkey", 101.0, 400.0)
       .select(customerCols.map(col): _*)
 
+  private val stagedVacuum =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Checkpoint + vacuum lifecycle. The staging deliberately reproduces
+    * the log-truncation data-loss trap: appends are NOT self-contained
+    * (each commit adds only its own files), so dropping their log entries
+    * without a checkpoint would lose every pre-retention file from replay
+    * even though vacuum correctly kept the files on disk. vacuum() writes
+    * a checkpoint at the oldest retained version first, so the read after
+    * truncation reconstructs the full live set from checkpoint + tail. */
+  private def vacuumTable(spark: SparkSession, sfDir: String): String =
+    stagedVacuum.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_txn_")
+        .resolve("customer_vac").toString
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      (0 until 4).foreach { i => // v0..v3: non-self-contained appends
+        GraftLog.append(cust.filter(col("c_custkey") % 4 === i), dir)
+      }
+      GraftLog.delete(spark, dir, col("c_custkey") % 10 === 0) // v4
+      GraftLog.vacuum(spark, dir, retainVersions = 2) // ckpt at v3, drop v0-2
+      dir
+    })
+
+  /** t9 — read after vacuum truncated the appends' log entries: complete
+    * iff checkpoint replay reconstructs the pre-truncation live set.
+    * Oracle: the anti-filter over the full table (all four append slices
+    * must survive, minus the deleted keys). */
+  def afterVacuum(spark: SparkSession, sfDir: String): DataFrame =
+    GraftLog.read(spark, vacuumTable(spark, sfDir))
+      .select(customerCols.map(col): _*)
+
   /** Streaming ingest INTO the transactional format — the "streaming
     * write to a Delta table" piece of the reference's stack, and the one
     * place `foreachBatch` alone is not exactly-once: if the process dies

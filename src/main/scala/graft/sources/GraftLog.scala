@@ -60,11 +60,15 @@ object GraftLog {
     * is the streaming-idempotence ledger entry (appId, batchId) — the
     * analog of the Delta protocol's `txn` action: a committed batch id is
     * durable evidence the batch landed, surviving the crash window
-    * between a sink commit and the checkpoint write. */
+    * between a sink commit and the checkpoint write. `txns` is only
+    * populated in checkpoint files: the max committed batch id per appId
+    * folded over every commit the checkpoint subsumes, so truncating the
+    * log never forgets the idempotence ledger. */
   case class Commit(version: Long, operation: String, add: Seq[String],
       remove: Seq[String], schemaDdl: String, timestampMs: Long,
       txn: Option[(String, Long)] = None,
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      txns: Map[String, Long] = Map.empty)
 
   private val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
@@ -99,6 +103,11 @@ object GraftLog {
     val txnPart = c.txn.map { case (app, batch) =>
       s""","txnAppId":"${esc(app)}","txnBatchId":$batch"""
     }.getOrElse("")
+    val txnsPart =
+      if (c.txns.isEmpty) ""
+      else ","+"\"txns\":" + c.txns.toSeq.sortBy(_._1).map { case (app, b) =>
+        "\"" + esc(app) + "\":" + b
+      }.mkString("{", ",", "}")
     val statsPart =
       if (c.stats.isEmpty) ""
       else ","+"\"stats\":" + c.stats.map { case (f, cols) =>
@@ -109,7 +118,7 @@ object GraftLog {
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
-      s""""timestampMs":${c.timestampMs}$txnPart$statsPart}"""
+      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$txnsPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -140,9 +149,19 @@ object GraftLog {
         }
         out.toMap
       }
+    val txns =
+      if (!n.has("txns")) Map.empty[String, Long]
+      else {
+        val tn = n.get("txns")
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        tn.fieldNames().forEachRemaining { app =>
+          out += app -> tn.get(app).asLong()
+        }
+        out.toMap
+      }
     Commit(n.get("version").asLong(), n.get("operation").asText(),
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
-      n.get("timestampMs").asLong(), txn, stats)
+      n.get("timestampMs").asLong(), txn, stats, txns)
   }
 
   // ------------------------------------------------------------- protocol
@@ -173,48 +192,115 @@ object GraftLog {
     } finally in.close()
   }
 
-  /** Atomic put-if-absent of the commit file; the payload is complete on
-    * disk (hidden temp name) before it becomes visible under the version
-    * name, so a reader can never observe a torn commit. */
-  private[graft] def writeCommit(spark: SparkSession, table: String,
-      c: Commit): Unit = {
+  /** Atomic put-if-absent of a log-dir file; the payload is complete on
+    * disk (hidden temp name) before it becomes visible under the target
+    * name, so a reader can never observe a torn entry. Returns whether
+    * this writer won the name. */
+  private def putIfAbsent(spark: SparkSession, table: String,
+      name: String, content: String): Boolean = {
     val logDir = new HPath(table, LogDirName)
     val f = fs(spark, table)
     f.mkdirs(logDir)
     val tmp = new HPath(logDir, s".${UUID.randomUUID()}.json.tmp")
     val out = f.create(tmp, false)
-    try out.write(toJson(c).getBytes("UTF-8")) finally out.close()
-    val target = new HPath(logDir, logName(c.version))
-    val committed =
-      if (f.getScheme == "file") {
-        // RawLocalFileSystem.rename is POSIX rename(2) — it silently
-        // REPLACES an existing destination, which would let two writers
-        // both believe they own the version. A hard link is the local
-        // put-if-absent: atomic, EEXIST if the version is taken.
-        try {
-          Files.createLink(Paths.get(target.toUri.getPath),
-            Paths.get(tmp.toUri.getPath))
-          f.delete(tmp, false)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            f.delete(tmp, false); false
-        }
-      } else {
-        // HDFS rename: atomic, returns false when the destination exists.
-        val ok = f.rename(tmp, target)
-        if (!ok) f.delete(tmp, false)
-        ok
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val target = new HPath(logDir, name)
+    if (f.getScheme == "file") {
+      // RawLocalFileSystem.rename is POSIX rename(2) — it silently
+      // REPLACES an existing destination, which would let two writers
+      // both believe they own the version. A hard link is the local
+      // put-if-absent: atomic, EEXIST if the version is taken.
+      try {
+        Files.createLink(Paths.get(target.toUri.getPath),
+          Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
       }
-    if (!committed) throw new CommitConflictException(c.version, table)
+    } else {
+      // HDFS rename: atomic, returns false when the destination exists.
+      val ok = f.rename(tmp, target)
+      if (!ok) f.delete(tmp, false)
+      ok
+    }
   }
 
-  /** Live file set (table-root-relative) + schema after replaying
-    * commits 0..asOf (or all). */
-  def snapshot(spark: SparkSession, table: String,
-      asOf: Option[Long] = None): (Seq[String], StructType) = {
+  private[graft] def writeCommit(spark: SparkSession, table: String,
+      c: Commit): Unit =
+    if (!putIfAbsent(spark, table, logName(c.version), toJson(c)))
+      throw new CommitConflictException(c.version, table)
+
+  // ----------------------------------------------------------- checkpoints
+  // A checkpoint is a sidecar file <v>.checkpoint.json whose Commit holds
+  // the COMPLETE table state at version v: live files in add (with their
+  // stats), the schema, and the folded txn ledger in txns. Replay starts
+  // from the newest checkpoint <= the target version instead of v0 — the
+  // Delta checkpoint-parquet idea on this log. Two jobs: (1) bound replay
+  // cost (a 100 TB table written by a streaming sink accumulates tens of
+  // thousands of commits; O(commits-since-checkpoint) beats O(commits));
+  // (2) make vacuum() safe — log entries below a checkpoint can be
+  // dropped without losing files that only pre-checkpoint commits added.
+
+  private def ckptName(v: Long): String = f"$v%020d.checkpoint.json"
+
+  /** Versions with a checkpoint file, ascending. */
+  def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = new HPath(table, LogDirName)
+    val f = fs(spark, table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong).sorted
+  }
+
+  private def readCheckpoint(spark: SparkSession, table: String,
+      v: Long): Commit = {
+    val p = new HPath(new HPath(table, LogDirName), ckptName(v))
+    val in = fs(spark, table).open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      fromJson(new String(bytes.toByteArray, "UTF-8"))
+    } finally in.close()
+  }
+
+  /** Write a checkpoint at `asOf` (default: latest version). Idempotent —
+    * a concurrent/prior checkpoint at the same version is a no-op (the
+    * state it encodes is identical by construction). Returns the
+    * checkpointed version. */
+  def checkpoint(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Long = {
     val all = versions(spark, table)
     require(all.nonEmpty, s"$table is not a GraftLog table (no $LogDirName)")
+    val v = asOf.getOrElse(all.last)
+    require(all.contains(v),
+      s"version $v of $table does not exist (have ${all.mkString(",")})")
+    val (live, schema) = replay(spark, table, Some(v))
+    // fold the idempotence ledger over everything the checkpoint subsumes
+    val prior = checkpointVersions(spark, table).filter(_ < v).lastOption
+    val base = prior.map(readCheckpoint(spark, table, _).txns)
+      .getOrElse(Map.empty[String, Long])
+    val tail = all.filter(x => x <= v && prior.forall(x > _))
+      .flatMap(x => readCommit(spark, table, x).txn)
+    val ledger = (base.toSeq ++ tail).groupMapReduce(_._1)(_._2)(math.max)
+    val c = Commit(v, "checkpoint", live.keys.toSeq, Seq.empty,
+      schema.toDDL, System.currentTimeMillis(),
+      stats = live.toMap.filter(_._2.nonEmpty), txns = ledger)
+    putIfAbsent(spark, table, ckptName(v), toJson(c))
+    v
+  }
+
+  /** Core replay: state (live files with stats, in add order) + schema at
+    * `asOf` (or latest), starting from the newest checkpoint at or below
+    * the target and walking only the commits after it. */
+  private def replay(spark: SparkSession, table: String, asOf: Option[Long])
+      : (mutable.LinkedHashMap[String, Map[String, (Double, Double)]],
+         StructType) = {
+    val all = versions(spark, table)
     val upTo = asOf match {
       case Some(v) =>
         require(all.contains(v),
@@ -222,15 +308,34 @@ object GraftLog {
         all.filter(_ <= v)
       case None => all
     }
-    val live = mutable.LinkedHashSet.empty[String]
+    val live = mutable.LinkedHashMap.empty[String, Map[String, (Double, Double)]]
     var schema: StructType = null
-    upTo.foreach { v =>
+    val start: Long = checkpointVersions(spark, table)
+      .filter(cv => upTo.nonEmpty && cv <= upTo.last) match {
+      case cks if cks.nonEmpty =>
+        val c = readCheckpoint(spark, table, cks.last)
+        c.add.foreach(f => live += f -> c.stats.getOrElse(f, Map.empty))
+        schema = StructType.fromDDL(c.schemaDdl)
+        cks.last
+      case _ => -1L
+    }
+    upTo.filter(_ > start).foreach { v =>
       val c = readCommit(spark, table, v)
       c.remove.foreach(live -= _)
-      live ++= c.add
+      c.add.foreach(f => live += f -> c.stats.getOrElse(f, Map.empty))
       schema = StructType.fromDDL(c.schemaDdl)
     }
-    (live.toSeq, schema)
+    (live, schema)
+  }
+
+  /** Live file set (table-root-relative) + schema after replaying
+    * commits (from the newest subsumed checkpoint) up to asOf. */
+  def snapshot(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): (Seq[String], StructType) = {
+    require(versions(spark, table).nonEmpty,
+      s"$table is not a GraftLog table (no $LogDirName)")
+    val (live, schema) = replay(spark, table, asOf)
+    (live.keys.toSeq, schema)
   }
 
   /** Read the table at its latest version (or `VERSION AS OF asOf`). An
@@ -331,15 +436,8 @@ object GraftLog {
   def fileStats(spark: SparkSession, table: String,
       asOf: Option[Long] = None)
       : Map[String, Map[String, (Double, Double)]] = {
-    val all = versions(spark, table)
-    val upTo = asOf.map(v => all.filter(_ <= v)).getOrElse(all)
-    val live = mutable.LinkedHashMap.empty[String, Map[String, (Double, Double)]]
-    upTo.foreach { v =>
-      val c = readCommit(spark, table, v)
-      c.remove.foreach(live -= _)
-      c.add.foreach(f => live += f -> c.stats.getOrElse(f, Map.empty))
-    }
-    live.toMap
+    if (versions(spark, table).isEmpty) Map.empty
+    else replay(spark, table, asOf)._1.toMap
   }
 
   /** Files of the current snapshot whose [min, max] stats for `column`
@@ -391,25 +489,50 @@ object GraftLog {
     v
   }
 
+  /** Schema enforcement shared by [[append]] and [[txnAppend]]: the batch
+    * must carry exactly the table's columns WITH the table's types — a
+    * name-only check would let `tag INT` slip past a `tag STRING` table
+    * and re-point the schema at the batch's types, after which the
+    * schema-directed parquet read of older files mis-decodes. Returns the
+    * batch aligned to the table's column order and case, so the commit
+    * can keep the TABLE schema verbatim. */
+  private def enforceSchema(df: DataFrame, cur: StructType,
+      ctx: String): DataFrame = {
+    val batch = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType)
+      .toMap
+    require(batch.size == df.schema.size, s"$ctx: duplicate column names")
+    val tbl = cur.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    require(batch.keySet == tbl.keySet,
+      s"$ctx schema [${df.columns.sorted.mkString(",")}] does not match " +
+        s"table schema [${cur.fieldNames.sorted.mkString(",")}]; " +
+        "use appendMergeSchema to evolve")
+    cur.fields.foreach { f =>
+      val got = batch(f.name.toLowerCase)
+      require(got == f.dataType,
+        s"$ctx column ${f.name}: batch type ${got.sql} does not match " +
+          s"table type ${f.dataType.sql}")
+    }
+    df.select(cur.fields.map(f => col(f.name).as(f.name)).toSeq: _*)
+  }
+
   /** Append: adds files, removes none. Delta's schema enforcement: the
-    * batch must carry exactly the table's columns (first append on an
-    * empty log sets the schema) — a mismatched batch is REJECTED rather
-    * than silently re-pointing the table schema at the batch's. Widening
+    * batch must carry exactly the table's columns and types (first append
+    * on an empty log sets the schema) — a mismatched batch is REJECTED
+    * rather than silently re-pointing the table schema at the batch's,
+    * and the commit re-asserts the existing table schema. Widening
     * appends go through [[appendMergeSchema]]. */
   def append(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
-    latestVersion(spark, table).foreach { v =>
-      val cur = snapshot(spark, table)._2
-      require(df.columns.map(_.toLowerCase).sorted
-          .sameElements(cur.fieldNames.map(_.toLowerCase).sorted),
-        s"append schema [${df.columns.sorted.mkString(",")}] does not " +
-          s"match table schema [${cur.fieldNames.sorted.mkString(",")}] " +
-          "at version " + v + "; use appendMergeSchema to evolve")
+    val (aligned, ddl) = latestVersion(spark, table) match {
+      case Some(_) =>
+        val cur = snapshot(spark, table)._2
+        (enforceSchema(df, cur, "append"), cur.toDDL)
+      case None => (df, df.schema.toDDL)
     }
-    val (added, st) = stageWithStats(df, table)
+    val (added, st) = stageWithStats(aligned, table)
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "append", added, Seq.empty,
-      df.schema.toDDL, System.currentTimeMillis(), stats = st))
+      ddl, System.currentTimeMillis(), stats = st))
     v
   }
 
@@ -445,14 +568,21 @@ object GraftLog {
   }
 
   /** Highest streaming batch id committed for `appId` — replaying the
-    * log is a metadata walk (file names + small JSON), never data. */
+    * log is a metadata walk (file names + small JSON), never data. Reads
+    * the folded ledger from the newest checkpoint (which survives
+    * vacuum's log truncation) plus the commits after it. */
   def lastCommittedBatch(spark: SparkSession, table: String,
-      appId: String): Option[Long] =
-    versions(spark, table)
+      appId: String): Option[Long] = {
+    val ckpt = checkpointVersions(spark, table).lastOption
+    val base = ckpt.flatMap(cv =>
+      readCheckpoint(spark, table, cv).txns.get(appId))
+    val tail = versions(spark, table)
+      .filter(v => ckpt.forall(v > _))
       .map(readCommit(spark, table, _))
       .flatMap(_.txn)
       .collect { case (app, batch) if app == appId => batch }
-      .maxOption
+    (base.toSeq ++ tail).maxOption
+  }
 
   /** Idempotent transactional append for streaming sinks: commits `df`
     * tagged (appId, batchId) unless that batch id (or a later one) is
@@ -467,18 +597,35 @@ object GraftLog {
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) false
     else {
-      latestVersion(spark, table).foreach { _ => // same gate as append()
-        val cur = snapshot(spark, table)._2
-        require(df.columns.map(_.toLowerCase).sorted
-            .sameElements(cur.fieldNames.map(_.toLowerCase).sorted),
-          "streaming append batch schema does not match the table schema")
+      val (aligned, ddl) = latestVersion(spark, table) match {
+        case Some(_) => // same gate as append()
+          val cur = snapshot(spark, table)._2
+          (enforceSchema(df, cur, "streaming append"), cur.toDDL)
+        case None => (df, df.schema.toDDL)
       }
-      val (added, st) = stageWithStats(df, table)
-      val v = nextVersion(spark, table)
-      writeCommit(spark, table, Commit(v, "streamingAppend", added,
-        Seq.empty, df.schema.toDDL, System.currentTimeMillis(),
-        Some((appId, batchId)), stats = st))
-      true
+      val (added, st) = stageWithStats(aligned, table)
+      // The ledger check and the version claim are not one atomic step, so
+      // two concurrent deliveries of the same (appId, batchId) can both
+      // pass the check. The put-if-absent commit serializes them: the
+      // loser re-reads the ledger — if the batch landed meanwhile this is
+      // a no-op (the just-staged files are unreferenced orphans; vacuum's
+      // needed-set sweep reclaims them), otherwise an unrelated commit
+      // took the version and we retry one higher.
+      var result: Option[Boolean] = None
+      while (result.isEmpty) {
+        val v = nextVersion(spark, table)
+        try {
+          writeCommit(spark, table, Commit(v, "streamingAppend", added,
+            Seq.empty, ddl, System.currentTimeMillis(),
+            Some((appId, batchId)), stats = st))
+          result = Some(true)
+        } catch {
+          case _: CommitConflictException =>
+            if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
+              result = Some(false)
+        }
+      }
+      result.get
     }
   }
 
@@ -520,24 +667,36 @@ object GraftLog {
     * write). */
   def txnMerge(source: DataFrame, table: String, keys: Seq[String],
       appId: String, batchId: Long): Long = {
-    if (lastCommittedBatch(source.sparkSession, table, appId)
-        .exists(_ >= batchId)) -1L
-    else mergeImpl(source, table, keys, Some((appId, batchId)))
+    val spark = source.sparkSession
+    // Check-then-act loop: on a commit conflict the merge's file-pruned
+    // rewrite is stale (it was computed against the pre-conflict
+    // snapshot), so unlike txnAppend the WHOLE merge recomputes from the
+    // fresh snapshot — after re-checking whether the re-delivered batch
+    // landed via the competing commit.
+    var result: Option[Long] = None
+    while (result.isEmpty) {
+      if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
+        result = Some(-1L)
+      else try {
+        result = Some(mergeImpl(source, table, keys, Some((appId, batchId))))
+      } catch {
+        case _: CommitConflictException => // loop: re-check ledger, redo
+      }
+    }
+    result.get
   }
 
   private def mergeImpl(source: DataFrame, table: String, keys: Seq[String],
       txn: Option[(String, Long)]): Long = {
     val spark = source.sparkSession
     val (files, schema) = snapshot(spark, table)
-    require(source.columns.map(_.toLowerCase).sorted
-        .sameElements(schema.fieldNames.map(_.toLowerCase).sorted),
-      "merge source must carry the target schema")
-    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val src = enforceSchema(source, schema, "merge")
+    val srcKeys = src.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, table, files, schema,
       df => df.join(broadcast(srcKeys), keys, "left_semi"))
 
     val dataCols = schema.fieldNames.filterNot(keys.contains)
-    val marked = source.select(
+    val marked = src.select(
       keys.map(col) ++
         dataCols.map(c => col(c).as(s"__s_$c")) :+
         lit(true).as("__s_matched"): _*)
@@ -563,7 +722,7 @@ object GraftLog {
         else spark.read.schema(schema)
           .parquet(touched.map(f => s"$table/$f"): _*)
           .select(keys.map(col): _*)
-      source.join(touchedKeys, keys, "left_anti")
+      src.join(touchedKeys, keys, "left_anti")
         .select(schema.fieldNames.map(col): _*)
     }
     val rewritten = updated.map(_.unionByName(inserts)).getOrElse(inserts)
@@ -575,7 +734,11 @@ object GraftLog {
   }
 
   /** Predicate DELETE, file-pruned like [[merge]]: files with no matching
-    * row are untouched; matching files are rewritten without the rows. */
+    * row are untouched; matching files are rewritten without the rows.
+    * SQL DELETE semantics: only rows where the predicate is TRUE go —
+    * NULL-predicate rows (e.g. `tag = 'x'` on a NULL tag) are KEPT, so
+    * the kept-rows filter coalesces NULL to false before negating
+    * (a bare `!predicate` filter would drop them). */
   def delete(spark: SparkSession, table: String, predicate: Column): Long = {
     val (files, schema) = snapshot(spark, table)
     val touched = touchedFiles(spark, table, files, schema,
@@ -583,7 +746,7 @@ object GraftLog {
     val added = if (touched.isEmpty) Seq.empty[String] else {
       val kept = spark.read.schema(schema)
         .parquet(touched.map(f => s"$table/$f"): _*)
-        .filter(!predicate)
+        .filter(!coalesce(predicate, lit(false)))
       stageData(kept, table)
     }
     val v = nextVersion(spark, table)
@@ -651,11 +814,19 @@ object GraftLog {
     * `retainVersions` back from latest, then drop those log entries.
     * Version-count retention instead of Delta's wall-clock retention so
     * tests are deterministic; the protocol is the same (vacuumed
-    * versions stop being time-travelable). */
+    * versions stop being time-travelable).
+    *
+    * A checkpoint is written at the oldest retained version FIRST, so
+    * replay of every surviving version starts from a self-contained
+    * state: without it, dropping log entries below a non-self-contained
+    * commit (an append, which only adds its own files) would silently
+    * lose the files earlier commits added even though vacuum correctly
+    * retained them on disk. */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int): Unit = {
     val all = versions(spark, table)
     if (all.size <= retainVersions) return
     val keep = all.takeRight(retainVersions)
+    checkpoint(spark, table, Some(keep.head))
     val needed = keep.flatMap(v => snapshot(spark, table, Some(v))._1).toSet
     val f = fs(spark, table)
     val dataDir = new HPath(table, DataDirName)
@@ -668,8 +839,13 @@ object GraftLog {
         if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false)
       }
     }
+    val logDir = new HPath(table, LogDirName)
     all.dropRight(retainVersions).foreach { v =>
-      f.delete(new HPath(new HPath(table, LogDirName), logName(v)), false)
+      f.delete(new HPath(logDir, logName(v)), false)
+    }
+    // superseded checkpoints below the one just written
+    checkpointVersions(spark, table).filter(_ < keep.head).foreach { v =>
+      f.delete(new HPath(logDir, ckptName(v)), false)
     }
   }
 }

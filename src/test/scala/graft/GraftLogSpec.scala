@@ -280,6 +280,98 @@ class GraftLogSpec extends AnyFunSuite {
       .head().getString(1) == "updated")
   }
 
+  test("vacuum after appends keeps every retained version complete") {
+    // The data-loss trap: appends are not self-contained (each commit only
+    // adds its own files), so log truncation without a checkpoint at the
+    // oldest retained version would silently lose the earlier files even
+    // though they were correctly retained on disk.
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "v0"), t)
+    GraftLog.append(df(10 until 15, "v1"), t)
+    GraftLog.append(df(15 until 18, "v2"), t)
+    GraftLog.vacuum(spark, t, retainVersions = 2)
+    assert(GraftLog.versions(spark, t) == Seq(1L, 2L))
+    // v1 = overwrite's 10 rows + first append's 5; v2 adds 3 more
+    assert(GraftLog.readVersion(spark, t, 1L).count() == 15)
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 18)
+    assert(back.select("id").as[Long].collect().toSet == (0L until 18L).toSet)
+    // and the checkpoint is what made that safe
+    assert(GraftLog.checkpointVersions(spark, t).contains(1L))
+  }
+
+  test("checkpoint bounds replay without changing any answer") {
+    val t = tmp()
+    (0 until 6).foreach(i => GraftLog.append(df(i * 5 until (i + 1) * 5,
+      s"b$i").coalesce(1), t))
+    val before = GraftLog.read(spark, t).collect().map(_.toSeq).toSet
+    val v = GraftLog.checkpoint(spark, t)
+    assert(v == 5L)
+    assert(GraftLog.read(spark, t).collect().map(_.toSeq).toSet == before)
+    // post-checkpoint commits replay on top of it
+    GraftLog.append(df(30 until 33, "tail"), t)
+    assert(GraftLog.read(spark, t).count() == 33)
+    // time travel below the checkpoint still works (log entries intact)
+    assert(GraftLog.readVersion(spark, t, 2L).count() == 15)
+    // stats survive the checkpoint round-trip (data skipping still prunes)
+    assert(GraftLog.fileStats(spark, t).values.forall(_.contains("id")))
+    // idempotent: re-checkpointing the same version is a no-op
+    GraftLog.checkpoint(spark, t, Some(5L))
+  }
+
+  test("append rejects a same-name different-type batch, keeps table schema") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "a"), t)
+    // same column names, tag is INT not STRING: must be REJECTED, not
+    // silently re-point the table schema at the batch's types
+    val typed = Seq((9L, 7)).toDF("id", "tag")
+    val e = intercept[IllegalArgumentException] { GraftLog.append(typed, t) }
+    assert(e.getMessage.contains("tag"))
+    assert(GraftLog.read(spark, t).schema("tag").dataType.sql == "STRING")
+    // a reordered/case-shifted batch is ALIGNED to the table's order and
+    // case, and the committed schema stays the table's
+    val reordered = Seq(("z", 100L)).toDF("TAG", "id")
+    GraftLog.append(reordered, t)
+    val back = GraftLog.read(spark, t)
+    assert(back.columns.toSeq == Seq("id", "tag"))
+    assert(back.filter(col("id") === 100L).select("tag").as[String]
+      .head() == "z")
+    // txnAppend goes through the same gate
+    intercept[IllegalArgumentException] {
+      GraftLog.txnAppend(typed, t, "appT", 0L)
+    }
+  }
+
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val t = tmp()
+    val data = Seq((0L, "x"), (1L, "y"), (2L, null), (3L, "x"), (4L, null))
+      .toDF("id", "tag")
+    // single file so the touched-file path definitely contains NULL rows
+    GraftLog.overwrite(data.coalesce(1), t)
+    GraftLog.delete(spark, t, col("tag") === "x")
+    val back = GraftLog.read(spark, t)
+    // only tag='x' rows go; tag IS NULL rows are KEPT
+    assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    assert(back.filter(col("tag").isNull).count() == 2)
+  }
+
+  test("txn ledger survives vacuum via the checkpoint fold") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "seed"), t)
+    assert(GraftLog.txnAppend(df(5 until 8, "b0"), t, "appV", 0L))
+    assert(GraftLog.txnAppend(df(8 until 10, "b1"), t, "appV", 1L))
+    GraftLog.vacuum(spark, t, retainVersions = 1)
+    // the commits carrying the txn tags are gone from the log...
+    assert(GraftLog.versions(spark, t) == Seq(2L))
+    // ...but the folded ledger in the checkpoint still rejects replays
+    assert(GraftLog.lastCommittedBatch(spark, t, "appV").contains(1L))
+    assert(!GraftLog.txnAppend(df(90 until 95, "dup"), t, "appV", 1L))
+    assert(GraftLog.read(spark, t).count() == 10)
+    // and a genuinely new batch still lands
+    assert(GraftLog.txnAppend(df(10 until 12, "b2"), t, "appV", 2L))
+    assert(GraftLog.read(spark, t).count() == 12)
+  }
+
   test("delete-everything leaves a readable typed empty table") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 4, "a"), t)
