@@ -22,13 +22,10 @@ object SparkEntry {
   /** KMV sketch size — shared by the g11 query and its oracle SQL. */
   private val KmvK = 256
 
-  // one lake staging dir per corpus per JVM (a5 overwrites in place on
-  // repeated runs instead of leaking a fresh /tmp tree per call)
-  private val lakeStage =
-    new scala.collection.concurrent.TrieMap[String, String]
+  // one lake staging dir per corpus per JVM, shutdown-cleaned (a5
+  // overwrites in place on repeated runs instead of leaking /tmp trees)
   private def lakeDir(sfDir: String): String =
-    lakeStage.getOrElseUpdate(sfDir,
-      java.nio.file.Files.createTempDirectory("graft_lake_").toString)
+    graft.sources.Staging.dir(sfDir, "lake", "graft_lake_")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -64,6 +61,18 @@ object SparkEntry {
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
     "s8_jsonl_roundtrip"     -> ((s, d) => graft.sources.Sources.jsonlRoundTrip(s, d)),
     "s9_orc_roundtrip"       -> ((s, d) => graft.sources.Sources.orcRoundTrip(s, d)),
+    // format-by-path scan with delta→parquet degradation (SURVEY.md §2.1 S3),
+    // session-factory profile fallback (S5), literal-rows source (S6), and
+    // the feature-detected Avro interchange (ref requirements.txt:5,7)
+    "s3_format_path_roundtrip" ->
+      ((s, d) => graft.sources.Sources.formatPathRoundTrip(s, d)),
+    "s5_profile_fallback"    -> ((s, d) => graft.sources.Sources.profileFallback(s, d)),
+    "s6_literal_rows"        -> ((s, _) => Incremental.literalRowsPipeline(s)),
+    "s10_avro_roundtrip"     -> ((s, d) => graft.sources.Sources.avroRoundTrip(s, d)),
+    // schema-evolving and single-file sinks (SURVEY.md §2.2 K2/K3/K6)
+    "k2_merge_schema"        -> ((s, d) => graft.sources.Sinks.mergeSchemaRoundTrip(s, d)),
+    "k3_overwrite_schema"    -> ((s, d) => graft.sources.Sinks.overwriteSchemaRoundTrip(s, d)),
+    "k6_single_file"         -> ((s, d) => graft.sources.Sinks.singleFileRoundTrip(s, d)),
     // Multi-way star join + multi-dim aggregation (beyond the reference's
     // 2-table joins)
     "j1_star_revenue"        -> ((s, d) => dbl(StarJoin.revenueByNation(s, d))),
@@ -257,6 +266,51 @@ object SparkEntry {
     "s9_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part""".stripMargin,
+    // s3: the delta-requested path scan degrades to the parquet reader
+    // over the same files, so the round-trip is verbatim supplier
+    "s3_format_path_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    // s5: the profile dispatch must return the same rows whatever format
+    // runtime is present; the effective_format literal is computed from
+    // the SAME feature detection the query uses, so the oracle pins the
+    // degradation decision without hardcoding the environment
+    "s5_profile_fallback" -> {
+      import graft.sessions.Sessions
+      def eff(p: Sessions.Profile): String =
+        if (Sessions.formatAvailable(p)) p.name else "parquet"
+      s"""SELECT n_nationkey, n_name, n_regionkey, requested_profile,
+         |  CASE requested_profile
+         |    WHEN 'delta' THEN '${eff(Sessions.DeltaLake)}'
+         |    ELSE '${eff(Sessions.IcebergLake)}' END AS effective_format
+         |FROM nation CROSS JOIN (VALUES ('delta'), ('iceberg'))
+         |  p(requested_profile)""".stripMargin
+    },
+    // s6: the reference's literal fixture pipeline has a closed-form
+    // result — updates applied to the three seed rows plus the one insert
+    "s6_literal_rows" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'Alice', 30, 52000), (2, 'Bob', 29, 65000),
+        |  (3, 'Hari', 28, 47000), (4, 'Dave', 40, 70000))
+        |  t(id, name, age, salary)""".stripMargin,
+    // s10: interchange format feature-detected exactly like the query side
+    "s10_avro_roundtrip" -> {
+      val fmt = if (graft.sources.Sources.avroAvailable) "avro" else "parquet"
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal, " +
+        s"'$fmt' AS interchange_format FROM supplier"
+    },
+    // k2: merge-schema overwrite = new data, union schema — old-only
+    // columns come back as typed NULLs for every row
+    "k2_merge_schema" ->
+      """SELECT s_suppkey, s_nationkey, CAST(NULL AS VARCHAR) AS s_name,
+        |  CAST(NULL AS DOUBLE) AS s_acctbal FROM supplier""".stripMargin,
+    // k3: overwrite-schema replaces the schema wholesale with the new
+    // projection
+    "k3_overwrite_schema" ->
+      "SELECT s_suppkey AS supp_id, upper(s_name) AS supp_name FROM supplier",
+    // k6: the single-file contract — the data round-trips AND the layout
+    // is one part-file
+    "k6_single_file" ->
+      "SELECT r_regionkey, r_name, 1 AS n_files FROM region",
     "d4_bucketed_join" ->
       """SELECT o_custkey, count(*) AS n_items,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6)

@@ -56,6 +56,48 @@ object Incremental {
     updates.unionAll(newRows)
   }
 
+  /** Driver-visible S6 — the reference's literal-rows incremental
+    * pipeline replayed end-to-end over [[Sources.fromRows]]
+    * (`increamental_dataload.py:25-93`, the golden fixture: 3 seed rows,
+    * 4 incremental rows): changed-rows inner join + any-field-differs
+    * filter, new-rows left-outer null probe, per-column coalesce merge,
+    * positional union. The literal-collection SOURCE is the operator
+    * under test; the pipeline proves those rows flow through the same
+    * incremental idioms as the table-scale workload C. */
+  def literalRowsPipeline(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val df = Sources.fromRows(spark, Seq(
+        Row(1, "Alice", 30, 50000),
+        Row(2, "Bob", 35, 60000),
+        Row(3, "Carol", 28, 45000)),
+      StructType.fromDDL("id INT, name STRING, age INT, salary INT"))
+    val inc = Sources.fromRows(spark, Seq(
+        Row(1, "Alice", 30, 52000), // updated salary
+        Row(2, "Bob", 29, 65000),   // updated age and salary
+        Row(3, "Hari", 28, 47000),  // updated name and salary
+        Row(4, "Dave", 40, 70000)), // new record
+      StructType.fromDDL(
+        "inc_id INT, inc_name STRING, inc_age INT, inc_salary INT"))
+    val changed = df.join(inc, col("id") === col("inc_id"), "inner")
+      .filter(col("salary") =!= col("inc_salary") ||
+        col("name") =!= col("inc_name") ||
+        col("age") =!= col("inc_age"))
+      .select("inc_id", "inc_name", "inc_age", "inc_salary")
+    val newRows = inc.join(df, col("id") === col("inc_id"), "left_outer")
+      .filter(col("id").isNull)
+      .select("inc_id", "inc_name", "inc_age", "inc_salary")
+    val updated = df.join(
+        changed.selectExpr("inc_id AS id", "inc_name", "inc_age",
+          "inc_salary"),
+        Seq("id"), "left_outer")
+      .withColumn("name", coalesce(col("inc_name"), col("name")))
+      .withColumn("age", coalesce(col("inc_age"), col("age")))
+      .withColumn("salary", coalesce(col("inc_salary"), col("salary")))
+      .drop("inc_name", "inc_age", "inc_salary")
+    updated.union(newRows)
+  }
+
   /** J1 + P6 — changed-record detection: inner join on key, keep batch rows
     * where any tracked field differs (`increamental_dataload.py:49-53`). */
   def changedRows(spark: SparkSession, sfDir: String): DataFrame = {

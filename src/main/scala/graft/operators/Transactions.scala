@@ -37,8 +37,7 @@ object Transactions {
 
   private def mergeTable(spark: SparkSession, sfDir: String): String =
     stagedMerge.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_txn_")
-        .resolve("customer_gl").toString
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_gl"
       GraftLog.overwrite(Sources.testTable(spark, sfDir, "customer"), dir)
       val batch = Incremental.incrementalBatch(spark, sfDir).select(
         col("inc_custkey").as("c_custkey"),
@@ -52,8 +51,7 @@ object Transactions {
 
   private def deleteTable(spark: SparkSession, sfDir: String): String =
     stagedDelete.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_txn_")
-        .resolve("customer_del").toString
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_del"
       GraftLog.overwrite(Sources.testTable(spark, sfDir, "customer"), dir)
       GraftLog.delete(spark, dir, col("c_custkey") % 10 === 0)
       dir
@@ -80,8 +78,7 @@ object Transactions {
 
   private def compactTable(spark: SparkSession, sfDir: String): String =
     stagedCompact.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_txn_")
-        .resolve("customer_cmp").toString
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_cmp"
       val cust = Sources.testTable(spark, sfDir, "customer")
       // four appends land four separate staged file sets — the
       // small-files layout streaming ingest produces
@@ -119,8 +116,7 @@ object Transactions {
     * would leave every file's range spanning the whole domain). */
   private def skipTable(spark: SparkSession, sfDir: String): String =
     stagedSkip.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_txn_")
-        .resolve("customer_skip").toString
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_skip"
       GraftLog.overwrite(
         Sources.testTable(spark, sfDir, "customer")
           .repartitionByRange(8, col("c_custkey")), dir)
@@ -147,8 +143,7 @@ object Transactions {
     * truncation reconstructs the full live set from checkpoint + tail. */
   private def vacuumTable(spark: SparkSession, sfDir: String): String =
     stagedVacuum.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_txn_")
-        .resolve("customer_vac").toString
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_vac"
       val cust = Sources.testTable(spark, sfDir, "customer")
       (0 until 4).foreach { i => // v0..v3: non-self-contained appends
         GraftLog.append(cust.filter(col("c_custkey") % 4 === i), dir)
@@ -181,8 +176,7 @@ object Transactions {
     * table aggregate equals the plain batch SQL over ALL events. */
   private[graft] final class GraftSinkHarness(
       spark: SparkSession, sfDir: String, mode: String = "append") {
-    private val root = java.nio.file.Files
-      .createTempDirectory("graft_sink_").toString
+    private val root = graft.sources.Staging.tempDir("graft_sink_")
     private val (in, ckpt) = (s"$root/in", s"$root/ckpt")
     val table = s"$root/events_gl"
     private val appId = "graft-sink-harness"

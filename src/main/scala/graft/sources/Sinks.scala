@@ -108,6 +108,53 @@ object Sinks {
     df.coalesce(1).write.format(resolve(format))
       .mode(SaveMode.Overwrite).save(path)
 
+  /** Driver-visible K2 — `mergeSchema` overwrite round-trip (ref
+    * `financial_dl_etl.py:66,81,99`): v0 carries
+    * (s_suppkey, s_name, s_acctbal); the merge-schema overwrite replaces
+    * the DATA with (s_suppkey, s_nationkey) while the schema becomes the
+    * union — the old-only columns survive as typed NULLs for every new
+    * row, which is exactly what the read-back must show. */
+  def mergeSchemaRoundTrip(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val dir = Staging.dir(sfDir, "supplier_k2")
+    val sup = Sources.testTable(spark, sfDir, "supplier")
+    overwrite(sup.select("s_suppkey", "s_name", "s_acctbal"), dir)
+    overwriteMergeSchema(sup.select("s_suppkey", "s_nationkey"), dir)
+    Sources.load(spark, dir)
+  }
+
+  /** Driver-visible K3 — `overwriteSchema` round-trip (ref
+    * `delta_datalake.py:74`): seed with the full `supplier`, then
+    * overwrite with a renamed/derived projection under the
+    * schema-replacement contract; the read-back must carry ONLY the new
+    * schema. */
+  def overwriteSchemaRoundTrip(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val dir = Staging.dir(sfDir, "supplier_k3")
+    val sup = Sources.testTable(spark, sfDir, "supplier")
+    overwrite(sup, dir)
+    overwriteNewSchema(
+      sup.selectExpr("s_suppkey AS supp_id", "upper(s_name) AS supp_name"),
+      dir)
+    Sources.load(spark, dir)
+  }
+
+  /** Driver-visible K6 — `coalesce(1)` single-file write (ref
+    * `increamental_dataload.py:73`). The read-back carries the actual
+    * part-file count, so the oracle pins n_files = 1 — the layout
+    * contract, not just the row set. (Parity only; see the scale note in
+    * the object doc.) */
+  def singleFileRoundTrip(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val dir = Staging.dir(sfDir, "region_k6")
+    singleFile(Sources.testTable(spark, sfDir, "region"), dir)
+    val n = Option(new java.io.File(dir)
+        .listFiles((_, nm) => nm.startsWith("part-")))
+      .fold(0)(_.length)
+    spark.read.parquet(dir).withColumn("n_files", lit(n))
+  }
+
   /** Scale path: partition-pruned layout (`PARTITIONED BY (Date)` analog,
     * `financial_dl_bronze.py:26`). */
   def partitioned(df: DataFrame, path: String, cols: Seq[String],

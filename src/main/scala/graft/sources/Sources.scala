@@ -58,14 +58,10 @@ object Sources {
   def testTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  // one CSV staging dir per (corpus, table) per JVM — repeated Bench/
-  // Verify/spec invocations overwrite in place instead of leaking a fresh
-  // /tmp copy per call
-  private val csvStage =
-    new scala.collection.concurrent.TrieMap[(String, String), String]
+  // one staging dir per (corpus, table) per JVM, shutdown-cleaned — see
+  // graft.sources.Staging
   private def stageDir(sfDir: String, table: String): String =
-    csvStage.getOrElseUpdate((sfDir, table), java.nio.file.Files
-      .createTempDirectory("graft_csv_").toString + s"/$table")
+    Staging.dir(sfDir, table, "graft_csv_")
 
   /** Driver-visible S1 round-trip: `nation` → CSV (header) → inferred-schema
     * scan, types normalized back to the parquet schema. CSV text survives
@@ -106,6 +102,69 @@ object Sources {
     testTable(spark, sfDir, "part")
       .write.mode("overwrite").orc(dir)
     spark.read.orc(dir)
+  }
+
+  /** Driver-visible S3 — format scan by path with the delta→parquet
+    * degradation (ref `custom/delta_table_read.py:31`:
+    * `spark.read.format("delta").load(path)`): `supplier` staged as the
+    * table's data files, then read back through [[load]] with
+    * format="delta", which feature-detects the absent Delta runtime and
+    * resolves to the parquet reader over the same files. */
+  def formatPathRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Staging.dir(sfDir, "supplier_s3")
+    testTable(spark, sfDir, "supplier").write.mode("overwrite").parquet(dir)
+    load(spark, dir, "delta")
+  }
+
+  /** Driver-visible S5 — the reference's session-factory dispatch
+    * (`utils/spark_session_factory.py:83-89`) for the delta and iceberg
+    * profiles: each profile's session is requested through
+    * [[graft.sessions.Sessions.get]], feature detection degrades to the
+    * parquet lakehouse when the format runtime is absent (this
+    * environment ships neither jar set), and the same `nation` rows must
+    * come back either way. The requested profile and the effective format
+    * are surfaced as columns so the oracle pins the degradation decision
+    * itself, not just the row set. */
+  def profileFallback(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    import graft.sessions.Sessions
+    Seq(Sessions.DeltaLake, Sessions.IcebergLake)
+      .map { p =>
+        val s = Sessions.get(p.name, appName = "graft-profile")
+        val eff = if (Sessions.formatAvailable(p)) p.name else "parquet"
+        testTable(s, sfDir, "nation")
+          .withColumn("requested_profile", lit(p.name))
+          .withColumn("effective_format", lit(eff))
+      }.reduce(_ unionByName _)
+  }
+
+  private val AvroFormatClass = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** True when the Avro file format is usable. Spark 4 bundles the
+    * implementation classes in spark-sql, but only the external
+    * spark-avro module registers the "avro" SHORT name — so availability
+    * is the class, and [[avroRoundTrip]] addresses the source by its
+    * fully-qualified class name (which `DataSource.lookupDataSource`
+    * resolves directly, registration or not). */
+  def avroAvailable: Boolean =
+    try { Class.forName(AvroFormatClass); true }
+    catch { case _: Throwable => false }
+
+  /** Driver-visible S10 — Avro interchange round-trip (the reference
+    * declares avro interchange deps: `mage_demo/requirements.txt:5,7`).
+    * Feature-detected like Delta: with the Avro classes present the
+    * `supplier` table REALLY rides Avro (row-oriented container files on
+    * disk); absent, the round-trip degrades to parquet. Either way the
+    * surfaced column says which, and the oracle pins it. */
+  def avroRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (fmt, label) =
+      if (avroAvailable) (AvroFormatClass, "avro") else ("parquet", "parquet")
+    val dir = Staging.dir(sfDir, "supplier_avro")
+    testTable(spark, sfDir, "supplier")
+      .write.mode("overwrite").format(fmt).save(dir)
+    spark.read.format(fmt).load(dir)
+      .withColumn("interchange_format", lit(label))
   }
 
   /** Driver-visible S7 (scale form) + S2: `customer` split across 4 CSV

@@ -97,6 +97,32 @@ class DdlSinksSpec extends AnyFunSuite {
     assert(!spark.read.parquet(dir).columns.contains("n_name"))
   }
 
+  test("sources: profile fallback row-invariant, avro + literal-rows (S5/S6/S10)") {
+    val sf = TestSpark.sf
+    // S5: the session-factory dispatch must return identical rows
+    // whichever profile is requested (jar absence degrades the format,
+    // never the data)
+    val byProfile = Seq("parquet", "delta", "iceberg").map { p =>
+      val s = graft.sessions.Sessions.get(p)
+      Sources.testTable(s, sf, "nation").collect().map(_.toSeq).toSet
+    }
+    assert(byProfile.distinct.size == 1, "profile choice changed the rows")
+    // S10: round-trip rides real Avro container files when the classes
+    // are present (spark-sql 4 bundles them), parquet otherwise
+    val expected = if (Sources.avroAvailable) "avro" else "parquet"
+    val back = Sources.avroRoundTrip(spark, sf)
+    assert(back.select("interchange_format").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq(expected))
+    assert(back.count() ==
+      Sources.testTable(spark, sf, "supplier").count())
+    // S6: the reference's literal fixture has a closed-form answer
+    val fin = graft.operators.Incremental.literalRowsPipeline(spark)
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(fin.toSeq == Seq((1, "Alice", 30, 52000), (2, "Bob", 29, 65000),
+      (3, "Hari", 28, 47000), (4, "Dave", 40, 70000)))
+  }
+
   test("lake pipeline layout: one bronze file per ticker, single-file rollups") {
     val dir = tmp()
     graft.operators.Medallion.lakePipeline(spark, TestSpark.sf, dir)
