@@ -1491,6 +1491,9 @@ object SparkEntry {
         |  CAST(list_max(list_transform(
         |      range(0, CAST(64 + (doc_id % 128) AS INTEGER)),
         |      i -> (7 * i + doc_id) % 256)) AS INTEGER) AS peak,
+        |  CAST(list_aggregate(list_transform(
+        |      range(0, CAST(64 + (doc_id % 128) AS INTEGER)),
+        |      i -> (7 * i + doc_id) % 256), 'sum') AS BIGINT) AS sample_sum,
         |  round(CAST(64 + (doc_id % 128) AS DOUBLE) * 1000.0 /
         |    CAST(8000 + (doc_id % 8) * 1000 AS DOUBLE), 6) AS duration_ms
         |FROM documents""".stripMargin,
@@ -1518,12 +1521,52 @@ object SparkEntry {
         |  round(CAST(list_aggregate(px, 'sum') AS DOUBLE) /
         |    CAST(CAST(width AS BIGINT) * height AS DOUBLE), 6) AS mean_pixel
         |FROM p""".stripMargin,
-    // h2: FakeDecoder (Multimodal.scala) is pure arithmetic over the
-    // payload bytes — mean byte via the hex expansion of the UTF-8
-    // encoding, strided frame offsets, thumb dims = halve-until-<=64px
+    // h2: three decode branches, one per backend the RealDecoder dispatch
+    // selects. wav/png rows carry REAL payloads whose decoded content is
+    // arithmetic in doc_id (same formulas the h3/h4 oracles pin), so the
+    // oracle re-derives mean-of-samples / mean-of-pixels and the strided
+    // frame offsets over DECODED units; jpeg/mp4 rows keep the stub
+    // backend — mean byte via the hex expansion of the UTF-8 text
+    // payload, strided byte offsets, thumb = halve-until-<=64px
     // (unrolled: width <= 1024 needs at most 4 halvings).
     "h2_media_features" ->
-      """WITH m AS (
+      """WITH wavf AS (
+        |  SELECT doc_id, CAST(64 + (doc_id % 128) AS BIGINT) AS ns,
+        |    greatest((64 + (doc_id % 128)) // 4, 1) AS stride
+        |  FROM documents WHERE doc_id % 4 = 2
+        |), wav AS (
+        |  SELECT doc_id, 'wav' AS format,
+        |    round(CAST(list_aggregate(list_transform(
+        |        range(0, CAST(ns AS INTEGER)), i -> (7 * i + doc_id) % 256),
+        |      'sum') AS DOUBLE) / CAST(ns AS DOUBLE), 6) AS mean_byte,
+        |    CAST(least(4, (ns + stride - 1) // stride) AS INTEGER)
+        |      AS n_frames,
+        |    CAST(0 AS BIGINT) AS first_offset,
+        |    CAST((least(4, (ns + stride - 1) // stride) - 1) * stride
+        |      AS BIGINT) AS last_offset,
+        |    0 AS thumb_w, 0 AS thumb_h, 'real-wav' AS decoder
+        |  FROM wavf
+        |), pngf AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INTEGER) AS w,
+        |    CAST(3 + doc_id % 7 AS INTEGER) AS h,
+        |    greatest(CAST(3 + doc_id % 7 AS INTEGER) // 4, 1) AS stride
+        |  FROM documents WHERE doc_id % 4 = 0
+        |), png AS (
+        |  SELECT doc_id, 'png' AS format,
+        |    round(CAST(list_aggregate(list_transform(
+        |        range(0, CAST(w AS BIGINT) * h),
+        |        i -> (7 * (i % w) + 31 * (i // w) + doc_id) % 256),
+        |      'sum') AS DOUBLE) / CAST(CAST(w AS BIGINT) * h AS DOUBLE), 6)
+        |      AS mean_byte,
+        |    CAST(least(4, (h + stride - 1) // stride) AS INTEGER)
+        |      AS n_frames,
+        |    CAST(0 AS BIGINT) AS first_offset,
+        |    CAST((least(4, (h + stride - 1) // stride) - 1) * stride * w
+        |      AS BIGINT) AS last_offset,
+        |    w AS thumb_w, h AS thumb_h, 'real-png' AS decoder
+        |  FROM pngf
+        |), m AS (
         |  SELECT doc_id,
         |    (['png','jpeg','wav','mp4'])[CAST(doc_id % 4 + 1 AS INTEGER)]
         |      AS format,
@@ -1531,7 +1574,7 @@ object SparkEntry {
         |    (doc_id % 9 + 1) * 64 AS h0,
         |    CAST(strlen(text) AS BIGINT) AS n_bytes,
         |    hex(encode(text)) AS hx
-        |  FROM documents
+        |  FROM documents WHERE doc_id % 4 IN (1, 3)
         |), f AS (
         |  SELECT doc_id, format, n_bytes, w0, h0,
         |    CASE WHEN n_bytes = 0 THEN 0.0 ELSE
@@ -1562,16 +1605,20 @@ object SparkEntry {
         |    CASE WHEN w3 > 64 OR h3 > 64 THEN w3 // 2 ELSE w3 END AS w4,
         |    CASE WHEN w3 > 64 OR h3 > 64 THEN h3 // 2 ELSE h3 END AS h4
         |  FROM t3
+        |), stub AS (
+        |  SELECT doc_id, format, mean_byte,
+        |    CAST(least(4, (n_bytes + stride - 1) // stride) AS INTEGER)
+        |      AS n_frames,
+        |    CASE WHEN n_bytes = 0 THEN NULL
+        |      ELSE CAST(0 AS BIGINT) END AS first_offset,
+        |    CASE WHEN n_bytes = 0 THEN NULL
+        |      ELSE CAST((least(4, (n_bytes + stride - 1) // stride) - 1)
+        |           * stride AS BIGINT) END AS last_offset,
+        |    CAST(w4 AS INTEGER) AS thumb_w, CAST(h4 AS INTEGER) AS thumb_h,
+        |    'stub' AS decoder
+        |  FROM t4
         |)
-        |SELECT doc_id, format, mean_byte,
-        |  CAST(least(4, (n_bytes + stride - 1) // stride) AS INTEGER)
-        |    AS n_frames,
-        |  CASE WHEN n_bytes = 0 THEN NULL
-        |    ELSE CAST(0 AS BIGINT) END AS first_offset,
-        |  CASE WHEN n_bytes = 0 THEN NULL
-        |    ELSE CAST((least(4, (n_bytes + stride - 1) // stride) - 1)
-        |         * stride AS BIGINT) END AS last_offset,
-        |  CAST(w4 AS INTEGER) AS thumb_w, CAST(h4 AS INTEGER) AS thumb_h
-        |FROM t4""".stripMargin,
+        |SELECT * FROM wav UNION ALL SELECT * FROM png
+        |UNION ALL SELECT * FROM stub""".stripMargin,
   )
 }

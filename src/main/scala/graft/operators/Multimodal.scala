@@ -9,9 +9,11 @@ import graft.sources.Sources
   * metadata, and decode / feature-extract / resize / frame-sample stages as
   * per-partition batch transforms.
   *
-  * The container has no image/audio codec LIBRARIES, so the generic decode
-  * seam is stubbed behind [[DecodeBackend]] with a deterministic fake
-  * ([[FakeDecoder]]) — but everything Spark-side is real and tested: the
+  * The registered feature stage dispatches through [[RealDecoder]]: wav
+  * and png payloads get a REAL parse (the JDK ships everything those two
+  * formats need), and only formats with no in-container codec (jpeg,
+  * mp4) fall back to the deterministic stub ([[FakeDecoder]]) behind the
+  * [[DecodeBackend]] seam. Everything Spark-side is real and tested: the
   * binary+struct schema, the typed `Dataset[MediaRow]` encoder, the
   * `mapPartitions` batch shape (one backend instance per partition,
   * streaming iterator — the Scala analog of PySpark's `mapInPandas`
@@ -31,10 +33,14 @@ object Multimodal {
       doc_id: Long, format: String, width: Int, height: Int,
       n_bytes: Long, payload: Array[Byte])
 
-  /** Decoded features per media item. */
+  /** Decoded features per media item. `decoder` audits which backend
+    * produced the row — "real-wav"/"real-png" for the JDK-only parsers,
+    * "stub" for formats with no in-container codec — so the stub
+    * fraction of any pipeline run is a one-line groupBy. */
   final case class MediaFeatures(
       doc_id: Long, format: String, mean_byte: Double,
-      frame_offsets: Seq[Long], thumb_w: Int, thumb_h: Int)
+      frame_offsets: Seq[Long], thumb_w: Int, thumb_h: Int,
+      decoder: String)
 
   /** The codec seam. A real deployment binds an image/audio library here
     * (one instance per partition — expensive native init amortizes across
@@ -58,7 +64,35 @@ object Multimodal {
       val offsets = (0L until row.n_bytes by stride).take(4).toSeq
       var (w, h) = (row.width, row.height)
       while (w > 64 || h > 64) { w /= 2; h /= 2 }
-      MediaFeatures(row.doc_id, row.format, mean, offsets, w, h)
+      MediaFeatures(row.doc_id, row.format, mean, offsets, w, h, "stub")
+    }
+  }
+
+  /** Production dispatch for the codec seam: formats with a JDK-only
+    * decoder get the REAL parse — wav through [[parseWav]] (features from
+    * decoded PCM samples), png through [[parsePng]] (features from
+    * decoded, unfiltered pixels) — and only the formats with no
+    * in-container codec (jpeg, mp4) fall back to [[FakeDecoder]]. The
+    * per-row `decoder` column keeps the stub fraction auditable. */
+  object RealDecoder extends DecodeBackend {
+    def decode(row: MediaRow): MediaFeatures = row.format match {
+      case "wav" =>
+        val m = parseWav(row.doc_id, row.payload)
+        val stride = math.max(1L, m.n_samples / 4)
+        val offsets = (0L until m.n_samples by stride).take(4).toSeq
+        MediaFeatures(row.doc_id, row.format,
+          m.sample_sum.toDouble / m.n_samples, offsets, 0, 0, "real-wav")
+      case "png" =>
+        val m = parsePng(row.doc_id, row.payload)
+        // frames = strided scanline start offsets into the decoded raster
+        val stride = math.max(1L, m.height.toLong / 4)
+        val offsets = (0L until m.height.toLong by stride).take(4)
+          .map(_ * m.width).toSeq
+        var (w, h) = (m.width, m.height)
+        while (w > 64 || h > 64) { w /= 2; h /= 2 }
+        MediaFeatures(row.doc_id, row.format,
+          m.pix_sum.toDouble / m.n_pixels, offsets, w, h, "real-png")
+      case _ => FakeDecoder.decode(row)
     }
   }
 
@@ -82,6 +116,35 @@ object Multimodal {
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame =
     mediaTable(spark, sfDir).drop("payload")
 
+  /** Payload-TRUE media table for the feature stage: wav and png rows
+    * carry real synthesized payloads ([[synthWav]]/[[synthPng]] — valid
+    * RIFF and PNG byte streams any tool could parse), while jpeg/mp4 keep
+    * the deterministic text-bytes fake (no JDK-only decoder exists for
+    * them). Metadata mirrors the payload where the format defines it
+    * (png dims; wav has none, 0×0). [[mediaTable]] stays the ingest
+    * MANIFEST shape (h1): claimed metadata before any payload is
+    * opened — the usual split in a real media pipeline. */
+  def realMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val fmt = Seq("png", "jpeg", "wav", "mp4")((id % 4).toInt)
+        val payload = fmt match {
+          case "wav" => synthWav(id)
+          case "png" => synthPng(id)
+          case _ =>
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        val (w, h) = fmt match {
+          case "png" => (4 + (id % 13).toInt, 3 + (id % 7).toInt)
+          case "wav" => (0, 0)
+          case _ => (((id % 16) + 1).toInt * 64, ((id % 9) + 1).toInt * 64)
+        }
+        MediaRow(id, fmt, w, h, payload.length.toLong, payload)
+      }
+  }
+
   /** The decode/feature stage: per-partition batch transform through the
     * backend seam. Narrow (no shuffle); each task streams its partition
     * through one backend instance.
@@ -93,9 +156,9 @@ object Multimodal {
     * scalars anyway. [[extractFeaturesRaw]] keeps the full array for
     * downstream consumers. */
   def extractFeaturesRaw(spark: SparkSession, sfDir: String,
-      backend: DecodeBackend = FakeDecoder): Dataset[MediaFeatures] = {
+      backend: DecodeBackend = RealDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
-    val media: Dataset[MediaRow] = mediaTable(spark, sfDir).as[MediaRow]
+    val media: Dataset[MediaRow] = realMediaTable(spark, sfDir)
     media.mapPartitions { it: Iterator[MediaRow] =>
       // one backend per partition: codec init cost amortizes over the batch
       val b = backend
@@ -104,14 +167,14 @@ object Multimodal {
   }
 
   def extractFeatures(spark: SparkSession, sfDir: String,
-      backend: DecodeBackend = FakeDecoder): DataFrame =
+      backend: DecodeBackend = RealDecoder): DataFrame =
     extractFeaturesRaw(spark, sfDir, backend).toDF()
       .select(col("doc_id"), col("format"),
         round(col("mean_byte"), 6).as("mean_byte"),
         size(col("frame_offsets")).as("n_frames"),
         element_at(col("frame_offsets"), 1).as("first_offset"),
         element_at(col("frame_offsets"), -1).as("last_offset"),
-        col("thumb_w"), col("thumb_h"))
+        col("thumb_w"), col("thumb_h"), col("decoder"))
 
   // ------------------------------------------------------------------ WAV
 
@@ -126,7 +189,7 @@ object Multimodal {
     * canonical 44-byte layout. */
   final case class WavMeta(
       doc_id: Long, channels: Int, sample_rate: Int, bits_per_sample: Int,
-      n_samples: Long, peak: Int)
+      n_samples: Long, peak: Int, sample_sum: Long)
 
   /** 8-bit mono PCM: rate = 8000 + (doc_id%8)·1000, n = 64 + (doc_id%128)
     * samples, sample(i) = (7i + doc_id) mod 256. */
@@ -162,6 +225,7 @@ object Multimodal {
     var channels, rate, bits = -1
     var nSamples = -1L
     var peak = 0
+    var sum = 0L
     while (bb.remaining() >= 8) {
       val id = ascii(4)
       val size = bb.getInt
@@ -184,13 +248,18 @@ object Multimodal {
           require(channels > 0 && bits == 8, "fmt must precede 8-bit data")
           nSamples = size.toLong / channels
           var i = 0
-          while (i < size) { peak = math.max(peak, bb.get() & 0xFF); i += 1 }
+          while (i < size) {
+            val s = bb.get() & 0xFF
+            peak = math.max(peak, s)
+            sum += s
+            i += 1
+          }
         case _ => // skip unknown chunk
       }
       bb.position(next)
     }
     require(nSamples >= 0, "no data chunk")
-    WavMeta(docId, channels, rate, bits, nSamples, peak)
+    WavMeta(docId, channels, rate, bits, nSamples, peak, sum)
   }
 
   /** The h3 query: synthesize → REALLY parse. Plain `map` — unlike
