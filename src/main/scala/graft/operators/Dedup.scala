@@ -262,26 +262,31 @@ object Dedup {
         col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .transform(graft.CacheScope.tracked)
-    var labels = edges.select(col("src").as("doc")).distinct()
+    var cached = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .transform(graft.CacheScope.tracked)
+    var labels = cached
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val next = labels
+      // single pass per round: the update join carries the PREVIOUS label
+      // alongside the new one, the persisted frame materializes once under
+      // the convergence count, and the next round's labels are a
+      // projection of that same cache — no second join re-deriving the
+      // changed set (the r4 double-materialization)
+      val stepped = labels
         .join(neighborMin, labels("doc") === neighborMin("src"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
         .transform(graft.CacheScope.tracked)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+      val changed = stepped.filter(col("label") =!= col("prev")).count()
+      cached.unpersist()
+      cached = stepped
+      labels = stepped.select(col("doc"), col("label"))
       converged = changed == 0
       iter += 1
     }
