@@ -62,7 +62,13 @@ object Bench {
     // what the judge compares against BASELINE.md — and the complete
     // per-query map goes to BENCH_LOCAL.json (committed with the round).
     val slowest = results.toSeq.sortBy(-_._2).take(12)
-    println(line(fmt(slowest), ""","queries_full":"BENCH_LOCAL.json""""))
+    // failed queries carry -1.0 and sort out of the slowest-12 window, so
+    // name them explicitly — the judge-visible stdout line must show WHICH
+    // queries failed, not only how many
+    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(line(fmt(slowest),
+      s""","failed_queries":$failedNames,"queries_full":"BENCH_LOCAL.json""""))
     try Files.writeString(Paths.get("BENCH_LOCAL.json"),
       line(fmt(results), "") + "\n")
     catch { case _: Throwable => () } // stdout line is the primary channel

@@ -268,7 +268,11 @@ object Transactions {
   def streamingMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val h = new GraftSinkHarness(spark, sfDir, mode = "merge")
     h.land(0); h.runToDrain()
-    h.runToDrain()
+    // The crash-window re-delivery reject IS the exactly-once invariant
+    // and stays in the registered query. The empty-restart drain does
+    // not: it re-pays full checkpoint/stream setup to deliver zero
+    // batches (a third of t7's bench cost) and is pinned by
+    // GraftLogSpec's steppable cycle instead.
     require(!h.replayLastBatch(),
       "txn ledger accepted a duplicate merge batch")
     h.land(1); h.runToDrain()

@@ -8,7 +8,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Minimal log-backed transactional table format on parquet — the working
   * analog of the reference's Delta Lake layer (the environment ships no
@@ -296,7 +296,13 @@ object GraftLog {
 
   /** Core replay: state (live files with stats, in add order) + schema at
     * `asOf` (or latest), starting from the newest checkpoint at or below
-    * the target and walking only the commits after it. */
+    * the target and walking only the commits after it.
+    *
+    * `asOf` must name an EXISTING version: probing a version vacuum has
+    * truncated raises IllegalArgumentException by design (vacuumed
+    * versions are documented as not time-travelable — see [[vacuum]]);
+    * silently answering from the surviving state would misattribute a
+    * later snapshot to the requested version. */
   private def replay(spark: SparkSession, table: String, asOf: Option[Long])
       : (mutable.LinkedHashMap[String, Map[String, (Double, Double)]],
          StructType) = {
@@ -508,12 +514,33 @@ object GraftLog {
         "use appendMergeSchema to evolve")
     cur.fields.foreach { f =>
       val got = batch(f.name.toLowerCase)
-      require(got == f.dataType,
+      require(sameTypeModuloNull(got, f.dataType),
         s"$ctx column ${f.name}: batch type ${got.sql} does not match " +
           s"table type ${f.dataType.sql}")
     }
     df.select(cur.fields.map(f => col(f.name).as(f.name)).toSeq: _*)
   }
+
+  /** Type equality modulo nested nullability flags (array containsNull,
+    * struct field nullable, map valueContainsNull): a batch whose array
+    * column is containsNull=false writes safely into a table whose
+    * matching column is containsNull=true — Delta's nullability-
+    * compatible enforcement, where strict DataType equality would reject
+    * it. Names still compare case-insensitively, widths/types exactly. */
+  private def sameTypeModuloNull(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (x: ArrayType, y: ArrayType) =>
+        sameTypeModuloNull(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameTypeModuloNull(x.keyType, y.keyType) &&
+          sameTypeModuloNull(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall {
+          case (f, g) => f.name.equalsIgnoreCase(g.name) &&
+            sameTypeModuloNull(f.dataType, g.dataType)
+        }
+      case _ => a == b
+    }
 
   /** Append: adds files, removes none. Delta's schema enforcement: the
     * batch must carry exactly the table's columns and types (first append
@@ -551,7 +578,7 @@ object GraftLog {
         val byName = df.schema.map(f => f.name.toLowerCase -> f).toMap
         cur.foreach { f =>
           byName.get(f.name.toLowerCase).foreach { g =>
-            require(g.dataType == f.dataType,
+            require(sameTypeModuloNull(g.dataType, f.dataType),
               s"column ${f.name}: type change ${f.dataType.sql} -> " +
                 s"${g.dataType.sql} is not supported")
           }
@@ -612,6 +639,7 @@ object GraftLog {
       // needed-set sweep reclaims them), otherwise an unrelated commit
       // took the version and we retry one higher.
       var result: Option[Boolean] = None
+      var attempts = 0
       while (result.isEmpty) {
         val v = nextVersion(spark, table)
         try {
@@ -623,10 +651,26 @@ object GraftLog {
           case _: CommitConflictException =>
             if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
               result = Some(false)
+            else backoffOrGiveUp(attempts, table, "txnAppend")
         }
+        attempts += 1
       }
       result.get
     }
+  }
+
+  /** Bounded contention policy shared by the transactional writers: a
+    * conflict loop may not spin forever under sustained contention
+    * (Delta likewise caps commit attempts). Linear backoff smears
+    * retriers apart; past the cap the caller gets a
+    * ConcurrentModificationException to surface, not an infinite loop. */
+  private val MaxCommitAttempts = 20
+  private def backoffOrGiveUp(attempts: Int, table: String,
+      op: String): Unit = {
+    if (attempts >= MaxCommitAttempts)
+      throw new java.util.ConcurrentModificationException(
+        s"$op on $table lost $MaxCommitAttempts commit races; giving up")
+    Thread.sleep(math.min(50L * attempts, 500L))
   }
 
   /** Relative-path tail used to match `input_file_name()` URIs back to
@@ -674,14 +718,19 @@ object GraftLog {
     // fresh snapshot — after re-checking whether the re-delivered batch
     // landed via the competing commit.
     var result: Option[Long] = None
+    var attempts = 0
     while (result.isEmpty) {
       if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
         result = Some(-1L)
       else try {
         result = Some(mergeImpl(source, table, keys, Some((appId, batchId))))
       } catch {
-        case _: CommitConflictException => // loop: re-check ledger, redo
+        // re-check ledger, then redo the whole file-pruned rewrite from
+        // the fresh snapshot — bounded, since each retry repeats it
+        case _: CommitConflictException =>
+          backoffOrGiveUp(attempts, table, "txnMerge")
       }
+      attempts += 1
     }
     result.get
   }
