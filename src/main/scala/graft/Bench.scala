@@ -31,6 +31,19 @@ object Bench {
       graft.operators.Ddl.purgeManagedLocation(spark, "graft_warm")
       spark.read.parquet(s"$warmDir/t").write.saveAsTable("graft_warm")
       spark.sql("DROP TABLE IF EXISTS graft_warm")
+      // the micro-batch engine (offset log, checkpoint IO, foreachBatch
+      // plumbing) class-loads seconds of machinery on first use; without
+      // this, that cost lands on whichever STREAMING query the map
+      // happens to order first and misattributes it
+      val q = spark.readStream
+        .schema(spark.read.parquet(s"$warmDir/t").schema)
+        .parquet(s"$warmDir/t")
+        .writeStream
+        .option("checkpointLocation", s"$warmDir/ckpt")
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     } finally { // no /tmp residue per run
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit

@@ -244,8 +244,10 @@ object Dedup {
     * Algorithm: min-label propagation to a fixpoint — labels start as
     * each node's own id; every round each node takes the min of its own
     * and its neighbors' labels; converged when a round changes nothing.
-    * Each round is two hash-partitioned equi-joins + a groupBy over the
-    * EDGE list; the driver sees one scalar count per round (the
+    * Each round is ONE hash-partitioned equi-join + one groupBy over the
+    * EDGE list (own and neighbor labels meet in the same aggregation,
+    * which yields both the update and the previous label for the
+    * convergence check); the driver sees one scalar count per round (the
     * convergence check — justified driver-side control for an iterative
     * fixpoint, same pattern as f4's Lloyd loop). Near-dup components are
     * cliques and short chains, so rounds ≈ 2-3; a graph with
@@ -262,26 +264,36 @@ object Dedup {
         col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .transform(graft.CacheScope.tracked)
-    var cached = edges.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc"))
+    // Initial labels fold propagation round 1 into the same aggregation
+    // that deduplicates the node set: label₀ = min(own id, neighbor ids).
+    // Identical-doc components are CLIQUES, whose members all touch the
+    // component minimum — they converge here, and the loop's first pass
+    // is already the confirming round.
+    var cached = edges
+      .select(col("src").as("doc"), col("dst").as("label"))
+      .unionByName(edges.select(col("src").as("doc"),
+        col("src").as("label")))
+      .groupBy(col("doc")).agg(min(col("label")).as("label"))
       .transform(graft.CacheScope.tracked)
     var labels = cached
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
+      // ONE shuffle join + ONE aggregation per round (r4 ran three joins):
+      // neighbor labels and each node's own label flow into the same
+      // groupBy, where min over everything is the update and min over the
+      // self row recovers the previous label — so the persisted frame
+      // materializes once under the convergence count and the next
+      // round's labels are a projection of the same cache.
+      val contributions = edges
         .join(labels, edges("dst") === labels("doc"))
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      // single pass per round: the update join carries the PREVIOUS label
-      // alongside the new one, the persisted frame materializes once under
-      // the convergence count, and the next round's labels are a
-      // projection of that same cache — no second join re-deriving the
-      // changed set (the r4 double-materialization)
-      val stepped = labels
-        .join(neighborMin, labels("doc") === neighborMin("src"), "left")
-        .select(col("doc"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
+        .select(col("src").as("doc"), col("label"),
+          lit(false).as("self"))
+        .unionByName(labels.select(col("doc"), col("label"),
+          lit(true).as("self")))
+      val stepped = contributions.groupBy(col("doc"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("self"), col("label"))).as("prev"))
         .transform(graft.CacheScope.tracked)
       val changed = stepped.filter(col("label") =!= col("prev")).count()
       cached.unpersist()
