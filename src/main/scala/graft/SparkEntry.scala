@@ -69,6 +69,11 @@ object SparkEntry {
     "s5_profile_fallback"    -> ((s, d) => graft.sources.Sources.profileFallback(s, d)),
     "s6_literal_rows"        -> ((s, _) => Incremental.literalRowsPipeline(s)),
     "s10_avro_roundtrip"     -> ((s, d) => graft.sources.Sources.avroRoundTrip(s, d)),
+    // Kafka-shaped topic source (ref declares confluent-kafka,
+    // mage_demo/requirements.txt:3, but ships no broker): partitioned
+    // offset log on parquet with a committed-high-water ledger
+    "s11_topic_produce_consume" ->
+      ((s, d) => graft.sources.Topic.produceConsume(s, d)),
     // schema-evolving and single-file sinks (SURVEY.md §2.2 K2/K3/K6)
     "k2_merge_schema"        -> ((s, d) => graft.sources.Sinks.mergeSchemaRoundTrip(s, d)),
     "k3_overwrite_schema"    -> ((s, d) => graft.sources.Sinks.overwriteSchemaRoundTrip(s, d)),
@@ -87,6 +92,7 @@ object SparkEntry {
     "e7_dedup_ngram_full"       -> ((s, d) => Dedup.ngramJaccardFull(s, d)),
     "e8_dedup_ppjoin"           -> ((s, d) => Dedup.ppjoin(s, d)),
     "e9_dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "e10_dedup_segments"        -> ((s, d) => Dedup.segmentDedup(s, d)),
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -147,6 +153,9 @@ object SparkEntry {
       ((s, d) => dbl(graft.streaming.Streaming.slidingAggBatch(s, d))),
     "i12_events_sliding_agg_stream" ->
       ((s, d) => dbl(graft.streaming.Streaming.slidingAggStream(s, d))),
+    // streaming consume of the Kafka-shaped topic (s11's segment log)
+    "i13_topic_consume_stream" ->
+      ((s, d) => graft.streaming.Streaming.topicConsumeStream(s, d)),
     // regex token counting + JSON props extraction
     "g9_token_count_regex" ->
       ((s, d) => TextAnalysis.tokenCountRegex(s, d)),
@@ -298,6 +307,45 @@ object SparkEntry {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal, " +
         s"'$fmt' AS interchange_format FROM supplier"
     },
+    // s11/i13: the topic's placement rule is pure SQL — partition =
+    // md5-hash of the key mod 4, offset = rank within partition ordered
+    // by (producer batch = event_id parity, then event_id) — so the
+    // oracle re-derives partitioning, offset assignment and the payload
+    // checksum from the raw events table. i13 is the streaming consume
+    // of the same staged topic, minus the distinct-keys column (distinct
+    // aggregation is not available under streaming semantics).
+    "s11_topic_produce_consume" ->
+      """WITH r AS (
+        |  SELECT event_id, ts, CAST(user_id AS VARCHAR) AS key,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::UBIGINT % 4 AS INTEGER) AS partition
+        |  FROM events
+        |), o AS (
+        |  SELECT key, event_id, ts, partition,
+        |    row_number() OVER (PARTITION BY partition
+        |      ORDER BY (event_id % 2), event_id) - 1 AS off
+        |  FROM r
+        |)
+        |SELECT partition, count(*) AS n_records, max(off) AS max_offset,
+        |  CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  max(ts) AS max_ts
+        |FROM o GROUP BY partition""".stripMargin,
+    "i13_topic_consume_stream" ->
+      """WITH r AS (
+        |  SELECT event_id, CAST(user_id AS VARCHAR) AS key,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::UBIGINT % 4 AS INTEGER) AS partition
+        |  FROM events
+        |), o AS (
+        |  SELECT event_id, partition,
+        |    row_number() OVER (PARTITION BY partition
+        |      ORDER BY (event_id % 2), event_id) - 1 AS off
+        |  FROM r
+        |)
+        |SELECT partition, count(*) AS n_records, max(off) AS max_offset,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum
+        |FROM o GROUP BY partition""".stripMargin,
     // k2: merge-schema overwrite = new data, union schema — old-only
     // columns come back as typed NULLs for every row
     "k2_merge_schema" ->
@@ -941,6 +989,30 @@ object SparkEntry {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // e10: CCNet-style segment dedup — the oracle re-derives the fixed
+    // 20-token segmentation, ranks every distinct segment's occurrences
+    // by (doc_id, chunk_idx), and reassembles each document from its
+    // rank-1 segments in original order. string_agg skips the NULLs the
+    // CASE emits, mirroring collect_list's null-dropping.
+    "e10_dedup_segments" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |    array_to_string(t[(i*20 + 1):(i*20 + 20)], ' ') AS chunk
+        |  FROM toks, UNNEST(range(0, ((len(t) - 1) // 20) + 1)) AS u(i)
+        |), ranked AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |    row_number() OVER (PARTITION BY md5(chunk)
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM chunks
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |    ORDER BY chunk_idx), '') AS kept_text
+        |FROM ranked GROUP BY doc_id""".stripMargin,
     // g14: per-doc n-gram occurrence lists (NOT distinct) rebuilt
     // relationally; top-bigram count scans distinct×occurrences inside
     // list lambdas exactly like the Spark HOF form

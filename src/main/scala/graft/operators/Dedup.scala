@@ -507,4 +507,65 @@ object Dedup {
     * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` but ~10× faster. */
   def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dot_product(a, b)
+
+  // ------------------------------------------------- segment-level exact
+
+  /** e10 — SEGMENT-level exact dedup (the CCNet/FineWeb "line dedup"
+    * stage: drop every line whose exact content already appeared anywhere
+    * in the corpus, keeping the first occurrence). This corpus's documents
+    * are single-line, so the segmenter cuts fixed `chunkTokens`-token
+    * windows instead of newlines — the dataflow is identical, only the
+    * splitter differs. Output is one row per document: chunk counts and
+    * the surviving text with duplicated segments removed, in original
+    * order.
+    *
+    * Scale shape (the reason this isn't a corpus-wide window):
+    *   - segmentation is a narrow per-row HOF (`transform` over a
+    *     `sequence`), no shuffle;
+    *   - the first-occurrence winner per distinct segment is a groupBy on
+    *     the segment's md5 — the shuffle carries 16-byte digests plus a
+    *     (doc_id, chunk_idx) struct, never segment text, and the `min`
+    *     partial-combines map-side (a `row_number` over a corpus-wide
+    *     hash partition would sort; `min` doesn't);
+    *   - survivors re-aggregate to documents on the doc_id key, and the
+    *     in-order reassembly sorts WITHIN each document's collected
+    *     chunks (array_sort over ≤ chunks-per-doc elements), never
+    *     globally.
+    * At 100 TB both shuffles are key-hashed equi-shuffles; the segment
+    * digest domain is uniform (no skew), and memory per group is one
+    * struct. */
+  def segmentDedup(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(toks) - 1) div $chunkTokens),
+           |  i -> concat_ws(' ',
+           |    slice(toks, i * $chunkTokens + 1, $chunkTokens)))"""
+          .stripMargin)).as(Seq("chunk_idx", "chunk")))
+    // one winner per distinct segment content: the lexicographically
+    // smallest (doc_id, chunk_idx) — min over a struct, partial-combined
+    val winners = chunks
+      .groupBy(md5(col("chunk")).as("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+    chunks.withColumn("h", md5(col("chunk")))
+      .join(winners, "h")
+      .withColumn("keep",
+        col("w.doc_id") === col("doc_id") &&
+          col("w.chunk_idx") === col("chunk_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // in-order reassembly: collect (idx, chunk) structs for kept
+        // chunks only (collect_list drops the nulls the `when` emits),
+        // sort within the doc, strip the index
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("chunk_idx"), col("chunk"))))),
+          x => x("chunk"))).as("kept_text"))
+  }
+
+  /** [[segmentDedup]] over the documents table (driver query e10). */
+  def segmentDedup(spark: SparkSession, sfDir: String): DataFrame =
+    segmentDedup(Sources.testTable(spark, sfDir, "documents"),
+      chunkTokens = 20)
 }

@@ -70,10 +70,10 @@ object GraftLog {
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       txns: Map[String, Long] = Map.empty)
 
-  private val LogDirName  = "_graft_log"
+  private[sources] val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
 
-  private def fs(spark: SparkSession, path: String): FileSystem =
+  private[sources] def fs(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def logName(v: Long): String = f"$v%020d.json"
@@ -195,8 +195,9 @@ object GraftLog {
   /** Atomic put-if-absent of a log-dir file; the payload is complete on
     * disk (hidden temp name) before it becomes visible under the target
     * name, so a reader can never observe a torn entry. Returns whether
-    * this writer won the name. */
-  private def putIfAbsent(spark: SparkSession, table: String,
+    * this writer won the name. Shared with [[Topic]]'s offsets ledger —
+    * same commit protocol, different log contents. */
+  private[sources] def putIfAbsent(spark: SparkSession, table: String,
       name: String, content: String): Boolean = {
     val logDir = new HPath(table, LogDirName)
     val f = fs(spark, table)

@@ -88,6 +88,28 @@ object Streaming {
       slidingAgg(eventsStream(spark, sfDir).withWatermark("ts", "10 minutes")),
       mode = "complete")
 
+  /** i13 — streaming consume of the Kafka-shaped topic
+    * ([[graft.sources.Topic]]): readStream over the staged segment log,
+    * per-partition audit (record count, high offset, exact payload
+    * checksum). Complete-mode drain over the finite topic ⇒ the same
+    * relational oracle as the batch consume, minus the distinct-keys
+    * column (distinct aggregation isn't available under streaming
+    * semantics — the consumer would keep per-key state instead). The
+    * stream sees only ledger-committed offsets, so a torn produce can
+    * never leak into a micro-batch. */
+  def topicConsumeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.Topic.ensureStaged(spark, sfDir)
+    val topic = graft.sources.Topic.readStream(spark, dir,
+      graft.sources.Topic.FixturePartitions)
+    drain(spark,
+      topic.groupBy(col("partition"))
+        .agg(count(lit(1)).as("n_records"),
+          max(col("offset")).as("max_offset"),
+          sum(split(col("value"), "\\|").getItem(0).cast("long"))
+            .as("id_checksum")),
+      mode = "complete")
+  }
+
   /** readStream over the events parquet — the file stream source lists
     * directories only, so the glob filter scopes it to the events file. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {

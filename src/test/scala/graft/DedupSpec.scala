@@ -140,4 +140,32 @@ class DedupSpec extends AnyFunSuite {
       assert(exact(pair) == cos)
     }
   }
+
+  test("segment dedup drops repeated segments, keeps first occurrence in order") {
+    import spark.implicits._
+    // 4-token chunks; doc 1 and doc 2 share an exact chunk ("a b c d"),
+    // doc 3 repeats a chunk internally, doc 4 is all-original
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // chunks: [a b c d] [e f g h]
+      (2L, "a b c d x y z w"),       // [a b c d] duplicates doc 1's
+      (3L, "p q r s p q r s"),       // second [p q r s] duplicates its own
+      (4L, "k l m n")                // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, chunkTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f g h")))  // first occurrence wins
+    assert(out(2L) == ((2L, 1L, "x y z w")))          // shared chunk dropped
+    assert(out(3L) == ((2L, 1L, "p q r s")))          // self-repeat dropped
+    assert(out(4L) == ((1L, 1L, "k l m n")))
+  }
+
+  test("segment dedup: ragged final chunk survives and reassembles exactly") {
+    import spark.implicits._
+    val docs = Seq((7L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, chunkTokens = 4).collect()(0)
+    // 11 tokens → chunks of 4,4,3; all kept; reassembly is the identity
+    assert(out.getLong(1) == 3 && out.getLong(2) == 3)
+    assert(out.getString(3) == "a b c d e f g h i j k")
+  }
 }
