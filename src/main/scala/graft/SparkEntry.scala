@@ -104,6 +104,7 @@ object SparkEntry {
     "f4_knn_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "f5_embedding_quantize"  -> ((s, d) => Similarity.quantizeAudit(s, d)),
     "f6_knn_quantized"       -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    "f7_knn_pq_adc"          -> ((s, d) => Similarity.pqTopK(s, d)),
     // LLM-pipeline extensions: text analysis (SURVEY.md §7.6)
     "g1_token_stats"         -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "g2_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -413,6 +414,73 @@ object SparkEntry {
          |     OR b.c_mktsegment != inc.inc_mktsegment
          |)
          |SELECT * FROM ins UNION ALL SELECT * FROM upd""".stripMargin,
+    // f7: product quantization — codebooks, per-subspace argmin encoding,
+    // and the query distance tables are all IEEE doubles with the
+    // identical expression tree (strict-fold dot of the componentwise
+    // diff); the ADC total across subspaces is an exact DECIMAL sum, so
+    // the ranking is aggregation-order-free and engine-portable
+    "f7_knn_pq_adc" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), subs AS (
+        |  SELECT vec_id, CAST(j AS INTEGER) AS m,
+        |    v[(j*16 + 1):(j*16 + 16)] AS sub
+        |  FROM n, UNNEST(range(0, 4)) AS u(j)
+        |), cb0 AS (
+        |  SELECT m, CAST(vec_id AS INTEGER) AS c, sub AS cw
+        |  FROM subs WHERE vec_id < 16
+        |),
+        |${pqLloydCtes(2)},
+        |cb AS (SELECT m, c, cw FROM cb2),
+        |enc AS (
+        |  SELECT vec_id, m, c FROM (
+        |    SELECT s.vec_id, s.m, cb.c,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |        list_dot_product(
+        |          list_transform(list_zip(s.sub, cb.cw), z -> z[1] - z[2]),
+        |          list_transform(list_zip(s.sub, cb.cw), z -> z[1] - z[2]))
+        |          ASC, cb.c ASC) AS r
+        |    FROM subs s JOIN cb USING (m))
+        |  WHERE r = 1
+        |), dts AS (
+        |  SELECT s.vec_id AS query_id, s.m, cb.c,
+        |    list_dot_product(
+        |      list_transform(list_zip(s.sub, cb.cw), z -> z[1] - z[2]),
+        |      list_transform(list_zip(s.sub, cb.cw), z -> z[1] - z[2]))
+        |      AS dt
+        |  FROM subs s JOIN cb USING (m)
+        |  WHERE s.vec_id < 10
+        |), adc AS (
+        |  SELECT d.query_id, e.vec_id,
+        |    sum(CAST(d.dt AS DECIMAL(38,10))) AS adc_d2
+        |  FROM enc e JOIN dts d ON d.m = e.m AND d.c = e.c
+        |  WHERE e.vec_id != d.query_id
+        |  GROUP BY d.query_id, e.vec_id
+        |), short AS (
+        |  SELECT query_id, vec_id, adc_d2 FROM (
+        |    SELECT query_id, vec_id, adc_d2,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_d2 ASC, vec_id ASC) AS adc_rank
+        |    FROM adc)
+        |  WHERE adc_rank <= 50
+        |), nn AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM n
+        |), refined AS (
+        |  SELECT t.query_id, t.vec_id, t.adc_d2,
+        |    list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cosine
+        |  FROM short t
+        |  JOIN nn c ON c.vec_id = t.vec_id
+        |  JOIN nn q ON q.vec_id = t.query_id
+        |)
+        |SELECT query_id, vec_id AS neighbor_id, rank,
+        |  round(CAST(adc_d2 AS DOUBLE), 6) AS adc_d2,
+        |  round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT query_id, vec_id, adc_d2, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM refined)
+        |WHERE rank <= 5""".stripMargin,
     // f5: the whole quantize/encode/audit pipeline is IEEE arithmetic on
     // per-dim stats — floor (never round: engines disagree on halves),
     // constant-dim guard, exact decimal error sums
@@ -541,6 +609,34 @@ object SparkEntry {
          |  SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
          |  FROM (SELECT cent_id, array_agg(m ORDER BY pos) AS cv
          |        FROM s$i GROUP BY 1)
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  /** f7's per-subspace Lloyd unroll: assignment under cb`i` (same
+    * strict-fold squared distance as the Spark side), per-(m, c, pos)
+    * exact-decimal mean, reassembled as cb`i+1`. */
+  private def pqLloydCtes(iters: Int): String =
+    (0 until iters).map { i =>
+      s"""pa$i AS (
+         |  SELECT m, c, sub FROM (
+         |    SELECT s.vec_id, s.m, cb.c, s.sub,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_dot_product(
+         |          list_transform(list_zip(s.sub, cb.cw), z -> z[1] - z[2]),
+         |          list_transform(list_zip(s.sub, cb.cw), z -> z[1] - z[2]))
+         |          ASC, cb.c ASC) AS r
+         |    FROM subs s JOIN cb$i cb USING (m))
+         |  WHERE r = 1
+         |), px$i AS (
+         |  SELECT m, c, unnest(range(0, len(sub))) AS pos, sub FROM pa$i
+         |), ps$i AS (
+         |  SELECT m, c, pos,
+         |    CAST(sum(CAST(sub[pos + 1] AS DECIMAL(38,10))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS mean
+         |  FROM px$i GROUP BY 1, 2, 3
+         |), cb${i + 1} AS (
+         |  SELECT m, c, array_agg(mean ORDER BY pos) AS cw
+         |  FROM ps$i GROUP BY 1, 2
          |)""".stripMargin
     }.mkString(",\n")
 

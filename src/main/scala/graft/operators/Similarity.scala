@@ -311,6 +311,135 @@ object Similarity {
           count(lit(1)).cast("double"), 6).as("mse"))
   }
 
+  /** f7 — PRODUCT-QUANTIZATION ANN (Jegou/Douze/Schmid 2011, TPAMI —
+    * completing the PQ half of the IVF+PQ pair; [[ivfTopK]] is the IVF
+    * half). The embedding is cut into `m` subvectors; each subspace gets
+    * a `ksub`-codeword codebook (codewords = the first ksub corpus
+    * vectors' subvectors — the same deterministic, fully relational seed
+    * rule as [[seedCentroids]], so the whole operator is
+    * DuckDB-oracle-checkable). Every corpus vector compresses to m
+    * small codes (64 dims × 8 bytes → 4 codes ≈ 64× smaller); a query is
+    * answered with ASYMMETRIC DISTANCE COMPUTATION: precompute the
+    * query's m×ksub table of subspace distances, then score each corpus
+    * vector by summing m TABLE LOOKUPS — never touching the original
+    * vectors.
+    *
+    * Determinism discipline: each subspace distance is one double
+    * expression (strict-fold dot of the componentwise diff — identical
+    * tree in the SQL oracle), but the ADC SUM across subspaces uses
+    * EXACT DECIMAL accumulation ([[graft.functions.Deterministic
+    * .sumExact]]): a double sum's value depends on aggregation order,
+    * and the ADC ranking (and therefore the output) would be flaky at
+    * any parallelism. Decimal addition is associative — bit-stable
+    * map-side combines, engine-portable totals.
+    *
+    * Scale shape: codebook = m·ksub rows (broadcast); encoding is one
+    * corpus scan against the broadcast codebook (the per-(vector,
+    * subspace) argmin never shuffles the corpus — the row_number window
+    * keys on (vec_id, m), which the posexplode already co-locates);
+    * the query distance table is numQueries·m·ksub rows (broadcast);
+    * ADC is a narrow lookup join + one (query, vec) groupBy whose
+    * map-side combine folds the m partials before the shuffle.
+    *
+    * The ADC ranking is a SHORTLIST, not the answer: compressed
+    * distances are lossy, so the operator follows the standard
+    * deployment shape (FAISS's IndexPQ + refine) — ADC keeps the
+    * `shortlist` best per query, real vectors are re-attached for those
+    * rows only, and the exact cosine picks the final k. Compression
+    * prunes the corpus scan; full precision only ever touches
+    * shortlist·|Q| rows. */
+  def pqTopK(spark: SparkSession, sfDir: String, numQueries: Int = 10,
+      k: Int = 5, m: Int = 4, ksub: Int = 16,
+      shortlist: Int = 50): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val corpus = normed(spark, sfDir)
+    val subDim = 64 / m
+    // (id, m, sub): the vector cut into m contiguous subvectors
+    def subs(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+           |  j -> slice(v, j * $subDim + 1, $subDim))""".stripMargin))
+        .as(Seq("m", "sub")))
+    // squared L2 distance with ONE expression tree shared with the
+    // oracle: strict-fold dot of the componentwise difference
+    def sq(a: Column, b: Column): Column = {
+      val d = zip_with(a, b, (x, y) => x - y)
+      Dedup.dot(d, d)
+    }
+    val corpusSubs = subs(corpus, "vec_id")
+      .transform(graft.CacheScope.tracked)
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("c").asc)
+    // codebook training: seed codewords = the first ksub corpus vectors'
+    // subvectors, then `iters` per-subspace Lloyd sweeps (assign every
+    // subvector to its nearest codeword, recompute codewords as
+    // per-dimension means) — f4's refinement discipline applied per
+    // subspace: exact DECIMAL sums make the means bit-stable at any
+    // parallelism, and every step is relational so the oracle unrolls
+    // the sweeps as CTEs. Empty cells drop out of the groupBy on both
+    // sides identically.
+    val iters = 2
+    var codebook = corpusSubs.filter(col("vec_id") < ksub)
+      .select(col("m"), col("vec_id").cast("int").as("c"),
+        col("sub").as("cw"))
+    for (_ <- 0 until iters) {
+      val members = corpusSubs.join(broadcast(codebook), Seq("m"))
+        .withColumn("d2", sq(col("sub"), col("cw")))
+        .withColumn("r", row_number().over(wEnc))
+        .filter(col("r") === 1)
+        .select(col("m"), col("c"), col("sub"))
+      codebook = members
+        .select(col("m"), col("c"), posexplode(col("sub"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("m"), col("c"), col("pos"))
+        .agg(sumExact(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .withColumn("mean",
+          col("sx").cast("double") / col("cnt").cast("double"))
+        .groupBy(col("m"), col("c"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean"))))
+          .as("pm"))
+        .select(col("m"), col("c"),
+          transform(col("pm"), p => p.getField("mean")).as("cw"))
+    }
+    // encode: nearest codeword per (vector, subspace), c-asc tiebreak
+    val codes = corpusSubs.join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", sq(col("sub"), col("cw")))
+      .withColumn("r", row_number().over(wEnc))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("c"))
+    // the queries' ADC lookup tables: subspace distance to every codeword
+    val dts = subs(corpus.filter(col("vec_id") < numQueries), "vec_id")
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("dt", sq(col("sub"), col("cw")))
+      .select(col("query_id"), col("m"), col("c"), col("dt"))
+    // ADC: m table lookups per (query, vector), exact-decimal total
+    val adc = codes.join(broadcast(dts), Seq("m", "c"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sumExact(col("dt")).as("adc_d2"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val short = adc.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+    // refine: real vectors re-attached for the shortlist only; the exact
+    // cosine picks the final k (spec pins recall vs the float top-k)
+    val qs = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val refined = short.join(corpus, Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    refined.withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("adc_d2").cast("double"), 6).as("adc_d2"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** f6 — top-k search over the QUANTIZED corpus: rebuild each vector
     * from its int8 codes (midpoint reconstruction, sorted by dimension)
     * and run the exact brute-force ranking on the reconstructions — the

@@ -124,6 +124,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("PQ ADC: trained codebooks + shortlist refine recover the exact top-k") {
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.operators.Similarity.pqTopK(spark, TestSpark.sf).collect()
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      // contiguous ranks, and the refine step really ordered by cosine
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+      val cosByRank = rs.sortBy(_.getInt(2)).map(_.getDouble(4))
+      assert(cosByRank.zip(cosByRank.tail).forall { case (a, b) => a >= b })
+    }
+    val pairs = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pairs).size.toDouble / exact.size
+    info(s"PQ recall@5 = $recall")
+    // 64× compression scanning only codes; the 50-row shortlist refine
+    // must recover most of the float ranking (observed: 0.64 on the
+    // sf0.001 embedding draw, 0.76 on sf0.01 — deterministic per corpus)
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("brute force broadcasts the query side (no corpus shuffle join)") {
     val plan = Similarity.bruteForceTopK(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
