@@ -83,6 +83,8 @@ object SparkEntry {
     "j1_star_revenue"        -> ((s, d) => dbl(StarJoin.revenueByNation(s, d))),
     "j3_revenue_rollup"      -> ((s, d) => StarJoin.revenueRollup(s, d)),
     "j4_revenue_pivot"       -> ((s, d) => StarJoin.revenuePivot(s, d)),
+    "j8_revenue_cube"        -> ((s, d) => StarJoin.revenueCube(s, d)),
+    "j9_window_returns"      -> ((s, d) => Windows.dailyReturns(s, d)),
     "j5_asof_last_view"      -> ((s, d) => AsOf.lastViewBeforeClick(s, d)),
     "j6_session_attach"      -> ((s, d) => Joins.sessionAttach(s, d)),
     "j7_salted_skew_join"    -> ((s, d) => Joins.saltedFlagRollup(s, d)),
@@ -97,6 +99,7 @@ object SparkEntry {
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "e6_dedup_embedding_lsh"    -> ((s, d) => Dedup.embeddingCosineLsh(s, d)),
+    "e11_dedup_semantic"        -> ((s, d) => Dedup.semanticDedup(s, d)),
     // LLM-pipeline extensions: similarity search (SURVEY.md §7.6)
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -173,6 +176,9 @@ object SparkEntry {
       ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "g16_sequence_pack" ->
       ((s, d) => TextAnalysis.sequencePack(s, d)),
+    // single-pass exact column profiler (null/distinct/range/length stats)
+    "g17_column_profile" ->
+      ((s, d) => Profile.customerProfile(s, d)),
     "j2_json_props" ->
       ((s, d) => SemiStructured.jsonPropsStats(s, d)),
     // Transactional table format (the reference's Delta layer re-expressed
@@ -979,6 +985,45 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    // j8: CUBE = rollup + the nation-only supergroup; GROUPING() bit
+    // encoding is identical in both engines
+    "j8_revenue_cube" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,10))) AS DOUBLE), 6) AS total_revenue,
+        |  count(*) AS n_lineitems,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)""".stripMargin,
+    // j9: daily closes are decimal-exact (arg_max over the unique seq
+    // key), window arithmetic repeats the same double expression shapes
+    "j9_window_returns" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS trade_date,
+        |    l_returnflag AS ticker,
+        |    arg_max(CAST(l_extendedprice AS DECIMAL(38,10)),
+        |      l_orderkey * 10 + l_linenumber) AS close_dec,
+        |    sum(CAST(l_quantity AS DECIMAL(38,10))) AS vol_dec
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT trade_date, ticker,
+        |  round(CAST(close_dec AS DOUBLE), 6) AS close,
+        |  round(CAST(close_dec AS DOUBLE)
+        |    / CAST(lag(close_dec, 1) OVER w AS DOUBLE) - 1.0, 6)
+        |    AS daily_return,
+        |  round(CAST(sum(close_dec) OVER w7 AS DOUBLE)
+        |    / (count(*) OVER w7), 6) AS ma7_close,
+        |  CAST(row_number() OVER w AS INTEGER) AS day_idx,
+        |  CAST(rank() OVER (PARTITION BY ticker
+        |    ORDER BY vol_dec DESC, trade_date ASC) AS INTEGER) AS vol_rank
+        |FROM daily
+        |WINDOW w AS (PARTITION BY ticker ORDER BY trade_date),
+        |  w7 AS (PARTITION BY ticker ORDER BY trade_date
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "j4_revenue_pivot" ->
       """SELECT n_name AS nation,
         |  round(CAST(sum(CASE WHEN r_name = 'AFRICA'
@@ -1181,6 +1226,49 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // g17: the profiler emits one row per customer column; the oracle
+    // re-derives every metric from one aggregate row and unions the
+    // per-column projections (names/types mirror Spark simpleString)
+    "g17_column_profile" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(c_custkey) AS cnt1, count(DISTINCT c_custkey) AS nd1,
+        |    round(CAST(min(c_custkey) AS DOUBLE), 6) AS mn1,
+        |    round(CAST(max(c_custkey) AS DOUBLE), 6) AS mx1,
+        |    count(c_name) AS cnt2, count(DISTINCT c_name) AS nd2,
+        |    min(c_name) AS mns2, max(c_name) AS mxs2,
+        |    sum(length(c_name)) AS len2,
+        |    count(c_nationkey) AS cnt3, count(DISTINCT c_nationkey) AS nd3,
+        |    round(CAST(min(c_nationkey) AS DOUBLE), 6) AS mn3,
+        |    round(CAST(max(c_nationkey) AS DOUBLE), 6) AS mx3,
+        |    count(c_acctbal) AS cnt4, count(DISTINCT c_acctbal) AS nd4,
+        |    round(CAST(min(c_acctbal) AS DOUBLE), 6) AS mn4,
+        |    round(CAST(max(c_acctbal) AS DOUBLE), 6) AS mx4,
+        |    count(c_mktsegment) AS cnt5,
+        |    count(DISTINCT c_mktsegment) AS nd5,
+        |    min(c_mktsegment) AS mns5, max(c_mktsegment) AS mxs5,
+        |    sum(length(c_mktsegment)) AS len5
+        |  FROM customer
+        |)
+        |SELECT 'c_custkey' AS column_name, 'bigint' AS data_type,
+        |  n_rows, n_rows - cnt1 AS n_nulls, nd1 AS n_distinct,
+        |  mn1 AS min_num, mx1 AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |  CAST(NULL AS DOUBLE) AS avg_len FROM m
+        |UNION ALL
+        |SELECT 'c_name', 'string', n_rows, n_rows - cnt2, nd2,
+        |  NULL, NULL, mns2, mxs2,
+        |  round(CAST(len2 AS DOUBLE) / NULLIF(cnt2, 0), 6) FROM m
+        |UNION ALL
+        |SELECT 'c_nationkey', 'int', n_rows, n_rows - cnt3, nd3,
+        |  mn3, mx3, NULL, NULL, NULL FROM m
+        |UNION ALL
+        |SELECT 'c_acctbal', 'double', n_rows, n_rows - cnt4, nd4,
+        |  mn4, mx4, NULL, NULL, NULL FROM m
+        |UNION ALL
+        |SELECT 'c_mktsegment', 'string', n_rows, n_rows - cnt5, nd5,
+        |  NULL, NULL, mns5, mxs5,
+        |  round(CAST(len5 AS DOUBLE) / NULLIF(cnt5, 0), 6) FROM m""".stripMargin,
     "e2_dedup_ngram_jaccard" -> ngramJaccardOracle(200, "200"),
     // e7: the uncapped twin — same inverted-index plan, full corpus; the
     // sentinel max_doc_id = Long.MaxValue means "uncapped"
@@ -1313,6 +1401,34 @@ object SparkEntry {
          |  FROM cand c JOIN n a ON a.vec_id = c.vec_a
          |              JOIN n b ON b.vec_id = c.vec_b)
          |WHERE cosine >= 0.4""".stripMargin,
+    // e11: SemDeDup — within-cluster pairs only; clusters = deterministic
+    // IVF cells (first-16 centroids, cosine argmax), so the oracle
+    // re-derives assignment, pairing, and keeper selection relationally
+    "e11_dedup_semantic" ->
+      """WITH n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |), cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+        |  FROM n WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT vec_id, cent_id, v, norm FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+        |          DESC, c.cent_id) AS crank
+        |    FROM n x CROSS JOIN cents c)
+        |  WHERE crank = 1
+        |), pairs AS (
+        |  SELECT a.cent_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |)
+        |SELECT cent_id, vec_b AS vec_id, min(vec_a) AS keeper_id,
+        |  round(arg_min(cosine, vec_a), 6) AS keeper_cosine
+        |FROM pairs WHERE cosine >= 0.4
+        |GROUP BY 1, 2""".stripMargin,
     // f2: same machinery, query-vs-corpus instead of self-join.
     "f2_knn_lsh" ->
       s"""WITH ${hyperplaneSigCte(16, 6)},

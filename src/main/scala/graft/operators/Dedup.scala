@@ -500,6 +500,52 @@ object Dedup {
     verifyCosine(cand, e, threshold)
   }
 
+  /** e11 — SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, then search
+    * for near-duplicate pairs only WITHIN each cluster — the observation
+    * being that semantic duplicates land in the same cell of any
+    * reasonable coarse quantization, so the all-pairs O(n²) cosine scan
+    * shrinks to Σ|cluster|², tunable via the cluster count. Keeps, per
+    * duplicate group, the smallest vec_id; emits one row per DROPPED
+    * vector with its keeper and the cosine to that keeper.
+    *
+    * Shares the IVF plumbing with [[Similarity.ivfTopK]]: deterministic
+    * data-derived centroids (first `nCent` corpus vectors), assignment =
+    * broadcast of centroids over one corpus scan — which also makes the
+    * whole operator, candidates included, relationally reproducible in
+    * the DuckDB oracle (the paper's k-means would only move the
+    * centroids, not the dataflow).
+    *
+    * Scale shape: assignment never shuffles the corpus (centroid
+    * broadcast); the within-cluster self-join is a hash-partitioned
+    * equi-join on cent_id. At 100 TB, `nCent` grows with the corpus
+    * (n/⟨cluster size⟩ — SemDeDup used 50k clusters for LAION-440M) so
+    * per-cluster pair volume stays bounded; a skewed giant cluster is the
+    * known failure mode, handled the same way as any skewed join
+    * (AQE skew split, or salt the cell and re-verify across salts). */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+      nCent: Int = 16, tau: Double = 0.4): DataFrame = {
+    val corpus = Similarity.normed(spark, sfDir)
+    val cents  = Similarity.seedCentroids(corpus, nCent)
+    val assigned = Similarity.nearestCents(corpus, cents, "vec_id", 1)
+      .select(col("vec_id"), col("cent_id"), col("v"), col("norm"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("cent_id"), col("vec_b").as("vec_id"))
+      .agg(
+        min(col("vec_a")).as("keeper_id"),
+        round(min_by(col("cosine"), col("vec_a")), 6).as("keeper_cosine"))
+      .select(col("cent_id"), col("vec_id"), col("keeper_id"),
+        col("keeper_cosine"))
+  }
+
   /** Strict sequential double fold dot product: sum_i a[i]*b[i], left to
     * right — deterministic and engine-portable (unlike a parallel sum).
     * Backed by the native codegen'd [[graft.functions.DotProduct]]

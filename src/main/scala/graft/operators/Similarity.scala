@@ -80,7 +80,7 @@ object Similarity {
 
   /** Seed centroids = the first `nCent` corpus vectors — deterministic
     * and relational (shared by f3 and f4's iteration 0). */
-  private def seedCentroids(corpus: DataFrame, nCent: Int): DataFrame =
+  private[operators] def seedCentroids(corpus: DataFrame, nCent: Int): DataFrame =
     corpus.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("norm").as("cnorm"))
@@ -88,8 +88,8 @@ object Similarity {
   /** Nearest-centroid ranking (cosine argmax, cent_id tiebreak): a
     * broadcast of the centroid table over one scan of `df` — the
     * assignment step never shuffles the corpus. */
-  private def nearestCents(df: DataFrame, cents: DataFrame, idCol: String,
-      keep: Int): DataFrame = {
+  private[operators] def nearestCents(df: DataFrame, cents: DataFrame,
+      idCol: String, keep: Int): DataFrame = {
     val scored = df.join(broadcast(cents))
       .withColumn("csim",
         Dedup.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))

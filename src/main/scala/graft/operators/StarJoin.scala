@@ -65,6 +65,22 @@ object StarJoin {
         count(lit(1)).as("n_lineitems"),
         grouping_id().as("gid"))
 
+  /** Full CUBE over (region, nation) — every grouping-set combination in
+    * ONE aggregation pass, the j3 ROLLUP's superset (adds the nation-only
+    * supergroup the hierarchy-shaped rollup omits). Same physical shape as
+    * rollup: Catalyst's Expand multiplies rows map-side by the 4 grouping
+    * sets, then one partial+final hash agg with a single exchange — at
+    * 100 TB the cost is the Expand factor (bounded by 2^dims), never extra
+    * scans or jobs. `grouping_id` bit encoding matches DuckDB `GROUPING()`. */
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame =
+    starBase(spark, sfDir)
+      .cube(col("region"), col("nation"))
+      .agg(
+        round(sumExact(col("revenue")).cast("double"), 6)
+          .as("total_revenue"),
+        count(lit(1)).as("n_lineitems"),
+        grouping_id().as("gid"))
+
   /** Region-pivoted revenue per nation: `pivot` with EXPLICIT values (the
     * scale discipline — omitting them costs Spark an extra distinct scan
     * to discover the column set, and makes the output schema data-

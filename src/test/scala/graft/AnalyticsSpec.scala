@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Profile, StarJoin, Windows}
+
+/** j8 cube / j9 window analytics / g17 profiler / e11 semantic dedup. */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ------------------------------------------------------------- j8 cube
+
+  test("cube = rollup + nation-only supergroups; grand total matches j1") {
+    val cube = StarJoin.revenueCube(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    val rollup = StarJoin.revenueRollup(spark, TestSpark.sf).count()
+    val nations = cube.count(_._3 == 2) // gid=2: nation kept, region nulled
+    assert(cube.length == rollup + nations)
+    // exactly one grand-total row (gid = 3)
+    assert(cube.count(_._3 == 3) == 1)
+    // every nation-only supergroup is a real nation from the detail level
+    val detailNations = cube.filter(_._3 == 0).map(_._2).toSet
+    assert(cube.filter(_._3 == 2).map(_._2).toSet == detailNations)
+  }
+
+  test("cube grand total equals the flat aggregate") {
+    val cube = StarJoin.revenueCube(spark, TestSpark.sf)
+    val total = cube.filter(col("gid") === 3)
+      .select(col("total_revenue")).collect().head.getDouble(0)
+    val flat = StarJoin.revenueByNation(spark, TestSpark.sf)
+      .agg(round(sum(col("total_revenue")).cast("double"), 6))
+      .collect().head.getDouble(0)
+    assert(math.abs(total - flat) < 1e-4, s"cube=$total flat=$flat")
+  }
+
+  // ---------------------------------------------------------- j9 windows
+
+  test("window returns: first-day NULL, day_idx dense, ma7 bounded") {
+    val out = Windows.dailyReturns(spark, TestSpark.sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byTicker = rows.groupBy(_.getString(1))
+    byTicker.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getInt(5)) // day_idx
+      // dense 1..n per ticker
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to rs.length))
+      // first day has no previous close
+      assert(sorted.head.isNullAt(3), s"ticker $t first return not null")
+      // every later day has a return
+      assert(sorted.tail.forall(!_.isNullAt(3)))
+    }
+    // ma7 of the first row is the close itself
+    rows.filter(_.getInt(5) == 1).foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(4)) < 1e-6)
+    }
+  }
+
+  test("window returns: one exchange for the agg, one for the windows") {
+    val q = Windows.dailyReturns(spark, TestSpark.sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // groupBy (trade_date, ticker) + window repartition on ticker; the
+    // three window specs share the ticker partitioning (no third shuffle)
+    assert(exchanges <= 2, s"expected <=2 exchanges, plan:\n$plan")
+  }
+
+  test("vol_rank: rank 1 is the max-volume day per ticker") {
+    val daily = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("trade_date"),
+        col("l_returnflag").as("ticker"))
+      .agg(sum(col("l_quantity").cast("decimal(38,10)")).as("vol"))
+    val expect = daily.groupBy(col("ticker"))
+      .agg(max(col("vol")).as("maxv"))
+    val got = Windows.dailyReturns(spark, TestSpark.sf)
+      .filter(col("vol_rank") === 1)
+      .join(daily, Seq("trade_date", "ticker"))
+      .join(expect, Seq("ticker"))
+    assert(got.filter(col("vol") =!= col("maxv")).count() == 0)
+  }
+
+  // --------------------------------------------------------- g17 profile
+
+  test("profiler: one row per column, exact metrics on customer") {
+    val df = graft.sources.Sources.testTable(spark, TestSpark.sf, "customer")
+    val n = df.count()
+    val prof = Profile.exactProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == df.schema.fields.length)
+    val key = prof("c_custkey")
+    assert(key.getLong(2) == n)          // n_rows
+    assert(key.getLong(3) == 0)          // n_nulls
+    assert(key.getLong(4) == n)          // key is unique
+    val expectMin = df.agg(min(col("c_custkey"))).collect().head.getLong(0)
+    assert(key.getDouble(5) == expectMin.toDouble) // min c_custkey
+    val name = prof("c_name")
+    assert(name.getString(1) == "string")
+    assert(name.getDouble(9) > 0)        // avg_len
+    assert(name.isNullAt(5) && name.isNullAt(6)) // no numeric range
+  }
+
+  test("profiler: single scan (expand-based multi-distinct, no re-reads)") {
+    val df = graft.sources.Sources.testTable(spark, TestSpark.sf, "customer")
+    val q = Profile.exactProfile(df)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one scan, plan:\n$plan")
+    assert(plan.contains("Expand"), "multi-distinct should plan via Expand")
+  }
+
+  // ---------------------------------------------------- e11 semantic dedup
+
+  test("semantic dedup with one cluster equals the exact-cosine keeper set") {
+    // nCent=1 puts every vector in the same cell, so SemDeDup degenerates
+    // to the min-id keeper aggregation over ALL cos>=tau pairs — exactly
+    // the e5 pair list grouped by the dropped side
+    val sem = Dedup.semanticDedup(spark, TestSpark.sf, nCent = 1, tau = 0.4)
+      .select(col("vec_id"), col("keeper_id"), col("keeper_cosine"))
+    val expect = Dedup.embeddingCosine(spark, TestSpark.sf,
+        threshold = 0.4, maxVecId = Long.MaxValue)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("keeper_id"),
+        round(min_by(col("cosine"), col("vec_a")), 6).as("keeper_cosine"))
+    assert(sem.exceptAll(expect).count() == 0)
+    assert(expect.exceptAll(sem).count() == 0)
+    assert(sem.count() > 0)
+  }
+
+  test("semantic dedup: keeper precedes dropped, pairs share a cluster") {
+    val out = Dedup.semanticDedup(spark, TestSpark.sf).collect()
+    assert(out.forall(r => r.getLong(2) < r.getLong(1))) // keeper < dropped
+    assert(out.forall(r => r.getDouble(3) >= 0.4))
+    // clustered variant can only find a subset of the all-pairs variant
+    val all = Dedup.semanticDedup(spark, TestSpark.sf, nCent = 1).count()
+    assert(out.length <= all)
+  }
+}
