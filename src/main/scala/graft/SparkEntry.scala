@@ -206,6 +206,10 @@ object SparkEntry {
     // only pre-checkpoint (non-self-contained) appends added
     "t9_graftlog_checkpoint_vacuum" ->
       ((s, d) => Transactions.afterVacuum(s, d)),
+    // file skipping driven by Spark's own pushed filters through the
+    // GraftFileIndex (format("graft") scan) instead of an explicit API
+    "t10_graftlog_fileindex_scan" ->
+      ((s, d) => Transactions.indexedRangeRead(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -588,6 +592,13 @@ object SparkEntry {
     "t9_graftlog_checkpoint_vacuum" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
+    // t10: planner-driven skipping must lose no rows — the oracle is the
+    // plain disjunctive range over the full table
+    "t10_graftlog_fileindex_scan" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE (c_custkey >= 701 AND c_custkey <= 900)
+        |   OR (c_custkey >= 1101 AND c_custkey <= 1200)""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

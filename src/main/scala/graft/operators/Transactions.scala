@@ -131,6 +131,19 @@ object Transactions {
       "c_custkey", 101.0, 400.0)
       .select(customerCols.map(col): _*)
 
+  /** t10 — the same skipping through the [[graft.sources.GraftFileIndex]]
+    * plan path: `spark.read.format("graft").load(dir)` + an ordinary
+    * `.filter(...)` — no explicit (column, lo, hi) API. The pushed data
+    * filters reach the index inside FileSourceScanExec, which opens only
+    * the files whose commit-log [min, max] intersect the predicate (the
+    * spec pins the scan's numFiles metric; the oracle pins zero row loss).
+    * A disjoint second range proves OR-pruning keeps both sides. */
+  def indexedRangeRead(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft").load(skipTable(spark, sfDir))
+      .filter(col("c_custkey").between(701, 900) ||
+        col("c_custkey").between(1101, 1200))
+      .select(customerCols.map(col): _*)
+
   private val stagedVacuum =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types._
+
+/** [[FileIndex]] over a GraftLog snapshot — the Delta architecture
+  * (TahoeFileIndex) applied to the graft commit log: the table's live
+  * file set and per-file min/max stats come from log replay, and Spark's
+  * own scan planning drives the data skipping. Where [[GraftLog
+  * .readPruned]] needs the caller to hand over (column, lo, hi)
+  * explicitly, this index receives the query's PUSHED data filters from
+  * `FileSourceScanExec` and prunes files inside the plan — any
+  * `df.filter(...)` a user writes skips files automatically, composed
+  * with everything else the parquet scan already does (row-group
+  * skipping, column pruning, codegen).
+  *
+  * Scale notes: the index holds (path, size, stats) per live file —
+  * commit-log metadata, not data; at 100 TB that is the same
+  * driver-resident footprint Delta carries. Filters are evaluated
+  * conservatively: a file is dropped only when a conjunct PROVABLY
+  * excludes its [min, max] range; unknown expression shapes, missing
+  * stats, and non-numeric columns keep the file (correctness never
+  * depends on pruning — the residual filter still runs on every row).
+  */
+final class GraftFileIndex(spark: SparkSession, table: String,
+    asOf: Option[Long] = None) extends FileIndex {
+
+  private val (liveFiles, tableSchema) = GraftLog.snapshot(spark, table, asOf)
+  private val stats = GraftLog.fileStats(spark, table, asOf)
+  private val fsys = GraftLog.fs(spark, table)
+  private val statuses: Seq[(String, FileStatus)] =
+    liveFiles.map(f => f -> fsys.getFileStatus(new HPath(s"$table/$f")))
+
+  def schema: StructType = tableSchema
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(table))
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+  override def inputFiles: Array[String] =
+    statuses.map(_._2.getPath.toString).toArray
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = statuses.collect {
+      case (rel, st) if dataFilters.forall(
+        mayMatch(_, stats.getOrElse(rel, Map.empty))) => st
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+
+  /** Count of files the given data filters keep — spec/diagnostic hook. */
+  private[graft] def countAfterPruning(dataFilters: Seq[Expression]): Int =
+    listFiles(Nil, dataFilters).head.files.size
+
+  // --------------------------- conservative stats-vs-filter evaluation
+
+  /** Numeric casts are monotonic, so a comparison through a cast prunes
+    * with the underlying column's stats; anything else keeps the file. */
+  private def unwrap(e: Expression): Option[Attribute] = e match {
+    case a: Attribute => Some(a)
+    case Cast(a: Attribute, dt, _, _) if dt.isInstanceOf[NumericType] =>
+      Some(a)
+    case _ => None
+  }
+
+  private def toD(v: Any): Option[Double] = v match {
+    case null => None
+    case x: Byte => Some(x.toDouble)
+    case x: Short => Some(x.toDouble)
+    case x: Int => Some(x.toDouble)
+    case x: Long => Some(x.toDouble)
+    case x: Float => Some(x.toDouble)
+    case x: Double => Some(x)
+    case x: org.apache.spark.sql.types.Decimal => Some(x.toDouble)
+    case _ => None
+  }
+
+  /** May any row of a file with stats `st` satisfy `e`? (true = keep). */
+  private def mayMatch(e: Expression,
+      st: Map[String, (Double, Double)]): Boolean = {
+    def rng(a: Attribute): Option[(Double, Double)] = st.get(a.name)
+    def cmp(l: Expression, r: Expression)
+        (keep: ((Double, Double), Double) => Boolean,
+         flip: ((Double, Double), Double) => Boolean): Boolean =
+      (unwrap(l), r) match {
+        case (Some(a), Literal(v, _)) =>
+          (rng(a), toD(v)) match {
+            case (Some(mm), Some(d)) => keep(mm, d)
+            case _ => true
+          }
+        case _ => (l, unwrap(r)) match {
+          case (Literal(v, _), Some(a)) =>
+            (rng(a), toD(v)) match {
+              case (Some(mm), Some(d)) => flip(mm, d)
+              case _ => true
+            }
+          case _ => true
+        }
+      }
+    e match {
+      case And(a, b) => mayMatch(a, st) && mayMatch(b, st)
+      case Or(a, b) => mayMatch(a, st) || mayMatch(b, st)
+      case EqualTo(l, r) =>
+        cmp(l, r)((mm, d) => mm._1 <= d && d <= mm._2,
+                  (mm, d) => mm._1 <= d && d <= mm._2)
+      case EqualNullSafe(l, r) =>
+        cmp(l, r)((mm, d) => mm._1 <= d && d <= mm._2,
+                  (mm, d) => mm._1 <= d && d <= mm._2)
+      case GreaterThanOrEqual(l, r) => // col >= v | v >= col
+        cmp(l, r)((mm, d) => mm._2 >= d, (mm, d) => d >= mm._1)
+      case GreaterThan(l, r) =>
+        cmp(l, r)((mm, d) => mm._2 > d, (mm, d) => d > mm._1)
+      case LessThanOrEqual(l, r) => // col <= v | v <= col
+        cmp(l, r)((mm, d) => mm._1 <= d, (mm, d) => d <= mm._2)
+      case LessThan(l, r) =>
+        cmp(l, r)((mm, d) => mm._1 < d, (mm, d) => d < mm._2)
+      case In(v, list) if list.forall(_.isInstanceOf[Literal]) =>
+        unwrap(v) match {
+          case Some(a) => rng(a) match {
+            case Some((mn, mx)) => list.exists {
+              case Literal(x, _) => toD(x).forall(d => mn <= d && d <= mx)
+              case _ => true
+            }
+            case None => true
+          }
+          case None => true
+        }
+      case _ => true // IsNotNull, functions, UDF-shaped filters: keep
+    }
+  }
+}
+
+object GraftFileIndex {
+
+  /** The index-backed relation: Spark's V1 file-scan machinery
+    * (FileSourceStrategy → FileSourceScanExec) over the commit-log
+    * snapshot, with pushdown/pruning driven by [[GraftFileIndex]]. */
+  def relation(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): HadoopFsRelation = {
+    val idx = new GraftFileIndex(spark, table, asOf)
+    HadoopFsRelation(idx, StructType(Nil), idx.schema, None,
+      new ParquetFileFormat(), Map.empty)(spark)
+  }
+
+  /** Read a GraftLog table through the FileIndex — equivalent rows to
+    * [[GraftLog.read]], but file-level data skipping happens inside the
+    * plan from whatever filters the query pushes down. */
+  def read(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): DataFrame =
+    spark.baseRelationToDataFrame(relation(spark, table, asOf))
+}
+
+/** `spark.read.format("graft").load(path)` — the DataSource registration
+  * (Delta's DeltaDataSource pattern: a RelationProvider that returns a
+  * HadoopFsRelation over the log-backed FileIndex). Supports
+  * `option("versionAsOf", n)` time travel. */
+final class GraftDataSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("format(\"graft\") needs a path"))
+    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    GraftFileIndex.relation(sqlContext.sparkSession, path, asOf)
+  }
+}
