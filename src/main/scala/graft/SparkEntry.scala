@@ -210,6 +210,14 @@ object SparkEntry {
     // GraftFileIndex (format("graft") scan) instead of an explicit API
     "t10_graftlog_fileindex_scan" ->
       ((s, d) => Transactions.indexedRangeRead(s, d)),
+    // hive-partitioned table: partition values live in col=val paths;
+    // an equality filter prunes at partition granularity in the planner
+    "t11_graftlog_partitioned" ->
+      ((s, d) => Transactions.partitionedRead(s, d)),
+    // OPTIMIZE ZORDER analog: Morton-interleaved layout makes file stats
+    // tight on two columns at once; the read filters on the second one
+    "t12_graftlog_zorder" ->
+      ((s, d) => Transactions.zorderRead(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -599,6 +607,17 @@ object SparkEntry {
         |FROM customer
         |WHERE (c_custkey >= 701 AND c_custkey <= 900)
         |   OR (c_custkey >= 1101 AND c_custkey <= 1200)""".stripMargin,
+    // t11: partition-pruned read must surface exactly the segment's rows,
+    // with the path-reconstructed partition column intact
+    "t11_graftlog_partitioned" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    // t12: the z-ordered layout is a pure layout change — the filtered
+    // read must equal the plain predicate over the full table
+    "t12_graftlog_zorder" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_acctbal >= 2000 AND c_acctbal <= 4000""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

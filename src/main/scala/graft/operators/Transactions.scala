@@ -144,6 +144,58 @@ object Transactions {
         col("c_custkey").between(1101, 1200))
       .select(customerCols.map(col): _*)
 
+  private val stagedPart =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Hive-partitioned GraftLog table (`PARTITIONED BY` analog, ref
+    * `financial_dl_bronze.py:26`): customer split by market segment, an
+    * overwrite plus an append so the live set spans two commits. */
+  private def partTable(spark: SparkSession, sfDir: String): String =
+    stagedPart.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_part"
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwritePartitioned(
+        cust.filter(col("c_custkey") % 2 === 0), dir, Seq("c_mktsegment"))
+      GraftLog.appendPartitioned(
+        cust.filter(col("c_custkey") % 2 === 1), dir, Seq("c_mktsegment"))
+      dir
+    })
+
+  /** t11 — partition pruning through the planner: an equality filter on
+    * the partition column reaches [[graft.sources.GraftFileIndex]] as a
+    * partitionFilter and opens only that segment's `col=val` files (the
+    * spec pins the numFiles metric at 2 of 10); partition values are
+    * reconstructed from the paths, never stored in the data files. */
+  def partitionedRead(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft").load(partTable(spark, sfDir))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(customerCols.map(col): _*)
+
+  private val stagedZ =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Z-order-clustered GraftLog table: customer laid out along the Morton
+    * interleave of (c_custkey, c_acctbal), so BOTH columns' per-file
+    * stats are tight (t8's single-column range clustering helps only the
+    * range key). */
+  private def zTable(spark: SparkSession, sfDir: String): String =
+    stagedZ.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_z"
+      GraftLog.overwrite(Sources.testTable(spark, sfDir, "customer"), dir)
+      GraftLog.clusterBy(spark, dir, "c_custkey", "c_acctbal",
+        targetFiles = 16)
+      dir
+    })
+
+  /** t12 — skipping on the SECOND clustered dimension: a balance-range
+    * read over the z-ordered layout opens a fraction of the files (the
+    * spec pins the count), where a custkey-only range layout would open
+    * all of them. Oracle pins zero row loss. */
+  def zorderRead(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft").load(zTable(spark, sfDir))
+      .filter(col("c_acctbal") >= 2000 && col("c_acctbal") <= 4000)
+      .select(customerCols.map(col): _*)
+
   private val stagedVacuum =
     new scala.collection.concurrent.TrieMap[String, String]
 

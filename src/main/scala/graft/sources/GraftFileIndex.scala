@@ -3,11 +3,13 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, Predicate}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** [[FileIndex]] over a GraftLog snapshot — the Delta architecture
   * (TahoeFileIndex) applied to the graft commit log: the table's live
@@ -37,10 +39,35 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   private val statuses: Seq[(String, FileStatus)] =
     liveFiles.map(f => f -> fsys.getFileStatus(new HPath(s"$table/$f")))
 
+  /** Hive `col=val` spec of one relative path (empty for flat files). */
+  private def partSpec(f: String): Seq[(String, String)] =
+    f.split('/').dropRight(1).filter(_.contains('=')).toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      (seg.take(i), unescapePath(seg.drop(i + 1)))
+    }
+
+  private val partColNames: Seq[String] = {
+    val specs = liveFiles.map(f => partSpec(f).map(_._1))
+    val head = specs.headOption.getOrElse(Nil)
+    require(specs.forall(_ == head),
+      s"non-uniform partition layout under $table: ${specs.distinct}")
+    head
+  }
+
+  /** Partition columns (path-derived), in path order; empty = flat. */
+  override val partitionSchema: StructType = StructType(partColNames.map {
+    n => tableSchema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition dir column $n missing from table schema"))
+  })
+
+  /** Columns physically present in the data files. */
+  val dataSchema: StructType = StructType(tableSchema.fields.filterNot(f =>
+    partColNames.exists(_.equalsIgnoreCase(f.name))))
+
   def schema: StructType = tableSchema
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(table))
-  override def partitionSchema: StructType = StructType(Nil)
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
   override def inputFiles: Array[String] =
     statuses.map(_._2.getPath.toString).toArray
@@ -48,16 +75,79 @@ final class GraftFileIndex(spark: SparkSession, table: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = statuses.collect {
-      case (rel, st) if dataFilters.forall(
-        mayMatch(_, stats.getOrElse(rel, Map.empty))) => st
+    def keepData(rel: String): Boolean =
+      dataFilters.forall(mayMatch(_, stats.getOrElse(rel, Map.empty)))
+    if (partColNames.isEmpty) {
+      val kept = statuses.collect { case (rel, st) if keepData(rel) => st }
+      Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    } else {
+      val groups = statuses.groupBy { case (rel, _) => partSpec(rel) }
+      val dirs = groups.toSeq.map { case (spec, fls) =>
+        val row = new GenericInternalRow(
+          spec.zip(partitionSchema.fields).map { case ((_, v), fld) =>
+            castPartValue(v, fld.dataType)
+          }.toArray)
+        (row: InternalRow, fls)
+      }
+      val kept =
+        if (partitionFilters.isEmpty) dirs
+        else {
+          // interpreted predicate over the partition-values row — the
+          // same mechanism PartitioningAwareFileIndex.prunePartitions
+          // uses; attribute refs bind to the partitionSchema positions
+          val bound = partitionFilters.reduce(And).transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.fieldNames
+                .indexWhere(_.equalsIgnoreCase(a.name))
+              BoundReference(i, partitionSchema.fields(i).dataType,
+                nullable = true)
+          }
+          val pred = Predicate.createInterpreted(bound)
+          dirs.filter { case (row, _) => pred.eval(row) }
+        }
+      kept.map { case (row, fls) =>
+        PartitionDirectory(row,
+          fls.collect { case (rel, st) if keepData(rel) => st }.toArray)
+      }
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
 
-  /** Count of files the given data filters keep — spec/diagnostic hook. */
-  private[graft] def countAfterPruning(dataFilters: Seq[Expression]): Int =
-    listFiles(Nil, dataFilters).head.files.size
+  /** Count of files the given filters keep — spec/diagnostic hook. */
+  private[graft] def countAfterPruning(dataFilters: Seq[Expression],
+      partitionFilters: Seq[Expression] = Nil): Int =
+    listFiles(partitionFilters, dataFilters).map(_.files.size).sum
+
+  /** Hive path unescape: %XX sequences only ('+' stays literal). */
+  private def unescapePath(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { b.append(c); i += 1 }
+    }
+    b.result()
+  }
+
+  private def castPartValue(raw: String, dt: DataType): Any =
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType  => UTF8String.fromString(raw)
+      case IntegerType => raw.toInt
+      case LongType    => raw.toLong
+      case ShortType   => raw.toShort
+      case DoubleType  => raw.toDouble
+      case FloatType   => raw.toFloat
+      case BooleanType => raw.toBoolean
+      case DateType    =>
+        java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other")
+    }
 
   // --------------------------- conservative stats-vs-filter evaluation
 
@@ -145,7 +235,11 @@ object GraftFileIndex {
   def relation(spark: SparkSession, table: String,
       asOf: Option[Long] = None): HadoopFsRelation = {
     val idx = new GraftFileIndex(spark, table, asOf)
-    HadoopFsRelation(idx, StructType(Nil), idx.schema, None,
+    // hive-partitioned layouts expose a real partitionSchema, so the
+    // planner splits filters into partitionFilters (pruned here, exactly)
+    // and dataFilters (pruned via commit-log stats, conservatively);
+    // partition columns are appended to rows by FileSourceScanExec
+    HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
       new ParquetFileFormat(), Map.empty)(spark)
   }
 

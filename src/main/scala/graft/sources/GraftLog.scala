@@ -353,6 +353,12 @@ object GraftLog {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
+    else if (hasPartitionedFiles(files))
+      // hive layout: partition columns live in the paths, so the read
+      // goes through the FileIndex (which also re-exposes them in the
+      // table's original column order)
+      GraftFileIndex.read(spark, table, asOf)
+        .select(schema.fieldNames.map(col).toSeq: _*)
     else spark.read.schema(schema)
       .parquet(files.map(f => s"$table/$f"): _*)
   }
@@ -419,9 +425,12 @@ object GraftLog {
       .groupBy(col("__gf_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val byTail = files.map(f => fileTail(f) -> f).toMap
+    // match scanned URIs back to the staged relative paths by decoded
+    // suffix — partitioned layouts repeat the same part-file NAME across
+    // col=val dirs, so a name-only key would misattribute stats
     rows.flatMap { r =>
-      byTail.get(fileTail(r.getString(0))).map { f =>
+      val scanned = new java.net.URI(r.getString(0)).getPath
+      files.find(f => scanned.endsWith("/" + f)).map { f =>
         f -> nf.flatMap { fd =>
           val mn = r.getAs[Any](s"mn_${fd.name}")
           val mx = r.getAs[Any](s"mx_${fd.name}")
@@ -495,6 +504,85 @@ object GraftLog {
       df.schema.toDDL, System.currentTimeMillis(), stats = st))
     v
   }
+
+  // --------------------------------------------------- partitioned layout
+
+  /** True iff the relative path sits in a hive-style `col=val` dir. */
+  private[sources] def isPartitionedPath(f: String): Boolean =
+    f.split('/').dropRight(1).exists(_.contains('='))
+
+  private[sources] def hasPartitionedFiles(files: Seq[String]): Boolean =
+    files.exists(isPartitionedPath)
+
+  /** Stage `df` hive-partitioned (`col=val` dirs, partition columns NOT
+    * in the data files) + per-file stats over the data columns. */
+  private def stagePartitionedWithStats(df: DataFrame, table: String,
+      partCols: Seq[String])
+      : (Seq[String], Map[String, Map[String, (Double, Double)]]) = {
+    partCols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+      s"partition column $c not in ${df.columns.mkString(",")}"))
+    val rel = s"$DataDirName/${UUID.randomUUID()}"
+    val dir = s"$table/$rel"
+    df.write.partitionBy(partCols: _*).parquet(dir)
+    val f = fs(df.sparkSession, table)
+    def walk(p: HPath): Seq[String] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+          walk(st.getPath).map(s"$n/" + _)
+        else if (!st.isDirectory && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_")) Seq(n)
+        else Seq.empty
+      }
+    val added = walk(new HPath(dir)).sorted.map(s"$rel/" + _)
+    val dataSchema = StructType(df.schema.fields.filterNot(fd =>
+      partCols.exists(_.equalsIgnoreCase(fd.name))))
+    (added, collectStats(df.sparkSession, table, added, dataSchema))
+  }
+
+  /** Atomic overwrite with hive partitioning (`PARTITIONED BY` analog,
+    * ref `financial_dl_bronze.py:26`): files land under `col=val` dirs,
+    * the commit stores the FULL schema, and reads reconstruct partition
+    * columns from the paths via [[GraftFileIndex]] — which also gives
+    * planner partition pruning on top of the min/max data skipping. */
+  def overwritePartitioned(df: DataFrame, table: String,
+      partCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val prior =
+      if (versions(spark, table).isEmpty) Seq.empty[String]
+      else snapshot(spark, table)._1
+    val (added, st) = stagePartitionedWithStats(df, table, partCols)
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "overwrite", added, prior,
+      df.schema.toDDL, System.currentTimeMillis(), stats = st))
+    v
+  }
+
+  /** Append into a partitioned table (same enforcement as [[append]]). */
+  def appendPartitioned(df: DataFrame, table: String,
+      partCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val (aligned, ddl) = latestVersion(spark, table) match {
+      case Some(_) =>
+        val cur = snapshot(spark, table)._2
+        (enforceSchema(df, cur, "appendPartitioned"), cur.toDDL)
+      case None => (df, df.schema.toDDL)
+    }
+    val (added, st) = stagePartitionedWithStats(aligned, table, partCols)
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "append", added, Seq.empty, ddl,
+      System.currentTimeMillis(), stats = st))
+    v
+  }
+
+  /** File-rewriting ops (merge/delete/compact) stage flat files; letting
+    * them run on a hive-partitioned layout would silently produce files
+    * MISSING the partition columns. Loud beats wrong. */
+  private def requireUnpartitioned(files: Seq[String], op: String): Unit =
+    require(!hasPartitionedFiles(files),
+      s"$op on a hive-partitioned GraftLog table is not supported " +
+        "(overwritePartitioned/appendPartitioned/read only); rewrite " +
+        "via overwritePartitioned instead")
 
   /** Schema enforcement shared by [[append]] and [[txnAppend]]: the batch
     * must carry exactly the table's columns WITH the table's types — a
@@ -740,6 +828,7 @@ object GraftLog {
       txn: Option[(String, Long)]): Long = {
     val spark = source.sparkSession
     val (files, schema) = snapshot(spark, table)
+    requireUnpartitioned(files, "merge")
     val src = enforceSchema(source, schema, "merge")
     val srcKeys = src.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, table, files, schema,
@@ -791,6 +880,7 @@ object GraftLog {
     * (a bare `!predicate` filter would drop them). */
   def delete(spark: SparkSession, table: String, predicate: Column): Long = {
     val (files, schema) = snapshot(spark, table)
+    requireUnpartitioned(files, "delete")
     val touched = touchedFiles(spark, table, files, schema,
       _.filter(predicate))
     val added = if (touched.isEmpty) Seq.empty[String] else {
@@ -817,11 +907,62 @@ object GraftLog {
   def compact(spark: SparkSession, table: String,
       targetFiles: Int = 1): Long = {
     val (files, schema) = snapshot(spark, table)
+    requireUnpartitioned(files, "compact")
     val current = spark.read.schema(schema)
       .parquet(files.map(f => s"$table/$f"): _*)
     val (added, st) = stageWithStats(current.coalesce(targetFiles), table)
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "compact", added, files,
+      schema.toDDL, System.currentTimeMillis(), stats = st))
+    v
+  }
+
+  /** Morton (Z-order) interleave of two 16-bit normalized ranks — bit i
+    * of x lands at position 2i, bit i of y at 2i+1. Pure bit arithmetic
+    * (shiftright/&/shiftleft), codegen-friendly, engine-portable. */
+  private def zInterleave(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** OPTIMIZE ZORDER BY analog: rewrite the live set ordered by the
+    * Morton interleave of two columns' 16-bit min/max-normalized ranks,
+    * range-partitioned into `targetFiles` files. Pure layout change
+    * (identical rows, like [[compact]]); the payoff is that the per-file
+    * min/max stats become tight on BOTH columns at once, so
+    * [[readPruned]]/[[GraftFileIndex]] skip files for predicates on
+    * either — the multi-dimensional generalization of the single-column
+    * `repartitionByRange` clustering t8 uses. At 100 TB this is the
+    * periodic layout-maintenance job Delta runs as OPTIMIZE ZORDER;
+    * cost = one range shuffle of the table. */
+  def clusterBy(spark: SparkSession, table: String, colA: String,
+      colB: String, targetFiles: Int): Long = {
+    val (files, schema) = snapshot(spark, table)
+    requireUnpartitioned(files, "clusterBy")
+    val cur = spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+    // column bounds: one metadata-sized collect
+    val r = cur.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double")))
+      .collect().head
+    def rank(c: String, mn: Double, mx: Double): Column = {
+      val span = if (mx > mn) mx - mn else 1.0
+      floor((col(c).cast("double") - lit(mn)) / lit(span) * 65535.0)
+        .cast("long")
+    }
+    val z = zInterleave(
+      rank(colA, r.getDouble(0), r.getDouble(1)),
+      rank(colB, r.getDouble(2), r.getDouble(3)))
+    val rewritten = cur.withColumn("__gf_z", z)
+      .repartitionByRange(targetFiles, col("__gf_z"))
+      .sortWithinPartitions(col("__gf_z"))
+      .drop("__gf_z")
+    val (added, st) = stageWithStats(rewritten, table)
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "cluster", added, files,
       schema.toDDL, System.currentTimeMillis(), stats = st))
     v
   }

@@ -80,6 +80,105 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(v0.count() + v1.count() == cust.count())
   }
 
+  // ----------------------------------------------- hive-partitioned layout
+
+  private lazy val pdir: String = {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_part"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwritePartitioned(
+      cust.filter(col("c_custkey") % 2 === 0), d, Seq("c_mktsegment"))
+    GraftLog.appendPartitioned(
+      cust.filter(col("c_custkey") % 2 === 1), d, Seq("c_mktsegment"))
+    d
+  }
+
+  test("partitioned round-trip: rows, schema order, and values intact") {
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    val back = GraftLog.read(spark, pdir)
+    assert(back.columns.toSeq == cust.columns.toSeq)
+    assert(back.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(back).count() == 0)
+  }
+
+  test("partition-column equality prunes to that segment's files") {
+    val q = spark.read.format("graft").load(pdir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val scan = scanOf(q)
+    val total = new GraftFileIndex(spark, pdir).inputFiles.length
+    val opened = scan.metrics("numFiles").value
+    // 5 segments × 2 commits: the filter must open exactly 2 files
+    assert(opened == 2, s"expected 2 of $total files, opened $opened")
+    val expect = Sources.testTable(spark, TestSpark.sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    assert(q.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(q).count() == 0)
+  }
+
+  test("partition filter composes with data-column stats skipping") {
+    // both kinds of pruning in one query: segment (partition) + key range
+    // (commit-log stats); correctness stays oracle-grade
+    val q = spark.read.format("graft").load(pdir)
+      .filter(col("c_mktsegment") === "MACHINERY" && col("c_custkey") < 10)
+    val expect = Sources.testTable(spark, TestSpark.sf, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY" && col("c_custkey") < 10)
+    assert(q.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(q).count() == 0)
+    assert(scanOf(q).metrics("numFiles").value <= 2)
+  }
+
+  test("file-rewriting ops refuse hive-partitioned tables") {
+    import org.apache.spark.sql.functions.lit
+    intercept[IllegalArgumentException] {
+      GraftLog.delete(spark, pdir, lit(true))
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.compact(spark, pdir)
+    }
+  }
+
+  test("appendPartitioned enforces the table schema") {
+    val bad = Sources.testTable(spark, TestSpark.sf, "customer")
+      .withColumn("extra", lit(1))
+    intercept[IllegalArgumentException] {
+      GraftLog.appendPartitioned(bad, pdir, Seq("c_mktsegment"))
+    }
+  }
+
+  // ------------------------------------------------- z-order clustering
+
+  private lazy val zdir: String = {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_z"
+    GraftLog.overwrite(
+      Sources.testTable(spark, TestSpark.sf, "customer"), d)
+    GraftLog.clusterBy(spark, d, "c_custkey", "c_acctbal", targetFiles = 8)
+    d
+  }
+
+  test("z-order cluster is layout-only: identical rows, time travel intact") {
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    val now = GraftLog.read(spark, zdir)
+    assert(now.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(now).count() == 0)
+    val v0 = GraftLog.readVersion(spark, zdir, 0)
+    assert(v0.exceptAll(cust).count() == 0)
+  }
+
+  test("z-order prunes files for ranges on EITHER clustered column") {
+    val total = new GraftFileIndex(spark, zdir).inputFiles.length
+    val byKey = spark.read.format("graft").load(zdir)
+      .filter(col("c_custkey") >= 10 && col("c_custkey") <= 40)
+    val byBal = spark.read.format("graft").load(zdir)
+      .filter(col("c_acctbal") >= 2000 && col("c_acctbal") <= 4000)
+    assert(scanOf(byKey).metrics("numFiles").value < total)
+    assert(scanOf(byBal).metrics("numFiles").value < total,
+      "second dimension must prune too — that is the point of z-order")
+    // and zero row loss on the second dimension
+    val expect = Sources.testTable(spark, TestSpark.sf, "customer")
+      .filter(col("c_acctbal") >= 2000 && col("c_acctbal") <= 4000)
+    assert(byBal.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(byBal).count() == 0)
+  }
+
   test("t10 registered query equals the explicit-API t8 pruning path") {
     // same staged table, same semantics: planner-driven skipping must
     // agree with GraftLog.readPruned for an equivalent single range
