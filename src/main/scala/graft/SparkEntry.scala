@@ -218,6 +218,14 @@ object SparkEntry {
     // tight on two columns at once; the read filters on the second one
     "t12_graftlog_zorder" ->
       ((s, d) => Transactions.zorderRead(s, d)),
+    // streaming read FROM the transactional format: offsets are commit
+    // versions, restart resumes exactly-once from the engine offset log
+    "t13_graftlog_stream_source" ->
+      ((s, d) => Transactions.streamingSource(s, d)),
+    // DataFrameWriter surface: SaveMode overwrite+append through
+    // format("graft") are transactional commits
+    "t14_graftlog_write_api" ->
+      ((s, d) => Transactions.writeApiRoundTrip(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -618,6 +626,18 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer
         |WHERE c_acctbal >= 2000 AND c_acctbal <= 4000""".stripMargin,
+    // t13: kill/resume streaming read delivers every event exactly once
+    // iff the sink aggregate equals the batch SQL over all events
+    "t13_graftlog_stream_source" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+    // t14: overwrite(evens) + append(odds) through the writer API must
+    // reassemble the full table
+    "t14_graftlog_write_api" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

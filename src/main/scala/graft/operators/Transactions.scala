@@ -196,6 +196,59 @@ object Transactions {
       .filter(col("c_acctbal") >= 2000 && col("c_acctbal") <= 4000)
       .select(customerCols.map(col): _*)
 
+  /** t13 — streaming read FROM the transactional format ("Delta table as
+    * a stream source"): `spark.readStream.format("graft")` follows the
+    * commit log, the offset IS the commit version, and the engine's
+    * offset log makes restarts exactly-once with no extra bookkeeping.
+    * Drive: append phase 1 → checkpointed drain to a parquet file sink →
+    * "kill" → append phases 2 and 3 → resume (only the two new commits
+    * are delivered). Exactly-once iff the sink's aggregate equals the
+    * batch SQL over ALL events. */
+  def streamingSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val root = graft.sources.Staging.tempDir("graft_src_")
+    val (table, ckpt, out) = (s"$root/events_gl", s"$root/ckpt", s"$root/out")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(table)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    GraftLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
+    drain() // phase 1, then "kill"
+    GraftLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)
+    GraftLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 2), table)
+    drain() // restart: resumes past the committed offset (version 0)
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+  }
+
+  private val stagedWapi =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t14 — the DataFrameWriter surface: `df.write.format("graft")` with
+    * SaveMode overwrite + append lands transactional commits through the
+    * registered data source (no GraftLog API in user code at all), and
+    * the read-back goes through the same format string. Re-runnable: the
+    * overwrite resets the table before the append. */
+  def writeApiRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWapi.getOrElseUpdate(sfDir,
+      graft.sources.Staging.tempDir("graft_txn_") + "/customer_wapi")
+    val cust = Sources.testTable(spark, sfDir, "customer")
+    cust.filter(col("c_custkey") % 2 === 0)
+      .write.format("graft").mode("overwrite").save(dir)
+    cust.filter(col("c_custkey") % 2 === 1)
+      .write.format("graft").mode("append").save(dir)
+    spark.read.format("graft").load(dir)
+      .select(customerCols.map(col): _*)
+  }
+
   private val stagedVacuum =
     new scala.collection.concurrent.TrieMap[String, String]
 

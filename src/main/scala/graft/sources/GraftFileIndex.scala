@@ -254,14 +254,169 @@ object GraftFileIndex {
 /** `spark.read.format("graft").load(path)` — the DataSource registration
   * (Delta's DeltaDataSource pattern: a RelationProvider that returns a
   * HadoopFsRelation over the log-backed FileIndex). Supports
-  * `option("versionAsOf", n)` time travel. */
-final class GraftDataSource extends RelationProvider with DataSourceRegister {
+  * `option("versionAsOf", n)` time travel. Also a [[StreamSourceProvider]]:
+  * `spark.readStream.format("graft").load(path)` follows the commit log
+  * (see [[GraftStreamSource]]). */
+final class GraftDataSource extends RelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("format(\"graft\") needs a path"))
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("format(\"graft\") needs a path"))
     val asOf = parameters.get("versionAsOf").map(_.toLong)
-    GraftFileIndex.relation(sqlContext.sparkSession, path, asOf)
+    GraftFileIndex.relation(sqlContext.sparkSession, pathOf(parameters), asOf)
   }
+
+  /** `df.write.format("graft").mode(...).save(path)` — Append/Overwrite
+    * map to transactional append/overwrite commits (schema-enforced,
+    * stats collected); ErrorIfExists/Ignore follow SaveMode semantics
+    * against log existence. `option("partitionBy", "a,b")` routes to the
+    * hive-partitioned writers. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val partCols = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val exists = GraftLog.versions(spark, path).nonEmpty
+    def write(f: => Long): Unit = { f; () }
+    mode match {
+      case Append =>
+        write(if (partCols.nonEmpty)
+          GraftLog.appendPartitioned(data.toDF(), path, partCols)
+        else GraftLog.append(data.toDF(), path))
+      case Overwrite =>
+        write(if (partCols.nonEmpty)
+          GraftLog.overwritePartitioned(data.toDF(), path, partCols)
+        else GraftLog.overwrite(data.toDF(), path))
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"GraftLog table already exists at $path (SaveMode.ErrorIfExists)")
+      case ErrorIfExists =>
+        write(if (partCols.nonEmpty)
+          GraftLog.overwritePartitioned(data.toDF(), path, partCols)
+        else GraftLog.overwrite(data.toDF(), path))
+      case Ignore =>
+        if (!exists) write(if (partCols.nonEmpty)
+          GraftLog.overwritePartitioned(data.toDF(), path, partCols)
+        else GraftLog.overwrite(data.toDF(), path))
+    }
+    GraftFileIndex.relation(spark, path, None)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      GraftLog.snapshot(sqlContext.sparkSession, pathOf(parameters))._2)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      ignoreChanges =
+        parameters.get("ignoreChanges").exists(_.toBoolean))
+}
+
+/** Streaming read of a GraftLog table — the "Delta table as a stream
+  * source" capability: each micro-batch is the set of files ADDED by the
+  * commit versions in `(lastOffset, latestVersion]`; the offset IS the
+  * commit version, so the engine's offset log gives exactly-once
+  * delivery across restarts with no extra bookkeeping.
+  *
+  * Semantics mirror Delta's: an append-only history streams as-is; a
+  * version that REMOVES files (merge/delete/compact/overwrite) is
+  * rejected unless `option("ignoreChanges", true)`, in which case that
+  * version's added files are delivered (rewritten rows re-appear — the
+  * documented Delta trade). Vacuumed (log-truncated) versions cannot
+  * start a stream; begin from a checkpointed offset past them.
+  *
+  * Scale: getBatch plans ONE parquet scan of the delta's files — commit
+  * metadata sized driver work per trigger, data-proportional executor
+  * work, no polling of data dirs (the log IS the notification channel). */
+final class GraftStreamSource(spark: SparkSession, table: String,
+    ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => COffset, ReadLimit}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  import org.apache.spark.sql.execution.streaming.{Offset => SOffset}
+
+  private val tableSchema: StructType = GraftLog.snapshot(spark, table)._2
+
+  override def schema: StructType = tableSchema
+
+  private def toVersion(o: COffset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset from the log
+  }
+
+  override def getOffset: Option[SOffset] =
+    GraftLog.latestVersion(spark, table).map(LongOffset(_))
+
+  // Trigger.AvailableNow: freeze the target version when the trigger
+  // arms, so the drain has a fixed endpoint even while writers keep
+  // committing (the admission-control contract FileStreamSource follows)
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = GraftLog.latestVersion(spark, table)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: COffset, limit: ReadLimit): COffset = {
+    val latest = GraftLog.latestVersion(spark, table)
+    val capped = availableNowCap match {
+      case Some(c) => latest.map(math.min(_, c))
+      case None => latest
+    }
+    capped.map(LongOffset(_)).orNull
+  }
+
+  override def reportLatestOffset(): COffset =
+    GraftLog.latestVersion(spark, table).map(LongOffset(_)).orNull
+
+  override def getBatch(start: Option[SOffset], end: SOffset): DataFrame = {
+    val from = start.map(toVersion).getOrElse(-1L) // exclusive
+    val to = toVersion(end) // inclusive
+    val files = GraftLog.addedIn(spark, table, from, to, ignoreChanges)
+    require(!GraftLog.hasPartitionedFiles(files),
+      "streaming a hive-partitioned GraftLog table is not supported")
+    // a relation over exactly the delta's files, tagged isStreaming=true
+    // (the V1 getBatch contract); an empty delta is an empty file list
+    val fsys = GraftLog.fs(spark, table)
+    val statuses = files
+      .map(f => fsys.getFileStatus(new HPath(s"$table/$f"))).toArray
+    val idx = new StaticFileIndex(new HPath(table), statuses)
+    val rel = HadoopFsRelation(idx, StructType(Nil), tableSchema, None,
+      new ParquetFileFormat(), Map.empty)(spark)
+    org.apache.spark.sql.graftbridge.StreamBatch.ofRelation(spark, rel)
+  }
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** A fixed file list as a [[FileIndex]] — the micro-batch delta scan
+  * (no pruning: the batch IS the selection). */
+private[sources] final class StaticFileIndex(root: HPath,
+    files: Array[FileStatus]) extends FileIndex {
+  override def rootPaths: Seq[HPath] = Seq(root)
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = files.map(_.getLen).sum
+  override def inputFiles: Array[String] = files.map(_.getPath.toString)
+  override def refresh(): Unit = ()
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, files))
 }

@@ -917,6 +917,26 @@ object GraftLog {
     v
   }
 
+  /** Files ADDED by commit versions in `(fromExclusive, toInclusive]` —
+    * the streaming-source delta ([[GraftStreamSource]]). Versions that
+    * remove files (merge/delete/compact/non-initial overwrite) raise
+    * unless `ignoreChanges` (Delta's streaming-read contract); their adds
+    * are delivered when it is set. */
+  private[sources] def addedIn(spark: SparkSession, table: String,
+      fromExclusive: Long, toInclusive: Long,
+      ignoreChanges: Boolean): Seq[String] = {
+    versions(spark, table)
+      .filter(v => v > fromExclusive && v <= toInclusive)
+      .flatMap { v =>
+        val c = readCommit(spark, table, v)
+        require(ignoreChanges || c.remove.isEmpty,
+          s"version $v of $table is a '${c.operation}' that removes " +
+            "files; streaming reads support append-only histories " +
+            "(set ignoreChanges=true to stream rewritten rows too)")
+        c.add
+      }
+  }
+
   /** Morton (Z-order) interleave of two 16-bit normalized ranks — bit i
     * of x lands at position 2i, bit i of y at 2i+1. Pure bit arithmetic
     * (shiftright/&/shiftleft), codegen-friendly, engine-portable. */

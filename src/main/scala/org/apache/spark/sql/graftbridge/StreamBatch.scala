@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.sources.BaseRelation
+
+/** The one `private[sql]` bridge this library needs, placed under
+  * `org.apache.spark.sql` the same way Delta's connector is: a V1
+  * streaming `Source.getBatch` must return a DataFrame whose logical
+  * plan is tagged `isStreaming = true` (MicroBatchExecution asserts it),
+  * and the only constructors for that tag — `LogicalRelation(rel,
+  * isStreaming)` + `Dataset.ofRows` — are package-private to
+  * `org.apache.spark.sql`. This is exactly how Spark's own
+  * FileStreamSource builds its batches. */
+object StreamBatch {
+
+  /** A DataFrame over `rel` with the streaming tag set. */
+  def ofRelation(spark: SparkSession, rel: BaseRelation): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession],
+      LogicalRelation(rel, isStreaming = true))
+}

@@ -179,6 +179,89 @@ class GraftFileIndexSpec extends AnyFunSuite {
       expect.exceptAll(byBal).count() == 0)
   }
 
+  // ------------------------------------------------- streaming source
+
+  test("streaming read follows the commit log exactly-once across restarts") {
+    val root = Staging.tempDir("graft_fidx_src_")
+    val (t, ckpt, out) = (s"$root/t", s"$root/ckpt", s"$root/out")
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    GraftLog.append(cust.filter(col("c_custkey") < 50), t)
+    drain()
+    assert(spark.read.parquet(out).count() ==
+      cust.filter(col("c_custkey") < 50).count())
+    drain() // no new commits: nothing re-delivered
+    assert(spark.read.parquet(out).count() ==
+      cust.filter(col("c_custkey") < 50).count())
+    GraftLog.append(cust.filter(col("c_custkey") >= 50), t)
+    drain() // resume: only the new commit
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() == cust.count())
+    assert(sunk.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(sunk).count() == 0)
+  }
+
+  test("streaming read rejects file-removing versions unless ignoreChanges") {
+    val root = Staging.tempDir("graft_fidx_src_")
+    val t = s"$root/t"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.append(cust, t)
+    GraftLog.delete(spark, t, col("c_custkey") % 10 === 0) // removes files
+    def drainWith(opts: Map[String, String]): Unit = {
+      val q = spark.readStream.format("graft").options(opts).load(t)
+        .writeStream.format("parquet")
+        .option("path", s"$root/out_${opts.size}")
+        .option("checkpointLocation", s"$root/ckpt_${opts.size}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainWith(Map.empty)
+    }
+    assert(e.getMessage.contains("removes") ||
+      Option(e.getCause).exists(_.getMessage.contains("removes")))
+    drainWith(Map("ignoreChanges" -> "true")) // documented Delta trade
+  }
+
+  // --------------------------------------------------------- writer API
+
+  test("df.write.format(\"graft\"): SaveMode semantics + partitionBy option") {
+    val root = Staging.tempDir("graft_fidx_w_")
+    val t = s"$root/t"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    cust.write.format("graft").mode("overwrite").save(t)
+    assert(GraftLog.read(spark, t).count() == cust.count())
+    // ErrorIfExists on an existing table throws
+    intercept[Exception] {
+      cust.write.format("graft").mode("error").save(t)
+    }
+    // Ignore on an existing table is a no-op (version unchanged)
+    val v = GraftLog.latestVersion(spark, t)
+    cust.limit(1).write.format("graft").mode("ignore").save(t)
+    assert(GraftLog.latestVersion(spark, t) == v)
+    // append doubles the rows
+    cust.write.format("graft").mode("append").save(t)
+    assert(GraftLog.read(spark, t).count() == 2 * cust.count())
+    // partitionBy option lands the hive layout
+    val tp = s"$root/tp"
+    cust.write.format("graft").mode("overwrite")
+      .option("partitionBy", "c_mktsegment").save(tp)
+    val q = spark.read.format("graft").load(tp)
+      .filter(col("c_mktsegment") === "BUILDING")
+    assert(scanOf(q).metrics("numFiles").value <
+      new GraftFileIndex(spark, tp).inputFiles.length)
+    assert(q.count() ==
+      cust.filter(col("c_mktsegment") === "BUILDING").count())
+  }
+
   test("t10 registered query equals the explicit-API t8 pruning path") {
     // same staged table, same semantics: planner-driven skipping must
     // agree with GraftLog.readPruned for an equivalent single range
