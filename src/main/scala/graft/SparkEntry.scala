@@ -56,6 +56,9 @@ object SparkEntry {
     "d2_writeto_roundtrip"   -> ((s, d) => dbl(Ddl.writeToRoundTrip(s, d))),
     "d3_ddl_lifecycle"       -> ((s, d) => Ddl.ddlLifecycle(s, d)),
     "d4_bucketed_join"       -> ((s, d) => Ddl.bucketedJoin(s, d)),
+    // SQL DDL over the transactional format: CREATE TABLE USING graft,
+    // then plain spark.sql SELECT with pushdown + file skipping
+    "d5_graft_sql_table"     -> ((s, d) => Ddl.graftSqlTable(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -85,6 +88,7 @@ object SparkEntry {
     "j4_revenue_pivot"       -> ((s, d) => StarJoin.revenuePivot(s, d)),
     "j8_revenue_cube"        -> ((s, d) => StarJoin.revenueCube(s, d)),
     "j9_window_returns"      -> ((s, d) => Windows.dailyReturns(s, d)),
+    "j10_revenue_percentiles" -> ((s, d) => Windows.dailyPercentiles(s, d)),
     "j5_asof_last_view"      -> ((s, d) => AsOf.lastViewBeforeClick(s, d)),
     "j6_session_attach"      -> ((s, d) => Joins.sessionAttach(s, d)),
     "j7_salted_skew_join"    -> ((s, d) => Joins.saltedFlagRollup(s, d)),
@@ -100,6 +104,7 @@ object SparkEntry {
     "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "e6_dedup_embedding_lsh"    -> ((s, d) => Dedup.embeddingCosineLsh(s, d)),
     "e11_dedup_semantic"        -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "e12_dedup_edit_distance"   -> ((s, d) => Dedup.editDistanceDedup(s, d)),
     // LLM-pipeline extensions: similarity search (SURVEY.md §7.6)
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -179,6 +184,10 @@ object SparkEntry {
     // single-pass exact column profiler (null/distinct/range/length stats)
     "g17_column_profile" ->
       ((s, d) => Profile.customerProfile(s, d)),
+    // corpus-trained smoothed bigram LM quality score (linear smoothing,
+    // engine-portable by construction)
+    "g18_bigram_lm_score" ->
+      ((s, d) => TextAnalysis.bigramLmScore(s, d)),
     "j2_json_props" ->
       ((s, d) => SemiStructured.jsonPropsStats(s, d)),
     // Transactional table format (the reference's Delta layer re-expressed
@@ -638,6 +647,10 @@ object SparkEntry {
     "t14_graftlog_write_api" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
+    // d5: the catalog-registered graft table answers plain SQL exactly
+    "d5_graft_sql_table" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey BETWEEN 201 AND 500""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →
@@ -1074,6 +1087,23 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY ticker ORDER BY trade_date),
         |  w7 AS (PARTITION BY ticker ORDER BY trade_date
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // j10: Spark `percentile` and DuckDB `quantile_cont` share the exact
+    // (n-1)·p linear-interpolation definition; inputs are decimal-exact
+    // daily sums cast to double on both sides
+    "j10_revenue_percentiles" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS trade_date,
+        |    l_returnflag AS ticker,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,10))) AS DOUBLE) AS rev_d
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT ticker, count(*) AS n_days,
+        |  round(quantile_cont(rev_d, 0.5), 6) AS p50_revenue,
+        |  round(quantile_cont(rev_d, 0.9), 6) AS p90_revenue,
+        |  round(min(rev_d), 6) AS min_revenue,
+        |  round(max(rev_d), 6) AS max_revenue
+        |FROM daily GROUP BY 1""".stripMargin,
     "j4_revenue_pivot" ->
       """SELECT n_name AS nation,
         |  round(CAST(sum(CASE WHEN r_name = 'AFRICA'
@@ -1319,6 +1349,35 @@ object SparkEntry {
         |SELECT 'c_mktsegment', 'string', n_rows, n_rows - cnt5, nd5,
         |  NULL, NULL, mns5, mxs5,
         |  round(CAST(len5 AS DOUBLE) / NULLIF(cnt5, 0), 6) FROM m""".stripMargin,
+    // g18: counts are exact integers; the smoothed term is one double
+    // division; the per-doc mean follows the decimal-sum discipline
+    "g18_bigram_lm_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), inst AS (
+        |  SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> struct_pack(w1 := toks[i],
+        |                       bg := toks[i] || ' ' || toks[i+1]))) AS s
+        |    FROM base WHERE len(toks) >= 2)
+        |), uni AS (
+        |  SELECT w1, count(*) AS cu FROM (
+        |    SELECT unnest(toks) AS w1 FROM base)
+        |  GROUP BY 1
+        |), vocab AS (
+        |  SELECT count(*) AS v FROM uni
+        |), bi AS (
+        |  SELECT bg, count(*) AS cb FROM inst GROUP BY 1
+        |)
+        |SELECT i.doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST((b.cb + 1.0) / (u.cu + vv.v)
+        |      AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS lm_score
+        |FROM inst i
+        |JOIN bi b USING (bg)
+        |JOIN uni u USING (w1)
+        |CROSS JOIN vocab vv
+        |GROUP BY 1""".stripMargin,
     "e2_dedup_ngram_jaccard" -> ngramJaccardOracle(200, "200"),
     // e7: the uncapped twin — same inverted-index plan, full corpus; the
     // sentinel max_doc_id = Long.MaxValue means "uncapped"
@@ -1423,6 +1482,44 @@ object SparkEntry {
         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
         |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 7""".stripMargin,
+    // e12: e4's exact pair set, re-verified with full Levenshtein under a
+    // length-relative bound — both engines implement textbook edit
+    // distance, so the expensive verifier is oracle-exact too
+    "e12_dedup_edit_distance" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |  FROM base WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles,
+        |    s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) AS h
+        |  FROM sh
+        |), sims AS (
+        |  SELECT doc_id, CAST(list_aggregate(list_transform(range(0, 64),
+        |    j -> CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1))
+        |              > len(h)
+        |      THEN (1::UBIGINT << CAST(j AS INTEGER)) ELSE 0::UBIGINT END),
+        |    'sum') AS UBIGINT) AS simhash
+        |  FROM hs
+        |), pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        |  FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 7
+        |)
+        |SELECT doc_a, doc_b, hamming, edit_dist,
+        |  round(CAST(edit_dist AS DOUBLE) / maxlen, 6) AS edit_ratio
+        |FROM (
+        |  SELECT p.doc_a, p.doc_b, p.hamming,
+        |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+        |    greatest(length(a.text), length(b.text)) AS maxlen
+        |  FROM pairs p
+        |  JOIN documents a ON a.doc_id = p.doc_a
+        |  JOIN documents b ON b.doc_id = p.doc_b)
+        |WHERE edit_dist <= 0.25 * maxlen""".stripMargin,
     "e5_dedup_embedding_cosine" ->
       """WITH n AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm

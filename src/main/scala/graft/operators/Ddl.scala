@@ -90,6 +90,33 @@ object Ddl {
     spark.table("graft_lake.silver_asset_perf")
   }
 
+  private val stagedSqlT =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d5 — the SQL DDL surface over the transactional format: `CREATE
+    * TABLE ... USING graft OPTIONS (path ...)` registers the log-backed
+    * table in the session catalog, and plain `spark.sql` SELECTs run
+    * through [[graft.sources.GraftFileIndex]] — catalog name resolution,
+    * filter pushdown, and commit-log file skipping composing with zero
+    * query-side API. The reference's `spark.sql` table DDL over Delta
+    * (`financial_dl_bronze.py:14-29`), re-expressed. */
+  def graftSqlTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedSqlT.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_sqlt_") + "/customer"
+      graft.sources.GraftLog.overwrite(
+        graft.sources.Sources.testTable(spark, sfDir, "customer")
+          .repartitionByRange(8, org.apache.spark.sql.functions
+            .col("c_custkey")), d)
+      d
+    })
+    val t = s"graft_sql_cust_${math.abs(sfDir.hashCode).toString.take(8)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    spark.sql(
+      s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         |FROM $t WHERE c_custkey BETWEEN 201 AND 500""".stripMargin)
+  }
+
   /** K4 round-trip: DataFrameWriterV2 `createOrReplace` + catalog scan. */
   def writeToRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     createDatabase(spark, "graft_lake")

@@ -418,6 +418,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** e12 — SimHash candidates verified by EDIT DISTANCE (the Manku/
+    * Jain/Sarma 2007 web-crawl near-dup pattern: sketch-bucket candidate
+    * generation, then an exact, expensive verifier on candidates only).
+    * Pairs within Hamming ≤ `maxDist` of each other's 64-bit SimHash are
+    * re-checked with full Levenshtein distance; a pair survives iff
+    * dist ≤ `maxRatio` × max(len) — a LENGTH-RELATIVE bound, so short
+    * docs aren't over-matched and long docs aren't under-matched.
+    *
+    * Scale shape: candidate volume is e4's (pigeonhole chunk equi-join,
+    * recall guaranteed for d ≤ 7); Levenshtein's O(len²) cost is paid
+    * per CANDIDATE, never per pair of the corpus. Both engines implement
+    * textbook Levenshtein, so the verifier is oracle-exact. */
+  def editDistanceDedup(spark: SparkSession, sfDir: String,
+      maxDist: Int = 7, maxRatio: Double = 0.25): DataFrame = {
+    val pairs = simhash(spark, sfDir, maxDist = maxDist)
+    val docs = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val withText = pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .withColumn("maxlen", greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("edit_dist",
+        levenshtein(col("ta"), col("tb")).cast("long"))
+    withText
+      .filter(col("edit_dist") <= lit(maxRatio) * col("maxlen"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"),
+        round(col("edit_dist").cast("double") / col("maxlen"), 6)
+          .as("edit_ratio"))
+  }
+
   // ----------------------------------------------------------- embeddings
 
   /** Exact cosine near-dup pairs (cos >= threshold) over the embeddings

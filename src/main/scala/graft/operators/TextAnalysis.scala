@@ -36,6 +36,56 @@ object TextAnalysis {
         round(col("n_distinct_tokens").cast("double") /
           col("n_tokens").cast("double"), 6))
 
+  /** g18 — smoothed bigram language-model scoring (the CCNet/Wenzek 2020
+    * LM-quality-filter stage, with the 5-gram KenLM swapped for a
+    * corpus-trained bigram model): per document, the mean smoothed
+    * conditional likelihood of its bigrams,
+    * score = avg over (w1,w2) of (c(w1 w2) + 1) / (c(w1) + V).
+    * Laplace smoothing over the corpus vocabulary V; the statistic is
+    * kept LINEAR (no log) deliberately — every factor is an exact count,
+    * so the per-bigram term is one double division with a fixed shape and
+    * the aggregate follows the [[graft.functions.Deterministic]] decimal
+    * discipline, engine-portable where a log-likelihood would ride libm
+    * rounding. Monotone-equivalent uses (rank thresholds, top/bottom
+    * percentile gates) are unaffected.
+    *
+    * Scale shape: the two count tables are vocabulary-sized aggregates
+    * (token-keyed shuffles with map-side combine); each doc's bigram
+    * instances join them by token key — hash equi-joins all the way, no
+    * corpus pairs, no driver state. */
+  def bigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.dec
+    val base = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // one row per bigram INSTANCE: (doc_id, first token, bigram string)
+    val inst = base.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(
+          element_at(col("toks"), i + 1).as("w1"),
+          concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)).as("bg")))))
+      .select(col("doc_id"), col("col.w1").as("w1"), col("col.bg").as("bg"))
+    val uni = Sources.testTable(spark, sfDir, "documents")
+      .select(explode(Dedup.tokens(col("text"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    inst
+      .join(bi, Seq("bg"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term",
+        (col("cb") + lit(1.0)) / (col("cu") + col("v")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(dec(col("term"))).as("sum_dec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_dec").cast("double") / col("n_bigrams"), 6)
+          .as("lm_score"))
+  }
+
   /** Stopword markers per language for [[langId]] and [[qualityScore]]:
     * tiny profiles of high-frequency function words (the classic
     * stopword-profile heuristic; an n-gram model would use the same

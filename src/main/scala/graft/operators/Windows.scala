@@ -42,6 +42,33 @@ object Windows {
     *   - `vol_rank` = rank by total daily volume (ties broken only in
     *     the ORDER BY date, so `rank` itself is tie-stable).
     */
+  /** j10 — EXACT percentile aggregation (p50/p90 of daily revenue per
+    * ticker): `percentile` is the sort-based exact aggregate, linearly
+    * interpolated at (n−1)·p — the same definition as DuckDB's
+    * `quantile_cont`, so the oracle is exact. Inputs are decimal-exact
+    * daily sums cast to double, making the interpolation arithmetic
+    * bit-identical on both sides. Exact percentile buffers each GROUP's
+    * values (fine for per-key daily series); the corpus-wide unbounded
+    * analog is `approx_percentile` (KLL/GK-style, mergeable) — same
+    * swap discipline as g5 → g13. */
+  def dailyPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Sources.testTable(spark, sfDir, "lineitem")
+      .withColumn("trade_date", to_date(col("l_shipdate")))
+      .withColumn("rev",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(col("trade_date"), col("l_returnflag").as("ticker"))
+      .agg(sumExact(col("rev")).as("rev_dec"))
+      .withColumn("rev_d", col("rev_dec").cast("double"))
+    daily
+      .groupBy(col("ticker"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(percentile(col("rev_d"), lit(0.5)), 6).as("p50_revenue"),
+        round(percentile(col("rev_d"), lit(0.9)), 6).as("p90_revenue"),
+        round(min(col("rev_d")), 6).as("min_revenue"),
+        round(max(col("rev_d")), 6).as("max_revenue"))
+  }
+
   def dailyReturns(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Sources.testTable(spark, sfDir, "lineitem")
       .withColumn("trade_date", to_date(col("l_shipdate")))

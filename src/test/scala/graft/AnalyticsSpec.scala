@@ -128,6 +128,73 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sem.count() > 0)
   }
 
+  // ------------------------------------------------- j10 exact percentiles
+
+  test("revenue percentiles: ordered, bounded, day counts exact") {
+    val out = Windows.dailyPercentiles(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p50, p90) = (r.getDouble(2), r.getDouble(3))
+      val (mn, mx) = (r.getDouble(4), r.getDouble(5))
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx,
+        s"percentile ordering broken for ${r.getString(0)}")
+    }
+    val days = Windows.dailyReturns(spark, TestSpark.sf)
+      .groupBy(col("ticker")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(1) == days(r.getString(0))))
+  }
+
+  // --------------------------------------------------- g18 bigram LM score
+
+  test("bigram LM score: (0,1] bounded, bigram counts exact per doc") {
+    val out = graft.operators.TextAnalysis
+      .bigramLmScore(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+    val docs = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), size(split(lower(col("text")), " "))
+        .as("n_toks"))
+      .filter(col("n_toks") >= 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.length == docs.size)
+    out.foreach(r => assert(r.getLong(1) == docs(r.getLong(0)) - 1L))
+  }
+
+  // ---------------------------------------------- e12 edit-distance dedup
+
+  test("edit-distance dedup: subset of simhash pairs, verifier exact") {
+    val e12 = Dedup.editDistanceDedup(spark, TestSpark.sf).collect()
+    val e4 = Dedup.simhash(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e12.nonEmpty, "corpus has planted near-dups; expected pairs")
+    assert(e12.forall(r => e4.contains((r.getLong(0), r.getLong(1)))))
+    // length-relative bound holds on every surviving pair
+    assert(e12.forall(_.getDouble(4) <= 0.25))
+    // re-verify one pair's edit distance independently
+    val docs = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "documents")
+    val r0 = e12.head
+    val t = docs.filter(col("doc_id").isin(r0.getLong(0), r0.getLong(1)))
+      .orderBy(col("doc_id")).collect().map(_.getAs[String]("text"))
+    val redo = spark.range(1)
+      .select(levenshtein(lit(t(0)), lit(t(1))).cast("long"))
+      .collect().head.getLong(0)
+    assert(redo == r0.getLong(3))
+  }
+
+  // ------------------------------------------------------ d5 SQL surface
+
+  test("CREATE TABLE USING graft: catalog SQL equals the direct filter") {
+    val q = graft.operators.Ddl.graftSqlTable(spark, TestSpark.sf)
+    val expect = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "customer")
+      .filter(col("c_custkey").between(201, 500))
+    assert(q.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(q).count() == 0)
+  }
+
   test("semantic dedup: keeper precedes dropped, pairs share a cluster") {
     val out = Dedup.semanticDedup(spark, TestSpark.sf).collect()
     assert(out.forall(r => r.getLong(2) < r.getLong(1))) // keeper < dropped
