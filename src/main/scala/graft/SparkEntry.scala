@@ -129,6 +129,7 @@ object SparkEntry {
     "h2_media_features"      -> ((s, d) => Multimodal.extractFeatures(s, d)),
     "h3_wav_decode"          -> ((s, d) => Multimodal.wavDecode(s, d)),
     "h4_png_decode"          -> ((s, d) => Multimodal.pngDecode(s, d)),
+    "h5_jpeg_decode"         -> ((s, d) => Multimodal.jpegDecode(s, d)),
     // Streaming over events (reference declared-but-unbuilt, SURVEY.md
     // §2.10; windowed agg batch+stream share one plan, sessionize in both
     // window-function and flatMapGroupsWithState forms)
@@ -165,6 +166,9 @@ object SparkEntry {
     // streaming consume of the Kafka-shaped topic (s11's segment log)
     "i13_topic_consume_stream" ->
       ((s, d) => graft.streaming.Streaming.topicConsumeStream(s, d)),
+    // composed ingest: topic → streaming consume → txn append → lake read
+    "i14_topic_to_lake_e2e" ->
+      ((s, d) => Transactions.topicToLake(s, d)),
     // regex token counting + JSON props extraction
     "g9_token_count_regex" ->
       ((s, d) => TextAnalysis.tokenCountRegex(s, d)),
@@ -368,6 +372,23 @@ object SparkEntry {
         |  max(ts) AS max_ts
         |FROM o GROUP BY partition""".stripMargin,
     "i13_topic_consume_stream" ->
+      """WITH r AS (
+        |  SELECT event_id, CAST(user_id AS VARCHAR) AS key,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::UBIGINT % 4 AS INTEGER) AS partition
+        |  FROM events
+        |), o AS (
+        |  SELECT event_id, partition,
+        |    row_number() OVER (PARTITION BY partition
+        |      ORDER BY (event_id % 2), event_id) - 1 AS off
+        |  FROM r
+        |)
+        |SELECT partition, count(*) AS n_records, max(off) AS max_offset,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum
+        |FROM o GROUP BY partition""".stripMargin,
+    // i14: the composed topic→stream→txn-append→lake path must land the
+    // exact record set the pure streaming consume sees (same oracle)
+    "i14_topic_to_lake_e2e" ->
       """WITH r AS (
         |  SELECT event_id, CAST(user_id AS VARCHAR) AS key,
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
@@ -1927,6 +1948,22 @@ object SparkEntry {
         |      i -> (7 * i + doc_id) % 256), 'sum') AS BIGINT) AS sample_sum,
         |  round(CAST(64 + (doc_id % 128) AS DOUBLE) * 1000.0 /
         |    CAST(8000 + (doc_id % 8) * 1000 AS DOUBLE), 6) AS duration_ms
+        |FROM documents""".stripMargin,
+    // h5: every marker-segment field is arithmetic in doc_id, so the
+    // oracle re-derives dimensions, segment counts, and the DQT sum —
+    // the Spark side only matches if the marker walk is correct
+    "h5_jpeg_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + (doc_id % 240) AS INTEGER) AS width,
+        |  CAST(16 + (doc_id % 120) AS INTEGER) AS height,
+        |  8 AS bit_depth,
+        |  3 AS n_components,
+        |  CAST(3 + CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_segments,
+        |  CAST(list_aggregate(list_transform(range(0, 64),
+        |      i -> (i + doc_id) % 255 + 1), 'sum') AS BIGINT) AS qtable_sum,
+        |  round(CAST(16 + (doc_id % 240) AS DOUBLE)
+        |    / (16 + (doc_id % 120)), 6) AS aspect
         |FROM documents""".stripMargin,
     // h4: the decoded pixel grid is pure arithmetic in doc_id —
     // pixel(x,y) = (7x + 31y + doc_id) mod 256 over a w×h grid — so the

@@ -229,6 +229,36 @@ object Transactions {
         round(sumExact(col("value")).cast("double"), 6).as("total_value"))
   }
 
+  /** i14 — the COMPOSED ingest path end-to-end: Kafka-shaped topic →
+    * streaming consume (ledger-committed offsets only) → exactly-once
+    * transactional append ([[GraftLog.txnAppend]] per micro-batch) →
+    * table read-back. Each stage is individually oracle-checked
+    * elsewhere (s11, i13, t4); this query pins their COMPOSITION — the
+    * aggregate over the landed lake table must equal the aggregate the
+    * pure streaming consume produces, i.e. nothing was lost, duplicated,
+    * or reordered across the topic→stream→table seams. */
+  def topicToLake(spark: SparkSession, sfDir: String): DataFrame = {
+    val topicDir = graft.sources.Topic.ensureStaged(spark, sfDir)
+    val root = graft.sources.Staging.tempDir("graft_t2l_")
+    val (table, ckpt) = (s"$root/lake", s"$root/ckpt")
+    val q = graft.sources.Topic.readStream(spark, topicDir,
+        graft.sources.Topic.FixturePartitions)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        GraftLog.txnAppend(batch, table, "graft-topic-to-lake", id): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    GraftLog.read(spark, table)
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n_records"),
+        max(col("offset")).as("max_offset"),
+        sum(split(col("value"), "\\|").getItem(0).cast("long"))
+          .as("id_checksum"))
+  }
+
   private val stagedWapi =
     new scala.collection.concurrent.TrieMap[String, String]
 

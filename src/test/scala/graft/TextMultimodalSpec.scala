@@ -227,6 +227,29 @@ class TextMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg parser: marker walk, variable structure, rejects malformed") {
+    import graft.operators.Multimodal.{parseJpeg, synthJpeg}
+    // id%3==0 drops the COM segment; the walker must handle both shapes
+    val noCom = parseJpeg(3L, synthJpeg(3L))
+    val withCom = parseJpeg(4L, synthJpeg(4L))
+    assert(noCom.n_segments == 3 && withCom.n_segments == 4)
+    assert(withCom.width == 16 + 4 && withCom.height == 16 + 4)
+    assert(withCom.bit_depth == 8 && withCom.n_components == 3)
+    // a standalone RST marker (no length field) must not derail the walk
+    val j = synthJpeg(4L)
+    val withRst = j.take(2) ++ Array(0xFF.toByte, 0xD0.toByte) ++ j.drop(2)
+    assert(parseJpeg(4L, withRst) == withCom)
+    // rejects: no SOI; truncation mid-segment; length overrun; no SOF
+    intercept[IllegalArgumentException] { parseJpeg(0L, Array[Byte](1, 2, 3, 4)) }
+    intercept[IllegalArgumentException] { parseJpeg(4L, j.dropRight(8)) }
+    val overrun = j.clone()
+    overrun(4) = 0x7F // APP0 length now exceeds the payload
+    intercept[IllegalArgumentException] { parseJpeg(4L, overrun) }
+    intercept[IllegalArgumentException] {
+      parseJpeg(0L, Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte))
+    }
+  }
+
   test("png parser: full decode round-trip, CRC + structure enforced") {
     import graft.operators.Multimodal.{parsePng, synthPng}
     val m = parsePng(17L, synthPng(17L))
