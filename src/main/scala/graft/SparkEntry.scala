@@ -105,6 +105,7 @@ object SparkEntry {
     "e6_dedup_embedding_lsh"    -> ((s, d) => Dedup.embeddingCosineLsh(s, d)),
     "e11_dedup_semantic"        -> ((s, d) => Dedup.semanticDedup(s, d)),
     "e12_dedup_edit_distance"   -> ((s, d) => Dedup.editDistanceDedup(s, d)),
+    "e13_dedup_containment"     -> ((s, d) => Dedup.containment(s, d)),
     // LLM-pipeline extensions: similarity search (SURVEY.md §7.6)
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -239,6 +240,9 @@ object SparkEntry {
     // format("graft") are transactional commits
     "t14_graftlog_write_api" ->
       ((s, d) => Transactions.writeApiRoundTrip(s, d)),
+    // RESTORE TO VERSION: metadata-only rewind, history intact
+    "t15_graftlog_restore" ->
+      ((s, d) => Transactions.afterRestore(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -672,6 +676,27 @@ object SparkEntry {
     "d5_graft_sql_table" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey BETWEEN 201 AND 500""".stripMargin,
+    // t15: restore rewinds the live set to v0 — the read is the seed
+    "t15_graftlog_restore" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
+    // e13: the directional normalizer over the same distinct-shingle
+    // sets as e7's oracle; both directions when both clear the threshold
+    "e13_dedup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3
+        |)
+        |SELECT doc_in, doc_out, round(containment, 6) AS containment FROM (
+        |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_out,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(a.sh) AS DOUBLE) AS containment
+        |  FROM docs a JOIN docs b ON a.doc_id != b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |WHERE containment >= 0.5""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

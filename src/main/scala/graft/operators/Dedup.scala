@@ -146,6 +146,39 @@ object Dedup {
   def ngramJaccardFull(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccard(spark, sfDir, maxDocId = Long.MaxValue)
 
+  /** e13 — directional CONTAINMENT dedup: the "quoted / subset document"
+    * case symmetric Jaccard under-scores (a short doc fully embedded in
+    * a long one has low Jaccard but containment ≈ 1), a real
+    * training-data concern — boilerplate, quotations, page-of-a-book
+    * extracts. c(a ⊆ b) = |S(a) ∩ S(b)| / |S(a)|: same inverted shingle
+    * index and co-occurrence counting as e7, only the NORMALIZER
+    * changes, which makes the measure directional — both directions are
+    * emitted when both clear the threshold. At 100 TB the bucketed
+    * variant of this exact form is the LSH Ensemble (Zhu et al.,
+    * VLDB 2016): partition the index by set size and tune bands per
+    * partition; the exact form stays the bounded audit, like e7 vs e3. */
+  def containment(spark: SparkSession, sfDir: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0,
+      "threshold must be positive: zero-overlap pairs never materialize")
+    val docs = shingled(spark, sfDir, n, Long.MaxValue)
+      .transform(graft.CacheScope.tracked)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    inv.as("x").join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_in"), col("y.doc_id").as("doc_out"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_in"), col("sz").as("na")),
+        Seq("doc_in"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_in"), col("doc_out"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** e8 — EXACT near-duplicate join with prefix + size filtering, the
     * AllPairs/PPJoin family (Bayardo/Ma/Srikant, WWW 2007; Xiao et al.,
     * WWW 2008; MapReduce formulation per Vernica/Carey/Li, SIGMOD 2010).

@@ -259,6 +259,24 @@ object Transactions {
           .as("id_checksum"))
   }
 
+  private val stagedRestore =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t15 — RESTORE: overwrite (v0) → delete a slice (v1) → restore to
+    * v0 (v2, metadata-only commit). The read must equal the original
+    * table, AND v1 must stay time-travelable (spec-pinned) — restore
+    * rewinds the live set, never the history. */
+  def afterRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedRestore.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_txn_") + "/customer_rst"
+      GraftLog.overwrite(Sources.testTable(spark, sfDir, "customer"), d)
+      GraftLog.delete(spark, d, col("c_custkey") % 10 === 0)
+      GraftLog.restore(spark, d, 0L)
+      d
+    })
+    GraftLog.read(spark, dir).select(customerCols.map(col): _*)
+  }
+
   private val stagedWapi =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -917,6 +917,22 @@ object GraftLog {
     v
   }
 
+  /** RESTORE TABLE … TO VERSION — Delta's RESTORE: one new commit whose
+    * live set is exactly version `v`'s. Data files are immutable, so the
+    * restore is pure metadata (no rewrite); history stays intact and
+    * time travel still reaches every pre-restore state. Works on
+    * partitioned tables too (file references only). */
+  def restore(spark: SparkSession, table: String, v: Long): Long = {
+    val (cur, _) = snapshot(spark, table)
+    val (files, schema) = snapshot(spark, table, Some(v))
+    val st = fileStats(spark, table, Some(v)).filter(_._2.nonEmpty)
+    val nv = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(nv, "restore", files,
+      cur.filterNot(files.toSet), schema.toDDL,
+      System.currentTimeMillis(), stats = st))
+    nv
+  }
+
   /** Files ADDED by commit versions in `(fromExclusive, toInclusive]` —
     * the streaming-source delta ([[GraftStreamSource]]). Versions that
     * remove files (merge/delete/compact/non-initial overwrite) raise

@@ -184,6 +184,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(redo == r0.getLong(3))
   }
 
+  // ------------------------------------------------- e13 containment dedup
+
+  test("containment: bounded, directional, dominates Jaccard pairwise") {
+    val c13 = Dedup.containment(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c13.nonEmpty)
+    assert(c13.values.forall(v => v > 0 && v <= 1.0))
+    // containment(a→b) >= jaccard(a,b): |∩|/|A| >= |∩|/|A∪B|
+    val jac = Dedup.ngramJaccardFull(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    jac.foreach { case ((a, b), j) =>
+      c13.get((a, b)).foreach(c => assert(c >= j - 1e-9,
+        s"containment $c < jaccard $j for ($a,$b)"))
+    }
+  }
+
   // ------------------------------------------------------ d5 SQL surface
 
   test("CREATE TABLE USING graft: catalog SQL equals the direct filter") {

@@ -231,6 +231,28 @@ class GraftFileIndexSpec extends AnyFunSuite {
     drainWith(Map("ignoreChanges" -> "true")) // documented Delta trade
   }
 
+  // ------------------------------------------------------------ restore
+
+  test("restore rewinds the live set; history and time travel intact") {
+    val root = Staging.tempDir("graft_fidx_rst_")
+    val t = s"$root/t"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwrite(cust, t)                                  // v0
+    GraftLog.delete(spark, t, col("c_custkey") % 10 === 0)       // v1
+    GraftLog.restore(spark, t, 0L)                               // v2
+    val now = GraftLog.read(spark, t)
+    assert(now.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(now).count() == 0)
+    // the deleted state is still reachable — restore rewound the live
+    // set, not the history
+    val v1 = GraftLog.readVersion(spark, t, 1)
+    assert(v1.filter(col("c_custkey") % 10 === 0).count() == 0)
+    assert(v1.count() < cust.count())
+    val ops = GraftLog.history(spark, t)
+      .select(col("operation")).collect().map(_.getString(0)).toSeq
+    assert(ops.contains("restore"))
+  }
+
   // --------------------------------------------------------- writer API
 
   test("df.write.format(\"graft\"): SaveMode semantics + partitionBy option") {
