@@ -243,6 +243,10 @@ object SparkEntry {
     // RESTORE TO VERSION: metadata-only rewind, history intact
     "t15_graftlog_restore" ->
       ((s, d) => Transactions.afterRestore(s, d)),
+    // MERGE on a hive-partitioned layout: only touched partitions'
+    // files rewritten, result value-identical to the flat merge (t2)
+    "t16_graftlog_partitioned_merge" ->
+      ((s, d) => Transactions.partitionedMerge(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -437,6 +441,9 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
     "t2_graftlog_merge" -> baseOracle("c4_upsert"),
+    // t16: MERGE on the hive-partitioned layout — layout must not change
+    // the answer, so the oracle is the same relational upsert as t2
+    "t16_graftlog_partitioned_merge" -> baseOracle("c4_upsert"),
     "t3_graftlog_delete" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,

@@ -57,6 +57,38 @@ object Transactions {
       dir
     })
 
+  private val stagedPartMerge =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Hive-partitioned twin of [[mergeTable]]: same table, same batch,
+    * but the layout is `c_mktsegment=<seg>` dirs — MERGE must rewrite
+    * only touched partitions' files (untouched ones are carried by
+    * reference) and re-stage the rewrite partitioned, so the result is
+    * value-identical to the flat merge. Reference analog: Delta MERGE on
+    * the `PARTITIONED BY (Date)` bronze table
+    * (`financial_dl_bronze.py:26`). */
+  private def partMergeTable(spark: SparkSession, sfDir: String): String =
+    stagedPartMerge.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_glp"
+      GraftLog.overwritePartitioned(
+        Sources.testTable(spark, sfDir, "customer"), dir,
+        Seq("c_mktsegment"))
+      val batch = Incremental.incrementalBatch(spark, sfDir).select(
+        col("inc_custkey").as("c_custkey"),
+        col("inc_name").as("c_name"),
+        col("inc_nationkey").as("c_nationkey"),
+        col("inc_acctbal").as("c_acctbal"),
+        col("inc_mktsegment").as("c_mktsegment"))
+      GraftLog.merge(batch, dir, Seq("c_custkey"))
+      dir
+    })
+
+  /** t16 — MERGE on a hive-partitioned GraftLog table. Oracle: the same
+    * relational upsert as t2 (layout must not change the answer). */
+  def partitionedMerge(spark: SparkSession, sfDir: String): DataFrame =
+    GraftLog.read(spark, partMergeTable(spark, sfDir))
+      .select(customerCols.map(col): _*)
+
   /** t1 — time travel: `VERSION AS OF 0` after a later MERGE rewrote
     * files. Oracle: the untouched `customer` table. */
   def timeTravelV0(spark: SparkSession, sfDir: String): DataFrame =

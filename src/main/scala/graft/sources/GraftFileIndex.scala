@@ -31,13 +31,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * depends on pruning — the residual filter still runs on every row).
   */
 final class GraftFileIndex(spark: SparkSession, table: String,
-    asOf: Option[Long] = None) extends FileIndex {
+    asOf: Option[Long] = None, only: Option[Set[String]] = None)
+    extends FileIndex {
 
-  private val (liveFiles, tableSchema) = GraftLog.snapshot(spark, table, asOf)
+  private val (allLive, tableSchema) = GraftLog.snapshot(spark, table, asOf)
+  private val liveFiles = only match {
+    case Some(subset) => allLive.filter(subset.contains)
+    case None => allLive
+  }
   private val stats = GraftLog.fileStats(spark, table, asOf)
   private val fsys = GraftLog.fs(spark, table)
+  // FileStatus synthesized from commit-logged byte sizes — zero
+  // filesystem RPCs for files whose commit recorded them (all commits
+  // written by this version of the log); the per-file getFileStatus is
+  // only the legacy fallback. At 100 TB this is the difference between
+  // O(1) metadata reads and one namenode round-trip per live file on
+  // every query (Delta likewise carries sizes in its log).
+  private val knownSizes = GraftLog.fileSizes(spark, table, asOf)
   private val statuses: Seq[(String, FileStatus)] =
-    liveFiles.map(f => f -> fsys.getFileStatus(new HPath(s"$table/$f")))
+    liveFiles.map { f =>
+      val p = fsys.makeQualified(new HPath(s"$table/$f"))
+      val st = knownSizes.get(f) match {
+        case Some(len) =>
+          new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, p)
+        case None => fsys.getFileStatus(p)
+      }
+      f -> st
+    }
 
   /** Hive `col=val` spec of one relative path (empty for flat files). */
   private def partSpec(f: String): Seq[(String, String)] =
@@ -151,11 +171,17 @@ final class GraftFileIndex(spark: SparkSession, table: String,
 
   // --------------------------- conservative stats-vs-filter evaluation
 
-  /** Numeric casts are monotonic, so a comparison through a cast prunes
-    * with the underlying column's stats; anything else keeps the file. */
+  /** Loss-free WIDENING casts are monotonic, so a comparison through one
+    * prunes with the underlying column's stats. Narrowing casts are NOT:
+    * under non-ANSI semantics `cast(c AS TINYINT) = 100` matches c=1124
+    * (wraps to 100), so pruning a file whose c-stats are [1000, 2000]
+    * would silently drop matching rows. Only `Cast.canUpCast` shapes
+    * qualify (Delta's data-skipping draws the same line); anything else
+    * keeps the file. */
   private def unwrap(e: Expression): Option[Attribute] = e match {
     case a: Attribute => Some(a)
-    case Cast(a: Attribute, dt, _, _) if dt.isInstanceOf[NumericType] =>
+    case Cast(a: Attribute, dt, _, _)
+      if dt.isInstanceOf[NumericType] && Cast.canUpCast(a.dataType, dt) =>
       Some(a)
     case _ => None
   }
@@ -249,6 +275,17 @@ object GraftFileIndex {
   def read(spark: SparkSession, table: String,
       asOf: Option[Long] = None): DataFrame =
     spark.baseRelationToDataFrame(relation(spark, table, asOf))
+
+  /** Read ONLY the given snapshot files (table-root-relative paths) with
+    * partition columns reconstructed — the scan DML rewrites use to load
+    * just the touched files of a hive-partitioned table. */
+  def readSubset(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame = {
+    val idx = new GraftFileIndex(spark, table, None, Some(files.toSet))
+    spark.baseRelationToDataFrame(
+      HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
+        new ParquetFileFormat(), Map.empty)(spark))
+  }
 }
 
 /** `spark.read.format("graft").load(path)` — the DataSource registration

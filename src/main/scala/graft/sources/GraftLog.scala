@@ -68,7 +68,8 @@ object GraftLog {
       remove: Seq[String], schemaDdl: String, timestampMs: Long,
       txn: Option[(String, Long)] = None,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      sizes: Map[String, Long] = Map.empty)
 
   private[sources] val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
@@ -115,10 +116,15 @@ object GraftLog {
           "\"" + esc(col) + "\":[" + mn + "," + mx + "]"
         }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
+    val sizesPart =
+      if (c.sizes.isEmpty) ""
+      else ","+"\"sizes\":" + c.sizes.toSeq.sortBy(_._1).map { case (f, n) =>
+        "\"" + esc(f) + "\":" + n
+      }.mkString("{", ",", "}")
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
-      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$txnsPart}"""
+      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$txnsPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -159,9 +165,19 @@ object GraftLog {
         }
         out.toMap
       }
+    val sizes =
+      if (!n.has("sizes")) Map.empty[String, Long]
+      else {
+        val sn = n.get("sizes")
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        sn.fieldNames().forEachRemaining { f =>
+          out += f -> sn.get(f).asLong()
+        }
+        out.toMap
+      }
     Commit(n.get("version").asLong(), n.get("operation").asText(),
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
-      n.get("timestampMs").asLong(), txn, stats, txns)
+      n.get("timestampMs").asLong(), txn, stats, txns, sizes)
   }
 
   // ------------------------------------------------------------- protocol
@@ -280,7 +296,7 @@ object GraftLog {
     val v = asOf.getOrElse(all.last)
     require(all.contains(v),
       s"version $v of $table does not exist (have ${all.mkString(",")})")
-    val (live, schema) = replay(spark, table, Some(v))
+    val (live, schema, sizes) = replay(spark, table, Some(v))
     // fold the idempotence ledger over everything the checkpoint subsumes
     val prior = checkpointVersions(spark, table).filter(_ < v).lastOption
     val base = prior.map(readCheckpoint(spark, table, _).txns)
@@ -290,7 +306,8 @@ object GraftLog {
     val ledger = (base.toSeq ++ tail).groupMapReduce(_._1)(_._2)(math.max)
     val c = Commit(v, "checkpoint", live.keys.toSeq, Seq.empty,
       schema.toDDL, System.currentTimeMillis(),
-      stats = live.toMap.filter(_._2.nonEmpty), txns = ledger)
+      stats = live.toMap.filter(_._2.nonEmpty), txns = ledger,
+      sizes = sizes.toMap)
     putIfAbsent(spark, table, ckptName(v), toJson(c))
     v
   }
@@ -306,7 +323,7 @@ object GraftLog {
     * later snapshot to the requested version. */
   private def replay(spark: SparkSession, table: String, asOf: Option[Long])
       : (mutable.LinkedHashMap[String, Map[String, (Double, Double)]],
-         StructType) = {
+         StructType, mutable.Map[String, Long]) = {
     val all = versions(spark, table)
     val upTo = asOf match {
       case Some(v) =>
@@ -316,23 +333,25 @@ object GraftLog {
       case None => all
     }
     val live = mutable.LinkedHashMap.empty[String, Map[String, (Double, Double)]]
+    val sizes = mutable.Map.empty[String, Long]
     var schema: StructType = null
+    def fold(c: Commit): Unit = {
+      c.remove.foreach { f => live -= f; sizes -= f }
+      c.add.foreach { f =>
+        live += f -> c.stats.getOrElse(f, Map.empty)
+        c.sizes.get(f).foreach(sizes += f -> _)
+      }
+      schema = StructType.fromDDL(c.schemaDdl)
+    }
     val start: Long = checkpointVersions(spark, table)
       .filter(cv => upTo.nonEmpty && cv <= upTo.last) match {
       case cks if cks.nonEmpty =>
-        val c = readCheckpoint(spark, table, cks.last)
-        c.add.foreach(f => live += f -> c.stats.getOrElse(f, Map.empty))
-        schema = StructType.fromDDL(c.schemaDdl)
+        fold(readCheckpoint(spark, table, cks.last))
         cks.last
       case _ => -1L
     }
-    upTo.filter(_ > start).foreach { v =>
-      val c = readCommit(spark, table, v)
-      c.remove.foreach(live -= _)
-      c.add.foreach(f => live += f -> c.stats.getOrElse(f, Map.empty))
-      schema = StructType.fromDDL(c.schemaDdl)
-    }
-    (live, schema)
+    upTo.filter(_ > start).foreach(v => fold(readCommit(spark, table, v)))
+    (live, schema, sizes)
   }
 
   /** Live file set (table-root-relative) + schema after replaying
@@ -341,8 +360,19 @@ object GraftLog {
       asOf: Option[Long] = None): (Seq[String], StructType) = {
     require(versions(spark, table).nonEmpty,
       s"$table is not a GraftLog table (no $LogDirName)")
-    val (live, schema) = replay(spark, table, asOf)
+    val (live, schema, _) = replay(spark, table, asOf)
     (live.keys.toSeq, schema)
+  }
+
+  /** Byte sizes of the live files, as recorded in their commits (files
+    * committed before sizes were logged are simply absent — callers fall
+    * back to a filesystem probe). Lets a FileIndex synthesize FileStatus
+    * without one namenode RPC per live file, the way Delta carries sizes
+    * in its log. */
+  def fileSizes(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Map[String, Long] = {
+    if (versions(spark, table).isEmpty) Map.empty
+    else replay(spark, table, asOf)._3.toMap
   }
 
   /** Read the table at its latest version (or `VERSION AS OF asOf`). An
@@ -380,15 +410,20 @@ object GraftLog {
   // ------------------------------------------------------------ mutations
 
   /** Write `df`'s rows into a fresh immutable data dir, return the
-    * relative paths of the files produced. */
-  private def stageData(df: DataFrame, table: String): Seq[String] = {
+    * relative paths of the files produced with their byte sizes (logged
+    * in the commit so readers never pay per-file status RPCs). */
+  private def stageData(df: DataFrame, table: String)
+      : (Seq[String], Map[String, Long]) = {
     val rel = s"$DataDirName/${UUID.randomUUID()}"
     val dir = s"$table/$rel"
     df.write.parquet(dir)
     val f = fs(df.sparkSession, table)
-    f.listStatus(new HPath(dir)).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .sorted.map(n => s"$rel/$n")
+    val entries = f.listStatus(new HPath(dir)).toSeq
+      .filter(st => st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => s"$rel/${st.getPath.getName}" -> st.getLen)
+      .sortBy(_._1)
+    (entries.map(_._1), entries.toMap)
   }
 
   private def nextVersion(spark: SparkSession, table: String): Long =
@@ -427,10 +462,13 @@ object GraftLog {
       .collect()
     // match scanned URIs back to the staged relative paths by decoded
     // suffix — partitioned layouts repeat the same part-file NAME across
-    // col=val dirs, so a name-only key would misattribute stats
+    // col=val dirs, so a name-only key would misattribute stats; keyed by
+    // full relative path (everything from "_data/") so the lookup is an
+    // O(1) map probe, not a linear scan per scanned file
+    val staged = files.toSet
     rows.flatMap { r =>
       val scanned = new java.net.URI(r.getString(0)).getPath
-      files.find(f => scanned.endsWith("/" + f)).map { f =>
+      relPathOf(scanned).filter(staged.contains).map { f =>
         f -> nf.flatMap { fd =>
           val mn = r.getAs[Any](s"mn_${fd.name}")
           val mx = r.getAs[Any](s"mx_${fd.name}")
@@ -442,10 +480,27 @@ object GraftLog {
     }.toMap
   }
 
-  private def stageWithStats(df: DataFrame, table: String)
-      : (Seq[String], Map[String, Map[String, (Double, Double)]]) = {
-    val added = stageData(df, table)
-    (added, collectStats(df.sparkSession, table, added, df.schema))
+  /** Table-root-relative path of an absolute scanned path: the suffix
+    * from the staging dir marker on. Every data file lives under
+    * `<table>/_data/...`, and partition VALUES cannot smuggle a
+    * `/_data/` segment in (hive-escaping encodes slashes), so the last
+    * occurrence of the marker is the staging root. */
+  private def relPathOf(absolute: String): Option[String] = {
+    val marker = s"/$DataDirName/"
+    val i = absolute.lastIndexOf(marker)
+    if (i < 0) None else Some(absolute.substring(i + 1))
+  }
+
+  /** Result of staging a write: file list, per-file min/max stats,
+    * per-file byte sizes — everything the commit records per added file. */
+  private case class Staged(files: Seq[String],
+      stats: Map[String, Map[String, (Double, Double)]],
+      sizes: Map[String, Long])
+
+  private def stageWithStats(df: DataFrame, table: String): Staged = {
+    val (added, sizes) = stageData(df, table)
+    Staged(added, collectStats(df.sparkSession, table, added, df.schema),
+      sizes)
   }
 
   /** Stats of the LIVE file set (same replay as [[snapshot]]). */
@@ -453,7 +508,10 @@ object GraftLog {
       asOf: Option[Long] = None)
       : Map[String, Map[String, (Double, Double)]] = {
     if (versions(spark, table).isEmpty) Map.empty
-    else replay(spark, table, asOf)._1.toMap
+    else {
+      val (live, _, _) = replay(spark, table, asOf)
+      live.toMap
+    }
   }
 
   /** Files of the current snapshot whose [min, max] stats for `column`
@@ -478,15 +536,26 @@ object GraftLog {
     * driven entirely by commit-log metadata. */
   def readPruned(spark: SparkSession, table: String, column: String,
       lo: Double, hi: Double): DataFrame = {
-    val (_, schema) = snapshot(spark, table)
-    val kept = prunedFiles(spark, table, column, lo, hi)
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(kept.map(f => s"$table/$f"): _*)
-    base.filter(col(column) >= lo && col(column) <= hi)
+    val (files, schema) = snapshot(spark, table)
+    if (hasPartitionedFiles(files))
+      // partition columns live in paths, not data files, so the
+      // schema-directed parquet read below would return them as NULL;
+      // the FileIndex read reconstructs them AND prunes (partition
+      // dirs exactly, data files via commit-log stats) from the
+      // pushed-down range filter
+      GraftFileIndex.read(spark, table)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+        .filter(col(column) >= lo && col(column) <= hi)
+    else {
+      val kept = prunedFiles(spark, table, column, lo, hi)
+      val base =
+        if (kept.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema)
+          .parquet(kept.map(f => s"$table/$f"): _*)
+      base.filter(col(column) >= lo && col(column) <= hi)
+    }
   }
 
   /** Atomic overwrite: readers see the old snapshot until the single
@@ -498,10 +567,11 @@ object GraftLog {
     val prior =
       if (versions(spark, table).isEmpty) Seq.empty[String]
       else snapshot(spark, table)._1
-    val (added, st) = stageWithStats(df, table)
+    val s = stageWithStats(df, table)
     val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "overwrite", added, prior,
-      df.schema.toDDL, System.currentTimeMillis(), stats = st))
+    writeCommit(spark, table, Commit(v, "overwrite", s.files, prior,
+      df.schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      sizes = s.sizes))
     v
   }
 
@@ -517,27 +587,29 @@ object GraftLog {
   /** Stage `df` hive-partitioned (`col=val` dirs, partition columns NOT
     * in the data files) + per-file stats over the data columns. */
   private def stagePartitionedWithStats(df: DataFrame, table: String,
-      partCols: Seq[String])
-      : (Seq[String], Map[String, Map[String, (Double, Double)]]) = {
+      partCols: Seq[String]): Staged = {
     partCols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
       s"partition column $c not in ${df.columns.mkString(",")}"))
     val rel = s"$DataDirName/${UUID.randomUUID()}"
     val dir = s"$table/$rel"
     df.write.partitionBy(partCols: _*).parquet(dir)
     val f = fs(df.sparkSession, table)
-    def walk(p: HPath): Seq[String] =
+    def walk(p: HPath): Seq[(String, Long)] =
       f.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
-          walk(st.getPath).map(s"$n/" + _)
+          walk(st.getPath).map { case (s, len) => (s"$n/$s", len) }
         else if (!st.isDirectory && n.endsWith(".parquet") &&
-          !n.startsWith(".") && !n.startsWith("_")) Seq(n)
+          !n.startsWith(".") && !n.startsWith("_")) Seq((n, st.getLen))
         else Seq.empty
       }
-    val added = walk(new HPath(dir)).sorted.map(s"$rel/" + _)
+    val entries = walk(new HPath(dir)).sortBy(_._1)
+      .map { case (s, len) => (s"$rel/$s", len) }
+    val added = entries.map(_._1)
     val dataSchema = StructType(df.schema.fields.filterNot(fd =>
       partCols.exists(_.equalsIgnoreCase(fd.name))))
-    (added, collectStats(df.sparkSession, table, added, dataSchema))
+    Staged(added, collectStats(df.sparkSession, table, added, dataSchema),
+      entries.toMap)
   }
 
   /** Atomic overwrite with hive partitioning (`PARTITIONED BY` analog,
@@ -551,10 +623,11 @@ object GraftLog {
     val prior =
       if (versions(spark, table).isEmpty) Seq.empty[String]
       else snapshot(spark, table)._1
-    val (added, st) = stagePartitionedWithStats(df, table, partCols)
+    val s = stagePartitionedWithStats(df, table, partCols)
     val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "overwrite", added, prior,
-      df.schema.toDDL, System.currentTimeMillis(), stats = st))
+    writeCommit(spark, table, Commit(v, "overwrite", s.files, prior,
+      df.schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      sizes = s.sizes))
     v
   }
 
@@ -564,25 +637,55 @@ object GraftLog {
     val spark = df.sparkSession
     val (aligned, ddl) = latestVersion(spark, table) match {
       case Some(_) =>
-        val cur = snapshot(spark, table)._2
+        val (files, cur) = snapshot(spark, table)
+        val existing = layoutPartCols(files)
+        require(files.isEmpty ||
+          existing.map(_.toLowerCase) == partCols.map(_.toLowerCase),
+          s"appendPartitioned(${partCols.mkString(",")}) does not match " +
+            s"the table's layout (${existing.mkString(",")}) — mixed " +
+            "layouts would break path-derived partition reconstruction")
         (enforceSchema(df, cur, "appendPartitioned"), cur.toDDL)
       case None => (df, df.schema.toDDL)
     }
-    val (added, st) = stagePartitionedWithStats(aligned, table, partCols)
+    val s = stagePartitionedWithStats(aligned, table, partCols)
     val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "append", added, Seq.empty, ddl,
-      System.currentTimeMillis(), stats = st))
+    writeCommit(spark, table, Commit(v, "append", s.files, Seq.empty, ddl,
+      System.currentTimeMillis(), stats = s.stats, sizes = s.sizes))
     v
   }
 
-  /** File-rewriting ops (merge/delete/compact) stage flat files; letting
-    * them run on a hive-partitioned layout would silently produce files
-    * MISSING the partition columns. Loud beats wrong. */
+  /** Whole-table rewrite ops (compact/clusterBy) stage flat files;
+    * letting them run on a hive-partitioned layout would silently produce
+    * files MISSING the partition columns. Loud beats wrong. (merge and
+    * delete handle partitioned layouts natively — they re-stage through
+    * [[stagePartitionedWithStats]].) */
   private def requireUnpartitioned(files: Seq[String], op: String): Unit =
     require(!hasPartitionedFiles(files),
       s"$op on a hive-partitioned GraftLog table is not supported " +
-        "(overwritePartitioned/appendPartitioned/read only); rewrite " +
-        "via overwritePartitioned instead")
+        "(merge/delete/overwritePartitioned/appendPartitioned/read only); " +
+        "rewrite via overwritePartitioned instead")
+
+  /** Partition column names of the current layout in path order (empty
+    * for a flat table). Layout uniformity is enforced at read time by
+    * [[GraftFileIndex]], so the first file's spec speaks for all. */
+  private def layoutPartCols(files: Seq[String]): Seq[String] =
+    files.headOption.toSeq.flatMap(_.split('/').dropRight(1)
+      .filter(_.contains('=')).map(_.takeWhile(_ != '=')))
+
+  /** Read a SUBSET of a snapshot's files with the table's full schema —
+    * partition columns reconstructed from paths when the layout is
+    * hive-partitioned (via a file-restricted [[GraftFileIndex]]), plain
+    * schema-directed parquet otherwise. */
+  private def readSubset(spark: SparkSession, table: String,
+      files: Seq[String], schema: StructType): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (hasPartitionedFiles(files))
+      GraftFileIndex.readSubset(spark, table, files)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    else spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
 
   /** Schema enforcement shared by [[append]] and [[txnAppend]]: the batch
     * must carry exactly the table's columns WITH the table's types — a
@@ -641,14 +744,15 @@ object GraftLog {
     val spark = df.sparkSession
     val (aligned, ddl) = latestVersion(spark, table) match {
       case Some(_) =>
-        val cur = snapshot(spark, table)._2
+        val (files, cur) = snapshot(spark, table)
+        requireUnpartitioned(files, "append")
         (enforceSchema(df, cur, "append"), cur.toDDL)
       case None => (df, df.schema.toDDL)
     }
-    val (added, st) = stageWithStats(aligned, table)
+    val s = stageWithStats(aligned, table)
     val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "append", added, Seq.empty,
-      ddl, System.currentTimeMillis(), stats = st))
+    writeCommit(spark, table, Commit(v, "append", s.files, Seq.empty,
+      ddl, System.currentTimeMillis(), stats = s.stats, sizes = s.sizes))
     v
   }
 
@@ -676,10 +780,11 @@ object GraftLog {
         StructType(cur.fields ++
           df.schema.fields.filterNot(f => curNames(f.name.toLowerCase)))
     }
-    val (added, st) = stageWithStats(df, table)
+    val s = stageWithStats(df, table)
     val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "appendMergeSchema", added,
-      Seq.empty, merged.toDDL, System.currentTimeMillis(), stats = st))
+    writeCommit(spark, table, Commit(v, "appendMergeSchema", s.files,
+      Seq.empty, merged.toDDL, System.currentTimeMillis(),
+      stats = s.stats, sizes = s.sizes))
     v
   }
 
@@ -715,11 +820,12 @@ object GraftLog {
     else {
       val (aligned, ddl) = latestVersion(spark, table) match {
         case Some(_) => // same gate as append()
-          val cur = snapshot(spark, table)._2
+          val (files, cur) = snapshot(spark, table)
+          requireUnpartitioned(files, "streaming append")
           (enforceSchema(df, cur, "streaming append"), cur.toDDL)
         case None => (df, df.schema.toDDL)
       }
-      val (added, st) = stageWithStats(aligned, table)
+      val s = stageWithStats(aligned, table)
       // The ledger check and the version claim are not one atomic step, so
       // two concurrent deliveries of the same (appId, batchId) can both
       // pass the check. The put-if-absent commit serializes them: the
@@ -732,9 +838,9 @@ object GraftLog {
       while (result.isEmpty) {
         val v = nextVersion(spark, table)
         try {
-          writeCommit(spark, table, Commit(v, "streamingAppend", added,
+          writeCommit(spark, table, Commit(v, "streamingAppend", s.files,
             Seq.empty, ddl, System.currentTimeMillis(),
-            Some((appId, batchId)), stats = st))
+            Some((appId, batchId)), stats = s.stats, sizes = s.sizes))
           result = Some(true)
         } catch {
           case _: CommitConflictException =>
@@ -762,24 +868,23 @@ object GraftLog {
     Thread.sleep(math.min(50L * attempts, 500L))
   }
 
-  /** Relative-path tail used to match `input_file_name()` URIs back to
-    * snapshot entries: the `<uuid>/<part-file>` suffix is unique because
-    * every staged dir is a fresh UUID. */
-  private def fileTail(p: String): String =
-    p.split('/').takeRight(2).mkString("/")
-
   /** Data files of the current snapshot that contain at least one row
     * matching `probe` (a left-semi broadcast — the table side never
-    * shuffles; the collect is file *names*, metadata-sized). */
+    * shuffles; the collect is file *names*, metadata-sized). Matching
+    * scanned URIs back to snapshot entries uses the full
+    * table-root-relative path, exact for flat AND partitioned layouts
+    * (a partitioned job repeats the same part-file NAME across `col=val`
+    * dirs, so any name-based tail would be ambiguous). */
   private def touchedFiles(spark: SparkSession, table: String,
       files: Seq[String], schema: StructType,
       probe: DataFrame => DataFrame): Seq[String] = {
-    val withFile = spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+    val withFile = readSubset(spark, table, files, schema)
       .withColumn("__gf_file", input_file_name())
-    val tails = probe(withFile).select(col("__gf_file")).distinct()
-      .collect().map(r => fileTail(r.getString(0))).toSet
-    files.filter(f => tails.contains(fileTail(f)))
+    val rels = probe(withFile).select(col("__gf_file")).distinct()
+      .collect()
+      .flatMap(r => relPathOf(new java.net.URI(r.getString(0)).getPath))
+      .toSet
+    files.filter(rels.contains)
   }
 
   /** MERGE INTO-equivalent upsert (when matched update all, when not
@@ -828,7 +933,7 @@ object GraftLog {
       txn: Option[(String, Long)]): Long = {
     val spark = source.sparkSession
     val (files, schema) = snapshot(spark, table)
-    requireUnpartitioned(files, "merge")
+    val partCols = layoutPartCols(files)
     val src = enforceSchema(source, schema, "merge")
     val srcKeys = src.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, table, files, schema,
@@ -841,8 +946,7 @@ object GraftLog {
         lit(true).as("__s_matched"): _*)
 
     val updated = if (touched.isEmpty) None else {
-      val t = spark.read.schema(schema)
-        .parquet(touched.map(f => s"$table/$f"): _*)
+      val t = readSubset(spark, table, touched, schema)
       Some(t.join(broadcast(marked), keys, "left_outer")
         .select(schema.fieldNames.map { c =>
           if (keys.contains(c)) col(c)
@@ -853,22 +957,22 @@ object GraftLog {
     // a source key matching ANY target row makes its file touched, so
     // "not matched in the touched files" == "not matched in the table"
     val inserts = {
-      val touchedKeys =
-        if (touched.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(schema.fields.filter(f => keys.contains(f.name))))
-        else spark.read.schema(schema)
-          .parquet(touched.map(f => s"$table/$f"): _*)
-          .select(keys.map(col): _*)
+      val touchedKeys = readSubset(spark, table, touched, schema)
+        .select(keys.map(col): _*)
       src.join(touchedKeys, keys, "left_anti")
         .select(schema.fieldNames.map(col): _*)
     }
     val rewritten = updated.map(_.unionByName(inserts)).getOrElse(inserts)
-    val (added, st) = stageWithStats(rewritten, table)
+    // a partitioned target re-stages hive-partitioned, so the rewrite
+    // keeps the layout (files land back under their col=val dirs)
+    val s =
+      if (partCols.nonEmpty) stagePartitionedWithStats(rewritten, table,
+        partCols)
+      else stageWithStats(rewritten, table)
     val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "merge", added, touched,
-      schema.toDDL, System.currentTimeMillis(), txn, stats = st))
+    writeCommit(spark, table, Commit(v, "merge", s.files, touched,
+      schema.toDDL, System.currentTimeMillis(), txn, stats = s.stats,
+      sizes = s.sizes))
     v
   }
 
@@ -880,18 +984,20 @@ object GraftLog {
     * (a bare `!predicate` filter would drop them). */
   def delete(spark: SparkSession, table: String, predicate: Column): Long = {
     val (files, schema) = snapshot(spark, table)
-    requireUnpartitioned(files, "delete")
+    val partCols = layoutPartCols(files)
     val touched = touchedFiles(spark, table, files, schema,
       _.filter(predicate))
-    val added = if (touched.isEmpty) Seq.empty[String] else {
-      val kept = spark.read.schema(schema)
-        .parquet(touched.map(f => s"$table/$f"): _*)
+    val s = if (touched.isEmpty) Staged(Seq.empty, Map.empty, Map.empty)
+    else {
+      val kept = readSubset(spark, table, touched, schema)
         .filter(!coalesce(predicate, lit(false)))
-      stageData(kept, table)
+      if (partCols.nonEmpty) stagePartitionedWithStats(kept, table, partCols)
+      else stageWithStats(kept, table)
     }
     val v = nextVersion(spark, table)
-    writeCommit(spark, table, new Commit(v, "delete", added, touched,
-      schema.toDDL, System.currentTimeMillis()))
+    writeCommit(spark, table, Commit(v, "delete", s.files, touched,
+      schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      sizes = s.sizes))
     v
   }
 
@@ -910,10 +1016,11 @@ object GraftLog {
     requireUnpartitioned(files, "compact")
     val current = spark.read.schema(schema)
       .parquet(files.map(f => s"$table/$f"): _*)
-    val (added, st) = stageWithStats(current.coalesce(targetFiles), table)
+    val s = stageWithStats(current.coalesce(targetFiles), table)
     val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "compact", added, files,
-      schema.toDDL, System.currentTimeMillis(), stats = st))
+    writeCommit(spark, table, Commit(v, "compact", s.files, files,
+      schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      sizes = s.sizes))
     v
   }
 
@@ -926,10 +1033,11 @@ object GraftLog {
     val (cur, _) = snapshot(spark, table)
     val (files, schema) = snapshot(spark, table, Some(v))
     val st = fileStats(spark, table, Some(v)).filter(_._2.nonEmpty)
+    val sz = fileSizes(spark, table, Some(v))
     val nv = nextVersion(spark, table)
     writeCommit(spark, table, Commit(nv, "restore", files,
       cur.filterNot(files.toSet), schema.toDDL,
-      System.currentTimeMillis(), stats = st))
+      System.currentTimeMillis(), stats = st, sizes = sz))
     nv
   }
 
@@ -941,8 +1049,19 @@ object GraftLog {
   private[sources] def addedIn(spark: SparkSession, table: String,
       fromExclusive: Long, toInclusive: Long,
       ignoreChanges: Boolean): Seq[String] = {
-    versions(spark, table)
+    val present = versions(spark, table)
       .filter(v => v > fromExclusive && v <= toInclusive)
+    // Version numbers are dense by protocol (each commit claims last+1),
+    // so any hole in the requested range means vacuum truncated commits
+    // INSIDE it — a stream resuming from a checkpoint older than the
+    // vacuum horizon would silently lose those versions' rows. Fail
+    // loudly instead (Delta raises the same way).
+    require(present == ((fromExclusive + 1) to toInclusive),
+      s"streaming read of $table needs commit versions " +
+        s"(${fromExclusive}, $toInclusive] but the log holds only " +
+        s"[${present.mkString(",")}] — vacuum truncated part of the " +
+        "range; restart the stream from a fresh checkpoint")
+    present
       .flatMap { v =>
         val c = readCommit(spark, table, v)
         require(ignoreChanges || c.remove.isEmpty,
@@ -996,10 +1115,11 @@ object GraftLog {
       .repartitionByRange(targetFiles, col("__gf_z"))
       .sortWithinPartitions(col("__gf_z"))
       .drop("__gf_z")
-    val (added, st) = stageWithStats(rewritten, table)
+    val s = stageWithStats(rewritten, table)
     val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "cluster", added, files,
-      schema.toDDL, System.currentTimeMillis(), stats = st))
+    writeCommit(spark, table, Commit(v, "cluster", s.files, files,
+      schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      sizes = s.sizes))
     v
   }
 
@@ -1058,13 +1178,27 @@ object GraftLog {
     val f = fs(spark, table)
     val dataDir = new HPath(table, DataDirName)
     if (f.exists(dataDir)) {
-      f.listStatus(dataDir).foreach { d =>
-        f.listStatus(d.getPath).foreach { file =>
-          val rel = s"$DataDirName/${d.getPath.getName}/${file.getPath.getName}"
-          if (!needed.contains(rel)) f.delete(file.getPath, false)
+      // recursive sweep so hive-partitioned staging dirs
+      // (_data/<uuid>/col=val/part-*.parquet) are handled: files are
+      // matched by FULL table-root-relative path, and a directory is
+      // deleted only once everything under it is gone — never a
+      // non-recursive delete of a dir still holding live files
+      def sweep(dir: HPath): Boolean = { // true = dir empty after sweep
+        var empty = true
+        f.listStatus(dir).foreach { st =>
+          if (st.isDirectory) {
+            if (sweep(st.getPath)) f.delete(st.getPath, false)
+            else empty = false
+          } else {
+            val rel = relPathOf(st.getPath.toUri.getPath)
+            if (rel.exists(r => !needed.contains(r)))
+              f.delete(st.getPath, false)
+            else empty = false
+          }
         }
-        if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false)
+        empty
       }
+      sweep(dataDir) // the _data root itself stays
     }
     val logDir = new HPath(table, LogDirName)
     all.dropRight(retainVersions).foreach { v =>

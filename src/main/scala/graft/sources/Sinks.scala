@@ -88,13 +88,30 @@ object Sinks {
   def createOrReplace(df: DataFrame, table: String,
       format: String = "parquet"): Unit = {
     val fmt = resolve(format)
-    try df.writeTo(table).using(fmt).createOrReplace()
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-        graft.operators.Ddl.purgeManagedLocation(df.sparkSession, table)
-        df.write.format(fmt).saveAsTable(table)
+    val spark = df.sparkSession
+    // The built-in V2 session catalog can never stage REPLACE TABLE AS
+    // SELECT, so `writeTo(...).createOrReplace()` would throw on EVERY call
+    // — detect it up front and go straight to DROP + CTAS rather than
+    // paying an exception-driven double catalog round-trip per write.
+    val catalogName =
+      if (table.count(_ == '.') >= 2) table.takeWhile(_ != '.')
+      else spark.catalog.currentCatalog()
+    val builtinSession = catalogName == "spark_catalog" &&
+      spark.conf.getOption("spark.sql.catalog.spark_catalog").isEmpty
+    if (builtinSession) dropThenCtas(df, table, fmt)
+    else {
+      try df.writeTo(table).using(fmt).createOrReplace()
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          dropThenCtas(df, table, fmt)
+      }
     }
+  }
+
+  private def dropThenCtas(df: DataFrame, table: String, fmt: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    graft.operators.Ddl.purgeManagedLocation(df.sparkSession, table)
+    df.write.format(fmt).saveAsTable(table)
   }
 
   /** K5 — `saveAsTable` overwrite into the catalog. */

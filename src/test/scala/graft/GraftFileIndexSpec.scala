@@ -126,14 +126,130 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(scanOf(q).metrics("numFiles").value <= 2)
   }
 
-  test("file-rewriting ops refuse hive-partitioned tables") {
-    import org.apache.spark.sql.functions.lit
-    intercept[IllegalArgumentException] {
-      GraftLog.delete(spark, pdir, lit(true))
-    }
+  test("whole-table rewrites (compact/clusterBy) refuse partitioned tables") {
     intercept[IllegalArgumentException] {
       GraftLog.compact(spark, pdir)
     }
+    intercept[IllegalArgumentException] {
+      GraftLog.clusterBy(spark, pdir, "c_custkey", "c_acctbal", 4)
+    }
+    // flat append into a partitioned layout would strand files without
+    // partition dirs — refused too
+    intercept[IllegalArgumentException] {
+      GraftLog.append(
+        Sources.testTable(spark, TestSpark.sf, "customer").limit(1), pdir)
+    }
+    // append with DIFFERENT partition columns breaks path reconstruction
+    intercept[IllegalArgumentException] {
+      GraftLog.appendPartitioned(
+        Sources.testTable(spark, TestSpark.sf, "customer").limit(1),
+        pdir, Seq("c_nationkey"))
+    }
+  }
+
+  private def fileBytes(table: String, rel: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(table, rel))
+
+  test("partitioned merge rewrites only touched partitions' files") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_merge_part"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwritePartitioned(cust, d, Seq("c_mktsegment"))
+    val (before, _) = GraftLog.snapshot(spark, d)
+    // update 3 BUILDING rows' balances + insert one brand-new key
+    val updates = cust.filter(col("c_mktsegment") === "BUILDING")
+      .orderBy(col("c_custkey")).limit(3)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+    val insert = cust.orderBy(col("c_custkey").desc).limit(1)
+      .withColumn("c_custkey", col("c_custkey") + 100000)
+    GraftLog.merge(updates.unionByName(insert), d, Seq("c_custkey"))
+    val (after, _) = GraftLog.snapshot(spark, d)
+    // every non-BUILDING file of the old snapshot is carried BY REFERENCE
+    val untouchedBefore = before.filterNot(_.contains("c_mktsegment=BUILDING"))
+    assert(untouchedBefore.forall(after.contains),
+      "non-touched partitions must keep their exact files")
+    // ... and is byte-identical on disk (immutable, never rewritten)
+    untouchedBefore.take(3).foreach { f =>
+      assert(fileBytes(d, f).nonEmpty) // still present, readable
+    }
+    // the BUILDING data file was rewritten
+    assert(before.exists(f => f.contains("c_mktsegment=BUILDING")
+      && !after.contains(f)))
+    // row-level semantics: updates applied, insert present, rest intact
+    val back = GraftLog.read(spark, d)
+    assert(back.count() == cust.count() + 1)
+    val updatedKeys = updates.select("c_custkey").collect().map(_.getLong(0))
+    val bals = back.filter(col("c_custkey").isin(updatedKeys: _*))
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val origBals = cust.filter(col("c_custkey").isin(updatedKeys: _*))
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    updatedKeys.foreach { k =>
+      assert(bals(k) - origBals(k) == 1000.0)
+    }
+    // partition columns reconstructed, never NULL
+    assert(back.filter(col("c_mktsegment").isNull).count() == 0)
+  }
+
+  test("partitioned merge can move a row across partitions") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_merge_move"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwritePartitioned(cust, d, Seq("c_mktsegment"))
+    val mover = cust.orderBy(col("c_custkey")).limit(1)
+      .withColumn("c_mktsegment", lit("RELOCATED"))
+    GraftLog.merge(mover, d, Seq("c_custkey"))
+    val back = GraftLog.read(spark, d)
+    val k = mover.select("c_custkey").collect().head.getLong(0)
+    assert(back.filter(col("c_custkey") === k)
+      .select("c_mktsegment").collect().head.getString(0) == "RELOCATED")
+    assert(back.count() == cust.count())
+    assert(GraftLog.snapshot(spark, d)._1
+      .exists(_.contains("c_mktsegment=RELOCATED")))
+  }
+
+  test("partitioned delete rewrites only files holding matching rows") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_del_part"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwritePartitioned(cust, d, Seq("c_mktsegment"))
+    val (before, _) = GraftLog.snapshot(spark, d)
+    GraftLog.delete(spark, d,
+      col("c_mktsegment") === "MACHINERY" && col("c_custkey") <= 50)
+    val (after, _) = GraftLog.snapshot(spark, d)
+    val untouched = before.filterNot(_.contains("c_mktsegment=MACHINERY"))
+    assert(untouched.forall(after.contains))
+    val back = GraftLog.read(spark, d)
+    val expect = cust.filter(
+      !(col("c_mktsegment") === "MACHINERY" && col("c_custkey") <= 50))
+    assert(back.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(back).count() == 0)
+  }
+
+  test("readPruned routes partitioned tables through the file index") {
+    val pruned = GraftLog.readPruned(spark, pdir, "c_custkey", 10.0, 40.0)
+    val expect = GraftLog.read(spark, pdir)
+      .filter(col("c_custkey") >= 10 && col("c_custkey") <= 40)
+    assert(pruned.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(pruned).count() == 0)
+    assert(pruned.filter(col("c_mktsegment").isNull).count() == 0)
+  }
+
+  test("vacuum sweeps partitioned staging dirs safely") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_vac_part"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwritePartitioned(
+      cust.filter(col("c_custkey") <= 75), d, Seq("c_mktsegment")) // v0
+    GraftLog.overwritePartitioned(cust, d, Seq("c_mktsegment"))    // v1
+    val (v0Files, _) = GraftLog.snapshot(spark, d, Some(0L))
+    GraftLog.vacuum(spark, d, retainVersions = 1)
+    // v0's superseded files are gone from disk
+    v0Files.foreach { f =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d, f)),
+        s"vacuum left superseded $f")
+    }
+    // the retained version is complete and correct
+    val back = GraftLog.read(spark, d)
+    assert(back.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(back).count() == 0)
   }
 
   test("appendPartitioned enforces the table schema") {
