@@ -106,6 +106,8 @@ object SparkEntry {
     "e11_dedup_semantic"        -> ((s, d) => Dedup.semanticDedup(s, d)),
     "e12_dedup_edit_distance"   -> ((s, d) => Dedup.editDistanceDedup(s, d)),
     "e13_dedup_containment"     -> ((s, d) => Dedup.containment(s, d)),
+    "e14_dedup_containment_bucketed" ->
+      ((s, d) => Dedup.containmentBucketed(s, d)),
     // LLM-pipeline extensions: similarity search (SURVEY.md §7.6)
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -704,6 +706,64 @@ object SparkEntry {
         |  FROM docs a JOIN docs b ON a.doc_id != b.doc_id
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         |WHERE containment >= 0.5""".stripMargin,
+    // e14: the bucketed twin replays the identical hash-domain pipeline —
+    // size-partition CASE and per-bucket-pair overlap bounds come from
+    // the same Scala generators the Spark plan uses, so candidate
+    // generation is collision-for-collision exact
+    "e14_dedup_containment_bucketed" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), win AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS w
+        |  FROM base WHERE len(toks) >= 3
+        |), hu AS (
+        |  SELECT doc_id, list_transform(w,
+        |    s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) AS u
+        |  FROM win
+        |), parts AS (
+        |  SELECT doc_id, hsh, sz, ${Dedup.containPartSql("sz")} AS part
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_sort(list_distinct(list_transform(u, x ->
+        |        CAST(CASE WHEN x >= '9223372036854775808'::HUGEINT
+        |          THEN x::HUGEINT - '18446744073709551616'::HUGEINT
+        |          ELSE x::HUGEINT END AS BIGINT)))) AS hsh,
+        |      CAST(len(list_distinct(u)) AS INTEGER) AS sz
+        |    FROM hu)
+        |), combos(ps, pl, k) AS (
+        |  VALUES ${Dedup.containCombosSql(0.5)}
+        |), skeys AS (
+        |  SELECT c.ps, c.pl, p.doc_id,
+        |    unnest(list_slice(p.hsh, 1, p.sz - c.k + 1)) AS hs
+        |  FROM parts p JOIN combos c ON p.part = c.ps
+        |), lkeys AS (
+        |  SELECT c.ps, c.pl, p.doc_id,
+        |    unnest(list_slice(p.hsh, 1, p.sz - c.k + 1)) AS hs
+        |  FROM parts p JOIN combos c ON p.part = c.pl
+        |), cand AS (
+        |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_lo,
+        |    greatest(x.doc_id, y.doc_id) AS doc_hi
+        |  FROM skeys x JOIN lkeys y
+        |    ON x.ps = y.ps AND x.pl = y.pl AND x.hs = y.hs
+        |    AND (x.ps != x.pl OR x.doc_id < y.doc_id)
+        |), v AS (
+        |  SELECT c.doc_lo, c.doc_hi,
+        |    len(list_intersect(a.hsh, b.hsh)) AS inter,
+        |    a.sz AS n_lo, b.sz AS n_hi
+        |  FROM cand c JOIN parts a ON a.doc_id = c.doc_lo
+        |              JOIN parts b ON b.doc_id = c.doc_hi
+        |), both_dirs AS (
+        |  SELECT doc_lo AS doc_in, doc_hi AS doc_out,
+        |    CAST(inter AS DOUBLE) / CAST(n_lo AS DOUBLE) AS containment
+        |  FROM v
+        |  UNION ALL
+        |  SELECT doc_hi, doc_lo,
+        |    CAST(inter AS DOUBLE) / CAST(n_hi AS DOUBLE)
+        |  FROM v)
+        |SELECT doc_in, doc_out, round(containment, 6) AS containment
+        |FROM both_dirs WHERE containment >= 0.5""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

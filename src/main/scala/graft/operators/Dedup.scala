@@ -179,6 +179,132 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  // --------------------------------------------- bucketed containment
+
+  /** Size-partition lower bounds for [[containmentBucketed]]: partition p
+    * covers distinct-shingle counts [bounds(p), bounds(p+1)) (last
+    * unbounded). Geometric, so a partition's worst-case size asymmetry is
+    * fixed and the per-partition-pair overlap bound below stays useful. */
+  private[graft] val ContainBounds: Seq[Int] =
+    Seq(1, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+  /** (ps, pl, k) rows for every ordered partition pair ps <= pl: any pair
+    * (a, b) with a in ps, b in pl and max-direction containment >= t has
+    * |A∩B| >= t·na >= t·lo_ps, so k = ceil(t·lo_ps) is a valid minimum
+    * overlap for the pair's prefix filter. Shared verbatim with the
+    * DuckDB oracle (the literal VALUES table below). */
+  private[graft] def containCombos(threshold: Double): Seq[(Int, Int, Int)] =
+    for {
+      ps <- ContainBounds.indices
+      pl <- ps until ContainBounds.length
+    } yield (ps, pl,
+      math.max(1, math.ceil(threshold * ContainBounds(ps)).toInt))
+
+  /** Spark CASE expression assigning a size to its partition index. */
+  private def containPartOf(sz: Column): Column =
+    ContainBounds.tail.zipWithIndex.foldRight(
+      lit(ContainBounds.length - 1): Column) {
+      case ((bound, idx), rest) => when(sz < bound, lit(idx)).otherwise(rest)
+    }
+
+  /** The same partition CASE as DuckDB SQL text (oracle twin). */
+  private[graft] def containPartSql(szExpr: String): String =
+    ContainBounds.tail.zipWithIndex
+      .map { case (b, i) => s"WHEN $szExpr < $b THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${ContainBounds.length - 1} END")
+
+  /** The combos table as DuckDB VALUES text (oracle twin). */
+  private[graft] def containCombosSql(threshold: Double): String =
+    containCombos(threshold)
+      .map { case (ps, pl, k) => s"($ps,$pl,$k)" }.mkString(",")
+
+  /** e14 — size-bucketed containment dedup, the 100 TB production twin
+    * of [[containment]] (e13). The partitioning idea is LSH Ensemble's
+    * (Zhu et al., VLDB 2016: containment search must bucket the indexed
+    * sets by SIZE, because the containment→Jaccard mapping collapses
+    * under size asymmetry); the per-bucket filter here is the
+    * DETERMINISTIC prefix filter rather than banded MinHash, because a
+    * self-join dedup workload probes every bucket pair — the r=1 band
+    * tiers the asymmetric pairs would need make near-everything collide,
+    * while the prefix filter keeps exact recall with a bounded index:
+    *
+    *   - partition docs by distinct-shingle count into geometric buckets
+    *     ([[ContainBounds]]);
+    *   - for each bucket pair (ps <= pl) the minimum overlap any
+    *     containment-t pair can have is k = ceil(t·lo_ps), so each doc
+    *     indexes only its first (sz − k + 1) shingle hashes in the
+    *     global hash order (prefix-filter lemma: two sets with
+    *     |A∩B| >= k must share an element in BOTH (sz−k+1)-prefixes —
+    *     witness: the k-th largest common element);
+    *   - candidates meet in a hash-partitioned equi-join on
+    *     (ps, pl, prefix-hash); the exact directional normalizer
+    *     (|A∩B| / |A|, both directions) verifies each pair once.
+    *
+    * Recall is EXACT (supseteq of e13's pairs at the same threshold by
+    * construction — spec-pinned equal on the corpus), unlike a banded
+    * sketch; cost is candidate-pair-bound like e8, with the bucket
+    * overlap bound pruning the high-k combos where most pairs live.
+    * Everything runs in the 64-bit hash domain (fused ShingleHashSet,
+    * sorted arrays, codegen'd two-pointer intersection) — no shingle
+    * strings materialize; the DuckDB oracle replays the identical
+    * pipeline collision-for-collision. */
+  def containmentBucketed(spark: SparkSession, sfDir: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containment threshold must be in (0, 1]")
+    import spark.implicits._
+    val sized = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), graft.functions.SketchExpressions
+        .shingle_hash_set(col("toks"), n).as("hsh"))
+      .select(col("doc_id"), col("hsh"), size(col("hsh")).as("sz"))
+      .withColumn("part", containPartOf(col("sz")))
+      .transform(graft.CacheScope.tracked)
+
+    val combos = containCombos(threshold).toDF("ps", "pl", "k")
+
+    // one prefix-index per role: a doc joins every combo where its
+    // bucket is the small (ps) / large (pl) side, indexing its first
+    // sz−k+1 sorted hashes for that combo's overlap bound k
+    def roleKeys(roleCol: String) = sized
+      .join(broadcast(combos), col("part") === col(roleCol))
+      .select(col("ps"), col("pl"), col("doc_id"),
+        explode(slice(col("hsh"), lit(1), col("sz") - col("k") + 1))
+          .as("hs"))
+    val smallKeys = roleKeys("ps")
+    val largeKeys = roleKeys("pl")
+
+    val cand = smallKeys.as("x").join(largeKeys.as("y"),
+        col("x.ps") === col("y.ps") && col("x.pl") === col("y.pl") &&
+        col("x.hs") === col("y.hs") &&
+        // same-bucket combos hold every doc in both roles: halve by id
+        (col("x.ps") =!= col("x.pl") || col("x.doc_id") < col("y.doc_id")))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_lo"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_hi"))
+      .distinct()
+
+    val verified = cand
+      .join(sized.select(col("doc_id").as("doc_lo"), col("hsh").as("h_lo"),
+        col("sz").as("n_lo")), Seq("doc_lo"))
+      .join(sized.select(col("doc_id").as("doc_hi"), col("hsh").as("h_hi"),
+        col("sz").as("n_hi")), Seq("doc_hi"))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("h_lo"), col("h_hi")))
+      .transform(graft.CacheScope.tracked)
+
+    verified.select(col("doc_lo").as("doc_in"), col("doc_hi").as("doc_out"),
+        (col("inter").cast("double") / col("n_lo").cast("double"))
+          .as("containment"))
+      .unionByName(verified.select(col("doc_hi").as("doc_in"),
+        col("doc_lo").as("doc_out"),
+        (col("inter").cast("double") / col("n_hi").cast("double"))
+          .as("containment")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_in"), col("doc_out"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** e8 — EXACT near-duplicate join with prefix + size filtering, the
     * AllPairs/PPJoin family (Bayardo/Ma/Srikant, WWW 2007; Xiao et al.,
     * WWW 2008; MapReduce formulation per Vernica/Carey/Li, SIGMOD 2010).

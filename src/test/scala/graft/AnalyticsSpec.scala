@@ -200,6 +200,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed containment (e14) recalls every e13 pair, value-equal") {
+    // The prefix filter is deterministic, so e14's recall vs the exact
+    // form is not probabilistic: every e13 pair at the same threshold
+    // must be present with the same (hash-domain) containment value —
+    // the e3-vs-e7 pattern, but with set containment instead of Jaccard.
+    val exact = Dedup.containment(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = Dedup.containmentBucketed(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(bucketed.nonEmpty)
+    exact.foreach { case (pair, c) =>
+      val b = bucketed.get(pair)
+      assert(b.isDefined, s"e14 missed e13 pair $pair (recall violation)")
+      // string-domain vs 64-bit hash-domain shingle sets agree unless a
+      // hash collision fuses shingles — none on this corpus
+      assert(math.abs(b.get - c) < 1e-9,
+        s"$pair: e14 ${b.get} != e13 $c")
+    }
+    // and nothing below threshold leaks out
+    assert(bucketed.values.forall(v => v >= 0.5 - 1e-9 && v <= 1.0 + 1e-9))
+  }
+
   // ------------------------------------------------------ d5 SQL surface
 
   test("CREATE TABLE USING graft: catalog SQL equals the direct filter") {
