@@ -59,6 +59,11 @@ object SparkEntry {
     // SQL DDL over the transactional format: CREATE TABLE USING graft,
     // then plain spark.sql SELECT with pushdown + file skipping
     "d5_graft_sql_table"     -> ((s, d) => Ddl.graftSqlTable(s, d)),
+    // SQL DML text (MERGE INTO / UPDATE / DELETE FROM) routed to the
+    // transactional log by the graft session extension
+    "d6_graft_sql_merge"     -> ((s, d) => Ddl.graftSqlMerge(s, d)),
+    "d7_graft_sql_update_delete" ->
+      ((s, d) => Ddl.graftSqlUpdateDelete(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -685,6 +690,17 @@ object SparkEntry {
     "d5_graft_sql_table" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey BETWEEN 201 AND 500""".stripMargin,
+    // d6: SQL MERGE INTO must equal the relational upsert exactly
+    "d6_graft_sql_merge" -> baseOracle("c4_upsert"),
+    // d7: SQL UPDATE (absolute assignment on one segment) + DELETE
+    // (modulo predicate) — plain CASE/filter over the seed table
+    "d7_graft_sql_update_delete" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING'
+        |       THEN 100.0 + CAST(c_nationkey AS DOUBLE)
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
     // t15: restore rewinds the live set to v0 — the read is the seed
     "t15_graftlog_restore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -117,6 +117,69 @@ object Ddl {
          |FROM $t WHERE c_custkey BETWEEN 201 AND 500""".stripMargin)
   }
 
+  private val stagedSqlM =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d6 — SQL `MERGE INTO` text against a `USING graft` table: the
+    * parser produces Spark's MergeIntoTable plan, and the
+    * [[graft.sql.GraftSparkSessionExtension]] post-hoc rule routes it to
+    * the transactional [[graft.sources.GraftLog.merge]] — the Delta
+    * `MERGE INTO` surface of the reference
+    * (`spark_session_factory.py:70`, `financial_dl_etl.py` merge cycle)
+    * with zero API calls in the query. Oracle: the same relational
+    * upsert as t2/c4 (the SQL surface must not change the answer). */
+  def graftSqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedSqlM.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_sqlm_") + "/customer"
+      graft.sources.GraftLog.overwrite(
+        graft.sources.Sources.testTable(spark, sfDir, "customer"), d)
+      d
+    })
+    val tag = math.abs(sfDir.hashCode).toString.take(8)
+    val t = s"graft_sqlm_cust_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    Incremental.incrementalBatch(spark, sfDir).selectExpr(
+        "inc_custkey AS c_custkey", "inc_name AS c_name",
+        "inc_nationkey AS c_nationkey", "inc_acctbal AS c_acctbal",
+        "inc_mktsegment AS c_mktsegment")
+      .createOrReplaceTempView(s"graft_sqlm_src_$tag")
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING graft_sqlm_src_$tag AS src
+         |ON tgt.c_custkey = src.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.table(t).select("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment")
+  }
+
+  private val stagedSqlU =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d7 — SQL `UPDATE` + `DELETE FROM` text against a `USING graft`
+    * table, routed to the file-pruned [[graft.sources.GraftLog.update]] /
+    * `.delete` by the same extension. */
+  def graftSqlUpdateDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedSqlU.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_sqlu_") + "/customer"
+      graft.sources.GraftLog.overwrite(
+        graft.sources.Sources.testTable(spark, sfDir, "customer"), d)
+      d
+    })
+    val t = s"graft_sqlu_cust_${math.abs(sfDir.hashCode).toString.take(8)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    // the assignment is ABSOLUTE (not `c_acctbal + 100`), so re-running
+    // the query inside a bench repetition is idempotent — the second
+    // UPDATE writes the same values again
+    spark.sql(
+      s"""UPDATE $t SET c_acctbal = 100.0 + CAST(c_nationkey AS DOUBLE)
+         |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    spark.sql(s"DELETE FROM $t WHERE c_custkey % 10 = 0")
+    spark.table(t).select("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment")
+  }
+
   /** K4 round-trip: DataFrameWriterV2 `createOrReplace` + catalog scan. */
   def writeToRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     createDatabase(spark, "graft_lake")

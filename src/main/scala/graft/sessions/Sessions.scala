@@ -69,21 +69,27 @@ object Sessions {
       // — read as raw nanos longs; graft.streaming converts to μs timestamps
       // (same truncation DuckDB applies reading TIMESTAMP_NS).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // graft's own session extension: SQL MERGE/UPDATE/DELETE text routed
+    // to the transactional commit log (the Delta extension line of
+    // `spark_session_factory.py:70`, for the graft format)
+    val graftExt = "graft.sql.GraftSparkSessionExtension"
     profile match {
       case DeltaLake if formatAvailable(DeltaLake) =>
         b = b
           .config("spark.sql.extensions",
-            "io.delta.sql.DeltaSparkSessionExtension")
+            s"io.delta.sql.DeltaSparkSessionExtension,$graftExt")
           .config("spark.sql.catalog.spark_catalog",
             "org.apache.spark.sql.delta.catalog.DeltaCatalog")
       case IcebergLake if formatAvailable(IcebergLake) =>
         b = b
           .config("spark.sql.extensions",
-            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+            "org.apache.iceberg.spark.extensions." +
+              s"IcebergSparkSessionExtensions,$graftExt")
           .config("spark.sql.catalog.local",
             "org.apache.iceberg.spark.SparkCatalog")
           .config("spark.sql.catalog.local.type", "hadoop")
       case _ => // ParquetLake or requested format unavailable → plain parquet
+        b = b.config("spark.sql.extensions", graftExt)
     }
     b
   }

@@ -87,6 +87,10 @@ final class GraftFileIndex(spark: SparkSession, table: String,
 
   def schema: StructType = tableSchema
 
+  /** Root path of the backing GraftLog table — the SQL DML rewrite uses
+    * this to route a resolved relation back to its commit log. */
+  def tablePath: String = table
+
   override def rootPaths: Seq[HPath] = Seq(new HPath(table))
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
   override def inputFiles: Array[String] =

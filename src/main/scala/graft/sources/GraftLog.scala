@@ -1001,6 +1001,47 @@ object GraftLog {
     v
   }
 
+  /** SQL UPDATE semantics, file-pruned like [[delete]]: only files
+    * holding a row where `condition` is TRUE are rewritten; in them,
+    * matching rows get `sets` applied (values cast to the column's
+    * type — ANSI store-assignment) and non-matching rows pass through.
+    * NULL-condition rows do not match (SQL three-valued logic). Works on
+    * flat and hive-partitioned layouts (an update that changes a
+    * partition column moves the row's file). */
+  def update(spark: SparkSession, table: String, condition: Column,
+      sets: Seq[(String, Column)]): Long = {
+    val (files, schema) = snapshot(spark, table)
+    val partCols = layoutPartCols(files)
+    sets.foreach { case (c, _) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"UPDATE of unknown column $c (table has " +
+          s"${schema.fieldNames.mkString(",")})")
+    }
+    val touched = touchedFiles(spark, table, files, schema,
+      _.filter(condition))
+    val s = if (touched.isEmpty) Staged(Seq.empty, Map.empty, Map.empty)
+    else {
+      val matched = coalesce(condition, lit(false))
+      val rewritten = readSubset(spark, table, touched, schema)
+        .select(schema.fields.map { f =>
+          sets.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, v)) =>
+              when(matched, v.cast(f.dataType)).otherwise(col(f.name))
+                .as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+      if (partCols.nonEmpty) stagePartitionedWithStats(rewritten, table,
+        partCols)
+      else stageWithStats(rewritten, table)
+    }
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "update", s.files, touched,
+      schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      sizes = s.sizes))
+    v
+  }
+
   /** OPTIMIZE-style compaction: rewrite the CURRENT live file set into
     * `targetFiles` files and commit the swap. Pure layout change — the
     * committed row set is identical (spec-pinned), older versions stay

@@ -1,0 +1,197 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, StreamBatch}
+
+import graft.sources.{GraftFileIndex, GraftLog}
+
+/** SQL DML text surface for `USING graft` tables — the analog of the
+  * Delta session extension the reference configures
+  * (`mage_demo/utils/spark_session_factory.py:70`): with this class on
+  * `spark.sql.extensions`, plain SQL
+  *
+  * {{{
+  *   MERGE INTO t USING s ON t.k = s.k
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  *   UPDATE t SET c = expr WHERE p
+  *   DELETE FROM t WHERE p
+  * }}}
+  *
+  * executes against the transactional commit log ([[GraftLog.merge]] /
+  * [[GraftLog.update]] / [[GraftLog.delete]]) with the same file-pruned
+  * rewrite semantics as the API calls. Spark's parser already produces
+  * the V2 DML logical plans; what V1 path-backed tables lack is an
+  * execution path — the post-hoc resolution rule below supplies one by
+  * rewriting a DML node whose (resolved) target is a graft-backed
+  * [[HadoopFsRelation]] into an eagerly-executed command, exactly the
+  * Delta-connector architecture (DeltaAnalysis → DeleteCommand etc.).
+  * Unsupported shapes (non-equi merge conditions, conditional merge
+  * actions, WHEN NOT MATCHED BY SOURCE) fail loudly at analysis rather
+  * than computing something subtly different. */
+class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+}
+
+final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  /** (table root, catalog name) when `plan` is a scan of a graft commit
+    * log. The catalog name (from the resolution-added SubqueryAlias) lets
+    * the executed command invalidate exactly the session catalog's cached
+    * relation for this table, so the next `spark.table` resolves a fresh
+    * snapshot. */
+  private def graftPath(plan: LogicalPlan)
+      : Option[(String, Option[String])] = plan match {
+    case SubqueryAlias(id, child) =>
+      graftPath(child).map { case (p, n) =>
+        (p, n.orElse(Some((id.qualifier :+ id.name).mkString("."))))
+      }
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case idx: GraftFileIndex => Some((idx.tablePath, None))
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graft SQL DML: $msg")
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case Cast(c, _, _, _) => attrName(c)
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Resolved attribute refs carry exprIds tied to THIS query's plan;
+    * the command re-reads the table, so comparisons must go by name. */
+  private def byName(e: Expression): Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable =>
+      graftPath(d.table).fold(plan: LogicalPlan) { case (path, name) =>
+        GraftDeleteCommand(path, name, byName(d.condition))
+      }
+
+    case u: UpdateTable =>
+      graftPath(u.table).fold(plan: LogicalPlan) { case (path, name) =>
+        val sets = u.assignments.map { a =>
+          val name = attrName(a.key).getOrElse(
+            fail(s"unsupported UPDATE target ${a.key.sql}"))
+          name -> byName(a.value)
+        }
+        val cond = u.condition.map(byName)
+          .getOrElse(ColumnBridge.column(
+            org.apache.spark.sql.catalyst.expressions.Literal(true)))
+        GraftUpdateCommand(path, name, cond, sets)
+      }
+
+    case m: MergeIntoTable =>
+      graftPath(m.targetTable).fold(plan: LogicalPlan) { case (path, name) =>
+        // keys: the merge condition must be a conjunction of same-name
+        // column equalities (the upsert shape GraftLog.merge implements)
+        val keys = conjuncts(m.mergeCondition).map {
+          case EqualTo(l, r) => (attrName(l), attrName(r)) match {
+            case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => a
+            case _ => fail("merge condition must equate same-named " +
+              s"target/source columns, got ${EqualTo(l, r).sql}")
+          }
+          case other =>
+            fail(s"non-equality merge condition ${other.sql}")
+        }
+        // actions: unconditional UPDATE SET * / INSERT * only (the
+        // analyzer expands the stars into per-column assignments —
+        // verify each is a same-name copy)
+        def starShaped(actions: Seq[MergeAction], what: String): Unit =
+          actions match {
+            case Seq() => fail(s"MERGE needs a WHEN $what clause")
+            case Seq(a: UpdateStarAction) if a.condition.isEmpty => ()
+            case Seq(a: InsertStarAction) if a.condition.isEmpty => ()
+            case Seq(a: UpdateAction) if a.condition.isEmpty &&
+              a.assignments.forall(as =>
+                attrName(as.key).zip(attrName(as.value))
+                  .exists(p => p._1.equalsIgnoreCase(p._2))) => ()
+            case Seq(a: InsertAction) if a.condition.isEmpty &&
+              a.assignments.forall(as =>
+                attrName(as.key).zip(attrName(as.value))
+                  .exists(p => p._1.equalsIgnoreCase(p._2))) => ()
+            case other => fail(s"unsupported WHEN $what shape $other " +
+              "(only unconditional UPDATE SET * / INSERT * are routed)")
+          }
+        starShaped(m.matchedActions, "MATCHED")
+        starShaped(m.notMatchedActions, "NOT MATCHED")
+        if (m.notMatchedBySourceActions.nonEmpty)
+          fail("WHEN NOT MATCHED BY SOURCE is not supported")
+        GraftMergeCommand(path, name, m.sourceTable, keys)
+      }
+
+    case _ => plan
+  }
+}
+
+/** Post-commit cache invalidation: the session catalog caches a V1
+  * relation (with its resolved GraftFileIndex snapshot) per table name —
+  * a later `spark.table` would silently read the PRE-DML version. Refresh
+  * the exact table when the resolution rule captured its name, fall back
+  * to dropping every cached relation otherwise (correctness over reuse —
+  * re-resolution is metadata-priced). */
+private object RefreshAfterDml {
+  def apply(session: SparkSession, path: String,
+      table: Option[String]): Unit = {
+    table match {
+      case Some(t) => session.catalog.refreshTable(t)
+      case None => session.sessionState.catalog.invalidateAllCachedTables()
+    }
+    session.catalog.refreshByPath(path)
+  }
+}
+
+/** `DELETE FROM t WHERE p` → [[GraftLog.delete]]. */
+case class GraftDeleteCommand(path: String, table: Option[String],
+    condition: Column) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.delete(session, path, condition)
+    RefreshAfterDml(session, path, table)
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET ... WHERE p` → [[GraftLog.update]]. */
+case class GraftUpdateCommand(path: String, table: Option[String],
+    condition: Column, sets: Seq[(String, Column)])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.update(session, path, condition, sets)
+    RefreshAfterDml(session, path, table)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO t USING s ON keys…` → [[GraftLog.merge]]. */
+case class GraftMergeCommand(path: String, table: Option[String],
+    source: LogicalPlan, keys: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.merge(StreamBatch.ofPlan(session, source), path, keys)
+    RefreshAfterDml(session, path, table)
+    Seq.empty
+  }
+}

@@ -19,4 +19,13 @@ object StreamBatch {
   def ofRelation(spark: SparkSession, rel: BaseRelation): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession],
       LogicalRelation(rel, isStreaming = true))
+
+  /** A DataFrame over an already-analyzed logical plan — the SQL DML
+    * rewrite uses this to hand MERGE's resolved source subplan to the
+    * transactional merge as a plain DataFrame (Delta's commands do the
+    * same through their own `Dataset.ofRows` access). */
+  def ofPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 }

@@ -233,6 +233,69 @@ class AnalyticsSpec extends AnyFunSuite {
       expect.exceptAll(q).count() == 0)
   }
 
+  test("SQL MERGE INTO a graft table equals the API merge") {
+    val viaSql = graft.operators.Ddl.graftSqlMerge(spark, TestSpark.sf)
+    val viaApi = graft.operators.Transactions.mergedV1(spark, TestSpark.sf)
+    assert(viaSql.exceptAll(viaApi).count() == 0 &&
+      viaApi.exceptAll(viaSql).count() == 0)
+  }
+
+  test("SQL UPDATE + DELETE on a graft table: file-pruned, correct rows") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val d = Staging.tempDir("graft_dmlspec_") + "/cust"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+      .repartitionByRange(6, col("c_custkey"))
+    GraftLog.overwrite(cust, d)
+    val before = GraftLog.snapshot(spark, d)._1.toSet
+    spark.sql("DROP TABLE IF EXISTS dml_spec_t")
+    spark.sql(s"CREATE TABLE dml_spec_t USING graft OPTIONS (path '$d')")
+    spark.sql(
+      """UPDATE dml_spec_t SET c_acctbal = 0.0
+        |WHERE c_custkey <= 10""".stripMargin)
+    // pruning: only the file(s) holding keys <= 10 were rewritten
+    val afterUpdate = GraftLog.snapshot(spark, d)._1.toSet
+    assert((before -- afterUpdate).size < before.size,
+      "UPDATE must not rewrite every file")
+    spark.sql("DELETE FROM dml_spec_t WHERE c_custkey > 140")
+    val back = spark.table("dml_spec_t")
+    val expect = cust
+      .withColumn("c_acctbal",
+        when(col("c_custkey") <= 10, 0.0).otherwise(col("c_acctbal")))
+      .filter(col("c_custkey") <= 140)
+    assert(back.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(back).count() == 0)
+    // history: every statement is one commit, time travel intact
+    assert(GraftLog.versions(spark, d) == Seq(0L, 1L, 2L))
+    assert(GraftLog.readVersion(spark, d, 0L).count() == cust.count())
+  }
+
+  test("unsupported SQL DML shapes fail loudly, not wrongly") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val d = Staging.tempDir("graft_dmlspec_") + "/cust_strict"
+    GraftLog.overwrite(
+      Sources.testTable(spark, TestSpark.sf, "customer"), d)
+    spark.sql("DROP TABLE IF EXISTS dml_strict_t")
+    spark.sql(s"CREATE TABLE dml_strict_t USING graft OPTIONS (path '$d')")
+    Sources.testTable(spark, TestSpark.sf, "customer").limit(5)
+      .createOrReplaceTempView("dml_strict_src")
+    // conditional matched action is not routed
+    intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO dml_strict_t t USING dml_strict_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED AND s.c_acctbal > 0 THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    // non-equi merge condition is not routed
+    intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO dml_strict_t t USING dml_strict_src s
+          |ON t.c_custkey < s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+  }
+
   test("semantic dedup: keeper precedes dropped, pairs share a cluster") {
     val out = Dedup.semanticDedup(spark, TestSpark.sf).collect()
     assert(out.forall(r => r.getLong(2) < r.getLong(1))) // keeper < dropped
