@@ -10,7 +10,7 @@ class DdlSinksSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private def tmp(): String =
-    Files.createTempDirectory("graft_sink_").toString
+    graft.sources.Staging.tempDir("graft_sink_")
 
   test("ddl: create/drop database + table, show tables") {
     Ddl.createDatabase(spark, "graft_ddl_test")

@@ -10,7 +10,7 @@ class GraftLogSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft_log_spec_").resolve("t").toString
+    graft.sources.Staging.tempDir("graft_log_spec_") + "/t"
 
   private def df(ids: Range, tag: String) =
     ids.map(i => (i.toLong, tag)).toDF("id", "tag")

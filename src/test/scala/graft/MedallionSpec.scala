@@ -77,7 +77,8 @@ class MedallionSpec extends AnyFunSuite {
   }
 
   test("lake pipeline e2e: persisted gold equals directly-computed gold") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_lake_test_")
+    val dir = java.nio.file.Paths.get(
+      graft.sources.Staging.tempDir("graft_lake_test_"))
     val fromLake = Medallion.lakePipeline(spark, TestSpark.sf, dir.toString)
       .collect().map(_.toSeq).toSet
     val direct = Medallion.goldMonthlyRollup(spark, TestSpark.sf)

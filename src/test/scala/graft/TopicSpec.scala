@@ -10,7 +10,7 @@ class TopicSpec extends AnyFunSuite {
   private val nParts = Topic.FixturePartitions
 
   private def freshTopic(): String =
-    Files.createTempDirectory("graft_topic_spec_").toString + "/t"
+    graft.sources.Staging.tempDir("graft_topic_spec_") + "/t"
 
   private def sampleRecords(fromId: Int, toId: Int) = {
     import spark.implicits._
