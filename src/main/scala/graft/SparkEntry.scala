@@ -119,6 +119,7 @@ object SparkEntry {
     "f3_knn_ivf"             -> ((s, d) => Similarity.ivfTopK(s, d)),
     "f4_knn_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "f5_embedding_quantize"  -> ((s, d) => Similarity.quantizeAudit(s, d)),
+    "f8_knn_ivfadc"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "f6_knn_quantized"       -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "f7_knn_pq_adc"          -> ((s, d) => Similarity.pqTopK(s, d)),
     // LLM-pipeline extensions: text analysis (SURVEY.md §7.6)
@@ -493,6 +494,7 @@ object SparkEntry {
     // identical expression tree (strict-fold dot of the componentwise
     // diff); the ADC total across subspaces is an exact DECIMAL sum, so
     // the ranking is aggregation-order-free and engine-portable
+    "f8_knn_ivfadc" -> ivfadcOracle,
     "f7_knn_pq_adc" ->
       s"""WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -813,6 +815,100 @@ object SparkEntry {
   /** f7's per-subspace Lloyd unroll: assignment under cb`i` (same
     * strict-fold squared distance as the Spark side), per-(m, c, pos)
     * exact-decimal mean, reassembled as cb`i+1`. */
+  /** f8 oracle: the f3 cell machinery + the f7 PQ machinery composed on
+    * residuals — `subs` here carries RESIDUAL subvectors (so
+    * [[pqLloydCtes]] trains the residual codebooks verbatim), ADC tables
+    * are per probed cell, and the ADC join is cell-confined. */
+  private val ivfadcOracle: String =
+    s"""WITH n AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |), cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+      |  FROM n WHERE vec_id < 16
+      |), asg AS (
+      |  SELECT vec_id, cent_id,
+      |    list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS rv
+      |  FROM (
+      |    SELECT x.vec_id, c.cent_id, x.v, c.cv,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+      |          DESC, c.cent_id) AS crank
+      |    FROM n x CROSS JOIN cents c)
+      |  WHERE crank = 1
+      |), subs AS (
+      |  SELECT vec_id, cent_id, CAST(j AS INTEGER) AS m,
+      |    rv[(j*16 + 1):(j*16 + 16)] AS sub
+      |  FROM asg, UNNEST(range(0, 4)) AS u(j)
+      |), cb0 AS (
+      |  SELECT m, CAST(vec_id AS INTEGER) AS c, sub AS cw
+      |  FROM subs WHERE vec_id < 16
+      |),
+      |${pqLloydCtes(2)},
+      |cb AS (SELECT m, c, cw FROM cb2),
+      |enc AS (
+      |  SELECT vec_id, cent_id, m, c FROM (
+      |    SELECT s.vec_id, s.cent_id, s.m, cb.c,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |        list_dot_product(
+      |          list_transform(list_zip(s.sub, cb.cw), z -> z[1] - z[2]),
+      |          list_transform(list_zip(s.sub, cb.cw), z -> z[1] - z[2]))
+      |          ASC, cb.c ASC) AS r
+      |    FROM subs s JOIN cb USING (m))
+      |  WHERE r = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, cent_id,
+      |    list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS rv
+      |  FROM (
+      |    SELECT x.vec_id, c.cent_id, x.v, c.cv,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+      |          DESC, c.cent_id) AS crank
+      |    FROM n x CROSS JOIN cents c
+      |    WHERE x.vec_id < 10)
+      |  WHERE crank <= 4
+      |), qsubs AS (
+      |  SELECT query_id, cent_id, CAST(j AS INTEGER) AS m,
+      |    rv[(j*16 + 1):(j*16 + 16)] AS sub
+      |  FROM probes, UNNEST(range(0, 4)) AS u(j)
+      |), dts AS (
+      |  SELECT q.query_id, q.cent_id, q.m, cb.c,
+      |    list_dot_product(
+      |      list_transform(list_zip(q.sub, cb.cw), z -> z[1] - z[2]),
+      |      list_transform(list_zip(q.sub, cb.cw), z -> z[1] - z[2]))
+      |      AS dt
+      |  FROM qsubs q JOIN cb USING (m)
+      |), adc AS (
+      |  SELECT d.query_id, e.vec_id,
+      |    sum(CAST(d.dt AS DECIMAL(38,10))) AS adc_d2
+      |  FROM enc e JOIN dts d
+      |    ON d.cent_id = e.cent_id AND d.m = e.m AND d.c = e.c
+      |  WHERE e.vec_id != d.query_id
+      |  GROUP BY 1, 2
+      |), short AS (
+      |  SELECT query_id, vec_id, adc_d2 FROM (
+      |    SELECT query_id, vec_id, adc_d2,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY adc_d2 ASC, vec_id ASC) AS adc_rank
+      |    FROM adc)
+      |  WHERE adc_rank <= 50
+      |), refined AS (
+      |  SELECT t.query_id, t.vec_id, t.adc_d2,
+      |    list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cosine
+      |  FROM short t
+      |  JOIN n c ON c.vec_id = t.vec_id
+      |  JOIN n q ON q.vec_id = t.query_id
+      |)
+      |SELECT query_id, vec_id AS neighbor_id, rank,
+      |  round(CAST(adc_d2 AS DOUBLE), 6) AS adc_d2,
+      |  round(cosine, 6) AS cosine
+      |FROM (
+      |  SELECT query_id, vec_id, adc_d2, cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+      |  FROM refined)
+      |WHERE rank <= 5""".stripMargin
+
   private def pqLloydCtes(iters: Int): String =
     (0 until iters).map { i =>
       s"""pa$i AS (

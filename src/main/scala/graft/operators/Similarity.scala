@@ -440,6 +440,114 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** f8 — IVFADC, the full Jegou/Douze/Schmid 2011 system: [[ivfTopK]]'s
+    * coarse cells and [[pqTopK]]'s product quantizer COMPOSED, with the
+    * codebooks trained on RESIDUALS (v − centroid) — the residual's
+    * energy is a fraction of the vector's, so the same ksub codewords
+    * quantize it far more finely, and the probe only scans `nprobe`
+    * cells instead of the whole code table (pqTopK's ADC touches every
+    * corpus vector; here the candidate set is the probed cells' inverted
+    * lists — the property that makes billion-scale ANN serve from RAM).
+    *
+    * Per-cell wrinkle: ADC lookup tables depend on the probed cell (the
+    * query's residual differs per cell), so `dts` carries
+    * numQueries·nprobe·m·ksub rows — still broadcast-sized; the ADC join
+    * keys on (cent_id, m, c), confining lookups to probed cells.
+    *
+    * Determinism discipline is f7's verbatim: seed codewords = first
+    * ksub vectors' residual subvectors, exact-decimal Lloyd means and
+    * ADC sums, every ranking tiebroken on ids — the DuckDB oracle
+    * unrolls the identical relational pipeline. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, numQueries: Int = 10,
+      k: Int = 5, nCent: Int = 16, nprobe: Int = 4, m: Int = 4,
+      ksub: Int = 16, shortlist: Int = 50): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val corpus = normed(spark, sfDir)
+    val cents = seedCentroids(corpus, nCent)
+    val subDim = 64 / m
+    def sq(a: Column, b: Column): Column = {
+      val d = zip_with(a, b, (x, y) => x - y)
+      Dedup.dot(d, d)
+    }
+    // residual subvectors, tagged with the owning cell
+    def subsOf(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+           |  j -> slice(rv, j * $subDim + 1, $subDim))""".stripMargin))
+        .as(Seq("m", "sub")): _*)
+
+    val asg = nearestCents(corpus, cents, "vec_id", 1)
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("rv"))
+    val corpusSubs = subsOf(asg, Seq(col("vec_id"), col("cent_id")))
+      .transform(graft.CacheScope.tracked)
+
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("c").asc)
+    val iters = 2
+    var codebook = corpusSubs.filter(col("vec_id") < ksub)
+      .select(col("m"), col("vec_id").cast("int").as("c"),
+        col("sub").as("cw"))
+    for (_ <- 0 until iters) {
+      val members = corpusSubs.join(broadcast(codebook), Seq("m"))
+        .withColumn("d2", sq(col("sub"), col("cw")))
+        .withColumn("r", row_number().over(wEnc))
+        .filter(col("r") === 1)
+        .select(col("m"), col("c"), col("sub"))
+      codebook = members
+        .select(col("m"), col("c"), posexplode(col("sub"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("m"), col("c"), col("pos"))
+        .agg(sumExact(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .withColumn("mean",
+          col("sx").cast("double") / col("cnt").cast("double"))
+        .groupBy(col("m"), col("c"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean"))))
+          .as("pm"))
+        .select(col("m"), col("c"),
+          transform(col("pm"), p => p.getField("mean")).as("cw"))
+    }
+    // inverted lists: (cell, vector, subspace code)
+    val codes = corpusSubs.join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", sq(col("sub"), col("cw")))
+      .withColumn("r", row_number().over(wEnc))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cent_id"), col("m"), col("c"))
+    // per-(query, probed-cell) residuals → per-cell ADC lookup tables
+    val probes = nearestCents(
+      corpus.filter(col("vec_id") < numQueries), cents, "vec_id", nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("rv"))
+    val dts = subsOf(probes, Seq(col("query_id"), col("cent_id")))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("dt", sq(col("sub"), col("cw")))
+      .select(col("query_id"), col("cent_id"), col("m"), col("c"),
+        col("dt"))
+    // ADC over probed cells only, exact-decimal totals
+    val adc = codes.join(broadcast(dts), Seq("cent_id", "m", "c"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sumExact(col("dt")).as("adc_d2"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val short = adc.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+    val qs = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val refined = short.join(corpus, Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    refined.withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("adc_d2").cast("double"), 6).as("adc_d2"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** f6 — top-k search over the QUANTIZED corpus: rebuild each vector
     * from its int8 codes (midpoint reconstruction, sorted by dimension)
     * and run the exact brute-force ranking on the reconstructions — the
