@@ -725,7 +725,7 @@ object SparkEntry {
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         |WHERE containment >= 0.5""".stripMargin,
     // e14: the bucketed twin replays the identical hash-domain pipeline —
-    // size-partition CASE and per-bucket-pair overlap bounds come from
+    // the size-partition CASE and per-bucket overlap-bound CASE come from
     // the same Scala generators the Spark plan uses, so candidate
     // generation is collision-for-collision exact
     "e14_dedup_containment_bucketed" ->
@@ -741,31 +741,32 @@ object SparkEntry {
         |    s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) AS u
         |  FROM win
         |), parts AS (
-        |  SELECT doc_id, hsh, sz, ${Dedup.containPartSql("sz")} AS part
+        |  SELECT doc_id, hsh, sz, part,
+        |    ${Dedup.containKSql("part", 0.5)} AS k
         |  FROM (
-        |    SELECT doc_id,
-        |      list_sort(list_distinct(list_transform(u, x ->
-        |        CAST(CASE WHEN x >= '9223372036854775808'::HUGEINT
-        |          THEN x::HUGEINT - '18446744073709551616'::HUGEINT
-        |          ELSE x::HUGEINT END AS BIGINT)))) AS hsh,
-        |      CAST(len(list_distinct(u)) AS INTEGER) AS sz
-        |    FROM hu)
-        |), combos(ps, pl, k) AS (
-        |  VALUES ${Dedup.containCombosSql(0.5)}
-        |), skeys AS (
-        |  SELECT c.ps, c.pl, p.doc_id,
-        |    unnest(list_slice(p.hsh, 1, p.sz - c.k + 1)) AS hs
-        |  FROM parts p JOIN combos c ON p.part = c.ps
-        |), lkeys AS (
-        |  SELECT c.ps, c.pl, p.doc_id,
-        |    unnest(list_slice(p.hsh, 1, p.sz - c.k + 1)) AS hs
-        |  FROM parts p JOIN combos c ON p.part = c.pl
+        |    SELECT doc_id, hsh, sz, ${Dedup.containPartSql("sz")} AS part
+        |    FROM (
+        |      SELECT doc_id,
+        |        list_sort(list_distinct(list_transform(u, x ->
+        |          CAST(CASE WHEN x >= '9223372036854775808'::HUGEINT
+        |            THEN x::HUGEINT - '18446744073709551616'::HUGEINT
+        |            ELSE x::HUGEINT END AS BIGINT)))) AS hsh,
+        |        CAST(len(list_distinct(u)) AS INTEGER) AS sz
+        |      FROM hu))
+        |), sidx AS (
+        |  SELECT doc_id, part, k,
+        |    unnest(list_slice(hsh, 1, sz - k + 1)) AS hs
+        |  FROM parts
+        |), lidx AS (
+        |  SELECT doc_id, part, sz, CAST(i AS INTEGER) - 1 AS pos,
+        |    hsh[CAST(i AS INTEGER)] AS hs
+        |  FROM parts, UNNEST(range(1, len(hsh) + 1)) AS u(i)
         |), cand AS (
-        |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_lo,
-        |    greatest(x.doc_id, y.doc_id) AS doc_hi
-        |  FROM skeys x JOIN lkeys y
-        |    ON x.ps = y.ps AND x.pl = y.pl AND x.hs = y.hs
-        |    AND (x.ps != x.pl OR x.doc_id < y.doc_id)
+        |  SELECT DISTINCT x.doc_id AS doc_lo, y.doc_id AS doc_hi
+        |  FROM sidx x JOIN lidx y ON x.hs = y.hs
+        |    AND (x.part < y.part
+        |         OR (x.part = y.part AND x.doc_id < y.doc_id))
+        |    AND y.pos <= y.sz - x.k
         |), v AS (
         |  SELECT c.doc_lo, c.doc_hi,
         |    len(list_intersect(a.hsh, b.hsh)) AS inter,

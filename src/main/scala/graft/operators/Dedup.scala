@@ -188,18 +188,6 @@ object Dedup {
   private[graft] val ContainBounds: Seq[Int] =
     Seq(1, 8, 16, 32, 64, 128, 256, 512, 1024)
 
-  /** (ps, pl, k) rows for every ordered partition pair ps <= pl: any pair
-    * (a, b) with a in ps, b in pl and max-direction containment >= t has
-    * |A∩B| >= t·na >= t·lo_ps, so k = ceil(t·lo_ps) is a valid minimum
-    * overlap for the pair's prefix filter. Shared verbatim with the
-    * DuckDB oracle (the literal VALUES table below). */
-  private[graft] def containCombos(threshold: Double): Seq[(Int, Int, Int)] =
-    for {
-      ps <- ContainBounds.indices
-      pl <- ps until ContainBounds.length
-    } yield (ps, pl,
-      math.max(1, math.ceil(threshold * ContainBounds(ps)).toInt))
-
   /** Spark CASE expression assigning a size to its partition index. */
   private def containPartOf(sz: Column): Column =
     ContainBounds.tail.zipWithIndex.foldRight(
@@ -213,10 +201,27 @@ object Dedup {
       .map { case (b, i) => s"WHEN $szExpr < $b THEN $i" }
       .mkString("CASE ", " ", s" ELSE ${ContainBounds.length - 1} END")
 
-  /** The combos table as DuckDB VALUES text (oracle twin). */
-  private[graft] def containCombosSql(threshold: Double): String =
-    containCombos(threshold)
-      .map { case (ps, pl, k) => s"($ps,$pl,$k)" }.mkString(",")
+  /** The per-bucket minimum-overlap bound k(p) = max(1, ceil(t·lo_p))
+    * as a CASE over the partition index — shared shape with the oracle
+    * (generated from the same [[containCombos]] constants). */
+  private def containKOf(part: Column, threshold: Double): Column =
+    ContainBounds.indices.init.foldRight(
+      lit(math.max(1, math.ceil(threshold * ContainBounds.last).toInt))
+        : Column) { (p, rest) =>
+      when(part === p,
+        lit(math.max(1, math.ceil(threshold * ContainBounds(p)).toInt)))
+        .otherwise(rest)
+    }
+
+  /** The same k(part) CASE as DuckDB SQL text (oracle twin). */
+  private[graft] def containKSql(partExpr: String,
+      threshold: Double): String =
+    ContainBounds.indices.init
+      .map(p => s"WHEN $partExpr = $p THEN " +
+        s"${math.max(1, math.ceil(threshold * ContainBounds(p)).toInt)}")
+      .mkString("CASE ", " ",
+        s" ELSE ${math.max(1,
+          math.ceil(threshold * ContainBounds.last).toInt)} END")
 
   /** e14 — size-bucketed containment dedup, the 100 TB production twin
     * of [[containment]] (e13). The partitioning idea is LSH Ensemble's
@@ -229,30 +234,34 @@ object Dedup {
     * while the prefix filter keeps exact recall with a bounded index:
     *
     *   - partition docs by distinct-shingle count into geometric buckets
-    *     ([[ContainBounds]]);
-    *   - for each bucket pair (ps <= pl) the minimum overlap any
-    *     containment-t pair can have is k = ceil(t·lo_ps), so each doc
-    *     indexes only its first (sz − k + 1) shingle hashes in the
-    *     global hash order (prefix-filter lemma: two sets with
-    *     |A∩B| >= k must share an element in BOTH (sz−k+1)-prefixes —
-    *     witness: the k-th largest common element);
-    *   - candidates meet in a hash-partitioned equi-join on
-    *     (ps, pl, prefix-hash); the exact directional normalizer
-    *     (|A∩B| / |A|, both directions) verifies each pair once.
+    *     ([[ContainBounds]]); for a pair whose smaller side sits in
+    *     bucket p, any max-direction containment >= t forces
+    *     |A∩B| >= k(p) = ceil(t·lo_p);
+    *   - prefix-filter lemma: two sets with |A∩B| >= k share an element
+    *     in BOTH (sz−k+1)-prefixes of the global hash order (witness:
+    *     the k-th largest common element). So the SMALL side (lower
+    *     bucket) indexes its (sz − k(own bucket) + 1)-prefix ONCE, and
+    *     the large side indexes its full sorted array ONCE with element
+    *     POSITIONS — the pair's prefix bound on the large side,
+    *     pos <= sz_l − k(part_s) + 1, is a residual FILTER on the
+    *     hash-partitioned equi-join, not an index replication. (A
+    *     per-bucket-pair index replays each doc's postings ~P times and
+    *     measured 62× at the ×10 point; this form carries each posting
+    *     at most twice.)
+    *   - the exact directional normalizer (|A∩B| / |A|, both
+    *     directions) verifies each candidate pair once via the
+    *     codegen'd sorted-intersection count.
     *
     * Recall is EXACT (supseteq of e13's pairs at the same threshold by
     * construction — spec-pinned equal on the corpus), unlike a banded
-    * sketch; cost is candidate-pair-bound like e8, with the bucket
-    * overlap bound pruning the high-k combos where most pairs live.
-    * Everything runs in the 64-bit hash domain (fused ShingleHashSet,
-    * sorted arrays, codegen'd two-pointer intersection) — no shingle
-    * strings materialize; the DuckDB oracle replays the identical
-    * pipeline collision-for-collision. */
+    * sketch; cost is candidate-pair-bound like e8. Everything runs in
+    * the 64-bit hash domain (fused ShingleHashSet, sorted arrays) — no
+    * shingle strings materialize; the DuckDB oracle replays the
+    * identical pipeline collision-for-collision. */
   def containmentBucketed(spark: SparkSession, sfDir: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "containment threshold must be in (0, 1]")
-    import spark.implicits._
     val sized = Sources.testTable(spark, sfDir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
@@ -260,37 +269,45 @@ object Dedup {
         .shingle_hash_set(col("toks"), n).as("hsh"))
       .select(col("doc_id"), col("hsh"), size(col("hsh")).as("sz"))
       .withColumn("part", containPartOf(col("sz")))
+      .withColumn("k", containKOf(col("part"), threshold))
       .transform(graft.CacheScope.tracked)
 
-    val combos = containCombos(threshold).toDF("ps", "pl", "k")
+    // small role: own-bucket prefix, indexed once
+    val smallIdx = sized.select(col("doc_id"), col("part"), col("k"),
+      explode(slice(col("hsh"), lit(1), col("sz") - col("k") + 1))
+        .as("hs"))
+    // large role: full sorted array with positions, indexed once
+    val largeIdx = sized.select(col("doc_id"), col("part"), col("sz"),
+      posexplode(col("hsh")).as(Seq("pos", "hs")))
 
-    // one prefix-index per role: a doc joins every combo where its
-    // bucket is the small (ps) / large (pl) side, indexing its first
-    // sz−k+1 sorted hashes for that combo's overlap bound k
-    def roleKeys(roleCol: String) = sized
-      .join(broadcast(combos), col("part") === col(roleCol))
-      .select(col("ps"), col("pl"), col("doc_id"),
-        explode(slice(col("hsh"), lit(1), col("sz") - col("k") + 1))
-          .as("hs"))
-    val smallKeys = roleKeys("ps")
-    val largeKeys = roleKeys("pl")
-
-    val cand = smallKeys.as("x").join(largeKeys.as("y"),
-        col("x.ps") === col("y.ps") && col("x.pl") === col("y.pl") &&
+    val cand = smallIdx.as("x").join(largeIdx.as("y"),
         col("x.hs") === col("y.hs") &&
-        // same-bucket combos hold every doc in both roles: halve by id
-        (col("x.ps") =!= col("x.pl") || col("x.doc_id") < col("y.doc_id")))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_lo"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_hi"))
+        (col("x.part") < col("y.part") ||
+          (col("x.part") === col("y.part") &&
+            col("x.doc_id") < col("y.doc_id"))) &&
+        // the pair's k is the SMALL side's; posexplode is 0-based, so
+        // prefix membership pos+1 <= sz_l − k + 1 is pos <= sz_l − k
+        col("y.pos") <= col("y.sz") - col("x.k"))
+      .select(col("x.doc_id").as("doc_lo"), col("y.doc_id").as("doc_hi"))
       .distinct()
 
+    // verification: attach both docs' sorted hash arrays once per pair,
+    // count the intersection with the codegen'd two-pointer walk, and
+    // PROJECT THE ARRAYS AWAY before persisting — the cached frame is
+    // five primitive columns per pair. (Caching the arrays alongside
+    // measured GBs of block-store pressure at the ×10 point, where the
+    // true pair set grows ~1000× via replica twins; a posting-list
+    // count join was measured even worse — its pair×posting
+    // intermediate is the candidate volume times average set size.)
     val verified = cand
       .join(sized.select(col("doc_id").as("doc_lo"), col("hsh").as("h_lo"),
         col("sz").as("n_lo")), Seq("doc_lo"))
       .join(sized.select(col("doc_id").as("doc_hi"), col("hsh").as("h_hi"),
         col("sz").as("n_hi")), Seq("doc_hi"))
-      .withColumn("inter", graft.functions.SortedIntersectCount
-        .sorted_intersect_count(col("h_lo"), col("h_hi")))
+      .select(col("doc_lo"), col("doc_hi"),
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("h_lo"), col("h_hi")).as("inter"),
+        col("n_lo"), col("n_hi"))
       .transform(graft.CacheScope.tracked)
 
     verified.select(col("doc_lo").as("doc_in"), col("doc_hi").as("doc_out"),

@@ -434,10 +434,19 @@ final class GraftStreamSource(spark: SparkSession, table: String,
     require(!GraftLog.hasPartitionedFiles(files),
       "streaming a hive-partitioned GraftLog table is not supported")
     // a relation over exactly the delta's files, tagged isStreaming=true
-    // (the V1 getBatch contract); an empty delta is an empty file list
+    // (the V1 getBatch contract); an empty delta is an empty file list.
+    // FileStatus comes from commit-logged sizes (one metadata replay per
+    // batch) instead of one filesystem RPC per delta file.
     val fsys = GraftLog.fs(spark, table)
-    val statuses = files
-      .map(f => fsys.getFileStatus(new HPath(s"$table/$f"))).toArray
+    val sizes = GraftLog.fileSizes(spark, table)
+    val statuses = files.map { f =>
+      val p = fsys.makeQualified(new HPath(s"$table/$f"))
+      sizes.get(f) match {
+        case Some(len) =>
+          new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, p)
+        case None => fsys.getFileStatus(p)
+      }
+    }.toArray
     val idx = new StaticFileIndex(new HPath(table), statuses)
     val rel = HadoopFsRelation(idx, StructType(Nil), tableSchema, None,
       new ParquetFileFormat(), Map.empty)(spark)

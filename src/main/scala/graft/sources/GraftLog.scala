@@ -654,10 +654,10 @@ object GraftLog {
     v
   }
 
-  /** Whole-table rewrite ops (compact/clusterBy) stage flat files;
-    * letting them run on a hive-partitioned layout would silently produce
-    * files MISSING the partition columns. Loud beats wrong. (merge and
-    * delete handle partitioned layouts natively — they re-stage through
+  /** clusterBy stages flat files; letting it run on a hive-partitioned
+    * layout would silently produce files MISSING the partition columns.
+    * Loud beats wrong. (merge/delete/update/compact handle partitioned
+    * layouts natively — they re-stage through
     * [[stagePartitionedWithStats]].) */
   private def requireUnpartitioned(files: Seq[String], op: String): Unit =
     require(!hasPartitionedFiles(files),
@@ -1045,19 +1045,35 @@ object GraftLog {
   /** OPTIMIZE-style compaction: rewrite the CURRENT live file set into
     * `targetFiles` files and commit the swap. Pure layout change — the
     * committed row set is identical (spec-pinned), older versions stay
-    * time-travelable until [[vacuum]]. The rewrite is `coalesce`, not
-    * `repartition`: no shuffle, each output task concatenates input
-    * splits — at 100 TB, compaction cost is IO-bound, not exchange-bound.
+    * time-travelable until [[vacuum]]. The flat-layout rewrite is
+    * `coalesce`, not `repartition`: no shuffle, each output task
+    * concatenates input splits — at 100 TB, compaction cost is IO-bound,
+    * not exchange-bound. A hive-partitioned layout compacts to one file
+    * per partition instead (see inline note).
     * The Delta OPTIMIZE analog for the small-files problem streaming
     * appends create (each [[txnAppend]] micro-batch lands its own
     * files). */
   def compact(spark: SparkSession, table: String,
       targetFiles: Int = 1): Long = {
     val (files, schema) = snapshot(spark, table)
-    requireUnpartitioned(files, "compact")
-    val current = spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
-    val s = stageWithStats(current.coalesce(targetFiles), table)
+    val partCols = layoutPartCols(files)
+    val s =
+      if (partCols.isEmpty) {
+        val current = spark.read.schema(schema)
+          .parquet(files.map(f => s"$table/$f"): _*)
+        stageWithStats(current.coalesce(targetFiles), table)
+      } else {
+        // per-partition compaction: hash-repartition by the partition
+        // columns so every partition value's rows land in ONE task, and
+        // the hive-partitioned write emits one file per col=val dir —
+        // the OPTIMIZE shape for partitioned Delta tables (targetFiles
+        // is a flat-layout knob; partition granularity governs here).
+        // One shuffle of the table, like the flat path's coalesce is
+        // one concatenating pass.
+        val current = readSubset(spark, table, files, schema)
+        stagePartitionedWithStats(
+          current.repartition(partCols.map(col): _*), table, partCols)
+      }
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "compact", s.files, files,
       schema.toDDL, System.currentTimeMillis(), stats = s.stats,

@@ -126,10 +126,7 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(scanOf(q).metrics("numFiles").value <= 2)
   }
 
-  test("whole-table rewrites (compact/clusterBy) refuse partitioned tables") {
-    intercept[IllegalArgumentException] {
-      GraftLog.compact(spark, pdir)
-    }
+  test("clusterBy refuses partitioned tables; layout appends guarded") {
     intercept[IllegalArgumentException] {
       GraftLog.clusterBy(spark, pdir, "c_custkey", "c_acctbal", 4)
     }
@@ -231,6 +228,30 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(pruned.exceptAll(expect).count() == 0 &&
       expect.exceptAll(pruned).count() == 0)
     assert(pruned.filter(col("c_mktsegment").isNull).count() == 0)
+  }
+
+  test("partitioned compact: one file per partition, identical rows") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_cmp_part"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    // two appends → two files per partition dir (the small-files layout)
+    GraftLog.overwritePartitioned(
+      cust.filter(col("c_custkey") % 2 === 0), d, Seq("c_mktsegment"))
+    GraftLog.appendPartitioned(
+      cust.filter(col("c_custkey") % 2 === 1), d, Seq("c_mktsegment"))
+    val before = GraftLog.snapshot(spark, d)._1
+    GraftLog.compact(spark, d)
+    val after = GraftLog.snapshot(spark, d)._1
+    // one file per partition value afterwards
+    val perPart = after.groupBy(_.split('/').find(_.contains('=')).get)
+    assert(perPart.values.forall(_.size == 1),
+      s"expected 1 file/partition, got ${perPart.view.mapValues(_.size).toMap}")
+    assert(after.size < before.size)
+    // pure layout change: identical rows, partition columns intact
+    val back = GraftLog.read(spark, d)
+    assert(back.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(back).count() == 0)
+    // pre-compact version still time-travelable
+    assert(GraftLog.readVersion(spark, d, 1L).count() == cust.count())
   }
 
   test("vacuum sweeps partitioned staging dirs safely") {
