@@ -255,6 +255,10 @@ object SparkEntry {
     // files rewritten, result value-identical to the flat merge (t2)
     "t16_graftlog_partitioned_merge" ->
       ((s, d) => Transactions.partitionedMerge(s, d)),
+    // merge-on-read DELETE via deletion vectors: zero files rewritten,
+    // the read masks (file, row_index) positions from the _dv sidecar
+    "t17_graftlog_deletion_vectors" ->
+      ((s, d) => Transactions.afterDvDelete(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -454,6 +458,12 @@ object SparkEntry {
     "t16_graftlog_partitioned_merge" -> baseOracle("c4_upsert"),
     "t3_graftlog_delete" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
+    // t17: the DV delete answers like t3, with zero data files rewritten
+    // (the merge-on-read contract pinned as a literal column)
+    "t17_graftlog_deletion_vectors" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  0 AS n_files_rewritten
         |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
     "t4_graftlog_stream_sink" ->
       """SELECT event_type, count(*) AS n_events,

@@ -89,6 +89,35 @@ object Transactions {
     GraftLog.read(spark, partMergeTable(spark, sfDir))
       .select(customerCols.map(col): _*)
 
+  private val stagedDv =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  private def dvTable(spark: SparkSession, sfDir: String): String =
+    stagedDv.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_dv"
+      GraftLog.overwrite(
+        Sources.testTable(spark, sfDir, "customer")
+          .repartitionByRange(8, col("c_custkey")), dir)
+      GraftLog.deleteVectors(spark, dir, col("c_custkey") % 10 === 0)
+      dir
+    })
+
+  /** t17 — merge-on-read DELETE via deletion vectors: the same predicate
+    * as t3, but NO data file is rewritten — matching (file, row_index)
+    * positions land in a `_dv/` parquet sidecar and the read masks them
+    * with an anti-join on `_metadata`. The `n_files_rewritten` column
+    * pins the merge-on-read contract itself (v0's and v1's live file
+    * sets must be identical); the row set pins the answer. */
+  def afterDvDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = dvTable(spark, sfDir)
+    val f0 = GraftLog.snapshot(spark, dir, Some(0L))._1.toSet
+    val f1 = GraftLog.snapshot(spark, dir, Some(1L))._1.toSet
+    val rewritten = (f1 diff f0).size + (f0 diff f1).size
+    GraftLog.read(spark, dir)
+      .select(customerCols.map(col): _*)
+      .withColumn("n_files_rewritten", lit(rewritten))
+  }
+
   /** t1 — time travel: `VERSION AS OF 0` after a later MERGE rewrote
     * files. Oracle: the untouched `customer` table. */
   def timeTravelV0(spark: SparkSession, sfDir: String): DataFrame =

@@ -35,6 +35,11 @@ final class GraftFileIndex(spark: SparkSession, table: String,
     extends FileIndex {
 
   private val (allLive, tableSchema) = GraftLog.snapshot(spark, table, asOf)
+  // a plain file scan cannot apply deletion-vector masks — reading a
+  // DV-bearing snapshot through the index would resurrect deleted rows
+  require(GraftLog.deletionVectors(spark, table, asOf).isEmpty,
+    s"$table has active deletion vectors; read via GraftLog.read " +
+      "(merge-on-read) or compact() to materialize them first")
   private val liveFiles = only match {
     case Some(subset) => allLive.filter(subset.contains)
     case None => allLive

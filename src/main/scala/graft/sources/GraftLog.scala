@@ -69,7 +69,9 @@ object GraftLog {
       txn: Option[(String, Long)] = None,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
-      sizes: Map[String, Long] = Map.empty)
+      sizes: Map[String, Long] = Map.empty,
+      dvAdd: Seq[String] = Seq.empty,
+      dvRemove: Seq[String] = Seq.empty)
 
   private[sources] val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
@@ -121,10 +123,14 @@ object GraftLog {
       else ","+"\"sizes\":" + c.sizes.toSeq.sortBy(_._1).map { case (f, n) =>
         "\"" + esc(f) + "\":" + n
       }.mkString("{", ",", "}")
+    val dvPart =
+      (if (c.dvAdd.isEmpty) "" else ","+"\"dvAdd\":" + arr(c.dvAdd)) +
+        (if (c.dvRemove.isEmpty) ""
+         else ","+"\"dvRemove\":" + arr(c.dvRemove))
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
-      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$txnsPart}"""
+      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$txnsPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -175,9 +181,12 @@ object GraftLog {
         }
         out.toMap
       }
+    def optArr(f: String): Seq[String] =
+      if (!n.has(f)) Seq.empty else arr(f)
     Commit(n.get("version").asLong(), n.get("operation").asText(),
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
-      n.get("timestampMs").asLong(), txn, stats, txns, sizes)
+      n.get("timestampMs").asLong(), txn, stats, txns, sizes,
+      optArr("dvAdd"), optArr("dvRemove"))
   }
 
   // ------------------------------------------------------------- protocol
@@ -296,7 +305,7 @@ object GraftLog {
     val v = asOf.getOrElse(all.last)
     require(all.contains(v),
       s"version $v of $table does not exist (have ${all.mkString(",")})")
-    val (live, schema, sizes) = replay(spark, table, Some(v))
+    val (live, schema, sizes, dvs) = replay(spark, table, Some(v))
     // fold the idempotence ledger over everything the checkpoint subsumes
     val prior = checkpointVersions(spark, table).filter(_ < v).lastOption
     val base = prior.map(readCheckpoint(spark, table, _).txns)
@@ -307,7 +316,7 @@ object GraftLog {
     val c = Commit(v, "checkpoint", live.keys.toSeq, Seq.empty,
       schema.toDDL, System.currentTimeMillis(),
       stats = live.toMap.filter(_._2.nonEmpty), txns = ledger,
-      sizes = sizes.toMap)
+      sizes = sizes.toMap, dvAdd = dvs.toSeq)
     putIfAbsent(spark, table, ckptName(v), toJson(c))
     v
   }
@@ -323,7 +332,8 @@ object GraftLog {
     * later snapshot to the requested version. */
   private def replay(spark: SparkSession, table: String, asOf: Option[Long])
       : (mutable.LinkedHashMap[String, Map[String, (Double, Double)]],
-         StructType, mutable.Map[String, Long]) = {
+         StructType, mutable.Map[String, Long],
+         mutable.LinkedHashSet[String]) = {
     val all = versions(spark, table)
     val upTo = asOf match {
       case Some(v) =>
@@ -334,6 +344,7 @@ object GraftLog {
     }
     val live = mutable.LinkedHashMap.empty[String, Map[String, (Double, Double)]]
     val sizes = mutable.Map.empty[String, Long]
+    val dvs = mutable.LinkedHashSet.empty[String]
     var schema: StructType = null
     def fold(c: Commit): Unit = {
       c.remove.foreach { f => live -= f; sizes -= f }
@@ -341,6 +352,8 @@ object GraftLog {
         live += f -> c.stats.getOrElse(f, Map.empty)
         c.sizes.get(f).foreach(sizes += f -> _)
       }
+      c.dvRemove.foreach(dvs -= _)
+      c.dvAdd.foreach(dvs += _)
       schema = StructType.fromDDL(c.schemaDdl)
     }
     val start: Long = checkpointVersions(spark, table)
@@ -351,7 +364,7 @@ object GraftLog {
       case _ => -1L
     }
     upTo.filter(_ > start).foreach(v => fold(readCommit(spark, table, v)))
-    (live, schema, sizes)
+    (live, schema, sizes, dvs)
   }
 
   /** Live file set (table-root-relative) + schema after replaying
@@ -360,7 +373,7 @@ object GraftLog {
       asOf: Option[Long] = None): (Seq[String], StructType) = {
     require(versions(spark, table).nonEmpty,
       s"$table is not a GraftLog table (no $LogDirName)")
-    val (live, schema, _) = replay(spark, table, asOf)
+    val (live, schema, _, _) = replay(spark, table, asOf)
     (live.keys.toSeq, schema)
   }
 
@@ -375,14 +388,27 @@ object GraftLog {
     else replay(spark, table, asOf)._3.toMap
   }
 
+  /** Deletion-vector sidecar files active in the snapshot (relative
+    * paths, add order) — empty when every delete was materialized. */
+  def deletionVectors(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Seq[String] = {
+    if (versions(spark, table).isEmpty) Seq.empty
+    else replay(spark, table, asOf)._4.toSeq
+  }
+
   /** Read the table at its latest version (or `VERSION AS OF asOf`). An
     * empty live set still yields a correctly-typed empty frame. */
   def read(spark: SparkSession, table: String,
       asOf: Option[Long] = None): DataFrame = {
     val (files, schema) = snapshot(spark, table, asOf)
+    val dvs = deletionVectors(spark, table, asOf)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
+    else if (dvs.nonEmpty)
+      // merge-on-read: mask DV-deleted positions (flat layouts only —
+      // deleteVectors enforces that at write time)
+      readWithDvs(spark, table, files, schema, dvs)
     else if (hasPartitionedFiles(files))
       // hive layout: partition columns live in the paths, so the read
       // goes through the FileIndex (which also re-exposes them in the
@@ -509,7 +535,7 @@ object GraftLog {
       : Map[String, Map[String, (Double, Double)]] = {
     if (versions(spark, table).isEmpty) Map.empty
     else {
-      val (live, _, _) = replay(spark, table, asOf)
+      val (live, _, _, _) = replay(spark, table, asOf)
       live.toMap
     }
   }
@@ -537,7 +563,12 @@ object GraftLog {
   def readPruned(spark: SparkSession, table: String, column: String,
       lo: Double, hi: Double): DataFrame = {
     val (files, schema) = snapshot(spark, table)
-    if (hasPartitionedFiles(files))
+    if (deletionVectors(spark, table).nonEmpty)
+      // DV masks must apply before anything else; the range filter still
+      // prunes row groups via parquet pushdown, file-level skipping
+      // resumes once compact() materializes the vectors
+      read(spark, table).filter(col(column) >= lo && col(column) <= hi)
+    else if (hasPartitionedFiles(files))
       // partition columns live in paths, not data files, so the
       // schema-directed parquet read below would return them as NULL;
       // the FileIndex read reconstructs them AND prunes (partition
@@ -932,6 +963,7 @@ object GraftLog {
   private def mergeImpl(source: DataFrame, table: String, keys: Seq[String],
       txn: Option[(String, Long)]): Long = {
     val spark = source.sparkSession
+    requireNoDvs(spark, table, "merge")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
     val src = enforceSchema(source, schema, "merge")
@@ -983,6 +1015,7 @@ object GraftLog {
     * the kept-rows filter coalesces NULL to false before negating
     * (a bare `!predicate` filter would drop them). */
   def delete(spark: SparkSession, table: String, predicate: Column): Long = {
+    requireNoDvs(spark, table, "delete")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
     val touched = touchedFiles(spark, table, files, schema,
@@ -1001,6 +1034,79 @@ object GraftLog {
     v
   }
 
+  private val DvDirName = "_dv"
+
+  /** Table-root-relative path of a scanned file as a COLUMN (the DV
+    * machinery needs it per row): everything from the last `_data/`
+    * marker on. Greedy `.*` anchors the regex at the LAST occurrence. */
+  private def relPathCol(filePath: Column): Column =
+    regexp_extract(filePath, "^.*/(_data/.+)$", 1)
+
+  /** Merge-on-read DELETE (Delta deletion vectors): matching rows are
+    * recorded as (file, row_index) positions in a parquet sidecar under
+    * `_dv/`, committed WITHOUT touching any data file — O(matches)
+    * written instead of O(touched files) rewritten, the shape that makes
+    * small deletes (GDPR erasure, late corrections) affordable on a
+    * 100 TB table. [[read]] applies active DVs as a left-anti join on
+    * `_metadata` (file path + row index — positions are stable because
+    * data files are immutable); [[compact]] MATERIALIZES them (rewrites
+    * the filtered table and drops the vectors). File-rewriting ops
+    * (merge/delete/update) refuse while DVs are active — their rewrites
+    * would resurrect deleted rows — so the cycle is: deleteVectors* →
+    * compact → full DML again, mirroring Delta's DV + OPTIMIZE flow.
+    * Flat layouts only (like Delta, DVs predate partitioned support
+    * here; a partitioned table deletes by rewrite). */
+  def deleteVectors(spark: SparkSession, table: String,
+      predicate: Column): Long = {
+    val (files, schema) = snapshot(spark, table)
+    requireUnpartitioned(files, "deleteVectors")
+    val rel = s"$DvDirName/${UUID.randomUUID()}"
+    spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+      .select(relPathCol(col("_metadata.file_path")).as("file_rel"),
+        col("_metadata.row_index").as("row_idx"),
+        coalesce(predicate, lit(false)).as("__gf_hit"))
+      .filter(col("__gf_hit"))
+      .select(col("file_rel"), col("row_idx"))
+      .write.parquet(s"$table/$rel")
+    val f = fs(spark, table)
+    val dvFiles = f.listStatus(new HPath(s"$table/$rel")).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .sorted.map(n => s"$rel/$n")
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "deleteVectors", Seq.empty,
+      Seq.empty, schema.toDDL, System.currentTimeMillis(),
+      dvAdd = dvFiles))
+    v
+  }
+
+  /** Rows masked by the active deletion vectors removed: base scan with
+    * `_metadata` positions, left-anti joined against the DV sidecars.
+    * The DV table is positions only — at production delete rates it is
+    * orders of magnitude smaller than the data. */
+  private def readWithDvs(spark: SparkSession, table: String,
+      files: Seq[String], schema: StructType,
+      dvs: Seq[String]): DataFrame = {
+    val dv = spark.read.parquet(dvs.map(f => s"$table/$f"): _*)
+    val base = spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+      .withColumn("__gf_rel", relPathCol(col("_metadata.file_path")))
+      .withColumn("__gf_row", col("_metadata.row_index"))
+    base.join(dv,
+        base("__gf_rel") === dv("file_rel") &&
+          base("__gf_row") === dv("row_idx"), "left_anti")
+      .drop("__gf_rel", "__gf_row")
+  }
+
+  /** Guard for file-rewriting ops: a rewrite computed without DV
+    * filtering would resurrect deleted rows — loud beats wrong. */
+  private def requireNoDvs(spark: SparkSession, table: String,
+      op: String): Unit =
+    require(deletionVectors(spark, table).isEmpty,
+      s"$op on a table with active deletion vectors is not supported; " +
+        "run compact() first to materialize them")
+
   /** SQL UPDATE semantics, file-pruned like [[delete]]: only files
     * holding a row where `condition` is TRUE are rewritten; in them,
     * matching rows get `sets` applied (values cast to the column's
@@ -1010,6 +1116,7 @@ object GraftLog {
     * partition column moves the row's file). */
   def update(spark: SparkSession, table: String, condition: Column,
       sets: Seq[(String, Column)]): Long = {
+    requireNoDvs(spark, table, "update")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
     sets.foreach { case (c, _) =>
@@ -1057,8 +1164,16 @@ object GraftLog {
       targetFiles: Int = 1): Long = {
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
+    val dvs = deletionVectors(spark, table)
     val s =
-      if (partCols.isEmpty) {
+      if (dvs.nonEmpty) {
+        // materialize deletion vectors: rewrite the DV-filtered table,
+        // drop the vectors in the same commit (the OPTIMIZE step of the
+        // Delta DV lifecycle)
+        stageWithStats(
+          readWithDvs(spark, table, files, schema, dvs)
+            .coalesce(targetFiles), table)
+      } else if (partCols.isEmpty) {
         val current = spark.read.schema(schema)
           .parquet(files.map(f => s"$table/$f"): _*)
         stageWithStats(current.coalesce(targetFiles), table)
@@ -1077,7 +1192,7 @@ object GraftLog {
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "compact", s.files, files,
       schema.toDDL, System.currentTimeMillis(), stats = s.stats,
-      sizes = s.sizes))
+      sizes = s.sizes, dvRemove = dvs))
     v
   }
 
@@ -1121,7 +1236,7 @@ object GraftLog {
     present
       .flatMap { v =>
         val c = readCommit(spark, table, v)
-        require(ignoreChanges || c.remove.isEmpty,
+        require(ignoreChanges || (c.remove.isEmpty && c.dvAdd.isEmpty),
           s"version $v of $table is a '${c.operation}' that removes " +
             "files; streaming reads support append-only histories " +
             "(set ignoreChanges=true to stream rewritten rows too)")
@@ -1231,7 +1346,8 @@ object GraftLog {
     if (all.size <= retainVersions) return
     val keep = all.takeRight(retainVersions)
     checkpoint(spark, table, Some(keep.head))
-    val needed = keep.flatMap(v => snapshot(spark, table, Some(v))._1).toSet
+    val needed = keep.flatMap(v => snapshot(spark, table, Some(v))._1).toSet ++
+      keep.flatMap(v => deletionVectors(spark, table, Some(v)))
     val f = fs(spark, table)
     val dataDir = new HPath(table, DataDirName)
     if (f.exists(dataDir)) {
@@ -1256,6 +1372,28 @@ object GraftLog {
         empty
       }
       sweep(dataDir) // the _data root itself stays
+    }
+    val dvDir = new HPath(table, DvDirName)
+    if (f.exists(dvDir)) {
+      // same sweep over the DV sidecars (their rel paths start _dv/)
+      def sweepDv(dir: HPath): Boolean = {
+        var empty = true
+        f.listStatus(dir).foreach { st =>
+          if (st.isDirectory) {
+            if (sweepDv(st.getPath)) f.delete(st.getPath, false)
+            else empty = false
+          } else {
+            val abs = st.getPath.toUri.getPath
+            val i = abs.lastIndexOf(s"/$DvDirName/")
+            val rel = if (i < 0) None else Some(abs.substring(i + 1))
+            if (rel.exists(r => !needed.contains(r)))
+              f.delete(st.getPath, false)
+            else empty = false
+          }
+        }
+        empty
+      }
+      sweepDv(dvDir)
     }
     val logDir = new HPath(table, LogDirName)
     all.dropRight(retainVersions).foreach { v =>

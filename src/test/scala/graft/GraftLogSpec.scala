@@ -380,4 +380,61 @@ class GraftLogSpec extends AnyFunSuite {
     assert(back.count() == 0)
     assert(back.schema.fieldNames.toSeq == Seq("id", "tag"))
   }
+
+  test("deletion vectors: merge-on-read lifecycle") {
+    val t = tmp()
+    GraftLog.overwrite(
+      df(0 until 100, "seed").repartition(4), t)       // v0
+    val filesBefore = GraftLog.snapshot(spark, t)._1.toSet
+    GraftLog.deleteVectors(spark, t, col("id") % 10 === 0) // v1
+    // merge-on-read: not one data file changed, rows masked on read
+    assert(GraftLog.snapshot(spark, t)._1.toSet == filesBefore)
+    assert(GraftLog.deletionVectors(spark, t).nonEmpty)
+    val masked = GraftLog.read(spark, t)
+    assert(masked.count() == 90)
+    assert(masked.filter(col("id") % 10 === 0).count() == 0)
+    // time travel: v0 still shows everything
+    assert(GraftLog.readVersion(spark, t, 0L).count() == 100)
+    // a second DV commit stacks
+    GraftLog.deleteVectors(spark, t, col("id") === 1L)      // v2
+    assert(GraftLog.read(spark, t).count() == 89)
+    // rewriting DML refuses while DVs are active (rows would resurrect)
+    intercept[IllegalArgumentException] {
+      GraftLog.delete(spark, t, col("id") === 2L)
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.update(spark, t, col("id") === 2L, Seq("tag" -> lit("x")))
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.merge(df(0 until 1, "m"), t, Seq("id"))
+    }
+    // the planner-scan paths refuse too — they cannot apply the mask
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftFileIndex.read(spark, t).count()
+    }
+    // compact materializes: same rows, vectors gone, DML usable again
+    GraftLog.compact(spark, t)                              // v3
+    assert(GraftLog.deletionVectors(spark, t).isEmpty)
+    val solid = GraftLog.read(spark, t)
+    assert(solid.count() == 89)
+    assert(solid.filter(col("id") % 10 === 0 || col("id") === 1L)
+      .count() == 0)
+    GraftLog.delete(spark, t, col("id") === 2L)             // v4 works
+    assert(GraftLog.read(spark, t).count() == 88)
+  }
+
+  test("deletion vectors survive checkpoint + vacuum") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 50, "seed").repartition(4), t) // v0
+    GraftLog.append(df(50 until 60, "more"), t)                  // v1
+    GraftLog.deleteVectors(spark, t, col("id") < 5)              // v2
+    GraftLog.append(df(60 until 65, "tail"), t)                  // v3
+    GraftLog.vacuum(spark, t, retainVersions = 2)
+    // the DV commit was truncated from the log, but the checkpoint
+    // carries the active vector set — the mask still applies
+    assert(GraftLog.versions(spark, t) == Seq(2L, 3L))
+    assert(GraftLog.deletionVectors(spark, t).nonEmpty)
+    assert(GraftLog.read(spark, t).count() == 60) // 65 − 5 masked
+    assert(GraftLog.read(spark, t).filter(col("id") < 5).count() == 0)
+  }
 }
