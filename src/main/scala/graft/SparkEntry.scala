@@ -259,6 +259,10 @@ object SparkEntry {
     // the read masks (file, row_index) positions from the _dv sidecar
     "t17_graftlog_deletion_vectors" ->
       ((s, d) => Transactions.afterDvDelete(s, d)),
+    // Bloom-indexed string point lookup: commit-logged per-file bitmaps
+    // prune hash-distributed files where min/max stats cannot
+    "t18_graftlog_bloom_skipping" ->
+      ((s, d) => Transactions.bloomPointLookup(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -465,6 +469,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  0 AS n_files_rewritten
         |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
+    // t18: the bloom-pruned point lookup must lose no rows — the oracle
+    // is the plain equality with the probe derived the same way
+    "t18_graftlog_bloom_skipping" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_name = (SELECT c_name FROM customer
+        |                WHERE c_custkey = 42)""".stripMargin,
     "t4_graftlog_stream_sink" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)

@@ -102,6 +102,35 @@ object Transactions {
       dir
     })
 
+  private val stagedBloom =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  private def bloomTable(spark: SparkSession, sfDir: String): String =
+    stagedBloom.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_bf"
+      GraftLog.overwriteIndexed(
+        Sources.testTable(spark, sfDir, "customer").repartition(8),
+        dir, Seq("c_name"))
+      dir
+    })
+
+  /** t18 — Bloom-indexed point lookup: `c_name` is hash-distributed
+    * across the 8 files, so min/max stats keep everything; the per-file
+    * Bloom bitmaps in the commit log prune to the file(s) actually
+    * holding the probed name inside `FileSourceScanExec` (spec pins the
+    * numFiles metric; the oracle pins zero lost rows). The probe value
+    * is derived relationally (the name of c_custkey 42) so the oracle
+    * replays it as a scalar subquery. */
+  def bloomPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = bloomTable(spark, sfDir)
+    val probe = Sources.testTable(spark, sfDir, "customer")
+      .filter(col("c_custkey") === 42).select("c_name")
+      .collect().head.getString(0) // one-row metadata probe (g8 pattern)
+    graft.sources.GraftFileIndex.read(spark, dir)
+      .filter(col("c_name") === probe)
+      .select(customerCols.map(col): _*)
+  }
+
   /** t17 — merge-on-read DELETE via deletion vectors: the same predicate
     * as t3, but NO data file is rewritten — matching (file, row_index)
     * positions land in a `_dv/` parquet sidecar and the read masks them

@@ -45,6 +45,14 @@ final class GraftFileIndex(spark: SparkSession, table: String,
     case None => allLive
   }
   private val stats = GraftLog.fileStats(spark, table, asOf)
+  // commit-logged Bloom bitmaps, decoded once per index instance
+  private val blooms: Map[String, Map[String, java.util.BitSet]] =
+    GraftLog.fileBlooms(spark, table, asOf).map { case (f, cols) =>
+      f -> cols.map { case (c, b64) =>
+        c -> java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(b64))
+      }
+    }
   private val fsys = GraftLog.fs(spark, table)
   // FileStatus synthesized from commit-logged byte sizes — zero
   // filesystem RPCs for files whose commit recorded them (all commits
@@ -105,7 +113,8 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     def keepData(rel: String): Boolean =
-      dataFilters.forall(mayMatch(_, stats.getOrElse(rel, Map.empty)))
+      dataFilters.forall(mayMatch(_, stats.getOrElse(rel, Map.empty),
+        blooms.getOrElse(rel, Map.empty)))
     if (partColNames.isEmpty) {
       val kept = statuses.collect { case (rel, st) if keepData(rel) => st }
       Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
@@ -207,10 +216,20 @@ final class GraftFileIndex(spark: SparkSession, table: String,
     case _ => None
   }
 
-  /** May any row of a file with stats `st` satisfy `e`? (true = keep). */
+  /** May any row of a file with stats `st` / Bloom bitmaps `bl`
+    * satisfy `e`? (true = keep). */
   private def mayMatch(e: Expression,
-      st: Map[String, (Double, Double)]): Boolean = {
+      st: Map[String, (Double, Double)],
+      bl: Map[String, java.util.BitSet]): Boolean = {
     def rng(a: Attribute): Option[(Double, Double)] = st.get(a.name)
+    // Bloom membership for a string point probe: definite-miss prunes,
+    // everything else keeps (no bitmap for the column = no claim)
+    def bloomKeep(a: Attribute, v: Any): Boolean =
+      bl.find(_._1.equalsIgnoreCase(a.name)).map(_._2) match {
+        case Some(bits) =>
+          GraftLog.bloomPositionsFor(v, a.dataType).forall(bits.get)
+        case None => true
+      }
     def cmp(l: Expression, r: Expression)
         (keep: ((Double, Double), Double) => Boolean,
          flip: ((Double, Double), Double) => Boolean): Boolean =
@@ -230,8 +249,22 @@ final class GraftFileIndex(spark: SparkSession, table: String,
         }
       }
     e match {
-      case And(a, b) => mayMatch(a, st) && mayMatch(b, st)
-      case Or(a, b) => mayMatch(a, st) || mayMatch(b, st)
+      case And(a, b) => mayMatch(a, st, bl) && mayMatch(b, st, bl)
+      case Or(a, b) => mayMatch(a, st, bl) || mayMatch(b, st, bl)
+      // string point lookups consult the Bloom bitmaps (min/max stats
+      // only exist for numeric columns)
+      case EqualTo(a: Attribute, Literal(v, StringType)) if v != null =>
+        bloomKeep(a, v)
+      case EqualTo(Literal(v, StringType), a: Attribute) if v != null =>
+        bloomKeep(a, v)
+      case EqualNullSafe(a: Attribute, Literal(v, StringType))
+        if v != null => bloomKeep(a, v)
+      case EqualNullSafe(Literal(v, StringType), a: Attribute)
+        if v != null => bloomKeep(a, v)
+      case In(a: Attribute, list)
+        if a.dataType == StringType &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        list.exists { case Literal(v, _) => v == null || bloomKeep(a, v) }
       case EqualTo(l, r) =>
         cmp(l, r)((mm, d) => mm._1 <= d && d <= mm._2,
                   (mm, d) => mm._1 <= d && d <= mm._2)

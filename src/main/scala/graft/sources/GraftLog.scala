@@ -71,7 +71,8 @@ object GraftLog {
       txns: Map[String, Long] = Map.empty,
       sizes: Map[String, Long] = Map.empty,
       dvAdd: Seq[String] = Seq.empty,
-      dvRemove: Seq[String] = Seq.empty)
+      dvRemove: Seq[String] = Seq.empty,
+      blooms: Map[String, Map[String, String]] = Map.empty)
 
   private[sources] val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
@@ -127,10 +128,18 @@ object GraftLog {
       (if (c.dvAdd.isEmpty) "" else ","+"\"dvAdd\":" + arr(c.dvAdd)) +
         (if (c.dvRemove.isEmpty) ""
          else ","+"\"dvRemove\":" + arr(c.dvRemove))
+    val bloomsPart =
+      if (c.blooms.isEmpty) ""
+      else ","+"\"blooms\":" + c.blooms.toSeq.sortBy(_._1).map {
+        case (f, cols) =>
+          "\"" + esc(f) + "\":" + cols.toSeq.sortBy(_._1).map {
+            case (cl, b64) => "\"" + esc(cl) + "\":\"" + esc(b64) + "\""
+          }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
-      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$txnsPart}"""
+      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$txnsPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -183,10 +192,26 @@ object GraftLog {
       }
     def optArr(f: String): Seq[String] =
       if (!n.has(f)) Seq.empty else arr(f)
+    val blooms =
+      if (!n.has("blooms")) Map.empty[String, Map[String, String]]
+      else {
+        val bn = n.get("blooms")
+        val out = scala.collection.mutable.Map
+          .empty[String, Map[String, String]]
+        bn.fieldNames().forEachRemaining { f =>
+          val cn = bn.get(f)
+          val cols = scala.collection.mutable.Map.empty[String, String]
+          cn.fieldNames().forEachRemaining { c =>
+            cols += c -> cn.get(c).asText()
+          }
+          out += f -> cols.toMap
+        }
+        out.toMap
+      }
     Commit(n.get("version").asLong(), n.get("operation").asText(),
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
       n.get("timestampMs").asLong(), txn, stats, txns, sizes,
-      optArr("dvAdd"), optArr("dvRemove"))
+      optArr("dvAdd"), optArr("dvRemove"), blooms)
   }
 
   // ------------------------------------------------------------- protocol
@@ -305,7 +330,7 @@ object GraftLog {
     val v = asOf.getOrElse(all.last)
     require(all.contains(v),
       s"version $v of $table does not exist (have ${all.mkString(",")})")
-    val (live, schema, sizes, dvs) = replay(spark, table, Some(v))
+    val (live, schema, sizes, dvs, blooms) = replay(spark, table, Some(v))
     // fold the idempotence ledger over everything the checkpoint subsumes
     val prior = checkpointVersions(spark, table).filter(_ < v).lastOption
     val base = prior.map(readCheckpoint(spark, table, _).txns)
@@ -316,7 +341,7 @@ object GraftLog {
     val c = Commit(v, "checkpoint", live.keys.toSeq, Seq.empty,
       schema.toDDL, System.currentTimeMillis(),
       stats = live.toMap.filter(_._2.nonEmpty), txns = ledger,
-      sizes = sizes.toMap, dvAdd = dvs.toSeq)
+      sizes = sizes.toMap, dvAdd = dvs.toSeq, blooms = blooms.toMap)
     putIfAbsent(spark, table, ckptName(v), toJson(c))
     v
   }
@@ -333,7 +358,8 @@ object GraftLog {
   private def replay(spark: SparkSession, table: String, asOf: Option[Long])
       : (mutable.LinkedHashMap[String, Map[String, (Double, Double)]],
          StructType, mutable.Map[String, Long],
-         mutable.LinkedHashSet[String]) = {
+         mutable.LinkedHashSet[String],
+         mutable.Map[String, Map[String, String]]) = {
     val all = versions(spark, table)
     val upTo = asOf match {
       case Some(v) =>
@@ -345,12 +371,14 @@ object GraftLog {
     val live = mutable.LinkedHashMap.empty[String, Map[String, (Double, Double)]]
     val sizes = mutable.Map.empty[String, Long]
     val dvs = mutable.LinkedHashSet.empty[String]
+    val blooms = mutable.Map.empty[String, Map[String, String]]
     var schema: StructType = null
     def fold(c: Commit): Unit = {
-      c.remove.foreach { f => live -= f; sizes -= f }
+      c.remove.foreach { f => live -= f; sizes -= f; blooms -= f }
       c.add.foreach { f =>
         live += f -> c.stats.getOrElse(f, Map.empty)
         c.sizes.get(f).foreach(sizes += f -> _)
+        c.blooms.get(f).foreach(blooms += f -> _)
       }
       c.dvRemove.foreach(dvs -= _)
       c.dvAdd.foreach(dvs += _)
@@ -364,7 +392,7 @@ object GraftLog {
       case _ => -1L
     }
     upTo.filter(_ > start).foreach(v => fold(readCommit(spark, table, v)))
-    (live, schema, sizes, dvs)
+    (live, schema, sizes, dvs, blooms)
   }
 
   /** Live file set (table-root-relative) + schema after replaying
@@ -373,7 +401,7 @@ object GraftLog {
       asOf: Option[Long] = None): (Seq[String], StructType) = {
     require(versions(spark, table).nonEmpty,
       s"$table is not a GraftLog table (no $LogDirName)")
-    val (live, schema, _, _) = replay(spark, table, asOf)
+    val (live, schema, _, _, _) = replay(spark, table, asOf)
     (live.keys.toSeq, schema)
   }
 
@@ -394,6 +422,15 @@ object GraftLog {
       asOf: Option[Long] = None): Seq[String] = {
     if (versions(spark, table).isEmpty) Seq.empty
     else replay(spark, table, asOf)._4.toSeq
+  }
+
+  /** Per-file Bloom bitmaps (column → base64 bitset) of the live files —
+    * the string-column point-lookup complement of the numeric min/max
+    * stats, commit-log metadata like everything else. */
+  def fileBlooms(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Map[String, Map[String, String]] = {
+    if (versions(spark, table).isEmpty) Map.empty
+    else replay(spark, table, asOf)._5.toMap
   }
 
   /** Read the table at its latest version (or `VERSION AS OF asOf`). An
@@ -523,6 +560,93 @@ object GraftLog {
       stats: Map[String, Map[String, (Double, Double)]],
       sizes: Map[String, Long])
 
+  // ------------------------------------------------------- bloom indexes
+
+  /** Bloom sizing: m bits / k probes. At m=65536, k=4 a file of 5k
+    * distinct values sits near FPR 1e-3; the bitmap is 8 KiB base64 in
+    * the commit — metadata-priced. Production would size m per expected
+    * rows/file; the PROTOCOL (per-file bitmaps in the log, probes at
+    * plan time) is what matters. */
+  private[sources] val BloomBits = 65536
+  private[sources] val BloomHashes = 4
+
+  /** Per-file Bloom bitmaps over `cols` for freshly staged files — the
+    * string-column complement of [[collectStats]] (min/max cannot prune
+    * point lookups on hash-distributed strings). k seeded xxhash64
+    * probes per value; the per-file position sets come back in one
+    * grouped pass and fold into base64 bitsets driver-side (staged
+    * files of ONE commit — bounded, like the stats collect). */
+  private def collectBlooms(spark: SparkSession, table: String,
+      files: Seq[String], schema: StructType, cols: Seq[String])
+      : Map[String, Map[String, String]] = {
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    cols.foreach(c => require(schema.fields.exists(f =>
+      f.name.equalsIgnoreCase(c) &&
+        f.dataType == org.apache.spark.sql.types.StringType),
+      s"bloom index column $c must be a STRING column of the table"))
+    val posArrays = cols.map { c =>
+      when(col(c).isNotNull, array((0 until BloomHashes).map(i =>
+        pmod(xxhash64(col(c), lit(i)), lit(BloomBits.toLong)).cast("int"))
+        : _*))
+        .otherwise(array().cast("array<int>")).as(s"__pa_$c")
+    }
+    val aggs = cols.map(c =>
+      array_distinct(flatten(collect_list(col(s"__pa_$c"))))
+        .as(s"__pos_$c"))
+    val rows = spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+      .withColumn("__gf_file", input_file_name())
+      .select(col("__gf_file") +: posArrays: _*)
+      .groupBy(col("__gf_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val staged = files.toSet
+    rows.flatMap { r =>
+      val scanned = new java.net.URI(r.getString(0)).getPath
+      relPathOf(scanned).filter(staged.contains).map { f =>
+        f -> cols.zipWithIndex.map { case (c, i) =>
+          val bits = new java.util.BitSet(BloomBits)
+          r.getSeq[Int](i + 1).foreach(bits.set)
+          c -> java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+        }.toMap
+      }
+    }.toMap
+  }
+
+  /** The k probe positions of one literal value — the EXACT hash
+    * pipeline of the write side (`pmod(xxhash64(value, seed), m)`),
+    * evaluated through the same Catalyst expression so a probe can
+    * never drift from the stored bitmaps. */
+  private[sources] def bloomPositionsFor(value: Any,
+      dt: org.apache.spark.sql.types.DataType): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+    (0 until BloomHashes).map { i =>
+      val h = XxHash64(Seq(CLit.create(value, dt), CLit(i)), 42L)
+        .eval(null).asInstanceOf[Long]
+      val m = BloomBits.toLong
+      (((h % m) + m) % m).toInt
+    }
+  }
+
+  /** Atomic overwrite with per-file Bloom indexes on `bloomCols` — the
+    * Delta bloom-filter-index analog: point lookups on the indexed
+    * string columns prune files inside the planner
+    * ([[GraftFileIndex]]), where min/max stats keep everything. */
+  def overwriteIndexed(df: DataFrame, table: String,
+      bloomCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val prior =
+      if (versions(spark, table).isEmpty) Seq.empty[String]
+      else snapshot(spark, table)._1
+    val st = stageWithStats(df, table)
+    val bl = collectBlooms(spark, table, st.files, df.schema, bloomCols)
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "overwrite", st.files, prior,
+      df.schema.toDDL, System.currentTimeMillis(), stats = st.stats,
+      sizes = st.sizes, blooms = bl))
+    v
+  }
+
   private def stageWithStats(df: DataFrame, table: String): Staged = {
     val (added, sizes) = stageData(df, table)
     Staged(added, collectStats(df.sparkSession, table, added, df.schema),
@@ -535,7 +659,7 @@ object GraftLog {
       : Map[String, Map[String, (Double, Double)]] = {
     if (versions(spark, table).isEmpty) Map.empty
     else {
-      val (live, _, _, _) = replay(spark, table, asOf)
+      val (live, _, _, _, _) = replay(spark, table, asOf)
       live.toMap
     }
   }

@@ -230,6 +230,43 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(pruned.filter(col("c_mktsegment").isNull).count() == 0)
   }
 
+  test("bloom index prunes point lookups where min/max stats cannot") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_bloom"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwriteIndexed(cust.repartition(8), d, Seq("c_name"))
+    val total = new GraftFileIndex(spark, d).inputFiles.length
+    assert(total == 8)
+    val probe = cust.filter(col("c_custkey") === 7)
+      .select("c_name").collect().head.getString(0)
+    val q = spark.read.format("graft").load(d)
+      .filter(col("c_name") === probe)
+    val scan = scanOf(q)
+    // hash-distributed names: min/max stats keep all 8 files, the Bloom
+    // bitmaps prune to the one holding the probe (FPR ~1e-3 per file
+    // leaves a little slack)
+    assert(scan.metrics("numFiles").value <= 2,
+      s"bloom should prune 8 files to ~1, kept ${scan.metrics("numFiles").value}")
+    val rows = q.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("c_name") == probe)
+    // an absent value prunes everything (modulo FPR), still zero rows
+    val none = spark.read.format("graft").load(d)
+      .filter(col("c_name") === "no-such-customer-name")
+    assert(none.count() == 0)
+    assert(scanOf(none).metrics("numFiles").value <= 1)
+    // IN over two names keeps both files, loses no rows
+    val probe2 = cust.filter(col("c_custkey") === 99)
+      .select("c_name").collect().head.getString(0)
+    val two = spark.read.format("graft").load(d)
+      .filter(col("c_name").isin(probe, probe2))
+    assert(two.count() == 2)
+    // blooms survive a non-indexed append only for the indexed files:
+    // new files carry no bitmap and are conservatively kept
+    GraftLog.append(cust.limit(5), d)
+    val after = spark.read.format("graft").load(d)
+      .filter(col("c_name") === probe)
+    assert(after.count() >= 1)
+  }
+
   test("partitioned compact: one file per partition, identical rows") {
     val d = Staging.tempDir("graft_fidx_") + "/cust_cmp_part"
     val cust = Sources.testTable(spark, TestSpark.sf, "customer")
