@@ -113,6 +113,8 @@ object SparkEntry {
     "e13_dedup_containment"     -> ((s, d) => Dedup.containment(s, d)),
     "e14_dedup_containment_bucketed" ->
       ((s, d) => Dedup.containmentBucketed(s, d)),
+    "e15_dedup_substring_spans" ->
+      ((s, d) => Dedup.substringSpans(s, d)),
     // LLM-pipeline extensions: similarity search (SURVEY.md §7.6)
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -804,6 +806,47 @@ object SparkEntry {
         |  FROM v)
         |SELECT doc_in, doc_out, round(containment, 6) AS containment
         |FROM both_dirs WHERE containment >= 0.5""".stripMargin,
+    // e15: occurrence windows (positions kept), cross-doc repeated
+    // hashes, span merge + coverage as pure integer list arithmetic —
+    // replayed step for step
+    "e15_dedup_substring_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_toks
+        |  FROM base WHERE len(toks) >= 8
+        |), wins AS (
+        |  SELECT doc_id, n_toks, CAST(j AS INTEGER) - 1 AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(
+        |      toks[CAST(j AS INTEGER):CAST(j AS INTEGER) + 7], ' ')),
+        |      1, 15))::UBIGINT AS BIGINT) AS h
+        |  FROM d, UNNEST(range(1, n_toks - 8 + 2)) AS u(j)
+        |), dup AS (
+        |  SELECT h FROM wins GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), agg AS (
+        |  SELECT w.doc_id, w.n_toks, count(*) AS n_dup_windows,
+        |    list_sort(list(w.pos)) AS ps
+        |  FROM wins w JOIN dup USING (h)
+        |  GROUP BY 1, 2
+        |), fin AS (
+        |  SELECT doc_id, n_toks, n_dup_windows,
+        |    list_transform(range(2, len(ps) + 1),
+        |      i -> ps[CAST(i AS INTEGER)] - ps[CAST(i AS INTEGER) - 1])
+        |      AS diffs
+        |  FROM agg
+        |)
+        |SELECT doc_id, n_toks, n_dup_windows,
+        |  CAST(len(list_filter(diffs, x -> x > 8)) + 1 AS INTEGER)
+        |    AS n_dup_spans,
+        |  CAST(coalesce(list_aggregate(
+        |    list_transform(diffs, x -> least(x, 8)), 'sum'), 0) + 8
+        |    AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(list_aggregate(
+        |    list_transform(diffs, x -> least(x, 8)), 'sum'), 0) + 8
+        |    AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS dup_fraction
+        |FROM fin""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →

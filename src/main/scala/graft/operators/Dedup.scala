@@ -322,6 +322,77 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** e15 — EXACT repeated-substring spans (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * document-level dedups above keep one copy of a NEAR-duplicate doc,
+    * but the biggest duplication mass in web corpora is repeated
+    * SUBSTRINGS — boilerplate, licenses, templated headers — inside
+    * otherwise-distinct documents. The paper removes every substring of
+    * >= 50 tokens that appears more than once in the corpus (via a
+    * corpus-level suffix array); this operator computes the same span
+    * set relationally, sized for the harness at `spanLen` tokens:
+    *
+    *   - every doc emits its OCCURRENCE windows of `spanLen` tokens
+    *     (positions kept — unlike the shingle sets, repeats matter);
+    *   - a window hash occurring in >= 2 DISTINCT docs marks a
+    *     cross-doc duplicated window (the suffix array's "appears
+    *     elsewhere" test, as a hash-partitioned groupBy instead of a
+    *     giant sort — the standard distributed reformulation);
+    *   - per doc, duplicated window positions merge into maximal
+    *     contiguous covered spans (windows at distance <= spanLen
+    *     chain), and the covered-token count integrates
+    *     min(gap, spanLen) over consecutive positions — pure integer
+    *     array arithmetic, replayed verbatim in the oracle.
+    *
+    * Output per affected doc: window/span counts, covered-token count
+    * and fraction — the removal plan a pipeline applies with one
+    * substring surgery pass. Scale shape: one narrow window-hash
+    * projection (no strings shuffle — 64-bit md5 slices), one groupBy
+    * on the hash, one groupBy on doc_id; cost tracks corpus size +
+    * duplicated-window volume. */
+  def substringSpans(spark: SparkSession, sfDir: String,
+      spanLen: Int = 8): DataFrame = {
+    val docs = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= spanLen)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"))
+    // occurrence windows: position + 64-bit md5-slice hash of the
+    // spanLen-token window (the engine-portable hash family of g4/e7)
+    val winHashes = transform(
+      sequence(lit(0), col("n_toks") - spanLen),
+      i => conv(substring(md5(
+        concat_ws(" ", slice(col("toks"), i + 1, lit(spanLen)))), 1, 15),
+        16, 10).cast("long"))
+    val wins = docs
+      .select(col("doc_id"), col("n_toks"),
+        posexplode(winHashes).as(Seq("pos", "h")))
+      .transform(graft.CacheScope.tracked)
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val perDoc = wins.join(dupHashes, Seq("h"))
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+    // consecutive position gaps drive span merging and coverage
+    val diffs = zip_with(
+      slice(col("ps"), lit(2), greatest(size(col("ps")) - 1, lit(0))),
+      slice(col("ps"), lit(1), greatest(size(col("ps")) - 1, lit(0))),
+      (a, b) => a - b)
+    perDoc
+      .withColumn("diffs", diffs)
+      .select(col("doc_id"), col("n_toks"), col("n_dup_windows"),
+        (size(filter(col("diffs"), d => d > spanLen)) + 1)
+          .as("n_dup_spans"),
+        (aggregate(col("diffs"), lit(0L),
+          (acc, d) => acc + least(d, lit(spanLen.toLong))) + spanLen)
+          .as("dup_tokens"))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens").cast("double") /
+          col("n_toks").cast("double"), 6))
+  }
+
   /** e8 — EXACT near-duplicate join with prefix + size filtering, the
     * AllPairs/PPJoin family (Bayardo/Ma/Srikant, WWW 2007; Xiao et al.,
     * WWW 2008; MapReduce formulation per Vernica/Carey/Li, SIGMOD 2010).

@@ -92,6 +92,36 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters == expect)
   }
 
+  test("substring spans: exact-copy docs are fully covered, bounds hold") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.substringSpans(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nToks, nWin, nSpans, dupToks, frac) =
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4),
+          r.getDouble(5))
+      assert(nWin >= nSpans, "windows can only merge, not split")
+      assert(dupToks >= 8 && dupToks <= nToks,
+        s"coverage $dupToks out of bounds for $nToks tokens")
+      assert(frac > 0 && frac <= 1.0 + 1e-9)
+    }
+    // cross-operator invariant: every EXACT duplicate document (>= 8
+    // tokens) repeats all of its windows corpus-wide, so it must show
+    // up fully covered (dup_fraction == 1)
+    val copies = Dedup.exact(spark, TestSpark.sf)
+      .filter(col("n_copies") >= 2).select("keep_doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val byDoc = out.map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val longEnough = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "documents")
+      .filter(size(split(lower(col("text")), " ")) >= 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    copies.intersect(longEnough).foreach { id =>
+      assert(byDoc.get(id).exists(f => math.abs(f - 1.0) < 1e-9),
+        s"exact-copy doc $id should be fully covered, got ${byDoc.get(id)}")
+    }
+  }
+
   test("simhash: identical docs collide at distance 0, output bounded") {
     import spark.implicits._
     // identical texts → identical shingles → identical simhash, for both
