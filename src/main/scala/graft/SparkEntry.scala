@@ -203,6 +203,8 @@ object SparkEntry {
     // engine-portable by construction)
     "g18_bigram_lm_score" ->
       ((s, d) => TextAnalysis.bigramLmScore(s, d)),
+    "g19_dsir_importance" ->
+      ((s, d) => TextAnalysis.dsirScore(s, d)),
     "j2_json_props" ->
       ((s, d) => SemiStructured.jsonPropsStats(s, d)),
     // Transactional table format (the reference's Delta layer re-expressed
@@ -1667,6 +1669,42 @@ object SparkEntry {
         |JOIN bi b USING (bg)
         |JOIN uni u USING (w1)
         |CROSS JOIN vocab vv
+        |GROUP BY 1""".stripMargin,
+    // g19: hashed-bigram feature buckets, two Laplace models, exact
+    // integer ratio terms, decimal-summed per-doc mean — replayed 1:1
+    "g19_dsir_importance" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), inst AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]),
+        |             1, 15))::UBIGINT AS BIGINT) % 1024)) AS b
+        |  FROM base WHERE len(toks) >= 2
+        |), qc AS (
+        |  SELECT b, count(*) AS qb FROM inst GROUP BY 1
+        |), tc AS (
+        |  SELECT b, count(*) AS tb FROM inst WHERE lang = 'en' GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*) AS qtot,
+        |    count(*) FILTER (WHERE lang = 'en') AS ttot
+        |  FROM inst
+        |)
+        |SELECT i.doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(
+        |      CAST((coalesce(t.tb, 0) + 1) * (v.qtot + 1024) AS DOUBLE) /
+        |      CAST((q.qb + 1) * (v.ttot + 1024) AS DOUBLE)
+        |    AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS dsir_score,
+        |  round(CAST(sum(CAST(
+        |      CAST((coalesce(t.tb, 0) + 1) * (v.qtot + 1024) AS DOUBLE) /
+        |      CAST((q.qb + 1) * (v.ttot + 1024) AS DOUBLE)
+        |    AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) >= 1.0
+        |    AS selected
+        |FROM inst i
+        |JOIN qc q USING (b)
+        |LEFT JOIN tc t USING (b)
+        |CROSS JOIN tot v
         |GROUP BY 1""".stripMargin,
     "e2_dedup_ngram_jaccard" -> ngramJaccardOracle(200, "200"),
     // e7: the uncapped twin — same inverted-index plan, full corpus; the

@@ -86,6 +86,67 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** g19 — DSIR-style importance scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how target-like its HASHED-BIGRAM feature profile
+    * is, where "target" is a relationally-defined slice of the corpus
+    * (here lang = 'en' — DSIR's target would be a curated corpus; the
+    * plumbing is identical). Two Laplace-smoothed hashed-ngram models
+    * are trained in one aggregation each — target counts t_b and corpus
+    * counts q_b over `buckets` md5-slice feature buckets — and each
+    * doc's score is the MEAN per-occurrence likelihood ratio
+    *
+    *   score(d) = (1/n) Σ_bigram  ((t_b + 1)(Q + B)) / ((q_b + 1)(T + B))
+    *
+    * The paper uses the log-likelihood ratio; the linear mean-ratio form
+    * keeps the statistic engine-portable (no libm — log differs across
+    * engines, the e18/g18 discipline) and ranks target-affinity the same
+    * way; `selected` = score >= 1 (above corpus-average affinity), the
+    * resampling gate. Numerators/denominators are exact integer
+    * products (< 2^53 by corpus-size bound); the per-doc mean uses exact
+    * decimal accumulation.
+    *
+    * Scale shape: feature hashing bounds both models at `buckets` rows
+    * (broadcastable at any corpus size — DSIR's point); the per-doc pass
+    * is one bucket-keyed equi-join + one doc-keyed aggregation. */
+  def dsirScore(spark: SparkSession, sfDir: String,
+      buckets: Int = 1024): DataFrame = {
+    import graft.functions.Deterministic.dec
+    val base = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // one row per bigram occurrence, hashed into its feature bucket
+    val inst = base.select(col("doc_id"), col("lang"),
+      explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => conv(substring(md5(concat_ws(" ",
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2))), 1, 15), 16, 10)
+          .cast("long") % buckets)).as("b"))
+      .transform(graft.CacheScope.tracked)
+    val corpusCounts = inst.groupBy(col("b")).agg(count(lit(1)).as("qb"))
+    val targetCounts = inst.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tb"))
+    val totals = inst.agg(
+      count(lit(1)).as("qtot"),
+      count(when(col("lang") === "en", 1)).as("ttot"))
+    inst
+      .join(corpusCounts, Seq("b"))
+      .join(targetCounts, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("term",
+        ((coalesce(col("tb"), lit(0L)) + 1L) *
+          (col("qtot") + buckets)).cast("double") /
+          ((col("qb") + 1L) * (col("ttot") + buckets)).cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(dec(col("term"))).as("sum_dec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_dec").cast("double") / col("n_bigrams"), 6)
+          .as("dsir_score"))
+      .withColumn("selected", col("dsir_score") >= 1.0)
+  }
+
   /** Stopword markers per language for [[langId]] and [[qualityScore]]:
     * tiny profiles of high-frequency function words (the classic
     * stopword-profile heuristic; an n-gram model would use the same

@@ -162,6 +162,33 @@ class AnalyticsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) == docs(r.getLong(0)) - 1L))
   }
 
+  // -------------------------------------------------- g19 DSIR importance
+
+  test("DSIR importance: target language scores above the rest") {
+    val out = graft.operators.TextAnalysis
+      .dsirScore(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out.nonEmpty)
+    assert(out.values.forall(_._1 > 0))
+    // selected is exactly the >= 1 gate on the emitted score
+    assert(out.values.forall { case (s, sel) => sel == (s >= 1.0) })
+    val langs = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def meanOf(p: String => Boolean): Double = {
+      val xs = out.collect { case (id, (s, _)) if p(langs(id)) => s }
+      xs.sum / xs.size
+    }
+    val enMean = meanOf(_ == "en")
+    val restMean = meanOf(_ != "en")
+    info(f"DSIR mean score: en=$enMean%.4f rest=$restMean%.4f")
+    // the whole point of importance weighting: target-language docs'
+    // hashed-bigram profiles must score visibly above the rest
+    assert(enMean > restMean,
+      s"target mean $enMean should exceed non-target $restMean")
+  }
+
   // ---------------------------------------------- e12 edit-distance dedup
 
   test("edit-distance dedup: subset of simhash pairs, verifier exact") {
