@@ -267,6 +267,10 @@ object SparkEntry {
     // prune hash-distributed files where min/max stats cannot
     "t18_graftlog_bloom_skipping" ->
       ((s, d) => Transactions.bloomPointLookup(s, d)),
+    // Iceberg-style hidden bucket partitioning: bucket(8, c_custkey)
+    // dirs the schema never mentions; plain key probes prune them
+    "t19_graftlog_bucket_transform" ->
+      ((s, d) => Transactions.bucketTransformProbe(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -480,6 +484,11 @@ object SparkEntry {
         |FROM customer
         |WHERE c_name = (SELECT c_name FROM customer
         |                WHERE c_custkey = 42)""".stripMargin,
+    // t19: hidden-bucket pruning must lose no rows — plain IN probe
+    "t19_graftlog_bucket_transform" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IN (421, 77, 1204)""".stripMargin,
     "t4_graftlog_stream_sink" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)

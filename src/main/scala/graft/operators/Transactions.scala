@@ -89,6 +89,33 @@ object Transactions {
     GraftLog.read(spark, partMergeTable(spark, sfDir))
       .select(customerCols.map(col): _*)
 
+  private val stagedBucketT =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  private def bucketTransformTable(spark: SparkSession,
+      sfDir: String): String =
+    stagedBucketT.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_pb"
+      GraftLog.overwriteBucketTransform(
+        Sources.testTable(spark, sfDir, "customer"), dir,
+        "c_custkey", nBuckets = 8)
+      dir
+    })
+
+  /** t19 — Iceberg-style HIDDEN bucket partitioning: the table is laid
+    * out in 8 `bucket(8, c_custkey)` dirs the schema never mentions, and
+    * a plain `c_custkey IN (...)` probe prunes to those keys' bucket
+    * dirs inside the planner — the query names only the real column
+    * (compare t11, where the partition column is user-visible). Oracle:
+    * the same IN over the raw table; the spec pins the numFiles
+    * pruning. */
+  def bucketTransformProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = bucketTransformTable(spark, sfDir)
+    graft.sources.GraftFileIndex.read(spark, dir)
+      .filter(col("c_custkey").isin(421L, 77L, 1204L))
+      .select(customerCols.map(col): _*)
+  }
+
   private val stagedDv =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -79,7 +79,7 @@ final class GraftFileIndex(spark: SparkSession, table: String,
       (seg.take(i), unescapePath(seg.drop(i + 1)))
     }
 
-  private val partColNames: Seq[String] = {
+  private val allPartCols: Seq[String] = {
     val specs = liveFiles.map(f => partSpec(f).map(_._1))
     val head = specs.headOption.getOrElse(Nil)
     require(specs.forall(_ == head),
@@ -87,12 +87,30 @@ final class GraftFileIndex(spark: SparkSession, table: String,
     head
   }
 
-  /** Partition columns (path-derived), in path order; empty = flat. */
+  // HIDDEN partition transforms (Iceberg's hidden-partitioning idea):
+  // a `gfb<n>_<col>=<bucket>` dir carries bucket(n, col) values that
+  // exist only in the layout, never in the table schema — equality
+  // probes on the SOURCE column prune these dirs below (mayMatchBucket)
+  // without the user ever naming the bucket.
+  private val visiblePartCols: Seq[String] =
+    allPartCols.filterNot(GraftLog.HiddenBucketDir.matches)
+  private def partColNames: Seq[String] = visiblePartCols
+
+  /** VISIBLE partition columns (path-derived), in path order. */
   override val partitionSchema: StructType = StructType(partColNames.map {
     n => tableSchema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
       throw new IllegalArgumentException(
         s"partition dir column $n missing from table schema"))
   })
+
+  /** Per-file hidden-bucket spec: source column (lowercase) →
+    * (nBuckets, bucket value of this file's dir). */
+  private def hiddenOf(rel: String): Map[String, (Int, Int)] =
+    partSpec(rel).collect {
+      case (name, v) if GraftLog.HiddenBucketDir.matches(name) =>
+        val GraftLog.HiddenBucketDir(n, src) = name
+        src.toLowerCase(java.util.Locale.ROOT) -> ((n.toInt, v.toInt))
+    }.toMap
 
   /** Columns physically present in the data files. */
   val dataSchema: StructType = StructType(tableSchema.fields.filterNot(f =>
@@ -112,14 +130,23 @@ final class GraftFileIndex(spark: SparkSession, table: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    def keepData(rel: String): Boolean =
-      dataFilters.forall(mayMatch(_, stats.getOrElse(rel, Map.empty),
-        blooms.getOrElse(rel, Map.empty)))
-    if (partColNames.isEmpty) {
+    def keepData(rel: String): Boolean = {
+      val hid = hiddenOf(rel)
+      dataFilters.forall(f =>
+        mayMatch(f, stats.getOrElse(rel, Map.empty),
+          blooms.getOrElse(rel, Map.empty)) &&
+        (hid.isEmpty || mayMatchBucket(f, hid)))
+    }
+    if (allPartCols.isEmpty) {
       val kept = statuses.collect { case (rel, st) if keepData(rel) => st }
       Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
     } else {
-      val groups = statuses.groupBy { case (rel, _) => partSpec(rel) }
+      // group by the VISIBLE partition spec only; hidden transform
+      // dirs prune per file inside keepData
+      val groups = statuses.groupBy { case (rel, _) =>
+        partSpec(rel).filterNot(p =>
+          GraftLog.HiddenBucketDir.matches(p._1))
+      }
       val dirs = groups.toSeq.map { case (spec, fls) =>
         val row = new GenericInternalRow(
           spec.zip(partitionSchema.fields).map { case ((_, v), fld) =>
@@ -147,6 +174,30 @@ final class GraftFileIndex(spark: SparkSession, table: String,
         PartitionDirectory(row,
           fls.collect { case (rel, st) if keepData(rel) => st }.toArray)
       }
+    }
+  }
+
+  /** May a file whose hidden-bucket dirs are `hid` hold a row
+    * satisfying `e`? Equality/IN probes on a bucketed SOURCE column map
+    * the literal through the same hash the writer used; a mismatched
+    * bucket is a definite miss. Everything else keeps the file. */
+  private def mayMatchBucket(e: Expression,
+      hid: Map[String, (Int, Int)]): Boolean = {
+    def chk(a: Attribute, v: Any, dt: DataType): Boolean =
+      v == null || (hid.get(a.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some((n, b)) => GraftLog.bucketFor(v, dt, n) == b
+        case None => true
+      })
+    e match {
+      case And(a, b) => mayMatchBucket(a, hid) && mayMatchBucket(b, hid)
+      case Or(a, b) => mayMatchBucket(a, hid) || mayMatchBucket(b, hid)
+      case EqualTo(a: Attribute, Literal(v, dt)) => chk(a, v, dt)
+      case EqualTo(Literal(v, dt), a: Attribute) => chk(a, v, dt)
+      case EqualNullSafe(a: Attribute, Literal(v, dt)) => chk(a, v, dt)
+      case EqualNullSafe(Literal(v, dt), a: Attribute) => chk(a, v, dt)
+      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists { case Literal(v, dt) => chk(a, v, dt) }
+      case _ => true
     }
   }
 

@@ -786,6 +786,66 @@ object GraftLog {
     v
   }
 
+  /** Hidden bucket-transform dir name: `gfb<n>_<col>` (Iceberg's
+    * `bucket(n, col)` partition transform; no leading underscore — the
+    * Hadoop convention treats `_`/`.`-prefixed paths as hidden, and the
+    * staging walk honors it). The synthetic column exists only in the
+    * layout — never in the table schema — and equality probes on `col`
+    * prune bucket dirs in [[GraftFileIndex]]. */
+  private[sources] val HiddenBucketDir = """gfb(\d+)_(.+)""".r
+
+  /** The bucket a value lands in — the SAME hash the writer's
+    * `pmod(xxhash64(col), n)` evaluates, via the identical Catalyst
+    * expression, so planner-side pruning can never drift from layout. */
+  private[sources] def bucketFor(value: Any,
+      dt: org.apache.spark.sql.types.DataType, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+    val h = XxHash64(Seq(CLit.create(value, dt)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
+
+  /** Re-derive hidden transform columns a partitioned re-stage needs:
+    * rewrites read through the FileIndex, whose output carries only the
+    * table schema, so `__pb…` columns are recomputed from their source
+    * column before the partitioned write. */
+  private def withHiddenPartCols(df: DataFrame,
+      partCols: Seq[String]): DataFrame =
+    partCols.foldLeft(df) { (d, pc) =>
+      pc match {
+        case HiddenBucketDir(n, src) if !d.columns.contains(pc) =>
+          d.withColumn(pc, pmod(xxhash64(col(src)), lit(n.toLong)))
+        case _ => d
+      }
+    }
+
+  /** Atomic overwrite with HIDDEN bucket partitioning — Iceberg's
+    * `PARTITIONED BY bucket(n, col)`: files land under
+    * `__pb<n>_<col>=<bucket>` dirs, the synthetic column never appears
+    * in the schema or the data, and a plain `WHERE col = x` prunes to
+    * one bucket's files in the planner with zero query-side awareness
+    * of the layout (the "hidden partitioning" contract — compare t11,
+    * where the partition column is a real, visible column). */
+  def overwriteBucketTransform(df: DataFrame, table: String,
+      srcCol: String, nBuckets: Int): Long = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(df.columns.exists(_.equalsIgnoreCase(srcCol)),
+      s"bucket column $srcCol not in ${df.columns.mkString(",")}")
+    val spark = df.sparkSession
+    val syn = s"gfb${nBuckets}_$srcCol"
+    val prior =
+      if (versions(spark, table).isEmpty) Seq.empty[String]
+      else snapshot(spark, table)._1
+    val s = stagePartitionedWithStats(
+      df.withColumn(syn, pmod(xxhash64(col(srcCol)), lit(nBuckets.toLong))),
+      table, Seq(syn))
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "overwrite", s.files, prior,
+      df.schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      sizes = s.sizes))
+    v
+  }
+
   /** Append into a partitioned table (same enforcement as [[append]]). */
   def appendPartitioned(df: DataFrame, table: String,
       partCols: Seq[String]): Long = {
@@ -1122,8 +1182,8 @@ object GraftLog {
     // a partitioned target re-stages hive-partitioned, so the rewrite
     // keeps the layout (files land back under their col=val dirs)
     val s =
-      if (partCols.nonEmpty) stagePartitionedWithStats(rewritten, table,
-        partCols)
+      if (partCols.nonEmpty) stagePartitionedWithStats(
+        withHiddenPartCols(rewritten, partCols), table, partCols)
       else stageWithStats(rewritten, table)
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "merge", s.files, touched,
@@ -1148,7 +1208,8 @@ object GraftLog {
     else {
       val kept = readSubset(spark, table, touched, schema)
         .filter(!coalesce(predicate, lit(false)))
-      if (partCols.nonEmpty) stagePartitionedWithStats(kept, table, partCols)
+      if (partCols.nonEmpty) stagePartitionedWithStats(
+        withHiddenPartCols(kept, partCols), table, partCols)
       else stageWithStats(kept, table)
     }
     val v = nextVersion(spark, table)
@@ -1262,8 +1323,8 @@ object GraftLog {
             case None => col(f.name)
           }
         }.toSeq: _*)
-      if (partCols.nonEmpty) stagePartitionedWithStats(rewritten, table,
-        partCols)
+      if (partCols.nonEmpty) stagePartitionedWithStats(
+        withHiddenPartCols(rewritten, partCols), table, partCols)
       else stageWithStats(rewritten, table)
     }
     val v = nextVersion(spark, table)
@@ -1309,7 +1370,8 @@ object GraftLog {
         // is a flat-layout knob; partition granularity governs here).
         // One shuffle of the table, like the flat path's coalesce is
         // one concatenating pass.
-        val current = readSubset(spark, table, files, schema)
+        val current = withHiddenPartCols(
+          readSubset(spark, table, files, schema), partCols)
         stagePartitionedWithStats(
           current.repartition(partCols.map(col): _*), table, partCols)
       }

@@ -267,6 +267,41 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(after.count() >= 1)
   }
 
+  test("hidden bucket transform: schema-invisible dirs prune key probes") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_pbt"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwriteBucketTransform(cust, d, "c_custkey", nBuckets = 8)
+    // the synthetic column is layout-only: schema and rows never see it
+    val full = spark.read.format("graft").load(d)
+    assert(full.columns.toSeq == cust.columns.toSeq)
+    assert(full.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(full).count() == 0)
+    // an equality probe on the SOURCE column prunes to one bucket's
+    // file(s) — the user never names the bucket
+    val q = spark.read.format("graft").load(d)
+      .filter(col("c_custkey") === 42L)
+    val total = new GraftFileIndex(spark, d).inputFiles.length
+    val opened = scanOf(q).metrics("numFiles").value
+    assert(opened < total,
+      s"bucket pruning expected below $total files, opened $opened")
+    assert(q.count() == 1)
+    // IN over several keys keeps only those keys' buckets, loses nothing
+    val in3 = spark.read.format("graft").load(d)
+      .filter(col("c_custkey").isin(1L, 2L, 3L))
+    assert(in3.count() == 3)
+    assert(scanOf(in3).metrics("numFiles").value <= 3)
+    // rewriting DML re-derives the hidden column: delete + read back
+    GraftLog.delete(spark, d, col("c_custkey") === 42L)
+    val after = GraftLog.read(spark, d)
+    assert(after.count() == cust.count() - 1)
+    assert(after.columns.toSeq == cust.columns.toSeq)
+    // and probes still prune post-rewrite
+    val q2 = spark.read.format("graft").load(d)
+      .filter(col("c_custkey") === 43L)
+    assert(q2.count() == 1)
+    assert(scanOf(q2).metrics("numFiles").value < total)
+  }
+
   test("partitioned compact: one file per partition, identical rows") {
     val d = Staging.tempDir("graft_fidx_") + "/cust_cmp_part"
     val cust = Sources.testTable(spark, TestSpark.sf, "customer")
