@@ -64,6 +64,9 @@ object SparkEntry {
     "d6_graft_sql_merge"     -> ((s, d) => Ddl.graftSqlMerge(s, d)),
     "d7_graft_sql_update_delete" ->
       ((s, d) => Ddl.graftSqlUpdateDelete(s, d)),
+    // SQL maintenance text (OPTIMIZE / VACUUM) via the injected parser
+    "d8_graft_sql_maintenance" ->
+      ((s, d) => Ddl.graftSqlMaintenance(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -737,6 +740,12 @@ object SparkEntry {
         |       ELSE c_acctbal END AS c_acctbal,
         |  c_mktsegment
         |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
+    // d8: OPTIMIZE to 2 files + VACUUM must keep every row and land the
+    // pinned layout
+    "d8_graft_sql_maintenance" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  2 AS n_files
+        |FROM customer""".stripMargin,
     // t15: restore rewinds the live set to v0 — the read is the seed
     "t15_graftlog_restore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -180,6 +180,39 @@ object Ddl {
       "c_acctbal", "c_mktsegment")
   }
 
+  private val stagedSqlO =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d8 — SQL maintenance statements (`OPTIMIZE t FILES n`,
+    * `VACUUM t RETAIN n VERSIONS`) via the injected
+    * [[graft.sql.GraftSqlParser]] — the Delta SQL-surface analog for the
+    * small-files problem: four append commits land four file sets, one
+    * OPTIMIZE compacts them to exactly 2 files, VACUUM truncates the
+    * pre-compaction versions. The read-back pins BOTH the rows and the
+    * layout (n_files column, the k6 pattern). */
+  def graftSqlMaintenance(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedSqlO.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_sqlo_") + "/customer"
+      val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      (0 until 4).foreach { i =>
+        graft.sources.GraftLog.append(
+          cust.filter(org.apache.spark.sql.functions
+            .col("c_custkey") % 4 === i), d)
+      }
+      d
+    })
+    val t = s"graft_sqlo_cust_${math.abs(sfDir.hashCode).toString.take(8)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    spark.sql(s"OPTIMIZE $t FILES 2")
+    spark.sql(s"VACUUM $t RETAIN 1 VERSIONS")
+    val nFiles = graft.sources.GraftLog.snapshot(spark, dir)._1.size
+    spark.table(t)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .withColumn("n_files", org.apache.spark.sql.functions.lit(nFiles))
+  }
+
   /** K4 round-trip: DataFrameWriterV2 `createOrReplace` + catalog scan. */
   def writeToRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     createDatabase(spark, "graft_lake")

@@ -37,8 +37,113 @@ import graft.sources.{GraftFileIndex, GraftLog}
   * actions, WHEN NOT MATCHED BY SOURCE) fail loudly at analysis rather
   * than computing something subtly different. */
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
+}
+
+/** Maintenance-statement parser (the DeltaSqlParser pattern): a thin
+  * delegating [[org.apache.spark.sql.catalyst.parser.ParserInterface]]
+  * that recognizes the two statements Spark's grammar lacks —
+  *
+  * {{{
+  *   OPTIMIZE <table|'path'> [FILES n] [ZORDER BY (colA, colB)]
+  *   VACUUM   <table|'path'> RETAIN n VERSIONS
+  * }}}
+  *
+  * — and hands everything else verbatim to Spark's parser, so the
+  * extension never changes the meaning of standard SQL. */
+final class GraftSqlParser(
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+  import org.apache.spark.sql.types.{DataType, StructType}
+
+  private val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+  private val VacuumStmt =
+    """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeStmt(target, files, za, zb) =>
+      if (za != null) GraftZOrderCommand(target, za, zb,
+        Option(files).map(_.toInt).getOrElse(8))
+      else GraftOptimizeCommand(target,
+        Option(files).map(_.toInt).getOrElse(1))
+    case VacuumStmt(target, n) => GraftVacuumCommand(target, n.toInt)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(s: String): Expression =
+    delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String): StructType =
+    delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType =
+    delegate.parseDataType(s)
+}
+
+/** Resolve a maintenance target — `'path'` literal or the name of a
+  * catalog `USING graft` table (its path lives in the storage
+  * options) — to the commit-log root. */
+private object GraftTarget {
+  def pathOf(session: SparkSession, target: String): String = {
+    val t = target.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+      (t.startsWith("\"") && t.endsWith("\""))) t.substring(1, t.length - 1)
+    else {
+      val ident = session.sessionState.sqlParser.parseTableIdentifier(t)
+      val meta = session.sessionState.catalog.getTableMetadata(ident)
+      require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+        s"$t is not a USING graft table (provider ${meta.provider})")
+      meta.storage.properties.get("path")
+        .orElse(meta.storage.locationUri.map(_.getPath))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft table $t has no path in its storage options"))
+    }
+  }
+}
+
+/** `OPTIMIZE t [FILES n]` → [[GraftLog.compact]]. */
+case class GraftOptimizeCommand(target: String, targetFiles: Int)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    GraftLog.compact(session, path, targetFiles)
+    RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE t ZORDER BY (a, b)` → [[GraftLog.clusterBy]]. */
+case class GraftZOrderCommand(target: String, colA: String, colB: String,
+    targetFiles: Int) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    GraftLog.clusterBy(session, path, colA, colB, targetFiles)
+    RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
+/** `VACUUM t RETAIN n VERSIONS` → [[GraftLog.vacuum]]. */
+case class GraftVacuumCommand(target: String, retainVersions: Int)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    GraftLog.vacuum(session, path, retainVersions)
+    RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
 }
 
 final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {

@@ -296,6 +296,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(GraftLog.readVersion(spark, d, 0L).count() == cust.count())
   }
 
+  test("SQL OPTIMIZE/VACUUM/ZORDER parse and act; other SQL untouched") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val d = Staging.tempDir("graft_maint_") + "/cust"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    (0 until 3).foreach(i =>
+      GraftLog.append(cust.filter(col("c_custkey") % 3 === i), d))
+    // path-literal form
+    spark.sql(s"OPTIMIZE '$d' FILES 2")
+    assert(GraftLog.snapshot(spark, d)._1.size == 2)
+    spark.sql(s"VACUUM '$d' RETAIN 1 VERSIONS")
+    assert(GraftLog.versions(spark, d).size == 1)
+    val back = GraftLog.read(spark, d)
+    assert(back.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(back).count() == 0)
+    // ZORDER form routes to clusterBy (layout-only)
+    spark.sql(s"OPTIMIZE '$d' FILES 4 ZORDER BY (c_custkey, c_acctbal)")
+    assert(GraftLog.read(spark, d).count() == cust.count())
+    // the delegating parser leaves ordinary SQL to Spark verbatim
+    assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
+    intercept[Exception] { spark.sql("OPTIMIZE") } // malformed → Spark err
+  }
+
   test("unsupported SQL DML shapes fail loudly, not wrongly") {
     import graft.sources.{GraftLog, Sources, Staging}
     val d = Staging.tempDir("graft_dmlspec_") + "/cust_strict"
