@@ -2367,7 +2367,36 @@ object SparkEntry {
         |    (doc_id % 9 + 1) * 64 AS h0,
         |    CAST(strlen(text) AS BIGINT) AS n_bytes,
         |    hex(encode(text)) AS hx
-        |  FROM documents WHERE doc_id % 4 IN (1, 3)
+        |  FROM documents WHERE doc_id % 4 = 3
+        |), jpg AS (
+        |  SELECT doc_id, 'jpeg' AS format,
+        |    round(CAST(list_aggregate(list_transform(range(0, 64),
+        |        i -> (i + doc_id) % 255 + 1), 'sum') AS DOUBLE) / 64.0, 6)
+        |      AS mean_byte,
+        |    CAST(ns AS INTEGER) AS n_frames,
+        |    CAST(0 AS BIGINT) AS first_offset,
+        |    CAST(ns - 1 AS BIGINT) AS last_offset,
+        |    CAST(wj2 AS INTEGER) AS thumb_w,
+        |    CAST(hj2 AS INTEGER) AS thumb_h,
+        |    'real-jpeg' AS decoder
+        |  FROM (
+        |    SELECT doc_id, ns,
+        |      CASE WHEN wj1 > 64 OR hj1 > 64 THEN wj1 // 2 ELSE wj1 END
+        |        AS wj2,
+        |      CASE WHEN wj1 > 64 OR hj1 > 64 THEN hj1 // 2 ELSE hj1 END
+        |        AS hj2
+        |    FROM (
+        |      SELECT doc_id, ns,
+        |        CASE WHEN wj0 > 64 OR hj0 > 64 THEN wj0 // 2 ELSE wj0 END
+        |          AS wj1,
+        |        CASE WHEN wj0 > 64 OR hj0 > 64 THEN hj0 // 2 ELSE hj0 END
+        |          AS hj1
+        |      FROM (
+        |        SELECT doc_id,
+        |          3 + CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END AS ns,
+        |          16 + (doc_id % 240) AS wj0,
+        |          16 + (doc_id % 120) AS hj0
+        |        FROM documents WHERE doc_id % 4 = 1)))
         |), f AS (
         |  SELECT doc_id, format, n_bytes, w0, h0,
         |    CASE WHEN n_bytes = 0 THEN 0.0 ELSE
@@ -2412,6 +2441,7 @@ object SparkEntry {
         |  FROM t4
         |)
         |SELECT * FROM wav UNION ALL SELECT * FROM png
+        |UNION ALL SELECT * FROM jpg
         |UNION ALL SELECT * FROM stub""".stripMargin,
   )
 }

@@ -69,10 +69,12 @@ object Multimodal {
   }
 
   /** Production dispatch for the codec seam: formats with a JDK-only
-    * decoder get the REAL parse — wav through [[parseWav]] (features from
+    * parser get the REAL parse — wav through [[parseWav]] (features from
     * decoded PCM samples), png through [[parsePng]] (features from
-    * decoded, unfiltered pixels) — and only the formats with no
-    * in-container codec (jpeg, mp4) fall back to [[FakeDecoder]]. The
+    * decoded, unfiltered pixels), jpeg through [[parseJpeg]] (features
+    * from the marker stream: the quantization-table mean is the classic
+    * no-decode JPEG quality signal, segments stand in for frames) — and
+    * only mp4 (no JDK-only parser) falls back to [[FakeDecoder]]. The
     * per-row `decoder` column keeps the stub fraction auditable. */
   object RealDecoder extends DecodeBackend {
     def decode(row: MediaRow): MediaFeatures = row.format match {
@@ -92,6 +94,14 @@ object Multimodal {
         while (w > 64 || h > 64) { w /= 2; h /= 2 }
         MediaFeatures(row.doc_id, row.format,
           m.pix_sum.toDouble / m.n_pixels, offsets, w, h, "real-png")
+      case "jpeg" =>
+        val m = parseJpeg(row.doc_id, row.payload)
+        val stride = math.max(1L, m.n_segments / 4)
+        val offsets = (0L until m.n_segments by stride).take(4).toSeq
+        var (w, h) = (m.width, m.height)
+        while (w > 64 || h > 64) { w /= 2; h /= 2 }
+        MediaFeatures(row.doc_id, row.format,
+          m.qtable_sum.toDouble / 64.0, offsets, w, h, "real-jpeg")
       case _ => FakeDecoder.decode(row)
     }
   }
@@ -116,14 +126,14 @@ object Multimodal {
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame =
     mediaTable(spark, sfDir).drop("payload")
 
-  /** Payload-TRUE media table for the feature stage: wav and png rows
-    * carry real synthesized payloads ([[synthWav]]/[[synthPng]] — valid
-    * RIFF and PNG byte streams any tool could parse), while jpeg/mp4 keep
-    * the deterministic text-bytes fake (no JDK-only decoder exists for
-    * them). Metadata mirrors the payload where the format defines it
-    * (png dims; wav has none, 0×0). [[mediaTable]] stays the ingest
-    * MANIFEST shape (h1): claimed metadata before any payload is
-    * opened — the usual split in a real media pipeline. */
+  /** Payload-TRUE media table for the feature stage: wav, png and jpeg
+    * rows carry real synthesized payloads ([[synthWav]]/[[synthPng]]/
+    * [[synthJpeg]] — valid byte streams any tool could parse), while
+    * mp4 keeps the deterministic text-bytes fake (no JDK-only parser
+    * exists for it). Metadata mirrors the payload where the format
+    * defines it (png/jpeg dims; wav has none, 0×0). [[mediaTable]]
+    * stays the ingest MANIFEST shape (h1): claimed metadata before any
+    * payload is opened — the usual split in a real media pipeline. */
   def realMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Sources.testTable(spark, sfDir, "documents")
@@ -133,11 +143,13 @@ object Multimodal {
         val payload = fmt match {
           case "wav" => synthWav(id)
           case "png" => synthPng(id)
+          case "jpeg" => synthJpeg(id)
           case _ =>
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
         val (w, h) = fmt match {
           case "png" => (4 + (id % 13).toInt, 3 + (id % 7).toInt)
+          case "jpeg" => (16 + (id % 240).toInt, 16 + (id % 120).toInt)
           case "wav" => (0, 0)
           case _ => (((id % 16) + 1).toInt * 64, ((id % 9) + 1).toInt * 64)
         }

@@ -168,15 +168,16 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(dense.count() == 0)
   }
 
-  test("media features: real wav/png decode + stub fallback, shuffle-free") {
+  test("media features: real wav/png/jpeg decode + stub fallback, shuffle-free") {
     val f = Multimodal.extractFeatures(spark, TestSpark.sf)
     assert(f.count() == 500)
-    // dispatch: wav/png rows really decoded, jpeg/mp4 through the stub —
-    // doc_id % 4 assigns 125/125/250 at sf0.001
+    // dispatch: wav/png/jpeg rows really parsed, only mp4 through the
+    // stub — doc_id % 4 assigns 125 each at sf0.001
     val byDecoder = f.groupBy("decoder").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byDecoder == Map(
-      "real-png" -> 125L, "real-wav" -> 125L, "stub" -> 250L))
+      "real-png" -> 125L, "real-wav" -> 125L, "real-jpeg" -> 125L,
+      "stub" -> 125L))
     assert(f.filter(col("thumb_w") > 64 || col("thumb_h") > 64).count() == 0)
     assert(f.filter(col("n_frames") > 4 || col("n_frames") < 1).count() == 0)
     assert(f.filter(col("first_offset") =!= 0L ||
