@@ -274,6 +274,10 @@ object SparkEntry {
     // dirs the schema never mentions; plain key probes prune them
     "t19_graftlog_bucket_transform" ->
       ((s, d) => Transactions.bucketTransformProbe(s, d)),
+    // streaming GDPR erasure: delete-request topic → per-batch DV
+    // commits → compaction materializes (s11 + t17 + t5 composed)
+    "i15_streaming_gdpr_erasure" ->
+      ((s, d) => Transactions.streamingErasure(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -492,6 +496,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer
         |WHERE c_custkey IN (421, 77, 1204)""".stripMargin,
+    // i15: after the erasure stream drains and compaction materializes,
+    // exactly the requested keys are gone and no vectors remain
+    "i15_streaming_gdpr_erasure" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  0 AS n_dvs_left
+        |FROM customer WHERE c_custkey % 7 != 0""".stripMargin,
     "t4_graftlog_stream_sink" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)

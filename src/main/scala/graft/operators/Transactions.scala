@@ -129,6 +129,69 @@ object Transactions {
       dir
     })
 
+  private val stagedErasure =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Stage the streaming-erasure pipeline once per (JVM, corpus): a
+    * customer lake table, a topic of erasure requests (keys of every
+    * c_custkey % 7 == 0 row, produced in two batches), a checkpointed
+    * stream whose every micro-batch lands as ONE deletion-vector commit
+    * ([[GraftLog.deleteVectorsMatching]] — no data file rewritten while
+    * requests drain), and a final compaction that materializes the
+    * vectors. */
+  private def erasureTable(spark: SparkSession, sfDir: String): String =
+    stagedErasure.getOrElseUpdate(sfDir, {
+      val root = graft.sources.Staging.tempDir("graft_gdpr_")
+      val table = s"$root/cust"
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwrite(
+        cust.repartitionByRange(8, col("c_custkey")), table)
+      val topic = s"$root/topic"
+      def requests(pred: org.apache.spark.sql.Column) = cust
+        .filter(pred)
+        .select(col("c_custkey").cast("string").as("key"),
+          concat_ws("|", lit("erase"), col("c_custkey")).as("value"),
+          expr("timestamp_micros(0)").as("timestamp"),
+          col("c_custkey"))
+      graft.sources.Topic.produce(spark, topic,
+        requests(col("c_custkey") % 14 === 0), 4, col("c_custkey"))
+      graft.sources.Topic.produce(spark, topic,
+        requests(col("c_custkey") % 7 === 0 && col("c_custkey") % 14 =!= 0),
+        4, col("c_custkey"))
+      val q = graft.sources.Topic.readStream(spark, topic, 4)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val keys = batch.select(
+              split(col("value"), "\\|").getItem(1).cast("long")
+                .as("c_custkey"))
+            GraftLog.deleteVectorsMatching(batch.sparkSession, table,
+              keys, Seq("c_custkey")): Unit
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      GraftLog.compact(spark, table, targetFiles = 2)
+      table
+    })
+
+  /** i15 — streaming GDPR erasure end to end: topic of delete requests →
+    * checkpointed stream → per-batch deletion-vector commits → compaction
+    * materializes. The read-back pins the rows (every requested key gone,
+    * nothing else touched) and that compaction cleared the vectors
+    * (`n_dvs_left` = 0). Composes s11/i13 (topic), t17 (deletion
+    * vectors) and t5 (compaction) into the erasure workflow a real lake
+    * runs. */
+  def streamingErasure(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = erasureTable(spark, sfDir)
+    val dvsLeft = GraftLog.deletionVectors(spark, t).size
+    GraftLog.read(spark, t)
+      .select(customerCols.map(col): _*)
+      .withColumn("n_dvs_left", lit(dvsLeft))
+  }
+
   private val stagedBloom =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -1254,6 +1254,40 @@ object GraftLog {
       .filter(col("__gf_hit"))
       .select(col("file_rel"), col("row_idx"))
       .write.parquet(s"$table/$rel")
+    commitDvDir(spark, table, rel, schema)
+  }
+
+  /** [[deleteVectors]] with the match set given as a KEY FRAME instead
+    * of a predicate — the streaming-erasure shape (each micro-batch of
+    * delete requests becomes one DV commit): matching positions come
+    * from a broadcast left-semi join on the key columns; everything
+    * downstream (sidecar, commit, read-time mask, compaction) is
+    * identical. */
+  def deleteVectorsMatching(spark: SparkSession, table: String,
+      keys: DataFrame, keyCols: Seq[String]): Long = {
+    val (files, schema) = snapshot(spark, table)
+    requireUnpartitioned(files, "deleteVectors")
+    keyCols.foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"delete key column $c not in ${schema.fieldNames.mkString(",")}"))
+    val rel = s"$DvDirName/${UUID.randomUUID()}"
+    spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+      .select(Seq(
+        relPathCol(col("_metadata.file_path")).as("file_rel"),
+        col("_metadata.row_index").as("row_idx")) ++
+        keyCols.map(col): _*)
+      .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_semi")
+      .select(col("file_rel"), col("row_idx"))
+      .write.parquet(s"$table/$rel")
+    commitDvDir(spark, table, rel, schema)
+  }
+
+  /** Shared DV-commit tail: list the staged sidecar files, commit them
+    * as dvAdd entries. */
+  private def commitDvDir(spark: SparkSession, table: String, rel: String,
+      schema: StructType): Long = {
     val f = fs(spark, table)
     val dvFiles = f.listStatus(new HPath(s"$table/$rel")).toSeq
       .map(_.getPath.getName)

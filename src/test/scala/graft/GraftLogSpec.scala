@@ -423,6 +423,21 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 88)
   }
 
+  test("deleteVectorsMatching equals the predicate form") {
+    import spark.implicits._
+    val t1 = tmp(); val t2 = tmp()
+    val seed = df(0 until 60, "seed").repartition(3)
+    GraftLog.overwrite(seed, t1)
+    GraftLog.overwrite(seed, t2)
+    GraftLog.deleteVectors(spark, t1, col("id") % 5 === 0)
+    GraftLog.deleteVectorsMatching(spark, t2,
+      (0 until 60 by 5).map(_.toLong).toDF("id"), Seq("id"))
+    val a = GraftLog.read(spark, t1)
+    val b = GraftLog.read(spark, t2)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(b.count() == 48)
+  }
+
   test("deletion vectors survive checkpoint + vacuum") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 50, "seed").repartition(4), t) // v0
