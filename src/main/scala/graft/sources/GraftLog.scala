@@ -869,10 +869,11 @@ object GraftLog {
     v
   }
 
-  /** clusterBy stages flat files; letting it run on a hive-partitioned
-    * layout would silently produce files MISSING the partition columns.
-    * Loud beats wrong. (merge/delete/update/compact handle partitioned
-    * layouts natively — they re-stage through
+  /** Flat-file writers (append/streaming append) and the deletion-vector
+    * machinery refuse hive-partitioned layouts: a flat-staged file would
+    * silently MISS the partition columns, and DV masks key on flat scan
+    * positions. Loud beats wrong. (merge/delete/update/compact/clusterBy
+    * handle partitioned layouts natively — they re-stage through
     * [[stagePartitionedWithStats]].) */
   private def requireUnpartitioned(files: Seq[String], op: String): Unit =
     require(!hasPartitionedFiles(files),
@@ -1486,11 +1487,13 @@ object GraftLog {
     * cost = one range shuffle of the table. */
   def clusterBy(spark: SparkSession, table: String, colA: String,
       colB: String, targetFiles: Int): Long = {
+    requireNoDvs(spark, table, "clusterBy")
     val (files, schema) = snapshot(spark, table)
-    requireUnpartitioned(files, "clusterBy")
-    val cur = spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
-    // column bounds: one metadata-sized collect
+    val partCols = layoutPartCols(files)
+    val cur = readSubset(spark, table, files, schema)
+    // column bounds: one metadata-sized collect. Global bounds stay
+    // valid under partitioning (the rank mapping is monotonic within
+    // every partition).
     val r = cur.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double")))
@@ -1503,11 +1506,27 @@ object GraftLog {
     val z = zInterleave(
       rank(colA, r.getDouble(0), r.getDouble(1)),
       rank(colB, r.getDouble(2), r.getDouble(3)))
-    val rewritten = cur.withColumn("__gf_z", z)
-      .repartitionByRange(targetFiles, col("__gf_z"))
-      .sortWithinPartitions(col("__gf_z"))
-      .drop("__gf_z")
-    val s = stageWithStats(rewritten, table)
+    val s =
+      if (partCols.isEmpty) {
+        val rewritten = cur.withColumn("__gf_z", z)
+          .repartitionByRange(targetFiles, col("__gf_z"))
+          .sortWithinPartitions(col("__gf_z"))
+          .drop("__gf_z")
+        stageWithStats(rewritten, table)
+      } else {
+        // per-partition z-order: range-partition by (partition cols, z)
+        // so each col=val dir's rows split into contiguous z-ranges —
+        // stats stay tight on BOTH clustered columns inside every
+        // partition, composing with the dir-level partition pruning
+        val withParts = withHiddenPartCols(cur, partCols)
+          .withColumn("__gf_z", z)
+        val rewritten = withParts
+          .repartitionByRange(targetFiles,
+            partCols.map(col) :+ col("__gf_z"): _*)
+          .sortWithinPartitions(col("__gf_z"))
+          .drop("__gf_z")
+        stagePartitionedWithStats(rewritten, table, partCols)
+      }
     val v = nextVersion(spark, table)
     writeCommit(spark, table, Commit(v, "cluster", s.files, files,
       schema.toDDL, System.currentTimeMillis(), stats = s.stats,

@@ -126,12 +126,28 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(scanOf(q).metrics("numFiles").value <= 2)
   }
 
-  test("clusterBy refuses partitioned tables; layout appends guarded") {
-    intercept[IllegalArgumentException] {
-      GraftLog.clusterBy(spark, pdir, "c_custkey", "c_acctbal", 4)
-    }
+  test("partitioned z-order clusters within dirs; layout appends guarded") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_z_part"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwritePartitioned(cust, d, Seq("c_mktsegment"))
+    GraftLog.clusterBy(spark, d, "c_custkey", "c_acctbal", 8)
+    // layout-only: identical rows, partition columns intact
+    val back = GraftLog.read(spark, d)
+    assert(back.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(back).count() == 0)
+    // files still live under their col=val dirs
+    assert(GraftLog.snapshot(spark, d)._1.forall(_.contains("=")))
+    // a range probe on the SECOND clustered column composes with
+    // partition pruning and loses no rows
+    val q = spark.read.format("graft").load(d)
+      .filter(col("c_mktsegment") === "BUILDING" &&
+        col("c_acctbal") >= 2000 && col("c_acctbal") <= 4000)
+    val expect = cust.filter(col("c_mktsegment") === "BUILDING" &&
+      col("c_acctbal") >= 2000 && col("c_acctbal") <= 4000)
+    assert(q.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(q).count() == 0)
     // flat append into a partitioned layout would strand files without
-    // partition dirs — refused too
+    // partition dirs — refused still
     intercept[IllegalArgumentException] {
       GraftLog.append(
         Sources.testTable(spark, TestSpark.sf, "customer").limit(1), pdir)
