@@ -665,36 +665,75 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Thresholded (banded) Levenshtein: Spark 4's 3-child Catalyst
+    * `Levenshtein` computes the O(len·k) diagonal band and early-exits
+    * with -1 once the distance provably exceeds `k` — the functions API
+    * only exposes a constant-Int threshold, so the per-row (length-
+    * relative) bound is built on the expression directly. */
+  private def levenshteinWithin(l: Column, r: Column, k: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        ColumnBridge.expression(l), ColumnBridge.expression(r),
+        Some(ColumnBridge.expression(k.cast("int")))))
+  }
+
   /** e12 — SimHash candidates verified by EDIT DISTANCE (the Manku/
     * Jain/Sarma 2007 web-crawl near-dup pattern: sketch-bucket candidate
     * generation, then an exact, expensive verifier on candidates only).
     * Pairs within Hamming ≤ `maxDist` of each other's 64-bit SimHash are
-    * re-checked with full Levenshtein distance; a pair survives iff
+    * re-checked with Levenshtein distance; a pair survives iff
     * dist ≤ `maxRatio` × max(len) — a LENGTH-RELATIVE bound, so short
     * docs aren't over-matched and long docs aren't under-matched.
     *
     * Scale shape: candidate volume is e4's (pigeonhole chunk equi-join,
-    * recall guaranteed for d ≤ 7); Levenshtein's O(len²) cost is paid
-    * per CANDIDATE, never per pair of the corpus. Both engines implement
-    * textbook Levenshtein, so the verifier is oracle-exact. */
+    * recall guaranteed for d ≤ 7), and the verifier never pays full
+    * O(len²) DP per candidate:
+    *   1. a 32-byte sha256 digest joins onto the candidate frame first —
+    *      byte-identical pairs (the dominant mass in any crawl corpus)
+    *      emit `edit_dist = 0` with no text shuffle and no DP at all;
+    *   2. remaining pairs whose LENGTHS already differ by more than the
+    *      bound are rejected before the text join (|len_a − len_b| is a
+    *      Levenshtein lower bound);
+    *   3. only genuinely-near-miss pairs reach [[levenshteinWithin]] —
+    *      the banded O(len·k) form with early exit, k = ⌊maxRatio·maxlen⌋.
+    * Semantics are unchanged from the full-DP form (0 for identical
+    * texts; banded result is exact whenever dist ≤ k, and dist > k rows
+    * are filtered either way), so the verifier stays oracle-exact. */
   def editDistanceDedup(spark: SparkSession, sfDir: String,
       maxDist: Int = 7, maxRatio: Double = 0.25): DataFrame = {
     val pairs = simhash(spark, sfDir, maxDist = maxDist)
     val docs = Sources.testTable(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val withText = pairs
+    // skinny per-doc frame: digest + length, never the body
+    val dig = docs.select(col("doc_id"),
+      sha2(col("text"), 256).as("dg"), length(col("text")).as("len"))
+    val withDig = pairs
+      .join(dig.select(col("doc_id").as("doc_a"), col("dg").as("dga"),
+        col("len").as("la")), Seq("doc_a"))
+      .join(dig.select(col("doc_id").as("doc_b"), col("dg").as("dgb"),
+        col("len").as("lb")), Seq("doc_b"))
+      .withColumn("maxlen", greatest(col("la"), col("lb")))
+      .withColumn("k", floor(lit(maxRatio) * col("maxlen")))
+    val identical = withDig.filter(col("dga") === col("dgb"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        lit(0L).as("edit_dist"),
+        round(lit(0.0) / col("maxlen"), 6).as("edit_ratio"))
+    val nearMiss = withDig
+      .filter(col("dga") =!= col("dgb") &&
+        abs(col("la") - col("lb")) <= col("k"))
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
         Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
         Seq("doc_b"))
-      .withColumn("maxlen", greatest(length(col("ta")), length(col("tb"))))
       .withColumn("edit_dist",
-        levenshtein(col("ta"), col("tb")).cast("long"))
-    withText
-      .filter(col("edit_dist") <= lit(maxRatio) * col("maxlen"))
+        levenshteinWithin(col("ta"), col("tb"), col("k")).cast("long"))
+      .filter(col("edit_dist") >= 0L &&
+        col("edit_dist") <= lit(maxRatio) * col("maxlen"))
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"),
         round(col("edit_dist").cast("double") / col("maxlen"), 6)
           .as("edit_ratio"))
+    identical.unionByName(nearMiss)
   }
 
   // ----------------------------------------------------------- embeddings
