@@ -467,8 +467,9 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
   * version that REMOVES files (merge/delete/compact/overwrite) is
   * rejected unless `option("ignoreChanges", true)`, in which case that
   * version's added files are delivered (rewritten rows re-appear — the
-  * documented Delta trade). Vacuumed (log-truncated) versions cannot
-  * start a stream; begin from a checkpointed offset past them.
+  * documented Delta trade). A fresh stream on a vacuumed (log-truncated)
+  * table anchors its first batch at the oldest retained version's
+  * snapshot; a checkpoint pointing INTO the truncated range fails loudly.
   *
   * Scale: getBatch plans ONE parquet scan of the delta's files — commit
   * metadata sized driver work per trigger, data-proportional executor

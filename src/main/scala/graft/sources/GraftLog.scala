@@ -807,7 +807,7 @@ object GraftLog {
 
   /** Re-derive hidden transform columns a partitioned re-stage needs:
     * rewrites read through the FileIndex, whose output carries only the
-    * table schema, so `__pb…` columns are recomputed from their source
+    * table schema, so `gfb…` columns are recomputed from their source
     * column before the partitioned write. */
   private def withHiddenPartCols(df: DataFrame,
       partCols: Seq[String]): DataFrame =
@@ -821,7 +821,9 @@ object GraftLog {
 
   /** Atomic overwrite with HIDDEN bucket partitioning — Iceberg's
     * `PARTITIONED BY bucket(n, col)`: files land under
-    * `__pb<n>_<col>=<bucket>` dirs, the synthetic column never appears
+    * `gfb<n>_<col>=<bucket>` dirs (NOT `_`-prefixed — the staging walk
+    * treats underscore-led dirs as hidden), the synthetic column never
+    * appears
     * in the schema or the data, and a plain `WHERE col = x` prunes to
     * one bucket's files in the planner with zero query-side awareness
     * of the layout (the "hidden partitioning" contract — compare t11,
@@ -1421,16 +1423,30 @@ object GraftLog {
     * live set is exactly version `v`'s. Data files are immutable, so the
     * restore is pure metadata (no rewrite); history stays intact and
     * time travel still reaches every pre-restore state. Works on
-    * partitioned tables too (file references only). */
+    * partitioned tables too (file references only).
+    *
+    * The restore commit carries the FULL snapshot state of the target
+    * version, not just add/remove: the deletion-vector set is diffed
+    * against the currently-active one (restoring past a DV commit
+    * deactivates its masks; restoring TO a DV-active version from a
+    * post-compact state re-adds the vectors, so DV-deleted — e.g.
+    * GDPR-erased — rows do not resurrect), and per-file Bloom bitmaps
+    * are re-attached so file skipping survives the restore. */
   def restore(spark: SparkSession, table: String, v: Long): Long = {
     val (cur, _) = snapshot(spark, table)
     val (files, schema) = snapshot(spark, table, Some(v))
     val st = fileStats(spark, table, Some(v)).filter(_._2.nonEmpty)
     val sz = fileSizes(spark, table, Some(v))
+    val targetDvs = deletionVectors(spark, table, Some(v))
+    val curDvs = deletionVectors(spark, table)
+    val bl = fileBlooms(spark, table, Some(v))
     val nv = nextVersion(spark, table)
     writeCommit(spark, table, Commit(nv, "restore", files,
       cur.filterNot(files.toSet), schema.toDDL,
-      System.currentTimeMillis(), stats = st, sizes = sz))
+      System.currentTimeMillis(), stats = st, sizes = sz,
+      dvAdd = targetDvs.filterNot(curDvs.toSet),
+      dvRemove = curDvs.filterNot(targetDvs.toSet),
+      blooms = bl))
     nv
   }
 
@@ -1438,31 +1454,59 @@ object GraftLog {
     * the streaming-source delta ([[GraftStreamSource]]). Versions that
     * remove files (merge/delete/compact/non-initial overwrite) raise
     * unless `ignoreChanges` (Delta's streaming-read contract); their adds
-    * are delivered when it is set. */
+    * are delivered when it is set.
+    *
+    * A FRESH stream (`fromExclusive = -1`) on a vacuumed table cannot
+    * replay the truncated versions, so its first batch is anchored at
+    * the oldest retained version's checkpoint-folded SNAPSHOT (Delta's
+    * initial-snapshot semantics) and later commits stream incrementally
+    * from there. A stream RESUMING from a checkpoint older than the
+    * vacuum horizon still fails loudly — those versions' rows are
+    * genuinely gone, and only a fresh start (which re-anchors) can
+    * recover. */
   private[sources] def addedIn(spark: SparkSession, table: String,
       fromExclusive: Long, toInclusive: Long,
       ignoreChanges: Boolean): Seq[String] = {
     val present = versions(spark, table)
       .filter(v => v > fromExclusive && v <= toInclusive)
-    // Version numbers are dense by protocol (each commit claims last+1),
-    // so any hole in the requested range means vacuum truncated commits
-    // INSIDE it — a stream resuming from a checkpoint older than the
-    // vacuum horizon would silently lose those versions' rows. Fail
-    // loudly instead (Delta raises the same way).
-    require(present == ((fromExclusive + 1) to toInclusive),
-      s"streaming read of $table needs commit versions " +
-        s"(${fromExclusive}, $toInclusive] but the log holds only " +
-        s"[${present.mkString(",")}] — vacuum truncated part of the " +
-        "range; restart the stream from a fresh checkpoint")
-    present
-      .flatMap { v =>
-        val c = readCommit(spark, table, v)
-        require(ignoreChanges || (c.remove.isEmpty && c.dvAdd.isEmpty),
-          s"version $v of $table is a '${c.operation}' that removes " +
-            "files; streaming reads support append-only histories " +
-            "(set ignoreChanges=true to stream rewritten rows too)")
-        c.add
-      }
+    val oldest = present.headOption.getOrElse(Long.MaxValue)
+    def incremental(vs: Seq[Long]): Seq[String] = vs.flatMap { v =>
+      val c = readCommit(spark, table, v)
+      require(ignoreChanges || (c.remove.isEmpty && c.dvAdd.isEmpty),
+        s"version $v of $table is a '${c.operation}' that removes " +
+          "files; streaming reads support append-only histories " +
+          "(set ignoreChanges=true to stream rewritten rows too)")
+      c.add
+    }
+    if (fromExclusive == -1L && oldest > 0 && oldest <= toInclusive) {
+      // fresh start on a vacuumed log: initial snapshot at the oldest
+      // retained version, then the later commits' adds
+      require(present == (oldest to toInclusive),
+        s"streaming read of $table: the log holds only " +
+          s"[${present.mkString(",")}] — vacuum truncated versions " +
+          "inside the range")
+      require(ignoreChanges ||
+        deletionVectors(spark, table, Some(oldest)).isEmpty,
+        s"version $oldest of $table carries active deletion vectors; " +
+          "the initial snapshot would resurrect masked rows (set " +
+          "ignoreChanges=true to stream them anyway)")
+      (snapshot(spark, table, Some(oldest))._1 ++
+        incremental(present.filter(_ > oldest))).distinct
+    } else {
+      // Version numbers are dense by protocol (each commit claims
+      // last+1), so any hole in the requested range means vacuum
+      // truncated commits INSIDE it — a stream resuming from a
+      // checkpoint older than the vacuum horizon would silently lose
+      // those versions' rows. Fail loudly instead (Delta raises the
+      // same way).
+      require(present == ((fromExclusive + 1) to toInclusive),
+        s"streaming read of $table needs commit versions " +
+          s"(${fromExclusive}, $toInclusive] but the log holds only " +
+          s"[${present.mkString(",")}] — vacuum truncated part of the " +
+          "range; restart the stream from a fresh checkpoint (a fresh " +
+          "start re-anchors at the oldest retained snapshot)")
+      incremental(present)
+    }
   }
 
   /** Morton (Z-order) interleave of two 16-bit normalized ranks — bit i

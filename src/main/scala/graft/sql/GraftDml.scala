@@ -66,13 +66,34 @@ final class GraftSqlParser(
     """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeStmt(target, files, za, zb) =>
+    case OptimizeStmt(target, files, za, zb) if ownsTarget(target) =>
       if (za != null) GraftZOrderCommand(target, za, zb,
         Option(files).map(_.toInt).getOrElse(8))
       else GraftOptimizeCommand(target,
         Option(files).map(_.toInt).getOrElse(1))
-    case VacuumStmt(target, n) => GraftVacuumCommand(target, n.toInt)
+    case VacuumStmt(target, n) if ownsTarget(target) =>
+      GraftVacuumCommand(target, n.toInt)
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** Path targets and catalog tables stored `USING graft` are ours; a
+    * RESOLVABLE catalog table with any other provider falls through to
+    * the delegate, so a co-installed extension (e.g. Delta, whose parser
+    * this one wraps under the DeltaLake profile) keeps its own
+    * OPTIMIZE/VACUUM surface. Unresolvable names stay ours — the command
+    * then fails with the clear "not a USING graft table" message instead
+    * of the delegate's generic parse error. */
+  private def ownsTarget(target: String): Boolean = {
+    val t = target.trim
+    val isPath = (t.startsWith("'") && t.endsWith("'")) ||
+      (t.startsWith("\"") && t.endsWith("\""))
+    isPath || org.apache.spark.sql.SparkSession.getActiveSession.forall { s =>
+      try {
+        val ident = s.sessionState.sqlParser.parseTableIdentifier(t)
+        val meta = s.sessionState.catalog.getTableMetadata(ident)
+        meta.provider.forall(_.equalsIgnoreCase("graft"))
+      } catch { case scala.util.control.NonFatal(_) => true }
+    }
   }
 
   override def parseExpression(s: String): Expression =

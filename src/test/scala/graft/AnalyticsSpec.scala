@@ -318,6 +318,20 @@ class AnalyticsSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("OPTIMIZE") } // malformed → Spark err
   }
 
+  test("SQL OPTIMIZE of a non-graft catalog table falls through to Spark") {
+    spark.sql("DROP TABLE IF EXISTS maint_pq_t")
+    spark.sql("CREATE TABLE maint_pq_t (id INT) USING parquet")
+    try {
+      // the target resolves to a parquet-provider table, so the graft
+      // parser must NOT capture it — a co-installed extension (Delta)
+      // would otherwise lose its own OPTIMIZE surface. With no such
+      // extension installed here, the delegate's parse error surfaces,
+      // not graft's "not a USING graft table" failure.
+      val e = intercept[Exception] { spark.sql("OPTIMIZE maint_pq_t") }
+      assert(!e.getMessage.contains("USING graft"), e.getMessage)
+    } finally spark.sql("DROP TABLE maint_pq_t")
+  }
+
   test("unsupported SQL DML shapes fail loudly, not wrongly") {
     import graft.sources.{GraftLog, Sources, Staging}
     val d = Staging.tempDir("graft_dmlspec_") + "/cust_strict"

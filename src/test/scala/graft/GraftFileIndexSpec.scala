@@ -456,6 +456,30 @@ class GraftFileIndexSpec extends AnyFunSuite {
     drainWith(Map("ignoreChanges" -> "true")) // documented Delta trade
   }
 
+  test("fresh stream on a vacuumed table anchors at the retained snapshot") {
+    val root = Staging.tempDir("graft_fidx_vac_")
+    val (t, ckpt, out) = (s"$root/t", s"$root/ckpt", s"$root/out")
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.append(cust.filter(col("c_custkey") < 30), t)            // v0
+    GraftLog.append(cust.filter(
+      col("c_custkey") >= 30 && col("c_custkey") < 60), t)            // v1
+    GraftLog.append(cust.filter(col("c_custkey") >= 60), t)           // v2
+    GraftLog.vacuum(spark, t, retainVersions = 2)  // truncates v0
+    assert(GraftLog.versions(spark, t) == Seq(1L, 2L))
+    // a FRESH stream cannot replay v0, but it can anchor its first
+    // batch at v1's checkpoint-folded snapshot — no rows lost
+    val q = spark.readStream.format("graft").load(t)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() == cust.count())
+    assert(sunk.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(sunk).count() == 0)
+  }
+
   // ------------------------------------------------------------ restore
 
   test("restore rewinds the live set; history and time travel intact") {

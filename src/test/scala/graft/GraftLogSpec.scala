@@ -452,4 +452,36 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 60) // 65 − 5 masked
     assert(GraftLog.read(spark, t).filter(col("id") < 5).count() == 0)
   }
+
+  test("restore carries deletion-vector state of the target version") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 100, "seed").repartition(4), t) // v0
+    GraftLog.deleteVectors(spark, t, col("id") < 10)              // v1
+    GraftLog.compact(spark, t)                                    // v2
+    assert(GraftLog.deletionVectors(spark, t).isEmpty)
+    // restore TO the DV-active version from the post-compact state:
+    // the masks come back with it — erased rows must NOT resurrect
+    GraftLog.restore(spark, t, 1L)                                // v3
+    assert(GraftLog.deletionVectors(spark, t).nonEmpty)
+    assert(GraftLog.read(spark, t).count() == 90)
+    assert(GraftLog.read(spark, t).filter(col("id") < 10).count() == 0)
+    // restore PAST the DV commit to the pre-DV version: the later DV
+    // commit's masks deactivate — every original row is visible again
+    GraftLog.restore(spark, t, 0L)                                // v4
+    assert(GraftLog.deletionVectors(spark, t).isEmpty)
+    assert(GraftLog.read(spark, t).count() == 100)
+  }
+
+  test("restore re-attaches Bloom bitmaps of re-added files") {
+    val t = tmp()
+    GraftLog.overwriteIndexed(df(0 until 40, "a"), t, Seq("tag")) // v0
+    assert(GraftLog.fileBlooms(spark, t).nonEmpty)
+    GraftLog.overwrite(df(40 until 50, "b"), t)                   // v1
+    assert(GraftLog.fileBlooms(spark, t).isEmpty)
+    GraftLog.restore(spark, t, 0L)                                // v2
+    // v0's files are re-added WITH their Bloom metadata, so file
+    // skipping keeps working after the restore
+    assert(GraftLog.fileBlooms(spark, t).nonEmpty)
+    assert(GraftLog.read(spark, t).count() == 40)
+  }
 }
