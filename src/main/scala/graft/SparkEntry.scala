@@ -67,6 +67,10 @@ object SparkEntry {
     // SQL maintenance text (OPTIMIZE / VACUUM) via the injected parser
     "d8_graft_sql_maintenance" ->
       ((s, d) => Ddl.graftSqlMaintenance(s, d)),
+    // SQL time travel (VERSION AS OF / TIMESTAMP AS OF) + DESCRIBE
+    // HISTORY via the parse-time substitution
+    "d9_graft_sql_time_travel" ->
+      ((s, d) => Ddl.graftSqlTimeTravel(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -756,6 +760,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  2 AS n_files
         |FROM customer""".stripMargin,
+    // d9: VERSION AS OF 0 must surface exactly the even-key overwrite;
+    // the TIMESTAMP AS OF probe sees the full table; 2 commits total
+    "d9_graft_sql_time_travel" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  (SELECT count(*) FROM customer) AS latest_rows,
+        |  CAST(2 AS BIGINT) AS n_commits
+        |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
     // t15: restore rewinds the live set to v0 — the read is the seed
     "t15_graftlog_restore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -213,6 +213,41 @@ object Ddl {
       .withColumn("n_files", org.apache.spark.sql.functions.lit(nFiles))
   }
 
+  private val stagedSqlTT =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d9 — SQL time travel + history over a `USING graft` table: the
+    * Delta read surface the reference's session factory enables
+    * (`spark_session_factory.py:70`) — `VERSION AS OF n` resolves via
+    * the parse-time substitution in [[graft.sql.GraftTimeTravel]],
+    * `TIMESTAMP AS OF` picks the latest commit at-or-before the given
+    * instant, and `DESCRIBE HISTORY` lists one row per commit. Output:
+    * version 0's rows, plus the latest row count (probed through a
+    * future-dated TIMESTAMP AS OF) and the commit count — so the oracle
+    * checks all three text surfaces at once. */
+  def graftSqlTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = stagedSqlTT.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_sqltt_") + "/customer"
+      val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      graft.sources.GraftLog.overwrite(
+        cust.filter(col("c_custkey") % 2 === 0), d)            // v0
+      graft.sources.GraftLog.append(
+        cust.filter(col("c_custkey") % 2 === 1), d)            // v1
+      d
+    })
+    val t = s"graft_tt_cust_${math.abs(sfDir.hashCode).toString.take(8)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    val latestRows = spark.sql(
+      s"SELECT count(*) AS n FROM $t TIMESTAMP AS OF '2099-01-01'")
+      .head.getLong(0)
+    val nCommits = spark.sql(s"DESCRIBE HISTORY $t").count()
+    spark.sql(s"SELECT c_custkey, c_name, c_acctbal FROM $t VERSION AS OF 0")
+      .withColumn("latest_rows", lit(latestRows))
+      .withColumn("n_commits", lit(nCommits))
+  }
+
   /** K4 round-trip: DataFrameWriterV2 `createOrReplace` + catalog scan. */
   def writeToRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     createDatabase(spark, "graft_lake")

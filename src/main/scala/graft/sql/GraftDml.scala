@@ -64,6 +64,8 @@ final class GraftSqlParser(
     """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val HistoryStmt =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeStmt(target, files, za, zb) if ownsTarget(target) =>
@@ -73,7 +75,9 @@ final class GraftSqlParser(
         Option(files).map(_.toInt).getOrElse(1))
     case VacuumStmt(target, n) if ownsTarget(target) =>
       GraftVacuumCommand(target, n.toInt)
-    case _ => delegate.parsePlan(sqlText)
+    case HistoryStmt(target) if ownsTarget(target) =>
+      GraftHistoryCommand(target)
+    case _ => GraftTimeTravel(delegate.parsePlan(sqlText))
   }
 
   /** Path targets and catalog tables stored `USING graft` are ours; a
@@ -111,6 +115,91 @@ final class GraftSqlParser(
     delegate.parseTableSchema(s)
   override def parseDataType(s: String): DataType =
     delegate.parseDataType(s)
+}
+
+/** SQL time travel on graft tables — `SELECT … FROM t VERSION AS OF n`
+  * and `TIMESTAMP AS OF ts` (the Delta/Iceberg read syntax the reference
+  * configures; Spark's grammar already parses both into
+  * [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]], which
+  * the analyzer only resolves for V2 catalogs). The substitution runs at
+  * PARSE time, on the freshly-parsed plan: any time-travel node whose
+  * relation names a catalog `USING graft` table is replaced by the
+  * already-resolved logical plan of [[GraftLog.readVersion]] at the
+  * requested version — commit-metadata work only; non-graft targets pass
+  * through untouched for Spark (or a co-installed extension) to resolve. */
+private object GraftTimeTravel {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+  import org.apache.spark.sql.types.TimestampType
+
+  def apply(plan: LogicalPlan): LogicalPlan =
+    SparkSession.getActiveSession match {
+      case Some(s) if plan.containsPattern(
+          org.apache.spark.sql.catalyst.trees.TreePattern.RELATION_TIME_TRAVEL) =>
+        plan.transformUp {
+          case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+            graftPathOpt(s, u.multipartIdentifier).map { path =>
+              val v = ver match {
+                case Some(n) => n.toLong
+                case None => versionAt(s, path, ts.get)
+              }
+              GraftLog.readVersion(s, path, v).queryExecution.logical
+            }.getOrElse(tt)
+        }
+      case _ => plan
+    }
+
+  /** Catalog table stored `USING graft` → its commit-log root; None for
+    * anything else (other providers, temp views, unknown names). */
+  private def graftPathOpt(s: SparkSession,
+      parts: Seq[String]): Option[String] =
+    try {
+      val ident = parts match {
+        case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+        case Seq(db, t) =>
+          org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+        case _ => return None
+      }
+      val meta = s.sessionState.catalog.getTableMetadata(ident)
+      if (meta.provider.exists(_.equalsIgnoreCase("graft")))
+        meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.getPath))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Delta's TIMESTAMP AS OF contract: the latest version whose commit
+    * timestamp is at or before `ts`; probing before the first commit is
+    * an error. Commit-count-sized driver work (the history IS metadata). */
+  private def versionAt(s: SparkSession, path: String,
+      ts: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    val micros = Cast(Literal(ts.eval(null), ts.dataType), TimestampType,
+      Some(s.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    require(micros != null, s"cannot interpret $ts as a timestamp")
+    val ms = micros.asInstanceOf[Long] / 1000L
+    val at = GraftLog.history(s, path)
+      .select("version", "timestamp").collect()
+      .filter(_.getTimestamp(1).getTime <= ms).map(_.getLong(0))
+    require(at.nonEmpty,
+      s"no commit of $path at or before the requested timestamp " +
+        s"(first commit is later); use VERSION AS OF or a later timestamp")
+    at.max
+  }
+}
+
+/** `DESCRIBE HISTORY t` → [[GraftLog.history]] rows (Delta's surface:
+  * one row per commit, newest first). */
+case class GraftHistoryCommand(target: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("operation", StringType, nullable = false)(),
+      AttributeReference("n_added_files", IntegerType, nullable = false)(),
+      AttributeReference("n_removed_files", IntegerType, nullable = false)(),
+      AttributeReference("timestamp", TimestampType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    GraftLog.history(session, path).collect().toSeq
+  }
 }
 
 /** Resolve a maintenance target — `'path'` literal or the name of a

@@ -332,6 +332,48 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE maint_pq_t")
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF / DESCRIBE HISTORY") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val d = Staging.tempDir("graft_tt_") + "/cust"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    val early = cust.filter(col("c_custkey") <= 50)
+    GraftLog.overwrite(early, d)                            // v0
+    GraftLog.append(cust.filter(col("c_custkey") > 50), d)  // v1
+    spark.sql("DROP TABLE IF EXISTS tt_t")
+    spark.sql(s"CREATE TABLE tt_t USING graft OPTIONS (path '$d')")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM tt_t VERSION AS OF 0")
+        .head.getLong(0) == early.count())
+      assert(spark.sql("SELECT count(*) AS n FROM tt_t VERSION AS OF 1")
+        .head.getLong(0) == cust.count())
+      // two travel clauses compose in one query (self-join at versions)
+      assert(spark.sql(
+        """SELECT count(*) AS n
+          |FROM tt_t VERSION AS OF 1 a JOIN tt_t VERSION AS OF 0 b
+          |  ON a.c_custkey = b.c_custkey""".stripMargin)
+        .head.getLong(0) == early.count())
+      // TIMESTAMP AS OF: a future instant resolves to the latest
+      // version; one before the first commit is a clear error
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM tt_t TIMESTAMP AS OF '2099-01-01'")
+        .head.getLong(0) == cust.count())
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM tt_t TIMESTAMP AS OF '1999-01-01'")
+          .collect()
+      }
+      assert(e.getMessage.contains("at or before"), e.getMessage)
+      // DESCRIBE HISTORY: one row per commit, newest first
+      val h = spark.sql("DESCRIBE HISTORY tt_t").collect()
+      assert(h.map(_.getLong(0)).toSeq == Seq(1L, 0L))
+      assert(h.map(_.getString(1)).toSeq == Seq("append", "overwrite"))
+      // a non-graft relation with time travel is left for Spark to
+      // reject (we must not swallow it)
+      intercept[Exception] {
+        spark.sql("SELECT * FROM maint_absent_t VERSION AS OF 3").collect()
+      }
+    } finally spark.sql("DROP TABLE tt_t")
+  }
+
   test("unsupported SQL DML shapes fail loudly, not wrongly") {
     import graft.sources.{GraftLog, Sources, Staging}
     val d = Staging.tempDir("graft_dmlspec_") + "/cust_strict"
