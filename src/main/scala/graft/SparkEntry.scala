@@ -282,6 +282,10 @@ object SparkEntry {
     // commits → compaction materializes (s11 + t17 + t5 composed)
     "i15_streaming_gdpr_erasure" ->
       ((s, d) => Transactions.streamingErasure(s, d)),
+    // schema evolution: mergeSchema write option + ALTER TABLE ADD
+    // COLUMNS; older files backfill the new columns as typed NULLs
+    "t20_graftlog_schema_evolution" ->
+      ((s, d) => Transactions.schemaEvolution(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -759,6 +763,13 @@ object SparkEntry {
     "d8_graft_sql_maintenance" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  2 AS n_files
+        |FROM customer""".stripMargin,
+    // t20: the union schema reads back with typed-NULL backfill — even
+    // keys predate c_nationkey (NULL), everyone predates c_flag (NULL)
+    "t20_graftlog_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  CASE WHEN c_custkey % 2 = 1 THEN c_nationkey END AS c_nationkey,
+        |  CAST(NULL AS VARCHAR) AS c_flag
         |FROM customer""".stripMargin,
     // d9: VERSION AS OF 0 must surface exactly the even-key overwrite;
     // the TIMESTAMP AS OF probe sees the full table; 2 commits total

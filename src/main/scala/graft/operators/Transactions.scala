@@ -477,6 +477,34 @@ object Transactions {
       .select(customerCols.map(col): _*)
   }
 
+  private val stagedEvolve =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t20 — schema-evolution lifecycle (the reference exercises Delta
+    * `mergeSchema` on every silver/gold write, `financial_dl_etl.py:66,
+    * 81,99`): v0 writes a 3-column slice; v1 appends a WIDENED batch
+    * through the `mergeSchema` write option (`GraftLog.appendMergeSchema`
+    * — commit schema becomes the union); v2 is a metadata-only
+    * `ALTER TABLE … ADD COLUMNS` through the injected parser. Data files
+    * are immutable throughout — the schema-directed read backfills the
+    * columns each file predates as typed NULLs, which is exactly what
+    * the oracle asserts row-by-row. */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedEvolve.getOrElseUpdate(sfDir,
+      graft.sources.Staging.tempDir("graft_txn_") + "/customer_evo")
+    val cust = Sources.testTable(spark, sfDir, "customer")
+    cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .write.format("graft").mode("overwrite").save(dir)         // v_n
+    cust.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+      .write.format("graft").mode("append")
+      .option("mergeSchema", "true").save(dir)                   // widened
+    spark.sql(s"ALTER TABLE '$dir' ADD COLUMNS (c_flag STRING)") // metadata
+    spark.read.format("graft").load(dir)
+  }
+
   private val stagedVacuum =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -406,7 +406,9 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
     * map to transactional append/overwrite commits (schema-enforced,
     * stats collected); ErrorIfExists/Ignore follow SaveMode semantics
     * against log existence. `option("partitionBy", "a,b")` routes to the
-    * hive-partitioned writers. */
+    * hive-partitioned writers; `option("mergeSchema", true)` routes an
+    * Append through the schema-evolving
+    * [[GraftLog.appendMergeSchema]] (Delta's write option). */
   override def createRelation(sqlContext: SQLContext,
       mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
       data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
@@ -416,12 +418,18 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
     val path = pathOf(parameters)
     val partCols = parameters.get("partitionBy").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
+    require(!mergeSchema || partCols.isEmpty,
+      "mergeSchema is supported on flat layouts only (partitionBy " +
+        "fixes the directory schema)")
     val exists = GraftLog.versions(spark, path).nonEmpty
     def write(f: => Long): Unit = { f; () }
     mode match {
       case Append =>
         write(if (partCols.nonEmpty)
           GraftLog.appendPartitioned(data.toDF(), path, partCols)
+        else if (mergeSchema)
+          GraftLog.appendMergeSchema(data.toDF(), path)
         else GraftLog.append(data.toDF(), path))
       case Overwrite =>
         write(if (partCols.nonEmpty)

@@ -1006,6 +1006,26 @@ object GraftLog {
     v
   }
 
+  /** `ALTER TABLE … ADD COLUMNS` — metadata-only schema widening: one
+    * commit that adds no files and re-points the schema at table ∪ new
+    * columns. Existing files simply lack the columns; the
+    * schema-directed read fills them as typed NULLs (the same
+    * merge-on-read contract as [[appendMergeSchema]]). */
+  def addColumns(spark: SparkSession, table: String,
+      cols: StructType): Long = {
+    require(versions(spark, table).nonEmpty,
+      s"$table is not a GraftLog table (no $LogDirName)")
+    val cur = snapshot(spark, table)._2
+    val curNames = cur.fieldNames.map(_.toLowerCase).toSet
+    cols.foreach(f => require(!curNames(f.name.toLowerCase),
+      s"column ${f.name} already exists in $table"))
+    val merged = StructType(cur.fields ++ cols.fields)
+    val v = nextVersion(spark, table)
+    writeCommit(spark, table, Commit(v, "addColumns", Seq.empty, Seq.empty,
+      merged.toDDL, System.currentTimeMillis()))
+    v
+  }
+
   /** Highest streaming batch id committed for `appId` — replaying the
     * log is a metadata walk (file names + small JSON), never data. Reads
     * the folded ledger from the newest checkpoint (which survives

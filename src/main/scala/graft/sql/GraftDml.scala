@@ -66,6 +66,8 @@ final class GraftSqlParser(
     """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+?)\s*;?\s*""".r
+  private val AddColumnsStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeStmt(target, files, za, zb) if ownsTarget(target) =>
@@ -77,6 +79,11 @@ final class GraftSqlParser(
       GraftVacuumCommand(target, n.toInt)
     case HistoryStmt(target) if ownsTarget(target) =>
       GraftHistoryCommand(target)
+    // ALTER TABLE is standard SQL Spark parses itself, so only a target
+    // that RESOLVES to a graft table is captured (isGraftTable, not
+    // ownsTarget) — everything else keeps Spark's own ALTER semantics
+    case AddColumnsStmt(target, cols) if isGraftTable(target) =>
+      GraftAddColumnsCommand(target, cols)
     case _ => GraftTimeTravel(delegate.parsePlan(sqlText))
   }
 
@@ -97,6 +104,24 @@ final class GraftSqlParser(
         val meta = s.sessionState.catalog.getTableMetadata(ident)
         meta.provider.forall(_.equalsIgnoreCase("graft"))
       } catch { case scala.util.control.NonFatal(_) => true }
+    }
+  }
+
+  /** Stricter than [[ownsTarget]]: the target must POSITIVELY resolve to
+    * a graft table ('path' literal, or a catalog table whose provider is
+    * graft). Used for statements Spark's own grammar also accepts (ALTER
+    * TABLE), where an unresolvable name must keep Spark's semantics and
+    * Spark's error message. */
+  private def isGraftTable(target: String): Boolean = {
+    val t = target.trim
+    val isPath = (t.startsWith("'") && t.endsWith("'")) ||
+      (t.startsWith("\"") && t.endsWith("\""))
+    isPath || org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try {
+        val ident = s.sessionState.sqlParser.parseTableIdentifier(t)
+        val meta = s.sessionState.catalog.getTableMetadata(ident)
+        meta.provider.exists(_.equalsIgnoreCase("graft"))
+      } catch { case scala.util.control.NonFatal(_) => false }
     }
   }
 
@@ -199,6 +224,30 @@ case class GraftHistoryCommand(target: String) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
     GraftLog.history(session, path).collect().toSeq
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMNS (c TYPE, …)` → [[GraftLog.addColumns]] —
+  * metadata-only schema widening. For catalog tables the metastore's
+  * pinned data schema is updated too (the V1 resolution path rejects a
+  * relation whose actual schema differs from the stored one), exactly
+  * what Spark's own AlterTableAddColumnsCommand does for its file
+  * sources. */
+case class GraftAddColumnsCommand(target: String, colsDdl: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    val cols = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+    GraftLog.addColumns(session, path, cols)
+    val t = target.trim
+    if (!(t.startsWith("'") || t.startsWith("\""))) {
+      val ident = session.sessionState.sqlParser.parseTableIdentifier(t)
+      session.sessionState.catalog.alterTableDataSchema(ident,
+        GraftLog.snapshot(session, path)._2)
+      session.catalog.refreshTable(t)
+    }
+    session.catalog.refreshByPath(path)
+    Seq.empty
   }
 }
 

@@ -472,6 +472,41 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 100)
   }
 
+  test("schema evolution: mergeSchema append + ALTER ADD COLUMNS") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a"), t)
+    // widened batch through the Delta-style write option
+    val widened = (10 until 20).map(i => (i.toLong, "b", i * 2L))
+      .toDF("id", "tag", "score")
+    widened.write.format("graft").mode("append")
+      .option("mergeSchema", "true").save(t)
+    val back = GraftLog.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
+    assert(back.count() == 20)
+    // typed-NULL backfill for rows that predate the column
+    assert(back.filter($"id" < 10 && $"score".isNull).count() == 10)
+    assert(back.filter($"id" >= 10 && $"score".isNull).count() == 0)
+    // without the option, a differently-shaped batch is still rejected
+    intercept[IllegalArgumentException] {
+      GraftLog.append((0 until 2).map(i => (i.toLong, "c", "x"))
+        .toDF("id", "tag", "extra"), t)
+    }
+    // ALTER on the catalog-registered form syncs the metastore schema
+    spark.sql("DROP TABLE IF EXISTS evo_t")
+    spark.sql(s"CREATE TABLE evo_t USING graft OPTIONS (path '$t')")
+    try {
+      spark.sql("ALTER TABLE evo_t ADD COLUMNS (flag STRING, w DOUBLE)")
+      val cat = spark.table("evo_t")
+      assert(cat.schema.fieldNames.toSeq ==
+        Seq("id", "tag", "score", "flag", "w"))
+      assert(cat.filter($"flag".isNull && $"w".isNull).count() == 20)
+      // duplicate column is rejected, not silently doubled
+      intercept[Exception] {
+        spark.sql("ALTER TABLE evo_t ADD COLUMNS (id INT)")
+      }
+    } finally spark.sql("DROP TABLE evo_t")
+  }
+
   test("restore re-attaches Bloom bitmaps of re-added files") {
     val t = tmp()
     GraftLog.overwriteIndexed(df(0 until 40, "a"), t, Seq("tag")) // v0
