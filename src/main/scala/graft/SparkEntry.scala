@@ -286,6 +286,10 @@ object SparkEntry {
     // COLUMNS; older files backfill the new columns as typed NULLs
     "t20_graftlog_schema_evolution" ->
       ((s, d) => Transactions.schemaEvolution(s, d)),
+    // deletion vectors on a hive-partitioned layout: O(matches) erasure
+    // on the partitioned table shape, zero data files rewritten
+    "t21_graftlog_partitioned_dv" ->
+      ((s, d) => Transactions.partitionedDvDelete(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -489,6 +493,12 @@ object SparkEntry {
     // t17: the DV delete answers like t3, with zero data files rewritten
     // (the merge-on-read contract pinned as a literal column)
     "t17_graftlog_deletion_vectors" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  0 AS n_files_rewritten
+        |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
+    // t21: DV delete on the partitioned layout answers like t17 —
+    // partitioning must not change the masked result or cost a rewrite
+    "t21_graftlog_partitioned_dv" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  0 AS n_files_rewritten
         |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,

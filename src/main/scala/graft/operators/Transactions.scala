@@ -129,6 +129,34 @@ object Transactions {
       dir
     })
 
+  private val stagedPartDv =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t21 — deletion vectors on a HIVE-PARTITIONED layout: the erasure
+    * shape a date/segment-partitioned 100 TB lake actually runs. The
+    * table is partitioned by `c_mktsegment`; the DV commit masks
+    * `c_custkey % 10 = 0` positions across every partition WITHOUT
+    * rewriting one data file (pinned as `n_files_rewritten`; compact
+    * materializing while KEEPING the partition dirs is spec-pinned in
+    * GraftLogSpec). Same answer as t3/t17 — layout must never change
+    * the result. */
+  def partitionedDvDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedPartDv.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_txn_") + "/customer_pdv"
+      GraftLog.overwritePartitioned(
+        Sources.testTable(spark, sfDir, "customer"), d,
+        Seq("c_mktsegment"))                                      // v0
+      GraftLog.deleteVectors(spark, d, col("c_custkey") % 10 === 0) // v1
+      d
+    })
+    val f0 = GraftLog.snapshot(spark, dir, Some(0L))._1.toSet
+    val f1 = GraftLog.snapshot(spark, dir, Some(1L))._1.toSet
+    val rewritten = (f1 diff f0).size + (f0 diff f1).size
+    GraftLog.read(spark, dir)
+      .select(customerCols.map(col): _*)
+      .withColumn("n_files_rewritten", lit(rewritten))
+  }
+
   private val stagedErasure =
     new scala.collection.concurrent.TrieMap[String, String]
 

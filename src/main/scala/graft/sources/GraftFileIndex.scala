@@ -31,13 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * depends on pruning — the residual filter still runs on every row).
   */
 final class GraftFileIndex(spark: SparkSession, table: String,
-    asOf: Option[Long] = None, only: Option[Set[String]] = None)
-    extends FileIndex {
+    asOf: Option[Long] = None, only: Option[Set[String]] = None,
+    allowDvs: Boolean = false) extends FileIndex {
 
   private val (allLive, tableSchema) = GraftLog.snapshot(spark, table, asOf)
   // a plain file scan cannot apply deletion-vector masks — reading a
-  // DV-bearing snapshot through the index would resurrect deleted rows
-  require(GraftLog.deletionVectors(spark, table, asOf).isEmpty,
+  // DV-bearing snapshot through the index would resurrect deleted rows.
+  // allowDvs is the DV machinery's OWN escape hatch (GraftLog.readWithDvs
+  // masks the positions after this scan) — never a public read path.
+  require(allowDvs || GraftLog.deletionVectors(spark, table, asOf).isEmpty,
     s"$table has active deletion vectors; read via GraftLog.read " +
       "(merge-on-read) or compact() to materialize them first")
   private val liveFiles = only match {
@@ -375,6 +377,19 @@ object GraftFileIndex {
   def readSubset(spark: SparkSession, table: String,
       files: Seq[String]): DataFrame = {
     val idx = new GraftFileIndex(spark, table, None, Some(files.toSet))
+    spark.baseRelationToDataFrame(
+      HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
+        new ParquetFileFormat(), Map.empty)(spark))
+  }
+
+  /** [[readSubset]] with the deletion-vector guard bypassed and no
+    * column reordering — the raw scan under [[GraftLog.readWithDvs]]'s
+    * position mask and the DV writers' position harvest (both need
+    * `_metadata` off the bare relation). Internal to the DV machinery. */
+  private[sources] def readSubsetRaw(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame = {
+    val idx = new GraftFileIndex(spark, table, None, Some(files.toSet),
+      allowDvs = true)
     spark.baseRelationToDataFrame(
       HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
         new ParquetFileFormat(), Map.empty)(spark))

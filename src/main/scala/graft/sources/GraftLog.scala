@@ -1250,6 +1250,18 @@ object GraftLog {
   private def relPathCol(filePath: Column): Column =
     regexp_extract(filePath, "^.*/(_data/.+)$", 1)
 
+  /** The raw per-position scan the DV machinery builds on: data columns
+    * plus `_metadata` (file path, row index), partition columns
+    * reconstructed from the hive dirs when the layout has them — so DV
+    * predicates can reference partition columns, and partition-only
+    * predicates prune the scan in the planner. */
+  private def dvScan(spark: SparkSession, table: String,
+      files: Seq[String], schema: StructType): DataFrame =
+    if (hasPartitionedFiles(files))
+      GraftFileIndex.readSubsetRaw(spark, table, files)
+    else spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+
   /** Merge-on-read DELETE (Delta deletion vectors): matching rows are
     * recorded as (file, row_index) positions in a parquet sidecar under
     * `_dv/`, committed WITHOUT touching any data file — O(matches)
@@ -1262,15 +1274,14 @@ object GraftLog {
     * (merge/delete/update) refuse while DVs are active — their rewrites
     * would resurrect deleted rows — so the cycle is: deleteVectors* →
     * compact → full DML again, mirroring Delta's DV + OPTIMIZE flow.
-    * Flat layouts only (like Delta, DVs predate partitioned support
-    * here; a partitioned table deletes by rewrite). */
+    * Works on flat AND hive-partitioned layouts (the date-partitioned
+    * 100 TB lake is exactly where a GDPR erasure runs); predicates may
+    * reference partition columns, which additionally prune the scan. */
   def deleteVectors(spark: SparkSession, table: String,
       predicate: Column): Long = {
     val (files, schema) = snapshot(spark, table)
-    requireUnpartitioned(files, "deleteVectors")
     val rel = s"$DvDirName/${UUID.randomUUID()}"
-    spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+    dvScan(spark, table, files, schema)
       .select(relPathCol(col("_metadata.file_path")).as("file_rel"),
         col("_metadata.row_index").as("row_idx"),
         coalesce(predicate, lit(false)).as("__gf_hit"))
@@ -1289,13 +1300,11 @@ object GraftLog {
   def deleteVectorsMatching(spark: SparkSession, table: String,
       keys: DataFrame, keyCols: Seq[String]): Long = {
     val (files, schema) = snapshot(spark, table)
-    requireUnpartitioned(files, "deleteVectors")
     keyCols.foreach(c => require(
       schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"delete key column $c not in ${schema.fieldNames.mkString(",")}"))
     val rel = s"$DvDirName/${UUID.randomUUID()}"
-    spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+    dvScan(spark, table, files, schema)
       .select(Seq(
         relPathCol(col("_metadata.file_path")).as("file_rel"),
         col("_metadata.row_index").as("row_idx")) ++
@@ -1326,19 +1335,21 @@ object GraftLog {
   /** Rows masked by the active deletion vectors removed: base scan with
     * `_metadata` positions, left-anti joined against the DV sidecars.
     * The DV table is positions only — at production delete rates it is
-    * orders of magnitude smaller than the data. */
+    * orders of magnitude smaller than the data. Layout-aware: a hive
+    * layout scans through the FileIndex (partition columns from dirs),
+    * then re-projects the table's column order. */
   private def readWithDvs(spark: SparkSession, table: String,
       files: Seq[String], schema: StructType,
       dvs: Seq[String]): DataFrame = {
     val dv = spark.read.parquet(dvs.map(f => s"$table/$f"): _*)
-    val base = spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+    val base = dvScan(spark, table, files, schema)
       .withColumn("__gf_rel", relPathCol(col("_metadata.file_path")))
       .withColumn("__gf_row", col("_metadata.row_index"))
     base.join(dv,
         base("__gf_rel") === dv("file_rel") &&
           base("__gf_row") === dv("row_idx"), "left_anti")
       .drop("__gf_rel", "__gf_row")
+      .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Guard for file-rewriting ops: a rewrite computed without DV
@@ -1408,16 +1419,15 @@ object GraftLog {
     val partCols = layoutPartCols(files)
     val dvs = deletionVectors(spark, table)
     val s =
-      if (dvs.nonEmpty) {
-        // materialize deletion vectors: rewrite the DV-filtered table,
-        // drop the vectors in the same commit (the OPTIMIZE step of the
-        // Delta DV lifecycle)
-        stageWithStats(
-          readWithDvs(spark, table, files, schema, dvs)
-            .coalesce(targetFiles), table)
-      } else if (partCols.isEmpty) {
-        val current = spark.read.schema(schema)
-          .parquet(files.map(f => s"$table/$f"): _*)
+      if (partCols.isEmpty) {
+        // flat: concatenating pass; with DVs active, the rewrite reads
+        // through the position mask (materialization — the OPTIMIZE
+        // step of the Delta DV lifecycle) and drops the vectors in the
+        // same commit
+        val current =
+          if (dvs.nonEmpty) readWithDvs(spark, table, files, schema, dvs)
+          else spark.read.schema(schema)
+            .parquet(files.map(f => s"$table/$f"): _*)
         stageWithStats(current.coalesce(targetFiles), table)
       } else {
         // per-partition compaction: hash-repartition by the partition
@@ -1426,9 +1436,13 @@ object GraftLog {
         // the OPTIMIZE shape for partitioned Delta tables (targetFiles
         // is a flat-layout knob; partition granularity governs here).
         // One shuffle of the table, like the flat path's coalesce is
-        // one concatenating pass.
-        val current = withHiddenPartCols(
-          readSubset(spark, table, files, schema), partCols)
+        // one concatenating pass. DV materialization keeps the layout:
+        // the masked read re-derives hidden transform columns and
+        // re-stages hive-partitioned.
+        val base =
+          if (dvs.nonEmpty) readWithDvs(spark, table, files, schema, dvs)
+          else readSubset(spark, table, files, schema)
+        val current = withHiddenPartCols(base, partCols)
         stagePartitionedWithStats(
           current.repartition(partCols.map(col): _*), table, partCols)
       }

@@ -453,6 +453,37 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).filter(col("id") < 5).count() == 0)
   }
 
+  test("deletion vectors on a hive-partitioned layout") {
+    val t = tmp()
+    val seed = (0 until 120).map(i => (i.toLong, s"p${i % 3}"))
+      .toDF("id", "part")
+    GraftLog.overwritePartitioned(seed, t, Seq("part"))         // v0
+    val filesBefore = GraftLog.snapshot(spark, t)._1.toSet
+    assert(filesBefore.forall(_.contains("part=")), "hive layout expected")
+    // DV commit: zero data files rewritten, rows masked on read
+    GraftLog.deleteVectors(spark, t, col("id") % 10 === 0)      // v1
+    assert(GraftLog.snapshot(spark, t)._1.toSet == filesBefore)
+    val masked = GraftLog.read(spark, t)
+    assert(masked.count() == 108)
+    assert(masked.filter(col("id") % 10 === 0).count() == 0)
+    assert(masked.schema.fieldNames.toSeq == Seq("id", "part"))
+    // a predicate on the PARTITION column works too (stacked commit)
+    GraftLog.deleteVectors(spark, t, col("part") === "p2")      // v2
+    assert(GraftLog.read(spark, t).count() == 72) // 108 − 36 live p2 rows
+    // compact materializes while KEEPING the partitioned layout
+    GraftLog.compact(spark, t)                                  // v3
+    assert(GraftLog.deletionVectors(spark, t).isEmpty)
+    val solid = GraftLog.snapshot(spark, t)._1
+    assert(solid.nonEmpty && solid.forall(_.contains("part=")),
+      s"compact flattened the layout: $solid")
+    assert(solid.forall(!_.contains("part=p2")), "p2 files must be gone")
+    val after = GraftLog.read(spark, t)
+    assert(after.count() == 72)
+    assert(after.filter(col("part") === "p2").count() == 0)
+    // partition pruning still live after materialization
+    assert(after.filter(col("part") === "p1").count() == 36)
+  }
+
   test("restore carries deletion-vector state of the target version") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 100, "seed").repartition(4), t) // v0
