@@ -148,6 +148,7 @@ object SparkEntry {
     "h3_wav_decode"          -> ((s, d) => Multimodal.wavDecode(s, d)),
     "h4_png_decode"          -> ((s, d) => Multimodal.pngDecode(s, d)),
     "h5_jpeg_decode"         -> ((s, d) => Multimodal.jpegDecode(s, d)),
+    "h6_mp4_decode"          -> ((s, d) => Multimodal.mp4Decode(s, d)),
     // Streaming over events (reference declared-but-unbuilt, SURVEY.md
     // §2.10; windowed agg batch+stream share one plan, sessionize in both
     // window-function and flatMapGroupsWithState forms)
@@ -2332,6 +2333,27 @@ object SparkEntry {
         |  round(CAST(16 + (doc_id % 240) AS DOUBLE)
         |    / (16 + (doc_id % 120)), 6) AS aspect
         |FROM documents""".stripMargin,
+    // h6: every ISO-BMFF field re-derived arithmetically — the Spark
+    // side only matches if the box walk (incl. the free-box skip, the
+    // largesize escape and the 16.16 tkhd dims) is structurally right
+    "h6_mp4_decode" ->
+      """SELECT doc_id,
+        |  'isom' AS major_brand,
+        |  CAST(600 + doc_id % 1000 AS BIGINT) AS timescale,
+        |  CAST((1 + doc_id % 60) * 1000 AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+        |  CAST((doc_id % 16 + 1) * 64 AS INTEGER) AS width,
+        |  CAST((doc_id % 9 + 1) * 64 AS INTEGER) AS height,
+        |  CAST(4 + 2 * (1 + doc_id % 2)
+        |    + CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_boxes,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS mdat_bytes,
+        |  CAST(list_aggregate(list_transform(
+        |      range(0, CAST(16 + doc_id % 32 AS INTEGER)),
+        |      j -> (doc_id + j) % 256), 'sum') AS BIGINT) AS mdat_sum,
+        |  round(CAST((doc_id % 16 + 1) * 64 AS DOUBLE)
+        |    / ((doc_id % 9 + 1) * 64), 6) AS aspect
+        |FROM documents""".stripMargin,
     // h4: the decoded pixel grid is pure arithmetic in doc_id —
     // pixel(x,y) = (7x + 31y + doc_id) mod 256 over a w×h grid — so the
     // oracle re-derives the stats relationally; the Spark side only
@@ -2403,12 +2425,9 @@ object SparkEntry {
         |  FROM pngf
         |), m AS (
         |  SELECT doc_id,
-        |    (['png','jpeg','wav','mp4'])[CAST(doc_id % 4 + 1 AS INTEGER)]
-        |      AS format,
         |    (doc_id % 16 + 1) * 64 AS w0,
         |    (doc_id % 9 + 1) * 64 AS h0,
-        |    CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |    hex(encode(text)) AS hx
+        |    CAST(16 + doc_id % 32 AS BIGINT) AS n_bytes
         |  FROM documents WHERE doc_id % 4 = 3
         |), jpg AS (
         |  SELECT doc_id, 'jpeg' AS format,
@@ -2440,13 +2459,11 @@ object SparkEntry {
         |          16 + (doc_id % 120) AS hj0
         |        FROM documents WHERE doc_id % 4 = 1)))
         |), f AS (
-        |  SELECT doc_id, format, n_bytes, w0, h0,
-        |    CASE WHEN n_bytes = 0 THEN 0.0 ELSE
-        |      round(CAST(list_aggregate(list_transform(
-        |          range(1, CAST(n_bytes AS INTEGER) + 1),
-        |          i -> ('0x' || substr(hx, CAST(2*i - 1 AS INTEGER), 2))::BIGINT),
-        |        'sum') AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6)
-        |    END AS mean_byte,
+        |  SELECT doc_id, n_bytes, w0, h0,
+        |    round(CAST(list_aggregate(list_transform(
+        |        range(0, CAST(n_bytes AS INTEGER)),
+        |        j -> (doc_id + j) % 256),
+        |      'sum') AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6) AS mean_byte,
         |    greatest(n_bytes // 4, 1) AS stride
         |  FROM m
         |), t1 AS (
@@ -2469,21 +2486,19 @@ object SparkEntry {
         |    CASE WHEN w3 > 64 OR h3 > 64 THEN w3 // 2 ELSE w3 END AS w4,
         |    CASE WHEN w3 > 64 OR h3 > 64 THEN h3 // 2 ELSE h3 END AS h4
         |  FROM t3
-        |), stub AS (
-        |  SELECT doc_id, format, mean_byte,
+        |), mp4 AS (
+        |  SELECT doc_id, 'mp4' AS format, mean_byte,
         |    CAST(least(4, (n_bytes + stride - 1) // stride) AS INTEGER)
         |      AS n_frames,
-        |    CASE WHEN n_bytes = 0 THEN NULL
-        |      ELSE CAST(0 AS BIGINT) END AS first_offset,
-        |    CASE WHEN n_bytes = 0 THEN NULL
-        |      ELSE CAST((least(4, (n_bytes + stride - 1) // stride) - 1)
-        |           * stride AS BIGINT) END AS last_offset,
+        |    CAST(0 AS BIGINT) AS first_offset,
+        |    CAST((least(4, (n_bytes + stride - 1) // stride) - 1)
+        |         * stride AS BIGINT) AS last_offset,
         |    CAST(w4 AS INTEGER) AS thumb_w, CAST(h4 AS INTEGER) AS thumb_h,
-        |    'stub' AS decoder
+        |    'real-mp4' AS decoder
         |  FROM t4
         |)
         |SELECT * FROM wav UNION ALL SELECT * FROM png
         |UNION ALL SELECT * FROM jpg
-        |UNION ALL SELECT * FROM stub""".stripMargin,
+        |UNION ALL SELECT * FROM mp4""".stripMargin,
   )
 }

@@ -9,21 +9,20 @@ import graft.sources.Sources
   * metadata, and decode / feature-extract / resize / frame-sample stages as
   * per-partition batch transforms.
   *
-  * The registered feature stage dispatches through [[RealDecoder]]: wav
-  * and png payloads get a REAL parse (the JDK ships everything those two
-  * formats need), and only formats with no in-container codec (jpeg,
-  * mp4) fall back to the deterministic stub ([[FakeDecoder]]) behind the
-  * [[DecodeBackend]] seam. Everything Spark-side is real and tested: the
-  * binary+struct schema, the typed `Dataset[MediaRow]` encoder, the
-  * `mapPartitions` batch shape (one backend instance per partition,
-  * streaming iterator — the Scala analog of PySpark's `mapInPandas`
-  * batching), and the partitioning contract (narrow transform, no shuffle;
-  * scale comes from input splits). And for the two formats that need no
-  * library at all, the decode is REAL: [[parseWav]] chunk-walks
-  * synthesized-but-valid WAV payloads (pure byte arithmetic; h3), and
-  * [[parsePng]] fully decodes grayscale PNGs — zlib and CRC32 ship in the
-  * JDK — including checksum verification and scanline unfiltering (h4).
-  * Both oracle-checked.
+  * The registered feature stage dispatches through [[RealDecoder]], and
+  * every format gets a REAL JDK-only parse — zero stub rows remain:
+  * [[parseWav]] chunk-walks RIFF/WAVE PCM (h3), [[parsePng]] fully
+  * decodes grayscale PNGs including CRC verification, zlib inflate and
+  * scanline unfiltering (h4), [[parseJpeg]] walks the marker stream
+  * (h5), and [[parseMp4]] walks the ISO-BMFF box tree (h6).
+  * [[FakeDecoder]] remains only as the documented deployment seam for
+  * binding a native codec library behind [[DecodeBackend]]. Everything
+  * Spark-side is real and tested: the binary+struct schema, the typed
+  * `Dataset[MediaRow]` encoder, the `mapPartitions` batch shape (one
+  * backend instance per partition, streaming iterator — the Scala analog
+  * of PySpark's `mapInPandas` batching), and the partitioning contract
+  * (narrow transform, no shuffle; scale comes from input splits). All
+  * oracle-checked.
   */
 object Multimodal {
 
@@ -68,14 +67,15 @@ object Multimodal {
     }
   }
 
-  /** Production dispatch for the codec seam: formats with a JDK-only
-    * parser get the REAL parse — wav through [[parseWav]] (features from
+  /** Production dispatch for the codec seam — every format has a
+    * JDK-only REAL parse: wav through [[parseWav]] (features from
     * decoded PCM samples), png through [[parsePng]] (features from
     * decoded, unfiltered pixels), jpeg through [[parseJpeg]] (features
     * from the marker stream: the quantization-table mean is the classic
-    * no-decode JPEG quality signal, segments stand in for frames) — and
-    * only mp4 (no JDK-only parser) falls back to [[FakeDecoder]]. The
-    * per-row `decoder` column keeps the stub fraction auditable. */
+    * no-decode JPEG quality signal, segments stand in for frames), mp4
+    * through [[parseMp4]] (features from the decoded mdat byte stream;
+    * thumbs from the tkhd presentation size). The per-row `decoder`
+    * column keeps the stub fraction auditable — now 0%. */
   object RealDecoder extends DecodeBackend {
     def decode(row: MediaRow): MediaFeatures = row.format match {
       case "wav" =>
@@ -102,6 +102,15 @@ object Multimodal {
         while (w > 64 || h > 64) { w /= 2; h /= 2 }
         MediaFeatures(row.doc_id, row.format,
           m.qtable_sum.toDouble / 64.0, offsets, w, h, "real-jpeg")
+      case "mp4" =>
+        val m = parseMp4(row.doc_id, row.payload)
+        // frames = strided offsets into the decoded mdat byte stream
+        val stride = math.max(1L, m.mdat_bytes / 4)
+        val offsets = (0L until m.mdat_bytes by stride).take(4).toSeq
+        var (w, h) = (m.width, m.height)
+        while (w > 64 || h > 64) { w /= 2; h /= 2 }
+        MediaFeatures(row.doc_id, row.format,
+          m.mdat_sum.toDouble / m.mdat_bytes, offsets, w, h, "real-mp4")
       case _ => FakeDecoder.decode(row)
     }
   }
@@ -126,26 +135,24 @@ object Multimodal {
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame =
     mediaTable(spark, sfDir).drop("payload")
 
-  /** Payload-TRUE media table for the feature stage: wav, png and jpeg
-    * rows carry real synthesized payloads ([[synthWav]]/[[synthPng]]/
-    * [[synthJpeg]] — valid byte streams any tool could parse), while
-    * mp4 keeps the deterministic text-bytes fake (no JDK-only parser
-    * exists for it). Metadata mirrors the payload where the format
-    * defines it (png/jpeg dims; wav has none, 0×0). [[mediaTable]]
-    * stays the ingest MANIFEST shape (h1): claimed metadata before any
-    * payload is opened — the usual split in a real media pipeline. */
+  /** Payload-TRUE media table for the feature stage: every row carries a
+    * real synthesized payload ([[synthWav]]/[[synthPng]]/[[synthJpeg]]/
+    * [[synthMp4]] — valid byte streams any tool could parse). Metadata
+    * mirrors the payload where the format defines it (png/jpeg/mp4 dims;
+    * wav has none, 0×0). [[mediaTable]] stays the ingest MANIFEST shape
+    * (h1): claimed metadata before any payload is opened — the usual
+    * split in a real media pipeline. */
   def realMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Sources.testTable(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+      .select(col("doc_id")).as[Long]
+      .map { id =>
         val fmt = Seq("png", "jpeg", "wav", "mp4")((id % 4).toInt)
         val payload = fmt match {
           case "wav" => synthWav(id)
           case "png" => synthPng(id)
           case "jpeg" => synthJpeg(id)
-          case _ =>
-            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case _ => synthMp4(id)
         }
         val (w, h) = fmt match {
           case "png" => (4 + (id % 13).toInt, 3 + (id % 7).toInt)
@@ -560,6 +567,165 @@ object Multimodal {
     Sources.testTable(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long]
       .map(id => parseJpeg(id, synthJpeg(id)))
+      .toDF()
+      .withColumn("aspect",
+        round(col("width").cast("double") / col("height"), 6))
+  }
+
+  // ----------------------------------------------------------------- MP4
+
+  final case class Mp4Meta(
+      doc_id: Long, major_brand: String, timescale: Long, duration_ms: Long,
+      n_tracks: Int, width: Int, height: Int, n_boxes: Long,
+      mdat_bytes: Long, mdat_sum: Long)
+
+  /** Valid ISO-BMFF (MPEG-4 Part 12) box stream, every field arithmetic
+    * in doc_id: ftyp(isom) · [free iff id%3≠0 — variable structure the
+    * walker must skip] · moov( mvhd(timescale=600+id%1000,
+    * duration=timescale·(1+id%60)) · trak(tkhd 16.16 dims = the h1
+    * manifest's (id%16+1)·64 × (id%9+1)·64) · [audio trak iff id%2=1] )
+    * · mdat(16+id%32 bytes, 64-bit largesize form iff id%5=0 — the
+    * size==1 escape real muxers emit past 4 GiB). */
+  private[graft] def synthMp4(docId: Long): Array[Byte] = {
+    val w = ((docId % 16) + 1).toInt * 64
+    val h = ((docId % 9) + 1).toInt * 64
+    val timescale = 600L + (docId % 1000)
+    val duration = timescale * (1 + (docId % 60))
+    val nMdat = 16 + (docId % 32).toInt
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+        .put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def full(body: java.nio.ByteBuffer => Unit, size: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(size); body(bb); bb.array()
+    }
+    val unityMatrix = Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val mvhd = box("mvhd", full({ bb =>
+      bb.putInt(0)               // version 0 + flags
+        .putInt(0).putInt(0)     // ctime, mtime
+        .putInt(timescale.toInt).putInt(duration.toInt)
+        .putInt(0x00010000)      // rate 1.0
+        .putShort(0x0100.toShort)// volume 1.0
+        .putShort(0).putInt(0).putInt(0) // reserved
+      unityMatrix.foreach(bb.putInt)
+      (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(3)               // next_track_ID
+    }, 100))
+    def tkhd(trackId: Int, tw: Int, th: Int, audio: Boolean) =
+      box("tkhd", full({ bb =>
+        bb.putInt(7)             // version 0 + flags: enabled|in-movie
+          .putInt(0).putInt(0)   // ctime, mtime
+          .putInt(trackId).putInt(0)
+          .putInt(duration.toInt)
+          .putInt(0).putInt(0)   // reserved
+          .putShort(0).putShort(0) // layer, alternate_group
+          .putShort(if (audio) 0x0100.toShort else 0).putShort(0)
+        unityMatrix.foreach(bb.putInt)
+        bb.putInt(tw << 16).putInt(th << 16) // 16.16 fixed point
+      }, 84))
+    val traks = Seq(box("trak", tkhd(1, w, h, audio = false))) ++
+      (if (docId % 2 == 1) Seq(box("trak", tkhd(2, 0, 0, audio = true)))
+       else Seq.empty)
+    val moov = box("moov", mvhd ++ traks.flatten)
+    val ftyp = box("ftyp", full({ bb =>
+      bb.put("isom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+    }, 16))
+    val free =
+      if (docId % 3 != 0)
+        box("free", Array.tabulate(8 + (docId % 16).toInt)(j =>
+          ((docId + j) % 251).toByte))
+      else Array.emptyByteArray
+    val mdatPayload = Array.tabulate(nMdat)(j => ((docId + j) % 256).toByte)
+    val mdat =
+      if (docId % 5 == 0) full({ bb => // 64-bit largesize form
+        bb.putInt(1).put("mdat".getBytes("US-ASCII"))
+          .putLong(16L + nMdat).put(mdatPayload)
+      }, 16 + nMdat)
+      else box("mdat", mdatPayload)
+    ftyp ++ free ++ moov ++ mdat
+  }
+
+  /** ISO-BMFF box walk (the same shape as [[parseJpeg]]'s marker walk):
+    * u32 size + 4cc type, size==1 → 64-bit largesize, size==0 → box runs
+    * to EOF; container boxes (moov/trak/mdia/minf/stbl/edts) recurse.
+    * Extracts the movie header (timescale/duration), per-track tkhd dims
+    * (the video track's are the presentation size), and decodes mdat's
+    * byte stream into count+sum. Throws on anything structurally wrong —
+    * quarantine, not silent nulls. */
+  private[graft] def parseMp4(docId: Long, bytes: Array[Byte]): Mp4Meta = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $docId: $msg")
+    def u8(i: Long): Int = bytes(i.toInt) & 0xFF
+    def u32(i: Long): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def u64(i: Long): Long = (u32(i) << 32) | u32(i + 4)
+    def cc4(i: Long): String =
+      new String(bytes, i.toInt, 4, "US-ASCII")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl", "edts")
+    var brand: String = null
+    var timescale = -1L
+    var duration = -1L
+    var nTracks = 0
+    var (width, height) = (0, 0)
+    var boxes = 0L
+    var (mdatBytes, mdatSum) = (0L, 0L)
+    def walk(start: Long, end: Long): Unit = {
+      var i = start
+      while (i < end) {
+        if (i + 8 > end) fail(s"truncated box header at offset $i")
+        var size = u32(i)
+        var hdr = 8L
+        val tpe = cc4(i + 4)
+        if (size == 1) {
+          if (i + 16 > end) fail("truncated largesize header")
+          size = u64(i + 8); hdr = 16
+        } else if (size == 0) size = end - i // last box runs to EOF
+        if (size < hdr || i + size > end)
+          fail(s"box $tpe overruns (size $size at offset $i)")
+        boxes += 1
+        tpe match {
+          case "ftyp" =>
+            if (size < hdr + 8) fail("ftyp too short")
+            brand = cc4(i + hdr)
+          case "mvhd" =>
+            val v = u8(i + hdr)
+            if (v == 0) {
+              timescale = u32(i + hdr + 12); duration = u32(i + hdr + 16)
+            } else { // version 1: 64-bit times
+              timescale = u32(i + hdr + 20); duration = u64(i + hdr + 24)
+            }
+          case "tkhd" =>
+            nTracks += 1
+            val v = u8(i + hdr)
+            val off = i + hdr + (if (v == 0) 76L else 88L)
+            val (tw, th) = ((u32(off) >> 16).toInt, (u32(off + 4) >> 16).toInt)
+            if (tw > 0 && th > 0) { width = tw; height = th }
+          case "mdat" =>
+            var j = i + hdr
+            while (j < i + size) { mdatSum += u8(j); mdatBytes += 1; j += 1 }
+          case t if containers(t) => walk(i + hdr, i + size)
+          case _ => ()
+        }
+        i += size
+      }
+    }
+    if (bytes.length < 8 || cc4(4) != "ftyp") fail("not ISO-BMFF (no ftyp)")
+    walk(0, bytes.length.toLong)
+    if (timescale <= 0) fail("no mvhd movie header")
+    if (nTracks == 0) fail("no tracks")
+    Mp4Meta(docId, brand, timescale, duration * 1000L / timescale,
+      nTracks, width, height, boxes, mdatBytes, mdatSum)
+  }
+
+  /** h6 — synthesize + parse back one ISO-BMFF stream per document. */
+  def mp4Decode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => parseMp4(id, synthMp4(id)))
       .toDF()
       .withColumn("aspect",
         round(col("width").cast("double") / col("height"), 6))

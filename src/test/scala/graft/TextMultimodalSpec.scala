@@ -168,16 +168,16 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(dense.count() == 0)
   }
 
-  test("media features: real wav/png/jpeg decode + stub fallback, shuffle-free") {
+  test("media features: every format really decoded, shuffle-free") {
     val f = Multimodal.extractFeatures(spark, TestSpark.sf)
     assert(f.count() == 500)
-    // dispatch: wav/png/jpeg rows really parsed, only mp4 through the
-    // stub — doc_id % 4 assigns 125 each at sf0.001
+    // dispatch: all four formats through their real parsers — stub
+    // fraction 0 — doc_id % 4 assigns 125 each at sf0.001
     val byDecoder = f.groupBy("decoder").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byDecoder == Map(
       "real-png" -> 125L, "real-wav" -> 125L, "real-jpeg" -> 125L,
-      "stub" -> 125L))
+      "real-mp4" -> 125L))
     assert(f.filter(col("thumb_w") > 64 || col("thumb_h") > 64).count() == 0)
     assert(f.filter(col("n_frames") > 4 || col("n_frames") < 1).count() == 0)
     assert(f.filter(col("first_offset") =!= 0L ||
@@ -249,6 +249,35 @@ class TextMultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       parseJpeg(0L, Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte))
     }
+  }
+
+  test("mp4 parser: ISO-BMFF box walk, variable structure, rejects malformed") {
+    import graft.operators.Multimodal.{parseMp4, synthMp4}
+    // id 3: odd → audio trak too; 3%3==0 → no free box; u32 mdat size
+    val two = parseMp4(3L, synthMp4(3L))
+    assert(two.n_tracks == 2 && two.major_brand == "isom")
+    assert(two.width == (3 % 16 + 1) * 64 && two.height == (3 % 9 + 1) * 64)
+    assert(two.timescale == 603 && two.duration_ms == 4000L)
+    assert(two.n_boxes == 8) // ftyp moov mvhd 2×(trak tkhd) mdat
+    // id 10: single track; free box to skip; 64-bit largesize mdat
+    val one = parseMp4(10L, synthMp4(10L))
+    assert(one.n_tracks == 1 && one.n_boxes == 7)
+    assert(one.mdat_bytes == 16 + 10 % 32)
+    // size==0 escape: the last box may run to EOF
+    val b = synthMp4(7L)
+    val m7 = parseMp4(7L, b)
+    val mdatOff = b.length - (8 + m7.mdat_bytes.toInt)
+    val toEof = b.clone()
+    (0 until 4).foreach(i => toEof(mdatOff + i) = 0)
+    assert(parseMp4(7L, toEof) == m7)
+    // rejects: no ftyp magic; no mvhd; truncation; size overrun
+    intercept[IllegalArgumentException] { parseMp4(0L, Array[Byte](1, 2, 3)) }
+    val ftypOnly = java.nio.ByteBuffer.allocate(16)
+      .putInt(16).put("ftypisomXXXX".getBytes("US-ASCII")).array()
+    intercept[IllegalArgumentException] { parseMp4(0L, ftypOnly) }
+    intercept[IllegalArgumentException] { parseMp4(7L, b.dropRight(5)) }
+    val overrun = b.clone(); overrun(0) = 0x7F
+    intercept[IllegalArgumentException] { parseMp4(7L, overrun) }
   }
 
   test("png parser: full decode round-trip, CRC + structure enforced") {
