@@ -129,6 +129,9 @@ object SparkEntry {
     "f4_knn_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "f5_embedding_quantize"  -> ((s, d) => Similarity.quantizeAudit(s, d)),
     "f8_knn_ivfadc"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    // recall@k vs nprobe curve: the IVF quality/cost dial, one row per
+    // probed-cell count, monotone to 1.0 at nprobe = nCent
+    "f9_knn_recall_curve"    -> ((s, d) => Similarity.ivfRecallCurve(s, d)),
     "f6_knn_quantized"       -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "f7_knn_pq_adc"          -> ((s, d) => Similarity.pqTopK(s, d)),
     // LLM-pipeline extensions: text analysis (SURVEY.md §7.6)
@@ -561,6 +564,64 @@ object SparkEntry {
     // diff); the ADC total across subspaces is an exact DECIMAL sum, so
     // the ranking is aggregation-order-free and engine-portable
     "f8_knn_ivfadc" -> ivfadcOracle,
+    // f9: the whole curve is relational — probe ranks computed once,
+    // the grid applied as a crank <= nprobe theta join, recall counted
+    // against the exact top-k set (same tiebreaks both engines)
+    "f9_knn_recall_curve" ->
+      """WITH n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |), cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+        |  FROM n WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT vec_id, cent_id, v, norm FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+        |          DESC, c.cent_id) AS crank
+        |    FROM n x CROSS JOIN cents c)
+        |  WHERE crank = 1
+        |), proberanks AS (
+        |  SELECT vec_id AS query_id, cent_id, crank, v AS qv, norm AS qnorm
+        |  FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+        |          DESC, c.cent_id) AS crank
+        |    FROM n x CROSS JOIN cents c
+        |    WHERE x.vec_id < 10)
+        |), grid AS (SELECT unnest([2, 4, 8, 16]) AS nprobe
+        |), probes AS (
+        |  SELECT g.nprobe, p.query_id, p.cent_id, p.qv, p.qnorm
+        |  FROM proberanks p CROSS JOIN grid g WHERE p.crank <= g.nprobe
+        |), cand AS (
+        |  SELECT p.nprobe, p.query_id, a.vec_id,
+        |    list_dot_product(p.qv, a.v) / (p.qnorm * a.norm) AS cosine
+        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id != p.query_id
+        |), ivf AS (
+        |  SELECT nprobe, query_id, vec_id AS neighbor_id FROM (
+        |    SELECT nprobe, query_id, vec_id,
+        |      row_number() OVER (PARTITION BY nprobe, query_id
+        |        ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM cand)
+        |  WHERE rank <= 5
+        |), exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.v, c.v) / (q.norm * c.norm)
+        |          DESC, c.vec_id) AS rank
+        |    FROM n q JOIN n c ON c.vec_id != q.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rank <= 5
+        |)
+        |SELECT i.nprobe, count(*) AS n_hits,
+        |  round(CAST(count(*) AS DOUBLE) / 50.0, 6) AS recall
+        |FROM ivf i SEMI JOIN exact e
+        |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        |GROUP BY i.nprobe""".stripMargin,
     "f7_knn_pq_adc" ->
       s"""WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

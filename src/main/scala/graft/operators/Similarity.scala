@@ -123,6 +123,54 @@ object Similarity {
         col("rank"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** f9 — the recall-vs-nprobe CURVE (the quality/cost dial every IVF
+    * deployment tunes): recall@k of [[ivfTopK]] against the exact
+    * [[bruteForceTopK]] answer at each nprobe in `probeGrid`, one output
+    * row per grid point. Monotone non-decreasing by construction (a
+    * larger probe set is a superset of candidates), reaching 1.0 at
+    * nprobe = nCent (probing every cell IS the exhaustive search) — so
+    * the f3/f8 default (nprobe=4, recall≈0.94 on this corpus) is
+    * driver-visible as one point on a curve, not an unexplained constant.
+    *
+    * Scale shape: cell assignment and the per-query probe RANKING are
+    * computed ONCE (same broadcast-of-centroids pattern as f3); the grid
+    * expands only the broadcast-sized probe frame (`crank <= nprobe`
+    * theta join on ~numQueries·nCent rows), so the corpus is scanned
+    * once regardless of grid size. */
+  def ivfRecallCurve(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nCent: Int = 16,
+      probeGrid: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    import spark.implicits._
+    val corpus = normed(spark, sfDir)
+    val cents = seedCentroids(corpus, nCent)
+    val assigned = nearestCents(corpus, cents, "vec_id", 1)
+      .select(col("vec_id"), col("cent_id"), col("v"), col("norm"))
+    // full probe ranking 1..nCent per query, once
+    val probeRanks = nearestCents(
+      corpus.filter(col("vec_id") < numQueries), cents, "vec_id", nCent)
+      .select(col("vec_id").as("query_id"), col("cent_id"), col("crank"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val probes = probeRanks.join(broadcast(probeGrid.toDF("nprobe")),
+      col("crank") <= col("nprobe"))
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val ivf = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"),
+        col("vec_id").as("neighbor_id"))
+    val exact = bruteForceTopK(spark, sfDir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall", round(
+        col("n_hits").cast("double") / lit((numQueries * k).toDouble), 6))
+  }
+
   /** f4 — [[ivfTopK]] with `iters` Lloyd (k-means) refinement sweeps over
     * the seed centroids before the probe: assign every vector to its
     * nearest centroid, recompute each centroid as the per-dimension MEAN

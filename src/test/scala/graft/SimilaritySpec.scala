@@ -185,6 +185,20 @@ class SimilaritySpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("recall curve: monotone in nprobe, exact at nprobe = nCent") {
+    val rows = Similarity.ivfRecallCurve(spark, TestSpark.sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8, 16))
+    // a larger probe set is a candidate superset — recall cannot drop
+    rows.sliding(2).foreach { case Array((_, lo), (_, hi)) =>
+      assert(hi >= lo, s"recall regressed along the curve: $rows")
+    }
+    // probing every cell IS the exhaustive search
+    assert(rows.last._2 == 1.0, s"full probe must be exact: $rows")
+    // the f3 default (nprobe=4) sits on this curve
+    assert(rows.find(_._1 == 4).exists(_._2 > 0.5))
+  }
+
   test("brute force broadcasts the query side (no corpus shuffle join)") {
     val plan = Similarity.bruteForceTopK(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
