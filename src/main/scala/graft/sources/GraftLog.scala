@@ -460,6 +460,19 @@ object GraftLog {
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame =
     read(spark, table, Some(v))
 
+  /** Delta's `TIMESTAMP AS OF` contract: the latest version whose commit
+    * timestamp is at or before `ms` (epoch millis) — probing before the
+    * first retained commit is an error, not a silent empty read. Commit-
+    * count-sized metadata walk. */
+  def versionAt(spark: SparkSession, table: String, ms: Long): Long = {
+    val vs = versions(spark, table)
+      .filter(v => readCommit(spark, table, v).timestampMs <= ms)
+    require(vs.nonEmpty,
+      s"no commit of $table at or before the requested timestamp " +
+        "(first commit is later); use VERSION AS OF or a later timestamp")
+    vs.max
+  }
+
   /** Commit history, newest first — the `DESCRIBE HISTORY` analog. */
   def history(spark: SparkSession, table: String): DataFrame = {
     val rows = versions(spark, table).map(readCommit(spark, table, _))

@@ -192,22 +192,15 @@ private object GraftTimeTravel {
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Delta's TIMESTAMP AS OF contract: the latest version whose commit
-    * timestamp is at or before `ts`; probing before the first commit is
-    * an error. Commit-count-sized driver work (the history IS metadata). */
+  /** Evaluate the SQL timestamp literal in the session zone, then defer
+    * to [[GraftLog.versionAt]] (the shared Delta `TIMESTAMP AS OF`
+    * contract: latest commit at-or-before). */
   private def versionAt(s: SparkSession, path: String,
       ts: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
     val micros = Cast(Literal(ts.eval(null), ts.dataType), TimestampType,
       Some(s.sessionState.conf.sessionLocalTimeZone)).eval(null)
     require(micros != null, s"cannot interpret $ts as a timestamp")
-    val ms = micros.asInstanceOf[Long] / 1000L
-    val at = GraftLog.history(s, path)
-      .select("version", "timestamp").collect()
-      .filter(_.getTimestamp(1).getTime <= ms).map(_.getLong(0))
-    require(at.nonEmpty,
-      s"no commit of $path at or before the requested timestamp " +
-        s"(first commit is later); use VERSION AS OF or a later timestamp")
-    at.max
+    GraftLog.versionAt(s, path, micros.asInstanceOf[Long] / 1000L)
   }
 }
 
