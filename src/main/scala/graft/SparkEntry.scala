@@ -294,6 +294,11 @@ object SparkEntry {
     // on the partitioned table shape, zero data files rewritten
     "t21_graftlog_partitioned_dv" ->
       ((s, d) => Transactions.partitionedDvDelete(s, d)),
+    // optimistic concurrency: 6 uncoordinated writers (4 appends + 2
+    // deletes) race one table; appends commute, deletes rebase, and
+    // every interleaving converges to the same rows in 7 commits
+    "t22_graftlog_concurrent_writers" ->
+      ((s, d) => Transactions.concurrentWriters(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -506,6 +511,19 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  0 AS n_files_rewritten
         |FROM customer WHERE c_custkey % 10 != 0""".stripMargin,
+    // t22: the six-writer race is order-free by construction — the
+    // converged state is seed minus the two deleted slices plus the
+    // four key-shifted appended slices, in exactly 7 commits
+    "t22_graftlog_concurrent_writers" ->
+      """WITH mk AS (SELECT max(c_custkey) + 1 AS m FROM customer)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  7 AS n_commits
+        |FROM customer
+        |WHERE c_custkey % 10 != 3 AND c_custkey % 10 != 7
+        |UNION ALL
+        |SELECT c_custkey + (1 + c_custkey % 4) * mk.m, c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment, 7 AS n_commits
+        |FROM customer, mk""".stripMargin,
     // t18: the bloom-pruned point lookup must lose no rows — the oracle
     // is the plain equality with the probe derived the same way
     "t18_graftlog_bloom_skipping" ->

@@ -265,6 +265,64 @@ object Transactions {
       .withColumn("n_files_rewritten", lit(rewritten))
   }
 
+  private val stagedConcurrent =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t22 — SIX writers race the same table with no external
+    * coordination: four blind appends (disjoint key-shifted slices) and
+    * two predicate DELETEs (disjoint slices of the seed rows only — the
+    * `<= max(c_custkey)` guard keeps every interleaving order-free).
+    * Optimistic concurrency must converge them: appends COMMUTE (the
+    * Delta AddFile-only conflict rule — a lost version race just
+    * re-claims with the already-staged files), and a DELETE that loses
+    * a race REBASES, recomputing its file-pruned rewrite against the
+    * winner's snapshot (every writer commits at readVersion+1, so any
+    * intervening commit collides — see the OCC note in GraftLog). */
+  private def concurrentTable(spark: SparkSession, sfDir: String): String =
+    stagedConcurrent.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/customer_ccr"
+      val cust = Sources.testTable(spark, sfDir, "customer")
+        .select(customerCols.map(col): _*)
+      val maxKey = cust.agg(max(col("c_custkey"))).collect().head.getLong(0)
+      GraftLog.overwrite(cust, dir)
+      val writers: Seq[() => Unit] =
+        (0 until 4).map { i => () =>
+          GraftLog.append(
+            cust.filter(col("c_custkey") % 4 === i)
+              .withColumn("c_custkey",
+                col("c_custkey") + lit((i + 1L) * (maxKey + 1L))),
+            dir)
+          ()
+        } ++ Seq(3L, 7L).map { m => () =>
+          GraftLog.delete(spark, dir,
+            col("c_custkey") % 10 === m && col("c_custkey") <= maxKey)
+          ()
+        }
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(writers.size)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val racing = writers.map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { start.await(); w() }
+        })
+      }
+      start.countDown()
+      try racing.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      finally pool.shutdown()
+      dir
+    })
+
+  /** t22 — the converged table after the six-writer race, with the
+    * commit count pinned: exactly one commit per writer (7 = seed + 6),
+    * no lost update, no duplicated retry. */
+  def concurrentWriters(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = concurrentTable(spark, sfDir)
+    val nCommits = GraftLog.versions(spark, dir).size
+    GraftLog.read(spark, dir)
+      .select(customerCols.map(col): _*)
+      .withColumn("n_commits", lit(nCommits))
+  }
+
   /** t1 — time travel: `VERSION AS OF 0` after a later MERGE rewrote
     * files. Oracle: the untouched `customer` table. */
   def timeTravelV0(spark: SparkSession, sfDir: String): DataFrame =

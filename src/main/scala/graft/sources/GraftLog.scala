@@ -648,16 +648,9 @@ object GraftLog {
   def overwriteIndexed(df: DataFrame, table: String,
       bloomCols: Seq[String]): Long = {
     val spark = df.sparkSession
-    val prior =
-      if (versions(spark, table).isEmpty) Seq.empty[String]
-      else snapshot(spark, table)._1
     val st = stageWithStats(df, table)
     val bl = collectBlooms(spark, table, st.files, df.schema, bloomCols)
-    val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "overwrite", st.files, prior,
-      df.schema.toDDL, System.currentTimeMillis(), stats = st.stats,
-      sizes = st.sizes, blooms = bl))
-    v
+    commitOverwrite(spark, table, st, df.schema.toDDL, blooms = bl)
   }
 
   private def stageWithStats(df: DataFrame, table: String): Staged = {
@@ -730,18 +723,9 @@ object GraftLog {
     * commit-file link flips them to the new one — no window where the
     * table is empty or mixed (the failure mode of a recursive
     * delete-then-write on plain parquet dirs). */
-  def overwrite(df: DataFrame, table: String): Long = {
-    val spark = df.sparkSession
-    val prior =
-      if (versions(spark, table).isEmpty) Seq.empty[String]
-      else snapshot(spark, table)._1
-    val s = stageWithStats(df, table)
-    val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "overwrite", s.files, prior,
-      df.schema.toDDL, System.currentTimeMillis(), stats = s.stats,
-      sizes = s.sizes))
-    v
-  }
+  def overwrite(df: DataFrame, table: String): Long =
+    commitOverwrite(df.sparkSession, table, stageWithStats(df, table),
+      df.schema.toDDL)
 
   // --------------------------------------------------- partitioned layout
 
@@ -786,18 +770,9 @@ object GraftLog {
     * columns from the paths via [[GraftFileIndex]] — which also gives
     * planner partition pruning on top of the min/max data skipping. */
   def overwritePartitioned(df: DataFrame, table: String,
-      partCols: Seq[String]): Long = {
-    val spark = df.sparkSession
-    val prior =
-      if (versions(spark, table).isEmpty) Seq.empty[String]
-      else snapshot(spark, table)._1
-    val s = stagePartitionedWithStats(df, table, partCols)
-    val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "overwrite", s.files, prior,
-      df.schema.toDDL, System.currentTimeMillis(), stats = s.stats,
-      sizes = s.sizes))
-    v
-  }
+      partCols: Seq[String]): Long =
+    commitOverwrite(df.sparkSession, table,
+      stagePartitionedWithStats(df, table, partCols), df.schema.toDDL)
 
   /** Hidden bucket-transform dir name: `gfb<n>_<col>` (Iceberg's
     * `bucket(n, col)` partition transform; no leading underscore — the
@@ -848,24 +823,18 @@ object GraftLog {
       s"bucket column $srcCol not in ${df.columns.mkString(",")}")
     val spark = df.sparkSession
     val syn = s"gfb${nBuckets}_$srcCol"
-    val prior =
-      if (versions(spark, table).isEmpty) Seq.empty[String]
-      else snapshot(spark, table)._1
     val s = stagePartitionedWithStats(
       df.withColumn(syn, pmod(xxhash64(col(srcCol)), lit(nBuckets.toLong))),
       table, Seq(syn))
-    val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "overwrite", s.files, prior,
-      df.schema.toDDL, System.currentTimeMillis(), stats = s.stats,
-      sizes = s.sizes))
-    v
+    commitOverwrite(spark, table, s, df.schema.toDDL)
   }
 
   /** Append into a partitioned table (same enforcement as [[append]]). */
   def appendPartitioned(df: DataFrame, table: String,
       partCols: Seq[String]): Long = {
     val spark = df.sparkSession
-    val (aligned, ddl) = latestVersion(spark, table) match {
+    val seen0 = latestVersion(spark, table)
+    val (aligned, ddl) = seen0 match {
       case Some(_) =>
         val (files, cur) = snapshot(spark, table)
         val existing = layoutPartCols(files)
@@ -878,10 +847,10 @@ object GraftLog {
       case None => (df, df.schema.toDDL)
     }
     val s = stagePartitionedWithStats(aligned, table, partCols)
-    val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "append", s.files, Seq.empty, ddl,
-      System.currentTimeMillis(), stats = s.stats, sizes = s.sizes))
-    v
+    commitStagedAppend(spark, table, "appendPartitioned", "append", s,
+      ddl, seen0,
+      () => revalidateBlindAppend(spark, table, aligned.schema,
+        "appendPartitioned", partCols))
   }
 
   /** Flat-file writers (append/streaming append) and the deletion-vector
@@ -973,7 +942,8 @@ object GraftLog {
     * appends go through [[appendMergeSchema]]. */
   def append(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
-    val (aligned, ddl) = latestVersion(spark, table) match {
+    val seen0 = latestVersion(spark, table)
+    val (aligned, ddl) = seen0 match {
       case Some(_) =>
         val (files, cur) = snapshot(spark, table)
         requireUnpartitioned(files, "append")
@@ -981,10 +951,9 @@ object GraftLog {
       case None => (df, df.schema.toDDL)
     }
     val s = stageWithStats(aligned, table)
-    val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "append", s.files, Seq.empty,
-      ddl, System.currentTimeMillis(), stats = s.stats, sizes = s.sizes))
-    v
+    commitStagedAppend(spark, table, "append", "append", s, ddl, seen0,
+      () => revalidateBlindAppend(spark, table, aligned.schema, "append",
+        Seq.empty))
   }
 
   /** Schema-evolving append (Delta `mergeSchema`): commit schema = union
@@ -995,7 +964,10 @@ object GraftLog {
     * the same way. Type CHANGES on a shared column are rejected. */
   def appendMergeSchema(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
-    val merged = latestVersion(spark, table) match {
+    // The union schema is a function of the CURRENT table state, so the
+    // claim loop recomputes it whenever the table moves — a widening
+    // that raced another widening asserts the union of both.
+    def merged(): String = (latestVersion(spark, table) match {
       case None => df.schema
       case Some(_) =>
         val cur = snapshot(spark, table)._2
@@ -1010,13 +982,12 @@ object GraftLog {
         val curNames = cur.fieldNames.map(_.toLowerCase).toSet
         StructType(cur.fields ++
           df.schema.fields.filterNot(f => curNames(f.name.toLowerCase)))
-    }
+    }).toDDL
+    val seen0 = latestVersion(spark, table)
+    val ddl0 = merged()
     val s = stageWithStats(df, table)
-    val v = nextVersion(spark, table)
-    writeCommit(spark, table, Commit(v, "appendMergeSchema", s.files,
-      Seq.empty, merged.toDDL, System.currentTimeMillis(),
-      stats = s.stats, sizes = s.sizes))
-    v
+    commitStagedAppend(spark, table, "appendMergeSchema",
+      "appendMergeSchema", s, ddl0, seen0, () => merged())
   }
 
   /** `ALTER TABLE … ADD COLUMNS` — metadata-only schema widening: one
@@ -1025,15 +996,20 @@ object GraftLog {
     * schema-directed read fills them as typed NULLs (the same
     * merge-on-read contract as [[appendMergeSchema]]). */
   def addColumns(spark: SparkSession, table: String,
-      cols: StructType): Long = {
+      cols: StructType): Long = rebaseOnConflict(table, "addColumns") {
+    () =>
     require(versions(spark, table).nonEmpty,
       s"$table is not a GraftLog table (no $LogDirName)")
+    // schema commit derived from the current one — commit at
+    // readVersion+1 so a concurrent schema change collides and the
+    // rebase recomputes the union instead of reverting it
+    val vRead = latestVersion(spark, table)
     val cur = snapshot(spark, table)._2
     val curNames = cur.fieldNames.map(_.toLowerCase).toSet
     cols.foreach(f => require(!curNames(f.name.toLowerCase),
       s"column ${f.name} already exists in $table"))
     val merged = StructType(cur.fields ++ cols.fields)
-    val v = nextVersion(spark, table)
+    val v = vRead.map(_ + 1).getOrElse(0L)
     writeCommit(spark, table, Commit(v, "addColumns", Seq.empty, Seq.empty,
       merged.toDDL, System.currentTimeMillis()))
     v
@@ -1069,7 +1045,8 @@ object GraftLog {
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) false
     else {
-      val (aligned, ddl) = latestVersion(spark, table) match {
+      val seen0 = latestVersion(spark, table)
+      val (aligned, ddl) = seen0 match {
         case Some(_) => // same gate as append()
           val (files, cur) = snapshot(spark, table)
           requireUnpartitioned(files, "streaming append")
@@ -1077,31 +1054,22 @@ object GraftLog {
         case None => (df, df.schema.toDDL)
       }
       val s = stageWithStats(aligned, table)
-      // The ledger check and the version claim are not one atomic step, so
-      // two concurrent deliveries of the same (appId, batchId) can both
-      // pass the check. The put-if-absent commit serializes them: the
-      // loser re-reads the ledger — if the batch landed meanwhile this is
-      // a no-op (the just-staged files are unreferenced orphans; vacuum's
-      // needed-set sweep reclaims them), otherwise an unrelated commit
-      // took the version and we retry one higher.
-      var result: Option[Boolean] = None
-      var attempts = 0
-      while (result.isEmpty) {
-        val v = nextVersion(spark, table)
-        try {
-          writeCommit(spark, table, Commit(v, "streamingAppend", s.files,
-            Seq.empty, ddl, System.currentTimeMillis(),
-            Some((appId, batchId)), stats = s.stats, sizes = s.sizes))
-          result = Some(true)
-        } catch {
-          case _: CommitConflictException =>
-            if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
-              result = Some(false)
-            else backoffOrGiveUp(attempts, table, "txnAppend")
-        }
-        attempts += 1
-      }
-      result.get
+      // The ledger check and the version claim are not one atomic step,
+      // so two concurrent deliveries of the same (appId, batchId) can
+      // both pass the check. The claim loop serializes them: `abandonIf`
+      // re-reads the ledger on EVERY table movement — if the batch
+      // landed meanwhile this is a no-op (the just-staged files are
+      // unreferenced orphans; vacuum's needed-set sweep reclaims them),
+      // otherwise an unrelated commit moved the table and the claim
+      // re-validates + retries one higher.
+      commitStagedAppend(spark, table, "txnAppend", "streamingAppend", s,
+        ddl, seen0,
+        () => revalidateBlindAppend(spark, table, aligned.schema,
+          "txnAppend", Seq.empty),
+        txn = Some((appId, batchId)),
+        abandonIf = () =>
+          lastCommittedBatch(spark, table, appId).exists(_ >= batchId)
+      ) >= 0L
     }
   }
 
@@ -1117,6 +1085,148 @@ object GraftLog {
       throw new java.util.ConcurrentModificationException(
         s"$op on $table lost $MaxCommitAttempts commit races; giving up")
     Thread.sleep(math.min(50L * attempts, 500L))
+  }
+
+  // ------------------------------------------- conflict resolution (OCC)
+  // The Delta ConflictChecker contract on this log. Two writer classes:
+  //
+  //  * BLIND APPENDS (append/appendMergeSchema/appendPartitioned/
+  //    txnAppend) read no data, so they commute with ANY concurrent
+  //    commit except a metadata change — a lost version race just
+  //    retries the claim with the already-staged files. But the commit
+  //    re-asserts the table schema, so the claim must first RE-VALIDATE
+  //    whenever the table moved since the batch was validated — with or
+  //    WITHOUT a version collision (a winner landing between our entry
+  //    snapshot and our claim never collides, and re-asserting the
+  //    entry-time ddl would silently revert its schema change). An
+  //    incompatible move (schema change the staged batch no longer
+  //    fits, a re-layout) fails loudly — Delta's
+  //    MetadataChangedException.
+  //
+  //  * SNAPSHOT REWRITES (overwrite/delete/update/merge/compact/
+  //    clusterBy/restore/deleteVectors) computed their remove/rewrite
+  //    set against the snapshot they read, so after a lost race that
+  //    set is STALE — the whole operation recomputes from the fresh
+  //    snapshot and retries ([[rebaseOnConflict]]); the attempt that
+  //    wins the claim has by construction seen every commit below it.
+  //    The orphaned files a losing attempt staged are unreferenced and
+  //    reclaimed by [[vacuum]]'s needed-set sweep.
+
+  /** Re-run `attempt` (which must re-read the snapshot itself) until its
+    * commit claim wins, bounded by [[MaxCommitAttempts]]. */
+  private def rebaseOnConflict(table: String, op: String)(
+      attempt: () => Long): Long = {
+    var attempts = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case _: CommitConflictException =>
+          backoffOrGiveUp(attempts, table, op)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The staged batch still fits the (possibly moved) table iff the
+    * layout matches and the column set/types are unchanged — parquet
+    * reads are schema-directed BY NAME, so column order is immaterial
+    * and the staged files stay valid. Returns the ddl to re-assert;
+    * throws the MetadataChangedException analog otherwise. */
+  private def revalidateBlindAppend(spark: SparkSession, table: String,
+      batch: StructType, op: String, partCols: Seq[String]): String =
+    latestVersion(spark, table) match {
+      case None => batch.toDDL // still an empty log: the batch sets it
+      case Some(_) =>
+        val (files, cur) = snapshot(spark, table)
+        val layout = layoutPartCols(files)
+        if (files.nonEmpty &&
+            layout.map(_.toLowerCase) != partCols.map(_.toLowerCase))
+          throw new java.util.ConcurrentModificationException(
+            s"$op on $table: a concurrent commit changed the partition " +
+              s"layout to (${layout.mkString(",")}) and the staged " +
+              s"batch's (${partCols.mkString(",")}) no longer fits")
+        val ok = cur.length == batch.length && cur.fields.forall(f =>
+          batch.fields.exists(g => g.name.equalsIgnoreCase(f.name) &&
+            sameTypeModuloNull(f.dataType, g.dataType)))
+        if (!ok)
+          throw new java.util.ConcurrentModificationException(
+            s"$op on $table: the table schema changed concurrently " +
+              s"(now `${cur.toDDL}`, staged batch `${batch.toDDL}`); " +
+              "re-run the append against the new schema")
+        cur.toDDL
+    }
+
+  /** Claim loop shared by the blind-append writers: files are staged
+    * exactly once (by the caller); each claim re-validates iff the
+    * table moved since `seen0` (see the OCC note above). `reval`
+    * recomputes the ddl to assert against the fresh state; `abandonIf`
+    * (the txn-ledger duplicate check) short-circuits to -1 — it runs on
+    * every table movement, closing the window where a concurrent
+    * delivery of the same batch lands WITHOUT a version collision. */
+  private def commitStagedAppend(spark: SparkSession, table: String,
+      op: String, commitOp: String, s: Staged, ddl0: String,
+      seen0: Option[Long], reval: () => String,
+      txn: Option[(String, Long)] = None,
+      abandonIf: () => Boolean = () => false): Long = {
+    var ddl = ddl0
+    var seen = seen0
+    var attempts = 0
+    while (true) {
+      val v = nextVersion(spark, table)
+      val latest = if (v == 0) None else Some(v - 1)
+      if (latest != seen) {
+        if (abandonIf()) return -1L
+        ddl = reval()
+        seen = latest
+      }
+      try {
+        writeCommit(spark, table, Commit(v, commitOp, s.files, Seq.empty,
+          ddl, System.currentTimeMillis(), txn, stats = s.stats,
+          sizes = s.sizes))
+        return v
+      } catch {
+        case _: CommitConflictException =>
+          if (abandonIf()) return -1L
+          backoffOrGiveUp(attempts, table, op)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Claim loop for the overwrite-class writers: the staged ADD set
+    * stays valid across a lost race (files are immutable); only the
+    * REMOVE set — "whatever is live right now" — is stale, so each
+    * attempt recomputes it from the fresh snapshot. Overwrite is
+    * schema-replacing by definition, so no re-validation applies. */
+  private def commitOverwrite(spark: SparkSession, table: String,
+      s: Staged, ddl: String,
+      blooms: Map[String, Map[String, String]] = Map.empty): Long = {
+    var attempts = 0
+    while (true) {
+      // Claim THE VERSION AFTER THE ONE WE READ (Delta's commit-at-
+      // readVersion+1): a competing commit landing between the snapshot
+      // read and the claim then always collides — claiming "latest + 1
+      // at claim time" instead would let a stale remove set land
+      // cleanly past it.
+      val vRead = latestVersion(spark, table)
+      val prior =
+        if (vRead.isEmpty) Seq.empty[String]
+        else snapshot(spark, table)._1
+      val v = vRead.map(_ + 1).getOrElse(0L)
+      try {
+        writeCommit(spark, table, Commit(v, "overwrite", s.files, prior,
+          ddl, System.currentTimeMillis(), stats = s.stats,
+          sizes = s.sizes, blooms = blooms))
+        return v
+      } catch {
+        case _: CommitConflictException =>
+          backoffOrGiveUp(attempts, table, "overwrite")
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Data files of the current snapshot that contain at least one row
@@ -1147,7 +1257,9 @@ object GraftLog {
     * is carried by reference. The rewrite joins ONLY those files' rows
     * against the broadcast source. */
   def merge(source: DataFrame, table: String, keys: Seq[String]): Long =
-    mergeImpl(source, table, keys, txn = None)
+    rebaseOnConflict(table, "merge") { () =>
+      mergeImpl(source, table, keys, txn = None)
+    }
 
   /** Idempotent transactional MERGE for streaming upsert sinks — the
     * [[txnAppend]] ledger contract applied to [[merge]]: a re-delivered
@@ -1183,6 +1295,9 @@ object GraftLog {
   private def mergeImpl(source: DataFrame, table: String, keys: Seq[String],
       txn: Option[(String, Long)]): Long = {
     val spark = source.sparkSession
+    // commit at readVersion+1 (see commitOverwrite): any commit landing
+    // after this read collides and routes through the caller's loop
+    val vRead = latestVersion(spark, table)
     requireNoDvs(spark, table, "merge")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
@@ -1221,7 +1336,7 @@ object GraftLog {
       if (partCols.nonEmpty) stagePartitionedWithStats(
         withHiddenPartCols(rewritten, partCols), table, partCols)
       else stageWithStats(rewritten, table)
-    val v = nextVersion(spark, table)
+    val v = vRead.map(_ + 1).getOrElse(0L)
     writeCommit(spark, table, Commit(v, "merge", s.files, touched,
       schema.toDDL, System.currentTimeMillis(), txn, stats = s.stats,
       sizes = s.sizes))
@@ -1234,7 +1349,16 @@ object GraftLog {
     * NULL-predicate rows (e.g. `tag = 'x'` on a NULL tag) are KEPT, so
     * the kept-rows filter coalesces NULL to false before negating
     * (a bare `!predicate` filter would drop them). */
-  def delete(spark: SparkSession, table: String, predicate: Column): Long = {
+  def delete(spark: SparkSession, table: String, predicate: Column): Long =
+    rebaseOnConflict(table, "delete") { () =>
+      deleteOnce(spark, table, predicate)
+    }
+
+  private def deleteOnce(spark: SparkSession, table: String,
+      predicate: Column): Long = {
+    // commit at readVersion+1 (see commitOverwrite): any commit landing
+    // after this read collides and routes through the rebase loop
+    val vRead = latestVersion(spark, table)
     requireNoDvs(spark, table, "delete")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
@@ -1248,7 +1372,7 @@ object GraftLog {
         withHiddenPartCols(kept, partCols), table, partCols)
       else stageWithStats(kept, table)
     }
-    val v = nextVersion(spark, table)
+    val v = vRead.map(_ + 1).getOrElse(0L)
     writeCommit(spark, table, Commit(v, "delete", s.files, touched,
       schema.toDDL, System.currentTimeMillis(), stats = s.stats,
       sizes = s.sizes))
@@ -1291,7 +1415,11 @@ object GraftLog {
     * 100 TB lake is exactly where a GDPR erasure runs); predicates may
     * reference partition columns, which additionally prune the scan. */
   def deleteVectors(spark: SparkSession, table: String,
-      predicate: Column): Long = {
+      predicate: Column): Long = rebaseOnConflict(table, "deleteVectors") {
+    () =>
+    // (file, row_index) positions key on the snapshot's file set, so a
+    // lost claim race re-harvests them from the fresh snapshot
+    val vRead = latestVersion(spark, table)
     val (files, schema) = snapshot(spark, table)
     val rel = s"$DvDirName/${UUID.randomUUID()}"
     dvScan(spark, table, files, schema)
@@ -1301,7 +1429,7 @@ object GraftLog {
       .filter(col("__gf_hit"))
       .select(col("file_rel"), col("row_idx"))
       .write.parquet(s"$table/$rel")
-    commitDvDir(spark, table, rel, schema)
+    commitDvDir(spark, table, rel, schema, vRead)
   }
 
   /** [[deleteVectors]] with the match set given as a KEY FRAME instead
@@ -1311,7 +1439,9 @@ object GraftLog {
     * downstream (sidecar, commit, read-time mask, compaction) is
     * identical. */
   def deleteVectorsMatching(spark: SparkSession, table: String,
-      keys: DataFrame, keyCols: Seq[String]): Long = {
+      keys: DataFrame, keyCols: Seq[String]): Long =
+      rebaseOnConflict(table, "deleteVectorsMatching") { () =>
+    val vRead = latestVersion(spark, table)
     val (files, schema) = snapshot(spark, table)
     keyCols.foreach(c => require(
       schema.fieldNames.exists(_.equalsIgnoreCase(c)),
@@ -1326,19 +1456,19 @@ object GraftLog {
         keyCols, "left_semi")
       .select(col("file_rel"), col("row_idx"))
       .write.parquet(s"$table/$rel")
-    commitDvDir(spark, table, rel, schema)
+    commitDvDir(spark, table, rel, schema, vRead)
   }
 
   /** Shared DV-commit tail: list the staged sidecar files, commit them
     * as dvAdd entries. */
   private def commitDvDir(spark: SparkSession, table: String, rel: String,
-      schema: StructType): Long = {
+      schema: StructType, vRead: Option[Long]): Long = {
     val f = fs(spark, table)
     val dvFiles = f.listStatus(new HPath(s"$table/$rel")).toSeq
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .sorted.map(n => s"$rel/$n")
-    val v = nextVersion(spark, table)
+    val v = vRead.map(_ + 1).getOrElse(0L)
     writeCommit(spark, table, Commit(v, "deleteVectors", Seq.empty,
       Seq.empty, schema.toDDL, System.currentTimeMillis(),
       dvAdd = dvFiles))
@@ -1381,7 +1511,14 @@ object GraftLog {
     * flat and hive-partitioned layouts (an update that changes a
     * partition column moves the row's file). */
   def update(spark: SparkSession, table: String, condition: Column,
-      sets: Seq[(String, Column)]): Long = {
+      sets: Seq[(String, Column)]): Long =
+    rebaseOnConflict(table, "update") { () =>
+      updateOnce(spark, table, condition, sets)
+    }
+
+  private def updateOnce(spark: SparkSession, table: String,
+      condition: Column, sets: Seq[(String, Column)]): Long = {
+    val vRead = latestVersion(spark, table)
     requireNoDvs(spark, table, "update")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
@@ -1408,7 +1545,7 @@ object GraftLog {
         withHiddenPartCols(rewritten, partCols), table, partCols)
       else stageWithStats(rewritten, table)
     }
-    val v = nextVersion(spark, table)
+    val v = vRead.map(_ + 1).getOrElse(0L)
     writeCommit(spark, table, Commit(v, "update", s.files, touched,
       schema.toDDL, System.currentTimeMillis(), stats = s.stats,
       sizes = s.sizes))
@@ -1427,7 +1564,9 @@ object GraftLog {
     * appends create (each [[txnAppend]] micro-batch lands its own
     * files). */
   def compact(spark: SparkSession, table: String,
-      targetFiles: Int = 1): Long = {
+      targetFiles: Int = 1): Long = rebaseOnConflict(table, "compact") {
+    () =>
+    val vRead = latestVersion(spark, table)
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
     val dvs = deletionVectors(spark, table)
@@ -1459,7 +1598,7 @@ object GraftLog {
         stagePartitionedWithStats(
           current.repartition(partCols.map(col): _*), table, partCols)
       }
-    val v = nextVersion(spark, table)
+    val v = vRead.map(_ + 1).getOrElse(0L)
     writeCommit(spark, table, Commit(v, "compact", s.files, files,
       schema.toDDL, System.currentTimeMillis(), stats = s.stats,
       sizes = s.sizes, dvRemove = dvs))
@@ -1479,7 +1618,9 @@ object GraftLog {
     * post-compact state re-adds the vectors, so DV-deleted — e.g.
     * GDPR-erased — rows do not resurrect), and per-file Bloom bitmaps
     * are re-attached so file skipping survives the restore. */
-  def restore(spark: SparkSession, table: String, v: Long): Long = {
+  def restore(spark: SparkSession, table: String, v: Long): Long =
+      rebaseOnConflict(table, "restore") { () =>
+    val vRead = latestVersion(spark, table)
     val (cur, _) = snapshot(spark, table)
     val (files, schema) = snapshot(spark, table, Some(v))
     val st = fileStats(spark, table, Some(v)).filter(_._2.nonEmpty)
@@ -1487,7 +1628,7 @@ object GraftLog {
     val targetDvs = deletionVectors(spark, table, Some(v))
     val curDvs = deletionVectors(spark, table)
     val bl = fileBlooms(spark, table, Some(v))
-    val nv = nextVersion(spark, table)
+    val nv = vRead.map(_ + 1).getOrElse(0L)
     writeCommit(spark, table, Commit(nv, "restore", files,
       cur.filterNot(files.toSet), schema.toDDL,
       System.currentTimeMillis(), stats = st, sizes = sz,
@@ -1577,7 +1718,9 @@ object GraftLog {
     * periodic layout-maintenance job Delta runs as OPTIMIZE ZORDER;
     * cost = one range shuffle of the table. */
   def clusterBy(spark: SparkSession, table: String, colA: String,
-      colB: String, targetFiles: Int): Long = {
+      colB: String, targetFiles: Int): Long =
+      rebaseOnConflict(table, "clusterBy") { () =>
+    val vRead = latestVersion(spark, table)
     requireNoDvs(spark, table, "clusterBy")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
@@ -1618,7 +1761,7 @@ object GraftLog {
           .drop("__gf_z")
         stagePartitionedWithStats(rewritten, table, partCols)
       }
-    val v = nextVersion(spark, table)
+    val v = vRead.map(_ + 1).getOrElse(0L)
     writeCommit(spark, table, Commit(v, "cluster", s.files, files,
       schema.toDDL, System.currentTimeMillis(), stats = s.stats,
       sizes = s.sizes))

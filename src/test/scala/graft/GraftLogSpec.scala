@@ -550,4 +550,96 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.fileBlooms(spark, t).nonEmpty)
     assert(GraftLog.read(spark, t).count() == 40)
   }
+
+  // ------------------------------------------- optimistic concurrency
+  // Real uncoordinated writer threads racing one table. The assertions
+  // are deliberately order-free: every interleaving (including runs
+  // where no race actually fires) must converge to the same state.
+
+  private def racing[A](tasks: Seq[() => A]): Seq[A] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val fs = tasks.map { t =>
+      pool.submit(new java.util.concurrent.Callable[A] {
+        def call(): A = { start.await(); t() }
+      })
+    }
+    start.countDown()
+    try fs.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    finally pool.shutdown()
+  }
+
+  test("concurrent appends all commit exactly once (blind appends commute)") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "seed"), t)
+    val vs = racing((0 until 8).map { i => () =>
+      GraftLog.append(df(100 + 10 * i until 110 + 10 * i, s"w$i"), t)
+    })
+    // dense versions, one commit per writer, nobody lost or doubled
+    assert(vs.sorted == (1L to 8L))
+    assert(GraftLog.read(spark, t).count() == 10 + 80)
+    val ops = GraftLog.history(spark, t).collect().map(_.getString(1))
+    assert(ops.count(_ == "append") == 8)
+  }
+
+  test("racing deletes on the same file both apply (no lost update)") {
+    val t = tmp()
+    // one data file => both rewrites target the SAME file; committing at
+    // readVersion+1 forces the loser to collide and rebase onto the
+    // winner's rewrite instead of silently resurrecting its rows
+    GraftLog.overwrite(df(0 until 100, "seed").coalesce(1), t)
+    racing(Seq(3L, 7L).map { m => () =>
+      GraftLog.delete(spark, t, $"id" % 10 === m)
+    })
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 80)
+    assert(back.filter($"id" % 10 === 3 || $"id" % 10 === 7).count() == 0)
+    val ops = GraftLog.history(spark, t).collect().map(_.getString(1))
+    assert(ops.count(_ == "delete") == 2)
+  }
+
+  test("append racing a schema widening never reverts the widening") {
+    (0 until 3).foreach { _ =>
+      val t = tmp()
+      GraftLog.overwrite(df(0 until 10, "seed"), t)
+      val wide = (100 until 105).map(i => (i.toLong, "w", 1.5))
+        .toDF("id", "tag", "score")
+      val results = racing[Either[Throwable, Long]](Seq(
+        () => Right(GraftLog.appendMergeSchema(wide, t)),
+        () =>
+          try Right(GraftLog.append(df(200 until 205, "a"), t))
+          catch {
+            // the append is ALLOWED to fail loudly (the table schema
+            // moved under it — Delta's MetadataChangedException), it is
+            // never allowed to land and revert the widening
+            case e: java.util.ConcurrentModificationException => Left(e)
+            case e: IllegalArgumentException => Left(e)
+          }
+      ))
+      assert(results.head.isRight) // the widening itself always lands
+      val schema = GraftLog.snapshot(spark, t)._2
+      assert(schema.fieldNames.contains("score"),
+        s"widening reverted: ${schema.toDDL}")
+      val n = GraftLog.read(spark, t).count()
+      results(1) match {
+        case Right(_) => assert(n == 20)
+        case Left(_)  => assert(n == 15)
+      }
+    }
+  }
+
+  test("racing overwrites converge to exactly one writer's rows") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "seed"), t)
+    racing(Seq(("A", 20), ("B", 30)).map { case (tag, n) => () =>
+      GraftLog.overwrite(df(0 until n, tag), t)
+    })
+    // whole-table replacement: the later commit's remove set must cover
+    // the earlier racer's files — never a mix of both writers
+    val back = GraftLog.read(spark, t)
+    val tags = back.select("tag").distinct().as[String].collect().toSeq
+    assert(tags.length == 1 && Set("A", "B")(tags.head), tags.mkString(","))
+    assert(back.count() == (if (tags.head == "A") 20 else 30))
+    assert(GraftLog.versions(spark, t) == Seq(0L, 1L, 2L))
+  }
 }
