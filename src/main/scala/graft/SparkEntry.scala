@@ -299,6 +299,10 @@ object SparkEntry {
     // every interleaving converges to the same rows in 7 commits
     "t22_graftlog_concurrent_writers" ->
       ((s, d) => Transactions.concurrentWriters(s, d)),
+    // zero-copy SHALLOW CLONE: clone of the deleted snapshot evolves
+    // independently (insert batch appended to the clone only); the
+    // n_copied_files=0 column pins that no data bytes moved
+    "t23_graftlog_clone" -> ((s, d) => Transactions.cloneRead(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -524,6 +528,21 @@ object SparkEntry {
         |SELECT c_custkey + (1 + c_custkey % 4) * mk.m, c_name,
         |  c_nationkey, c_acctbal, c_mktsegment, 7 AS n_commits
         |FROM customer, mk""".stripMargin,
+    // t23: the shallow clone = source snapshot after the delete, plus
+    // the insert batch (c4's NOT-EXISTS branch) appended to the clone
+    // alone; n_copied_files pins the zero-copy contract
+    "t23_graftlog_clone" ->
+      s"""WITH $incCte
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |  0 AS n_copied_files
+         |FROM customer WHERE c_custkey % 10 != 0
+         |UNION ALL
+         |SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal,
+         |  inc_mktsegment, 0 AS n_copied_files
+         |FROM inc
+         |WHERE NOT EXISTS
+         |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
+         |""".stripMargin,
     // t18: the bloom-pruned point lookup must lose no rows — the oracle
     // is the plain equality with the probe derived the same way
     "t18_graftlog_bloom_skipping" ->

@@ -738,4 +738,60 @@ object Transactions {
     h.land(1); h.runToDrain()
     h.tableFrame
   }
+
+  private val stagedClone =
+    new scala.collection.concurrent.TrieMap[String, (String, Int)]
+
+  /** Stage the t23 clone lineage once per (JVM, corpus):
+    * src v0 = customer overwrite, v1 = predicate delete (so the cloned
+    * snapshot is not just the raw table); then the SQL surface
+    * `CREATE TABLE '<dst>' SHALLOW CLONE '<src>'` — a zero-copy
+    * metadata commit referencing src's live files absolutely — and an
+    * independent append of the deterministic insert batch (the c4
+    * NOT-EXISTS branch) to the CLONE only. Returns (clone dir, data
+    * files under the clone's own root right after the clone commit —
+    * the zero-copy contract, pinned as a column). Reference analog:
+    * Delta's `SHALLOW CLONE` dev/test-sandbox flow on the same
+    * transactional tables the reference stores
+    * (`spark_session_factory.py:70`). */
+  private def cloneTable(spark: SparkSession, sfDir: String)
+      : (String, Int) =
+    stagedClone.getOrElseUpdate(sfDir, {
+      val root = graft.sources.Staging.tempDir("graft_txn_")
+      val src = root + "/customer_csrc"
+      val dst = root + "/customer_clone"
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwrite(cust, src)                              // v0
+      GraftLog.delete(spark, src, col("c_custkey") % 10 === 0)   // v1
+      spark.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$src'")
+      def parquetsUnder(d: java.io.File): Int =
+        if (!d.exists) 0
+        else d.listFiles.toSeq.map { f =>
+          if (f.isDirectory) parquetsUnder(f)
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        }.sum
+      val copied = parquetsUnder(new java.io.File(dst, "_data"))
+      val inserts = Incremental.incrementalBatch(spark, sfDir).select(
+          col("inc_custkey").as("c_custkey"),
+          col("inc_name").as("c_name"),
+          col("inc_nationkey").as("c_nationkey"),
+          col("inc_acctbal").as("c_acctbal"),
+          col("inc_mktsegment").as("c_mktsegment"))
+        .join(cust.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      GraftLog.append(inserts.select(customerCols.map(col): _*), dst)
+      (dst, copied)
+    })
+
+  /** t23 — SHALLOW CLONE: the clone (source snapshot minus the deleted
+    * keys, plus the insert batch appended to the clone alone) with the
+    * number of data files the clone COPIED pinned at 0 — cloning is a
+    * metadata commit, never a data move. Oracle re-derives the same
+    * rows relationally; `ShallowCloneSpec` additionally pins source
+    * independence, compact-detach, and vacuum safety. */
+  def cloneRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dst, copied) = cloneTable(spark, sfDir)
+    GraftLog.read(spark, dst)
+      .select(customerCols.map(col): _*)
+      .withColumn("n_copied_files", lit(copied))
+  }
 }

@@ -65,7 +65,7 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   private val knownSizes = GraftLog.fileSizes(spark, table, asOf)
   private val statuses: Seq[(String, FileStatus)] =
     liveFiles.map { f =>
-      val p = fsys.makeQualified(new HPath(s"$table/$f"))
+      val p = fsys.makeQualified(new HPath(GraftLog.absPath(table, f)))
       val st = knownSizes.get(f) match {
         case Some(len) =>
           new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, p)
@@ -553,7 +553,7 @@ final class GraftStreamSource(spark: SparkSession, table: String,
     val fsys = GraftLog.fs(spark, table)
     val sizes = GraftLog.fileSizes(spark, table)
     val statuses = files.map { f =>
-      val p = fsys.makeQualified(new HPath(s"$table/$f"))
+      val p = fsys.makeQualified(new HPath(GraftLog.absPath(table, f)))
       sizes.get(f) match {
         case Some(len) =>
           new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, p)

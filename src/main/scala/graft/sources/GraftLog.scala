@@ -77,6 +77,17 @@ object GraftLog {
   private[sources] val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
 
+  /** Resolve a commit-log file entry to a readable path. Entries are
+    * normally table-root-relative; a SHALLOW CLONE commit references
+    * the SOURCE table's files by absolute path (the Delta shallow-clone
+    * mechanism), so absolute / scheme-qualified entries pass through
+    * unchanged. [[vacuum]] is unaffected: it sweeps only under the
+    * table's own root and matches by relative path, so externally
+    * referenced files can never be deleted by the clone's vacuum. */
+  private[sources] def absPath(table: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains("://")) rel
+    else s"$table/$rel"
+
   private[sources] def fs(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -453,7 +464,7 @@ object GraftLog {
       GraftFileIndex.read(spark, table, asOf)
         .select(schema.fieldNames.map(col).toSeq: _*)
     else spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+      .parquet(files.map(f => absPath(table, f)): _*)
   }
 
   /** `VERSION AS OF n` — the time-travel read. */
@@ -531,7 +542,7 @@ object GraftLog {
       min(col(f.name).cast("double")).as(s"mn_${f.name}"),
       max(col(f.name).cast("double")).as(s"mx_${f.name}")))
     val rows = spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+      .parquet(files.map(f => absPath(table, f)): _*)
       .withColumn("__gf_file", input_file_name())
       .groupBy(col("__gf_file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -607,7 +618,7 @@ object GraftLog {
       array_distinct(flatten(collect_list(col(s"__pa_$c"))))
         .as(s"__pos_$c"))
     val rows = spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+      .parquet(files.map(f => absPath(table, f)): _*)
       .withColumn("__gf_file", input_file_name())
       .select(col("__gf_file") +: posArrays: _*)
       .groupBy(col("__gf_file"))
@@ -714,7 +725,7 @@ object GraftLog {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else spark.read.schema(schema)
-          .parquet(kept.map(f => s"$table/$f"): _*)
+          .parquet(kept.map(f => absPath(table, f)): _*)
       base.filter(col(column) >= lo && col(column) <= hi)
     }
   }
@@ -885,7 +896,7 @@ object GraftLog {
       GraftFileIndex.readSubset(spark, table, files)
         .select(schema.fieldNames.map(col).toSeq: _*)
     else spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+      .parquet(files.map(f => absPath(table, f)): _*)
 
   /** Schema enforcement shared by [[append]] and [[txnAppend]]: the batch
     * must carry exactly the table's columns WITH the table's types — a
@@ -1245,7 +1256,9 @@ object GraftLog {
       .collect()
       .flatMap(r => relPathOf(new java.net.URI(r.getString(0)).getPath))
       .toSet
-    files.filter(rels.contains)
+    // entries match by their `_data/` suffix, so absolute references
+    // (SHALLOW CLONE commits) resolve the same as relative ones
+    files.filter(f => relPathOf(absPath(table, f)).exists(rels.contains))
   }
 
   /** MERGE INTO-equivalent upsert (when matched update all, when not
@@ -1397,7 +1410,7 @@ object GraftLog {
     if (hasPartitionedFiles(files))
       GraftFileIndex.readSubsetRaw(spark, table, files)
     else spark.read.schema(schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+      .parquet(files.map(f => absPath(table, f)): _*)
 
   /** Merge-on-read DELETE (Delta deletion vectors): matching rows are
     * recorded as (file, row_index) positions in a parquet sidecar under
@@ -1484,7 +1497,7 @@ object GraftLog {
   private def readWithDvs(spark: SparkSession, table: String,
       files: Seq[String], schema: StructType,
       dvs: Seq[String]): DataFrame = {
-    val dv = spark.read.parquet(dvs.map(f => s"$table/$f"): _*)
+    val dv = spark.read.parquet(dvs.map(f => absPath(table, f)): _*)
     val base = dvScan(spark, table, files, schema)
       .withColumn("__gf_rel", relPathCol(col("_metadata.file_path")))
       .withColumn("__gf_row", col("_metadata.row_index"))
@@ -1579,7 +1592,7 @@ object GraftLog {
         val current =
           if (dvs.nonEmpty) readWithDvs(spark, table, files, schema, dvs)
           else spark.read.schema(schema)
-            .parquet(files.map(f => s"$table/$f"): _*)
+            .parquet(files.map(f => absPath(table, f)): _*)
         stageWithStats(current.coalesce(targetFiles), table)
       } else {
         // per-partition compaction: hash-repartition by the partition
@@ -1603,6 +1616,41 @@ object GraftLog {
       schema.toDDL, System.currentTimeMillis(), stats = s.stats,
       sizes = s.sizes, dvRemove = dvs))
     v
+  }
+
+  /** SHALLOW CLONE — Delta's `CREATE TABLE dst SHALLOW CLONE src
+    * [VERSION AS OF v]`: a new table whose single CLONE commit
+    * REFERENCES the source snapshot's data files by absolute path. Zero
+    * data bytes move; the cost is O(live files) of metadata — on a
+    * 100 TB table the clone is instant where a deep copy is a day of
+    * IO. The clone then evolves independently: appends/DML stage new
+    * files under the clone's own root and removes drop references only;
+    * [[compact]] rewrites the referenced data locally, DETACHING the
+    * clone from the source. Skipping stats, commit-logged sizes, Bloom
+    * bitmaps, and active deletion vectors are all carried, so pruning
+    * and merge-on-read behave identically on the clone (DV position
+    * keys are `_data/`-suffix-based, which absolute resolution
+    * preserves). Caveat, same as Delta's: VACUUM on the SOURCE knows
+    * nothing about clones — vacuuming the source past the cloned
+    * version can delete files a clone still references. The clone's own
+    * vacuum is safe by construction ([[absPath]]). */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+      asOf: Option[Long] = None): Long = {
+    require(versions(spark, src).nonEmpty,
+      s"$src is not a GraftLog table (no $LogDirName)")
+    require(versions(spark, dst).isEmpty,
+      s"clone target $dst is already a GraftLog table")
+    val (live, schema, sizes, dvs, blooms) = replay(spark, src, asOf)
+    def abs(f: String) = absPath(src, f) // chained clones pass through
+    writeCommit(spark, dst, Commit(0L, "clone",
+      live.keys.toSeq.map(abs), Seq.empty, schema.toDDL,
+      System.currentTimeMillis(),
+      stats = live.toSeq.collect {
+        case (f, st) if st.nonEmpty => abs(f) -> st }.toMap,
+      sizes = sizes.map { case (f, n) => abs(f) -> n }.toMap,
+      dvAdd = dvs.toSeq.map(abs),
+      blooms = blooms.map { case (f, b) => abs(f) -> b }.toMap))
+    0L
   }
 
   /** RESTORE TABLE … TO VERSION — Delta's RESTORE: one new commit whose

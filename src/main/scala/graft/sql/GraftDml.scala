@@ -68,6 +68,8 @@ final class GraftSqlParser(
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+?)\s*;?\s*""".r
   private val AddColumnsStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
+  private val CloneStmt =
+    """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeStmt(target, files, za, zb) if ownsTarget(target) =>
@@ -84,6 +86,10 @@ final class GraftSqlParser(
     // ownsTarget) — everything else keeps Spark's own ALTER semantics
     case AddColumnsStmt(target, cols) if isGraftTable(target) =>
       GraftAddColumnsCommand(target, cols)
+    // Delta ships the same syntax, so only a SOURCE that resolves to a
+    // graft table (or a path literal) is captured
+    case CloneStmt(dst, src, ver) if ownsTarget(src) =>
+      GraftCloneCommand(dst, src, Option(ver).map(_.toLong))
     case _ => GraftTimeTravel(delegate.parsePlan(sqlText))
   }
 
@@ -283,6 +289,20 @@ case class GraftZOrderCommand(target: String, colA: String, colB: String,
     val path = GraftTarget.pathOf(session, target)
     GraftLog.clusterBy(session, path, colA, colB, targetFiles)
     RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF v]` →
+  * [[GraftLog.cloneShallow]] — zero-copy metadata clone of the source
+  * snapshot. The destination is a path target ('path' literal); catalog
+  * registration of clones, like other path-DDL, goes through
+  * `CREATE TABLE … USING graft LOCATION` afterwards. */
+case class GraftCloneCommand(dst: String, src: String,
+    asOf: Option[Long]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.cloneShallow(session, GraftTarget.pathOf(session, src),
+      GraftTarget.pathOf(session, dst), asOf)
     Seq.empty
   }
 }
