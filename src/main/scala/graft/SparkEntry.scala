@@ -71,6 +71,10 @@ object SparkEntry {
     // HISTORY via the parse-time substitution
     "d9_graft_sql_time_travel" ->
       ((s, d) => Ddl.graftSqlTimeTravel(s, d)),
+    // CHECK / NOT NULL constraints (ALTER TABLE … ADD CONSTRAINT):
+    // write-time enforcement, violating batch rejected whole
+    "d10_graft_sql_constraints" ->
+      ((s, d) => Ddl.graftSqlConstraints(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -303,6 +307,11 @@ object SparkEntry {
     // independently (insert batch appended to the clone only); the
     // n_copied_files=0 column pins that no data bytes moved
     "t23_graftlog_clone" -> ((s, d) => Transactions.cloneRead(s, d)),
+    // metadata-only RENAME/DROP COLUMN via column mapping: the logical
+    // rename is a SQL alias in the oracle; n_meta_files=0 pins that the
+    // schema commits moved no data bytes
+    "t24_graftlog_column_mapping" ->
+      ((s, d) => Transactions.columnMappingRead(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -542,6 +551,21 @@ object SparkEntry {
          |FROM inc
          |WHERE NOT EXISTS
          |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
+         |""".stripMargin,
+    // t24: rename = alias, drop = projection; the appended batch is the
+    // c4 NOT-EXISTS branch under the renamed schema; the trailing DELETE
+    // applies to both branches
+    "t24_graftlog_column_mapping" ->
+      s"""WITH $incCte
+         |SELECT c_custkey, c_name AS cust_name, c_nationkey, c_acctbal,
+         |  0 AS n_meta_files
+         |FROM customer WHERE c_custkey % 7 != 0
+         |UNION ALL
+         |SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal, 0
+         |FROM inc
+         |WHERE NOT EXISTS
+         |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
+         |  AND inc_custkey % 7 != 0
          |""".stripMargin,
     // t18: the bloom-pruned point lookup must lose no rows — the oracle
     // is the plain equality with the probe derived the same way
@@ -887,6 +911,21 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer) AS latest_rows,
         |  CAST(2 AS BIGINT) AS n_commits
         |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
+    // d10: the violating batch never lands (n_rejected=1); the valid
+    // append is the NOT-EXISTS insert slice passing both constraints
+    "d10_graft_sql_constraints" ->
+      s"""WITH $incCte
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |  2 AS n_constraints, 1 AS n_rejected
+         |FROM customer
+         |UNION ALL
+         |SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal,
+         |  inc_mktsegment, 2, 1
+         |FROM inc
+         |WHERE NOT EXISTS
+         |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
+         |  AND inc_acctbal >= -1000.0 AND inc_name IS NOT NULL
+         |""".stripMargin,
     // t15: restore rewinds the live set to v0 — the read is the seed
     "t15_graftlog_restore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -248,6 +248,55 @@ object Ddl {
       .withColumn("n_commits", lit(nCommits))
   }
 
+  private val stagedSqlCk =
+    new scala.collection.concurrent.TrieMap[String, (String, Int)]
+
+  /** d10 — CHECK / NOT NULL constraints via the SQL text surface
+    * (Delta's `ALTER TABLE … ADD CONSTRAINT` contract): the constraint
+    * lands in the commit log after a one-scan validation of existing
+    * rows; every subsequent write validates the rows it writes in ONE
+    * batch-sized aggregation pass (never a table scan). A violating
+    * append is rejected whole — the count of rejected batches and the
+    * constraint count are pinned as columns; the oracle re-derives the
+    * surviving rows by applying the same predicates relationally. */
+  def graftSqlConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (dir, nRejected) = stagedSqlCk.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_sqlck_") + "/customer"
+      val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      graft.sources.GraftLog.overwrite(cust, d)                    // v0
+      spark.sql(s"ALTER TABLE '$d' ADD CONSTRAINT acct_floor " +
+        "CHECK (c_acctbal >= -1000.0)")                            // v1
+      spark.sql(s"ALTER TABLE '$d' ALTER COLUMN c_name SET NOT NULL") // v2
+      // a violating batch is rejected WHOLE; the table is unchanged
+      val bad = cust.limit(1).select(
+        (col("c_custkey") + 900000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"),
+        lit(BigDecimal(-99999)).cast(cust.schema("c_acctbal").dataType)
+          .as("c_acctbal"),
+        col("c_mktsegment"))
+      val rejected =
+        try { graft.sources.GraftLog.append(bad, d); 0 }
+        catch { case _: IllegalArgumentException => 1 }
+      // the valid slice of the incremental insert batch lands
+      val inserts = Incremental.incrementalBatch(spark, sfDir).select(
+          col("inc_custkey").as("c_custkey"),
+          col("inc_name").as("c_name"),
+          col("inc_nationkey").as("c_nationkey"),
+          col("inc_acctbal").as("c_acctbal"),
+          col("inc_mktsegment").as("c_mktsegment"))
+        .join(cust.select("c_custkey"), Seq("c_custkey"), "left_anti")
+        .filter(col("c_acctbal") >= -1000.0 && col("c_name").isNotNull)
+      graft.sources.GraftLog.append(inserts, d)                    // v3
+      (d, rejected)
+    })
+    val nChecks =
+      graft.sources.GraftLog.checkConstraints(spark, dir).size
+    graft.sources.GraftLog.read(spark, dir)
+      .withColumn("n_constraints", lit(nChecks))
+      .withColumn("n_rejected", lit(nRejected))
+  }
+
   /** K4 round-trip: DataFrameWriterV2 `createOrReplace` + catalog scan. */
   def writeToRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     createDatabase(spark, "graft_lake")

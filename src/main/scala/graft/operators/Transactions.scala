@@ -782,6 +782,61 @@ object Transactions {
       (dst, copied)
     })
 
+  private val stagedCmap =
+    new scala.collection.concurrent.TrieMap[String, (String, Int)]
+
+  /** Stage the t24 column-mapping lineage once per (JVM, corpus):
+    * v0 = customer overwrite; v1 = RENAME COLUMN c_name→cust_name and
+    * v2 = DROP COLUMN c_mktsegment — both METADATA-ONLY commits (the
+    * number of data files they add is captured and pinned at 0); v3 =
+    * an append arriving with the new LOGICAL schema (staged under the
+    * physical names, the Delta column-mapping write path); v4 = a
+    * predicate DELETE resolving the logical names over the physical
+    * scan. Returns (table dir, data files written by the two schema
+    * commits). */
+  private def cmapTable(spark: SparkSession, sfDir: String)
+      : (String, Int) =
+    stagedCmap.getOrElseUpdate(sfDir, {
+      val dir =
+        graft.sources.Staging.tempDir("graft_txn_") + "/customer_cmap"
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwrite(cust, dir)                               // v0
+      def parquetsUnder(d: java.io.File): Int =
+        if (!d.exists) 0
+        else d.listFiles.toSeq.map { f =>
+          if (f.isDirectory) parquetsUnder(f)
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        }.sum
+      val before = parquetsUnder(new java.io.File(dir, "_data"))
+      GraftLog.renameColumn(spark, dir, "c_name", "cust_name")    // v1
+      GraftLog.dropColumn(spark, dir, "c_mktsegment")             // v2
+      val metaAdded =
+        parquetsUnder(new java.io.File(dir, "_data")) - before
+      val inserts = Incremental.incrementalBatch(spark, sfDir).select(
+          col("inc_custkey").as("c_custkey"),
+          col("inc_name").as("cust_name"),
+          col("inc_nationkey").as("c_nationkey"),
+          col("inc_acctbal").as("c_acctbal"))
+        .join(cust.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      GraftLog.append(inserts, dir)                               // v3
+      GraftLog.delete(spark, dir, col("c_custkey") % 7 === 0)     // v4
+      (dir, metaAdded)
+    })
+
+  /** t24 — column mapping: the table after a metadata-only RENAME +
+    * DROP, a logical-schema append and a logical-name DELETE, with the
+    * number of data files the two schema commits wrote pinned at 0.
+    * Oracle re-derives the same rows relationally (rename = SQL alias,
+    * drop = projection); `ColumnMappingSpec` additionally pins stats
+    * keying, DV composition, compact materialization and restore. */
+  def columnMappingRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dir, metaAdded) = cmapTable(spark, sfDir)
+    GraftLog.read(spark, dir)
+      .select(col("c_custkey"), col("cust_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .withColumn("n_meta_files", lit(metaAdded))
+  }
+
   /** t23 — SHALLOW CLONE: the clone (source snapshot minus the deleted
     * keys, plus the insert batch appended to the clone alone) with the
     * number of data files the clone COPIED pinned at 0 — cloning is a

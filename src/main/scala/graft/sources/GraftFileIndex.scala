@@ -42,6 +42,12 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   require(allowDvs || GraftLog.deletionVectors(spark, table, asOf).isEmpty,
     s"$table has active deletion vectors; read via GraftLog.read " +
       "(merge-on-read) or compact() to materialize them first")
+  // same loud-over-wrong stance for column mapping: a plain file scan
+  // serves PHYSICAL column names — a renamed/dropped schema read through
+  // the index would silently expose pre-rename names (or nulls)
+  require(GraftLog.columnMapping(spark, table, asOf).isEmpty,
+    s"$table has an active column mapping (renamed/dropped columns); " +
+      "read via GraftLog.read or compact() to materialize the mapping")
   private val liveFiles = only match {
     case Some(subset) => allLive.filter(subset.contains)
     case None => allLive
@@ -507,6 +513,11 @@ final class GraftStreamSource(spark: SparkSession, table: String,
   import org.apache.spark.sql.execution.streaming.{Offset => SOffset}
 
   private val tableSchema: StructType = GraftLog.snapshot(spark, table)._2
+  // the incremental file reads below serve PHYSICAL column names; under
+  // an active mapping they would silently expose pre-rename names
+  require(GraftLog.columnMapping(spark, table).isEmpty,
+    s"$table has an active column mapping (renamed/dropped columns); " +
+      "streaming reads are supported after compact() materializes it")
 
   override def schema: StructType = tableSchema
 

@@ -72,7 +72,24 @@ object GraftLog {
       sizes: Map[String, Long] = Map.empty,
       dvAdd: Seq[String] = Seq.empty,
       dvRemove: Seq[String] = Seq.empty,
-      blooms: Map[String, Map[String, String]] = Map.empty)
+      blooms: Map[String, Map[String, String]] = Map.empty,
+      colMap: Map[String, String] = Map.empty,
+      checks: Map[String, String] = Map.empty)
+
+  /** Operations whose commits SET the column-mapping state explicitly
+    * (an empty map from one of these means "mapping cleared/none");
+    * every other commit inherits the current mapping in [[writeCommit]],
+    * so the invariant "mapping = latest commit's colMap" always holds
+    * and replay can fold it by plain replacement. */
+  private val ColMapAuthoritative =
+    Set("rename_column", "drop_column", "compact", "restore", "clone")
+
+  /** Same contract for CHECK constraints: "constraints = latest
+    * commit's checks". Note compact is NOT here — constraints survive
+    * file rewrites (only colMap is materialized away); restore re-points
+    * them at the target version's set, clone carries the source's. */
+  private val ChecksAuthoritative =
+    Set("add_constraint", "drop_constraint", "restore", "clone")
 
   private[sources] val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
@@ -147,10 +164,20 @@ object GraftLog {
             case (cl, b64) => "\"" + esc(cl) + "\":\"" + esc(b64) + "\""
           }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
+    val colMapPart =
+      if (c.colMap.isEmpty) ""
+      else ","+"\"colMap\":" + c.colMap.toSeq.sortBy(_._1).map {
+        case (p, l) => "\"" + esc(p) + "\":\"" + esc(l) + "\""
+      }.mkString("{", ",", "}")
+    val checksPart =
+      if (c.checks.isEmpty) ""
+      else ","+"\"checks\":" + c.checks.toSeq.sortBy(_._1).map {
+        case (nm, ex) => "\"" + esc(nm) + "\":\"" + esc(ex) + "\""
+      }.mkString("{", ",", "}")
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
-      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$txnsPart}"""
+      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$colMapPart$checksPart$txnsPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -219,10 +246,30 @@ object GraftLog {
         }
         out.toMap
       }
+    val colMap =
+      if (!n.has("colMap")) Map.empty[String, String]
+      else {
+        val cn = n.get("colMap")
+        val out = scala.collection.mutable.Map.empty[String, String]
+        cn.fieldNames().forEachRemaining { p =>
+          out += p -> cn.get(p).asText()
+        }
+        out.toMap
+      }
+    val checks =
+      if (!n.has("checks")) Map.empty[String, String]
+      else {
+        val cn = n.get("checks")
+        val out = scala.collection.mutable.Map.empty[String, String]
+        cn.fieldNames().forEachRemaining { nm =>
+          out += nm -> cn.get(nm).asText()
+        }
+        out.toMap
+      }
     Commit(n.get("version").asLong(), n.get("operation").asText(),
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
       n.get("timestampMs").asLong(), txn, stats, txns, sizes,
-      optArr("dvAdd"), optArr("dvRemove"), blooms)
+      optArr("dvAdd"), optArr("dvRemove"), blooms, colMap, checks)
   }
 
   // ------------------------------------------------------------- protocol
@@ -290,9 +337,41 @@ object GraftLog {
   }
 
   private[graft] def writeCommit(spark: SparkSession, table: String,
-      c: Commit): Unit =
-    if (!putIfAbsent(spark, table, logName(c.version), toJson(c)))
+      c: Commit): Unit = {
+    // keep the invariants "column mapping = latest commit's colMap" and
+    // "constraints = latest commit's checks": ordinary commits
+    // (append/merge/delete/…) inherit the state in force just before
+    // them; authoritative ops set (or clear) it themselves. One
+    // small-JSON read of the previous commit, only for v > 0.
+    val inheritMap = c.colMap.isEmpty && c.version > 0 &&
+      !ColMapAuthoritative(c.operation)
+    val inheritChecks = c.checks.isEmpty && c.version > 0 &&
+      !ChecksAuthoritative(c.operation)
+    val withMeta =
+      if (!inheritMap && !inheritChecks) c
+      else {
+        val prev = previousCommit(spark, table, c.version)
+        c.copy(
+          colMap = if (inheritMap) prev.map(_.colMap)
+            .getOrElse(c.colMap) else c.colMap,
+          checks = if (inheritChecks) prev.map(_.checks)
+            .getOrElse(c.checks) else c.checks)
+      }
+    if (!putIfAbsent(spark, table, logName(withMeta.version),
+        toJson(withMeta)))
       throw new CommitConflictException(c.version, table)
+  }
+
+  /** The commit just before version `v` (None for a table whose log
+    * starts at v — then there is nothing to inherit). Falls back to the
+    * newest retained commit if `v-1` was vacuumed away. */
+  private def previousCommit(spark: SparkSession, table: String,
+      v: Long): Option[Commit] =
+    try Some(readCommit(spark, table, v - 1))
+    catch {
+      case _: java.io.IOException | _: RuntimeException =>
+        latestVersion(spark, table).map(readCommit(spark, table, _))
+    }
 
   // ----------------------------------------------------------- checkpoints
   // A checkpoint is a sidecar file <v>.checkpoint.json whose Commit holds
@@ -341,7 +420,8 @@ object GraftLog {
     val v = asOf.getOrElse(all.last)
     require(all.contains(v),
       s"version $v of $table does not exist (have ${all.mkString(",")})")
-    val (live, schema, sizes, dvs, blooms) = replay(spark, table, Some(v))
+    val (live, schema, sizes, dvs, blooms, cmap) =
+      replay(spark, table, Some(v))
     // fold the idempotence ledger over everything the checkpoint subsumes
     val prior = checkpointVersions(spark, table).filter(_ < v).lastOption
     val base = prior.map(readCheckpoint(spark, table, _).txns)
@@ -352,7 +432,8 @@ object GraftLog {
     val c = Commit(v, "checkpoint", live.keys.toSeq, Seq.empty,
       schema.toDDL, System.currentTimeMillis(),
       stats = live.toMap.filter(_._2.nonEmpty), txns = ledger,
-      sizes = sizes.toMap, dvAdd = dvs.toSeq, blooms = blooms.toMap)
+      sizes = sizes.toMap, dvAdd = dvs.toSeq, blooms = blooms.toMap,
+      colMap = cmap, checks = checkConstraints(spark, table, Some(v)))
     putIfAbsent(spark, table, ckptName(v), toJson(c))
     v
   }
@@ -370,7 +451,8 @@ object GraftLog {
       : (mutable.LinkedHashMap[String, Map[String, (Double, Double)]],
          StructType, mutable.Map[String, Long],
          mutable.LinkedHashSet[String],
-         mutable.Map[String, Map[String, String]]) = {
+         mutable.Map[String, Map[String, String]],
+         Map[String, String]) = {
     val all = versions(spark, table)
     val upTo = asOf match {
       case Some(v) =>
@@ -384,6 +466,7 @@ object GraftLog {
     val dvs = mutable.LinkedHashSet.empty[String]
     val blooms = mutable.Map.empty[String, Map[String, String]]
     var schema: StructType = null
+    var cmap: Map[String, String] = Map.empty
     def fold(c: Commit): Unit = {
       c.remove.foreach { f => live -= f; sizes -= f; blooms -= f }
       c.add.foreach { f =>
@@ -394,6 +477,9 @@ object GraftLog {
       c.dvRemove.foreach(dvs -= _)
       c.dvAdd.foreach(dvs += _)
       schema = StructType.fromDDL(c.schemaDdl)
+      // plain replacement: every commit carries the mapping in force
+      // after it (see writeCommit), so no merge logic is needed
+      cmap = c.colMap
     }
     val start: Long = checkpointVersions(spark, table)
       .filter(cv => upTo.nonEmpty && cv <= upTo.last) match {
@@ -403,7 +489,7 @@ object GraftLog {
       case _ => -1L
     }
     upTo.filter(_ > start).foreach(v => fold(readCommit(spark, table, v)))
-    (live, schema, sizes, dvs, blooms)
+    (live, schema, sizes, dvs, blooms, cmap)
   }
 
   /** Live file set (table-root-relative) + schema after replaying
@@ -412,9 +498,54 @@ object GraftLog {
       asOf: Option[Long] = None): (Seq[String], StructType) = {
     require(versions(spark, table).nonEmpty,
       s"$table is not a GraftLog table (no $LogDirName)")
-    val (live, schema, _, _, _) = replay(spark, table, asOf)
+    val (live, schema, _, _, _, _) = replay(spark, table, asOf)
     (live.keys.toSeq, schema)
   }
+
+  /** Active column mapping: PHYSICAL column name (what the parquet files
+    * and every commit's `schemaDdl` use) → LOGICAL name (what users see),
+    * entries only where the two differ. Empty on tables that never had a
+    * rename — the common case, where logical == physical throughout. A
+    * RETIRED physical name (a dropped column whose name must never be
+    * reused for data, or old files would resurrect its values) maps to
+    * the empty string. */
+  def columnMapping(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Map[String, String] =
+    if (versions(spark, table).isEmpty) Map.empty
+    else replay(spark, table, asOf)._6
+
+  /** The user-visible schema: physical fields renamed through the
+    * mapping, retired markers excluded. */
+  private[sources] def logicalSchema(phys: StructType,
+      cmap: Map[String, String]): StructType =
+    if (cmap.isEmpty) phys
+    else StructType(phys.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+
+  /** Rename physical columns to their logical names; `keep` columns
+    * (metadata/bookkeeping) pass through unchanged. */
+  private def toLogicalDf(df: DataFrame, phys: StructType,
+      cmap: Map[String, String], keep: Seq[String] = Seq.empty): DataFrame =
+    if (cmap.isEmpty) df
+    else df.select(phys.fields.map(f =>
+      col(f.name).as(cmap.getOrElse(f.name, f.name))).toSeq ++
+      keep.map(col): _*)
+
+  /** Inverse of [[toLogicalDf]]: a frame carrying logical columns
+    * re-keyed to physical names (and physical field order) for staging. */
+  private def toPhysicalDf(df: DataFrame, phys: StructType,
+      cmap: Map[String, String]): DataFrame =
+    if (cmap.isEmpty) df
+    else df.select(phys.fields.map(f =>
+      col(cmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+
+  /** Physical name behind a logical column name (identity when the
+    * column was never renamed). */
+  private def physNameOf(cmap: Map[String, String], logical: String)
+      : String =
+    cmap.collectFirst {
+      case (p, l) if l.equalsIgnoreCase(logical) => p
+    }.getOrElse(logical)
 
   /** Byte sizes of the live files, as recorded in their commits (files
     * committed before sizes were logged are simply absent — callers fall
@@ -450,21 +581,25 @@ object GraftLog {
       asOf: Option[Long] = None): DataFrame = {
     val (files, schema) = snapshot(spark, table, asOf)
     val dvs = deletionVectors(spark, table, asOf)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema)
-    else if (dvs.nonEmpty)
-      // merge-on-read: mask DV-deleted positions (flat layouts only —
-      // deleteVectors enforces that at write time)
-      readWithDvs(spark, table, files, schema, dvs)
-    else if (hasPartitionedFiles(files))
-      // hive layout: partition columns live in the paths, so the read
-      // goes through the FileIndex (which also re-exposes them in the
-      // table's original column order)
-      GraftFileIndex.read(spark, table, asOf)
-        .select(schema.fieldNames.map(col).toSeq: _*)
-    else spark.read.schema(schema)
-      .parquet(files.map(f => absPath(table, f)): _*)
+    val cmap = columnMapping(spark, table, asOf)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else if (dvs.nonEmpty)
+        // merge-on-read: mask DV-deleted positions (flat layouts only —
+        // deleteVectors enforces that at write time)
+        readWithDvs(spark, table, files, schema, dvs)
+      else if (hasPartitionedFiles(files))
+        // hive layout: partition columns live in the paths, so the read
+        // goes through the FileIndex (which also re-exposes them in the
+        // table's original column order)
+        GraftFileIndex.read(spark, table, asOf)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      else spark.read.schema(schema)
+        .parquet(files.map(f => absPath(table, f)): _*)
+    // column mapping: files carry physical names; users see logical ones
+    toLogicalDf(base, schema, cmap)
   }
 
   /** `VERSION AS OF n` — the time-travel read. */
@@ -659,6 +794,7 @@ object GraftLog {
   def overwriteIndexed(df: DataFrame, table: String,
       bloomCols: Seq[String]): Long = {
     val spark = df.sparkSession
+    enforceChecks(df, checkConstraints(spark, table), "overwriteIndexed")
     val st = stageWithStats(df, table)
     val bl = collectBlooms(spark, table, st.files, df.schema, bloomCols)
     commitOverwrite(spark, table, st, df.schema.toDDL, blooms = bl)
@@ -676,7 +812,7 @@ object GraftLog {
       : Map[String, Map[String, (Double, Double)]] = {
     if (versions(spark, table).isEmpty) Map.empty
     else {
-      val (live, _, _, _, _) = replay(spark, table, asOf)
+      val (live, _, _, _, _, _) = replay(spark, table, asOf)
       live.toMap
     }
   }
@@ -704,6 +840,7 @@ object GraftLog {
   def readPruned(spark: SparkSession, table: String, column: String,
       lo: Double, hi: Double): DataFrame = {
     val (files, schema) = snapshot(spark, table)
+    val cmap = columnMapping(spark, table)
     if (deletionVectors(spark, table).nonEmpty)
       // DV masks must apply before anything else; the range filter still
       // prunes row groups via parquet pushdown, file-level skipping
@@ -719,14 +856,17 @@ object GraftLog {
         .select(schema.fieldNames.map(col).toSeq: _*)
         .filter(col(column) >= lo && col(column) <= hi)
     else {
-      val kept = prunedFiles(spark, table, column, lo, hi)
+      // `column` is a LOGICAL name; commit-log stats key physical ones
+      val kept = prunedFiles(spark, table, physNameOf(cmap, column),
+        lo, hi)
       val base =
         if (kept.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else spark.read.schema(schema)
           .parquet(kept.map(f => absPath(table, f)): _*)
-      base.filter(col(column) >= lo && col(column) <= hi)
+      toLogicalDf(base, schema, cmap)
+        .filter(col(column) >= lo && col(column) <= hi)
     }
   }
 
@@ -734,9 +874,14 @@ object GraftLog {
     * commit-file link flips them to the new one — no window where the
     * table is empty or mixed (the failure mode of a recursive
     * delete-then-write on plain parquet dirs). */
-  def overwrite(df: DataFrame, table: String): Long =
+  def overwrite(df: DataFrame, table: String): Long = {
+    // overwrite keeps table metadata (constraints) — Delta semantics —
+    // so the replacement rows must satisfy the current CHECK set
+    enforceChecks(df, checkConstraints(df.sparkSession, table),
+      "overwrite")
     commitOverwrite(df.sparkSession, table, stageWithStats(df, table),
       df.schema.toDDL)
+  }
 
   // --------------------------------------------------- partitioned layout
 
@@ -781,9 +926,12 @@ object GraftLog {
     * columns from the paths via [[GraftFileIndex]] — which also gives
     * planner partition pruning on top of the min/max data skipping. */
   def overwritePartitioned(df: DataFrame, table: String,
-      partCols: Seq[String]): Long =
+      partCols: Seq[String]): Long = {
+    enforceChecks(df, checkConstraints(df.sparkSession, table),
+      "overwritePartitioned")
     commitOverwrite(df.sparkSession, table,
       stagePartitionedWithStats(df, table, partCols), df.schema.toDDL)
+  }
 
   /** Hidden bucket-transform dir name: `gfb<n>_<col>` (Iceberg's
     * `bucket(n, col)` partition transform; no leading underscore — the
@@ -854,7 +1002,10 @@ object GraftLog {
           s"appendPartitioned(${partCols.mkString(",")}) does not match " +
             s"the table's layout (${existing.mkString(",")}) — mixed " +
             "layouts would break path-derived partition reconstruction")
-        (enforceSchema(df, cur, "appendPartitioned"), cur.toDDL)
+        val ok = enforceSchema(df, cur, "appendPartitioned")
+        enforceChecks(ok, checkConstraints(spark, table),
+          "appendPartitioned")
+        (ok, cur.toDDL)
       case None => (df, df.schema.toDDL)
     }
     val s = stagePartitionedWithStats(aligned, table, partCols)
@@ -958,7 +1109,14 @@ object GraftLog {
       case Some(_) =>
         val (files, cur) = snapshot(spark, table)
         requireUnpartitioned(files, "append")
-        (enforceSchema(df, cur, "append"), cur.toDDL)
+        val cmap = columnMapping(spark, table)
+        // the batch carries LOGICAL names; enforce against the logical
+        // schema, then stage under the table's PHYSICAL names so every
+        // data file stays uniformly physical under column mapping
+        val logicalOk =
+          enforceSchema(df, logicalSchema(cur, cmap), "append")
+        enforceChecks(logicalOk, checkConstraints(spark, table), "append")
+        (toPhysicalDf(logicalOk, cur, cmap), cur.toDDL)
       case None => (df, df.schema.toDDL)
     }
     val s = stageWithStats(aligned, table)
@@ -975,14 +1133,44 @@ object GraftLog {
     * the same way. Type CHANGES on a shared column are rejected. */
   def appendMergeSchema(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
+    // Under column mapping the batch's LOGICAL names re-key to physical
+    // ones for shared columns; genuinely new columns keep their names
+    // (logical == physical for them) but must not collide with any
+    // physical or retired name, or old files would leak foreign bytes
+    // into them.
+    val cmap0 = columnMapping(spark, table)
+    val dfPhys =
+      if (cmap0.isEmpty) df
+      else {
+        df.columns.foreach { c =>
+          val isShared = cmap0.values.exists(_.equalsIgnoreCase(c))
+          require(isShared || !cmap0.keys.exists(_.equalsIgnoreCase(c)),
+            s"appendMergeSchema: new column $c collides with a " +
+              s"physical/retired column name of $table")
+        }
+        df.select(df.columns.map(c =>
+          col(c).as(physNameOf(cmap0, c))).toSeq: _*)
+      }
+    // CHECK validation sees the batch as the table will read it back:
+    // legacy columns the batch lacks become typed NULLs (which pass a
+    // CHECK per SQL unless it explicitly tests IS NOT NULL)
+    latestVersion(spark, table).foreach { _ =>
+      val logical = logicalSchema(snapshot(spark, table)._2, cmap0)
+      val withMissing = logical.fields
+        .filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      enforceChecks(withMissing, checkConstraints(spark, table),
+        "appendMergeSchema")
+    }
     // The union schema is a function of the CURRENT table state, so the
     // claim loop recomputes it whenever the table moves — a widening
     // that raced another widening asserts the union of both.
     def merged(): String = (latestVersion(spark, table) match {
-      case None => df.schema
+      case None => dfPhys.schema
       case Some(_) =>
         val cur = snapshot(spark, table)._2
-        val byName = df.schema.map(f => f.name.toLowerCase -> f).toMap
+        val byName = dfPhys.schema.map(f => f.name.toLowerCase -> f).toMap
         cur.foreach { f =>
           byName.get(f.name.toLowerCase).foreach { g =>
             require(sameTypeModuloNull(g.dataType, f.dataType),
@@ -992,11 +1180,11 @@ object GraftLog {
         }
         val curNames = cur.fieldNames.map(_.toLowerCase).toSet
         StructType(cur.fields ++
-          df.schema.fields.filterNot(f => curNames(f.name.toLowerCase)))
+          dfPhys.schema.fields.filterNot(f => curNames(f.name.toLowerCase)))
     }).toDDL
     val seen0 = latestVersion(spark, table)
     val ddl0 = merged()
-    val s = stageWithStats(df, table)
+    val s = stageWithStats(dfPhys, table)
     commitStagedAppend(spark, table, "appendMergeSchema",
       "appendMergeSchema", s, ddl0, seen0, () => merged())
   }
@@ -1016,14 +1204,173 @@ object GraftLog {
     // rebase recomputes the union instead of reverting it
     val vRead = latestVersion(spark, table)
     val cur = snapshot(spark, table)._2
-    val curNames = cur.fieldNames.map(_.toLowerCase).toSet
-    cols.foreach(f => require(!curNames(f.name.toLowerCase),
+    val cmap = columnMapping(spark, table)
+    val logicalNames =
+      logicalSchema(cur, cmap).fieldNames.map(_.toLowerCase).toSet
+    cols.foreach(f => require(!logicalNames(f.name.toLowerCase),
       s"column ${f.name} already exists in $table"))
-    val merged = StructType(cur.fields ++ cols.fields)
     val v = vRead.map(_ + 1).getOrElse(0L)
+    // a new logical name that collides with a physical/retired name
+    // gets a FRESH physical name — otherwise old files holding the
+    // retired column would resurrect its bytes into the new column
+    val taken = (cur.fieldNames ++ cmap.keys).map(_.toLowerCase).toSet
+    val assigned = cols.fields.map { f =>
+      if (taken(f.name.toLowerCase)) (f.copy(name = s"gfc${v}_${f.name}"),
+        Some(s"gfc${v}_${f.name}" -> f.name))
+      else (f, None)
+    }
+    val merged = StructType(cur.fields ++ assigned.map(_._1))
     writeCommit(spark, table, Commit(v, "addColumns", Seq.empty, Seq.empty,
-      merged.toDDL, System.currentTimeMillis()))
+      merged.toDDL, System.currentTimeMillis(),
+      colMap = cmap ++ assigned.flatMap(_._2)))
     v
+  }
+
+  /** CHECK constraints in force at `asOf` (or latest): name → SQL
+    * boolean expression over LOGICAL column names. By the writeCommit
+    * inheritance invariant this is simply the commit's `checks` field —
+    * one small-JSON read, no replay. */
+  def checkConstraints(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Map[String, String] = {
+    val all = versions(spark, table)
+    if (all.isEmpty) Map.empty
+    else asOf match {
+      case Some(v) =>
+        require(all.contains(v),
+          s"version $v of $table does not exist")
+        readCommit(spark, table, v).checks
+      case None => readCommit(spark, table, all.last).checks
+    }
+  }
+
+  /** Write-time CHECK enforcement (Delta's constraint semantics): a row
+    * violates a constraint when its expression is FALSE — NULL passes,
+    * per SQL. ONE aggregation pass over the rows being written (batch/
+    * rewrite-sized, never table-sized), all constraints folded into a
+    * single job; a violation rejects the whole transaction loudly
+    * before any commit is attempted. */
+  private def enforceChecks(df: DataFrame, checks: Map[String, String],
+      ctx: String): Unit =
+    if (checks.nonEmpty) {
+      val named = checks.toSeq.sortBy(_._1)
+      val aggs = named.map { case (nm, ex) =>
+        coalesce(sum(when(!coalesce(expr(ex), lit(true)), 1L)
+          .otherwise(0L)), lit(0L)).as(s"__ck_$nm")
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      val bad = named.zipWithIndex.collect {
+        case ((nm, ex), i) if row.getLong(i) > 0 =>
+          s"$nm CHECK ($ex): ${row.getLong(i)} row(s)"
+      }
+      require(bad.isEmpty,
+        s"$ctx violates CHECK constraint(s): ${bad.mkString("; ")}")
+    }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)` — the constraint
+    * lands in the commit log (every subsequent commit carries it via
+    * the writeCommit inheritance invariant) after a one-scan validation
+    * that the EXISTING rows already satisfy it, exactly Delta's ADD
+    * CONSTRAINT contract. Write paths then validate only the rows they
+    * write. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      exprText: String): Long =
+      rebaseOnConflict(table, "addConstraint") { () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty,
+      s"$table is not a GraftLog table (no $LogDirName)")
+    val cur = checkConstraints(spark, table)
+    require(!cur.keys.exists(_.equalsIgnoreCase(name)),
+      s"constraint $name already exists on $table")
+    enforceChecks(read(spark, table), Map(name -> exprText),
+      s"ADD CONSTRAINT $name: existing rows of $table")
+    val phys = snapshot(spark, table)._2
+    writeCommit(spark, table, Commit(vRead.get + 1, "add_constraint",
+      Seq.empty, Seq.empty, phys.toDDL, System.currentTimeMillis(),
+      checks = cur + (name -> exprText)))
+    vRead.get + 1
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT name` — metadata-only removal. */
+  def dropConstraint(spark: SparkSession, table: String,
+      name: String): Long =
+      rebaseOnConflict(table, "dropConstraint") { () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty,
+      s"$table is not a GraftLog table (no $LogDirName)")
+    val cur = checkConstraints(spark, table)
+    require(cur.keys.exists(_.equalsIgnoreCase(name)),
+      s"no constraint $name on $table " +
+        s"(has ${cur.keys.mkString(",")})")
+    val phys = snapshot(spark, table)._2
+    writeCommit(spark, table, Commit(vRead.get + 1, "drop_constraint",
+      Seq.empty, Seq.empty, phys.toDDL, System.currentTimeMillis(),
+      checks = cur.filterNot(_._1.equalsIgnoreCase(name))))
+    vRead.get + 1
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` — metadata-only, the
+    * Delta column-mapping mechanism: data files keep their PHYSICAL
+    * column names forever; the commit updates only the physical→logical
+    * map, and reads project physical columns to their logical names. On
+    * a 100 TB table a rename is one small JSON write where a rewrite
+    * would be a day of IO. Stats, Bloom bitmaps and deletion vectors
+    * are keyed by physical names / positions, so skipping and
+    * merge-on-read are unaffected. [[compact]] MATERIALIZES the mapping
+    * (rewrites files with logical names and clears it). Partitioned
+    * layouts are refused — partition values live in `col=val` dir names,
+    * which a metadata rename cannot re-key. */
+  def renameColumn(spark: SparkSession, table: String,
+      oldName: String, newName: String): Long =
+      rebaseOnConflict(table, "renameColumn") { () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty,
+      s"$table is not a GraftLog table (no $LogDirName)")
+    val (files, phys) = snapshot(spark, table)
+    requireUnpartitioned(files, "renameColumn")
+    val cmap = columnMapping(spark, table)
+    val logical = logicalSchema(phys, cmap)
+    require(logical.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"renameColumn: no column $oldName in $table " +
+        s"(has ${logical.fieldNames.mkString(",")})")
+    require(!logical.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"renameColumn: column $newName already exists in $table")
+    val p = physNameOf(cmap, oldName)
+    val next =
+      if (p.equalsIgnoreCase(newName)) cmap - p // renamed back
+      else cmap + (p -> newName)
+    writeCommit(spark, table, Commit(vRead.get + 1, "rename_column",
+      Seq.empty, Seq.empty, phys.toDDL, System.currentTimeMillis(),
+      colMap = next))
+    vRead.get + 1
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — metadata-only like [[renameColumn]]:
+    * the commit's schema loses the physical field (schema-directed
+    * parquet reads simply stop decoding it) and the physical name is
+    * RETIRED in the mapping (mapped to ""), so a later ADD COLUMNS of
+    * the same logical name gets a fresh physical name instead of
+    * resurrecting the dropped column's bytes from old files. */
+  def dropColumn(spark: SparkSession, table: String,
+      name: String): Long = rebaseOnConflict(table, "dropColumn") { () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty,
+      s"$table is not a GraftLog table (no $LogDirName)")
+    val (files, phys) = snapshot(spark, table)
+    requireUnpartitioned(files, "dropColumn")
+    val cmap = columnMapping(spark, table)
+    val logical = logicalSchema(phys, cmap)
+    require(logical.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"dropColumn: no column $name in $table " +
+        s"(has ${logical.fieldNames.mkString(",")})")
+    require(logical.length > 1,
+      s"dropColumn: cannot drop the last column of $table")
+    val p = physNameOf(cmap, name)
+    val remaining = StructType(phys.fields.filterNot(
+      _.name.equalsIgnoreCase(p)))
+    writeCommit(spark, table, Commit(vRead.get + 1, "drop_column",
+      Seq.empty, Seq.empty, remaining.toDDL, System.currentTimeMillis(),
+      colMap = cmap - p + (p -> "")))
+    vRead.get + 1
   }
 
   /** Highest streaming batch id committed for `appId` — replaying the
@@ -1058,10 +1405,15 @@ object GraftLog {
     else {
       val seen0 = latestVersion(spark, table)
       val (aligned, ddl) = seen0 match {
-        case Some(_) => // same gate as append()
+        case Some(_) => // same gate as append(), incl. column mapping
           val (files, cur) = snapshot(spark, table)
           requireUnpartitioned(files, "streaming append")
-          (enforceSchema(df, cur, "streaming append"), cur.toDDL)
+          val cmap = columnMapping(spark, table)
+          val logicalOk = enforceSchema(df, logicalSchema(cur, cmap),
+            "streaming append")
+          enforceChecks(logicalOk, checkConstraints(spark, table),
+            "streaming append")
+          (toPhysicalDf(logicalOk, cur, cmap), cur.toDDL)
         case None => (df, df.schema.toDDL)
       }
       val s = stageWithStats(aligned, table)
@@ -1314,22 +1666,28 @@ object GraftLog {
     requireNoDvs(spark, table, "merge")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
-    val src = enforceSchema(source, schema, "merge")
-    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val cmap = columnMapping(spark, table)
+    // source and keys arrive in LOGICAL terms; the whole rewrite then
+    // runs physically (mapping implies a flat layout)
+    val src = toPhysicalDf(
+      enforceSchema(source, logicalSchema(schema, cmap), "merge"),
+      schema, cmap)
+    val keysPhys = keys.map(physNameOf(cmap, _))
+    val srcKeys = src.select(keysPhys.map(col): _*).distinct()
     val touched = touchedFiles(spark, table, files, schema,
-      df => df.join(broadcast(srcKeys), keys, "left_semi"))
+      df => df.join(broadcast(srcKeys), keysPhys, "left_semi"))
 
-    val dataCols = schema.fieldNames.filterNot(keys.contains)
+    val dataCols = schema.fieldNames.filterNot(keysPhys.contains)
     val marked = src.select(
-      keys.map(col) ++
+      keysPhys.map(col) ++
         dataCols.map(c => col(c).as(s"__s_$c")) :+
         lit(true).as("__s_matched"): _*)
 
     val updated = if (touched.isEmpty) None else {
       val t = readSubset(spark, table, touched, schema)
-      Some(t.join(broadcast(marked), keys, "left_outer")
+      Some(t.join(broadcast(marked), keysPhys, "left_outer")
         .select(schema.fieldNames.map { c =>
-          if (keys.contains(c)) col(c)
+          if (keysPhys.contains(c)) col(c)
           else when(col("__s_matched"), col(s"__s_$c")).otherwise(col(c))
             .as(c)
         }: _*))
@@ -1338,11 +1696,16 @@ object GraftLog {
     // "not matched in the touched files" == "not matched in the table"
     val inserts = {
       val touchedKeys = readSubset(spark, table, touched, schema)
-        .select(keys.map(col): _*)
-      src.join(touchedKeys, keys, "left_anti")
+        .select(keysPhys.map(col): _*)
+      src.join(touchedKeys, keysPhys, "left_anti")
         .select(schema.fieldNames.map(col): _*)
     }
     val rewritten = updated.map(_.unionByName(inserts)).getOrElse(inserts)
+    // constraints hold over the rows this transaction writes (the
+    // carried-through rows of touched files were validated when first
+    // written; re-checking them costs only touched-file scans)
+    enforceChecks(toLogicalDf(rewritten, schema, cmap),
+      checkConstraints(spark, table), "merge")
     // a partitioned target re-stages hive-partitioned, so the rewrite
     // keeps the layout (files land back under their col=val dirs)
     val s =
@@ -1375,12 +1738,17 @@ object GraftLog {
     requireNoDvs(spark, table, "delete")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
+    val cmap = columnMapping(spark, table)
+    // the predicate references LOGICAL names; probe and rewrite expose
+    // them over the physical scan (mapping implies a flat layout)
     val touched = touchedFiles(spark, table, files, schema,
-      _.filter(predicate))
+      df => toLogicalDf(df, schema, cmap, keep = Seq("__gf_file"))
+        .filter(predicate))
     val s = if (touched.isEmpty) Staged(Seq.empty, Map.empty, Map.empty)
     else {
-      val kept = readSubset(spark, table, touched, schema)
-        .filter(!coalesce(predicate, lit(false)))
+      val kept = toPhysicalDf(
+        toLogicalDf(readSubset(spark, table, touched, schema), schema,
+          cmap).filter(!coalesce(predicate, lit(false))), schema, cmap)
       if (partCols.nonEmpty) stagePartitionedWithStats(
         withHiddenPartCols(kept, partCols), table, partCols)
       else stageWithStats(kept, table)
@@ -1434,10 +1802,15 @@ object GraftLog {
     // lost claim race re-harvests them from the fresh snapshot
     val vRead = latestVersion(spark, table)
     val (files, schema) = snapshot(spark, table)
+    val cmap = columnMapping(spark, table)
     val rel = s"$DvDirName/${UUID.randomUUID()}"
-    dvScan(spark, table, files, schema)
-      .select(relPathCol(col("_metadata.file_path")).as("file_rel"),
-        col("_metadata.row_index").as("row_idx"),
+    // the predicate references LOGICAL names; positions are name-free
+    val scan = dvScan(spark, table, files, schema)
+      .withColumn("__gf_fr", relPathCol(col("_metadata.file_path")))
+      .withColumn("__gf_ri", col("_metadata.row_index"))
+    toLogicalDf(scan, schema, cmap, keep = Seq("__gf_fr", "__gf_ri"))
+      .select(col("__gf_fr").as("file_rel"),
+        col("__gf_ri").as("row_idx"),
         coalesce(predicate, lit(false)).as("__gf_hit"))
       .filter(col("__gf_hit"))
       .select(col("file_rel"), col("row_idx"))
@@ -1456,15 +1829,18 @@ object GraftLog {
       rebaseOnConflict(table, "deleteVectorsMatching") { () =>
     val vRead = latestVersion(spark, table)
     val (files, schema) = snapshot(spark, table)
+    val cmap = columnMapping(spark, table)
+    val logicalNames = logicalSchema(schema, cmap).fieldNames
     keyCols.foreach(c => require(
-      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-      s"delete key column $c not in ${schema.fieldNames.mkString(",")}"))
+      logicalNames.exists(_.equalsIgnoreCase(c)),
+      s"delete key column $c not in ${logicalNames.mkString(",")}"))
     val rel = s"$DvDirName/${UUID.randomUUID()}"
-    dvScan(spark, table, files, schema)
-      .select(Seq(
-        relPathCol(col("_metadata.file_path")).as("file_rel"),
-        col("_metadata.row_index").as("row_idx")) ++
-        keyCols.map(col): _*)
+    val scan = dvScan(spark, table, files, schema)
+      .withColumn("__gf_fr", relPathCol(col("_metadata.file_path")))
+      .withColumn("__gf_ri", col("_metadata.row_index"))
+    toLogicalDf(scan, schema, cmap, keep = Seq("__gf_fr", "__gf_ri"))
+      .select(Seq(col("__gf_fr").as("file_rel"),
+        col("__gf_ri").as("row_idx")) ++ keyCols.map(col): _*)
       .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
         keyCols, "left_semi")
       .select(col("file_rel"), col("row_idx"))
@@ -1535,25 +1911,33 @@ object GraftLog {
     requireNoDvs(spark, table, "update")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
+    val cmap = columnMapping(spark, table)
+    val logical = logicalSchema(schema, cmap)
     sets.foreach { case (c, _) =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      require(logical.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"UPDATE of unknown column $c (table has " +
-          s"${schema.fieldNames.mkString(",")})")
+          s"${logical.fieldNames.mkString(",")})")
     }
+    // condition and set expressions reference LOGICAL names
     val touched = touchedFiles(spark, table, files, schema,
-      _.filter(condition))
+      df => toLogicalDf(df, schema, cmap, keep = Seq("__gf_file"))
+        .filter(condition))
     val s = if (touched.isEmpty) Staged(Seq.empty, Map.empty, Map.empty)
     else {
       val matched = coalesce(condition, lit(false))
-      val rewritten = readSubset(spark, table, touched, schema)
-        .select(schema.fields.map { f =>
-          sets.find(_._1.equalsIgnoreCase(f.name)) match {
-            case Some((_, v)) =>
-              when(matched, v.cast(f.dataType)).otherwise(col(f.name))
-                .as(f.name)
-            case None => col(f.name)
-          }
-        }.toSeq: _*)
+      val rewritten = toPhysicalDf(
+        toLogicalDf(readSubset(spark, table, touched, schema), schema,
+            cmap)
+          .select(logical.fields.map { f =>
+            sets.find(_._1.equalsIgnoreCase(f.name)) match {
+              case Some((_, v)) =>
+                when(matched, v.cast(f.dataType)).otherwise(col(f.name))
+                  .as(f.name)
+              case None => col(f.name)
+            }
+          }.toSeq: _*), schema, cmap)
+      enforceChecks(toLogicalDf(rewritten, schema, cmap),
+        checkConstraints(spark, table), "update")
       if (partCols.nonEmpty) stagePartitionedWithStats(
         withHiddenPartCols(rewritten, partCols), table, partCols)
       else stageWithStats(rewritten, table)
@@ -1583,16 +1967,23 @@ object GraftLog {
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
     val dvs = deletionVectors(spark, table)
+    val cmap = columnMapping(spark, table)
+    // "compact" is a mapping-authoritative op whose commit carries an
+    // empty colMap: the rewrite below stages files under the LOGICAL
+    // names, MATERIALIZING renames/drops (Delta's rewrite-on-OPTIMIZE
+    // escape hatch from column mapping)
+    val outSchema = logicalSchema(schema, cmap)
     val s =
       if (partCols.isEmpty) {
         // flat: concatenating pass; with DVs active, the rewrite reads
         // through the position mask (materialization — the OPTIMIZE
         // step of the Delta DV lifecycle) and drops the vectors in the
         // same commit
-        val current =
+        val current = toLogicalDf(
           if (dvs.nonEmpty) readWithDvs(spark, table, files, schema, dvs)
           else spark.read.schema(schema)
-            .parquet(files.map(f => absPath(table, f)): _*)
+            .parquet(files.map(f => absPath(table, f)): _*),
+          schema, cmap)
         stageWithStats(current.coalesce(targetFiles), table)
       } else {
         // per-partition compaction: hash-repartition by the partition
@@ -1613,7 +2004,7 @@ object GraftLog {
       }
     val v = vRead.map(_ + 1).getOrElse(0L)
     writeCommit(spark, table, Commit(v, "compact", s.files, files,
-      schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      outSchema.toDDL, System.currentTimeMillis(), stats = s.stats,
       sizes = s.sizes, dvRemove = dvs))
     v
   }
@@ -1640,7 +2031,7 @@ object GraftLog {
       s"$src is not a GraftLog table (no $LogDirName)")
     require(versions(spark, dst).isEmpty,
       s"clone target $dst is already a GraftLog table")
-    val (live, schema, sizes, dvs, blooms) = replay(spark, src, asOf)
+    val (live, schema, sizes, dvs, blooms, cmap) = replay(spark, src, asOf)
     def abs(f: String) = absPath(src, f) // chained clones pass through
     writeCommit(spark, dst, Commit(0L, "clone",
       live.keys.toSeq.map(abs), Seq.empty, schema.toDDL,
@@ -1649,7 +2040,9 @@ object GraftLog {
         case (f, st) if st.nonEmpty => abs(f) -> st }.toMap,
       sizes = sizes.map { case (f, n) => abs(f) -> n }.toMap,
       dvAdd = dvs.toSeq.map(abs),
-      blooms = blooms.map { case (f, b) => abs(f) -> b }.toMap))
+      blooms = blooms.map { case (f, b) => abs(f) -> b }.toMap,
+      colMap = cmap,
+      checks = checkConstraints(spark, src, asOf)))
     0L
   }
 
@@ -1682,7 +2075,13 @@ object GraftLog {
       System.currentTimeMillis(), stats = st, sizes = sz,
       dvAdd = targetDvs.filterNot(curDvs.toSet),
       dvRemove = curDvs.filterNot(targetDvs.toSet),
-      blooms = bl))
+      blooms = bl,
+      // restore re-points the column mapping and the constraint set at
+      // the target version's — a restore across a rename/drop/ADD
+      // CONSTRAINT reverts them, like every other piece of snapshot
+      // state
+      colMap = columnMapping(spark, table, Some(v)),
+      checks = checkConstraints(spark, table, Some(v))))
     nv
   }
 
@@ -1765,13 +2164,18 @@ object GraftLog {
     * `repartitionByRange` clustering t8 uses. At 100 TB this is the
     * periodic layout-maintenance job Delta runs as OPTIMIZE ZORDER;
     * cost = one range shuffle of the table. */
-  def clusterBy(spark: SparkSession, table: String, colA: String,
-      colB: String, targetFiles: Int): Long =
+  def clusterBy(spark: SparkSession, table: String, colA0: String,
+      colB0: String, targetFiles: Int): Long =
       rebaseOnConflict(table, "clusterBy") { () =>
     val vRead = latestVersion(spark, table)
     requireNoDvs(spark, table, "clusterBy")
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
+    // callers name LOGICAL columns; the rewrite is physical throughout
+    // (the "cluster" commit inherits the mapping unchanged)
+    val cmapZ = columnMapping(spark, table)
+    val colA = physNameOf(cmapZ, colA0)
+    val colB = physNameOf(cmapZ, colB0)
     val cur = readSubset(spark, table, files, schema)
     // column bounds: one metadata-sized collect. Global bounds stay
     // valid under partitioning (the rank mapping is monotonic within

@@ -70,6 +70,18 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val RenameColumnStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val DropColumnStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMNS?\s*\(?\s*(\w+)\s*\)?\s*;?\s*""".r
+  private val AddConstraintStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val SetNotNullStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
+  private val DropNotNullStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeStmt(target, files, za, zb) if ownsTarget(target) =>
@@ -86,6 +98,21 @@ final class GraftSqlParser(
     // ownsTarget) — everything else keeps Spark's own ALTER semantics
     case AddColumnsStmt(target, cols) if isGraftTable(target) =>
       GraftAddColumnsCommand(target, cols)
+    case RenameColumnStmt(target, oldName, newName)
+        if isGraftTable(target) =>
+      GraftRenameColumnCommand(target, oldName, newName)
+    case AddConstraintStmt(target, name, check) if isGraftTable(target) =>
+      GraftAddConstraintCommand(target, name, check)
+    case DropConstraintStmt(target, name) if isGraftTable(target) =>
+      GraftDropConstraintCommand(target, name)
+    // NOT NULL as constraint sugar (constraint name nn_<col>) — the
+    // Delta `delta.constraints`-style column-level form
+    case SetNotNullStmt(target, c) if isGraftTable(target) =>
+      GraftAddConstraintCommand(target, s"nn_$c", s"$c IS NOT NULL")
+    case DropNotNullStmt(target, c) if isGraftTable(target) =>
+      GraftDropConstraintCommand(target, s"nn_$c")
+    case DropColumnStmt(target, colName) if isGraftTable(target) =>
+      GraftDropColumnCommand(target, colName)
     // Delta ships the same syntax, so only a SOURCE that resolves to a
     // graft table (or a path literal) is captured
     case CloneStmt(dst, src, ver) if ownsTarget(src) =>
@@ -254,6 +281,17 @@ case class GraftAddColumnsCommand(target: String, colsDdl: String)
   * catalog `USING graft` table (its path lives in the storage
   * options) — to the commit-log root. */
 private object GraftTarget {
+  def requirePathTarget(target: String, op: String): Unit = {
+    val t = target.trim
+    require((t.startsWith("'") && t.endsWith("'")) ||
+      (t.startsWith("\"") && t.endsWith("\"")),
+      s"$op is supported on path tables ('path' literals) only: a " +
+        "catalog graft table reads through the FileIndex, which " +
+        "refuses active column mappings; run OPTIMIZE (compact) to " +
+        "materialize a mapping before/instead of renaming a catalog " +
+        "table's columns")
+  }
+
   def pathOf(session: SparkSession, target: String): String = {
     val t = target.trim
     if ((t.startsWith("'") && t.endsWith("'")) ||
@@ -289,6 +327,62 @@ case class GraftZOrderCommand(target: String, colA: String, colB: String,
     val path = GraftTarget.pathOf(session, target)
     GraftLog.clusterBy(session, path, colA, colB, targetFiles)
     RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT n CHECK (expr)` →
+  * [[GraftLog.addConstraint]]: validates existing rows in one scan,
+  * then lands the constraint in the commit log; every write path
+  * (append/merge/update/overwrite, batch or streaming) validates the
+  * rows it writes from then on. Also reached by the
+  * `ALTER COLUMN c SET NOT NULL` sugar (constraint `nn_c`). */
+case class GraftAddConstraintCommand(target: String, name: String,
+    check: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.addConstraint(session,
+      GraftTarget.pathOf(session, target), name, check)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT n` (and `ALTER COLUMN c DROP NOT
+  * NULL`) → [[GraftLog.dropConstraint]] — metadata-only removal. */
+case class GraftDropConstraintCommand(target: String, name: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.dropConstraint(session,
+      GraftTarget.pathOf(session, target), name)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN old TO new` →
+  * [[GraftLog.renameColumn]] — metadata-only via column mapping. Path
+  * targets only: a CATALOG graft table reads through [[GraftFileIndex]],
+  * which (deliberately, loudly) refuses active mappings — renaming it
+  * here would brick its reads until compact(), so the command refuses
+  * upfront with the actionable message instead. */
+case class GraftRenameColumnCommand(target: String, oldName: String,
+    newName: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftTarget.requirePathTarget(target, "RENAME COLUMN")
+    GraftLog.renameColumn(session,
+      GraftTarget.pathOf(session, target), oldName, newName)
+    session.catalog.refreshByPath(GraftTarget.pathOf(session, target))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN c` → [[GraftLog.dropColumn]] —
+  * metadata-only; path targets only (see rename's note). */
+case class GraftDropColumnCommand(target: String, colName: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftTarget.requirePathTarget(target, "DROP COLUMN")
+    GraftLog.dropColumn(session,
+      GraftTarget.pathOf(session, target), colName)
+    session.catalog.refreshByPath(GraftTarget.pathOf(session, target))
     Seq.empty
   }
 }
