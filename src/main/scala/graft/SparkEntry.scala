@@ -290,6 +290,9 @@ object SparkEntry {
     // commits → compaction materializes (s11 + t17 + t5 composed)
     "i15_streaming_gdpr_erasure" ->
       ((s, d) => Transactions.streamingErasure(s, d)),
+    // streaming change data feed: initial snapshot as inserts, then
+    // file-bounded per-commit diffs; checkpointed resume across drains
+    "i16_streaming_cdf" -> ((s, d) => Transactions.cdfStream(s, d)),
     // schema evolution: mergeSchema write option + ALTER TABLE ADD
     // COLUMNS; older files backfill the new columns as typed NULLs
     "t20_graftlog_schema_evolution" ->
@@ -551,6 +554,46 @@ object SparkEntry {
          |FROM inc
          |WHERE NOT EXISTS
          |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
+         |""".stripMargin,
+    // i16: the three stream phases re-derived relationally — v0 snapshot
+    // as inserts, v1's merge classified like t6, v2's deletes from the
+    // post-merge state (CASE on key presence = "update all" semantics)
+    "i16_streaming_cdf" ->
+      s"""WITH $incCte,
+         |merged AS (
+         |  SELECT COALESCE(i.inc_custkey, c.c_custkey) AS c_custkey,
+         |    CASE WHEN i.inc_custkey IS NOT NULL THEN i.inc_name
+         |         ELSE c.c_name END AS c_name,
+         |    CASE WHEN i.inc_custkey IS NOT NULL THEN i.inc_nationkey
+         |         ELSE c.c_nationkey END AS c_nationkey,
+         |    CASE WHEN i.inc_custkey IS NOT NULL THEN i.inc_acctbal
+         |         ELSE c.c_acctbal END AS c_acctbal,
+         |    CASE WHEN i.inc_custkey IS NOT NULL THEN i.inc_mktsegment
+         |         ELSE c.c_mktsegment END AS c_mktsegment
+         |  FROM customer c FULL OUTER JOIN inc i
+         |    ON c.c_custkey = i.inc_custkey
+         |)
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+         |FROM customer
+         |UNION ALL
+         |SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal,
+         |  inc_mktsegment, 'insert', 1
+         |FROM inc
+         |WHERE NOT EXISTS
+         |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
+         |UNION ALL
+         |SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal,
+         |  inc_mktsegment, 'update_postimage', 1
+         |FROM customer b JOIN inc ON b.c_custkey = inc.inc_custkey
+         |WHERE b.c_acctbal != inc.inc_acctbal
+         |   OR b.c_name != inc.inc_name
+         |   OR b.c_nationkey != inc.inc_nationkey
+         |   OR b.c_mktsegment != inc.inc_mktsegment
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |  'delete', 2
+         |FROM merged WHERE c_custkey % 10 = 0
          |""".stripMargin,
     // t24: rename = alias, drop = projection; the appended batch is the
     // c4 NOT-EXISTS branch under the renamed schema; the trailing DELETE

@@ -739,6 +739,54 @@ object Transactions {
     h.tableFrame
   }
 
+  private val stagedCdf =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** i16 — STREAMING CHANGE DATA FEED (`readStream.format("graft")
+    * .option("readChangeFeed", true)`): the row-level change stream of
+    * a transactional table, the Delta CDF streaming surface. Lineage:
+    * v0 customer overwrite → v1 MERGE (updates + inserts) → v2
+    * predicate DELETE. The stream is drained in TWO phases with a
+    * shared checkpoint — the first sees v0's snapshot as `insert` rows
+    * plus v1's merge diff; the restarted second resumes past the
+    * committed offset and delivers ONLY v2's deletes — pinning both the
+    * initial-snapshot semantics and exactly-once offset resume. Every
+    * micro-batch is file-bounded ([[GraftLog.changesAt]]): commit v's
+    * diff reads only the files v touched, never the table. */
+  def cdfStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = stagedCdf.getOrElseUpdate(sfDir, {
+      val root = graft.sources.Staging.tempDir("graft_cdf_")
+      val (table, ckpt, dest) =
+        (s"$root/customer_cdf", s"$root/ckpt", s"$root/out")
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwrite(cust, table)                             // v0
+      val batch = Incremental.incrementalBatch(spark, sfDir).select(
+        col("inc_custkey").as("c_custkey"),
+        col("inc_name").as("c_name"),
+        col("inc_nationkey").as("c_nationkey"),
+        col("inc_acctbal").as("c_acctbal"),
+        col("inc_mktsegment").as("c_mktsegment"))
+      GraftLog.merge(batch, table, Seq("c_custkey"))              // v1
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("cdfKeys", "c_custkey")
+          .load(table)
+          .writeStream.format("parquet")
+          .option("path", dest)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // phase 1: initial snapshot (v0, inserts) + v1 merge diff
+      GraftLog.delete(spark, table, col("c_custkey") % 10 === 0)  // v2
+      drain() // restart: resumes at offset v1, delivers only v2 deletes
+      dest
+    })
+    spark.read.parquet(out)
+  }
+
   private val stagedClone =
     new scala.collection.concurrent.TrieMap[String, (String, Int)]
 

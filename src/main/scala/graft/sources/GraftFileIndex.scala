@@ -471,17 +471,32 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
     GraftFileIndex.relation(spark, path, None)
   }
 
+  private def cdfRequested(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  private def cdfKeys(parameters: Map[String, String]): Seq[String] =
+    parameters.get("cdfKeys").toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(_.nonEmpty)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
+    if (cdfRequested(parameters))
+      (shortName(), new GraftCdfStreamSource(sqlContext.sparkSession,
+        pathOf(parameters), cdfKeys(parameters)).schema)
+    else (shortName(),
       GraftLog.snapshot(sqlContext.sparkSession, pathOf(parameters))._2)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
-    new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
+    if (cdfRequested(parameters))
+      // `option("readChangeFeed", true)` + `option("cdfKeys", "k1,k2")`:
+      // stream the row-level change feed instead of the appended rows
+      new GraftCdfStreamSource(sqlContext.sparkSession,
+        pathOf(parameters), cdfKeys(parameters))
+    else new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
       ignoreChanges =
         parameters.get("ignoreChanges").exists(_.toBoolean))
 }
@@ -575,6 +590,130 @@ final class GraftStreamSource(spark: SparkSession, table: String,
     val rel = HadoopFsRelation(idx, StructType(Nil), tableSchema, None,
       new ParquetFileFormat(), Map.empty)(spark)
     org.apache.spark.sql.graftbridge.StreamBatch.ofRelation(spark, rel)
+  }
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Streaming CHANGE DATA FEED of a GraftLog table — Delta's
+  * `readStream.option("readChangeFeed", true)`: each micro-batch is the
+  * row-level diff of the commit versions in `(lastOffset, latest]`,
+  * typed `insert` / `update_postimage` / `delete` with the commit
+  * version attached. A fresh stream first delivers the oldest retained
+  * snapshot as `insert` rows (Delta's initial-snapshot semantics), then
+  * follows the log incrementally.
+  *
+  * Scale: every batch is FILE-BOUNDED via [[GraftLog.changesAt]] — the
+  * diff of commit v reads only the files v added/removed (plus DV
+  * sidecars), never the table; driver work per trigger is commit
+  * metadata. `cdfKeys` names the row identity the diff joins on (the
+  * MERGE-key precondition).
+  *
+  * The V1 `getBatch` contract wants an `isStreaming` plan; the computed
+  * diff is a batch plan, so each batch unions an EMPTY streaming-tagged
+  * relation of the same schema — zero rows, only the tag (the
+  * FileStreamSource mechanism, applied to a derived plan). */
+final class GraftCdfStreamSource(spark: SparkSession, table: String,
+    keys: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => COffset, ReadLimit}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  import org.apache.spark.sql.execution.streaming.{Offset => SOffset}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private val tableSchema: StructType = GraftLog.snapshot(spark, table)._2
+  require(GraftLog.columnMapping(spark, table).isEmpty,
+    s"$table has an active column mapping; CDF streaming is supported " +
+      "after compact() materializes it")
+  require(keys.nonEmpty,
+    "readChangeFeed needs option(\"cdfKeys\", \"k1[,k2…]\") — the row " +
+      "identity the change diff joins on")
+  keys.foreach(k => require(
+    tableSchema.fieldNames.exists(_.equalsIgnoreCase(k)),
+    s"cdfKeys column $k not in ${tableSchema.fieldNames.mkString(",")}"))
+
+  private val dataCols =
+    tableSchema.fieldNames.filterNot(keys.contains).toSeq
+
+  override def schema: StructType = StructType(
+    keys.map(k => tableSchema(tableSchema.fieldIndex(k))) ++
+      dataCols.map(c => tableSchema(tableSchema.fieldIndex(c))
+        .copy(nullable = true)) :+
+      StructField("_change_type", StringType) :+
+      StructField("_commit_version", LongType))
+
+  private def toVersion(o: COffset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[SOffset] =
+    GraftLog.latestVersion(spark, table).map(LongOffset(_))
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = GraftLog.latestVersion(spark, table)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: COffset, limit: ReadLimit): COffset = {
+    val latest = GraftLog.latestVersion(spark, table)
+    val capped = availableNowCap match {
+      case Some(c) => latest.map(math.min(_, c))
+      case None => latest
+    }
+    capped.map(LongOffset(_)).orNull
+  }
+
+  override def reportLatestOffset(): COffset =
+    GraftLog.latestVersion(spark, table).map(LongOffset(_)).orNull
+
+  /** Empty relation carrying ONLY the streaming tag (see class doc). */
+  private def emptyTagged: DataFrame = {
+    val idx = new StaticFileIndex(new HPath(table),
+      Array.empty[FileStatus])
+    val rel = HadoopFsRelation(idx, StructType(Nil), schema, None,
+      new ParquetFileFormat(), Map.empty)(spark)
+    org.apache.spark.sql.graftbridge.StreamBatch.ofRelation(spark, rel)
+  }
+
+  private def ordered(df: DataFrame, version: Long): DataFrame =
+    df.select((keys ++ dataCols).map(col) :+
+      col("_change_type") :+
+      lit(version).as("_commit_version"): _*)
+
+  override def getBatch(start: Option[SOffset], end: SOffset): DataFrame = {
+    val fromEx = start.map(toVersion).getOrElse(-1L)
+    val to = toVersion(end)
+    val present = GraftLog.versions(spark, table)
+      .filter(v => v > fromEx && v <= to)
+    val frames: Seq[DataFrame] =
+      if (present.isEmpty) Seq.empty
+      else if (fromEx == -1L) {
+        // fresh start: oldest retained snapshot as inserts, then the
+        // incremental per-commit diffs after it
+        val anchor = present.head
+        val snap = GraftLog.read(spark, table, Some(anchor))
+          .withColumn("_change_type", lit("insert"))
+        ordered(snap, anchor) +:
+          present.tail.map(v => ordered(
+            GraftLog.changesAt(spark, table, keys, v), v))
+      } else {
+        require(present == (fromEx + 1 to to),
+          s"CDF stream of $table needs versions (${fromEx}, $to] but " +
+            s"the log holds only [${present.mkString(",")}] — vacuum " +
+            "truncated part of the range; restart from a fresh " +
+            "checkpoint (a fresh start re-anchors at the oldest " +
+            "retained snapshot)")
+        present.map(v => ordered(
+          GraftLog.changesAt(spark, table, keys, v), v))
+      }
+    frames.foldLeft(emptyTagged)(_ unionByName _)
   }
 
   override def commit(end: SOffset): Unit = ()

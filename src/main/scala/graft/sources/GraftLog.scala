@@ -2231,7 +2231,87 @@ object GraftLog {
       fromV: Long, toV: Long): DataFrame = {
     val from = read(spark, table, Some(fromV))
     val to = read(spark, table, Some(toV))
-    val dataCols = to.columns.filterNot(keys.contains)
+    classifyDiff(from, to, keys,
+      to.columns.filterNot(keys.contains).toSeq)
+  }
+
+  /** CDF of ONE commit version, FILE-BOUNDED — the scale-correct form
+    * of [[changes]]: a commit can only change the visible rows of the
+    * files it added/removed (plus files its deletion vectors touch), so
+    * the diff reads exactly those files at the two adjacent versions and
+    * never the whole snapshot. At 100 TB a small MERGE's CDF costs a few
+    * file reads where the two-snapshot diff would scan the table twice —
+    * this is why Delta writes CDC files at commit time; here the same
+    * bound falls out of the commit log's add/remove sets with zero write
+    * amplification. Classification matches [[changes]] (`insert` /
+    * `update_postimage` / `delete`, postimage values; keys must identify
+    * rows uniquely — the MERGE precondition). Works on every commit
+    * type: appends (inserts), merge/delete rewrites (the carried
+    * unchanged rows of touched files cancel in the key diff), DV commits
+    * (pure deletes), compact with DV materialization (the newly-hidden
+    * rows already reported — old side applies v-1's masks, so a pure
+    * layout change diffs empty), restore (the row-level effect of the
+    * rewind), metadata-only commits (no files → empty). */
+  def changesAt(spark: SparkSession, table: String, keys: Seq[String],
+      v: Long): DataFrame = {
+    val all = versions(spark, table)
+    require(all.contains(v),
+      s"version $v of $table does not exist (vacuumed or never " +
+        "written); CDF is reconstructable only for retained versions")
+    require(columnMapping(spark, table, Some(v)).isEmpty,
+      s"CDF on a column-mapped version of $table is not supported; " +
+        "compact() materializes the mapping")
+    val schema = snapshot(spark, table, Some(v))._2
+    val c = readCommit(spark, table, v)
+    val prevOpt = if (v == all.head) None else Some(all(all.indexOf(v) - 1))
+    def relOf(f: String): String = relPathOf(absPath(table, f)).getOrElse(f)
+    // files whose DV state flips at v (sidecars are position lists; the
+    // distinct-file collect is metadata-sized, like touchedFiles)
+    val dvTouched: Set[String] =
+      if (c.dvAdd.isEmpty && c.dvRemove.isEmpty) Set.empty
+      else spark.read
+        .parquet((c.dvAdd ++ c.dvRemove).map(f => absPath(table, f)): _*)
+        .select("file_rel").distinct().collect()
+        .map(_.getString(0)).toSet
+    val affected: Set[String] =
+      (c.remove ++ c.add).map(relOf).toSet ++ dvTouched
+    // visible rows of the affected files AT a version = subset scan
+    // under that version's deletion-vector masks
+    def visible(at: Option[Long]): DataFrame = {
+      val files = at match {
+        case Some(p) => snapshot(spark, table, Some(p))._1
+          .filter(f => affected(relOf(f)))
+        case None => Seq.empty
+      }
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val dvs = deletionVectors(spark, table, at)
+        if (dvs.isEmpty) readSubset(spark, table, files, schema)
+        else {
+          val dv = spark.read.parquet(dvs.map(f => absPath(table, f)): _*)
+          val base = dvScan(spark, table, files, schema)
+            .withColumn("__gf_rel", relPathCol(col("_metadata.file_path")))
+            .withColumn("__gf_row", col("_metadata.row_index"))
+          base.join(dv,
+              base("__gf_rel") === dv("file_rel") &&
+                base("__gf_row") === dv("row_idx"), "left_anti")
+            .drop("__gf_rel", "__gf_row")
+            .select(schema.fieldNames.map(col).toSeq: _*)
+        }
+      }
+    }
+    classifyDiff(visible(prevOpt), visible(Some(v)), keys,
+      schema.fieldNames.filterNot(keys.contains).toSeq)
+  }
+
+  /** The key-diff classification [[changes]] and [[changesAt]] share:
+    * full-outer join on the keys, change typed by side presence and
+    * null-safe value inequality, postimage values (last known values
+    * for deletes). */
+  private def classifyDiff(from: DataFrame, to: DataFrame,
+      keys: Seq[String], dataCols: Seq[String]): DataFrame = {
     val f = from.select(
       keys.map(col) ++ dataCols.map(c => col(c).as(s"__f_$c")) :+
         lit(true).as("__in_f"): _*)
@@ -2239,7 +2319,6 @@ object GraftLog {
       keys.map(col) ++ dataCols.map(c => col(c).as(s"__t_$c")) :+
         lit(true).as("__in_t"): _*)
     val valueChanged = dataCols.map { c =>
-      // null-safe inequality so NULL→value and value→NULL both count
       !(col(s"__f_$c") <=> col(s"__t_$c"))
     }.reduceOption(_ || _).getOrElse(lit(false))
     f.join(t, keys, "full_outer")
@@ -2249,7 +2328,6 @@ object GraftLog {
           .when(valueChanged, "update_postimage"))
       .filter(col("_change_type").isNotNull)
       .select(keys.map(col) ++ dataCols.map(c =>
-        // postimage for insert/update, last known values for delete
         coalesce(col(s"__t_$c"), col(s"__f_$c")).as(c)) :+
         col("_change_type"): _*)
   }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftLog
+
+/** File-bounded per-commit CDF (changesAt) and the streaming change
+  * feed source (i16). */
+class CdfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def root(): String =
+    graft.sources.Staging.tempDir("graft_cdf_spec_")
+
+  private def df(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+
+  private def types(d: org.apache.spark.sql.DataFrame) =
+    d.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("changesAt classifies append / merge / delete / metadata commits") {
+    val r = root(); val t = s"$r/t"
+    GraftLog.overwrite(df(0 until 20, "a"), t)              // v0
+    GraftLog.append(df(20 until 25, "b"), t)                // v1
+    GraftLog.merge(Seq((3L, "up"), (40L, "new")).toDF("id", "tag"),
+      t, Seq("id"))                                         // v2
+    GraftLog.delete(spark, t, col("id") < 2)                // v3
+    GraftLog.addConstraint(spark, t, "c", "id >= 0")        // v4 (meta)
+    assert(types(GraftLog.changesAt(spark, t, Seq("id"), 0)) ==
+      Map("insert" -> 20L))
+    assert(types(GraftLog.changesAt(spark, t, Seq("id"), 1)) ==
+      Map("insert" -> 5L))
+    assert(types(GraftLog.changesAt(spark, t, Seq("id"), 2)) ==
+      Map("update_postimage" -> 1L, "insert" -> 1L))
+    assert(types(GraftLog.changesAt(spark, t, Seq("id"), 3)) ==
+      Map("delete" -> 2L))
+    assert(GraftLog.changesAt(spark, t, Seq("id"), 4).count() == 0)
+    // the merge diff carries postimage values
+    val up = GraftLog.changesAt(spark, t, Seq("id"), 2)
+      .filter($"_change_type" === "update_postimage").head
+    assert(up.getAs[String]("tag") == "up")
+  }
+
+  test("DV commit streams deletes; materializing compact diffs empty") {
+    val r = root(); val t = s"$r/t"
+    GraftLog.overwrite(df(0 until 30, "a"), t)              // v0
+    GraftLog.deleteVectors(spark, t, col("id") % 3 === 0)   // v1
+    GraftLog.compact(spark, t)                              // v2
+    assert(types(GraftLog.changesAt(spark, t, Seq("id"), 1)) ==
+      Map("delete" -> 10L))
+    assert(GraftLog.changesAt(spark, t, Seq("id"), 2).count() == 0,
+      "pure layout change (DV materialization) must diff empty")
+  }
+
+  test("restore CDF is the row-level rewind effect") {
+    val r = root(); val t = s"$r/t"
+    GraftLog.overwrite(df(0 until 10, "a"), t)              // v0
+    GraftLog.delete(spark, t, col("id") < 4)                // v1
+    GraftLog.restore(spark, t, 0L)                          // v2
+    assert(types(GraftLog.changesAt(spark, t, Seq("id"), 2)) ==
+      Map("insert" -> 4L))
+  }
+
+  test("fresh CDF stream anchors at the retained snapshot after vacuum") {
+    val r = root(); val t = s"$r/t"; val out = s"$r/out"
+    GraftLog.overwrite(df(0 until 12, "a"), t)              // v0
+    GraftLog.delete(spark, t, col("id") < 2)                // v1
+    GraftLog.checkpoint(spark, t)
+    GraftLog.vacuum(spark, t, 1)                            // v0 gone
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("cdfKeys", "id")
+      .load(t)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$r/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(types(got) == Map("insert" -> 10L),
+      "fresh stream = oldest retained snapshot as inserts")
+  }
+
+  test("cdfKeys is validated and column-mapped tables are refused") {
+    val r = root(); val t = s"$r/t"
+    GraftLog.overwrite(df(0 until 5, "a"), t)
+    assertThrows[IllegalArgumentException](
+      new graft.sources.GraftCdfStreamSource(spark, t, Seq.empty))
+    assertThrows[IllegalArgumentException](
+      new graft.sources.GraftCdfStreamSource(spark, t, Seq("nope")))
+    GraftLog.renameColumn(spark, t, "tag", "label")
+    assertThrows[IllegalArgumentException](
+      new graft.sources.GraftCdfStreamSource(spark, t, Seq("id")))
+    assertThrows[IllegalArgumentException](
+      GraftLog.changesAt(spark, t, Seq("id"), 1))
+  }
+}
