@@ -108,6 +108,10 @@ object SparkEntry {
     "j5_asof_last_view"      -> ((s, d) => AsOf.lastViewBeforeClick(s, d)),
     "j6_session_attach"      -> ((s, d) => Joins.sessionAttach(s, d)),
     "j7_salted_skew_join"    -> ((s, d) => Joins.saltedFlagRollup(s, d)),
+    // unkeyed range join via range binning: interval-containment as an
+    // equi-join on bin ids + residual filter (vs the nested-loop theta
+    // join the oracle runs)
+    "j11_binned_range_join"  -> ((s, d) => Joins.errorBurst(s, d)),
     // LLM-pipeline extensions: deduplication (SURVEY.md §7.6)
     "e1_dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -2418,6 +2422,17 @@ object SparkEntry {
         |        'FLAG_' || l_returnflag AS flag_name FROM lineitem) d
         |  ON l_returnflag = d.flag
         |GROUP BY 1, 2""".stripMargin,
+    // j11: the oracle runs the NAIVE unkeyed theta join the binned plan
+    // replaces — row-identical output proves binning loses nothing
+    "j11_binned_range_join" ->
+      """SELECT e.event_id AS error_id, count(*) AS n_follow,
+        |  count(DISTINCT p.user_id) AS n_users,
+        |  count(CASE WHEN p.event_type = 'error' THEN 1 END) AS n_cascade
+        |FROM events e JOIN events p
+        |  ON epoch_us(p.ts) >= epoch_us(e.ts) + 1
+        | AND epoch_us(p.ts) <= epoch_us(e.ts) + 300000000
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1""".stripMargin,
     "g6_quality_filter" ->
       """WITH c AS (
         |  SELECT doc_id, lang,

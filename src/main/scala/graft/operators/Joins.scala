@@ -60,6 +60,66 @@ object Joins {
       joinType: String = "inner"): DataFrame =
     large.join(broadcast(small), Seq(key), joinType)
 
+  /** UNKEYED range join via RANGE BINNING — the shape [[sessionAttach]]'s
+    * doc promises for the no-shared-key case, and the same optimization
+    * engines ship natively (Databricks' range-join bin optimization,
+    * Flink's interval join): a raw interval-containment join with no
+    * equi-key plans as a broadcast nested loop — O(|points| ×
+    * |intervals|), dead at scale. Binning makes it an EQUI-join: every
+    * interval is exploded to the fixed-width bins it overlaps, every
+    * point hashes to its one bin, the join key is the bin id, and the
+    * true range predicate runs as a residual filter on the bin-local
+    * pairs. Cost: one hash shuffle of each side + per-bin products —
+    * bounded by bin occupancy, never table sizes. With `binWidth` ≥ the
+    * longest interval each interval lands in ≤ 2 bins, so the
+    * replication factor is ≤ 2; a point matches an interval in exactly
+    * one bin (its own), so no post-join dedup is needed.
+    *
+    * Contract: emits (point, interval) pairs with `lo <= pt <= hi`,
+    * inclusive on both ends (pre-adjust bounds for open ends). Bin ids
+    * use integer division, so bounds must be non-negative longs (epoch
+    * micros qualify). */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+      ptCol: String, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val pts = points.withColumn("__bin",
+      expr(s"`$ptCol` div $binWidth"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(expr(s"`$loCol` div $binWidth"),
+        expr(s"`$hiCol` div $binWidth"))))
+    pts.join(iv, Seq("__bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
+  /** j11 — [[binnedRangeJoin]] registered as error-burst correlation:
+    * every event (ANY user — no shared key exists) landing within five
+    * minutes after an error event attaches to it; per error the query
+    * counts followers, distinct affected users, and cascading errors.
+    * The interval length equals the bin width, so interval replication
+    * is ≤ 2 and the plan is two hash exchanges on the bin id — compare
+    * the nested-loop product a naive `pts.us BETWEEN e.us AND e.us+300s`
+    * join plans. The oracle runs exactly that naive theta join, pinning
+    * that binning loses and invents nothing. */
+  def errorBurst(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 300000000L // 5 minutes in epoch micros = the bin width
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+    val points = ev.select(col("event_id"), col("user_id"),
+      col("event_type"), col("us"))
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        (col("us") + 1L).as("lo"), // strictly AFTER the error
+        (col("us") + W).as("hi"))
+    binnedRangeJoin(points, intervals, "us", "lo", "hi", W)
+      .groupBy(col("error_id"))
+      .agg(count(lit(1)).as("n_follow"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(when(col("event_type") === "error", lit(1)))
+          .as("n_cascade"))
+  }
+
   /** Range (interval-containment) join, keyed: attach each event to the
     * session whose [start, end] interval contains it — the standard
     * enrichment that writes session ids back onto raw events. The
@@ -67,7 +127,8 @@ object Joins {
     * filters within each key group, so per-key cost is |events_u| ×
     * |sessions_u| — bounded by per-user activity, never the table sizes.
     * (An unkeyed range join would instead bin the range into buckets and
-    * equi-join on the bucket id — same discipline, synthetic key.)
+    * equi-join on the bucket id — same discipline, synthetic key; see
+    * [[binnedRangeJoin]].)
     * Every event lands in exactly one session by construction, so the
     * output has one row per event — which the oracle checks for free. */
   def sessionAttach(spark: SparkSession, sfDir: String): DataFrame = {

@@ -86,6 +86,34 @@ class ScaleJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("binned range join: row-identical to naive theta join, equi-plan") {
+    val ev = graft.streaming.Streaming.eventsBatch(spark, TestSpark.sf)
+      .withColumn("us", unix_micros(col("ts")))
+    val points = ev.select(col("event_id"), col("us"))
+    val intervals = ev.filter(col("event_type") === "error").limit(200)
+      .select(col("event_id").as("iv_id"),
+        (col("us") + 1L).as("lo"), (col("us") + 300000000L).as("hi"))
+    val naive = points.join(intervals,
+        col("us") >= col("lo") && col("us") <= col("hi"))
+      .select("event_id", "iv_id").collect().map(_.toSeq).toSet
+    val binned = Joins.binnedRangeJoin(points, intervals,
+        "us", "lo", "hi", 300000000L)
+      .select("event_id", "iv_id")
+    assert(binned.collect().map(_.toSeq).toSet == naive && naive.nonEmpty)
+    // the point of binning: the plan is an equi-join on the bin id, not
+    // the broadcast nested loop the raw theta predicate would plan
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+  }
+
+  test("binned range join rejects non-positive bin width") {
+    val df = spark.range(1).selectExpr("id AS us", "id AS lo", "id AS hi")
+    intercept[IllegalArgumentException] {
+      Joins.binnedRangeJoin(df, df, "us", "lo", "hi", 0L)
+    }
+  }
+
   test("session profiles: delta/iceberg absent -> parquet fallback engages") {
     import graft.sessions.Sessions
     assert(!Sessions.formatAvailable(Sessions.DeltaLake))
