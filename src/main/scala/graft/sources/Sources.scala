@@ -58,6 +58,42 @@ object Sources {
   def testTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Normalize an event-time column to a canonical µs TIMESTAMP,
+    * dispatching on the PHYSICAL type the scan produced rather than
+    * assuming one encoding. The testdata has shipped `events.ts` two
+    * ways across corpus refreshes — INT64 TIMESTAMP(NANOS), which Spark 4
+    * only reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong`,
+    * see Sessions.builder), and plain `timestamp[us]`, which it reads as
+    * TIMESTAMP_NTZ — and a production engine must not hard-code either.
+    *
+    *  - LongType: raw nanos → FLOOR-divide to µs (`div` alone truncates
+    *    toward zero, diverging from DuckDB's ns→µs coercion for pre-1970
+    *    values; subtracting `pmod` first makes the quotient floor for
+    *    any sign).
+    *  - TimestampNTZType: already µs — cast to session-TZ TimestampType
+    *    (micros-identity under the UTC session TZ we pin) so downstream
+    *    code sees one type regardless of encoding.
+    *  - TimestampType: pass through.
+    *  - anything else: fail loudly naming the drifted column and type,
+    *    instead of 21 scattered analysis errors downstream.
+    */
+  def normalizeEventTs(df: DataFrame, column: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(column).dataType match {
+      case LongType =>
+        df.withColumn(column,
+          expr(s"timestamp_micros(($column - pmod($column, 1000)) div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(column, col(column).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.$column: expected INT64 nanos, TIMESTAMP or TIMESTAMP_NTZ " +
+          s"but the scan produced $other — testdata schema drifted; " +
+          "extend Sources.normalizeEventTs for the new encoding")
+    }
+  }
+
   // one staging dir per (corpus, table) per JVM, shutdown-cleaned — see
   // graft.sources.Staging
   private def stageDir(sfDir: String, table: String): String =

@@ -233,14 +233,14 @@ object Topic {
     val dir = Staging.dir(sfDir, "topic_events", "graft_topic_")
     val (v, _) = highWaters(spark, dir, FixturePartitions)
     if (v < 1) {
-      // the events parquet carries nanosecond timestamps, which Spark
-      // surfaces as a raw long — truncate to a microsecond TIMESTAMP
-      // (exactly what DuckDB's ns→µs coercion does on the oracle side)
-      val events = spark.read.parquet(s"$sfDir/events.parquet")
+      // normalize ts to a µs TIMESTAMP regardless of the parquet physical
+      // encoding (raw nanos long vs timestamp[us] — Sources.normalizeEventTs
+      // dispatches on the scanned type, matching DuckDB's coercion)
+      val events = Sources.normalizeEventTs(
+          spark.read.parquet(s"$sfDir/events.parquet"))
         .select(col("user_id").cast("string").as("key"),
           concat_ws("|", col("event_id"), col("event_type")).as("value"),
-          expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
-            .as("timestamp"), col("event_id"))
+          col("ts").as("timestamp"), col("event_id"))
       if (v < 0)
         produce(spark, dir, events.filter(col("event_id") % 2 === 0),
           FixturePartitions, col("event_id"))

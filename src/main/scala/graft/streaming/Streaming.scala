@@ -28,15 +28,11 @@ object Streaming {
 
   private val streamCounter = new AtomicInteger(0)
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS), which Spark 4 only
-    * reads as raw nanos longs (see Sessions.builder). Convert to a proper
-    * μs timestamp with FLOOR division (`div` alone truncates toward zero,
-    * which would diverge from DuckDB's ns→μs conversion for pre-1970
-    * timestamps; pmod makes the remainder nonnegative so the quotient
-    * floors for any sign). */
-  private def toTs(df: DataFrame): DataFrame =
-    df.withColumn("ts",
-      expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+  /** events.ts has shipped as both INT64 nanos (read as raw longs under
+    * nanosAsLong) and `timestamp[us]` across testdata refreshes —
+    * [[Sources.normalizeEventTs]] dispatches on the scanned type so this
+    * module never hard-codes the physical encoding. */
+  private def toTs(df: DataFrame): DataFrame = Sources.normalizeEventTs(df)
 
   private[graft] def eventsBatch(spark: SparkSession, sfDir: String): DataFrame =
     toTs(Sources.testTable(spark, sfDir, "events"))
