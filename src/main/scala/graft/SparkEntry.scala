@@ -75,6 +75,15 @@ object SparkEntry {
     // write-time enforcement, violating batch rejected whole
     "d10_graft_sql_constraints" ->
       ((s, d) => Ddl.graftSqlConstraints(s, d)),
+    // MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE (SCD close-out:
+    // update matched, delete absent, novel source keys ignored — no
+    // insert clause)
+    "d11_merge_scd_closeout" ->
+      ((s, d) => Ddl.graftSqlMergeScd(s, d)),
+    // wall-clock snapshot expiry (VACUUM … RETAIN n HOURS / Iceberg
+    // expire_snapshots): live snapshot always pinned
+    "d12_graft_sql_expire" ->
+      ((s, d) => Ddl.graftSqlExpire(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -973,6 +982,19 @@ object SparkEntry {
          |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
          |  AND inc_acctbal >= -1000.0 AND inc_name IS NOT NULL
          |""".stripMargin,
+    // d11: final state after UPDATE-matched + DELETE-unmatched-by-source
+    // (no insert clause): exactly the snapshot rows whose key existed —
+    // %3==0 keys closed, novel (+10M) keys ignored
+    "d11_merge_scd_closeout" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin,
+    // d12: expiry is metadata-only — the live rows survive intact and
+    // exactly one version remains addressable
+    "d12_graft_sql_expire" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  1 AS n_versions
+        |FROM customer""".stripMargin,
     // t15: restore rewinds the live set to v0 — the read is the seed
     "t15_graftlog_restore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -153,6 +153,53 @@ object Ddl {
       "c_acctbal", "c_mktsegment")
   }
 
+  private val stagedSqlScd =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d11 — SQL MERGE with the SCD close-out clause (`WHEN NOT MATCHED BY
+    * SOURCE THEN DELETE`), the full-snapshot-compare pattern of the
+    * reference's SCD-2 ETL (`financial_dl_etl.py:59-77`): today's
+    * snapshot updates matched rows and CLOSES (here: deletes) target
+    * rows absent from it. Deliberately NO `WHEN NOT MATCHED` insert
+    * clause, so the source's novel keys must be ignored — pinning that
+    * each clause family routes independently. Idempotent: the source
+    * derives from the original parquet (not the mutated table), so
+    * re-running the statement rewrites the same final state.
+    *
+    * Scale: delete-by-source probes files by anti-join on the broadcast
+    * source keys — only files holding a to-close row rewrite; the
+    * matched-update probe prunes independently (see GraftLog.mergeImpl).
+    */
+  def graftSqlMergeScd(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dir = stagedSqlScd.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_scd_") + "/customer"
+      graft.sources.GraftLog.overwrite(
+        graft.sources.Sources.testTable(spark, sfDir, "customer"), d)
+      d
+    })
+    val tag = math.abs(sfDir.hashCode).toString.take(8)
+    val t = s"graft_scd_cust_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+    // today's snapshot: 2/3 of the customers, re-balanced; plus novel
+    // keys far above the key space (must NOT insert — no insert clause)
+    val snapshot = cust.filter(col("c_custkey") % 3 =!= 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+    val novel = cust.filter(col("c_custkey") % 100 === 1)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+    snapshot.unionByName(novel)
+      .createOrReplaceTempView(s"graft_scd_src_$tag")
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING graft_scd_src_$tag AS src
+         |ON tgt.c_custkey = src.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    spark.table(t).select("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment")
+  }
+
   private val stagedSqlU =
     new scala.collection.concurrent.TrieMap[String, String]
 
@@ -211,6 +258,47 @@ object Ddl {
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
         "c_mktsegment")
       .withColumn("n_files", org.apache.spark.sql.functions.lit(nFiles))
+  }
+
+  private val stagedSqlExp =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d12 — wall-clock snapshot expiry: `VACUUM t RETAIN n HOURS`, the
+    * time-based idiom BOTH formats ship (Delta's default VACUUM
+    * retention, Iceberg's `expire_snapshots(older_than => …)`), next to
+    * d8's version-count form. Three appends land three versions;
+    * `RETAIN 0 HOURS` expires everything older than the live snapshot,
+    * which is always pinned (`GraftLog.vacuumRetainHours` keeps ≥1).
+    * The read-back pins rows AND the surviving version count, so the
+    * oracle catches both an over-eager sweep (missing rows) and a
+    * no-op (version count ≠ 1). Idempotent on re-run: the log is
+    * already at one version and the vacuum keeps it. The cutoff
+    * BOUNDARY (a commit exactly at `now - n hours` is retained) is
+    * pinned with an injected clock in GraftLogSpec — wall-clock SQL
+    * can't hit a millisecond boundary deterministically. */
+  def graftSqlExpire(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = stagedSqlExp.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_sqle_") + "/customer"
+      val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      (0 until 3).foreach { i =>
+        graft.sources.GraftLog.append(
+          cust.filter(col("c_custkey") % 3 === i), d)
+      }
+      d
+    })
+    val t = s"graft_sqle_cust_${math.abs(sfDir.hashCode).toString.take(8)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    // strict ts(latest commit) < now, so RETAIN 0 HOURS deterministically
+    // retains exactly the live snapshot
+    Thread.sleep(5)
+    spark.sql(s"VACUUM $t RETAIN 0 HOURS")
+    val nVersions = graft.sources.GraftLog.versions(spark, dir).size
+    spark.table(t)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .withColumn("n_versions", lit(nVersions))
   }
 
   private val stagedSqlTT =

@@ -1613,17 +1613,31 @@ object GraftLog {
     files.filter(f => relPathOf(absPath(table, f)).exists(rels.contains))
   }
 
-  /** MERGE INTO-equivalent upsert (when matched update all, when not
-    * matched insert all), the reference's Delta merge pattern. `source`
-    * must carry the target schema; `keys` are the match columns; a key
-    * must appear at most once in `source` (Delta's own precondition).
+  /** MERGE INTO-equivalent with Delta's three clause families, each
+    * optional (at least one required):
+    *   - `updateMatched`: WHEN MATCHED THEN UPDATE SET *
+    *   - `insertUnmatched`: WHEN NOT MATCHED THEN INSERT *
+    *   - `deleteUnmatchedBySource`: WHEN NOT MATCHED BY SOURCE THEN
+    *     DELETE — the SCD close-out clause (the reference's
+    *     `financial_dl_etl.py:59-77` full-snapshot compare is its
+    *     natural use: target rows absent from today's snapshot close).
+    * `source` must carry the target schema; `keys` are the match
+    * columns; a key must appear at most once in `source` (Delta's own
+    * precondition).
     *
-    * Only files containing a matched key are rewritten; everything else
-    * is carried by reference. The rewrite joins ONLY those files' rows
-    * against the broadcast source. */
-  def merge(source: DataFrame, table: String, keys: Seq[String]): Long =
+    * File pruning is clause-driven: update touches files containing a
+    * matched key; delete-by-source touches files containing an UNmatched
+    * row. With both clauses every non-degenerate file rewrites (inherent
+    * to full-snapshot semantics — Delta behaves the same); with only one
+    * clause the probe prunes to the files that clause actually affects.
+    * The rewrite joins ONLY touched files' rows against the broadcast
+    * source. */
+  def merge(source: DataFrame, table: String, keys: Seq[String],
+      updateMatched: Boolean = true, insertUnmatched: Boolean = true,
+      deleteUnmatchedBySource: Boolean = false): Long =
     rebaseOnConflict(table, "merge") { () =>
-      mergeImpl(source, table, keys, txn = None)
+      mergeImpl(source, table, keys, txn = None, updateMatched,
+        insertUnmatched, deleteUnmatchedBySource)
     }
 
   /** Idempotent transactional MERGE for streaming upsert sinks — the
@@ -1658,7 +1672,11 @@ object GraftLog {
   }
 
   private def mergeImpl(source: DataFrame, table: String, keys: Seq[String],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)], updateMatched: Boolean = true,
+      insertUnmatched: Boolean = true,
+      deleteUnmatchedBySource: Boolean = false): Long = {
+    require(updateMatched || insertUnmatched || deleteUnmatchedBySource,
+      "merge needs at least one clause")
     val spark = source.sparkSession
     // commit at readVersion+1 (see commitOverwrite): any commit landing
     // after this read collides and routes through the caller's loop
@@ -1674,8 +1692,22 @@ object GraftLog {
       schema, cmap)
     val keysPhys = keys.map(physNameOf(cmap, _))
     val srcKeys = src.select(keysPhys.map(col): _*).distinct()
-    val touched = touchedFiles(spark, table, files, schema,
-      df => df.join(broadcast(srcKeys), keysPhys, "left_semi"))
+    // a file rewrites iff it holds a row some active clause changes:
+    // UPDATE → a row matching a source key; DELETE BY SOURCE → a row
+    // matching none. The semi/anti probes prune per-clause; both
+    // together touch every file holding any row (full-snapshot cost).
+    val touched = touchedFiles(spark, table, files, schema, df => {
+      val hit = if (updateMatched)
+        Some(df.join(broadcast(srcKeys), keysPhys, "left_semi")) else None
+      val miss = if (deleteUnmatchedBySource)
+        Some(df.join(broadcast(srcKeys), keysPhys, "left_anti")) else None
+      (hit, miss) match {
+        case (Some(h), Some(m)) => h.unionByName(m)
+        case (Some(h), None)    => h
+        case (None, Some(m))    => m
+        case (None, None)       => df.limit(0)
+      }
+    })
 
     val dataCols = schema.fieldNames.filterNot(keysPhys.contains)
     val marked = src.select(
@@ -1685,31 +1717,49 @@ object GraftLog {
 
     val updated = if (touched.isEmpty) None else {
       val t = readSubset(spark, table, touched, schema)
-      Some(t.join(broadcast(marked), keysPhys, "left_outer")
-        .select(schema.fieldNames.map { c =>
-          if (keysPhys.contains(c)) col(c)
-          else when(col("__s_matched"), col(s"__s_$c")).otherwise(col(c))
-            .as(c)
-        }: _*))
+      val joined = t.join(broadcast(marked), keysPhys, "left_outer")
+      // NOT MATCHED BY SOURCE DELETE drops the unmatched rows instead of
+      // carrying them through the rewrite
+      val kept = if (deleteUnmatchedBySource)
+        joined.filter(col("__s_matched")) else joined
+      Some(kept.select(schema.fieldNames.map { c =>
+        if (keysPhys.contains(c) || !updateMatched) col(c)
+        else when(col("__s_matched"), col(s"__s_$c")).otherwise(col(c))
+          .as(c)
+      }: _*))
     }
-    // a source key matching ANY target row makes its file touched, so
-    // "not matched in the touched files" == "not matched in the table"
-    val inserts = {
-      val touchedKeys = readSubset(spark, table, touched, schema)
+    // insert probe: with updateMatched, a source key matching ANY target
+    // row makes its file touched, so "not matched in the touched files"
+    // == "not matched in the table" and the anti-join scans only touched
+    // files. WITHOUT an update clause that invariant breaks (a matched
+    // key's file may be untouched), so the probe widens to all files —
+    // keys-only column pruning keeps it a narrow scan.
+    val inserts = if (!insertUnmatched) None else {
+      val probeFiles = if (updateMatched) touched else files
+      val targetKeys = readSubset(spark, table, probeFiles, schema)
         .select(keysPhys.map(col): _*)
-      src.join(touchedKeys, keysPhys, "left_anti")
-        .select(schema.fieldNames.map(col): _*)
+      Some(src.join(targetKeys, keysPhys, "left_anti")
+        .select(schema.fieldNames.map(col): _*))
     }
-    val rewritten = updated.map(_.unionByName(inserts)).getOrElse(inserts)
+    val rewritten = (updated, inserts) match {
+      case (Some(u), Some(i)) => u.unionByName(i)
+      case (Some(u), None)    => u
+      case (None, Some(i))    => i
+      case (None, None) => readSubset(spark, table, Seq.empty, schema)
+    }
     // constraints hold over the rows this transaction writes (the
     // carried-through rows of touched files were validated when first
     // written; re-checking them costs only touched-file scans)
     enforceChecks(toLogicalDf(rewritten, schema, cmap),
       checkConstraints(spark, table), "merge")
     // a partitioned target re-stages hive-partitioned, so the rewrite
-    // keeps the layout (files land back under their col=val dirs)
+    // keeps the layout (files land back under their col=val dirs); a
+    // no-op merge (nothing touched, no insert clause) stages nothing
+    // rather than writing empty part files
     val s =
-      if (partCols.nonEmpty) stagePartitionedWithStats(
+      if (touched.isEmpty && inserts.isEmpty)
+        Staged(Seq.empty, Map.empty, Map.empty)
+      else if (partCols.nonEmpty) stagePartitionedWithStats(
         withHiddenPartCols(rewritten, partCols), table, partCols)
       else stageWithStats(rewritten, table)
     val v = vRead.map(_ + 1).getOrElse(0L)
@@ -2406,5 +2456,29 @@ object GraftLog {
     checkpointVersions(spark, table).filter(_ < keep.head).foreach { v =>
       f.delete(new HPath(logDir, ckptName(v)), false)
     }
+  }
+
+  /** Time-based retention — both table formats' wall-clock idiom
+    * (Delta `VACUUM … RETAIN n HOURS`, Iceberg `expire_snapshots(
+    * older_than => …)`): retain every version whose commit timestamp is
+    * within the last `hours` of `nowMs`, and ALWAYS the latest version
+    * (the live snapshot is never expirable — Delta and Iceberg both
+    * pin it). The timestamp consulted is the commit's logged
+    * `timestampMs`, the same instant `TIMESTAMP AS OF` (d9) resolves
+    * against, so a version stays time-travelable exactly as long as it
+    * stays addressable. `nowMs` is injectable for deterministic tests.
+    *
+    * Commit timestamps are nondecreasing (commits serialize through
+    * put-if-absent versions), so counting the in-window suffix and
+    * delegating to the version-count form shares the checkpoint-first
+    * sweep protocol. */
+  def vacuumRetainHours(spark: SparkSession, table: String, hours: Double,
+      nowMs: Long = System.currentTimeMillis()): Unit = {
+    val all = versions(spark, table)
+    if (all.isEmpty) return
+    val cutoff = nowMs - (hours * 3600 * 1000).toLong
+    val retained =
+      all.count(v => readCommit(spark, table, v).timestampMs >= cutoff)
+    vacuum(spark, table, math.max(1, retained))
   }
 }

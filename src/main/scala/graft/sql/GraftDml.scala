@@ -21,6 +21,7 @@ import graft.sources.{GraftFileIndex, GraftLog}
   *   MERGE INTO t USING s ON t.k = s.k
   *     WHEN MATCHED THEN UPDATE SET *
   *     WHEN NOT MATCHED THEN INSERT *
+  *     WHEN NOT MATCHED BY SOURCE THEN DELETE   -- each clause optional
   *   UPDATE t SET c = expr WHERE p
   *   DELETE FROM t WHERE p
   * }}}
@@ -34,8 +35,8 @@ import graft.sources.{GraftFileIndex, GraftLog}
   * [[HadoopFsRelation]] into an eagerly-executed command, exactly the
   * Delta-connector architecture (DeltaAnalysis → DeleteCommand etc.).
   * Unsupported shapes (non-equi merge conditions, conditional merge
-  * actions, WHEN NOT MATCHED BY SOURCE) fail loudly at analysis rather
-  * than computing something subtly different. */
+  * actions) fail loudly at analysis rather than computing something
+  * subtly different. */
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
@@ -63,7 +64,7 @@ final class GraftSqlParser(
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   private val VacuumStmt =
-    """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+?)\s*;?\s*""".r
   private val AddColumnsStmt =
@@ -89,8 +90,9 @@ final class GraftSqlParser(
         Option(files).map(_.toInt).getOrElse(8))
       else GraftOptimizeCommand(target,
         Option(files).map(_.toInt).getOrElse(1))
-    case VacuumStmt(target, n) if ownsTarget(target) =>
-      GraftVacuumCommand(target, n.toInt)
+    case VacuumStmt(target, n, unit) if ownsTarget(target) =>
+      GraftVacuumCommand(target, n.toInt,
+        byHours = unit.equalsIgnoreCase("HOURS"))
     case HistoryStmt(target) if ownsTarget(target) =>
       GraftHistoryCommand(target)
     // ALTER TABLE is standard SQL Spark parses itself, so only a target
@@ -401,12 +403,14 @@ case class GraftCloneCommand(dst: String, src: String,
   }
 }
 
-/** `VACUUM t RETAIN n VERSIONS` → [[GraftLog.vacuum]]. */
-case class GraftVacuumCommand(target: String, retainVersions: Int)
-    extends LeafRunnableCommand {
+/** `VACUUM t RETAIN n VERSIONS` → [[GraftLog.vacuum]];
+  * `VACUUM t RETAIN n HOURS` → [[GraftLog.vacuumRetainHours]]. */
+case class GraftVacuumCommand(target: String, retain: Int,
+    byHours: Boolean = false) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
-    GraftLog.vacuum(session, path, retainVersions)
+    if (byHours) GraftLog.vacuumRetainHours(session, path, retain.toDouble)
+    else GraftLog.vacuum(session, path, retain)
     RefreshAfterDml(session, path, None)
     Seq.empty
   }
@@ -489,30 +493,38 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case other =>
             fail(s"non-equality merge condition ${other.sql}")
         }
-        // actions: unconditional UPDATE SET * / INSERT * only (the
-        // analyzer expands the stars into per-column assignments —
-        // verify each is a same-name copy)
-        def starShaped(actions: Seq[MergeAction], what: String): Unit =
+        // actions: unconditional UPDATE SET * / INSERT * / DELETE only
+        // (the analyzer expands the stars into per-column assignments —
+        // verify each is a same-name copy). Each clause family is
+        // OPTIONAL (Delta semantics): present → routed, absent → false.
+        def starShaped(actions: Seq[MergeAction], what: String): Boolean =
           actions match {
-            case Seq() => fail(s"MERGE needs a WHEN $what clause")
-            case Seq(a: UpdateStarAction) if a.condition.isEmpty => ()
-            case Seq(a: InsertStarAction) if a.condition.isEmpty => ()
+            case Seq() => false
+            case Seq(a: UpdateStarAction) if a.condition.isEmpty => true
+            case Seq(a: InsertStarAction) if a.condition.isEmpty => true
             case Seq(a: UpdateAction) if a.condition.isEmpty &&
               a.assignments.forall(as =>
                 attrName(as.key).zip(attrName(as.value))
-                  .exists(p => p._1.equalsIgnoreCase(p._2))) => ()
+                  .exists(p => p._1.equalsIgnoreCase(p._2))) => true
             case Seq(a: InsertAction) if a.condition.isEmpty &&
               a.assignments.forall(as =>
                 attrName(as.key).zip(attrName(as.value))
-                  .exists(p => p._1.equalsIgnoreCase(p._2))) => ()
+                  .exists(p => p._1.equalsIgnoreCase(p._2))) => true
             case other => fail(s"unsupported WHEN $what shape $other " +
               "(only unconditional UPDATE SET * / INSERT * are routed)")
           }
-        starShaped(m.matchedActions, "MATCHED")
-        starShaped(m.notMatchedActions, "NOT MATCHED")
-        if (m.notMatchedBySourceActions.nonEmpty)
-          fail("WHEN NOT MATCHED BY SOURCE is not supported")
-        GraftMergeCommand(path, name, m.sourceTable, keys)
+        val doUpdate = starShaped(m.matchedActions, "MATCHED")
+        val doInsert = starShaped(m.notMatchedActions, "NOT MATCHED")
+        val doDelete = m.notMatchedBySourceActions match {
+          case Seq() => false
+          case Seq(a: DeleteAction) if a.condition.isEmpty => true
+          case other => fail("unsupported WHEN NOT MATCHED BY SOURCE " +
+            s"shape $other (only unconditional DELETE is routed)")
+        }
+        if (!doUpdate && !doInsert && !doDelete)
+          fail("MERGE needs at least one WHEN clause")
+        GraftMergeCommand(path, name, m.sourceTable, keys,
+          doUpdate, doInsert, doDelete)
       }
 
     case _ => plan
@@ -557,11 +569,16 @@ case class GraftUpdateCommand(path: String, table: Option[String],
   }
 }
 
-/** `MERGE INTO t USING s ON keys…` → [[GraftLog.merge]]. */
+/** `MERGE INTO t USING s ON keys…` → [[GraftLog.merge]], with each WHEN
+  * clause family routed as a flag (UPDATE SET * / INSERT * / NOT MATCHED
+  * BY SOURCE DELETE). */
 case class GraftMergeCommand(path: String, table: Option[String],
-    source: LogicalPlan, keys: Seq[String]) extends LeafRunnableCommand {
+    source: LogicalPlan, keys: Seq[String], updateMatched: Boolean = true,
+    insertUnmatched: Boolean = true, deleteUnmatchedBySource: Boolean = false)
+    extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    GraftLog.merge(StreamBatch.ofPlan(session, source), path, keys)
+    GraftLog.merge(StreamBatch.ofPlan(session, source), path, keys,
+      updateMatched, insertUnmatched, deleteUnmatchedBySource)
     RefreshAfterDml(session, path, table)
     Seq.empty
   }

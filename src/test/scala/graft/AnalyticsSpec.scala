@@ -267,6 +267,22 @@ class AnalyticsSpec extends AnyFunSuite {
       viaApi.exceptAll(viaSql).count() == 0)
   }
 
+  test("SQL MERGE NOT MATCHED BY SOURCE DELETE: SCD close-out semantics") {
+    val q = graft.operators.Ddl.graftSqlMergeScd(spark, TestSpark.sf)
+    val cust = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "customer")
+    val expect = cust.filter(col("c_custkey") % 3 =!= 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    assert(q.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(q).count() == 0)
+    // re-running the whole statement is idempotent (absolute source)
+    val again = graft.operators.Ddl.graftSqlMergeScd(spark, TestSpark.sf)
+    assert(again.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(again).count() == 0)
+  }
+
   test("SQL UPDATE + DELETE on a graft table: file-pruned, correct rows") {
     import graft.sources.{GraftLog, Sources, Staging}
     val d = Staging.tempDir("graft_dmlspec_") + "/cust"
@@ -316,6 +332,24 @@ class AnalyticsSpec extends AnyFunSuite {
     // the delegating parser leaves ordinary SQL to Spark verbatim
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     intercept[Exception] { spark.sql("OPTIMIZE") } // malformed → Spark err
+  }
+
+  test("SQL VACUUM RETAIN n HOURS: wide window keeps all, zero keeps live") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val d = Staging.tempDir("graft_exph_") + "/cust"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    (0 until 3).foreach(i =>
+      GraftLog.append(cust.filter(col("c_custkey") % 3 === i), d))
+    // a generous window retains every version (no-op)
+    spark.sql(s"VACUUM '$d' RETAIN 1000 HOURS")
+    assert(GraftLog.versions(spark, d).size == 3)
+    // zero window: only the live snapshot survives, rows intact
+    Thread.sleep(5)
+    spark.sql(s"VACUUM '$d' RETAIN 0 HOURS")
+    assert(GraftLog.versions(spark, d).size == 1)
+    val back = GraftLog.read(spark, d)
+    assert(back.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(back).count() == 0)
   }
 
   test("SQL OPTIMIZE of a non-graft catalog table falls through to Spark") {

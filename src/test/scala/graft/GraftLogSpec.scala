@@ -60,6 +60,64 @@ class GraftLogSpec extends AnyFunSuite {
     assert(back.filter($"id" === 11L).select("tag").as[String].head() == "b")
   }
 
+  test("merge NOT MATCHED BY SOURCE DELETE: close-out prunes per clause") {
+    val t = tmp()
+    // three single-file commits: file 1 all-matched, file 2 mixed,
+    // file 3 all-unmatched
+    GraftLog.overwrite(df(0 until 10, "a").coalesce(1), t)
+    GraftLog.append(df(10 until 20, "b").coalesce(1), t)
+    GraftLog.append(df(20 until 30, "c").coalesce(1), t)
+    val (before, _) = GraftLog.snapshot(spark, t)
+    // source: all of file 1, half of file 2, plus a novel key
+    val src = ((0 until 10) ++ (10 until 15) :+ 99)
+      .map(i => (i.toLong, s"S$i")).toDF("id", "tag")
+    // update + delete-by-source, NO insert clause
+    GraftLog.merge(src, t, Seq("id"),
+      updateMatched = true, insertUnmatched = false,
+      deleteUnmatchedBySource = true)
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 15)                       // 15..19, 20..29 closed
+    assert(back.filter($"id" === 99L).count() == 0)  // novel key NOT inserted
+    assert(back.filter($"id" < 15).filter(!$"tag".startsWith("S"))
+      .count() == 0)                                 // matched rows updated
+  }
+
+  test("merge delete-by-source only: matched-only files carry by reference") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a").coalesce(1), t)
+    GraftLog.append(df(10 until 20, "b").coalesce(1), t)
+    val (before, _) = GraftLog.snapshot(spark, t)
+    // source covers ALL of file 1 and none of file 2; no update clause →
+    // file 1 must be untouched (pure delete probe = anti-join)
+    val src = (0 until 10).map(i => (i.toLong, "x")).toDF("id", "tag")
+    GraftLog.merge(src, t, Seq("id"),
+      updateMatched = false, insertUnmatched = false,
+      deleteUnmatchedBySource = true)
+    val (after, _) = GraftLog.snapshot(spark, t)
+    assert(after.contains(before(0)))        // all-matched file untouched
+    assert(!after.contains(before(1)))       // unmatched file rewritten away
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 10)
+    assert(back.filter($"tag" =!= "a").count() == 0)  // no update applied
+  }
+
+  test("merge insert-only (no update clause) never duplicates matched keys") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a").coalesce(1), t)
+    GraftLog.append(df(10 until 20, "b").coalesce(1), t)
+    // matched keys live in a file the (absent) update clause would not
+    // touch — the insert probe must still see them and skip the insert
+    val src = Seq((5L, "dup"), (100L, "new")).toDF("id", "tag")
+    GraftLog.merge(src, t, Seq("id"),
+      updateMatched = false, insertUnmatched = true,
+      deleteUnmatchedBySource = false)
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 21)
+    assert(back.filter($"id" === 5L).count() == 1)    // no duplicate
+    assert(back.filter($"id" === 5L).select("tag").as[String].head() == "a")
+    assert(back.filter($"id" === 100L).count() == 1)  // novel key inserted
+  }
+
   test("merge with no matched keys is insert-only") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 5, "a"), t)
@@ -116,6 +174,31 @@ class GraftLogSpec extends AnyFunSuite {
     }
     assert(GraftLog.readVersion(spark, t, 1L).count() == 5)
     assert(GraftLog.read(spark, t).count() == 2)
+  }
+
+  test("vacuumRetainHours: cutoff boundary retained, live snapshot pinned") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "a"), t)   // v0
+    Thread.sleep(5)
+    GraftLog.append(df(5 until 10, "b"), t)     // v1
+    Thread.sleep(5)
+    GraftLog.append(df(10 until 15, "c"), t)    // v2
+    val tsOf = GraftLog.history(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(4).getTime).toMap
+    assert(tsOf(0L) < tsOf(1L) && tsOf(1L) < tsOf(2L))
+    // cutoff lands EXACTLY on v1's commit instant: the boundary commit
+    // is retained (>=, matching TIMESTAMP AS OF's at-or-before dual)
+    GraftLog.vacuumRetainHours(spark, t, hours = 1.0,
+      nowMs = tsOf(1L) + 3600L * 1000)
+    assert(GraftLog.versions(spark, t) == Seq(1L, 2L))
+    assert(GraftLog.read(spark, t).count() == 15)
+    assert(GraftLog.readVersion(spark, t, 1L).count() == 10)
+    // zero-window expiry: everything older than the live snapshot goes,
+    // but the snapshot itself is never expirable
+    Thread.sleep(5)
+    GraftLog.vacuumRetainHours(spark, t, hours = 0.0)
+    assert(GraftLog.versions(spark, t) == Seq(2L))
+    assert(GraftLog.read(spark, t).count() == 15)
   }
 
   test("txnAppend is idempotent per (appId, batchId) and per-app scoped") {
