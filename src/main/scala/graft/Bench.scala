@@ -17,6 +17,8 @@ object Bench {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast, named, if the corpus drifted (see TestdataContract)
+    graft.sources.TestdataContract.validate(spark, sfDir)
     // Warm the JVM before timing (codegen compiler, parquet reader/writer,
     // shuffle machinery, catalog) so the first measured query doesn't
     // absorb seconds of class-loading that belongs to no query. Standard

@@ -306,6 +306,10 @@ object SparkEntry {
     // streaming change data feed: initial snapshot as inserts, then
     // file-bounded per-commit diffs; checkpointed resume across drains
     "i16_streaming_cdf" -> ((s, d) => Transactions.cdfStream(s, d)),
+    // streaming CDF over deletion-vector erasure commits (GDPR path):
+    // DV commits rewrite no files yet emit `delete` change rows
+    "i17_streaming_cdf_erasure" ->
+      ((s, d) => Transactions.cdfErasureStream(s, d)),
     // schema evolution: mergeSchema write option + ALTER TABLE ADD
     // COLUMNS; older files backfill the new columns as typed NULLs
     "t20_graftlog_schema_evolution" ->
@@ -608,6 +612,23 @@ object SparkEntry {
          |  'delete', 2
          |FROM merged WHERE c_custkey % 10 = 0
          |""".stripMargin,
+    // i17: anti-join replay of the erasure sequence — v0 snapshot as
+    // inserts, v1 = key-batch erasure, v2 = predicate erasure EXCLUDING
+    // rows v1 already masked (invisible on both diff sides)
+    "i17_streaming_cdf_erasure" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  'delete', 1
+        |FROM customer WHERE c_custkey % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  'delete', 2
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 <> 3
+        |""".stripMargin,
     // t24: rename = alias, drop = projection; the appended batch is the
     // c4 NOT-EXISTS branch under the renamed schema; the trailing DELETE
     // applies to both branches

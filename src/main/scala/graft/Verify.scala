@@ -18,6 +18,9 @@ object Verify {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast with ONE named message if the corpus drifted (round-7
+    // lesson: a silent events.ts re-encode killed 21 queries one by one)
+    graft.sources.TestdataContract.validate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

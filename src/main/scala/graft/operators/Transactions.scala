@@ -787,6 +787,53 @@ object Transactions {
     spark.read.parquet(out)
   }
 
+  private val stagedCdfErase =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** i17 — streaming CDF over a GDPR-ERASURE sequence: v0 customer
+    * overwrite → v1 deletion-vector erasure of a key batch
+    * ([[GraftLog.deleteVectorsMatching]], the streaming-erasure shape:
+    * each micro-batch of delete requests is one DV commit) → v2 DV
+    * erasure by predicate. DV commits rewrite NO data files — the CDF
+    * must still emit the newly-masked rows as `delete` changes, which
+    * [[GraftLog.changesAt]] derives by diffing the DV-touched files'
+    * VISIBLE rows across the adjacent versions (Delta CDF emits the
+    * same deletes from its DV commits). Drained in two phases with a
+    * restart between v1 and v2, pinning checkpoint resume over a
+    * DV-only commit; v2's deletes must exclude rows v1 already erased
+    * (they are invisible on the old side of the diff too).
+    * Oracle: anti-join replay of the two erasure sets. */
+  def cdfErasureStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = stagedCdfErase.getOrElseUpdate(sfDir, {
+      val root = graft.sources.Staging.tempDir("graft_cdfe_")
+      val (table, ckpt, dest) =
+        (s"$root/customer_cdfe", s"$root/ckpt", s"$root/out")
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwrite(cust, table)                             // v0
+      GraftLog.deleteVectorsMatching(spark, table,                // v1
+        cust.filter(col("c_custkey") % 10 === 3).select("c_custkey"),
+        Seq("c_custkey"))
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("cdfKeys", "c_custkey")
+          .load(table)
+          .writeStream.format("parquet")
+          .option("path", dest)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // phase 1: v0 snapshot inserts + v1 erasure deletes
+      GraftLog.deleteVectors(spark, table,                        // v2
+        col("c_mktsegment") === "BUILDING")
+      drain() // restart past v1: only v2's still-visible deletes
+      dest
+    })
+    spark.read.parquet(out)
+  }
+
   private val stagedClone =
     new scala.collection.concurrent.TrieMap[String, (String, Int)]
 

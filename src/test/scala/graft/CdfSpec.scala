@@ -82,6 +82,28 @@ class CdfSpec extends AnyFunSuite {
       "fresh stream = oldest retained snapshot as inserts")
   }
 
+  test("i17: streaming CDF over DV erasure equals the anti-join replay") {
+    val got = graft.operators.Transactions
+      .cdfErasureStream(spark, TestSpark.sf)
+    val cust = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "customer")
+    assert(got.filter(col("_change_type") === "insert")
+      .filter(col("_commit_version") === 0).count() == cust.count())
+    val v1 = got.filter(col("_commit_version") === 1)
+    assert(types(v1) == Map("delete" ->
+      cust.filter(col("c_custkey") % 10 === 3).count()))
+    // v2 deletes only the rows v1 had not already erased
+    val v2 = got.filter(col("_commit_version") === 2)
+    assert(types(v2) == Map("delete" ->
+      cust.filter(col("c_mktsegment") === "BUILDING" &&
+        col("c_custkey") % 10 =!= 3).count()))
+    // postimage values of an erased row survive in the delete record
+    val probe = cust.filter(col("c_custkey") % 10 === 3)
+      .select("c_custkey", "c_name").collect().head
+    assert(v1.filter(col("c_custkey") === probe.getLong(0))
+      .select("c_name").collect().head.getString(0) == probe.getString(1))
+  }
+
   test("cdfKeys is validated and column-mapped tables are refused") {
     val r = root(); val t = s"$r/t"
     GraftLog.overwrite(df(0 until 5, "a"), t)
