@@ -68,8 +68,20 @@ object Bench {
       .mkString("{", ",", "}")
     // total covers successful queries; failures stay visible as -1 entries
     val total = results.values.filter(_ >= 0).sum
+    // a ScaleUp replica carries its source-corpus fingerprint — copy it
+    // into the record so a scale measurement names the corpus content it
+    // was taken against (and staleness is detectable from the JSON alone)
+    val scaleMarker = {
+      val m = new java.io.File(s"$sfDir/_SCALE_SOURCE.json")
+      if (!m.exists) ""
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim
+        "," + txt.stripPrefix("{").stripSuffix("}")
+      }
+    }
     def line(qs: String, extra: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)}$extra,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)}$extra$scaleMarker,"queries":$qs,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of output; the full
     // 81-entry map is ~2.9k and got truncated into unparseable JSON in
     // rounds 2-3 (BENCH_r0{2,3}.json "parsed": null). Stdout gets a

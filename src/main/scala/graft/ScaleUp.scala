@@ -41,9 +41,51 @@ object ScaleUp {
 
   private val Offset = 10000000L
 
+  /** Content fingerprint of a source corpus: md5 over each table file's
+    * (name, size, mtime). Cheap (no data read) yet catches exactly the
+    * failure mode round 7 hit — the driver refreshing `/root/testdata`
+    * in place while a derived ×N replica (and the scale record measured
+    * on it) silently went stale. */
+  def fingerprint(src: String): String = {
+    val parts = keyCols.keys.toSeq.sorted.map { t =>
+      val f = new java.io.File(s"$src/$t.parquet")
+      s"$t:${f.length}:${f.lastModified}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def markerPath(out: String) = s"$out/_SCALE_SOURCE.json"
+
+  /** True when `out` was generated from the CURRENT content of `src` at
+    * this factor (per the marker its generation wrote). A missing or
+    * unparseable marker is stale. */
+  def isFresh(src: String, out: String, factor: Int): Boolean = {
+    val m = new java.io.File(markerPath(out))
+    m.exists && {
+      val txt = new String(java.nio.file.Files.readAllBytes(m.toPath),
+        "UTF-8")
+      txt.contains(s""""source_fingerprint":"${fingerprint(src)}"""") &&
+        txt.contains(s""""factor":$factor""")
+    }
+  }
+
+  /** usage: ScaleUp <srcDir> <outDir> <factor> [--if-stale]
+    * `--if-stale` makes regeneration conditional on the source-corpus
+    * fingerprint: a replica generated from the current testdata content
+    * is reused, anything else (including a driver-refreshed source) is
+    * rebuilt. The marker travels with the replica, and Bench copies the
+    * fingerprint into its JSON record so every scale measurement names
+    * the corpus content it was taken against. */
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <outDir> <factor>")
+    require(args.length >= 3,
+      "usage: ScaleUp <srcDir> <outDir> <factor> [--if-stale]")
     val (src, out, factor) = (args(0), args(1), args(2).toInt)
+    if (args.contains("--if-stale") && isFresh(src, out, factor)) {
+      println(s"replica $out is fresh for $src x$factor — skipping")
+      return
+    }
     val spark = graft.sessions.Sessions
       .builder(appName = "graft-scaleup", master = "local[32]",
         shufflePartitions = 32)
@@ -63,6 +105,10 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"scaled $table x$factor")
     }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(markerPath(out)),
+      s"""{"source":"$src","factor":$factor,""" +
+        s""""source_fingerprint":"${fingerprint(src)}"}""")
     spark.stop()
   }
 }

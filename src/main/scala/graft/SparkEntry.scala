@@ -84,6 +84,10 @@ object SparkEntry {
     // expire_snapshots): live snapshot always pinned
     "d12_graft_sql_expire" ->
       ((s, d) => Ddl.graftSqlExpire(s, d)),
+    // in-place parquet→graft migration (CONVERT TO DELTA analog): no
+    // data rewrite, immediate transactional DML on the converted table
+    "d13_graft_sql_convert" ->
+      ((s, d) => Ddl.graftSqlConvert(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -1016,6 +1020,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  1 AS n_versions
         |FROM customer""".stripMargin,
+    // d13: convert preserves every row byte-for-byte (v0), then the
+    // first transactional DELETE lands as v1
+    "d13_graft_sql_convert" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  2 AS n_versions
+        |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
     // t15: restore rewinds the live set to v0 — the read is the seed
     "t15_graftlog_restore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

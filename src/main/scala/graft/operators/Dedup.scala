@@ -501,7 +501,14 @@ object Dedup {
     * pathological diameter would want the large-star/small-star
     * variant (Kiveris et al. 2014) — same relational kernel, fewer
     * rounds. Throws rather than returning a partial labeling if maxIter
-    * is hit (determinism over silent approximation). */
+    * is hit (determinism over silent approximation).
+    *
+    * Round-8 profile (refreshed corpus, sf0.1): warm 7-8 s vs the r07
+    * record's 4.7 s. The growth tracks the SHARED e3 pair-generation
+    * stage (shingle/signature volume of the refreshed docs), not this
+    * loop — the measured pair graph is 256 edges / 233 components /
+    * largest component 4 / fixpoint after ONE round, so the iterative
+    * part contributes two small joins regardless of corpus. */
   def dedupClusters(spark: SparkSession, sfDir: String,
       maxIter: Int = 50): DataFrame = {
     val pairs = minhashLsh(spark, sfDir)

@@ -505,7 +505,14 @@ object Similarity {
     * Determinism discipline is f7's verbatim: seed codewords = first
     * ksub vectors' residual subvectors, exact-decimal Lloyd means and
     * ADC sums, every ranking tiebroken on ids — the DuckDB oracle
-    * unrolls the identical relational pipeline. */
+    * unrolls the identical relational pipeline.
+    *
+    * Round-8 profile (refreshed corpus): warm 4.5-5.6 s at sf0.1 vs the
+    * r6 band's 3.2 s. Cell-occupancy skew was the suspected cause and
+    * was MEASURED REFUTED — largest coarse cell holds 7.4% of the
+    * 2000×64 corpus vs 6.25% uniform — so the ADC join is balanced and
+    * the growth is corpus content/volume, not a plan pathology;
+    * nCent/nprobe stay as registered (the oracle pins them). */
   def ivfPqTopK(spark: SparkSession, sfDir: String, numQueries: Int = 10,
       k: Int = 5, nCent: Int = 16, nprobe: Int = 4, m: Int = 4,
       ksub: Int = 16, shortlist: Int = 50): DataFrame = {

@@ -874,6 +874,59 @@ object GraftLog {
     * commit-file link flips them to the new one — no window where the
     * table is empty or mixed (the failure mode of a recursive
     * delete-then-write on plain parquet dirs). */
+  /** CONVERT a plain-parquet directory into a graft table WITHOUT
+    * rewriting data — the Delta `CONVERT TO DELTA` / Iceberg
+    * `add_files` migration path. The existing part files become commit
+    * v0's add-set; bytes are never read or copied. One deliberate
+    * deviation from Delta: the files are RENAMED under a
+    * `_data/convert-<uuid>/` staging dir (a pure metadata operation on
+    * rename-capable filesystems) instead of referenced in place,
+    * because every downstream subsystem — file-pruned DML probes,
+    * deletion-vector keying, the vacuum sweep — resolves files by
+    * their `_data/`-relative path; relocating at convert time buys the
+    * FULL feature surface (MERGE/UPDATE/DELETE/DVs/OPTIMIZE/CLONE/
+    * time travel) for converted tables with zero special cases, at the
+    * cost of the original paths (readers of the raw dir must re-point
+    * at the table root, which keeps serving the same rows).
+    *
+    * Stats/Blooms are NOT derived at convert (that would require the
+    * data scan convert exists to avoid); skipping simply doesn't prune
+    * until the first OPTIMIZE/overwrite materializes stats — Delta's
+    * convert makes the same trade when stats collection is off.
+    * Flat directories only: hive-partitioned conversion would need the
+    * partition-layout schema split and is rejected loudly. */
+  def convert(spark: SparkSession, dir: String): Long = {
+    require(versions(spark, dir).isEmpty,
+      s"$dir is already a graft table")
+    val f = fs(spark, dir)
+    val root = new HPath(dir)
+    require(f.exists(root), s"$dir does not exist")
+    val entries = f.listStatus(root).toSeq
+    require(!entries.exists(_.isDirectory),
+      s"convert supports flat parquet directories; $dir has " +
+        "subdirectories (hive-partitioned conversion is not supported)")
+    val parquets = entries.filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }
+    require(parquets.nonEmpty, s"no parquet files under $dir")
+    // schema BEFORE relocation (inference lists the dir eagerly)
+    val schema = spark.read.parquet(dir).schema
+    val rel = s"$DataDirName/convert-${UUID.randomUUID()}"
+    f.mkdirs(new HPath(s"$dir/$rel"))
+    val moved = parquets.map { st =>
+      val name = st.getPath.getName
+      require(f.rename(st.getPath, new HPath(s"$dir/$rel/$name")),
+        s"rename failed for $name")
+      (s"$rel/$name", st.getLen)
+    }
+    spark.catalog.refreshByPath(dir)
+    writeCommit(spark, dir, Commit(0L, "convert", moved.map(_._1),
+      Seq.empty, schema.toDDL, System.currentTimeMillis(),
+      sizes = moved.toMap))
+    0L
+  }
+
   def overwrite(df: DataFrame, table: String): Long = {
     // overwrite keeps table metadata (constraints) — Delta semantics —
     // so the replacement rows must satisfy the current CHECK set

@@ -67,6 +67,10 @@ final class GraftSqlParser(
     """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+?)\s*;?\s*""".r
+  private val RestoreStmt =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val ConvertStmt =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+(\S+?)\s*;?\s*""".r
   private val AddColumnsStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val CloneStmt =
@@ -95,6 +99,15 @@ final class GraftSqlParser(
         byHours = unit.equalsIgnoreCase("HOURS"))
     case HistoryStmt(target) if ownsTarget(target) =>
       GraftHistoryCommand(target)
+    // Delta ships the same statement, so only graft-owned targets are
+    // captured (same dispatch as OPTIMIZE/VACUUM)
+    case RestoreStmt(target, v) if ownsTarget(target) =>
+      GraftRestoreCommand(target, v.toLong)
+    // our own keyword (Delta's is CONVERT TO DELTA) — path literals
+    // only: the target is a RAW parquet dir, not yet any catalog table
+    case ConvertStmt(target) =>
+      GraftTarget.requirePathTarget(target, "CONVERT TO GRAFT")
+      GraftConvertCommand(target)
     // ALTER TABLE is standard SQL Spark parses itself, so only a target
     // that RESOLVES to a graft table is captured (isGraftTable, not
     // ownsTarget) — everything else keeps Spark's own ALTER semantics
@@ -241,6 +254,31 @@ private object GraftTimeTravel {
 
 /** `DESCRIBE HISTORY t` → [[GraftLog.history]] rows (Delta's surface:
   * one row per commit, newest first). */
+/** `CONVERT TO GRAFT '<path>'` → [[GraftLog.convert]] — in-place
+  * migration of a plain parquet directory (Delta `CONVERT TO DELTA`
+  * analog; no data rewrite). */
+case class GraftConvertCommand(target: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    GraftLog.convert(session, path)
+    RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` → [[GraftLog.restore]] — the
+  * Delta statement; one metadata commit rewinding the live set (files,
+  * DVs, Bloom bitmaps) to version n, history intact. */
+case class GraftRestoreCommand(target: String, version: Long)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    GraftLog.restore(session, path, version)
+    RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
 case class GraftHistoryCommand(target: String) extends LeafRunnableCommand {
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =

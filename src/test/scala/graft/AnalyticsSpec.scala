@@ -352,6 +352,29 @@ class AnalyticsSpec extends AnyFunSuite {
       cust.exceptAll(back).count() == 0)
   }
 
+  test("SQL RESTORE TABLE … TO VERSION AS OF rewinds and stays travelable") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val d = Staging.tempDir("graft_rest_") + "/cust"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    val early = cust.filter(col("c_custkey") <= 50)
+    val nEarly = early.count()
+    GraftLog.overwrite(early, d)                                 // v0
+    GraftLog.append(cust.filter(col("c_custkey") > 50), d)       // v1
+    spark.sql(s"RESTORE TABLE '$d' TO VERSION AS OF 0")          // v2
+    assert(GraftLog.read(spark, d).count() == nEarly)
+    // history intact: the pre-restore snapshot stays addressable
+    assert(GraftLog.readVersion(spark, d, 1L).count() == cust.count())
+    assert(GraftLog.versions(spark, d) == Seq(0L, 1L, 2L))
+    // catalog-table form + cache invalidation after the command
+    spark.sql("DROP TABLE IF EXISTS rest_t")
+    spark.sql(s"CREATE TABLE rest_t USING graft OPTIONS (path '$d')")
+    try {
+      assert(spark.table("rest_t").count() == nEarly)
+      spark.sql("RESTORE TABLE rest_t TO VERSION AS OF 1")
+      assert(spark.table("rest_t").count() == cust.count())
+    } finally spark.sql("DROP TABLE rest_t")
+  }
+
   test("SQL OPTIMIZE of a non-graft catalog table falls through to Spark") {
     spark.sql("DROP TABLE IF EXISTS maint_pq_t")
     spark.sql("CREATE TABLE maint_pq_t (id INT) USING parquet")

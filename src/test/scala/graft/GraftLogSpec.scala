@@ -176,6 +176,40 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 2)
   }
 
+  test("convert: in-place migration — zero rewrite, full DML after") {
+    val t = tmp()
+    // an ordinary (non-transactional) parquet job writes 3 part files
+    df(0 until 30, "raw").repartition(3).write.parquet(t)
+    val before = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length).toMap
+    assert(GraftLog.convert(spark, t) == 0L)
+    // zero-copy: the SAME files (name and byte size) back the table
+    val (files, _) = GraftLog.snapshot(spark, t)
+    assert(files.size == before.size)
+    files.foreach { rel =>
+      val name = rel.split('/').last
+      assert(before.contains(name), s"unexpected file $name")
+      assert(new java.io.File(s"$t/$rel").length == before(name))
+    }
+    assert(new java.io.File(t).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 0) // relocated, not copied
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 30)
+    // the converted table has the FULL transactional surface
+    GraftLog.merge(Seq((5L, "up"), (99L, "new")).toDF("id", "tag"),
+      t, Seq("id"))
+    assert(GraftLog.read(spark, t).count() == 31)
+    GraftLog.delete(spark, t, col("id") < 3)
+    assert(GraftLog.read(spark, t).count() == 28)
+    assert(GraftLog.readVersion(spark, t, 0L).count() == 30) // time travel
+    // double convert and non-flat dirs are rejected loudly
+    intercept[IllegalArgumentException] { GraftLog.convert(spark, t) }
+    val nested = tmp()
+    df(0 until 5, "x").write.partitionBy("tag").parquet(nested)
+    intercept[IllegalArgumentException] { GraftLog.convert(spark, nested) }
+  }
+
   test("vacuumRetainHours: cutoff boundary retained, live snapshot pinned") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 5, "a"), t)   // v0
