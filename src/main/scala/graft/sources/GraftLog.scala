@@ -2511,6 +2511,81 @@ object GraftLog {
     }
   }
 
+  /** Files the next [[vacuum]] with this retention would delete —
+    * Delta's `VACUUM … DRY RUN`: the audit listing, nothing touched.
+    * Same needed-set computation as the sweep (every retained version's
+    * files + DV sidecars), walked against what is actually on disk. */
+  def vacuumDryRun(spark: SparkSession, table: String,
+      retainVersions: Int): Seq[String] = {
+    val all = versions(spark, table)
+    if (all.size <= retainVersions) return Seq.empty
+    val keep = all.takeRight(retainVersions)
+    val needed =
+      keep.flatMap(v => snapshot(spark, table, Some(v))._1).toSet ++
+        keep.flatMap(v => deletionVectors(spark, table, Some(v)))
+    val f = fs(spark, table)
+    def walk(dir: HPath, relOf: String => Option[String]): Seq[String] =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath, relOf)
+        else relOf(st.getPath.toUri.getPath)
+          .filterNot(needed.contains).toSeq
+      }
+    def dvRel(abs: String): Option[String] = {
+      val i = abs.lastIndexOf(s"/$DvDirName/")
+      if (i < 0) None else Some(abs.substring(i + 1))
+    }
+    (walk(new HPath(table, DataDirName), relPathOf) ++
+      walk(new HPath(table, DvDirName), dvRel)).sorted
+  }
+
+  /** Missing-file audit/repair — Delta's `FSCK REPAIR TABLE`: live
+    * snapshot entries whose backing file no longer exists on disk
+    * (external deletion, partial restore). `dryRun` only lists; repair
+    * writes a remove-only `fsck` commit acknowledging the loss, after
+    * which reads stop failing on the vanished files (rows they carried
+    * are gone — fsck records reality, it cannot resurrect bytes).
+    * Absolute (clone-source) references are probed like relative ones. */
+  def fsck(spark: SparkSession, table: String,
+      dryRun: Boolean = false): Seq[String] = {
+    val f = fs(spark, table)
+    def missingOf(files: Seq[String]): Seq[String] =
+      files.filterNot(rel => f.exists(new HPath(absPath(table, rel))))
+    val missing = missingOf(snapshot(spark, table)._1)
+    if (!dryRun && missing.nonEmpty)
+      rebaseOnConflict(table, "fsck") { () =>
+        val vRead = latestVersion(spark, table)
+        // recompute inside the retry loop: a racing commit may have
+        // already removed (or re-added) some of the entries
+        val (cur, sch) = snapshot(spark, table)
+        val m = missingOf(cur)
+        val v = vRead.map(_ + 1).getOrElse(0L)
+        writeCommit(spark, table, Commit(v, "fsck", Seq.empty, m,
+          sch.toDDL, System.currentTimeMillis()))
+        v
+      }
+    missing.sorted
+  }
+
+  /** One-row table detail — Delta's `DESCRIBE DETAIL`: format, current
+    * version, live file count and total bytes (commit-logged sizes, no
+    * per-file RPCs), active DV count, partition columns, constraint
+    * count. Metadata-priced. */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    val (files, _) = snapshot(spark, table)
+    val v = latestVersion(spark, table).getOrElse(-1L)
+    val sizes = fileSizes(spark, table)
+    val rows = Seq((
+      "graft", table, v, files.size.toLong,
+      files.map(sizes.getOrElse(_, 0L)).sum,
+      deletionVectors(spark, table).size.toLong,
+      layoutPartCols(files).mkString(","),
+      checkConstraints(spark, table).size.toLong))
+    spark.createDataFrame(rows).toDF("format", "location", "version",
+      "num_files", "size_bytes", "num_deletion_vectors",
+      "partition_columns", "num_constraints")
+  }
+
   /** Time-based retention — both table formats' wall-clock idiom
     * (Delta `VACUUM … RETAIN n HOURS`, Iceberg `expire_snapshots(
     * older_than => …)`): retain every version whose commit timestamp is

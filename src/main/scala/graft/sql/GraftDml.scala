@@ -64,7 +64,11 @@ final class GraftSqlParser(
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   private val VacuumStmt =
-    """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val DetailStmt =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+(\S+?)\s*;?\s*""".r
+  private val FsckStmt =
+    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+(\S+?)(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+?)\s*;?\s*""".r
   private val RestoreStmt =
@@ -74,7 +78,7 @@ final class GraftSqlParser(
   private val AddColumnsStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val CloneStmt =
-    """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val RenameColumnStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val DropColumnStmt =
@@ -94,9 +98,13 @@ final class GraftSqlParser(
         Option(files).map(_.toInt).getOrElse(8))
       else GraftOptimizeCommand(target,
         Option(files).map(_.toInt).getOrElse(1))
-    case VacuumStmt(target, n, unit) if ownsTarget(target) =>
+    case VacuumStmt(target, n, unit, dry) if ownsTarget(target) =>
       GraftVacuumCommand(target, n.toInt,
-        byHours = unit.equalsIgnoreCase("HOURS"))
+        byHours = unit.equalsIgnoreCase("HOURS"), dryRun = dry != null)
+    case DetailStmt(target) if ownsTarget(target) =>
+      GraftDetailCommand(target)
+    case FsckStmt(target, dry) if ownsTarget(target) =>
+      GraftFsckCommand(target, dryRun = dry != null)
     case HistoryStmt(target) if ownsTarget(target) =>
       GraftHistoryCommand(target)
     // Delta ships the same statement, so only graft-owned targets are
@@ -130,8 +138,8 @@ final class GraftSqlParser(
       GraftDropColumnCommand(target, colName)
     // Delta ships the same syntax, so only a SOURCE that resolves to a
     // graft table (or a path literal) is captured
-    case CloneStmt(dst, src, ver) if ownsTarget(src) =>
-      GraftCloneCommand(dst, src, Option(ver).map(_.toLong))
+    case CloneStmt(dst, src, ver, ts) if ownsTarget(src) =>
+      GraftCloneCommand(dst, src, Option(ver).map(_.toLong), Option(ts))
     case _ => GraftTimeTravel(delegate.parsePlan(sqlText))
   }
 
@@ -433,24 +441,95 @@ case class GraftDropColumnCommand(target: String, colName: String)
   * registration of clones, like other path-DDL, goes through
   * `CREATE TABLE … USING graft LOCATION` afterwards. */
 case class GraftCloneCommand(dst: String, src: String,
-    asOf: Option[Long]) extends LeafRunnableCommand {
+    asOf: Option[Long], asOfTs: Option[String] = None)
+    extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    GraftLog.cloneShallow(session, GraftTarget.pathOf(session, src),
-      GraftTarget.pathOf(session, dst), asOf)
+    val srcPath = GraftTarget.pathOf(session, src)
+    // TIMESTAMP AS OF resolves through the same at-or-before contract
+    // as the read surface (GraftLog.versionAt); the literal is read as
+    // UTC, matching the pinned session timezone
+    val v = asOf.orElse(asOfTs.map { ts =>
+      val norm = ts.trim.replace(" ", "T")
+      val full = if (norm.contains("T")) norm else s"${norm}T00:00:00"
+      GraftLog.versionAt(session, srcPath,
+        java.time.LocalDateTime.parse(full)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    })
+    GraftLog.cloneShallow(session, srcPath,
+      GraftTarget.pathOf(session, dst), v)
     Seq.empty
   }
 }
 
 /** `VACUUM t RETAIN n VERSIONS` → [[GraftLog.vacuum]];
-  * `VACUUM t RETAIN n HOURS` → [[GraftLog.vacuumRetainHours]]. */
+  * `VACUUM t RETAIN n HOURS` → [[GraftLog.vacuumRetainHours]];
+  * `… DRY RUN` → [[GraftLog.vacuumDryRun]] (Delta's audit form: returns
+  * the would-be-deleted paths, touches nothing). */
 case class GraftVacuumCommand(target: String, retain: Int,
-    byHours: Boolean = false) extends LeafRunnableCommand {
+    byHours: Boolean = false, dryRun: Boolean = false)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    if (dryRun) Seq(AttributeReference("path", StringType,
+      nullable = false)())
+    else Seq.empty
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
-    if (byHours) GraftLog.vacuumRetainHours(session, path, retain.toDouble)
-    else GraftLog.vacuum(session, path, retain)
-    RefreshAfterDml(session, path, None)
-    Seq.empty
+    if (dryRun) {
+      // the HOURS form resolves its window to a version count first,
+      // mirroring vacuumRetainHours' suffix-count derivation
+      val keep =
+        if (!byHours) retain
+        else {
+          val cutoff =
+            System.currentTimeMillis() - retain.toLong * 3600 * 1000
+          math.max(1, GraftLog.history(session, path).collect()
+            .count(_.getTimestamp(4).getTime >= cutoff))
+        }
+      GraftLog.vacuumDryRun(session, path, keep).map(Row(_))
+    } else {
+      if (byHours)
+        GraftLog.vacuumRetainHours(session, path, retain.toDouble)
+      else GraftLog.vacuum(session, path, retain)
+      RefreshAfterDml(session, path, None)
+      Seq.empty
+    }
+  }
+}
+
+/** `DESCRIBE DETAIL t` → [[GraftLog.detail]] — the one-row table
+  * metadata summary (Delta's statement). */
+case class GraftDetailCommand(target: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("format", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("num_deletion_vectors", LongType,
+        nullable = false)(),
+      AttributeReference("partition_columns", StringType,
+        nullable = false)(),
+      AttributeReference("num_constraints", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftLog.detail(session, GraftTarget.pathOf(session, target))
+      .collect().toSeq
+}
+
+/** `FSCK REPAIR TABLE t [DRY RUN]` → [[GraftLog.fsck]] — audit (and on
+  * repair, transactionally drop) snapshot entries whose backing files
+  * vanished outside the log's control. Returns the missing paths. */
+case class GraftFsckCommand(target: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    val missing = GraftLog.fsck(session, path, dryRun)
+    if (!dryRun) RefreshAfterDml(session, path, None)
+    missing.map(Row(_))
   }
 }
 

@@ -375,6 +375,69 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE rest_t")
   }
 
+  test("SQL DESCRIBE DETAIL / VACUUM DRY RUN / FSCK REPAIR TABLE") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val d = Staging.tempDir("graft_det_") + "/cust"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwrite(cust.filter(col("c_custkey") <= 50)
+      .coalesce(1), d)                                           // v0
+    GraftLog.append(cust.filter(col("c_custkey") > 50)
+      .coalesce(1), d)                                           // v1
+    // DESCRIBE DETAIL: one row, commit-logged sizes, live counts
+    val det = spark.sql(s"DESCRIBE DETAIL '$d'").collect()
+    assert(det.length == 1)
+    val r = det.head
+    assert(r.getString(0) == "graft" && r.getLong(2) == 1L &&
+      r.getLong(3) == 2L && r.getLong(5) == 0L)
+    val diskBytes = GraftLog.snapshot(spark, d)._1
+      .map(f => new java.io.File(s"$d/$f").length).sum
+    assert(r.getLong(4) == diskBytes)
+    // VACUUM DRY RUN: v0-only files listed, NOTHING deleted
+    GraftLog.overwrite(cust.coalesce(1), d)                      // v2
+    val plan = spark.sql(s"VACUUM '$d' RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0))
+    // the listing mirrors the sweep exactly: the two v0/v1 part files
+    // plus their _SUCCESS markers (which the sweep also deletes)
+    assert(plan.count(_.endsWith(".parquet")) == 2, plan.mkString(","))
+    assert(GraftLog.versions(spark, d) == Seq(0L, 1L, 2L)) // untouched
+    plan.foreach(p => assert(new java.io.File(s"$d/$p").exists))
+    // FSCK: delete a backing file externally; DRY RUN lists it,
+    // repair drops the entry and reads work again
+    val victim = GraftLog.snapshot(spark, d)._1.head
+    assert(new java.io.File(s"$d/$victim").delete())
+    val dry = spark.sql(s"FSCK REPAIR TABLE '$d' DRY RUN")
+      .collect().map(_.getString(0))
+    assert(dry.toSeq == Seq(victim))
+    intercept[Exception] { GraftLog.read(spark, d).count() }
+    val fixed = spark.sql(s"FSCK REPAIR TABLE '$d'")
+      .collect().map(_.getString(0))
+    assert(fixed.toSeq == Seq(victim))
+    assert(GraftLog.read(spark, d).count() == 0) // the one live file died
+    assert(GraftLog.history(spark, d).collect()
+      .head.getString(1) == "fsck")
+    // a healthy table audits clean
+    assert(spark.sql(s"FSCK REPAIR TABLE '$d' DRY RUN").count() == 0)
+  }
+
+  test("SQL SHALLOW CLONE TIMESTAMP AS OF pins the historical snapshot") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val root = Staging.tempDir("graft_clts_")
+    val (src, dst) = (s"$root/src", s"$root/dst")
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwrite(cust.filter(col("c_custkey") <= 50), src)  // v0
+    Thread.sleep(5)
+    GraftLog.append(cust.filter(col("c_custkey") > 50), src)      // v1
+    // an instant between v0 and v1 resolves (at-or-before) to v0
+    val ts0 = GraftLog.history(spark, src).collect()
+      .find(_.getLong(0) == 0L).get.getTimestamp(4)
+    val lit = ts0.toInstant.atZone(java.time.ZoneOffset.UTC)
+      .toLocalDateTime.toString
+    spark.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$src' " +
+      s"TIMESTAMP AS OF '$lit'")
+    assert(GraftLog.read(spark, dst).count() ==
+      cust.filter(col("c_custkey") <= 50).count())
+  }
+
   test("SQL OPTIMIZE of a non-graft catalog table falls through to Spark") {
     spark.sql("DROP TABLE IF EXISTS maint_pq_t")
     spark.sql("CREATE TABLE maint_pq_t (id INT) USING parquet")
