@@ -495,10 +495,24 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
       // `option("readChangeFeed", true)` + `option("cdfKeys", "k1,k2")`:
       // stream the row-level change feed instead of the appended rows
       new GraftCdfStreamSource(sqlContext.sparkSession,
-        pathOf(parameters), cdfKeys(parameters))
+        pathOf(parameters), cdfKeys(parameters),
+        maxVersionsPerTrigger(parameters))
     else new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
       ignoreChanges =
-        parameters.get("ignoreChanges").exists(_.toBoolean))
+        parameters.get("ignoreChanges").exists(_.toBoolean),
+      maxVersions = maxVersionsPerTrigger(parameters))
+
+  // `option("maxVersionsPerTrigger", n)` — admission control, the Delta
+  // maxFilesPerTrigger analog at this source's natural granularity (the
+  // commit): a backfill over a long history drains as n-commit batches
+  // instead of one giant catch-up batch
+  private def maxVersionsPerTrigger(
+      parameters: Map[String, String]): Option[Int] =
+    parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.toInt
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
 }
 
 /** Streaming read of a GraftLog table — the "Delta table as a stream
@@ -519,7 +533,7 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
   * metadata sized driver work per trigger, data-proportional executor
   * work, no polling of data dirs (the log IS the notification channel). */
 final class GraftStreamSource(spark: SparkSession, table: String,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean, maxVersions: Option[Int] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -560,7 +574,24 @@ final class GraftStreamSource(spark: SparkSession, table: String,
       case Some(c) => latest.map(math.min(_, c))
       case None => latest
     }
-    capped.map(LongOffset(_)).orNull
+    // admission control: at most maxVersions commits per micro-batch —
+    // a long-history backfill drains as bounded batches (each a bounded
+    // file set / state update) instead of one giant catch-up batch.
+    // Retained versions are a contiguous suffix (vacuum truncates
+    // prefixes only), so version arithmetic equals commit counting; a
+    // FRESH start bases its first window at the oldest retained version
+    // (whose snapshot is the anchor batch), never below it.
+    val admitted = (capped, maxVersions) match {
+      case (Some(l), Some(m)) =>
+        val from = Option(start).map(toVersion).getOrElse(-1L)
+        val base =
+          if (from == -1L)
+            GraftLog.versions(spark, table).headOption.getOrElse(0L) - 1L
+          else from
+        Some(math.min(l, base + m))
+      case _ => capped
+    }
+    admitted.map(LongOffset(_)).orNull
   }
 
   override def reportLatestOffset(): COffset =
@@ -615,7 +646,7 @@ final class GraftStreamSource(spark: SparkSession, table: String,
   * relation of the same schema — zero rows, only the tag (the
   * FileStreamSource mechanism, applied to a derived plan). */
 final class GraftCdfStreamSource(spark: SparkSession, table: String,
-    keys: Seq[String])
+    keys: Seq[String], maxVersions: Option[Int] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -667,7 +698,20 @@ final class GraftCdfStreamSource(spark: SparkSession, table: String,
       case Some(c) => latest.map(math.min(_, c))
       case None => latest
     }
-    capped.map(LongOffset(_)).orNull
+    // admission control — same contract as GraftStreamSource: bounded
+    // commit windows per micro-batch, fresh starts based at the oldest
+    // retained version (the anchor-snapshot batch)
+    val admitted = (capped, maxVersions) match {
+      case (Some(l), Some(m)) =>
+        val from = Option(start).map(toVersion).getOrElse(-1L)
+        val base =
+          if (from == -1L)
+            GraftLog.versions(spark, table).headOption.getOrElse(0L) - 1L
+          else from
+        Some(math.min(l, base + m))
+      case _ => capped
+    }
+    admitted.map(LongOffset(_)).orNull
   }
 
   override def reportLatestOffset(): COffset =

@@ -104,6 +104,27 @@ class CdfSpec extends AnyFunSuite {
       .select("c_name").collect().head.getString(0) == probe.getString(1))
   }
 
+  test("CDF stream honors maxVersionsPerTrigger") {
+    val r = root(); val (t, ckpt, out) = (s"$r/t", s"$r/ckpt", s"$r/out")
+    GraftLog.overwrite(df(0 until 10, "a"), t)               // v0
+    GraftLog.append(df(10 until 20, "b"), t)                 // v1
+    GraftLog.delete(spark, t, col("id") < 2)                 // v2
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("cdfKeys", "id")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // one commit per micro-batch: snapshot, append, delete
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+    val got = spark.read.parquet(out)
+    assert(types(got) ==
+      Map("insert" -> 20L, "delete" -> 2L))
+    assert(got.groupBy("_commit_version").count().count() == 3)
+  }
+
   test("cdfKeys is validated and column-mapped tables are refused") {
     val r = root(); val t = s"$r/t"
     GraftLog.overwrite(df(0 until 5, "a"), t)

@@ -433,6 +433,48 @@ class GraftFileIndexSpec extends AnyFunSuite {
       cust.exceptAll(sunk).count() == 0)
   }
 
+  test("maxVersionsPerTrigger: bounded catch-up batches, same final rows") {
+    val root = Staging.tempDir("graft_fidx_mvt_")
+    val (t, ckpt, out) = (s"$root/t", s"$root/ckpt", s"$root/out")
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    // 5 commits of disjoint key slices
+    (0 until 5).foreach(i =>
+      GraftLog.append(cust.filter(col("c_custkey") % 5 === i), t))
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "2").load(t)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the 5-commit history drained as ceil(5/2)=3 bounded batches…
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+    // …and no batch carried more than 2 commits' worth of rows
+    val perCommitMax = (0 until 5)
+      .map(i => cust.filter(col("c_custkey") % 5 === i).count()).max
+    assert(batches.forall(_.numInputRows <= 2 * perCommitMax))
+    // delivery is still complete and exactly-once
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() == cust.count())
+    assert(sunk.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(sunk).count() == 0)
+    // vacuumed log + fresh capped stream: the anchor batch bases at the
+    // oldest retained version instead of probing truncated offsets
+    GraftLog.vacuum(spark, t, 2)
+    val (ckpt2, out2) = (s"$root/ckpt2", s"$root/out2")
+    val q2 = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val sunk2 = spark.read.parquet(out2)
+    assert(sunk2.count() == cust.count())
+  }
+
   test("streaming read rejects file-removing versions unless ignoreChanges") {
     val root = Staging.tempDir("graft_fidx_src_")
     val t = s"$root/t"
