@@ -893,33 +893,64 @@ object GraftLog {
     * data scan convert exists to avoid); skipping simply doesn't prune
     * until the first OPTIMIZE/overwrite materializes stats — Delta's
     * convert makes the same trade when stats collection is off.
-    * Flat directories only: hive-partitioned conversion would need the
-    * partition-layout schema split and is rejected loudly. */
+    *
+    * Hive-partitioned layouts convert too (Delta needs the partition
+    * schema spelled out; here it is read off the `col=val` dirs): each
+    * partition directory renames under the staging dir intact, entries
+    * keep their `col=val/` infix, and the commit stores the FULL
+    * inferred schema — exactly what [[overwritePartitioned]] records,
+    * so partition pruning and partitioned DML work unchanged. */
   def convert(spark: SparkSession, dir: String): Long = {
     require(versions(spark, dir).isEmpty,
       s"$dir is already a graft table")
     val f = fs(spark, dir)
     val root = new HPath(dir)
     require(f.exists(root), s"$dir does not exist")
-    val entries = f.listStatus(root).toSeq
-    require(!entries.exists(_.isDirectory),
-      s"convert supports flat parquet directories; $dir has " +
-        "subdirectories (hive-partitioned conversion is not supported)")
-    val parquets = entries.filter { st =>
+    val entries = f.listStatus(root).toSeq.filter { st =>
       val n = st.getPath.getName
-      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      !n.startsWith(".") && !n.startsWith("_")
     }
-    require(parquets.nonEmpty, s"no parquet files under $dir")
-    // schema BEFORE relocation (inference lists the dir eagerly)
+    val (dirs, files) = entries.partition(_.isDirectory)
+    val parquets = files.filter(_.getPath.getName.endsWith(".parquet"))
+    val partitioned = dirs.nonEmpty && dirs.forall(
+      _.getPath.getName.matches("[^=/]+=[^/]*"))
+    require(partitioned || dirs.isEmpty,
+      s"convert supports flat or hive-partitioned (col=val) parquet " +
+        s"directories; $dir mixes other subdirectories")
+    require(!(partitioned && parquets.nonEmpty),
+      s"$dir mixes top-level parquet files with col=val dirs")
+    require(partitioned || parquets.nonEmpty,
+      s"no parquet files under $dir")
+    // schema BEFORE relocation (inference lists the dir eagerly; for
+    // hive layouts it carries the partition columns — the full schema
+    // the partitioned commit protocol stores)
     val schema = spark.read.parquet(dir).schema
     val rel = s"$DataDirName/convert-${UUID.randomUUID()}"
     f.mkdirs(new HPath(s"$dir/$rel"))
-    val moved = parquets.map { st =>
-      val name = st.getPath.getName
-      require(f.rename(st.getPath, new HPath(s"$dir/$rel/$name")),
-        s"rename failed for $name")
-      (s"$rel/$name", st.getLen)
-    }
+    def walk(p: HPath): Seq[(String, Long)] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+          walk(st.getPath).map { case (s, len) => (s"$n/$s", len) }
+        else if (!st.isDirectory && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_")) Seq((n, st.getLen))
+        else Seq.empty
+      }
+    val moved: Seq[(String, Long)] =
+      if (partitioned) {
+        dirs.foreach { st =>
+          require(f.rename(st.getPath,
+            new HPath(s"$dir/$rel/${st.getPath.getName}")),
+            s"rename failed for ${st.getPath.getName}")
+        }
+        walk(new HPath(s"$dir/$rel")).sortBy(_._1)
+          .map { case (s, len) => (s"$rel/$s", len) }
+      } else parquets.map { st =>
+        val name = st.getPath.getName
+        require(f.rename(st.getPath, new HPath(s"$dir/$rel/$name")),
+          s"rename failed for $name")
+        (s"$rel/$name", st.getLen)
+      }
     spark.catalog.refreshByPath(dir)
     writeCommit(spark, dir, Commit(0L, "convert", moved.map(_._1),
       Seq.empty, schema.toDDL, System.currentTimeMillis(),

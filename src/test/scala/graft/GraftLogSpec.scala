@@ -203,11 +203,36 @@ class GraftLogSpec extends AnyFunSuite {
     GraftLog.delete(spark, t, col("id") < 3)
     assert(GraftLog.read(spark, t).count() == 28)
     assert(GraftLog.readVersion(spark, t, 0L).count() == 30) // time travel
-    // double convert and non-flat dirs are rejected loudly
+    // double convert and non-hive subdirectories are rejected loudly
     intercept[IllegalArgumentException] { GraftLog.convert(spark, t) }
-    val nested = tmp()
-    df(0 until 5, "x").write.partitionBy("tag").parquet(nested)
-    intercept[IllegalArgumentException] { GraftLog.convert(spark, nested) }
+    val weird = tmp()
+    df(0 until 5, "x").write.parquet(weird)
+    new java.io.File(s"$weird/not_a_partition").mkdir()
+    intercept[IllegalArgumentException] { GraftLog.convert(spark, weird) }
+  }
+
+  test("convert: hive-partitioned layout keeps pruning and DML") {
+    val t = tmp()
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "tag")
+      .write.partitionBy("tag").parquet(t)
+    assert(GraftLog.convert(spark, t) == 0L)
+    val (files, schema) = GraftLog.snapshot(spark, t)
+    assert(files.forall(_.contains("tag=")))       // layout preserved
+    assert(schema.fieldNames.map(_.toLowerCase).contains("tag")) // full
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 5)
+    assert(back.filter($"tag" === "b").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 4L))
+    // partitioned DML on the converted table
+    GraftLog.delete(spark, t, $"tag" === "c")
+    assert(GraftLog.read(spark, t).count() == 4)
+    GraftLog.merge(Seq((1L, "a"), (9L, "d")).toDF("id", "tag"),
+      t, Seq("id"))
+    val after = GraftLog.read(spark, t)
+    assert(after.count() == 5)
+    assert(after.filter($"tag" === "d").count() == 1)
+    assert(GraftLog.readVersion(spark, t, 0L).count() == 5) // time travel
   }
 
   test("vacuumRetainHours: cutoff boundary retained, live snapshot pinned") {
