@@ -72,7 +72,7 @@ final class GraftSqlParser(
   private val HistoryStmt =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+?)\s*;?\s*""".r
   private val RestoreStmt =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+?)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""".r
   private val ConvertStmt =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+(\S+?)\s*;?\s*""".r
   private val AddColumnsStmt =
@@ -109,8 +109,9 @@ final class GraftSqlParser(
       GraftHistoryCommand(target)
     // Delta ships the same statement, so only graft-owned targets are
     // captured (same dispatch as OPTIMIZE/VACUUM)
-    case RestoreStmt(target, v) if ownsTarget(target) =>
-      GraftRestoreCommand(target, v.toLong)
+    case RestoreStmt(target, v, ts) if ownsTarget(target) =>
+      GraftRestoreCommand(target,
+        Option(v).map(_.toLong), Option(ts))
     // our own keyword (Delta's is CONVERT TO DELTA) — path literals
     // only: the target is a RAW parquet dir, not yet any catalog table
     case ConvertStmt(target) =>
@@ -274,14 +275,32 @@ case class GraftConvertCommand(target: String) extends LeafRunnableCommand {
   }
 }
 
-/** `RESTORE [TABLE] t TO VERSION AS OF n` → [[GraftLog.restore]] — the
-  * Delta statement; one metadata commit rewinding the live set (files,
-  * DVs, Bloom bitmaps) to version n, history intact. */
-case class GraftRestoreCommand(target: String, version: Long)
-    extends LeafRunnableCommand {
+/** UTC epoch millis of a SQL timestamp/date literal — the shared parse
+  * for `TIMESTAMP AS OF` in RESTORE and SHALLOW CLONE (the session
+  * timezone is pinned UTC, see Sessions). */
+private object TsLiteral {
+  def toMillis(ts: String): Long = {
+    val norm = ts.trim.replace(" ", "T")
+    val full = if (norm.contains("T")) norm else s"${norm}T00:00:00"
+    java.time.LocalDateTime.parse(full)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n | TIMESTAMP AS OF 'ts'` →
+  * [[GraftLog.restore]] — the Delta statement; one metadata commit
+  * rewinding the live set (files, DVs, Bloom bitmaps) to the resolved
+  * version, history intact. Timestamps resolve at-or-before, the read
+  * surface's contract. */
+case class GraftRestoreCommand(target: String, version: Option[Long],
+    asOfTs: Option[String] = None) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
-    GraftLog.restore(session, path, version)
+    val v = version.orElse(asOfTs.map(ts =>
+      GraftLog.versionAt(session, path, TsLiteral.toMillis(ts))))
+      .getOrElse(throw new IllegalArgumentException(
+        "RESTORE needs VERSION AS OF or TIMESTAMP AS OF"))
+    GraftLog.restore(session, path, v)
     RefreshAfterDml(session, path, None)
     Seq.empty
   }
@@ -448,13 +467,8 @@ case class GraftCloneCommand(dst: String, src: String,
     // TIMESTAMP AS OF resolves through the same at-or-before contract
     // as the read surface (GraftLog.versionAt); the literal is read as
     // UTC, matching the pinned session timezone
-    val v = asOf.orElse(asOfTs.map { ts =>
-      val norm = ts.trim.replace(" ", "T")
-      val full = if (norm.contains("T")) norm else s"${norm}T00:00:00"
-      GraftLog.versionAt(session, srcPath,
-        java.time.LocalDateTime.parse(full)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
-    })
+    val v = asOf.orElse(asOfTs.map(ts => GraftLog.versionAt(session,
+      srcPath, TsLiteral.toMillis(ts))))
     GraftLog.cloneShallow(session, srcPath,
       GraftTarget.pathOf(session, dst), v)
     Seq.empty

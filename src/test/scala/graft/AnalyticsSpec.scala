@@ -372,6 +372,13 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(spark.table("rest_t").count() == nEarly)
       spark.sql("RESTORE TABLE rest_t TO VERSION AS OF 1")
       assert(spark.table("rest_t").count() == cust.count())
+      // TIMESTAMP AS OF form: v0's commit instant resolves to v0
+      val ts0 = GraftLog.history(spark, d).collect()
+        .find(_.getLong(0) == 0L).get.getTimestamp(4)
+      val lit = ts0.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .toLocalDateTime.toString
+      spark.sql(s"RESTORE TABLE rest_t TO TIMESTAMP AS OF '$lit'")
+      assert(spark.table("rest_t").count() == nEarly)
     } finally spark.sql("DROP TABLE rest_t")
   }
 
