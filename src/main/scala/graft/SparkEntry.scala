@@ -280,6 +280,10 @@ object SparkEntry {
     // versions, restart resumes exactly-once from the engine offset log
     "t13_graftlog_stream_source" ->
       ((s, d) => Transactions.streamingSource(s, d)),
+    // bounded backfill: maxVersionsPerTrigger drains a 5-commit history
+    // as 3 bounded micro-batches, rows exactly-once across boundaries
+    "i18_bounded_backfill" ->
+      ((s, d) => Transactions.boundedBackfill(s, d)),
     // DataFrameWriter surface: SaveMode overwrite+append through
     // format("graft") are transactional commits
     "t14_graftlog_write_api" ->
@@ -951,6 +955,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+    // i18: the capped catch-up must deliver every event exactly once
+    // (same aggregate as t13) in exactly ceil(5 commits / 2) = 3
+    // bounded micro-batches
+    "i18_bounded_backfill" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, 3 AS n_batches
         |FROM events GROUP BY 1""".stripMargin,
     // t14: overwrite(evens) + append(odds) through the writer API must
     // reassemble the full table

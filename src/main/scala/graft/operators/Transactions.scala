@@ -495,6 +495,39 @@ object Transactions {
         round(sumExact(col("value")).cast("double"), 6).as("total_value"))
   }
 
+  /** i18 — BOUNDED BACKFILL: the admission-control knob driven
+    * end-to-end. Five commits of events land first; then ONE
+    * AvailableNow drain with `maxVersionsPerTrigger=2` catches up in
+    * ceil(5/2)=3 bounded micro-batches instead of one giant batch — the
+    * shape that keeps executor memory and state-store updates flat when
+    * a stream is pointed at months of history. The result pins BOTH the
+    * rows (aggregate equals batch SQL over all events — nothing lost or
+    * duplicated across batch boundaries) and the batch count (the
+    * admission contract itself, as an `n_batches` column). */
+  def boundedBackfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val root = graft.sources.Staging.tempDir("graft_bbf_")
+    val (table, ckpt, out) = (s"$root/events_gl", s"$root/ckpt", s"$root/out")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+    (0 until 5).foreach { i =>
+      GraftLog.append(ev.filter(pmod(col("event_id"), lit(5)) === i), table)
+    }
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "2").load(table)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+      .withColumn("n_batches", lit(nBatches))
+  }
+
   /** i14 — the COMPOSED ingest path end-to-end: Kafka-shaped topic →
     * streaming consume (ledger-committed offsets only) → exactly-once
     * transactional append ([[GraftLog.txnAppend]] per micro-batch) →
