@@ -88,6 +88,9 @@ object SparkEntry {
     // data rewrite, immediate transactional DML on the converted table
     "d13_graft_sql_convert" ->
       ((s, d) => Ddl.graftSqlConvert(s, d)),
+    // named refs (Iceberg tags): VERSION AS OF 'tag' + vacuum pinning
+    "d14_graft_sql_tags" ->
+      ((s, d) => Ddl.graftSqlTags(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -1038,6 +1041,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  2 AS n_versions
         |FROM customer WHERE c_custkey % 7 <> 0""".stripMargin,
+    // d14: the tagged v0 snapshot (even keys) survives a RETAIN 1
+    // vacuum and resolves via VERSION AS OF 'baseline'; exactly the
+    // live v2 + pinned v0 remain addressable
+    "d14_graft_sql_tags" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  (SELECT count(*) FROM customer) AS latest_rows,
+        |  2 AS n_versions
+        |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
     // t15: restore rewinds the live set to v0 — the read is the seed
     "t15_graftlog_restore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -340,6 +340,43 @@ object Ddl {
       .withColumn("n_versions", lit(nVersions))
   }
 
+  private val stagedTags =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d14 — named refs (Iceberg tag analog) end-to-end: v0 (even
+    * customers) is tagged `baseline`, v2 overwrites with the full
+    * table, and a `RETAIN 1 VERSIONS` vacuum expires everything EXCEPT
+    * the live snapshot and the tagged version — the expire_snapshots
+    * retention contract. The read-back is `VERSION AS OF 'baseline'`
+    * (the string-version read surface), with the surviving version
+    * count and the live row count pinned as columns — so the oracle
+    * catches a vacuum that broke the pin, a tag that resolved to the
+    * wrong snapshot, and an over-retentive vacuum at once. Staging runs
+    * once per (JVM, corpus); re-runs only read. */
+  def graftSqlTags(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = stagedTags.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_tags_") + "/customer"
+      val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      graft.sources.GraftLog.overwrite(
+        cust.filter(col("c_custkey") % 2 === 0), d)            // v0
+      graft.sources.GraftLog.createTag(spark, d, "baseline")   // v1 → v0
+      graft.sources.GraftLog.overwrite(cust, d)                // v2
+      graft.sources.GraftLog.vacuum(spark, d, 1)               // pins v0
+      d
+    })
+    val t = s"graft_tags_cust_${math.abs(sfDir.hashCode).toString.take(8)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    val nVersions = graft.sources.GraftLog.versions(spark, dir).size
+    val latestRows = spark.table(t).count()
+    spark.sql(s"SELECT * FROM $t VERSION AS OF 'baseline'")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .withColumn("latest_rows", lit(latestRows))
+      .withColumn("n_versions", lit(nVersions))
+  }
+
   private val stagedSqlTT =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -74,7 +74,8 @@ object GraftLog {
       dvRemove: Seq[String] = Seq.empty,
       blooms: Map[String, Map[String, String]] = Map.empty,
       colMap: Map[String, String] = Map.empty,
-      checks: Map[String, String] = Map.empty)
+      checks: Map[String, String] = Map.empty,
+      tags: Map[String, Long] = Map.empty)
 
   /** Operations whose commits SET the column-mapping state explicitly
     * (an empty map from one of these means "mapping cleared/none");
@@ -90,6 +91,12 @@ object GraftLog {
     * them at the target version's set, clone carries the source's. */
   private val ChecksAuthoritative =
     Set("add_constraint", "drop_constraint", "restore", "clone")
+
+  /** Same contract for named refs: "tags = latest commit's tags".
+    * Restore is NOT authoritative (tags address versions, which restore
+    * never deletes); clone can't inherit anyway (its commit is v0, and
+    * source tags would dangle — they name versions of another log). */
+  private val TagsAuthoritative = Set("tag", "untag")
 
   private[sources] val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
@@ -174,10 +181,15 @@ object GraftLog {
       else ","+"\"checks\":" + c.checks.toSeq.sortBy(_._1).map {
         case (nm, ex) => "\"" + esc(nm) + "\":\"" + esc(ex) + "\""
       }.mkString("{", ",", "}")
+    val tagsPart =
+      if (c.tags.isEmpty) ""
+      else ","+"\"tags\":" + c.tags.toSeq.sortBy(_._1).map {
+        case (nm, v) => "\"" + esc(nm) + "\":" + v
+      }.mkString("{", ",", "}")
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
-      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$colMapPart$checksPart$txnsPart}"""
+      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$colMapPart$checksPart$tagsPart$txnsPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -266,10 +278,20 @@ object GraftLog {
         }
         out.toMap
       }
+    val tags =
+      if (!n.has("tags")) Map.empty[String, Long]
+      else {
+        val tn = n.get("tags")
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        tn.fieldNames().forEachRemaining { nm =>
+          out += nm -> tn.get(nm).asLong()
+        }
+        out.toMap
+      }
     Commit(n.get("version").asLong(), n.get("operation").asText(),
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
       n.get("timestampMs").asLong(), txn, stats, txns, sizes,
-      optArr("dvAdd"), optArr("dvRemove"), blooms, colMap, checks)
+      optArr("dvAdd"), optArr("dvRemove"), blooms, colMap, checks, tags)
   }
 
   // ------------------------------------------------------------- protocol
@@ -347,15 +369,19 @@ object GraftLog {
       !ColMapAuthoritative(c.operation)
     val inheritChecks = c.checks.isEmpty && c.version > 0 &&
       !ChecksAuthoritative(c.operation)
+    val inheritTags = c.tags.isEmpty && c.version > 0 &&
+      !TagsAuthoritative(c.operation)
     val withMeta =
-      if (!inheritMap && !inheritChecks) c
+      if (!inheritMap && !inheritChecks && !inheritTags) c
       else {
         val prev = previousCommit(spark, table, c.version)
         c.copy(
           colMap = if (inheritMap) prev.map(_.colMap)
             .getOrElse(c.colMap) else c.colMap,
           checks = if (inheritChecks) prev.map(_.checks)
-            .getOrElse(c.checks) else c.checks)
+            .getOrElse(c.checks) else c.checks,
+          tags = if (inheritTags) prev.map(_.tags)
+            .getOrElse(c.tags) else c.tags)
       }
     if (!putIfAbsent(spark, table, logName(withMeta.version),
         toJson(withMeta)))
@@ -2482,9 +2508,18 @@ object GraftLog {
     val all = versions(spark, table)
     if (all.size <= retainVersions) return
     val keep = all.takeRight(retainVersions)
+    // tagged versions below the horizon are PINNED (Iceberg's
+    // expire_snapshots contract): each gets a self-contained checkpoint
+    // FIRST (its replay base survives the log truncation), its log
+    // entry is kept, and its files/DVs join the needed set
+    val pinned = tags(spark, table).values.toSet
+      .filter(v => all.contains(v) && v < keep.head).toSeq.sorted
+    pinned.foreach(v => checkpoint(spark, table, Some(v)))
     checkpoint(spark, table, Some(keep.head))
-    val needed = keep.flatMap(v => snapshot(spark, table, Some(v))._1).toSet ++
-      keep.flatMap(v => deletionVectors(spark, table, Some(v)))
+    val protectedVs = keep ++ pinned
+    val needed =
+      protectedVs.flatMap(v => snapshot(spark, table, Some(v))._1).toSet ++
+        protectedVs.flatMap(v => deletionVectors(spark, table, Some(v)))
     val f = fs(spark, table)
     val dataDir = new HPath(table, DataDirName)
     if (f.exists(dataDir)) {
@@ -2533,14 +2568,85 @@ object GraftLog {
       sweepDv(dvDir)
     }
     val logDir = new HPath(table, LogDirName)
-    all.dropRight(retainVersions).foreach { v =>
+    all.dropRight(retainVersions)
+      .filterNot(pinned.contains).foreach { v =>
       f.delete(new HPath(logDir, logName(v)), false)
     }
-    // superseded checkpoints below the one just written
-    checkpointVersions(spark, table).filter(_ < keep.head).foreach { v =>
+    // superseded checkpoints below the one just written — except the
+    // pinned versions' own replay bases
+    checkpointVersions(spark, table)
+      .filter(v => v < keep.head && !pinned.contains(v)).foreach { v =>
       f.delete(new HPath(logDir, ckptName(v)), false)
     }
   }
+
+  // ------------------------------------------------------------ named refs
+
+  /** Named refs in force (Iceberg tag analog): name → version. The
+    * writeCommit inheritance invariant makes this the latest commit's
+    * `tags` field — one small-JSON read, no replay. */
+  def tags(spark: SparkSession, table: String): Map[String, Long] = {
+    val all = versions(spark, table)
+    if (all.isEmpty) Map.empty else readCommit(spark, table, all.last).tags
+  }
+
+  /** Create (or re-point, only idempotently) a tag naming `version` (or
+    * the latest when None) — Iceberg's `ALTER TABLE … CREATE TAG`. A
+    * tag is a durable named snapshot address: `VERSION AS OF 'name'`
+    * resolves through it, and [[vacuum]] PINS tagged versions (their
+    * files, log entry, and a self-contained checkpoint survive any
+    * retention window — Iceberg's expire_snapshots contract). */
+  def createTag(spark: SparkSession, table: String, name: String,
+      version: Option[Long] = None): Long =
+      rebaseOnConflict(table, "tag") { () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty, s"$table is not a graft table")
+    val all = versions(spark, table)
+    val target = version.getOrElse(all.last)
+    require(all.contains(target),
+      s"cannot tag version $target of $table (have ${all.mkString(",")})")
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
+      s"invalid tag name '$name'")
+    val cur = tags(spark, table)
+    require(!cur.contains(name) || cur(name) == target,
+      s"tag $name already names version ${cur(name)} of $table")
+    val v = vRead.get + 1
+    writeCommit(spark, table, Commit(v, "tag", Seq.empty, Seq.empty,
+      snapshot(spark, table)._2.toDDL, System.currentTimeMillis(),
+      tags = cur + (name -> target)))
+    v
+  }
+
+  /** Drop a tag — the version it named becomes expirable again. */
+  def dropTag(spark: SparkSession, table: String, name: String): Long =
+      rebaseOnConflict(table, "untag") { () =>
+    val vRead = latestVersion(spark, table)
+    val cur = tags(spark, table)
+    require(cur.contains(name),
+      s"no tag '$name' on $table (have ${cur.keys.toSeq.sorted
+        .mkString(",")})")
+    val v = vRead.get + 1
+    // authoritative op: an empty map from "untag" means "no tags",
+    // never "inherit"
+    writeCommit(spark, table, Commit(v, "untag", Seq.empty, Seq.empty,
+      snapshot(spark, table)._2.toDDL, System.currentTimeMillis(),
+      tags = cur - name))
+    v
+  }
+
+  /** Resolve a tag to its version, failing loudly with the available
+    * names. */
+  def versionOfTag(spark: SparkSession, table: String,
+      name: String): Long = {
+    val cur = tags(spark, table)
+    cur.getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' on $table (have ${cur.keys.toSeq.sorted
+        .mkString(",")})"))
+  }
+
+  /** Read the snapshot a tag names. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame =
+    readVersion(spark, table, versionOfTag(spark, table, name))
 
   /** Files the next [[vacuum]] with this retention would delete —
     * Delta's `VACUUM … DRY RUN`: the audit listing, nothing touched.
@@ -2551,9 +2657,12 @@ object GraftLog {
     val all = versions(spark, table)
     if (all.size <= retainVersions) return Seq.empty
     val keep = all.takeRight(retainVersions)
+    val pinned = tags(spark, table).values.toSet
+      .filter(v => all.contains(v) && v < keep.head).toSeq
+    val protectedVs = keep ++ pinned
     val needed =
-      keep.flatMap(v => snapshot(spark, table, Some(v))._1).toSet ++
-        keep.flatMap(v => deletionVectors(spark, table, Some(v)))
+      protectedVs.flatMap(v => snapshot(spark, table, Some(v))._1).toSet ++
+        protectedVs.flatMap(v => deletionVectors(spark, table, Some(v)))
     val f = fs(spark, table)
     def walk(dir: HPath, relOf: String => Option[String]): Seq[String] =
       if (!f.exists(dir)) Seq.empty

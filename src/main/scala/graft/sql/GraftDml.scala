@@ -83,6 +83,10 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val DropColumnStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMNS?\s*\(?\s*(\w+)\s*\)?\s*;?\s*""".r
+  private val CreateTagStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+CREATE\s+TAG\s+(\S+?)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val DropTagStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+TAG\s+(\S+?)\s*;?\s*""".r
   private val AddConstraintStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintStmt =
@@ -125,6 +129,12 @@ final class GraftSqlParser(
     case RenameColumnStmt(target, oldName, newName)
         if isGraftTable(target) =>
       GraftRenameColumnCommand(target, oldName, newName)
+    // Iceberg's tag DDL (Spark has no CREATE/DROP TAG grammar of its
+    // own, so graft-resolvable targets are safe to capture)
+    case CreateTagStmt(target, name, ver) if isGraftTable(target) =>
+      GraftCreateTagCommand(target, name, Option(ver).map(_.toLong))
+    case DropTagStmt(target, name) if isGraftTable(target) =>
+      GraftDropTagCommand(target, name)
     case AddConstraintStmt(target, name, check) if isGraftTable(target) =>
       GraftAddConstraintCommand(target, name, check)
     case DropConstraintStmt(target, name) if isGraftTable(target) =>
@@ -222,7 +232,11 @@ private object GraftTimeTravel {
           case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
             graftPathOpt(s, u.multipartIdentifier).map { path =>
               val v = ver match {
-                case Some(n) => n.toLong
+                // a non-numeric version is a NAMED REF: `VERSION AS OF
+                // 'tag'` resolves through the tag table (Iceberg's
+                // string-version read surface)
+                case Some(n) => scala.util.Try(n.toLong).getOrElse(
+                  GraftLog.versionOfTag(s, path, n))
                 case None => versionAt(s, path, ts.get)
               }
               GraftLog.readVersion(s, path, v).queryExecution.logical
@@ -263,6 +277,27 @@ private object GraftTimeTravel {
 
 /** `DESCRIBE HISTORY t` → [[GraftLog.history]] rows (Delta's surface:
   * one row per commit, newest first). */
+/** `ALTER TABLE t CREATE TAG name [AS OF VERSION n]` →
+  * [[GraftLog.createTag]] (Iceberg's tag DDL; tags pin their versions
+  * through vacuum). */
+case class GraftCreateTagCommand(target: String, name: String,
+    version: Option[Long]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.createTag(session, GraftTarget.pathOf(session, target),
+      name, version)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP TAG name` → [[GraftLog.dropTag]]. */
+case class GraftDropTagCommand(target: String, name: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.dropTag(session, GraftTarget.pathOf(session, target), name)
+    Seq.empty
+  }
+}
+
 /** `CONVERT TO GRAFT '<path>'` → [[GraftLog.convert]] — in-place
   * migration of a plain parquet directory (Delta `CONVERT TO DELTA`
   * analog; no data rewrite). */

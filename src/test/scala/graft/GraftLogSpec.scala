@@ -260,6 +260,79 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 15)
   }
 
+  test("tags: named refs resolve, inherit across commits, drop cleanly") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a"), t)                // v0
+    GraftLog.append(df(10 until 20, "b"), t)                  // v1
+    GraftLog.createTag(spark, t, "baseline", Some(0L))        // v2
+    assert(GraftLog.tags(spark, t) == Map("baseline" -> 0L))
+    assert(GraftLog.readTag(spark, t, "baseline").count() == 10)
+    // ordinary commits inherit the tag state
+    GraftLog.append(df(20 until 25, "c"), t)                  // v3
+    assert(GraftLog.tags(spark, t) == Map("baseline" -> 0L))
+    // re-tagging the same target is idempotent; a different one is not
+    GraftLog.createTag(spark, t, "baseline", Some(0L))        // v4
+    intercept[IllegalArgumentException] {
+      GraftLog.createTag(spark, t, "baseline", Some(1L))
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.createTag(spark, t, "ghost", Some(99L))
+    }
+    GraftLog.dropTag(spark, t, "baseline")                    // v5
+    assert(GraftLog.tags(spark, t).isEmpty)
+    // dropped tag state also inherits (stays empty, never resurrects)
+    GraftLog.append(df(25 until 30, "d"), t)                  // v6
+    assert(GraftLog.tags(spark, t).isEmpty)
+    intercept[IllegalArgumentException] {
+      GraftLog.versionOfTag(spark, t, "baseline")
+    }
+  }
+
+  test("tags pin their versions through vacuum (expire_snapshots contract)") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a").coalesce(1), t)    // v0
+    GraftLog.createTag(spark, t, "keepme")                    // v1 → v0
+    GraftLog.overwrite(df(10 until 15, "b").coalesce(1), t)   // v2
+    GraftLog.append(df(15 until 20, "c").coalesce(1), t)      // v3
+    // dry run agrees: v0's file is NOT expirable while tagged
+    val plan = GraftLog.vacuumDryRun(spark, t, 2)
+    val v0files = GraftLog.snapshot(spark, t, Some(0L))._1.toSet
+    assert(plan.toSet.intersect(v0files).isEmpty)
+    GraftLog.vacuum(spark, t, 2)
+    // v2/v3 retained, v0 pinned by the tag, v1 expired
+    assert(GraftLog.versions(spark, t) == Seq(0L, 2L, 3L))
+    assert(GraftLog.readTag(spark, t, "keepme").count() == 10)
+    assert(GraftLog.read(spark, t).count() == 10) // 5 b + 5 c
+    // dropping the tag makes v0 expirable on the next vacuum
+    GraftLog.dropTag(spark, t, "keepme")                      // v4
+    GraftLog.vacuum(spark, t, 2)
+    assert(GraftLog.versions(spark, t) == Seq(3L, 4L))
+    assert(GraftLog.read(spark, t).count() == 10)
+  }
+
+  test("tags: SQL DDL + VERSION AS OF 'tag' read") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a"), t)                // v0
+    GraftLog.append(df(10 until 20, "b"), t)                  // v1
+    spark.sql("DROP TABLE IF EXISTS tag_t")
+    spark.sql(s"CREATE TABLE tag_t USING graft OPTIONS (path '$t')")
+    try {
+      spark.sql("ALTER TABLE tag_t CREATE TAG v0_audit AS OF VERSION 0")
+      assert(GraftLog.tags(spark, t) == Map("v0_audit" -> 0L))
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM tag_t VERSION AS OF 'v0_audit'")
+        .head.getLong(0) == 10)
+      // bare CREATE TAG names the latest version (the v2 tag commit)
+      spark.sql("ALTER TABLE tag_t CREATE TAG latest")
+      assert(GraftLog.versionOfTag(spark, t, "latest") == 2L)
+      spark.sql("ALTER TABLE tag_t DROP TAG v0_audit")
+      intercept[Exception] {
+        spark.sql("SELECT * FROM tag_t VERSION AS OF 'v0_audit'")
+          .collect()
+      }
+    } finally spark.sql("DROP TABLE tag_t")
+  }
+
   test("txnAppend is idempotent per (appId, batchId) and per-app scoped") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 5, "seed"), t)
