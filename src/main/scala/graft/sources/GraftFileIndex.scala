@@ -410,7 +410,8 @@ object GraftFileIndex {
   * (see [[GraftStreamSource]]). */
 final class GraftDataSource extends RelationProvider with DataSourceRegister
     with org.apache.spark.sql.sources.CreatableRelationProvider
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -513,6 +514,57 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
       n
     }
+
+  /** `df.writeStream.format("graft").start(path)` — the Delta streaming
+    * SINK: each micro-batch lands as ONE transactional commit via the
+    * (appId, batchId) idempotence ledger, so engine retries of a batch
+    * are exact no-ops and the sink is end-to-end exactly-once with NO
+    * foreachBatch plumbing. Append mode → [[GraftLog.txnAppend]];
+    * Complete mode → a whole-table overwrite per batch (the ledger
+    * still absorbs replays). `appId` defaults to a stable hash of the
+    * checkpoint location (one ledger entry per checkpointed query, the
+    * Delta sink's scoping), overridable via `option("txnAppId", …)`. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "the graft streaming sink writes flat layouts (partition the " +
+        "table with a batch overwritePartitioned first, then stream " +
+        "through foreachBatch + txnAppend)")
+    val path = pathOf(parameters)
+    val appId = parameters.getOrElse("txnAppId",
+      "graft-sink-" + math.abs(parameters.getOrElse("checkpointLocation",
+        path).hashCode).toString)
+    new GraftStreamSink(path, appId,
+      complete = outputMode ==
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+  }
+}
+
+/** The V1 sink behind `writeStream.format("graft")` (see
+  * [[GraftDataSource.createSink]]). */
+final class GraftStreamSink(path: String, appId: String,
+    complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graftbridge.StreamBatch
+      .materialize(data)
+    if (complete) {
+      // Complete output replaces the table every batch; idempotence
+      // still matters (a replayed overwrite must not double-commit), so
+      // route through the ledger check then overwrite
+      val spark = batch.sparkSession
+      if (!GraftLog.lastCommittedBatch(spark, path, appId)
+          .exists(_ >= batchId)) {
+        GraftLog.overwriteTxn(batch, path, appId, batchId); ()
+      }
+    } else {
+      GraftLog.txnAppend(batch, path, appId, batchId); ()
+    }
+  }
+  override def toString: String = s"GraftStreamSink[$path]"
 }
 
 /** Streaming read of a GraftLog table — the "Delta table as a stream

@@ -993,6 +993,44 @@ object GraftLog {
       df.schema.toDDL)
   }
 
+  /** Idempotent transactional overwrite — the Complete-mode streaming
+    * sink's commit: the (appId, batchId) ledger makes a replayed batch
+    * a no-op (-1), otherwise one whole-table overwrite commit stamped
+    * with the txn lands. Mirrors [[txnMerge]]'s recompute-on-conflict
+    * policy: on a collision the ledger is re-checked and the overwrite
+    * re-claims against the fresh snapshot. */
+  def overwriteTxn(df: DataFrame, table: String, appId: String,
+      batchId: Long): Long = {
+    val spark = df.sparkSession
+    enforceChecks(df, checkConstraints(spark, table), "overwriteTxn")
+    var result: Option[Long] = None
+    var attempts = 0
+    while (result.isEmpty) {
+      if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
+        result = Some(-1L)
+      else {
+        val s = stageWithStats(df, table)
+        val vRead = latestVersion(spark, table)
+        val prior =
+          if (vRead.isEmpty) Seq.empty[String]
+          else snapshot(spark, table)._1
+        val v = vRead.map(_ + 1).getOrElse(0L)
+        try {
+          writeCommit(spark, table, Commit(v, "overwrite", s.files,
+            prior, df.schema.toDDL, System.currentTimeMillis(),
+            txn = Some((appId, batchId)), stats = s.stats,
+            sizes = s.sizes))
+          result = Some(v)
+        } catch {
+          case _: CommitConflictException =>
+            backoffOrGiveUp(attempts, table, "overwriteTxn")
+        }
+        attempts += 1
+      }
+    }
+    result.get
+  }
+
   // --------------------------------------------------- partitioned layout
 
   /** True iff the relative path sits in a hive-style `col=val` dir. */

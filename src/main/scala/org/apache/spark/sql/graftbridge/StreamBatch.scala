@@ -28,4 +28,17 @@ object StreamBatch {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** The inverse of [[ofRelation]], for a V1 streaming `Sink.addBatch`:
+    * the incoming micro-batch DataFrame carries the streaming tag, so
+    * ordinary writers refuse it. Re-wrap the EXECUTED rows (`toRdd` of
+    * the incremental plan — each batch row copied out of the unsafe
+    * buffer) as a plain batch frame, exactly the de-streaming hop
+    * Spark's own sinks perform. */
+  def materialize(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[ClassicSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd.map(_.copy()), data.schema,
+      isStreaming = false)
+  }
 }

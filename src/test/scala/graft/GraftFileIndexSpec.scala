@@ -433,6 +433,56 @@ class GraftFileIndexSpec extends AnyFunSuite {
       cust.exceptAll(sunk).count() == 0)
   }
 
+  test("writeStream.format(graft): direct exactly-once streaming sink") {
+    val root = Staging.tempDir("graft_sink_")
+    val (src, t, ckpt) = (s"$root/src", s"$root/t", s"$root/ckpt")
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(t)
+      q.awaitTermination()
+    }
+    GraftLog.append(cust.filter(col("c_custkey") < 50), src)
+    drain()
+    assert(GraftLog.read(spark, t).count() ==
+      cust.filter(col("c_custkey") < 50).count())
+    drain() // no new commits → nothing re-delivered, no empty commit
+    val nVersions = GraftLog.versions(spark, t).size
+    GraftLog.append(cust.filter(col("c_custkey") >= 50), src)
+    drain() // resume delivers only the new commit, as one txn commit
+    val sunk = GraftLog.read(spark, t)
+    assert(sunk.count() == cust.count())
+    assert(sunk.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(sunk).count() == 0)
+    assert(GraftLog.versions(spark, t).size == nVersions + 1)
+    // the sink's commits carry the txn ledger (idempotence inspectable)
+    assert(GraftLog.history(spark, t).collect()
+      .forall(_.getString(1) == "streamingAppend"))
+  }
+
+  test("writeStream.format(graft) Complete mode overwrites per batch") {
+    val root = Staging.tempDir("graft_sinkc_")
+    val (t, ckpt) = (s"$root/t", s"$root/ckpt")
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+    // memory-source-free Complete query: a rate stream aggregate
+    val q = rate.groupBy().count()
+      .writeStream.format("graft").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(t)
+    q.awaitTermination()
+    val back = GraftLog.read(spark, t)
+    assert(back.columns.toSeq == Seq("count"))
+    assert(back.count() == 1) // one aggregate row, latest batch only
+    assert(GraftLog.history(spark, t).collect()
+      .head.getString(1) == "overwrite")
+  }
+
   test("maxVersionsPerTrigger: bounded catch-up batches, same final rows") {
     val root = Staging.tempDir("graft_fidx_mvt_")
     val (t, ckpt, out) = (s"$root/t", s"$root/ckpt", s"$root/out")
