@@ -287,6 +287,10 @@ object SparkEntry {
     // as 3 bounded micro-batches, rows exactly-once across boundaries
     "i18_bounded_backfill" ->
       ((s, d) => Transactions.boundedBackfill(s, d)),
+    // direct streaming sink (writeStream.format("graft")): one txn
+    // commit per micro-batch, kill/resume/redrain exactly-once
+    "i19_direct_sink" ->
+      ((s, d) => Transactions.directSink(s, d)),
     // DataFrameWriter surface: SaveMode overwrite+append through
     // format("graft") are transactional commits
     "t14_graftlog_write_api" ->
@@ -966,6 +970,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, 3 AS n_batches
+        |FROM events GROUP BY 1""".stripMargin,
+    // i19: the direct sink relays every event exactly once in exactly
+    // two sink commits (one per drained source commit; the redrain
+    // adds none)
+    "i19_direct_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, 2 AS n_commits
         |FROM events GROUP BY 1""".stripMargin,
     // t14: overwrite(evens) + append(odds) through the writer API must
     // reassemble the full table

@@ -528,6 +528,42 @@ object Transactions {
       .withColumn("n_batches", lit(nBatches))
   }
 
+  /** i19 — the DIRECT streaming sink end-to-end:
+    * `writeStream.format("graft")` relays a graft source table into a
+    * graft sink table with one ledger-stamped transactional commit per
+    * micro-batch and ZERO foreachBatch plumbing (the Delta streaming
+    * sink shape). Two drains with a kill between them: the second
+    * resumes past the committed offset and lands exactly one more
+    * commit; a final no-new-data redrain adds none — so the pinned
+    * commit count (2) is the exactly-once evidence, and the aggregate
+    * equals the batch SQL over all events (nothing lost/duplicated
+    * across the source→sink seam). */
+  def directSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val root = graft.sources.Staging.tempDir("graft_dsink_")
+    val (src, t, ckpt) = (s"$root/src", s"$root/t", s"$root/ckpt")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(t)
+      q.awaitTermination()
+    }
+    GraftLog.append(ev.filter(pmod(col("event_id"), lit(2)) === 0), src)
+    drain() // phase 1, then "kill"
+    GraftLog.append(ev.filter(pmod(col("event_id"), lit(2)) === 1), src)
+    drain() // resume: exactly one more sink commit
+    drain() // no new data: NO commit (ledger idempotence)
+    val nCommits = GraftLog.versions(spark, t).size
+    GraftLog.read(spark, t)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+      .withColumn("n_commits", lit(nCommits))
+  }
+
   /** i14 — the COMPOSED ingest path end-to-end: Kafka-shaped topic →
     * streaming consume (ledger-committed offsets only) → exactly-once
     * transactional append ([[GraftLog.txnAppend]] per micro-batch) →

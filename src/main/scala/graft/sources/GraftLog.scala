@@ -386,7 +386,20 @@ object GraftLog {
     if (!putIfAbsent(spark, table, logName(withMeta.version),
         toJson(withMeta)))
       throw new CommitConflictException(c.version, table)
+    // Auto-checkpoint every CheckpointInterval commits (Delta writes one
+    // each 10th commit for the same reason): replay cost stays bounded
+    // by the interval instead of growing with table age — at 100 TB a
+    // years-old table would otherwise pay thousands of small-JSON reads
+    // per snapshot resolution. Best-effort: a competing writer racing
+    // the same checkpoint loses the put-if-absent harmlessly, and a
+    // failure here must never fail the already-durable commit.
+    if (withMeta.version > 0 && withMeta.version % CheckpointInterval == 0)
+      try { checkpoint(spark, table, Some(withMeta.version)); () }
+      catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  /** Commits between automatic checkpoints (Delta's own cadence). */
+  private val CheckpointInterval = 10L
 
   /** The commit just before version `v` (None for a table whose log
     * starts at v — then there is nothing to inherit). Falls back to the

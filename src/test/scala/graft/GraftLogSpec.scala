@@ -333,6 +333,18 @@ class GraftLogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE tag_t")
   }
 
+  test("auto-checkpoint lands every 10th commit; replay stays exact") {
+    val t = tmp()
+    (0 until 23).foreach(i => GraftLog.append(df(i to i, "a"), t))
+    // commits v0..v22 → auto-checkpoints at v10 and v20
+    val cks = GraftLog.checkpointVersions(spark, t)
+    assert(cks.contains(10L) && cks.contains(20L), cks.mkString(","))
+    // replay through the checkpoint equals the full-log answer
+    assert(GraftLog.read(spark, t).count() == 23)
+    assert(GraftLog.readVersion(spark, t, 15L).count() == 16)
+    assert(GraftLog.readVersion(spark, t, 9L).count() == 10)
+  }
+
   test("txnAppend is idempotent per (appId, batchId) and per-app scoped") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 5, "seed"), t)
