@@ -1795,10 +1795,11 @@ object GraftLog {
     * source. */
   def merge(source: DataFrame, table: String, keys: Seq[String],
       updateMatched: Boolean = true, insertUnmatched: Boolean = true,
-      deleteUnmatchedBySource: Boolean = false): Long =
+      deleteUnmatchedBySource: Boolean = false,
+      mergeSchema: Boolean = false): Long =
     rebaseOnConflict(table, "merge") { () =>
       mergeImpl(source, table, keys, txn = None, updateMatched,
-        insertUnmatched, deleteUnmatchedBySource)
+        insertUnmatched, deleteUnmatchedBySource, mergeSchema)
     }
 
   /** Idempotent transactional MERGE for streaming upsert sinks — the
@@ -1835,7 +1836,8 @@ object GraftLog {
   private def mergeImpl(source: DataFrame, table: String, keys: Seq[String],
       txn: Option[(String, Long)], updateMatched: Boolean = true,
       insertUnmatched: Boolean = true,
-      deleteUnmatchedBySource: Boolean = false): Long = {
+      deleteUnmatchedBySource: Boolean = false,
+      mergeSchema: Boolean = false): Long = {
     require(updateMatched || insertUnmatched || deleteUnmatchedBySource,
       "merge needs at least one clause")
     val spark = source.sparkSession
@@ -1843,9 +1845,29 @@ object GraftLog {
     // after this read collides and routes through the caller's loop
     val vRead = latestVersion(spark, table)
     requireNoDvs(spark, table, "merge")
-    val (files, schema) = snapshot(spark, table)
+    val (files, schema0) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
     val cmap = columnMapping(spark, table)
+    // MERGE schema evolution (Delta autoMerge): source columns absent
+    // from the target WIDEN the commit schema; untouched files simply
+    // lack them and the schema-directed read fills typed NULLs — the
+    // same merge-on-read contract as appendMergeSchema. Shared columns
+    // still type-check strictly; the source must carry every target
+    // column (SET */INSERT * needs a value for each).
+    val schema = if (!mergeSchema) schema0 else {
+      require(cmap.isEmpty, "merge schema evolution on a column-mapped " +
+        s"table is not supported; compact $table first")
+      val byName = schema0.fields.map(f => f.name.toLowerCase -> f).toMap
+      source.schema.fields.foreach { f =>
+        byName.get(f.name.toLowerCase).foreach { g =>
+          require(sameTypeModuloNull(f.dataType, g.dataType),
+            s"merge column ${f.name}: type ${f.dataType.sql} does not " +
+              s"match table type ${g.dataType.sql}")
+        }
+      }
+      StructType(schema0.fields ++ source.schema.fields.filterNot(f =>
+        byName.contains(f.name.toLowerCase)))
+    }
     // source and keys arrive in LOGICAL terms; the whole rewrite then
     // runs physically (mapping implies a flat layout)
     val src = toPhysicalDf(

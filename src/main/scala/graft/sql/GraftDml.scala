@@ -707,7 +707,28 @@ private object RefreshAfterDml {
   def apply(session: SparkSession, path: String,
       table: Option[String]): Unit = {
     table match {
-      case Some(t) => session.catalog.refreshTable(t)
+      case Some(t) =>
+        // schema evolution (autoMerge) moves the log's schema past the
+        // one the catalog recorded at CREATE TABLE — re-point it (Delta
+        // updates the metastore the same way), else the next relation
+        // resolution fails on user-specified-schema mismatch
+        try {
+          // the rule captures FULLY-QUALIFIED names (catalog.db.table);
+          // the session catalog keys on (db, table)
+          val parts = session.sessionState.sqlParser
+            .parseMultipartIdentifier(t).takeRight(2)
+          val ident = parts match {
+            case Seq(db, tbl) =>
+              org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))
+            case Seq(tbl) =>
+              org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+          }
+          val cur = GraftFileIndex.relation(session, path, None).schema
+          val meta = session.sessionState.catalog.getTableMetadata(ident)
+          if (meta.schema != cur)
+            session.sessionState.catalog.alterTableDataSchema(ident, cur)
+        } catch { case scala.util.control.NonFatal(_) => () }
+        session.catalog.refreshTable(t)
       case None => session.sessionState.catalog.invalidateAllCachedTables()
     }
     session.catalog.refreshByPath(path)
@@ -743,8 +764,13 @@ case class GraftMergeCommand(path: String, table: Option[String],
     insertUnmatched: Boolean = true, deleteUnmatchedBySource: Boolean = false)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    // Delta's spark.databricks.delta.schema.autoMerge.enabled analog:
+    // when set, source-only columns widen the target schema
+    val autoMerge = session.conf
+      .get("spark.graft.schema.autoMerge.enabled", "false").toBoolean
     GraftLog.merge(StreamBatch.ofPlan(session, source), path, keys,
-      updateMatched, insertUnmatched, deleteUnmatchedBySource)
+      updateMatched, insertUnmatched, deleteUnmatchedBySource,
+      mergeSchema = autoMerge)
     RefreshAfterDml(session, path, table)
     Seq.empty
   }

@@ -118,6 +118,62 @@ class GraftLogSpec extends AnyFunSuite {
     assert(back.filter($"id" === 100L).count() == 1)  // novel key inserted
   }
 
+  test("merge schema evolution: source-only columns widen the target") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a").coalesce(1), t)       // file 1
+    GraftLog.append(df(10 until 20, "b").coalesce(1), t)         // file 2
+    // source carries a NEW column and touches only file 2's keys
+    val src = Seq((12L, "UP", 1.5), (99L, "NEW", 2.5))
+      .toDF("id", "tag", "score")
+    // without the flag: loud rejection, no partial commit
+    intercept[IllegalArgumentException] {
+      GraftLog.merge(src, t, Seq("id"))
+    }
+    GraftLog.merge(src, t, Seq("id"), mergeSchema = true)
+    val back = GraftLog.read(spark, t)
+    assert(back.columns.toSeq == Seq("id", "tag", "score"))
+    assert(back.count() == 21)
+    // untouched file 1 reads the new column as typed NULLs
+    assert(back.filter($"id" < 10).filter($"score".isNotNull)
+      .count() == 0)
+    // touched rows carry source values; carried rows of file 2 get NULL
+    assert(back.filter($"id" === 12L).select("score").as[Double]
+      .head() == 1.5)
+    assert(back.filter($"id" === 99L).select("score").as[Double]
+      .head() == 2.5)
+    assert(back.filter($"id" === 11L).select("score").isEmpty ||
+      back.filter($"id" === 11L).filter($"score".isNull).count() == 1)
+    // shared-column type conflicts still fail loudly
+    intercept[IllegalArgumentException] {
+      GraftLog.merge(Seq((1, 2)).toDF("id", "tag"), t, Seq("id"),
+        mergeSchema = true)
+    }
+    // SQL path honors the autoMerge conf
+    spark.sql("DROP TABLE IF EXISTS am_t")
+    spark.sql(s"CREATE TABLE am_t USING graft OPTIONS (path '$t')")
+    try {
+      Seq((5L, "SQ", 9.9, true)).toDF("id", "tag", "score", "flag")
+        .createOrReplaceTempView("am_src")
+      intercept[Exception] { // conf off: rejected
+        spark.sql("""MERGE INTO am_t USING am_src ON am_t.id = am_src.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+      }
+      spark.conf.set("spark.graft.schema.autoMerge.enabled", "true")
+      spark.sql("""MERGE INTO am_t USING am_src ON am_t.id = am_src.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val widened = spark.table("am_t")
+      assert(widened.columns.toSeq ==
+        Seq("id", "tag", "score", "flag"))
+      assert(widened.filter(col("id") === 5L)
+        .select("flag").collect().head.getBoolean(0))
+    } finally {
+      spark.conf.set("spark.graft.schema.autoMerge.enabled", "false")
+      spark.sql("DROP TABLE am_t")
+    }
+  }
+
   test("merge with no matched keys is insert-only") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 5, "a"), t)
