@@ -1963,6 +1963,32 @@ object GraftLog {
       deleteOnce(spark, table, predicate)
     }
 
+  /** Probe for files holding rows matching `predicate`, THROUGH the
+    * planner-integrated FileIndex: the pushed-down predicate prunes
+    * stat-disjoint files, Bloom-negative files, and non-matching
+    * partition dirs BEFORE any data is read (the t8/t10/t18 machinery,
+    * now applied to DML). On a range-clustered 100 TB table,
+    * `DELETE WHERE day = X` therefore opens only the candidate files —
+    * the full-scan probe would read the table to find them. Falls back
+    * to the subset probe under an active column mapping (the index
+    * refuses mapped scans by design). */
+  private def probeTouched(spark: SparkSession, table: String,
+      files: Seq[String], schema: StructType, cmap: Map[String, String],
+      predicate: Column): Seq[String] =
+    if (cmap.nonEmpty)
+      touchedFiles(spark, table, files, schema,
+        df => toLogicalDf(df, schema, cmap, keep = Seq("__gf_file"))
+          .filter(predicate))
+    else {
+      val rels = GraftFileIndex.read(spark, table)
+        .filter(predicate)
+        .select(input_file_name().as("__gf_file")).distinct()
+        .collect()
+        .flatMap(r => relPathOf(new java.net.URI(r.getString(0)).getPath))
+        .toSet
+      files.filter(f => relPathOf(absPath(table, f)).exists(rels.contains))
+    }
+
   private def deleteOnce(spark: SparkSession, table: String,
       predicate: Column): Long = {
     // commit at readVersion+1 (see commitOverwrite): any commit landing
@@ -1974,9 +2000,8 @@ object GraftLog {
     val cmap = columnMapping(spark, table)
     // the predicate references LOGICAL names; probe and rewrite expose
     // them over the physical scan (mapping implies a flat layout)
-    val touched = touchedFiles(spark, table, files, schema,
-      df => toLogicalDf(df, schema, cmap, keep = Seq("__gf_file"))
-        .filter(predicate))
+    val touched = probeTouched(spark, table, files, schema, cmap,
+      predicate)
     val s = if (touched.isEmpty) Staged(Seq.empty, Map.empty, Map.empty)
     else {
       val kept = toPhysicalDf(
@@ -2151,10 +2176,10 @@ object GraftLog {
         s"UPDATE of unknown column $c (table has " +
           s"${logical.fieldNames.mkString(",")})")
     }
-    // condition and set expressions reference LOGICAL names
-    val touched = touchedFiles(spark, table, files, schema,
-      df => toLogicalDf(df, schema, cmap, keep = Seq("__gf_file"))
-        .filter(condition))
+    // condition and set expressions reference LOGICAL names; the probe
+    // goes through the stat/Bloom/partition-pruned FileIndex
+    val touched = probeTouched(spark, table, files, schema, cmap,
+      condition)
     val s = if (touched.isEmpty) Staged(Seq.empty, Map.empty, Map.empty)
     else {
       val matched = coalesce(condition, lit(false))
