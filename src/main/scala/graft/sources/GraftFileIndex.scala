@@ -521,9 +521,14 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
     * are exact no-ops and the sink is end-to-end exactly-once with NO
     * foreachBatch plumbing. Append mode → [[GraftLog.txnAppend]];
     * Complete mode → a whole-table overwrite per batch (the ledger
-    * still absorbs replays). `appId` defaults to a stable hash of the
-    * checkpoint location (one ledger entry per checkpointed query, the
-    * Delta sink's scoping), overridable via `option("txnAppId", …)`. */
+    * still absorbs replays); Update mode is REJECTED loudly (routing
+    * re-emitted aggregate rows through an append would duplicate them —
+    * Delta's sink refuses Update for the same reason). `appId` defaults
+    * to the sanitized checkpoint location itself (one ledger entry per
+    * checkpointed query, the Delta sink's scoping, collision-free —
+    * a 32-bit hash of the path could alias two unrelated queries onto
+    * one ledger key and silently skip each other's batches),
+    * overridable via `option("txnAppId", …)`. */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
@@ -532,10 +537,16 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
       "the graft streaming sink writes flat layouts (partition the " +
         "table with a batch overwritePartitioned first, then stream " +
         "through foreachBatch + txnAppend)")
+    require(outputMode !=
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+      "the graft streaming sink does not support Update output mode: " +
+        "an updated aggregate row would land as a duplicate append. " +
+        "Use Append (with a watermark) or Complete, or foreachBatch + " +
+        "GraftLog.upsert for merge-on-update semantics")
     val path = pathOf(parameters)
     val appId = parameters.getOrElse("txnAppId",
-      "graft-sink-" + math.abs(parameters.getOrElse("checkpointLocation",
-        path).hashCode).toString)
+      "graft-sink-" + parameters.getOrElse("checkpointLocation", path)
+        .replaceAll("[^A-Za-z0-9._-]", "_"))
     new GraftStreamSink(path, appId,
       complete = outputMode ==
         org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -638,7 +649,8 @@ final class GraftStreamSource(spark: SparkSession, table: String,
         val from = Option(start).map(toVersion).getOrElse(-1L)
         val base =
           if (from == -1L)
-            GraftLog.versions(spark, table).headOption.getOrElse(0L) - 1L
+            GraftLog.contiguousTailStart(
+              GraftLog.versions(spark, table)).getOrElse(0L) - 1L
           else from
         Some(math.min(l, base + m))
       case _ => capped
@@ -758,7 +770,8 @@ final class GraftCdfStreamSource(spark: SparkSession, table: String,
         val from = Option(start).map(toVersion).getOrElse(-1L)
         val base =
           if (from == -1L)
-            GraftLog.versions(spark, table).headOption.getOrElse(0L) - 1L
+            GraftLog.contiguousTailStart(
+              GraftLog.versions(spark, table)).getOrElse(0L) - 1L
           else from
         Some(math.min(l, base + m))
       case _ => capped

@@ -309,6 +309,19 @@ object GraftLog {
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     versions(spark, table).lastOption
 
+  /** Start of the CONTIGUOUS TAIL suffix of an ascending version list —
+    * the post-vacuum keep window. Tag-pinned vacuum retains pinned
+    * versions BELOW the horizon, so the retained set can be
+    * non-contiguous (e.g. [0, 2, 3]); fresh streaming/CDF starts and
+    * admission-control bases must anchor at the tail start (2 here,
+    * where vacuum guarantees a self-contained checkpoint), never at the
+    * globally-oldest pinned version below a hole. */
+  private[sources] def contiguousTailStart(vs: Seq[Long]): Option[Long] =
+    vs.foldRight(Option.empty[Long]) {
+      case (v, None) => Some(v)
+      case (v, Some(a)) => if (v == a - 1) Some(v) else Some(a)
+    }
+
   private def readCommit(spark: SparkSession, table: String,
       v: Long): Commit = {
     val p = new HPath(new HPath(table, LogDirName), logName(v))
@@ -958,14 +971,6 @@ object GraftLog {
         s"directories; $dir mixes other subdirectories")
     require(!(partitioned && parquets.nonEmpty),
       s"$dir mixes top-level parquet files with col=val dirs")
-    require(partitioned || parquets.nonEmpty,
-      s"no parquet files under $dir")
-    // schema BEFORE relocation (inference lists the dir eagerly; for
-    // hive layouts it carries the partition columns — the full schema
-    // the partitioned commit protocol stores)
-    val schema = spark.read.parquet(dir).schema
-    val rel = s"$DataDirName/convert-${UUID.randomUUID()}"
-    f.mkdirs(new HPath(s"$dir/$rel"))
     def walk(p: HPath): Seq[(String, Long)] =
       f.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
@@ -975,7 +980,38 @@ object GraftLog {
           !n.startsWith(".") && !n.startsWith("_")) Seq((n, st.getLen))
         else Seq.empty
       }
-    val moved: Seq[(String, Long)] =
+    // Crash safety: a prior convert that died after some renames into
+    // _data/convert-<uuid>/ but before writeCommit leaves a log-less
+    // dir whose already-moved rows hide under the underscore-prefixed
+    // _data. A naive retry would convert only the remainder and commit
+    // a v0 silently missing those rows — so ADOPT the orphaned staging
+    // files into this convert's add-set instead (rename is the only
+    // mutation; the files are intact and already where v0 wants them).
+    val dataRoot = new HPath(s"$dir/$DataDirName")
+    val orphaned: Seq[(String, Long)] =
+      if (!f.exists(dataRoot)) Seq.empty
+      else f.listStatus(dataRoot).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("convert-"))
+        .flatMap { st =>
+          walk(st.getPath).map { case (s, len) =>
+            (s"$DataDirName/${st.getPath.getName}/$s", len)
+          }
+        }.sortBy(_._1)
+    require(partitioned || parquets.nonEmpty || orphaned.nonEmpty,
+      s"no parquet files under $dir")
+    // schema BEFORE relocation (inference lists the dir eagerly; for
+    // hive layouts it carries the partition columns — the full schema
+    // the partitioned commit protocol stores). Orphaned staging dirs
+    // are read directly (the root read skips _data).
+    val schemaPaths =
+      (if (parquets.nonEmpty || dirs.nonEmpty) Seq(dir) else Seq.empty) ++
+        orphaned.map(_._1.split("/").take(2).mkString("/"))
+          .distinct.map(r => s"$dir/$r")
+    val schema = spark.read.parquet(schemaPaths: _*).schema
+    val rel = s"$DataDirName/convert-${UUID.randomUUID()}"
+    f.mkdirs(new HPath(s"$dir/$rel"))
+    val moved0: Seq[(String, Long)] =
       if (partitioned) {
         dirs.foreach { st =>
           require(f.rename(st.getPath,
@@ -990,6 +1026,7 @@ object GraftLog {
           s"rename failed for $name")
         (s"$rel/$name", st.getLen)
       }
+    val moved = orphaned ++ moved0
     spark.catalog.refreshByPath(dir)
     writeCommit(spark, dir, Commit(0L, "convert", moved.map(_._1),
       Seq.empty, schema.toDDL, System.currentTimeMillis(),
@@ -2362,7 +2399,13 @@ object GraftLog {
       ignoreChanges: Boolean): Seq[String] = {
     val present = versions(spark, table)
       .filter(v => v > fromExclusive && v <= toInclusive)
-    val oldest = present.headOption.getOrElse(Long.MaxValue)
+    // Anchor at the contiguous TAIL start, not the globally-oldest
+    // retained version: tag-pinned vacuum keeps pinned versions below a
+    // hole (e.g. [0, 2, 3]), and a fresh start must base its initial
+    // snapshot inside the keep window (2 — where vacuum wrote a
+    // self-contained checkpoint), streaming the pinned history only via
+    // explicit time travel, never through the hole.
+    val anchor = contiguousTailStart(present).getOrElse(Long.MaxValue)
     def incremental(vs: Seq[Long]): Seq[String] = vs.flatMap { v =>
       val c = readCommit(spark, table, v)
       require(ignoreChanges || (c.remove.isEmpty && c.dvAdd.isEmpty),
@@ -2371,20 +2414,16 @@ object GraftLog {
           "(set ignoreChanges=true to stream rewritten rows too)")
       c.add
     }
-    if (fromExclusive == -1L && oldest > 0 && oldest <= toInclusive) {
-      // fresh start on a vacuumed log: initial snapshot at the oldest
-      // retained version, then the later commits' adds
-      require(present == (oldest to toInclusive),
-        s"streaming read of $table: the log holds only " +
-          s"[${present.mkString(",")}] — vacuum truncated versions " +
-          "inside the range")
+    if (fromExclusive == -1L && anchor > 0 && anchor <= toInclusive) {
+      // fresh start on a vacuumed log: initial snapshot at the anchor,
+      // then the later commits' adds
       require(ignoreChanges ||
-        deletionVectors(spark, table, Some(oldest)).isEmpty,
-        s"version $oldest of $table carries active deletion vectors; " +
+        deletionVectors(spark, table, Some(anchor)).isEmpty,
+        s"version $anchor of $table carries active deletion vectors; " +
           "the initial snapshot would resurrect masked rows (set " +
           "ignoreChanges=true to stream them anyway)")
-      (snapshot(spark, table, Some(oldest))._1 ++
-        incremental(present.filter(_ > oldest))).distinct
+      (snapshot(spark, table, Some(anchor))._1 ++
+        incremental(present.filter(_ > anchor))).distinct
     } else {
       // Version numbers are dense by protocol (each commit claims
       // last+1), so any hole in the requested range means vacuum
@@ -2705,6 +2744,12 @@ object GraftLog {
       s"cannot tag version $target of $table (have ${all.mkString(",")})")
     require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
       s"invalid tag name '$name'")
+    // time travel resolves VERSION AS OF 'n' numerically FIRST
+    // (GraftDml numeric-version-first rule), so an all-digit tag could
+    // never be addressed — it would silently read the literal version
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — it would be shadowed by " +
+        "numeric version resolution; include at least one non-digit")
     val cur = tags(spark, table)
     require(!cur.contains(name) || cur(name) == target,
       s"tag $name already names version ${cur(name)} of $table")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{GraftFileIndex, GraftLog, Sources, Staging}
+import graft.sources.{GraftDataSource, GraftFileIndex, GraftLog, Sources, Staging}
 
 /** Planner-driven data skipping through the GraftFileIndex: pushed
   * filters must prune files (numFiles metric) without losing rows. */
@@ -634,5 +634,70 @@ class GraftFileIndexSpec extends AnyFunSuite {
     val b = GraftLog.readPruned(spark, dir, "c_custkey", 20.0, 80.0)
       .select(col("c_custkey"))
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("graft sink rejects Update output mode loudly") {
+    // routing an Update-mode aggregate through the append path would
+    // land every re-emitted row as a duplicate; Delta's sink refuses
+    // Update for the same reason
+    val root = Staging.tempDir("graft_sinku_")
+    val e = intercept[IllegalArgumentException] {
+      new GraftDataSource().createSink(spark.sqlContext,
+        Map("path" -> s"$root/t", "checkpointLocation" -> s"$root/ckpt"),
+        Nil, org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+    assert(e.getMessage.contains("Update"))
+  }
+
+  test("sink default appId: hash-colliding checkpoint paths don't alias") {
+    // "Aa" and "BB" have equal String.hashCode, so equal-prefix paths
+    // ending in them collide under a 32-bit-hash appId — two unrelated
+    // queries would share one idempotence-ledger key and silently skip
+    // each other's batch 0. The path-derived appId keeps them distinct.
+    assert(s"x/Aa".hashCode == s"x/BB".hashCode) // the collision is real
+    val root = Staging.tempDir("graft_sinkh_")
+    val t = s"$root/t"
+    val ds = new GraftDataSource()
+    def sinkFor(ckpt: String) = ds.createSink(spark.sqlContext,
+      Map("path" -> t, "checkpointLocation" -> ckpt), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    sinkFor(s"$root/Aa").addBatch(0L, cust.filter(col("c_custkey") < 10))
+    sinkFor(s"$root/BB").addBatch(0L, cust.filter(col("c_custkey") >= 10))
+    // with the old hashed appId the second addBatch was a silent no-op
+    // (ledger already held batchId 0 under the aliased key)
+    assert(GraftLog.read(spark, t).count() == cust.count())
+  }
+
+  test("tag-pinned vacuum: fresh stream anchors at the contiguous tail") {
+    val root = Staging.tempDir("graft_fidx_pin_")
+    val (t, ckpt, out) = (s"$root/t", s"$root/ckpt", s"$root/out")
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.append(cust.filter(col("c_custkey") < 30), t)            // v0
+    GraftLog.append(cust.filter(
+      col("c_custkey") >= 30 && col("c_custkey") < 60), t)            // v1
+    GraftLog.append(cust.filter(col("c_custkey") >= 60), t)           // v2
+    GraftLog.createTag(spark, t, "genesis", Some(0L))                 // v3
+    GraftLog.vacuum(spark, t, retainVersions = 2) // keeps [2,3], pins 0
+    assert(GraftLog.versions(spark, t) == Seq(0L, 2L, 3L)) // hole at 1
+    // a fresh stream must base its initial snapshot at the contiguous
+    // tail start (v2 — where vacuum wrote a self-contained checkpoint),
+    // not at the pinned v0 below the hole (which would fail loudly or,
+    // worse, stream through the truncated v1)
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1") // admission base re-anchors too
+      .load(t)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() == cust.count())
+    assert(sunk.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(sunk).count() == 0)
+    // the pinned version itself stays addressable via its tag
+    assert(GraftLog.readVersion(spark, t, 0L).count() ==
+      cust.filter(col("c_custkey") < 30).count())
   }
 }

@@ -267,6 +267,37 @@ class GraftLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { GraftLog.convert(spark, weird) }
   }
 
+  test("convert: retry after a mid-rename crash adopts orphaned staging") {
+    val t = tmp()
+    df(0 until 30, "raw").repartition(3).write.parquet(t)
+    // simulate a convert that died after relocating ONE file into its
+    // _data/convert-<uuid>/ staging dir but before writeCommit: the
+    // directory is log-less, and the moved rows hide under the
+    // underscore-prefixed _data that plain reads (and a naive retry)
+    // skip — a v0 built from the remainder would silently lose them
+    val first = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val staging = new java.io.File(s"$t/_data/convert-crashed-0000")
+    assert(staging.mkdirs())
+    assert(first.renameTo(new java.io.File(staging, first.getName)))
+    assert(GraftLog.versions(spark, t).isEmpty) // still log-less
+    assert(GraftLog.convert(spark, t) == 0L)    // retry adopts, not skips
+    assert(GraftLog.read(spark, t).count() == 30)
+    val (files, _) = GraftLog.snapshot(spark, t)
+    assert(files.exists(_.startsWith("_data/convert-crashed-0000/")),
+      files.mkString(","))
+    // the crashed-all-files case too: nothing left at top level
+    val t2 = tmp()
+    df(0 until 12, "raw").coalesce(1).write.parquet(t2)
+    val f2 = new java.io.File(t2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val staging2 = new java.io.File(s"$t2/_data/convert-crashed-1111")
+    assert(staging2.mkdirs())
+    assert(f2.renameTo(new java.io.File(staging2, f2.getName)))
+    assert(GraftLog.convert(spark, t2) == 0L)
+    assert(GraftLog.read(spark, t2).count() == 12)
+  }
+
   test("convert: hive-partitioned layout keeps pruning and DML") {
     val t = tmp()
     Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
@@ -333,6 +364,11 @@ class GraftLogSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       GraftLog.createTag(spark, t, "ghost", Some(99L))
+    }
+    // digit-only names are rejected: VERSION AS OF 'n' resolves
+    // numerically first, so such a tag could never be addressed
+    intercept[IllegalArgumentException] {
+      GraftLog.createTag(spark, t, "7", Some(0L))
     }
     GraftLog.dropTag(spark, t, "baseline")                    // v5
     assert(GraftLog.tags(spark, t).isEmpty)
