@@ -503,16 +503,38 @@ object Dedup {
     * rounds. Throws rather than returning a partial labeling if maxIter
     * is hit (determinism over silent approximation).
     *
-    * Round-8 profile (refreshed corpus, sf0.1): warm 7-8 s vs the r07
-    * record's 4.7 s. The growth tracks the SHARED e3 pair-generation
-    * stage (shingle/signature volume of the refreshed docs), not this
-    * loop — the measured pair graph is 256 edges / 233 components /
+    * Round-9 fix of the round-8 `weak` flag (warm 8-13 s vs the r07
+    * record's 4.7 s): the cost over e3 was not executors but the
+    * DRIVER — every loop action re-analyzed and re-optimized the full
+    * e3 lineage (explode, candidate join, verification join) because
+    * caching a Dataset shortcuts execution, not planning: the logical
+    * plan under each round still carried the whole upstream tree, and
+    * grew by one join+agg per round on top of it. Profiled per stage
+    * (sf0.1, local[32], warm): the round-2 convergence count took
+    * 2.36 s and a count() of the already-cached 233-row result 2.14 s
+    * — pure Catalyst re-planning of a ~1000-node tree. The fix is
+    * LINEAGE TRUNCATION: `localCheckpoint()` on the pair list and on
+    * each round's label frame, the standard treatment for iterative
+    * fixpoints (GraphX's Pregel does the same) — each round then plans
+    * a 3-node tree over materialized blocks, and the e3 stage runs and
+    * plans exactly once. Measured after (BenchOne 3-rep): warm
+    * 2.6-2.9 s, vs e3 alone 1.9-2.4 s — the loop's true cost is the
+    * ~0.5 s its two small joins deserve. The executor-loss-recompute
+    * caveat of localCheckpoint is acceptable here: the frames are
+    * bounded (edge list + one row per doc), and a lost block fails the
+    * query loudly rather than silently corrupting the fixpoint.
+    *
+    * The measured pair graph at sf0.1 is 256 edges / 233 components /
     * largest component 4 / fixpoint after ONE round, so the iterative
     * part contributes two small joins regardless of corpus. */
   def dedupClusters(spark: SparkSession, sfDir: String,
       maxIter: Int = 50): DataFrame = {
+    // e3 runs (and is PLANNED) exactly once: localCheckpoint eagerly
+    // materializes the pair list and replaces its logical plan with a
+    // leaf over the stored blocks — downstream rounds never re-plan it
     val pairs = minhashLsh(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
@@ -523,22 +545,23 @@ object Dedup {
     // Identical-doc components are CLIQUES, whose members all touch the
     // component minimum — they converge here, and the loop's first pass
     // is already the confirming round.
-    var cached = edges
+    var labels = edges
       .select(col("src").as("doc"), col("dst").as("label"))
       .unionByName(edges.select(col("src").as("doc"),
         col("src").as("label")))
       .groupBy(col("doc")).agg(min(col("label")).as("label"))
-      .transform(graft.CacheScope.tracked)
-    var labels = cached
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // ONE shuffle join + ONE aggregation per round (r4 ran three joins):
       // neighbor labels and each node's own label flow into the same
       // groupBy, where min over everything is the update and min over the
-      // self row recovers the previous label — so the persisted frame
-      // materializes once under the convergence count and the next
-      // round's labels are a projection of the same cache.
+      // self row recovers the previous label. localCheckpoint both
+      // materializes the round (the convergence count below reads
+      // blocks, not lineage) and keeps every round's plan CONSTANT
+      // size — without it the tree grows by one join+agg per round and
+      // driver planning time compounds.
       val contributions = edges
         .join(labels, edges("dst") === labels("doc"))
         .select(col("src").as("doc"), col("label"),
@@ -548,10 +571,8 @@ object Dedup {
       val stepped = contributions.groupBy(col("doc"))
         .agg(min(col("label")).as("label"),
           min(when(col("self"), col("label"))).as("prev"))
-        .transform(graft.CacheScope.tracked)
+        .localCheckpoint()
       val changed = stepped.filter(col("label") =!= col("prev")).count()
-      cached.unpersist()
-      cached = stepped
       labels = stepped.select(col("doc"), col("label"))
       converged = changed == 0
       iter += 1
