@@ -347,6 +347,11 @@ object SparkEntry {
     // schema commits moved no data bytes
     "t24_graftlog_column_mapping" ->
       ((s, d) => Transactions.columnMappingRead(s, d)),
+    // replay through the COLUMNAR (multi-part parquet) checkpoint: the
+    // v10 auto-checkpoint decodes as a distributed parquet scan, with
+    // a two-commit tail folded on top
+    "t25_columnar_checkpoint" ->
+      ((s, d) => Transactions.columnarCheckpointRead(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -659,6 +664,12 @@ object SparkEntry {
          |  (SELECT 1 FROM customer b WHERE b.c_custkey = inc.inc_custkey)
          |  AND inc_custkey % 7 != 0
          |""".stripMargin,
+    // t25: twelve modulo appends (all rows, across the v10 columnar
+    // auto-checkpoint) minus the deleted keys — complete iff the
+    // parquet-checkpoint decode reconstructs every appended file
+    "t25_columnar_checkpoint" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 7 != 0""".stripMargin,
     // t18: the bloom-pruned point lookup must lose no rows — the oracle
     // is the plain equality with the probe derived the same way
     "t18_graftlog_bloom_skipping" ->

@@ -690,6 +690,36 @@ object Transactions {
     GraftLog.read(spark, vacuumTable(spark, sfDir))
       .select(customerCols.map(col): _*)
 
+  private val stagedColumnarCkpt =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t25 — replay through the COLUMNAR (multi-part parquet) checkpoint:
+    * twelve non-self-contained appends cross the auto-checkpoint cadence
+    * at v10, whose columnar form the staging asserts on disk, then a
+    * DELETE lands on top; the read reconstructs live state as
+    * checkpoint-parquet scan + two-commit tail. Oracle: the modulo
+    * anti-filter over the full table — complete iff the distributed
+    * decode lost no add/stats/size row relative to the JSON encoding
+    * (whose equivalence GraftLogSpec pins file-by-file). */
+  def columnarCheckpointRead(spark: SparkSession, sfDir: String): DataFrame =
+    GraftLog.read(spark,
+      stagedColumnarCkpt.getOrElseUpdate(sfDir, {
+        val dir =
+          graft.sources.Staging.tempDir("graft_txn_") + "/customer_ckpt"
+        val cust = Sources.testTable(spark, sfDir, "customer")
+        (0 until 12).foreach { i => // v0..v11 cross the v10 auto-ckpt
+          GraftLog.append(cust.filter(col("c_custkey") % 12 === i), dir)
+        }
+        val ckptDir = new java.io.File(
+          s"$dir/_graft_log/00000000000000000010.checkpoint.parquet")
+        require(ckptDir.isDirectory &&
+          ckptDir.listFiles().exists(_.getName.endsWith(".parquet")),
+          s"columnar checkpoint missing at $ckptDir")
+        GraftLog.delete(spark, dir, col("c_custkey") % 7 === 0) // v12
+        dir
+      }))
+      .select(customerCols.map(col): _*)
+
   /** Streaming ingest INTO the transactional format — the "streaming
     * write to a Delta table" piece of the reference's stack, and the one
     * place `foreachBatch` alone is not exactly-once: if the process dies

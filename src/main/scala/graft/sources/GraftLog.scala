@@ -438,6 +438,114 @@ object GraftLog {
 
   private def ckptName(v: Long): String = f"$v%020d.checkpoint.json"
 
+  /** The COLUMNAR checkpoint (a multi-part parquet directory next to the
+    * JSON sidecar) — the Delta checkpoint-parquet design point: at
+    * millions of live files, checkpoint state must be decoded as a
+    * DataFrame scan (distributed, columnar, column-pruned, naturally
+    * multi-part), not parsed as one driver-side JSON string. Layout is
+    * Delta-like action rows discriminated by `kind`:
+    *   add  — one row per live file: path, add-order ordinal, size,
+    *          per-column (lo, hi) stats, Bloom bitmaps
+    *   dv   — one row per active deletion vector
+    *   txn  — one row per (appId, batchId) ledger entry
+    *   meta — exactly one row: version, schema DDL, column mapping,
+    *          CHECK constraints, timestamp
+    * The JSON sidecar is still written FIRST (it is the put-if-absent
+    * existence arbiter and the reader-compat fallback for checkpoints
+    * written before this round); readers prefer the parquet when the
+    * directory exists. Equivalence of the two encodings is pinned by
+    * GraftLogSpec. */
+  private def ckptParquetName(v: Long): String =
+    f"$v%020d.checkpoint.parquet"
+
+  /** One row of the columnar checkpoint (see [[ckptParquetName]]).
+    * Stats values are [lo, hi] pairs; Option fields are null columns on
+    * rows of other kinds. */
+  case class CkptRow(kind: String, ord: Long,
+      path: Option[String], size: Option[Long],
+      stats: Option[Map[String, Seq[Double]]],
+      blooms: Option[Map[String, String]],
+      appId: Option[String], batchId: Option[Long],
+      version: Option[Long], schemaDdl: Option[String],
+      colMap: Option[Map[String, String]],
+      checks: Option[Map[String, String]],
+      timestampMs: Option[Long])
+
+  private def writeCheckpointParquet(spark: SparkSession, table: String,
+      c: Commit): Unit = {
+    val none = CkptRow("", 0L, None, None, None, None, None, None,
+      None, None, None, None, None)
+    val adds = c.add.zipWithIndex.map { case (f, i) =>
+      none.copy(kind = "add", ord = i.toLong, path = Some(f),
+        size = c.sizes.get(f),
+        stats = c.stats.get(f).filter(_.nonEmpty)
+          .map(_.map { case (col, (lo, hi)) => col -> Seq(lo, hi) }),
+        blooms = c.blooms.get(f).filter(_.nonEmpty))
+    }
+    val dvs = c.dvAdd.zipWithIndex.map { case (f, i) =>
+      none.copy(kind = "dv", ord = i.toLong, path = Some(f))
+    }
+    val txns = c.txns.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((app, batch), i) =>
+        none.copy(kind = "txn", ord = i.toLong, appId = Some(app),
+          batchId = Some(batch))
+    }
+    val meta = none.copy(kind = "meta", version = Some(c.version),
+      schemaDdl = Some(c.schemaDdl),
+      colMap = Some(c.colMap), checks = Some(c.checks),
+      timestampMs = Some(c.timestampMs))
+    // Part sizing: bounded rows per part file keeps each part's decode
+    // (and a future selective read) executor-sized at any file count;
+    // sandbox tables produce one part, a 100 TB table tens — the
+    // multi-part form Delta moved to for exactly this reason.
+    val rows = adds ++ dvs ++ txns :+ meta
+    val parts = math.max(1, math.min(200, rows.size / 100000 + 1))
+    val logDir = new HPath(table, LogDirName)
+    val f = fs(spark, table)
+    val tmp = new HPath(logDir, s".ckpt-${UUID.randomUUID()}.tmp")
+    spark.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[CkptRow])
+      .repartition(parts)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val target = new HPath(logDir, ckptParquetName(c.version))
+    // rename-if-absent: a concurrent checkpointer of the same version
+    // wrote identical state — losing the rename is a harmless no-op
+    if (!f.rename(tmp, target)) { f.delete(tmp, true); () }
+  }
+
+  /** Distributed decode of the columnar checkpoint: a parquet scan (the
+    * heavy add-set decodes on executors, columnar) folded into the same
+    * [[Commit]] the JSON sidecar carries; None when only the JSON
+    * exists. The driver still materializes the file LIST — the same
+    * driver-resident metadata footprint Delta accepts — but no longer
+    * parses one monolithic JSON string for it. */
+  private def readCheckpointParquet(spark: SparkSession, table: String,
+      v: Long): Option[Commit] = {
+    val dir = new HPath(new HPath(table, LogDirName), ckptParquetName(v))
+    if (!fs(spark, table).exists(dir)) return None
+    val rows = spark.read.parquet(dir.toString)
+      .as(org.apache.spark.sql.Encoders.product[CkptRow]).collect()
+    val meta = rows.find(_.kind == "meta").getOrElse(
+      throw new IllegalStateException(
+        s"columnar checkpoint $dir has no meta row"))
+    val adds = rows.filter(_.kind == "add").sortBy(_.ord)
+    Some(Commit(meta.version.get, "checkpoint",
+      add = adds.map(_.path.get).toSeq,
+      remove = Seq.empty, schemaDdl = meta.schemaDdl.get,
+      timestampMs = meta.timestampMs.get,
+      stats = adds.flatMap(r => r.stats.map(m => r.path.get ->
+        m.map { case (col, lohi) => col -> ((lohi.head, lohi(1))) }))
+        .toMap,
+      txns = rows.filter(_.kind == "txn")
+        .map(r => r.appId.get -> r.batchId.get).toMap,
+      sizes = adds.flatMap(r => r.size.map(r.path.get -> _)).toMap,
+      dvAdd = rows.filter(_.kind == "dv").sortBy(_.ord)
+        .map(_.path.get).toSeq,
+      blooms = adds.flatMap(r => r.blooms.map(r.path.get -> _)).toMap,
+      colMap = meta.colMap.getOrElse(Map.empty),
+      checks = meta.checks.getOrElse(Map.empty)))
+  }
+
   /** Versions with a checkpoint file, ascending. */
   def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = new HPath(table, LogDirName)
@@ -448,17 +556,48 @@ object GraftLog {
       .map(_.stripSuffix(".checkpoint.json").toLong).sorted
   }
 
+  /** Decoded-checkpoint cache. Sound because a checkpoint at (table, v)
+    * is immutable once written (put-if-absent arbiter); the JSON
+    * sidecar's modification time and the parquet dir's existence are in
+    * the key so a dropped-and-recreated table at the same path, or a
+    * parquet dir appearing/vanishing (vacuum, compat tables), can never
+    * serve a stale decode. Bounds the per-snapshot cost of the columnar
+    * decode to one Spark job per checkpoint LIFETIME instead of one per
+    * replay — the same reason Delta caches Snapshot objects. */
+  private val ckptCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Boolean), Commit]()
+
   private def readCheckpoint(spark: SparkSession, table: String,
       v: Long): Commit = {
-    val p = new HPath(new HPath(table, LogDirName), ckptName(v))
-    val in = fs(spark, table).open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      fromJson(new String(bytes.toByteArray, "UTF-8"))
-    } finally in.close()
+    val logDir = new HPath(table, LogDirName)
+    val f = fs(spark, table)
+    val mod =
+      try f.getFileStatus(new HPath(logDir, ckptName(v)))
+        .getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    val hasParquet = f.exists(new HPath(logDir, ckptParquetName(v)))
+    val key = (table, v, mod, hasParquet)
+    Option(ckptCache.get(key)).getOrElse {
+      val c =
+        if (hasParquet) readCheckpointParquet(spark, table, v).get
+        else {
+          // reader-compat fallback: checkpoints written before the
+          // columnar form existed (or whose parquet write raced a
+          // crash) keep working
+          val p = new HPath(logDir, ckptName(v))
+          val in = f.open(p)
+          try {
+            val bytes = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+            fromJson(new String(bytes.toByteArray, "UTF-8"))
+          } finally in.close()
+        }
+      if (ckptCache.size > 256) ckptCache.clear()
+      ckptCache.put(key, c)
+      c
+    }
   }
 
   /** Write a checkpoint at `asOf` (default: latest version). Idempotent —
@@ -486,7 +625,11 @@ object GraftLog {
       stats = live.toMap.filter(_._2.nonEmpty), txns = ledger,
       sizes = sizes.toMap, dvAdd = dvs.toSeq, blooms = blooms.toMap,
       colMap = cmap, checks = checkConstraints(spark, table, Some(v)))
-    putIfAbsent(spark, table, ckptName(v), toJson(c))
+    // JSON first — it is the put-if-absent existence arbiter (and the
+    // compat fallback); the columnar form is written only by the writer
+    // that won the race, so exactly one parquet job runs per version
+    if (putIfAbsent(spark, table, ckptName(v), toJson(c)))
+      writeCheckpointParquet(spark, table, c)
     v
   }
 
@@ -2714,6 +2857,7 @@ object GraftLog {
     checkpointVersions(spark, table)
       .filter(v => v < keep.head && !pinned.contains(v)).foreach { v =>
       f.delete(new HPath(logDir, ckptName(v)), false)
+      f.delete(new HPath(logDir, ckptParquetName(v)), true)
     }
   }
 

@@ -638,6 +638,44 @@ class GraftLogSpec extends AnyFunSuite {
     GraftLog.checkpoint(spark, t, Some(5L))
   }
 
+  test("columnar checkpoint: parquet decode equals the JSON fallback") {
+    val t = tmp()
+    // rich state: six stat-bearing appends, a txn-ledger entry, a
+    // file-rewriting delete, an active deletion vector
+    (0 until 6).foreach(i => GraftLog.append(df(i * 5 until (i + 1) * 5,
+      s"b$i").coalesce(1), t))
+    GraftLog.txnAppend(df(30 until 32, "tx"), t, "appX", 3L)
+    GraftLog.delete(spark, t, col("id") === 1L)
+    GraftLog.deleteVectors(spark, t, col("id") === 7L)
+    val v = GraftLog.checkpoint(spark, t)
+    val logDir = new java.io.File(s"$t/_graft_log")
+    val pq = logDir.listFiles()
+      .find(_.getName.endsWith(".checkpoint.parquet"))
+    assert(pq.exists(_.isDirectory), "columnar checkpoint dir missing")
+    assert(pq.get.listFiles().count(_.getName.endsWith(".parquet")) >= 1)
+    // state decoded THROUGH the parquet checkpoint
+    val rowsPq = GraftLog.read(spark, t).collect().map(_.toSeq).toSet
+    val statsPq = GraftLog.fileStats(spark, t)
+    val sizesPq = GraftLog.fileSizes(spark, t)
+    assert(statsPq.nonEmpty && sizesPq.nonEmpty)
+    assert(!GraftLog.txnAppend(df(90 until 92, "no"), t, "appX", 3L),
+      "ledger lost through the parquet checkpoint")
+    // drop the parquet dir → the JSON sidecar must answer identically
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(pq.get)
+    assert(GraftLog.read(spark, t).collect().map(_.toSeq).toSet == rowsPq)
+    assert(GraftLog.fileStats(spark, t) == statsPq)
+    assert(GraftLog.fileSizes(spark, t) == sizesPq)
+    assert(!GraftLog.txnAppend(df(90 until 92, "no"), t, "appX", 3L),
+      "ledger lost through the JSON fallback")
+    // time travel through the (now JSON-only) checkpoint still exact
+    assert(GraftLog.readVersion(spark, t, v).collect()
+      .map(_.toSeq).toSet == rowsPq)
+  }
+
   test("append rejects a same-name different-type batch, keeps table schema") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 5, "a"), t)
