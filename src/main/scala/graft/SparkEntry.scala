@@ -352,6 +352,10 @@ object SparkEntry {
     // a two-commit tail folded on top
     "t25_columnar_checkpoint" ->
       ((s, d) => Transactions.columnarCheckpointRead(s, d)),
+    // four-class CDF: updates emit update_preimage AND update_postimage
+    // rows (Delta's full contract), from one pass over the version diff
+    "t26_cdf_update_images" ->
+      ((s, d) => Transactions.changeFeedWithPreimages(s, d)),
   )
 
   /** Shared oracle fragment: the deterministic incremental batch
@@ -722,6 +726,44 @@ object SparkEntry {
          |     OR b.c_mktsegment != inc.inc_mktsegment
          |)
          |SELECT * FROM ins UNION ALL SELECT * FROM upd""".stripMargin,
+    // t26: the same diff with the update PREIMAGES added — old values
+    // replayed from the v0 side (customer), new values from the batch,
+    // for exactly the value-changed matched keys (join-replay of the
+    // two adjacent versions)
+    "t26_cdf_update_images" ->
+      s"""WITH $incCte,
+         |ins AS (
+         |  SELECT inc_custkey AS c_custkey, inc_name AS c_name,
+         |    inc_nationkey AS c_nationkey, inc_acctbal AS c_acctbal,
+         |    inc_mktsegment AS c_mktsegment, 'insert' AS _change_type
+         |  FROM inc
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer b
+         |                    WHERE b.c_custkey = inc.inc_custkey)
+         |), changed AS (
+         |  SELECT b.c_custkey,
+         |    b.c_name AS old_name, b.c_nationkey AS old_nationkey,
+         |    b.c_acctbal AS old_acctbal, b.c_mktsegment AS old_mktsegment,
+         |    inc_name, inc_nationkey, inc_acctbal, inc_mktsegment
+         |  FROM customer b JOIN inc ON b.c_custkey = inc.inc_custkey
+         |  WHERE b.c_acctbal != inc.inc_acctbal
+         |     OR b.c_name != inc.inc_name
+         |     OR b.c_nationkey != inc.inc_nationkey
+         |     OR b.c_mktsegment != inc.inc_mktsegment
+         |), pre AS (
+         |  SELECT c_custkey, old_name AS c_name,
+         |    old_nationkey AS c_nationkey, old_acctbal AS c_acctbal,
+         |    old_mktsegment AS c_mktsegment,
+         |    'update_preimage' AS _change_type
+         |  FROM changed
+         |), post AS (
+         |  SELECT c_custkey, inc_name AS c_name,
+         |    inc_nationkey AS c_nationkey, inc_acctbal AS c_acctbal,
+         |    inc_mktsegment AS c_mktsegment,
+         |    'update_postimage' AS _change_type
+         |  FROM changed
+         |)
+         |SELECT * FROM ins UNION ALL SELECT * FROM pre
+         |UNION ALL SELECT * FROM post""".stripMargin,
     // f7: product quantization — codebooks, per-subspace argmin encoding,
     // and the query distance tables are all IEEE doubles with the
     // identical expression tree (strict-fold dot of the componentwise

@@ -373,6 +373,18 @@ object Transactions {
     GraftLog.changes(spark, mergeTable(spark, sfDir),
       Seq("c_custkey"), 0L, 1L)
 
+  /** t26 — the four-class CDF over the same MERGE commit: every update
+    * emits BOTH its `update_preimage` (v0 values) and
+    * `update_postimage` (v1 values) row, Delta CDF's full contract for
+    * UPDATE/MERGE consumers (an SCD2 close-out needs the old row to
+    * close and the new row to open). Oracle: join-replay of the two
+    * adjacent versions — old values from customer, new values from the
+    * deterministic batch, for exactly the value-changed matched keys. */
+  def changeFeedWithPreimages(spark: SparkSession,
+      sfDir: String): DataFrame =
+    GraftLog.changes(spark, mergeTable(spark, sfDir),
+      Seq("c_custkey"), 0L, 1L, preimages = true)
+
   private val stagedSkip =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -2668,11 +2668,11 @@ object GraftLog {
     * and value inequality. Reading N versions of history costs two
     * snapshot scans, not a log replay of data. */
   def changes(spark: SparkSession, table: String, keys: Seq[String],
-      fromV: Long, toV: Long): DataFrame = {
+      fromV: Long, toV: Long, preimages: Boolean = false): DataFrame = {
     val from = read(spark, table, Some(fromV))
     val to = read(spark, table, Some(toV))
     classifyDiff(from, to, keys,
-      to.columns.filterNot(keys.contains).toSeq)
+      to.columns.filterNot(keys.contains).toSeq, preimages)
   }
 
   /** CDF of ONE commit version, FILE-BOUNDED — the scale-correct form
@@ -2693,7 +2693,7 @@ object GraftLog {
     * layout change diffs empty), restore (the row-level effect of the
     * rewind), metadata-only commits (no files → empty). */
   def changesAt(spark: SparkSession, table: String, keys: Seq[String],
-      v: Long): DataFrame = {
+      v: Long, preimages: Boolean = false): DataFrame = {
     val all = versions(spark, table)
     require(all.contains(v),
       s"version $v of $table does not exist (vacuumed or never " +
@@ -2743,15 +2743,21 @@ object GraftLog {
       }
     }
     classifyDiff(visible(prevOpt), visible(Some(v)), keys,
-      schema.fieldNames.filterNot(keys.contains).toSeq)
+      schema.fieldNames.filterNot(keys.contains).toSeq, preimages)
   }
 
   /** The key-diff classification [[changes]] and [[changesAt]] share:
     * full-outer join on the keys, change typed by side presence and
     * null-safe value inequality, postimage values (last known values
-    * for deletes). */
+    * for deletes). With `preimages` set, each update additionally emits
+    * an `update_preimage` row carrying the OLD values — Delta CDF's
+    * four-class contract — expanded by a single per-row explode over
+    * the SAME join (never a second pass over the diff): the update row
+    * becomes a two-element [pre, post] array, insert/delete rows a
+    * one-element array. */
   private def classifyDiff(from: DataFrame, to: DataFrame,
-      keys: Seq[String], dataCols: Seq[String]): DataFrame = {
+      keys: Seq[String], dataCols: Seq[String],
+      preimages: Boolean = false): DataFrame = {
     val f = from.select(
       keys.map(col) ++ dataCols.map(c => col(c).as(s"__f_$c")) :+
         lit(true).as("__in_f"): _*)
@@ -2761,15 +2767,31 @@ object GraftLog {
     val valueChanged = dataCols.map { c =>
       !(col(s"__f_$c") <=> col(s"__t_$c"))
     }.reduceOption(_ || _).getOrElse(lit(false))
-    f.join(t, keys, "full_outer")
+    val classified = f.join(t, keys, "full_outer")
       .withColumn("_change_type",
         when(col("__in_f").isNull, "insert")
           .when(col("__in_t").isNull, "delete")
           .when(valueChanged, "update_postimage"))
       .filter(col("_change_type").isNotNull)
-      .select(keys.map(col) ++ dataCols.map(c =>
+    if (!preimages)
+      classified.select(keys.map(col) ++ dataCols.map(c =>
         coalesce(col(s"__t_$c"), col(s"__f_$c")).as(c)) :+
         col("_change_type"): _*)
+    else {
+      val postRow = struct(dataCols.map(c =>
+        coalesce(col(s"__t_$c"), col(s"__f_$c")).as(c)) :+
+        col("_change_type").as("_change_type"): _*)
+      val preRow = struct(dataCols.map(c =>
+        col(s"__f_$c").as(c)) :+
+        lit("update_preimage").as("_change_type"): _*)
+      classified
+        .select(keys.map(col) :+
+          explode(when(col("_change_type") === "update_postimage",
+            array(preRow, postRow)).otherwise(array(postRow)))
+            .as("__r"): _*)
+        .select(keys.map(col) ++ dataCols.map(c => col(s"__r.$c")) :+
+          col("__r._change_type").as("_change_type"): _*)
+    }
   }
 
   /** Drop data files referenced only by versions older than

@@ -43,6 +43,44 @@ class CdfSpec extends AnyFunSuite {
     assert(up.getAs[String]("tag") == "up")
   }
 
+  test("preimages: updates emit both images, other classes unchanged") {
+    val r = root(); val t = s"$r/t"
+    GraftLog.overwrite(df(0 until 20, "a"), t)              // v0
+    GraftLog.merge(
+      Seq((3L, "up3"), (7L, "up7"), (40L, "new"), (5L, "a"))
+        .toDF("id", "tag"), t, Seq("id"))                   // v1
+    // value-identical rewrite of id=5 is NOT a change; 3/7 update
+    val feed = GraftLog.changesAt(spark, t, Seq("id"), 1, preimages = true)
+    assert(types(feed) == Map("insert" -> 1L,
+      "update_preimage" -> 2L, "update_postimage" -> 2L))
+    // pre rows carry v0 values, post rows v1 values, per key
+    val byType = feed.filter($"id" === 3L).collect()
+      .map(r => r.getAs[String]("_change_type") ->
+        r.getAs[String]("tag")).toMap
+    assert(byType == Map("update_preimage" -> "a",
+      "update_postimage" -> "up3"))
+    // the four-class feed replays v0 -> v1 exactly: v0 + feed = v1
+    val v0 = GraftLog.readVersion(spark, t, 0L)
+    val replayed = v0
+      .join(feed.filter($"_change_type" === "update_postimage")
+        .select($"id", $"tag".as("new_tag")), Seq("id"), "left")
+      .select($"id", coalesce($"new_tag", $"tag").as("tag"))
+      .unionByName(feed.filter($"_change_type" === "insert")
+        .select($"id", $"tag"))
+    val v1 = GraftLog.readVersion(spark, t, 1L)
+    assert(replayed.exceptAll(v1).count() == 0 &&
+      v1.exceptAll(replayed).count() == 0)
+    // version-range form agrees with the per-commit form
+    val ranged = GraftLog.changes(spark, t, Seq("id"), 0L, 1L,
+      preimages = true)
+    assert(types(ranged) == types(feed))
+    // preimages of deletes do not exist (delete rows carry last-known
+    // values already) — a pure delete commit emits delete rows only
+    GraftLog.delete(spark, t, $"id" < 2)                    // v2
+    assert(types(GraftLog.changesAt(spark, t, Seq("id"), 2,
+      preimages = true)) == Map("delete" -> 2L))
+  }
+
   test("DV commit streams deletes; materializing compact diffs empty") {
     val r = root(); val t = s"$r/t"
     GraftLog.overwrite(df(0 until 30, "a"), t)              // v0
