@@ -287,6 +287,10 @@ object SparkEntry {
     // as 3 bounded micro-batches, rows exactly-once across boundaries
     "i18_bounded_backfill" ->
       ((s, d) => Transactions.boundedBackfill(s, d)),
+    // byte-bounded backfill: maxBytesPerTrigger splits the same 5-commit
+    // history at a (total-1)-byte cap into exactly 2 bounded batches
+    "i20_byte_bounded_backfill" ->
+      ((s, d) => Transactions.byteBoundedBackfill(s, d)),
     // direct streaming sink (writeStream.format("graft")): one txn
     // commit per micro-batch, kill/resume/redrain exactly-once
     "i19_direct_sink" ->
@@ -1023,6 +1027,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, 3 AS n_batches
+        |FROM events GROUP BY 1""".stripMargin,
+    // i20: the byte cap at (total - 1) admits the first four commits as
+    // batch one and the fifth alone — exactly-once rows, exactly 2
+    // bounded batches for any size distribution
+    "i20_byte_bounded_backfill" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, 2 AS n_batches
         |FROM events GROUP BY 1""".stripMargin,
     // i19: the direct sink relays every event exactly once in exactly
     // two sink commits (one per drained source commit; the redrain

@@ -540,6 +540,42 @@ object Transactions {
       .withColumn("n_batches", lit(nBatches))
   }
 
+  /** i20 — BYTE-bounded backfill: `maxBytesPerTrigger` driven
+    * end-to-end, the admission cap that actually bounds executor memory
+    * at 100 TB (one commit can carry thousands of files; bytes are what
+    * spill). Five commits land, then one AvailableNow drain with the
+    * cap set to (total bytes - 1): the walk admits commits while their
+    * summed footprint stays under the cap, so the first batch takes the
+    * first four commits and the fifth lands alone — a deterministic
+    * TWO-batch split for ANY size distribution (sum of first four =
+    * total - size5 <= cap < total), which the oracle pins as
+    * `n_batches` alongside the exactly-once aggregate. Footprints come
+    * from commit-logged sizes — admission reads no data files. */
+  def byteBoundedBackfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val root = graft.sources.Staging.tempDir("graft_bbb_")
+    val (table, ckpt, out) = (s"$root/events_gl", s"$root/ckpt", s"$root/out")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+    (0 until 5).foreach { i =>
+      GraftLog.append(ev.filter(pmod(col("event_id"), lit(5)) === i), table)
+    }
+    val totalBytes = GraftLog.fileSizes(spark, table).values.sum
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", (totalBytes - 1).toString).load(table)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+      .withColumn("n_batches", lit(nBatches))
+  }
+
   /** i19 — the DIRECT streaming sink end-to-end:
     * `writeStream.format("graft")` relays a graft source table into a
     * graft sink table with one ledger-stamped transactional commit per

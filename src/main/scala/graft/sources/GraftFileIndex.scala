@@ -497,23 +497,11 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
       // stream the row-level change feed instead of the appended rows
       new GraftCdfStreamSource(sqlContext.sparkSession,
         pathOf(parameters), cdfKeys(parameters),
-        maxVersionsPerTrigger(parameters))
+        AdmissionLimits(parameters))
     else new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
       ignoreChanges =
         parameters.get("ignoreChanges").exists(_.toBoolean),
-      maxVersions = maxVersionsPerTrigger(parameters))
-
-  // `option("maxVersionsPerTrigger", n)` — admission control, the Delta
-  // maxFilesPerTrigger analog at this source's natural granularity (the
-  // commit): a backfill over a long history drains as n-commit batches
-  // instead of one giant catch-up batch
-  private def maxVersionsPerTrigger(
-      parameters: Map[String, String]): Option[Int] =
-    parameters.get("maxVersionsPerTrigger").map { s =>
-      val n = s.toInt
-      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
-      n
-    }
+      limits = AdmissionLimits(parameters))
 
   /** `df.writeStream.format("graft").start(path)` — the Delta streaming
     * SINK: each micro-batch lands as ONE transactional commit via the
@@ -595,8 +583,85 @@ final class GraftStreamSink(path: String, appId: String,
   * Scale: getBatch plans ONE parquet scan of the delta's files — commit
   * metadata sized driver work per trigger, data-proportional executor
   * work, no polling of data dirs (the log IS the notification channel). */
+/** Admission control for the graft stream sources — Delta's
+  * `maxFilesPerTrigger` / `maxBytesPerTrigger` contract plus the
+  * version-granular `maxVersionsPerTrigger`: a backfill over a long
+  * history drains as bounded micro-batches (bounded file set, bounded
+  * executor bytes) instead of one giant catch-up batch. Caps are
+  * SOFT at the source's offset granularity (the commit version): each
+  * micro-batch admits whole commits until the next one would exceed any
+  * cap, and always admits at least one commit so the stream can make
+  * progress — the same at-least-one-file semantics Delta documents,
+  * lifted to commit granularity (a LongOffset cannot split a commit).
+  * File counts and bytes come from commit-logged metadata — admission
+  * never touches data files. */
+private[sources] final case class AdmissionLimits(
+    maxVersions: Option[Int], maxFiles: Option[Int],
+    maxBytes: Option[Long]) {
+  def defined: Boolean =
+    maxVersions.nonEmpty || maxFiles.nonEmpty || maxBytes.nonEmpty
+
+  /** Highest admissible end version in `(base, latest]`. */
+  def admit(spark: SparkSession, table: String, base: Long,
+      latest: Long): Long = {
+    if (maxFiles.isEmpty && maxBytes.isEmpty)
+      // pure version arithmetic — no commit metadata reads needed
+      return maxVersions.map(m => math.min(latest, base + m))
+        .getOrElse(latest)
+    var end = base
+    var files = 0L
+    var bytes = 0L
+    var n = 0
+    var v = base + 1
+    var stop = false
+    while (v <= latest && !stop) {
+      val (fc, bc) = GraftLog.commitFootprint(spark, table, v)
+      if (n > 0 && (maxFiles.exists(files + fc > _) ||
+          maxBytes.exists(bytes + bc > _))) stop = true
+      else {
+        end = v; files += fc; bytes += bc; n += 1
+        if (maxVersions.exists(n >= _)) stop = true
+      }
+      v += 1
+    }
+    end
+  }
+}
+
+private[sources] object AdmissionLimits {
+  /** Parse the three trigger options; bytes accept a k/m/g suffix
+    * (Delta's byte-string form). */
+  def apply(parameters: Map[String, String]): AdmissionLimits = {
+    def positive(name: String, v: Long): Long = {
+      require(v > 0, s"$name must be positive, got $v"); v
+    }
+    val bytes = parameters.get("maxBytesPerTrigger").map { s =>
+      val m = "(?i)^(\\d+)\\s*([kmg]?)b?$".r
+      s.trim match {
+        case m(num, suffix) =>
+          val mult = suffix.toLowerCase match {
+            case "k" => 1L << 10
+            case "m" => 1L << 20
+            case "g" => 1L << 30
+            case _ => 1L
+          }
+          positive("maxBytesPerTrigger", num.toLong * mult)
+        case other => throw new IllegalArgumentException(
+          s"cannot parse maxBytesPerTrigger '$other'")
+      }
+    }
+    AdmissionLimits(
+      parameters.get("maxVersionsPerTrigger")
+        .map(s => positive("maxVersionsPerTrigger", s.toLong).toInt),
+      parameters.get("maxFilesPerTrigger")
+        .map(s => positive("maxFilesPerTrigger", s.toLong).toInt),
+      bytes)
+  }
+}
+
 final class GraftStreamSource(spark: SparkSession, table: String,
-    ignoreChanges: Boolean, maxVersions: Option[Int] = None)
+    ignoreChanges: Boolean, limits: AdmissionLimits =
+      AdmissionLimits(None, None, None))
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -637,22 +702,20 @@ final class GraftStreamSource(spark: SparkSession, table: String,
       case Some(c) => latest.map(math.min(_, c))
       case None => latest
     }
-    // admission control: at most maxVersions commits per micro-batch —
-    // a long-history backfill drains as bounded batches (each a bounded
-    // file set / state update) instead of one giant catch-up batch.
-    // Retained versions are a contiguous suffix (vacuum truncates
-    // prefixes only), so version arithmetic equals commit counting; a
-    // FRESH start bases its first window at the oldest retained version
-    // (whose snapshot is the anchor batch), never below it.
-    val admitted = (capped, maxVersions) match {
-      case (Some(l), Some(m)) =>
+    // admission control ([[AdmissionLimits]]): bounded commits / files /
+    // bytes per micro-batch — a long-history backfill drains as bounded
+    // batches instead of one giant catch-up batch. A FRESH start bases
+    // its first window at the contiguous-tail anchor (whose snapshot is
+    // the anchor batch), never below it.
+    val admitted = (capped, limits.defined) match {
+      case (Some(l), true) =>
         val from = Option(start).map(toVersion).getOrElse(-1L)
         val base =
           if (from == -1L)
             GraftLog.contiguousTailStart(
               GraftLog.versions(spark, table)).getOrElse(0L) - 1L
           else from
-        Some(math.min(l, base + m))
+        Some(limits.admit(spark, table, base, l))
       case _ => capped
     }
     admitted.map(LongOffset(_)).orNull
@@ -710,7 +773,8 @@ final class GraftStreamSource(spark: SparkSession, table: String,
   * relation of the same schema — zero rows, only the tag (the
   * FileStreamSource mechanism, applied to a derived plan). */
 final class GraftCdfStreamSource(spark: SparkSession, table: String,
-    keys: Seq[String], maxVersions: Option[Int] = None)
+    keys: Seq[String], limits: AdmissionLimits =
+      AdmissionLimits(None, None, None))
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -763,17 +827,17 @@ final class GraftCdfStreamSource(spark: SparkSession, table: String,
       case None => latest
     }
     // admission control — same contract as GraftStreamSource: bounded
-    // commit windows per micro-batch, fresh starts based at the oldest
-    // retained version (the anchor-snapshot batch)
-    val admitted = (capped, maxVersions) match {
-      case (Some(l), Some(m)) =>
+    // commit/file/byte windows per micro-batch, fresh starts based at
+    // the contiguous-tail anchor (the anchor-snapshot batch)
+    val admitted = (capped, limits.defined) match {
+      case (Some(l), true) =>
         val from = Option(start).map(toVersion).getOrElse(-1L)
         val base =
           if (from == -1L)
             GraftLog.contiguousTailStart(
               GraftLog.versions(spark, table)).getOrElse(0L) - 1L
           else from
-        Some(math.min(l, base + m))
+        Some(limits.admit(spark, table, base, l))
       case _ => capped
     }
     admitted.map(LongOffset(_)).orNull

@@ -322,6 +322,16 @@ object GraftLog {
       case (v, Some(a)) => if (v == a - 1) Some(v) else Some(a)
     }
 
+  /** (add-file count, add-file bytes) of one commit — the streaming
+    * admission-control footprint. Bytes come from commit-logged sizes
+    * (0 for entries without one; commits written by this log always
+    * carry them) — admission never touches data files. */
+  private[sources] def commitFootprint(spark: SparkSession, table: String,
+      v: Long): (Int, Long) = {
+    val c = readCommit(spark, table, v)
+    (c.add.size, c.add.map(f => c.sizes.getOrElse(f, 0L)).sum)
+  }
+
   private def readCommit(spark: SparkSession, table: String,
       v: Long): Commit = {
     val p = new HPath(new HPath(table, LogDirName), logName(v))

@@ -669,6 +669,48 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == cust.count())
   }
 
+  test("maxFiles/maxBytesPerTrigger: mixed-size commits drain bounded") {
+    val root = Staging.tempDir("graft_fidx_mfb_")
+    val t = s"$root/t"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    // v0: 4 files (OVER the cap — must still be admitted, alone);
+    // v1: 1 file; v2: 2 files (1+2 = exactly the cap); v3: 1 file
+    GraftLog.append(cust.filter(col("c_custkey") % 4 === 0)
+      .repartition(4), t)
+    GraftLog.append(cust.filter(col("c_custkey") % 4 === 1)
+      .coalesce(1), t)
+    GraftLog.append(cust.filter(col("c_custkey") % 4 === 2)
+      .repartition(2), t)
+    GraftLog.append(cust.filter(col("c_custkey") % 4 === 3)
+      .coalesce(1), t)
+    def drain(opts: Map[String, String], tag: String): Int = {
+      val q = spark.readStream.format("graft").options(opts).load(t)
+        .writeStream.format("parquet")
+        .option("path", s"$root/out_$tag")
+        .option("checkpointLocation", s"$root/ckpt_$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sunk = spark.read.parquet(s"$root/out_$tag")
+      assert(sunk.count() == cust.count())
+      assert(sunk.exceptAll(cust).count() == 0 &&
+        cust.exceptAll(sunk).count() == 0)
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    // file cap 3: [v0 alone (4>3, progress guarantee)], [v1+v2 = 3],
+    // [v3] — exactly three batches
+    assert(drain(Map("maxFilesPerTrigger" -> "3"), "files") == 3)
+    // a 1-byte cap forces every commit into its own batch
+    assert(drain(Map("maxBytesPerTrigger" -> "1"), "bytes") == 4)
+    // byte-suffix parsing: 1g swallows the whole history in one batch
+    assert(drain(Map("maxBytesPerTrigger" -> "1g"), "gig") == 1)
+    // caps compose: the tightest wins per batch
+    assert(drain(Map("maxFilesPerTrigger" -> "3",
+      "maxVersionsPerTrigger" -> "1"), "both") == 4)
+    // an unparseable byte cap fails loudly at stream start
+    intercept[Exception] { drain(Map("maxBytesPerTrigger" -> "wat"), "bad") }
+  }
+
   test("tag-pinned vacuum: fresh stream anchors at the contiguous tail") {
     val root = Staging.tempDir("graft_fidx_pin_")
     val (t, ckpt, out) = (s"$root/t", s"$root/ckpt", s"$root/out")
