@@ -195,6 +195,11 @@ object SparkEntry {
       ((s, d) => graft.streaming.Streaming.streamEnrich(s, d)),
     "i7_stream_dedup_keys" ->
       ((s, d) => graft.streaming.Streaming.streamDedupKeys(s, d)),
+    // the bounded-state twin: dropDuplicatesWithinWatermark evicts each
+    // key once the watermark passes; with the finite input inside one
+    // window the output equals the exact distinct set (the oracle)
+    "i21_stream_dedup_watermark" ->
+      ((s, d) => graft.streaming.Streaming.streamDedupKeysBounded(s, d)),
     // stream-stream time-bounded join (click → error funnel)
     "i8_click_error_join" ->
       ((s, d) => graft.streaming.Streaming.clickErrorJoinBatch(s, d)),
@@ -1530,6 +1535,11 @@ object SparkEntry {
     "i5_events_enrich"              -> enrichOracle,
     "i6_events_enrich_stream"       -> enrichOracle,
     "i7_stream_dedup_keys" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // i21: the whole finite backfill sits inside the 10-day watermark
+    // window, so no state evicts mid-stream and nothing re-emits: the
+    // watermark-bounded dedup equals the batch distinct over the window
+    "i21_stream_dedup_watermark" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "i8_click_error_join"        -> clickErrorOracle,
     "i9_click_error_join_stream" -> clickErrorOracle,
