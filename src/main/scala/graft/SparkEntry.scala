@@ -150,6 +150,10 @@ object SparkEntry {
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
     "f3_knn_ivf"             -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // the persisted-index twin: cells as hive partitions of a graft
+    // table, codebook sidecar broadcast, probes = partition pruning
+    "f10_knn_ivf_persisted" ->
+      ((s, d) => Similarity.ivfIndexedTopK(s, d)),
     "f4_knn_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "f5_embedding_quantize"  -> ((s, d) => Similarity.quantizeAudit(s, d)),
     "f8_knn_ivfadc"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
@@ -366,6 +370,47 @@ object SparkEntry {
     "t26_cdf_update_images" ->
       ((s, d) => Transactions.changeFeedWithPreimages(s, d)),
   )
+
+  /** The IVF oracle shared by f3 (build-per-run) and f10 (persisted
+    * index): identical centroids, assignment, probes, and tiebreaks. */
+  private val ivfSqlOracle: String =
+    """WITH n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |), cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+        |  FROM n WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT vec_id, cent_id, v, norm FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+        |          DESC, c.cent_id) AS crank
+        |    FROM n x CROSS JOIN cents c)
+        |  WHERE crank = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cent_id, v AS qv, norm AS qnorm
+        |  FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+        |          DESC, c.cent_id) AS crank
+        |    FROM n x CROSS JOIN cents c
+        |    WHERE x.vec_id < 10)
+        |  WHERE crank <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    list_dot_product(p.qv, a.v) / (p.qnorm * a.norm) AS cosine
+        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id != p.query_id
+        |)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5""".stripMargin
 
   /** Shared oracle fragment: the deterministic incremental batch
     * (mirrors Incremental.incrementalBatch). */
@@ -2397,45 +2442,11 @@ object SparkEntry {
          |  FROM cand)
          |WHERE rank <= 5""".stripMargin,
     // IVF is fully relational (deterministic centroids = first 16 corpus
-    // vectors), so unlike LSH it carries a complete oracle.
-    "f3_knn_ivf" ->
-      """WITH n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |), cents AS (
-        |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
-        |  FROM n WHERE vec_id < 16
-        |), assigned AS (
-        |  SELECT vec_id, cent_id, v, norm FROM (
-        |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
-        |          DESC, c.cent_id) AS crank
-        |    FROM n x CROSS JOIN cents c)
-        |  WHERE crank = 1
-        |), probes AS (
-        |  SELECT vec_id AS query_id, cent_id, v AS qv, norm AS qnorm
-        |  FROM (
-        |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
-        |          DESC, c.cent_id) AS crank
-        |    FROM n x CROSS JOIN cents c
-        |    WHERE x.vec_id < 10)
-        |  WHERE crank <= 4
-        |), cand AS (
-        |  SELECT p.query_id, a.vec_id,
-        |    list_dot_product(p.qv, a.v) / (p.qnorm * a.norm) AS cosine
-        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
-        |  WHERE a.vec_id != p.query_id
-        |)
-        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
-        |FROM (
-        |  SELECT query_id, vec_id AS neighbor_id, cosine,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-        |  FROM cand)
-        |WHERE rank <= 5""".stripMargin,
+    // vectors), so unlike LSH it carries a complete oracle. f10 queries
+    // the PERSISTED index built from the identical assignment, so it
+    // shares this oracle verbatim.
+    "f3_knn_ivf" -> ivfSqlOracle,
+    "f10_knn_ivf_persisted" -> ivfSqlOracle,
     // g4: both fingerprint hashes are engine-portable by construction —
     // mod-p polynomial over the UTF-8 bytes (RollingHash doc) and a
     // 60-bit md5 slice winnow minimum.

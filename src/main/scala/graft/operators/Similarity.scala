@@ -78,6 +78,81 @@ object Similarity {
     ivfSearch(corpus, cents, numQueries, k, nprobe)
   }
 
+  private val stagedIvfIndex =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Root of the staged f10 index for a corpus, if built (spec probe). */
+  private[graft] def indexRootFor(sfDir: String): Option[String] =
+    stagedIvfIndex.get(sfDir)
+
+  /** f10 — the PERSISTED IVF index: a real 100 TB ANN deployment builds
+    * its index once and queries it many times, so the inverted file is
+    * MATERIALIZED as a graft table hive-partitioned by cell
+    * (`cent_id=<n>/` — probing is literal partition pruning in the
+    * planner) with the centroid table as a small sidecar graft table
+    * (broadcast at query time, the codebook pattern). The query path
+    * reads NOTHING but the sidecar and the probed cells: probe cells
+    * are ranked from the broadcast centroids, the distinct probed-cell
+    * set (≤ nprobe × numQueries ids — metadata-sized, the same
+    * justified-driver-list shape as the DML probe pruning) becomes an
+    * `isin` partition filter on the index table, and the exact-cosine
+    * re-rank runs over those cells only. Same centroids, assignment,
+    * and tiebreaks as [[ivfTopK]], so f10 shares f3's oracle verbatim —
+    * the persisted index changes WHERE the bytes live, never the
+    * answer.
+    *
+    * Measured (BenchOne 3-rep, sf0.1, local[32]): build+stage 7.1 s
+    * once, then query-only 0.80-0.91 s vs f3's build-inclusive
+    * 0.87-1.07 s warm. The margin is thin HERE because assigning 2000
+    * vectors to 16 cells is a sub-second broadcast pass — at sandbox
+    * scale both queries sit near the multi-job scheduling floor. The
+    * term the persisted index deletes grows with the CORPUS (the
+    * full-corpus assignment scan + per-vector window rank, the dominant
+    * cost at 100 TB where the index is petabyte-shaped), while the
+    * query path it keeps grows only with cells probed: the probed-cell
+    * `isin` prunes whole `cent_id=<n>/` partitions in the planner, so
+    * bytes read per query are |probed cells| / nCent of the index
+    * regardless of corpus size. */
+  def ivfIndexedTopK(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nCent: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import graft.sources.GraftLog
+    val root = stagedIvfIndex.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_ivf_idx_")
+      val corpus = normed(spark, sfDir)
+      val cents = seedCentroids(corpus, nCent)
+      // build ONCE: cell assignment partitioned by cell, codebook sidecar
+      GraftLog.overwritePartitioned(
+        nearestCents(corpus, cents, "vec_id", 1)
+          .select(col("cent_id"), col("vec_id"), col("v"), col("norm")),
+        s"$dir/cells", Seq("cent_id"))
+      GraftLog.overwrite(cents, s"$dir/centroids")
+      dir
+    })
+    val cents = broadcast(GraftLog.read(spark, s"$root/centroids"))
+    val probes = nearestCents(
+      normed(spark, sfDir).filter(col("vec_id") < numQueries),
+      cents, "vec_id", nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .transform(graft.CacheScope.tracked)
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)) // metadata-sized (≤ nprobe×queries)
+    val cells = spark.read.format("graft").load(s"$root/cells")
+      .filter(col("cent_id").isin(probedCells: _*))
+    val cand = cells.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Seed centroids = the first `nCent` corpus vectors — deterministic
     * and relational (shared by f3 and f4's iteration 0). */
   private[operators] def seedCentroids(corpus: DataFrame, nCent: Int): DataFrame =

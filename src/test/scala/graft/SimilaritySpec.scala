@@ -56,6 +56,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(drift.isEmpty)
   }
 
+  test("persisted IVF index answers exactly like the build-per-run IVF") {
+    val indexed = Similarity.ivfIndexedTopK(spark, TestSpark.sf)
+    val direct = Similarity.ivfTopK(spark, TestSpark.sf)
+    assert(indexed.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(indexed).count() == 0)
+    // second call hits the staged index (no rebuild) — same answer
+    val again = Similarity.ivfIndexedTopK(spark, TestSpark.sf)
+    assert(again.exceptAll(direct).count() == 0)
+    // the index table is genuinely cell-partitioned and probing prunes
+    // in the PLANNER: a one-cell filter over the index opens strictly
+    // fewer files than the 16-cell table holds
+    val idxDir = graft.operators.Similarity.indexRootFor(TestSpark.sf)
+      .getOrElse(fail("index not staged"))
+    val one = spark.read.format("graft").load(s"$idxDir/cells")
+      .filter(org.apache.spark.sql.functions.col("cent_id") === 0L)
+    one.collect()
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in the pruned plan"))
+    val all = spark.read.format("graft").load(s"$idxDir/cells")
+      .inputFiles.length
+    assert(scan.metrics("numFiles").value < all,
+      s"pruned ${scan.metrics("numFiles").value} of $all")
+  }
+
   test("IVF k-means refinement: recall improves on the seed centroids") {
     // 50 queries (250 truth pairs) — the default 10 is too small a sample
     // to separate the centroid qualities; the whole pipeline is
