@@ -52,7 +52,16 @@ object Bench {
       }
       rm(warmDir.toFile)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // host-load context: a loaded gate machine inflates shuffle-parallel
+    // queries 2-10x while leaving light ones alone (round-8 adjudication
+    // burned five BenchOne sessions proving exactly that); recording the
+    // 1-min loadavg at start and end makes the next inflated record
+    // self-diagnosing
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
+    def timed(fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // CacheScope releases the operator-persisted frames once the count
       // drains; clearCache stays as the belt for anything untracked
@@ -61,8 +70,18 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       // a failed query must not masquerade as a fast one
-      name -> (if (ok) dt else -1.0)
+      if (ok) dt else -1.0
     }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> timed(fn)
+    }
+    // WARM second reps for the slowest ten: the first rep of a heavy
+    // query absorbs staging IO and any transient host contention; the
+    // warm rep is the number BenchOne re-measurements reproduce, so the
+    // record carries its own adjudication evidence
+    val warm = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (name, _) => name -> timed(SparkEntry.queries(name)) }
+    val loadEnd = loadavg
     def fmt(entries: Iterable[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -81,7 +100,7 @@ object Bench {
       }
     }
     def line(qs: String, extra: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)}$extra$scaleMarker,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":${results.count(_._2 < 0)},"loadavg":[$loadStart%.2f,$loadEnd%.2f],"warm":${fmt(warm)}$extra$scaleMarker,"queries":$qs,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of output; the full
     // 81-entry map is ~2.9k and got truncated into unparseable JSON in
     // rounds 2-3 (BENCH_r0{2,3}.json "parsed": null). Stdout gets a
