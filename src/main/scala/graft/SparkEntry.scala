@@ -369,6 +369,10 @@ object SparkEntry {
     // rows (Delta's full contract), from one pass over the version diff
     "t26_cdf_update_images" ->
       ((s, d) => Transactions.changeFeedWithPreimages(s, d)),
+    // batch CDF through the reader option surface: readChangeFeed +
+    // startingVersion/endingVersion, rows stamped _commit_version
+    "t27_cdf_batch_read" ->
+      ((s, d) => Transactions.cdfBatchRead(s, d)),
   )
 
   /** The IVF oracle shared by f3 (build-per-run) and f10 (persisted
@@ -780,6 +784,31 @@ object SparkEntry {
          |     OR b.c_mktsegment != inc.inc_mktsegment
          |)
          |SELECT * FROM ins UNION ALL SELECT * FROM upd""".stripMargin,
+    // t27: the batch-read surface serves the same single-commit diff as
+    // t6 with the version stamped on every row
+    "t27_cdf_batch_read" ->
+      s"""WITH $incCte,
+         |ins AS (
+         |  SELECT inc_custkey AS c_custkey, inc_name AS c_name,
+         |    inc_nationkey AS c_nationkey, inc_acctbal AS c_acctbal,
+         |    inc_mktsegment AS c_mktsegment, 'insert' AS _change_type
+         |  FROM inc
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer b
+         |                    WHERE b.c_custkey = inc.inc_custkey)
+         |), upd AS (
+         |  SELECT inc_custkey AS c_custkey, inc_name AS c_name,
+         |    inc_nationkey AS c_nationkey, inc_acctbal AS c_acctbal,
+         |    inc_mktsegment AS c_mktsegment,
+         |    'update_postimage' AS _change_type
+         |  FROM customer b JOIN inc ON b.c_custkey = inc.inc_custkey
+         |  WHERE b.c_acctbal != inc.inc_acctbal
+         |     OR b.c_name != inc.inc_name
+         |     OR b.c_nationkey != inc.inc_nationkey
+         |     OR b.c_mktsegment != inc.inc_mktsegment
+         |)
+         |SELECT *, CAST(1 AS BIGINT) AS _commit_version FROM ins
+         |UNION ALL SELECT *, CAST(1 AS BIGINT) AS _commit_version
+         |FROM upd""".stripMargin,
     // t26: the same diff with the update PREIMAGES added — old values
     // replayed from the v0 side (customer), new values from the batch,
     // for exactly the value-changed matched keys (join-replay of the

@@ -385,6 +385,19 @@ object Transactions {
     GraftLog.changes(spark, mergeTable(spark, sfDir),
       Seq("c_custkey"), 0L, 1L, preimages = true)
 
+  /** t27 — BATCH change-feed read through the reader option surface
+    * (Delta's `spark.read.option("readChangeFeed", true)` with a
+    * version range): the MERGE commit's row-level diff served as an
+    * ordinary DataFrame, each row stamped `_commit_version`. Same
+    * classes as t6 (the oracle adds the constant version column). */
+  def cdfBatchRead(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("cdfKeys", "c_custkey")
+      .option("startingVersion", "1")
+      .option("endingVersion", "1")
+      .load(mergeTable(spark, sfDir))
+
   private val stagedSkip =
     new scala.collection.concurrent.TrieMap[String, String]
 

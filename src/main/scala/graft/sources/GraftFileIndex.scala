@@ -419,9 +419,55 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
       throw new IllegalArgumentException("format(\"graft\") needs a path"))
 
   override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    if (cdfRequested(parameters))
+      // BATCH change-feed read — Delta's
+      // `spark.read.option("readChangeFeed", true)
+      //   .option("startingVersion", a).option("endingVersion", b)`:
+      // one row-level change row per commit version in [a, b], each
+      // stamped _commit_version; `includePreimages` upgrades updates to
+      // the four-class contract. Computed lazily at scan time from the
+      // file-bounded per-commit diffs (never a whole-snapshot pass per
+      // version).
+      cdfBatchRelation(sqlContext, parameters)
+    else {
+      val asOf = parameters.get("versionAsOf").map(_.toLong)
+      GraftFileIndex.relation(sqlContext.sparkSession, pathOf(parameters),
+        asOf)
+    }
+
+  private def cdfBatchRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val asOf = parameters.get("versionAsOf").map(_.toLong)
-    GraftFileIndex.relation(sqlContext.sparkSession, pathOf(parameters), asOf)
+    val spark = sqlContext.sparkSession
+    val table = pathOf(parameters)
+    val keys = cdfKeys(parameters)
+    require(keys.nonEmpty,
+      "readChangeFeed needs option(\"cdfKeys\", \"k1[,k2…]\") — the row " +
+        "identity the diff classifies by")
+    val all = GraftLog.versions(spark, table)
+    require(all.nonEmpty, s"$table is not a graft table")
+    val startV = parameters.get("startingVersion").map(_.toLong)
+      .getOrElse(all.head)
+    val endV = parameters.get("endingVersion").map(_.toLong)
+      .getOrElse(all.last)
+    require(startV <= endV,
+      s"startingVersion $startV > endingVersion $endV")
+    val pre = parameters.get("includePreimages").exists(_.toBoolean)
+    val range = all.filter(v => v >= startV && v <= endV)
+    require(range.nonEmpty,
+      s"no retained versions of $table in [$startV, $endV]")
+    val frame = range
+      .map(v => GraftLog.changesAt(spark, table, keys, v, pre)
+        .withColumn("_commit_version",
+          org.apache.spark.sql.functions.lit(v)))
+      .reduce(_ unionByName _)
+    new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: SQLContext = sqlContext0
+      private val sqlContext0 = spark.sqlContext
+      override def schema: StructType = frame.schema
+      override def buildScan()
+          : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = frame.rdd
+    }
   }
 
   /** `df.write.format("graft").mode(...).save(path)` — Append/Overwrite

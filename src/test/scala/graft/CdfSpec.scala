@@ -81,6 +81,36 @@ class CdfSpec extends AnyFunSuite {
       preimages = true)) == Map("delete" -> 2L))
   }
 
+  test("batch CDF read: version range, _commit_version, preimages opt") {
+    val r = root(); val t = s"$r/t"
+    GraftLog.overwrite(df(0 until 10, "a"), t)              // v0
+    GraftLog.merge(Seq((3L, "up"), (40L, "new")).toDF("id", "tag"),
+      t, Seq("id"))                                         // v1
+    GraftLog.delete(spark, t, $"id" < 2)                    // v2
+    def read(opts: (String, String)*) = {
+      val base = spark.read.format("graft")
+        .option("readChangeFeed", "true").option("cdfKeys", "id")
+      opts.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }.load(t)
+    }
+    // single-version window equals the per-commit API, stamped
+    val v1 = read("startingVersion" -> "1", "endingVersion" -> "1")
+    assert(types(v1) == Map("insert" -> 1L, "update_postimage" -> 1L))
+    assert(v1.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // default range = full retained history
+    val full = read()
+    assert(types(full) == Map("insert" -> 11L,
+      "update_postimage" -> 1L, "delete" -> 2L))
+    // preimages upgrade only the update class
+    val pre = read("startingVersion" -> "1", "endingVersion" -> "2",
+      "includePreimages" -> "true")
+    assert(types(pre) == Map("insert" -> 1L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 2L))
+    intercept[Exception] {
+      read("startingVersion" -> "2", "endingVersion" -> "1").collect()
+    }
+  }
+
   test("DV commit streams deletes; materializing compact diffs empty") {
     val r = root(); val t = s"$r/t"
     GraftLog.overwrite(df(0 until 30, "a"), t)              // v0
