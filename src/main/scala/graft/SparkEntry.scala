@@ -327,6 +327,10 @@ object SparkEntry {
     // dirs the schema never mentions; plain key probes prune them
     "t19_graftlog_bucket_transform" ->
       ((s, d) => Transactions.bucketTransformProbe(s, d)),
+    // GENERATED ALWAYS AS partition column: writers never name it, the
+    // ts-range read prunes event_date dirs via the derived predicate
+    "t28_generated_columns" ->
+      ((s, d) => Transactions.generatedColumnsRead(s, d)),
     // streaming GDPR erasure: delete-request topic → per-batch DV
     // commits → compaction materializes (s11 + t17 + t5 composed)
     "i15_streaming_gdpr_erasure" ->
@@ -1086,6 +1090,17 @@ object SparkEntry {
     "t11_graftlog_partitioned" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    // t28: the generated event_date is never written by a producer and
+    // never named by the query's filter — the derived-pruned daily
+    // aggregate must equal the raw ts-ranged aggregate exactly
+    "t28_generated_columns" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY 1""".stripMargin,
     // t12: the z-ordered layout is a pure layout change — the filtered
     // read must equal the plain predicate over the full table
     "t12_graftlog_zorder" ->

@@ -89,6 +89,46 @@ object Transactions {
     GraftLog.read(spark, partMergeTable(spark, sfDir))
       .select(customerCols.map(col): _*)
 
+  private val stagedGenerated =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Events table with `event_date GENERATED ALWAYS AS (to_date(ts))`,
+    * hive-partitioned by the generated column — neither write names it
+    * (the log computes it), which is the Delta generated-column write
+    * contract. */
+  private def generatedTable(spark: SparkSession, sfDir: String): String =
+    stagedGenerated.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_txn_") + "/events_gen"
+      val ev = Sources.testTable(spark, sfDir, "events")
+      GraftLog.createGenerated(ev.filter(col("event_id") % 2 === 0), dir,
+        Map("event_date" -> "to_date(ts)"), Seq("event_date"))
+      GraftLog.appendPartitioned(ev.filter(col("event_id") % 2 === 1),
+        dir, Seq("event_date"))
+      dir
+    })
+
+  /** t28 — GENERATED partition columns end-to-end: the table is laid
+    * out in `event_date=<day>` dirs the writers never populated, and
+    * the read filters ONLY on `ts` — [[graft.sources.GraftFileIndex]]
+    * derives the partition predicate from the base-column range through
+    * the `to_date` generation shape (Delta's generated-column partition
+    * pruning), so the scan opens only the in-range days' dirs. At
+    * 100 TB this is the partition discipline that makes a time-ranged
+    * query touch ~10 of ~3650 day-dirs with zero query-side awareness
+    * of the layout. Oracle: the same ts-ranged daily aggregate computed
+    * from the raw events table. */
+  def generatedColumnsRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = generatedTable(spark, sfDir)
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    graft.sources.GraftFileIndex.read(spark, dir)
+      .filter(col("ts") >= lo && col("ts") < hi)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,10)")).cast("double"), 6)
+          .as("total_value"))
+  }
+
   private val stagedBucketT =
     new scala.collection.concurrent.TrieMap[String, String]
 

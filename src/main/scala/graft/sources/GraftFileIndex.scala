@@ -124,6 +124,91 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   val dataSchema: StructType = StructType(tableSchema.fields.filterNot(f =>
     partColNames.exists(_.equalsIgnoreCase(f.name))))
 
+  // GENERATED partition columns (Delta's generated-column partition
+  // pruning): when a visible partition column is declared
+  // `GENERATED ALWAYS AS (f(base))` for a supported monotone/equality
+  // shape, filters on the BASE column — which arrive as dataFilters,
+  // since the base is an ordinary data column — prune whole `col=val`
+  // dirs BEFORE any per-file stats check. At 100 TB this is the
+  // difference between touching one day's directory and walking every
+  // file's stats: `WHERE ts >= X` hits only `event_date >= to_date(X)`
+  // dirs without the query ever naming event_date.
+  private val genShapes: Map[String, GenShape] =
+    GraftLog.generatedColumns(spark, table, asOf).flatMap {
+      case (c, sql) => GenShape.parse(spark, sql).map(c.toLowerCase -> _)
+    }
+
+  /** Per-dir derived-pruning inputs: base column (lower) → (shape,
+    * this dir's partition value for the generated column). */
+  private def genValsOf(spec: Seq[(String, String)])
+      : Map[String, (GenShape, Any)] =
+    spec.flatMap { case (n, raw) =>
+      genShapes.get(n.toLowerCase).map { sh =>
+        val i = partitionSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+        sh.baseCol -> ((sh, castPartValue(raw, partitionSchema.fields(i)
+          .dataType)))
+      }
+    }.toMap
+
+  /** May a dir whose generated partition values are `gen` hold a row
+    * satisfying `e`? For `g = f(base)`: equality probes on base test
+    * `g == f(v)` for any supported shape; range probes need f monotone
+    * nondecreasing (base ≥ v ⇒ f(base) ≥ f(v), so a dir with
+    * g < f(v) is a definite miss — and symmetrically for ≤). Strict
+    * comparisons use the non-strict derived bound (f collapses
+    * neighborhoods: base > v still allows f(base) = f(v)). Unknown
+    * shapes, null dir values, and unmappable literals keep the dir. */
+  private def mayMatchGenerated(e: Expression,
+      gen: Map[String, (GenShape, Any)]): Boolean = {
+    def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (null, _) | (_, null) => None
+      case (x: java.lang.Integer, y: java.lang.Integer) =>
+        Some(Integer.compare(x, y))
+      case (x: java.lang.Long, y: java.lang.Long) =>
+        Some(java.lang.Long.compare(x, y))
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+      case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    // rel: the set of cmp(gVal, f(lit)) signs compatible with the probe
+    def chk(a: Attribute, v: Any, dt: DataType, rel: Int => Boolean,
+        needsMonotone: Boolean): Boolean =
+      v == null || (gen.get(a.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some((sh, gVal)) if !needsMonotone || sh.monotone =>
+          sh.mapLit(v, dt) match {
+            case Some(mapped) => cmpAny(gVal, mapped).forall(rel)
+            case None => true
+          }
+        case _ => true
+      })
+    def eq(a: Attribute, v: Any, dt: DataType) =
+      chk(a, v, dt, _ == 0, needsMonotone = false)
+    def ge(a: Attribute, v: Any, dt: DataType) =
+      chk(a, v, dt, _ >= 0, needsMonotone = true)
+    def le(a: Attribute, v: Any, dt: DataType) =
+      chk(a, v, dt, _ <= 0, needsMonotone = true)
+    e match {
+      case And(l, r) => mayMatchGenerated(l, gen) && mayMatchGenerated(r, gen)
+      case Or(l, r) => mayMatchGenerated(l, gen) || mayMatchGenerated(r, gen)
+      case EqualTo(a: Attribute, Literal(v, dt)) => eq(a, v, dt)
+      case EqualTo(Literal(v, dt), a: Attribute) => eq(a, v, dt)
+      case EqualNullSafe(a: Attribute, Literal(v, dt)) => eq(a, v, dt)
+      case EqualNullSafe(Literal(v, dt), a: Attribute) => eq(a, v, dt)
+      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists { case Literal(v, dt) => eq(a, v, dt) }
+      case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) => ge(a, v, dt)
+      case GreaterThan(a: Attribute, Literal(v, dt)) => ge(a, v, dt)
+      case LessThanOrEqual(a: Attribute, Literal(v, dt)) => le(a, v, dt)
+      case LessThan(a: Attribute, Literal(v, dt)) => le(a, v, dt)
+      case GreaterThanOrEqual(Literal(v, dt), a: Attribute) => le(a, v, dt)
+      case GreaterThan(Literal(v, dt), a: Attribute) => le(a, v, dt)
+      case LessThanOrEqual(Literal(v, dt), a: Attribute) => ge(a, v, dt)
+      case LessThan(Literal(v, dt), a: Attribute) => ge(a, v, dt)
+      case _ => true
+    }
+  }
+
   def schema: StructType = tableSchema
 
   /** Root path of the backing GraftLog table — the SQL DML rewrite uses
@@ -160,7 +245,7 @@ final class GraftFileIndex(spark: SparkSession, table: String,
           spec.zip(partitionSchema.fields).map { case ((_, v), fld) =>
             castPartValue(v, fld.dataType)
           }.toArray)
-        (row: InternalRow, fls)
+        (spec, row: InternalRow, fls)
       }
       val kept =
         if (partitionFilters.isEmpty) dirs
@@ -176,9 +261,17 @@ final class GraftFileIndex(spark: SparkSession, table: String,
                 nullable = true)
           }
           val pred = Predicate.createInterpreted(bound)
-          dirs.filter { case (row, _) => pred.eval(row) }
+          dirs.filter { case (_, row, _) => pred.eval(row) }
         }
-      kept.map { case (row, fls) =>
+      // derived pruning for GENERATED partition columns: base-column
+      // data filters prune whole dirs through the generation shape
+      val keptGen =
+        if (genShapes.isEmpty || dataFilters.isEmpty) kept
+        else kept.filter { case (spec, _, _) =>
+          val gen = genValsOf(spec)
+          gen.isEmpty || dataFilters.forall(mayMatchGenerated(_, gen))
+        }
+      keptGen.map { case (_, row, fls) =>
         PartitionDirectory(row,
           fls.collect { case (rel, st) if keepData(rel) => st }.toArray)
       }
@@ -213,6 +306,14 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   private[graft] def countAfterPruning(dataFilters: Seq[Expression],
       partitionFilters: Seq[Expression] = Nil): Int =
     listFiles(partitionFilters, dataFilters).map(_.files.size).sum
+
+  /** Count of partition DIRECTORIES the given filters keep (file-level
+    * stats pruning drops files within kept dirs but never a dir row, so
+    * a shrinking dir count isolates partition/generated-column
+    * pruning) — spec/diagnostic hook. */
+  private[graft] def countDirsAfterPruning(dataFilters: Seq[Expression],
+      partitionFilters: Seq[Expression] = Nil): Int =
+    listFiles(partitionFilters, dataFilters).size
 
   /** Hive path unescape: %XX sequences only ('+' stays literal). */
   private def unescapePath(s: String): String = {
@@ -951,4 +1052,77 @@ private[sources] final class StaticFileIndex(root: HPath,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
     Seq(PartitionDirectory(InternalRow.empty, files))
+}
+
+/** A recognized generated-column shape `g = f(base)` with an evaluable
+  * literal mapping — the bounded expression vocabulary
+  * [[GraftFileIndex]] derives partition predicates through (Delta's
+  * generated-column partition-filter derivation draws the same kind of
+  * allowlist). `mapLit` maps a base-column literal (Catalyst-internal
+  * representation) to the partition value's internal representation;
+  * None means "can't map — keep the dir". `monotone` marks f
+  * nondecreasing over the base ordering, licensing range derivation;
+  * non-monotone shapes (month, day, hour) derive from equality/IN
+  * probes only. */
+private[sources] final case class GenShape(baseCol: String,
+    monotone: Boolean, mapLit: (Any, DataType) => Option[Any])
+
+private[sources] object GenShape {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+  import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, Literal => CLit, DayOfMonth, Hour, Month, Substring, Year}
+
+  /** Parse a generation-expression SQL into a [[GenShape]]; None for
+    * anything outside the supported vocabulary (pruning then simply
+    * does not derive — correctness never depends on it). Supported:
+    * `to_date(c)` / `CAST(c AS DATE)` (monotone), `year(c)` (monotone),
+    * `month(c)` / `day(c)` / `dayofmonth(c)` / `hour(c)` (equality
+    * only), `substring(c, 1, n)` prefix (monotone — fixed-length
+    * truncation preserves lexicographic order). */
+  def parse(spark: SparkSession, sql: String): Option[GenShape] = {
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    def toDateVal(v: Any, dt: DataType): Option[Any] = dt match {
+      case DateType => Some(v)
+      case TimestampType | TimestampNTZType | StringType =>
+        Option(CCast(CLit(v, dt), DateType, Some(tz)).eval(null))
+      case _ => None
+    }
+    def datePart(part: Expression => Expression)(v: Any,
+        dt: DataType): Option[Any] =
+      toDateVal(v, dt).flatMap(d =>
+        Option(part(CLit(d, DateType)).eval(null)))
+    def base(a: UnresolvedAttribute): String =
+      a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+    try {
+      spark.sessionState.sqlParser.parseExpression(sql) match {
+        case f: UnresolvedFunction =>
+          (f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT))
+            .mkString("."), f.arguments) match {
+            case ("to_date", Seq(a: UnresolvedAttribute)) =>
+              Some(GenShape(base(a), monotone = true, toDateVal))
+            case ("year", Seq(a: UnresolvedAttribute)) =>
+              Some(GenShape(base(a), monotone = true, datePart(Year)))
+            case ("month", Seq(a: UnresolvedAttribute)) =>
+              Some(GenShape(base(a), monotone = false, datePart(Month)))
+            case ("day" | "dayofmonth", Seq(a: UnresolvedAttribute)) =>
+              Some(GenShape(base(a), monotone = false,
+                datePart(DayOfMonth)))
+            case ("hour", Seq(a: UnresolvedAttribute)) =>
+              Some(GenShape(base(a), monotone = false, (v, dt) =>
+                if (dt != TimestampType && dt != TimestampNTZType) None
+                else Option(Hour(CLit(v, dt), Some(tz)).eval(null))))
+            case ("substring" | "substr",
+                Seq(a: UnresolvedAttribute, CLit(s, IntegerType),
+                  CLit(n, IntegerType))) if s == 1 =>
+              Some(GenShape(base(a), monotone = true, (v, dt) =>
+                if (dt != StringType) None
+                else Option(Substring(CLit(v, dt), CLit(1, IntegerType),
+                  CLit(n, IntegerType)).eval(null))))
+            case _ => None
+          }
+        case CCast(a: UnresolvedAttribute, DateType, _, _) =>
+          Some(GenShape(base(a), monotone = true, toDateVal))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

@@ -8,7 +8,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
 
 /** Minimal log-backed transactional table format on parquet — the working
   * analog of the reference's Delta Lake layer (the environment ships no
@@ -75,7 +75,8 @@ object GraftLog {
       blooms: Map[String, Map[String, String]] = Map.empty,
       colMap: Map[String, String] = Map.empty,
       checks: Map[String, String] = Map.empty,
-      tags: Map[String, Long] = Map.empty)
+      tags: Map[String, Long] = Map.empty,
+      generated: Map[String, String] = Map.empty)
 
   /** Operations whose commits SET the column-mapping state explicitly
     * (an empty map from one of these means "mapping cleared/none");
@@ -186,10 +187,15 @@ object GraftLog {
       else ","+"\"tags\":" + c.tags.toSeq.sortBy(_._1).map {
         case (nm, v) => "\"" + esc(nm) + "\":" + v
       }.mkString("{", ",", "}")
+    val generatedPart =
+      if (c.generated.isEmpty) ""
+      else ","+"\"generated\":" + c.generated.toSeq.sortBy(_._1).map {
+        case (nm, ex) => "\"" + esc(nm) + "\":\"" + esc(ex) + "\""
+      }.mkString("{", ",", "}")
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
-      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$colMapPart$checksPart$tagsPart$txnsPart}"""
+      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$colMapPart$checksPart$tagsPart$generatedPart$txnsPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -288,10 +294,21 @@ object GraftLog {
         }
         out.toMap
       }
+    val generated =
+      if (!n.has("generated")) Map.empty[String, String]
+      else {
+        val gn = n.get("generated")
+        val out = scala.collection.mutable.Map.empty[String, String]
+        gn.fieldNames().forEachRemaining { nm =>
+          out += nm -> gn.get(nm).asText()
+        }
+        out.toMap
+      }
     Commit(n.get("version").asLong(), n.get("operation").asText(),
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
       n.get("timestampMs").asLong(), txn, stats, txns, sizes,
-      optArr("dvAdd"), optArr("dvRemove"), blooms, colMap, checks, tags)
+      optArr("dvAdd"), optArr("dvRemove"), blooms, colMap, checks, tags,
+      generated)
   }
 
   // ------------------------------------------------------------- protocol
@@ -394,8 +411,12 @@ object GraftLog {
       !ChecksAuthoritative(c.operation)
     val inheritTags = c.tags.isEmpty && c.version > 0 &&
       !TagsAuthoritative(c.operation)
+    // generated-column definitions are immutable for the table's life
+    // (Delta: generation expressions are set at creation only), so
+    // every post-creation commit inherits — no authoritative op exists
+    val inheritGen = c.generated.isEmpty && c.version > 0
     val withMeta =
-      if (!inheritMap && !inheritChecks && !inheritTags) c
+      if (!inheritMap && !inheritChecks && !inheritTags && !inheritGen) c
       else {
         val prev = previousCommit(spark, table, c.version)
         c.copy(
@@ -404,7 +425,9 @@ object GraftLog {
           checks = if (inheritChecks) prev.map(_.checks)
             .getOrElse(c.checks) else c.checks,
           tags = if (inheritTags) prev.map(_.tags)
-            .getOrElse(c.tags) else c.tags)
+            .getOrElse(c.tags) else c.tags,
+          generated = if (inheritGen) prev.map(_.generated)
+            .getOrElse(c.generated) else c.generated)
       }
     if (!putIfAbsent(spark, table, logName(withMeta.version),
         toJson(withMeta)))
@@ -479,12 +502,13 @@ object GraftLog {
       version: Option[Long], schemaDdl: Option[String],
       colMap: Option[Map[String, String]],
       checks: Option[Map[String, String]],
-      timestampMs: Option[Long])
+      timestampMs: Option[Long],
+      generated: Option[Map[String, String]])
 
   private def writeCheckpointParquet(spark: SparkSession, table: String,
       c: Commit): Unit = {
     val none = CkptRow("", 0L, None, None, None, None, None, None,
-      None, None, None, None, None)
+      None, None, None, None, None, None)
     val adds = c.add.zipWithIndex.map { case (f, i) =>
       none.copy(kind = "add", ord = i.toLong, path = Some(f),
         size = c.sizes.get(f),
@@ -503,7 +527,8 @@ object GraftLog {
     val meta = none.copy(kind = "meta", version = Some(c.version),
       schemaDdl = Some(c.schemaDdl),
       colMap = Some(c.colMap), checks = Some(c.checks),
-      timestampMs = Some(c.timestampMs))
+      timestampMs = Some(c.timestampMs),
+      generated = Some(c.generated))
     // Part sizing: bounded rows per part file keeps each part's decode
     // (and a future selective read) executor-sized at any file count;
     // sandbox tables produce one part, a 100 TB table tens — the
@@ -533,7 +558,15 @@ object GraftLog {
       v: Long): Option[Commit] = {
     val dir = new HPath(new HPath(table, LogDirName), ckptParquetName(v))
     if (!fs(spark, table).exists(dir)) return None
-    val rows = spark.read.parquet(dir.toString)
+    val raw = spark.read.parquet(dir.toString)
+    // reader compat: checkpoints written before a meta field existed
+    // lack its column — surface it as null rather than failing the scan
+    val df =
+      if (raw.columns.contains("generated")) raw
+      else raw.withColumn("generated",
+        org.apache.spark.sql.functions.lit(null)
+          .cast(MapType(StringType, StringType)))
+    val rows = df
       .as(org.apache.spark.sql.Encoders.product[CkptRow]).collect()
     val meta = rows.find(_.kind == "meta").getOrElse(
       throw new IllegalStateException(
@@ -553,7 +586,8 @@ object GraftLog {
         .map(_.path.get).toSeq,
       blooms = adds.flatMap(r => r.blooms.map(r.path.get -> _)).toMap,
       colMap = meta.colMap.getOrElse(Map.empty),
-      checks = meta.checks.getOrElse(Map.empty)))
+      checks = meta.checks.getOrElse(Map.empty),
+      generated = meta.generated.getOrElse(Map.empty)))
   }
 
   /** Versions with a checkpoint file, ascending. */
@@ -634,7 +668,8 @@ object GraftLog {
       schema.toDDL, System.currentTimeMillis(),
       stats = live.toMap.filter(_._2.nonEmpty), txns = ledger,
       sizes = sizes.toMap, dvAdd = dvs.toSeq, blooms = blooms.toMap,
-      colMap = cmap, checks = checkConstraints(spark, table, Some(v)))
+      colMap = cmap, checks = checkConstraints(spark, table, Some(v)),
+      generated = generatedColumns(spark, table, Some(v)))
     // JSON first — it is the put-if-absent existence arbiter (and the
     // compat fallback); the columnar form is written only by the writer
     // that won the race, so exactly one parquet job runs per version
@@ -1188,12 +1223,15 @@ object GraftLog {
   }
 
   def overwrite(df: DataFrame, table: String): Long = {
-    // overwrite keeps table metadata (constraints) — Delta semantics —
-    // so the replacement rows must satisfy the current CHECK set
-    enforceChecks(df, checkConstraints(df.sparkSession, table),
+    // overwrite keeps table metadata (constraints, generated-column
+    // definitions) — Delta semantics — so the replacement rows must
+    // satisfy the current CHECK set and carry computed generated values
+    val full = applyGenerated(df,
+      generatedColumns(df.sparkSession, table), "overwrite")
+    enforceChecks(full, checkConstraints(df.sparkSession, table),
       "overwrite")
-    commitOverwrite(df.sparkSession, table, stageWithStats(df, table),
-      df.schema.toDDL)
+    commitOverwrite(df.sparkSession, table, stageWithStats(full, table),
+      full.schema.toDDL)
   }
 
   /** Idempotent transactional overwrite — the Complete-mode streaming
@@ -1278,10 +1316,12 @@ object GraftLog {
     * planner partition pruning on top of the min/max data skipping. */
   def overwritePartitioned(df: DataFrame, table: String,
       partCols: Seq[String]): Long = {
-    enforceChecks(df, checkConstraints(df.sparkSession, table),
+    val full = applyGenerated(df,
+      generatedColumns(df.sparkSession, table), "overwritePartitioned")
+    enforceChecks(full, checkConstraints(df.sparkSession, table),
       "overwritePartitioned")
     commitOverwrite(df.sparkSession, table,
-      stagePartitionedWithStats(df, table, partCols), df.schema.toDDL)
+      stagePartitionedWithStats(full, table, partCols), full.schema.toDDL)
   }
 
   /** Hidden bucket-transform dir name: `gfb<n>_<col>` (Iceberg's
@@ -1353,7 +1393,11 @@ object GraftLog {
           s"appendPartitioned(${partCols.mkString(",")}) does not match " +
             s"the table's layout (${existing.mkString(",")}) — mixed " +
             "layouts would break path-derived partition reconstruction")
-        val ok = enforceSchema(df, cur, "appendPartitioned")
+        // generated columns compute BEFORE schema enforcement: the
+        // table schema carries them, the batch usually does not
+        val dfG = applyGenerated(df, generatedColumns(spark, table),
+          "appendPartitioned")
+        val ok = enforceSchema(dfG, cur, "appendPartitioned")
         enforceChecks(ok, checkConstraints(spark, table),
           "appendPartitioned")
         (ok, cur.toDDL)
@@ -1464,8 +1508,10 @@ object GraftLog {
         // the batch carries LOGICAL names; enforce against the logical
         // schema, then stage under the table's PHYSICAL names so every
         // data file stays uniformly physical under column mapping
+        val dfG = applyGenerated(df, generatedColumns(spark, table),
+          "append")
         val logicalOk =
-          enforceSchema(df, logicalSchema(cur, cmap), "append")
+          enforceSchema(dfG, logicalSchema(cur, cmap), "append")
         enforceChecks(logicalOk, checkConstraints(spark, table), "append")
         (toPhysicalDf(logicalOk, cur, cmap), cur.toDDL)
       case None => (df, df.schema.toDDL)
@@ -1592,6 +1638,82 @@ object GraftLog {
         readCommit(spark, table, v).checks
       case None => readCommit(spark, table, all.last).checks
     }
+  }
+
+  /** Generated-column definitions in force at `asOf` (or latest):
+    * column name → generation expression SQL over the table's other
+    * columns (Delta's `GENERATED ALWAYS AS (expr)`). Same invariant as
+    * [[checkConstraints]]: "generated = latest commit's generated" —
+    * one small-JSON read, no replay. Definitions are immutable after
+    * [[createGenerated]] (Delta likewise fixes them at creation). */
+  def generatedColumns(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Map[String, String] = {
+    val all = versions(spark, table)
+    if (all.isEmpty) Map.empty
+    else asOf match {
+      case Some(v) =>
+        require(all.contains(v),
+          s"version $v of $table does not exist")
+        readCommit(spark, table, v).generated
+      case None => readCommit(spark, table, all.last).generated
+    }
+  }
+
+  /** Write-time generated-column contract (Delta semantics): a batch
+    * that OMITS a generated column gets it computed from its generation
+    * expression; a batch that SUPPLIES one must satisfy
+    * `col <=> (expr)` on every row (validated in the same single
+    * aggregation pass as CHECK constraints) — silently accepting a
+    * divergent explicit value would break the derived partition
+    * pruning [[GraftFileIndex]] performs from base-column filters. */
+  private def applyGenerated(df: DataFrame, gens: Map[String, String],
+      ctx: String): DataFrame =
+    if (gens.isEmpty) df
+    else {
+      val present = df.columns.map(_.toLowerCase).toSet
+      val out = gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, ex)) =>
+        if (present.contains(c.toLowerCase)) d
+        else d.withColumn(c, expr(ex))
+      }
+      val supplied = gens.filter { case (c, _) =>
+        present.contains(c.toLowerCase) }
+      enforceChecks(out, supplied.map { case (c, ex) =>
+        s"generated value of $c" -> s"$c <=> ($ex)" }, ctx)
+      out
+    }
+
+  /** Create a table with GENERATED columns (Delta's
+    * `GENERATED ALWAYS AS (expr)`), optionally hive-partitioned by
+    * them — the canonical 100 TB layout: `PARTITIONED BY (event_date)`
+    * with `event_date GENERATED ALWAYS AS (to_date(ts))`. Writers never
+    * name the column (it is computed here and on every subsequent
+    * append/overwrite/merge), and readers never name it either:
+    * [[GraftFileIndex]] derives partition predicates from filters on
+    * the BASE column (`WHERE ts >= …` prunes `event_date=…` dirs), so
+    * the partition discipline costs the pipeline author nothing.
+    * `df` must NOT already carry the generated columns (they are
+    * defined, not supplied, at creation). */
+  def createGenerated(df: DataFrame, table: String,
+      generated: Map[String, String], partCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    require(latestVersion(spark, table).isEmpty,
+      s"$table is already a GraftLog table")
+    require(generated.nonEmpty, "no generated columns given")
+    generated.keys.foreach(c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"createGenerated: $c is defined GENERATED but the batch " +
+          "already carries it; generated columns are defined at " +
+          "creation, not supplied"))
+    partCols.foreach(pc => require(
+      generated.keys.exists(_.equalsIgnoreCase(pc)) ||
+        df.columns.exists(_.equalsIgnoreCase(pc)),
+      s"partition column $pc is neither a batch nor a generated column"))
+    val full = applyGenerated(df, generated, "createGenerated")
+    val staged =
+      if (partCols.nonEmpty) stagePartitionedWithStats(full, table, partCols)
+      else stageWithStats(full, table)
+    commitOverwrite(spark, table, staged, full.schema.toDDL,
+      generated = generated)
   }
 
   /** Write-time CHECK enforcement (Delta's constraint semantics): a row
@@ -1916,7 +2038,8 @@ object GraftLog {
     * schema-replacing by definition, so no re-validation applies. */
   private def commitOverwrite(spark: SparkSession, table: String,
       s: Staged, ddl: String,
-      blooms: Map[String, Map[String, String]] = Map.empty): Long = {
+      blooms: Map[String, Map[String, String]] = Map.empty,
+      generated: Map[String, String] = Map.empty): Long = {
     var attempts = 0
     while (true) {
       // Claim THE VERSION AFTER THE ONE WE READ (Delta's commit-at-
@@ -1932,7 +2055,7 @@ object GraftLog {
       try {
         writeCommit(spark, table, Commit(v, "overwrite", s.files, prior,
           ddl, System.currentTimeMillis(), stats = s.stats,
-          sizes = s.sizes, blooms = blooms))
+          sizes = s.sizes, blooms = blooms, generated = generated))
         return v
       } catch {
         case _: CommitConflictException =>
@@ -2059,9 +2182,13 @@ object GraftLog {
         byName.contains(f.name.toLowerCase)))
     }
     // source and keys arrive in LOGICAL terms; the whole rewrite then
-    // runs physically (mapping implies a flat layout)
+    // runs physically (mapping implies a flat layout). A merge source
+    // that omits generated columns gets them computed first (the batch
+    // shape Delta's MERGE accepts on generated tables).
     val src = toPhysicalDf(
-      enforceSchema(source, logicalSchema(schema, cmap), "merge"),
+      enforceSchema(applyGenerated(source,
+        generatedColumns(spark, table), "merge"),
+        logicalSchema(schema, cmap), "merge"),
       schema, cmap)
     val keysPhys = keys.map(physNameOf(cmap, _))
     val srcKeys = src.select(keysPhys.map(col): _*).distinct()
@@ -2490,7 +2617,10 @@ object GraftLog {
       dvAdd = dvs.toSeq.map(abs),
       blooms = blooms.map { case (f, b) => abs(f) -> b }.toMap,
       colMap = cmap,
-      checks = checkConstraints(spark, src, asOf)))
+      checks = checkConstraints(spark, src, asOf),
+      // a clone's commit is v0 — nothing to inherit from, so the
+      // source's generated-column definitions must ride explicitly
+      generated = generatedColumns(spark, src, asOf)))
     0L
   }
 
