@@ -300,6 +300,10 @@ object SparkEntry {
     // history at a (total-1)-byte cap into exactly 2 bounded batches
     "i20_byte_bounded_backfill" ->
       ((s, d) => Transactions.byteBoundedBackfill(s, d)),
+    // OPTIMIZE mid-stream is dataChange=false: the resumed stream skips
+    // the compact commit silently (no crash, no re-ingest), exactly-once
+    "i22_stream_skips_optimize" ->
+      ((s, d) => Transactions.optimizeStreamSkip(s, d)),
     // direct streaming sink (writeStream.format("graft")): one txn
     // commit per micro-batch, kill/resume/redrain exactly-once
     "i19_direct_sink" ->
@@ -1129,6 +1133,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, 2 AS n_batches
+        |FROM events GROUP BY 1""".stripMargin,
+    // i22: OPTIMIZE between two drains is invisible — every event still
+    // delivered exactly once (re-delivering the compacted files would
+    // double the v0/v1 counts), the resume produced one data batch (the
+    // compact version contributed none), and a fresh full-history drain
+    // over the compact-containing range agrees
+    "i22_stream_skips_optimize" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, 1 AS n_batches_resume, TRUE AS fresh_ok
         |FROM events GROUP BY 1""".stripMargin,
     // i19: the direct sink relays every event exactly once in exactly
     // two sink commits (one per drained source commit; the redrain

@@ -629,6 +629,53 @@ object Transactions {
       .withColumn("n_batches", lit(nBatches))
   }
 
+  /** i22 — OPTIMIZE is INVISIBLE to live streams (Delta's
+    * `dataChange=false` contract): maintenance and ingestion must be
+    * independent on a 100 TB table, or every consumer would crash (or
+    * re-ingest the whole rewritten table under `ignoreChanges`) each
+    * time compaction runs. Sequence: two appends drain; OPTIMIZE
+    * rewrites them into one file (v2, rewrite-only); a third append
+    * lands (v3); the resumed stream must deliver ONLY v3's rows —
+    * passing over v2 silently. The aggregate pins exactly-once (a
+    * re-delivered compact batch would double every v0/v1 row and break
+    * the hash), `n_batches_resume` pins that the resume produced ONE
+    * data batch (the compact version contributed none), and a FRESH
+    * stream over the full history — compact inside it — must also
+    * drain to the same aggregate, pinned by `fresh_ok`. */
+  def optimizeStreamSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val root = graft.sources.Staging.tempDir("graft_oss_")
+    val (table, ckpt, out) = (s"$root/events_gl", s"$root/ckpt", s"$root/out")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+    def drain(ck: String, dst: String): Int = {
+      val q = spark.readStream.format("graft").load(table)
+        .writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    GraftLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
+    GraftLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)
+    drain(ckpt, out) // phase 1, then "kill"
+    GraftLog.compact(spark, table)                       // v2: rewrite-only
+    GraftLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 2), table)
+    val nResume = drain(ckpt, out) // resume: v2 skipped, v3 delivered
+    // a fresh stream (initial snapshot + incremental) over the same
+    // history must agree — the compact commit inside the range is
+    // passed over there too
+    drain(s"$root/ckpt2", s"$root/out2")
+    val freshOk = spark.read.parquet(s"$root/out2").count() == ev.count()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+      .withColumn("n_batches_resume", lit(nResume))
+      .withColumn("fresh_ok", lit(freshOk))
+  }
+
   /** i19 — the DIRECT streaming sink end-to-end:
     * `writeStream.format("graft")` relays a graft source table into a
     * graft sink table with one ledger-stamped transactional commit per

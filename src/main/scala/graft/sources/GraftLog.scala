@@ -99,6 +99,21 @@ object GraftLog {
     * source tags would dangle — they name versions of another log). */
   private val TagsAuthoritative = Set("tag", "untag")
 
+  /** Operations that rewrite the physical layout without changing any
+    * VISIBLE row — Delta marks their add/remove actions
+    * `dataChange=false` and live streams pass over them silently (no
+    * new rows to emit: every row in the rewritten files was already
+    * streamed when its original file was added). Here the operation set
+    * is closed-world, so the flag is derived from the name instead of
+    * stored per-action: compact and Z-order CLUSTER preserve the
+    * visible row set by construction (compact applies DV masks that
+    * already hid their rows; cluster refuses tables with DVs). Without
+    * this, OPTIMIZE on a streamed 100 TB table would force every
+    * consumer to either crash or set `ignoreChanges` and re-ingest the
+    * whole rewritten data — Delta's actual contract is that maintenance
+    * and ingestion are independent. */
+  private[sources] val RewriteOnlyOps = Set("compact", "cluster", "reorg")
+
   private[sources] val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
 
@@ -346,7 +361,12 @@ object GraftLog {
   private[sources] def commitFootprint(spark: SparkSession, table: String,
       v: Long): (Int, Long) = {
     val c = readCommit(spark, table, v)
-    (c.add.size, c.add.map(f => c.sizes.getOrElse(f, 0L)).sum)
+    // Rewrite-only commits are skipped by the stream ([[addedIn]]), so
+    // they must not consume file/byte admission budget either — a
+    // maxBytesPerTrigger smaller than one compacted file would
+    // otherwise stall the stream forever at the OPTIMIZE commit.
+    if (RewriteOnlyOps(c.operation)) (0, 0L)
+    else (c.add.size, c.add.map(f => c.sizes.getOrElse(f, 0L)).sum)
   }
 
   private def readCommit(spark: SparkSession, table: String,
@@ -2664,10 +2684,13 @@ object GraftLog {
   }
 
   /** Files ADDED by commit versions in `(fromExclusive, toInclusive]` —
-    * the streaming-source delta ([[GraftStreamSource]]). Versions that
-    * remove files (merge/delete/compact/non-initial overwrite) raise
-    * unless `ignoreChanges` (Delta's streaming-read contract); their adds
-    * are delivered when it is set.
+    * the streaming-source delta ([[GraftStreamSource]]). Rewrite-only
+    * versions ([[RewriteOnlyOps]]: OPTIMIZE compact / CLUSTER) are
+    * skipped silently — their rows were already streamed from the
+    * pre-rewrite files (Delta's `dataChange=false` contract). Versions
+    * that remove files AND change data (merge/delete/non-initial
+    * overwrite) raise unless `ignoreChanges` (Delta's streaming-read
+    * contract); their adds are delivered when it is set.
     *
     * A FRESH stream (`fromExclusive = -1`) on a vacuumed table cannot
     * replay the truncated versions, so its first batch is anchored at
@@ -2691,11 +2714,14 @@ object GraftLog {
     val anchor = contiguousTailStart(present).getOrElse(Long.MaxValue)
     def incremental(vs: Seq[Long]): Seq[String] = vs.flatMap { v =>
       val c = readCommit(spark, table, v)
-      require(ignoreChanges || (c.remove.isEmpty && c.dvAdd.isEmpty),
-        s"version $v of $table is a '${c.operation}' that removes " +
-          "files; streaming reads support append-only histories " +
-          "(set ignoreChanges=true to stream rewritten rows too)")
-      c.add
+      if (RewriteOnlyOps(c.operation)) Seq.empty[String]
+      else {
+        require(ignoreChanges || (c.remove.isEmpty && c.dvAdd.isEmpty),
+          s"version $v of $table is a '${c.operation}' that removes " +
+            "files; streaming reads support append-only histories " +
+            "(set ignoreChanges=true to stream rewritten rows too)")
+        c.add
+      }
     }
     if (fromExclusive == -1L && anchor > 0 && anchor <= toInclusive) {
       // fresh start on a vacuumed log: initial snapshot at the anchor,

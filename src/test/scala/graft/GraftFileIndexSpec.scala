@@ -548,6 +548,53 @@ class GraftFileIndexSpec extends AnyFunSuite {
     drainWith(Map("ignoreChanges" -> "true")) // documented Delta trade
   }
 
+  test("streams pass over OPTIMIZE commits silently (dataChange=false)") {
+    val root = Staging.tempDir("graft_fidx_opt_")
+    val (t, ckpt, out) = (s"$root/t", s"$root/ckpt", s"$root/out")
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    def drain(): Long = {
+      val q = spark.readStream.format("graft").load(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    GraftLog.append(cust.filter(col("c_custkey") % 2 === 0), t) // v0
+    drain()
+    GraftLog.compact(spark, t)                                  // v1
+    GraftLog.append(cust.filter(col("c_custkey") % 2 === 1), t) // v2
+    // resume: no crash without ignoreChanges, only v2's rows delivered
+    val resumed = drain()
+    assert(resumed == cust.filter(col("c_custkey") % 2 === 1).count())
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() == cust.count()) // nothing doubled by the rewrite
+    // CLUSTER (zorder) commits are rewrite-only too
+    GraftLog.clusterBy(spark, t, "c_custkey", "c_nationkey", 2) // v3
+    assert(drain() == 0)
+    // a fresh stream over the rewrite-containing history also agrees
+    val q2 = spark.readStream.format("graft").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out2")
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$root/out2").count() == cust.count())
+    // byte-capped admission is not stalled by the zero-footprint
+    // rewrite commits: a tiny cap still drains the whole history
+    val q3 = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out3")
+      .option("checkpointLocation", s"$root/ckpt3")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$root/out3").count() == cust.count())
+  }
+
   test("fresh stream on a vacuumed table anchors at the retained snapshot") {
     val root = Staging.tempDir("graft_fidx_vac_")
     val (t, ckpt, out) = (s"$root/t", s"$root/ckpt", s"$root/out")
