@@ -284,6 +284,10 @@ object SparkEntry {
     // an equality filter prunes at partition granularity in the planner
     "t11_graftlog_partitioned" ->
       ((s, d) => Transactions.partitionedRead(s, d)),
+    // Delta replaceWhere: one partition atomically replaced in one
+    // commit; all other partitions' files carried by reference
+    "t29_replace_where" ->
+      ((s, d) => Transactions.replaceWhereReload(s, d)),
     // OPTIMIZE ZORDER analog: Morton-interleaved layout makes file stats
     // tight on two columns at once; the read filters on the second one
     "t12_graftlog_zorder" ->
@@ -1105,6 +1109,17 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY 1""".stripMargin,
+    // t29: the selective overwrite replaces exactly the BUILDING slice
+    // with the recomputed batch (the CASE), touches only that
+    // partition's files, and carries every other file by reference
+    "t29_replace_where" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING'
+        |       THEN 1000.0 + CAST(c_nationkey AS DOUBLE)
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment,
+        |  TRUE AS only_touched, TRUE AS untouched_carried
+        |FROM customer""".stripMargin,
     // t12: the z-ordered layout is a pure layout change — the filtered
     // read must equal the plain predicate over the full table
     "t12_graftlog_zorder" ->

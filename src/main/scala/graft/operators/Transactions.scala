@@ -502,6 +502,40 @@ object Transactions {
       .filter(col("c_mktsegment") === "BUILDING")
       .select(customerCols.map(col): _*)
 
+  /** t29 — Delta `replaceWhere`, the idempotent slice reload: one
+    * segment of a mktsegment-partitioned customer table is atomically
+    * replaced through
+    * `write.format("graft").mode(Overwrite).option("replaceWhere", …)`
+    * with a recomputed batch, in ONE commit. The scale contract is that
+    * only the predicate's partition moves: `only_touched` pins that
+    * every file the commit removed AND every file it added lives under
+    * the BUILDING partition dir, and `untouched_carried` pins that all
+    * other partitions' files are carried by reference (same paths,
+    * never read or rewritten) — on a date-partitioned 100 TB table
+    * this is what makes a daily re-run O(day), not O(table). The row
+    * oracle is the CASE expression of the reload. */
+  def replaceWhereReload(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Staging.tempDir("graft_rw_")
+    val t = s"$root/cust"
+    val cust = Sources.testTable(spark, sfDir, "customer")
+    GraftLog.overwritePartitioned(cust, t, Seq("c_mktsegment"))
+    val before = GraftLog.snapshot(spark, t)._1.toSet
+    val batch = cust.filter(col("c_mktsegment") === "BUILDING")
+      .withColumn("c_acctbal",
+        lit(1000.0) + col("c_nationkey").cast("double"))
+    batch.write.format("graft").mode("overwrite")
+      .option("replaceWhere", "c_mktsegment = 'BUILDING'").save(t)
+    val after = GraftLog.snapshot(spark, t)._1.toSet
+    def building(f: String) = f.contains("c_mktsegment=BUILDING")
+    val onlyTouched = (before -- after).forall(building) &&
+      (after -- before).forall(building)
+    val untouchedCarried = before.filterNot(building).subsetOf(after)
+    spark.read.format("graft").load(t)
+      .select(customerCols.map(col): _*)
+      .withColumn("only_touched", lit(onlyTouched))
+      .withColumn("untouched_carried", lit(untouchedCarried))
+  }
+
   private val stagedZ =
     new scala.collection.concurrent.TrieMap[String, String]
 

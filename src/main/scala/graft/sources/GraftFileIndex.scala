@@ -601,9 +601,19 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
           GraftLog.appendMergeSchema(data.toDF(), path)
         else GraftLog.append(data.toDF(), path))
       case Overwrite =>
-        write(if (partCols.nonEmpty)
-          GraftLog.overwritePartitioned(data.toDF(), path, partCols)
-        else GraftLog.overwrite(data.toDF(), path))
+        // Delta's selective-overwrite option: replace only the rows
+        // matching the predicate, in one commit. The table's own layout
+        // governs (partitionBy is for table creation, which replaceWhere
+        // on an existing table never does).
+        parameters.get("replaceWhere") match {
+          case Some(p) =>
+            write(GraftLog.replaceWhere(data.toDF(), path,
+              org.apache.spark.sql.functions.expr(p)))
+          case None =>
+            write(if (partCols.nonEmpty)
+              GraftLog.overwritePartitioned(data.toDF(), path, partCols)
+            else GraftLog.overwrite(data.toDF(), path))
+        }
       case ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"GraftLog table already exists at $path (SaveMode.ErrorIfExists)")

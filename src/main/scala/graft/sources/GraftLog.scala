@@ -2355,6 +2355,76 @@ object GraftLog {
     v
   }
 
+  /** Delta `replaceWhere`: atomically replace EXACTLY the rows matching
+    * the predicate with the new batch — the idempotent partition/slice
+    * reload (re-run yesterday's job, only yesterday's rows change). ONE
+    * commit, so readers never observe the empty-slice state a
+    * delete-then-append pair would expose between its two commits. The
+    * scale shape is the DELETE path's: candidate files come from the
+    * stat/Bloom/partition-pruned FileIndex probe, untouched files are
+    * carried by reference, and only partial files are rewritten — on a
+    * date-partitioned 100 TB table a one-day reload touches one
+    * partition's files and the commit is O(that day), not O(table).
+    * Delta's default constraint is enforced: every batch row must
+    * satisfy the predicate, else the op would write rows OUTSIDE the
+    * slice it claims to replace (and a re-run would duplicate them).
+    * The batch passes the full append discipline first (generated
+    * columns computed, schema enforced, CHECK constraints) — a
+    * replaceWhere is an overwrite, not a constraint bypass. On a table
+    * that does not exist yet the op degrades to the initial overwrite
+    * (nothing to replace), with the predicate constraint still applied.
+    * DVs must be compacted away first, like every file-rewriting op. */
+  def replaceWhere(df: DataFrame, table: String,
+      predicate: Column): Long =
+    rebaseOnConflict(table, "replaceWhere") { () =>
+      replaceWhereOnce(df, table, predicate)
+    }
+
+  private def replaceWhereOnce(df: DataFrame, table: String,
+      predicate: Column): Long = {
+    val spark = df.sparkSession
+    val vRead = latestVersion(spark, table)
+    def requireInside(batch: DataFrame): Unit =
+      require(batch.filter(!coalesce(predicate, lit(false)))
+          .limit(1).isEmpty,
+        "replaceWhere: the batch contains rows that do NOT satisfy the " +
+          "replace predicate — they lie outside the slice being " +
+          "replaced and a re-run would duplicate them (Delta's " +
+          "replaceWhere constraint)")
+    if (vRead.isEmpty) { requireInside(df); return overwrite(df, table) }
+    requireNoDvs(spark, table, "replaceWhere")
+    val (files, schema) = snapshot(spark, table)
+    val partCols = layoutPartCols(files)
+    val cmap = columnMapping(spark, table)
+    // batch discipline mirrors [[append]]: generated columns compute,
+    // then LOGICAL-schema enforcement, then CHECK constraints
+    val dfG = applyGenerated(df, generatedColumns(spark, table),
+      "replaceWhere")
+    val logicalOk =
+      enforceSchema(dfG, logicalSchema(schema, cmap), "replaceWhere")
+    enforceChecks(logicalOk, checkConstraints(spark, table),
+      "replaceWhere")
+    requireInside(logicalOk)
+    val touched = probeTouched(spark, table, files, schema, cmap,
+      predicate)
+    // survivors of partial files (predicate misses) are carried into
+    // the replacement stage alongside the new batch; files the probe
+    // did not touch are never read or rewritten
+    val kept = toLogicalDf(readSubset(spark, table, touched, schema),
+      schema, cmap).filter(!coalesce(predicate, lit(false)))
+    val replacement =
+      toPhysicalDf(kept.unionByName(logicalOk), schema, cmap)
+    val s =
+      if (partCols.nonEmpty) stagePartitionedWithStats(
+        withHiddenPartCols(replacement, partCols), table, partCols)
+      else stageWithStats(replacement, table)
+    val v = vRead.get + 1
+    writeCommit(spark, table, Commit(v, "replace_where", s.files,
+      touched, schema.toDDL, System.currentTimeMillis(),
+      stats = s.stats, sizes = s.sizes))
+    v
+  }
+
   private val DvDirName = "_dv"
 
   /** Table-root-relative path of a scanned file as a COLUMN (the DV

@@ -218,6 +218,40 @@ class GraftLogSpec extends AnyFunSuite {
     assert(back.agg(max($"id")).as[Long].head() == 14L)
   }
 
+  test("replaceWhere replaces exactly the slice, atomically, in one commit") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 100, "a"), t)                      // v0
+    // replace the even slice with re-tagged rows — one commit
+    val v = GraftLog.replaceWhere(
+      df(0 until 100, "b").filter($"id" % 2 === 0), t, $"id" % 2 === 0)
+    assert(v == 1L)
+    assert(GraftLog.versions(spark, t) == Seq(0L, 1L))
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 100)
+    assert(back.filter($"tag" === "b").count() == 50)
+    assert(back.filter($"id" % 2 === 1 && $"tag" =!= "a").count() == 0)
+    // the batch may SHRINK or GROW the slice (a reload is not 1:1)
+    GraftLog.replaceWhere(
+      df(0 until 10, "c").filter($"id" % 2 === 0), t, $"id" % 2 === 0)
+    assert(GraftLog.read(spark, t).count() == 55) // 50 odd + 5 new even
+    // rows outside the predicate are rejected whole (Delta's constraint)
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.replaceWhere(df(0 until 4, "x"), t, $"id" % 2 === 0)
+    }
+    assert(e.getMessage.contains("do NOT satisfy"))
+    // on a missing table the op degrades to the initial overwrite
+    val t2 = tmp()
+    GraftLog.replaceWhere(df(0 until 6, "z").filter($"id" < 6), t2,
+      $"id" < 6)
+    assert(GraftLog.read(spark, t2).count() == 6)
+    // CHECK constraints still gate the batch — not a constraint bypass
+    GraftLog.addConstraint(spark, t2, "small", "id < 100")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftLog.replaceWhere(df(200 until 202, "z"), t2, $"id" >= 0)
+    }
+    assert(e2.getMessage.toLowerCase.contains("constraint"))
+  }
+
   test("vacuum drops old versions but keeps the retained ones readable") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 10, "v0"), t)
