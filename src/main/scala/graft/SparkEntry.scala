@@ -284,6 +284,10 @@ object SparkEntry {
     // an equality filter prunes at partition granularity in the planner
     "t11_graftlog_partitioned" ->
       ((s, d) => Transactions.partitionedRead(s, d)),
+    // REORG APPLY (PURGE): rewrite only DV-masked files, drop the
+    // vectors; unmasked files carried by reference
+    "t30_reorg_purge" ->
+      ((s, d) => Transactions.reorgPurgeRead(s, d)),
     // Delta replaceWhere: one partition atomically replaced in one
     // commit; all other partitions' files carried by reference
     "t29_replace_where" ->
@@ -1109,6 +1113,14 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY 1""".stripMargin,
+    // t30: REORG purges exactly the erased rows, touches only masked
+    // files, carries the rest by reference, and leaves zero vectors
+    "t30_reorg_purge" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  TRUE AS only_touched, TRUE AS untouched_carried,
+        |  0 AS n_dvs_after
+        |FROM customer
+        |WHERE NOT (c_custkey % 10 = 0 AND c_custkey <= 300)""".stripMargin,
     // t29: the selective overwrite replaces exactly the BUILDING slice
     // with the recomputed batch (the CASE), touches only that
     // partition's files, and carries every other file by reference

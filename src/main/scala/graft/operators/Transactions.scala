@@ -305,6 +305,42 @@ object Transactions {
       .withColumn("n_files_rewritten", lit(rewritten))
   }
 
+  /** t30 — `REORG TABLE … APPLY (PURGE)`: Delta's targeted
+    * deletion-vector materialization. A DV erasure masks rows in only
+    * the low-key files of an 8-file range layout; REORG rewrites
+    * EXACTLY those files (applying the masks) and drops the vectors —
+    * the GDPR completion step that makes masked bytes physically
+    * removable by the next vacuum. `only_touched` pins that every
+    * removed file carried a mask, `untouched_carried` that every
+    * unmasked file survives by reference (never read or rewritten —
+    * on a 100 TB table REORG after a 0.1% erasure rewrites 0.1%,
+    * where OPTIMIZE would rewrite everything), and `n_dvs_after` pins
+    * the vectors are gone. Row oracle: the erasure predicate. */
+  def reorgPurgeRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Staging.tempDir("graft_reorg_")
+    val t = s"$root/cust"
+    GraftLog.overwrite(Sources.testTable(spark, sfDir, "customer")
+      .repartitionByRange(8, col("c_custkey")), t)
+    GraftLog.deleteVectors(spark, t,
+      col("c_custkey") % 10 === 0 && col("c_custkey") <= 300)
+    val before = GraftLog.snapshot(spark, t)._1
+    val masked = spark.read.parquet(
+        GraftLog.deletionVectors(spark, t)
+          .map(f => s"$t/$f"): _*)
+      .select("file_rel").distinct().collect().map(_.getString(0)).toSet
+    spark.sql(s"REORG TABLE '$t' APPLY (PURGE)")
+    val after = GraftLog.snapshot(spark, t)._1.toSet
+    val onlyTouched = (before.toSet -- after).forall(masked)
+    val untouchedCarried =
+      before.filterNot(masked).toSet.subsetOf(after)
+    val nDvsAfter = GraftLog.deletionVectors(spark, t).size
+    spark.read.format("graft").load(t)
+      .select(customerCols.map(col): _*)
+      .withColumn("only_touched", lit(onlyTouched))
+      .withColumn("untouched_carried", lit(untouchedCarried))
+      .withColumn("n_dvs_after", lit(nDvsAfter))
+  }
+
   private val stagedConcurrent =
     new scala.collection.concurrent.TrieMap[String, String]
 

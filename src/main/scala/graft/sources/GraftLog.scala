@@ -2674,6 +2674,52 @@ object GraftLog {
     v
   }
 
+  /** `REORG TABLE … APPLY (PURGE)` — Delta's TARGETED deletion-vector
+    * materialization: rewrite ONLY the files that carry DV masks
+    * (physically purging their soft-deleted rows) and drop the vectors,
+    * leaving every unmasked file untouched. Contrast with [[compact]],
+    * which rewrites the whole table: after a GDPR erasure masks rows in
+    * 0.1% of a 100 TB table's files, REORG rewrites that 0.1% where
+    * OPTIMIZE would rewrite 100 TB — this is the op that makes the
+    * DV → purge cycle affordable at scale, and the one GDPR actually
+    * requires (the masked bytes must physically disappear once the
+    * purged files are vacuumed). The visible row set is unchanged by
+    * construction (masked rows were already invisible), so "reorg" is
+    * in [[RewriteOnlyOps]]: live streams pass over it and it consumes
+    * no admission budget. Unlike compact it is NOT
+    * mapping-authoritative — files re-stage under their PHYSICAL names
+    * and the commit inherits the column mapping unchanged. A table
+    * with no active DVs is left as-is (returns the current version,
+    * no empty commit). */
+  def reorgPurge(spark: SparkSession, table: String): Long =
+    rebaseOnConflict(table, "reorg") { () =>
+      val vRead = latestVersion(spark, table)
+      require(vRead.nonEmpty, s"$table is not a GraftLog table")
+      val dvs = deletionVectors(spark, table)
+      if (dvs.isEmpty) vRead.get
+      else {
+        val (files, schema) = snapshot(spark, table)
+        val partCols = layoutPartCols(files)
+        // files the masks touch — metadata-sized, like touchedFiles
+        val masked = spark.read
+          .parquet(dvs.map(f => absPath(table, f)): _*)
+          .select("file_rel").distinct().collect()
+          .map(_.getString(0)).toSet
+        val touched = files.filter(f =>
+          relPathOf(absPath(table, f)).exists(masked.contains))
+        val purged = readWithDvs(spark, table, touched, schema, dvs)
+        val s =
+          if (partCols.nonEmpty) stagePartitionedWithStats(
+            withHiddenPartCols(purged, partCols), table, partCols)
+          else stageWithStats(purged, table)
+        val v = vRead.get + 1
+        writeCommit(spark, table, Commit(v, "reorg", s.files, touched,
+          schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+          sizes = s.sizes, dvRemove = dvs))
+        v
+      }
+    }
+
   /** SHALLOW CLONE — Delta's `CREATE TABLE dst SHALLOW CLONE src
     * [VERSION AS OF v]`: a new table whose single CLONE commit
     * REFERENCES the source snapshot's data files by absolute path. Zero

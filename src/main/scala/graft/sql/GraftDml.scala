@@ -63,6 +63,8 @@ final class GraftSqlParser(
 
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+  private val ReorgStmt =
+    """(?is)\s*REORG\s+TABLE\s+(\S+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val DetailStmt =
@@ -102,6 +104,10 @@ final class GraftSqlParser(
         Option(files).map(_.toInt).getOrElse(8))
       else GraftOptimizeCommand(target,
         Option(files).map(_.toInt).getOrElse(1))
+    // Delta ships the same statement (REORG … APPLY (PURGE)), so only
+    // graft-owned targets are captured
+    case ReorgStmt(target) if ownsTarget(target) =>
+      GraftReorgCommand(target)
     case VacuumStmt(target, n, unit, dry) if ownsTarget(target) =>
       GraftVacuumCommand(target, n.toInt,
         byHours = unit.equalsIgnoreCase("HOURS"), dryRun = dry != null)
@@ -417,6 +423,19 @@ case class GraftOptimizeCommand(target: String, targetFiles: Int)
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
     GraftLog.compact(session, path, targetFiles)
+    RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
+/** `REORG TABLE t APPLY (PURGE)` → [[GraftLog.reorgPurge]]: rewrite
+  * only the DV-masked files, drop the vectors, leave everything else
+  * untouched (Delta's targeted materialization statement). */
+case class GraftReorgCommand(target: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    GraftLog.reorgPurge(session, path)
     RefreshAfterDml(session, path, None)
     Seq.empty
   }

@@ -814,6 +814,48 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 88)
   }
 
+  test("reorg purge rewrites only masked files, drops DVs, keeps rows") {
+    val t = tmp()
+    val seed = (0 until 80).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "tag").repartitionByRange(4, $"id")
+    GraftLog.overwrite(seed, t)                                      // v0
+    GraftLog.deleteVectors(spark, t, $"id" % 2 === 0 && $"id" < 20)  // v1
+    val before = GraftLog.snapshot(spark, t)._1
+    assert(GraftLog.reorgPurge(spark, t) == 2L)
+    val after = GraftLog.snapshot(spark, t)._1.toSet
+    // every unmasked file carried by the same path; ≥1 file untouched
+    val carried = before.toSet.intersect(after)
+    assert(carried.nonEmpty)
+    assert(GraftLog.deletionVectors(spark, t).isEmpty)
+    val back = GraftLog.read(spark, t)
+    assert(back.count() == 80 - 10)
+    assert(back.filter($"id" % 2 === 0 && $"id" < 20).count() == 0)
+    // time travel still sees the pre-purge states
+    assert(GraftLog.readVersion(spark, t, 0L).count() == 80)
+    assert(GraftLog.readVersion(spark, t, 1L).count() == 70)
+    // a stream over the full history passes over the reorg commit
+    // (rewrite-only): delivered = v0's 80 rows exactly — the purge
+    // rewrite's files would push the count past 80 if delivered
+    // (ignoreChanges admits the DV commit, which adds no files)
+    val root = t.stripSuffix("/t")
+    val q = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$root/out").count() == 80)
+    // full DML is live again post-purge (DVs were the blocker)
+    GraftLog.delete(spark, t, $"id" === 21L)
+    assert(GraftLog.read(spark, t).count() == 69)
+    // no active DVs → no-op, no empty commit
+    val vTop = GraftLog.latestVersion(spark, t).get
+    assert(GraftLog.reorgPurge(spark, t) == vTop)
+    assert(GraftLog.latestVersion(spark, t).get == vTop)
+  }
+
   test("deleteVectorsMatching equals the predicate form") {
     import spark.implicits._
     val t1 = tmp(); val t2 = tmp()
