@@ -284,6 +284,10 @@ object SparkEntry {
     // an equality filter prunes at partition granularity in the planner
     "t11_graftlog_partitioned" ->
       ((s, d) => Transactions.partitionedRead(s, d)),
+    // GENERATED ALWAYS AS IDENTITY: engine-allocated surrogate keys,
+    // dense across commits, log-carried never-reuse high water
+    "t31_identity_columns" ->
+      ((s, d) => Transactions.identityColumnsRead(s, d)),
     // REORG APPLY (PURGE): rewrite only DV-masked files, drop the
     // vectors; unmasked files carried by reference
     "t30_reorg_purge" ->
@@ -1113,6 +1117,14 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY 1""".stripMargin,
+    // t31: two identity-allocating commits yield one unbroken stepped
+    // sequence — count/distinct/endpoints/grid all follow from the
+    // customer row count
+    "t31_identity_columns" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_ids,
+        |  1000 AS min_id, 1000 + 2 * (count(*) - 1) AS max_id,
+        |  TRUE AS all_on_grid
+        |FROM customer""".stripMargin,
     // t30: REORG purges exactly the erased rows, touches only masked
     // files, carries the rest by reference, and leaves zero vectors
     "t30_reorg_purge" ->

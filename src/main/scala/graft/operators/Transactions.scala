@@ -129,6 +129,33 @@ object Transactions {
           .as("total_value"))
   }
 
+  /** t31 — `GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY
+    * 2)`: the engine allocates surrogate keys the writers never name —
+    * dense, distributed (count-per-partition prefix offsets + a second
+    * stamping pass, no shuffle, no single-partition window), with the
+    * high-water mark carried in the commit log so deletes/overwrites/
+    * vacuum can never cause id reuse (Delta's
+    * `delta.identity.highWaterMark` contract). Two commits (creation +
+    * append) must yield one unbroken stepped sequence; the oracle pins
+    * count, distinctness, both endpoints, and the step grid — all
+    * derivable from the customer row count alone. */
+  def identityColumnsRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Staging.tempDir("graft_ident_")
+    val t = s"$root/cust"
+    val cust = Sources.testTable(spark, sfDir, "customer")
+      .select(customerCols.map(col): _*)
+    GraftLog.createGenerated(cust.filter(col("c_custkey") % 2 === 0), t,
+      Map("row_id" -> "identity(1000, 2)"), Seq.empty)
+    GraftLog.append(cust.filter(col("c_custkey") % 2 === 1), t)
+    GraftLog.read(spark, t)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("row_id")).as("n_ids"),
+        min(col("row_id")).as("min_id"),
+        max(col("row_id")).as("max_id"),
+        (count(when((col("row_id") - 1000) % 2 =!= 0, 1)) === 0)
+          .as("all_on_grid"))
+  }
+
   private val stagedBucketT =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -1245,13 +1245,17 @@ object GraftLog {
   def overwrite(df: DataFrame, table: String): Long = {
     // overwrite keeps table metadata (constraints, generated-column
     // definitions) — Delta semantics — so the replacement rows must
-    // satisfy the current CHECK set and carry computed generated values
-    val full = applyGenerated(df,
-      generatedColumns(df.sparkSession, table), "overwrite")
+    // satisfy the current CHECK set and carry computed generated
+    // values; identity marks survive the overwrite (Delta: high water
+    // never resets, so replaced rows' ids are never reissued)
+    val gens0 = generatedColumns(df.sparkSession, table)
+    val full0 = applyGenerated(df, gens0, "overwrite")
+    val (full, gens2) = allocateIdentity(df.sparkSession, full0, gens0)
     enforceChecks(full, checkConstraints(df.sparkSession, table),
       "overwrite")
     commitOverwrite(df.sparkSession, table, stageWithStats(full, table),
-      full.schema.toDDL)
+      full.schema.toDDL,
+      generated = if (gens2 != gens0) gens2 else Map.empty)
   }
 
   /** Idempotent transactional overwrite — the Complete-mode streaming
@@ -1404,7 +1408,7 @@ object GraftLog {
       partCols: Seq[String]): Long = {
     val spark = df.sparkSession
     val seen0 = latestVersion(spark, table)
-    val (aligned, ddl) = seen0 match {
+    val (aligned, ddl, gens2) = seen0 match {
       case Some(_) =>
         val (files, cur) = snapshot(spark, table)
         val existing = layoutPartCols(files)
@@ -1415,19 +1419,29 @@ object GraftLog {
             "layouts would break path-derived partition reconstruction")
         // generated columns compute BEFORE schema enforcement: the
         // table schema carries them, the batch usually does not
-        val dfG = applyGenerated(df, generatedColumns(spark, table),
+        val dfG0 = applyGenerated(df, generatedColumns(spark, table),
           "appendPartitioned")
+        val (dfG, g2) = allocateIdentity(spark, dfG0,
+          generatedColumns(spark, table))
         val ok = enforceSchema(dfG, cur, "appendPartitioned")
         enforceChecks(ok, checkConstraints(spark, table),
           "appendPartitioned")
-        (ok, cur.toDDL)
-      case None => (df, df.schema.toDDL)
+        (ok, cur.toDDL, g2)
+      case None => (df, df.schema.toDDL, Map.empty[String, String])
     }
     val s = stagePartitionedWithStats(aligned, table, partCols)
+    val gens0 = if (seen0.isEmpty) Map.empty[String, String]
+      else generatedColumns(spark, table)
+    val hasId = gens0.values.exists(identityDef(_).isDefined)
     commitStagedAppend(spark, table, "appendPartitioned", "append", s,
       ddl, seen0,
-      () => revalidateBlindAppend(spark, table, aligned.schema,
-        "appendPartitioned", partCols))
+      () => {
+        if (hasId) requireIdentityUnmoved(spark, table, gens0,
+          "appendPartitioned")
+        revalidateBlindAppend(spark, table, aligned.schema,
+          "appendPartitioned", partCols)
+      },
+      generated = if (hasId) gens2 else Map.empty)
   }
 
   /** Flat-file writers (append/streaming append) and the deletion-vector
@@ -1520,7 +1534,9 @@ object GraftLog {
   def append(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
     val seen0 = latestVersion(spark, table)
-    val (aligned, ddl) = seen0 match {
+    val gens0 = if (seen0.isEmpty) Map.empty[String, String]
+      else generatedColumns(spark, table)
+    val (aligned, ddl, gens2) = seen0 match {
       case Some(_) =>
         val (files, cur) = snapshot(spark, table)
         requireUnpartitioned(files, "append")
@@ -1528,18 +1544,40 @@ object GraftLog {
         // the batch carries LOGICAL names; enforce against the logical
         // schema, then stage under the table's PHYSICAL names so every
         // data file stays uniformly physical under column mapping
-        val dfG = applyGenerated(df, generatedColumns(spark, table),
-          "append")
+        val dfG0 = applyGenerated(df, gens0, "append")
+        val (dfG, g2) = allocateIdentity(spark, dfG0, gens0)
         val logicalOk =
           enforceSchema(dfG, logicalSchema(cur, cmap), "append")
         enforceChecks(logicalOk, checkConstraints(spark, table), "append")
-        (toPhysicalDf(logicalOk, cur, cmap), cur.toDDL)
-      case None => (df, df.schema.toDDL)
+        (toPhysicalDf(logicalOk, cur, cmap), cur.toDDL, g2)
+      case None => (df, df.schema.toDDL, Map.empty[String, String])
     }
     val s = stageWithStats(aligned, table)
+    val hasId = gens0.values.exists(identityDef(_).isDefined)
     commitStagedAppend(spark, table, "append", "append", s, ddl, seen0,
-      () => revalidateBlindAppend(spark, table, aligned.schema, "append",
-        Seq.empty))
+      () => {
+        if (hasId) requireIdentityUnmoved(spark, table, gens0, "append")
+        revalidateBlindAppend(spark, table, aligned.schema, "append",
+          Seq.empty)
+      },
+      generated = if (hasId) gens2 else Map.empty)
+  }
+
+  /** Identity appends are NOT blind: the staged files embed the
+    * allocated values, so a concurrent commit that moved any identity
+    * high-water mark invalidates them (re-claiming would duplicate the
+    * winner's ids). Loud conflict; the caller re-runs and re-allocates
+    * above the new mark — Delta's identity writes conflict the same
+    * way. Non-identity concurrent commits leave the marks unchanged
+    * and the staged batch stays valid (the blind-append fast path). */
+  private def requireIdentityUnmoved(spark: SparkSession, table: String,
+      gens0: Map[String, String], op: String): Unit = {
+    val now = generatedColumns(spark, table)
+    val moved = gens0.exists { case (c, ex) =>
+      identityDef(ex).isDefined && !now.get(c).contains(ex) }
+    if (moved) throw new java.util.ConcurrentModificationException(
+      s"$op on $table: a concurrent commit advanced an identity " +
+        "high-water mark; re-run to allocate above it")
   }
 
   /** Schema-evolving append (Delta `mergeSchema`): commit schema = union
@@ -1679,28 +1717,105 @@ object GraftLog {
     }
   }
 
+  /** `GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT BY k)`
+    * rides the generated map as `identity(s, k[, hw])`: the first two
+    * arguments are the immutable definition, the optional third is the
+    * HIGH-WATER MARK — the furthest value ever allocated — advanced by
+    * each allocating commit, exactly Delta's
+    * `delta.identity.highWaterMark`. A LOG-carried water mark (not a
+    * max over live-file stats) is what makes identity values never
+    * reuse: deletes, overwrites, and vacuum can remove every row
+    * carrying the highest ids, and the next allocation still starts
+    * above them. */
+  private val IdentityDefRe =
+    """(?i)\s*identity\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)\s*""".r
+
+  private[sources] def identityDef(ex: String)
+      : Option[(Long, Long, Option[Long])] = ex match {
+    case IdentityDefRe(s, k, hw) =>
+      Some((s.toLong, k.toLong, Option(hw).map(_.toLong)))
+    case _ => None
+  }
+
   /** Write-time generated-column contract (Delta semantics): a batch
     * that OMITS a generated column gets it computed from its generation
     * expression; a batch that SUPPLIES one must satisfy
     * `col <=> (expr)` on every row (validated in the same single
     * aggregation pass as CHECK constraints) — silently accepting a
     * divergent explicit value would break the derived partition
-    * pruning [[GraftFileIndex]] performs from base-column filters. */
+    * pruning [[GraftFileIndex]] performs from base-column filters.
+    * IDENTITY entries are the exception on both sides: their values are
+    * ALWAYS engine-allocated ([[allocateIdentity]], run by the caller
+    * after this), so a batch supplying one is rejected — GENERATED
+    * ALWAYS means always. */
   private def applyGenerated(df: DataFrame, gens: Map[String, String],
       ctx: String): DataFrame =
     if (gens.isEmpty) df
     else {
       val present = df.columns.map(_.toLowerCase).toSet
-      val out = gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, ex)) =>
-        if (present.contains(c.toLowerCase)) d
-        else d.withColumn(c, expr(ex))
+      val (idGens, exprGens) =
+        gens.partition { case (_, ex) => identityDef(ex).isDefined }
+      idGens.keys.foreach(c => require(!present.contains(c.toLowerCase),
+        s"$ctx: $c is GENERATED ALWAYS AS IDENTITY — its values are " +
+          "allocated by the engine and can never be supplied"))
+      val out = exprGens.toSeq.sortBy(_._1).foldLeft(df) {
+        case (d, (c, ex)) =>
+          if (present.contains(c.toLowerCase)) d
+          else d.withColumn(c, expr(ex))
       }
-      val supplied = gens.filter { case (c, _) =>
+      val supplied = exprGens.filter { case (c, _) =>
         present.contains(c.toLowerCase) }
       enforceChecks(out, supplied.map { case (c, ex) =>
         s"generated value of $c" -> s"$c <=> ($ex)" }, ctx)
       out
     }
+
+  /** Allocate identity values for every `identity(…)` generated column
+    * the batch omits (which [[applyGenerated]] just guaranteed is all
+    * of them). Allocation is DENSE and distributed: one
+    * count-per-partition pass computes exclusive prefix offsets, a
+    * second pass stamps `hw + step * (offset + rowIdxInPartition + 1)`
+    * — the RDD.zipWithIndex shape, two scans of the batch (batch-sized,
+    * never table-sized), no shuffle, no driver materialization, and no
+    * single-partition window. Returns the stamped frame plus the
+    * generated map with each identity high-water mark advanced by
+    * `step * batchRows`; the caller commits that map, making the
+    * allocation durable under the same OCC rules as the files
+    * themselves. Long arithmetic throughout — no float water marks. */
+  private def allocateIdentity(spark: SparkSession, df: DataFrame,
+      gens: Map[String, String])
+      : (DataFrame, Map[String, String]) = {
+    val ids = gens.toSeq.sortBy(_._1).flatMap { case (c, ex) =>
+      identityDef(ex).map(c -> _) }
+    if (ids.isEmpty) (df, gens)
+    else {
+      val rdd0 = df.rdd
+      val counts = rdd0.mapPartitionsWithIndex((i, it) =>
+          Iterator((i, it.size.toLong)), preservesPartitioning = true)
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val n = if (offsets.isEmpty) 0L else offsets.last
+      val bases = ids.map { case (_, (s, k, hw)) => hw.getOrElse(s - k) }
+      val steps = ids.map(_._2._2)
+      val schema2 = ids.foldLeft(df.schema)((sc, p) =>
+        sc.add(p._1, org.apache.spark.sql.types.LongType,
+          nullable = false))
+      val out = rdd0.mapPartitionsWithIndex { (pi, it) =>
+        var j = 0L
+        val off = offsets(pi)
+        it.map { r =>
+          j += 1
+          val extra = bases.indices.map(x =>
+            bases(x) + steps(x) * (off + j))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
+        }
+      }
+      val gens2 = gens ++ ids.zipWithIndex.map {
+        case ((c, (s, k, _)), x) =>
+          c -> s"identity($s,$k,${bases(x) + steps(x) * n})" }
+      (spark.createDataFrame(out, schema2), gens2)
+    }
+  }
 
   /** Create a table with GENERATED columns (Delta's
     * `GENERATED ALWAYS AS (expr)`), optionally hive-partitioned by
@@ -1728,12 +1843,13 @@ object GraftLog {
       generated.keys.exists(_.equalsIgnoreCase(pc)) ||
         df.columns.exists(_.equalsIgnoreCase(pc)),
       s"partition column $pc is neither a batch nor a generated column"))
-    val full = applyGenerated(df, generated, "createGenerated")
+    val full0 = applyGenerated(df, generated, "createGenerated")
+    val (full, gens2) = allocateIdentity(spark, full0, generated)
     val staged =
       if (partCols.nonEmpty) stagePartitionedWithStats(full, table, partCols)
       else stageWithStats(full, table)
     commitOverwrite(spark, table, staged, full.schema.toDDL,
-      generated = generated)
+      generated = gens2)
   }
 
   /** Write-time CHECK enforcement (Delta's constraint semantics): a row
@@ -2024,7 +2140,8 @@ object GraftLog {
       op: String, commitOp: String, s: Staged, ddl0: String,
       seen0: Option[Long], reval: () => String,
       txn: Option[(String, Long)] = None,
-      abandonIf: () => Boolean = () => false): Long = {
+      abandonIf: () => Boolean = () => false,
+      generated: Map[String, String] = Map.empty): Long = {
     var ddl = ddl0
     var seen = seen0
     var attempts = 0
@@ -2039,7 +2156,7 @@ object GraftLog {
       try {
         writeCommit(spark, table, Commit(v, commitOp, s.files, Seq.empty,
           ddl, System.currentTimeMillis(), txn, stats = s.stats,
-          sizes = s.sizes))
+          sizes = s.sizes, generated = generated))
         return v
       } catch {
         case _: CommitConflictException =>
@@ -2396,10 +2513,12 @@ object GraftLog {
     val (files, schema) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
     val cmap = columnMapping(spark, table)
-    // batch discipline mirrors [[append]]: generated columns compute,
-    // then LOGICAL-schema enforcement, then CHECK constraints
-    val dfG = applyGenerated(df, generatedColumns(spark, table),
-      "replaceWhere")
+    // batch discipline mirrors [[append]]: generated columns compute
+    // (identity values allocated above the current mark), then
+    // LOGICAL-schema enforcement, then CHECK constraints
+    val gens0 = generatedColumns(spark, table)
+    val (dfG, gens2) = allocateIdentity(spark,
+      applyGenerated(df, gens0, "replaceWhere"), gens0)
     val logicalOk =
       enforceSchema(dfG, logicalSchema(schema, cmap), "replaceWhere")
     enforceChecks(logicalOk, checkConstraints(spark, table),
@@ -2421,7 +2540,8 @@ object GraftLog {
     val v = vRead.get + 1
     writeCommit(spark, table, Commit(v, "replace_where", s.files,
       touched, schema.toDDL, System.currentTimeMillis(),
-      stats = s.stats, sizes = s.sizes))
+      stats = s.stats, sizes = s.sizes,
+      generated = if (gens2 != gens0) gens2 else Map.empty))
     v
   }
 

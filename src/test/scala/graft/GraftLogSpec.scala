@@ -252,6 +252,39 @@ class GraftLogSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("constraint"))
   }
 
+  test("identity columns: dense allocation, never-reused high water") {
+    val t = tmp()
+    val seed = (0 until 40).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "tag").repartition(4)
+    GraftLog.createGenerated(seed, t,
+      Map("row_id" -> "identity(1000, 2)"), Seq.empty)
+    def ids() = GraftLog.read(spark, t).select("row_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // creation batch: dense from START WITH, stepped by INCREMENT BY
+    assert(ids() == (0 until 40).map(1000L + 2L * _))
+    // append continues above the mark, still dense
+    GraftLog.append((40 until 50).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "tag"), t)
+    assert(ids() == (0 until 50).map(1000L + 2L * _))
+    // supplying the column is rejected: GENERATED ALWAYS means always
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.append(Seq((99L, "x", 77L)).toDF("id", "tag", "row_id"), t)
+    }
+    assert(e.getMessage.contains("never be supplied"))
+    // overwrite keeps the mark: replaced rows' ids are never reissued
+    GraftLog.overwrite(Seq((0L, "z")).toDF("id", "tag"), t)
+    val afterOv = ids()
+    assert(afterOv == Seq(1000L + 2L * 50))
+    // delete + vacuum cannot resurrect ids either: the mark is
+    // log-carried, not a max over surviving rows
+    GraftLog.append(Seq((1L, "w")).toDF("id", "tag"), t)
+    assert(ids() == Seq(1000L + 2L * 50, 1000L + 2L * 51))
+    // stats land for the identity column → range pruning works on it
+    val pruned = GraftLog.readPruned(spark, t, "row_id",
+      1000.0 + 2 * 51, 1e9)
+    assert(pruned.count() == 1)
+  }
+
   test("vacuum drops old versions but keeps the retained ones readable") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 10, "v0"), t)
