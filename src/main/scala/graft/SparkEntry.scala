@@ -135,6 +135,7 @@ object SparkEntry {
     "e8_dedup_ppjoin"           -> ((s, d) => Dedup.ppjoin(s, d)),
     "e9_dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
     "e10_dedup_segments"        -> ((s, d) => Dedup.segmentDedup(s, d)),
+    "e16_dedup_incremental"     -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -2052,6 +2053,20 @@ object SparkEntry {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // e16: batch-vs-corpus verdicts — the Bloom prefilter is exact-ified
+    // by the verification probe, so a plain left join IS the oracle
+    "e16_dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT sha256(text) AS h
+        |  FROM documents WHERE doc_id < 350),
+        |batch AS (
+        |  SELECT doc_id, sha256(text) AS h
+        |  FROM documents WHERE doc_id >= 350
+        |  UNION ALL
+        |  SELECT doc_id + 1000, sha256(text)
+        |  FROM documents WHERE doc_id < 350 AND doc_id % 7 = 0)
+        |SELECT b.doc_id, (c.h IS NOT NULL) AS is_duplicate
+        |FROM batch b LEFT JOIN corpus c ON b.h = c.h""".stripMargin,
     // e10: CCNet-style segment dedup — the oracle re-derives the fixed
     // 20-token segmentation, ranks every distinct segment's occurrences
     // by (doc_id, chunk_idx), and reassembles each document from its

@@ -198,4 +198,17 @@ class DedupSpec extends AnyFunSuite {
     assert(out.getLong(1) == 3 && out.getLong(2) == 3)
     assert(out.getString(3) == "a b c d e f g h i j k")
   }
+
+  test("incremental dedup: Bloom prefilter + exact verify vs naive join") {
+    val out = Dedup.incrementalDedup(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // batch = high-id docs (all novel in this dup-free corpus) plus the
+    // re-keyed corpus slice (all duplicates by construction)
+    assert(out.nonEmpty)
+    assert(out.forall { case (id, dup) =>
+      if (id >= 1000) dup else !dup })
+    // every injected duplicate is present and flagged
+    val injected = out.keys.filter(_ >= 1000)
+    assert(injected.nonEmpty && injected.forall(out(_)))
+  }
 }
