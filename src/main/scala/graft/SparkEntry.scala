@@ -313,6 +313,10 @@ object SparkEntry {
     // history at a (total-1)-byte cap into exactly 2 bounded batches
     "i20_byte_bounded_backfill" ->
       ((s, d) => Transactions.byteBoundedBackfill(s, d)),
+    // startingVersion: the stream is a pure change tail (no initial
+    // snapshot); "latest" arms past history and sees only new commits
+    "i23_starting_version_tail" ->
+      ((s, d) => Transactions.startingVersionTail(s, d)),
     // OPTIMIZE mid-stream is dataChange=false: the resumed stream skips
     // the compact commit silently (no crash, no re-ingest), exactly-once
     "i22_stream_skips_optimize" ->
@@ -1174,6 +1178,15 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, 2 AS n_batches
         |FROM events GROUP BY 1""".stripMargin,
+    // i23: the sv=1 tail delivers exactly commits 1..2's slices (event
+    // ids with id%3 in {1,2}); the "latest" tail first drains nothing,
+    // then exactly the post-arm commit
+    "i23_starting_version_tail" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  TRUE AS latest_tail_empty, TRUE AS latest_saw_only_new
+        |FROM events WHERE event_id % 3 <> 0 GROUP BY 1""".stripMargin,
     // i22: OPTIMIZE between two drains is invisible — every event still
     // delivered exactly once (re-delivering the compacted files would
     // double the v0/v1 counts), the resume produced one data batch (the

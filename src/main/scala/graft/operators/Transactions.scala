@@ -773,6 +773,52 @@ object Transactions {
       .withColumn("fresh_ok", lit(freshOk))
   }
 
+  /** i23 — `startingVersion`: the stream is a pure CHANGE TAIL, no
+    * initial snapshot (Delta's start-position option). Three commits
+    * land; a fresh stream with `startingVersion=1` must deliver
+    * commits 1 and 2 ONLY — on a 100 TB table this is how a consumer
+    * that already holds a copy subscribes to deltas without re-reading
+    * the table. A second stream with `startingVersion="latest"` drains
+    * NOTHING from the existing history, then exactly the one commit
+    * that lands after it armed. Oracles: the two event slices. */
+  def startingVersionTail(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val root = graft.sources.Staging.tempDir("graft_svt_")
+    val table = s"$root/events_gl"
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+    (0 until 3).foreach { i =>
+      GraftLog.append(ev.filter(pmod(col("event_id"), lit(3)) === i), table)
+    }
+    def drain(opts: Map[String, String], tag: String): Unit = {
+      val q = spark.readStream.format("graft").options(opts).load(table)
+        .writeStream.format("parquet")
+        .option("path", s"$root/out_$tag")
+        .option("checkpointLocation", s"$root/ckpt_$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(Map("startingVersion" -> "1"), "sv1")
+    // "latest": arms past the 3 existing commits → first drain delivers
+    // nothing; after one more commit, the SAME checkpoint resumes and
+    // delivers exactly that commit's rows
+    drain(Map("startingVersion" -> "latest"), "latest")
+    val latestEmpty =
+      !new java.io.File(s"$root/out_latest").exists() ||
+        spark.read.parquet(s"$root/out_latest").isEmpty
+    val slice0 = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+    GraftLog.append(slice0, table)
+    drain(Map("startingVersion" -> "latest"), "latest")
+    val latestSawOnlyNew =
+      spark.read.parquet(s"$root/out_latest").count() == slice0.count()
+    spark.read.parquet(s"$root/out_sv1")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+      .withColumn("latest_tail_empty", lit(latestEmpty))
+      .withColumn("latest_saw_only_new", lit(latestSawOnlyNew))
+  }
+
   /** i19 — the DIRECT streaming sink end-to-end:
     * `writeStream.format("graft")` relays a graft source table into a
     * graft sink table with one ledger-stamped transactional commit per

@@ -645,20 +645,50 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
     else (shortName(),
       GraftLog.snapshot(sqlContext.sparkSession, pathOf(parameters))._2)
 
+  /** Delta's streaming start-position options: `startingVersion` (a
+    * commit number, or "latest" = only commits made after the stream
+    * starts) or `startingTimestamp` (earliest commit at-or-after the
+    * instant). Either SKIPS the initial snapshot — the stream becomes
+    * a pure change tail, the shape a 100 TB table needs when the
+    * consumer already holds a copy and wants deltas only. Resolved
+    * once at source creation; a checkpointed resume ignores it (the
+    * engine offset governs, Delta's rule). */
+  private def startingVersionOf(spark: SparkSession, path: String,
+      parameters: Map[String, String]): Option[Long] = {
+    val sv = parameters.get("startingVersion").map {
+      case s if s.equalsIgnoreCase("latest") =>
+        GraftLog.latestVersion(spark, path).map(_ + 1).getOrElse(0L)
+      case s => s.toLong
+    }
+    val st = parameters.get("startingTimestamp").map { ts =>
+      val ms = java.sql.Timestamp.valueOf(ts).getTime
+      GraftLog.versionAtOrAfter(spark, path, ms)
+        // nothing committed at-or-after t yet: tail from the future
+        .getOrElse(GraftLog.latestVersion(spark, path)
+          .map(_ + 1).getOrElse(0L))
+    }
+    require(sv.isEmpty || st.isEmpty,
+      "set startingVersion OR startingTimestamp, not both")
+    sv.orElse(st)
+  }
+
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
-      : org.apache.spark.sql.execution.streaming.Source =
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val sv = startingVersionOf(spark, path, parameters)
     if (cdfRequested(parameters))
       // `option("readChangeFeed", true)` + `option("cdfKeys", "k1,k2")`:
       // stream the row-level change feed instead of the appended rows
-      new GraftCdfStreamSource(sqlContext.sparkSession,
-        pathOf(parameters), cdfKeys(parameters),
-        AdmissionLimits(parameters))
-    else new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      new GraftCdfStreamSource(spark, path, cdfKeys(parameters),
+        AdmissionLimits(parameters), startingVersion = sv)
+    else new GraftStreamSource(spark, path,
       ignoreChanges =
         parameters.get("ignoreChanges").exists(_.toBoolean),
-      limits = AdmissionLimits(parameters))
+      limits = AdmissionLimits(parameters), startingVersion = sv)
+  }
 
   /** `df.writeStream.format("graft").start(path)` — the Delta streaming
     * SINK: each micro-batch lands as ONE transactional commit via the
@@ -818,9 +848,15 @@ private[sources] object AdmissionLimits {
 
 final class GraftStreamSource(spark: SparkSession, table: String,
     ignoreChanges: Boolean, limits: AdmissionLimits =
-      AdmissionLimits(None, None, None))
+      AdmissionLimits(None, None, None),
+    startingVersion: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // a fresh stream with startingVersion tails from sv (exclusive base
+  // sv-1, no initial snapshot); a checkpointed resume never gets here
+  // (`start` is defined) — Delta's precedence
+  private val freshBase: Long = startingVersion.map(_ - 1L).getOrElse(-1L)
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => COffset, ReadLimit}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -866,7 +902,7 @@ final class GraftStreamSource(spark: SparkSession, table: String,
     // the anchor batch), never below it.
     val admitted = (capped, limits.defined) match {
       case (Some(l), true) =>
-        val from = Option(start).map(toVersion).getOrElse(-1L)
+        val from = Option(start).map(toVersion).getOrElse(freshBase)
         val base =
           if (from == -1L)
             GraftLog.contiguousTailStart(
@@ -882,7 +918,7 @@ final class GraftStreamSource(spark: SparkSession, table: String,
     GraftLog.latestVersion(spark, table).map(LongOffset(_)).orNull
 
   override def getBatch(start: Option[SOffset], end: SOffset): DataFrame = {
-    val from = start.map(toVersion).getOrElse(-1L) // exclusive
+    val from = start.map(toVersion).getOrElse(freshBase) // exclusive
     val to = toVersion(end) // inclusive
     val files = GraftLog.addedIn(spark, table, from, to, ignoreChanges)
     require(!GraftLog.hasPartitionedFiles(files),
@@ -931,9 +967,14 @@ final class GraftStreamSource(spark: SparkSession, table: String,
   * FileStreamSource mechanism, applied to a derived plan). */
 final class GraftCdfStreamSource(spark: SparkSession, table: String,
     keys: Seq[String], limits: AdmissionLimits =
-      AdmissionLimits(None, None, None))
+      AdmissionLimits(None, None, None),
+    startingVersion: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // startingVersion: tail the change feed from sv (inclusive) with NO
+  // initial snapshot; resumes follow the engine offset instead
+  private val freshBase: Long = startingVersion.map(_ - 1L).getOrElse(-1L)
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => COffset, ReadLimit}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -988,7 +1029,7 @@ final class GraftCdfStreamSource(spark: SparkSession, table: String,
     // the contiguous-tail anchor (the anchor-snapshot batch)
     val admitted = (capped, limits.defined) match {
       case (Some(l), true) =>
-        val from = Option(start).map(toVersion).getOrElse(-1L)
+        val from = Option(start).map(toVersion).getOrElse(freshBase)
         val base =
           if (from == -1L)
             GraftLog.contiguousTailStart(
@@ -1018,7 +1059,7 @@ final class GraftCdfStreamSource(spark: SparkSession, table: String,
       lit(version).as("_commit_version"): _*)
 
   override def getBatch(start: Option[SOffset], end: SOffset): DataFrame = {
-    val fromEx = start.map(toVersion).getOrElse(-1L)
+    val fromEx = start.map(toVersion).getOrElse(freshBase)
     val to = toVersion(end)
     val present = GraftLog.versions(spark, table)
       .filter(v => v > fromEx && v <= to)

@@ -870,6 +870,16 @@ object GraftLog {
     * timestamp is at or before `ms` (epoch millis) — probing before the
     * first retained commit is an error, not a silent empty read. Commit-
     * count-sized metadata walk. */
+  /** Earliest RETAINED version whose commit timestamp is at-or-after
+    * `ms` — the resolution rule of Delta's streaming
+    * `startingTimestamp` (contrast [[versionAt]], the at-or-before rule
+    * batch time travel uses: a stream wants "changes since t", a read
+    * wants "state as of t"). */
+  def versionAtOrAfter(spark: SparkSession, table: String,
+      ms: Long): Option[Long] =
+    versions(spark, table).find(v =>
+      readCommit(spark, table, v).timestampMs >= ms)
+
   def versionAt(spark: SparkSession, table: String, ms: Long): Long = {
     val vs = versions(spark, table)
       .filter(v => readCommit(spark, table, v).timestampMs <= ms)

@@ -595,6 +595,58 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/out3").count() == cust.count())
   }
 
+  test("startingVersion/startingTimestamp tail without initial snapshot") {
+    val root = Staging.tempDir("graft_fidx_sv_")
+    val t = s"$root/t"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.append(cust.filter(col("c_custkey") % 3 === 0), t) // v0
+    Thread.sleep(5)
+    val tsBeforeV1 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5)
+    GraftLog.append(cust.filter(col("c_custkey") % 3 === 1), t) // v1
+    GraftLog.append(cust.filter(col("c_custkey") % 3 === 2), t) // v2
+    def drain(opts: Map[String, String], tag: String): Long = {
+      val q = spark.readStream.format("graft").options(opts).load(t)
+        .writeStream.format("parquet")
+        .option("path", s"$root/out_$tag")
+        .option("checkpointLocation", s"$root/ckpt_$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (!new java.io.File(s"$root/out_$tag").exists()) 0L
+      else spark.read.parquet(s"$root/out_$tag").count()
+    }
+    val n1 = cust.filter(col("c_custkey") % 3 === 1).count()
+    val n2 = cust.filter(col("c_custkey") % 3 === 2).count()
+    // version form: commits 1..2 only, no v0 snapshot
+    assert(drain(Map("startingVersion" -> "2"), "v2") == n2)
+    // timestamp form: earliest commit at-or-after the instant = v1
+    assert(drain(Map("startingTimestamp" -> tsBeforeV1.toString),
+      "ts") == n1 + n2)
+    // both options together are rejected
+    val e = intercept[Exception] {
+      drain(Map("startingVersion" -> "1",
+        "startingTimestamp" -> tsBeforeV1.toString), "both")
+    }
+    assert(e.getMessage.contains("not both") ||
+      Option(e.getCause).exists(_.getMessage.contains("not both")))
+    // CDF stream honors startingVersion too: v2's changes only
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("cdfKeys", "c_custkey")
+      .option("startingVersion", "2").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out_cdf")
+      .option("checkpointLocation", s"$root/ckpt_cdf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cdf = spark.read.parquet(s"$root/out_cdf")
+    assert(cdf.count() == n2)
+    assert(cdf.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+  }
+
   test("fresh stream on a vacuumed table anchors at the retained snapshot") {
     val root = Staging.tempDir("graft_fidx_vac_")
     val (t, ckpt, out) = (s"$root/t", s"$root/ckpt", s"$root/out")
