@@ -289,6 +289,10 @@ object SparkEntry {
     // dense across commits, log-carried never-reuse high water
     "t31_identity_columns" ->
       ((s, d) => Transactions.identityColumnsRead(s, d)),
+    // OPTIMIZE WHERE: partition-scoped compaction — one partition's
+    // files rewritten to one, everything else untouched
+    "t32_optimize_where" ->
+      ((s, d) => Transactions.compactWhereRead(s, d)),
     // REORG APPLY (PURGE): rewrite only DV-masked files, drop the
     // vectors; unmasked files carried by reference
     "t30_reorg_purge" ->
@@ -1129,6 +1133,13 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(*) AS n_ids,
         |  1000 AS min_id, 1000 + 2 * (count(*) - 1) AS max_id,
         |  TRUE AS all_on_grid
+        |FROM customer""".stripMargin,
+    // t32: partition-scoped compaction is a pure layout change on one
+    // partition — full rows, one BUILDING file, rest carried
+    "t32_optimize_where" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  1 AS n_building_files,
+        |  TRUE AS only_touched, TRUE AS untouched_carried
         |FROM customer""".stripMargin,
     // t30: REORG purges exactly the erased rows, touches only masked
     // files, carries the rest by reference, and leaves zero vectors

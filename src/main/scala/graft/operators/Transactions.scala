@@ -332,6 +332,38 @@ object Transactions {
       .withColumn("n_files_rewritten", lit(rewritten))
   }
 
+  /** t32 — `OPTIMIZE … WHERE`: partition-scoped compaction. Two
+    * commits leave two files in every `c_mktsegment=…` dir; the SQL
+    * statement compacts ONLY the BUILDING partition. Pins: full row
+    * oracle (layout change, same rows), the BUILDING dir ends at one
+    * file, every other partition's files carried by reference, and the
+    * files outside the scope were not even read (`only_touched`). The
+    * nightly-OPTIMIZE shape for a streaming-append 100 TB lake: target
+    * yesterday's partition, not the table. */
+  def compactWhereRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Staging.tempDir("graft_optw_")
+    val t = s"$root/cust"
+    val cust = Sources.testTable(spark, sfDir, "customer")
+    GraftLog.overwritePartitioned(
+      cust.filter(col("c_custkey") % 2 === 0), t, Seq("c_mktsegment"))
+    GraftLog.appendPartitioned(
+      cust.filter(col("c_custkey") % 2 === 1), t, Seq("c_mktsegment"))
+    val before = GraftLog.snapshot(spark, t)._1
+    def building(f: String) = f.contains("c_mktsegment=BUILDING")
+    spark.sql(s"OPTIMIZE '$t' WHERE c_mktsegment = 'BUILDING'")
+    val after = GraftLog.snapshot(spark, t)._1
+    val nBuildingFiles = after.count(building)
+    val onlyTouched = (before.toSet -- after.toSet).forall(building) &&
+      (after.toSet -- before.toSet).forall(building)
+    val untouchedCarried =
+      before.filterNot(building).toSet.subsetOf(after.toSet)
+    spark.read.format("graft").load(t)
+      .select(customerCols.map(col): _*)
+      .withColumn("n_building_files", lit(nBuildingFiles))
+      .withColumn("only_touched", lit(onlyTouched))
+      .withColumn("untouched_carried", lit(untouchedCarried))
+  }
+
   /** t30 — `REORG TABLE … APPLY (PURGE)`: Delta's targeted
     * deletion-vector materialization. A DV erasure masks rows in only
     * the low-key files of an 8-file range layout; REORG rewrites

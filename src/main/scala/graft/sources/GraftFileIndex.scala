@@ -481,9 +481,14 @@ object GraftFileIndex {
   /** Read ONLY the given snapshot files (table-root-relative paths) with
     * partition columns reconstructed — the scan DML rewrites use to load
     * just the touched files of a hive-partitioned table. */
+  /** `asOf` anchors the subset at a HISTORICAL snapshot: the index
+    * intersects the file list with that version's live set, so a
+    * change-feed diff can still open files the CURRENT version has
+    * already swapped out (a rewrite commit removes its inputs — without
+    * the anchor the old side of the diff would silently read empty). */
   def readSubset(spark: SparkSession, table: String,
-      files: Seq[String]): DataFrame = {
-    val idx = new GraftFileIndex(spark, table, None, Some(files.toSet))
+      files: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    val idx = new GraftFileIndex(spark, table, asOf, Some(files.toSet))
     spark.baseRelationToDataFrame(
       HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
         new ParquetFileFormat(), Map.empty)(spark))
@@ -494,8 +499,8 @@ object GraftFileIndex {
     * position mask and the DV writers' position harvest (both need
     * `_metadata` off the bare relation). Internal to the DV machinery. */
   private[sources] def readSubsetRaw(spark: SparkSession, table: String,
-      files: Seq[String]): DataFrame = {
-    val idx = new GraftFileIndex(spark, table, None, Some(files.toSet),
+      files: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    val idx = new GraftFileIndex(spark, table, asOf, Some(files.toSet),
       allowDvs = true)
     spark.baseRelationToDataFrame(
       HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,

@@ -1478,12 +1478,13 @@ object GraftLog {
     * hive-partitioned (via a file-restricted [[GraftFileIndex]]), plain
     * schema-directed parquet otherwise. */
   private def readSubset(spark: SparkSession, table: String,
-      files: Seq[String], schema: StructType): DataFrame =
+      files: Seq[String], schema: StructType,
+      asOf: Option[Long] = None): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (hasPartitionedFiles(files))
-      GraftFileIndex.readSubset(spark, table, files)
+      GraftFileIndex.readSubset(spark, table, files, asOf)
         .select(schema.fieldNames.map(col).toSeq: _*)
     else spark.read.schema(schema)
       .parquet(files.map(f => absPath(table, f)): _*)
@@ -2569,9 +2570,10 @@ object GraftLog {
     * predicates can reference partition columns, and partition-only
     * predicates prune the scan in the planner. */
   private def dvScan(spark: SparkSession, table: String,
-      files: Seq[String], schema: StructType): DataFrame =
+      files: Seq[String], schema: StructType,
+      asOf: Option[Long] = None): DataFrame =
     if (hasPartitionedFiles(files))
-      GraftFileIndex.readSubsetRaw(spark, table, files)
+      GraftFileIndex.readSubsetRaw(spark, table, files, asOf)
     else spark.read.schema(schema)
       .parquet(files.map(f => absPath(table, f)): _*)
 
@@ -2802,6 +2804,76 @@ object GraftLog {
       outSchema.toDDL, System.currentTimeMillis(), stats = s.stats,
       sizes = s.sizes, dvRemove = dvs))
     v
+  }
+
+  /** `OPTIMIZE t WHERE <partition predicate>` — partition-SCOPED
+    * compaction (Delta's form): only the files of partitions matching
+    * the predicate are rewritten; every other partition's files are
+    * untouched, not even read. On a date-partitioned 100 TB table with
+    * streaming appends, the nightly OPTIMIZE targets `WHERE day =
+    * yesterday` — one partition's small files, not the whole table.
+    * The predicate may reference PARTITION columns only (Delta's
+    * restriction — a data-column predicate cannot be decided at file
+    * granularity); it is evaluated by Catalyst over the path-derived
+    * partition tuples on the driver, metadata-sized, so the selection
+    * itself reads nothing. The commit is a "compact" (rewrite-only:
+    * streams pass over it, admission cost zero). Active DVs must be
+    * purged first ([[reorgPurge]]) — a scoped rewrite with live masks
+    * elsewhere would leave the vector set ambiguous. */
+  def compactWhere(spark: SparkSession, table: String,
+      predicate: Column): Long = rebaseOnConflict(table, "compactWhere") {
+    () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty, s"$table is not a GraftLog table")
+    requireNoDvs(spark, table, "compactWhere")
+    val (files, schema) = snapshot(spark, table)
+    val partCols = layoutPartCols(files)
+    require(partCols.nonEmpty,
+      "OPTIMIZE … WHERE targets a hive-partitioned table; use " +
+        "compact() for flat layouts")
+    // partition tuples from the paths, typed via the table schema,
+    // filtered by Catalyst itself — semantics identical to a read-side
+    // partition filter, evaluated over metadata. The partition-columns-
+    // only restriction (Delta's) is enforced by RESOLVING the predicate
+    // against the tuple frame, whose schema IS the partition columns —
+    // a data-column reference fails analysis there and is rethrown as
+    // the named contract error below.
+    def tupleOf(f: String): Seq[String] = f.split('/').dropRight(1)
+      .filter(_.contains('=')).map(_.dropWhile(_ != '=').tail)
+    val tuples = files.map(tupleOf).distinct
+    val typed = partCols.map(pc => schema.fields
+      .find(_.name.equalsIgnoreCase(pc))
+      .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType))
+    import scala.jdk.CollectionConverters._
+    val tupleDf = spark.createDataFrame(
+      tuples.map(t => org.apache.spark.sql.Row.fromSeq(t)).asJava,
+      StructType(partCols.map(pc =>
+        org.apache.spark.sql.types.StructField(pc,
+          org.apache.spark.sql.types.StringType))))
+      .select(partCols.zip(typed).map { case (pc, dt) =>
+        col(pc).cast(dt).as(pc) }: _*)
+    val matching =
+      try tupleDf.filter(predicate)
+        .collect().map(_.toSeq.map(v => String.valueOf(v))).toSet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            "OPTIMIZE … WHERE may reference partition columns " +
+              s"(${partCols.mkString(",")}) only: ${e.getMessage}", e)
+      }
+    val selected = files.filter(f => matching.contains(tupleOf(f)))
+    if (selected.isEmpty) vRead.get // nothing in scope: no empty commit
+    else {
+      val base = readSubset(spark, table, selected, schema)
+      val current = withHiddenPartCols(base, partCols)
+      val s = stagePartitionedWithStats(
+        current.repartition(partCols.map(col): _*), table, partCols)
+      val v = vRead.get + 1
+      writeCommit(spark, table, Commit(v, "compact", s.files, selected,
+        schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+        sizes = s.sizes))
+      v
+    }
   }
 
   /** `REORG TABLE … APPLY (PURGE)` — Delta's TARGETED deletion-vector
@@ -3140,10 +3212,10 @@ object GraftLog {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
         val dvs = deletionVectors(spark, table, at)
-        if (dvs.isEmpty) readSubset(spark, table, files, schema)
+        if (dvs.isEmpty) readSubset(spark, table, files, schema, at)
         else {
           val dv = spark.read.parquet(dvs.map(f => absPath(table, f)): _*)
-          val base = dvScan(spark, table, files, schema)
+          val base = dvScan(spark, table, files, schema, at)
             .withColumn("__gf_rel", relPathCol(col("_metadata.file_path")))
             .withColumn("__gf_row", col("_metadata.row_index"))
           base.join(dv,

@@ -62,7 +62,7 @@ final class GraftSqlParser(
   import org.apache.spark.sql.types.{DataType, StructType}
 
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   private val ReorgStmt =
     """(?is)\s*REORG\s+TABLE\s+(\S+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val VacuumStmt =
@@ -99,8 +99,15 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeStmt(target, files, za, zb) if ownsTarget(target) =>
-      if (za != null) GraftZOrderCommand(target, za, zb,
+    case OptimizeStmt(target, where, files, za, zb)
+        if ownsTarget(target) =>
+      if (where != null) {
+        require(za == null && files == null,
+          "OPTIMIZE … WHERE composes with neither FILES nor ZORDER " +
+            "(partition-scoped compaction compacts each matching " +
+            "partition to one file)")
+        GraftOptimizeWhereCommand(target, where.trim)
+      } else if (za != null) GraftZOrderCommand(target, za, zb,
         Option(files).map(_.toInt).getOrElse(8))
       else GraftOptimizeCommand(target,
         Option(files).map(_.toInt).getOrElse(1))
@@ -423,6 +430,20 @@ case class GraftOptimizeCommand(target: String, targetFiles: Int)
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
     GraftLog.compact(session, path, targetFiles)
+    RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE t WHERE <partition predicate>` →
+  * [[GraftLog.compactWhere]]: partition-scoped compaction — only
+  * matching partitions' files rewritten, everything else untouched. */
+case class GraftOptimizeWhereCommand(target: String, where: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    GraftLog.compactWhere(session, path,
+      org.apache.spark.sql.functions.expr(where))
     RefreshAfterDml(session, path, None)
     Seq.empty
   }

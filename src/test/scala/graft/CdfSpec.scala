@@ -43,6 +43,23 @@ class CdfSpec extends AnyFunSuite {
     assert(up.getAs[String]("tag") == "up")
   }
 
+  test("changesAt on a PARTITIONED rewrite opens the swapped-out files") {
+    // regression: the subset FileIndex used to intersect with the
+    // CURRENT snapshot, so the old side of a partitioned rewrite's diff
+    // read empty and every carried row misclassified as `insert`
+    val t = root() + "/t"
+    val seed = (0 until 30).map(i => (i.toLong, s"g${i % 3}", s"r$i"))
+      .toDF("id", "grp", "tag")
+    GraftLog.overwritePartitioned(seed, t, Seq("grp"))
+    // partitioned DELETE rewrites the touched partition's files
+    val v = GraftLog.delete(spark, t, $"grp" === "g1" && $"id" < 10)
+    val ch = GraftLog.changesAt(spark, t, Seq("id"), v)
+    val byType = ch.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ids 1,4,7 deleted; the carried g1 rows must NOT appear at all
+    assert(byType == Map("delete" -> 3L))
+  }
+
   test("preimages: updates emit both images, other classes unchanged") {
     val r = root(); val t = s"$r/t"
     GraftLog.overwrite(df(0 until 20, "a"), t)              // v0

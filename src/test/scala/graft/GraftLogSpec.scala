@@ -847,6 +847,40 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 88)
   }
 
+  test("compactWhere: partition-scoped, predicate on partition cols only") {
+    val t = tmp()
+    val seed = (0 until 60).map(i => (i.toLong, s"g${i % 3}", s"r$i"))
+      .toDF("id", "grp", "tag")
+    GraftLog.overwritePartitioned(
+      seed.filter($"id" % 2 === 0), t, Seq("grp"))
+    GraftLog.appendPartitioned(
+      seed.filter($"id" % 2 === 1), t, Seq("grp"))
+    val before = GraftLog.snapshot(spark, t)._1
+    assert(before.count(_.contains("grp=g1")) >= 2)
+    val v = GraftLog.compactWhere(spark, t, $"grp" === "g1")
+    val after = GraftLog.snapshot(spark, t)._1
+    assert(after.count(_.contains("grp=g1")) == 1)
+    // out-of-scope partitions carried by the same paths
+    assert(before.filterNot(_.contains("grp=g1")).toSet
+      .subsetOf(after.toSet))
+    // same rows (layout-only), time travel intact
+    assert(GraftLog.read(spark, t).count() == 60)
+    assert(GraftLog.readVersion(spark, t, v - 1).count() == 60)
+    // data-column predicates are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.compactWhere(spark, t, $"id" > 10)
+    }
+    assert(e.getMessage.contains("partition columns"))
+    // no matching partition → no empty commit
+    val vTop = GraftLog.latestVersion(spark, t).get
+    assert(GraftLog.compactWhere(spark, t, $"grp" === "nope") == vTop)
+    // a live stream passes over the scoped compact (rewrite-only)
+    val root = t.stripSuffix("/t")
+    // flat-stream restriction applies to partitioned tables; use CDF
+    // batch read instead to confirm the commit classifies as layout-only
+    assert(GraftLog.changesAt(spark, t, Seq("id"), v).count() == 0)
+  }
+
   test("reorg purge rewrites only masked files, drops DVs, keeps rows") {
     val t = tmp()
     val seed = (0 until 80).map(i => (i.toLong, s"r$i"))
