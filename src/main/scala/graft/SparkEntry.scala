@@ -136,6 +136,7 @@ object SparkEntry {
     "e9_dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
     "e10_dedup_segments"        -> ((s, d) => Dedup.segmentDedup(s, d)),
     "e16_dedup_incremental"     -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "e17_neardup_incremental"   -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "e5_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -1692,7 +1693,61 @@ object SparkEntry {
         |              JOIN dsh b ON b.doc_id = c.doc_b)
         |WHERE jaccard >= 0.2""".stripMargin
 
+  /** e17's oracle: the e3 sketch replicated asymmetrically — candidates
+    * from batch×corpus band collisions only, verified exactly, one
+    * verdict row per batch doc. */
+  private val incrementalNearDupOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+      |  FROM base WHERE len(toks) >= 3
+      |), hs AS (
+      |  SELECT doc_id, list_transform(shingles,
+      |    s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT % 2147483647
+      |         AS BIGINT)) AS h
+      |  FROM sh
+      |), sigs AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    list_aggregate(list_transform(h,
+      |      x -> ((2*i + 1) * x + i + 1) % 2147483647), 'min')) AS sig
+      |  FROM hs
+      |), banded AS (
+      |  SELECT doc_id, band,
+      |    sig[band*4 + 1] AS s0, sig[band*4 + 2] AS s1,
+      |    sig[band*4 + 3] AS s2, sig[band*4 + 4] AS s3
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) bs
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_b, y.doc_id AS doc_c
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
+      |    AND x.s2 = y.s2 AND x.s3 = y.s3
+      |  WHERE x.doc_id >= 350 AND y.doc_id < 350
+      |), dsh AS (
+      |  SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+      |), verified AS (
+      |  SELECT doc_b, jaccard FROM (
+      |    SELECT c.doc_b,
+      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+      |           AS DOUBLE) AS jaccard
+      |    FROM cand c JOIN dsh a ON a.doc_id = c.doc_b
+      |                JOIN dsh b ON b.doc_id = c.doc_c)
+      |  WHERE jaccard >= 0.2
+      |), agg AS (
+      |  SELECT doc_b AS doc_id, count(*) AS n_near_dups,
+      |    round(max(jaccard), 6) AS best_jaccard
+      |  FROM verified GROUP BY 1
+      |)
+      |SELECT d.doc_id, coalesce(a.n_near_dups, 0) AS n_near_dups,
+      |  a.best_jaccard, (a.doc_id IS NOT NULL) AS is_near_dup
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 350) d
+      |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
   private val baseOracle: Map[String, String] = Map(
+    "e17_neardup_incremental" -> incrementalNearDupOracle,
     "i1_events_windowed_agg"        -> windowedAggOracle,
     "i2_events_windowed_agg_stream" -> windowedAggOracle,
     "i11_events_sliding_agg"        -> slidingAggOracle,

@@ -989,6 +989,71 @@ object Dedup {
     * The batch here is the high-id documents plus a re-keyed slice of
     * corpus docs — deterministic injected duplicates, since this
     * corpus is exact-dup-free. */
+  /** e17 — INCREMENTAL near-dup detection: classify a new batch
+    * against the corpus with MinHash-LSH, asymmetrically — the
+    * fuzzy-dedup production shape (FineWeb/CCNet dedup each crawl
+    * snapshot against the accumulated index, not all-pairs over
+    * everything). Same deterministic sketch as e3 ([[minhashLsh]]:
+    * fused shingle→minhash, band keys = raw signature slices), but
+    * candidates come from `bandedBatch ⋈ bandedCorpus` — batch×batch
+    * and corpus×corpus collisions never materialize, and at scale the
+    * corpus side of the join is the PERSISTED index built once per
+    * corpus generation, re-probed by every batch. Exact-Jaccard
+    * verification runs only on candidate docs; output is one verdict
+    * row per batch doc (n matches, best score), so the downstream
+    * filter is a plain column predicate. LSH recall is the designed
+    * trade (band parameters bound the miss probability), and the
+    * DuckDB oracle replicates the same sketch, so the gate pins the
+    * full pipeline bit-exactly. */
+  def incrementalNearDup(spark: SparkSession, sfDir: String,
+      split: Long = 350, n: Int = 3, threshold: Double = 0.2,
+      numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val rows = numPerm / bands
+    val docs = Sources.testTable(spark, sfDir, "documents")
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val sigs = base
+      .select(col("doc_id"), graft.functions.SketchExpressions
+        .shingle_minhash(col("toks"), n, numPerm).as("sig"))
+      .transform(graft.CacheScope.tracked)
+    val keyCols = "band" +: (0 until rows).map(r => s"s$r")
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map { bIdx =>
+        struct((lit(bIdx).as("band") +: (0 until rows).map(r =>
+          col("sig").getItem(bIdx * rows + r).as(s"s$r"))): _*)
+      }: _*)).as("bk"))
+      .select(col("doc_id") +: keyCols.map(c => col(s"bk.$c")): _*)
+    val bandKeyEq = keyCols
+      .map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
+    val cand = banded.filter(col("doc_id") >= split).as("x")
+      .join(banded.filter(col("doc_id") < split).as("y"), bandKeyEq)
+      .select(col("x.doc_id").as("doc_b"), col("y.doc_id").as("doc_c"))
+      .distinct()
+    val candIds = cand.select(col("doc_b").as("doc_id"))
+      .union(cand.select(col("doc_c").as("doc_id"))).distinct()
+    val shFrame = base.join(broadcast(candIds), Seq("doc_id"))
+      .select(col("doc_id"), shinglesOf(col("toks"), n).as("sh"))
+    val verified = cand
+      .join(shFrame.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .join(shFrame.select(col("doc_id").as("doc_c"), col("sh").as("sh_c")),
+        Seq("doc_c"))
+      .withColumn("jaccard", jaccard(col("sh_b"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+    val perDoc = verified.groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_near_dups"),
+        round(max(col("jaccard")), 6).as("best_jaccard"))
+    docs.filter(col("doc_id") >= split).select(col("doc_id"))
+      .join(perDoc.withColumn("__hit", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("best_jaccard"),
+        coalesce(col("__hit"), lit(false)).as("is_near_dup"))
+  }
+
   def incrementalDedup(spark: SparkSession, sfDir: String,
       split: Long = 350): DataFrame = {
     val docs = Sources.testTable(spark, sfDir, "documents")

@@ -199,6 +199,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out.getString(3) == "a b c d e f g h i j k")
   }
 
+  test("incremental near-dup: batch-only verdicts, scores within bounds") {
+    val out = Dedup.incrementalNearDup(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(0) >= 350))
+    out.foreach { r =>
+      val hit = r.getBoolean(3)
+      if (hit) {
+        assert(r.getLong(1) > 0)
+        val j = r.getDouble(2)
+        assert(j >= 0.2 && j <= 1.0)
+      } else assert(r.getLong(1) == 0 && r.isNullAt(2))
+    }
+  }
+
   test("incremental dedup: Bloom prefilter + exact verify vs naive join") {
     val out = Dedup.incrementalDedup(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
