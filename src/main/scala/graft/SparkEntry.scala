@@ -290,6 +290,10 @@ object SparkEntry {
     // dense across commits, log-carried never-reuse high water
     "t31_identity_columns" ->
       ((s, d) => Transactions.identityColumnsRead(s, d)),
+    // null-count stats: IS NOT NULL prunes all-null files in the
+    // planner (nullCount/numRecords per file, Delta stats parity)
+    "t33_null_skipping" ->
+      ((s, d) => Transactions.nullSkippingRead(s, d)),
     // OPTIMIZE WHERE: partition-scoped compaction — one partition's
     // files rewritten to one, everything else untouched
     "t32_optimize_where" ->
@@ -1135,6 +1139,12 @@ object SparkEntry {
         |  1000 AS min_id, 1000 + 2 * (count(*) - 1) AS max_id,
         |  TRUE AS all_on_grid
         |FROM customer""".stripMargin,
+    // t33: the sparse-column IS NOT NULL read returns exactly the
+    // populated slice (file pruning is a plan property, spec-pinned)
+    "t33_null_skipping" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  'vip:' || c_name AS c_note
+        |FROM customer WHERE c_custkey <= 100""".stripMargin,
     // t32: partition-scoped compaction is a pure layout change on one
     // partition — full rows, one BUILDING file, rest carried
     "t32_optimize_where" ->

@@ -332,6 +332,28 @@ object Transactions {
       .withColumn("n_files_rewritten", lit(rewritten))
   }
 
+  /** t33 — NULL-COUNT data skipping (Delta's nullCount/numRecords
+    * stats): a sparse enrichment column is populated only in the
+    * low-key range of a range-clustered layout, and `IS NOT NULL`
+    * prunes every all-null file in the PLANNER (the spec pins the
+    * numFiles metric; min/max stats can say nothing about nullness).
+    * The 100 TB case: an optional column populated for 1% of rows
+    * clusters its non-nulls in few files — null counts are the only
+    * stat that skips the other 99%. */
+  def nullSkippingRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Staging.tempDir("graft_nullskip_")
+    val t = s"$root/cust"
+    GraftLog.overwrite(
+      Sources.testTable(spark, sfDir, "customer")
+        .withColumn("c_note",
+          when(col("c_custkey") <= 100,
+            concat(lit("vip:"), col("c_name"))))
+        .repartitionByRange(10, col("c_custkey")), t)
+    spark.read.format("graft").load(t)
+      .filter(col("c_note").isNotNull)
+      .select(customerCols.map(col) :+ col("c_note"): _*)
+  }
+
   /** t32 — `OPTIMIZE … WHERE`: partition-scoped compaction. Two
     * commits leave two files in every `c_mktsegment=…` dir; the SQL
     * statement compacts ONLY the BUILDING partition. Pins: full row

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, Predicate}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -450,7 +450,23 @@ final class GraftFileIndex(spark: SparkSession, table: String,
           }
           case None => true
         }
-      case _ => true // IsNotNull, functions, UDF-shaped filters: keep
+      // null-count stats (the `#nulls` pseudo key: (nullCount,
+      // numRecords) per column — Delta's nullCount/numRecords): an
+      // IS NOT NULL probe drops all-null files, IS NULL drops
+      // fully-populated ones. At 100 TB a sparse column (an optional
+      // enrichment populated for 1% of rows) clusters its non-nulls in
+      // few files — this is the only stat that can prune the other 99%.
+      case IsNotNull(a: Attribute) =>
+        st.get(a.name + GraftLog.NullStatsSuffix) match {
+          case Some((nulls, total)) => nulls < total
+          case None => true
+        }
+      case IsNull(a: Attribute) =>
+        st.get(a.name + GraftLog.NullStatsSuffix) match {
+          case Some((nulls, _)) => nulls > 0
+          case None => true
+        }
+      case _ => true // functions, UDF-shaped filters: keep
     }
   }
 }

@@ -933,19 +933,34 @@ object GraftLog {
       case _ => false
     })
 
-  /** Per-file min/max for every numeric column of freshly staged files —
-    * the Delta data-skipping stats, stored in the commit (as doubles;
-    * exact for integers up to 2^53, far beyond any key domain here). One
-    * grouped pass over the just-written files; a production writer would
-    * fold this into the write itself, the protocol is identical. */
+  /** Suffix of the PSEUDO stats key carrying a column's null counts:
+    * `<col>#nulls -> (nullCount, numRecords)` rides the same per-file
+    * stats map as the min/max pairs (Delta's stats carry nullCount and
+    * numRecords the same way), so commits, checkpoints, clones, and
+    * restores serialize it with zero format changes. `#` cannot appear
+    * in an unquoted SQL identifier, so the pseudo key never collides
+    * with a real column's min/max entry. */
+  private[sources] val NullStatsSuffix = "#nulls"
+
+  /** Per-file skipping stats for freshly staged files — the Delta
+    * data-skipping stats, stored in the commit: min/max for every
+    * numeric column, plus `(nullCount, numRecords)` for EVERY column
+    * under the `#nulls` pseudo key (doubles; exact to 2^53, far beyond
+    * any file's row count). IS NULL / IS NOT NULL predicates prune on
+    * the null counts where min/max can say nothing. One grouped pass
+    * over the just-written files; a production writer would fold this
+    * into the write itself, the protocol is identical. */
   private def collectStats(spark: SparkSession, table: String,
       files: Seq[String], schema: StructType)
       : Map[String, Map[String, (Double, Double)]] = {
     val nf = numericFields(schema)
-    if (nf.isEmpty || files.isEmpty) return Map.empty
+    if (files.isEmpty || schema.isEmpty) return Map.empty
     val aggs = nf.flatMap(f => Seq(
       min(col(f.name).cast("double")).as(s"mn_${f.name}"),
-      max(col(f.name).cast("double")).as(s"mx_${f.name}")))
+      max(col(f.name).cast("double")).as(s"mx_${f.name}"))) ++
+      schema.fields.map(f =>
+        count(col(f.name)).as(s"nn_${f.name}")) :+
+      count(lit(1)).as("__gf_rows")
     val rows = spark.read.schema(schema)
       .parquet(files.map(f => absPath(table, f)): _*)
       .withColumn("__gf_file", input_file_name())
@@ -961,13 +976,19 @@ object GraftLog {
     rows.flatMap { r =>
       val scanned = new java.net.URI(r.getString(0)).getPath
       relPathOf(scanned).filter(staged.contains).map { f =>
-        f -> nf.flatMap { fd =>
+        val total = r.getAs[Long]("__gf_rows").toDouble
+        val minMax = nf.flatMap { fd =>
           val mn = r.getAs[Any](s"mn_${fd.name}")
           val mx = r.getAs[Any](s"mx_${fd.name}")
           if (mn == null || mx == null) None // all-null column: no stats
           else Some(fd.name ->
             ((mn.asInstanceOf[Double], mx.asInstanceOf[Double])))
-        }.toMap
+        }
+        val nulls = schema.fields.map { fd =>
+          s"${fd.name}$NullStatsSuffix" ->
+            ((total - r.getAs[Long](s"nn_${fd.name}").toDouble, total))
+        }
+        f -> (minMax ++ nulls).toMap
       }
     }.toMap
   }

@@ -68,6 +68,36 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(scan.metrics("numFiles").value == total)
   }
 
+  test("null-count stats prune IS NOT NULL / IS NULL probes") {
+    val d = Staging.tempDir("graft_fidx_") + "/sparse"
+    // sparse column: populated only in the low-key range, so the
+    // range-clustered layout concentrates non-nulls in few files
+    GraftLog.overwrite(
+      Sources.testTable(spark, TestSpark.sf, "customer")
+        .withColumn("c_note",
+          when(col("c_custkey") <= 20, concat(lit("vip:"), col("c_name"))))
+        .repartitionByRange(8, col("c_custkey")), d)
+    val total = new GraftFileIndex(spark, d).inputFiles.length
+    val notNull = spark.read.format("graft").load(d)
+      .filter(col("c_note").isNotNull)
+    assert(scanOf(notNull).metrics("numFiles").value < total,
+      "IS NOT NULL should drop all-null files")
+    assert(notNull.count() ==
+      GraftLog.read(spark, d).filter(col("c_custkey") <= 20).count())
+    // IS NULL prunes the fully-populated files (here: none are fully
+    // null-free except the low file(s); at minimum no rows are lost)
+    val isNull = spark.read.format("graft").load(d)
+      .filter(col("c_note").isNull)
+    assert(isNull.count() ==
+      GraftLog.read(spark, d).filter(col("c_custkey") > 20).count())
+    // the implicit IsNotNull Spark adds beside a range filter must not
+    // break pruning or rows on a fully-populated column
+    val q = spark.read.format("graft").load(d)
+      .filter(col("c_custkey") >= 10 && col("c_custkey") <= 40)
+    assert(q.count() == GraftLog.read(spark, d)
+      .filter(col("c_custkey") >= 10 && col("c_custkey") <= 40).count())
+  }
+
   test("versionAsOf time travel through the data source") {
     val d = Staging.tempDir("graft_fidx_") + "/tt"
     val cust = Sources.testTable(spark, TestSpark.sf, "customer")
