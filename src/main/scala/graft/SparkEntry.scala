@@ -156,6 +156,8 @@ object SparkEntry {
     // table, codebook sidecar broadcast, probes = partition pruning
     "f10_knn_ivf_persisted" ->
       ((s, d) => Similarity.ivfIndexedTopK(s, d)),
+    "f11_knn_ivf_incremental" ->
+      ((s, d) => Similarity.ivfIndexIncrementalTopK(s, d)),
     "f4_knn_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "f5_embedding_quantize"  -> ((s, d) => Similarity.quantizeAudit(s, d)),
     "f8_knn_ivfadc"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
@@ -2648,6 +2650,9 @@ object SparkEntry {
     // shares this oracle verbatim.
     "f3_knn_ivf" -> ivfSqlOracle,
     "f10_knn_ivf_persisted" -> ivfSqlOracle,
+    // f11: fixed centroids make the incremental append bit-identical to
+    // a full rebuild, so the split never shows in the answer
+    "f11_knn_ivf_incremental" -> ivfSqlOracle,
     // g4: both fingerprint hashes are engine-portable by construction —
     // mod-p polynomial over the UTF-8 bytes (RollingHash doc) and a
     // 60-bit md5 slice winnow minimum.

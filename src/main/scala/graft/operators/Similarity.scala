@@ -153,6 +153,66 @@ object Similarity {
         col("rank"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** f11 — INCREMENTAL index update: new vectors join a live persisted
+    * IVF index WITHOUT a rebuild. The index is built over the corpus
+    * (vec_id < split) as in f10 — cells hive-partitioned, codebook
+    * sidecar; the batch is then assigned against the BROADCAST codebook
+    * alone and APPENDED into its cell partitions
+    * ([[graft.sources.GraftLog.appendPartitioned]] routes each vector's
+    * row into its `cent_id=<n>/` dir). Cost of the update is
+    * O(batch × nCent) — the corpus is never re-read, re-assigned, or
+    * re-shuffled, which is the property that lets a petabyte index
+    * absorb a daily crawl in minutes. Centroids stay FIXED (the
+    * standard IVF production posture; periodic re-train is a separate
+    * offline job), so index state after the append is BIT-IDENTICAL to
+    * a full rebuild over corpus+batch — the split is invisible in the
+    * answer, and f11 shares f3's oracle verbatim. The transactional
+    * append also means a query racing the update sees either the old
+    * or the new index, never a torn cell. */
+  def ivfIndexIncrementalTopK(spark: SparkSession, sfDir: String,
+      split: Long = 350, numQueries: Int = 10, k: Int = 5,
+      nCent: Int = 16, nprobe: Int = 4): DataFrame = {
+    import graft.sources.GraftLog
+    val dir = graft.sources.Staging.tempDir("graft_ivf_inc_")
+    val all = normed(spark, sfDir)
+    val corpus = all.filter(col("vec_id") < split)
+    // build over the corpus only (f10's shape)
+    val cents = seedCentroids(corpus, nCent)
+    GraftLog.overwritePartitioned(
+      nearestCents(corpus, cents, "vec_id", 1)
+        .select(col("cent_id"), col("vec_id"), col("v"), col("norm")),
+      s"$dir/cells", Seq("cent_id"))
+    GraftLog.overwrite(cents, s"$dir/centroids")
+    // incremental: batch assigned against the sidecar codebook only,
+    // appended into the cell partitions — one commit, no rebuild
+    val cb = broadcast(GraftLog.read(spark, s"$dir/centroids"))
+    GraftLog.appendPartitioned(
+      nearestCents(all.filter(col("vec_id") >= split), cb, "vec_id", 1)
+        .select(col("cent_id"), col("vec_id"), col("v"), col("norm")),
+      s"$dir/cells", Seq("cent_id"))
+    // query the updated index (f10's path)
+    val probes = nearestCents(
+      all.filter(col("vec_id") < numQueries), cb, "vec_id", nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .transform(graft.CacheScope.tracked)
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val cells = spark.read.format("graft").load(s"$dir/cells")
+      .filter(col("cent_id").isin(probedCells: _*))
+    val cand = cells.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Seed centroids = the first `nCent` corpus vectors — deterministic
     * and relational (shared by f3 and f4's iteration 0). */
   private[operators] def seedCentroids(corpus: DataFrame, nCent: Int): DataFrame =

@@ -224,6 +224,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.find(_._1 == 4).exists(_._2 > 0.5))
   }
 
+  test("incremental IVF update equals the full-build answer") {
+    val inc = Similarity.ivfIndexIncrementalTopK(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.ivfTopK(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // fixed centroids: append-after-build is bit-identical to rebuild
+    assert(inc == full)
+  }
+
   test("brute force broadcasts the query side (no corpus shuffle join)") {
     val plan = Similarity.bruteForceTopK(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
