@@ -553,9 +553,17 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
       // version).
       cdfBatchRelation(sqlContext, parameters)
     else {
-      val asOf = parameters.get("versionAsOf").map(_.toLong)
-      GraftFileIndex.relation(sqlContext.sparkSession, pathOf(parameters),
-        asOf)
+      val spark = sqlContext.sparkSession
+      val path = pathOf(parameters)
+      val asOfV = parameters.get("versionAsOf").map(_.toLong)
+      // Delta's timestampAsOf reader option: state AS OF the instant —
+      // latest commit at-or-before (the batch time-travel rule)
+      val asOfTs = parameters.get("timestampAsOf").map(ts =>
+        GraftLog.versionAt(spark, path,
+          java.sql.Timestamp.valueOf(ts).getTime))
+      require(asOfV.isEmpty || asOfTs.isEmpty,
+        "set versionAsOf OR timestampAsOf, not both")
+      GraftFileIndex.relation(spark, path, asOfV.orElse(asOfTs))
     }
 
   private def cdfBatchRelation(sqlContext: SQLContext,
@@ -568,12 +576,26 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
         "identity the diff classifies by")
     val all = GraftLog.versions(spark, table)
     require(all.nonEmpty, s"$table is not a graft table")
+    // timestamp bounds, Delta parity: the START bound is the
+    // changes-since rule (earliest commit at-or-after), the END bound
+    // is the as-of rule (latest commit at-or-before)
+    def ms(ts: String) = java.sql.Timestamp.valueOf(ts).getTime
+    val startTs = parameters.get("startingTimestamp").map(ts =>
+      GraftLog.versionAtOrAfter(spark, table, ms(ts)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no commit of $table at or after startingTimestamp $ts")))
+    val endTs = parameters.get("endingTimestamp")
+      .map(ts => GraftLog.versionAt(spark, table, ms(ts)))
+    require(parameters.get("startingVersion").isEmpty ||
+      startTs.isEmpty, "set startingVersion OR startingTimestamp")
+    require(parameters.get("endingVersion").isEmpty || endTs.isEmpty,
+      "set endingVersion OR endingTimestamp")
     val startV = parameters.get("startingVersion").map(_.toLong)
-      .getOrElse(all.head)
+      .orElse(startTs).getOrElse(all.head)
     val endV = parameters.get("endingVersion").map(_.toLong)
-      .getOrElse(all.last)
+      .orElse(endTs).getOrElse(all.last)
     require(startV <= endV,
-      s"startingVersion $startV > endingVersion $endV")
+      s"starting bound $startV > ending bound $endV")
     val pre = parameters.get("includePreimages").exists(_.toBoolean)
     val range = all.filter(v => v >= startV && v <= endV)
     require(range.nonEmpty,

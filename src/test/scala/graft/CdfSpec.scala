@@ -128,6 +128,33 @@ class CdfSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp reader options: timestampAsOf, CDF timestamp bounds") {
+    val r = root(); val t = s"$r/t"
+    GraftLog.overwrite(df(0 until 10, "a"), t)              // v0
+    Thread.sleep(5)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5)
+    GraftLog.append(df(10 until 15, "b"), t)                // v1
+    // batch read: state AS OF the instant = latest at-or-before = v0
+    val asOf = spark.read.format("graft")
+      .option("timestampAsOf", mid.toString).load(t)
+    assert(asOf.count() == 10)
+    intercept[Exception] {
+      spark.read.format("graft").option("timestampAsOf", mid.toString)
+        .option("versionAsOf", "1").load(t).collect()
+    }
+    // batch CDF: startingTimestamp = changes since = v1's inserts only
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("cdfKeys", "id")
+      .option("startingTimestamp", mid.toString).load(t)
+    assert(types(feed) == Map("insert" -> 5L))
+    // endingTimestamp = at-or-before = v0's window only
+    val head = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("cdfKeys", "id")
+      .option("endingTimestamp", mid.toString).load(t)
+    assert(types(head) == Map("insert" -> 10L))
+  }
+
   test("DV commit streams deletes; materializing compact diffs empty") {
     val r = root(); val t = s"$r/t"
     GraftLog.overwrite(df(0 until 30, "a"), t)              // v0
