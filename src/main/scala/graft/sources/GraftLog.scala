@@ -3329,29 +3329,7 @@ object GraftLog {
         protectedVs.flatMap(v => deletionVectors(spark, table, Some(v)))
     val f = fs(spark, table)
     val dataDir = new HPath(table, DataDirName)
-    if (f.exists(dataDir)) {
-      // recursive sweep so hive-partitioned staging dirs
-      // (_data/<uuid>/col=val/part-*.parquet) are handled: files are
-      // matched by FULL table-root-relative path, and a directory is
-      // deleted only once everything under it is gone — never a
-      // non-recursive delete of a dir still holding live files
-      def sweep(dir: HPath): Boolean = { // true = dir empty after sweep
-        var empty = true
-        f.listStatus(dir).foreach { st =>
-          if (st.isDirectory) {
-            if (sweep(st.getPath)) f.delete(st.getPath, false)
-            else empty = false
-          } else {
-            val rel = relPathOf(st.getPath.toUri.getPath)
-            if (rel.exists(r => !needed.contains(r)))
-              f.delete(st.getPath, false)
-            else empty = false
-          }
-        }
-        empty
-      }
-      sweep(dataDir) // the _data root itself stays
-    }
+    if (f.exists(dataDir)) sweepDataDir(spark, f, dataDir, needed)
     val dvDir = new HPath(table, DvDirName)
     if (f.exists(dvDir)) {
       // same sweep over the DV sidecars (their rel paths start _dv/)
@@ -3385,6 +3363,83 @@ object GraftLog {
       .filter(v => v < keep.head && !pinned.contains(v)).foreach { v =>
       f.delete(new HPath(logDir, ckptName(v)), false)
       f.delete(new HPath(logDir, ckptParquetName(v)), true)
+    }
+  }
+
+  /** Sweep `_data/` deleting every file whose table-root-relative path
+    * is not in `needed` — recursive so hive-partitioned staging dirs
+    * (`_data/<uuid>/col=val/part-*.parquet`) are handled, and a
+    * directory is deleted only once everything under it is gone.
+    *
+    * Below `spark.graft.vacuum.parallelism.threshold` (default 64)
+    * first-level staging dirs, the sweep is the plain driver
+    * recursion. ABOVE it, the staging dirs (one per write/commit — the
+    * natural unit of parallelism) fan out as a Spark job: each task
+    * lists and deletes its own subtree against the broadcast needed
+    * set with a task-local FileSystem, and the driver removes only the
+    * dirs reported empty. This is the Delta parallel-delete design
+    * point — at millions of files a driver-serialized sweep pays one
+    * namenode/object-store RPC per file on one thread, and vacuum
+    * (not the query path) becomes the table's slowest operation. */
+  private def sweepDataDir(spark: SparkSession, f: FileSystem,
+      dataDir: HPath, needed: Set[String]): Unit = {
+    def sweep(dir: HPath): Boolean = { // true = dir empty after sweep
+      var empty = true
+      f.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          if (sweep(st.getPath)) f.delete(st.getPath, false)
+          else empty = false
+        } else {
+          val rel = relPathOf(st.getPath.toUri.getPath)
+          if (rel.exists(r => !needed.contains(r)))
+            f.delete(st.getPath, false)
+          else empty = false
+        }
+      }
+      empty
+    }
+    val threshold = spark.conf
+      .getOption("spark.graft.vacuum.parallelism.threshold")
+      .map(_.toInt).getOrElse(64)
+    val children = f.listStatus(dataDir)
+    val (dirs, files) = children.partition(_.isDirectory)
+    // direct files under _data/ (staging always creates a dir; be safe)
+    files.foreach { st =>
+      val rel = relPathOf(st.getPath.toUri.getPath)
+      if (rel.exists(r => !needed.contains(r)))
+        f.delete(st.getPath, false)
+    }
+    if (dirs.length < threshold)
+      dirs.foreach(st => if (sweep(st.getPath)) f.delete(st.getPath, false))
+    else {
+      val bNeeded = spark.sparkContext.broadcast(needed)
+      val emptyAfter = spark.sparkContext
+        .parallelize(dirs.map(_.getPath.toString).toSeq,
+          math.min(dirs.length, 256))
+        .map { dirStr =>
+          val p = new HPath(dirStr)
+          val tfs = p.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          def go(d: HPath): Boolean = {
+            var empty = true
+            tfs.listStatus(d).foreach { st =>
+              if (st.isDirectory) {
+                if (go(st.getPath)) tfs.delete(st.getPath, false)
+                else empty = false
+              } else {
+                val rel = relPathOf(st.getPath.toUri.getPath)
+                if (rel.exists(r => !bNeeded.value.contains(r)))
+                  tfs.delete(st.getPath, false)
+                else empty = false
+              }
+            }
+            empty
+          }
+          (dirStr, go(p))
+        }.collect()
+      emptyAfter.foreach { case (d, isEmpty) =>
+        if (isEmpty) f.delete(new HPath(d), false)
+      }
     }
   }
 

@@ -285,6 +285,31 @@ class GraftLogSpec extends AnyFunSuite {
     assert(pruned.count() == 1)
   }
 
+  test("distributed vacuum sweep equals the driver sweep") {
+    val t = tmp()
+    // many staging dirs: one per append (the parallel unit)
+    (0 until 6).foreach(i => GraftLog.append(df(i*10 until i*10+10, "a"), t))
+    spark.conf.set("spark.graft.vacuum.parallelism.threshold", "1")
+    try {
+      GraftLog.vacuum(spark, t, retainVersions = 2)
+      // retained versions stay fully readable
+      assert(GraftLog.read(spark, t).count() == 60)
+      assert(GraftLog.readVersion(spark, t, 4L).count() == 50)
+      // truncated versions' files really are gone: only the retained
+      // snapshot's files survive under _data/
+      val live = GraftLog.snapshot(spark, t)._1.toSet
+      val f = new java.io.File(s"$t/_data")
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles).toSeq.flatten
+          .flatMap(c => if (c.isDirectory) walk(c) else Seq(c))
+      // local-FS .crc companions of live files survive with them
+      val onDisk = walk(f).filterNot(_.getName.startsWith("."))
+        .map(_.getPath.stripPrefix(s"$t/")).toSet
+      assert(onDisk == live)
+    } finally
+      spark.conf.unset("spark.graft.vacuum.parallelism.threshold")
+  }
+
   test("vacuum drops old versions but keeps the retained ones readable") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 10, "v0"), t)
