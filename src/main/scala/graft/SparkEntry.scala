@@ -169,6 +169,7 @@ object SparkEntry {
     // LLM-pipeline extensions: text analysis (SURVEY.md §7.6)
     "g1_token_stats"         -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "g2_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "g20_curation_pipeline"  -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
     "g3_lang_id"             -> ((s, d) => TextAnalysis.langId(s, d)),
     "g4_fingerprint"         -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "g5_corpus_stats"        -> ((s, d) => TextAnalysis.corpusStats(s, d)),
@@ -2713,6 +2714,60 @@ object SparkEntry {
         |        / CAST(n_tokens AS DOUBLE) - 5.0) / 10.0, 0.0), 6)
         |    AS quality_score
         |FROM c""".stripMargin,
+    // g20: the oracle replays the same three-gate chain — g3's argmax,
+    // g2's score formula, e1's first-occurrence dedup — over the
+    // corpus + its re-keyed duplicate slice, then reports per source
+    "g20_curation_pipeline" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, source, text FROM documents
+        |  WHERE doc_id % 9 = 0
+        |), c AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |      AS INTEGER) AS sum_len,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['the','a','and','of','to'], x))) AS INTEGER)
+        |      AS cnt_en,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['el','la','de','que','y'], x))) AS INTEGER)
+        |      AS cnt_es,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['der','die','und','das','ist'], x)))
+        |      AS INTEGER) AS cnt_de,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['le','la','et','les','des'], x))) AS INTEGER)
+        |      AS cnt_fr
+        |  FROM (SELECT doc_id, source, text,
+        |          string_split(lower(text), ' ') AS toks FROM docs)
+        |), gated AS (
+        |  SELECT doc_id, source, text, n_tokens,
+        |    round(0.5 * (CAST(cnt_en AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |      + 0.2 * greatest(1.0 - abs(CAST(sum_len AS DOUBLE)
+        |          / CAST(n_tokens AS DOUBLE) - 5.0) / 10.0, 0.0), 6)
+        |      AS quality_score
+        |  FROM c
+        |  WHERE (CASE
+        |      WHEN cnt_en >= cnt_es AND cnt_en >= cnt_de
+        |        AND cnt_en >= cnt_fr THEN 'en'
+        |      WHEN cnt_es >= cnt_de AND cnt_es >= cnt_fr THEN 'es'
+        |      WHEN cnt_de >= cnt_fr THEN 'de'
+        |      ELSE 'fr' END) = 'en'
+        |), winners AS (
+        |  SELECT sha256(text) AS h, min(doc_id) AS keep_id
+        |  FROM gated WHERE quality_score >= 0.4 GROUP BY 1
+        |)
+        |SELECT g.source, count(*) AS n_docs,
+        |  CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(CAST(g.quality_score AS DECIMAL(38,10)))
+        |    AS DOUBLE) / count(*), 6) AS avg_quality
+        |FROM gated g JOIN winners w
+        |  ON sha256(g.text) = w.h AND g.doc_id = w.keep_id
+        |WHERE g.quality_score >= 0.4
+        |GROUP BY 1""".stripMargin,
     "g3_lang_id" ->
       """WITH c AS (
         |  SELECT doc_id, declared_lang,

@@ -570,4 +570,71 @@ object TextAnalysis {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
   }
+
+  /** g20 — the CURATION PIPELINE composed end-to-end (the FineWeb /
+    * CCNet shape): lang-ID gate → quality gate → exact first-occurrence
+    * dedup → per-source report. Each stage is individually
+    * oracle-checked elsewhere (g3, g2/g6, e1, g5); this query pins
+    * their COMPOSITION — the per-source survivor counts and token
+    * totals after all three gates must match the oracle's replay of
+    * the same chain. The input is the corpus plus a re-keyed slice of
+    * itself (deterministic injected duplicates — this corpus is
+    * exact-dup-free, and a dedup stage that provably drops nothing
+    * would pin nothing). Dataflow: gates are one narrow codegen'd
+    * projection (zero exchanges, evaluated in the scan stage); dedup
+    * shuffles 32-byte digests of the SURVIVORS only — filter-before-
+    * dedup is itself the scale discipline (why pay a corpus-wide
+    * shuffle for rows the gates discard?); the report is a partial-
+    * combined aggregate over (source). */
+  def curationPipeline(spark: SparkSession, sfDir: String,
+      qThreshold: Double = 0.4): DataFrame = {
+    val base = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs = base.unionByName(base
+      .filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("source"),
+        col("text")))
+    val langs = Seq("en", "es", "de", "fr")
+    def cnt(l: String): Column =
+      size(filter(toks, t => markers(l).map(t === lit(_)).reduce(_ || _)))
+    val scored = docs.select(
+      Seq(col("doc_id"), col("source"), col("text"),
+        size(toks).as("n_tokens"),
+        aggregate(transform(toks, t => length(t)),
+          lit(0), (a, x) => a + x).as("sum_len")) ++
+        langs.map(l => cnt(l).as(s"cnt_$l")): _*)
+    val c = (l: String) => col(s"cnt_$l")
+    val predicted =
+      when(c("en") >= c("es") && c("en") >= c("de") && c("en") >= c("fr"),
+        "en")
+        .when(c("es") >= c("de") && c("es") >= c("fr"), "es")
+        .when(c("de") >= c("fr"), "de")
+        .otherwise("fr")
+    val quality = {
+      val stopR = c("en").cast("double") / col("n_tokens").cast("double")
+      val lenSat =
+        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0))
+      val avgLen = col("sum_len").cast("double") /
+        col("n_tokens").cast("double")
+      val lenShape = greatest(
+        lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0), lit(0.0))
+      round(lit(0.5) * stopR + lit(0.3) * lenSat + lit(0.2) * lenShape, 6)
+    }
+    val gated = scored
+      .withColumn("quality_score", quality)
+      .filter(predicted === "en" && col("quality_score") >= qThreshold)
+    // first-occurrence winner per content digest among the SURVIVORS
+    val winners = gated
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    gated.withColumn("h", sha2(col("text"), 256))
+      .join(winners, Seq("h"))
+      .filter(col("doc_id") === col("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(graft.functions.Deterministic.sumExact(
+          col("quality_score")).cast("double") / count(lit(1)), 6)
+          .as("avg_quality"))
+  }
 }
