@@ -2327,6 +2327,14 @@ object GraftLog {
     // after this read collides and routes through the caller's loop
     val vRead = latestVersion(spark, table)
     requireNoDvs(spark, table, "merge")
+    // identity allocation inside a MERGE would need per-clause
+    // bookkeeping (inserted rows allocate, updated rows keep) — loud
+    // beats a half-right id column; route inserts through append
+    require(!generatedColumns(spark, table).values
+        .exists(identityDef(_).isDefined),
+      s"MERGE into $table is not supported while it has a GENERATED " +
+        "ALWAYS AS IDENTITY column; append new rows instead (identity " +
+        "values are engine-allocated there)")
     val (files, schema0) = snapshot(spark, table)
     val partCols = layoutPartCols(files)
     val cmap = columnMapping(spark, table)
@@ -3578,21 +3586,35 @@ object GraftLog {
 
   /** One-row table detail — Delta's `DESCRIBE DETAIL`: format, current
     * version, live file count and total bytes (commit-logged sizes, no
-    * per-file RPCs), active DV count, partition columns, constraint
-    * count. Metadata-priced. */
+    * per-file RPCs), active DV count, partition columns, constraint /
+    * generated-column / identity-column / tag counts. Metadata-priced. */
   def detail(spark: SparkSession, table: String): DataFrame = {
     val (files, _) = snapshot(spark, table)
     val v = latestVersion(spark, table).getOrElse(-1L)
     val sizes = fileSizes(spark, table)
-    val rows = Seq((
+    val gens = generatedColumns(spark, table)
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val schema = StructType(Seq(
+      StructField("format", StringType), StructField("location", StringType),
+      StructField("version", LongType), StructField("num_files", LongType),
+      StructField("size_bytes", LongType),
+      StructField("num_deletion_vectors", LongType),
+      StructField("partition_columns", StringType),
+      StructField("num_constraints", LongType),
+      StructField("num_generated_columns", LongType),
+      StructField("num_identity_columns", LongType),
+      StructField("num_tags", LongType)))
+    val row = org.apache.spark.sql.Row(
       "graft", table, v, files.size.toLong,
       files.map(sizes.getOrElse(_, 0L)).sum,
       deletionVectors(spark, table).size.toLong,
       layoutPartCols(files).mkString(","),
-      checkConstraints(spark, table).size.toLong))
-    spark.createDataFrame(rows).toDF("format", "location", "version",
-      "num_files", "size_bytes", "num_deletion_vectors",
-      "partition_columns", "num_constraints")
+      checkConstraints(spark, table).size.toLong,
+      gens.count { case (_, ex) => identityDef(ex).isEmpty }.toLong,
+      gens.count { case (_, ex) => identityDef(ex).isDefined }.toLong,
+      tags(spark, table).size.toLong)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(row).asJava, schema)
   }
 
   /** Time-based retention — both table formats' wall-clock idiom

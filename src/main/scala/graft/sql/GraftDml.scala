@@ -600,7 +600,12 @@ case class GraftDetailCommand(target: String) extends LeafRunnableCommand {
         nullable = false)(),
       AttributeReference("partition_columns", StringType,
         nullable = false)(),
-      AttributeReference("num_constraints", LongType, nullable = false)())
+      AttributeReference("num_constraints", LongType, nullable = false)(),
+      AttributeReference("num_generated_columns", LongType,
+        nullable = false)(),
+      AttributeReference("num_identity_columns", LongType,
+        nullable = false)(),
+      AttributeReference("num_tags", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     GraftLog.detail(session, GraftTarget.pathOf(session, target))
       .collect().toSeq

@@ -283,6 +283,16 @@ class GraftLogSpec extends AnyFunSuite {
     val pruned = GraftLog.readPruned(spark, t, "row_id",
       1000.0 + 2 * 51, 1e9)
     assert(pruned.count() == 1)
+    // MERGE on an identity table is loudly unsupported (allocation
+    // inside clause routing would be half-right); DESCRIBE DETAIL
+    // reports the identity column
+    val em = intercept[IllegalArgumentException] {
+      GraftLog.merge(Seq((0L, "m")).toDF("id", "tag"), t, Seq("id"))
+    }
+    assert(em.getMessage.contains("IDENTITY"))
+    val det = GraftLog.detail(spark, t).collect().head
+    assert(det.getAs[Long]("num_identity_columns") == 1L)
+    assert(det.getAs[Long]("num_generated_columns") == 0L)
   }
 
   test("distributed vacuum sweep equals the driver sweep") {
