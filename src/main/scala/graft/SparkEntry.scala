@@ -91,6 +91,9 @@ object SparkEntry {
     // named refs (Iceberg tags): VERSION AS OF 'tag' + vacuum pinning
     "d14_graft_sql_tags" ->
       ((s, d) => Ddl.graftSqlTags(s, d)),
+    // log-carried TBLPROPERTIES + the delta.appendOnly enforcement
+    "d15_tblproperties" ->
+      ((s, d) => Ddl.graftSqlProperties(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -158,6 +161,10 @@ object SparkEntry {
       ((s, d) => Similarity.ivfIndexedTopK(s, d)),
     "f11_knn_ivf_incremental" ->
       ((s, d) => Similarity.ivfIndexIncrementalTopK(s, d)),
+    // filtered search: the metadata predicate (same label as the query)
+    // applied inside the probed cells, not post-hoc on the ranked answer
+    "f12_knn_filtered" ->
+      ((s, d) => Similarity.ivfFilteredTopK(s, d)),
     "f4_knn_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "f5_embedding_quantize"  -> ((s, d) => Similarity.quantizeAudit(s, d)),
     "f8_knn_ivfadc"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
@@ -1312,6 +1319,13 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer) AS latest_rows,
         |  2 AS n_versions
         |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
+    // d15: the appendOnly-blocked delete removed nothing; after UNSET
+    // the same predicate lands (v0 write, v1 set, v2 unset, v3 delete);
+    // one property ('team') survives the unset
+    "d15_tblproperties" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  1 AS n_props, 4 AS n_versions
+        |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin,
     // t15: restore rewinds the live set to v0 — the read is the seed
     "t15_graftlog_restore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -2654,6 +2668,49 @@ object SparkEntry {
     // f11: fixed centroids make the incremental append bit-identical to
     // a full rebuild, so the split never shows in the answer
     "f11_knn_ivf_incremental" -> ivfSqlOracle,
+    // f12: f3's IVF pipeline with the label predicate on the candidate
+    // stream — rank over exactly the matching set (pre-filter semantics)
+    "f12_knn_filtered" ->
+      """WITH n AS (
+        |  SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS norm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |        FROM embeddings)
+        |), cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+        |  FROM n WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT vec_id, cent_id, v, norm, label FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v, x.norm, x.label,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+        |          DESC, c.cent_id) AS crank
+        |    FROM n x CROSS JOIN cents c)
+        |  WHERE crank = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cent_id, v AS qv, norm AS qnorm,
+        |    label AS qlabel
+        |  FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v, x.norm, x.label,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+        |          DESC, c.cent_id) AS crank
+        |    FROM n x CROSS JOIN cents c
+        |    WHERE x.vec_id < 10)
+        |  WHERE crank <= 4
+        |), cand AS (
+        |  SELECT p.query_id, p.qlabel, a.vec_id,
+        |    list_dot_product(p.qv, a.v) / (p.qnorm * a.norm) AS cosine
+        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id != p.query_id AND a.label = p.qlabel
+        |)
+        |SELECT query_id, label, neighbor_id, rank,
+        |  round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT query_id, qlabel AS label, vec_id AS neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5""".stripMargin,
     // g4: both fingerprint hashes are engine-portable by construction —
     // mod-p polynomial over the UTF-8 bytes (RollingHash doc) and a
     // 60-bit md5 slice winnow minimum.

@@ -377,6 +377,55 @@ object Ddl {
       .withColumn("n_versions", lit(nVersions))
   }
 
+  private val stagedProps =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d15 — log-carried table properties (Delta's
+    * `metaData.configuration`): `ALTER TABLE … SET TBLPROPERTIES` marks
+    * the table append-only, a DELETE is refused loudly (the
+    * `delta.appendOnly` contract), UNSET re-allows it, and the delete
+    * then lands transactionally. `SHOW TBLPROPERTIES` reads the
+    * configuration back through SQL. Output: the surviving rows plus
+    * the property count after UNSET and the commit count — the oracle
+    * proves the blocked delete removed nothing and the allowed one
+    * removed exactly its match set.
+    *
+    * Scale: properties ride the commit the same way constraints do —
+    * one small-JSON read resolves them, no replay, no data scan; the
+    * appendOnly check adds one metadata read to each DML entry. */
+  def graftSqlProperties(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = stagedProps.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_props_") + "/customer"
+      val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      graft.sources.GraftLog.overwrite(cust, d)                // v0
+      graft.sources.GraftLog.setProperties(spark, d,
+        Map("graft.appendOnly" -> "true", "team" -> "curation")) // v1
+      // the blocked attempt: if the guard ever fails to fire, these
+      // rows vanish and the oracle's row set catches it
+      try {
+        graft.sources.GraftLog.delete(spark, d, col("c_custkey") % 10 === 0)
+        throw new IllegalStateException(
+          "appendOnly guard did not fire on DELETE")
+      } catch { case _: UnsupportedOperationException => () }
+      graft.sources.GraftLog.unsetProperties(spark, d,
+        Seq("graft.appendOnly"))                               // v2
+      graft.sources.GraftLog.delete(spark, d,
+        col("c_custkey") % 10 === 0)                           // v3
+      d
+    })
+    val t = s"graft_props_cust_${math.abs(sfDir.hashCode).toString.take(8)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    val nProps = spark.sql(s"SHOW TBLPROPERTIES $t").count()
+    val nVersions = graft.sources.GraftLog.versions(spark, dir).size
+    spark.table(t)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .withColumn("n_props", lit(nProps))
+      .withColumn("n_versions", lit(nVersions))
+  }
+
   private val stagedSqlTT =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -78,6 +78,54 @@ object Similarity {
     ivfSearch(corpus, cents, numQueries, k, nprobe)
   }
 
+  /** f12 — FILTERED ANN: top-k among corpus vectors satisfying a
+    * metadata predicate (here: sharing the query's `label` — the
+    * tenant/language/split constraint every production vector search
+    * carries). The predicate is applied to candidates INSIDE the probed
+    * cells (pre-filter), not to the ranked answer (post-filter): a
+    * post-filter over-fetches k·C candidates hoping enough survive and
+    * still under-fills when the predicate is selective, while the
+    * pre-filter ranks exactly the matching set — deterministic answer
+    * size, no recall cliff.
+    *
+    * Scale shape: identical dataflow to [[ivfTopK]] (broadcast
+    * centroids, one corpus scan, hash equi-join on cent_id) plus one
+    * codegen'd equality on the candidate stream; over the f10 persisted
+    * index the label filter additionally prunes row groups via parquet
+    * min/max stats inside each probed `cent_id=<n>/` partition — the
+    * two prunings compose multiplicatively. */
+  def ivfFilteredTopK(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nCent: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val corpus = Sources.testTable(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+      .transform(graft.CacheScope.tracked)
+    val cents = seedCentroids(corpus, nCent)
+    val assigned = nearestCents(corpus, cents, "vec_id", 1)
+      .select(col("vec_id"), col("cent_id"), col("v"), col("norm"),
+        col("label"))
+    val probes = nearestCents(
+      corpus.filter(col("vec_id") < numQueries), cents, "vec_id", nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("v").as("qv"), col("norm").as("qnorm"),
+        col("label").as("qlabel"))
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("qlabel"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   private val stagedIvfIndex =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -76,7 +76,8 @@ object GraftLog {
       colMap: Map[String, String] = Map.empty,
       checks: Map[String, String] = Map.empty,
       tags: Map[String, Long] = Map.empty,
-      generated: Map[String, String] = Map.empty)
+      generated: Map[String, String] = Map.empty,
+      props: Map[String, String] = Map.empty)
 
   /** Operations whose commits SET the column-mapping state explicitly
     * (an empty map from one of these means "mapping cleared/none");
@@ -98,6 +99,14 @@ object GraftLog {
     * never deletes); clone can't inherit anyway (its commit is v0, and
     * source tags would dangle — they name versions of another log). */
   private val TagsAuthoritative = Set("tag", "untag")
+
+  /** Same contract for table properties: "properties = latest commit's
+    * props" (Delta's `metaData.configuration`). Clone carries the
+    * source's configuration (Delta CLONE does); restore is NOT
+    * authoritative — RESTORE reverts DATA, table configuration is
+    * operational state that survives it. */
+  private val PropsAuthoritative =
+    Set("set_properties", "unset_properties", "clone")
 
   /** Operations that rewrite the physical layout without changing any
     * VISIBLE row — Delta marks their add/remove actions
@@ -207,10 +216,15 @@ object GraftLog {
       else ","+"\"generated\":" + c.generated.toSeq.sortBy(_._1).map {
         case (nm, ex) => "\"" + esc(nm) + "\":\"" + esc(ex) + "\""
       }.mkString("{", ",", "}")
+    val propsPart =
+      if (c.props.isEmpty) ""
+      else ","+"\"props\":" + c.props.toSeq.sortBy(_._1).map {
+        case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\""
+      }.mkString("{", ",", "}")
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
-      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$colMapPart$checksPart$tagsPart$generatedPart$txnsPart}"""
+      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$colMapPart$checksPart$tagsPart$generatedPart$propsPart$txnsPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -319,11 +333,21 @@ object GraftLog {
         }
         out.toMap
       }
+    val props =
+      if (!n.has("props")) Map.empty[String, String]
+      else {
+        val pn = n.get("props")
+        val out = scala.collection.mutable.Map.empty[String, String]
+        pn.fieldNames().forEachRemaining { k =>
+          out += k -> pn.get(k).asText()
+        }
+        out.toMap
+      }
     Commit(n.get("version").asLong(), n.get("operation").asText(),
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
       n.get("timestampMs").asLong(), txn, stats, txns, sizes,
       optArr("dvAdd"), optArr("dvRemove"), blooms, colMap, checks, tags,
-      generated)
+      generated, props)
   }
 
   // ------------------------------------------------------------- protocol
@@ -435,8 +459,11 @@ object GraftLog {
     // (Delta: generation expressions are set at creation only), so
     // every post-creation commit inherits — no authoritative op exists
     val inheritGen = c.generated.isEmpty && c.version > 0
+    val inheritProps = c.props.isEmpty && c.version > 0 &&
+      !PropsAuthoritative(c.operation)
     val withMeta =
-      if (!inheritMap && !inheritChecks && !inheritTags && !inheritGen) c
+      if (!inheritMap && !inheritChecks && !inheritTags && !inheritGen &&
+          !inheritProps) c
       else {
         val prev = previousCommit(spark, table, c.version)
         c.copy(
@@ -447,7 +474,9 @@ object GraftLog {
           tags = if (inheritTags) prev.map(_.tags)
             .getOrElse(c.tags) else c.tags,
           generated = if (inheritGen) prev.map(_.generated)
-            .getOrElse(c.generated) else c.generated)
+            .getOrElse(c.generated) else c.generated,
+          props = if (inheritProps) prev.map(_.props)
+            .getOrElse(c.props) else c.props)
       }
     if (!putIfAbsent(spark, table, logName(withMeta.version),
         toJson(withMeta)))
@@ -459,7 +488,14 @@ object GraftLog {
     // per snapshot resolution. Best-effort: a competing writer racing
     // the same checkpoint loses the put-if-absent harmlessly, and a
     // failure here must never fail the already-durable commit.
-    if (withMeta.version > 0 && withMeta.version % CheckpointInterval == 0)
+    // `graft.checkpointInterval` (Delta: `delta.checkpointInterval`)
+    // overrides the default cadence per table — a high-churn streaming
+    // table can checkpoint more often to bound replay, an archival one
+    // less often to cut metadata writes
+    val interval = withMeta.props.get("graft.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 0)
+      .getOrElse(CheckpointInterval)
+    if (withMeta.version > 0 && withMeta.version % interval == 0)
       try { checkpoint(spark, table, Some(withMeta.version)); () }
       catch { case scala.util.control.NonFatal(_) => () }
   }
@@ -523,12 +559,13 @@ object GraftLog {
       colMap: Option[Map[String, String]],
       checks: Option[Map[String, String]],
       timestampMs: Option[Long],
-      generated: Option[Map[String, String]])
+      generated: Option[Map[String, String]],
+      props: Option[Map[String, String]])
 
   private def writeCheckpointParquet(spark: SparkSession, table: String,
       c: Commit): Unit = {
     val none = CkptRow("", 0L, None, None, None, None, None, None,
-      None, None, None, None, None, None)
+      None, None, None, None, None, None, None)
     val adds = c.add.zipWithIndex.map { case (f, i) =>
       none.copy(kind = "add", ord = i.toLong, path = Some(f),
         size = c.sizes.get(f),
@@ -548,7 +585,8 @@ object GraftLog {
       schemaDdl = Some(c.schemaDdl),
       colMap = Some(c.colMap), checks = Some(c.checks),
       timestampMs = Some(c.timestampMs),
-      generated = Some(c.generated))
+      generated = Some(c.generated),
+      props = Some(c.props))
     // Part sizing: bounded rows per part file keeps each part's decode
     // (and a future selective read) executor-sized at any file count;
     // sandbox tables produce one part, a 100 TB table tens — the
@@ -581,11 +619,12 @@ object GraftLog {
     val raw = spark.read.parquet(dir.toString)
     // reader compat: checkpoints written before a meta field existed
     // lack its column — surface it as null rather than failing the scan
-    val df =
-      if (raw.columns.contains("generated")) raw
-      else raw.withColumn("generated",
+    val df = Seq("generated", "props").foldLeft(raw) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c,
         org.apache.spark.sql.functions.lit(null)
           .cast(MapType(StringType, StringType)))
+    }
     val rows = df
       .as(org.apache.spark.sql.Encoders.product[CkptRow]).collect()
     val meta = rows.find(_.kind == "meta").getOrElse(
@@ -607,7 +646,8 @@ object GraftLog {
       blooms = adds.flatMap(r => r.blooms.map(r.path.get -> _)).toMap,
       colMap = meta.colMap.getOrElse(Map.empty),
       checks = meta.checks.getOrElse(Map.empty),
-      generated = meta.generated.getOrElse(Map.empty)))
+      generated = meta.generated.getOrElse(Map.empty),
+      props = meta.props.getOrElse(Map.empty)))
   }
 
   /** Versions with a checkpoint file, ascending. */
@@ -689,7 +729,8 @@ object GraftLog {
       stats = live.toMap.filter(_._2.nonEmpty), txns = ledger,
       sizes = sizes.toMap, dvAdd = dvs.toSeq, blooms = blooms.toMap,
       colMap = cmap, checks = checkConstraints(spark, table, Some(v)),
-      generated = generatedColumns(spark, table, Some(v)))
+      generated = generatedColumns(spark, table, Some(v)),
+      props = properties(spark, table, Some(v)))
     // JSON first — it is the put-if-absent existence arbiter (and the
     // compat fallback); the columnar form is written only by the writer
     // that won the race, so exactly one parquet job runs per version
@@ -1085,6 +1126,7 @@ object GraftLog {
   def overwriteIndexed(df: DataFrame, table: String,
       bloomCols: Seq[String]): Long = {
     val spark = df.sparkSession
+    requireAppendable(spark, table, "overwrite")
     enforceChecks(df, checkConstraints(spark, table), "overwriteIndexed")
     val st = stageWithStats(df, table)
     val bl = collectBlooms(spark, table, st.files, df.schema, bloomCols)
@@ -1274,6 +1316,7 @@ object GraftLog {
   }
 
   def overwrite(df: DataFrame, table: String): Long = {
+    requireAppendable(df.sparkSession, table, "overwrite")
     // overwrite keeps table metadata (constraints, generated-column
     // definitions) — Delta semantics — so the replacement rows must
     // satisfy the current CHECK set and carry computed generated
@@ -1298,6 +1341,7 @@ object GraftLog {
   def overwriteTxn(df: DataFrame, table: String, appId: String,
       batchId: Long): Long = {
     val spark = df.sparkSession
+    requireAppendable(spark, table, "overwrite")
     enforceChecks(df, checkConstraints(spark, table), "overwriteTxn")
     var result: Option[Long] = None
     var attempts = 0
@@ -1371,6 +1415,7 @@ object GraftLog {
     * planner partition pruning on top of the min/max data skipping. */
   def overwritePartitioned(df: DataFrame, table: String,
       partCols: Seq[String]): Long = {
+    requireAppendable(df.sparkSession, table, "overwrite")
     val full = applyGenerated(df,
       generatedColumns(df.sparkSession, table), "overwritePartitioned")
     enforceChecks(full, checkConstraints(df.sparkSession, table),
@@ -1423,6 +1468,7 @@ object GraftLog {
     * where the partition column is a real, visible column). */
   def overwriteBucketTransform(df: DataFrame, table: String,
       srcCol: String, nBuckets: Int): Long = {
+    requireAppendable(df.sparkSession, table, "overwrite")
     require(nBuckets > 0, "nBuckets must be positive")
     require(df.columns.exists(_.equalsIgnoreCase(srcCol)),
       s"bucket column $srcCol not in ${df.columns.mkString(",")}")
@@ -1747,6 +1793,83 @@ object GraftLog {
         readCommit(spark, table, v).generated
       case None => readCommit(spark, table, all.last).generated
     }
+  }
+
+  /** Table properties in force at `asOf` (or latest): the analog of
+    * Delta's `metaData.configuration` map. Same invariant as
+    * [[checkConstraints]]: "properties = latest commit's props" — one
+    * small-JSON read, no replay. Properties the engine itself consults:
+    *
+    *   - `graft.appendOnly` = true|false — DELETE / UPDATE / MERGE /
+    *     overwrite / DV erasure fail loudly (Delta `delta.appendOnly`)
+    *   - `graft.checkpointInterval` = n — auto-checkpoint cadence
+    *     override (Delta `delta.checkpointInterval`)
+    *   - `graft.deletedFileRetentionHours` = h — default retention for
+    *     [[vacuumRetainHours]] callers that pass none (Delta
+    *     `delta.deletedFileRetentionDuration`)
+    *
+    * Everything else is opaque user metadata carried verbatim. */
+  def properties(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Map[String, String] = {
+    val all = versions(spark, table)
+    if (all.isEmpty) Map.empty
+    else asOf match {
+      case Some(v) =>
+        require(all.contains(v),
+          s"version $v of $table does not exist")
+        readCommit(spark, table, v).props
+      case None => readCommit(spark, table, all.last).props
+    }
+  }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES` — merge `kvs` over the current
+    * map in a metadata-only commit (no files touched). Keys are
+    * case-sensitive, matching Spark's TBLPROPERTIES semantics. */
+  def setProperties(spark: SparkSession, table: String,
+      kvs: Map[String, String]): Long =
+      rebaseOnConflict(table, "set_properties") { () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty, s"$table is not a graft table")
+    require(kvs.nonEmpty, "SET TBLPROPERTIES requires at least one key")
+    kvs.get("graft.checkpointInterval").foreach { s =>
+      require(scala.util.Try(s.toLong).toOption.exists(_ > 0),
+        s"graft.checkpointInterval must be a positive integer, got '$s'")
+    }
+    val v = vRead.get + 1
+    writeCommit(spark, table, Commit(v, "set_properties",
+      Seq.empty, Seq.empty, snapshot(spark, table)._2.toDDL,
+      System.currentTimeMillis(),
+      props = properties(spark, table) ++ kvs))
+    v
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — drop `keys` (missing keys
+    * are a no-op, matching Spark's IF EXISTS-less tolerance on v2). */
+  def unsetProperties(spark: SparkSession, table: String,
+      keys: Seq[String]): Long =
+      rebaseOnConflict(table, "unset_properties") { () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty, s"$table is not a graft table")
+    val v = vRead.get + 1
+    writeCommit(spark, table, Commit(v, "unset_properties",
+      Seq.empty, Seq.empty, snapshot(spark, table)._2.toDDL,
+      System.currentTimeMillis(),
+      props = properties(spark, table) -- keys))
+    v
+  }
+
+  /** Fail loudly when the table is marked append-only — called by every
+    * row-removing or row-rewriting entry point (Delta's
+    * `delta.appendOnly` contract: appends keep working, anything that
+    * can make data disappear does not). */
+  private def requireAppendable(spark: SparkSession, table: String,
+      op: String): Unit = {
+    if (properties(spark, table).get("graft.appendOnly")
+        .exists(_.equalsIgnoreCase("true")))
+      throw new UnsupportedOperationException(
+        s"$op on $table: table is append-only (graft.appendOnly=true); " +
+          "ALTER TABLE … UNSET TBLPROPERTIES ('graft.appendOnly') to " +
+          "allow destructive operations")
   }
 
   /** `GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT BY k)`
@@ -2278,11 +2401,13 @@ object GraftLog {
   def merge(source: DataFrame, table: String, keys: Seq[String],
       updateMatched: Boolean = true, insertUnmatched: Boolean = true,
       deleteUnmatchedBySource: Boolean = false,
-      mergeSchema: Boolean = false): Long =
+      mergeSchema: Boolean = false): Long = {
+    requireAppendable(source.sparkSession, table, "MERGE")
     rebaseOnConflict(table, "merge") { () =>
       mergeImpl(source, table, keys, txn = None, updateMatched,
         insertUnmatched, deleteUnmatchedBySource, mergeSchema)
     }
+  }
 
   /** Idempotent transactional MERGE for streaming upsert sinks — the
     * [[txnAppend]] ledger contract applied to [[merge]]: a re-delivered
@@ -2452,10 +2577,12 @@ object GraftLog {
     * NULL-predicate rows (e.g. `tag = 'x'` on a NULL tag) are KEPT, so
     * the kept-rows filter coalesces NULL to false before negating
     * (a bare `!predicate` filter would drop them). */
-  def delete(spark: SparkSession, table: String, predicate: Column): Long =
+  def delete(spark: SparkSession, table: String, predicate: Column): Long = {
+    requireAppendable(spark, table, "DELETE")
     rebaseOnConflict(table, "delete") { () =>
       deleteOnce(spark, table, predicate)
     }
+  }
 
   /** Probe for files holding rows matching `predicate`, THROUGH the
     * planner-integrated FileIndex: the pushed-down predicate prunes
@@ -2622,7 +2749,9 @@ object GraftLog {
     * 100 TB lake is exactly where a GDPR erasure runs); predicates may
     * reference partition columns, which additionally prune the scan. */
   def deleteVectors(spark: SparkSession, table: String,
-      predicate: Column): Long = rebaseOnConflict(table, "deleteVectors") {
+      predicate: Column): Long = {
+    requireAppendable(spark, table, "DELETE (deletion vectors)")
+    rebaseOnConflict(table, "deleteVectors") {
     () =>
     // (file, row_index) positions key on the snapshot's file set, so a
     // lost claim race re-harvests them from the fresh snapshot
@@ -2643,6 +2772,7 @@ object GraftLog {
       .write.parquet(s"$table/$rel")
     commitDvDir(spark, table, rel, schema, vRead)
   }
+  }
 
   /** [[deleteVectors]] with the match set given as a KEY FRAME instead
     * of a predicate — the streaming-erasure shape (each micro-batch of
@@ -2651,8 +2781,9 @@ object GraftLog {
     * downstream (sidecar, commit, read-time mask, compaction) is
     * identical. */
   def deleteVectorsMatching(spark: SparkSession, table: String,
-      keys: DataFrame, keyCols: Seq[String]): Long =
-      rebaseOnConflict(table, "deleteVectorsMatching") { () =>
+      keys: DataFrame, keyCols: Seq[String]): Long = {
+    requireAppendable(spark, table, "DELETE (deletion vectors)")
+    rebaseOnConflict(table, "deleteVectorsMatching") { () =>
     val vRead = latestVersion(spark, table)
     val (files, schema) = snapshot(spark, table)
     val cmap = columnMapping(spark, table)
@@ -2672,6 +2803,7 @@ object GraftLog {
       .select(col("file_rel"), col("row_idx"))
       .write.parquet(s"$table/$rel")
     commitDvDir(spark, table, rel, schema, vRead)
+  }
   }
 
   /** Shared DV-commit tail: list the staged sidecar files, commit them
@@ -2726,10 +2858,12 @@ object GraftLog {
     * flat and hive-partitioned layouts (an update that changes a
     * partition column moves the row's file). */
   def update(spark: SparkSession, table: String, condition: Column,
-      sets: Seq[(String, Column)]): Long =
+      sets: Seq[(String, Column)]): Long = {
+    requireAppendable(spark, table, "UPDATE")
     rebaseOnConflict(table, "update") { () =>
       updateOnce(spark, table, condition, sets)
     }
+  }
 
   private def updateOnce(spark: SparkSession, table: String,
       condition: Column, sets: Seq[(String, Column)]): Long = {
@@ -2986,8 +3120,10 @@ object GraftLog {
       colMap = cmap,
       checks = checkConstraints(spark, src, asOf),
       // a clone's commit is v0 — nothing to inherit from, so the
-      // source's generated-column definitions must ride explicitly
-      generated = generatedColumns(spark, src, asOf)))
+      // source's generated-column definitions and table configuration
+      // must ride explicitly (Delta CLONE copies both)
+      generated = generatedColumns(spark, src, asOf),
+      props = properties(spark, src, asOf)))
     0L
   }
 

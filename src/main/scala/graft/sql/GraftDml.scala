@@ -66,7 +66,7 @@ final class GraftSqlParser(
   private val ReorgStmt =
     """(?is)\s*REORG\s+TABLE\s+(\S+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val VacuumStmt =
-    """(?is)\s*VACUUM\s+(\S+?)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val DetailStmt =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+(\S+?)\s*;?\s*""".r
   private val FsckStmt =
@@ -93,6 +93,12 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val SetPropsStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val UnsetPropsStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\((.+)\)\s*;?\s*""".r
+  private val ShowPropsStmt =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\S+?)\s*;?\s*""".r
   private val SetNotNullStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
   private val DropNotNullStmt =
@@ -115,9 +121,14 @@ final class GraftSqlParser(
     // graft-owned targets are captured
     case ReorgStmt(target) if ownsTarget(target) =>
       GraftReorgCommand(target)
+    // RETAIN omitted → the table's `graft.deletedFileRetentionHours`
+    // property (default 168 = 7 days), Delta's
+    // delta.deletedFileRetentionDuration contract
     case VacuumStmt(target, n, unit, dry) if ownsTarget(target) =>
-      GraftVacuumCommand(target, n.toInt,
-        byHours = unit.equalsIgnoreCase("HOURS"), dryRun = dry != null)
+      GraftVacuumCommand(target,
+        Option(n).map(_.toInt).getOrElse(-1),
+        byHours = n == null || unit.equalsIgnoreCase("HOURS"),
+        dryRun = dry != null)
     case DetailStmt(target) if ownsTarget(target) =>
       GraftDetailCommand(target)
     case FsckStmt(target, dry) if ownsTarget(target) =>
@@ -160,6 +171,15 @@ final class GraftSqlParser(
       GraftDropConstraintCommand(target, s"nn_$c")
     case DropColumnStmt(target, colName) if isGraftTable(target) =>
       GraftDropColumnCommand(target, colName)
+    // table configuration (Delta's metaData.configuration analog) —
+    // standard Spark grammar, so only POSITIVELY graft targets are
+    // captured; everything else keeps the session catalog's semantics
+    case SetPropsStmt(target, kvs) if isGraftTable(target) =>
+      GraftSetPropertiesCommand(target, TblProps.parseKvs(kvs))
+    case UnsetPropsStmt(target, ks) if isGraftTable(target) =>
+      GraftUnsetPropertiesCommand(target, TblProps.parseKeys(ks))
+    case ShowPropsStmt(target) if isGraftTable(target) =>
+      GraftShowPropertiesCommand(target)
     // Delta ships the same syntax, so only a SOURCE that resolves to a
     // graft table (or a path literal) is captured
     case CloneStmt(dst, src, ver, ts) if ownsTarget(src) =>
@@ -564,6 +584,15 @@ case class GraftVacuumCommand(target: String, retain: Int,
     else Seq.empty
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
+    // RETAIN omitted (retain < 0) → the table's
+    // `graft.deletedFileRetentionHours` property, defaulting to 168
+    // hours (7 days) exactly like Delta's retention contract
+    val hours =
+      if (retain >= 0) retain.toDouble
+      else GraftLog.properties(session, path)
+        .get("graft.deletedFileRetentionHours")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        .getOrElse(168.0)
     if (dryRun) {
       // the HOURS form resolves its window to a version count first,
       // mirroring vacuumRetainHours' suffix-count derivation
@@ -571,14 +600,14 @@ case class GraftVacuumCommand(target: String, retain: Int,
         if (!byHours) retain
         else {
           val cutoff =
-            System.currentTimeMillis() - retain.toLong * 3600 * 1000
+            System.currentTimeMillis() - (hours * 3600 * 1000).toLong
           math.max(1, GraftLog.history(session, path).collect()
             .count(_.getTimestamp(4).getTime >= cutoff))
         }
       GraftLog.vacuumDryRun(session, path, keep).map(Row(_))
     } else {
       if (byHours)
-        GraftLog.vacuumRetainHours(session, path, retain.toDouble)
+        GraftLog.vacuumRetainHours(session, path, hours)
       else GraftLog.vacuum(session, path, retain)
       RefreshAfterDml(session, path, None)
       Seq.empty
@@ -609,6 +638,84 @@ case class GraftDetailCommand(target: String) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] =
     GraftLog.detail(session, GraftTarget.pathOf(session, target))
       .collect().toSeq
+}
+
+/** TBLPROPERTIES list parsing, shared by the SET/UNSET commands. The
+  * grammar matches Spark's: comma-separated entries, keys and values
+  * either single-quoted strings or bare dotted identifiers, `=`
+  * optional-whitespace separated. */
+private object TblProps {
+  private val Kv =
+    """\s*(?:'([^']*)'|([A-Za-z0-9_.][A-Za-z0-9_.-]*))\s*=\s*(?:'([^']*)'|([A-Za-z0-9_.][A-Za-z0-9_.-]*))\s*""".r
+  private val K =
+    """\s*(?:'([^']*)'|([A-Za-z0-9_.][A-Za-z0-9_.-]*))\s*""".r
+
+  /** Split on top-level commas (quoted values may contain commas). */
+  private def split(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur.append('\'')
+      case ',' if !inQuote => out += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.toSeq
+  }
+
+  def parseKvs(s: String): Map[String, String] =
+    split(s).map {
+      case Kv(kq, kb, vq, vb) =>
+        Option(kq).getOrElse(kb) -> Option(vq).getOrElse(vb)
+      case other => throw new IllegalArgumentException(
+        s"cannot parse TBLPROPERTIES entry '${other.trim}' " +
+          "(expected 'key' = 'value')")
+    }.toMap
+
+  def parseKeys(s: String): Seq[String] =
+    split(s).map {
+      case K(kq, kb) => Option(kq).getOrElse(kb)
+      case other => throw new IllegalArgumentException(
+        s"cannot parse TBLPROPERTIES key '${other.trim}'")
+    }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)` →
+  * [[GraftLog.setProperties]] — a metadata-only commit merging the
+  * given pairs over the current configuration. */
+case class GraftSetPropertiesCommand(target: String,
+    kvs: Map[String, String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.setProperties(session,
+      GraftTarget.pathOf(session, target), kvs)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', …)` →
+  * [[GraftLog.unsetProperties]]. Missing keys are tolerated either way
+  * (v2 semantics). */
+case class GraftUnsetPropertiesCommand(target: String,
+    keys: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.unsetProperties(session,
+      GraftTarget.pathOf(session, target), keys)
+    Seq.empty
+  }
+}
+
+/** `SHOW TBLPROPERTIES t` — key/value rows from the log-carried
+  * configuration, sorted by key for determinism. */
+case class GraftShowPropertiesCommand(target: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("key", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftLog.properties(session, GraftTarget.pathOf(session, target))
+      .toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
 }
 
 /** `FSCK REPAIR TABLE t [DRY RUN]` → [[GraftLog.fsck]] — audit (and on

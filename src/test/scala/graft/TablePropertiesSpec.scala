@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftLog
+
+/** Log-carried table properties (the Delta `metaData.configuration`
+  * analog): set/unset commits, inheritance across ordinary commits,
+  * checkpoint carriage, clone copy, the `graft.appendOnly` enforcement
+  * contract, the `graft.checkpointInterval` cadence override, and the
+  * SQL surface (ALTER TABLE SET/UNSET TBLPROPERTIES,
+  * SHOW TBLPROPERTIES, RETAIN-less VACUUM). */
+class TablePropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    graft.sources.Staging.tempDir("graft_props_spec_") + "/t"
+
+  private def df(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+
+  test("set/unset roundtrip; ordinary commits inherit") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "a"), t)
+    assert(GraftLog.properties(spark, t).isEmpty)
+    GraftLog.setProperties(spark, t,
+      Map("owner" -> "graft", "graft.checkpointInterval" -> "5"))
+    assert(GraftLog.properties(spark, t) ==
+      Map("owner" -> "graft", "graft.checkpointInterval" -> "5"))
+    // an ordinary append inherits the map unchanged
+    GraftLog.append(df(5 until 8, "b"), t)
+    assert(GraftLog.properties(spark, t)("owner") == "graft")
+    // merge semantics: a second SET overlays, leaving other keys
+    GraftLog.setProperties(spark, t, Map("owner" -> "etl"))
+    assert(GraftLog.properties(spark, t) ==
+      Map("owner" -> "etl", "graft.checkpointInterval" -> "5"))
+    GraftLog.unsetProperties(spark, t, Seq("graft.checkpointInterval",
+      "missing-key-is-tolerated"))
+    assert(GraftLog.properties(spark, t) == Map("owner" -> "etl"))
+    // historical versions keep the configuration in force at the time
+    assert(GraftLog.properties(spark, t, Some(0L)).isEmpty)
+  }
+
+  test("appendOnly blocks destructive ops, append keeps working") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a"), t)
+    GraftLog.setProperties(spark, t, Map("graft.appendOnly" -> "true"))
+    // appends are the one thing an append-only table is FOR
+    GraftLog.append(df(10 until 12, "b"), t)
+    assert(GraftLog.read(spark, t).count() == 12)
+    import org.apache.spark.sql.functions.{col, lit}
+    intercept[UnsupportedOperationException] {
+      GraftLog.delete(spark, t, col("id") < 2)
+    }
+    intercept[UnsupportedOperationException] {
+      GraftLog.update(spark, t, col("id") === 0, Seq("tag" -> lit("x")))
+    }
+    intercept[UnsupportedOperationException] {
+      GraftLog.merge(df(0 until 2, "m"), t, Seq("id"))
+    }
+    intercept[UnsupportedOperationException] {
+      GraftLog.overwrite(df(0 until 1, "o"), t)
+    }
+    intercept[UnsupportedOperationException] {
+      GraftLog.deleteVectors(spark, t, col("id") === 1)
+    }
+    // nothing was lost while blocked
+    assert(GraftLog.read(spark, t).count() == 12)
+    // unset re-allows
+    GraftLog.unsetProperties(spark, t, Seq("graft.appendOnly"))
+    GraftLog.delete(spark, t, col("id") < 2)
+    assert(GraftLog.read(spark, t).count() == 10)
+  }
+
+  test("graft.checkpointInterval overrides the auto-checkpoint cadence") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 2, "a"), t) // v0
+    GraftLog.setProperties(spark, t,
+      Map("graft.checkpointInterval" -> "3")) // v1
+    (0 until 5).foreach(i => GraftLog.append(df(i to i, "b"), t)) // v2..v6
+    val ckpts = GraftLog.checkpointVersions(spark, t)
+    assert(ckpts.contains(3L) && ckpts.contains(6L),
+      s"expected auto-checkpoints at 3 and 6, got $ckpts")
+  }
+
+  test("checkpoint carries props; clone copies them") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 4, "a"), t)
+    GraftLog.setProperties(spark, t, Map("pii" -> "scrubbed"))
+    GraftLog.checkpoint(spark, t)
+    // a truncating vacuum leaves replay anchored at the checkpoint —
+    // the configuration must survive it
+    GraftLog.append(df(4 until 6, "b"), t)
+    GraftLog.vacuum(spark, t, 1)
+    assert(GraftLog.properties(spark, t)("pii") == "scrubbed")
+    val dst = tmp()
+    GraftLog.cloneShallow(spark, t, dst)
+    assert(GraftLog.properties(spark, dst)("pii") == "scrubbed")
+  }
+
+  test("SQL surface: SET/UNSET/SHOW TBLPROPERTIES on a path target") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 3, "a"), t)
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES (" +
+      "'graft.appendOnly' = 'true', 'team' = 'data-eng')")
+    val shown = spark.sql(s"SHOW TBLPROPERTIES '$t'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown == Map("graft.appendOnly" -> "true",
+      "team" -> "data-eng"))
+    // the DML path hits the same guard (SQL DELETE targets catalog
+    // tables; the engine entry point is shared either way)
+    import org.apache.spark.sql.functions.col
+    val e = intercept[UnsupportedOperationException] {
+      GraftLog.delete(spark, t, col("id") === 0)
+    }
+    assert(e.getMessage.contains("append-only"))
+    spark.sql(
+      s"ALTER TABLE '$t' UNSET TBLPROPERTIES ('graft.appendOnly')")
+    GraftLog.delete(spark, t, col("id") === 0)
+    assert(GraftLog.read(spark, t).count() == 2)
+  }
+
+  test("RETAIN-less VACUUM uses graft.deletedFileRetentionHours") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 3, "a"), t)
+    GraftLog.overwrite(df(0 until 2, "b"), t)
+    // default 168h retention: both commits are recent → nothing swept
+    assert(spark.sql(s"VACUUM '$t' DRY RUN").collect().isEmpty)
+    // retention 0 hours → only the latest version's window is kept
+    GraftLog.setProperties(spark, t,
+      Map("graft.deletedFileRetentionHours" -> "0"))
+    spark.sql(s"VACUUM '$t'")
+    // v0's files are gone, latest still reads
+    assert(GraftLog.read(spark, t).count() == 2)
+    assert(GraftLog.versions(spark, t).size < 4)
+  }
+}
