@@ -304,6 +304,10 @@ object SparkEntry {
     // planner (nullCount/numRecords per file, Delta stats parity)
     "t33_null_skipping" ->
       ((s, d) => Transactions.nullSkippingRead(s, d)),
+    // stable row ids: log-carried bases, metadata-only backfill, DV
+    // stability, materialization through compact (enableRowTracking)
+    "t34_row_tracking" ->
+      ((s, d) => Transactions.rowTracking(s, d)),
     // OPTIMIZE WHERE: partition-scoped compaction — one partition's
     // files rewritten to one, everything else untouched
     "t32_optimize_where" ->
@@ -1155,6 +1159,20 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  'vip:' || c_name AS c_note
         |FROM customer WHERE c_custkey <= 100""".stripMargin,
+    // t34: id VALUES are engine-internal, so the oracle pins the
+    // cardinal invariants — distinct ids == survivors, all inside the
+    // backfill window [0, |customer|), every id compact-stable — plus
+    // the surviving row set (DV-deleted tenth hidden)
+    "t34_row_tracking" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 10 <> 0)
+        |    AS n_ids,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 10 <> 0)
+        |    AS n_in_range,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 10 <> 0)
+        |    AS n_stable,
+        |  5 AS n_versions
+        |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin,
     // t32: partition-scoped compaction is a pure layout change on one
     // partition — full rows, one BUILDING file, rest carried
     "t32_optimize_where" ->

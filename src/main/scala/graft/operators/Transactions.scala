@@ -332,6 +332,64 @@ object Transactions {
       .withColumn("n_files_rewritten", lit(rewritten))
   }
 
+  private val stagedRowTracking =
+    new scala.collection.concurrent.TrieMap[String, (String, Long)]
+
+  /** t34 — STABLE ROW IDS (the `delta.enableRowTracking` design): the
+    * table is created untracked, tracking is enabled by property, a
+    * metadata-only backfill assigns per-file bases (row_id = base +
+    * row_index — nothing row-sized is stored), a DV delete hides a
+    * tenth of the rows WITHOUT moving anyone's id, and compact
+    * materializes the surviving ids as a physical column through the
+    * rewrite. Pinned invariants (id VALUES are an engine-internal
+    * allocation, so the oracle checks cardinalities, not numbers):
+    * `n_ids` distinct ids == survivors, `n_in_range` all ids inside
+    * [0, |customer|) (the backfill allocation window — nothing leaked
+    * past the high water), `n_stable` == survivors (every id identical
+    * before and after the compact rewrite), plus the surviving row set
+    * itself.
+    *
+    * Scale: bases ride the per-file stats (`#rowbase`) — metadata, one
+    * log read; the id column exists physically ONLY in compacted files;
+    * the backfill is one commit with zero data movement. This is what
+    * makes row-level lineage (CDC joins, audit trails, feedback
+    * attribution) affordable on a 100 TB table: identity costs nothing
+    * per row until a rewrite must carry it. */
+  def rowTracking(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.GraftLog
+    val (dir, nStable) = stagedRowTracking.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_rowtrack_") + "/customer"
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwrite(cust, d)                                  // v0
+      GraftLog.setProperties(spark, d,
+        Map("graft.enableRowTracking" -> "true"))                  // v1
+      GraftLog.backfillRowIds(spark, d)                            // v2
+      GraftLog.deleteVectors(spark, d, col("c_custkey") % 10 === 0) // v3
+      val pre = GraftLog.readWithRowIds(spark, d)
+        .select(col("c_custkey").as("k"), col("_graft_row_id").as("pre_id"))
+      GraftLog.compact(spark, d)                                   // v4
+      val post = GraftLog.readWithRowIds(spark, d)
+        .select(col("c_custkey").as("k"), col("_graft_row_id").as("post_id"))
+      val stable = pre.join(post, "k")
+        .filter(col("pre_id") === col("post_id")).count()
+      (d, stable)
+    })
+    val total = Sources.testTable(spark, sfDir, "customer").count()
+    val withIds = GraftLog.readWithRowIds(spark, dir)
+      .transform(graft.CacheScope.tracked)
+    val nIds = withIds.select(countDistinct(col("_graft_row_id")))
+      .head.getLong(0)
+    val nInRange = withIds.filter(col("_graft_row_id") >= 0 &&
+      col("_graft_row_id") < total).count()
+    withIds
+      .select(customerCols.map(col): _*)
+      .withColumn("n_ids", lit(nIds))
+      .withColumn("n_in_range", lit(nInRange))
+      .withColumn("n_stable", lit(nStable))
+      .withColumn("n_versions",
+        lit(GraftLog.versions(spark, dir).size))
+  }
+
   /** t33 — NULL-COUNT data skipping (Delta's nullCount/numRecords
     * stats): a sparse enrichment column is populated only in the
     * low-key range of a range-clustered layout, and `IS NOT NULL`

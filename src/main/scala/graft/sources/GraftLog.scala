@@ -121,7 +121,8 @@ object GraftLog {
     * consumer to either crash or set `ignoreChanges` and re-ingest the
     * whole rewritten data — Delta's actual contract is that maintenance
     * and ingestion are independent. */
-  private[sources] val RewriteOnlyOps = Set("compact", "cluster", "reorg")
+  private[sources] val RewriteOnlyOps =
+    Set("compact", "cluster", "reorg", "rowid_backfill")
 
   private[sources] val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
@@ -1858,6 +1859,166 @@ object GraftLog {
     v
   }
 
+  // ------------------------------------------------------- row tracking
+  // The Delta row-tracking design (`delta.enableRowTracking`): every row
+  // gets a STABLE 64-bit id. Fresh files carry a per-file BASE in the
+  // log (row_id = base + row_index — nothing row-sized is ever stored);
+  // rewrites that must preserve ids (compact/OPTIMIZE) MATERIALIZE the
+  // id as a physical column in the rewritten files, and readers coalesce
+  // (materialized, base + row_index). The high-water mark is log-carried
+  // in the properties map (like the identity high water: monotone, never
+  // reused even after deletes/vacuum of the highest-id files).
+  //
+  // The base rides the existing per-file stats map under a `#rowbase`
+  // pseudo key -> (base, numRecords) — the same zero-format-change trick
+  // as `#nulls`, so checkpoints, clones, and restores carry it for free.
+  //
+  // Preservation contract (matching Delta-without-the-preservation
+  // feature): appends/overwrites allocate, DV deletes preserve
+  // trivially (positions untouched), compact preserves by
+  // materialization; file-REWRITING DML (update/merge/delete) assigns
+  // fresh ids to rewritten files — on a tracked table, prefer
+  // deleteVectors for deletes.
+
+  private[sources] val RowBaseKey = "#rowbase"
+  private[sources] val RowIdCol = "_graft_row_id"
+  private val RowHwKey = "graft.rowTracking.highWaterMark"
+
+  private def rowTrackingEnabled(spark: SparkSession,
+      table: String): Boolean =
+    properties(spark, table).get("graft.enableRowTracking")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** numRecords of a staged file, read from its `#nulls` pseudo stats
+    * (every column carries one; any is authoritative). */
+  private def numRecordsOf(st: Map[String, (Double, Double)]): Long =
+    st.collectFirst {
+      case (k, (_, n)) if k.endsWith(NullStatsSuffix) => n.toLong
+    }.getOrElse(0L)
+
+  /** Allocate contiguous base row ids for freshly staged files when the
+    * table tracks rows: returns (stats + `#rowbase` entries, props with
+    * the advanced high water) — or (stats, empty) when tracking is off,
+    * which writeCommit treats as plain inheritance. Called INSIDE the
+    * commit claim loops so a lost race re-reads the fresh high water. */
+  private def allocRowIds(spark: SparkSession, table: String, s: Staged)
+      : (Map[String, Map[String, (Double, Double)]],
+         Map[String, String]) = {
+    val cur =
+      if (versions(spark, table).isEmpty) Map.empty[String, String]
+      else properties(spark, table)
+    if (!cur.get("graft.enableRowTracking")
+        .exists(_.equalsIgnoreCase("true")))
+      return (s.stats, Map.empty)
+    var hw = cur.get(RowHwKey).map(_.toLong).getOrElse(0L)
+    val augmented = s.files.map { f =>
+      val st = s.stats.getOrElse(f, Map.empty[String, (Double, Double)])
+      val n = numRecordsOf(st)
+      val e = f -> (st + (RowBaseKey -> ((hw.toDouble, n.toDouble))))
+      hw += n
+      e
+    }.toMap
+    (s.stats ++ augmented, cur + (RowHwKey -> hw.toString))
+  }
+
+  /** Assign bases to live files that have none — the backfill Delta
+    * runs when `enableRowTracking` is turned on over existing data. A
+    * METADATA-ONLY commit: the files are re-added with their full stats
+    * plus `#rowbase`; no data moves. The op is rewrite-only (streams and
+    * CDF pass over it — no visible row changes). Files that already
+    * materialize the id column (post-compact) are skipped: their ids
+    * live in the data. Returns the commit version, or -1 when nothing
+    * needed backfilling. */
+  def backfillRowIds(spark: SparkSession, table: String): Long =
+      rebaseOnConflict(table, "rowid_backfill") { () =>
+    require(rowTrackingEnabled(spark, table),
+      s"$table does not track rows (set graft.enableRowTracking=true)")
+    val vRead = latestVersion(spark, table)
+    val (live, schema, _, _, _, _) = replay(spark, table, None)
+    val missing = live.toSeq.collect {
+      case (f, st) if !st.contains(RowBaseKey) &&
+          !st.get(RowIdCol + NullStatsSuffix).exists(_._1 == 0.0) => f
+    }.sorted
+    if (missing.isEmpty) return -1L
+    // per-file row counts: from the #nulls stats when the file has
+    // them, else one grouped footer-cheap pass over the stragglers
+    val counts: Map[String, Long] = {
+      val fromStats = missing.flatMap(f =>
+        live.get(f).map(st => f -> numRecordsOf(st)))
+        .filter(_._2 > 0).toMap
+      val unknown = missing.filterNot(fromStats.contains)
+      val probed =
+        if (unknown.isEmpty) Map.empty[String, Long]
+        else spark.read.schema(schema)
+          .parquet(unknown.map(f => absPath(table, f)): _*)
+          .withColumn("__gf_file", input_file_name())
+          .groupBy(col("__gf_file")).agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (relOf(table, r.getString(0)), r.getLong(1))).toMap
+      fromStats ++ probed
+    }
+    val props0 = properties(spark, table)
+    var hw = props0.get(RowHwKey).map(_.toLong).getOrElse(0L)
+    val stats2 = missing.map { f =>
+      val st = live.getOrElse(f, Map.empty[String, (Double, Double)])
+      val n = counts.getOrElse(f, 0L)
+      val e = f -> (st + (RowBaseKey -> ((hw.toDouble, n.toDouble))))
+      hw += n
+      e
+    }.toMap
+    val v = vRead.get + 1
+    writeCommit(spark, table, Commit(v, "rowid_backfill", missing,
+      Seq.empty, schema.toDDL, System.currentTimeMillis(),
+      stats = stats2, props = props0 + (RowHwKey -> hw.toString)))
+    v
+  }
+
+  /** Table-root-relative form of an absolute scanned path. */
+  private def relOf(table: String, abs: String): String = {
+    val m = "^.*/(_data/.+)$".r
+    abs match { case m(rel) => rel; case _ => abs }
+  }
+
+  /** Read with the stable row id exposed as `_graft_row_id`: per file,
+    * the materialized column wins (post-compact files), else base +
+    * `_metadata.row_index` (base-carrying files), else NULL (not yet
+    * backfilled). Active DV masks apply (positions key the same
+    * row_index). Flat layouts (the base join keys on the data-file
+    * path; hive dirs would need partition reconstruction first). */
+  def readWithRowIds(spark: SparkSession, table: String): DataFrame = {
+    require(rowTrackingEnabled(spark, table),
+      s"$table does not track rows (set graft.enableRowTracking=true)")
+    val (files, schema) = snapshot(spark, table)
+    requireUnpartitioned(files, "readWithRowIds")
+    val stats = fileStats(spark, table)
+    val cmap = columnMapping(spark, table)
+    val dvs = deletionVectors(spark, table)
+    val extSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(RowIdCol,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val bases = files.flatMap(f => stats.get(f).flatMap(_.get(RowBaseKey))
+      .map { case (b, _) => (f, b.toLong) })
+    import spark.implicits._
+    val baseDf = bases.toDF("__gf_rel", "__gf_base")
+    val scan = spark.read.schema(extSchema)
+      .parquet(files.map(f => absPath(table, f)): _*)
+      .withColumn("__gf_rel", relPathCol(col("_metadata.file_path")))
+      .withColumn("__gf_row", col("_metadata.row_index"))
+    val withId = scan.join(broadcast(baseDf), Seq("__gf_rel"), "left")
+      .withColumn(RowIdCol,
+        coalesce(col(RowIdCol), col("__gf_base") + col("__gf_row")))
+    val masked =
+      if (dvs.isEmpty) withId
+      else {
+        val dv = spark.read.parquet(dvs.map(f => absPath(table, f)): _*)
+        withId.join(dv, withId("__gf_rel") === dv("file_rel") &&
+          withId("__gf_row") === dv("row_idx"), "left_anti")
+      }
+    toLogicalDf(masked, schema, cmap, keep = Seq(RowIdCol))
+      .select(logicalSchema(schema, cmap).fieldNames.map(col).toSeq :+
+        col(RowIdCol): _*)
+  }
+
   /** Fail loudly when the table is marked append-only — called by every
     * row-removing or row-rewriting entry point (Delta's
     * `delta.appendOnly` contract: appends keep working, anything that
@@ -2309,9 +2470,12 @@ object GraftLog {
         seen = latest
       }
       try {
+        // row tracking: allocate bases inside the claim loop so a lost
+        // race re-reads the advanced high water before retrying
+        val (st2, pr2) = allocRowIds(spark, table, s)
         writeCommit(spark, table, Commit(v, commitOp, s.files, Seq.empty,
-          ddl, System.currentTimeMillis(), txn, stats = s.stats,
-          sizes = s.sizes, generated = generated))
+          ddl, System.currentTimeMillis(), txn, stats = st2,
+          sizes = s.sizes, generated = generated, props = pr2))
         return v
       } catch {
         case _: CommitConflictException =>
@@ -2345,9 +2509,11 @@ object GraftLog {
         else snapshot(spark, table)._1
       val v = vRead.map(_ + 1).getOrElse(0L)
       try {
+        val (st2, pr2) = allocRowIds(spark, table, s)
         writeCommit(spark, table, Commit(v, "overwrite", s.files, prior,
-          ddl, System.currentTimeMillis(), stats = s.stats,
-          sizes = s.sizes, blooms = blooms, generated = generated))
+          ddl, System.currentTimeMillis(), stats = st2,
+          sizes = s.sizes, blooms = blooms, generated = generated,
+          props = pr2))
         return v
       } catch {
         case _: CommitConflictException =>
@@ -2938,12 +3104,19 @@ object GraftLog {
         // flat: concatenating pass; with DVs active, the rewrite reads
         // through the position mask (materialization — the OPTIMIZE
         // step of the Delta DV lifecycle) and drops the vectors in the
-        // same commit
-        val current = toLogicalDf(
-          if (dvs.nonEmpty) readWithDvs(spark, table, files, schema, dvs)
-          else spark.read.schema(schema)
-            .parquet(files.map(f => absPath(table, f)): _*),
-          schema, cmap)
+        // same commit. On a row-tracked table the rewrite MATERIALIZES
+        // each row's stable id as a physical `_graft_row_id` column
+        // (Delta's OPTIMIZE-preserves-row-ids contract): the compacted
+        // files carry their ids in the data, so the base-per-file
+        // mapping the rewrite invalidates is no longer needed
+        val current =
+          if (rowTrackingEnabled(spark, table))
+            readWithRowIds(spark, table)
+          else toLogicalDf(
+            if (dvs.nonEmpty) readWithDvs(spark, table, files, schema, dvs)
+            else spark.read.schema(schema)
+              .parquet(files.map(f => absPath(table, f)): _*),
+            schema, cmap)
         stageWithStats(current.coalesce(targetFiles), table)
       } else {
         // per-partition compaction: hash-repartition by the partition

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.sources.GraftLog
+
+/** Stable row ids (the `delta.enableRowTracking` design): per-file
+  * bases in the log for fresh files, metadata-only backfill for
+  * pre-tracking files, materialization through compact, DV-delete
+  * stability, and monotone never-reused id allocation. */
+class RowTrackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    graft.sources.Staging.tempDir("graft_rowid_spec_") + "/t"
+
+  private def df(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+
+  private def idsOf(t: String): Map[Long, Long] =
+    GraftLog.readWithRowIds(spark, t)
+      .select(col("id"), col("_graft_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("appends allocate disjoint contiguous bases; ids are unique") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 4, "a"), t)
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableRowTracking" -> "true"))
+    GraftLog.backfillRowIds(spark, t)
+    GraftLog.append(df(4 until 9, "b"), t)
+    GraftLog.append(df(9 until 12, "c"), t)
+    val ids = idsOf(t)
+    assert(ids.size == 12)
+    assert(ids.values.toSeq.distinct.size == 12, "row ids must be unique")
+    assert(ids.values.min == 0 && ids.values.max == 11,
+      s"expected a contiguous 0..11 allocation, got ${ids.values.toSeq.sorted}")
+  }
+
+  test("backfill is metadata-only and streams/CDF-invisible") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 6, "a"), t)           // v0, pre-tracking
+    val filesBefore = GraftLog.snapshot(spark, t)._1.toSet
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableRowTracking" -> "true"))         // v1
+    val v = GraftLog.backfillRowIds(spark, t)           // v2
+    assert(v == 2L)
+    // no data moved: the live file set is unchanged
+    assert(GraftLog.snapshot(spark, t)._1.toSet == filesBefore)
+    // idempotent: a second backfill finds nothing
+    assert(GraftLog.backfillRowIds(spark, t) == -1L)
+    // every row now has an id
+    assert(idsOf(t).size == 6)
+    // CDF across the backfill version reports no row changes
+    assert(GraftLog.changesAt(spark, t, Seq("id"), v).count() == 0)
+  }
+
+  test("compact materializes ids; they survive the rewrite") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "a"), t)
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableRowTracking" -> "true"))
+    GraftLog.backfillRowIds(spark, t)
+    GraftLog.append(df(5 until 8, "b"), t)
+    val before = idsOf(t)
+    GraftLog.compact(spark, t)
+    val after = idsOf(t)
+    assert(after == before,
+      s"compact must preserve row ids: before=$before after=$after")
+  }
+
+  test("DV delete keeps survivors' ids; freed ids are never reused") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 6, "a"), t)
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableRowTracking" -> "true"))
+    GraftLog.backfillRowIds(spark, t)
+    val before = idsOf(t)
+    GraftLog.deleteVectors(spark, t, col("id") >= 4)
+    val after = idsOf(t)
+    assert(after == before.filter(_._1 < 4),
+      "DV delete must not move surviving rows' ids")
+    // new rows allocate ABOVE the deleted ids (high water is monotone)
+    GraftLog.append(df(6 until 8, "b"), t)
+    val fresh = idsOf(t) -- after.keys
+    val deletedIds = before.filter(_._1 >= 4).values.toSet
+    assert(fresh.values.forall(id => !deletedIds.contains(id)),
+      s"freed ids $deletedIds must never be reissued, got $fresh")
+  }
+
+  test("untracked tables are unaffected; reader demands tracking") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 3, "a"), t)
+    intercept[IllegalArgumentException] {
+      GraftLog.readWithRowIds(spark, t)
+    }
+    // normal reads never see the machinery
+    assert(!GraftLog.read(spark, t).columns.contains("_graft_row_id"))
+  }
+}
