@@ -252,6 +252,9 @@ object SparkEntry {
       ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "g16_sequence_pack" ->
       ((s, d) => TextAnalysis.sequencePack(s, d)),
+    // sliding token windows with overlap (RAG-index / packed-shard prep)
+    "g21_chunk_overlap" ->
+      ((s, d) => TextAnalysis.chunkOverlap(s, d)),
     // single-pass exact column profiler (null/distinct/range/length stats)
     "g17_column_profile" ->
       ((s, d) => Profile.customerProfile(s, d)),
@@ -2269,6 +2272,23 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN bucket < target_permille THEN 1 ELSE 0
         |    END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS kept_frac
         |FROM d GROUP BY 1, 2, 3""".stripMargin,
+    // g21: the start grid 0, 48, 96, … < max(n-16, 1) and 64-token
+    // slices reproduce exactly in DuckDB (same split, same slicing)
+    "g21_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |    len(string_split(lower(text), ' ')) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(start // 48 AS INTEGER) AS chunk_idx,
+        |  CAST(start AS INTEGER) AS start,
+        |  CAST(len(list_slice(toks, start + 1, start + 64)) AS INTEGER)
+        |    AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+        |    AS chunk_text
+        |FROM d, unnest(range(0, greatest(n - 16, 1), 48)) AS t(start)
+        |WHERE n >= 1""".stripMargin,
     "g16_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

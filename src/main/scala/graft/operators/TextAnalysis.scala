@@ -539,6 +539,39 @@ object TextAnalysis {
         col("n_kept").cast("double") / col("n_docs").cast("double"), 6))
   }
 
+  /** g21 — sliding-window CHUNKING with overlap: each document becomes
+    * ceil((n - overlap) / stride) token windows of `window` tokens with
+    * `overlap` tokens shared between neighbors — the RAG-indexing /
+    * long-context-training preprocessing step (every embedding-index
+    * build and packed-pretraining shard runs exactly this shape).
+    * Window starts are the arithmetic grid 0, stride, 2·stride … <
+    * max(n - overlap, 1), so a short document yields one whole-doc
+    * chunk and the final window keeps at least `overlap` fresh tokens.
+    *
+    * Scale shape: one codegen'd projection — split, a `sequence` array
+    * of starts, posexplode, `slice` — zero joins, zero shuffles, zero
+    * UDFs; output size is corpus size × (1 + overlap/stride) and each
+    * task chunks only its own partition's documents. */
+  def chunkOverlap(spark: SparkSession, sfDir: String,
+      window: Int = 64, overlap: Int = 16): DataFrame = {
+    val stride = window - overlap
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0),
+          greatest(col("n") - overlap, lit(1)) - 1, lit(stride))))
+      .withColumnRenamed("col", "start")
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        col("start"),
+        size(slice(col("toks"), col("start") + 1, lit(window)))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   /** g16 — sequence packing: concatenate documents in a deterministic
     * order until a token budget fills, then start the next sequence (the
     * standard concat-and-wrap packing every pre-training loader runs;

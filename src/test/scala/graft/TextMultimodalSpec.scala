@@ -168,6 +168,35 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(dense.count() == 0)
   }
 
+  test("chunk overlap: coverage, bounds, overlap, and shuffle-free plan") {
+    val r = TextAnalysis.chunkOverlap(spark, TestSpark.sf)
+      .cache()
+    // every document with >=1 token appears, chunk 0 starts at 0
+    val docs = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "documents").count()
+    assert(r.filter(col("chunk_idx") === 0 && col("start") === 0)
+      .count() == docs)
+    // no chunk exceeds the window; only the final chunk may be short
+    assert(r.filter(col("n_chunk_tokens") > 64).count() == 0)
+    import org.apache.spark.sql.expressions.{Window => W}
+    val notLast = r.withColumn("last",
+      col("chunk_idx") === max(col("chunk_idx"))
+        .over(W.partitionBy(col("doc_id"))))
+      .filter(!col("last"))
+    assert(notLast.filter(col("n_chunk_tokens") =!= 64).count() == 0)
+    // neighbors share exactly the 16-token overlap: next start = +48
+    val gaps = r.groupBy(col("doc_id")).agg(
+      countDistinct(col("start")).as("n"),
+      max(col("start")).as("mx"))
+    assert(gaps.filter(col("mx") =!= (col("n") - 1) * 48).count() == 0)
+    // one projection: no exchange anywhere in the plan
+    val plan = TextAnalysis.chunkOverlap(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    r.unpersist()
+    ()
+  }
+
   test("media features: every format really decoded, shuffle-free") {
     val f = Multimodal.extractFeatures(spark, TestSpark.sf)
     assert(f.count() == 500)
