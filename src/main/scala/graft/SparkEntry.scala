@@ -311,6 +311,10 @@ object SparkEntry {
     // stability, materialization through compact (enableRowTracking)
     "t34_row_tracking" ->
       ((s, d) => Transactions.rowTracking(s, d)),
+    // table-features protocol: introducing commits declare reader/
+    // writer features; unknown declarations refuse the table loudly
+    "t35_protocol_features" ->
+      ((s, d) => Transactions.protocolFeaturesRead(s, d)),
     // OPTIMIZE WHERE: partition-scoped compaction — one partition's
     // files rewritten to one, everything else untouched
     "t32_optimize_where" ->
@@ -1162,6 +1166,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  'vip:' || c_name AS c_note
         |FROM customer WHERE c_custkey <= 100""".stripMargin,
+    // t35: the gate never blocks supported declarations (full surviving
+    // row set reads through), and the declared lists are pinned
+    "t35_protocol_features" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  'deletionVectors' AS reader_features,
+        |  'checkConstraints' AS writer_features,
+        |  3 AS n_versions
+        |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin,
     // t34: id VALUES are engine-internal, so the oracle pins the
     // cardinal invariants — distinct ids == survivors, all inside the
     // backfill window [0, |customer|), every id compact-stable — plus

@@ -332,6 +332,45 @@ object Transactions {
       .withColumn("n_files_rewritten", lit(rewritten))
   }
 
+  private val stagedProtocol =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t35 — the TABLE-FEATURES protocol (Delta reader/writer features):
+    * the first deletion-vector commit declares `deletionVectors` as a
+    * reader feature (an engine that would ignore the masks must refuse
+    * the table, not resurrect erased rows), ADD CONSTRAINT declares
+    * `checkConstraints` as a writer feature (an unaware writer would
+    * commit unchecked rows). The query reads the table THROUGH the
+    * gate — its rows prove a supported declaration never blocks — and
+    * pins the declared feature lists as columns. The refusal paths
+    * (unknown feature → loud read/write failure) are spec-pinned
+    * (ProtocolFeaturesSpec simulates a future engine's commit by hand).
+    *
+    * Scale: declarations ride the properties map — one small-JSON read
+    * per gate check, no data touched; the introducing commit declares
+    * atomically with first use, so no window exists where an old
+    * engine could corrupt the table. */
+  def protocolFeaturesRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.GraftLog
+    val dir = stagedProtocol.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_proto_") + "/customer"
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwrite(cust, d)                                   // v0
+      GraftLog.deleteVectors(spark, d, col("c_custkey") % 10 === 0) // v1
+      GraftLog.addConstraint(spark, d, "key_pos", "c_custkey > 0")  // v2
+      d
+    })
+    val props = GraftLog.properties(spark, dir)
+    GraftLog.read(spark, dir)
+      .select(customerCols.map(col): _*)
+      .withColumn("reader_features",
+        lit(props.getOrElse("graft.protocol.readerFeatures", "")))
+      .withColumn("writer_features",
+        lit(props.getOrElse("graft.protocol.writerFeatures", "")))
+      .withColumn("n_versions",
+        lit(GraftLog.versions(spark, dir).size))
+  }
+
   private val stagedRowTracking =
     new scala.collection.concurrent.TrieMap[String, (String, Long)]
 

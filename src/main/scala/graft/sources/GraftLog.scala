@@ -479,6 +479,7 @@ object GraftLog {
           props = if (inheritProps) prev.map(_.props)
             .getOrElse(c.props) else c.props)
       }
+    checkWriterFeatures(table, withMeta.props)
     if (!putIfAbsent(spark, table, logName(withMeta.version),
         toJson(withMeta)))
       throw new CommitConflictException(c.version, table)
@@ -881,6 +882,7 @@ object GraftLog {
     * empty live set still yields a correctly-typed empty frame. */
   def read(spark: SparkSession, table: String,
       asOf: Option[Long] = None): DataFrame = {
+    checkReaderFeatures(spark, table)
     val (files, schema) = snapshot(spark, table, asOf)
     val dvs = deletionVectors(spark, table, asOf)
     val cmap = columnMapping(spark, table, asOf)
@@ -1837,10 +1839,17 @@ object GraftLog {
         s"graft.checkpointInterval must be a positive integer, got '$s'")
     }
     val v = vRead.get + 1
+    val merged = properties(spark, table) ++ kvs
+    // enabling row tracking declares the writer feature atomically: a
+    // compactor unaware of it would drop the materialized id column
+    val withFeat =
+      if (kvs.get("graft.enableRowTracking")
+          .exists(_.equalsIgnoreCase("true")))
+        withFeature(merged, WriterFeaturesKey, "rowTracking")
+      else merged
     writeCommit(spark, table, Commit(v, "set_properties",
       Seq.empty, Seq.empty, snapshot(spark, table)._2.toDDL,
-      System.currentTimeMillis(),
-      props = properties(spark, table) ++ kvs))
+      System.currentTimeMillis(), props = withFeat))
     v
   }
 
@@ -1857,6 +1866,82 @@ object GraftLog {
       System.currentTimeMillis(),
       props = properties(spark, table) -- keys))
     v
+  }
+
+  // --------------------------------------------------- protocol features
+  // The Delta table-features protocol: a table DECLARES the features its
+  // log depends on, split by hazard class, and an engine that does not
+  // understand a declared feature refuses the table LOUDLY instead of
+  // corrupting it silently. Reader features break READS when ignored
+  // (an engine that skips deletion-vector masks resurrects deleted —
+  // e.g. GDPR-erased — rows; one that ignores column mapping serves
+  // dropped bytes under recycled names). Writer features break the
+  // table when an unaware WRITER commits (a compactor that drops the
+  // materialized row-id column, an appender that skips CHECK
+  // constraints or generated-column computation). Feature lists ride
+  // the properties map, so checkpoints, clones, and inheritance carry
+  // them for free; the introducing commit declares its feature
+  // atomically with first use.
+
+  private val ReaderFeaturesKey = "graft.protocol.readerFeatures"
+  private val WriterFeaturesKey = "graft.protocol.writerFeatures"
+
+  /** Reader features THIS engine understands. An unknown name in a
+    * table's declared reader features fails every read. */
+  private[sources] val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping")
+
+  /** Writer features this engine understands (reader features are
+    * implicitly required of writers too — a writer reads first). */
+  private[sources] val SupportedWriterFeatures =
+    SupportedReaderFeatures ++
+      Set("rowTracking", "checkConstraints", "generatedColumns")
+
+  private def parseFeatures(props: Map[String, String],
+      key: String): Set[String] =
+    props.get(key).toSet[String]
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** `props` with `name` added to the feature list at `key` (no-op when
+    * already declared) — composed into the introducing commit's props
+    * so first use and declaration are one atomic commit. */
+  private def withFeature(props: Map[String, String], key: String,
+      name: String): Map[String, String] = {
+    val cur = parseFeatures(props, key)
+    if (cur(name)) props
+    else props + (key -> (cur + name).toSeq.sorted.mkString(","))
+  }
+
+  /** Fail when the table declares a reader feature this engine does not
+    * implement — called from the read entry points. */
+  private def checkReaderFeatures(spark: SparkSession,
+      table: String): Unit = {
+    val unknown = parseFeatures(properties(spark, table),
+      ReaderFeaturesKey) -- SupportedReaderFeatures
+    if (unknown.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot read $table: it requires reader feature(s) " +
+          s"${unknown.toSeq.sorted.mkString(", ")} this engine does " +
+          "not implement (upgrade the library, or read a version " +
+          "before the feature was enabled)")
+  }
+
+  /** Fail when a commit would land on a table whose declared writer
+    * features this engine does not implement — called from
+    * [[writeCommit]], the single writer choke point, using the
+    * ALREADY-INHERITED props (no extra read). */
+  private def checkWriterFeatures(table: String,
+      props: Map[String, String]): Unit = {
+    val unknown =
+      (parseFeatures(props, WriterFeaturesKey) --
+        SupportedWriterFeatures) ++
+      (parseFeatures(props, ReaderFeaturesKey) --
+        SupportedReaderFeatures)
+    if (unknown.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot write to $table: it requires feature(s) " +
+          s"${unknown.toSeq.sorted.mkString(", ")} this engine does " +
+          "not implement; a blind commit could corrupt the table")
   }
 
   // ------------------------------------------------------- row tracking
@@ -2165,7 +2250,11 @@ object GraftLog {
       if (partCols.nonEmpty) stagePartitionedWithStats(full, table, partCols)
       else stageWithStats(full, table)
     commitOverwrite(spark, table, staged, full.schema.toDDL,
-      generated = gens2)
+      generated = gens2,
+      // a writer unaware of generation expressions would append rows
+      // without computing them (or with stale identity marks)
+      extraProps = withFeature(Map.empty, WriterFeaturesKey,
+        "generatedColumns"))
   }
 
   /** Write-time CHECK enforcement (Delta's constraint semantics): a row
@@ -2211,7 +2300,10 @@ object GraftLog {
     val phys = snapshot(spark, table)._2
     writeCommit(spark, table, Commit(vRead.get + 1, "add_constraint",
       Seq.empty, Seq.empty, phys.toDDL, System.currentTimeMillis(),
-      checks = cur + (name -> exprText)))
+      checks = cur + (name -> exprText),
+      // a writer unaware of constraints would commit unchecked rows
+      props = withFeature(properties(spark, table), WriterFeaturesKey,
+        "checkConstraints")))
     vRead.get + 1
   }
 
@@ -2265,7 +2357,9 @@ object GraftLog {
       else cmap + (p -> newName)
     writeCommit(spark, table, Commit(vRead.get + 1, "rename_column",
       Seq.empty, Seq.empty, phys.toDDL, System.currentTimeMillis(),
-      colMap = next))
+      colMap = next,
+      props = withFeature(properties(spark, table), ReaderFeaturesKey,
+        "columnMapping")))
     vRead.get + 1
   }
 
@@ -2294,7 +2388,9 @@ object GraftLog {
       _.name.equalsIgnoreCase(p)))
     writeCommit(spark, table, Commit(vRead.get + 1, "drop_column",
       Seq.empty, Seq.empty, remaining.toDDL, System.currentTimeMillis(),
-      colMap = cmap - p + (p -> "")))
+      colMap = cmap - p + (p -> ""),
+      props = withFeature(properties(spark, table), ReaderFeaturesKey,
+        "columnMapping")))
     vRead.get + 1
   }
 
@@ -2495,7 +2591,8 @@ object GraftLog {
   private def commitOverwrite(spark: SparkSession, table: String,
       s: Staged, ddl: String,
       blooms: Map[String, Map[String, String]] = Map.empty,
-      generated: Map[String, String] = Map.empty): Long = {
+      generated: Map[String, String] = Map.empty,
+      extraProps: Map[String, String] = Map.empty): Long = {
     var attempts = 0
     while (true) {
       // Claim THE VERSION AFTER THE ONE WE READ (Delta's commit-at-
@@ -2510,10 +2607,18 @@ object GraftLog {
       val v = vRead.map(_ + 1).getOrElse(0L)
       try {
         val (st2, pr2) = allocRowIds(spark, table, s)
+        // extraProps (e.g. a feature declaration) must merge over the
+        // FULL current map — a partial props commit would clobber the
+        // rest under the "props = latest commit's props" invariant
+        val pr =
+          if (extraProps.isEmpty) pr2
+          else (if (pr2.nonEmpty) pr2
+                else if (vRead.isEmpty) Map.empty[String, String]
+                else properties(spark, table)) ++ extraProps
         writeCommit(spark, table, Commit(v, "overwrite", s.files, prior,
           ddl, System.currentTimeMillis(), stats = st2,
           sizes = s.sizes, blooms = blooms, generated = generated,
-          props = pr2))
+          props = pr))
         return v
       } catch {
         case _: CommitConflictException =>
@@ -2984,7 +3089,11 @@ object GraftLog {
     val v = vRead.map(_ + 1).getOrElse(0L)
     writeCommit(spark, table, Commit(v, "deleteVectors", Seq.empty,
       Seq.empty, schema.toDDL, System.currentTimeMillis(),
-      dvAdd = dvFiles))
+      dvAdd = dvFiles,
+      // first DV commit declares the reader feature atomically: an
+      // engine that would ignore the masks must refuse the table
+      props = withFeature(properties(spark, table), ReaderFeaturesKey,
+        "deletionVectors")))
     v
   }
 
