@@ -94,6 +94,9 @@ object SparkEntry {
     // log-carried TBLPROPERTIES + the delta.appendOnly enforcement
     "d15_tblproperties" ->
       ((s, d) => Ddl.graftSqlProperties(s, d)),
+    // SQL INSERT INTO/OVERWRITE routed through the commit log
+    "d16_sql_insert" ->
+      ((s, d) => Ddl.graftSqlInsert(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -1352,6 +1355,14 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer) AS latest_rows,
         |  2 AS n_versions
         |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
+    // d16: OVERWRITE replaced the full set with keys <= 500, the last
+    // INSERT appended (500, 600]; v1 (full customer set) stays
+    // time-travelable — proof every statement landed as a commit
+    "d16_sql_insert" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  (SELECT count(*) FROM customer) AS v1_rows,
+        |  4 AS n_versions
+        |FROM customer WHERE c_custkey <= 600""".stripMargin,
     // d15: the appendOnly-blocked delete removed nothing; after UNSET
     // the same predicate lands (v0 write, v1 set, v2 unset, v3 delete);
     // one property ('team') survives the unset

@@ -426,6 +426,56 @@ object Ddl {
       .withColumn("n_versions", lit(nVersions))
   }
 
+  private val stagedSqlInsert =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d16 — SQL `INSERT INTO … SELECT` / `INSERT OVERWRITE` on a
+    * `USING graft` catalog table, routed through the COMMIT LOG (the
+    * InsertableRelation path): the even-key half is seeded as v0, an
+    * `INSERT INTO … SELECT` appends the odd half (v1), an
+    * `INSERT OVERWRITE` replaces everything with the low-key slice
+    * (v2), and a second `INSERT INTO` proves the statement sequence
+    * keeps committing (v3) — the failure this pins is Spark's raw
+    * InsertIntoHadoopFsRelationCommand fallback, which writes files no
+    * commit references and truncates the directory (log included) on
+    * overwrite. Every version stays time-travelable.
+    *
+    * Scale: each statement is one staged write + one put-if-absent
+    * commit — identical dataflow to the programmatic append/overwrite
+    * (same staging, stats, OCC), so the SQL surface inherits their
+    * 100 TB behavior unchanged. */
+  def graftSqlInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = s"graft_ins_cust_${math.abs(sfDir.hashCode).toString.take(8)}"
+    val dir = stagedSqlInsert.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_sqlins_") + "/customer"
+      val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      graft.sources.GraftLog.overwrite(
+        cust.filter(col("c_custkey") % 2 === 0), d)              // v0
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$d')")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .createOrReplaceTempView("graft_ins_odd")
+      spark.sql(s"INSERT INTO $t SELECT * FROM graft_ins_odd")   // v1
+      cust.filter(col("c_custkey") <= 500)
+        .createOrReplaceTempView("graft_ins_low")
+      spark.sql(s"INSERT OVERWRITE $t SELECT * FROM graft_ins_low") // v2
+      cust.filter(col("c_custkey") > 500 && col("c_custkey") <= 600)
+        .createOrReplaceTempView("graft_ins_mid")
+      spark.sql(s"INSERT INTO $t SELECT * FROM graft_ins_mid")   // v3
+      d
+    })
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    val nVersions = graft.sources.GraftLog.versions(spark, dir).size
+    val v1Rows = graft.sources.GraftLog.readVersion(spark, dir, 1L).count()
+    spark.table(t)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .withColumn("v1_rows", lit(v1Rows))
+      .withColumn("n_versions", lit(nVersions))
+  }
+
   private val stagedSqlTT =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -482,9 +482,47 @@ object GraftFileIndex {
     // hive-partitioned layouts expose a real partitionSchema, so the
     // planner splits filters into partitionFilters (pruned here, exactly)
     // and dataFilters (pruned via commit-log stats, conservatively);
-    // partition columns are appended to rows by FileSourceScanExec
-    HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
-      new ParquetFileFormat(), Map.empty)(spark)
+    // partition columns are appended to rows by FileSourceScanExec.
+    //
+    // The relation is ALSO an InsertableRelation: Spark's analyzer
+    // prefers the InsertableRelation path for `INSERT INTO/OVERWRITE`,
+    // which routes the rows through a LOG COMMIT. Without it the
+    // planner falls back to InsertIntoHadoopFsRelationCommand and
+    // writes raw parquet under the table root that no commit
+    // references — rows a graft read then silently never sees (the
+    // exact failure Delta's DeltaDataSource guards against).
+    new HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
+        new ParquetFileFormat(), Map.empty)(spark)
+      with org.apache.spark.sql.sources.InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        require(asOf.isEmpty,
+          s"cannot INSERT into a time-travel read of $table")
+        // PreprocessTableInsertion has already coerced the query to
+        // this relation's schema by position; re-key to the table's
+        // column names so the append-path schema enforcement sees them
+        val aligned = data.toDF(schema.fieldNames.toSeq: _*)
+        val partCols = idx.partitionSchema.fieldNames.toSeq
+        if (overwrite) {
+          if (partCols.nonEmpty)
+            GraftLog.overwritePartitioned(aligned, table, partCols)
+          else GraftLog.overwrite(aligned, table)
+        } else {
+          if (partCols.nonEmpty)
+            GraftLog.appendPartitioned(aligned, table, partCols)
+          else GraftLog.append(aligned, table)
+        }
+        // CRITICAL: drop the catalog's cached relation. Spark serves
+        // the NEXT statement's resolution from the relation cache, and
+        // a stale entry routes a later INSERT down the raw
+        // InsertIntoHadoopFsRelationCommand path — which, in Overwrite
+        // mode, TRUNCATES the table directory (commit log included)
+        // before writing. Re-resolving freshly always picks this
+        // InsertableRelation (verified empirically; the DML commands
+        // invalidate through RefreshAfterDml for the same reason).
+        spark.sessionState.catalog.invalidateAllCachedTables()
+        spark.catalog.refreshByPath(table)
+      }
+    }
   }
 
   /** Read a GraftLog table through the FileIndex — equivalent rows to
