@@ -318,6 +318,10 @@ object SparkEntry {
     // writer features; unknown declarations refuse the table loudly
     "t35_protocol_features" ->
       ((s, d) => Transactions.protocolFeaturesRead(s, d)),
+    // CDF keyed by stable row id: lineage without uniqueness
+    // assumptions; OPTIMIZE diffs empty by contract
+    "t36_rowid_cdf" ->
+      ((s, d) => Transactions.rowIdCdf(s, d)),
     // OPTIMIZE WHERE: partition-scoped compaction — one partition's
     // files rewritten to one, everything else untouched
     "t32_optimize_where" ->
@@ -1168,6 +1172,17 @@ object SparkEntry {
     "t33_null_skipping" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  'vip:' || c_name AS c_note
+        |FROM customer WHERE c_custkey <= 100""".stripMargin,
+    // t36: the DV commit's row-id diff is exactly the hidden tenth as
+    // deletes (postimage values); the append's is the shifted batch as
+    // inserts — ids are engine-internal, so the oracle pins the
+    // (key, type, version) triples
+    "t36_rowid_cdf" ->
+      """SELECT c_custkey, c_name, 'delete' AS _change_type,
+        |  3 AS _commit_version
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, 'insert', 4
         |FROM customer WHERE c_custkey <= 100""".stripMargin,
     // t35: the gate never blocks supported declarations (full surviving
     // row set reads through), and the declared lists are pinned

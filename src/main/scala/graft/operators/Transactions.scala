@@ -332,6 +332,46 @@ object Transactions {
       .withColumn("n_files_rewritten", lit(rewritten))
   }
 
+  private val stagedRowCdf =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t36 — CDF keyed by the STABLE ROW ID ([[GraftLog.changesByRowId]]):
+    * row-level lineage with no uniqueness assumption about the data —
+    * the id IS the identity, which is what row tracking exists for.
+    * The staging replays the t34 lifecycle (track, backfill, DV-delete
+    * a tenth, append a shifted batch) and the query unions the row-id
+    * diffs of the two data-changing commits: the DV commit yields
+    * exactly the hidden tenth as `delete` rows still carrying the ids
+    * those rows had in life, the append yields the shifted batch as
+    * `insert` rows. A compact between them diffs EMPTY by contract
+    * (ids survive materialization — OPTIMIZE is invisible to row-level
+    * consumers), pinned by the spec.
+    *
+    * Scale: each diff reads only the commit's touched files at the two
+    * adjacent versions (the [[GraftLog.changesAt]] bound) — a small
+    * delete's lineage costs a few file reads on a 100 TB table. */
+  def rowIdCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.GraftLog
+    val dir = stagedRowCdf.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_rowcdf_") + "/customer"
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwrite(cust, d)                                   // v0
+      GraftLog.setProperties(spark, d,
+        Map("graft.enableRowTracking" -> "true"))                   // v1
+      GraftLog.backfillRowIds(spark, d)                             // v2
+      GraftLog.deleteVectors(spark, d, col("c_custkey") % 10 === 0) // v3
+      GraftLog.append(
+        cust.filter(col("c_custkey") <= 100)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L), d) // v4
+      d
+    })
+    val outCols = Seq(col("c_custkey"), col("c_name"),
+      col("_change_type"), col("_commit_version"))
+    GraftLog.changesByRowId(spark, dir, 3L).select(outCols: _*)
+      .unionByName(
+        GraftLog.changesByRowId(spark, dir, 4L).select(outCols: _*))
+  }
+
   private val stagedProtocol =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -2070,14 +2070,27 @@ object GraftLog {
     * backfilled). Active DV masks apply (positions key the same
     * row_index). Flat layouts (the base join keys on the data-file
     * path; hive dirs would need partition reconstruction first). */
-  def readWithRowIds(spark: SparkSession, table: String): DataFrame = {
-    require(rowTrackingEnabled(spark, table),
+  def readWithRowIds(spark: SparkSession, table: String,
+      asOf: Option[Long] = None,
+      only: Option[Set[String]] = None): DataFrame = {
+    require(properties(spark, table, asOf).get("graft.enableRowTracking")
+        .exists(_.equalsIgnoreCase("true")),
       s"$table does not track rows (set graft.enableRowTracking=true)")
-    val (files, schema) = snapshot(spark, table)
+    val (allFiles, schema) = snapshot(spark, table, asOf)
+    val files = only match {
+      case Some(subset) => allFiles.filter(subset.contains)
+      case None => allFiles
+    }
     requireUnpartitioned(files, "readWithRowIds")
-    val stats = fileStats(spark, table)
-    val cmap = columnMapping(spark, table)
-    val dvs = deletionVectors(spark, table)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(RowIdCol,
+            org.apache.spark.sql.types.LongType)))
+    val stats = fileStats(spark, table, asOf)
+    val cmap = columnMapping(spark, table, asOf)
+    val dvs = deletionVectors(spark, table, asOf)
     val extSchema = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(RowIdCol,
         org.apache.spark.sql.types.LongType, nullable = true))
@@ -3675,6 +3688,55 @@ object GraftLog {
     }
     classifyDiff(visible(prevOpt), visible(Some(v)), keys,
       schema.fieldNames.filterNot(keys.contains).toSeq, preimages)
+  }
+
+  /** CDF of one commit keyed by the STABLE ROW ID instead of user key
+    * columns — the consumer row tracking exists for (Delta row
+    * tracking's headline use): row-level lineage needs no uniqueness
+    * assumption about the data, because `_graft_row_id` IS the row's
+    * identity. Classification and the file-bounded read are
+    * [[changesAt]]'s; the join key is the id. Rewrite-only commits
+    * (compact / cluster / reorg / rowid_backfill) diff empty BY
+    * CONTRACT — ids survive materialization, which is exactly what
+    * makes OPTIMIZE invisible to row-level consumers. Rows in files
+    * never backfilled carry NULL ids and classify as delete+insert
+    * (no identity to match on) — run [[backfillRowIds]] first.
+    *
+    * Scale: the diff reads only the files the commit touched, at the
+    * two adjacent versions — a small MERGE's row-lineage costs a few
+    * file reads on a 100 TB table, never a snapshot scan. */
+  def changesByRowId(spark: SparkSession, table: String, v: Long,
+      preimages: Boolean = false): DataFrame = {
+    val all = versions(spark, table)
+    require(all.contains(v),
+      s"version $v of $table does not exist (vacuumed or never written)")
+    require(columnMapping(spark, table, Some(v)).isEmpty,
+      s"row-id CDF on a column-mapped version of $table is not " +
+        "supported; compact() materializes the mapping")
+    val schema = snapshot(spark, table, Some(v))._2
+    val c = readCommit(spark, table, v)
+    val prevOpt = if (v == all.head) None else Some(all(all.indexOf(v) - 1))
+    def relO(f: String): String = relOf(table, absPath(table, f))
+    val dvTouched: Set[String] =
+      if (c.dvAdd.isEmpty && c.dvRemove.isEmpty) Set.empty
+      else spark.read
+        .parquet((c.dvAdd ++ c.dvRemove).map(f => absPath(table, f)): _*)
+        .select("file_rel").distinct().collect()
+        .map(_.getString(0)).toSet
+    val affected: Set[String] =
+      if (RewriteOnlyOps(c.operation)) Set.empty
+      else (c.remove ++ c.add).map(relO).toSet ++ dvTouched
+    def side(at: Option[Long]): DataFrame = at match {
+      case None => readWithRowIds(spark, table, Some(v), Some(Set.empty))
+      case Some(p) => readWithRowIds(spark, table, Some(p), Some(affected))
+    }
+    val pre = if (affected.isEmpty) side(None) else side(prevOpt)
+    val post =
+      if (affected.isEmpty) side(None)
+      else readWithRowIds(spark, table, Some(v), Some(affected))
+    classifyDiff(pre, post, Seq(RowIdCol),
+      schema.fieldNames.toSeq, preimages)
+      .withColumn("_commit_version", lit(v))
   }
 
   /** The key-diff classification [[changes]] and [[changesAt]] share:

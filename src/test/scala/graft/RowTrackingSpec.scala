@@ -89,6 +89,33 @@ class RowTrackingSpec extends AnyFunSuite {
       s"freed ids $deletedIds must never be reissued, got $fresh")
   }
 
+  test("row-id CDF: DV delete → deletes, append → inserts, update → update") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 6, "a"), t)                     // v0
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableRowTracking" -> "true"))                   // v1
+    GraftLog.backfillRowIds(spark, t)                             // v2
+    val idsBefore = idsOf(t)
+    GraftLog.deleteVectors(spark, t, col("id") >= 4)              // v3
+    val del = GraftLog.changesByRowId(spark, t, 3L)
+      .select(col("id"), col("_change_type"), col("_graft_row_id"))
+      .collect()
+    assert(del.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((4L, "delete"), (5L, "delete")))
+    // the delete rows carry the STABLE ids the rows had in life
+    assert(del.map(r => r.getLong(0) -> r.getLong(2)).toMap ==
+      idsBefore.filter(_._1 >= 4))
+    GraftLog.append(df(6 until 8, "b"), t)                        // v4
+    val ins = GraftLog.changesByRowId(spark, t, 4L)
+      .select(col("id"), col("_change_type")).collect()
+    assert(ins.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((6L, "insert"), (7L, "insert")))
+    // compact (rewrite-only, ids preserved) diffs EMPTY — the contract
+    // that makes OPTIMIZE invisible to row-level consumers
+    GraftLog.compact(spark, t)                                    // v5
+    assert(GraftLog.changesByRowId(spark, t, 5L).count() == 0)
+  }
+
   test("untracked tables are unaffected; reader demands tracking") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 3, "a"), t)
