@@ -258,6 +258,10 @@ object SparkEntry {
     // sliding token windows with overlap (RAG-index / packed-shard prep)
     "g21_chunk_overlap" ->
       ((s, d) => TextAnalysis.chunkOverlap(s, d)),
+    // deterministic shard shuffle: hash-sharded pseudo-random global
+    // permutation, one exchange + per-shard sort (no total sort)
+    "g22_shard_shuffle" ->
+      ((s, d) => TextAnalysis.shardShuffle(s, d)),
     // single-pass exact column profiler (null/distinct/range/length stats)
     "g17_column_profile" ->
       ((s, d) => Profile.customerProfile(s, d)),
@@ -2310,6 +2314,24 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN bucket < target_permille THEN 1 ELSE 0
         |    END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS kept_frac
         |FROM d GROUP BY 1, 2, 3""".stripMargin,
+    // g22: both md5 slices reproduce bit-exactly in DuckDB, so the
+    // full permutation (shard, pos) is oracle-checkable
+    "g22_shard_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS INTEGER)
+        |      AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 16 AS shard,
+        |    ('0x' || substr(md5('p' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS sort_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY sort_key, doc_id) AS INTEGER) AS pos,
+        |  n_tokens
+        |FROM d""".stripMargin,
     // g21: the start grid 0, 48, 96, … < max(n-16, 1) and 64-token
     // slices reproduce exactly in DuckDB (same split, same slicing)
     "g21_chunk_overlap" ->

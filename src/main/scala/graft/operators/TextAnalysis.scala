@@ -604,6 +604,40 @@ object TextAnalysis {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** g22 — deterministic SHARD SHUFFLE: the global-permutation step of
+    * training-data prep (every pretraining run wants examples in a
+    * reproducible pseudo-random order, sharded for parallel loaders)
+    * WITHOUT a total sort. Shard = 60-bit md5 slice of the doc id mod
+    * `nShards`; order within a shard = a second, independent md5 slice
+    * (salted `'p'||id`) — two independent hashes give a permutation
+    * that is deterministic across runs and engines (the corpus md5
+    * discipline) yet uncorrelated with ingest order.
+    *
+    * Scale shape: ONE hash-partitioned exchange keyed by shard plus a
+    * per-shard local sort for the position — the plan a 100 TB shuffle
+    * wants (each output shard is one writer's stream; no global
+    * ordering, no skew beyond hash variance). A total `ORDER BY
+    * rand()` would be a full-corpus range sort; this is
+    * embarrassingly parallel by construction. */
+  def shardShuffle(spark: SparkSession, sfDir: String,
+      nShards: Int = 16): DataFrame = {
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long") % nShards).cast("int")
+    val sortKey = conv(substring(
+      md5(concat(lit("p"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("sort_key"), col("doc_id"))
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).as("n_tokens"))
+      .withColumn("shard", shard)
+      .withColumn("sort_key", sortKey)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+  }
+
   /** g20 — the CURATION PIPELINE composed end-to-end (the FineWeb /
     * CCNet shape): lang-ID gate → quality gate → exact first-occurrence
     * dedup → per-source report. Each stage is individually

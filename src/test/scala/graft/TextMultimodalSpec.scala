@@ -197,6 +197,34 @@ class TextMultimodalSpec extends AnyFunSuite {
     ()
   }
 
+  test("shard shuffle: permutation properties and one-exchange plan") {
+    // plan first — a cached call would plan as InMemoryTableScan
+    val plan = TextAnalysis.shardShuffle(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(400))
+    assert(!plan.contains("rangepartitioning"),
+      "a range sort would be a total-order shuffle")
+    val r = TextAnalysis.shardShuffle(spark, TestSpark.sf).cache()
+    val docs = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "documents").count()
+    // a permutation: every doc exactly once
+    assert(r.count() == docs)
+    assert(r.select("doc_id").distinct().count() == docs)
+    // positions within a shard are 1..n with no gaps
+    val bad = r.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0)
+    // hash balance: no shard more than 3x the uniform share
+    val mx = r.groupBy(col("shard")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(mx <= 3 * docs / 16,
+      s"shard skew: max $mx of $docs across 16 shards")
+    r.unpersist()
+    ()
+  }
+
   test("media features: every format really decoded, shuffle-free") {
     val f = Multimodal.extractFeatures(spark, TestSpark.sf)
     assert(f.count() == 500)
