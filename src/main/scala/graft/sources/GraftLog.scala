@@ -2909,9 +2909,19 @@ object GraftLog {
       predicate)
     val s = if (touched.isEmpty) Staged(Seq.empty, Map.empty, Map.empty)
     else {
-      val kept = toPhysicalDf(
-        toLogicalDf(readSubset(spark, table, touched, schema), schema,
-          cmap).filter(!coalesce(predicate, lit(false))), schema, cmap)
+      // row tracking: survivors of the rewritten files keep their ids
+      // by MATERIALIZATION (the compact mechanism applied to DML —
+      // Delta's row-id preservation); flat un-mapped layouts only,
+      // like readWithRowIds itself
+      val tracked = partCols.isEmpty && cmap.isEmpty &&
+        rowTrackingEnabled(spark, table)
+      val kept =
+        if (tracked)
+          readWithRowIds(spark, table, only = Some(touched.toSet))
+            .filter(!coalesce(predicate, lit(false)))
+        else toPhysicalDf(
+          toLogicalDf(readSubset(spark, table, touched, schema), schema,
+            cmap).filter(!coalesce(predicate, lit(false))), schema, cmap)
       if (partCols.nonEmpty) stagePartitionedWithStats(
         withHiddenPartCols(kept, partCols), table, partCols)
       else stageWithStats(kept, table)
@@ -3173,18 +3183,30 @@ object GraftLog {
     val s = if (touched.isEmpty) Staged(Seq.empty, Map.empty, Map.empty)
     else {
       val matched = coalesce(condition, lit(false))
-      val rewritten = toPhysicalDf(
-        toLogicalDf(readSubset(spark, table, touched, schema), schema,
-            cmap)
-          .select(logical.fields.map { f =>
-            sets.find(_._1.equalsIgnoreCase(f.name)) match {
-              case Some((_, v)) =>
-                when(matched, v.cast(f.dataType)).otherwise(col(f.name))
-                  .as(f.name)
-              case None => col(f.name)
-            }
-          }.toSeq: _*), schema, cmap)
-      enforceChecks(toLogicalDf(rewritten, schema, cmap),
+      // row tracking: an UPDATE changes values, not identity — rows of
+      // rewritten files keep their ids by materialization (flat
+      // un-mapped layouts, like readWithRowIds)
+      val tracked = partCols.isEmpty && cmap.isEmpty &&
+        rowTrackingEnabled(spark, table)
+      def applySets(in: DataFrame, extra: Seq[Column]): DataFrame =
+        in.select(logical.fields.map { f =>
+          sets.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, v)) =>
+              when(matched, v.cast(f.dataType)).otherwise(col(f.name))
+                .as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq ++ extra: _*)
+      val rewritten =
+        if (tracked)
+          applySets(readWithRowIds(spark, table,
+            only = Some(touched.toSet)), Seq(col(RowIdCol)))
+        else toPhysicalDf(
+          applySets(toLogicalDf(
+            readSubset(spark, table, touched, schema), schema, cmap),
+            Seq.empty), schema, cmap)
+      enforceChecks(if (tracked) rewritten
+        else toLogicalDf(rewritten, schema, cmap),
         checkConstraints(spark, table), "update")
       if (partCols.nonEmpty) stagePartitionedWithStats(
         withHiddenPartCols(rewritten, partCols), table, partCols)

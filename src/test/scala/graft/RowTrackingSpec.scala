@@ -116,6 +116,31 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(GraftLog.changesByRowId(spark, t, 5L).count() == 0)
   }
 
+  test("DELETE and UPDATE rewrites preserve survivors' ids") {
+    import org.apache.spark.sql.functions.lit
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 8, "a"), t)
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableRowTracking" -> "true"))
+    GraftLog.backfillRowIds(spark, t)
+    val before = idsOf(t)
+    // file-rewriting DELETE: kept rows of touched files keep their ids
+    GraftLog.delete(spark, t, col("id") >= 6)
+    assert(idsOf(t) == before.filter(_._1 < 6),
+      "DELETE rewrite must materialize survivors' ids")
+    // UPDATE: values change, identity does not
+    GraftLog.update(spark, t, col("id") === 2, Seq("tag" -> lit("upd")))
+    assert(idsOf(t) == before.filter(_._1 < 6),
+      "UPDATE rewrite must keep every row's id")
+    assert(GraftLog.read(spark, t).filter(col("tag") === "upd")
+      .count() == 1)
+    // the update's row-id CDF shows exactly one update, same identity
+    val v = GraftLog.versions(spark, t).last
+    val ch = GraftLog.changesByRowId(spark, t, v).collect()
+    assert(ch.length == 1 && ch.head.getAs[String]("_change_type")
+      == "update_postimage")
+  }
+
   test("untracked tables are unaffected; reader demands tracking") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 3, "a"), t)
