@@ -2687,11 +2687,27 @@ object GraftLog {
       deleteUnmatchedBySource: Boolean = false,
       mergeSchema: Boolean = false): Long = {
     requireAppendable(source.sparkSession, table, "MERGE")
-    rebaseOnConflict(table, "merge") { () =>
+    val v = rebaseOnConflict(table, "merge") { () =>
       mergeImpl(source, table, keys, txn = None, updateMatched,
         insertUnmatched, deleteUnmatchedBySource, mergeSchema)
     }
+    // row tracking: MERGE rewrites files without materializing ids
+    // (matched updates and inserts are one mixed rewrite); rewritten
+    // rows are NEW rows — Delta's semantics without the preservation
+    // feature — so give them FRESH ids immediately rather than leaving
+    // NULLs until the next manual backfill
+    maybeBackfillAfterRewrite(source.sparkSession, table)
+    v
   }
+
+  /** Post-rewrite id assignment for ops that do not materialize
+    * (MERGE / replaceWhere): a metadata-only backfill commit, skipped
+    * when the table does not track rows or nothing needs ids. */
+  private def maybeBackfillAfterRewrite(spark: SparkSession,
+      table: String): Unit =
+    if (rowTrackingEnabled(spark, table))
+      try { backfillRowIds(spark, table); () }
+      catch { case scala.util.control.NonFatal(_) => () }
 
   /** Idempotent transactional MERGE for streaming upsert sinks — the
     * [[txnAppend]] ledger contract applied to [[merge]]: a re-delivered
@@ -2954,9 +2970,13 @@ object GraftLog {
     * DVs must be compacted away first, like every file-rewriting op. */
   def replaceWhere(df: DataFrame, table: String,
       predicate: Column): Long =
-    rebaseOnConflict(table, "replaceWhere") { () =>
+    {
+    val v = rebaseOnConflict(table, "replaceWhere") { () =>
       replaceWhereOnce(df, table, predicate)
     }
+    maybeBackfillAfterRewrite(df.sparkSession, table)
+    v
+  }
 
   private def replaceWhereOnce(df: DataFrame, table: String,
       predicate: Column): Long = {

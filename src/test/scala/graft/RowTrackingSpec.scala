@@ -141,6 +141,33 @@ class RowTrackingSpec extends AnyFunSuite {
       == "update_postimage")
   }
 
+  test("MERGE auto-backfills: rewritten rows get fresh ids, never null") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 6, "a"), t)
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableRowTracking" -> "true"))
+    GraftLog.backfillRowIds(spark, t)
+    val before = idsOf(t)
+    // upsert: update id 0-1, insert 6-7 — one mixed rewrite
+    GraftLog.merge(df(0 until 2, "m").unionByName(df(6 until 8, "m")),
+      t, Seq("id"))
+    val after = idsOf(t)
+    // every row has an id (the auto-backfill), all unique
+    assert(after.size == 8)
+    assert(after.values.toSeq.distinct.size == 8)
+    // rewritten rows are NEW rows (Delta-without-preservation): every
+    // id is either one the row already had, or FRESH — above the old
+    // high water, never a reissue of a replaced id. (Whole touched
+    // FILES rewrite, so carried neighbors of matched keys re-id too.)
+    val hw = before.values.max
+    val oldIds = before.values.toSet
+    assert(after.forall { case (k, id) =>
+      before.get(k).contains(id) || id > hw },
+      s"ids must be kept-or-fresh, never reissued: before=$before after=$after")
+    assert(!after.exists { case (k, id) =>
+      !before.get(k).contains(id) && oldIds.contains(id) })
+  }
+
   test("untracked tables are unaffected; reader demands tracking") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 3, "a"), t)
