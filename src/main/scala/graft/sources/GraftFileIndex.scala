@@ -34,6 +34,12 @@ final class GraftFileIndex(spark: SparkSession, table: String,
     asOf: Option[Long] = None, only: Option[Set[String]] = None,
     allowDvs: Boolean = false) extends FileIndex {
 
+  // the table-features reader gate applies to EVERY scan path — a
+  // format("graft") read must refuse a future-feature table exactly
+  // like GraftLog.read does (this constructor is the shared choke:
+  // batch relations, readSubset, and the streaming source all build
+  // one)
+  GraftLog.checkReaderFeatures(spark, table)
   private val (allLive, tableSchema) = GraftLog.snapshot(spark, table, asOf)
   // a plain file scan cannot apply deletion-vector masks — reading a
   // DV-bearing snapshot through the index would resurrect deleted rows.

@@ -1914,7 +1914,7 @@ object GraftLog {
 
   /** Fail when the table declares a reader feature this engine does not
     * implement — called from the read entry points. */
-  private def checkReaderFeatures(spark: SparkSession,
+  private[sources] def checkReaderFeatures(spark: SparkSession,
       table: String): Unit = {
     val unknown = parseFeatures(properties(spark, table),
       ReaderFeaturesKey) -- SupportedReaderFeatures
@@ -2094,8 +2094,14 @@ object GraftLog {
     val extSchema = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(RowIdCol,
         org.apache.spark.sql.types.LongType, nullable = true))
+    // key the base manifest the way the scan's path column comes out:
+    // relPathCol extracts from the last `_data/` marker, so a SHALLOW
+    // CLONE's absolute source references must be re-keyed the same way
+    // (stats carry them under the absolute path) — the uuid in every
+    // staged dir name keeps the extracted keys collision-free across
+    // clone sources
     val bases = files.flatMap(f => stats.get(f).flatMap(_.get(RowBaseKey))
-      .map { case (b, _) => (f, b.toLong) })
+      .map { case (b, _) => (relOf(table, absPath(table, f)), b.toLong) })
     import spark.implicits._
     val baseDf = bases.toDF("__gf_rel", "__gf_base")
     val scan = spark.read.schema(extSchema)

@@ -90,6 +90,16 @@ class ProtocolFeaturesSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 5)
   }
 
+  test("format(\"graft\") reads hit the same reader gate") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 4, "a"), t)
+    injectFutureFeature(t, "graft.protocol.readerFeatures")
+    val e = intercept[UnsupportedOperationException] {
+      spark.read.format("graft").load(t).count()
+    }
+    assert(e.getMessage.contains("futureMagic"))
+  }
+
   test("unknown writer feature blocks commits but not reads") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 5, "a"), t)

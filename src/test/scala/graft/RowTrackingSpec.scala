@@ -168,6 +168,24 @@ class RowTrackingSpec extends AnyFunSuite {
       !before.get(k).contains(id) && oldIds.contains(id) })
   }
 
+  test("shallow clone of a tracked table reads the source's ids") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "a"), t)
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableRowTracking" -> "true"))
+    GraftLog.backfillRowIds(spark, t)
+    val srcIds = idsOf(t)
+    val dst = tmp()
+    GraftLog.cloneShallow(spark, t, dst)
+    // the clone references the SOURCE's files absolutely; bases must
+    // still join (scan paths come out _data/-relative)
+    val cloneIds = GraftLog.readWithRowIds(spark, dst)
+      .select(col("id"), col("_graft_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cloneIds == srcIds,
+      s"clone must see the source's row ids: src=$srcIds clone=$cloneIds")
+  }
+
   test("untracked tables are unaffected; reader demands tracking") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 3, "a"), t)
