@@ -366,6 +366,10 @@ object SparkEntry {
     // commit per micro-batch, kill/resume/redrain exactly-once
     "i19_direct_sink" ->
       ((s, d) => Transactions.directSink(s, d)),
+    // the partitioned direct sink: partitionBy through writeStream →
+    // one ledger-stamped hive-partitioned commit per micro-batch
+    "i24_direct_sink_partitioned" ->
+      ((s, d) => Transactions.directSinkPartitioned(s, d)),
     // DataFrameWriter surface: SaveMode overwrite+append through
     // format("graft") are transactional commits
     "t14_graftlog_write_api" ->
@@ -1291,6 +1295,15 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, 2 AS n_commits
+        |FROM events GROUP BY 1""".stripMargin,
+    // i24: same exactly-once aggregate through the PARTITIONED sink;
+    // n_dirs pins the physical event_type=… layout
+    "i24_direct_sink_partitioned" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, 2 AS n_commits,
+        |  CAST((SELECT count(DISTINCT event_type) FROM events)
+        |    AS INTEGER) AS n_dirs
         |FROM events GROUP BY 1""".stripMargin,
     // t14: overwrite(evens) + append(odds) through the writer API must
     // reassemble the full table

@@ -1046,6 +1046,47 @@ object Transactions {
       .withColumn("n_commits", lit(nCommits))
   }
 
+  /** i24 — the direct streaming sink writing a HIVE-PARTITIONED
+    * layout: `writeStream.format("graft").partitionBy("event_type")` —
+    * the canonical 100 TB ingest shape (a partitioned event table fed
+    * by a micro-batch stream). Each batch lands as ONE ledger-stamped
+    * partitioned commit ([[GraftLog.txnAppendPartitioned]]), so
+    * exactly-once holds across the kill-resume-replay sequence AND the
+    * landed table is pruned at read time exactly like a batch-written
+    * one (`n_dirs` pins the physical `event_type=…` layout; the extra
+    * no-data drain pins ledger idempotence — no empty commit). */
+  def directSinkPartitioned(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val root = graft.sources.Staging.tempDir("graft_dsinkp_")
+    val (src, t, ckpt) = (s"$root/src", s"$root/t", s"$root/ckpt")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .partitionBy("event_type")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(t)
+      q.awaitTermination()
+    }
+    GraftLog.append(ev.filter(pmod(col("event_id"), lit(2)) === 0), src)
+    drain() // phase 1, then "kill"
+    GraftLog.append(ev.filter(pmod(col("event_id"), lit(2)) === 1), src)
+    drain() // resume: exactly one more sink commit
+    drain() // no new data: NO commit (ledger idempotence)
+    val nCommits = GraftLog.versions(spark, t).size
+    val nDirs = GraftLog.snapshot(spark, t)._1
+      .flatMap(_.split('/').find(_.startsWith("event_type=")))
+      .distinct.size
+    GraftLog.read(spark, t)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+      .withColumn("n_commits", lit(nCommits))
+      .withColumn("n_dirs", lit(nDirs))
+  }
+
   /** i14 — the COMPOSED ingest path end-to-end: Kafka-shaped topic →
     * streaming consume (ledger-committed offsets only) → exactly-once
     * transactional append ([[GraftLog.txnAppend]] per micro-batch) →

@@ -795,36 +795,45 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    require(partitionColumns.isEmpty,
-      "the graft streaming sink writes flat layouts (partition the " +
-        "table with a batch overwritePartitioned first, then stream " +
-        "through foreachBatch + txnAppend)")
     require(outputMode !=
         org.apache.spark.sql.streaming.OutputMode.Update(),
       "the graft streaming sink does not support Update output mode: " +
         "an updated aggregate row would land as a duplicate append. " +
         "Use Append (with a watermark) or Complete, or foreachBatch + " +
         "GraftLog.upsert for merge-on-update semantics")
+    // Complete + partitioned would re-layout the whole table every
+    // micro-batch — refuse rather than thrash; Append + partitionBy is
+    // the 100 TB shape (date-partitioned event streams) and routes to
+    // the ledger-stamped partitioned append
+    require(partitionColumns.isEmpty || outputMode !=
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "the graft streaming sink does not combine Complete output with " +
+        "partitionBy (every batch would rewrite the whole layout); " +
+        "use Append, or a flat Complete sink")
     val path = pathOf(parameters)
     val appId = parameters.getOrElse("txnAppId",
       "graft-sink-" + parameters.getOrElse("checkpointLocation", path)
         .replaceAll("[^A-Za-z0-9._-]", "_"))
     new GraftStreamSink(path, appId,
       complete = outputMode ==
-        org.apache.spark.sql.streaming.OutputMode.Complete())
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+      partCols = partitionColumns)
   }
 }
 
 /** The V1 sink behind `writeStream.format("graft")` (see
   * [[GraftDataSource.createSink]]). */
 final class GraftStreamSink(path: String, appId: String,
-    complete: Boolean)
+    complete: Boolean, partCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long,
       data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = org.apache.spark.sql.graftbridge.StreamBatch
       .materialize(data)
-    if (complete) {
+    if (partCols.nonEmpty) {
+      GraftLog.txnAppendPartitioned(batch, path, appId, batchId,
+        partCols); ()
+    } else if (complete) {
       // Complete output replaces the table every batch; idempotence
       // still matters (a replayed overwrite must not double-commit), so
       // route through the ledger check then overwrite

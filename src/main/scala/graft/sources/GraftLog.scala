@@ -2476,6 +2476,48 @@ object GraftLog {
     }
   }
 
+  /** [[txnAppend]] for HIVE-PARTITIONED layouts — the streaming sink
+    * path for the canonical 100 TB shape (a date-partitioned events
+    * table fed by a micro-batch stream): each batch stages under its
+    * `col=val/` dirs and lands as one ledger-stamped commit, so
+    * exactly-once holds per batch and downstream partition pruning
+    * (and partition-scoped OPTIMIZE WHERE) see the streamed data
+    * exactly like batch-written data. Layout must match the table's
+    * existing partition columns — mixed layouts would break
+    * path-derived reconstruction (same gate as [[appendPartitioned]]). */
+  def txnAppendPartitioned(df: DataFrame, table: String, appId: String,
+      batchId: Long, partCols: Seq[String]): Boolean = {
+    val spark = df.sparkSession
+    if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) false
+    else {
+      val seen0 = latestVersion(spark, table)
+      val (aligned, ddl) = seen0 match {
+        case Some(_) =>
+          val (files, cur) = snapshot(spark, table)
+          val existing = layoutPartCols(files)
+          require(files.isEmpty ||
+            existing.map(_.toLowerCase) == partCols.map(_.toLowerCase),
+            s"streaming appendPartitioned(${partCols.mkString(",")}) " +
+              s"does not match the table's layout " +
+              s"(${existing.mkString(",")})")
+          val ok = enforceSchema(df, cur, "streaming append (partitioned)")
+          enforceChecks(ok, checkConstraints(spark, table),
+            "streaming append (partitioned)")
+          (ok, cur.toDDL)
+        case None => (df, df.schema.toDDL)
+      }
+      val s = stagePartitionedWithStats(aligned, table, partCols)
+      commitStagedAppend(spark, table, "txnAppendPartitioned",
+        "streamingAppend", s, ddl, seen0,
+        () => revalidateBlindAppend(spark, table, aligned.schema,
+          "txnAppendPartitioned", partCols),
+        txn = Some((appId, batchId)),
+        abandonIf = () =>
+          lastCommittedBatch(spark, table, appId).exists(_ >= batchId)
+      ) >= 0L
+    }
+  }
+
   /** Bounded contention policy shared by the transactional writers: a
     * conflict loop may not spin forever under sustained contention
     * (Delta likewise caps commit attempts). Linear backoff smears

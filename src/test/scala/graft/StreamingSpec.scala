@@ -92,6 +92,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(h.sinkFrame.select("event_id").distinct().count() == total)
   }
 
+  test("partitioned direct sink: layout lands; Complete+partitionBy refused") {
+    import spark.implicits._
+    val root = graft.sources.Staging.tempDir("graft_psink_spec_")
+    val (src, t, ckpt) = (s"$root/src", s"$root/t", s"$root/ckpt")
+    graft.sources.GraftLog.append(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+        .toDF("id", "kind", "v"), src)
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft").partitionBy("kind")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(t)
+    q.awaitTermination()
+    val files = graft.sources.GraftLog.snapshot(spark, t)._1
+    assert(files.forall(_.contains("kind=")),
+      s"sink must write the hive layout: $files")
+    assert(graft.sources.GraftLog.read(spark, t).count() == 3)
+    // Complete + partitionBy would rewrite the layout per batch — loud
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").load(src)
+        .groupBy($"kind").count()
+        .writeStream.format("graft").partitionBy("kind")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$root/t2")
+    }
+    assert(e.getMessage.contains("partitionBy") ||
+      e.getCause != null && e.getCause.getMessage.contains("partitionBy"))
+  }
+
   test("as-of semantics: most recent view, NULL before any view, tie by id") {
     import spark.implicits._
     // (user, event_id, us, is_view)
