@@ -97,6 +97,9 @@ object SparkEntry {
     // SQL INSERT INTO/OVERWRITE routed through the commit log
     "d16_sql_insert" ->
       ((s, d) => Ddl.graftSqlInsert(s, d)),
+    // ANALYZE TABLE: rowCount/bytes folded from log metadata, no scan
+    "d17_analyze_stats" ->
+      ((s, d) => Ddl.graftSqlAnalyze(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -1395,6 +1398,17 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer) AS v1_rows,
         |  4 AS n_versions
         |FROM customer WHERE c_custkey <= 600""".stripMargin,
+    // d17: the log-folded rowCount equals the VISIBLE count after the
+    // DV delete (physical minus masked positions), both as the command
+    // result and as the stored property
+    "d17_analyze_stats" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 10 <> 0)
+        |    AS stat_rows,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 10 <> 0)
+        |    AS stat_rows_prop,
+        |  TRUE AS bytes_positive
+        |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin,
     // d15: the appendOnly-blocked delete removed nothing; after UNSET
     // the same predicate lands (v0 write, v1 set, v2 unset, v3 delete);
     // one property ('team') survives the unset

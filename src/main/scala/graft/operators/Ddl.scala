@@ -476,6 +476,49 @@ object Ddl {
       .withColumn("n_versions", lit(nVersions))
   }
 
+  private val stagedAnalyze =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d17 — `ANALYZE TABLE … COMPUTE STATISTICS` WITHOUT a table scan:
+    * rowCount folds from the commit log's per-file numRecords stats
+    * and byte size from the logged file sizes; only the DV position
+    * sidecar (orders of magnitude smaller than data) is read, so the
+    * VISIBLE row count is exact after a merge-on-read delete. The
+    * numbers land as `graft.stats.*` properties via one metadata-only
+    * commit (readable by SHOW TBLPROPERTIES / any join planner). The
+    * oracle pins the visible rowCount and the row set; bytes are
+    * codec-dependent so only their positivity is pinned.
+    *
+    * Scale: at 100 TB this is a metadata walk (the stats rode each
+    * write) — the alternative is re-scanning the lake to count it. */
+  def graftSqlAnalyze(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = stagedAnalyze.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_analyze_") + "/customer"
+      val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      graft.sources.GraftLog.overwrite(cust, d)                   // v0
+      graft.sources.GraftLog.deleteVectors(spark, d,
+        col("c_custkey") % 10 === 0)                              // v1
+      d
+    })
+    // path target: a catalog CREATE TABLE would resolve the relation
+    // through the FileIndex, which refuses DV-bearing tables (loud
+    // over wrong); ANALYZE itself is pure log metadata either way
+    val res =
+      spark.sql(s"ANALYZE TABLE '$dir' COMPUTE STATISTICS").head
+    val (rows, bytes) = (res.getLong(0), res.getLong(1))
+    val props = graft.sources.GraftLog.properties(spark, dir)
+    // merge-on-read: active DV masks apply via the library read (the
+    // FileIndex path refuses DV tables by design — loud over wrong)
+    graft.sources.GraftLog.read(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .withColumn("stat_rows", lit(rows))
+      .withColumn("stat_rows_prop",
+        lit(props("graft.stats.rowCount").toLong))
+      .withColumn("bytes_positive", lit(bytes > 0))
+  }
+
   private val stagedSqlTT =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -2123,6 +2123,58 @@ object GraftLog {
         col(RowIdCol): _*)
   }
 
+  /** `ANALYZE TABLE … COMPUTE STATISTICS` — table-level statistics
+    * WITHOUT a table scan: the commit log already carries every live
+    * file's numRecords (`#nulls` pseudo-stats) and byte size, so
+    * rowCount folds from metadata and only the DV position count (a
+    * sidecar orders of magnitude smaller than data) needs reading.
+    * This is the Delta design point — stats ride the write, ANALYZE
+    * just folds them — and at 100 TB it is the difference between a
+    * metadata walk and re-scanning the lake to count it. The numbers
+    * land in the properties map (`graft.stats.rowCount` /
+    * `sizeInBytes` / `analyzedAtVersion`) via one metadata-only
+    * commit, visible to `SHOW TBLPROPERTIES` and any planner that
+    * wants a rowCount for join sizing (the FileIndex already reports
+    * log-carried sizeInBytes for broadcast decisions). Returns
+    * (visible rows, bytes). Files predating recorded stats are counted
+    * with one grouped probe — the backfill fallback, never the
+    * steady state. */
+  def analyzeTable(spark: SparkSession, table: String): (Long, Long) = {
+    val (live, schema, sizes, dvs, _, _) = replay(spark, table, None)
+    val fromStats = live.toSeq.map { case (f, st) =>
+      f -> numRecordsOf(st) }
+    val unknown = fromStats.filter(_._2 == 0L).map(_._1)
+      // zero CAN be a legitimately empty file; probing empties is cheap
+    val probed: Map[String, Long] =
+      if (unknown.isEmpty) Map.empty
+      else spark.read.schema(schema)
+        .parquet(unknown.map(f => absPath(table, f)): _*)
+        .withColumn("__gf_file", input_file_name())
+        .groupBy(col("__gf_file")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (relOf(table, r.getString(0)),
+          r.getLong(1))).toMap
+    val physical = fromStats.map { case (f, n) =>
+      if (n > 0) n else probed.getOrElse(f, 0L) }.sum
+    val masked =
+      if (dvs.isEmpty) 0L
+      else spark.read.parquet(
+        dvs.toSeq.map(f => absPath(table, f)): _*).count()
+    val rows = physical - masked
+    val bytes = live.keys.map(f => sizes.getOrElse(f, 0L)).sum
+    val vRead = latestVersion(spark, table)
+    rebaseOnConflict(table, "analyze") { () =>
+      val v = latestVersion(spark, table).get + 1
+      writeCommit(spark, table, Commit(v, "analyze", Seq.empty,
+        Seq.empty, schema.toDDL, System.currentTimeMillis(),
+        props = properties(spark, table) ++ Map(
+          "graft.stats.rowCount" -> rows.toString,
+          "graft.stats.sizeInBytes" -> bytes.toString,
+          "graft.stats.analyzedAtVersion" -> vRead.get.toString)))
+      v
+    }
+    (rows, bytes)
+  }
+
   /** Fail loudly when the table is marked append-only — called by every
     * row-removing or row-rewriting entry point (Delta's
     * `delta.appendOnly` contract: appends keep working, anything that

@@ -93,6 +93,8 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val AnalyzeStmt =
+    """(?is)\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
   private val SetPropsStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val UnsetPropsStmt =
@@ -174,6 +176,11 @@ final class GraftSqlParser(
     // table configuration (Delta's metaData.configuration analog) —
     // standard Spark grammar, so only POSITIVELY graft targets are
     // captured; everything else keeps the session catalog's semantics
+    // Spark's own grammar parses ANALYZE for catalog tables, so only
+    // POSITIVELY graft targets are captured; the graft form folds
+    // log-carried stats (no scan) into the properties map
+    case AnalyzeStmt(target) if isGraftTable(target) =>
+      GraftAnalyzeCommand(target)
     case SetPropsStmt(target, kvs) if isGraftTable(target) =>
       GraftSetPropertiesCommand(target, TblProps.parseKvs(kvs))
     case UnsetPropsStmt(target, ks) if isGraftTable(target) =>
@@ -679,6 +686,22 @@ private object TblProps {
       case other => throw new IllegalArgumentException(
         s"cannot parse TBLPROPERTIES key '${other.trim}'")
     }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS` → [[GraftLog.analyzeTable]]:
+  * rowCount/sizeInBytes folded from commit-log metadata (no table
+  * scan), stored as properties. Returns the two numbers. */
+case class GraftAnalyzeCommand(target: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("row_count", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (rows, bytes) = GraftLog.analyzeTable(session,
+      GraftTarget.pathOf(session, target))
+    Seq(Row(rows, bytes))
+  }
 }
 
 /** `ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)` →

@@ -120,6 +120,23 @@ class TablePropertiesSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 2)
   }
 
+  test("ANALYZE folds visible rowCount from log metadata") {
+    import org.apache.spark.sql.functions.col
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a"), t)
+    GraftLog.deleteVectors(spark, t, col("id") >= 7)
+    val (rows, bytes) = GraftLog.analyzeTable(spark, t)
+    // visible = physical minus DV-masked positions
+    assert(rows == 7 && bytes > 0)
+    val p = GraftLog.properties(spark, t)
+    assert(p("graft.stats.rowCount") == "7")
+    assert(p("graft.stats.sizeInBytes").toLong == bytes)
+    // the SQL form returns the same numbers
+    val viaSql = spark.sql(s"ANALYZE TABLE '$t' COMPUTE STATISTICS")
+      .head
+    assert(viaSql.getLong(0) == 7 && viaSql.getLong(1) == bytes)
+  }
+
   test("RETAIN-less VACUUM uses graft.deletedFileRetentionHours") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 3, "a"), t)
