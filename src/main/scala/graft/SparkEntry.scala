@@ -100,6 +100,9 @@ object SparkEntry {
     // ANALYZE TABLE: rowCount/bytes folded from log metadata, no scan
     "d17_analyze_stats" ->
       ((s, d) => Ddl.graftSqlAnalyze(s, d)),
+    // metadata tables: SHOW PARTITIONS + the files metadata read
+    "d18_metadata_tables" ->
+      ((s, d) => Ddl.graftMetadataTables(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -1398,6 +1401,16 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer) AS v1_rows,
         |  4 AS n_versions
         |FROM customer WHERE c_custkey <= 600""".stripMargin,
+    // d18: the metadata surface agrees exactly with the data —
+    // partition specs = distinct segment values, metadata row sum =
+    // table count, every logged size positive
+    "d18_metadata_tables" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  CAST((SELECT count(DISTINCT c_mktsegment) FROM customer)
+        |    AS INTEGER) AS n_partitions,
+        |  (SELECT count(*) FROM customer) AS meta_rows,
+        |  TRUE AS sizes_ok
+        |FROM customer""".stripMargin,
     // d17: the log-folded rowCount equals the VISIBLE count after the
     // DV delete (physical minus masked positions), both as the command
     // result and as the stored property

@@ -519,6 +519,44 @@ object Ddl {
       .withColumn("bytes_positive", lit(bytes > 0))
   }
 
+  private val stagedMetaTables =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d18 — the METADATA TABLES ops surface: `SHOW PARTITIONS` (the
+    * planner's pruning domain made visible) and the `files` metadata
+    * read (`option("metadata","files")` — Iceberg's `t.files`): one
+    * row per live file with log-carried size/rows/partition/stats,
+    * ZERO data files opened. The oracle pins the partition-spec count
+    * against the data's distinct partition values and the metadata
+    * table's row-count SUM against the actual table count — the
+    * metadata surface must agree exactly with the data it describes.
+    *
+    * Scale: both are commit-log folds — managing a 100 TB table
+    * (which partitions are small-file-heavy, what OPTIMIZE should
+    * target) costs metadata reads, not scans. */
+  def graftMetadataTables(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val dir = stagedMetaTables.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_meta_") + "/customer"
+      val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      graft.sources.GraftLog.overwritePartitioned(cust, d,
+        Seq("c_mktsegment"))
+      d
+    })
+    val nParts = spark.sql(s"SHOW PARTITIONS '$dir'").count().toInt
+    val meta = spark.read.format("graft")
+      .option("metadata", "files").load(dir)
+      .transform(graft.CacheScope.tracked)
+    val metaRows = meta.agg(sum(col("num_records"))).head.getLong(0)
+    val sizesOk = meta.filter(col("size_bytes") <= 0).count() == 0
+    graft.sources.GraftLog.read(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .withColumn("n_partitions", lit(nParts))
+      .withColumn("meta_rows", lit(metaRows))
+      .withColumn("sizes_ok", lit(sizesOk))
+  }
+
   private val stagedSqlTT =
     new scala.collection.concurrent.TrieMap[String, String]
 

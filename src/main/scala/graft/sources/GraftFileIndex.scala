@@ -586,7 +586,23 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
-    if (cdfRequested(parameters))
+    if (parameters.get("metadata").exists(_.equalsIgnoreCase("files")))
+      // the `files` metadata table (Iceberg `t.files`):
+      // `spark.read.format("graft").option("metadata","files")` — one
+      // row per live file from log metadata, zero data files opened
+      {
+        val outer = sqlContext
+        new BaseRelation with org.apache.spark.sql.sources.TableScan {
+          private val df = GraftLog.filesMetadata(
+            outer.sparkSession, pathOf(parameters),
+            parameters.get("versionAsOf").map(_.toLong))
+          override def sqlContext: SQLContext = outer
+          override val schema: StructType = df.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[
+            org.apache.spark.sql.Row] = df.rdd
+        }
+      }
+    else if (cdfRequested(parameters))
       // BATCH change-feed read — Delta's
       // `spark.read.option("readChangeFeed", true)
       //   .option("startingVersion", a).option("endingVersion", b)`:

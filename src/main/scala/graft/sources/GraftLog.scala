@@ -4239,6 +4239,55 @@ object GraftLog {
     spark.createDataFrame(Seq(row).asJava, schema)
   }
 
+  /** The `files` METADATA TABLE (Iceberg's `t.files` / Delta's
+    * `DESCRIBE DETAIL`-per-file complement): one row per LIVE file of
+    * the current (or asOf) snapshot with its logged size, row count,
+    * partition spec, and per-column min/max pulled from the commit log
+    * — pure metadata, zero data files opened. This is the ops surface
+    * a 100 TB table is managed through: which partitions are
+    * small-file-heavy (OPTIMIZE targeting), how skewed the clustering
+    * is (stats spread), what a vacuum would reclaim. */
+  def filesMetadata(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val (live, _, sizes, _, _, _) = replay(spark, table, asOf)
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partition", StringType),
+      StructField("size_bytes", LongType),
+      StructField("num_records", LongType),
+      StructField("min_max", org.apache.spark.sql.types.MapType(
+        StringType, StringType))))
+    val rows = live.toSeq.map { case (f, st) =>
+      val part = f.split('/').dropRight(1)
+        .filter(_.contains('=')).mkString("/")
+      val mm = st.collect {
+        case (c, (lo, hi)) if !c.endsWith(NullStatsSuffix) &&
+            c != RowBaseKey =>
+          c -> s"[$lo, $hi]"
+      }
+      org.apache.spark.sql.Row(f, part, sizes.getOrElse(f, 0L),
+        numRecordsOf(st), mm)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** `SHOW PARTITIONS` for hive-partitioned graft tables: the distinct
+    * `col=val[/col=val…]` specs of the live file set — path metadata
+    * only, the planner's pruning domain made visible. Empty for flat
+    * layouts (Spark's statement errors on unpartitioned tables; the
+    * command mirrors that with a loud require). */
+  def showPartitions(spark: SparkSession, table: String): Seq[String] = {
+    val (files, _) = snapshot(spark, table)
+    val specs = files.map(f => f.split('/').dropRight(1)
+      .filter(_.contains('=')).mkString("/")).filter(_.nonEmpty)
+    require(specs.nonEmpty || files.isEmpty,
+      s"SHOW PARTITIONS is not allowed on a table that is not " +
+        s"partitioned: $table")
+    specs.distinct.sorted
+  }
+
   /** Time-based retention — both table formats' wall-clock idiom
     * (Delta `VACUUM … RETAIN n HOURS`, Iceberg `expire_snapshots(
     * older_than => …)`): retain every version whose commit timestamp is

@@ -93,6 +93,8 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val ShowPartitionsStmt =
+    """(?is)\s*SHOW\s+PARTITIONS\s+(\S+?)\s*;?\s*""".r
   private val AnalyzeStmt =
     """(?is)\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
   private val SetPropsStmt =
@@ -181,6 +183,8 @@ final class GraftSqlParser(
     // log-carried stats (no scan) into the properties map
     case AnalyzeStmt(target) if isGraftTable(target) =>
       GraftAnalyzeCommand(target)
+    case ShowPartitionsStmt(target) if isGraftTable(target) =>
+      GraftShowPartitionsCommand(target)
     case SetPropsStmt(target, kvs) if isGraftTable(target) =>
       GraftSetPropertiesCommand(target, TblProps.parseKvs(kvs))
     case UnsetPropsStmt(target, ks) if isGraftTable(target) =>
@@ -686,6 +690,18 @@ private object TblProps {
       case other => throw new IllegalArgumentException(
         s"cannot parse TBLPROPERTIES key '${other.trim}'")
     }
+}
+
+/** `SHOW PARTITIONS t` → [[GraftLog.showPartitions]]: the distinct
+  * hive specs of the live file set, path metadata only. */
+case class GraftShowPartitionsCommand(target: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftLog.showPartitions(session,
+      GraftTarget.pathOf(session, target)).map(Row(_))
 }
 
 /** `ANALYZE TABLE t COMPUTE STATISTICS` → [[GraftLog.analyzeTable]]:

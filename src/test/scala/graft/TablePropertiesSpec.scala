@@ -137,6 +137,33 @@ class TablePropertiesSpec extends AnyFunSuite {
     assert(viaSql.getLong(0) == 7 && viaSql.getLong(1) == bytes)
   }
 
+  test("files metadata table and SHOW PARTITIONS") {
+    import org.apache.spark.sql.functions.col
+    val t = tmp()
+    GraftLog.overwritePartitioned(
+      Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b"))
+        .toDF("id", "v", "part"), t, Seq("part"))
+    // SHOW PARTITIONS: the hive specs, sorted
+    val parts = spark.sql(s"SHOW PARTITIONS '$t'").collect()
+      .map(_.getString(0)).toSeq
+    assert(parts == Seq("part=a", "part=b"))
+    // the files metadata table: one row per live file, log-carried
+    // size and row counts, zero data files opened
+    val meta = spark.read.format("graft")
+      .option("metadata", "files").load(t)
+    assert(meta.count() == GraftLog.snapshot(spark, t)._1.size)
+    assert(meta.agg(org.apache.spark.sql.functions.sum(col("num_records")))
+      .head.getLong(0) == 3L)
+    assert(meta.filter(col("size_bytes") <= 0).count() == 0)
+    assert(meta.filter(col("partition") === "part=a").count() >= 1)
+    // a flat table refuses SHOW PARTITIONS loudly (Spark parity)
+    val flat = tmp()
+    GraftLog.overwrite(df(0 until 3, "a"), flat)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"SHOW PARTITIONS '$flat'").collect()
+    }
+  }
+
   test("RETAIN-less VACUUM uses graft.deletedFileRetentionHours") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 3, "a"), t)
