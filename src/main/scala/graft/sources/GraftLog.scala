@@ -3674,11 +3674,23 @@ object GraftLog {
     * of x lands at position 2i, bit i of y at 2i+1. Pure bit arithmetic
     * (shiftright/&/shiftleft), codegen-friendly, engine-portable. */
   private def zInterleave(x: Column, y: Column): Column =
-    (0 until 16).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    zInterleaveN(Seq(x, y))
+
+  /** n-way Morton interleave of 16-bit ranks: bit i of column j lands
+    * at position n·i + j, so up to FOUR columns fit one 64-bit key
+    * (Delta's OPTIMIZE ZORDER likewise takes any small column set; its
+    * own guidance caps usefulness around 3-4 — each added dimension
+    * halves the per-dimension stat resolution). */
+  private def zInterleaveN(cols: Seq[Column]): Column = {
+    val n = cols.size
+    require(n >= 2 && n <= 4,
+      s"z-order takes 2-4 columns, got $n")
+    (0 until 16).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), n * i + j)
+      }
     }.reduce(_ bitwiseOR _)
+  }
 
   /** OPTIMIZE ZORDER BY analog: rewrite the live set ordered by the
     * Morton interleave of two columns' 16-bit min/max-normalized ranks,
@@ -3692,32 +3704,49 @@ object GraftLog {
     * cost = one range shuffle of the table. */
   def clusterBy(spark: SparkSession, table: String, colA0: String,
       colB0: String, targetFiles: Int): Long =
-      rebaseOnConflict(table, "clusterBy") { () =>
+    clusterByN(spark, table, Seq(colA0, colB0), targetFiles)
+
+  /** [[clusterBy]] over 2-4 columns (Delta's OPTIMIZE ZORDER arity). */
+  def clusterByN(spark: SparkSession, table: String,
+      cols0: Seq[String], targetFiles: Int): Long =
+      rebaseOnConflict(table, "clusterByN") { () =>
+    require(cols0.size >= 2 && cols0.size <= 4,
+      s"z-order takes 2-4 columns, got ${cols0.size} " +
+        s"(${cols0.mkString(", ")})")
     val vRead = latestVersion(spark, table)
     requireNoDvs(spark, table, "clusterBy")
     val (files, schema) = snapshot(spark, table)
+
     val partCols = layoutPartCols(files)
     // callers name LOGICAL columns; the rewrite is physical throughout
     // (the "cluster" commit inherits the mapping unchanged)
     val cmapZ = columnMapping(spark, table)
-    val colA = physNameOf(cmapZ, colA0)
-    val colB = physNameOf(cmapZ, colB0)
+    val zCols = cols0.map(physNameOf(cmapZ, _))
+    zCols.zip(cols0).foreach { case (p, c) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(p))
+      require(f.exists(fld => numericFields(
+          org.apache.spark.sql.types.StructType(Seq(fld))).nonEmpty),
+        s"z-order column $c must be numeric (rank normalization needs " +
+          "an ordered range); got " +
+          f.map(_.dataType.simpleString).getOrElse("no such column"))
+    }
     val cur = readSubset(spark, table, files, schema)
     // column bounds: one metadata-sized collect. Global bounds stay
     // valid under partitioning (the rank mapping is monotonic within
     // every partition).
     val r = cur.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double")))
+      min(col(zCols.head).cast("double")),
+      (Seq(max(col(zCols.head).cast("double"))) ++
+        zCols.tail.flatMap(c => Seq(
+          min(col(c).cast("double")), max(col(c).cast("double"))))): _*)
       .collect().head
     def rank(c: String, mn: Double, mx: Double): Column = {
       val span = if (mx > mn) mx - mn else 1.0
       floor((col(c).cast("double") - lit(mn)) / lit(span) * 65535.0)
         .cast("long")
     }
-    val z = zInterleave(
-      rank(colA, r.getDouble(0), r.getDouble(1)),
-      rank(colB, r.getDouble(2), r.getDouble(3)))
+    val z = zInterleaveN(zCols.zipWithIndex.map { case (c, j) =>
+      rank(c, r.getDouble(2 * j), r.getDouble(2 * j + 1)) })
     val s =
       if (partCols.isEmpty) {
         val rewritten = cur.withColumn("__gf_z", z)

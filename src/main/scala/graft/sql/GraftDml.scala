@@ -62,7 +62,7 @@ final class GraftSqlParser(
   import org.apache.spark.sql.types.{DataType, StructType}
 
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val ReorgStmt =
     """(?is)\s*REORG\s+TABLE\s+(\S+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val VacuumStmt =
@@ -109,15 +109,16 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeStmt(target, where, files, za, zb)
+    case OptimizeStmt(target, where, files, zcols)
         if ownsTarget(target) =>
       if (where != null) {
-        require(za == null && files == null,
+        require(zcols == null && files == null,
           "OPTIMIZE … WHERE composes with neither FILES nor ZORDER " +
             "(partition-scoped compaction compacts each matching " +
             "partition to one file)")
         GraftOptimizeWhereCommand(target, where.trim)
-      } else if (za != null) GraftZOrderCommand(target, za, zb,
+      } else if (zcols != null) GraftZOrderCommand(target,
+        zcols.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
         Option(files).map(_.toInt).getOrElse(8))
       else GraftOptimizeCommand(target,
         Option(files).map(_.toInt).getOrElse(1))
@@ -493,12 +494,14 @@ case class GraftReorgCommand(target: String)
   }
 }
 
-/** `OPTIMIZE t ZORDER BY (a, b)` → [[GraftLog.clusterBy]]. */
-case class GraftZOrderCommand(target: String, colA: String, colB: String,
+/** `OPTIMIZE t ZORDER BY (a, b[, c[, d]])` →
+  * [[GraftLog.clusterByN]] — Delta's arity (2-4 columns; each added
+  * dimension halves per-dimension stat resolution). */
+case class GraftZOrderCommand(target: String, cols: Seq[String],
     targetFiles: Int) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
-    GraftLog.clusterBy(session, path, colA, colB, targetFiles)
+    GraftLog.clusterByN(session, path, cols, targetFiles)
     RefreshAfterDml(session, path, None)
     Seq.empty
   }

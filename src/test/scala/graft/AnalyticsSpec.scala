@@ -334,6 +334,36 @@ class AnalyticsSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("OPTIMIZE") } // malformed → Spark err
   }
 
+  test("3-column ZORDER: rows identical, stats prune on every column") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val d = Staging.tempDir("graft_z3_") + "/cust"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwrite(cust, d)
+    spark.sql(
+      s"OPTIMIZE '$d' FILES 8 ZORDER BY " +
+        "(c_custkey, c_acctbal, c_nationkey)")
+    val back = GraftLog.read(spark, d)
+    assert(back.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(back).count() == 0)
+    // a narrow range on EACH clustered column opens fewer files than
+    // the live set — the 3-dim layout keeps every dimension's per-file
+    // stats tight
+    val nFiles = GraftLog.snapshot(spark, d)._1.size
+    assert(nFiles >= 4)
+    Seq(("c_custkey", 1.0, 50.0), ("c_acctbal", -999.0, 0.0),
+      ("c_nationkey", 0.0, 2.0)).foreach { case (c, lo, hi) =>
+      val pruned = GraftLog.prunedFiles(spark, d, c, lo, hi).size
+      assert(pruned < nFiles,
+        s"$c range [$lo,$hi] should prune: $pruned of $nFiles")
+    }
+    // 5-column form refused loudly
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE '$d' ZORDER BY (c_custkey, c_acctbal, " +
+        "c_nationkey, c_name, c_mktsegment)")
+    }
+    assert(e.getMessage.contains("2-4"))
+  }
+
   test("SQL VACUUM RETAIN n HOURS: wide window keeps all, zero keeps live") {
     import graft.sources.{GraftLog, Sources, Staging}
     val d = Staging.tempDir("graft_exph_") + "/cust"
