@@ -822,6 +822,27 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     })
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // INSERT on a PARTITIONED graft table: PreprocessTableInsertion
+    // fills the statement's partition spec, so Spark's own analysis
+    // skips the InsertableRelation path (it requires an empty spec)
+    // and plans the raw file-writing command — which would land
+    // commit-less parquet under the table root. Re-route it to a
+    // ledger-backed partitioned append/overwrite here (this rule runs
+    // after DataSourceAnalysis, so the raw command is what arrives).
+    case cmd: org.apache.spark.sql.execution.datasources
+        .InsertIntoHadoopFsRelationCommand
+        if cmd.fileIndex.exists(_.isInstanceOf[GraftFileIndex]) =>
+      val idx = cmd.fileIndex.get.asInstanceOf[GraftFileIndex]
+      if (cmd.staticPartitions.nonEmpty)
+        fail("INSERT … PARTITION (col=value) static specs are not " +
+          "supported on graft tables; use a plain INSERT (the row " +
+          "values carry the partition) or replaceWhere for slice " +
+          "reloads")
+      GraftInsertPartitionedCommand(idx.tablePath,
+        cmd.partitionColumns.map(_.name),
+        overwrite = cmd.mode == org.apache.spark.sql.SaveMode.Overwrite,
+        cmd.query)
+
     case d: DeleteFromTable =>
       graftPath(d.table).fold(plan: LogicalPlan) { case (path, name) =>
         GraftDeleteCommand(path, name, byName(d.condition))
@@ -926,6 +947,31 @@ private object RefreshAfterDml {
       case None => session.sessionState.catalog.invalidateAllCachedTables()
     }
     session.catalog.refreshByPath(path)
+  }
+}
+
+/** The re-routed INSERT for hive-partitioned graft tables (see the
+  * GraftDmlRule case): materializes the already-analyzed source plan
+  * and lands it as one ledger-backed partitioned commit. The source
+  * arrives ordered (data columns…, partition columns…) — exactly the
+  * table's dataSchema ++ partitionSchema — so the positional re-key
+  * mirrors the flat InsertableRelation path. */
+case class GraftInsertPartitionedCommand(path: String,
+    partCols: Seq[String], overwrite: Boolean, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    // names from the log, not a FileIndex: an index construction would
+    // refuse DV-bearing tables, but appends to them are legal
+    val schema = GraftLog.snapshot(session, path)._2
+    val dataNames = schema.fieldNames.toSeq
+      .filterNot(n => partCols.exists(_.equalsIgnoreCase(n)))
+    val names = dataNames ++ partCols
+    val df = StreamBatch.ofPlan(session, query).toDF(names: _*)
+    if (overwrite) GraftLog.overwritePartitioned(df, path, partCols)
+    else GraftLog.appendPartitioned(df, path, partCols)
+    session.sessionState.catalog.invalidateAllCachedTables()
+    session.catalog.refreshByPath(path)
+    Seq.empty
   }
 }
 

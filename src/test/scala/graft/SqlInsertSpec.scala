@@ -50,6 +50,25 @@ class SqlInsertSpec extends AnyFunSuite {
     assert(GraftLog.readVersion(spark, d, 1L).count() == 2)
   }
 
+  test("INSERT INTO a hive-partitioned table keeps the layout") {
+    val d = graft.sources.Staging.tempDir("graft_sqlins_") + "/p"
+    GraftLog.overwritePartitioned(
+      Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "part"),
+      d, Seq("part"))
+    spark.sql(s"DROP TABLE IF EXISTS si_p")
+    spark.sql(s"CREATE TABLE si_p USING graft OPTIONS (path '$d')")
+    spark.sql("INSERT INTO si_p VALUES (3, 'z', 'b'), (4, 'w', 'c')")
+    assert(GraftLog.versions(spark, d) == Seq(0L, 1L))
+    // every file landed under its part=… dir; the new partition exists
+    val files = GraftLog.snapshot(spark, d)._1
+    assert(files.forall(_.contains("part=")), files.toString)
+    assert(files.exists(_.contains("part=c")))
+    // rows and partition values intact through the positional re-key
+    assert(spark.table("si_p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "b"), (4L, "w", "c")))
+  }
+
   test("CTAS creates a committed graft table") {
     val d = graft.sources.Staging.tempDir("graft_sqlins_") + "/ctas"
     spark.sql(s"DROP TABLE IF EXISTS si_c")
