@@ -103,6 +103,9 @@ object SparkEntry {
     // metadata tables: SHOW PARTITIONS + the files metadata read
     "d18_metadata_tables" ->
       ((s, d) => Ddl.graftMetadataTables(s, d)),
+    // managed-table lifecycle: CTAS → log-backed TRUNCATE → INSERT
+    "d19_sql_truncate" ->
+      ((s, d) => Ddl.graftSqlTruncate(s, d)),
     // CSV scans (SURVEY.md §2.1 S1/S2/S7)
     "s1_csv_roundtrip"       -> ((s, d) => graft.sources.Sources.csvRoundTrip(s, d)),
     "s7_csv_dir_agg"         -> ((s, d) => graft.sources.Sources.csvDirAgg(s, d)),
@@ -1401,6 +1404,13 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer) AS v1_rows,
         |  4 AS n_versions
         |FROM customer WHERE c_custkey <= 600""".stripMargin,
+    // d19: TRUNCATE landed as a commit (v0 stays time-travelable with
+    // the full row count) and the refill INSERT routed through the log
+    "d19_sql_truncate" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  (SELECT count(*) FROM customer) AS v0_rows,
+        |  3 AS n_versions
+        |FROM customer WHERE c_custkey <= 500""".stripMargin,
     // d18: the metadata surface agrees exactly with the data —
     // partition specs = distinct segment values, metadata row sum =
     // table count, every logged size positive

@@ -557,6 +557,46 @@ object Ddl {
       .withColumn("sizes_ok", lit(sizesOk))
   }
 
+  private val stagedTruncate =
+    new scala.collection.concurrent.TrieMap[String, (String, Long)]
+
+  /** d19 — the MANAGED-table SQL lifecycle with a log-backed TRUNCATE:
+    * CTAS creates a managed graft table (v0), `TRUNCATE TABLE` lands
+    * as a metadata-only remove-all COMMIT (v1 — Spark's own command
+    * would delete the warehouse dir's contents, commit log included),
+    * and an `INSERT INTO … SELECT` refills a slice (v2). The pinned
+    * outputs: the refilled row set, the pre-truncate snapshot still
+    * time-travelable (`v0_rows`), and the three-commit history — the
+    * whole statement sequence must have routed through the log.
+    *
+    * Scale: TRUNCATE is O(1) metadata (file references removed, bytes
+    * reclaimed later by vacuum) — on a 100 TB table the alternative
+    * recursive delete is both unrecoverable and hours long. */
+  def graftSqlTruncate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = s"graft_trunc_${math.abs(sfDir.hashCode).toString.take(8)}"
+    val (loc, v0Rows) = stagedTruncate.getOrElseUpdate(sfDir, {
+      val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      spark.sql(s"DROP TABLE IF EXISTS default.$t")
+      purgeManagedLocation(spark, t)
+      cust.createOrReplaceTempView("graft_trunc_src")
+      spark.sql(s"CREATE TABLE default.$t USING graft AS " +
+        "SELECT * FROM graft_trunc_src")                        // v0
+      val d = spark.sql(s"DESCRIBE EXTENDED default.$t").collect()
+        .find(_.getString(0) == "Location").map(_.getString(1)).get
+      spark.sql(s"TRUNCATE TABLE default.$t")                   // v1
+      spark.sql(s"INSERT INTO default.$t " +
+        "SELECT * FROM graft_trunc_src WHERE c_custkey <= 500") // v2
+      (d, graft.sources.GraftLog.readVersion(spark, d, 0L).count())
+    })
+    graft.sources.GraftLog.read(spark, loc)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .withColumn("v0_rows", lit(v0Rows))
+      .withColumn("n_versions",
+        lit(graft.sources.GraftLog.versions(spark, loc).size))
+  }
+
   private val stagedSqlTT =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -2123,6 +2123,26 @@ object GraftLog {
         col(RowIdCol): _*)
   }
 
+  /** `TRUNCATE TABLE` as a LOG COMMIT (Delta's semantics — a DELETE of
+    * everything): one metadata-only commit removing every live file
+    * reference and deactivating DVs. History stays intact (time travel
+    * still reaches pre-truncate versions until vacuum); nothing is
+    * deleted from disk here. Spark's own TruncateTableCommand instead
+    * DELETES the table location's contents — commit log included — so
+    * the SQL statement is intercepted and routed here. */
+  def truncate(spark: SparkSession, table: String): Long =
+      rebaseOnConflict(table, "truncate") { () =>
+    requireAppendable(spark, table, "TRUNCATE")
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty, s"$table is not a GraftLog table")
+    val (files, schema) = snapshot(spark, table)
+    val dvs = deletionVectors(spark, table)
+    val v = vRead.get + 1
+    writeCommit(spark, table, Commit(v, "truncate", Seq.empty, files,
+      schema.toDDL, System.currentTimeMillis(), dvRemove = dvs.toSeq))
+    v
+  }
+
   /** `ANALYZE TABLE … COMPUTE STATISTICS` — table-level statistics
     * WITHOUT a table scan: the commit log already carries every live
     * file's numRecords (`#nulls` pseudo-stats) and byte size, so

@@ -848,6 +848,23 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         GraftDeleteCommand(path, name, byName(d.condition))
       }
 
+    // TRUNCATE TABLE: Spark's V1 command DELETES the table location's
+    // contents — on a managed graft table that destroys the commit log
+    // itself. Route graft-provider targets to the log-backed truncate
+    // (a metadata-only remove-all commit, history preserved).
+    case tr: org.apache.spark.sql.execution.command.TruncateTableCommand =>
+      val meta = scala.util.Try(session.sessionState.catalog
+        .getTableMetadata(tr.tableName)).toOption
+      meta match {
+        case Some(m) if m.provider.exists(_.equalsIgnoreCase("graft")) =>
+          if (tr.partitionSpec.nonEmpty)
+            fail("TRUNCATE TABLE … PARTITION is not supported on graft " +
+              "tables; use DELETE FROM with a partition predicate")
+          GraftTruncateCommand(
+            m.location.toString, Some(tr.tableName.unquotedString))
+        case _ => plan
+      }
+
     case u: UpdateTable =>
       graftPath(u.table).fold(plan: LogicalPlan) { case (path, name) =>
         val sets = u.assignments.map { a =>
@@ -971,6 +988,16 @@ case class GraftInsertPartitionedCommand(path: String,
     else GraftLog.appendPartitioned(df, path, partCols)
     session.sessionState.catalog.invalidateAllCachedTables()
     session.catalog.refreshByPath(path)
+    Seq.empty
+  }
+}
+
+/** Log-backed `TRUNCATE TABLE` (see the GraftDmlRule case). */
+case class GraftTruncateCommand(path: String, table: Option[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.truncate(session, path)
+    RefreshAfterDml(session, path, table)
     Seq.empty
   }
 }
