@@ -149,6 +149,9 @@ object Ddl {
          |ON tgt.c_custkey = src.c_custkey
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // temp views surface in every database's SHOW TABLES — drop after
+    // the merge so the d3 lifecycle listing stays exact in any order
+    spark.catalog.dropTempView(s"graft_sqlm_src_$tag")
     spark.table(t).select("c_custkey", "c_name", "c_nationkey",
       "c_acctbal", "c_mktsegment")
   }
@@ -196,6 +199,7 @@ object Ddl {
          |ON tgt.c_custkey = src.c_custkey
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    spark.catalog.dropTempView(s"graft_scd_src_$tag")
     spark.table(t).select("c_custkey", "c_name", "c_nationkey",
       "c_acctbal", "c_mktsegment")
   }
@@ -463,6 +467,10 @@ object Ddl {
       cust.filter(col("c_custkey") > 500 && col("c_custkey") <= 600)
         .createOrReplaceTempView("graft_ins_mid")
       spark.sql(s"INSERT INTO $t SELECT * FROM graft_ins_mid")   // v3
+      // temp views appear in every database's SHOW TABLES — drop them
+      // so the d3 lifecycle listing stays exact
+      Seq("graft_ins_odd", "graft_ins_low", "graft_ins_mid")
+        .foreach(spark.catalog.dropTempView(_))
       d
     })
     spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -587,6 +595,7 @@ object Ddl {
       spark.sql(s"TRUNCATE TABLE default.$t")                   // v1
       spark.sql(s"INSERT INTO default.$t " +
         "SELECT * FROM graft_trunc_src WHERE c_custkey <= 500") // v2
+      spark.catalog.dropTempView("graft_trunc_src")
       (d, graft.sources.GraftLog.readVersion(spark, d, 0L).count())
     })
     graft.sources.GraftLog.read(spark, loc)
