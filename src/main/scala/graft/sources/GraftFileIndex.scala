@@ -39,7 +39,7 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   // like GraftLog.read does (this constructor is the shared choke:
   // batch relations, readSubset, and the streaming source all build
   // one)
-  GraftLog.checkReaderFeatures(spark, table)
+  GraftLog.checkReaderFeatures(spark, table, asOf)
   private val (allLive, tableSchema) = GraftLog.snapshot(spark, table, asOf)
   // a plain file scan cannot apply deletion-vector masks — reading a
   // DV-bearing snapshot through the index would resurrect deleted rows.

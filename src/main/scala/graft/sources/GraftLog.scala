@@ -882,7 +882,7 @@ object GraftLog {
     * empty live set still yields a correctly-typed empty frame. */
   def read(spark: SparkSession, table: String,
       asOf: Option[Long] = None): DataFrame = {
-    checkReaderFeatures(spark, table)
+    checkReaderFeatures(spark, table, asOf)
     val (files, schema) = snapshot(spark, table, asOf)
     val dvs = deletionVectors(spark, table, asOf)
     val cmap = columnMapping(spark, table, asOf)
@@ -1844,9 +1844,16 @@ object GraftLog {
     // compactor unaware of it would drop the materialized id column
     val withFeat =
       if (kvs.get("graft.enableRowTracking")
-          .exists(_.equalsIgnoreCase("true")))
+          .exists(_.equalsIgnoreCase("true"))) {
+        // row tracking is flat-layout only: the partitioned compact /
+        // rewrite branches restage files without materializing
+        // _graft_row_id, which would silently discard row identity.
+        // Refusing here (readWithRowIds already refuses at read time)
+        // keeps 'ids survive materialization' a contract, not a hope.
+        requireUnpartitioned(snapshot(spark, table)._1,
+          "graft.enableRowTracking")
         withFeature(merged, WriterFeaturesKey, "rowTracking")
-      else merged
+      } else merged
     writeCommit(spark, table, Commit(v, "set_properties",
       Seq.empty, Seq.empty, snapshot(spark, table)._2.toDDL,
       System.currentTimeMillis(), props = withFeat))
@@ -1913,10 +1920,14 @@ object GraftLog {
   }
 
   /** Fail when the table declares a reader feature this engine does not
-    * implement — called from the read entry points. */
+    * implement — called from the read entry points. The protocol is
+    * resolved PER SNAPSHOT (Delta's contract): time travel to a version
+    * before a feature was enabled reads the properties as of that
+    * version, so pre-feature versions stay readable — which is exactly
+    * the escape hatch the error message advises. */
   private[sources] def checkReaderFeatures(spark: SparkSession,
-      table: String): Unit = {
-    val unknown = parseFeatures(properties(spark, table),
+      table: String, asOf: Option[Long] = None): Unit = {
+    val unknown = parseFeatures(properties(spark, table, asOf),
       ReaderFeaturesKey) -- SupportedReaderFeatures
     if (unknown.nonEmpty)
       throw new UnsupportedOperationException(
@@ -2827,7 +2838,16 @@ object GraftLog {
       table: String): Unit =
     if (rowTrackingEnabled(spark, table))
       try { backfillRowIds(spark, table); () }
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        // The rewrite itself committed; a failed backfill only leaves
+        // the rewritten rows with NULL ids (changesByRowId then reports
+        // them as delete+insert pairs). That degradation must be
+        // DIAGNOSABLE, not silent — warn loudly instead of discarding.
+        System.err.println(
+          s"[graft] WARN: post-rewrite row-id backfill failed for " +
+            s"$table — rewritten rows carry NULL row ids until the " +
+            s"next successful backfill/compact: ${e.getMessage}")
+      }
 
   /** Idempotent transactional MERGE for streaming upsert sinks — the
     * [[txnAppend]] ledger contract applied to [[merge]]: a re-delivered
@@ -2837,6 +2857,10 @@ object GraftLog {
   def txnMerge(source: DataFrame, table: String, keys: Seq[String],
       appId: String, batchId: Long): Long = {
     val spark = source.sparkSession
+    // txnMerge reaches mergeImpl directly (bypassing merge()'s guard),
+    // so the append-only contract must be re-checked here: a streaming
+    // upsert sink can rewrite rows just like a batch MERGE.
+    requireAppendable(spark, table, "MERGE (streaming txn)")
     // Check-then-act loop: on a commit conflict the merge's file-pruned
     // rewrite is stale (it was computed against the pre-conflict
     // snapshot), so unlike txnAppend the WHOLE merge recomputes from the
@@ -3091,6 +3115,9 @@ object GraftLog {
   def replaceWhere(df: DataFrame, table: String,
       predicate: Column): Long =
     {
+    // replaceWhere removes every row in the slice — an append-only
+    // table must refuse it like any other overwrite.
+    requireAppendable(df.sparkSession, table, "replaceWhere")
     val v = rebaseOnConflict(table, "replaceWhere") { () =>
       replaceWhereOnce(df, table, predicate)
     }
@@ -3599,6 +3626,9 @@ object GraftLog {
     * are re-attached so file skipping survives the restore. */
   def restore(spark: SparkSession, table: String, v: Long): Long =
       rebaseOnConflict(table, "restore") { () =>
+    // restore can remove rows appended after the target version —
+    // covered by the append-only contract like every destructive op.
+    requireAppendable(spark, table, "RESTORE")
     val vRead = latestVersion(spark, table)
     val (cur, _) = snapshot(spark, table)
     val (files, schema) = snapshot(spark, table, Some(v))

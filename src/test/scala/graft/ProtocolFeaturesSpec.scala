@@ -75,10 +75,14 @@ class ProtocolFeaturesSpec extends AnyFunSuite {
       GraftLog.append(df(5 until 6, "b"), t)
     }
     assert(ew.getMessage.contains("futureMagic"))
-    // time travel to a pre-feature version... also refused (feature
-    // state is CURRENT table state; partial readers are not safer)
-    // but the table becomes readable again once a future engine
-    // removes the feature — simulated by a manual unset commit
+    // the protocol resolves PER SNAPSHOT (Delta's contract): time
+    // travel to a version BEFORE the feature was enabled stays
+    // readable — the escape hatch the error message itself advises
+    assert(GraftLog.readVersion(spark, t, 0L).count() == 5)
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(t).count() == 5)
+    // and the table becomes readable at HEAD again once a future
+    // engine removes the feature — simulated by a manual unset commit
     val vs = GraftLog.versions(spark, t)
     val schemaDdl = GraftLog.snapshot(spark, t)._2.toDDL
       .replace("\"", "\\\"")

@@ -195,4 +195,17 @@ class RowTrackingSpec extends AnyFunSuite {
     // normal reads never see the machinery
     assert(!GraftLog.read(spark, t).columns.contains("_graft_row_id"))
   }
+
+  test("row tracking refuses partitioned layouts at enable time") {
+    val t = tmp()
+    GraftLog.overwritePartitioned(df(0 until 6, "a"), t, Seq("tag"))
+    // the partitioned compact/rewrite branches restage files without
+    // materializing ids — enabling tracking there would silently
+    // discard row identity later, so the enable itself must refuse
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.setProperties(spark, t,
+        Map("graft.enableRowTracking" -> "true"))
+    }
+    assert(e.getMessage.contains("partition"))
+  }
 }

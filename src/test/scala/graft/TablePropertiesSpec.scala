@@ -64,6 +64,18 @@ class TablePropertiesSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] {
       GraftLog.deleteVectors(spark, t, col("id") === 1)
     }
+    // replaceWhere removes the slice's rows — equally blocked
+    intercept[UnsupportedOperationException] {
+      GraftLog.replaceWhere(df(0 until 2, "r"), t, col("id") < 2)
+    }
+    // the streaming upsert sink path bypasses merge() — its own guard
+    intercept[UnsupportedOperationException] {
+      GraftLog.txnMerge(df(0 until 2, "s"), t, Seq("id"), "app", 0L)
+    }
+    // restore can drop post-restore appends — blocked too
+    intercept[UnsupportedOperationException] {
+      GraftLog.restore(spark, t, 0L)
+    }
     // nothing was lost while blocked
     assert(GraftLog.read(spark, t).count() == 12)
     // unset re-allows
