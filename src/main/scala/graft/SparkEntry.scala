@@ -80,6 +80,10 @@ object SparkEntry {
     // insert clause)
     "d11_merge_scd_closeout" ->
       ((s, d) => Ddl.graftSqlMergeScd(s, d)),
+    // conditional & multi-clause MERGE: ordered WHEN MATCHED AND cond
+    // clauses (first-match-wins), column-level UPDATE SET, INSERT *
+    "d21_merge_conditional" ->
+      ((s, d) => Ddl.graftSqlMergeConditional(s, d)),
     // wall-clock snapshot expiry (VACUUM … RETAIN n HOURS / Iceberg
     // expire_snapshots): live snapshot always pinned
     "d12_graft_sql_expire" ->
@@ -1376,6 +1380,22 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey,
         |  c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin,
+    // d21: replay of the clause cascade — matched EXPIRED keys
+    // (%3<>0 AND %7=0) deleted FIRST (clause order), matched changed
+    // balances (%3<>0 AND %5=0) updated to the bumped value, the
+    // target's own segment kept (column-level SET touches c_acctbal
+    // only), novel keys inserted verbatim
+    "d21_merge_conditional" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 3 <> 0 AND c_custkey % 5 = 0
+        |       THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 3 <> 0 AND c_custkey % 7 = 0)
+        |UNION ALL
+        |SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+        |  c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 100 = 2""".stripMargin,
     // d12: expiry is metadata-only — the live rows survive intact and
     // exactly one version remains addressable
     "d12_graft_sql_expire" ->

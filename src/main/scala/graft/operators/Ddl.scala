@@ -159,6 +159,58 @@ object Ddl {
   private val stagedSqlScd =
     new scala.collection.concurrent.TrieMap[String, String]
 
+  private val stagedSqlCond =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d21 — conditional & multi-clause SQL MERGE (the full Delta clause
+    * surface): the reference's change-detection upsert
+    * (`mage_demo/custom/increamental_dataload.py:49-53` updates only
+    * rows whose values actually changed) expressed as ONE statement —
+    * ordered `WHEN MATCHED AND …` clauses with first-match-wins
+    * (delete-if-expired beats update-if-changed), column-level
+    * `UPDATE SET c = expr`, and a trailing INSERT for novel keys.
+    * Scale shape: the source broadcasts once; matched-clause conditions
+    * join the touched-file probe, so files whose rows no clause changes
+    * never rewrite. */
+  def graftSqlMergeConditional(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val dir = stagedSqlCond.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_mcond_") + "/customer"
+      graft.sources.GraftLog.overwrite(
+        graft.sources.Sources.testTable(spark, sfDir, "customer"), d)
+      d
+    })
+    val tag = math.abs(sfDir.hashCode).toString.take(8)
+    val t = s"graft_mcond_cust_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$dir')")
+    val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+    // today's snapshot: keys %3<>0 — balances bumped where %5=0,
+    // segment EXPIRED where %7=0 — plus novel keys far above the space
+    val snap = cust.filter(col("c_custkey") % 3 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 500.0)
+          .otherwise(col("c_acctbal")))
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("EXPIRED"))
+          .otherwise(col("c_mktsegment")))
+    val novel = cust.filter(col("c_custkey") % 100 === 2)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+    snap.unionByName(novel)
+      .createOrReplaceTempView(s"graft_mcond_src_$tag")
+    spark.sql(
+      s"""MERGE INTO $t AS t USING graft_mcond_src_$tag AS s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED AND s.c_mktsegment = 'EXPIRED' THEN DELETE
+         |WHEN MATCHED AND s.c_acctbal <> t.c_acctbal
+         |  THEN UPDATE SET c_acctbal = s.c_acctbal
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.catalog.dropTempView(s"graft_mcond_src_$tag")
+    spark.table(t).select("c_custkey", "c_name",
+      "c_nationkey", "c_acctbal", "c_mktsegment")
+  }
+
   /** d11 — SQL MERGE with the SCD close-out clause (`WHEN NOT MATCHED BY
     * SOURCE THEN DELETE`), the full-snapshot-compare pattern of the
     * reference's SCD-2 ETL (`financial_dl_etl.py:59-77`): today's

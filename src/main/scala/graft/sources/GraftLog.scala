@@ -2831,6 +2831,323 @@ object GraftLog {
     v
   }
 
+  /** One `WHEN …` clause of a conditional / multi-clause MERGE (the
+    * full Delta MERGE surface [[mergeClauses]] executes). Conditions
+    * and set/value expressions reference the two sides through the
+    * FIXED aliases `t` (target) and `s` (source) — e.g.
+    * `expr("s.salary <> t.salary")` — the same contract as Delta's
+    * `whenMatched(condition)` builder with its implicit aliases. */
+  sealed trait MergeClause { def condition: Option[Column] }
+  object MergeClause {
+    /** `WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN UPDATE SET …`.
+      * Empty `sets` means `UPDATE SET *` (every non-key column copied
+      * from the source by name — only valid in the MATCHED family). */
+    final case class Update(condition: Option[Column] = None,
+        sets: Seq[(String, Column)] = Nil) extends MergeClause
+    /** `WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN DELETE`. */
+    final case class Delete(condition: Option[Column] = None)
+      extends MergeClause
+    /** `WHEN NOT MATCHED [AND cond] THEN INSERT …`. Empty `values`
+      * means `INSERT *`; explicit values may cover a subset of columns
+      * — the rest land as typed NULLs (Delta's contract). */
+    final case class Insert(condition: Option[Column] = None,
+        values: Seq[(String, Column)] = Nil) extends MergeClause
+  }
+
+  /** Conditional & multi-clause `MERGE INTO` — the full Delta clause
+    * surface: multiple ordered `WHEN MATCHED [AND cond]` clauses
+    * (FIRST-MATCH-WINS), column-level `UPDATE SET c = expr`, matched
+    * DELETE, multiple conditional `WHEN NOT MATCHED … INSERT` clauses,
+    * and conditional `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE.
+    * `keys` is the equi-join ON condition (same-named columns), the
+    * only ON shape whose file pruning this engine implements.
+    *
+    * Scale shape: the source is broadcast once; candidate target rows
+    * arrive via one inner/anti probe over column-pruned touched files;
+    * the clause cascade is a single codegen'd CASE projection (one
+    * `when` chain per output column), so N clauses cost zero extra
+    * joins or passes. Matched-clause CONDITIONS join the touched-file
+    * probe: a key-matching row satisfying no clause condition does not
+    * rewrite its file.
+    *
+    * Ambiguity contract (Delta's `MULTIPLE_SOURCE_ROW_MATCHING`): when
+    * matched clauses exist and ANY target row has >1 source row
+    * matching by key with ≥1 applicable clause, the merge throws —
+    * first-match-wins orders CLAUSES, never source rows. The check
+    * rides the touched-file probe job (no extra pass).
+    *
+    * Unsupported shapes fail loudly: column-mapped tables (compact
+    * first), identity columns (engine-allocated), DV-bearing snapshots
+    * (inherited from the rewrite contract). Non-identity GENERATED
+    * columns are recomputed from the post-cascade rows, so an update
+    * to a base column can never leave a stale derived value. */
+  def mergeClauses(source: DataFrame, table: String, keys: Seq[String],
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeClause.Insert] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil): Long = {
+    requireAppendable(source.sparkSession, table, "MERGE")
+    val v = rebaseOnConflict(table, "merge") { () =>
+      mergeClausesImpl(source, table, keys, matched, notMatched,
+        notMatchedBySource)
+    }
+    maybeBackfillAfterRewrite(source.sparkSession, table)
+    v
+  }
+
+  private def mergeClausesImpl(source: DataFrame, table: String,
+      keys: Seq[String], matched: Seq[MergeClause],
+      notMatched: Seq[MergeClause.Insert],
+      notMatchedBySource: Seq[MergeClause]): Long = {
+    import MergeClause._
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE needs at least one WHEN clause")
+    matched.foreach {
+      case _: Insert => throw new IllegalArgumentException(
+        "WHEN MATCHED cannot INSERT")
+      case _ => ()
+    }
+    notMatchedBySource.foreach {
+      case _: Insert => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE cannot INSERT")
+      case Update(_, sets) if sets.isEmpty =>
+        throw new IllegalArgumentException(
+          "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit SET " +
+            "assignments (there is no source row to copy * from)")
+      case _ => ()
+    }
+    val spark = source.sparkSession
+    val vRead = latestVersion(spark, table)
+    requireNoDvs(spark, table, "merge")
+    require(columnMapping(spark, table).isEmpty,
+      s"conditional MERGE into column-mapped $table is not supported; " +
+        "compact() to materialize the mapping first")
+    val gens = generatedColumns(spark, table)
+    require(!gens.values.exists(identityDef(_).isDefined),
+      s"MERGE into $table is not supported while it has a GENERATED " +
+        "ALWAYS AS IDENTITY column; append new rows instead")
+    val (files, schema) = snapshot(spark, table)
+    val partCols = layoutPartCols(files)
+    val fieldByName = schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val dataCols = schema.fieldNames.filterNot(c =>
+      keys.exists(_.equalsIgnoreCase(c)))
+
+    // normalize stars into explicit per-column assignments and verify
+    // every explicit target column exists
+    def checkTargets(sets: Seq[(String, Column)], what: String): Unit =
+      sets.foreach { case (c, _) =>
+        require(fieldByName.contains(c.toLowerCase),
+          s"$what assigns unknown column $c") }
+    val matchedN = matched.map {
+      case Update(c, Nil) =>
+        Update(c, dataCols.toSeq.map(n => n -> col(s"s.$n")))
+      case u @ Update(_, sets) => checkTargets(sets, "WHEN MATCHED"); u
+      case d: Delete => d
+      case i: Insert => i // unreachable (guarded above)
+    }
+    val bySourceN = notMatchedBySource.map {
+      case u @ Update(_, sets) =>
+        checkTargets(sets, "WHEN NOT MATCHED BY SOURCE"); u
+      case other => other
+    }
+    val insertsN = notMatched.map {
+      case Insert(c, Nil) =>
+        Insert(c, schema.fieldNames.toSeq.map(n => n -> col(s"s.$n")))
+      case i @ Insert(_, vals) =>
+        checkTargets(vals, "WHEN NOT MATCHED INSERT"); i
+    }
+
+    val srcA = source.alias("s")
+    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _)
+    def orConds(cs: Seq[MergeClause]): Column =
+      cs.map(_.condition.getOrElse(lit(true))).reduce(_ || _)
+
+    // ---- touched-file probe (+ the ambiguity counts, ONE job) ----
+    // matched side: inner join on keys; a file is touched iff it holds
+    // a row some clause CONDITION applies to (clause-driven pruning).
+    // The same aggregation yields the two multi-match counts: per
+    // target row, how many source rows match at all (__nAll) and how
+    // many with an applicable clause (__nApp).
+    val withFile = readSubset(spark, table, files, schema)
+      .withColumn("__gf_file", input_file_name())
+    val (touchedM, ambiguous, needDedup) =
+      if (matchedN.isEmpty) (Seq.empty[String], false, false)
+      else {
+        val pairs = withFile
+          .withColumn("__gf_rid", monotonically_increasing_id())
+          .alias("t")
+          .join(broadcast(srcA), joinCond, "inner")
+          .withColumn("__gf_app",
+            when(orConds(matchedN), lit(1)).otherwise(lit(0)))
+        val perFile = pairs
+          .groupBy(col("__gf_rid"), col("__gf_file"))
+          .agg(count(lit(1)).as("__nAll"), sum(col("__gf_app")).as("__nApp"))
+          .groupBy(col("__gf_file"))
+          .agg(max(col("__nApp")).as("__mxApp"),
+            max(col("__nAll")).as("__mxAll"))
+          .collect()
+        val touchedRels = perFile.filter(_.getLong(1) > 0L).flatMap(r =>
+          relPathOf(new java.net.URI(r.getString(0)).getPath)).toSet
+        (files.filter(f =>
+            relPathOf(absPath(table, f)).exists(touchedRels.contains)),
+         perFile.exists(_.getLong(1) > 1L),
+         // duplicate INAPPLICABLE matches inside a rewritten file would
+         // fan the left-outer join out — those rows need a dedup pass
+         perFile.exists(r => r.getLong(2) > 1L && relPathOf(
+           new java.net.URI(r.getString(0)).getPath)
+           .exists(touchedRels.contains)))
+      }
+    if (ambiguous) throw new IllegalStateException(
+      s"MERGE into $table: a target row matches multiple source rows " +
+        "with an applicable WHEN MATCHED clause — the result would be " +
+        "nondeterministic (first-match-wins orders clauses, not source " +
+        "rows); de-duplicate the source on the merge keys first")
+    // by-source side: anti join on keys filtered by the OR of clause
+    // conditions (they may reference the target only)
+    val touchedB =
+      if (bySourceN.isEmpty) Seq.empty[String]
+      else touchedFiles(spark, table, files, schema, df =>
+        df.alias("t")
+          .join(broadcast(source.select(keys.map(col): _*).distinct()
+            .alias("s")),
+            keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+            "left_anti")
+          .filter(orConds(bySourceN)))
+    val touched = (touchedM ++ touchedB).distinct
+
+    // ---- rewrite of touched files: one left-outer join + CASE cascade
+    val rewritten = if (touched.isEmpty) None else {
+      val tgt = readSubset(spark, table, touched, schema)
+        .withColumn("__gf_rid", monotonically_increasing_id()).alias("t")
+      val joined = tgt.join(broadcast(srcA), joinCond, "left_outer")
+      // equi-join: a matched row's source key is necessarily non-null
+      val isMatched = col(s"s.${keys.head}").isNotNull
+      // first-match-wins: index of the first applicable clause (0 = none)
+      def clauseIdx(cs: Seq[MergeClause], gate: Column): Column =
+        cs.zipWithIndex.foldRight(lit(0): Column) { case ((cl, i), acc) =>
+          when(gate && cl.condition.getOrElse(lit(true)), lit(i + 1))
+            .otherwise(acc)
+        }
+      val mIdx = clauseIdx(matchedN, isMatched)
+      val bIdx = clauseIdx(bySourceN, !isMatched)
+      val mDel = matchedN.zipWithIndex.collect {
+        case (_: Delete, i) => i + 1 }
+      val bDel = bySourceN.zipWithIndex.collect {
+        case (_: Delete, i) => i + 1 }
+      def survives(idx: Column, dels: Seq[Int]): Column =
+        if (dels.isEmpty) lit(true) else !idx.isin(dels.map(Int.box): _*)
+      val marked = joined
+        .withColumn("__gf_midx", mIdx).withColumn("__gf_bidx", bIdx)
+      // duplicate inapplicable matches fan a target row out through the
+      // left-outer join; the ambiguity gate guarantees ≤1 APPLICABLE
+      // source row per target row, so keeping the max-clause-index row
+      // per target row restores exactly-one-copy semantics. The window
+      // (a shuffle over touched rows) only enters the plan when the
+      // probe job actually saw a multi-match.
+      val deduped = if (!needDedup) marked else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__gf_rid"))
+          .orderBy(col("__gf_midx").desc)
+        marked.withColumn("__gf_rn", row_number().over(w))
+          .filter(col("__gf_rn") === 1).drop("__gf_rn")
+      }
+      val kept = deduped
+        .filter(survives(col("__gf_midx"), mDel) &&
+          survives(col("__gf_bidx"), bDel))
+      // per-column CASE over the clause index — one codegen'd chain
+      def valueOf(c: String): Column = {
+        val f = fieldByName(c.toLowerCase)
+        def chain(cs: Seq[MergeClause], idx: Column,
+            base: Column): Column =
+          cs.zipWithIndex.foldLeft(base) {
+            case (acc, (Update(_, sets), i)) =>
+              sets.collectFirst {
+                case (n, v) if n.equalsIgnoreCase(c) => v } match {
+                case Some(v) =>
+                  when(idx === lit(i + 1), v.cast(f.dataType))
+                    .otherwise(acc)
+                case None => acc
+              }
+            case (acc, _) => acc
+          }
+        chain(bySourceN, col("__gf_bidx"),
+          chain(matchedN, col("__gf_midx"), col(s"t.$c")))
+      }
+      Some(kept.select(schema.fieldNames.map(c =>
+        valueOf(c).as(c)): _*))
+    }
+
+    // ---- inserts: anti join against target keys. With UNCONDITIONAL
+    // matched clauses every key-matching file is touched, so the probe
+    // narrows to touched files (the legacy invariant); a CONDITIONAL
+    // matched clause can leave a key-matching file untouched, so the
+    // probe widens to all files — keys-only column pruning keeps it a
+    // narrow scan either way
+    val insertRows = if (insertsN.isEmpty) None else {
+      val probeFiles =
+        if (matchedN.nonEmpty && matchedN.forall(_.condition.isEmpty))
+          touched
+        else files
+      val targetKeys = readSubset(spark, table, probeFiles, schema)
+        .select(keys.map(col): _*)
+      val unmatched = srcA.join(targetKeys, keys.map(k =>
+        col(s"s.$k") === targetKeys(k)).reduce(_ && _), "left_anti")
+        .alias("s")
+      val iIdx = insertsN.zipWithIndex.foldRight(lit(0): Column) {
+        case ((cl, i), acc) =>
+          when(cl.condition.getOrElse(lit(true)), lit(i + 1))
+            .otherwise(acc)
+      }
+      def insValue(c: String): Column = {
+        val f = fieldByName(c.toLowerCase)
+        insertsN.zipWithIndex.foldLeft(
+            lit(null).cast(f.dataType): Column) {
+          case (acc, (Insert(_, vals), i)) =>
+            vals.collectFirst {
+              case (n, v) if n.equalsIgnoreCase(c) => v } match {
+              case Some(v) =>
+                when(col("__gf_iidx") === lit(i + 1), v.cast(f.dataType))
+                  .otherwise(acc)
+              case None => acc
+            }
+        }
+      }
+      Some(unmatched.withColumn("__gf_iidx", iIdx)
+        .filter(col("__gf_iidx") > 0)
+        .select(schema.fieldNames.map(c => insValue(c).as(c)): _*))
+    }
+
+    val combined = (rewritten, insertRows) match {
+      case (Some(u), Some(i)) => u.unionByName(i)
+      case (Some(u), None)    => u
+      case (None, Some(i))    => i
+      case (None, None)       => readSubset(spark, table, Seq.empty, schema)
+    }
+    // non-identity generated columns: recompute from the post-cascade
+    // row so derived values can never go stale behind an update
+    val genCols = gens.keys.toSeq
+      .filter(c => fieldByName.contains(c.toLowerCase))
+      .filterNot(c => identityDef(gens(c)).isDefined)
+    val regenerated =
+      if (genCols.isEmpty) combined
+      else applyGenerated(combined.drop(
+          genCols.map(c => fieldByName(c.toLowerCase).name): _*),
+        gens.filter(g => genCols.exists(_.equalsIgnoreCase(g._1))),
+        "merge").select(schema.fieldNames.map(col): _*)
+    enforceChecks(regenerated, checkConstraints(spark, table), "merge")
+    val s =
+      if (touched.isEmpty && insertRows.isEmpty)
+        Staged(Seq.empty, Map.empty, Map.empty)
+      else if (partCols.nonEmpty) stagePartitionedWithStats(
+        withHiddenPartCols(regenerated, partCols), table, partCols)
+      else stageWithStats(regenerated, table)
+    val v = vRead.map(_ + 1).getOrElse(0L)
+    writeCommit(spark, table, Commit(v, "merge", s.files, touched,
+      schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      sizes = s.sizes))
+    v
+  }
+
   /** Post-rewrite id assignment for ops that do not materialize
     * (MERGE / replaceWhere): a metadata-only backfill commit, skipped
     * when the table does not track rows or nothing needs ids. */

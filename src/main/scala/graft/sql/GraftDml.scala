@@ -891,38 +891,103 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case other =>
             fail(s"non-equality merge condition ${other.sql}")
         }
-        // actions: unconditional UPDATE SET * / INSERT * / DELETE only
-        // (the analyzer expands the stars into per-column assignments —
-        // verify each is a same-name copy). Each clause family is
-        // OPTIONAL (Delta semantics): present → routed, absent → false.
-        def starShaped(actions: Seq[MergeAction], what: String): Boolean =
+        // the LEGACY whole-star shape (single unconditional UPDATE SET *
+        // / INSERT * / DELETE per family) routes to GraftLog.merge,
+        // which supports autoMerge schema evolution; anything else —
+        // conditional clauses, multiple ordered clauses, column-level
+        // SET, matched DELETE — routes to the clause-cascade engine
+        // (GraftLog.mergeClauses), the full Delta MERGE surface.
+        def sameNameCopies(as: Seq[Assignment]): Boolean =
+          as.forall(a => attrName(a.key).zip(attrName(a.value))
+            .exists(p => p._1.equalsIgnoreCase(p._2)))
+        def legacyStar(actions: Seq[MergeAction]): Option[Boolean] =
           actions match {
-            case Seq() => false
-            case Seq(a: UpdateStarAction) if a.condition.isEmpty => true
-            case Seq(a: InsertStarAction) if a.condition.isEmpty => true
+            case Seq() => Some(false)
+            case Seq(a: UpdateStarAction) if a.condition.isEmpty =>
+              Some(true)
+            case Seq(a: InsertStarAction) if a.condition.isEmpty =>
+              Some(true)
             case Seq(a: UpdateAction) if a.condition.isEmpty &&
-              a.assignments.forall(as =>
-                attrName(as.key).zip(attrName(as.value))
-                  .exists(p => p._1.equalsIgnoreCase(p._2))) => true
+              sameNameCopies(a.assignments) => Some(true)
             case Seq(a: InsertAction) if a.condition.isEmpty &&
-              a.assignments.forall(as =>
-                attrName(as.key).zip(attrName(as.value))
-                  .exists(p => p._1.equalsIgnoreCase(p._2))) => true
-            case other => fail(s"unsupported WHEN $what shape $other " +
-              "(only unconditional UPDATE SET * / INSERT * are routed)")
+              sameNameCopies(a.assignments) => Some(true)
+            case _ => None
           }
-        val doUpdate = starShaped(m.matchedActions, "MATCHED")
-        val doInsert = starShaped(m.notMatchedActions, "NOT MATCHED")
-        val doDelete = m.notMatchedBySourceActions match {
-          case Seq() => false
-          case Seq(a: DeleteAction) if a.condition.isEmpty => true
-          case other => fail("unsupported WHEN NOT MATCHED BY SOURCE " +
-            s"shape $other (only unconditional DELETE is routed)")
+        val legacyDelete = m.notMatchedBySourceActions match {
+          case Seq() => Some(false)
+          case Seq(a: DeleteAction) if a.condition.isEmpty => Some(true)
+          case _ => None
         }
-        if (!doUpdate && !doInsert && !doDelete)
-          fail("MERGE needs at least one WHEN clause")
-        GraftMergeCommand(path, name, m.sourceTable, keys,
-          doUpdate, doInsert, doDelete)
+        (legacyStar(m.matchedActions), legacyStar(m.notMatchedActions),
+            legacyDelete) match {
+          case (Some(u), Some(i), Some(d)) =>
+            if (!u && !i && !d) fail("MERGE needs at least one WHEN clause")
+            GraftMergeCommand(path, name, m.sourceTable, keys, u, i, d)
+          case _ =>
+            // expression side-binding: resolved attributes belong to
+            // either the target or the source subplan — rewrite them to
+            // the FIXED t/s qualifiers mergeClauses resolves against
+            val tgtIds = m.targetTable.outputSet.map(_.exprId).toSet
+            val srcIds = m.sourceTable.outputSet.map(_.exprId).toSet
+            def sided(e: Expression): Column =
+              ColumnBridge.column(e.transform {
+                case a: AttributeReference if tgtIds.contains(a.exprId) =>
+                  UnresolvedAttribute(Seq("t", a.name))
+                case a: AttributeReference if srcIds.contains(a.exprId) =>
+                  UnresolvedAttribute(Seq("s", a.name))
+                case a: AttributeReference =>
+                  UnresolvedAttribute.quoted(a.name)
+              })
+            def sets(as: Seq[Assignment], what: String)
+                : Seq[(String, Column)] = as.map { a =>
+              attrName(a.key).getOrElse(fail(
+                s"unsupported $what assignment target ${a.key.sql}")) ->
+                sided(a.value)
+            }
+            import GraftLog.MergeClause
+            def matchedClause(a: MergeAction): MergeClause = a match {
+              case u: UpdateStarAction =>
+                MergeClause.Update(u.condition.map(sided), Nil)
+              case u: UpdateAction if sameNameCopies(u.assignments) &&
+                  u.assignments.nonEmpty =>
+                // an analyzer-expanded SET * — normalize back to star
+                MergeClause.Update(u.condition.map(sided), Nil)
+              case u: UpdateAction =>
+                MergeClause.Update(u.condition.map(sided),
+                  sets(u.assignments, "WHEN MATCHED UPDATE"))
+              case d: DeleteAction =>
+                MergeClause.Delete(d.condition.map(sided))
+              case other =>
+                fail(s"unsupported WHEN MATCHED action $other")
+            }
+            def insertClause(a: MergeAction): MergeClause.Insert =
+              a match {
+                case i: InsertStarAction =>
+                  MergeClause.Insert(i.condition.map(sided), Nil)
+                case i: InsertAction if sameNameCopies(i.assignments) &&
+                    i.assignments.nonEmpty =>
+                  MergeClause.Insert(i.condition.map(sided), Nil)
+                case i: InsertAction =>
+                  MergeClause.Insert(i.condition.map(sided),
+                    sets(i.assignments, "WHEN NOT MATCHED INSERT"))
+                case other =>
+                  fail(s"unsupported WHEN NOT MATCHED action $other")
+              }
+            def bySourceClause(a: MergeAction): MergeClause = a match {
+              case u: UpdateAction =>
+                MergeClause.Update(u.condition.map(sided),
+                  sets(u.assignments, "WHEN NOT MATCHED BY SOURCE UPDATE"))
+              case d: DeleteAction =>
+                MergeClause.Delete(d.condition.map(sided))
+              case other =>
+                fail(s"unsupported WHEN NOT MATCHED BY SOURCE action " +
+                  s"$other")
+            }
+            GraftMergeClausesCommand(path, name, m.sourceTable, keys,
+              m.matchedActions.map(matchedClause),
+              m.notMatchedActions.map(insertClause),
+              m.notMatchedBySourceActions.map(bySourceClause))
+        }
       }
 
     case _ => plan
@@ -1044,6 +1109,23 @@ case class GraftMergeCommand(path: String, table: Option[String],
     GraftLog.merge(StreamBatch.ofPlan(session, source), path, keys,
       updateMatched, insertUnmatched, deleteUnmatchedBySource,
       mergeSchema = autoMerge)
+    RefreshAfterDml(session, path, table)
+    Seq.empty
+  }
+}
+
+/** Conditional / multi-clause `MERGE INTO` (see the GraftDmlRule case):
+  * the clause lists arrive pre-translated into the t/s-qualified
+  * [[GraftLog.MergeClause]] forms the cascade engine resolves. */
+case class GraftMergeClausesCommand(path: String, table: Option[String],
+    source: LogicalPlan, keys: Seq[String],
+    matched: Seq[GraftLog.MergeClause],
+    notMatched: Seq[GraftLog.MergeClause.Insert],
+    notMatchedBySource: Seq[GraftLog.MergeClause])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.mergeClauses(StreamBatch.ofPlan(session, source), path,
+      keys, matched, notMatched, notMatchedBySource)
     RefreshAfterDml(session, path, table)
     Seq.empty
   }

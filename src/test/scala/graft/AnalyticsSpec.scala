@@ -540,14 +540,6 @@ class AnalyticsSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE dml_strict_t USING graft OPTIONS (path '$d')")
     Sources.testTable(spark, TestSpark.sf, "customer").limit(5)
       .createOrReplaceTempView("dml_strict_src")
-    // conditional matched action is not routed
-    intercept[UnsupportedOperationException] {
-      spark.sql(
-        """MERGE INTO dml_strict_t t USING dml_strict_src s
-          |ON t.c_custkey = s.c_custkey
-          |WHEN MATCHED AND s.c_acctbal > 0 THEN UPDATE SET *
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
     // non-equi merge condition is not routed
     intercept[UnsupportedOperationException] {
       spark.sql(

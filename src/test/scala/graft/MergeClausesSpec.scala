@@ -1,0 +1,256 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, expr, lit}
+import graft.sources.GraftLog
+import graft.sources.GraftLog.MergeClause.{Delete, Insert, Update}
+
+/** Conditional & multi-clause MERGE (the full Delta clause surface):
+  * ordered WHEN MATCHED [AND cond] clauses with first-match-wins,
+  * column-level UPDATE SET, matched DELETE, conditional INSERT
+  * cascades, conditional NOT MATCHED BY SOURCE, the multiple-source-
+  * row ambiguity contract, and clause-condition-driven file pruning. */
+class MergeClausesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    graft.sources.Staging.tempDir("graft_mclause_spec_") + "/t"
+
+  private def people(rows: (Long, String, Double, String)*) =
+    rows.toDF("id", "name", "salary", "status")
+
+  private def readMap(t: String): Map[Long, (String, Double, String)] =
+    GraftLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        r.getString(3)))).toMap
+
+  test("update-if-changed + delete-if-expired, two ordered clauses") {
+    val t = tmp()
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "active"),
+      (3L, "cya", 300.0, "active"),
+      (4L, "dee", 400.0, "active")), t)
+    // source: 1 unchanged, 2 changed salary, 3 expired, 5 novel
+    val src = people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 250.0, "active"),
+      (3L, "cya", 300.0, "expired"),
+      (5L, "eve", 500.0, "active"))
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      matched = Seq(
+        Delete(Some(expr("s.status = 'expired'"))),
+        Update(Some(expr("s.salary <> t.salary")),
+          Seq("salary" -> col("s.salary")))),
+      notMatched = Seq(Insert()))
+    val m = readMap(t)
+    assert(m(1L) == (("ann", 100.0, "active")), "unchanged row untouched")
+    assert(m(2L) == (("bob", 250.0, "active")), "changed row updated")
+    assert(!m.contains(3L), "expired row deleted")
+    assert(m(4L) == (("dee", 400.0, "active")), "absent-from-source kept")
+    assert(m(5L) == (("eve", 500.0, "active")), "novel row inserted")
+  }
+
+  test("first-match-wins orders clauses, not conditions") {
+    val t = tmp()
+    GraftLog.overwrite(people((1L, "ann", 100.0, "active")), t)
+    val src = people((1L, "ann", 999.0, "x"))
+    // both clauses applicable: the FIRST (tagging) one must win
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      matched = Seq(
+        Update(None, Seq("status" -> lit("first"))),
+        Update(None, Seq("status" -> lit("second"),
+          "salary" -> col("s.salary")))))
+    val m = readMap(t)
+    assert(m(1L) == (("ann", 100.0, "first")),
+      s"first clause must win and later clauses must not leak: $m")
+  }
+
+  test("conditional insert cascade; unset columns become typed NULLs") {
+    val t = tmp()
+    GraftLog.overwrite(people((1L, "ann", 100.0, "active")), t)
+    val src = people(
+      (10L, "big", 9000.0, "n"),
+      (11L, "sml", 10.0, "n"),
+      (12L, "mid", 500.0, "skip-me"))
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      notMatched = Seq(
+        Insert(Some(expr("s.salary >= 1000")),
+          Seq("id" -> col("s.id"), "name" -> col("s.name"),
+            "salary" -> col("s.salary"), "status" -> lit("vip"))),
+        Insert(Some(expr("s.salary < 100")),
+          Seq("id" -> col("s.id"), "name" -> col("s.name")))))
+    val rows = GraftLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(10L).getString(3) == "vip")
+    assert(rows(11L).isNullAt(2) && rows(11L).isNullAt(3),
+      "subset INSERT leaves unset columns NULL")
+    assert(!rows.contains(12L), "row matching no insert clause skipped")
+    assert(rows(1L).getString(1) == "ann")
+  }
+
+  test("NOT MATCHED BY SOURCE: conditional update and delete") {
+    val t = tmp()
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "active"),
+      (3L, "cya", 300.0, "stale")), t)
+    val src = people((1L, "ann", 100.0, "active"))
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      notMatchedBySource = Seq(
+        Delete(Some(expr("t.status = 'stale'"))),
+        Update(None, Seq("status" -> lit("orphaned")))))
+    val m = readMap(t)
+    assert(m(1L)._3 == "active", "matched row untouched (no matched clause)")
+    assert(m(2L)._3 == "orphaned", "unmatched non-stale row tagged")
+    assert(!m.contains(3L), "stale unmatched row deleted")
+  }
+
+  test("multiple applicable source rows for one target row throw") {
+    val t = tmp()
+    GraftLog.overwrite(people((1L, "ann", 100.0, "active")), t)
+    val src = people((1L, "x", 1.0, "a"), (1L, "y", 2.0, "b"))
+    val e = intercept[IllegalStateException] {
+      GraftLog.mergeClauses(src, t, Seq("id"),
+        matched = Seq(Update(None, Seq("salary" -> col("s.salary")))))
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
+  test("duplicate INAPPLICABLE matches keep exactly one target copy") {
+    val t = tmp()
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "active")), t)
+    // two source rows match id=1 but neither satisfies the condition;
+    // one source row matches id=2 and does — id=2's file rewrites, and
+    // id=1 must come through as exactly ONE untouched copy
+    val src = people(
+      (1L, "x", 100.0, "noop"), (1L, "y", 100.0, "noop"),
+      (2L, "bob", 999.0, "up"))
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      matched = Seq(Update(Some(expr("s.salary <> t.salary")),
+        Seq("salary" -> col("s.salary")))))
+    val rows = GraftLog.read(spark, t).collect()
+    assert(rows.length == 2, s"no fan-out: ${rows.mkString(",")}")
+    val m = readMap(t)
+    assert(m(1L) == (("ann", 100.0, "active")))
+    assert(m(2L)._2 == 999.0)
+  }
+
+  test("clause conditions prune the touched-file probe") {
+    val t = tmp()
+    // two single-row commits → two files
+    GraftLog.overwrite(people((1L, "ann", 100.0, "active")), t)
+    GraftLog.append(people((2L, "bob", 200.0, "active")), t)
+    // both keys match, but the condition only applies to id=2 —
+    // id=1's file must NOT rewrite
+    val src = people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 999.0, "active"))
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      matched = Seq(Update(Some(expr("s.salary <> t.salary")),
+        Seq("salary" -> col("s.salary")))))
+    val removed = GraftLog.history(spark, t)
+      .filter(col("operation") === "merge")
+      .select("n_removed_files").collect().head.getInt(0)
+    assert(removed == 1,
+      s"only the file holding the condition-hit row rewrites, got $removed")
+    assert(readMap(t)(1L)._2 == 100.0)
+    assert(readMap(t)(2L)._2 == 999.0)
+  }
+
+  test("partitioned layout: rewrite keeps the hive layout") {
+    val t = tmp()
+    GraftLog.overwritePartitioned(people(
+      (1L, "ann", 100.0, "a"),
+      (2L, "bob", 200.0, "b"),
+      (3L, "cya", 300.0, "b")), t, Seq("status"))
+    val src = people((2L, "bob", 999.0, "b"), (4L, "dee", 400.0, "c"))
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      matched = Seq(Update(Some(expr("s.salary <> t.salary")),
+        Seq("salary" -> col("s.salary")))),
+      notMatched = Seq(Insert()))
+    val m = readMap2(t)
+    assert(m(2L)._2 == 999.0 && m(4L)._3 == "c" && m.size == 4)
+    // layout preserved: partition values still resolve through the index
+    val parts = GraftLog.read(spark, t)
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(parts == Set("a", "b", "c"))
+  }
+
+  private def readMap2(t: String): Map[Long, (String, Double, String)] = {
+    val cols = GraftLog.read(spark, t)
+      .select("id", "name", "salary", "status").collect()
+    cols.map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+      r.getString(3)))).toMap
+  }
+
+  test("SQL: two-clause conditional MERGE routes through the cascade") {
+    val t = tmp()
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "active"),
+      (3L, "cya", 300.0, "active")), t)
+    spark.sql("DROP TABLE IF EXISTS mclause_sql_t")
+    spark.sql(s"CREATE TABLE mclause_sql_t USING graft OPTIONS (path '$t')")
+    people((1L, "ann", 100.0, "active"), (2L, "bob", 999.0, "active"),
+      (3L, "cya", 300.0, "expired"), (9L, "zed", 50.0, "active"))
+      .createOrReplaceTempView("mclause_sql_src")
+    spark.sql(
+      """MERGE INTO mclause_sql_t t USING mclause_sql_src s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.status = 'expired' THEN DELETE
+        |WHEN MATCHED AND s.salary <> t.salary
+        |  THEN UPDATE SET salary = s.salary
+        |WHEN NOT MATCHED AND s.salary < 100
+        |  THEN INSERT (id, name, salary, status)
+        |       VALUES (s.id, s.name, s.salary, 'junior')""".stripMargin)
+    val m = readMap(t)
+    assert(m(1L)._2 == 100.0)
+    assert(m(2L)._2 == 999.0)
+    assert(!m.contains(3L))
+    assert(m(9L) == (("zed", 50.0, "junior")))
+    spark.sql("DROP TABLE mclause_sql_t")
+    spark.catalog.dropTempView("mclause_sql_src")
+  }
+
+  test("SQL: conditional NOT MATCHED BY SOURCE clauses route too") {
+    val t = tmp()
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "stale"),
+      (3L, "cya", 300.0, "active")), t)
+    spark.sql("DROP TABLE IF EXISTS mclause_sql_b")
+    spark.sql(s"CREATE TABLE mclause_sql_b USING graft OPTIONS (path '$t')")
+    people((1L, "ann", 100.0, "active"))
+      .createOrReplaceTempView("mclause_sql_bsrc")
+    spark.sql(
+      """MERGE INTO mclause_sql_b t USING mclause_sql_bsrc s
+        |ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE AND t.status = 'stale' THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'orphaned'
+        |""".stripMargin)
+    val m = readMap(t)
+    assert(m(1L)._3 == "active" && !m.contains(2L) &&
+      m(3L)._3 == "orphaned")
+    spark.sql("DROP TABLE mclause_sql_b")
+    spark.catalog.dropTempView("mclause_sql_bsrc")
+  }
+
+  test("generated columns recompute behind a column-level update") {
+    val t = tmp()
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
+    GraftLog.createGenerated(base, t,
+      Map("doubled" -> "amount * 2"), Seq.empty)
+    val src = Seq((1L, 50.0)).toDF("id", "amount")
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      matched = Seq(Update(None, Seq("amount" -> col("s.amount")))))
+    val m = GraftLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) == 100.0,
+      s"derived column must recompute from the updated base: $m")
+    assert(m(2L) == 40.0)
+  }
+}
