@@ -615,18 +615,28 @@ object GraftLog {
     * driver-resident metadata footprint Delta accepts — but no longer
     * parses one monolithic JSON string for it. */
   private def readCheckpointParquet(spark: SparkSession, table: String,
-      v: Long): Option[Commit] = {
+      v: Long, withStats: Boolean = true): Option[Commit] = {
     val dir = new HPath(new HPath(table, LogDirName), ckptParquetName(v))
     if (!fs(spark, table).exists(dir)) return None
     val raw = spark.read.parquet(dir.toString)
     // reader compat: checkpoints written before a meta field existed
     // lack its column — surface it as null rather than failing the scan
-    val df = Seq("generated", "props").foldLeft(raw) { (d, c) =>
+    val compat = Seq("generated", "props").foldLeft(raw) { (d, c) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c,
         org.apache.spark.sql.functions.lit(null)
           .cast(MapType(StringType, StringType)))
     }
+    // LIGHT decode: the two per-file map columns (stats, blooms) are
+    // the bulk of a large table's checkpoint — column pruning keeps
+    // them out of both the scan and the driver fold
+    val df = if (withStats) compat else compat
+      .withColumn("stats", org.apache.spark.sql.functions.lit(null)
+        .cast(MapType(StringType,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      .withColumn("blooms", org.apache.spark.sql.functions.lit(null)
+        .cast(MapType(StringType, StringType)))
     val rows = df
       .as(org.apache.spark.sql.Encoders.product[CkptRow]).collect()
     val meta = rows.find(_.kind == "meta").getOrElse(
@@ -652,6 +662,75 @@ object GraftLog {
       props = meta.props.getOrElse(Map.empty)))
   }
 
+  /** The live add-set at `asOf` as a DISTRIBUTED DataFrame
+    * `(path, size, stats, blooms)` — the scan-planning form: the bulk
+    * of the set (the newest subsumed columnar checkpoint) stays a
+    * parquet scan that never materializes per-file stats on the
+    * driver; only the commit TAIL after the checkpoint (bounded by the
+    * checkpoint cadence) is folded driver-side and unioned in, with
+    * checkpoint files removed since excluded by an anti-join against
+    * the (small, broadcast) tail-remove set. None when no columnar
+    * checkpoint covers the version — callers fall back to the
+    * driver-map path. */
+  private[sources] def liveAddsFrame(spark: SparkSession, table: String,
+      asOf: Option[Long]): Option[DataFrame] = {
+    val all = versions(spark, table)
+    if (all.isEmpty) return None
+    val upTo = asOf match {
+      case Some(v) => all.filter(_ <= v)
+      case None => all
+    }
+    if (upTo.isEmpty) return None
+    val cks = checkpointVersions(spark, table).filter(_ <= upTo.last)
+    if (cks.isEmpty) return None
+    val cv = cks.last
+    val dir = new HPath(new HPath(table, LogDirName), ckptParquetName(cv))
+    if (!fs(spark, table).exists(dir)) return None
+    // tail fold (driver, checkpoint-cadence-bounded): net adds and the
+    // set of checkpoint files removed since
+    val removed = mutable.LinkedHashSet.empty[String]
+    val tailAdds = mutable.LinkedHashMap.empty[String,
+      (Option[Long], Map[String, (Double, Double)], Map[String, String])]
+    upTo.filter(_ > cv).foreach { v =>
+      val c = readCommit(spark, table, v)
+      c.remove.foreach { f => tailAdds -= f; removed += f }
+      c.add.foreach { f =>
+        removed -= f
+        tailAdds += f -> ((c.sizes.get(f),
+          c.stats.getOrElse(f, Map.empty), c.blooms.getOrElse(f, Map.empty)))
+      }
+    }
+    val statsArr = (m: Map[String, (Double, Double)]) =>
+      if (m.isEmpty) null
+      else m.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }
+    import spark.implicits._
+    val ckptAdds = spark.read.parquet(dir.toString)
+      .filter(col("kind") === "add")
+      .select(col("path"), col("size"),
+        col("stats").cast(MapType(StringType,
+          ArrayType(org.apache.spark.sql.types.DoubleType))),
+        col("blooms"))
+    // tail-net-adds replace same-path checkpoint rows (restore re-adds
+    // old paths with fresh stats); broadcast anti-join keeps the
+    // exclusion scalable however large the tail overwrite was
+    val excl = (removed ++ tailAdds.keys).toSeq
+    val ckptKept =
+      if (excl.isEmpty) ckptAdds
+      else ckptAdds.join(broadcast(excl.toDF("path")), Seq("path"),
+        "left_anti")
+    val tailDf = tailAdds.toSeq.map { case (f, (sz, st, bl)) =>
+      (f, sz.getOrElse(-1L), Option(statsArr(st)),
+        if (bl.isEmpty) None else Some(bl))
+    }.toDF("path", "size", "stats", "blooms")
+      .select(col("path"),
+        when(col("size") < 0, lit(null)).otherwise(col("size"))
+          .cast("long").as("size"),
+        col("stats").cast(MapType(StringType,
+          ArrayType(org.apache.spark.sql.types.DoubleType))),
+        col("blooms").cast(MapType(StringType, StringType)))
+    Some(ckptKept.unionByName(tailDf))
+  }
+
   /** Versions with a checkpoint file, ascending. */
   def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = new HPath(table, LogDirName)
@@ -673,8 +752,15 @@ object GraftLog {
   private val ckptCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long, Boolean), Commit]()
 
+  /** Stats-free decodes of the columnar checkpoint (membership /
+    * schema / sizes / dvs / txns / meta, NO per-file stats or bloom
+    * maps) — the snapshot-planning fast path. Same immutability
+    * argument as [[ckptCache]]. */
+  private val ckptLightCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Boolean), Commit]()
+
   private def readCheckpoint(spark: SparkSession, table: String,
-      v: Long): Commit = {
+      v: Long, withStats: Boolean = true): Commit = {
     val logDir = new HPath(table, LogDirName)
     val f = fs(spark, table)
     val mod =
@@ -682,7 +768,26 @@ object GraftLog {
         .getModificationTime
       catch { case _: java.io.IOException => -1L }
     val hasParquet = f.exists(new HPath(logDir, ckptParquetName(v)))
-    val key = (table, v, mod, hasParquet)
+    // the FULL decode (stats + blooms folded into the driver Commit)
+    // answers any request; a LIGHT request (membership/schema/sizes
+    // only — the snapshot/planning path) decodes without the two
+    // per-file map columns, keeping scan PLANNING metadata off the
+    // driver until something (fileStats, the driver-side pruning
+    // fallback) actually demands it
+    val fullKey = (table, v, mod, hasParquet)
+    val lightKey = fullKey
+    val cachedFull = Option(ckptCache.get(fullKey))
+    if (cachedFull.isDefined) return cachedFull.get
+    if (!withStats && hasParquet) {
+      return Option(ckptLightCache.get(lightKey)).getOrElse {
+        val c = readCheckpointParquet(spark, table, v,
+          withStats = false).get
+        if (ckptLightCache.size > 256) ckptLightCache.clear()
+        ckptLightCache.put(lightKey, c)
+        c
+      }
+    }
+    val key = fullKey
     Option(ckptCache.get(key)).getOrElse {
       val c =
         if (hasParquet) readCheckpointParquet(spark, table, v).get
@@ -750,7 +855,8 @@ object GraftLog {
     * versions are documented as not time-travelable — see [[vacuum]]);
     * silently answering from the surviving state would misattribute a
     * later snapshot to the requested version. */
-  private def replay(spark: SparkSession, table: String, asOf: Option[Long])
+  private def replay(spark: SparkSession, table: String, asOf: Option[Long],
+      withStats: Boolean = true)
       : (mutable.LinkedHashMap[String, Map[String, (Double, Double)]],
          StructType, mutable.Map[String, Long],
          mutable.LinkedHashSet[String],
@@ -787,7 +893,7 @@ object GraftLog {
     val start: Long = checkpointVersions(spark, table)
       .filter(cv => upTo.nonEmpty && cv <= upTo.last) match {
       case cks if cks.nonEmpty =>
-        fold(readCheckpoint(spark, table, cks.last))
+        fold(readCheckpoint(spark, table, cks.last, withStats))
         cks.last
       case _ => -1L
     }
@@ -801,7 +907,8 @@ object GraftLog {
       asOf: Option[Long] = None): (Seq[String], StructType) = {
     require(versions(spark, table).nonEmpty,
       s"$table is not a GraftLog table (no $LogDirName)")
-    val (live, schema, _, _, _, _) = replay(spark, table, asOf)
+    val (live, schema, _, _, _, _) = replay(spark, table, asOf,
+      withStats = false)
     (live.keys.toSeq, schema)
   }
 
@@ -815,7 +922,7 @@ object GraftLog {
   def columnMapping(spark: SparkSession, table: String,
       asOf: Option[Long] = None): Map[String, String] =
     if (versions(spark, table).isEmpty) Map.empty
-    else replay(spark, table, asOf)._6
+    else replay(spark, table, asOf, withStats = false)._6
 
   /** The user-visible schema: physical fields renamed through the
     * mapping, retired markers excluded. */
@@ -858,7 +965,7 @@ object GraftLog {
   def fileSizes(spark: SparkSession, table: String,
       asOf: Option[Long] = None): Map[String, Long] = {
     if (versions(spark, table).isEmpty) Map.empty
-    else replay(spark, table, asOf)._3.toMap
+    else replay(spark, table, asOf, withStats = false)._3.toMap
   }
 
   /** Deletion-vector sidecar files active in the snapshot (relative
@@ -866,7 +973,7 @@ object GraftLog {
   def deletionVectors(spark: SparkSession, table: String,
       asOf: Option[Long] = None): Seq[String] = {
     if (versions(spark, table).isEmpty) Seq.empty
-    else replay(spark, table, asOf)._4.toSeq
+    else replay(spark, table, asOf, withStats = false)._4.toSeq
   }
 
   /** Per-file Bloom bitmaps (column → base64 bitset) of the live files —

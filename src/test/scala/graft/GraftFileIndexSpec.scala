@@ -871,4 +871,48 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(GraftLog.readVersion(spark, t, 0L).count() ==
       cust.filter(col("c_custkey") < 30).count())
   }
+
+  test("distributed scan planning equals the driver path exactly") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_distplan"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    // range-clustered + bloom-indexed files so BOTH pruning mechanisms
+    // are exercised, then a checkpoint (the distributed frame's base)
+    // and a tail: one append (no checkpoint) and one delete (removes
+    // checkpoint files) — the exact shape liveAddsFrame must fold
+    GraftLog.overwriteIndexed(
+      cust.repartitionByRange(8, col("c_custkey")), d, Seq("c_name"))
+    GraftLog.checkpoint(spark, d)
+    GraftLog.append(cust.filter(col("c_custkey") <= 3)
+      .withColumn("c_custkey", col("c_custkey") + 100000L), d)
+    GraftLog.delete(spark, d, col("c_custkey") % 97 === 5)
+    val probe = cust.filter(col("c_custkey") === 7)
+      .select("c_name").collect().head.getString(0)
+    val preds = Seq(
+      col("c_custkey") >= 10 && col("c_custkey") <= 40,
+      col("c_custkey") <= 5 || col("c_custkey") >= 140,
+      col("c_name") === probe,
+      col("c_custkey") > 100000L,
+      col("c_acctbal").isNotNull)
+    for (p <- preds) {
+      def run(mode: String): (Long, Seq[org.apache.spark.sql.Row]) = {
+        spark.conf.set("spark.graft.planning.distributed", mode)
+        try {
+          val q = spark.read.format("graft").load(d).filter(p)
+          val rows = q.collect().toSeq
+          (scanOf(q).metrics("numFiles").value, rows)
+        } finally spark.conf.unset("spark.graft.planning.distributed")
+      }
+      val (nDriver, rowsDriver) = run("false")
+      val (nDist, rowsDist) = run("true")
+      assert(nDist == nDriver,
+        s"pruned file count must match for $p: driver=$nDriver " +
+          s"distributed=$nDist")
+      assert(rowsDist.toSet == rowsDriver.toSet,
+        s"rows must match for $p")
+    }
+    // default 'auto' mode stays on the driver path at sandbox file
+    // counts (threshold 100k) — no planning job on small tables
+    assert(spark.conf.get("spark.graft.planning.distributed", "auto")
+      == "auto")
+  }
 }
