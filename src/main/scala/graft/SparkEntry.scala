@@ -456,6 +456,10 @@ object SparkEntry {
     // startingVersion/endingVersion, rows stamped _commit_version
     "t27_cdf_batch_read" ->
       ((s, d) => Transactions.cdfBatchRead(s, d)),
+    // SQL CDF surface: the table_changes TVF over a MERGE + DV-delete
+    // history (keys from TBLPROPERTIES, four-class, version-stamped)
+    "d22_table_changes" ->
+      ((s, d) => Transactions.tableChangesTvf(s, d)),
   )
 
   /** The IVF oracle shared by f3 (build-per-run) and f10 (persisted
@@ -930,6 +934,73 @@ object SparkEntry {
          |)
          |SELECT * FROM ins UNION ALL SELECT * FROM pre
          |UNION ALL SELECT * FROM post""".stripMargin,
+    // d22: full TVF replay — v0 = every base row as insert; v1 = the
+    // merge diff (novel inserts + pre/post images of value-changed
+    // matched keys); v2 = the DV delete of %10=0 keys evaluated
+    // against the POST-MERGE state (matched keys carry inc values)
+    "d22_table_changes" ->
+      s"""WITH $incCte,
+         |v0 AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         |    c_mktsegment, 'insert' AS _change_type,
+         |    CAST(0 AS BIGINT) AS _commit_version
+         |  FROM customer
+         |), ins AS (
+         |  SELECT inc_custkey AS c_custkey, inc_name AS c_name,
+         |    inc_nationkey AS c_nationkey, inc_acctbal AS c_acctbal,
+         |    inc_mktsegment AS c_mktsegment, 'insert' AS _change_type,
+         |    CAST(1 AS BIGINT) AS _commit_version
+         |  FROM inc
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer b
+         |                    WHERE b.c_custkey = inc.inc_custkey)
+         |), changed AS (
+         |  SELECT b.c_custkey,
+         |    b.c_name AS old_name, b.c_nationkey AS old_nationkey,
+         |    b.c_acctbal AS old_acctbal,
+         |    b.c_mktsegment AS old_mktsegment,
+         |    inc_name, inc_nationkey, inc_acctbal, inc_mktsegment
+         |  FROM customer b JOIN inc ON b.c_custkey = inc.inc_custkey
+         |  WHERE b.c_acctbal != inc.inc_acctbal
+         |     OR b.c_name != inc.inc_name
+         |     OR b.c_nationkey != inc.inc_nationkey
+         |     OR b.c_mktsegment != inc.inc_mktsegment
+         |), pre AS (
+         |  SELECT c_custkey, old_name AS c_name,
+         |    old_nationkey AS c_nationkey, old_acctbal AS c_acctbal,
+         |    old_mktsegment AS c_mktsegment,
+         |    'update_preimage' AS _change_type,
+         |    CAST(1 AS BIGINT) AS _commit_version
+         |  FROM changed
+         |), post AS (
+         |  SELECT c_custkey, inc_name AS c_name,
+         |    inc_nationkey AS c_nationkey, inc_acctbal AS c_acctbal,
+         |    inc_mktsegment AS c_mktsegment,
+         |    'update_postimage' AS _change_type,
+         |    CAST(1 AS BIGINT) AS _commit_version
+         |  FROM changed
+         |), state1 AS (
+         |  SELECT b.c_custkey,
+         |    COALESCE(i.inc_name, b.c_name) AS c_name,
+         |    COALESCE(i.inc_nationkey, b.c_nationkey) AS c_nationkey,
+         |    COALESCE(i.inc_acctbal, b.c_acctbal) AS c_acctbal,
+         |    COALESCE(i.inc_mktsegment, b.c_mktsegment) AS c_mktsegment
+         |  FROM customer b LEFT JOIN inc i
+         |    ON b.c_custkey = i.inc_custkey
+         |  UNION ALL
+         |  SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal,
+         |    inc_mktsegment
+         |  FROM inc
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer b
+         |                    WHERE b.c_custkey = inc.inc_custkey)
+         |), del AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         |    c_mktsegment, 'delete' AS _change_type,
+         |    CAST(2 AS BIGINT) AS _commit_version
+         |  FROM state1 WHERE c_custkey % 10 = 0
+         |)
+         |SELECT * FROM v0 UNION ALL SELECT * FROM ins
+         |UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM post
+         |UNION ALL SELECT * FROM del""".stripMargin,
     // f7: product quantization — codebooks, per-subspace argmin encoding,
     // and the query distance tables are all IEEE doubles with the
     // identical expression tree (strict-fold dot of the componentwise

@@ -692,6 +692,46 @@ object Transactions {
       .option("endingVersion", "1")
       .load(mergeTable(spark, sfDir))
 
+  private val stagedTvf =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** d22 table: overwrite (v0) → MERGE (v1) → DV delete (v2) →
+    * `graft.cdf.keys` property (v3) — the history the TVF reads. */
+  private def tvfTable(spark: SparkSession, sfDir: String): String =
+    stagedTvf.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_txn_") +
+        "/customer_tvf"
+      GraftLog.overwrite(Sources.testTable(spark, sfDir, "customer"), dir)
+      val batch = Incremental.incrementalBatch(spark, sfDir).select(
+        col("inc_custkey").as("c_custkey"),
+        col("inc_name").as("c_name"),
+        col("inc_nationkey").as("c_nationkey"),
+        col("inc_acctbal").as("c_acctbal"),
+        col("inc_mktsegment").as("c_mktsegment"))
+      GraftLog.merge(batch, dir, Seq("c_custkey"))
+      GraftLog.deleteVectors(spark, dir, col("c_custkey") % 10 === 0)
+      // the TVF reads its classification keys from the table itself —
+      // set once, log-carried (the delta.enableChangeDataFeed pattern)
+      GraftLog.setProperties(spark, dir,
+        Map("graft.cdf.keys" -> "c_custkey"))
+      dir
+    })
+
+  /** d22 — the analyst-facing SQL CDF surface: `SELECT … FROM
+    * table_changes('t', 0, 2)` across an overwrite + MERGE + DV-delete
+    * history, four-class contract
+    * (insert/update_preimage/update_postimage/delete) with
+    * `_commit_version` attribution. The TVF is registered by the
+    * session extension exactly the way Delta registers its own; each
+    * version's rows come from the FILE-BOUNDED per-commit diff
+    * (changesAt), never a whole-snapshot pass per version. */
+  def tableChangesTvf(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         |  c_mktsegment, _change_type, _commit_version
+         |FROM table_changes('${tvfTable(spark, sfDir)}', 0, 2)"""
+        .stripMargin)
+
   private val stagedSkip =
     new scala.collection.concurrent.TrieMap[String, String]
 

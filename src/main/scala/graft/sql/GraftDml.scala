@@ -41,6 +41,90 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // the Delta `table_changes` TVF surface, registered the way Delta
+    // registers its own (injectTableFunction from the session
+    // extension): SELECT * FROM table_changes('t', 1[, 5])
+    Seq("table_changes", "table_changes_by_path").foreach { nm =>
+      ext.injectTableFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(nm),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftSparkSessionExtension].getName, nm),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          => GraftTableChangesTvf.build(args)))
+    }
+  }
+}
+
+/** `table_changes('tableOrPath', start[, end])` — the analyst-facing
+  * SQL CDF surface (Delta's TVF of the same name). Bounds are commit
+  * versions (integers) or timestamp strings — the start bound follows
+  * the changes-since rule (earliest commit at-or-after), the end bound
+  * the as-of rule (latest commit at-or-before), exactly the batch
+  * reader's contract. Rows carry the four-class `_change_type`
+  * (insert / update_preimage / update_postimage / delete) plus
+  * `_commit_version` and `_commit_timestamp`.
+  *
+  * The diff classifies by row identity; since a TVF call site has
+  * nowhere to pass reader options, the keys come from the table itself:
+  * `TBLPROPERTIES ('graft.cdf.keys' = 'k1[,k2…]')` — set once,
+  * log-carried, exactly how Delta tables carry
+  * `delta.enableChangeDataFeed`. */
+object GraftTableChangesTvf {
+  def build(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "usage: table_changes(tableOrPath, startVersion|startTimestamp" +
+        "[, endVersion|endTimestamp])")
+    val session = SparkSession.active
+    val nameOrPath = args.head.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"table_changes: first argument must be a table name or path " +
+          s"string, got $other")
+    }
+    val path =
+      if (nameOrPath.contains('/')) nameOrPath
+      else GraftTarget.pathOf(session, nameOrPath)
+    val all = GraftLog.versions(session, path)
+    require(all.nonEmpty, s"$path is not a graft table")
+    def bound(e: Expression, isStart: Boolean): Long = e.eval(null) match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val ms = java.sql.Timestamp.valueOf(s.toString).getTime
+        if (isStart)
+          GraftLog.versionAtOrAfter(session, path, ms).getOrElse(
+            throw new IllegalArgumentException(
+              s"no commit of $path at or after $s"))
+        else GraftLog.versionAt(session, path, ms)
+      case other => throw new IllegalArgumentException(
+        s"table_changes: bounds are version numbers or timestamp " +
+          s"strings, got $other")
+    }
+    val startV = bound(args(1), isStart = true)
+    val endV =
+      if (args.length == 3) bound(args(2), isStart = false) else all.last
+    require(startV <= endV, s"start bound $startV > end bound $endV")
+    val keys = GraftLog.properties(session, path).get("graft.cdf.keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table_changes on $path needs the row identity the diff " +
+          "classifies by: ALTER TABLE … SET TBLPROPERTIES " +
+          "('graft.cdf.keys' = 'k1[,k2…]') once, then query freely"))
+    val range = all.filter(v => v >= startV && v <= endV)
+    require(range.nonEmpty,
+      s"no retained versions of $path in [$startV, $endV]")
+    // commit timestamps: metadata-sized driver map (one row per commit)
+    val tsOf = GraftLog.history(session, path)
+      .select("version", "timestamp").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    import org.apache.spark.sql.functions.lit
+    val frame = range.map(v =>
+      GraftLog.changesAt(session, path, keys, v, preimages = true)
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(tsOf(v))))
+      .reduce(_ unionByName _)
+    StreamBatch.planOf(frame)
   }
 }
 

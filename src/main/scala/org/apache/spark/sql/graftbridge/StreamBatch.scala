@@ -29,6 +29,14 @@ object StreamBatch {
       : DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
+  /** A DataFrame's analyzed logical plan — the inverse of [[ofPlan]],
+    * used by the table_changes TVF builder (a TVF resolves to a
+    * LogicalPlan, and the classic Dataset's plan accessor is
+    * `private[sql]`). */
+  def planOf(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** The inverse of [[ofRelation]], for a V1 streaming `Sink.addBatch`:
     * the incoming micro-batch DataFrame carries the streaming tag, so
     * ordinary writers refuse it. Re-wrap the EXECUTED rows (`toRdd` of

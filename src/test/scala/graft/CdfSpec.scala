@@ -250,4 +250,44 @@ class CdfSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       GraftLog.changesAt(spark, t, Seq("id"), 1))
   }
+
+  test("table_changes TVF: version and timestamp bounds, four classes") {
+    val r = root(); val t = s"$r/t"
+    GraftLog.overwrite(df(0 until 20, "a"), t)              // v0
+    GraftLog.merge(Seq((3L, "up"), (40L, "new")).toDF("id", "tag"),
+      t, Seq("id"))                                         // v1
+    GraftLog.deleteVectors(spark, t, col("id") < 2)         // v2 (DV)
+    // keys come from the table, not the call site (TVF args are
+    // Delta-parity: name + bounds only)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM table_changes('$t', 0)").collect()
+    }
+    assert(e.getMessage.contains("graft.cdf.keys"))
+    GraftLog.setProperties(spark, t, Map("graft.cdf.keys" -> "id")) // v3
+    val all = spark.sql(s"SELECT * FROM table_changes('$t', 0, 2)")
+    assert(types(all) == Map("insert" -> 21L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L, "delete" -> 2L))
+    // _commit_version attribution and timestamp column present
+    assert(all.filter(col("_commit_version") === 2)
+      .select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet == Set("delete"))
+    assert(all.columns.contains("_commit_timestamp"))
+    // sub-range: only the merge commit
+    val one = spark.sql(s"SELECT * FROM table_changes('$t', 1, 1)")
+    assert(types(one) == Map("insert" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L))
+    // catalog-name resolution + composability with plain SQL (compact
+    // first: a catalog relation reads through the FileIndex, which
+    // refuses active DVs — the CDF of the already-retained versions is
+    // unaffected by the materializing commit)
+    GraftLog.compact(spark, t)
+    spark.sql("DROP TABLE IF EXISTS cdf_tvf_t")
+    spark.sql(s"CREATE TABLE cdf_tvf_t USING graft OPTIONS (path '$t')")
+    val n = spark.sql(
+      """SELECT count(*) FROM table_changes('cdf_tvf_t', 0, 2)
+        |WHERE _change_type = 'insert'""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n == 21L)
+    spark.sql("DROP TABLE cdf_tvf_t")
+  }
 }
