@@ -84,6 +84,10 @@ object SparkEntry {
     // clauses (first-match-wins), column-level UPDATE SET, INSERT *
     "d21_merge_conditional" ->
       ((s, d) => Ddl.graftSqlMergeConditional(s, d)),
+    // COPY INTO: idempotent directory ingest (per-file ledger; the
+    // second run of the same directory loads zero files/rows)
+    "d23_copy_into" ->
+      ((s, d) => Ddl.graftSqlCopyInto(s, d)),
     // wall-clock snapshot expiry (VACUUM … RETAIN n HOURS / Iceberg
     // expire_snapshots): live snapshot always pinned
     "d12_graft_sql_expire" ->
@@ -1451,6 +1455,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey,
         |  c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin,
+    // d23: COPY INTO loaded the even keys exactly once — the full
+    // customer set with the no-op second run pinned at 0/0
+    "d23_copy_into" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |  c_mktsegment,
+        |  CAST(0 AS BIGINT) AS second_run_files,
+        |  CAST(0 AS BIGINT) AS second_run_rows
+        |FROM customer""".stripMargin,
     // d21: replay of the clause cascade — matched EXPIRED keys
     // (%3<>0 AND %7=0) deleted FIRST (clause order), matched changed
     // balances (%3<>0 AND %5=0) updated to the bumped value, the

@@ -162,6 +162,41 @@ object Ddl {
   private val stagedSqlCond =
     new scala.collection.concurrent.TrieMap[String, String]
 
+  /** d23 — `COPY INTO`, the hourly lake-ingest statement: odd-key
+    * customers seed the table, even-key customers land as parquet
+    * files in an incoming directory and are loaded by the statement;
+    * a SECOND run over the same directory ingests zero files / zero
+    * rows (per-file ledger in the commit log, Delta's COPY INTO
+    * idempotence contract) — pinned as result columns. At 100 TB the
+    * re-run costs one metadata fold, no data files opened. */
+  def graftSqlCopyInto(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = graft.sources.Staging.tempDir("graft_copyinto_")
+    val t = s"$root/cust"
+    val incoming = s"$root/incoming"
+    val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+    graft.sources.GraftLog.overwrite(
+      cust.filter(col("c_custkey") % 2 === 1), t)
+    cust.filter(col("c_custkey") % 2 === 0)
+      .repartition(4).write.parquet(incoming)
+    val tag = math.abs(sfDir.hashCode).toString.take(8)
+    val tbl = s"graft_copy_cust_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$t')")
+    val first = spark.sql(
+      s"COPY INTO $tbl FROM '$incoming' FILEFORMAT = PARQUET")
+      .collect().head
+    require(first.getLong(2) > 0, "first COPY INTO must ingest rows")
+    val again = spark.sql(
+      s"COPY INTO $tbl FROM '$incoming' FILEFORMAT = PARQUET")
+      .collect().head
+    spark.table(tbl)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .withColumn("second_run_files", lit(again.getLong(1)))
+      .withColumn("second_run_rows", lit(again.getLong(2)))
+  }
+
   /** d21 — conditional & multi-clause SQL MERGE (the full Delta clause
     * surface): the reference's change-detection upsert
     * (`mage_demo/custom/increamental_dataload.py:49-53` updates only

@@ -77,7 +77,12 @@ object GraftLog {
       checks: Map[String, String] = Map.empty,
       tags: Map[String, Long] = Map.empty,
       generated: Map[String, String] = Map.empty,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      // COPY INTO's per-file ingest ledger: source-file URIs this
+      // commit loaded (append-only set under replay; carried by
+      // checkpoints like the txn ledger, so idempotence survives
+      // log truncation)
+      copied: Seq[String] = Seq.empty)
 
   /** Operations whose commits SET the column-mapping state explicitly
     * (an empty map from one of these means "mapping cleared/none");
@@ -222,10 +227,12 @@ object GraftLog {
       else ","+"\"props\":" + c.props.toSeq.sortBy(_._1).map {
         case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\""
       }.mkString("{", ",", "}")
+    val copiedPart =
+      if (c.copied.isEmpty) "" else ","+"\"copied\":" + arr(c.copied)
     s"""{"version":${c.version},"operation":"${esc(c.operation)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schemaDdl":"${esc(c.schemaDdl)}",""" +
-      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$colMapPart$checksPart$tagsPart$generatedPart$propsPart$txnsPart}"""
+      s""""timestampMs":${c.timestampMs}$txnPart$statsPart$sizesPart$dvPart$bloomsPart$colMapPart$checksPart$tagsPart$generatedPart$propsPart$copiedPart$txnsPart}"""
   }
 
   private def fromJson(s: String): Commit = {
@@ -348,7 +355,7 @@ object GraftLog {
       arr("add"), arr("remove"), n.get("schemaDdl").asText(),
       n.get("timestampMs").asLong(), txn, stats, txns, sizes,
       optArr("dvAdd"), optArr("dvRemove"), blooms, colMap, checks, tags,
-      generated, props)
+      generated, props, optArr("copied"))
   }
 
   // ------------------------------------------------------------- protocol
@@ -583,6 +590,9 @@ object GraftLog {
         none.copy(kind = "txn", ord = i.toLong, appId = Some(app),
           batchId = Some(batch))
     }
+    val copies = c.copied.zipWithIndex.map { case (f, i) =>
+      none.copy(kind = "copy", ord = i.toLong, path = Some(f))
+    }
     val meta = none.copy(kind = "meta", version = Some(c.version),
       schemaDdl = Some(c.schemaDdl),
       colMap = Some(c.colMap), checks = Some(c.checks),
@@ -593,7 +603,7 @@ object GraftLog {
     // (and a future selective read) executor-sized at any file count;
     // sandbox tables produce one part, a 100 TB table tens — the
     // multi-part form Delta moved to for exactly this reason.
-    val rows = adds ++ dvs ++ txns :+ meta
+    val rows = adds ++ dvs ++ txns ++ copies :+ meta
     val parts = math.max(1, math.min(200, rows.size / 100000 + 1))
     val logDir = new HPath(table, LogDirName)
     val f = fs(spark, table)
@@ -654,6 +664,8 @@ object GraftLog {
         .map(r => r.appId.get -> r.batchId.get).toMap,
       sizes = adds.flatMap(r => r.size.map(r.path.get -> _)).toMap,
       dvAdd = rows.filter(_.kind == "dv").sortBy(_.ord)
+        .map(_.path.get).toSeq,
+      copied = rows.filter(_.kind == "copy").sortBy(_.ord)
         .map(_.path.get).toSeq,
       blooms = adds.flatMap(r => r.blooms.map(r.path.get -> _)).toMap,
       colMap = meta.colMap.getOrElse(Map.empty),
@@ -831,13 +843,19 @@ object GraftLog {
     val tail = all.filter(x => x <= v && prior.forall(x > _))
       .flatMap(x => readCommit(spark, table, x).txn)
     val ledger = (base.toSeq ++ tail).groupMapReduce(_._1)(_._2)(math.max)
+    // the COPY INTO ingest ledger folds the same way: prior checkpoint's
+    // set plus every subsumed commit's entries (append-only union)
+    val copiedAll = (prior.map(readCheckpoint(spark, table, _).copied)
+      .getOrElse(Seq.empty) ++
+      all.filter(x => x <= v && prior.forall(x > _))
+        .flatMap(x => readCommit(spark, table, x).copied)).distinct
     val c = Commit(v, "checkpoint", live.keys.toSeq, Seq.empty,
       schema.toDDL, System.currentTimeMillis(),
       stats = live.toMap.filter(_._2.nonEmpty), txns = ledger,
       sizes = sizes.toMap, dvAdd = dvs.toSeq, blooms = blooms.toMap,
       colMap = cmap, checks = checkConstraints(spark, table, Some(v)),
       generated = generatedColumns(spark, table, Some(v)),
-      props = properties(spark, table, Some(v)))
+      props = properties(spark, table, Some(v)), copied = copiedAll)
     // JSON first — it is the put-if-absent existence arbiter (and the
     // compat fallback); the columnar form is written only by the writer
     // that won the race, so exactly one parquet job runs per version
@@ -1719,7 +1737,77 @@ object GraftLog {
     * rather than silently re-pointing the table schema at the batch's,
     * and the commit re-asserts the existing table schema. Widening
     * appends go through [[appendMergeSchema]]. */
-  def append(df: DataFrame, table: String): Long = {
+  /** Source-file URIs ever ingested by [[copyInto]]: the newest
+    * checkpoint's carried set plus the commit tail after it — the same
+    * fold shape as the txn ledger, and like it metadata-sized (one URI
+    * per ingested file, never per row). */
+  def copiedFiles(spark: SparkSession, table: String): Set[String] = {
+    val ckpt = checkpointVersions(spark, table).lastOption
+    val base = ckpt.map(readCheckpoint(spark, table, _, withStats = false)
+      .copied).getOrElse(Seq.empty)
+    val tail = versions(spark, table).filter(v => ckpt.forall(v > _))
+      .flatMap(v => readCommit(spark, table, v).copied)
+    (base ++ tail).toSet
+  }
+
+  /** `COPY INTO` — idempotent directory ingest (Delta's contract): load
+    * the data files under `source` into `table`, skipping every file a
+    * prior COPY INTO already recorded in the per-file ingest ledger
+    * (commit-carried, checkpoint-folded — idempotence survives log
+    * truncation). Returns (version, filesIngested, rowsIngested);
+    * version = -1 when nothing new. `force = true` re-ingests
+    * regardless of the ledger.
+    *
+    * Hourly-pipeline shape at scale: the ledger check is metadata-only
+    * (no data files opened), the read is schema-DIRECTED (inference
+    * can never drift between loads), and only the fresh files are
+    * scanned. Retry contract: a commit conflict where a competing
+    * COPY INTO ingested overlapping files abandons the claim and
+    * recomputes from the fresh ledger, so partial failure + retry can
+    * never double-load a file. */
+  def copyInto(spark: SparkSession, table: String, source: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      force: Boolean = false): (Long, Long, Long) = {
+    require(latestVersion(spark, table).nonEmpty,
+      s"COPY INTO target $table is not a graft table (create it first)")
+    val fmt = format.toLowerCase(java.util.Locale.ROOT)
+    require(Set("parquet", "csv", "json").contains(fmt),
+      s"COPY INTO supports parquet/csv/json sources, got $format")
+    var attempts = 0
+    while (true) {
+      val srcFs = new HPath(source).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val listed = srcFs.listStatus(new HPath(source)).toSeq
+        .filter(st => st.isFile &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+        .map(st => srcFs.makeQualified(st.getPath).toString).sorted
+      val already =
+        if (force) Set.empty[String] else copiedFiles(spark, table)
+      val fresh = listed.filterNot(already)
+      if (fresh.isEmpty) return (-1L, 0L, 0L)
+      val schema = logicalSchema(snapshot(spark, table)._2,
+        columnMapping(spark, table))
+      val df = spark.read.format(fmt).options(options).schema(schema)
+        .load(fresh: _*)
+      val v = append(df, table, copied = fresh)
+      if (v >= 0) {
+        val c = readCommit(spark, table, v)
+        val rows = c.add
+          .map(f => numRecordsOf(c.stats.getOrElse(f, Map.empty))).sum
+        return (v, fresh.size.toLong, rows)
+      }
+      // abandoned: a competing COPY INTO recorded overlapping files —
+      // recompute the fresh set from the advanced ledger and retry
+      backoffOrGiveUp(attempts, table, "COPY INTO")
+      attempts += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def append(df: DataFrame, table: String,
+      copied: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val seen0 = latestVersion(spark, table)
     val gens0 = if (seen0.isEmpty) Map.empty[String, String]
@@ -1748,7 +1836,14 @@ object GraftLog {
         revalidateBlindAppend(spark, table, aligned.schema, "append",
           Seq.empty)
       },
-      generated = if (hasId) gens2 else Map.empty)
+      // COPY INTO idempotence: when a competing commit lands between
+      // read and claim, re-check the ingest ledger — if ANY of this
+      // batch's source files is now recorded, abandon (-1) so the
+      // caller recomputes the fresh set instead of double-loading
+      abandonIf = () => copied.nonEmpty &&
+        copiedFiles(spark, table).exists(copied.contains),
+      generated = if (hasId) gens2 else Map.empty,
+      copied = copied)
   }
 
   /** Identity appends are NOT blind: the staged files embed the
@@ -2804,7 +2899,8 @@ object GraftLog {
       seen0: Option[Long], reval: () => String,
       txn: Option[(String, Long)] = None,
       abandonIf: () => Boolean = () => false,
-      generated: Map[String, String] = Map.empty): Long = {
+      generated: Map[String, String] = Map.empty,
+      copied: Seq[String] = Seq.empty): Long = {
     var ddl = ddl0
     var seen = seen0
     var attempts = 0
@@ -2822,7 +2918,8 @@ object GraftLog {
         val (st2, pr2) = allocRowIds(spark, table, s)
         writeCommit(spark, table, Commit(v, commitOp, s.files, Seq.empty,
           ddl, System.currentTimeMillis(), txn, stats = st2,
-          sizes = s.sizes, generated = generated, props = pr2))
+          sizes = s.sizes, generated = generated, props = pr2,
+          copied = copied))
         return v
       } catch {
         case _: CommitConflictException =>

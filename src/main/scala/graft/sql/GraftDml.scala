@@ -191,8 +191,15 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
   private val DropNotNullStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""".r
+  private val CopyIntoStmt =
+    """(?is)\s*COPY\s+INTO\s+(\S+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?(\s+FORCE)?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CopyIntoStmt(target, src, fmt, opts, force)
+        if ownsTarget(target) =>
+      GraftCopyIntoCommand(target, src, fmt,
+        if (opts == null) Map.empty else TblProps.parseKvs(opts),
+        force != null)
     case OptimizeStmt(target, where, files, zcols)
         if ownsTarget(target) =>
       if (where != null) {
@@ -1144,6 +1151,31 @@ case class GraftInsertPartitionedCommand(path: String,
     session.sessionState.catalog.invalidateAllCachedTables()
     session.catalog.refreshByPath(path)
     Seq.empty
+  }
+}
+
+/** `COPY INTO t FROM 'dir' FILEFORMAT = PARQUET|CSV|JSON
+  * [FORMAT_OPTIONS('k'='v',…)] [FORCE]` — idempotent file ingest (see
+  * [[GraftLog.copyInto]]). Returns one row (version, num_files,
+  * num_inserted_rows); a re-run over the same directory reports
+  * (-1, 0, 0) — nothing new. */
+case class GraftCopyIntoCommand(target: String, source: String,
+    format: String, options: Map[String, String], force: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      AttributeReference("version",
+        org.apache.spark.sql.types.LongType)(),
+      AttributeReference("num_files",
+        org.apache.spark.sql.types.LongType)(),
+      AttributeReference("num_inserted_rows",
+        org.apache.spark.sql.types.LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    val (v, nf, nr) = GraftLog.copyInto(session, path, source, format,
+      options, force)
+    RefreshAfterDml(session, path, None)
+    Seq(Row(v, nf, nr))
   }
 }
 

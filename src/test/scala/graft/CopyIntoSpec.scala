@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.sources.GraftLog
+
+/** COPY INTO — idempotent directory ingest: per-file ledger, second
+  * run is a no-op, new files load incrementally, the ledger survives
+  * checkpoints, FORCE re-ingests, and the SQL statement surface. */
+class CopyIntoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def root(): String =
+    graft.sources.Staging.tempDir("graft_copy_spec_")
+
+  private def df(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+
+  test("second COPY INTO of the same directory adds zero rows") {
+    val r = root(); val t = s"$r/t"; val src = s"$r/incoming"
+    GraftLog.overwrite(df(0 until 5, "base"), t)
+    df(100 until 110, "a").coalesce(1).write.parquet(src)
+    val (v1, nf1, nr1) = GraftLog.copyInto(spark, t, src)
+    assert(v1 >= 0 && nf1 >= 1 && nr1 == 10)
+    assert(GraftLog.read(spark, t).count() == 15)
+    // idempotent: the same directory again is a no-op, no new commit
+    val (v2, nf2, nr2) = GraftLog.copyInto(spark, t, src)
+    assert(v2 == -1 && nf2 == 0 && nr2 == 0)
+    assert(GraftLog.read(spark, t).count() == 15)
+    assert(GraftLog.latestVersion(spark, t).get == v1)
+    // new files in the directory load, old ones stay skipped
+    df(200 until 203, "b").coalesce(1).write.mode("append").parquet(src)
+    val (v3, nf3, nr3) = GraftLog.copyInto(spark, t, src)
+    assert(v3 == v1 + 1 && nf3 >= 1 && nr3 == 3)
+    assert(GraftLog.read(spark, t).count() == 18)
+  }
+
+  test("ingest ledger survives a checkpoint (no re-load after fold)") {
+    val r = root(); val t = s"$r/t"; val src = s"$r/incoming"
+    GraftLog.overwrite(df(0 until 2, "base"), t)
+    df(10 until 15, "a").coalesce(1).write.parquet(src)
+    GraftLog.copyInto(spark, t, src)
+    // checkpoint subsumes the commit carrying the ledger entries
+    GraftLog.checkpoint(spark, t)
+    assert(GraftLog.copiedFiles(spark, t).nonEmpty)
+    val (v, nf, _) = GraftLog.copyInto(spark, t, src)
+    assert(v == -1 && nf == 0,
+      "checkpoint-folded ledger must still dedupe source files")
+    assert(GraftLog.read(spark, t).count() == 7)
+  }
+
+  test("FORCE re-ingests; schema-directed read; csv format") {
+    val r = root(); val t = s"$r/t"; val src = s"$r/csvdir"
+    GraftLog.overwrite(df(0 until 2, "base"), t)
+    df(50 until 53, "c").coalesce(1).write
+      .option("header", "true").csv(src)
+    val (_, _, nr) = GraftLog.copyInto(spark, t, src, format = "csv",
+      options = Map("header" -> "true"))
+    assert(nr == 3)
+    // the read is schema-directed: id came back as LONG, not string
+    assert(GraftLog.read(spark, t).schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val (vF, nfF, nrF) = GraftLog.copyInto(spark, t, src,
+      format = "csv", options = Map("header" -> "true"), force = true)
+    assert(vF >= 0 && nfF >= 1 && nrF == 3,
+      "FORCE bypasses the ledger")
+    assert(GraftLog.read(spark, t).count() == 8)
+  }
+
+  test("SQL COPY INTO statement: result row and no-op re-run") {
+    val r = root(); val t = s"$r/t"; val src = s"$r/incoming"
+    GraftLog.overwrite(df(0 until 3, "base"), t)
+    df(70 until 76, "s").coalesce(1).write.parquet(src)
+    spark.sql("DROP TABLE IF EXISTS copy_sql_t")
+    spark.sql(s"CREATE TABLE copy_sql_t USING graft OPTIONS (path '$t')")
+    val first = spark.sql(
+      s"COPY INTO copy_sql_t FROM '$src' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(first.getLong(1) >= 1 && first.getLong(2) == 6)
+    val again = spark.sql(
+      s"COPY INTO copy_sql_t FROM '$src' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(again.getLong(0) == -1 && again.getLong(2) == 0)
+    assert(spark.table("copy_sql_t").count() == 9)
+    spark.sql("DROP TABLE copy_sql_t")
+  }
+
+  test("constraints and schema enforcement apply to copied batches") {
+    val r = root(); val t = s"$r/t"; val src = s"$r/incoming"
+    GraftLog.overwrite(df(0 until 3, "base"), t)
+    GraftLog.addConstraint(spark, t, "pos_id", "id >= 0")
+    df(-5 until -2, "bad").coalesce(1).write.parquet(src)
+    intercept[IllegalArgumentException] {
+      GraftLog.copyInto(spark, t, src)
+    }
+    // the failed batch recorded nothing: rows AND ledger unchanged —
+    // partial failure does not poison the retry path
+    assert(GraftLog.read(spark, t).count() == 3)
+    assert(GraftLog.copiedFiles(spark, t).isEmpty)
+    // corrected data under a fresh directory loads cleanly
+    val src2 = s"$r/incoming2"
+    df(5 until 8, "good").coalesce(1).write.parquet(src2)
+    val (v, _, nr) = GraftLog.copyInto(spark, t, src2)
+    assert(v >= 0 && nr == 3)
+    assert(GraftLog.read(spark, t).count() == 6)
+  }
+}
