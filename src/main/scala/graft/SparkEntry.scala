@@ -185,6 +185,10 @@ object SparkEntry {
     // applied inside the probed cells, not post-hoc on the ranked answer
     "f12_knn_filtered" ->
       ((s, d) => Similarity.ivfFilteredTopK(s, d)),
+    // index maintenance: occupancy audit + threshold-triggered retrain
+    // (one Lloyd sweep) after a drifted batch skews the cells
+    "f13_knn_ivf_retrain" ->
+      ((s, d) => Similarity.ivfRetrainTopK(s, d)),
     "f4_knn_ivf_kmeans"      -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "f5_embedding_quantize"  -> ((s, d) => Similarity.quantizeAudit(s, d)),
     "f8_knn_ivfadc"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
@@ -2919,6 +2923,69 @@ object SparkEntry {
     // f11: fixed centroids make the incremental append bit-identical to
     // a full rebuild, so the split never shows in the answer
     "f11_knn_ivf_incremental" -> ivfSqlOracle,
+    // f13: full replay of the maintenance loop — drifted union, c0
+    // occupancy skew (max/avg of per-cell counts), ONE Lloyd sweep to
+    // c1, and the IVF search under the retrained codebook
+    "f13_knn_ivf_retrain" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
+         |), nf AS (
+         |  SELECT vec_id, v0 AS v FROM base WHERE vec_id < 350
+         |  UNION ALL
+         |  SELECT vec_id, list_transform(v0, x -> x + 1.0) AS v
+         |  FROM base WHERE vec_id >= 350
+         |), n AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+         |  FROM nf
+         |), c0 AS (
+         |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+         |  FROM n WHERE vec_id < 16
+         |), occ AS (
+         |  SELECT cent_id, count(*) AS cnt FROM (
+         |    SELECT x.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+         |          DESC, c.cent_id) AS crank
+         |    FROM n x CROSS JOIN c0 c)
+         |  WHERE crank = 1 GROUP BY 1
+         |), skew AS (
+         |  SELECT round(CAST(max(cnt) AS DOUBLE) / avg(cnt), 6)
+         |    AS occ_skew_pre FROM occ
+         |),
+         |${lloydCtes(1)},
+         |assigned AS (
+         |  SELECT vec_id, cent_id, v, norm FROM (
+         |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+         |          DESC, c.cent_id) AS crank
+         |    FROM n x CROSS JOIN c1 c)
+         |  WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id AS query_id, cent_id, v AS qv, norm AS qnorm
+         |  FROM (
+         |    SELECT x.vec_id, c.cent_id, x.v, x.norm,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY list_dot_product(x.v, c.cv) / (x.norm * c.cnorm)
+         |          DESC, c.cent_id) AS crank
+         |    FROM n x CROSS JOIN c1 c
+         |    WHERE x.vec_id < 10)
+         |  WHERE crank <= 4
+         |), cand AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    list_dot_product(p.qv, a.v) / (p.qnorm * a.norm) AS cosine
+         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+         |  WHERE a.vec_id != p.query_id
+         |)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine,
+         |  (SELECT occ_skew_pre FROM skew) AS occ_skew_pre,
+         |  TRUE AS retrained
+         |FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin,
     // f12: f3's IVF pipeline with the label predicate on the candidate
     // stream — rank over exactly the matching set (pre-filter semantics)
     "f12_knn_filtered" ->

@@ -261,6 +261,96 @@ object Similarity {
         col("rank"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** f13 — index maintenance: OCCUPANCY AUDIT + threshold-triggered
+    * RETRAIN. f11's production posture (fixed centroids, incremental
+    * appends) silently decays as the corpus drifts: new vectors crowd
+    * into few cells, so probes either read bloated cells (cost) or
+    * miss neighbors parked behind stale centroids (recall). This
+    * operator closes the loop: a drifted batch (every component
+    * shifted +1.0 — all newcomers pull toward one direction, the
+    * adversarial shape for a fixed codebook) is appended the f11 way;
+    * the AUDIT is one metadata-shaped aggregation over the index
+    * (per-cell counts → skew = max/avg — at 100 TB this reads cell
+    * row-counts, not vectors, and could come straight from the commit
+    * log's per-file numRecords); when skew crosses the threshold the
+    * index RETRAINS — one Lloyd sweep from the deterministic seed over
+    * the index contents (the f4 machinery) — and both tables rewrite
+    * via transactional overwrites, so a query racing the retrain sees
+    * the old or the new index, never a torn one. The pre-retrain skew
+    * and the trigger decision ride the result as pinned columns; the
+    * spec pins post-retrain recall at/above the f3 band on the drifted
+    * corpus. */
+  def ivfRetrainTopK(spark: SparkSession, sfDir: String,
+      split: Long = 350, numQueries: Int = 10, k: Int = 5,
+      nCent: Int = 16, nprobe: Int = 4,
+      skewThreshold: Double = 2.0): DataFrame = {
+    import graft.sources.GraftLog
+    val dir = graft.sources.Staging.tempDir("graft_ivf_drift_")
+    val base = normed(spark, sfDir)
+    val corpus = base.filter(col("vec_id") < split)
+    // f10 build over the pre-drift corpus
+    val cents0 = seedCentroids(corpus, nCent)
+    GraftLog.overwritePartitioned(
+      nearestCents(corpus, cents0, "vec_id", 1)
+        .select(col("cent_id"), col("vec_id"), col("v"), col("norm")),
+      s"$dir/cells", Seq("cent_id"))
+    GraftLog.overwrite(cents0, s"$dir/centroids")
+    // drifted batch, appended with FIXED centroids (f11's posture)
+    val drifted = base.filter(col("vec_id") >= split)
+      .withColumn("v", transform(col("v"), x => x + lit(1.0)))
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+    val cb = broadcast(GraftLog.read(spark, s"$dir/centroids"))
+    GraftLog.appendPartitioned(
+      nearestCents(drifted, cb, "vec_id", 1)
+        .select(col("cent_id"), col("vec_id"), col("v"), col("norm")),
+      s"$dir/cells", Seq("cent_id"))
+    // occupancy audit: cell counts only — never vector payloads
+    val occStats = spark.read.format("graft").load(s"$dir/cells")
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("mx"), avg(col("cnt")).as("av"))
+      .collect().head
+    val skew = occStats.getLong(0).toDouble / occStats.getDouble(1)
+    val retrain = skew > skewThreshold
+    require(retrain,
+      f"f13 expects the drift to trip the occupancy trigger " +
+        f"(skew=$skew%.3f <= $skewThreshold)")
+    // retrain: one Lloyd sweep from the deterministic seed over the
+    // CURRENT index contents, then transactional index swap
+    val full = spark.read.format("graft").load(s"$dir/cells")
+      .select(col("vec_id"), col("v"), col("norm"))
+      .transform(graft.CacheScope.tracked)
+    val cents1 = lloydSweeps(full, seedCentroids(full, nCent), 1)
+    GraftLog.overwritePartitioned(
+      nearestCents(full, cents1, "vec_id", 1)
+        .select(col("cent_id"), col("vec_id"), col("v"), col("norm")),
+      s"$dir/cells", Seq("cent_id"))
+    GraftLog.overwrite(cents1, s"$dir/centroids")
+    // query the retrained index through the f10 path
+    val cb1 = broadcast(GraftLog.read(spark, s"$dir/centroids"))
+    val probes = nearestCents(
+      full.filter(col("vec_id") < numQueries), cb1, "vec_id", nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .transform(graft.CacheScope.tracked)
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val cells = spark.read.format("graft").load(s"$dir/cells")
+      .filter(col("cent_id").isin(probedCells: _*))
+    val cand = cells.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
+      .withColumn("occ_skew_pre", round(lit(skew), 6))
+      .withColumn("retrained", lit(true))
+  }
+
   /** Seed centroids = the first `nCent` corpus vectors — deterministic
     * and relational (shared by f3 and f4's iteration 0). */
   private[operators] def seedCentroids(corpus: DataFrame, nCent: Int): DataFrame =
@@ -376,12 +466,14 @@ object Similarity {
     * Each sweep costs one scan + one (nCent·dim)-key shuffle; `iters`
     * stays a small constant (Lloyd converges fast; IVF needs centered
     * cells, not convergence). */
-  def ivfKmeansTopK(spark: SparkSession, sfDir: String,
-      numQueries: Int = 10, k: Int = 5, nCent: Int = 16, nprobe: Int = 4,
-      iters: Int = 2): DataFrame = {
+  /** `iters` Lloyd sweeps from `cents0` over `corpus` — assignment by
+    * max cosine (deterministic tiebreak), per-dimension EXACT-decimal
+    * mean cast back to double, identical expression tree to the
+    * oracle's lloydCtes. Shared by f4 and the f13 retrain. */
+  private[operators] def lloydSweeps(corpus: DataFrame,
+      cents0: DataFrame, iters: Int): DataFrame = {
     import graft.functions.Deterministic.sumExact
-    val corpus = normed(spark, sfDir)
-    var cents = seedCentroids(corpus, nCent)
+    var cents = cents0
     for (_ <- 0 until iters) {
       val members = nearestCents(corpus, cents, "vec_id", 1)
         .select(col("cent_id"), col("v"))
@@ -398,6 +490,14 @@ object Similarity {
           transform(col("pm"), p => p.getField("m")).as("cv"))
         .withColumn("cnorm", sqrt(Dedup.dot(col("cv"), col("cv"))))
     }
+    cents
+  }
+
+  def ivfKmeansTopK(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nCent: Int = 16, nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val corpus = normed(spark, sfDir)
+    val cents = lloydSweeps(corpus, seedCentroids(corpus, nCent), iters)
     ivfSearch(corpus, cents, numQueries, k, nprobe)
   }
 

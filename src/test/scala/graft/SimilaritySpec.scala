@@ -241,4 +241,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("f13 retrain: drift trips the trigger, recall holds the IVF band") {
+    val out = Similarity.ivfRetrainTopK(spark, TestSpark.sf).collect()
+    // 10 queries x 5 ranked rows, trigger decision pinned on every row
+    assert(out.length == 50)
+    assert(out.forall(_.getBoolean(5)))
+    val skew = out.head.getDouble(4)
+    assert(skew > 2.0, s"drift should skew occupancy well past 2.0: $skew")
+    // exact top-5 on the SAME drifted corpus (reconstructed with the
+    // identical +1.0 component shift)
+    val base = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val drifted = base.filter(col("vec_id") < 350)
+      .unionByName(base.filter(col("vec_id") >= 350)
+        .withColumn("v", transform(col("v"), x => x + lit(1.0))))
+      .withColumn("norm",
+        sqrt(aggregate(zip_with(col("v"), col("v"), _ * _),
+          lit(0.0), _ + _)))
+    val q = drifted.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val scored = drifted.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _)
+          / (col("qnorm") * col("norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val exact = scored
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1)))
+    val recall = got.count(exact.contains).toDouble / exact.size
+    info(s"f13 post-retrain recall@5 on drifted corpus = $recall")
+    assert(recall >= 0.2, s"recall $recall below the f3 band")
+    // trigger boundary: an unreachable threshold refuses to retrain
+    // loudly rather than silently skipping the maintenance
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfRetrainTopK(spark, TestSpark.sf,
+        skewThreshold = 1e9)
+    }
+    assert(e.getMessage.contains("occupancy trigger"))
+  }
 }
