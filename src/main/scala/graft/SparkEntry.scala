@@ -425,6 +425,11 @@ object SparkEntry {
     // streaming change data feed: initial snapshot as inserts, then
     // file-bounded per-commit diffs; checkpointed resume across drains
     "i16_streaming_cdf" -> ((s, d) => Transactions.cdfStream(s, d)),
+    // CDC apply downstream: the change feed consumed into a maintained
+    // target table (APPLY CHANGES INTO) — idempotent per-version merge
+    // + keyed delete, kill/resume between the MERGE and DELETE commits
+    "i25_apply_changes" ->
+      ((s, d) => Transactions.applyChangesStream(s, d)),
     // streaming CDF over deletion-vector erasure commits (GDPR path):
     // DV commits rewrite no files yet emit `delete` change rows
     "i17_streaming_cdf_erasure" ->
@@ -942,6 +947,28 @@ object SparkEntry {
          |)
          |SELECT * FROM ins UNION ALL SELECT * FROM pre
          |UNION ALL SELECT * FROM post""".stripMargin,
+    // i25: the target equals the source's FINAL state (base updated
+    // by the merge, novel keys inserted, %10 keys deleted) — via the
+    // change feed alone
+    "i25_apply_changes" ->
+      s"""WITH $incCte,
+         |state1 AS (
+         |  SELECT b.c_custkey,
+         |    COALESCE(i.inc_name, b.c_name) AS c_name,
+         |    COALESCE(i.inc_nationkey, b.c_nationkey) AS c_nationkey,
+         |    COALESCE(i.inc_acctbal, b.c_acctbal) AS c_acctbal,
+         |    COALESCE(i.inc_mktsegment, b.c_mktsegment) AS c_mktsegment
+         |  FROM customer b LEFT JOIN inc i
+         |    ON b.c_custkey = i.inc_custkey
+         |  UNION ALL
+         |  SELECT inc_custkey, inc_name, inc_nationkey, inc_acctbal,
+         |    inc_mktsegment
+         |  FROM inc
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer b
+         |                    WHERE b.c_custkey = inc.inc_custkey)
+         |)
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         |FROM state1 WHERE c_custkey % 10 <> 0""".stripMargin,
     // d22: full TVF replay — v0 = every base row as insert; v1 = the
     // merge diff (novel inserts + pre/post images of value-changed
     // matched keys); v2 = the DV delete of %10=0 keys evaluated

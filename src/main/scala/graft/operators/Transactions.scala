@@ -1449,6 +1449,89 @@ object Transactions {
     spark.read.parquet(out)
   }
 
+  private val stagedApply =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** i25 — `applyChanges`: the CDF stream CONSUMED into a maintained
+    * downstream table (Delta Live Tables' APPLY CHANGES INTO /
+    * bronze→silver incremental materialization, the reference's
+    * change-detection workload run continuously). The source table
+    * mutates through its normal life (overwrite → MERGE → DELETE); the
+    * target is maintained by the change feed ALONE:
+    *
+    *  - inserts/update_postimages of each commit version apply as ONE
+    *    idempotent keyed merge ([[GraftLog.txnMerge]], appId fixed,
+    *    batchId = the source commit version — deterministic across
+    *    restarts, so a re-delivered batch is a ledger-rejected no-op)
+    *  - deletes apply as a keyed rewrite delete (composable with the
+    *    next batch's merge, unlike a DV mask, and idempotent in effect
+    *    — a replayed delete finds nothing to remove)
+    *  - versions inside one micro-batch apply in ascending order, so
+    *    a delete can never be overtaken by the update it superseded
+    *
+    * The drain is two-phased with a kill/restart between the MERGE and
+    * the DELETE commits (the i16 cycle): the restarted stream resumes
+    * past the committed offset and applies ONLY the delete — pinning
+    * exactly-once apply. Done = the target equals the source's final
+    * state via the feed alone (the oracle replays that state). */
+  def applyChangesStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = stagedApply.getOrElseUpdate(sfDir, {
+      val root = graft.sources.Staging.tempDir("graft_apply_")
+      val (src, target, ckpt) =
+        (s"$root/src", s"$root/target", s"$root/ckpt")
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwrite(cust, src)                               // v0
+      val batch = Incremental.incrementalBatch(spark, sfDir).select(
+        col("inc_custkey").as("c_custkey"),
+        col("inc_name").as("c_name"),
+        col("inc_nationkey").as("c_nationkey"),
+        col("inc_acctbal").as("c_acctbal"),
+        col("inc_mktsegment").as("c_mktsegment"))
+      GraftLog.merge(batch, src, Seq("c_custkey"))                // v1
+      GraftLog.overwrite(cust.limit(0), target) // empty, typed target
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("cdfKeys", "c_custkey")
+          .load(src)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val spark2 = b.sparkSession
+            val vs = b.select(col("_commit_version")).distinct()
+              .collect().map(_.getLong(0)).sorted
+            vs.foreach { v =>
+              val bv = b.filter(col("_commit_version") === v)
+              val ups = bv.filter(col("_change_type")
+                  .isin("insert", "update_postimage"))
+                .drop("_change_type", "_commit_version")
+              if (!ups.isEmpty)
+                GraftLog.txnMerge(ups, target, Seq("c_custkey"),
+                  "i25-apply", v)
+              val delKeys = bv
+                .filter(col("_change_type") === "delete")
+                .select(col("c_custkey")).distinct()
+                .collect().map(_.getLong(0))
+              if (delKeys.nonEmpty)
+                GraftLog.delete(spark2, target,
+                  col("c_custkey").isin(delKeys.toSeq: _*))
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // phase 1: initial snapshot + the merge diff
+      GraftLog.delete(spark, src, col("c_custkey") % 10 === 0)    // v2
+      drain() // kill/restart: resumes past v1, applies only the delete
+      target
+    })
+    GraftLog.read(spark, out)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+  }
+
   private val stagedCdfErase =
     new scala.collection.concurrent.TrieMap[String, String]
 
