@@ -88,6 +88,10 @@ object SparkEntry {
     // second run of the same directory loads zero files/rows)
     "d23_copy_into" ->
       ((s, d) => Ddl.graftSqlCopyInto(s, d)),
+    // column-level ANALYZE: one-pass KMV ndv + min/max + null counts,
+    // log-persisted and pushed to the catalog as CBO statistics
+    "d20_analyze_columns" ->
+      ((s, d) => Ddl.graftSqlAnalyzeColumns(s, d)),
     // wall-clock snapshot expiry (VACUUM … RETAIN n HOURS / Iceberg
     // expire_snapshots): live snapshot always pinned
     "d12_graft_sql_expire" ->
@@ -1486,6 +1490,57 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey,
         |  c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin,
+    // d20: per-column replay — KMV ndv (same md5-slice + kth-min
+    // formula as g13), min/max as canonical strings, null counts
+    "d20_analyze_columns" ->
+      """WITH r AS (SELECT count(*) AS row_count FROM customer),
+        |k AS (SELECT 256 AS k),
+        |hk AS (
+        |  SELECT col_name, hv,
+        |    row_number() OVER (PARTITION BY col_name ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY col_name) AS nd
+        |  FROM (
+        |    SELECT DISTINCT col_name,
+        |      CAST(('0x' || substr(md5(sval), 1, 15))::UBIGINT AS BIGINT)
+        |        AS hv
+        |    FROM (
+        |      SELECT 'c_custkey' AS col_name,
+        |        CAST(c_custkey AS VARCHAR) AS sval FROM customer
+        |      UNION ALL
+        |      SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+        |      FROM customer
+        |      UNION ALL
+        |      SELECT 'c_mktsegment', c_mktsegment FROM customer)
+        |    WHERE sval IS NOT NULL)
+        |), est AS (
+        |  SELECT col_name,
+        |    CASE WHEN max(nd) < (SELECT k FROM k)
+        |      THEN CAST(max(nd) AS DOUBLE)
+        |      ELSE round(((SELECT k FROM k) - 1) * pow(2.0, 60)
+        |        / CAST(max(CASE WHEN rn = (SELECT k FROM k)
+        |                        THEN hv END) AS DOUBLE), 6)
+        |      END AS ndv_est
+        |  FROM hk GROUP BY 1
+        |), mm AS (
+        |  SELECT 'c_custkey' AS col_name,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_v,
+        |    CAST(max(c_custkey) AS VARCHAR) AS max_v,
+        |    count(*) - count(c_custkey) AS null_count
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', CAST(min(c_nationkey) AS VARCHAR),
+        |    CAST(max(c_nationkey) AS VARCHAR),
+        |    count(*) - count(c_nationkey)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', min(c_mktsegment), max(c_mktsegment),
+        |    count(*) - count(c_mktsegment)
+        |  FROM customer
+        |)
+        |SELECT mm.col_name, est.ndv_est, mm.min_v, mm.max_v,
+        |  CAST(mm.null_count AS BIGINT) AS null_count,
+        |  (SELECT row_count FROM r) AS row_count
+        |FROM mm JOIN est USING (col_name)""".stripMargin,
     // d23: COPY INTO loaded the even keys exactly once — the full
     // customer set with the no-op second run pinned at 0/0
     "d23_copy_into" ->

@@ -162,6 +162,38 @@ object Ddl {
   private val stagedSqlCond =
     new scala.collection.concurrent.TrieMap[String, String]
 
+  /** d20 — `ANALYZE TABLE … FOR COLUMNS`: one-pass per-column ndv
+    * (KMV sketch, engine-portable hash — the estimate itself is
+    * oracle-reproducible), min/max, and null counts, persisted as
+    * log-carried `graft.stats.col.*` properties AND pushed to the
+    * session catalog as CBO statistics (the broadcast-flip those
+    * enable is pinned by AnalyticsSpec). Output = one row per column
+    * read back from the STORED properties — proving the stats
+    * round-trip through the log, not just the command result. */
+  def graftSqlAnalyzeColumns(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Staging.tempDir("graft_anacol_") + "/cust"
+    graft.sources.GraftLog.overwrite(
+      graft.sources.Sources.testTable(spark, sfDir, "customer"), d)
+    val tag = math.abs(sfDir.hashCode).toString.take(8)
+    val t = s"graft_anacol_cust_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$d')")
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS " +
+      "c_custkey, c_nationkey, c_mktsegment").collect()
+    val props = graft.sources.GraftLog.properties(spark, d)
+    val rows = props("graft.stats.rowCount").toLong
+    import spark.implicits._
+    Seq("c_custkey", "c_nationkey", "c_mktsegment").map { c =>
+      (c, props(s"graft.stats.col.$c.ndv").toDouble,
+        props.get(s"graft.stats.col.$c.min").orNull,
+        props.get(s"graft.stats.col.$c.max").orNull,
+        props(s"graft.stats.col.$c.nullCount").toLong, rows)
+    }.toDF("col_name", "ndv_est", "min_v", "max_v", "null_count",
+      "row_count")
+  }
+
   /** d23 — `COPY INTO`, the hourly lake-ingest statement: odd-key
     * customers seed the table, even-key customers land as parquet
     * files in an incoming directory and are loaded by the statement;

@@ -2227,6 +2227,77 @@ object GraftLog {
     * materialize the id column (post-compact) are skipped: their ids
     * live in the data. Returns the commit version, or -1 when nothing
     * needed backfilling. */
+  /** Per-column statistics of one [[analyzeColumns]] pass. `ndvEst` is
+    * the KMV estimate (g13 discipline: engine-portable md5-slice hash,
+    * so the approximation itself is exactly reproducible by the
+    * oracle); min/max are canonical cast-to-string forms, null for
+    * all-null columns. */
+  final case class ColumnStats(ndvEst: Double, min: Option[String],
+      max: Option[String], nullCount: Long)
+
+  /** `ANALYZE TABLE … FOR COLUMNS` — per-column ndv / min / max /
+    * null-count in ONE scan of the visible rows (every statistic is a
+    * partial-aggregable expression: the KMV sketch shuffles k longs
+    * per column per partition, min/max/counts one value each — at
+    * 100 TB the pass is scan-bound, never shuffle-bound). Results land
+    * in the commit log as `graft.stats.col.<name>.*` properties (the
+    * same log-carried inheritance as d17's table-level stats), so any
+    * later session can fold them without re-scanning; the SQL command
+    * additionally pushes them into the session catalog as CBO
+    * statistics. Returns (rowCount, sizeInBytes, per-column stats). */
+  def analyzeColumns(spark: SparkSession, table: String,
+      cols: Seq[String], k: Int = 256)
+      : (Long, Long, Map[String, ColumnStats]) = {
+    require(cols.nonEmpty, "ANALYZE FOR COLUMNS needs at least one column")
+    val df = read(spark, table)
+    cols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+      s"ANALYZE: column $c not in ${df.columns.mkString(",")}"))
+    val aggs = cols.flatMap { c =>
+      Seq(
+        graft.functions.KMinValues.kmv_sketch(
+          conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
+            .cast("long"), k).as(s"__kmv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__null_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val rows = row.getAs[Long]("__rows")
+    val bytes = fileSizes(spark, table).values.sum
+    val per = cols.map { c =>
+      val sk = row.getAs[scala.collection.Seq[Long]](s"__kmv_$c")
+      val est =
+        if (sk.size < k) sk.size.toDouble
+        else BigDecimal((k - 1).toDouble * math.pow(2.0, 60) /
+            sk.last.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      c -> ColumnStats(est,
+        Option(row.getAs[String](s"__min_$c")),
+        Option(row.getAs[String](s"__max_$c")),
+        row.getAs[Long](s"__null_$c"))
+    }.toMap
+    val colProps = per.flatMap { case (c, st) =>
+      Map(s"graft.stats.col.$c.ndv" -> st.ndvEst.toString,
+        s"graft.stats.col.$c.nullCount" -> st.nullCount.toString) ++
+        st.min.map(v => s"graft.stats.col.$c.min" -> v) ++
+        st.max.map(v => s"graft.stats.col.$c.max" -> v)
+    }
+    val vRead = latestVersion(spark, table)
+    rebaseOnConflict(table, "analyze") { () =>
+      val v = latestVersion(spark, table).get + 1
+      writeCommit(spark, table, Commit(v, "analyze", Seq.empty,
+        Seq.empty, snapshot(spark, table)._2.toDDL,
+        System.currentTimeMillis(),
+        props = properties(spark, table) ++ colProps ++ Map(
+          "graft.stats.rowCount" -> rows.toString,
+          "graft.stats.sizeInBytes" -> bytes.toString,
+          "graft.stats.analyzedAtVersion" -> vRead.get.toString)))
+      v
+    }
+    (rows, bytes, per)
+  }
+
   def backfillRowIds(spark: SparkSession, table: String): Long =
       rebaseOnConflict(table, "rowid_backfill") { () =>
     require(rowTrackingEnabled(spark, table),

@@ -181,6 +181,8 @@ final class GraftSqlParser(
     """(?is)\s*SHOW\s+PARTITIONS\s+(\S+?)\s*;?\s*""".r
   private val AnalyzeStmt =
     """(?is)\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
+  private val AnalyzeColsStmt =
+    """(?is)\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w\s,]+?)\s*;?\s*""".r
   private val SetPropsStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val UnsetPropsStmt =
@@ -273,6 +275,9 @@ final class GraftSqlParser(
     // Spark's own grammar parses ANALYZE for catalog tables, so only
     // POSITIVELY graft targets are captured; the graft form folds
     // log-carried stats (no scan) into the properties map
+    case AnalyzeColsStmt(target, cols) if isGraftTable(target) =>
+      GraftAnalyzeColumnsCommand(target,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case AnalyzeStmt(target) if isGraftTable(target) =>
       GraftAnalyzeCommand(target)
     case ShowPartitionsStmt(target) if isGraftTable(target) =>
@@ -801,6 +806,68 @@ case class GraftShowPartitionsCommand(target: String)
 /** `ANALYZE TABLE t COMPUTE STATISTICS` → [[GraftLog.analyzeTable]]:
   * rowCount/sizeInBytes folded from commit-log metadata (no table
   * scan), stored as properties. Returns the two numbers. */
+/** `ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS a, b, …` →
+  * [[GraftLog.analyzeColumns]] (one-pass KMV ndv + min/max +
+  * null-count, log-persisted), then — when the target is a CATALOG
+  * table — pushed into the session catalog as CBO statistics
+  * (`CatalogStatistics` with per-column `CatalogColumnStat`), so
+  * Spark's cost-based optimizer estimates filter selectivity from
+  * real ndv/min/max and flips dim-fact joins to broadcast from stats
+  * alone (`spark.sql.cbo.enabled=true`). Returns one row per column. */
+case class GraftAnalyzeColumnsCommand(target: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("col_name", StringType, nullable = false)(),
+      AttributeReference("ndv_est", DoubleType, nullable = false)(),
+      AttributeReference("min_v", StringType)(),
+      AttributeReference("max_v", StringType)(),
+      AttributeReference("null_count", LongType, nullable = false)(),
+      AttributeReference("row_count", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    val (rows, bytes, per) =
+      GraftLog.analyzeColumns(session, path, cols)
+    // catalog push: only when the target IS a catalog table (a path
+    // target has no catalog entry to hang CBO stats on)
+    val isPath = target.trim.startsWith("'") ||
+      target.trim.startsWith("\"")
+    if (!isPath) try {
+      import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+      val ident = session.sessionState.sqlParser
+        .parseTableIdentifier(target.trim)
+      val tblSchema = session.table(target.trim).schema
+      val colStats = per.map { case (c, st) =>
+        val dt = tblSchema.find(_.name.equalsIgnoreCase(c)).get.dataType
+        val numeric = dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          dt == org.apache.spark.sql.types.DateType ||
+          dt == org.apache.spark.sql.types.TimestampType
+        c -> CatalogColumnStat(
+          distinctCount = Some(BigInt(math.max(1L,
+            math.round(st.ndvEst)))),
+          // min/max must be CBO-parseable — numerics/dates only
+          min = if (numeric) st.min else None,
+          max = if (numeric) st.max else None,
+          nullCount = Some(BigInt(st.nullCount)),
+          avgLen = Some(dt.defaultSize.toLong),
+          maxLen = Some(dt.defaultSize.toLong))
+      }
+      session.sessionState.catalog.alterTableStats(ident,
+        Some(CatalogStatistics(BigInt(bytes), Some(BigInt(rows)),
+          colStats)))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] WARN: ANALYZE computed stats but " +
+        s"could not attach them to the catalog entry for $target: " +
+        e.getMessage)
+    }
+    cols.map { c =>
+      val st = per(c)
+      Row(c, st.ndvEst, st.min.orNull, st.max.orNull, st.nullCount,
+        rows)
+    }
+  }
+}
+
 case class GraftAnalyzeCommand(target: String)
     extends LeafRunnableCommand {
   import org.apache.spark.sql.types.LongType

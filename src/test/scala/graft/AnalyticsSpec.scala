@@ -550,6 +550,60 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("column stats flip a selective dim-fact join to broadcast (CBO)") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val root = Staging.tempDir("graft_cbo_")
+    val (dimD, factD) = (s"$root/dim", s"$root/fact")
+    GraftLog.overwrite(
+      Sources.testTable(spark, TestSpark.sf, "customer"), dimD)
+    GraftLog.overwrite(
+      Sources.testTable(spark, TestSpark.sf, "orders"), factD)
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    spark.sql(s"CREATE TABLE cbo_dim USING graft OPTIONS (path '$dimD')")
+    spark.sql(s"CREATE TABLE cbo_fact USING graft OPTIONS (path '$factD')")
+    val dimBytes = GraftLog.fileSizes(spark, dimD).values.sum
+    val maxKey = spark.table("cbo_dim")
+      .agg(max(col("c_custkey"))).collect().head.getLong(0)
+    // threshold sits just UNDER the dim's size: the unfiltered dim can
+    // never broadcast, a selective filter's CBO estimate can
+    def planOf(): String = {
+      // d.* keeps the projection from shrinking the no-stats size
+      // estimate below the threshold on its own
+      spark.sql(
+        s"""SELECT f.o_orderkey, d.* FROM cbo_fact f
+           |JOIN cbo_dim d ON f.o_custkey = d.c_custkey
+           |WHERE d.c_custkey <= ${maxKey / 20}""".stripMargin)
+        .queryExecution.executedPlan.toString
+    }
+    val olds = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (dimBytes - 1).toString)
+      val before = planOf()
+      assert(before.contains("SortMergeJoin"),
+        s"without stats the filtered dim keeps its full size estimate " +
+          s"and must not broadcast:\n${before.take(1500)}")
+      spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR COLUMNS " +
+        "c_custkey").collect()
+      spark.catalog.refreshTable("cbo_dim")
+      val after = planOf()
+      assert(after.contains("BroadcastHashJoin"),
+        s"with ndv/min/max stats the CBO filter estimate shrinks the " +
+          s"dim below the threshold:\n${after.take(1500)}")
+    } finally {
+      olds.foreach { case (k, v) => v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      } }
+      spark.sql("DROP TABLE cbo_dim")
+      spark.sql("DROP TABLE cbo_fact")
+    }
+  }
+
   test("semantic dedup: keeper precedes dropped, pairs share a cluster") {
     val out = Dedup.semanticDedup(spark, TestSpark.sf).collect()
     assert(out.forall(r => r.getLong(2) < r.getLong(1))) // keeper < dropped
