@@ -77,7 +77,12 @@ object ExplainDump {
       "g22_shard_shuffle",       // ONE hash exchange + per-shard sort
       "t34_row_tracking",        // base-join + coalesce(materialized)
       "t36_rowid_cdf",           // file-bounded row-id full-outer diff
-      "d16_sql_insert")          // SQL INSERT via the log commit path
+      "d16_sql_insert",          // SQL INSERT via the log commit path
+      "d21_merge_conditional",   // clause-cascade MERGE read-back
+      "d22_table_changes",       // table_changes TVF: per-version diffs
+      "d20_analyze_columns",     // one-pass column stats (KMV + min/max)
+      "f13_knn_ivf_retrain",     // audit + Lloyd retrain + probed cells
+      "d23_copy_into")           // ledger-deduped directory ingest
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.ExplainDump)\n\n")
