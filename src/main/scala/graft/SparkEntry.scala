@@ -455,6 +455,9 @@ object SparkEntry {
     // independently (insert batch appended to the clone only); the
     // n_copied_files=0 column pins that no data bytes moved
     "t23_graftlog_clone" -> ((s, d) => Transactions.cloneRead(s, d)),
+    // DEEP CLONE: physical distributed copy — source destruction
+    // (delete-all + vacuum) cannot touch the clone
+    "t37_deep_clone" -> ((s, d) => Transactions.deepCloneRead(s, d)),
     // metadata-only RENAME/DROP COLUMN via column mapping: the logical
     // rename is a SQL alias in the oracle; n_meta_files=0 pins that the
     // schema commits moved no data bytes
@@ -746,6 +749,11 @@ object SparkEntry {
     // t23: the shallow clone = source snapshot after the delete, plus
     // the insert batch (c4's NOT-EXISTS branch) appended to the clone
     // alone; n_copied_files pins the zero-copy contract
+    "t37_deep_clone" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  TRUE AS files_copied_positive,
+        |  CAST(0 AS BIGINT) AS src_rows_now
+        |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin,
     "t23_graftlog_clone" ->
       s"""WITH $incCte
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

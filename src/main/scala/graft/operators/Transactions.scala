@@ -1622,6 +1622,45 @@ object Transactions {
       (dst, copied)
     })
 
+  private val stagedDeepClone =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t37 — DEEP CLONE independence: clone the v1 snapshot (post-delete)
+    * with a physical distributed copy, then DESTROY the source (delete
+    * everything + vacuum to one retained version). The clone must still
+    * serve the full snapshot — the shallow-clone caveat (source vacuum
+    * can strand a clone) closed by construction. `src_rows_now` pins
+    * the source's destruction; `files_copied` pins that bytes actually
+    * moved (the opposite pin of t23's zero-copy). */
+  def deepCloneRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dst = stagedDeepClone.getOrElseUpdate(sfDir, {
+      val root = graft.sources.Staging.tempDir("graft_txn_")
+      val src = root + "/customer_dcsrc"
+      val d = root + "/customer_deep"
+      val cust = Sources.testTable(spark, sfDir, "customer")
+      GraftLog.overwrite(cust, src)                              // v0
+      GraftLog.delete(spark, src, col("c_custkey") % 10 === 0)   // v1
+      spark.sql(s"CREATE TABLE '$d' DEEP CLONE '$src'")
+      // destroy the source: the deep clone must not notice
+      GraftLog.delete(spark, src, lit(true))
+      GraftLog.vacuum(spark, src, retainVersions = 1)
+      d
+    })
+    def parquetsUnder(f: java.io.File): Int =
+      if (!f.exists) 0
+      else f.listFiles.toSeq.map { x =>
+        if (x.isDirectory) parquetsUnder(x)
+        else if (x.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    val copied = parquetsUnder(new java.io.File(dst, "_data"))
+    val srcRows = GraftLog.read(spark,
+      dst.stripSuffix("/customer_deep") + "/customer_dcsrc").count()
+    GraftLog.read(spark, dst)
+      .select(customerCols.map(col): _*)
+      .withColumn("files_copied_positive", lit(copied > 0))
+      .withColumn("src_rows_now", lit(srcRows))
+  }
+
   private val stagedCmap =
     new scala.collection.concurrent.TrieMap[String, (String, Int)]
 

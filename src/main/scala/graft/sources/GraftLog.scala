@@ -3159,11 +3159,12 @@ object GraftLog {
   def mergeClauses(source: DataFrame, table: String, keys: Seq[String],
       matched: Seq[MergeClause] = Nil,
       notMatched: Seq[MergeClause.Insert] = Nil,
-      notMatchedBySource: Seq[MergeClause] = Nil): Long = {
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      onExtra: Option[Column] = None): Long = {
     requireAppendable(source.sparkSession, table, "MERGE")
     val v = rebaseOnConflict(table, "merge") { () =>
       mergeClausesImpl(source, table, keys, matched, notMatched,
-        notMatchedBySource)
+        notMatchedBySource, onExtra)
     }
     maybeBackfillAfterRewrite(source.sparkSession, table)
     v
@@ -3172,7 +3173,8 @@ object GraftLog {
   private def mergeClausesImpl(source: DataFrame, table: String,
       keys: Seq[String], matched: Seq[MergeClause],
       notMatched: Seq[MergeClause.Insert],
-      notMatchedBySource: Seq[MergeClause]): Long = {
+      notMatchedBySource: Seq[MergeClause],
+      onExtra: Option[Column]): Long = {
     import MergeClause._
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "MERGE needs at least one WHEN clause")
@@ -3232,8 +3234,13 @@ object GraftLog {
     }
 
     val srcA = source.alias("s")
-    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
-      .reduce(_ && _)
+    // the ON condition = the same-name key equalities (the pruning
+    // anchor) AND any extra conjuncts (Delta's full ON surface: a
+    // key-matching row failing the extra condition is NOT MATCHED —
+    // an insert clause may then legally introduce a duplicate key,
+    // exactly Delta's semantics)
+    val joinCond = (keys.map(k => col(s"t.$k") === col(s"s.$k")) ++
+      onExtra.toSeq).reduce(_ && _)
     def orConds(cs: Seq[MergeClause]): Column =
       cs.map(_.condition.getOrElse(lit(true))).reduce(_ || _)
 
@@ -3283,10 +3290,11 @@ object GraftLog {
       if (bySourceN.isEmpty) Seq.empty[String]
       else touchedFiles(spark, table, files, schema, df =>
         df.alias("t")
-          .join(broadcast(source.select(keys.map(col): _*).distinct()
-            .alias("s")),
-            keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
-            "left_anti")
+          .join(broadcast(
+            if (onExtra.isEmpty)
+              source.select(keys.map(col): _*).distinct().alias("s")
+            else srcA),
+            joinCond, "left_anti")
           .filter(orConds(bySourceN)))
     val touched = (touchedM ++ touchedB).distinct
 
@@ -3363,10 +3371,14 @@ object GraftLog {
         if (matchedN.nonEmpty && matchedN.forall(_.condition.isEmpty))
           touched
         else files
+      // extra ON conjuncts may reference any target column, so the
+      // anti-join probe widens to the full row there; the common
+      // keys-only merge keeps its narrow keys-only scan
+      val probeCols =
+        if (onExtra.isEmpty) keys else schema.fieldNames.toSeq
       val targetKeys = readSubset(spark, table, probeFiles, schema)
-        .select(keys.map(col): _*)
-      val unmatched = srcA.join(targetKeys, keys.map(k =>
-        col(s"s.$k") === targetKeys(k)).reduce(_ && _), "left_anti")
+        .select(probeCols.map(col): _*).alias("t")
+      val unmatched = srcA.join(targetKeys, joinCond, "left_anti")
         .alias("s")
       val iIdx = insertsN.zipWithIndex.foldRight(lit(0): Column) {
         case ((cl, i), acc) =>
@@ -4198,6 +4210,72 @@ object GraftLog {
       // a clone's commit is v0 — nothing to inherit from, so the
       // source's generated-column definitions and table configuration
       // must ride explicitly (Delta CLONE copies both)
+      generated = generatedColumns(spark, src, asOf),
+      props = properties(spark, src, asOf)))
+    0L
+  }
+
+  /** DEEP CLONE — `CREATE TABLE dst DEEP CLONE src [VERSION AS OF v]`:
+    * an INDEPENDENT copy. Every referenced data file (and DV sidecar)
+    * physically copies under the clone's own root, so vacuuming or
+    * mutating the source can never break the clone — the documented
+    * shallow-clone caveat this form exists to close. The copy runs as
+    * a DISTRIBUTED job (one task per file, cluster-IO-bound — the
+    * driver never streams a byte; at 100 TB that is the difference
+    * between a cluster-parallel copy and a day of driver IO);
+    * skipping stats, logged sizes, Bloom bitmaps, active DVs,
+    * constraints, generated columns, and table properties all carry,
+    * re-keyed to the clone's own relative paths (DV position keys are
+    * `_data/`-suffix-based, which the re-key preserves). A
+    * shallow-clone SOURCE deep-clones fine: its absolute references
+    * resolve and copy like any other file. */
+  def cloneDeep(spark: SparkSession, src: String, dst: String,
+      asOf: Option[Long] = None): Long = {
+    require(versions(spark, src).nonEmpty,
+      s"$src is not a GraftLog table (no $LogDirName)")
+    require(versions(spark, dst).isEmpty,
+      s"clone target $dst is already a GraftLog table")
+    val (live, schema, sizes, dvs, blooms, cmap) = replay(spark, src, asOf)
+    // dest rel path = the source's `_data/`-suffix (identity for plain
+    // tables; for a shallow-clone source the absolute ref's suffix)
+    def destRel(f: String): String =
+      relPathOf(absPath(src, f)).getOrElse(f)
+    val copies = (live.keys.toSeq ++ dvs.toSeq)
+      .map(f => (absPath(src, f), s"$dst/${destRel(f)}"))
+    if (copies.nonEmpty) {
+      // Hadoop Configuration is not serializable (and Spark's wrapper
+      // is private[spark]) — ship the entries and rebuild per task
+      val confEntries = {
+        val c = spark.sessionState.newHadoopConf()
+        val b = Seq.newBuilder[(String, String)]
+        val it = c.iterator()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+        b.result()
+      }
+      val bc = spark.sparkContext.broadcast(confEntries)
+      spark.sparkContext
+        .parallelize(copies, math.min(copies.size,
+          spark.sparkContext.defaultParallelism * 2))
+        .foreach { case (from, to) =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          bc.value.foreach { case (k, v) => c.set(k, v) }
+          val fp = new HPath(from); val tp = new HPath(to)
+          val tfs = tp.getFileSystem(c)
+          org.apache.hadoop.fs.FileUtil.copy(
+            fp.getFileSystem(c), fp, tfs, tp,
+            false /* deleteSource */, true /* overwrite */, c): Unit
+        }
+    }
+    writeCommit(spark, dst, Commit(0L, "clone",
+      live.keys.toSeq.map(destRel), Seq.empty, schema.toDDL,
+      System.currentTimeMillis(),
+      stats = live.toSeq.collect {
+        case (f, st) if st.nonEmpty => destRel(f) -> st }.toMap,
+      sizes = sizes.map { case (f, n) => destRel(f) -> n }.toMap,
+      dvAdd = dvs.toSeq.map(destRel),
+      blooms = blooms.map { case (f, b) => destRel(f) -> b }.toMap,
+      colMap = cmap,
+      checks = checkConstraints(spark, src, asOf),
       generated = generatedColumns(spark, src, asOf),
       props = properties(spark, src, asOf)))
     0L

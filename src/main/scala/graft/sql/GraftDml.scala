@@ -164,7 +164,7 @@ final class GraftSqlParser(
   private val AddColumnsStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val CloneStmt =
-    """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val RenameColumnStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val DropColumnStmt =
@@ -290,8 +290,9 @@ final class GraftSqlParser(
       GraftShowPropertiesCommand(target)
     // Delta ships the same syntax, so only a SOURCE that resolves to a
     // graft table (or a path literal) is captured
-    case CloneStmt(dst, src, ver, ts) if ownsTarget(src) =>
-      GraftCloneCommand(dst, src, Option(ver).map(_.toLong), Option(ts))
+    case CloneStmt(dst, kind, src, ver, ts) if ownsTarget(src) =>
+      GraftCloneCommand(dst, src, Option(ver).map(_.toLong), Option(ts),
+        deep = kind.equalsIgnoreCase("DEEP"))
     case _ => GraftTimeTravel(delegate.parsePlan(sqlText))
   }
 
@@ -665,7 +666,8 @@ case class GraftDropColumnCommand(target: String, colName: String)
   * registration of clones, like other path-DDL, goes through
   * `CREATE TABLE … USING graft LOCATION` afterwards. */
 case class GraftCloneCommand(dst: String, src: String,
-    asOf: Option[Long], asOfTs: Option[String] = None)
+    asOf: Option[Long], asOfTs: Option[String] = None,
+    deep: Boolean = false)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val srcPath = GraftTarget.pathOf(session, src)
@@ -674,8 +676,9 @@ case class GraftCloneCommand(dst: String, src: String,
     // UTC, matching the pinned session timezone
     val v = asOf.orElse(asOfTs.map(ts => GraftLog.versionAt(session,
       srcPath, TsLiteral.toMillis(ts))))
-    GraftLog.cloneShallow(session, srcPath,
-      GraftTarget.pathOf(session, dst), v)
+    val dstPath = GraftTarget.pathOf(session, dst)
+    if (deep) GraftLog.cloneDeep(session, srcPath, dstPath, v)
+    else GraftLog.cloneShallow(session, srcPath, dstPath, v)
     Seq.empty
   }
 }
@@ -877,6 +880,22 @@ case class GraftAnalyzeCommand(target: String)
   override def run(session: SparkSession): Seq[Row] = {
     val (rows, bytes) = GraftLog.analyzeTable(session,
       GraftTarget.pathOf(session, target))
+    // catalog targets also get table-level CBO statistics (rowCount +
+    // sizeInBytes) — the broadcast-threshold input — matching the
+    // column-level command's push
+    val isPath = target.trim.startsWith("'") ||
+      target.trim.startsWith("\"")
+    if (!isPath) try {
+      val ident = session.sessionState.sqlParser
+        .parseTableIdentifier(target.trim)
+      session.sessionState.catalog.alterTableStats(ident,
+        Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          BigInt(bytes), Some(BigInt(rows)))))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] WARN: ANALYZE computed stats but " +
+        s"could not attach them to the catalog entry for $target: " +
+        e.getMessage)
+    }
     Seq(Row(rows, bytes))
   }
 }
@@ -1038,17 +1057,27 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable =>
       graftPath(m.targetTable).fold(plan: LogicalPlan) { case (path, name) =>
-        // keys: the merge condition must be a conjunction of same-name
-        // column equalities (the upsert shape GraftLog.merge implements)
-        val keys = conjuncts(m.mergeCondition).map {
-          case EqualTo(l, r) => (attrName(l), attrName(r)) match {
-            case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => a
-            case _ => fail("merge condition must equate same-named " +
-              s"target/source columns, got ${EqualTo(l, r).sql}")
+        // ON condition: same-name column equalities become the KEYS
+        // (the equi anchor file pruning and the broadcast probe hang
+        // off); any OTHER conjunct routes to the clause engine as an
+        // extra matched-gate (Delta's full ON surface). Zero key
+        // equalities still fail loudly — a keyless MERGE would be an
+        // unprunable cross-table comparison.
+        val (keyConjs, extraConjs) =
+          conjuncts(m.mergeCondition).partition {
+            case EqualTo(l, r) => (attrName(l), attrName(r)) match {
+              case (Some(a), Some(b)) => a.equalsIgnoreCase(b)
+              case _ => false
+            }
+            case _ => false
           }
-          case other =>
-            fail(s"non-equality merge condition ${other.sql}")
+        val keys = keyConjs.map {
+          case EqualTo(l, r) => attrName(l).get
+          case other => fail(s"unreachable: $other")
         }
+        if (keys.isEmpty)
+          fail("merge condition needs at least one same-named " +
+            s"target/source key equality, got ${m.mergeCondition.sql}")
         // the LEGACY whole-star shape (single unconditional UPDATE SET *
         // / INSERT * / DELETE per family) routes to GraftLog.merge,
         // which supports autoMerge schema evolution; anything else —
@@ -1078,7 +1107,7 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
         (legacyStar(m.matchedActions), legacyStar(m.notMatchedActions),
             legacyDelete) match {
-          case (Some(u), Some(i), Some(d)) =>
+          case (Some(u), Some(i), Some(d)) if extraConjs.isEmpty =>
             if (!u && !i && !d) fail("MERGE needs at least one WHEN clause")
             GraftMergeCommand(path, name, m.sourceTable, keys, u, i, d)
           case _ =>
@@ -1144,7 +1173,8 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             GraftMergeClausesCommand(path, name, m.sourceTable, keys,
               m.matchedActions.map(matchedClause),
               m.notMatchedActions.map(insertClause),
-              m.notMatchedBySourceActions.map(bySourceClause))
+              m.notMatchedBySourceActions.map(bySourceClause),
+              extraConjs.map(sided).reduceOption(_ && _))
         }
       }
 
@@ -1304,11 +1334,12 @@ case class GraftMergeClausesCommand(path: String, table: Option[String],
     source: LogicalPlan, keys: Seq[String],
     matched: Seq[GraftLog.MergeClause],
     notMatched: Seq[GraftLog.MergeClause.Insert],
-    notMatchedBySource: Seq[GraftLog.MergeClause])
+    notMatchedBySource: Seq[GraftLog.MergeClause],
+    onExtra: Option[Column] = None)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     GraftLog.mergeClauses(StreamBatch.ofPlan(session, source), path,
-      keys, matched, notMatched, notMatchedBySource)
+      keys, matched, notMatched, notMatchedBySource, onExtra)
     RefreshAfterDml(session, path, table)
     Seq.empty
   }

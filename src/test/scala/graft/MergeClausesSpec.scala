@@ -239,6 +239,57 @@ class MergeClausesSpec extends AnyFunSuite {
     spark.catalog.dropTempView("mclause_sql_bsrc")
   }
 
+  test("extra ON conjuncts: full-ON match semantics (Delta surface)") {
+    val t = tmp()
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "frozen")), t)
+    // ON id AND t.status='active': id=2 key-matches but fails the
+    // extra conjunct → NOT matched → the insert clause fires and
+    // introduces a second id=2 row (exactly Delta's semantics)
+    val src = people((1L, "ann", 111.0, "x"), (2L, "bob", 222.0, "x"))
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      matched = Seq(Update(None, Seq("salary" -> col("s.salary")))),
+      notMatched = Seq(Insert()),
+      onExtra = Some(expr("t.status = 'active'")))
+    val rows = GraftLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(rows.toSet == Set(
+      (1L, 111.0, "active"),   // full match → updated
+      (2L, 200.0, "frozen"),   // key match, extra failed → untouched
+      (2L, 222.0, "x")),       // …and the source row inserted
+      s"got ${rows.mkString(",")}")
+  }
+
+  test("SQL: extra ON conjunct routes through the cascade engine") {
+    val t = tmp()
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "frozen"),
+      (3L, "cya", 300.0, "active")), t)
+    spark.sql("DROP TABLE IF EXISTS mclause_on_t")
+    spark.sql(s"CREATE TABLE mclause_on_t USING graft OPTIONS (path '$t')")
+    people((1L, "ann", 111.0, "n"), (2L, "bob", 222.0, "n"))
+      .createOrReplaceTempView("mclause_on_src")
+    spark.sql(
+      """MERGE INTO mclause_on_t t USING mclause_on_src s
+        |ON t.id = s.id AND t.status = 'active'
+        |WHEN MATCHED THEN UPDATE SET salary = s.salary""".stripMargin)
+    val m = readMap(t)
+    assert(m(1L)._2 == 111.0, "full match updated")
+    assert(m(2L)._2 == 200.0, "extra-conjunct miss untouched")
+    assert(m(3L)._2 == 300.0, "unmatched row untouched")
+    // pure non-equi ON (no key equality) still refuses loudly
+    intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO mclause_on_t t USING mclause_on_src s
+          |ON t.id < s.id
+          |WHEN MATCHED THEN UPDATE SET salary = s.salary""".stripMargin)
+    }
+    spark.sql("DROP TABLE mclause_on_t")
+    spark.catalog.dropTempView("mclause_on_src")
+  }
+
   test("generated columns recompute behind a column-level update") {
     val t = tmp()
     val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")

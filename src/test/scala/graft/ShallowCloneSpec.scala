@@ -137,4 +137,54 @@ class ShallowCloneSpec extends AnyFunSuite {
       GraftLog.cloneShallow(spark, s"$r/nope", s"$r/dst2")
     }
   }
+
+  test("DEEP CLONE copies files; source vacuum cannot break it") {
+    val r = root(); val src = s"$r/src"; val dst = s"$r/dst"
+    GraftLog.overwrite(df(0 until 80, "a"), src)
+    GraftLog.append(df(80 until 100, "b"), src)
+    GraftLog.cloneDeep(spark, src, dst)
+    // files physically present under the CLONE's root
+    assert(parquetsUnder(new java.io.File(dst, "_data")) > 0,
+      "deep clone must copy data files")
+    assert(GraftLog.read(spark, dst).count() == 100)
+    // skipping stats and sizes re-keyed to the clone's paths
+    assert(GraftLog.fileSizes(spark, dst).keys.forall(!_.startsWith("file:")))
+    // the shallow-clone caveat is CLOSED: mutate + vacuum the source
+    // to nothing, the deep clone still reads fully
+    GraftLog.delete(spark, src, lit(true))
+    GraftLog.vacuum(spark, src, retainVersions = 1)
+    assert(GraftLog.read(spark, dst).count() == 100)
+    // and the clone evolves independently
+    GraftLog.append(df(100 until 110, "c"), dst)
+    assert(GraftLog.read(spark, dst).count() == 110)
+    assert(GraftLog.read(spark, src).count() == 0)
+  }
+
+  test("DEEP CLONE carries DVs and partitions; SQL surface works") {
+    val r = root(); val src = s"$r/src"; val dst = s"$r/dst"
+    val dst2 = s"$r/dst2"
+    GraftLog.overwrite(df(0 until 30, "a"), src)
+    GraftLog.deleteVectors(spark, src, col("id") < 5)
+    GraftLog.cloneDeep(spark, src, dst)
+    assert(GraftLog.read(spark, dst).count() == 25,
+      "DV masks must survive the deep copy (position keys re-keyed)")
+    // deep clone OF a shallow clone resolves the absolute references
+    val sh = s"$r/shallow"
+    GraftLog.cloneShallow(spark, src, sh)
+    GraftLog.cloneDeep(spark, sh, dst2)
+    assert(GraftLog.read(spark, dst2).count() == 25)
+    assert(parquetsUnder(new java.io.File(dst2, "_data")) > 0)
+    // SQL form
+    val dst3 = s"$r/dst3"
+    spark.sql(s"CREATE TABLE '$dst3' DEEP CLONE '$src'")
+    assert(GraftLog.read(spark, dst3).count() == 25)
+    // partitioned source keeps its hive layout in the copy
+    val psrc = s"$r/psrc"; val pdst = s"$r/pdst"
+    GraftLog.overwritePartitioned(
+      Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "part"),
+      psrc, Seq("part"))
+    GraftLog.cloneDeep(spark, psrc, pdst)
+    assert(GraftLog.read(spark, pdst)
+      .filter(col("part") === "a").count() == 1)
+  }
 }

@@ -147,6 +147,23 @@ class TablePropertiesSpec extends AnyFunSuite {
     val viaSql = spark.sql(s"ANALYZE TABLE '$t' COMPUTE STATISTICS")
       .head
     assert(viaSql.getLong(0) == 7 && viaSql.getLong(1) == bytes)
+    // a CATALOG target additionally lands table-level CBO stats in the
+    // session catalog (the broadcast-threshold input); compact first —
+    // the catalog relation reads through the DV-refusing FileIndex
+    GraftLog.compact(spark, t)
+    spark.sql("DROP TABLE IF EXISTS props_analyze_t")
+    spark.sql(s"CREATE TABLE props_analyze_t USING graft " +
+      s"OPTIONS (path '$t')")
+    val viaCat = spark
+      .sql("ANALYZE TABLE props_analyze_t COMPUTE STATISTICS").head
+    val st = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("props_analyze_t"))
+      .stats
+    assert(st.exists(_.rowCount.contains(BigInt(7))),
+      s"catalog stats missing rowCount: $st")
+    // bytes moved under the compact — compare against THIS run's result
+    assert(st.exists(_.sizeInBytes == BigInt(viaCat.getLong(1))))
+    spark.sql("DROP TABLE props_analyze_t")
   }
 
   test("files metadata table and SHOW PARTITIONS") {
