@@ -84,6 +84,10 @@ object SparkEntry {
     // clauses (first-match-wins), column-level UPDATE SET, INSERT *
     "d21_merge_conditional" ->
       ((s, d) => Ddl.graftSqlMergeConditional(s, d)),
+    // extra ON conjuncts: key equalities anchor pruning, the extra
+    // conjunct gates the match (failed-extra rows insert as dupes)
+    "d24_merge_on_extra" ->
+      ((s, d) => Ddl.graftSqlMergeOnExtra(s, d)),
     // COPY INTO: idempotent directory ingest (per-file ledger; the
     // second run of the same directory loads zero files/rows)
     "d23_copy_into" ->
@@ -1557,6 +1561,20 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS second_run_files,
         |  CAST(0 AS BIGINT) AS second_run_rows
         |FROM customer""".stripMargin,
+    // d24: full-ON replay — BUILDING key-matches updated; source rows
+    // whose target counterpart fails the extra conjunct inserted as
+    // legal duplicate keys (Delta's NOT MATCHED definition)
+    "d24_merge_on_extra" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 4 = 0 AND c_mktsegment = 'BUILDING'
+        |       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 4 = 0 AND c_mktsegment <> 'BUILDING'""".stripMargin,
     // d21: replay of the clause cascade — matched EXPIRED keys
     // (%3<>0 AND %7=0) deleted FIRST (clause order), matched changed
     // balances (%3<>0 AND %5=0) updated to the bumped value, the

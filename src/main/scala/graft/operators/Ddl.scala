@@ -159,9 +159,6 @@ object Ddl {
   private val stagedSqlScd =
     new scala.collection.concurrent.TrieMap[String, String]
 
-  private val stagedSqlCond =
-    new scala.collection.concurrent.TrieMap[String, String]
-
   /** d20 — `ANALYZE TABLE … FOR COLUMNS`: one-pass per-column ndv
     * (KMV sketch, engine-portable hash — the estimate itself is
     * oracle-reproducible), min/max, and null counts, persisted as
@@ -192,6 +189,34 @@ object Ddl {
         props(s"graft.stats.col.$c.nullCount").toLong, rows)
     }.toDF("col_name", "ndv_est", "min_v", "max_v", "null_count",
       "row_count")
+  }
+
+  /** d24 — extra MERGE ON conjuncts (the full Delta ON surface): the
+    * statement `ON t.key = s.key AND t.segment = 'BUILDING'` updates
+    * only BUILDING customers; a key-matching row that FAILS the extra
+    * conjunct is NOT MATCHED, so the INSERT clause fires and legally
+    * introduces a duplicate key — Delta's exact semantics, replayed by
+    * the oracle. The key equalities remain the file-pruning anchor. */
+  def graftSqlMergeOnExtra(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Staging.tempDir("graft_monex_") + "/cust"
+    val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+    graft.sources.GraftLog.overwrite(cust, d)
+    val tag = math.abs(sfDir.hashCode).toString.take(8)
+    val t = s"graft_monex_cust_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$d')")
+    cust.filter(col("c_custkey") % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .createOrReplaceTempView(s"graft_monex_src_$tag")
+    spark.sql(
+      s"""MERGE INTO $t AS t USING graft_monex_src_$tag AS s
+         |ON t.c_custkey = s.c_custkey AND t.c_mktsegment = 'BUILDING'
+         |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.catalog.dropTempView(s"graft_monex_src_$tag")
+    spark.table(t).select("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment")
   }
 
   /** d23 — `COPY INTO`, the hourly lake-ingest statement: odd-key
@@ -242,12 +267,13 @@ object Ddl {
   def graftSqlMergeConditional(spark: SparkSession,
       sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
-    val dir = stagedSqlCond.getOrElseUpdate(sfDir, {
-      val d = graft.sources.Staging.tempDir("graft_mcond_") + "/customer"
-      graft.sources.GraftLog.overwrite(
-        graft.sources.Sources.testTable(spark, sfDir, "customer"), d)
-      d
-    })
+    // fresh dir per call: the cascade (delete EXPIRED + insert novel)
+    // is NOT idempotent over its own output — a cached dir would
+    // resurrect deleted keys on a second run (d11's staging contract
+    // requires idempotence; this statement's does not, so no cache)
+    val dir = graft.sources.Staging.tempDir("graft_mcond_") + "/customer"
+    graft.sources.GraftLog.overwrite(
+      graft.sources.Sources.testTable(spark, sfDir, "customer"), dir)
     val tag = math.abs(sfDir.hashCode).toString.take(8)
     val t = s"graft_mcond_cust_$tag"
     spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -1778,20 +1778,33 @@ object GraftLog {
     while (true) {
       val srcFs = new HPath(source).getFileSystem(
         spark.sessionState.newHadoopConf())
-      val listed = srcFs.listStatus(new HPath(source)).toSeq
-        .filter(st => st.isFile &&
-          !st.getPath.getName.startsWith(".") &&
+      val entries = srcFs.listStatus(new HPath(source)).toSeq
+        .filter(st => !st.getPath.getName.startsWith(".") &&
           !st.getPath.getName.startsWith("_"))
+      // loud over wrong: a nested (e.g. hive-partitioned) landing dir
+      // would silently part-load — the files would read, but their
+      // dir-encoded partition VALUES would land as NULLs. Refuse.
+      val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+      require(subdirs.isEmpty,
+        s"COPY INTO ingests FLAT directories; $source contains " +
+          s"subdirectories (${subdirs.take(3).mkString(", ")}…) whose " +
+          "dir-encoded partition values a flat file read would drop — " +
+          "point COPY INTO at each leaf directory instead")
+      val listed = entries.filter(_.isFile)
         .map(st => srcFs.makeQualified(st.getPath).toString).sorted
-      val already =
-        if (force) Set.empty[String] else copiedFiles(spark, table)
+      val ledgerBefore = copiedFiles(spark, table)
+      val already = if (force) Set.empty[String] else ledgerBefore
       val fresh = listed.filterNot(already)
       if (fresh.isEmpty) return (-1L, 0L, 0L)
       val schema = logicalSchema(snapshot(spark, table)._2,
         columnMapping(spark, table))
       val df = spark.read.format(fmt).options(options).schema(schema)
         .load(fresh: _*)
-      val v = append(df, table, copied = fresh)
+      // the abandon baseline is the PRE-STAGING ledger regardless of
+      // force: only entries a COMPETING commit added since count as
+      // overlap — a forced re-ingest must not abort on its own history
+      val v = append(df, table, copied = fresh,
+        copiedBaseline = ledgerBefore)
       if (v >= 0) {
         val c = readCommit(spark, table, v)
         val rows = c.add
@@ -1807,7 +1820,8 @@ object GraftLog {
   }
 
   def append(df: DataFrame, table: String,
-      copied: Seq[String] = Seq.empty): Long = {
+      copied: Seq[String] = Seq.empty,
+      copiedBaseline: Set[String] = Set.empty): Long = {
     val spark = df.sparkSession
     val seen0 = latestVersion(spark, table)
     val gens0 = if (seen0.isEmpty) Map.empty[String, String]
@@ -1837,11 +1851,14 @@ object GraftLog {
           Seq.empty)
       },
       // COPY INTO idempotence: when a competing commit lands between
-      // read and claim, re-check the ingest ledger — if ANY of this
-      // batch's source files is now recorded, abandon (-1) so the
-      // caller recomputes the fresh set instead of double-loading
+      // read and claim, re-check the ingest ledger — if a COMPETING
+      // writer recorded any of this batch's source files since the
+      // caller's baseline read, abandon (-1) so the caller recomputes
+      // the fresh set instead of double-loading (baseline-relative, so
+      // FORCE re-ingest never aborts on its own prior history)
       abandonIf = () => copied.nonEmpty &&
-        copiedFiles(spark, table).exists(copied.contains),
+        (copiedFiles(spark, table) -- copiedBaseline)
+          .exists(copied.contains),
       generated = if (hasId) gens2 else Map.empty,
       copied = copied)
   }

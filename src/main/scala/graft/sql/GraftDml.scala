@@ -111,20 +111,27 @@ object GraftTableChangesTvf {
         s"table_changes on $path needs the row identity the diff " +
           "classifies by: ALTER TABLE … SET TBLPROPERTIES " +
           "('graft.cdf.keys' = 'k1[,k2…]') once, then query freely"))
-    val range = all.filter(v => v >= startV && v <= endV)
-    require(range.nonEmpty,
-      s"no retained versions of $path in [$startV, $endV]")
-    // commit timestamps: metadata-sized driver map (one row per commit)
-    val tsOf = GraftLog.history(session, path)
-      .select("version", "timestamp").collect()
-      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
-    import org.apache.spark.sql.functions.lit
-    val frame = range.map(v =>
-      GraftLog.changesAt(session, path, keys, v, preimages = true)
-        .withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp", lit(tsOf(v))))
-      .reduce(_ unionByName _)
-    StreamBatch.planOf(frame)
+    // delegate to the ONE batch-CDF implementation (the readChangeFeed
+    // relation): the TVF adds only the resolved bounds, the
+    // log-carried keys, and the _commit_timestamp column — no second
+    // copy of the range/union/stamping logic to drift
+    val changes = session.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("cdfKeys", keys.mkString(","))
+      .option("startingVersion", startV.toString)
+      .option("endingVersion", endV.toString)
+      .option("includePreimages", "true")
+      .load(path)
+    // commit timestamps: metadata-sized (one row per commit), joined
+    // on the version stamp
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val tsDf = GraftLog.history(session, path)
+      .select(col("version").as("_commit_version"),
+        col("timestamp").as("_commit_timestamp"))
+    StreamBatch.planOf(
+      changes.join(broadcast(tsDf), Seq("_commit_version"))
+        .select(changes.columns.map(col).toSeq :+
+          col("_commit_timestamp"): _*))
   }
 }
 
@@ -809,6 +816,27 @@ case class GraftShowPartitionsCommand(target: String)
 /** `ANALYZE TABLE t COMPUTE STATISTICS` → [[GraftLog.analyzeTable]]:
   * rowCount/sizeInBytes folded from commit-log metadata (no table
   * scan), stored as properties. Returns the two numbers. */
+/** Shared catalog push for both ANALYZE commands: attach computed
+  * statistics to a CATALOG target's entry (path targets have none);
+  * failures warn rather than fail — the log-persisted stats are the
+  * durable record, the catalog copy is the CBO accelerator. */
+private object AnalyzeCatalogPush {
+  def apply(session: SparkSession, target: String,
+      stats: org.apache.spark.sql.catalyst.catalog.CatalogStatistics)
+      : Unit = {
+    val t = target.trim
+    val isPath = t.startsWith("'") || t.startsWith("\"")
+    if (!isPath) try {
+      val ident = session.sessionState.sqlParser.parseTableIdentifier(t)
+      session.sessionState.catalog.alterTableStats(ident, Some(stats))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] WARN: ANALYZE computed stats but " +
+        s"could not attach them to the catalog entry for $target: " +
+        e.getMessage)
+    }
+  }
+}
+
 /** `ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS a, b, …` →
   * [[GraftLog.analyzeColumns]] (one-pass KMV ndv + min/max +
   * null-count, log-persisted), then — when the target is a CATALOG
@@ -831,16 +859,11 @@ case class GraftAnalyzeColumnsCommand(target: String, cols: Seq[String])
     val path = GraftTarget.pathOf(session, target)
     val (rows, bytes, per) =
       GraftLog.analyzeColumns(session, path, cols)
-    // catalog push: only when the target IS a catalog table (a path
-    // target has no catalog entry to hang CBO stats on)
-    val isPath = target.trim.startsWith("'") ||
-      target.trim.startsWith("\"")
-    if (!isPath) try {
-      import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
-      val ident = session.sessionState.sqlParser
-        .parseTableIdentifier(target.trim)
+    // catalog push (shared helper; a path target has no catalog entry)
+    val colStats = try {
+      import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
       val tblSchema = session.table(target.trim).schema
-      val colStats = per.map { case (c, st) =>
+      per.map { case (c, st) =>
         val dt = tblSchema.find(_.name.equalsIgnoreCase(c)).get.dataType
         val numeric = dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
           dt == org.apache.spark.sql.types.DateType ||
@@ -855,14 +878,13 @@ case class GraftAnalyzeColumnsCommand(target: String, cols: Seq[String])
           avgLen = Some(dt.defaultSize.toLong),
           maxLen = Some(dt.defaultSize.toLong))
       }
-      session.sessionState.catalog.alterTableStats(ident,
-        Some(CatalogStatistics(BigInt(bytes), Some(BigInt(rows)),
-          colStats)))
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[graft] WARN: ANALYZE computed stats but " +
-        s"could not attach them to the catalog entry for $target: " +
-        e.getMessage)
+    } catch { case scala.util.control.NonFatal(_) =>
+      Map.empty[String,
+        org.apache.spark.sql.catalyst.catalog.CatalogColumnStat]
     }
+    AnalyzeCatalogPush(session, target,
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        BigInt(bytes), Some(BigInt(rows)), colStats))
     cols.map { c =>
       val st = per(c)
       Row(c, st.ndvEst, st.min.orNull, st.max.orNull, st.nullCount,
@@ -881,21 +903,10 @@ case class GraftAnalyzeCommand(target: String)
     val (rows, bytes) = GraftLog.analyzeTable(session,
       GraftTarget.pathOf(session, target))
     // catalog targets also get table-level CBO statistics (rowCount +
-    // sizeInBytes) — the broadcast-threshold input — matching the
-    // column-level command's push
-    val isPath = target.trim.startsWith("'") ||
-      target.trim.startsWith("\"")
-    if (!isPath) try {
-      val ident = session.sessionState.sqlParser
-        .parseTableIdentifier(target.trim)
-      session.sessionState.catalog.alterTableStats(ident,
-        Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
-          BigInt(bytes), Some(BigInt(rows)))))
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[graft] WARN: ANALYZE computed stats but " +
-        s"could not attach them to the catalog entry for $target: " +
-        e.getMessage)
-    }
+    // sizeInBytes) — the broadcast-threshold input
+    AnalyzeCatalogPush(session, target,
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        BigInt(bytes), Some(BigInt(rows))))
     Seq(Row(rows, bytes))
   }
 }
@@ -1132,12 +1143,14 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
                 sided(a.value)
             }
             import GraftLog.MergeClause
+            // NOTE: analyzer-expanded stars arrive as full-coverage
+            // same-name assignment lists; building EXPLICIT sets from
+            // them is semantically identical to the Nil star form, and
+            // never normalizing means a PARTIAL same-name assignment
+            // (UPDATE SET salary = s.salary) can never be mistaken for
+            // SET * (which would silently overwrite every column)
             def matchedClause(a: MergeAction): MergeClause = a match {
               case u: UpdateStarAction =>
-                MergeClause.Update(u.condition.map(sided), Nil)
-              case u: UpdateAction if sameNameCopies(u.assignments) &&
-                  u.assignments.nonEmpty =>
-                // an analyzer-expanded SET * — normalize back to star
                 MergeClause.Update(u.condition.map(sided), Nil)
               case u: UpdateAction =>
                 MergeClause.Update(u.condition.map(sided),
@@ -1150,9 +1163,6 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             def insertClause(a: MergeAction): MergeClause.Insert =
               a match {
                 case i: InsertStarAction =>
-                  MergeClause.Insert(i.condition.map(sided), Nil)
-                case i: InsertAction if sameNameCopies(i.assignments) &&
-                    i.assignments.nonEmpty =>
                   MergeClause.Insert(i.condition.map(sided), Nil)
                 case i: InsertAction =>
                   MergeClause.Insert(i.condition.map(sided),

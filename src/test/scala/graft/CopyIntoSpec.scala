@@ -86,6 +86,21 @@ class CopyIntoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE copy_sql_t")
   }
 
+  test("nested source directories refuse loudly (partition-value loss)") {
+    val r = root(); val t = s"$r/t"; val src = s"$r/nested"
+    GraftLog.overwrite(df(0 until 2, "base"), t)
+    // a hive-partitioned landing dir: flat file reads would silently
+    // drop the dir-encoded partition values
+    df(0 until 4, "x").withColumn("part",
+        org.apache.spark.sql.functions.col("id") % 2)
+      .write.partitionBy("part").parquet(src)
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.copyInto(spark, t, src)
+    }
+    assert(e.getMessage.contains("FLAT directories"))
+    assert(GraftLog.read(spark, t).count() == 2, "nothing part-loaded")
+  }
+
   test("constraints and schema enforcement apply to copied batches") {
     val r = root(); val t = s"$r/t"; val src = s"$r/incoming"
     GraftLog.overwrite(df(0 until 3, "base"), t)

@@ -290,6 +290,41 @@ class MergeClausesSpec extends AnyFunSuite {
     spark.catalog.dropTempView("mclause_on_src")
   }
 
+  test("SQL: partial same-name assignment is NOT star-normalized") {
+    val t = tmp()
+    GraftLog.overwrite(people((1L, "ann", 100.0, "active")), t)
+    spark.sql("DROP TABLE IF EXISTS mclause_part_t")
+    spark.sql(s"CREATE TABLE mclause_part_t USING graft OPTIONS (path '$t')")
+    // source row differs in EVERY column; the statement assigns only
+    // salary — name/status must keep their target values (a silent
+    // SET * normalization would overwrite them)
+    people((1L, "IMPOSTOR", 999.0, "hacked"))
+      .createOrReplaceTempView("mclause_part_src")
+    spark.sql(
+      """MERGE INTO mclause_part_t t USING mclause_part_src s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.salary <> t.salary
+        |  THEN UPDATE SET salary = s.salary""".stripMargin)
+    val m = readMap(t)
+    assert(m(1L) == (("ann", 999.0, "active")),
+      s"only the assigned column may change: $m")
+    // partial INSERT: unassigned columns land NULL, never source values
+    people((2L, "new", 5.0, "sneaky"))
+      .createOrReplaceTempView("mclause_part_src")
+    spark.sql(
+      """MERGE INTO mclause_part_t t USING mclause_part_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)
+        |""".stripMargin)
+    val r2 = GraftLog.read(spark, t).filter(col("id") === 2L)
+      .collect().head
+    assert(r2.getString(1) == "new" && r2.isNullAt(2) && r2.isNullAt(3),
+      s"partial INSERT must leave unassigned columns NULL: $r2")
+    spark.sql("DROP TABLE mclause_part_t")
+    spark.catalog.dropTempView("mclause_part_src")
+  }
+
   test("generated columns recompute behind a column-level update") {
     val t = tmp()
     val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
