@@ -1054,6 +1054,78 @@ object Dedup {
         coalesce(col("__hit"), lit(false)).as("is_near_dup"))
   }
 
+  /** e18 — PERSISTED dedup state, the rolling-ingest form of e16 (the
+    * same rung f10/f11 added for ANN): the corpus's content digests
+    * live as a transactional graft TABLE, each arriving batch dedupes
+    * against it and appends its novel digests in one idempotent
+    * ledger-stamped commit — so dedup state survives restarts, is
+    * time-travelable, and query cost decouples from corpus history.
+    *
+    * Scale shape: the per-batch gate is a Bloom built from a
+    * DIGEST-ONLY scan of the state table (64 bytes/doc — at 100 TB of
+    * corpus the state table is ~0.1% of it), positives exact-verify by
+    * broadcast semi-join against the same digest scan, the corpus
+    * BODIES are never re-read, and the state append is O(novel). Two
+    * batches run through ONE state table here: batch 2 carries
+    * injected duplicates of batch 1's NOVEL documents, so its verdicts
+    * prove the state actually advanced between batches (the rolling
+    * property e16's per-run Bloom cannot express). Within-batch
+    * duplicate pairs are intentionally out of scope (state-level
+    * dedup; e1 is the in-batch form) — the oracle mirrors that. */
+  def dedupStatePersisted(spark: SparkSession, sfDir: String,
+      split: Long = 300, split2: Long = 450): DataFrame = {
+    import graft.sources.GraftLog
+    val docs = Sources.testTable(spark, sfDir, "documents")
+    val state = graft.sources.Staging.tempDir("graft_dstate_") +
+      "/digests"
+    GraftLog.overwrite(docs.filter(col("doc_id") < split)
+      .select(sha2(col("text"), 256).as("content_hash")).distinct(),
+      state)
+    def runBatch(batch: DataFrame, batchId: Long): DataFrame = {
+      // snapshot pinned at call time: the verdict plan stays bound to
+      // the pre-append state even though it executes later
+      val stateDf = GraftLog.read(spark, state)
+      val n = math.max(stateDf.count(), 1L)
+      val bloom = stateDf.stat.bloomFilter("content_hash", n, 0.01)
+      val bBloom = spark.sparkContext.broadcast(bloom)
+      val mightContain =
+        udf((h: String) => bBloom.value.mightContainString(h))
+      val batchH = batch.withColumn("content_hash",
+        sha2(col("text"), 256))
+      val candDigests = batchH.filter(mightContain(col("content_hash")))
+        .select("content_hash").distinct()
+      val present = stateDf
+        .join(broadcast(candDigests), Seq("content_hash"), "left_semi")
+        .distinct()
+        .withColumn("__dup", lit(true))
+      val verdicts = batchH
+        .join(broadcast(present), Seq("content_hash"), "left")
+        .select(lit(batchId).as("batch_id"), col("doc_id"),
+          coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+      // advance the state: novel digests land as one idempotent commit
+      // (re-delivery of the same batch id is a ledger-rejected no-op)
+      GraftLog.txnAppend(
+        batchH.join(broadcast(present), Seq("content_hash"), "left_anti")
+          .select("content_hash").distinct(),
+        state, "e18-dedup-state", batchId)
+      verdicts
+    }
+    val b1 = docs.filter(col("doc_id") >= split && col("doc_id") < split2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") < split && col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+    val b2 = docs.filter(col("doc_id") >= split2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") >= split && col("doc_id") < split2 &&
+          col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3000).as("doc_id"), col("text")))
+    val v1 = runBatch(b1, 0L)
+    val v2 = runBatch(b2, 1L)
+    v1.unionByName(v2)
+  }
+
   def incrementalDedup(spark: SparkSession, sfDir: String,
       split: Long = 350): DataFrame = {
     val docs = Sources.testTable(spark, sfDir, "documents")

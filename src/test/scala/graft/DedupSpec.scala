@@ -224,4 +224,22 @@ class DedupSpec extends AnyFunSuite {
     val injected = out.keys.filter(_ >= 1000)
     assert(injected.nonEmpty && injected.forall(out(_)))
   }
+
+  test("persisted dedup state advances between batches") {
+    val out = Dedup.dedupStatePersisted(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    // batch 1's injected corpus duplicates (+2000) flag against the
+    // INITIAL state
+    val inj1 = out.keys.filter { case (b, id) => b == 0 && id >= 2000 }
+    assert(inj1.nonEmpty && inj1.forall(out(_)))
+    // batch 2's injected BATCH-1 duplicates (+3000) flag only because
+    // batch 1's novel digests were appended — the rolling property
+    val inj2 = out.keys.filter { case (b, id) => b == 1 && id >= 3000 }
+    assert(inj2.nonEmpty && inj2.forall(out(_)),
+      "state must have advanced between batches")
+    // organic batch-1 docs (novel at their first appearance) pass
+    val organic1 = out.keys.filter { case (b, id) =>
+      b == 0 && id < 2000 }
+    assert(organic1.nonEmpty && organic1.forall(!out(_)))
+  }
 }
