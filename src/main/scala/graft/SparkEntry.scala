@@ -155,6 +155,10 @@ object SparkEntry {
     "j5_asof_last_view"      -> ((s, d) => AsOf.lastViewBeforeClick(s, d)),
     "j6_session_attach"      -> ((s, d) => Joins.sessionAttach(s, d)),
     "j7_salted_skew_join"    -> ((s, d) => Joins.saltedFlagRollup(s, d)),
+    // dynamic partition pruning: the dim-side filter prunes the
+    // partitioned fact's dirs at EXECUTION time via a runtime subquery
+    "j12_dynamic_partition_pruning" ->
+      ((s, d) => Joins.dppFlagRollup(s, d)),
     // unkeyed range join via range binning: interval-containment as an
     // equi-join on bin ids + residual filter (vs the nested-loop theta
     // join the oracle runs)
@@ -3363,6 +3367,15 @@ object SparkEntry {
          |FROM s JOIN est USING (lang, source)""".stripMargin,
     // j7: the salted join is row-identical to the plain join — the oracle
     // IS the plain join; the dimension side derives from the data
+    // j12: DPP must never change the answer — the oracle is the plain
+    // filtered rollup
+    "j12_dynamic_partition_pruning" ->
+      """SELECT l_returnflag AS flag,
+        |  'FLAG_' || l_returnflag AS flag_name, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE),
+        |    6) AS total_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2""".stripMargin,
     "j7_salted_skew_join" ->
       """SELECT flag, flag_name, count(*) AS n_items,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6)

@@ -41,6 +41,44 @@ object Joins {
     * side (derived from the data, so the oracle needs no literals)
     * replicates once per salt. Result is row-identical to the plain
     * join, which is exactly what the oracle runs. */
+  private val stagedDpp =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** j12 — DYNAMIC partition pruning through the graft FileIndex: the
+    * fact (lineitem, hive-partitioned by return flag as a graft table)
+    * joins a dimension whose SELECTIVE filter lives on the dim side
+    * only — the fact scan carries no static partition predicate, yet
+    * Spark's DPP inserts a runtime subquery filter (fed by the reused
+    * broadcast of the dim) into the scan's partitionFilters, and the
+    * [[graft.sources.GraftFileIndex]] prunes whole `l_returnflag=…`
+    * dirs at EXECUTION time. At 100 TB this is the fact-dim idiom:
+    * "WHERE dim.attr = x" touches only the partitions the dim rows
+    * name, without the query ever filtering the fact. The spec pins
+    * the dynamicpruning expression in the plan and the pruned file
+    * count; the oracle is the plain filtered rollup (DPP must never
+    * change the answer). */
+  def dppFlagRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val factDir = stagedDpp.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_dpp_") + "/lineitem"
+      graft.sources.GraftLog.overwritePartitioned(
+        graft.sources.Sources.testTable(spark, sfDir, "lineitem")
+          .select(col("l_quantity"), col("l_orderkey"),
+            col("l_returnflag")),
+        d, Seq("l_returnflag"))
+      d
+    })
+    val fact = spark.read.format("graft").load(factDir)
+    val dim = graft.sources.Sources.testTable(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag")).distinct()
+      .withColumn("flag_name", concat(lit("FLAG_"), col("flag")))
+      .filter(col("flag_name") === "FLAG_R") // dim-side-only filter
+    fact.join(broadcast(dim), fact("l_returnflag") === dim("flag"))
+      .groupBy(col("flag"), col("flag_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(graft.functions.Deterministic.sumExact(col("l_quantity"))
+          .cast("double"), 6).as("total_qty"))
+  }
+
   def saltedFlagRollup(spark: SparkSession, sfDir: String,
       saltFactor: Int = 8): DataFrame = {
     val large = graft.sources.Sources.testTable(spark, sfDir, "lineitem")

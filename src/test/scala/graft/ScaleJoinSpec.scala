@@ -130,4 +130,38 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
   }
+
+  test("j12: dynamic partition pruning fires through the graft index") {
+    import graft.operators.Joins
+    val q = Joins.dppFlagRollup(spark, TestSpark.sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a runtime partition filter:\n" +
+        plan.take(2500))
+    // the scan opened only the R partition's files (walk into AQE's
+    // finalized plan and its query stages)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(q.queryExecution.executedPlan)
+      .find(_.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+      .getOrElse(fail("no graft scan in plan"))
+    val opened = scan.metrics("numFiles").value
+    val total = scan.relation.location.inputFiles.length
+    assert(opened < total,
+      s"DPP should prune: opened $opened of $total files")
+    // DPP never changes the answer
+    val row = q.collect().head
+    val expect = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+      .count()
+    assert(row.getAs[Long]("n_items") == expect)
+  }
 }
