@@ -82,7 +82,10 @@ object ExplainDump {
       "d22_table_changes",       // table_changes TVF: per-version diffs
       "d20_analyze_columns",     // one-pass column stats (KMV + min/max)
       "f13_knn_ivf_retrain",     // audit + Lloyd retrain + probed cells
-      "d23_copy_into")           // ledger-deduped directory ingest
+      "d23_copy_into",           // ledger-deduped directory ingest
+      "d24_merge_on_extra",      // full-ON cascade read-back
+      "e18_dedup_state_persisted", // digest-table Bloom gate + append
+      "j12_dynamic_partition_pruning") // runtime dir pruning via DPP
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.ExplainDump)\n\n")
