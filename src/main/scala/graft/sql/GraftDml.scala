@@ -813,9 +813,6 @@ case class GraftShowPartitionsCommand(target: String)
       GraftTarget.pathOf(session, target)).map(Row(_))
 }
 
-/** `ANALYZE TABLE t COMPUTE STATISTICS` → [[GraftLog.analyzeTable]]:
-  * rowCount/sizeInBytes folded from commit-log metadata (no table
-  * scan), stored as properties. Returns the two numbers. */
 /** Shared catalog push for both ANALYZE commands: attach computed
   * statistics to a CATALOG target's entry (path targets have none);
   * failures warn rather than fail — the log-persisted stats are the
@@ -859,11 +856,14 @@ case class GraftAnalyzeColumnsCommand(target: String, cols: Seq[String])
     val path = GraftTarget.pathOf(session, target)
     val (rows, bytes, per) =
       GraftLog.analyzeColumns(session, path, cols)
-    // catalog push (shared helper; a path target has no catalog entry)
-    val colStats = try {
+    // catalog push (shared helper; a path target has no catalog
+    // entry). A colStats construction failure SKIPS the push entirely
+    // — pushing with an empty map would WIPE previously attached
+    // column stats, strictly worse than leaving them stale.
+    try {
       import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
       val tblSchema = session.table(target.trim).schema
-      per.map { case (c, st) =>
+      val colStats = per.map { case (c, st) =>
         val dt = tblSchema.find(_.name.equalsIgnoreCase(c)).get.dataType
         val numeric = dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
           dt == org.apache.spark.sql.types.DateType ||
@@ -878,13 +878,14 @@ case class GraftAnalyzeColumnsCommand(target: String, cols: Seq[String])
           avgLen = Some(dt.defaultSize.toLong),
           maxLen = Some(dt.defaultSize.toLong))
       }
-    } catch { case scala.util.control.NonFatal(_) =>
-      Map.empty[String,
-        org.apache.spark.sql.catalyst.catalog.CatalogColumnStat]
+      AnalyzeCatalogPush(session, target,
+        org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          BigInt(bytes), Some(BigInt(rows)), colStats))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] WARN: ANALYZE computed stats but " +
+        s"could not build catalog column stats for $target " +
+        s"(existing catalog stats left untouched): ${e.getMessage}")
     }
-    AnalyzeCatalogPush(session, target,
-      org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
-        BigInt(bytes), Some(BigInt(rows)), colStats))
     cols.map { c =>
       val st = per(c)
       Row(c, st.ndvEst, st.min.orNull, st.max.orNull, st.nullCount,
@@ -893,6 +894,9 @@ case class GraftAnalyzeColumnsCommand(target: String, cols: Seq[String])
   }
 }
 
+/** `ANALYZE TABLE t COMPUTE STATISTICS` → [[GraftLog.analyzeTable]]:
+  * rowCount/sizeInBytes folded from commit-log metadata (no table
+  * scan), stored as properties. Returns the two numbers. */
 case class GraftAnalyzeCommand(target: String)
     extends LeafRunnableCommand {
   import org.apache.spark.sql.types.LongType
@@ -1095,9 +1099,29 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         // conditional clauses, multiple ordered clauses, column-level
         // SET, matched DELETE — routes to the clause-cascade engine
         // (GraftLog.mergeClauses), the full Delta MERGE surface.
-        def sameNameCopies(as: Seq[Assignment]): Boolean =
-          as.forall(a => attrName(a.key).zip(attrName(a.value))
-            .exists(p => p._1.equalsIgnoreCase(p._2)))
+        // An analyzer-EXPANDED star is recognized only when the
+        // assignment list (a) covers EVERY target column, (b) by name,
+        // (c) with SOURCE-side values — a PARTIAL assignment (UPDATE
+        // SET salary = s.salary) or a target-self-filled alignment
+        // must fall through to the clause engine, which applies it
+        // column-exactly (the star route would silently overwrite
+        // every column from the source).
+        val tgtIds = m.targetTable.outputSet.map(_.exprId).toSet
+        val srcIds = m.sourceTable.outputSet.map(_.exprId).toSet
+        def sourceSided(e: Expression): Boolean = e match {
+          case a: AttributeReference => srcIds.contains(a.exprId)
+          case Cast(c, _, _, _) => sourceSided(c)
+          case _ => false
+        }
+        val tgtColSet =
+          m.targetTable.output.map(_.name.toLowerCase).toSet
+        def expandedStar(as: Seq[Assignment]): Boolean =
+          as.nonEmpty &&
+            as.forall(a => attrName(a.key).zip(attrName(a.value))
+              .exists(p => p._1.equalsIgnoreCase(p._2)) &&
+              sourceSided(a.value)) &&
+            as.flatMap(a => attrName(a.key)).map(_.toLowerCase)
+              .toSet == tgtColSet
         def legacyStar(actions: Seq[MergeAction]): Option[Boolean] =
           actions match {
             case Seq() => Some(false)
@@ -1106,9 +1130,9 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             case Seq(a: InsertStarAction) if a.condition.isEmpty =>
               Some(true)
             case Seq(a: UpdateAction) if a.condition.isEmpty &&
-              sameNameCopies(a.assignments) => Some(true)
+              expandedStar(a.assignments) => Some(true)
             case Seq(a: InsertAction) if a.condition.isEmpty &&
-              sameNameCopies(a.assignments) => Some(true)
+              expandedStar(a.assignments) => Some(true)
             case _ => None
           }
         val legacyDelete = m.notMatchedBySourceActions match {
@@ -1125,8 +1149,6 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             // expression side-binding: resolved attributes belong to
             // either the target or the source subplan — rewrite them to
             // the FIXED t/s qualifiers mergeClauses resolves against
-            val tgtIds = m.targetTable.outputSet.map(_.exprId).toSet
-            val srcIds = m.sourceTable.outputSet.map(_.exprId).toSet
             def sided(e: Expression): Column =
               ColumnBridge.column(e.transform {
                 case a: AttributeReference if tgtIds.contains(a.exprId) =>

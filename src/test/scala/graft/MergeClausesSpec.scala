@@ -325,6 +325,44 @@ class MergeClausesSpec extends AnyFunSuite {
     spark.catalog.dropTempView("mclause_part_src")
   }
 
+  test("SQL: UNCONDITIONAL partial assignment routes column-exactly") {
+    val t = tmp()
+    GraftLog.overwrite(people((1L, "ann", 100.0, "active")), t)
+    spark.sql("DROP TABLE IF EXISTS mclause_upart_t")
+    spark.sql(
+      s"CREATE TABLE mclause_upart_t USING graft OPTIONS (path '$t')")
+    // NO clause condition: this is the shape the legacy star route
+    // used to capture — it must still apply column-exactly, never as
+    // a whole-row SET * (the source differs in every column)
+    people((1L, "IMPOSTOR", 999.0, "hacked"), (2L, "new", 5.0, "n"))
+      .createOrReplaceTempView("mclause_upart_src")
+    spark.sql(
+      """MERGE INTO mclause_upart_t t USING mclause_upart_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET salary = s.salary
+        |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)
+        |""".stripMargin)
+    def row1() = GraftLog.read(spark, t).filter(col("id") === 1L)
+      .collect().head
+    val r1 = row1()
+    assert(r1.getString(1) == "ann" && r1.getDouble(2) == 999.0 &&
+      r1.getString(3) == "active",
+      s"unconditional partial UPDATE must not become SET *: $r1")
+    val r2 = GraftLog.read(spark, t).filter(col("id") === 2L)
+      .collect().head
+    assert(r2.getString(1) == "new" && r2.isNullAt(2) && r2.isNullAt(3))
+    // the TRUE star shape still routes (and fully overwrites)
+    spark.sql(
+      """MERGE INTO mclause_upart_t t USING mclause_upart_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val r1b = row1()
+    assert(r1b.getString(1) == "IMPOSTOR" && r1b.getDouble(2) == 999.0 &&
+      r1b.getString(3) == "hacked")
+    spark.sql("DROP TABLE mclause_upart_t")
+    spark.catalog.dropTempView("mclause_upart_src")
+  }
+
   test("generated columns recompute behind a column-level update") {
     val t = tmp()
     val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
