@@ -3177,11 +3177,12 @@ object GraftLog {
       matched: Seq[MergeClause] = Nil,
       notMatched: Seq[MergeClause.Insert] = Nil,
       notMatchedBySource: Seq[MergeClause] = Nil,
-      onExtra: Option[Column] = None): Long = {
+      onExtra: Option[Column] = None,
+      mergeSchema: Boolean = false): Long = {
     requireAppendable(source.sparkSession, table, "MERGE")
     val v = rebaseOnConflict(table, "merge") { () =>
       mergeClausesImpl(source, table, keys, matched, notMatched,
-        notMatchedBySource, onExtra)
+        notMatchedBySource, onExtra, mergeSchema)
     }
     maybeBackfillAfterRewrite(source.sparkSession, table)
     v
@@ -3191,7 +3192,7 @@ object GraftLog {
       keys: Seq[String], matched: Seq[MergeClause],
       notMatched: Seq[MergeClause.Insert],
       notMatchedBySource: Seq[MergeClause],
-      onExtra: Option[Column]): Long = {
+      onExtra: Option[Column], mergeSchema: Boolean): Long = {
     import MergeClause._
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "MERGE needs at least one WHEN clause")
@@ -3219,7 +3220,11 @@ object GraftLog {
     require(!gens.values.exists(identityDef(_).isDefined),
       s"MERGE into $table is not supported while it has a GENERATED " +
         "ALWAYS AS IDENTITY column; append new rows instead")
-    val (files, schema) = snapshot(spark, table)
+    val (files, schema0c) = snapshot(spark, table)
+    // autoMerge widening (star clauses pick the new columns up from
+    // the source; carried rows read as typed NULLs)
+    val schema = if (!mergeSchema) schema0c
+      else widenForMerge(schema0c, source, Map.empty, table)
     val partCols = layoutPartCols(files)
     val fieldByName = schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val dataCols = schema.fieldNames.filterNot(c =>
@@ -3505,6 +3510,27 @@ object GraftLog {
     result.get
   }
 
+  /** MERGE autoMerge widening (Delta `schema.autoMerge.enabled`):
+    * source-only columns extend the commit schema; shared columns
+    * type-check strictly; untouched files simply lack the new columns
+    * and the schema-directed read fills typed NULLs. Shared by the
+    * legacy star merge and the clause-cascade engine. */
+  private def widenForMerge(schema0: StructType, source: DataFrame,
+      cmap: Map[String, String], table: String): StructType = {
+    require(cmap.isEmpty, "merge schema evolution on a column-mapped " +
+      s"table is not supported; compact $table first")
+    val byName = schema0.fields.map(f => f.name.toLowerCase -> f).toMap
+    source.schema.fields.foreach { f =>
+      byName.get(f.name.toLowerCase).foreach { g =>
+        require(sameTypeModuloNull(f.dataType, g.dataType),
+          s"merge column ${f.name}: type ${f.dataType.sql} does not " +
+            s"match table type ${g.dataType.sql}")
+      }
+    }
+    StructType(schema0.fields ++ source.schema.fields.filterNot(f =>
+      byName.contains(f.name.toLowerCase)))
+  }
+
   private def mergeImpl(source: DataFrame, table: String, keys: Seq[String],
       txn: Option[(String, Long)], updateMatched: Boolean = true,
       insertUnmatched: Boolean = true,
@@ -3534,20 +3560,8 @@ object GraftLog {
     // same merge-on-read contract as appendMergeSchema. Shared columns
     // still type-check strictly; the source must carry every target
     // column (SET */INSERT * needs a value for each).
-    val schema = if (!mergeSchema) schema0 else {
-      require(cmap.isEmpty, "merge schema evolution on a column-mapped " +
-        s"table is not supported; compact $table first")
-      val byName = schema0.fields.map(f => f.name.toLowerCase -> f).toMap
-      source.schema.fields.foreach { f =>
-        byName.get(f.name.toLowerCase).foreach { g =>
-          require(sameTypeModuloNull(f.dataType, g.dataType),
-            s"merge column ${f.name}: type ${f.dataType.sql} does not " +
-              s"match table type ${g.dataType.sql}")
-        }
-      }
-      StructType(schema0.fields ++ source.schema.fields.filterNot(f =>
-        byName.contains(f.name.toLowerCase)))
-    }
+    val schema = if (!mergeSchema) schema0
+      else widenForMerge(schema0, source, cmap, table)
     // source and keys arrive in LOGICAL terms; the whole rewrite then
     // runs physically (mapping implies a flat layout). A merge source
     // that omits generated columns gets them computed first (the batch

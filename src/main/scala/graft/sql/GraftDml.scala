@@ -1370,8 +1370,11 @@ case class GraftMergeClausesCommand(path: String, table: Option[String],
     onExtra: Option[Column] = None)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    val autoMerge = session.conf
+      .get("spark.graft.schema.autoMerge.enabled", "false").toBoolean
     GraftLog.mergeClauses(StreamBatch.ofPlan(session, source), path,
-      keys, matched, notMatched, notMatchedBySource, onExtra)
+      keys, matched, notMatched, notMatchedBySource, onExtra,
+      mergeSchema = autoMerge)
     RefreshAfterDml(session, path, table)
     Seq.empty
   }

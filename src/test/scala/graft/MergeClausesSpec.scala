@@ -363,6 +363,35 @@ class MergeClausesSpec extends AnyFunSuite {
     spark.catalog.dropTempView("mclause_upart_src")
   }
 
+  test("autoMerge widens the schema through the conditional path") {
+    val t = tmp()
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "active")), t)
+    // source carries an EXTRA column; a conditional clause forces the
+    // cascade engine (the legacy star route is bypassed)
+    val src = Seq((1L, "ann", 150.0, "active", "engineering"))
+      .toDF("id", "name", "salary", "status", "dept")
+    // without the conf, the extra column is simply not assignable
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      matched = Seq(Update(Some(expr("s.salary <> t.salary")),
+        Seq("salary" -> col("s.salary")))))
+    assert(!GraftLog.read(spark, t).columns.contains("dept"))
+    // with mergeSchema, SET * widens: matched rows get dept, carried
+    // rows read it as a typed NULL
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      matched = Seq(Update(Some(expr("s.salary <> t.salary")), Nil),
+        Update(None, Seq("dept" -> col("s.dept")))),
+      mergeSchema = true)
+    val out = GraftLog.read(spark, t)
+    assert(out.columns.contains("dept"))
+    val m = out.collect().map(r =>
+      r.getLong(0) -> Option(r.getAs[String]("dept"))).toMap
+    assert(m(1L).contains("engineering"),
+      "matched row carries the widened column")
+    assert(m(2L).isEmpty, "carried row reads the new column as NULL")
+  }
+
   test("generated columns recompute behind a column-level update") {
     val t = tmp()
     val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
