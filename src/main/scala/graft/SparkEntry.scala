@@ -240,6 +240,10 @@ object SparkEntry {
       ((s, d) => dbl(graft.streaming.Streaming.windowedAggBatch(s, d))),
     "i2_events_windowed_agg_stream" ->
       ((s, d) => dbl(graft.streaming.Streaming.windowedAggStream(s, d))),
+    // native session_window aggregation (the declarative sibling of
+    // the stateful sessionizer): merged gap windows in ONE shuffle
+    "i26_session_window" ->
+      ((s, d) => graft.streaming.Streaming.sessionWindowBatch(s, d)),
     "i3_events_sessionize" ->
       ((s, d) => graft.streaming.Streaming.sessionizeBatch(s, d)),
     "i4_events_sessionize_stateful" ->
@@ -2117,6 +2121,30 @@ object SparkEntry {
     "i11_events_sliding_agg"        -> slidingAggOracle,
     "i12_events_sliding_agg_stream" -> slidingAggOracle,
     "i3_events_sessionize"          -> sessionizeOracle,
+    // i26: session_window semantics — gap-equal successor starts a NEW
+    // session (>=), session_end = last event + gap
+    "i26_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us, value
+        |  FROM events
+        |), o AS (
+        |  SELECT user_id, event_id, ts, us, value,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, us, value,
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "i4_events_sessionize_stateful" -> sessionizeOracle,
     "i5_events_enrich"              -> enrichOracle,
     "i6_events_enrich_stream"       -> enrichOracle,

@@ -79,6 +79,32 @@ object Streaming {
   def slidingAggBatch(spark: SparkSession, sfDir: String): DataFrame =
     slidingAgg(eventsBatch(spark, sfDir))
 
+  /** i26 — Spark's NATIVE session-window aggregation
+    * (`session_window(ts, gap)`): merged [ts, ts+gap) windows per user,
+    * the declarative sibling of the mapGroupsWithState sessionizer
+    * (i3/i4). Semantics differ from the islands form on two points the
+    * oracle replays exactly: a gap-equal successor starts a NEW session
+    * (windows touch but do not overlap), and session_end is
+    * last-event + gap (the window end), not the last event time. One
+    * shuffle on user_id, windows merged inside the aggregation — no
+    * self-join, no per-row window functions. Batch form only: in
+    * streaming, session windows emit on watermark passage (append
+    * mode), so a finite drain would hold back the final sessions —
+    * the STATEFUL i4 twin covers streaming sessionization. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6)
+          .as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("total_value"))
+
+  def sessionWindowBatch(spark: SparkSession, sfDir: String): DataFrame =
+    sessionWindowAgg(eventsBatch(spark, sfDir))
+
   def slidingAggStream(spark: SparkSession, sfDir: String): DataFrame =
     drain(spark,
       slidingAgg(eventsStream(spark, sfDir).withWatermark("ts", "10 minutes")),
