@@ -3274,8 +3274,9 @@ object GraftLog {
     // many with an applicable clause (__nApp).
     val withFile = readSubset(spark, table, files, schema)
       .withColumn("__gf_file", input_file_name())
-    val (touchedM, ambiguous, needDedup) =
-      if (matchedN.isEmpty) (Seq.empty[String], false, false)
+    val (touchedM, ambiguous, mxAllByRel) =
+      if (matchedN.isEmpty)
+        (Seq.empty[String], false, Map.empty[String, Long])
       else {
         val pairs = withFile
           .withColumn("__gf_rid", monotonically_increasing_id())
@@ -3295,11 +3296,13 @@ object GraftLog {
         (files.filter(f =>
             relPathOf(absPath(table, f)).exists(touchedRels.contains)),
          perFile.exists(_.getLong(1) > 1L),
-         // duplicate INAPPLICABLE matches inside a rewritten file would
-         // fan the left-outer join out — those rows need a dedup pass
-         perFile.exists(r => r.getLong(2) > 1L && relPathOf(
+         // per-file max key-match fan-out — consulted AFTER the full
+         // touched set (matched ++ by-source) is known, because a file
+         // touched ONLY by a by-source clause still fans its matched-
+         // but-inapplicable rows out through the rewrite join
+         perFile.flatMap(r => relPathOf(
            new java.net.URI(r.getString(0)).getPath)
-           .exists(touchedRels.contains)))
+           .map(_ -> r.getLong(2))).toMap)
       }
     if (ambiguous) throw new IllegalStateException(
       s"MERGE into $table: a target row matches multiple source rows " +
@@ -3319,12 +3322,33 @@ object GraftLog {
             joinCond, "left_anti")
           .filter(orConds(bySourceN)))
     val touched = (touchedM ++ touchedB).distinct
+    // Multi-match dedup signal over ALL files the rewrite touches (the
+    // round-10 advisor's high finding: gating on matched-touched files
+    // only — or hardcoding false when there are no WHEN MATCHED
+    // clauses — let a by-source-touched file whose rows key-match
+    // multiple inapplicable source rows emit N copies of each). With no
+    // matched clause the rewrite never reads source VALUES, so when
+    // there is also no extra ON conjunct the join collapses to a
+    // keys-distinct source (no fan-out possible, no dedup); with an
+    // extra conjunct the source frame stays whole and the dedup window
+    // runs unconditionally (rare shape; duplicates are byte-identical
+    // carried rows, so any-copy-wins is exact).
+    val keysOnlyRewrite = matchedN.isEmpty && onExtra.isEmpty
+    val needDedup =
+      if (matchedN.nonEmpty)
+        touched.exists(f => relPathOf(absPath(table, f))
+          .exists(rel => mxAllByRel.getOrElse(rel, 0L) > 1L))
+      else !keysOnlyRewrite
 
     // ---- rewrite of touched files: one left-outer join + CASE cascade
     val rewritten = if (touched.isEmpty) None else {
       val tgt = readSubset(spark, table, touched, schema)
         .withColumn("__gf_rid", monotonically_increasing_id()).alias("t")
-      val joined = tgt.join(broadcast(srcA), joinCond, "left_outer")
+      val rewriteSrc =
+        if (keysOnlyRewrite)
+          source.select(keys.map(col): _*).distinct().alias("s")
+        else srcA
+      val joined = tgt.join(broadcast(rewriteSrc), joinCond, "left_outer")
       // equi-join: a matched row's source key is necessarily non-null
       val isMatched = col(s"s.${keys.head}").isNotNull
       // first-match-wins: index of the first applicable clause (0 = none)

@@ -90,7 +90,11 @@ object GraftTableChangesTvf {
       case i: java.lang.Integer => i.toLong
       case l: java.lang.Long => l
       case s: org.apache.spark.unsafe.types.UTF8String =>
-        val ms = java.sql.Timestamp.valueOf(s.toString).getTime
+        // the SAME parse every other time-travel surface uses (pinned
+        // UTC, accepts date-only literals) — Timestamp.valueOf would
+        // read the JVM default zone and resolve a different version
+        // range than the batch reader on a non-UTC host
+        val ms = TsLiteral.toMillis(s.toString)
         if (isStart)
           GraftLog.versionAtOrAfter(session, path, ms).getOrElse(
             throw new IllegalArgumentException(
@@ -188,8 +192,10 @@ final class GraftSqlParser(
     """(?is)\s*SHOW\s+PARTITIONS\s+(\S+?)\s*;?\s*""".r
   private val AnalyzeStmt =
     """(?is)\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
+  // column list admits backquoted names (`a b`, `a.b`); the command
+  // splits on commas OUTSIDE backquotes and strips the quotes
   private val AnalyzeColsStmt =
-    """(?is)\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w\s,]+?)\s*;?\s*""".r
+    """(?is)\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+((?:`[^`]*`|[\w\s,.])+?)\s*;?\s*""".r
   private val SetPropsStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val UnsetPropsStmt =
@@ -200,8 +206,12 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
   private val DropNotNullStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""".r
+  // FORMAT_OPTIONS body: quoted strings may contain ')' (a regex
+  // delimiter, a quote char), so the group consumes whole 'single-
+  // quoted' tokens before bare non-paren chars — a ')' closes the list
+  // only OUTSIDE quotes
   private val CopyIntoStmt =
-    """(?is)\s*COPY\s+INTO\s+(\S+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?(\s+FORCE)?\s*;?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+(\S+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+FORMAT_OPTIONS\s*\(((?:'[^']*'|[^)'])*)\))?(\s+FORCE)?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CopyIntoStmt(target, src, fmt, opts, force)
@@ -283,8 +293,21 @@ final class GraftSqlParser(
     // POSITIVELY graft targets are captured; the graft form folds
     // log-carried stats (no scan) into the properties map
     case AnalyzeColsStmt(target, cols) if isGraftTable(target) =>
-      GraftAnalyzeColumnsCommand(target,
-        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      // comma-split OUTSIDE backquotes, then strip the quotes
+      val colList = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = new StringBuilder
+        var inQ = false
+        cols.foreach { ch =>
+          if (ch == '`') { inQ = !inQ; cur.append(ch) }
+          else if (ch == ',' && !inQ) { out += cur.result(); cur.clear() }
+          else cur.append(ch)
+        }
+        out += cur.result()
+        out.toSeq.map(_.trim.stripPrefix("`").stripSuffix("`").trim)
+          .filter(_.nonEmpty)
+      }
+      GraftAnalyzeColumnsCommand(target, colList)
     case AnalyzeStmt(target) if isGraftTable(target) =>
       GraftAnalyzeCommand(target)
     case ShowPartitionsStmt(target) if isGraftTable(target) =>
@@ -818,14 +841,29 @@ case class GraftShowPartitionsCommand(target: String)
   * failures warn rather than fail — the log-persisted stats are the
   * durable record, the catalog copy is the CBO accelerator. */
 private object AnalyzeCatalogPush {
+  /** Quoted targets are path literals — they have no catalog entry, so
+    * every push (and colStats construction) must skip them silently. */
+  def isPathTarget(target: String): Boolean = {
+    val t = target.trim
+    t.startsWith("'") || t.startsWith("\"")
+  }
+
   def apply(session: SparkSession, target: String,
       stats: org.apache.spark.sql.catalyst.catalog.CatalogStatistics)
       : Unit = {
     val t = target.trim
-    val isPath = t.startsWith("'") || t.startsWith("\"")
-    if (!isPath) try {
+    if (!isPathTarget(t)) try {
       val ident = session.sessionState.sqlParser.parseTableIdentifier(t)
-      session.sessionState.catalog.alterTableStats(ident, Some(stats))
+      // alterTableStats REPLACES the whole stats entry, so carry the
+      // existing column-level stats forward: a plain ANALYZE after
+      // ANALYZE … FOR COLUMNS must not wipe the CBO ndv/min/max, and a
+      // partial FOR COLUMNS pass must not wipe columns analyzed
+      // earlier (Spark's own AnalyzeColumnCommand merges the same way)
+      val existing = session.sessionState.catalog
+        .getTableMetadata(ident).stats.map(_.colStats)
+        .getOrElse(Map.empty)
+      val merged = stats.copy(colStats = existing ++ stats.colStats)
+      session.sessionState.catalog.alterTableStats(ident, Some(merged))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[graft] WARN: ANALYZE computed stats but " +
         s"could not attach them to the catalog entry for $target: " +
@@ -857,10 +895,10 @@ case class GraftAnalyzeColumnsCommand(target: String, cols: Seq[String])
     val (rows, bytes, per) =
       GraftLog.analyzeColumns(session, path, cols)
     // catalog push (shared helper; a path target has no catalog
-    // entry). A colStats construction failure SKIPS the push entirely
-    // — pushing with an empty map would WIPE previously attached
-    // column stats, strictly worse than leaving them stale.
-    try {
+    // entry — skip silently BEFORE touching session.table, which
+    // throws on a quoted path). A colStats construction failure SKIPS
+    // the push entirely rather than pushing a partial map.
+    if (!AnalyzeCatalogPush.isPathTarget(target)) try {
       import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
       val tblSchema = session.table(target.trim).schema
       val colStats = per.map { case (c, st) =>

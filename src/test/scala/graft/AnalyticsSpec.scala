@@ -604,6 +604,39 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("plain ANALYZE after FOR COLUMNS keeps the column CBO stats") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val root = Staging.tempDir("graft_cbo_keep_")
+    GraftLog.overwrite(
+      Sources.testTable(spark, TestSpark.sf, "region"), s"$root/t")
+    spark.sql("DROP TABLE IF EXISTS cbo_keep_t")
+    spark.sql(
+      s"CREATE TABLE cbo_keep_t USING graft OPTIONS (path '$root/t')")
+    try {
+      // backquoted column list must parse (quote-aware splitter)
+      spark.sql("ANALYZE TABLE cbo_keep_t COMPUTE STATISTICS FOR " +
+        "COLUMNS `r_regionkey`, r_name").collect()
+      def colStats() = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser
+          .parseTableIdentifier("cbo_keep_t"))
+        .stats.map(_.colStats).getOrElse(Map.empty)
+      val before = colStats()
+      assert(before.contains("r_regionkey") && before.contains("r_name"),
+        s"FOR COLUMNS must land column stats: ${before.keySet}")
+      // a later table-level ANALYZE must carry them forward, not wipe
+      spark.sql("ANALYZE TABLE cbo_keep_t COMPUTE STATISTICS").collect()
+      val after = colStats()
+      assert(after.contains("r_regionkey") && after.contains("r_name"),
+        s"plain ANALYZE wiped column stats: ${after.keySet}")
+      // a partial FOR COLUMNS pass keeps the other column's stats too
+      spark.sql("ANALYZE TABLE cbo_keep_t COMPUTE STATISTICS FOR " +
+        "COLUMNS r_name").collect()
+      val merged = colStats()
+      assert(merged.contains("r_regionkey") && merged.contains("r_name"),
+        s"partial FOR COLUMNS wiped earlier columns: ${merged.keySet}")
+    } finally spark.sql("DROP TABLE cbo_keep_t")
+  }
+
   test("semantic dedup: keeper precedes dropped, pairs share a cluster") {
     val out = Dedup.semanticDedup(spark, TestSpark.sf).collect()
     assert(out.forall(r => r.getLong(2) < r.getLong(1))) // keeper < dropped

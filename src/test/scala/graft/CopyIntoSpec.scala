@@ -86,6 +86,24 @@ class CopyIntoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE copy_sql_t")
   }
 
+  test("FORMAT_OPTIONS values containing ')' parse quote-aware") {
+    val r = root(); val t = s"$r/t"; val src = s"$r/csvdir"
+    GraftLog.overwrite(df(0 until 1, "base"), t)
+    // a quoted option VALUE holding ')' (a regex-ish char) must not
+    // truncate the option list or break the statement parse
+    df(30 until 33, "q(x)").coalesce(1).write
+      .option("header", "true").csv(src)
+    spark.sql("DROP TABLE IF EXISTS copy_opts_t")
+    spark.sql(s"CREATE TABLE copy_opts_t USING graft OPTIONS (path '$t')")
+    val row = spark.sql(
+      s"""COPY INTO copy_opts_t FROM '$src' FILEFORMAT = CSV
+         |FORMAT_OPTIONS ('header' = 'true', 'comment' = ')')"""
+        .stripMargin).collect().head
+    assert(row.getLong(2) == 3, s"3 rows expected, got $row")
+    assert(spark.table("copy_opts_t").count() == 4)
+    spark.sql("DROP TABLE copy_opts_t")
+  }
+
   test("nested source directories refuse loudly (partition-value loss)") {
     val r = root(); val t = s"$r/t"; val src = s"$r/nested"
     GraftLog.overwrite(df(0 until 2, "base"), t)

@@ -139,6 +139,75 @@ class MergeClausesSpec extends AnyFunSuite {
     assert(m(2L)._2 == 999.0)
   }
 
+  test("by-source-only merge with non-key-distinct source: no fan-out") {
+    val t = tmp()
+    // one file holds BOTH a row the by-source clause touches (id=3,
+    // absent from source) and a row that key-matches MULTIPLE source
+    // rows (id=1) — the rewrite must emit exactly one copy of id=1
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "active"),
+      (3L, "cya", 300.0, "active")), t)
+    val src = people(
+      (1L, "x", 1.0, "a"), (1L, "y", 2.0, "b"),   // duplicate key
+      (2L, "bob", 200.0, "active"))
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      notMatchedBySource = Seq(
+        Update(None, Seq("status" -> lit("orphaned")))))
+    val rows = GraftLog.read(spark, t).collect()
+    assert(rows.length == 3, s"no fan-out: ${rows.mkString(",")}")
+    val m = readMap(t)
+    assert(m(1L) == (("ann", 100.0, "active")), "matched row untouched")
+    assert(m(2L) == (("bob", 200.0, "active")))
+    assert(m(3L)._3 == "orphaned")
+  }
+
+  test("file touched ONLY by by-source clause: inapplicable multi-match" +
+      " rows keep one copy") {
+    val t = tmp()
+    // file A: id=1 (multi-matched, condition never applies) + id=2
+    // (absent from source → by-source touches file A). file B: id=9
+    // (matched, condition applies → matched-touched). The dedup signal
+    // must cover file A even though only the by-source probe found it.
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "active")), t)
+    GraftLog.append(people((9L, "zed", 900.0, "active")), t)
+    val src = people(
+      (1L, "x", 100.0, "noop"), (1L, "y", 100.0, "noop"), // dup, inapplicable
+      (9L, "zed", 999.0, "up"))
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      matched = Seq(Update(Some(expr("s.salary <> t.salary")),
+        Seq("salary" -> col("s.salary")))),
+      notMatchedBySource = Seq(
+        Update(None, Seq("status" -> lit("orphaned")))))
+    val rows = GraftLog.read(spark, t).collect()
+    assert(rows.length == 3, s"no fan-out: ${rows.mkString(",")}")
+    val m = readMap(t)
+    assert(m(1L) == (("ann", 100.0, "active")), "inapplicable multi-match")
+    assert(m(2L)._3 == "orphaned")
+    assert(m(9L)._2 == 999.0)
+  }
+
+  test("by-source-only merge with extra ON conjunct and dup keys") {
+    val t = tmp()
+    GraftLog.overwrite(people(
+      (1L, "ann", 100.0, "active"),
+      (2L, "bob", 200.0, "stale")), t)
+    // id=1 matches both source rows under the full ON (dup keys, extra
+    // conjunct passes); id=2 fails the extra conjunct → by-source
+    val src = people((1L, "x", 1.0, "a"), (1L, "y", 2.0, "b"))
+    GraftLog.mergeClauses(src, t, Seq("id"),
+      notMatchedBySource = Seq(
+        Update(None, Seq("status" -> lit("orphaned")))),
+      onExtra = Some(expr("t.status = 'active'")))
+    val rows = GraftLog.read(spark, t).collect()
+    assert(rows.length == 2, s"no fan-out: ${rows.mkString(",")}")
+    val m = readMap(t)
+    assert(m(1L) == (("ann", 100.0, "active")), "full-ON matched, no clause")
+    assert(m(2L)._3 == "orphaned", "extra-conjunct miss is by-source")
+  }
+
   test("clause conditions prune the touched-file probe") {
     val t = tmp()
     // two single-row commits → two files
