@@ -92,10 +92,7 @@ final class GraftFileIndex(spark: SparkSession, table: String,
 
   /** Hive `col=val` spec of one relative path (empty for flat files). */
   private def partSpec(f: String): Seq[(String, String)] =
-    f.split('/').dropRight(1).filter(_.contains('=')).toSeq.map { seg =>
-      val i = seg.indexOf('=')
-      (seg.take(i), unescapePath(seg.drop(i + 1)))
-    }
+    GraftFileIndex.partSpecOf(f)
 
   private val allPartCols: Seq[String] = {
     val specs = liveFiles.map(f => partSpec(f).map(_._1))
@@ -124,11 +121,7 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   /** Per-file hidden-bucket spec: source column (lowercase) →
     * (nBuckets, bucket value of this file's dir). */
   private def hiddenOf(rel: String): Map[String, (Int, Int)] =
-    partSpec(rel).collect {
-      case (name, v) if GraftLog.HiddenBucketDir.matches(name) =>
-        val GraftLog.HiddenBucketDir(n, src) = name
-        src.toLowerCase(java.util.Locale.ROOT) -> ((n.toInt, v.toInt))
-    }.toMap
+    GraftFileIndex.hiddenOf(partSpec(rel))
 
   /** Columns physically present in the data files. */
   val dataSchema: StructType = StructType(tableSchema.fields.filterNot(f =>
@@ -251,17 +244,26 @@ final class GraftFileIndex(spark: SparkSession, table: String,
 
   private lazy val statusByRel: Map[String, FileStatus] = statuses.toMap
 
-  private def distributedKeep(dataFilters: Seq[Expression])
-      : Option[Seq[FileStatus]] =
+  /** Distributed per-FILE pruning over [[GraftLog.liveAddsFrame]]:
+    * stats/bloom `mayMatch` plus hidden-bucket dirs evaluate on
+    * executors; `keptDirs` (the visible partition dirs surviving the
+    * exact driver-side partition + generated-column pruning, broadcast
+    * inside the UDF closure) restricts the pass to surviving dirs so a
+    * date-filtered 100 TB scan never decodes the other days' bloom
+    * maps. Returns surviving RELATIVE paths; None = no columnar
+    * checkpoint → caller falls back to the driver maps. */
+  private def distributedKeep(dataFilters: Seq[Expression],
+      keptDirs: Option[Set[String]]): Option[Set[String]] =
     GraftLog.liveAddsFrame(spark, table, asOf).map { frame =>
       import org.apache.spark.sql.functions.{col, udf}
       val filters = dataFilters.toList
+      val dirs = keptDirs
       val keep = udf(
-        (st: Map[String, Seq[Double]], bl: Map[String, String]) =>
-          GraftFileIndex.keepByStats(filters, st, bl))
-      frame.filter(keep(col("stats"), col("blooms")))
-        .select("path").collect().map(_.getString(0))
-        .flatMap(statusByRel.get).toSeq
+        (rel: String, st: Map[String, Seq[Double]],
+         bl: Map[String, String]) =>
+          GraftFileIndex.keepFile(filters, rel, st, bl, dirs))
+      frame.filter(keep(col("path"), col("stats"), col("blooms")))
+        .select("path").collect().map(_.getString(0)).toSet
     }
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -276,8 +278,12 @@ final class GraftFileIndex(spark: SparkSession, table: String,
     if (allPartCols.isEmpty) {
       val kept =
         if (dataFilters.nonEmpty && useDistributedPlanning)
-          distributedKeep(dataFilters).getOrElse(
-            statuses.collect { case (rel, st) if keepData(rel) => st })
+          distributedKeep(dataFilters, None) match {
+            case Some(survivors) => statuses.collect {
+              case (rel, st) if survivors.contains(rel) => st }
+            case None => statuses.collect {
+              case (rel, st) if keepData(rel) => st }
+          }
         else statuses.collect { case (rel, st) if keepData(rel) => st }
       Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
     } else {
@@ -318,36 +324,33 @@ final class GraftFileIndex(spark: SparkSession, table: String,
           val gen = genValsOf(spec)
           gen.isEmpty || dataFilters.forall(mayMatchGenerated(_, gen))
         }
-      keptGen.map { case (_, row, fls) =>
-        PartitionDirectory(row,
-          fls.collect { case (rel, st) if keepData(rel) => st }.toArray)
+      // per-FILE pruning within the kept dirs: distributed over the
+      // checkpoint frame when the table is large (the partition- and
+      // generated-pruning above stayed driver-side — dir counts are
+      // small and the predicates may carry non-serializable runtime
+      // subqueries (DPP), but per-file stats/bloom maps are the 100×
+      // metadata mass this path keeps off the driver)
+      val distSurvivors =
+        if (dataFilters.nonEmpty && useDistributedPlanning)
+          distributedKeep(dataFilters, Some(keptGen.map {
+            case (spec, _, _) => GraftFileIndex.specKey(spec) }.toSet))
+        else None
+      distSurvivors match {
+        case Some(survivors) => keptGen.map { case (_, row, fls) =>
+          PartitionDirectory(row, fls.collect {
+            case (rel, st) if survivors.contains(rel) => st }.toArray)
+        }
+        case None => keptGen.map { case (_, row, fls) =>
+          PartitionDirectory(row, fls.collect {
+            case (rel, st) if keepData(rel) => st }.toArray)
+        }
       }
     }
   }
 
-  /** May a file whose hidden-bucket dirs are `hid` hold a row
-    * satisfying `e`? Equality/IN probes on a bucketed SOURCE column map
-    * the literal through the same hash the writer used; a mismatched
-    * bucket is a definite miss. Everything else keeps the file. */
   private def mayMatchBucket(e: Expression,
-      hid: Map[String, (Int, Int)]): Boolean = {
-    def chk(a: Attribute, v: Any, dt: DataType): Boolean =
-      v == null || (hid.get(a.name.toLowerCase(java.util.Locale.ROOT)) match {
-        case Some((n, b)) => GraftLog.bucketFor(v, dt, n) == b
-        case None => true
-      })
-    e match {
-      case And(a, b) => mayMatchBucket(a, hid) && mayMatchBucket(b, hid)
-      case Or(a, b) => mayMatchBucket(a, hid) || mayMatchBucket(b, hid)
-      case EqualTo(a: Attribute, Literal(v, dt)) => chk(a, v, dt)
-      case EqualTo(Literal(v, dt), a: Attribute) => chk(a, v, dt)
-      case EqualNullSafe(a: Attribute, Literal(v, dt)) => chk(a, v, dt)
-      case EqualNullSafe(Literal(v, dt), a: Attribute) => chk(a, v, dt)
-      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
-        list.exists { case Literal(v, dt) => chk(a, v, dt) }
-      case _ => true
-    }
-  }
+      hid: Map[String, (Int, Int)]): Boolean =
+    GraftFileIndex.mayMatchBucket(e, hid)
 
   /** Count of files the given filters keep — spec/diagnostic hook. */
   private[graft] def countAfterPruning(dataFilters: Seq[Expression],
@@ -361,22 +364,6 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   private[graft] def countDirsAfterPruning(dataFilters: Seq[Expression],
       partitionFilters: Seq[Expression] = Nil): Int =
     listFiles(partitionFilters, dataFilters).size
-
-  /** Hive path unescape: %XX sequences only ('+' stays literal). */
-  private def unescapePath(s: String): String = {
-    val b = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-        Character.digit(s.charAt(i + 1), 16) >= 0 &&
-        Character.digit(s.charAt(i + 2), 16) >= 0) {
-        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { b.append(c); i += 1 }
-    }
-    b.result()
-  }
 
   private def castPartValue(raw: String, dt: DataType): Any =
     if (raw == "__HIVE_DEFAULT_PARTITION__") null
@@ -399,6 +386,86 @@ final class GraftFileIndex(spark: SparkSession, table: String,
 }
 
 object GraftFileIndex {
+
+  /** Hive `col=val` spec of one relative path (empty for flat files).
+    * Static so executor-side pruning closures never capture the index
+    * (whose SparkSession is not serializable). */
+  private[sources] def partSpecOf(f: String): Seq[(String, String)] =
+    f.split('/').dropRight(1).filter(_.contains('=')).toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      (seg.take(i), unescapePath(seg.drop(i + 1)))
+    }
+
+  /** Hive path unescape: %XX sequences only ('+' stays literal). */
+  private[sources] def unescapePath(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { b.append(c); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Canonical key of a VISIBLE partition spec — the dir-membership
+    * token the distributed per-file pass matches against. */
+  private[sources] def specKey(spec: Seq[(String, String)]): String =
+    spec.map { case (k, v) => s"$k=$v" }.mkString("/")
+
+  /** Hidden-bucket dirs of a spec: source column (lowercase) →
+    * (nBuckets, bucket value). */
+  private[sources] def hiddenOf(spec: Seq[(String, String)])
+      : Map[String, (Int, Int)] =
+    spec.collect {
+      case (name, v) if GraftLog.HiddenBucketDir.matches(name) =>
+        val GraftLog.HiddenBucketDir(n, src) = name
+        src.toLowerCase(java.util.Locale.ROOT) -> ((n.toInt, v.toInt))
+    }.toMap
+
+  /** May a file whose hidden-bucket dirs are `hid` hold a row
+    * satisfying `e`? Equality/IN probes on a bucketed SOURCE column map
+    * the literal through the same hash the writer used; a mismatched
+    * bucket is a definite miss. Everything else keeps the file. */
+  private[sources] def mayMatchBucket(e: Expression,
+      hid: Map[String, (Int, Int)]): Boolean = {
+    def chk(a: Attribute, v: Any, dt: DataType): Boolean =
+      v == null || (hid.get(a.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some((n, b)) => GraftLog.bucketFor(v, dt, n) == b
+        case None => true
+      })
+    e match {
+      case And(a, b) => mayMatchBucket(a, hid) && mayMatchBucket(b, hid)
+      case Or(a, b) => mayMatchBucket(a, hid) || mayMatchBucket(b, hid)
+      case EqualTo(a: Attribute, Literal(v, dt)) => chk(a, v, dt)
+      case EqualTo(Literal(v, dt), a: Attribute) => chk(a, v, dt)
+      case EqualNullSafe(a: Attribute, Literal(v, dt)) => chk(a, v, dt)
+      case EqualNullSafe(Literal(v, dt), a: Attribute) => chk(a, v, dt)
+      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists { case Literal(v, dt) => chk(a, v, dt) }
+      case _ => true
+    }
+  }
+
+  /** The whole executor-side per-file keep decision of the distributed
+    * planning path: dir membership (exact pruning already done on the
+    * driver), stats/bloom [[mayMatch]], hidden-bucket probes. Identical
+    * logic to the driver path's keepData, shared by construction. */
+  private[sources] def keepFile(filters: Seq[Expression], rel: String,
+      stats: Map[String, Seq[Double]], blooms: Map[String, String],
+      keptDirs: Option[Set[String]]): Boolean = {
+    val spec = partSpecOf(rel)
+    keptDirs.forall(_.contains(specKey(spec.filterNot(p =>
+      GraftLog.HiddenBucketDir.matches(p._1))))) && {
+      val hid = hiddenOf(spec)
+      keepByStats(filters, stats, blooms) &&
+        (hid.isEmpty || filters.forall(mayMatchBucket(_, hid)))
+    }
+  }
 
   /** Executor-side form of the per-file keep decision: decode the
     * columnar checkpoint row's stats/bloom maps and run the same

@@ -915,4 +915,72 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.graft.planning.distributed", "auto")
       == "auto")
   }
+
+  test("distributed planning equals the driver path on a PARTITIONED " +
+      "checkpoint+append+delete history") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_distpart"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    // hive-partitioned layout, then the exact history liveAddsFrame
+    // must fold: checkpoint base, a tail append (new files, no
+    // checkpoint), a tail delete (removes checkpoint files)
+    GraftLog.overwritePartitioned(cust, d, Seq("c_mktsegment"))
+    GraftLog.checkpoint(spark, d)
+    GraftLog.appendPartitioned(cust.filter(col("c_custkey") <= 5)
+      .withColumn("c_custkey", col("c_custkey") + 100000L), d,
+      Seq("c_mktsegment"))
+    GraftLog.delete(spark, d, col("c_custkey") % 97 === 5)
+    val seg = cust.select("c_mktsegment").limit(1)
+      .collect().head.getString(0)
+    val preds = Seq(
+      col("c_mktsegment") === seg, // pure partition filter
+      col("c_mktsegment") === seg && col("c_custkey") <= 40, // both
+      col("c_custkey") >= 10 && col("c_custkey") <= 40, // data range
+      col("c_custkey") > 100000L, // tail-append rows only
+      col("c_acctbal").isNotNull)
+    for (p <- preds) {
+      def run(mode: String): (Long, Long, Seq[org.apache.spark.sql.Row]) = {
+        spark.conf.set("spark.graft.planning.distributed", mode)
+        try {
+          val q = spark.read.format("graft").load(d).filter(p)
+          val rows = q.collect().toSeq
+          val s = scanOf(q)
+          (s.metrics("numFiles").value,
+            s.metrics("numPartitions").value, rows)
+        } finally spark.conf.unset("spark.graft.planning.distributed")
+      }
+      val (nDriver, pDriver, rowsDriver) = run("false")
+      val (nDist, pDist, rowsDist) = run("true")
+      assert(nDist == nDriver && pDist == pDriver,
+        s"pruned file/dir count must match for $p: driver=($nDriver," +
+          s"$pDriver) distributed=($nDist,$pDist)")
+      assert(rowsDist.toSet == rowsDriver.toSet, s"rows must match for $p")
+    }
+  }
+
+  test("distributed planning prunes hidden-bucket dirs executor-side") {
+    val d = Staging.tempDir("graft_fidx_") + "/cust_distbkt"
+    val cust = Sources.testTable(spark, TestSpark.sf, "customer")
+    GraftLog.overwriteBucketTransform(cust, d, "c_custkey", nBuckets = 8)
+    GraftLog.checkpoint(spark, d)
+    val preds = Seq(col("c_custkey") === 42L,
+      col("c_custkey").isin(1L, 2L, 3L))
+    for (p <- preds) {
+      def run(mode: String): (Long, Seq[org.apache.spark.sql.Row]) = {
+        spark.conf.set("spark.graft.planning.distributed", mode)
+        try {
+          val q = spark.read.format("graft").load(d).filter(p)
+          val rows = q.collect().toSeq
+          (scanOf(q).metrics("numFiles").value, rows)
+        } finally spark.conf.unset("spark.graft.planning.distributed")
+      }
+      val (nDriver, rowsDriver) = run("false")
+      val (nDist, rowsDist) = run("true")
+      assert(nDist == nDriver,
+        s"bucket-pruned file count must match for $p: driver=$nDriver " +
+          s"distributed=$nDist")
+      assert(rowsDist.toSet == rowsDriver.toSet, s"rows must match for $p")
+      val total = new GraftFileIndex(spark, d).inputFiles.length
+      assert(nDist < total, s"bucket pruning must drop files for $p")
+    }
+  }
 }
