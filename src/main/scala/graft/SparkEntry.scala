@@ -176,6 +176,11 @@ object SparkEntry {
     // one idempotent commit — batch 2 sees batch 1's additions
     "e18_dedup_state_persisted" ->
       ((s, d) => Dedup.dedupStatePersisted(s, d)),
+    // O(batch) rolling dedup state: versioned Bloom sidecar (no
+    // full-state rebuild per batch) + digest-prefix-partitioned state
+    // so the exact probe file-prunes — same replay and oracle as e18
+    "e19_dedup_state_scalable" ->
+      ((s, d) => DedupState.dedupStateScalable(s, d)),
     "e17_neardup_incremental"   -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
@@ -2529,6 +2534,33 @@ object SparkEntry {
     // e18: state replay — batch 1 dups against the corpus digest set,
     // batch 2 against corpus ∪ batch 1's digests (the advanced state)
     "e18_dedup_state_persisted" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT sha256(text) AS h
+        |  FROM documents WHERE doc_id < 300),
+        |b1 AS (
+        |  SELECT doc_id, sha256(text) AS h
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 450
+        |  UNION ALL
+        |  SELECT doc_id + 2000, sha256(text)
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 9 = 0),
+        |state1 AS (
+        |  SELECT h FROM corpus UNION SELECT h FROM b1),
+        |b2 AS (
+        |  SELECT doc_id, sha256(text) AS h
+        |  FROM documents WHERE doc_id >= 450
+        |  UNION ALL
+        |  SELECT doc_id + 3000, sha256(text)
+        |  FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 450 AND doc_id % 5 = 0)
+        |SELECT CAST(0 AS BIGINT) AS batch_id, b1.doc_id,
+        |  (c.h IS NOT NULL) AS is_duplicate
+        |FROM b1 LEFT JOIN corpus c ON b1.h = c.h
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), b2.doc_id, (s1.h IS NOT NULL)
+        |FROM b2 LEFT JOIN state1 s1 ON b2.h = s1.h""".stripMargin,
+    // e19: identical replay semantics to e18 — the sidecar/partition
+    // machinery changes the COST shape, never the verdicts
+    "e19_dedup_state_scalable" ->
       """WITH corpus AS (
         |  SELECT DISTINCT sha256(text) AS h
         |  FROM documents WHERE doc_id < 300),

@@ -1,0 +1,299 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.sources.GraftLog
+
+/** O(batch) rolling dedup state — the scale successor to
+  * [[Dedup.dedupStatePersisted]] (e18). e18's per-batch gate rebuilds
+  * its Bloom from a FULL scan of the digest state table and probes the
+  * exact state with an unpruned semi-join; both costs grow with corpus
+  * HISTORY, not batch size. This module decouples them:
+  *
+  *   - **Versioned Bloom sidecar**: the corpus-membership Bloom persists
+  *     under `<state>/_graft_sidecar/` stamped with the state table's
+  *     commit version. Each batch loads the bitset (O(bloom bytes), zero
+  *     state-file reads), folds in ONLY its own novel digests (a
+  *     distributed `stat.bloomFilter` over the novel frame with the
+  *     sidecar's exact (expectedItems, fpp) layout, so `mergeInPlace`
+  *     is a bitwise OR — the driver never materializes digests), and
+  *     re-persists at the new version. A sidecar left behind the table
+  *     (external writer, crashed save) catches up by folding the CDF
+  *     inserts of the missing versions — never a full rebuild unless the
+  *     sidecar is absent or past capacity.
+  *   - **Digest-prefix partitioning**: the state table is hive-
+  *     partitioned by `h2 = substring(content_hash, 1, prefixLen)`, so
+  *     the exact verification probe pushes a STATIC partition filter
+  *     (`h2 IN (candidate prefixes)` — bounded by 16^prefixLen values,
+  *     collected from the Bloom-filtered candidate set, never from raw
+  *     keys) and scans only the matching dirs' files. A batch whose
+  *     candidates touch 3 of 256 prefixes reads 3/256ths of the state.
+  *
+  * Correctness is never Bloom-dependent: false positives are
+  * exact-verified by the pruned semi-join; false negatives cannot occur
+  * because the sidecar version is reconciled against the table version
+  * on every load (catch-up fold) before any probe. Capacity: the meta
+  * sidecar tracks inserted-count; exceeding expectedItems triggers one
+  * full rebuild at 4x size (amortized growth, same policy as a dynamic
+  * array).
+  *
+  * Reference scope: the reference pipeline has no dedup operators
+  * (survey §2); this is part of the training-data-pipeline surface the
+  * brief adds. Delta parity: the sidecar plays the role Delta's
+  * `autoCompact`-era aggregate sketches play for OPTIMIZE planning —
+  * commit-versioned derived state beside the log, never inside it. */
+object DedupState {
+
+  private val AppId = "graft-dedup-state-v2"
+
+  /** Loaded sidecar + provenance: how it was brought current.
+    * `catchupVersions` = CDF versions folded on load (0 in steady
+    * state); `rebuilt` = true when a full digest scan was needed
+    * (missing or over-capacity sidecar). */
+  private[graft] final case class Sidecar(bloom: BloomFilter,
+      version: Long, expected: Long, fpp: Double, inserted: Long,
+      prefixLen: Int, catchupVersions: Int, rebuilt: Boolean)
+
+  private def sidecarDir(state: String) = s"$state/_graft_sidecar"
+
+  private def fsOf(spark: SparkSession, state: String): FileSystem =
+    new HPath(state).getFileSystem(
+      spark.sessionState.newHadoopConf())
+
+  private def binPath(state: String, v: Long) =
+    new HPath(sidecarDir(state), f"dedup-bloom-v$v%020d.bin")
+  private def metaPath(state: String, v: Long) =
+    new HPath(sidecarDir(state), f"dedup-bloom-v$v%020d.meta")
+
+  /** Initialize the state table from a corpus digest frame
+    * (`content_hash` column): hive layout partitioned by the
+    * `prefixLen`-char digest prefix, plus the v0 Bloom sidecar sized
+    * for 4x the corpus (growth headroom before the first rebuild). */
+  def init(spark: SparkSession, digests: DataFrame, state: String,
+      prefixLen: Int = 2, fpp: Double = 0.01): Unit = {
+    val withPrefix = digests.select(col("content_hash"),
+      substring(col("content_hash"), 1, prefixLen).as("h2")).distinct()
+    GraftLog.overwritePartitioned(withPrefix, state, Seq("h2"))
+    val n = GraftLog.read(spark, state).count()
+    val expected = math.max(n * 4, 1024L)
+    val bloom = GraftLog.read(spark, state)
+      .stat.bloomFilter("content_hash", expected, fpp)
+    val v = GraftLog.latestVersion(spark, state).get
+    saveSidecar(spark, state, v, bloom, expected, fpp, n, prefixLen)
+  }
+
+  /** Load the newest sidecar at-or-below the table's current version
+    * and reconcile: fold CDF inserts of any missing versions into the
+    * bitset (append-only state — inserts are the only change class the
+    * ledger-stamped advance path produces). Missing sidecar or
+    * inserted > expected → full rebuild at 4x. */
+  private[graft] def loadSidecar(spark: SparkSession, state: String)
+      : Sidecar = {
+    val latest = GraftLog.latestVersion(spark, state).getOrElse(
+      throw new IllegalStateException(s"$state is not a graft table"))
+    val f = fsOf(spark, state)
+    val dir = new HPath(sidecarDir(state))
+    val found: Option[Long] =
+      if (!f.exists(dir)) None
+      else f.listStatus(dir).map(_.getPath.getName).collect {
+        case n if n.startsWith("dedup-bloom-v") && n.endsWith(".meta") =>
+          n.stripPrefix("dedup-bloom-v").stripSuffix(".meta").toLong
+      }.filter(v => v <= latest && f.exists(binPath(state, v)))
+        .sorted.lastOption
+    found match {
+      case Some(v) =>
+        val meta = readMeta(f, metaPath(state, v))
+        val expected = meta("expected").toLong
+        val fpp = meta("fpp").toDouble
+        var inserted = meta("inserted").toLong
+        val prefixLen = meta("prefixLen").toInt
+        val in = f.open(binPath(state, v))
+        val bloom = try BloomFilter.readFrom(in) finally in.close()
+        // catch-up: fold inserts of (v, latest] — CDF keeps this a
+        // file-bounded read of just the missing commits' added files
+        val missing = GraftLog.versions(spark, state)
+          .count(x => x > v && x <= latest)
+        if (missing > 0) {
+          val catchup = spark.read.format("graft")
+            .option("readChangeFeed", "true")
+            .option("cdfKeys", "content_hash")
+            .option("startingVersion", v + 1)
+            .option("endingVersion", latest)
+            .load(state)
+            .filter(col("_change_type") === "insert")
+            .select("content_hash").distinct()
+          val nNew = catchup.count()
+          if (inserted + nNew > expected)
+            return rebuild(spark, state, latest, fpp, prefixLen)
+          if (nNew > 0)
+            bloom.mergeInPlace(
+              catchup.stat.bloomFilter("content_hash", expected, fpp))
+          inserted += nNew
+          saveSidecar(spark, state, latest, bloom, expected, fpp,
+            inserted, prefixLen)
+        }
+        if (inserted > expected) rebuild(spark, state, latest, fpp,
+          prefixLen)
+        else Sidecar(bloom, latest, expected, fpp, inserted, prefixLen,
+          missing, rebuilt = false)
+      case None =>
+        // no sidecar (pre-existing table adopted into this flow):
+        // bootstrap from one full digest scan — the LAST such scan
+        val meta = probeMeta(spark, state)
+        rebuild(spark, state, latest, meta._1, meta._2)
+    }
+  }
+
+  private def probeMeta(spark: SparkSession, state: String)
+      : (Double, Int) = (0.01, prefixLenOf(spark, state))
+
+  /** Derive prefixLen from the table's own layout (`h2` values). */
+  private def prefixLenOf(spark: SparkSession, state: String): Int =
+    GraftLog.read(spark, state).select(length(col("h2")))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(2)
+
+  private def rebuild(spark: SparkSession, state: String, v: Long,
+      fpp: Double, prefixLen: Int): Sidecar = {
+    val digests = GraftLog.read(spark, state).select("content_hash")
+    val n = digests.count()
+    val expected = math.max(n * 4, 1024L)
+    val bloom = digests.stat.bloomFilter("content_hash", expected, fpp)
+    saveSidecar(spark, state, v, bloom, expected, fpp, n, prefixLen)
+    Sidecar(bloom, v, expected, fpp, n, prefixLen, 0, rebuilt = true)
+  }
+
+  private def readMeta(f: FileSystem, p: HPath): Map[String, String] = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in).getLines()
+      .flatMap { l => l.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      } }.toMap
+    finally in.close()
+  }
+
+  private def saveSidecar(spark: SparkSession, state: String, v: Long,
+      bloom: BloomFilter, expected: Long, fpp: Double, inserted: Long,
+      prefixLen: Int): Unit = {
+    val f = fsOf(spark, state)
+    f.mkdirs(new HPath(sidecarDir(state)))
+    // tmp + rename: a concurrent saver of the same version wrote the
+    // same state — losing the rename is a no-op (the GraftLog
+    // checkpoint-writer convention)
+    val tmpB = new HPath(sidecarDir(state),
+      s".bloom-${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmpB, true)
+    try bloom.writeTo(out) finally out.close()
+    if (!f.rename(tmpB, binPath(state, v))) { f.delete(tmpB, false); () }
+    val tmpM = new HPath(sidecarDir(state),
+      s".meta-${java.util.UUID.randomUUID()}.tmp")
+    val mo = f.create(tmpM, true)
+    try mo.write(
+      (s"expected=$expected\nfpp=$fpp\ninserted=$inserted\n" +
+        s"prefixLen=$prefixLen\n").getBytes("UTF-8"))
+    finally mo.close()
+    if (!f.rename(tmpM, metaPath(state, v))) { f.delete(tmpM, false); () }
+  }
+
+  /** The exact-verification probe: digests of `cand`
+    * (`content_hash`, `h2`) semi-joined against the state with a STATIC
+    * partition filter on the candidate prefixes (bounded by
+    * 16^prefixLen values — a driver-side collect of the DISTINCT
+    * PREFIX set, never of keys). Exposed for the spec's scanned-file
+    * plan pin. */
+  private[graft] def presentProbe(spark: SparkSession, state: String,
+      cand: DataFrame): DataFrame = {
+    val prefixes = cand.select("h2").distinct()
+      .collect().map(_.getString(0)).toSeq
+    GraftLog.read(spark, state)
+      .filter(col("h2").isin(prefixes: _*))
+      .join(broadcast(cand.select("content_hash")),
+        Seq("content_hash"), "left_semi")
+      .select("content_hash").distinct()
+  }
+
+  /** One rolling-ingest step: verdicts for `batch` (`doc_id`, `text`)
+    * against the current state, then the state advances by the batch's
+    * novel digests in one idempotent ledger-stamped commit and the
+    * Bloom sidecar rolls forward by a bitwise merge. Per-batch cost:
+    * sidecar load + batch-sized hashing + prefix-pruned exact probe +
+    * O(novel) append — independent of corpus history. */
+  def probeAndAdvance(spark: SparkSession, state: String,
+      batch: DataFrame, batchId: Long): DataFrame = {
+    val sc = loadSidecar(spark, state)
+    val bBloom = spark.sparkContext.broadcast(sc.bloom)
+    val mightContain =
+      udf((h: String) => bBloom.value.mightContainString(h))
+    val batchH = batch
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("h2", substring(col("content_hash"), 1, sc.prefixLen))
+      .transform(graft.CacheScope.tracked)
+    val cand = batchH.filter(mightContain(col("content_hash")))
+      .select("content_hash", "h2").distinct()
+      .transform(graft.CacheScope.tracked)
+    val present = presentProbe(spark, state, cand)
+      .withColumn("__dup", lit(true))
+      .transform(graft.CacheScope.tracked)
+    val verdicts = batchH
+      .join(broadcast(present), Seq("content_hash"), "left")
+      .select(lit(batchId).as("batch_id"), col("doc_id"),
+        coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+      // the verdict rows must outlive the state advance below (the
+      // caller's plan executes later, against a mutated table) —
+      // materialize now
+      .transform(graft.CacheScope.tracked)
+    verdicts.count()
+    val novel = batchH
+      .join(broadcast(present), Seq("content_hash"), "left_anti")
+      .select("content_hash", "h2").distinct()
+      .transform(graft.CacheScope.tracked)
+    val nNovel = novel.count()
+    val committed = GraftLog.txnAppendPartitioned(novel, state, AppId,
+      batchId, Seq("h2"))
+    if (committed && nNovel > 0) {
+      // roll the sidecar: fold ONLY the novel digests into the loaded
+      // bitset (same layout → bitwise OR), stamp at the new version
+      val v = GraftLog.latestVersion(spark, state).get
+      if (sc.inserted + nNovel > sc.expected) {
+        rebuild(spark, state, v, sc.fpp, sc.prefixLen); ()
+      } else {
+        sc.bloom.mergeInPlace(
+          novel.stat.bloomFilter("content_hash", sc.expected, sc.fpp))
+        saveSidecar(spark, state, v, sc.bloom, sc.expected, sc.fpp,
+          sc.inserted + nNovel, sc.prefixLen)
+      }
+    }
+    verdicts
+  }
+
+  /** e19 — the registered-query form: same two-batch replay (and the
+    * same oracle) as e18, run through the sidecar + prefix-partitioned
+    * machinery. prefixLen 1 keeps the sandbox layout at 16 dirs; the
+    * 100 TB setting is 2 (256 dirs). */
+  def dedupStateScalable(spark: SparkSession, sfDir: String,
+      split: Long = 300, split2: Long = 450): DataFrame = {
+    val docs = graft.sources.Sources.testTable(spark, sfDir, "documents")
+    val state = graft.sources.Staging.tempDir("graft_dstate2_") +
+      "/digests"
+    init(spark, docs.filter(col("doc_id") < split)
+      .select(sha2(col("text"), 256).as("content_hash")),
+      state, prefixLen = 1)
+    val b1 = docs.filter(col("doc_id") >= split && col("doc_id") < split2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") < split && col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+    val b2 = docs.filter(col("doc_id") >= split2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") >= split && col("doc_id") < split2 &&
+          col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3000).as("doc_id"), col("text")))
+    val v1 = probeAndAdvance(spark, state, b1, 0L)
+    val v2 = probeAndAdvance(spark, state, b2, 1L)
+    v1.unionByName(v2)
+  }
+}

@@ -1507,13 +1507,16 @@ object Transactions {
               if (!ups.isEmpty)
                 GraftLog.txnMerge(ups, target, Seq("c_custkey"),
                   "i25-apply", v)
+              // deletes stay a FRAME end-to-end (GraftLog
+              // .deleteMatching: semi-join probe + anti-join rewrite)
+              // — a bulk GDPR batch never materializes its keys
+              // driver-side the way a collected isin list would
               val delKeys = bv
                 .filter(col("_change_type") === "delete")
                 .select(col("c_custkey")).distinct()
-                .collect().map(_.getLong(0))
-              if (delKeys.nonEmpty)
-                GraftLog.delete(spark2, target,
-                  col("c_custkey").isin(delKeys.toSeq: _*))
+              if (!delKeys.isEmpty)
+                GraftLog.deleteMatching(spark2, target, delKeys,
+                  Seq("c_custkey"))
             }
             ()
           }

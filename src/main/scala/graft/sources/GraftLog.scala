@@ -3752,6 +3752,78 @@ object GraftLog {
     v
   }
 
+  /** DELETE the rows whose key tuple appears in `keys` — the FRAME
+    * form of [[delete]]: the key set stays distributed end-to-end
+    * (touched-file probe = scan semi-joined against the frame, rewrite
+    * = anti-join), so a bulk erasure batch of millions of keys never
+    * materializes driver-side the way a collected `isin` list would —
+    * the driver only ever sees the touched FILE list. REWRITE
+    * semantics (matching rows leave the data files), the composable
+    * form downstream keyed merges need; [[deleteVectorsMatching]] is
+    * the mask-only sibling for erasure latency. Join strategy is left
+    * to AQE: a small key frame broadcasts, a huge one shuffles —
+    * forcing broadcast here would OOM the 100 TB bulk case. */
+  def deleteMatching(spark: SparkSession, table: String,
+      keys: DataFrame, keyCols: Seq[String]): Long = {
+    requireAppendable(spark, table, "DELETE (keyed)")
+    rebaseOnConflict(table, "deleteMatching") { () =>
+      deleteMatchingOnce(spark, table, keys, keyCols)
+    }
+  }
+
+  private def deleteMatchingOnce(spark: SparkSession, table: String,
+      keys: DataFrame, keyCols: Seq[String]): Long = {
+    val vRead = latestVersion(spark, table)
+    requireNoDvs(spark, table, "delete")
+    val (files, schema) = snapshot(spark, table)
+    val partCols = layoutPartCols(files)
+    val cmap = columnMapping(spark, table)
+    val logicalNames = logicalSchema(schema, cmap).fieldNames
+    keyCols.foreach(c => require(
+      logicalNames.exists(_.equalsIgnoreCase(c)),
+      s"delete key column $c not in ${logicalNames.mkString(",")}"))
+    val keyset = keys.select(keyCols.map(col): _*).distinct()
+    val touched =
+      if (cmap.nonEmpty)
+        touchedFiles(spark, table, files, schema,
+          df => toLogicalDf(df, schema, cmap, keep = Seq("__gf_file"))
+            .join(keyset, keyCols, "left_semi"))
+      else {
+        val rels = GraftFileIndex.read(spark, table)
+          .withColumn("__gf_file", input_file_name())
+          .join(keyset, keyCols, "left_semi")
+          .select("__gf_file").distinct().collect()
+          .flatMap(r =>
+            relPathOf(new java.net.URI(r.getString(0)).getPath))
+          .toSet
+        files.filter(f =>
+          relPathOf(absPath(table, f)).exists(rels.contains))
+      }
+    val s = if (touched.isEmpty) Staged(Seq.empty, Map.empty, Map.empty)
+    else {
+      val tracked = partCols.isEmpty && cmap.isEmpty &&
+        rowTrackingEnabled(spark, table)
+      // anti-join equality: null-keyed rows never match, so they are
+      // kept — the same outcome the predicate path's
+      // `!coalesce(pred, false)` null discipline produces for isin
+      val kept =
+        if (tracked)
+          readWithRowIds(spark, table, only = Some(touched.toSet))
+            .join(keyset, keyCols, "left_anti")
+        else toPhysicalDf(
+          toLogicalDf(readSubset(spark, table, touched, schema), schema,
+            cmap).join(keyset, keyCols, "left_anti"), schema, cmap)
+      if (partCols.nonEmpty) stagePartitionedWithStats(
+        withHiddenPartCols(kept, partCols), table, partCols)
+      else stageWithStats(kept, table)
+    }
+    val v = vRead.map(_ + 1).getOrElse(0L)
+    writeCommit(spark, table, Commit(v, "delete", s.files, touched,
+      schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      sizes = s.sizes))
+    v
+  }
+
   /** Delta `replaceWhere`: atomically replace EXACTLY the rows matching
     * the predicate with the new batch — the idempotent partition/slice
     * reload (re-run yesterday's job, only yesterday's rows change). ONE

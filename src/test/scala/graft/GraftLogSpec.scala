@@ -218,6 +218,43 @@ class GraftLogSpec extends AnyFunSuite {
     assert(back.agg(max($"id")).as[Long].head() == 14L)
   }
 
+  test("deleteMatching: frame-keyed delete equals the isin form, prunes files") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a").coalesce(1), t)
+    GraftLog.append(df(10 until 20, "b").coalesce(1), t)
+    GraftLog.append(df(20 until 30, "c").coalesce(1), t)
+    val (before, _) = GraftLog.snapshot(spark, t)
+    // a LARGE synthetic key frame (mostly misses) — the point of the
+    // frame form: keys are never collected, only touched FILES are
+    val keys = spark.range(100000)
+      .filter($"id" % 7 === 0 && $"id" >= 14 && $"id" < 20)
+      .select($"id")
+    GraftLog.deleteMatching(spark, t, keys, Seq("id"))
+    val (after, _) = GraftLog.snapshot(spark, t)
+    assert(after.contains(before(0)), "untouched file carried by reference")
+    assert(after.contains(before(2)), "untouched file carried by reference")
+    assert(!after.contains(before(1)), "touched file rewritten")
+    val back = GraftLog.read(spark, t).select("id").as[Long].collect().toSet
+    assert(back == (0L until 30L).toSet -- Set(14L), s"got $back")
+    // replay of the same key frame: no rows to remove, still a commit,
+    // rows unchanged (idempotent in effect)
+    GraftLog.deleteMatching(spark, t, keys, Seq("id"))
+    assert(GraftLog.read(spark, t).count() == 29)
+    // partitioned layout: only the matching partition's files rewrite
+    val tp = tmp() + "_part"
+    GraftLog.overwritePartitioned(df(0 until 30, "x")
+      .withColumn("p", ($"id" % 3).cast("int")), tp, Seq("p"))
+    val (pBefore, _) = GraftLog.snapshot(spark, tp)
+    GraftLog.deleteMatching(spark, tp,
+      Seq(3L, 6L).toDF("id"), Seq("id")) // both p=0
+    val (pAfter, _) = GraftLog.snapshot(spark, tp)
+    assert(pBefore.filterNot(_.contains("p=0"))
+      .forall(pAfter.contains), "other partitions carried by reference")
+    assert(GraftLog.read(spark, tp).count() == 28)
+    assert(!GraftLog.read(spark, tp).select("id").as[Long]
+      .collect().toSet.exists(Set(3L, 6L)))
+  }
+
   test("replaceWhere replaces exactly the slice, atomically, in one commit") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 100, "a"), t)                      // v0
