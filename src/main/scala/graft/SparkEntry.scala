@@ -159,6 +159,9 @@ object SparkEntry {
     // partitioned fact's dirs at EXECUTION time via a runtime subquery
     "j12_dynamic_partition_pruning" ->
       ((s, d) => Joins.dppFlagRollup(s, d)),
+    // star composition: DPP (partitioned fact) + Bloom file skipping
+    // (clustered orders) + broadcast dims with parquet pushdown, one plan
+    "j13_star_composed" -> ((s, d) => Joins.starComposed(s, d)),
     // unkeyed range join via range binning: interval-containment as an
     // equi-join on bin ids + residual filter (vs the nested-loop theta
     // join the oracle runs)
@@ -413,6 +416,10 @@ object SparkEntry {
     // commit per micro-batch, kill/resume/redrain exactly-once
     "i19_direct_sink" ->
       ((s, d) => Transactions.directSink(s, d)),
+    // streaming COPY INTO (Auto-Loader analog): file-discovery stream +
+    // per-file COPY ledger; survives kill/restart AND checkpoint loss
+    "i27_streaming_copy_into" ->
+      ((s, d) => Transactions.streamingCopyInto(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -480,6 +487,10 @@ object SparkEntry {
     // DEEP CLONE: physical distributed copy — source destruction
     // (delete-all + vacuum) cannot touch the clone
     "t37_deep_clone" -> ((s, d) => Transactions.deepCloneRead(s, d)),
+    // write-path auto-compaction: 8 one-file appends converge to ≤ 4
+    // live files via post-commit rewrite-only commits, rows untouched
+    "t38_auto_compact" ->
+      ((s, d) => Transactions.autoCompactRolling(s, d)),
     // metadata-only RENAME/DROP COLUMN via column mapping: the logical
     // rename is a SQL alias in the oracle; n_meta_files=0 pins that the
     // schema commits moved no data bytes
@@ -776,6 +787,12 @@ object SparkEntry {
         |  TRUE AS files_copied_positive,
         |  CAST(0 AS BIGINT) AS src_rows_now
         |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin,
+    // t38: slices 0..7 of c_custkey % 8 reassemble the whole table —
+    // compaction is pure layout, so the row set is customer verbatim
+    "t38_auto_compact" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  TRUE AS files_bounded, TRUE AS compacted
+        |FROM customer""".stripMargin,
     "t23_graftlog_clone" ->
       s"""WITH $incCte
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
@@ -1448,6 +1465,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, 2 AS n_commits
+        |FROM events GROUP BY 1""".stripMargin,
+    // i27: three waves × 4 files at a 2-file admission cap = 6 ingest
+    // commits + the seed; the checkpoint-loss redrain must be a ledger
+    // no-op; the landed union aggregates like one batch COPY
+    "i27_streaming_copy_into" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, 7 AS n_commits, TRUE AS redelivery_noop
         |FROM events GROUP BY 1""".stripMargin,
     // i24: same exactly-once aggregate through the PARTITIONED sink;
     // n_dirs pins the physical event_type=… layout
@@ -3436,6 +3461,21 @@ object SparkEntry {
         |    6) AS total_qty
         |FROM lineitem WHERE l_returnflag = 'R'
         |GROUP BY 1, 2""".stripMargin,
+    // j13: the three scan mechanisms (DPP, Bloom skip, pushdown +
+    // broadcast) are COST-only — the oracle is the plain filtered star
+    "j13_star_composed" ->
+      """SELECT l.l_returnflag AS flag,
+        |  'FLAG_' || l.l_returnflag AS flag_name,
+        |  o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+        |  count(*) AS n_items,
+        |  round(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,10))) AS DOUBLE),
+        |    6) AS total_qty
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_returnflag = 'R' AND o.o_orderpriority = '1-URGENT'
+        |  AND c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "j7_salted_skew_join" ->
       """SELECT flag, flag_name, count(*) AS n_items,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6)

@@ -57,8 +57,8 @@ object Joins {
     * the dynamicpruning expression in the plan and the pruned file
     * count; the oracle is the plain filtered rollup (DPP must never
     * change the answer). */
-  def dppFlagRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val factDir = stagedDpp.getOrElseUpdate(sfDir, {
+  private[graft] def dppFact(spark: SparkSession, sfDir: String): String =
+    stagedDpp.getOrElseUpdate(sfDir, {
       val d = graft.sources.Staging.tempDir("graft_dpp_") + "/lineitem"
       graft.sources.GraftLog.overwritePartitioned(
         graft.sources.Sources.testTable(spark, sfDir, "lineitem")
@@ -67,6 +67,9 @@ object Joins {
         d, Seq("l_returnflag"))
       d
     })
+
+  def dppFlagRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val factDir = dppFact(spark, sfDir)
     val fact = spark.read.format("graft").load(factDir)
     val dim = graft.sources.Sources.testTable(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("flag")).distinct()
@@ -74,6 +77,72 @@ object Joins {
       .filter(col("flag_name") === "FLAG_R") // dim-side-only filter
     fact.join(broadcast(dim), fact("l_returnflag") === dim("flag"))
       .groupBy(col("flag"), col("flag_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(graft.functions.Deterministic.sumExact(col("l_quantity"))
+          .cast("double"), 6).as("total_qty"))
+  }
+
+  private val stagedStar =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** j13 — the 100 TB star-query composition: THREE pruning/placement
+    * mechanisms in ONE plan, each carrying a different leg of a
+    * customer × orders × lineitem star.
+    *
+    *   - **DPP** (the j12 machinery): the fact is the hive-partitioned
+    *     lineitem graft table; the flag dimension's selective filter
+    *     reaches the fact scan as a `dynamicpruningexpression` runtime
+    *     subquery, and whole `l_returnflag=…` dirs never open.
+    *   - **Bloom skipping** (the t18 machinery): orders is a graft
+    *     table clustered by `o_orderpriority` and written
+    *     [[graft.sources.GraftLog.overwriteIndexed]] — the STATIC
+    *     point predicate consults the per-file Bloom bitmaps in the
+    *     commit log, so only the files that actually contain
+    *     '1-URGENT' are scanned (string column: min/max stats can't
+    *     help, the Bloom is the only skip).
+    *   - **Broadcast placement + parquet pushdown**: the selectively
+    *     filtered customer dim rides to the join as a broadcast (CBO
+    *     column stats provably cause this flip on a catalog twin —
+    *     asserted in AnalyticsSpec with `spark.sql.cbo.enabled`), and
+    *     its `c_mktsegment = 'BUILDING'` predicate reaches the parquet
+    *     scan as a PushedFilter.
+    *
+    * The oracle is the plain three-way filtered join — none of the
+    * three mechanisms may change the answer, only the bytes read and
+    * rows moved. AnalyticsSpec pins all three in the SAME executed
+    * plan. */
+  private[graft] def starOrders(spark: SparkSession, sfDir: String)
+      : String =
+    stagedStar.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_star_") + "/orders"
+      graft.sources.GraftLog.overwriteIndexed(
+        graft.sources.Sources.testTable(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"))
+          .repartition(8, col("o_orderpriority")),
+        d, Seq("o_orderpriority"))
+      d
+    })
+
+  def starComposed(spark: SparkSession, sfDir: String): DataFrame = {
+    val factDir = dppFact(spark, sfDir)
+    val ordsDir = starOrders(spark, sfDir)
+    val fact = spark.read.format("graft").load(factDir)
+    val flags = graft.sources.Sources.testTable(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag")).distinct()
+      .withColumn("flag_name", concat(lit("FLAG_"), col("flag")))
+      .filter(col("flag_name") === "FLAG_R") // dim-side-only filter → DPP
+    val ords = graft.sources.GraftFileIndex.read(spark, ordsDir)
+      .filter(col("o_orderpriority") === "1-URGENT") // Bloom file skip
+    val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .filter(col("c_mktsegment") === "BUILDING") // parquet PushedFilter
+    fact.join(broadcast(flags), fact("l_returnflag") === flags("flag"))
+      .join(ords, fact("l_orderkey") === ords("o_orderkey"))
+      .join(broadcast(cust), ords("o_custkey") === cust("c_custkey"))
+      .groupBy(col("flag"), col("flag_name"),
+        col("o_orderpriority").as("priority"),
+        col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n_items"),
         round(graft.functions.Deterministic.sumExact(col("l_quantity"))
           .cast("double"), 6).as("total_qty"))

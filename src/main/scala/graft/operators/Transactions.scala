@@ -1127,6 +1127,76 @@ object Transactions {
       .withColumn("n_dirs", lit(nDirs))
   }
 
+  /** i27 — STREAMING COPY INTO (the Auto-Loader analog): new-file
+    * discovery as a stream over a landing directory, composed with the
+    * batch COPY ledger so exactly-once holds PER SOURCE FILE — not just
+    * per offset. The file stream supplies discovery + admission caps
+    * (`maxFilesPerTrigger`, the i20 ingest-throttle shape); each
+    * micro-batch commits through [[GraftLog.append]] with its files'
+    * ledger entries, so a re-delivered file is a no-op even when the
+    * stream's OWN tracking is gone. The query stages three waves with
+    * a kill between each drain, then deletes the CHECKPOINT and drains
+    * again: the file source re-lists and re-delivers every file, and
+    * the pinned `redelivery_noop` records that the ledger absorbed all
+    * of it without a commit — the recovery mode no offset-tracking
+    * stream has (checkpoint loss normally means re-ingest or data
+    * loss; here the ledger is the durable source of truth, exactly
+    * Auto-Loader's contract). `n_commits` pins the cap arithmetic:
+    * 3 waves × 4 files at 2 files/trigger = 6 ingest commits + the
+    * schema-seed overwrite. Oracle = the batch aggregate of the union
+    * (what one giant batch COPY INTO would have landed). */
+  def streamingCopyInto(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Deterministic.sumExact
+    val root = graft.sources.Staging.tempDir("graft_scopy_")
+    val (landing, t, ckpt) = (s"$root/landing", s"$root/t", s"$root/ckpt")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+    GraftLog.overwrite(ev.limit(0), t) // v0: schema-only target
+    def land(wave: Int): Unit =
+      ev.filter(pmod(col("event_id"), lit(3)) === wave)
+        .repartition(4).write.mode("append").parquet(landing)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2) // admission cap: ≤2 files/batch
+        .parquet(landing)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val spark2 = batch.sparkSession
+          // per-file ledger gate: batch file names are metadata-sized
+          // (≤ maxFilesPerTrigger); the row filter keeps only files no
+          // commit has recorded — the copyInto discipline per batch
+          val batchFiles = batch.select(input_file_name().as("f"))
+            .distinct().collect().map(_.getString(0)).sorted.toSeq
+          val ledger = GraftLog.copiedFiles(spark2, t)
+          val fresh = batchFiles.filterNot(ledger)
+          if (fresh.nonEmpty) {
+            val rows = batch.filter(input_file_name().isin(fresh: _*))
+            GraftLog.append(rows, t, copied = fresh,
+              copiedBaseline = ledger): Unit
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land(0); drain() // wave 1, then "kill"
+    land(1); drain() // resume past the stream's committed offset
+    land(2); drain() // wave 3
+    // checkpoint LOSS: wipe the stream's file tracking; every landing
+    // file re-delivers and the ledger must absorb all of it
+    val nBefore = GraftLog.versions(spark, t).size
+    val hfs = new org.apache.hadoop.fs.Path(ckpt).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    val nAfter = GraftLog.versions(spark, t).size
+    GraftLog.read(spark, t)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6).as("total_value"))
+      .withColumn("n_commits", lit(nBefore))
+      .withColumn("redelivery_noop", lit(nAfter == nBefore))
+  }
+
   /** i14 — the COMPOSED ingest path end-to-end: Kafka-shaped topic →
     * streaming consume (ledger-committed offsets only) → exactly-once
     * transactional append ([[GraftLog.txnAppend]] per micro-batch) →
@@ -1662,6 +1732,47 @@ object Transactions {
       .select(customerCols.map(col): _*)
       .withColumn("files_copied_positive", lit(copied > 0))
       .withColumn("src_rows_now", lit(srcRows))
+  }
+
+  private val stagedAutoCompact =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t38 — write-path auto-compaction: a rolling ingest of 8 disjoint
+    * customer slices into a table that opted into
+    * `graft.autoCompact` (minNumFiles = 4). Each append lands ONE small
+    * file; every fourth accumulation tips the threshold and the
+    * post-commit hook folds the smalls into one rewrite-only
+    * "autocompact" commit, so the live file count stays ≤ 4 FOREVER —
+    * without the hook this layout grows one file per batch per hour
+    * for the life of the pipeline (the small-files death spiral Delta's
+    * autoCompact exists for). Pins: final live file count ≤ threshold
+    * (`files_bounded`), ≥ 1 autocompact commit actually fired
+    * (`compacted`), and row identity via the oracle (compaction must
+    * never create, drop, or duplicate a row). */
+  def autoCompactRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = stagedAutoCompact.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.Staging.tempDir("graft_txn_") +
+        "/customer_autoc"
+      val cust = Sources.testTable(spark, sfDir, "customer")
+        .select(customerCols.map(col): _*)
+      GraftLog.overwrite(
+        cust.filter(col("c_custkey") % 8 === 0).coalesce(1), dir) // v0
+      GraftLog.setProperties(spark, dir, Map(
+        "graft.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "4"))
+      (1 until 8).foreach { i =>
+        GraftLog.append(
+          cust.filter(col("c_custkey") % 8 === i).coalesce(1), dir)
+      }
+      dir
+    })
+    val liveFiles = GraftLog.snapshot(spark, t)._1.size
+    val compactions = GraftLog.history(spark, t)
+      .filter(col("operation") === "autocompact").count()
+    GraftLog.read(spark, t)
+      .select(customerCols.map(col): _*)
+      .withColumn("files_bounded", lit(liveFiles <= 4))
+      .withColumn("compacted", lit(compactions >= 1))
   }
 
   private val stagedCmap =

@@ -127,7 +127,7 @@ object GraftLog {
     * whole rewritten data — Delta's actual contract is that maintenance
     * and ingestion are independent. */
   private[sources] val RewriteOnlyOps =
-    Set("compact", "cluster", "reorg", "rowid_backfill")
+    Set("compact", "cluster", "reorg", "rowid_backfill", "autocompact")
 
   private[sources] val LogDirName  = "_graft_log"
   private val DataDirName = "_data"
@@ -2444,23 +2444,15 @@ object GraftLog {
     v
   }
 
-  /** `ANALYZE TABLE … COMPUTE STATISTICS` — table-level statistics
-    * WITHOUT a table scan: the commit log already carries every live
-    * file's numRecords (`#nulls` pseudo-stats) and byte size, so
-    * rowCount folds from metadata and only the DV position count (a
-    * sidecar orders of magnitude smaller than data) needs reading.
-    * This is the Delta design point — stats ride the write, ANALYZE
-    * just folds them — and at 100 TB it is the difference between a
-    * metadata walk and re-scanning the lake to count it. The numbers
-    * land in the properties map (`graft.stats.rowCount` /
-    * `sizeInBytes` / `analyzedAtVersion`) via one metadata-only
-    * commit, visible to `SHOW TBLPROPERTIES` and any planner that
-    * wants a rowCount for join sizing (the FileIndex already reports
-    * log-carried sizeInBytes for broadcast decisions). Returns
-    * (visible rows, bytes). Files predating recorded stats are counted
-    * with one grouped probe — the backfill fallback, never the
-    * steady state. */
-  def analyzeTable(spark: SparkSession, table: String): (Long, Long) = {
+  /** Current (visible rows, total bytes) folded from commit-log
+    * metadata — no table scan: every live file's numRecords rides its
+    * commit's `#nulls` pseudo-stats; only active DV position sidecars
+    * (orders of magnitude smaller than data) are read, and stats-less
+    * stragglers get one grouped footer-cheap probe. Shared by
+    * [[analyzeTable]] (which persists the numbers) and the DML-time
+    * staleness guard (which only compares them). */
+  def metadataRowCount(spark: SparkSession, table: String)
+      : (Long, Long) = {
     val (live, schema, sizes, dvs, _, _) = replay(spark, table, None)
     val fromStats = live.toSeq.map { case (f, st) =>
       f -> numRecordsOf(st) }
@@ -2480,13 +2472,33 @@ object GraftLog {
       if (dvs.isEmpty) 0L
       else spark.read.parquet(
         dvs.toSeq.map(f => absPath(table, f)): _*).count()
-    val rows = physical - masked
-    val bytes = live.keys.map(f => sizes.getOrElse(f, 0L)).sum
+    (physical - masked, live.keys.map(f => sizes.getOrElse(f, 0L)).sum)
+  }
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS` — table-level statistics
+    * WITHOUT a table scan: the commit log already carries every live
+    * file's numRecords (`#nulls` pseudo-stats) and byte size, so
+    * rowCount folds from metadata and only the DV position count (a
+    * sidecar orders of magnitude smaller than data) needs reading.
+    * This is the Delta design point — stats ride the write, ANALYZE
+    * just folds them — and at 100 TB it is the difference between a
+    * metadata walk and re-scanning the lake to count it. The numbers
+    * land in the properties map (`graft.stats.rowCount` /
+    * `sizeInBytes` / `analyzedAtVersion`) via one metadata-only
+    * commit, visible to `SHOW TBLPROPERTIES` and any planner that
+    * wants a rowCount for join sizing (the FileIndex already reports
+    * log-carried sizeInBytes for broadcast decisions). Returns
+    * (visible rows, bytes). Files predating recorded stats are counted
+    * with one grouped probe — the backfill fallback, never the
+    * steady state. */
+  def analyzeTable(spark: SparkSession, table: String): (Long, Long) = {
+    val (rows, bytes) = metadataRowCount(spark, table)
     val vRead = latestVersion(spark, table)
     rebaseOnConflict(table, "analyze") { () =>
       val v = latestVersion(spark, table).get + 1
       writeCommit(spark, table, Commit(v, "analyze", Seq.empty,
-        Seq.empty, schema.toDDL, System.currentTimeMillis(),
+        Seq.empty, snapshot(spark, table)._2.toDDL,
+        System.currentTimeMillis(),
         props = properties(spark, table) ++ Map(
           "graft.stats.rowCount" -> rows.toString,
           "graft.stats.sizeInBytes" -> bytes.toString,
@@ -2989,6 +3001,24 @@ object GraftLog {
       abandonIf: () => Boolean = () => false,
       generated: Map[String, String] = Map.empty,
       copied: Seq[String] = Seq.empty): Long = {
+    val v = commitStagedAppendLoop(spark, table, op, commitOp, s, ddl0,
+      seen0, reval, txn, abandonIf, generated, copied)
+    // post-commit hook: the landed append may have tipped a partition
+    // over the small-file threshold — one best-effort extra commit
+    // ([[maybeAutoCompact]] gates on the table property, one small-JSON
+    // read when disabled; its own commit goes through writeCommit
+    // directly, so it can never re-trigger itself)
+    if (v >= 0) maybeAutoCompact(spark, table)
+    v
+  }
+
+  private def commitStagedAppendLoop(spark: SparkSession, table: String,
+      op: String, commitOp: String, s: Staged, ddl0: String,
+      seen0: Option[Long], reval: () => String,
+      txn: Option[(String, Long)],
+      abandonIf: () => Boolean,
+      generated: Map[String, String],
+      copied: Seq[String]): Long = {
     var ddl = ddl0
     var seen = seen0
     var attempts = 0
@@ -4252,6 +4282,92 @@ object GraftLog {
         sizes = s.sizes))
       v
     }
+  }
+
+  /** Delta `autoCompact` analog — the WRITE-PATH small-file trigger the
+    * explicit OPTIMIZE surface lacks: every append-class commit ends
+    * with this check, and when the table opted in
+    * (`graft.autoCompact` = true) and a partition (or the flat table)
+    * has accumulated ≥ `graft.autoCompact.minNumFiles` files under
+    * `graft.autoCompact.maxFileSize` bytes, ONE extra "autocompact"
+    * commit rewrites exactly those small files. Without this, a rolling
+    * ingest (hourly COPY INTO, streaming txnAppend, e18/e19 dedup
+    * state) accretes one file per micro-batch forever and scan planning
+    * degrades linearly in table AGE rather than size.
+    *
+    * Best-effort by contract, like Delta's: a lost OCC race ABANDONS
+    * (the data commit that triggered it is already durable; the small
+    * files remain and the next write re-triggers) — retrying would put
+    * maintenance in contention with ingest, exactly backwards. The
+    * selection is metadata-only (commit-logged sizes; files predating
+    * size logging are skipped, an explicit OPTIMIZE covers them), the
+    * rewrite reads ONLY the selected files, and the commit is
+    * rewrite-only ([[RewriteOnlyOps]]): live streams pass over it, CDF
+    * emits nothing, and it is NOT mapping-authoritative — files
+    * re-stage under their physical names and the column mapping rides
+    * through unchanged (the [[reorgPurge]] discipline, not
+    * [[compact]]'s materialize-the-mapping one). Tables with active
+    * deletion vectors are skipped (a scoped rewrite under live masks
+    * is REORG's job), as are row-tracked partitioned/mapped layouts
+    * (id materialization is defined flat-only, matching
+    * [[readWithRowIds]]). */
+  def maybeAutoCompact(spark: SparkSession, table: String)
+      : Option[Long] = {
+    val props = properties(spark, table)
+    if (!props.get("graft.autoCompact").exists(_.equalsIgnoreCase("true")))
+      None
+    else {
+      val minN = props.get("graft.autoCompact.minNumFiles")
+        .map(_.trim.toInt).getOrElse(16)
+      val maxSmall = props.get("graft.autoCompact.maxFileSize")
+        .map(_.trim.toLong).getOrElse(128L << 20)
+      try autoCompactOnce(spark, table, minN, maxSmall)
+      catch { case _: CommitConflictException => None } // abandon, never retry
+    }
+  }
+
+  private def autoCompactOnce(spark: SparkSession, table: String,
+      minN: Int, maxSmall: Long): Option[Long] = {
+    val vRead = latestVersion(spark, table)
+    if (vRead.isEmpty) return None
+    if (deletionVectors(spark, table).nonEmpty) return None
+    val (files, schema) = snapshot(spark, table)
+    val partCols = layoutPartCols(files)
+    val cmap = columnMapping(spark, table)
+    val tracked = rowTrackingEnabled(spark, table)
+    if (tracked && (partCols.nonEmpty || cmap.nonEmpty)) return None
+    val sizes = fileSizes(spark, table)
+    val smalls = files.filter(f => sizes.get(f).exists(_ < maxSmall))
+    def partOf(f: String): Seq[String] =
+      f.split('/').dropRight(1).filter(_.contains('=')).toSeq
+    val selected: Seq[String] =
+      if (partCols.isEmpty) { if (smalls.size >= minN) smalls else Nil }
+      else smalls.groupBy(partOf).valuesIterator
+        .filter(_.size >= minN).flatten.toSeq
+    if (selected.isEmpty) return None
+    val s =
+      if (tracked)
+        // flat + unmapped by the guard above: materialize the stable
+        // row ids into the compacted files, compact's OPTIMIZE-
+        // preserves-row-ids contract
+        stageWithStats(readWithRowIds(spark, table,
+          only = Some(selected.toSet)).coalesce(1), table)
+      else if (partCols.isEmpty)
+        stageWithStats(
+          readSubset(spark, table, selected, schema).coalesce(1), table)
+      else {
+        // qualifying partitions only: one task per partition value →
+        // one file per col=val dir, the compactWhere write shape
+        val base = withHiddenPartCols(
+          readSubset(spark, table, selected, schema), partCols)
+        stagePartitionedWithStats(
+          base.repartition(partCols.map(col): _*), table, partCols)
+      }
+    val v = vRead.get + 1
+    writeCommit(spark, table, Commit(v, "autocompact", s.files, selected,
+      schema.toDDL, System.currentTimeMillis(), stats = s.stats,
+      sizes = s.sizes))
+    Some(v)
   }
 
   /** `REORG TABLE … APPLY (PURGE)` — Delta's TARGETED deletion-vector

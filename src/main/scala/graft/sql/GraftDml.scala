@@ -1284,10 +1284,67 @@ private object RefreshAfterDml {
             session.sessionState.catalog.alterTableDataSchema(ident, cur)
         } catch { case scala.util.control.NonFatal(_) => () }
         session.catalog.refreshTable(t)
+        StatsFreshness.reconcile(session, path, t)
       case None => session.sessionState.catalog.invalidateAllCachedTables()
     }
     session.catalog.refreshByPath(path)
   }
+}
+
+/** DML-time staleness guard for catalog-pushed CBO statistics: ANALYZE
+  * attaches rowCount/ndv to the catalog entry, but nothing in Spark
+  * invalidates them as the table mutates — a dim that tripled since its
+  * ANALYZE still "broadcasts" off the old estimate, the silently-wrong
+  * failure mode CBO is known for. After every graft DML commit on a
+  * catalog target, compare the catalog's recorded rowCount against the
+  * CURRENT metadata-folded count ([[GraftLog.metadataRowCount]] — a log
+  * walk, no scan; the DML just paid a full commit, this is noise next
+  * to it). When the row delta exceeds the drift fraction
+  * (`graft.stats.maxRowDriftFraction` table property, else
+  * `spark.graft.stats.maxRowDriftFraction` conf, default 0.2), the
+  * catalog entry is re-pointed at the fresh table-level truth
+  * (rowCount/sizeInBytes re-folded — the free part of re-ANALYZE) and
+  * the column-level ndv/min/max are DROPPED: they describe data that no
+  * longer exists, and an honest size-only estimate beats a confidently
+  * stale one. The log-persisted `graft.stats.*` properties are left
+  * untouched — they are the durable record OF THAT ANALYZE, stamped
+  * with `analyzedAtVersion` for provenance. */
+private object StatsFreshness {
+  def reconcile(session: SparkSession, path: String,
+      table: String): Unit = try {
+    val parts = session.sessionState.sqlParser
+      .parseMultipartIdentifier(table).takeRight(2)
+    val ident = parts match {
+      case Seq(db, tbl) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))
+      case Seq(tbl) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+    }
+    val catStats = session.sessionState.catalog
+      .getTableMetadata(ident).stats
+    catStats.flatMap(_.rowCount) match {
+      case None => () // no pushed stats → nothing can be stale
+      case Some(recorded) =>
+        val maxDrift = GraftLog.properties(session, path)
+          .get("graft.stats.maxRowDriftFraction")
+          .orElse(session.conf
+            .getOption("spark.graft.stats.maxRowDriftFraction"))
+          .map(_.toDouble).getOrElse(0.2)
+        val (curRows, curBytes) = GraftLog.metadataRowCount(session, path)
+        val base = math.max(1L, recorded.toLong)
+        val drift = math.abs(curRows - base).toDouble / base
+        if (drift > maxDrift) {
+          session.sessionState.catalog.alterTableStats(ident,
+            Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+              BigInt(curBytes), Some(BigInt(curRows)))))
+          System.err.println(s"[graft] stats staleness guard: $table " +
+            f"drifted ${drift * 100}%.1f%% from its ANALYZE " +
+            s"($recorded → $curRows rows); refreshed table-level " +
+            "stats, dropped stale column ndv/min/max (re-run " +
+            "ANALYZE … FOR COLUMNS to restore CBO column estimates)")
+        }
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
 }
 
 /** The re-routed INSERT for hive-partitioned graft tables (see the

@@ -637,6 +637,180 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE cbo_keep_t")
   }
 
+  test("stats staleness guard: a grown dim stops broadcasting off stale ndv") {
+    import graft.sources.{GraftLog, Sources, Staging}
+    val root = Staging.tempDir("graft_cbo_stale_")
+    val (dimD, factD) = (s"$root/dim", s"$root/fact")
+    GraftLog.overwrite(
+      Sources.testTable(spark, TestSpark.sf, "customer"), dimD)
+    GraftLog.overwrite(
+      Sources.testTable(spark, TestSpark.sf, "orders"), factD)
+    spark.sql("DROP TABLE IF EXISTS cbo_stale_dim")
+    spark.sql("DROP TABLE IF EXISTS cbo_stale_fact")
+    spark.sql(
+      s"CREATE TABLE cbo_stale_dim USING graft OPTIONS (path '$dimD')")
+    spark.sql(
+      s"CREATE TABLE cbo_stale_fact USING graft OPTIONS (path '$factD')")
+    val dimBytes = GraftLog.fileSizes(spark, dimD).values.sum
+    val n0 = spark.table("cbo_stale_dim").count()
+    val maxKey = spark.table("cbo_stale_dim")
+      .agg(max(col("c_custkey"))).collect().head.getLong(0)
+    def planOf(): String = spark.sql(
+      s"""SELECT f.o_orderkey, d.* FROM cbo_stale_fact f
+         |JOIN cbo_stale_dim d ON f.o_custkey = d.c_custkey
+         |WHERE d.c_custkey <= ${maxKey / 20}""".stripMargin)
+      .queryExecution.executedPlan.toString
+    def catStats() = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier("cbo_stale_dim")).stats
+    val olds = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (dimBytes - 1).toString)
+      spark.sql("ANALYZE TABLE cbo_stale_dim COMPUTE STATISTICS FOR " +
+        "COLUMNS c_custkey").collect()
+      spark.catalog.refreshTable("cbo_stale_dim")
+      assert(planOf().contains("BroadcastHashJoin"),
+        "fresh column stats must flip the filtered dim to broadcast")
+      // the dim TRIPLES: two shifted copies merged in via SQL (the
+      // RefreshAfterDml path, where the staleness guard runs)
+      Sources.testTable(spark, TestSpark.sf, "customer")
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .unionByName(Sources.testTable(spark, TestSpark.sf, "customer")
+          .withColumn("c_custkey", col("c_custkey") + 20000000L))
+        .createOrReplaceTempView("cbo_stale_src")
+      spark.sql(
+        """MERGE INTO cbo_stale_dim t USING cbo_stale_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // guard fired: column ndv dropped, table-level truth refreshed
+      val st = catStats().getOrElse(fail("catalog stats entry missing"))
+      assert(st.colStats.isEmpty,
+        s"stale column stats must be dropped: ${st.colStats.keySet}")
+      assert(st.rowCount.exists(_.toLong == 3 * n0),
+        s"rowCount must be re-folded from the log: ${st.rowCount}")
+      // the re-plan no longer uses the stale ndv: the filtered dim
+      // estimate is the (tripled) honest size → no broadcast
+      val after = planOf()
+      assert(after.contains("SortMergeJoin") &&
+          !after.contains("BroadcastHashJoin"),
+        s"post-mutation plan must not broadcast off stale ndv:\n" +
+          after.take(1500))
+    } finally {
+      olds.foreach { case (k, v) => v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      } }
+      spark.sql("DROP TABLE cbo_stale_dim")
+      spark.sql("DROP TABLE cbo_stale_fact")
+    }
+  }
+
+  test("j13 star: DPP + Bloom skip + pushed filter in ONE executed plan") {
+    import graft.operators.Joins
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Joins.starComposed(spark, TestSpark.sf)
+    def all(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(all)
+    }
+    // plan-shape asserts read the INITIAL plan (AQE's finalized print
+    // re-renders the already-evaluated DPP filter without the marker)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"DPP subquery missing from the star plan:\n${plan.take(2000)}")
+    df.collect()
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"both dims must ride as broadcasts:\n${plan.take(2000)}")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the parquet scan as a PushedFilter:" +
+        s"\n${plan.take(2000)}")
+    // Bloom skipping: the orders scan opens strictly fewer files than
+    // the table holds (string point predicate — min/max can't prune)
+    val ordsScans = all(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString
+        .contains("graft_star_")))
+    assert(ordsScans.nonEmpty, "star plan must scan the orders table")
+    val ordsDir = Joins.starOrders(spark, TestSpark.sf)
+    val total = graft.sources.GraftLog.snapshot(spark, ordsDir)._1.size
+    val scanned = ordsScans.map(_.metrics("numFiles").value).sum
+    assert(scanned < total,
+      s"Bloom bitmaps must skip files: scanned $scanned of $total")
+  }
+
+  test("j13 catalog twin: column stats flip the UNHINTED customer leg " +
+      "to broadcast while DPP stays in the same plan") {
+    import graft.operators.Joins
+    import graft.sources.{GraftLog, Sources, Staging}
+    val factDir = Joins.dppFact(spark, TestSpark.sf)
+    val ordsDir = Joins.starOrders(spark, TestSpark.sf)
+    val custD = Staging.tempDir("graft_cbo_star_") + "/cust"
+    GraftLog.overwrite(
+      Sources.testTable(spark, TestSpark.sf, "customer"), custD)
+    spark.sql("DROP TABLE IF EXISTS cbo_star_cust")
+    spark.sql(
+      s"CREATE TABLE cbo_star_cust USING graft OPTIONS (path '$custD')")
+    val dimBytes = GraftLog.fileSizes(spark, custD).values.sum
+    def planOf(): String = {
+      val fact = spark.read.format("graft").load(factDir)
+      val flags = Sources.testTable(spark, TestSpark.sf, "lineitem")
+        .select(col("l_returnflag").as("flag")).distinct()
+        .withColumn("flag_name", concat(lit("FLAG_"), col("flag")))
+        .filter(col("flag_name") === "FLAG_R")
+      val ords = graft.sources.GraftFileIndex.read(spark, ordsDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      // ALL customer columns stay in the OUTPUT: column pruning would
+      // otherwise shrink the no-stats size estimate under the
+      // threshold on its own (d20-test discipline)
+      val cust = spark.table("cbo_star_cust")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val custCols = spark.table("cbo_star_cust").columns.toSeq
+      fact.join(broadcast(flags), col("l_returnflag") === col("flag"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey")) // NO hint
+        .select((Seq("flag", "o_orderpriority") ++ custCols).map(col): _*)
+        .queryExecution.executedPlan.toString
+    }
+    val olds = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (dimBytes - 1).toString)
+      val before = planOf()
+      assert(before.contains("SortMergeJoin"),
+        s"without stats the filtered customer keeps its full size and " +
+          s"must not broadcast:\n${before.take(1500)}")
+      val bhjBefore = "BroadcastHashJoin".r.findAllIn(before).length
+      spark.sql("ANALYZE TABLE cbo_star_cust COMPUTE STATISTICS FOR " +
+        "COLUMNS c_custkey, c_mktsegment").collect()
+      spark.catalog.refreshTable("cbo_star_cust")
+      val after = planOf()
+      assert("BroadcastHashJoin".r.findAllIn(after).length > bhjBefore,
+        s"ndv(c_mktsegment) must shrink the filtered dim under the " +
+          s"threshold → one MORE broadcast than the stats-less plan:" +
+          s"\n${after.take(1500)}")
+      // plan print truncates long scan lines ("dynamicpruningexpressio…")
+      // — match the subquery marker, which never truncates
+      assert(after.toLowerCase.contains("dynamicpruning"),
+        "DPP and the CBO broadcast flip must coexist in ONE plan:\n" +
+          after.take(1500))
+    } finally {
+      olds.foreach { case (k, v) => v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      } }
+      spark.sql("DROP TABLE cbo_star_cust")
+    }
+  }
+
   test("semantic dedup: keeper precedes dropped, pairs share a cluster") {
     val out = Dedup.semanticDedup(spark, TestSpark.sf).collect()
     assert(out.forall(r => r.getLong(2) < r.getLong(1))) // keeper < dropped

@@ -255,6 +255,96 @@ class GraftLogSpec extends AnyFunSuite {
       .collect().toSet.exists(Set(3L, 6L)))
   }
 
+  test("autoCompact: rolling small appends converge, rows and history intact") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "s").coalesce(1), t)            // v0
+    GraftLog.setProperties(spark, t, Map(
+      "graft.autoCompact" -> "true",
+      "graft.autoCompact.minNumFiles" -> "3"))                       // v1
+    (1 to 9).foreach { i =>
+      GraftLog.append(df(i * 10 until i * 10 + 5, s"b$i").coalesce(1), t)
+    }
+    val files = GraftLog.snapshot(spark, t)._1
+    assert(files.size <= 3,
+      s"9 one-file appends must converge under the threshold: $files")
+    val ops = GraftLog.history(spark, t).select("operation")
+      .as[String].collect()
+    assert(ops.count(_ == "autocompact") >= 2,
+      s"the hook must have fired repeatedly: ${ops.mkString(",")}")
+    // row identity: compaction is pure layout
+    val ids = GraftLog.read(spark, t).select("id").as[Long].collect().toSet
+    assert(ids == ((0 until 5) ++
+      (1 to 9).flatMap(i => i * 10 until i * 10 + 5)).map(_.toLong).toSet)
+    // rewrite-only: CDF across the whole history emits exactly the
+    // appended rows, nothing from the autocompact rewrites
+    val cdf = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("cdfKeys", "id")
+      .option("startingVersion", 0)
+      .load(t)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 50)
+    // pre-compaction versions stay time-travelable
+    assert(GraftLog.readVersion(spark, t, 0L).count() == 5)
+  }
+
+  test("autoCompact: partition-scoped — cold partitions carried by reference") {
+    val t = tmp()
+    GraftLog.overwritePartitioned(
+      df(0 until 8, "seed").coalesce(1)
+        .withColumn("p", ($"id" % 2).cast("int")),
+      t, Seq("p"))
+    GraftLog.setProperties(spark, t, Map(
+      "graft.autoCompact" -> "true",
+      "graft.autoCompact.minNumFiles" -> "3"))
+    val coldBefore = GraftLog.snapshot(spark, t)._1.filter(_.contains("p=1"))
+    // 4 hot appends land in p=0 only — p=1 must never be rewritten
+    (1 to 4).foreach { i =>
+      GraftLog.appendPartitioned(
+        df(100 * i until 100 * i + 3, s"h$i")
+          .withColumn("p", lit(0)).coalesce(1), t, Seq("p"))
+    }
+    val after = GraftLog.snapshot(spark, t)._1
+    assert(coldBefore.forall(after.contains),
+      "untouched partition's files carried by reference")
+    assert(after.count(_.contains("p=0")) <= 3,
+      s"hot partition converged: ${after.filter(_.contains("p=0"))}")
+    assert(GraftLog.history(spark, t).select("operation").as[String]
+      .collect().contains("autocompact"))
+    assert(GraftLog.read(spark, t).count() == 8 + 12)
+  }
+
+  test("autoCompact: off by default; OCC losers abandon under concurrency") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 3, "s").coalesce(1), t)
+    (1 to 5).foreach(i =>
+      GraftLog.append(df(i * 10 until i * 10 + 2, "x").coalesce(1), t))
+    assert(!GraftLog.history(spark, t).select("operation").as[String]
+      .collect().contains("autocompact"),
+      "no opt-in property → the hook must never fire")
+    // concurrent-writer safety: parallel appenders all triggering the
+    // hook — rebases and best-effort abandons must never lose a row,
+    // duplicate a row, or corrupt the live set
+    val tc = tmp() + "_conc"
+    GraftLog.overwrite(df(0 until 4, "seed").coalesce(1), tc)
+    GraftLog.setProperties(spark, tc, Map(
+      "graft.autoCompact" -> "true",
+      "graft.autoCompact.minNumFiles" -> "3"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 6).map { i => Future {
+      GraftLog.append(df(i * 100 until i * 100 + 4, s"w$i").coalesce(1), tc)
+    } }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val ids = GraftLog.read(spark, tc).select("id").as[Long].collect()
+    val want = ((0 until 4) ++
+      (1 to 6).flatMap(i => i * 100 until i * 100 + 4)).map(_.toLong)
+    assert(ids.sorted.toSeq == want.sorted,
+      "every concurrent append lands exactly once through the hook")
+    assert(GraftLog.snapshot(spark, tc)._1.size <=
+      GraftLog.history(spark, tc).count(),
+      "live set stays consistent")
+  }
+
   test("replaceWhere replaces exactly the slice, atomically, in one commit") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 100, "a"), t)                      // v0
