@@ -420,6 +420,11 @@ object SparkEntry {
     // per-file COPY ledger; survives kill/restart AND checkpoint loss
     "i27_streaming_copy_into" ->
       ((s, d) => Transactions.streamingCopyInto(s, d)),
+    // incremental materialized-view maintenance: per-commit CDF deltas
+    // fold into a ledger-stamped delta log; refresh cost = changes,
+    // never the fact table; replay is a ledger no-op
+    "i28_incremental_agg_view" ->
+      ((s, d) => AggView.incrementalAggView(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -491,6 +496,10 @@ object SparkEntry {
     // live files via post-commit rewrite-only commits, rows untouched
     "t38_auto_compact" ->
       ((s, d) => Transactions.autoCompactRolling(s, d)),
+    // type widening: int32 column → bigint in one metadata-only commit;
+    // narrow pages decode under the wide schema beside 64-bit appends
+    "t39_type_widening" ->
+      ((s, d) => Transactions.typeWidening(s, d)),
     // metadata-only RENAME/DROP COLUMN via column mapping: the logical
     // rename is a SQL alias in the oracle; n_meta_files=0 pins that the
     // schema commits moved no data bytes
@@ -787,6 +796,18 @@ object SparkEntry {
         |  TRUE AS files_copied_positive,
         |  CAST(0 AS BIGINT) AS src_rows_now
         |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin,
+    // t39: evens keep their original (int-ranged) ids, odds append
+    // beyond int32; widen_files pins the metadata-only widen commit
+    "t39_type_widening" ->
+      """WITH w AS (
+        |  SELECT CAST(event_id AS BIGINT) AS event_id, event_type
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id + 5000000000, event_type
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+        |  max(event_id) AS max_id, 0 AS widen_files
+        |FROM w GROUP BY 1""".stripMargin,
     // t38: slices 0..7 of c_custkey % 8 reassemble the whole table —
     // compaction is pure layout, so the row set is customer verbatim
     "t38_auto_compact" ->
@@ -1466,6 +1487,19 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, 2 AS n_commits
         |FROM events GROUP BY 1""".stripMargin,
+    // i28: the incremental fold must equal the full recompute over the
+    // source's final state (after append + delete + update) bit-for-bit;
+    // applied_incr pins the three data versions, replay_noop the ledger
+    "i28_incremental_agg_view" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 7 <> 0)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, 3 AS applied_incr, TRUE AS replay_noop
+        |FROM final GROUP BY 1""".stripMargin,
     // i27: three waves × 4 files at a 2-file admission cap = 6 ingest
     // commits + the seed; the checkpoint-loss redrain must be a ledger
     // no-op; the landed union aggregates like one batch COPY

@@ -1734,6 +1734,41 @@ object Transactions {
       .withColumn("src_rows_now", lit(srcRows))
   }
 
+  private val stagedWiden =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t39 — TYPE WIDENING lifecycle: events land with an INT32 id (v0),
+    * the column widens to BIGINT in one metadata-only commit (v1 —
+    * `widen_files` pins that zero data files moved), and a batch whose
+    * ids exceed int32 range appends WIDE (v2). The read proves the
+    * Spark 4 parquet promotion path: v0's narrow pages decode under the
+    * BIGINT schema next to v2's genuinely 64-bit values — the
+    * "id column outgrew int" migration with no table rewrite. */
+  def typeWidening(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWiden.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_txn_") +
+        "/events_widen"
+      val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+        .select(col("event_id"), col("event_type"))
+      GraftLog.overwrite(ev.filter(col("event_id") % 2 === 0)
+        .withColumn("event_id", col("event_id").cast("int")), d)   // v0
+      GraftLog.widenColumn(spark, d, "event_id",
+        org.apache.spark.sql.types.LongType)                       // v1
+      GraftLog.append(ev.filter(col("event_id") % 2 === 1)
+        .withColumn("event_id", col("event_id") + 5000000000L), d) // v2
+      d
+    })
+    val widenAdds = GraftLog.history(spark, dir)
+      .filter(col("operation") === "widen_column")
+      .select(col("n_added_files")).collect().head.getInt(0)
+    GraftLog.read(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("widen_files", lit(widenAdds))
+  }
+
   private val stagedAutoCompact =
     new scala.collection.concurrent.TrieMap[String, String]
 

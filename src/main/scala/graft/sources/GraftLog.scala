@@ -2115,7 +2115,7 @@ object GraftLog {
   /** Reader features THIS engine understands. An unknown name in a
     * table's declared reader features fails every read. */
   private[sources] val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping")
+    Set("deletionVectors", "columnMapping", "typeWidening")
 
   /** Writer features this engine understands (reader features are
     * implicitly required of writers too — a writer reads first). */
@@ -2764,6 +2764,89 @@ object GraftLog {
       colMap = next,
       props = withFeature(properties(spark, table), ReaderFeaturesKey,
         "columnMapping")))
+    vRead.get + 1
+  }
+
+  /** Lossless type-widening matrix (Delta's type-widening feature set,
+    * restricted to the promotions Spark 4's parquet readers perform
+    * natively on the physical pages — verified: INT32 pages read under
+    * a LongType/DoubleType schema, FLOAT under Double, DECIMAL under a
+    * wider precision). Every admitted pair embeds the old domain
+    * exactly; nothing rounds. */
+  private def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale &&
+          (b.precision != a.precision || b.scale != a.scale)
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t` — Delta TYPE WIDENING: a
+    * METADATA-ONLY commit moves the column to a strictly wider type
+    * ([[isWidening]]); no data file is touched. Old files keep their
+    * narrow physical pages and the schema-directed parquet read
+    * promotes them at decode time (a Spark 4 reader capability — the
+    * probe above is pinned in the spec); new appends arrive already
+    * wide. The commit declares the `typeWidening` READER feature (the
+    * columnMapping discipline: first use and declaration are one
+    * atomic commit), because an engine that matches physical types
+    * byte-for-byte would misread the narrow pages under the wide
+    * schema. At 100 TB this is the difference between `INT` filling up
+    * and a full-table rewrite: the id column that outgrew int32 widens
+    * in one small-JSON commit.
+    *
+    * Refused: partition columns (their values parse from dir paths
+    * under the declared type — widening is semantically fine but the
+    * hive-layout contract keys on the original; explicit rewrite
+    * instead), columns referenced by CHECK constraints or
+    * generated-column expressions (the stored expression text was
+    * type-checked against the narrow column), and non-widening pairs
+    * (loudly, with the matrix). */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Long =
+      rebaseOnConflict(table, "widenColumn") { () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty,
+      s"$table is not a GraftLog table (no $LogDirName)")
+    val (files, phys) = snapshot(spark, table)
+    val cmap = columnMapping(spark, table)
+    val logical = logicalSchema(phys, cmap)
+    val f = logical.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"widenColumn: no column $name in $table " +
+          s"(has ${logical.fieldNames.mkString(",")})"))
+    require(isWidening(f.dataType, newType),
+      s"widenColumn: ${f.dataType.simpleString} -> " +
+        s"${newType.simpleString} is not a lossless widening " +
+        "(byte/short/int->wider integral or double, float->double, " +
+        "decimal->wider decimal)")
+    val partCols = layoutPartCols(files)
+    require(!partCols.exists(_.equalsIgnoreCase(name)),
+      s"widenColumn: $name is a partition column; rewrite the layout " +
+        "instead (path-parsed values key on the declared type)")
+    val refs = checkConstraints(spark, table).values ++
+      generatedColumns(spark, table).values
+    require(!refs.exists(_.toLowerCase
+        .contains(name.toLowerCase)),
+      s"widenColumn: $name is referenced by a CHECK constraint or " +
+        "generated-column expression; drop it first")
+    val p = physNameOf(cmap, name)
+    val next = StructType(phys.fields.map(fd =>
+      if (fd.name.equalsIgnoreCase(p)) fd.copy(dataType = newType)
+      else fd))
+    writeCommit(spark, table, Commit(vRead.get + 1, "widen_column",
+      Seq.empty, Seq.empty, next.toDDL, System.currentTimeMillis(),
+      props = withFeature(properties(spark, table), ReaderFeaturesKey,
+        "typeWidening")))
     vRead.get + 1
   }
 

@@ -178,6 +178,8 @@ final class GraftSqlParser(
     """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val RenameColumnStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val AlterColTypeStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""".r
   private val DropColumnStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMNS?\s*\(?\s*(\w+)\s*\)?\s*;?\s*""".r
   private val CreateTagStmt =
@@ -268,6 +270,9 @@ final class GraftSqlParser(
     case RenameColumnStmt(target, oldName, newName)
         if isGraftTable(target) =>
       GraftRenameColumnCommand(target, oldName, newName)
+    case AlterColTypeStmt(target, colName, typeDdl)
+        if isGraftTable(target) =>
+      GraftWidenColumnCommand(target, colName, typeDdl)
     // Iceberg's tag DDL (Spark has no CREATE/DROP TAG grammar of its
     // own, so graft-resolvable targets are safe to capture)
     case CreateTagStmt(target, name, ver) if isGraftTable(target) =>
@@ -673,6 +678,27 @@ case class GraftRenameColumnCommand(target: String, oldName: String,
     GraftLog.renameColumn(session,
       GraftTarget.pathOf(session, target), oldName, newName)
     session.catalog.refreshByPath(GraftTarget.pathOf(session, target))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE wider` →
+  * [[GraftLog.widenColumn]] — metadata-only Delta type widening. Works
+  * on path AND catalog targets (no column-mapping hazard, unlike
+  * rename/drop): for catalog tables the shared post-DML refresh
+  * re-points the recorded schema at the widened one, the same
+  * machinery autoMerge schema evolution uses. */
+case class GraftWidenColumnCommand(target: String, colName: String,
+    typeDdl: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(typeDdl)
+    GraftLog.widenColumn(session, path, colName, dt)
+    val tbl = if (target.trim.startsWith("'") ||
+        target.trim.startsWith("\"")) None
+      else Some(target.trim)
+    RefreshAfterDml(session, path, tbl)
     Seq.empty
   }
 }

@@ -531,6 +531,31 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE tt_t")
   }
 
+  test("SQL ALTER COLUMN TYPE widens a catalog graft table in place") {
+    import graft.sources.{GraftLog, Staging}
+    import org.apache.spark.sql.types.LongType
+    val d = Staging.tempDir("graft_widen_sql_") + "/t"
+    GraftLog.overwrite(spark.range(8)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("v"), col("id")).as("tag")), d)
+    spark.sql("DROP TABLE IF EXISTS widen_sql_t")
+    spark.sql(s"CREATE TABLE widen_sql_t USING graft OPTIONS (path '$d')")
+    try {
+      spark.sql("ALTER TABLE widen_sql_t ALTER COLUMN id TYPE bigint")
+      // catalog schema re-pointed (RefreshAfterDml), wide rows land
+      assert(spark.table("widen_sql_t").schema("id").dataType == LongType)
+      spark.sql(
+        "INSERT INTO widen_sql_t VALUES (CAST(7000000000 AS BIGINT), 'big')")
+      assert(spark.table("widen_sql_t")
+        .agg(max(col("id"))).collect().head.getLong(0) == 7000000000L)
+      assert(spark.table("widen_sql_t").count() == 9)
+      // a non-widening SQL alter refuses
+      intercept[Exception] {
+        spark.sql("ALTER TABLE widen_sql_t ALTER COLUMN id TYPE int")
+      }
+    } finally spark.sql("DROP TABLE widen_sql_t")
+  }
+
   test("unsupported SQL DML shapes fail loudly, not wrongly") {
     import graft.sources.{GraftLog, Sources, Staging}
     val d = Staging.tempDir("graft_dmlspec_") + "/cust_strict"

@@ -345,6 +345,63 @@ class GraftLogSpec extends AnyFunSuite {
       "live set stays consistent")
   }
 
+  test("type widening: metadata-only, narrow pages decode wide, guards hold") {
+    import org.apache.spark.sql.types._
+    val t = tmp()
+    val narrow = (0 until 10).map(i => (i, i.toFloat, s"r$i"))
+      .toDF("id", "score", "tag")
+    GraftLog.overwrite(narrow, t)                                  // v0
+    val (f0, _) = GraftLog.snapshot(spark, t)
+    GraftLog.widenColumn(spark, t, "id", LongType)                 // v1
+    GraftLog.widenColumn(spark, t, "score", DoubleType)            // v2
+    val (f2, s2) = GraftLog.snapshot(spark, t)
+    assert(f2 == f0, "widening must move zero data files")
+    assert(s2("id").dataType == LongType &&
+      s2("score").dataType == DoubleType)
+    // old int32/float pages decode under the wide schema
+    assert(GraftLog.read(spark, t).agg(sum($"id")).as[Long].head() == 45L)
+    // a genuinely 64-bit append lands and reads beside them
+    GraftLog.append(Seq((5000000000L, 1.5d, "big"))
+      .toDF("id", "score", "tag"), t)                              // v3
+    assert(GraftLog.read(spark, t).agg(max($"id")).as[Long].head()
+      == 5000000000L)
+    // a still-narrow batch no longer matches the schema (caller casts)
+    intercept[IllegalArgumentException] {
+      GraftLog.append((90 until 95).map(i => (i, 1.0f, "x"))
+        .toDF("id", "score", "tag"), t)
+    }
+    // narrowing / lateral moves refuse loudly
+    intercept[IllegalArgumentException] {
+      GraftLog.widenColumn(spark, t, "id", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.widenColumn(spark, t, "tag", LongType)
+    }
+    // the introducing commit declared the reader feature atomically
+    assert(GraftLog.properties(spark, t)
+      .get("graft.protocol.readerFeatures")
+      .exists(_.contains("typeWidening")))
+    // pre-widen versions still read with their own (narrow) schema
+    assert(GraftLog.readVersion(spark, t, 0L).schema("id").dataType
+      == IntegerType)
+    // decimal widening path
+    val td = tmp() + "_dec"
+    GraftLog.overwrite(spark.range(5)
+      .select(col("id").cast("decimal(10,2)").as("d")), td)
+    GraftLog.widenColumn(spark, td, "d", DecimalType(20, 4))
+    assert(GraftLog.read(spark, td).schema("d").dataType
+      == DecimalType(20, 4))
+    assert(GraftLog.read(spark, td)
+      .agg(sum($"d").cast("long")).as[Long].head() == 10L)
+    // partition columns refuse
+    val tp = tmp() + "_p"
+    GraftLog.overwritePartitioned(df(0 until 6, "x")
+      .withColumn("p", ($"id" % 2).cast("int")), tp, Seq("p"))
+    intercept[IllegalArgumentException] {
+      GraftLog.widenColumn(spark, tp, "p", LongType)
+    }
+  }
+
   test("replaceWhere replaces exactly the slice, atomically, in one commit") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 100, "a"), t)                      // v0
