@@ -500,6 +500,11 @@ object SparkEntry {
     // narrow pages decode under the wide schema beside 64-bit appends
     "t39_type_widening" ->
       ((s, d) => Transactions.typeWidening(s, d)),
+    // optimized write: AQE-rebalanced ingest — one right-sized file per
+    // partition dir instead of (#tasks × #dirs) slivers; twin control
+    // table pins the prevention
+    "t40_optimized_write" ->
+      ((s, d) => Transactions.optimizedWrite(s, d)),
     // metadata-only RENAME/DROP COLUMN via column mapping: the logical
     // rename is a SQL alias in the oracle; n_meta_files=0 pins that the
     // schema commits moved no data bytes
@@ -808,6 +813,14 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, min(event_id) AS min_id,
         |  max(event_id) AS max_id, 0 AS widen_files
         |FROM w GROUP BY 1""".stripMargin,
+    // t40: layout-only — the optimized table's rows are events verbatim;
+    // the two booleans pin small-file prevention vs the control twin
+    "t40_optimized_write" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  TRUE AS optimized_small, TRUE AS prevention_works
+        |FROM events GROUP BY 1""".stripMargin,
     // t38: slices 0..7 of c_custkey % 8 reassemble the whole table —
     // compaction is pure layout, so the row set is customer verbatim
     "t38_auto_compact" ->

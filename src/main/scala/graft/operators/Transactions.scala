@@ -1769,6 +1769,52 @@ object Transactions {
       .withColumn("widen_files", lit(widenAdds))
   }
 
+  private val stagedOptWrite =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t40 — OPTIMIZED WRITE (Delta `optimizeWrite`): two tables ingest
+    * the SAME 32-task events batch partitioned by event_type. The
+    * control table writes the batch's natural distribution — every task
+    * slivers a file into every `event_type=` dir. The opted-in table
+    * (`graft.optimizeWrite` = true) passes through an AQE REBALANCE on
+    * the partition column first, so adaptive execution coalesces each
+    * dir's rows into right-sized writers: ~one file per dir at this
+    * scale. The pins: the optimized append commits ≤ 2× #dirs files
+    * where the control commits ≥ 4× (prevention), and the row set is
+    * IDENTICAL (layout-only — the oracle aggregates events directly).
+    * The write-side complement of t38's auto-compaction repair. */
+  def optimizedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = stagedOptWrite.getOrElseUpdate(sfDir, {
+      val r = graft.sources.Staging.tempDir("graft_txn_")
+      val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val batch = ev.repartition(32)
+      for (t <- Seq("ow", "ctl")) {
+        // v0: empty seed fixes schema + layout so the property can
+        // exist BEFORE the measured write
+        GraftLog.overwritePartitioned(ev.filter(col("event_id") < 0),
+          s"$r/$t", Seq("event_type"))
+        if (t == "ow") GraftLog.setProperties(spark, s"$r/$t",
+          Map("graft.optimizeWrite" -> "true"))
+        GraftLog.appendPartitioned(batch, s"$r/$t", Seq("event_type"))
+      }
+      r
+    })
+    def appendFiles(t: String): Int = GraftLog.history(spark, s"$root/$t")
+      .filter(col("operation") === "append")
+      .agg(max(col("n_added_files"))).collect().head.getInt(0)
+    val nTypes = GraftLog.read(spark, s"$root/ow")
+      .select(col("event_type")).distinct().count()
+    val (owF, ctlF) = (appendFiles("ow"), appendFiles("ctl"))
+    GraftLog.read(spark, s"$root/ow")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(38,10)")).cast("double"), 6)
+          .as("total_value"))
+      .withColumn("optimized_small", lit(owF <= 2 * nTypes))
+      .withColumn("prevention_works", lit(owF < ctlF && ctlF >= 4 * nTypes))
+  }
+
   private val stagedAutoCompact =
     new scala.collection.concurrent.TrieMap[String, String]
 

@@ -1261,6 +1261,36 @@ object GraftLog {
     commitOverwrite(spark, table, st, df.schema.toDDL, blooms = bl)
   }
 
+  /** Delta's `optimizeWrite` analog — the WRITE-SIDE half of the
+    * small-file story ([[maybeAutoCompact]] is the repair half; this is
+    * prevention). When a table opts in (`graft.optimizeWrite` = true,
+    * overridable per session via `spark.graft.optimizeWrite.enabled`),
+    * ingest batches pass through an AQE REBALANCE before staging:
+    * Spark's `RebalancePartitions` shuffles by the partition columns
+    * and lets adaptive execution both COALESCE undersized shuffle
+    * partitions and SPLIT skewed ones toward the advisory size
+    * (`spark.sql.adaptive.advisoryPartitionSizeInBytes`). The result: a
+    * partitioned ingest writes ~⌈partition bytes / advisory⌉ right-sized
+    * files per `col=val` dir instead of (#tasks × #values) slivers, and
+    * a flat ingest lands ⌈bytes/advisory⌉ files regardless of the
+    * batch's incoming parallelism. Cost is the ONE added shuffle — the
+    * same trade Delta documents for optimizeWrite — and at 100 TB that
+    * shuffle is cheaper than the metadata drag + read amplification of
+    * million-sliver tables. Ingest paths only (append / overwrite /
+    * txnAppend / COPY INTO families): rewrite paths (compact / merge /
+    * autocompact / reorg) choose their own distribution deliberately. */
+  private def optimizedWrite(df: DataFrame, table: String,
+      partCols: Seq[String]): DataFrame = {
+    val on = df.sparkSession.conf
+      .getOption("spark.graft.optimizeWrite.enabled")
+      .map(_.equalsIgnoreCase("true"))
+      .getOrElse(properties(df.sparkSession, table)
+        .get("graft.optimizeWrite").exists(_.equalsIgnoreCase("true")))
+    if (!on) df
+    else if (partCols.isEmpty) df.hint("rebalance")
+    else df.hint("rebalance", partCols.map(col): _*)
+  }
+
   private def stageWithStats(df: DataFrame, table: String): Staged = {
     val (added, sizes) = stageData(df, table)
     Staged(added, collectStats(df.sparkSession, table, added, df.schema),
@@ -1455,7 +1485,8 @@ object GraftLog {
     val (full, gens2) = allocateIdentity(df.sparkSession, full0, gens0)
     enforceChecks(full, checkConstraints(df.sparkSession, table),
       "overwrite")
-    commitOverwrite(df.sparkSession, table, stageWithStats(full, table),
+    commitOverwrite(df.sparkSession, table,
+      stageWithStats(optimizedWrite(full, table, Nil), table),
       full.schema.toDDL,
       generated = if (gens2 != gens0) gens2 else Map.empty)
   }
@@ -1549,7 +1580,8 @@ object GraftLog {
     enforceChecks(full, checkConstraints(df.sparkSession, table),
       "overwritePartitioned")
     commitOverwrite(df.sparkSession, table,
-      stagePartitionedWithStats(full, table, partCols), full.schema.toDDL)
+      stagePartitionedWithStats(optimizedWrite(full, table, partCols),
+        table, partCols), full.schema.toDDL)
   }
 
   /** Hidden bucket-transform dir name: `gfb<n>_<col>` (Iceberg's
@@ -1603,7 +1635,8 @@ object GraftLog {
     val spark = df.sparkSession
     val syn = s"gfb${nBuckets}_$srcCol"
     val s = stagePartitionedWithStats(
-      df.withColumn(syn, pmod(xxhash64(col(srcCol)), lit(nBuckets.toLong))),
+      optimizedWrite(df.withColumn(syn,
+        pmod(xxhash64(col(srcCol)), lit(nBuckets.toLong))), table, Seq(syn)),
       table, Seq(syn))
     commitOverwrite(spark, table, s, df.schema.toDDL)
   }
@@ -1634,7 +1667,8 @@ object GraftLog {
         (ok, cur.toDDL, g2)
       case None => (df, df.schema.toDDL, Map.empty[String, String])
     }
-    val s = stagePartitionedWithStats(aligned, table, partCols)
+    val s = stagePartitionedWithStats(
+      optimizedWrite(aligned, table, partCols), table, partCols)
     val gens0 = if (seen0.isEmpty) Map.empty[String, String]
       else generatedColumns(spark, table)
     val hasId = gens0.values.exists(identityDef(_).isDefined)
@@ -1842,7 +1876,7 @@ object GraftLog {
         (toPhysicalDf(logicalOk, cur, cmap), cur.toDDL, g2)
       case None => (df, df.schema.toDDL, Map.empty[String, String])
     }
-    val s = stageWithStats(aligned, table)
+    val s = stageWithStats(optimizedWrite(aligned, table, Nil), table)
     val hasId = gens0.values.exists(identityDef(_).isDefined)
     commitStagedAppend(spark, table, "append", "append", s, ddl, seen0,
       () => {
@@ -2029,6 +2063,10 @@ object GraftLog {
     *   - `graft.deletedFileRetentionHours` = h — default retention for
     *     [[vacuumRetainHours]] callers that pass none (Delta
     *     `delta.deletedFileRetentionDuration`)
+    *   - `graft.optimizeWrite` = true — AQE-rebalanced ingest writes
+    *     ([[optimizedWrite]]; Delta `delta.autoOptimize.optimizeWrite`)
+    *   - `graft.autoCompact` (+ `.minNumFiles`, `.maxFileSize`) —
+    *     post-commit small-file compaction ([[maybeAutoCompact]])
     *
     * Everything else is opaque user metadata carried verbatim. */
   def properties(spark: SparkSession, table: String,
@@ -2924,7 +2962,7 @@ object GraftLog {
           (toPhysicalDf(logicalOk, cur, cmap), cur.toDDL)
         case None => (df, df.schema.toDDL)
       }
-      val s = stageWithStats(aligned, table)
+      val s = stageWithStats(optimizedWrite(aligned, table, Nil), table)
       // The ledger check and the version claim are not one atomic step,
       // so two concurrent deliveries of the same (appId, batchId) can
       // both pass the check. The claim loop serializes them: `abandonIf`
@@ -2974,7 +3012,8 @@ object GraftLog {
           (ok, cur.toDDL)
         case None => (df, df.schema.toDDL)
       }
-      val s = stagePartitionedWithStats(aligned, table, partCols)
+      val s = stagePartitionedWithStats(
+        optimizedWrite(aligned, table, partCols), table, partCols)
       commitStagedAppend(spark, table, "txnAppendPartitioned",
         "streamingAppend", s, ddl, seen0,
         () => revalidateBlindAppend(spark, table, aligned.schema,

@@ -345,6 +345,43 @@ class GraftLogSpec extends AnyFunSuite {
       "live set stays consistent")
   }
 
+  test("optimized write: rebalanced ingest collapses slivers, opt-in only") {
+    def appendFiles(t: String): Int = GraftLog.history(spark, t)
+      .filter($"operation" === "append")
+      .agg(max($"n_added_files")).collect().head.getInt(0)
+    // flat: seed fixes schema, property opts in, then a 32-task append
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 1, "seed"), t)
+    GraftLog.setProperties(spark, t, Map("graft.optimizeWrite" -> "true"))
+    GraftLog.append(df(1 until 2000, "a").repartition(32), t)
+    assert(appendFiles(t) <= 2,
+      s"optimized flat append staged ${appendFiles(t)} files")
+    assert(GraftLog.read(spark, t).count() == 2000)
+    // control: the same batch without the property slivers one per task
+    val c = tmp() + "_ctl"
+    GraftLog.overwrite(df(0 until 1, "seed"), c)
+    GraftLog.append(df(1 until 2000, "a").repartition(32), c)
+    assert(appendFiles(c) > 8,
+      s"control append unexpectedly compact (${appendFiles(c)} files)")
+    // session conf force-off overrides the table property
+    spark.conf.set("spark.graft.optimizeWrite.enabled", "false")
+    try {
+      GraftLog.append(df(2000 until 4000, "b").repartition(32), t)
+      assert(appendFiles(t) > 8, "conf=false must disable the property")
+    } finally spark.conf.unset("spark.graft.optimizeWrite.enabled")
+    assert(GraftLog.read(spark, t).count() == 4000)
+    // partitioned: one right-sized file per col=val dir, rows intact
+    val p = tmp() + "_p"
+    val part = df(0 until 2000, "x").withColumn("p", ($"id" % 4).cast("int"))
+    GraftLog.overwritePartitioned(part.filter($"id" < 0), p, Seq("p"))
+    GraftLog.setProperties(spark, p, Map("graft.optimizeWrite" -> "true"))
+    GraftLog.appendPartitioned(part.repartition(32), p, Seq("p"))
+    assert(appendFiles(p) <= 8,
+      s"optimized partitioned append staged ${appendFiles(p)} files")
+    assert(GraftLog.read(spark, p).count() == 2000)
+    assert(GraftLog.read(spark, p).filter($"p" === 2).count() == 500)
+  }
+
   test("type widening: metadata-only, narrow pages decode wide, guards hold") {
     import org.apache.spark.sql.types._
     val t = tmp()
