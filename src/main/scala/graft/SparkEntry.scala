@@ -92,6 +92,11 @@ object SparkEntry {
     // second run of the same directory loads zero files/rows)
     "d23_copy_into" ->
       ((s, d) => Ddl.graftSqlCopyInto(s, d)),
+    // symlink manifest export: external engines read a consistent
+    // snapshot via per-partition manifest files; a post-DELETE
+    // auto-refresh is pinned by reading ONLY through the manifest
+    "d25_symlink_manifest" ->
+      ((s, d) => Ddl.graftSqlSymlinkManifest(s, d)),
     // column-level ANALYZE: one-pass KMV ndv + min/max + null counts,
     // log-persisted and pushed to the catalog as CBO statistics
     "d20_analyze_columns" ->
@@ -1651,6 +1656,14 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS second_run_files,
         |  CAST(0 AS BIGINT) AS second_run_rows
         |FROM customer""".stripMargin,
+    // d25: the manifest-routed read must equal the post-DELETE table;
+    // manifest_per_partition pins one manifest file per segment dir
+    "d25_symlink_manifest" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE),
+        |    6) AS total_acctbal,
+        |  TRUE AS manifest_per_partition
+        |FROM customer WHERE c_custkey % 10 <> 0 GROUP BY 1""".stripMargin,
     // d24: full-ON replay — BUILDING key-matches updated; source rows
     // whose target counterpart fails the extra conjunct inserted as
     // legal duplicate keys (Delta's NOT MATCHED definition)

@@ -254,6 +254,49 @@ object Ddl {
       .withColumn("second_run_rows", lit(again.getLong(2)))
   }
 
+  /** d25 — symlink-format manifest export (Delta's GENERATE +
+    * `delta.compatibility.symlinkFormatManifest.enabled`): the bridge
+    * to engines with NO graft-log reader. A partitioned customer table
+    * exports one manifest text file per `c_mktsegment=` dir listing
+    * that partition's LIVE file URIs; a DELETE then lands and the
+    * post-commit hook re-exports WITHOUT an explicit GENERATE — the
+    * query reads the table back exclusively THROUGH the manifest
+    * (partition values reconstructed from the listed paths, one scan).
+    * Freshness is pinned by the oracle itself: the deleted rows' files
+    * still exist on disk (vacuum hasn't run), so a stale manifest would
+    * read them back and fail the aggregate. */
+  def graftSqlSymlinkManifest(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit,
+      regexp_extract, round, sum, count}
+    val root = graft.sources.Staging.tempDir("graft_manifest_")
+    val t = s"$root/cust"
+    val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    graft.sources.GraftLog.overwritePartitioned(cust, t,
+      Seq("c_mktsegment"))                                          // v0
+    graft.sources.GraftLog.setProperties(spark, t,
+      Map("graft.symlinkManifest.autoUpdate" -> "true"))            // v1
+    spark.sql(s"GENERATE symlink_format_manifest FOR TABLE '$t'")
+    graft.sources.GraftLog.delete(spark, t,
+      col("c_custkey") % 10 === 0)                                  // v2 → hook re-exports
+    // the manifest IS the table now: collect the listed URIs (metadata-
+    // sized — one line per live file) and scan exactly those
+    val paths = spark.read
+      .textFile(s"$t/_symlink_format_manifest/*/manifest").collect()
+    val nManifests = new java.io.File(s"$t/_symlink_format_manifest")
+      .listFiles().count(_.isDirectory)
+    val nSegs = cust.select("c_mktsegment").distinct().count().toInt
+    spark.read.parquet(paths.toIndexedSeq: _*)
+      .withColumn("c_mktsegment",
+        regexp_extract(input_file_name(), "c_mktsegment=([^/]+)/", 1))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal").cast("decimal(38,10)")).cast("double"),
+          6).as("total_acctbal"))
+      .withColumn("manifest_per_partition", lit(nManifests == nSegs))
+  }
+
   /** d21 — conditional & multi-clause SQL MERGE (the full Delta clause
     * surface): the reference's change-detection upsert
     * (`mage_demo/custom/increamental_dataload.py:49-53` updates only

@@ -507,6 +507,7 @@ object GraftLog {
     if (withMeta.version > 0 && withMeta.version % interval == 0)
       try { checkpoint(spark, table, Some(withMeta.version)); () }
       catch { case scala.util.control.NonFatal(_) => () }
+    maybeUpdateManifest(spark, table, withMeta)
   }
 
   /** Commits between automatic checkpoints (Delta's own cadence). */
@@ -4433,6 +4434,74 @@ object GraftLog {
     * is REORG's job), as are row-tracked partitioned/mapped layouts
     * (id materialization is defined flat-only, matching
     * [[readWithRowIds]]). */
+  /** Name of the manifest tree (Delta's symlink_format_manifest). */
+  private[sources] val ManifestDirName = "_symlink_format_manifest"
+
+  /** `GENERATE symlink_format_manifest FOR TABLE t` — Delta's manifest
+    * export for EXTERNAL engines (Presto/Trino/Athena/Hive read the
+    * manifest as a SymlinkTextInputFormat table): one text file per
+    * partition dir (one at the root for flat tables) listing the
+    * absolute URIs of that partition's LIVE data files, so an engine
+    * with no graft-log reader still sees a CONSISTENT snapshot — never
+    * the raw directory, which contains unreferenced staging/vacuum
+    * candidates. Generation is driver-side but METADATA-scale: one line
+    * per live file, the same cardinality the commit log itself carries.
+    * The whole tree is replaced per generation so manifests of
+    * partitions that lost all files vanish instead of serving deleted
+    * data. Refused loudly where a symlink reader would be WRONG rather
+    * than stale: active deletion vectors (the reader cannot apply
+    * masks), column mapping (files carry physical names), and hidden
+    * bucket dirs (`gfb…=` would masquerade as a partition column).
+    * Returns the manifest paths written. */
+  def generateManifest(spark: SparkSession, table: String): Seq[String] = {
+    require(latestVersion(spark, table).nonEmpty,
+      s"$table is not a GraftLog table (no $LogDirName)")
+    require(deletionVectors(spark, table).isEmpty,
+      "generateManifest: table has active deletion vectors — a symlink " +
+        "reader cannot apply them; REORG TABLE … APPLY (PURGE) first")
+    require(columnMapping(spark, table).isEmpty,
+      "generateManifest: table uses column mapping — data files carry " +
+        "physical column names external readers would misread")
+    val (files, _) = snapshot(spark, table)
+    require(!files.exists(_.split('/').exists(seg =>
+        HiddenBucketDir.matches(seg.takeWhile(_ != '=')))),
+      "generateManifest: hidden bucket-transform dirs would masquerade " +
+        "as partition columns to external readers")
+    val f = fs(spark, table)
+    val root = new HPath(s"$table/$ManifestDirName")
+    if (f.exists(root)) f.delete(root, true)
+    val byDir = files.groupBy(
+      _.split('/').dropRight(1).filter(_.contains('=')).mkString("/"))
+    byDir.toSeq.sortBy(_._1).map { case (dir, fsq) =>
+      val out = new HPath(
+        if (dir.isEmpty) root else new HPath(root, dir), "manifest")
+      val os = f.create(out, true)
+      try os.write(fsq.sorted
+        .map(p => f.makeQualified(new HPath(absPath(table, p))).toString)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally os.close()
+      out.toString
+    }
+  }
+
+  /** Post-commit manifest refresh ([[writeCommit]] hook):
+    * `graft.symlinkManifest.autoUpdate` = true keeps the exported
+    * manifest in lockstep with every DATA commit (Delta's
+    * `delta.compatibility.symlinkFormatManifest.enabled`). Best-effort
+    * like auto-checkpointing — the commit is already durable; a failed
+    * refresh logs a warning and the next data commit (or an explicit
+    * GENERATE) repairs it. Metadata-only commits skip (the live set is
+    * unchanged). */
+  private def maybeUpdateManifest(spark: SparkSession, table: String,
+      c: Commit): Unit =
+    if (c.props.get("graft.symlinkManifest.autoUpdate")
+        .exists(_.equalsIgnoreCase("true")) &&
+        (c.add.nonEmpty || c.remove.nonEmpty))
+      try { generateManifest(spark, table); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] WARN: symlink manifest refresh of " +
+          s"$table failed after v${c.version}: ${e.getMessage}") }
+
   def maybeAutoCompact(spark: SparkSession, table: String)
       : Option[Long] = {
     val props = properties(spark, table)

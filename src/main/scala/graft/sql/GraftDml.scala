@@ -178,6 +178,8 @@ final class GraftSqlParser(
     """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val RenameColumnStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val GenerateManifestStmt =
+    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\S+)\s*;?\s*""".r
   private val AlterColTypeStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""".r
   private val DropColumnStmt =
@@ -273,6 +275,8 @@ final class GraftSqlParser(
     case AlterColTypeStmt(target, colName, typeDdl)
         if isGraftTable(target) =>
       GraftWidenColumnCommand(target, colName, typeDdl)
+    case GenerateManifestStmt(target) if isGraftTable(target) =>
+      GraftGenerateManifestCommand(target)
     // Iceberg's tag DDL (Spark has no CREATE/DROP TAG grammar of its
     // own, so graft-resolvable targets are safe to capture)
     case CreateTagStmt(target, name, ver) if isGraftTable(target) =>
@@ -701,6 +705,19 @@ case class GraftWidenColumnCommand(target: String, colName: String,
     RefreshAfterDml(session, path, tbl)
     Seq.empty
   }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t` →
+  * [[GraftLog.generateManifest]] — Delta's manifest export for external
+  * symlink readers. Returns one row per manifest file written. */
+case class GraftGenerateManifestCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "manifest", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftLog.generateManifest(session,
+      GraftTarget.pathOf(session, target)).map(Row(_))
 }
 
 /** `ALTER TABLE t DROP COLUMN c` → [[GraftLog.dropColumn]] —

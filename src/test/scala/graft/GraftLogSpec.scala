@@ -345,6 +345,57 @@ class GraftLogSpec extends AnyFunSuite {
       "live set stays consistent")
   }
 
+  test("symlink manifest: live set exactly, auto-refresh, loud refusals") {
+    import scala.jdk.CollectionConverters._
+    def lines(t: String): Set[String] = {
+      val r = new java.io.File(s"$t/_symlink_format_manifest")
+      if (!r.exists()) Set.empty
+      else java.nio.file.Files.walk(r.toPath).iterator().asScala
+        .filter(_.getFileName.toString == "manifest")
+        .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+        .toSet
+    }
+    def live(t: String): Set[String] =
+      GraftLog.snapshot(spark, t)._1
+        .map(f => "file:" + new java.io.File(s"$t/$f").getCanonicalPath)
+        .toSet
+    // flat: manifest == live set; regeneration tracks a delete
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 100, "a").repartition(4), t)
+    GraftLog.generateManifest(spark, t)
+    assert(lines(t) == live(t))
+    GraftLog.delete(spark, t, $"id" < 50)
+    GraftLog.generateManifest(spark, t)
+    assert(lines(t) == live(t), "regeneration must track the live set")
+    // partitioned + autoUpdate: a data commit refreshes with NO call;
+    // a partition losing all files loses its manifest dir
+    val p = tmp() + "_p"
+    val d0 = df(0 until 100, "x").withColumn("p", ($"id" % 2).cast("int"))
+    GraftLog.overwritePartitioned(d0, p, Seq("p"))
+    GraftLog.setProperties(spark, p,
+      Map("graft.symlinkManifest.autoUpdate" -> "true"))
+    GraftLog.generateManifest(spark, p)
+    assert(new java.io.File(s"$p/_symlink_format_manifest/p=1/manifest")
+      .exists())
+    GraftLog.delete(spark, p, $"p" === 1) // hook refreshes
+    assert(lines(p) == live(p), "autoUpdate must refresh on the commit")
+    assert(!new java.io.File(s"$p/_symlink_format_manifest/p=1").exists(),
+      "an emptied partition's manifest dir must vanish")
+    // refusals: active DVs and column mapping would make readers WRONG
+    val dv = tmp() + "_dv"
+    GraftLog.overwrite(df(0 until 40, "a"), dv)
+    GraftLog.deleteVectors(spark, dv, $"id" < 5)
+    intercept[IllegalArgumentException] {
+      GraftLog.generateManifest(spark, dv)
+    }
+    val cm = tmp() + "_cm"
+    GraftLog.overwrite(df(0 until 10, "a"), cm)
+    GraftLog.renameColumn(spark, cm, "tag", "label") // activates mapping
+    intercept[IllegalArgumentException] {
+      GraftLog.generateManifest(spark, cm)
+    }
+  }
+
   test("optimized write: rebalanced ingest collapses slivers, opt-in only") {
     def appendFiles(t: String): Int = GraftLog.history(spark, t)
       .filter($"operation" === "append")
