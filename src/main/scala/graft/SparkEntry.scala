@@ -510,6 +510,10 @@ object SparkEntry {
     // table pins the prevention
     "t40_optimized_write" ->
       ((s, d) => Transactions.optimizedWrite(s, d)),
+    // partition-spec evolution: bucket(4)→bucket(8) in one metadata
+    // commit; old and new files prune by their own spec in one scan
+    "t41_partition_evolution" ->
+      ((s, d) => Transactions.partitionEvolution(s, d)),
     // metadata-only RENAME/DROP COLUMN via column mapping: the logical
     // rename is a SQL alias in the oracle; n_meta_files=0 pins that the
     // schema commits moved no data bytes
@@ -818,6 +822,14 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, min(event_id) AS min_id,
         |  max(event_id) AS max_id, 0 AS widen_files
         |FROM w GROUP BY 1""".stripMargin,
+    // t41: layout-only — the mixed-spec table's rows are events
+    // verbatim; n_specs=2 pins both transforms coexist
+    "t41_partition_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  2 AS n_specs, TRUE AS spec_evolved
+        |FROM events GROUP BY 1""".stripMargin,
     // t40: layout-only — the optimized table's rows are events verbatim;
     // the two booleans pin small-file prevention vs the control twin
     "t40_optimized_write" ->

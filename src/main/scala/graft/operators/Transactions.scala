@@ -1769,6 +1769,46 @@ object Transactions {
       .withColumn("widen_files", lit(widenAdds))
   }
 
+  private val stagedSpecEvolve =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** t41 — PARTITION-SPEC EVOLUTION (Iceberg `REPLACE PARTITION
+    * FIELD`): the even half of events lands under hidden `bucket(4,
+    * event_id)` dirs (v0), ONE metadata-only commit evolves the current
+    * spec to `bucket(8, event_id)` (v1), and the odd half appends under
+    * the NEW spec (v2) — no data file moved. The read plans BOTH groups
+    * in one scan: old files prune by their bucket(4) dir, new files by
+    * bucket(8), per file (the numFiles pin lives in
+    * GraftFileIndexSpec). `n_specs` pins the mixed layout actually
+    * exists; the aggregate pins zero row loss across it. The
+    * daily→hourly / bucket(16)→bucket(64) migration with zero
+    * rewrite — the alternative IS the 100 TB scan. */
+  def partitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedSpecEvolve.getOrElseUpdate(sfDir, {
+      val d = graft.sources.Staging.tempDir("graft_txn_") +
+        "/events_evolve"
+      val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      GraftLog.overwriteBucketTransform(
+        ev.filter(col("event_id") % 2 === 0), d, "event_id", 4)   // v0
+      GraftLog.evolveBucketSpec(spark, d, "event_id", 8)          // v1
+      GraftLog.append(ev.filter(col("event_id") % 2 === 1), d)    // v2
+      d
+    })
+    val specs = GraftLog.snapshot(spark, dir)._1
+      .map(_.split('/').dropRight(1).filter(_.contains('='))
+        .map(_.takeWhile(_ != '=')).mkString(","))
+      .distinct.sorted
+    GraftLog.read(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(38,10)")).cast("double"), 6)
+          .as("total_value"))
+      .withColumn("n_specs", lit(specs.size))
+      .withColumn("spec_evolved",
+        lit(specs == Seq("gfb4_event_id", "gfb8_event_id")))
+  }
+
   private val stagedOptWrite =
     new scala.collection.concurrent.TrieMap[String, String]
 

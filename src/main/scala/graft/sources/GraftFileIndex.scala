@@ -96,10 +96,20 @@ final class GraftFileIndex(spark: SparkSession, table: String,
 
   private val allPartCols: Seq[String] = {
     val specs = liveFiles.map(f => partSpec(f).map(_._1))
+    // VISIBLE partition columns must be uniform — they become the
+    // partitionSchema, and a file missing one could not fill its row.
+    // HIDDEN transform dirs (gfb…) may VARY per file: partition-spec
+    // EVOLUTION (Iceberg `REPLACE PARTITION FIELD`) leaves old files
+    // under the old transform and lands new ones under the new; both
+    // prune per FILE in keepData/keepFile, never by grouping, so a
+    // mixed layout plans exactly as well as a uniform one.
+    val visible = specs.map(_.filterNot(GraftLog.HiddenBucketDir.matches))
+    val headV = visible.headOption.getOrElse(Nil)
+    require(visible.forall(_ == headV),
+      s"non-uniform visible partition layout under $table: " +
+        s"${visible.distinct}")
     val head = specs.headOption.getOrElse(Nil)
-    require(specs.forall(_ == head),
-      s"non-uniform partition layout under $table: ${specs.distinct}")
-    head
+    if (specs.forall(_ == head)) head else headV
   }
 
   // HIDDEN partition transforms (Iceberg's hidden-partitioning idea):

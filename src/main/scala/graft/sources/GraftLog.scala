@@ -1642,6 +1642,68 @@ object GraftLog {
     commitOverwrite(spark, table, s, df.schema.toDDL)
   }
 
+  /** The declared CURRENT partition spec (`graft.partitionSpec` =
+    * `bucket(n,col)`), set by [[evolveBucketSpec]]: Iceberg's "writers
+    * use the current spec" rule. None = no declared spec (flat and
+    * legacy bucket tables). */
+  private[graft] def bucketSpecOf(props: Map[String, String])
+      : Option[(String, Int)] = {
+    val B = """(?i)bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+    props.get("graft.partitionSpec").flatMap(_.trim match {
+      case B(n, c) => Some((c, n.toInt))
+      case _ => None
+    })
+  }
+
+  /** Are all of a layout's `col=val` dirs HIDDEN transforms? (Empty —
+    * flat — counts as hidden-only.) */
+  private def hiddenOnlyLayout(files: Seq[String]): Boolean =
+    files.forall(_.split('/').dropRight(1).filter(_.contains('='))
+      .forall(seg => HiddenBucketDir.matches(seg.takeWhile(_ != '='))))
+
+  /** Iceberg PARTITION-SPEC EVOLUTION (`ALTER TABLE … REPLACE PARTITION
+    * FIELD bucket(n, col)`) restricted to the layouts where it is
+    * actually SOUND in this engine: flat and hidden-bucket tables,
+    * whose data files carry the FULL data schema (the bucket dir is
+    * synthetic — never a dropped column). One METADATA-ONLY commit
+    * declares the new current spec; no data file moves. Old files stay
+    * under their old transform (or flat) and keep pruning by it
+    * per-file; subsequent [[append]]s land under the NEW spec — exactly
+    * Iceberg's contract ("evolving a spec never rewrites data; each
+    * file prunes by the spec it was written under"). At 100 TB this is
+    * the daily→hourly (or bucket(16)→bucket(64)) migration with zero
+    * rewrite: the alternative — re-laying-out the table — IS the 100 TB
+    * scan this call avoids. VISIBLE hive layouts refuse loudly: their
+    * data files omit the partition column, so two specs cannot coexist
+    * in one scan (that shape needs the explicit rewrite). Column
+    * mapping refuses too (the synthetic dir name embeds the logical
+    * column name). */
+  def evolveBucketSpec(spark: SparkSession, table: String,
+      srcCol: String, nBuckets: Int): Long =
+      rebaseOnConflict(table, "evolve_partition_spec") { () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty,
+      s"$table is not a GraftLog table (no $LogDirName)")
+    require(nBuckets > 0, "evolveBucketSpec: nBuckets must be positive")
+    require(columnMapping(spark, table).isEmpty,
+      "evolveBucketSpec: column mapping is active — hidden bucket dirs " +
+        "embed the logical column name; not supported together")
+    val (files, phys) = snapshot(spark, table)
+    require(phys.fields.exists(_.name.equalsIgnoreCase(srcCol)),
+      s"evolveBucketSpec: no column $srcCol in $table " +
+        s"(has ${phys.fieldNames.mkString(",")})")
+    require(hiddenOnlyLayout(files),
+      "evolveBucketSpec: only flat or hidden-bucket layouts can evolve " +
+        "in place — a visible hive layout's data files lack the " +
+        "partition column; rewrite via overwritePartitioned instead")
+    writeCommit(spark, table, Commit(vRead.get + 1,
+      "evolve_partition_spec", Seq.empty, Seq.empty, phys.toDDL,
+      System.currentTimeMillis(),
+      props = properties(spark, table) +
+        ("graft.partitionSpec" -> s"bucket($nBuckets,$srcCol)")))
+    vRead.get + 1
+  }
+
   /** Append into a partitioned table (same enforcement as [[append]]). */
   def appendPartitioned(df: DataFrame, table: String,
       partCols: Seq[String]): Long = {
@@ -1861,10 +1923,23 @@ object GraftLog {
     val seen0 = latestVersion(spark, table)
     val gens0 = if (seen0.isEmpty) Map.empty[String, String]
       else generatedColumns(spark, table)
+    // partition-spec evolution: a declared current spec re-routes this
+    // blind append's STAGING under the spec's hidden dirs — everything
+    // else (schema gate, OCC, ledger) is the flat path verbatim
+    val spec0 = if (seen0.isEmpty) None
+      else bucketSpecOf(properties(spark, table))
     val (aligned, ddl, gens2) = seen0 match {
       case Some(_) =>
         val (files, cur) = snapshot(spark, table)
-        requireUnpartitioned(files, "append")
+        if (spec0.isEmpty) requireUnpartitioned(files, "append")
+        else {
+          require(hiddenOnlyLayout(files),
+            "append under a declared partition spec: the table carries " +
+              "a VISIBLE hive layout; use appendPartitioned")
+          require(columnMapping(spark, table).isEmpty,
+            "append under a declared partition spec: column mapping is " +
+              "active; unsupported together")
+        }
         val cmap = columnMapping(spark, table)
         // the batch carries LOGICAL names; enforce against the logical
         // schema, then stage under the table's PHYSICAL names so every
@@ -1877,13 +1952,21 @@ object GraftLog {
         (toPhysicalDf(logicalOk, cur, cmap), cur.toDDL, g2)
       case None => (df, df.schema.toDDL, Map.empty[String, String])
     }
-    val s = stageWithStats(optimizedWrite(aligned, table, Nil), table)
+    val s = spec0 match {
+      case Some((sc, n)) =>
+        val syn = s"gfb${n}_$sc"
+        stagePartitionedWithStats(optimizedWrite(aligned.withColumn(syn,
+          pmod(xxhash64(col(sc)), lit(n.toLong))), table, Seq(syn)),
+          table, Seq(syn))
+      case None =>
+        stageWithStats(optimizedWrite(aligned, table, Nil), table)
+    }
     val hasId = gens0.values.exists(identityDef(_).isDefined)
     commitStagedAppend(spark, table, "append", "append", s, ddl, seen0,
       () => {
         if (hasId) requireIdentityUnmoved(spark, table, gens0, "append")
         revalidateBlindAppend(spark, table, aligned.schema, "append",
-          Seq.empty)
+          spec0.map { case (sc, n) => s"gfb${n}_$sc" }.toSeq)
       },
       // COPY INTO idempotence: when a competing commit lands between
       // read and claim, re-check the ingest ledger — if a COMPETING
@@ -3093,8 +3176,15 @@ object GraftLog {
       case Some(_) =>
         val (files, cur) = snapshot(spark, table)
         val layout = layoutPartCols(files)
-        if (files.nonEmpty &&
-            layout.map(_.toLowerCase) != partCols.map(_.toLowerCase))
+        // hidden-only layouts are mutually compatible by construction
+        // (partition-spec evolution: every hidden dir prunes per FILE,
+        // so a gfb4 first-file spec coexists with a gfb8 staged batch)
+        def hiddenOnly(cols: Seq[String]): Boolean =
+          cols.forall(HiddenBucketDir.matches)
+        val compatible =
+          layout.map(_.toLowerCase) == partCols.map(_.toLowerCase) ||
+            (hiddenOnly(layout) && hiddenOnly(partCols))
+        if (files.nonEmpty && !compatible)
           throw new java.util.ConcurrentModificationException(
             s"$op on $table: a concurrent commit changed the partition " +
               s"layout to (${layout.mkString(",")}) and the staged " +

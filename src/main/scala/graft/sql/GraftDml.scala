@@ -178,6 +178,8 @@ final class GraftSqlParser(
     """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+(SHALLOW|DEEP)\s+CLONE\s+(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val RenameColumnStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val PartitionFieldStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+(?:ADD|REPLACE)\s+PARTITION\s+FIELD\s+bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*;?\s*""".r
   private val GenerateManifestStmt =
     """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\S+)\s*;?\s*""".r
   private val AlterColTypeStmt =
@@ -277,6 +279,8 @@ final class GraftSqlParser(
       GraftWidenColumnCommand(target, colName, typeDdl)
     case GenerateManifestStmt(target) if isGraftTable(target) =>
       GraftGenerateManifestCommand(target)
+    case PartitionFieldStmt(target, n, colName) if isGraftTable(target) =>
+      GraftPartitionFieldCommand(target, colName, n.toInt)
     // Iceberg's tag DDL (Spark has no CREATE/DROP TAG grammar of its
     // own, so graft-resolvable targets are safe to capture)
     case CreateTagStmt(target, name, ver) if isGraftTable(target) =>
@@ -703,6 +707,19 @@ case class GraftWidenColumnCommand(target: String, colName: String,
         target.trim.startsWith("\"")) None
       else Some(target.trim)
     RefreshAfterDml(session, path, tbl)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD/REPLACE PARTITION FIELD bucket(n, col)` →
+  * [[GraftLog.evolveBucketSpec]] — Iceberg partition-spec evolution:
+  * metadata-only; subsequent writers use the new spec, existing files
+  * keep pruning by theirs. */
+case class GraftPartitionFieldCommand(target: String, colName: String,
+    nBuckets: Int) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftLog.evolveBucketSpec(session,
+      GraftTarget.pathOf(session, target), colName, nBuckets)
     Seq.empty
   }
 }

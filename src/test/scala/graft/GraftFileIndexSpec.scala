@@ -26,6 +26,63 @@ class GraftFileIndexSpec extends AnyFunSuite {
     }.head
   }
 
+  test("partition-spec evolution: both specs prune per file in one scan") {
+    val d = Staging.tempDir("graft_fidx_") + "/evolve"
+    val base = Sources.testTable(spark, TestSpark.sf, "customer")
+    // v0: bucket(4) over the even keys — force several files per bucket
+    GraftLog.overwriteBucketTransform(
+      base.filter(col("c_custkey") % 2 === 0).repartition(4), d,
+      "c_custkey", 4)
+    val oldFiles = new GraftFileIndex(spark, d).inputFiles.length
+    // v1: evolve the CURRENT spec to bucket(8); metadata-only
+    GraftLog.evolveBucketSpec(spark, d, "c_custkey", 8)
+    assert(new GraftFileIndex(spark, d).inputFiles.length == oldFiles,
+      "evolution must move zero data files")
+    // v2: the odd keys append under the NEW spec via plain append
+    GraftLog.append(base.filter(col("c_custkey") % 2 === 1)
+      .repartition(4), d)
+    val idx = new GraftFileIndex(spark, d)
+    val total = idx.inputFiles.length
+    assert(idx.inputFiles.exists(_.contains("gfb4_c_custkey=")) &&
+      idx.inputFiles.exists(_.contains("gfb8_c_custkey=")),
+      "both transforms must coexist in the layout")
+    // zero row loss across the mixed layout
+    assert(GraftLog.read(spark, d).count() == base.count())
+    // a point probe prunes in BOTH groups: ≤ one bucket's files of the
+    // old spec + one bucket's files of the new spec
+    val even = base.filter(col("c_custkey") % 2 === 0)
+      .agg(min(col("c_custkey"))).collect().head.getLong(0)
+    val q = spark.read.format("graft").load(d)
+      .filter(col("c_custkey") === even)
+    val n = scanOf(q).metrics("numFiles").value
+    assert(n < total / 2,
+      s"point probe scanned $n of $total files — bucket pruning dead")
+    assert(q.count() == 1)
+    val odd = even + 1
+    val q2 = spark.read.format("graft").load(d)
+      .filter(col("c_custkey") === odd)
+    assert(scanOf(q2).metrics("numFiles").value < total / 2)
+    assert(q2.count() == 1)
+    // time travel BEFORE the evolution sees only the old spec
+    assert(GraftLog.read(spark, d, Some(0L)).count() ==
+      base.filter(col("c_custkey") % 2 === 0).count())
+    // guards: visible hive layouts and unknown columns refuse
+    val v = Staging.tempDir("graft_fidx_") + "/vis"
+    GraftLog.overwritePartitioned(base.limit(50), v, Seq("c_mktsegment"))
+    intercept[IllegalArgumentException] {
+      GraftLog.evolveBucketSpec(spark, v, "c_custkey", 8)
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.evolveBucketSpec(spark, d, "no_such_col", 8)
+    }
+    // SQL surface: REPLACE PARTITION FIELD advances the spec again
+    spark.sql(
+      s"ALTER TABLE '$d' REPLACE PARTITION FIELD bucket(16, c_custkey)")
+    GraftLog.append(base.limit(0).repartition(1), d) // no-op rows
+    assert(GraftLog.bucketSpecOf(GraftLog.properties(spark, d))
+      .contains(("c_custkey", 16)))
+  }
+
   test("format(\"graft\") full read equals GraftLog.read") {
     val a = spark.read.format("graft").load(dir)
     val b = GraftLog.read(spark, dir)
