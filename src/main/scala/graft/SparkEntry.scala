@@ -430,6 +430,11 @@ object SparkEntry {
     // never the fact table; replay is a ledger no-op
     "i28_incremental_agg_view" ->
       ((s, d) => AggView.incrementalAggView(s, d)),
+    // the STREAMING twin: the CDF stream (with preimages) delivers, the
+    // version-keyed ledger folds — exactly-once survives kill/restart
+    // independent of the stream checkpoint
+    "i29_agg_view_stream" ->
+      ((s, d) => AggView.incrementalAggViewStream(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1529,6 +1534,19 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, 3 AS applied_incr, TRUE AS replay_noop
+        |FROM final GROUP BY 1""".stripMargin,
+    // i29: the stream-maintained fold equals the recompute over the
+    // source's final state; 4 versions folded (snapshot, append,
+    // delete, update), pure replay is a ledger no-op
+    "i29_agg_view_stream" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 7 <> 0)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, 4 AS maintained_versions, TRUE AS replay_noop
         |FROM final GROUP BY 1""".stripMargin,
     // i27: three waves × 4 files at a 2-file admission cap = 6 ingest
     // commits + the seed; the checkpoint-loss redrain must be a ledger

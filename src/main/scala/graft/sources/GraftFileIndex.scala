@@ -923,9 +923,15 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
     val sv = startingVersionOf(spark, path, parameters)
     if (cdfRequested(parameters))
       // `option("readChangeFeed", true)` + `option("cdfKeys", "k1,k2")`:
-      // stream the row-level change feed instead of the appended rows
+      // stream the row-level change feed instead of the appended rows.
+      // `option("includePreimages", true)` adds update_preimage rows
+      // (Delta streaming CDF emits both images; consumers folding
+      // value DELTAS — e.g. incremental view maintenance — need the
+      // old value to subtract)
       new GraftCdfStreamSource(spark, path, cdfKeys(parameters),
-        AdmissionLimits(parameters), startingVersion = sv)
+        AdmissionLimits(parameters), startingVersion = sv,
+        preimages =
+          parameters.get("includePreimages").exists(_.toBoolean))
     else new GraftStreamSource(spark, path,
       ignoreChanges =
         parameters.get("ignoreChanges").exists(_.toBoolean),
@@ -1219,7 +1225,8 @@ final class GraftStreamSource(spark: SparkSession, table: String,
 final class GraftCdfStreamSource(spark: SparkSession, table: String,
     keys: Seq[String], limits: AdmissionLimits =
       AdmissionLimits(None, None, None),
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    preimages: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -1324,7 +1331,7 @@ final class GraftCdfStreamSource(spark: SparkSession, table: String,
           .withColumn("_change_type", lit("insert"))
         ordered(snap, anchor) +:
           present.tail.map(v => ordered(
-            GraftLog.changesAt(spark, table, keys, v), v))
+            GraftLog.changesAt(spark, table, keys, v, preimages), v))
       } else {
         require(present == (fromEx + 1 to to),
           s"CDF stream of $table needs versions (${fromEx}, $to] but " +
@@ -1333,7 +1340,7 @@ final class GraftCdfStreamSource(spark: SparkSession, table: String,
             "checkpoint (a fresh start re-anchors at the oldest " +
             "retained snapshot)")
         present.map(v => ordered(
-          GraftLog.changesAt(spark, table, keys, v), v))
+          GraftLog.changesAt(spark, table, keys, v, preimages), v))
       }
     frames.foldLeft(emptyTagged)(_ unionByName _)
   }

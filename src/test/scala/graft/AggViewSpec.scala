@@ -61,4 +61,40 @@ class AggViewSpec extends AnyFunSuite {
       "ledger must reject a replayed source version")
     assert(m == viewNow(view))
   }
+
+  test("streaming CDF emits preimages only when asked") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val src = s"$root/pre_src"
+    GraftLog.overwrite(srcDf(0 until 30), src)                     // v0
+    GraftLog.update(spark, src, col("id") % 5 === 0,
+      Seq("v" -> (col("v") + 1.0)))                                // v1
+    def drainTypes(withPre: Boolean): Map[String, Long] = {
+      val acc = new java.util.concurrent.ConcurrentHashMap[String,
+        java.lang.Long]()
+      val r = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("cdfKeys", "id")
+      val q = (if (withPre) r.option("includePreimages", "true") else r)
+        .load(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.groupBy(col("_change_type")).count().collect().foreach(x =>
+            acc.merge(x.getString(0), x.getLong(1), (a, c) =>
+              a + c))
+          ()
+        }
+        .option("checkpointLocation",
+          s"$root/ckpt_${withPre}_${System.nanoTime()}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      acc.asScala.map { case (k, v) => k -> v.longValue }.toMap
+    }
+    val without = drainTypes(withPre = false)
+    assert(without.get("update_postimage").contains(6L) &&
+      !without.contains("update_preimage"), s"default: $without")
+    val withPre = drainTypes(withPre = true)
+    assert(withPre.get("update_preimage").contains(6L) &&
+      withPre.get("update_postimage").contains(6L), s"preimages: $withPre")
+  }
 }
