@@ -189,6 +189,12 @@ object SparkEntry {
     // so the exact probe file-prunes — same replay and oracle as e18
     "e19_dedup_state_scalable" ->
       ((s, d) => DedupState.dedupStateScalable(s, d)),
+    // persisted rolling NEAR-dup state: LSH band keys as a graft table
+    // with a band-key Bloom sidecar; batch 2's twins of batch 1's novel
+    // docs prove the state advanced; verify = signature-est Jaccard on
+    // candidate-partition-pruned state rows
+    "e20_neardup_state_rolling" ->
+      ((s, d) => NearDupState.nearDupStateRolling(s, d)),
     "e17_neardup_incremental"   -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
@@ -2700,6 +2706,87 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), b2.doc_id, (s1.h IS NOT NULL)
         |FROM b2 LEFT JOIN state1 s1 ON b2.h = s1.h""".stripMargin,
+    // e20: full MinHash/band replay with phased state membership —
+    // phase-2 state = seed + batch-1 docs NOT flagged near-dup (the
+    // kept-representative rule); verify = sig-estimated Jaccard >= 0.5
+    // on band-colliding pairs only
+    "e20_neardup_state_rolling" ->
+      """WITH univ AS (
+        |  SELECT doc_id, text, 0 AS tag FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 450
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 1 FROM documents
+        |  WHERE doc_id < 300 AND doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, 2 FROM documents WHERE doc_id >= 450
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, 2 FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 450 AND doc_id % 5 = 0
+        |), base AS (
+        |  SELECT doc_id, tag, string_split(lower(text), ' ') AS toks
+        |  FROM univ
+        |), sh AS (
+        |  SELECT doc_id, tag, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    AS shingles
+        |  FROM base WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, tag, list_transform(shingles,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT
+        |         % 2147483647 AS BIGINT)) AS h
+        |  FROM sh
+        |), sigs AS (
+        |  SELECT doc_id, tag, list_transform(range(0, 64), i ->
+        |    list_aggregate(list_transform(h,
+        |      x -> ((2*i + 1) * x + i + 1) % 2147483647), 'min')) AS sig
+        |  FROM hs
+        |), banded AS (
+        |  SELECT doc_id, tag, band,
+        |    sig[band*4 + 1] AS s0, sig[band*4 + 2] AS s1,
+        |    sig[band*4 + 3] AS s2, sig[band*4 + 4] AS s3
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) bs
+        |), est1 AS (
+        |  SELECT c.doc_b, c.doc_c,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64 AS est
+        |  FROM (SELECT DISTINCT x.doc_id AS doc_b, y.doc_id AS doc_c
+        |        FROM banded x JOIN banded y ON x.band = y.band
+        |          AND x.s0 = y.s0 AND x.s1 = y.s1
+        |          AND x.s2 = y.s2 AND x.s3 = y.s3
+        |        WHERE x.tag = 1 AND y.tag = 0) c
+        |  JOIN sigs a ON a.doc_id = c.doc_b
+        |  JOIN sigs b ON b.doc_id = c.doc_c
+        |), ver1 AS (
+        |  SELECT doc_b, count(DISTINCT doc_c) AS n, max(est) AS m
+        |  FROM est1 WHERE est >= 0.5 GROUP BY 1
+        |), est2 AS (
+        |  SELECT c.doc_b, c.doc_c,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64 AS est
+        |  FROM (SELECT DISTINCT x.doc_id AS doc_b, y.doc_id AS doc_c
+        |        FROM banded x JOIN banded y ON x.band = y.band
+        |          AND x.s0 = y.s0 AND x.s1 = y.s1
+        |          AND x.s2 = y.s2 AND x.s3 = y.s3
+        |        WHERE x.tag = 2 AND (y.tag = 0 OR (y.tag = 1
+        |          AND y.doc_id NOT IN (SELECT doc_b FROM ver1)))) c
+        |  JOIN sigs a ON a.doc_id = c.doc_b
+        |  JOIN sigs b ON b.doc_id = c.doc_c
+        |), ver2 AS (
+        |  SELECT doc_b, count(DISTINCT doc_c) AS n, max(est) AS m
+        |  FROM est2 WHERE est >= 0.5 GROUP BY 1
+        |)
+        |SELECT CAST(0 AS BIGINT) AS batch_id, u.doc_id,
+        |  coalesce(v.n, 0) AS n_near_dups, round(v.m, 6) AS best_sim,
+        |  (v.doc_b IS NOT NULL) AS is_near_dup
+        |FROM univ u LEFT JOIN ver1 v ON v.doc_b = u.doc_id
+        |WHERE u.tag = 1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), u.doc_id, coalesce(v.n, 0),
+        |  round(v.m, 6), (v.doc_b IS NOT NULL)
+        |FROM univ u LEFT JOIN ver2 v ON v.doc_b = u.doc_id
+        |WHERE u.tag = 2""".stripMargin,
     "e16_dedup_incremental" ->
       """WITH corpus AS (
         |  SELECT DISTINCT sha256(text) AS h

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.sources.GraftLog
+
+/** Persisted rolling NEAR-dup state — the LSH sibling of [[DedupState]]
+  * (e19 holds exact digests; this holds MinHash BAND keys), closing the
+  * last rolling-ingest gap: e17's incremental near-dup re-bands the
+  * whole corpus per run, so its per-batch cost grows with history. Here
+  * the corpus's banded signatures live as a transactional graft TABLE
+  * and each batch probes + advances it in O(batch):
+  *
+  *   - **State rows** `(bk, band, doc_id, sig)` hive-partitioned by
+  *     `bp = pmod(xxhash64(bk), 64)`: `bk` is the raw band slice
+  *     rendered as text (the e3 discipline — reproducible verbatim in
+  *     the DuckDB oracle), `sig` is the doc's full MinHash signature
+  *     carried ON the band row, so verification reads ONLY the pruned
+  *     candidate partitions — never a second corpus-wide signature
+  *     fetch. The trade is deliberate and scaladoc'd: bands× storage
+  *     (64-perm sig × 16 bands ≈ 8 KB/doc) buys per-batch IO bounded
+  *     by the CANDIDATE set; the alternative (one sig row per doc in a
+  *     flat side table) pays an O(corpus) scan per batch — e18's exact
+  *     mistake, transposed.
+  *   - **Bloom sidecar over band keys** (the e19 mechanism, key =
+  *     `bk`): per-batch membership gating is O(bloom bytes) + O(batch)
+  *     hashing, zero state-file reads. Steady-state advance folds only
+  *     the batch's novel keys by bitwise merge; a missing/stale
+  *     sidecar rebuilds from a key-only state scan (the versioned CDF
+  *     catch-up refinement applies verbatim — see
+  *     [[DedupState.loadSidecar]]).
+  *   - **Verification = signature-estimated Jaccard** (matching
+  *     positions / numPerm ≥ τ), the standard LSH-pipeline verify:
+  *     exact shingle Jaccard would need the corpus TEXTS, which a
+  *     rolling 100 TB pipeline cannot re-read per batch. The estimate
+  *     is computed only for Bloom-positive, band-colliding pairs.
+  *
+  * Near-dup batch docs are NOT added to the state (a dedup pipeline
+  * keeps one representative; e19 keeps the same rule for exact dups),
+  * so state growth is bounded by the NOVEL corpus. The advance is one
+  * idempotent ledger-stamped commit per batch — replay is a no-op. */
+object NearDupState {
+
+  private val AppId = "graft-neardup-state"
+  private val NumPerm = 64
+  private val Bands = 16
+  private val Rows = NumPerm / Bands
+
+  private def sidecarDir(state: String) = s"$state/_graft_sidecar"
+  private def binPath(state: String, v: Long) =
+    new HPath(sidecarDir(state), f"band-bloom-v$v%020d.bin")
+  private def metaPath(state: String, v: Long) =
+    new HPath(sidecarDir(state), f"band-bloom-v$v%020d.meta")
+  private def fsOf(spark: SparkSession, state: String): FileSystem =
+    new HPath(state).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** `doc_id`, `sig` (full MinHash), exploded to one row per band with
+    * the reproducible text band key and its hash-partition column. */
+  private def banded(docs: DataFrame, n: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val sigs = base.select(col("doc_id"),
+      graft.functions.SketchExpressions
+        .shingle_minhash(col("toks"), n, NumPerm).as("sig"))
+    sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", (lit(b.toString) +: (0 until Rows).map(r =>
+              col("sig").getItem(b * Rows + r).cast("string"))): _*)
+              .as("bk"))
+        }: _*)).as("x"))
+      .select(col("x.bk").as("bk"), col("x.band").as("band"),
+        col("doc_id"), col("sig"),
+        pmod(xxhash64(col("x.bk")), lit(64L)).cast("int").as("bp"))
+  }
+
+  /** Seed the state from a corpus frame (`doc_id`, `text`) and persist
+    * the v0 band-key Bloom sized 4x for growth headroom. */
+  def init(spark: SparkSession, docs: DataFrame, state: String,
+      n: Int = 3, fpp: Double = 0.01): Unit = {
+    GraftLog.overwritePartitioned(banded(docs, n), state, Seq("bp"))
+    val keys = GraftLog.read(spark, state).select("bk")
+    val cnt = keys.count()
+    val expected = math.max(cnt * 4, 1024L)
+    saveSidecar(spark, state, GraftLog.latestVersion(spark, state).get,
+      keys.stat.bloomFilter("bk", expected, fpp), expected, fpp, cnt)
+  }
+
+  private def saveSidecar(spark: SparkSession, state: String, v: Long,
+      bloom: BloomFilter, expected: Long, fpp: Double,
+      inserted: Long): Unit = {
+    val f = fsOf(spark, state)
+    val out = f.create(binPath(state, v), true)
+    try bloom.writeTo(out) finally out.close()
+    val m = f.create(metaPath(state, v), true)
+    try m.write(
+      s"expected=$expected\nfpp=$fpp\ninserted=$inserted\n"
+        .getBytes("UTF-8"))
+    finally m.close()
+  }
+
+  private[graft] final case class Sidecar(bloom: BloomFilter,
+      expected: Long, fpp: Double, inserted: Long, rebuilt: Boolean)
+
+  /** Newest sidecar at-or-below the table version; missing or
+    * over-capacity → one key-only rebuild at 4x (see class doc for the
+    * CDF catch-up refinement this lean form omits). */
+  private[graft] def loadSidecar(spark: SparkSession, state: String)
+      : Sidecar = {
+    val latest = GraftLog.latestVersion(spark, state).getOrElse(
+      throw new IllegalStateException(s"$state is not a graft table"))
+    val f = fsOf(spark, state)
+    val dir = new HPath(sidecarDir(state))
+    val found: Option[Long] =
+      if (!f.exists(dir)) None
+      else f.listStatus(dir).map(_.getPath.getName).collect {
+        case nm if nm.startsWith("band-bloom-v") && nm.endsWith(".meta") =>
+          nm.stripPrefix("band-bloom-v").stripSuffix(".meta").toLong
+      }.filter(v => v <= latest && f.exists(binPath(state, v)))
+        .sorted.lastOption
+    found match {
+      case Some(v) if v == latest =>
+        val meta = new String(readAll(f, metaPath(state, v)), "UTF-8")
+          .linesIterator.map(_.split('=')).collect {
+            case Array(k, x) => k -> x }.toMap
+        val in = f.open(binPath(state, v))
+        val bloom = try BloomFilter.readFrom(in) finally in.close()
+        Sidecar(bloom, meta("expected").toLong, meta("fpp").toDouble,
+          meta("inserted").toLong, rebuilt = false)
+      case _ => // stale or missing: key-only rebuild, 4x headroom
+        val keys = GraftLog.read(spark, state).select("bk")
+        val cnt = keys.count()
+        val expected = math.max(cnt * 4, 1024L)
+        val bloom = keys.stat.bloomFilter("bk", expected, 0.01)
+        saveSidecar(spark, state, latest, bloom, expected, 0.01, cnt)
+        Sidecar(bloom, expected, 0.01, cnt, rebuilt = true)
+    }
+  }
+
+  private def readAll(f: FileSystem, p: HPath): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var r = in.read(buf)
+      while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Signature-estimated Jaccard: matching positions / numPerm. */
+  private def sigEst(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x).cast("double") / lit(NumPerm)
+
+  /** One rolling step: near-dup verdicts for `batch` (`doc_id`,
+    * `text`) against the CURRENT state, then the state advances by the
+    * non-duplicate docs' band rows in one ledger-stamped commit and
+    * the sidecar rolls forward by bitwise merge. Per-batch cost:
+    * sidecar IO + batch banding + candidate-partition-pruned verify +
+    * O(kept) append. */
+  def probeAndAdvance(spark: SparkSession, state: String,
+      batch: DataFrame, batchId: Long, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sc = loadSidecar(spark, state)
+    val bBloom = spark.sparkContext.broadcast(sc.bloom)
+    val mightContain = udf((k: String) => bBloom.value.mightContainString(k))
+    val b = banded(batch, n).transform(graft.CacheScope.tracked)
+    // Bloom gate: only band keys the state MIGHT contain become
+    // candidates (exact band equality is re-checked by the join below;
+    // Bloom false positives cost one pruned lookup, never a verdict)
+    val cand = b.filter(mightContain(col("bk")))
+      .select(col("bk"), col("bp"), col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"))
+      .transform(graft.CacheScope.tracked)
+    val bps = cand.select("bp").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val stateSide = GraftLog.read(spark, state)
+      .filter(col("bp").isin(bps: _*)) // static partition pruning
+      .select(col("bk"), col("doc_id").as("doc_c"),
+        col("sig").as("sig_c"))
+    val verified = stateSide
+      .join(broadcast(cand), Seq("bk"))
+      .withColumn("est", sigEst(col("sig_b"), col("sig_c")))
+      .filter(col("est") >= threshold)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(countDistinct(col("doc_c")).as("n_near_dups"),
+        round(max(col("est")), 6).as("best_sim"))
+    val verdicts = batch.select(col("doc_id"))
+      .join(verified.withColumn("__hit", lit(true)), Seq("doc_id"), "left")
+      .select(lit(batchId).as("batch_id"), col("doc_id"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("best_sim"),
+        coalesce(col("__hit"), lit(false)).as("is_near_dup"))
+      .transform(graft.CacheScope.tracked)
+    verdicts.count() // verdicts must outlive the advance below
+    val kept = b.join(
+        verdicts.filter(col("is_near_dup")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("bk", "band", "doc_id", "sig", "bp")
+    val keptKeys = kept.select("bk")
+      .transform(graft.CacheScope.tracked)
+    val nKept = keptKeys.count()
+    val committed = GraftLog.txnAppendPartitioned(kept, state, AppId,
+      batchId, Seq("bp"))
+    if (committed) {
+      val v = GraftLog.latestVersion(spark, state).get
+      if (nKept == 0)
+        // the ledger commit advanced the table with zero new keys
+        // (every batch doc was a near-dup) — re-stamp the unchanged
+        // bitset at the new version so the next load stays steady-state
+        saveSidecar(spark, state, v, sc.bloom, sc.expected, sc.fpp,
+          sc.inserted)
+      else if (sc.inserted + nKept > sc.expected) {
+        val keys = GraftLog.read(spark, state).select("bk")
+        val cnt = keys.count()
+        val expected = math.max(cnt * 4, 1024L)
+        saveSidecar(spark, state, v,
+          keys.stat.bloomFilter("bk", expected, sc.fpp), expected,
+          sc.fpp, cnt)
+      } else {
+        sc.bloom.mergeInPlace(
+          keptKeys.stat.bloomFilter("bk", sc.expected, sc.fpp))
+        saveSidecar(spark, state, v, sc.bloom, sc.expected, sc.fpp,
+          sc.inserted + nKept)
+      }
+    }
+    verdicts
+  }
+
+  /** e20 — the registered-query form: e19's two-batch replay shape
+    * (corpus seed, then two batches carrying twins of EARLIER novel
+    * docs) with NEAR-dup verdicts. Batch 2's twins duplicate batch 1's
+    * novel documents, proving the state advanced between batches; batch
+    * 1's twins duplicate the seed corpus. Twins share their source's
+    * exact text → signature similarity 1.0, comfortably over τ; the
+    * oracle replays the full MinHash/band/estimate pipeline in SQL. */
+  def nearDupStateRolling(spark: SparkSession, sfDir: String,
+      split: Long = 300, split2: Long = 450): DataFrame = {
+    val docs = graft.sources.Sources.testTable(spark, sfDir, "documents")
+    val state = graft.sources.Staging.tempDir("graft_ndstate_") +
+      "/bands"
+    init(spark, docs.filter(col("doc_id") < split), state)
+    val b1 = docs.filter(col("doc_id") >= split && col("doc_id") < split2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") < split && col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val b2 = docs.filter(col("doc_id") >= split2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") >= split && col("doc_id") < split2 &&
+          col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val v1 = probeAndAdvance(spark, state, b1, 0L)
+    val v2 = probeAndAdvance(spark, state, b2, 1L)
+    v1.unionByName(v2)
+  }
+}
