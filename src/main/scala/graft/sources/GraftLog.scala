@@ -487,8 +487,26 @@ object GraftLog {
             .getOrElse(c.props) else c.props)
       }
     checkWriterFeatures(table, withMeta.props)
-    if (!putIfAbsent(spark, table, logName(withMeta.version),
-        toJson(withMeta)))
+    // In-commit timestamp monotonicity (Delta `enableInCommitTimestamps`,
+    // the ICT table feature): with many WRITERS (1000-executor clusters
+    // commit from different driver hosts), wall clocks skew — a commit
+    // stamped EARLIER than its predecessor breaks `TIMESTAMP AS OF` /
+    // `table_changes` resolution, which binary-searches the commit
+    // timeline assuming order. Opt-in per table: clamp each commit's
+    // timestamp to strictly after its predecessor's (`prev + 1` on ties
+    // or regression). One extra small-JSON read, only when enabled.
+    val stamped =
+      if (withMeta.version > 0 && withMeta.props
+          .get("graft.enableInCommitTimestamps")
+          .exists(_.equalsIgnoreCase("true")))
+        previousCommit(spark, table, withMeta.version) match {
+          case Some(p) if withMeta.timestampMs <= p.timestampMs =>
+            withMeta.copy(timestampMs = p.timestampMs + 1)
+          case _ => withMeta
+        }
+      else withMeta
+    if (!putIfAbsent(spark, table, logName(stamped.version),
+        toJson(stamped)))
       throw new CommitConflictException(c.version, table)
     // Auto-checkpoint every CheckpointInterval commits (Delta writes one
     // each 10th commit for the same reason): replay cost stays bounded

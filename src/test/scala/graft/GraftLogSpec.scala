@@ -345,6 +345,27 @@ class GraftLogSpec extends AnyFunSuite {
       "live set stays consistent")
   }
 
+  test("in-commit timestamps: strictly monotonic under rapid commits") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 5, "a"), t)                      // v0
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableInCommitTimestamps" -> "true"))             // v1
+    // rapid-fire commits land within the same millisecond routinely;
+    // ICT must keep the timeline STRICTLY increasing anyway
+    (0 until 8).foreach(i =>
+      GraftLog.append(df(i * 10 until i * 10 + 3, "b"), t))
+    val ts = GraftLog.history(spark, t)
+      .orderBy($"version")
+      .select($"version", $"timestamp").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime)
+    val after = ts.filter(_._1 >= 1).map(_._2)
+    assert(after.zip(after.tail).forall { case (a, b) => a < b },
+      s"ICT timeline not strictly increasing: ${after.mkString(",")}")
+    // TIMESTAMP AS OF resolves deterministically on the ordered line
+    val (v3, t3) = ts.find(_._1 == 3L).get
+    assert(GraftLog.versionAt(spark, t, t3) == v3)
+  }
+
   test("symlink manifest: live set exactly, auto-refresh, loud refusals") {
     import scala.jdk.CollectionConverters._
     def lines(t: String): Set[String] = {
