@@ -82,7 +82,12 @@ object NearDupState {
     * the v0 band-key Bloom sized 4x for growth headroom. */
   def init(spark: SparkSession, docs: DataFrame, state: String,
       n: Int = 3, fpp: Double = 0.01): Unit = {
-    GraftLog.overwritePartitioned(banded(docs, n), state, Seq("bp"))
+    // co-locate each bp dir's rows in one task before the hive write —
+    // without this every task slivers a file into every dir (the t40
+    // lesson, applied at the call site because the property cannot
+    // predate the table's first commit)
+    GraftLog.overwritePartitioned(
+      banded(docs, n).repartition(col("bp")), state, Seq("bp"))
     val keys = GraftLog.read(spark, state).select("bk")
     val cnt = keys.count()
     val expected = math.max(cnt * 4, 1024L)
@@ -203,6 +208,7 @@ object NearDupState {
         verdicts.filter(col("is_near_dup")).select("doc_id"),
         Seq("doc_id"), "left_anti")
       .select("bk", "band", "doc_id", "sig", "bp")
+      .repartition(col("bp")) // one writer per dir, not one per task
     val keptKeys = kept.select("bk")
       .transform(graft.CacheScope.tracked)
     val nKept = keptKeys.count()
