@@ -167,6 +167,10 @@ object SparkEntry {
     // star composition: DPP (partitioned fact) + Bloom file skipping
     // (clustered orders) + broadcast dims with parquet pushdown, one plan
     "j13_star_composed" -> ((s, d) => Joins.starComposed(s, d)),
+    // storage-partitioned join: both sides hidden-bucketed on custkey,
+    // read through the DSv2 graft catalog — the merge join plans with
+    // ZERO exchanges (KeyGroupedPartitioning co-partitioning proof)
+    "j14_spj_colocated" -> ((s, d) => Joins.spjColocated(s, d)),
     // unkeyed range join via range binning: interval-containment as an
     // equi-join on bin ids + residual filter (vs the nested-loop theta
     // join the oracle runs)
@@ -516,6 +520,11 @@ object SparkEntry {
     // narrow pages decode under the wide schema beside 64-bit appends
     "t39_type_widening" ->
       ((s, d) => Transactions.typeWidening(s, d)),
+    // liquid (incremental) clustering: each OPTIMIZE clusters ONLY the
+    // files no previous cluster commit produced — O(new data) per run;
+    // both runs' rewritten-file counts pinned at the wave size
+    "t42_liquid_clustering" ->
+      ((s, d) => Transactions.liquidClustering(s, d)),
     // optimized write: AQE-rebalanced ingest — one right-sized file per
     // partition dir instead of (#tasks × #dirs) slivers; twin control
     // table pins the prevention
@@ -855,6 +864,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |  TRUE AS files_bounded, TRUE AS compacted
         |FROM customer""".stripMargin,
+    // t42: both cluster runs rewrote exactly one wave-pair (2 one-file
+    // appends), never the already-clustered bulk; rows verbatim
+    "t42_liquid_clustering" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(2 AS BIGINT) AS first_run_files,
+        |  CAST(2 AS BIGINT) AS second_run_files
+        |FROM orders""".stripMargin,
     "t23_graftlog_clone" ->
       s"""WITH $incCte
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
@@ -3653,6 +3669,14 @@ object SparkEntry {
         |WHERE l.l_returnflag = 'R' AND o.o_orderpriority = '1-URGENT'
         |  AND c.c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // j14: the bucketed layout + SPJ plan are COST-only — the oracle is
+    // the plain custkey join
+    "j14_spj_colocated" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,10)))
+        |    AS DOUBLE), 6) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     "j7_salted_skew_join" ->
       """SELECT flag, flag_name, count(*) AS n_items,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6)

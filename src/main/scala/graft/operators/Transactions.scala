@@ -1896,6 +1896,54 @@ object Transactions {
       .withColumn("compacted", lit(compactions >= 1))
   }
 
+  private val stagedLiquid =
+    new scala.collection.concurrent.TrieMap[String, (String, Long, Long)]
+
+  /** t42 — LIQUID (incremental) clustering: orders lands in four waves
+    * into a table declaring `graft.clusterBy = o_custkey`; an OPTIMIZE
+    * after wave 2 clusters waves 1-2 into zcube A, an OPTIMIZE after
+    * wave 4 clusters ONLY waves 3-4 into zcube B — the second run reads
+    * none of zcube A's files (pinned: `second_run_files` = the wave-3/4
+    * file count, not the table's). Contrast OPTIMIZE ZORDER (t21),
+    * which rewrites the whole table every maintenance cycle — O(table)
+    * per run vs this O(new data), the difference between a nightly
+    * maintenance job that costs a constant and one that grows with the
+    * lake. Row identity is the oracle (clustering must never create,
+    * drop, or duplicate a row); file-level incrementality + probe
+    * pruning are pinned in GraftLogSpec. */
+  def liquidClustering(spark: SparkSession, sfDir: String): DataFrame = {
+    val (t, firstRewrote, secondRewrote) =
+      stagedLiquid.getOrElseUpdate(sfDir, {
+        val dir = graft.sources.Staging.tempDir("graft_txn_") +
+          "/orders_liquid"
+        val ords = Sources.testTable(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+        def wave(i: Int) =
+          ords.filter(col("o_orderkey") % 4 === i).coalesce(1)
+        GraftLog.overwrite(wave(0), dir)                         // v0
+        GraftLog.setProperties(spark, dir,
+          Map("graft.clusterBy" -> "o_custkey"))                 // v1
+        GraftLog.append(wave(1), dir)                            // v2
+        val v3 = GraftLog.clusterIncremental(spark, dir,
+          targetFiles = 2, minFiles = 1)
+        val first = v3.map(v => GraftLog.history(spark, dir)
+          .filter(col("version") === v).select("n_removed_files")
+          .head().getInt(0).toLong).getOrElse(0L)
+        GraftLog.append(wave(2), dir)                            // v4
+        GraftLog.append(wave(3), dir)                            // v5
+        val v6 = GraftLog.clusterIncremental(spark, dir,
+          targetFiles = 2, minFiles = 1)
+        val second = v6.map(v => GraftLog.history(spark, dir)
+          .filter(col("version") === v).select("n_removed_files")
+          .head().getInt(0).toLong).getOrElse(0L)
+        (dir, first, second)
+      })
+    GraftLog.read(spark, t)
+      .withColumn("first_run_files", lit(firstRewrote))
+      .withColumn("second_run_files", lit(secondRewrote))
+  }
+
   private val stagedCmap =
     new scala.collection.concurrent.TrieMap[String, (String, Int)]
 

@@ -1022,6 +1022,54 @@ object GraftLog {
     else replay(spark, table, asOf)._5.toMap
   }
 
+  /** Is `path` a graft table (has a log with at least one commit)? */
+  def isGraftTable(spark: SparkSession, table: String): Boolean =
+    try versions(spark, table).nonEmpty catch { case _: Exception => false }
+
+  /** Live files + their COMMIT-LOGGED sizes + schema: the metadata an
+    * external planner (the V2 SPJ catalog) needs, from one log replay —
+    * zero data files opened, zero filesystem listings. */
+  def liveFilesSized(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): (Seq[(String, Long)], StructType) = {
+    val (live, schema, sizes, _, _, _) = replay(spark, table, asOf)
+    (live.keys.toSeq.map(f => f -> sizes.getOrElse(f, 0L)), schema)
+  }
+
+  /** The SPJ catalog's soundness gate (the t41/d25 rule): it reads data
+    * files directly, so every column must LIVE in the files. Visible
+    * hive layouts (values in dir names), active deletion vectors, and
+    * column mapping refuse loudly and point at `format("graft")`. */
+  private[sources] def requireSpjReadable(spark: SparkSession,
+      table: String, asOf: Option[Long] = None): Unit = {
+    checkReaderFeatures(spark, table, asOf) // the protocol gate first
+    require(deletionVectors(spark, table, asOf).isEmpty,
+      s"$table has active deletion vectors - the SPJ catalog reads " +
+        "files verbatim; read via format(\"graft\") or REORG APPLY " +
+        "(PURGE) first")
+    require(columnMapping(spark, table, asOf).isEmpty,
+      s"$table uses column mapping - the SPJ catalog exposes physical " +
+        "names; read via format(\"graft\")")
+    val (files, _) = snapshot(spark, table, asOf)
+    val visible = files.flatMap(_.split('/').dropRight(1).toSeq)
+      .filter(_.contains('=')) // col=val dirs only, never _data/<uuid>
+      .map(_.takeWhile(_ != '=')).distinct
+      .filterNot(HiddenBucketDir.matches)
+    require(visible.isEmpty,
+      s"$table is hive-partitioned on ${visible.mkString(",")} - " +
+        "partition values live in dir names, not data files; read via " +
+        "format(\"graft\")")
+  }
+
+  /** [[bucketFor]] over a value already in Catalyst INTERNAL form
+    * (UTF8String etc.) — the V2 bucket function's eval path. */
+  private[sources] def bucketForInternal(value: Any,
+      dt: org.apache.spark.sql.types.DataType, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+    val h = XxHash64(Seq(CLit(value, dt)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
+
   /** Read the table at its latest version (or `VERSION AS OF asOf`). An
     * empty live set still yields a correctly-typed empty frame. */
   def read(spark: SparkSession, table: String,
@@ -5035,6 +5083,110 @@ object GraftLog {
       schema.toDDL, System.currentTimeMillis(), stats = s.stats,
       sizes = s.sizes))
     v
+  }
+
+  /** Live files already inside some cluster commit's output — the
+    * per-file "zcube membership" bit Delta's liquid clustering tracks on
+    * its AddFiles. Derived from the log: a live file is clustered iff
+    * the commit that ADDED it was a `cluster` op. Commits whose JSON is
+    * no longer readable (vacuumed history) count as UNclustered — the
+    * only cost of that conservative default is one extra re-cluster of
+    * those files, never wrong results. */
+  def clusteredFiles(spark: SparkSession, table: String): Set[String] = {
+    val live = snapshot(spark, table)._1.toSet
+    versions(spark, table).flatMap { v =>
+      try {
+        val c = readCommit(spark, table, v)
+        if (c.operation == "cluster") c.add else Seq.empty
+      } catch { case _: Exception => Seq.empty }
+    }.toSet intersect live
+  }
+
+  /** INCREMENTAL clustering — the Delta liquid-clustering analog
+    * (`CLUSTER BY` + incremental OPTIMIZE), and the maintenance shape
+    * that makes clustering viable at 100 TB: [[clusterByN]] (Z-ORDER)
+    * rewrites the WHOLE table every run — O(table) per maintenance
+    * cycle, unpayable past a few TB — while this reads ONLY the live
+    * files no previous cluster commit produced (the new data since the
+    * last run), range-clusters them on the table's declared
+    * `graft.clusterBy` columns, and lands them as one new "zcube" in a
+    * single rewrite-only `cluster` commit. Cost per run is O(new data);
+    * the already-clustered bulk is never touched. Skipping benefit is
+    * the same one Z-ORDER buys: per-file min/max stats on the
+    * clustering columns are tight inside every zcube, so point/range
+    * probes prune to a few files per zcube ([[GraftFileIndex]] does the
+    * pruning; the t42 spec pins it).
+    *
+    * Clustering strategy is multi-column RANGE clustering
+    * (`repartitionByRange` over the clustering columns + a local sort)
+    * rather than Delta's Hilbert curves: ranges compose with string
+    * columns, need no rank normalization pass, and give equally tight
+    * first-column bounds; the residual (weaker pruning on trailing
+    * columns than a space-filling curve) is recorded here by design.
+    * Zcubes are never re-merged once written (Delta re-optimizes
+    * undersized zcubes; here `targetFiles` bounds each run's output and
+    * [[maybeAutoCompact]] handles genuine small-file debris).
+    *
+    * Declared via table property `graft.clusterBy = "colA[,colB…]"` —
+    * `OPTIMIZE t` on a table carrying the property routes HERE instead
+    * of [[compact]] (Delta's exact OPTIMIZE-on-liquid-tables contract).
+    * Flat layouts only (liquid clustering REPLACES partitioning);
+    * hive/bucket layouts refuse loudly. Row-tracked tables materialize
+    * stable row ids through the rewrite ([[compact]]'s contract); DVs
+    * must be purged first. Returns the commit version, or None when
+    * fewer than `minFiles` unclustered files exist (steady state:
+    * repeated OPTIMIZE is a metadata-read no-op). OCC per
+    * [[rebaseOnConflict]]. */
+  def clusterIncremental(spark: SparkSession, table: String,
+      targetFiles: Int = 4, minFiles: Int = 2): Option[Long] = {
+    val clusterCols = properties(spark, table).get("graft.clusterBy")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table declares no graft.clusterBy property; set it or use " +
+          "OPTIMIZE ... ZORDER BY / compact()"))
+    require(clusterCols.nonEmpty && clusterCols.size <= 4,
+      s"graft.clusterBy takes 1-4 columns, got ${clusterCols.size}")
+    // rebaseOnConflict is Long-typed; -1 is the "steady state, nothing
+    // unclustered" no-op sentinel
+    val committed = rebaseOnConflict(table, "clusterIncremental") { () =>
+      val vRead = latestVersion(spark, table)
+      requireNoDvs(spark, table, "clusterIncremental")
+      val (files, schema) = snapshot(spark, table)
+      val partCols = layoutPartCols(files)
+      require(partCols.isEmpty,
+        s"$table is partitioned (${partCols.mkString(",")}): liquid " +
+          "clustering replaces partitioning; use OPTIMIZE WHERE / " +
+          "ZORDER BY on partitioned layouts")
+      val cmap = columnMapping(spark, table)
+      val physCols = clusterCols.map(physNameOf(cmap, _))
+      physCols.zip(clusterCols).foreach { case (p, c) =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(p)),
+          s"clustering column $c not in ${schema.fieldNames.mkString(",")}")
+      }
+      val candidates =
+        (files.toSet -- clusteredFiles(spark, table)).toSeq.sorted
+      if (candidates.size < minFiles) -1L
+      else {
+        val tracked = rowTrackingEnabled(spark, table)
+        val cur =
+          if (tracked) {
+            require(cmap.isEmpty,
+              s"$table combines row tracking with column mapping; " +
+                "compact() first")
+            readWithRowIds(spark, table, only = Some(candidates.toSet))
+          } else readSubset(spark, table, candidates, schema)
+        val rewritten = cur
+          .repartitionByRange(targetFiles, physCols.map(col): _*)
+          .sortWithinPartitions(physCols.map(col): _*)
+        val s = stageWithStats(rewritten, table)
+        val v = vRead.map(_ + 1).getOrElse(0L)
+        writeCommit(spark, table, Commit(v, "cluster", s.files,
+          candidates, schema.toDDL, System.currentTimeMillis(),
+          stats = s.stats, sizes = s.sizes))
+        v
+      }
+    }
+    if (committed < 0L) None else Some(committed)
   }
 
   /** Change data feed between two versions: per-key row-level diff with

@@ -208,6 +208,8 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\((.+)\)\s*;?\s*""".r
   private val ShowPropsStmt =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\S+?)\s*;?\s*""".r
+  private val ClusterByStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+CLUSTER\s+BY\s*(?:\(([\w\s,]+)\)|(NONE))\s*;?\s*""".r
   private val SetNotNullStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
   private val DropNotNullStmt =
@@ -325,6 +327,13 @@ final class GraftSqlParser(
       GraftAnalyzeCommand(target)
     case ShowPartitionsStmt(target) if isGraftTable(target) =>
       GraftShowPartitionsCommand(target)
+    // Delta's liquid-clustering DDL: CLUSTER BY (cols) declares the
+    // clustering columns (a property commit — no data moves until the
+    // next OPTIMIZE); CLUSTER BY NONE withdraws the declaration
+    case ClusterByStmt(target, cols, none) if isGraftTable(target) =>
+      GraftClusterByCommand(target,
+        if (none != null) Seq.empty
+        else cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case SetPropsStmt(target, kvs) if isGraftTable(target) =>
       GraftSetPropertiesCommand(target, TblProps.parseKvs(kvs))
     case UnsetPropsStmt(target, ks) if isGraftTable(target) =>
@@ -596,13 +605,40 @@ private object GraftTarget {
   }
 }
 
-/** `OPTIMIZE t [FILES n]` → [[GraftLog.compact]]. */
+/** `OPTIMIZE t [FILES n]` → [[GraftLog.compact]] — UNLESS the table
+  * declares `graft.clusterBy`, in which case OPTIMIZE routes to
+  * [[GraftLog.clusterIncremental]] (Delta's contract: OPTIMIZE on a
+  * liquid-clustered table incrementally clusters new data instead of
+  * blind-compacting; minFiles=1 — an explicit OPTIMIZE clusters
+  * whatever arrived, only the zero-new-data case no-ops). */
 case class GraftOptimizeCommand(target: String, targetFiles: Int)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
-    GraftLog.compact(session, path, targetFiles)
+    if (GraftLog.properties(session, path).contains("graft.clusterBy"))
+      GraftLog.clusterIncremental(session, path, targetFiles,
+        minFiles = 1)
+    else GraftLog.compact(session, path, targetFiles)
     RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t CLUSTER BY (a[, b…]) | NONE` — the liquid-clustering
+  * declaration ([[GraftLog.clusterIncremental]] consumes it; OPTIMIZE
+  * routes by it). A property commit: data moves only at OPTIMIZE. */
+case class GraftClusterByCommand(target: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    if (cols.isEmpty)
+      GraftLog.unsetProperties(session, path, Seq("graft.clusterBy"))
+    else {
+      require(cols.size <= 4,
+        s"CLUSTER BY takes 1-4 columns, got ${cols.size}")
+      GraftLog.setProperties(session, path,
+        Map("graft.clusterBy" -> cols.mkString(",")))
+    }
     Seq.empty
   }
 }

@@ -1456,6 +1456,87 @@ class GraftLogSpec extends AnyFunSuite {
     }
   }
 
+  test("liquid clustering: each run reads only unclustered files") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 20, "w0").coalesce(1), t)          // v0
+    GraftLog.setProperties(spark, t, Map("graft.clusterBy" -> "id"))
+    GraftLog.append(df(20 until 40, "w1").coalesce(1), t)
+    val v1 = GraftLog.clusterIncremental(spark, t,
+      targetFiles = 2, minFiles = 1)
+    assert(v1.nonEmpty)
+    val zcubeA = GraftLog.snapshot(spark, t)._1.toSet
+    assert(GraftLog.clusteredFiles(spark, t) == zcubeA,
+      "after a full-table cluster every live file is clustered")
+    // steady state: nothing unclustered → metadata-read no-op
+    assert(GraftLog.clusterIncremental(spark, t,
+      targetFiles = 2, minFiles = 1).isEmpty)
+    // new waves land, the next run must touch ONLY them
+    GraftLog.append(df(40 until 60, "w2").coalesce(1), t)
+    GraftLog.append(df(60 until 80, "w3").coalesce(1), t)
+    val v2 = GraftLog.clusterIncremental(spark, t,
+      targetFiles = 2, minFiles = 1)
+    assert(v2.nonEmpty)
+    val after = GraftLog.snapshot(spark, t)._1.toSet
+    assert(zcubeA.subsetOf(after),
+      "zcube A's files must be untouched by the incremental run")
+    val h = GraftLog.history(spark, t)
+      .filter(col("version") === v2.get).head()
+    assert(h.getAs[Int]("n_removed_files") == 2,
+      "run 2 rewrote exactly the two new wave files")
+    // row identity
+    assert(GraftLog.read(spark, t).select("id").as[Long].collect().toSet
+      == (0L until 80L).toSet)
+    // clustering buys skipping: a point probe on the clustering column
+    // scans fewer files than the table holds
+    val idx = new graft.sources.GraftFileIndex(spark, t)
+    val probe = org.apache.spark.sql.catalyst.expressions.EqualTo(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "id", org.apache.spark.sql.types.LongType)(),
+      org.apache.spark.sql.catalyst.expressions.Literal(5L))
+    val kept = idx.listFiles(Seq.empty, Seq(probe)).flatMap(_.files).size
+    assert(kept < after.size,
+      s"stats skipping must prune clustered files: kept $kept of ${after.size}")
+  }
+
+  test("liquid clustering: guards — no property, partitioned layout") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "x"), t)
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.clusterIncremental(spark, t)
+    }
+    assert(e.getMessage.contains("graft.clusterBy"))
+    val p = tmp()
+    GraftLog.overwritePartitioned(df(0 until 10, "x"), p, Seq("tag"))
+    GraftLog.setProperties(spark, p, Map("graft.clusterBy" -> "id"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftLog.clusterIncremental(spark, p)
+    }
+    assert(e2.getMessage.contains("partitioned"))
+  }
+
+  test("liquid clustering: OPTIMIZE routes by the CLUSTER BY DDL") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a").coalesce(1), t)
+    spark.sql(s"ALTER TABLE '$t' CLUSTER BY (id)")
+    assert(GraftLog.properties(spark, t).get("graft.clusterBy")
+      .contains("id"))
+    GraftLog.append(df(10 until 20, "b").coalesce(1), t)
+    spark.sql(s"OPTIMIZE '$t'")
+    val ops = GraftLog.history(spark, t).select("operation")
+      .as[String].collect()
+    assert(ops.contains("cluster") && !ops.contains("compact"),
+      s"OPTIMIZE on a liquid table must cluster, got ${ops.mkString(",")}")
+    // CLUSTER BY NONE withdraws the declaration; OPTIMIZE compacts again
+    spark.sql(s"ALTER TABLE '$t' CLUSTER BY NONE")
+    assert(!GraftLog.properties(spark, t).contains("graft.clusterBy"))
+    GraftLog.append(df(20 until 30, "c").coalesce(1), t)
+    spark.sql(s"OPTIMIZE '$t'")
+    val ops2 = GraftLog.history(spark, t).select("operation")
+      .as[String].collect()
+    assert(ops2.contains("compact"),
+      s"OPTIMIZE after CLUSTER BY NONE must compact, got ${ops2.mkString(",")}")
+  }
+
   test("racing overwrites converge to exactly one writer's rows") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 10, "seed"), t)
