@@ -346,10 +346,12 @@ final class GraftSpjScan(spark: SparkSession, path: String,
 
   override def outputPartitioning(): Partitioning =
     table.bucketSpec match {
-      case Some((src, n)) =>
+      // an impossible conjunction can prune to ZERO buckets — report
+      // unknown rather than a 0-partition key grouping
+      case Some((src, n)) if partitions.nonEmpty =>
         new KeyGroupedPartitioning(
           Array(Expressions.bucket(n, src)), partitions.length)
-      case None => new UnknownPartitioning(partitions.length)
+      case _ => new UnknownPartitioning(partitions.length)
     }
 
   override def estimateStatistics(): Statistics = new Statistics {

@@ -1032,7 +1032,14 @@ object GraftLog {
   def liveFilesSized(spark: SparkSession, table: String,
       asOf: Option[Long] = None): (Seq[(String, Long)], StructType) = {
     val (live, schema, sizes, _, _, _) = replay(spark, table, asOf)
-    (live.keys.toSeq.map(f => f -> sizes.getOrElse(f, 0L)), schema)
+    // a zero length would make the V2 parquet read silently EMPTY, so a
+    // file some pre-size-logging commit added falls back to one status
+    // RPC — the exception, never the per-file rule
+    lazy val hfs = fs(spark, table)
+    (live.keys.toSeq.map { f =>
+      f -> (sizes.get(f).filter(_ > 0L).getOrElse(
+        hfs.getFileStatus(new HPath(absPath(table, f))).getLen))
+    }, schema)
   }
 
   /** The SPJ catalog's soundness gate (the t41/d25 rule): it reads data
@@ -5085,21 +5092,24 @@ object GraftLog {
     v
   }
 
-  /** Live files already inside some cluster commit's output — the
-    * per-file "zcube membership" bit Delta's liquid clustering tracks on
-    * its AddFiles. Derived from the log: a live file is clustered iff
-    * the commit that ADDED it was a `cluster` op. Commits whose JSON is
-    * no longer readable (vacuumed history) count as UNclustered — the
-    * only cost of that conservative default is one extra re-cluster of
-    * those files, never wrong results. */
+  /** Zcube-membership pseudo stats key — the per-file "this file is
+    * liquid-clustered" bit Delta tracks on its AddFiles. Riding the
+    * stats map (the `#rowbase`/`#nulls` trick) means checkpoints,
+    * clones, and restores carry membership for FREE: deriving it from
+    * commit ops instead would degrade to O(table) re-clustering the
+    * moment old cluster commits age out of the log (vacuum/checkpoint
+    * subsumption) — at 100 TB exactly the bill liquid exists to avoid.
+    * Z-ORDER outputs deliberately do NOT carry the stamp: they are
+    * clustered by a different strategy (and possibly different
+    * columns), so the first incremental run after a declaration
+    * re-clusters them once. */
+  private[sources] val ZcubeKey = "#zcube"
+
+  /** Live files already inside some [[clusterIncremental]] zcube. One
+    * metadata replay (checkpoint-bounded), zero commit re-reads. */
   def clusteredFiles(spark: SparkSession, table: String): Set[String] = {
-    val live = snapshot(spark, table)._1.toSet
-    versions(spark, table).flatMap { v =>
-      try {
-        val c = readCommit(spark, table, v)
-        if (c.operation == "cluster") c.add else Seq.empty
-      } catch { case _: Exception => Seq.empty }
-    }.toSet intersect live
+    val (live, _, _, _, _, _) = replay(spark, table, None)
+    live.collect { case (f, st) if st.contains(ZcubeKey) => f }.toSet
   }
 
   /** INCREMENTAL clustering — the Delta liquid-clustering analog
@@ -5179,10 +5189,15 @@ object GraftLog {
           .repartitionByRange(targetFiles, physCols.map(col): _*)
           .sortWithinPartitions(physCols.map(col): _*)
         val s = stageWithStats(rewritten, table)
+        // stamp zcube membership into the per-file stats (see ZcubeKey)
+        val stamped = s.stats ++ s.files.map(f =>
+          f -> (s.stats.getOrElse(f,
+            Map.empty[String, (Double, Double)]) +
+            (ZcubeKey -> ((1.0, 1.0)))))
         val v = vRead.map(_ + 1).getOrElse(0L)
         writeCommit(spark, table, Commit(v, "cluster", s.files,
           candidates, schema.toDDL, System.currentTimeMillis(),
-          stats = s.stats, sizes = s.sizes))
+          stats = stamped, sizes = s.sizes))
         v
       }
     }

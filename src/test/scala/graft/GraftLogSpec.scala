@@ -1496,6 +1496,15 @@ class GraftLogSpec extends AnyFunSuite {
     val kept = idx.listFiles(Seq.empty, Seq(probe)).flatMap(_.files).size
     assert(kept < after.size,
       s"stats skipping must prune clustered files: kept $kept of ${after.size}")
+    // zcube membership rides the stats map, so it survives checkpoint
+    // subsumption — the op-derivation alternative would re-cluster the
+    // whole bulk once old cluster commits age out of the log
+    GraftLog.checkpoint(spark, t)
+    assert(GraftLog.clusteredFiles(spark, t) == after,
+      "membership must survive a checkpoint fold")
+    assert(GraftLog.clusterIncremental(spark, t,
+      targetFiles = 2, minFiles = 1).isEmpty,
+      "steady state after checkpoint: nothing to re-cluster")
   }
 
   test("liquid clustering: guards — no property, partitioned layout") {
