@@ -85,7 +85,13 @@ object ExplainDump {
       "d23_copy_into",           // ledger-deduped directory ingest
       "d24_merge_on_extra",      // full-ON cascade read-back
       "e18_dedup_state_persisted", // digest-table Bloom gate + append
-      "j12_dynamic_partition_pruning") // runtime dir pruning via DPP
+      "j12_dynamic_partition_pruning", // runtime dir pruning via DPP
+      "j13_star_composed",       // DPP + bloom skip + CBO broadcast, one plan
+      "j14_spj_colocated",       // storage-partitioned join: ZERO exchanges
+      "t42_liquid_clustering",   // incremental zcube read-back
+      "e19_dedup_state_scalable",  // Bloom sidecar + prefix-pruned probe
+      "e20_neardup_state_rolling", // band-key sidecar + pruned verify
+      "i28_incremental_agg_view")  // CDF fold into the delta-log view
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.ExplainDump)\n\n")
