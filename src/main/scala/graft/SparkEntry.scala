@@ -177,6 +177,10 @@ object SparkEntry {
     "j11_binned_range_join"  -> ((s, d) => Joins.errorBurst(s, d)),
     // LLM-pipeline extensions: deduplication (SURVEY.md §7.6)
     "e1_dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
+    // train-vs-eval contamination with BOTH corpora digest-bucketed and
+    // read through the SPJ catalog: join AND per-digest count run with
+    // zero exchanges — the broadcast-free cross-corpus audit shape
+    "e21_contamination_spj" -> ((s, d) => Dedup.contaminationSpj(s, d)),
     "e2_dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "e7_dedup_ngram_full"       -> ((s, d) => Dedup.ngramJaccardFull(s, d)),
     "e8_dedup_ppjoin"           -> ((s, d) => Dedup.ppjoin(s, d)),
@@ -2670,6 +2674,19 @@ object SparkEntry {
     // by the verification probe, so a plain left join IS the oracle
     // e18: state replay — batch 1 dups against the corpus digest set,
     // batch 2 against corpus ∪ batch 1's digests (the advanced state)
+    // e21: the bucketed layout + SPJ plan are COST-only — the oracle is
+    // the plain digest join with per-digest pair counts
+    "e21_contamination_spj" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |train AS (
+        |  SELECT sha256(text) AS h FROM documents, m
+        |  WHERE doc_id < mx * 7 // 10),
+        |ev AS (
+        |  SELECT sha256(text) AS h FROM documents, m
+        |  WHERE doc_id >= mx * 6 // 10)
+        |SELECT train.h AS content_hash, count(*) AS n_pairs
+        |FROM train JOIN ev ON train.h = ev.h
+        |GROUP BY 1""".stripMargin,
     "e18_dedup_state_persisted" ->
       """WITH corpus AS (
         |  SELECT DISTINCT sha256(text) AS h

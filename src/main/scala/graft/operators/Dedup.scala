@@ -1157,4 +1157,58 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("__dup"), lit(false)).as("is_duplicate"))
   }
+
+  // ---- e21: corpus-vs-corpus contamination, zero exchanges ----
+
+  private val stagedContam =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]
+
+  /** Stage train/eval digest tables hidden-bucketed by their digest
+    * into the SAME bucket count — the layout a lake maintains for a
+    * RECURRING cross-corpus audit. Memoized per corpus. */
+  private def contamTables(spark: SparkSession,
+      sfDir: String): (String, String) =
+    stagedContam.getOrElseUpdate(sfDir, {
+      import graft.sources.GraftLog
+      val docs = Sources.testTable(spark, sfDir, "documents")
+      val base = graft.sources.Staging.tempDir("graft_contam_")
+      val trainDir = base + "/train"
+      val evalDir = base + "/eval"
+      // corpus-relative split: train = first 70%, eval = last 40% — the
+      // 60-70% band overlaps by construction (same integer floor-div
+      // bounds in the oracle SQL)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      GraftLog.overwriteBucketTransform(
+        docs.filter(col("doc_id") < maxId * 7 / 10)
+          .select(sha2(col("text"), 256).as("content_hash")),
+        trainDir, "content_hash", 8)
+      GraftLog.overwriteBucketTransform(
+        docs.filter(col("doc_id") >= maxId * 6 / 10)
+          .select(sha2(col("text"), 256).as("eval_hash")),
+        evalDir, "eval_hash", 8)
+      (trainDir, evalDir)
+    })
+
+  /** e21 — train-vs-eval CONTAMINATION audit as a fully exchange-free
+    * plan: both digest corpora live hidden-bucketed by their digest
+    * (`bucket(8, hash)`), read through the DSv2 SPJ catalog (see
+    * [[graft.sources.GraftCatalog]]), so the equi-join on the digest is
+    * storage-partitioned (zero shuffles) AND the per-digest pair count
+    * groups on the same bucket column (ClusteredDistribution satisfied
+    * by the key-grouped scan) — the WHOLE audit moves no rows between
+    * executors beyond the partition-local sorts. Contrast e16/g-series
+    * contamination, which broadcast one side: that shape dies when both
+    * corpora are 100 TB-class; this one's cost is two pruned columnar
+    * scans, at any pair of sizes, forever. The 60-70% doc_id band
+    * overlaps by construction — the oracle is the plain digest join. */
+  def contaminationSpj(spark: SparkSession, sfDir: String): DataFrame = {
+    Joins.enableSpj(spark)
+    val (trainDir, evalDir) = contamTables(spark, sfDir)
+    val t = spark.table(s"graft_spj.`$trainDir`")
+    val e = spark.table(s"graft_spj.`$evalDir`")
+    t.hint("merge")
+      .join(e.hint("merge"), col("content_hash") === col("eval_hash"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

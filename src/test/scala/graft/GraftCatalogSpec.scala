@@ -155,6 +155,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("e21 contamination audit: the WHOLE plan is exchange-free") {
+    val df = graft.operators.Dedup.contaminationSpj(spark, TestSpark.sf)
+    val plan = executed(df)
+    val shuffles = flatten(plan).collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty,
+      s"join AND per-digest agg must ride the bucket layout:\n$plan")
+    assert(df.count() > 0, "the 600-699 overlap must surface")
+  }
+
   test("V2 time travel: VERSION AS OF through the catalog") {
     val d = Staging.tempDir("graft_spjtt_") + "/t"
     import spark.implicits._
