@@ -88,6 +88,7 @@ object ExplainDump {
       "j12_dynamic_partition_pruning", // runtime dir pruning via DPP
       "j13_star_composed",       // DPP + bloom skip + CBO broadcast, one plan
       "j14_spj_colocated",       // storage-partitioned join: ZERO exchanges
+      "e21_contamination_spj",   // SPJ join + bucket-satisfied agg, no moves
       "t42_liquid_clustering",   // incremental zcube read-back
       "e19_dedup_state_scalable",  // Bloom sidecar + prefix-pruned probe
       "e20_neardup_state_rolling", // band-key sidecar + pruned verify
