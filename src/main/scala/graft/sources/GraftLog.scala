@@ -5148,7 +5148,8 @@ object GraftLog {
     * repeated OPTIMIZE is a metadata-read no-op). OCC per
     * [[rebaseOnConflict]]. */
   def clusterIncremental(spark: SparkSession, table: String,
-      targetFiles: Int = 4, minFiles: Int = 2): Option[Long] = {
+      targetFiles: Int = 4, minFiles: Int = 2,
+      full: Boolean = false): Option[Long] = {
     val clusterCols = properties(spark, table).get("graft.clusterBy")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(throw new IllegalArgumentException(
@@ -5173,8 +5174,13 @@ object GraftLog {
         require(schema.fieldNames.exists(_.equalsIgnoreCase(p)),
           s"clustering column $c not in ${schema.fieldNames.mkString(",")}")
       }
+      // `full` re-clusters EVERYTHING including existing zcubes —
+      // Delta's `OPTIMIZE t FULL`, the statement that re-lays the table
+      // out after the CLUSTER BY columns change (incremental runs never
+      // revisit a zcube, so a column change alone cannot)
       val candidates =
-        (files.toSet -- clusteredFiles(spark, table)).toSeq.sorted
+        if (full) files.sorted
+        else (files.toSet -- clusteredFiles(spark, table)).toSeq.sorted
       if (candidates.size < minFiles) -1L
       else {
         val tracked = rowTrackingEnabled(spark, table)

@@ -144,7 +144,7 @@ object GraftTableChangesTvf {
   * that recognizes the two statements Spark's grammar lacks —
   *
   * {{{
-  *   OPTIMIZE <table|'path'> [FILES n] [ZORDER BY (colA, colB)]
+  *   OPTIMIZE <table|'path'> [FILES n] [ZORDER BY (colA, colB)] [FULL]
   *   VACUUM   <table|'path'> RETAIN n VERSIONS
   * }}}
   *
@@ -157,7 +157,7 @@ final class GraftSqlParser(
   import org.apache.spark.sql.types.{DataType, StructType}
 
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+FILES\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(\s+FULL)?\s*;?\s*""".r
   private val ReorgStmt =
     """(?is)\s*REORG\s+TABLE\s+(\S+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val VacuumStmt =
@@ -227,19 +227,23 @@ final class GraftSqlParser(
       GraftCopyIntoCommand(target, src, fmt,
         if (opts == null) Map.empty else TblProps.parseKvs(opts),
         force != null)
-    case OptimizeStmt(target, where, files, zcols)
+    case OptimizeStmt(target, where, files, zcols, full)
         if ownsTarget(target) =>
       if (where != null) {
-        require(zcols == null && files == null,
-          "OPTIMIZE … WHERE composes with neither FILES nor ZORDER " +
-            "(partition-scoped compaction compacts each matching " +
+        require(zcols == null && files == null && full == null,
+          "OPTIMIZE … WHERE composes with neither FILES, ZORDER nor " +
+            "FULL (partition-scoped compaction compacts each matching " +
             "partition to one file)")
         GraftOptimizeWhereCommand(target, where.trim)
-      } else if (zcols != null) GraftZOrderCommand(target,
-        zcols.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
-        Option(files).map(_.toInt).getOrElse(8))
-      else GraftOptimizeCommand(target,
-        Option(files).map(_.toInt).getOrElse(1))
+      } else if (zcols != null) {
+        require(full == null,
+          "OPTIMIZE … FULL is the liquid-clustering statement; ZORDER " +
+            "BY always rewrites the whole table")
+        GraftZOrderCommand(target,
+          zcols.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
+          Option(files).map(_.toInt).getOrElse(8))
+      } else GraftOptimizeCommand(target,
+        Option(files).map(_.toInt).getOrElse(1), full != null)
     // Delta ships the same statement (REORG … APPLY (PURGE)), so only
     // graft-owned targets are captured
     case ReorgStmt(target) if ownsTarget(target) =>
@@ -611,14 +615,21 @@ private object GraftTarget {
   * liquid-clustered table incrementally clusters new data instead of
   * blind-compacting; minFiles=1 — an explicit OPTIMIZE clusters
   * whatever arrived, only the zero-new-data case no-ops). */
-case class GraftOptimizeCommand(target: String, targetFiles: Int)
-    extends LeafRunnableCommand {
+case class GraftOptimizeCommand(target: String, targetFiles: Int,
+    full: Boolean = false) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
     if (GraftLog.properties(session, path).contains("graft.clusterBy"))
+      // FULL re-clusters existing zcubes too — Delta's statement for
+      // "the CLUSTER BY columns changed, re-lay the table out"
       GraftLog.clusterIncremental(session, path, targetFiles,
-        minFiles = 1)
-    else GraftLog.compact(session, path, targetFiles)
+        minFiles = 1, full = full)
+    else {
+      require(!full,
+        s"OPTIMIZE $target FULL needs a graft.clusterBy declaration " +
+          "(ALTER TABLE ... CLUSTER BY); plain OPTIMIZE compacts")
+      GraftLog.compact(session, path, targetFiles)
+    }
     RefreshAfterDml(session, path, None)
     Seq.empty
   }

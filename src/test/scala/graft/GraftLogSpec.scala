@@ -1546,6 +1546,31 @@ class GraftLogSpec extends AnyFunSuite {
       s"OPTIMIZE after CLUSTER BY NONE must compact, got ${ops2.mkString(",")}")
   }
 
+  test("liquid clustering: OPTIMIZE FULL re-clusters after a column change") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 20, "a").coalesce(1), t)
+    spark.sql(s"ALTER TABLE '$t' CLUSTER BY (id)")
+    GraftLog.append(df(20 until 40, "b").coalesce(1), t)
+    spark.sql(s"OPTIMIZE '$t'")
+    val zcubeA = GraftLog.snapshot(spark, t)._1.toSet
+    // the clustering columns change; incremental runs never revisit a
+    // zcube, so plain OPTIMIZE is a no-op — FULL re-lays everything out
+    spark.sql(s"ALTER TABLE '$t' CLUSTER BY (tag)")
+    spark.sql(s"OPTIMIZE '$t'")
+    assert(GraftLog.snapshot(spark, t)._1.toSet == zcubeA,
+      "incremental OPTIMIZE must not revisit existing zcubes")
+    spark.sql(s"OPTIMIZE '$t' FULL")
+    val after = GraftLog.snapshot(spark, t)._1.toSet
+    assert((after intersect zcubeA).isEmpty,
+      "FULL must rewrite every file under the new clustering")
+    assert(GraftLog.read(spark, t).count() == 40)
+    // FULL without a declaration refuses
+    val p = tmp()
+    GraftLog.overwrite(df(0 until 5, "x"), p)
+    val e = intercept[Exception](spark.sql(s"OPTIMIZE '$p' FULL"))
+    assert(e.getMessage.contains("graft.clusterBy"))
+  }
+
   test("racing overwrites converge to exactly one writer's rows") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 10, "seed"), t)
