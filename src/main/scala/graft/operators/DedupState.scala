@@ -45,6 +45,27 @@ import graft.sources.GraftLog
   * brief adds. Delta parity: the sidecar plays the role Delta's
   * `autoCompact`-era aggregate sketches play for OPTIMIZE planning —
   * commit-versioned derived state beside the log, never inside it. */
+/** Shared atomic sidecar IO: tmp + rename, so a reader that found the
+  * meta never opens a half-written bin, and a crash mid-save leaves no
+  * torn pair — losing the rename race to a concurrent saver of the same
+  * version is a no-op (both wrote the same state; the GraftLog
+  * checkpoint-writer convention). Used by [[DedupState]] and
+  * [[NearDupState]]. */
+private[operators] object SidecarIO {
+  def write(f: FileSystem, dir: String, bin: HPath, meta: HPath,
+      bloom: BloomFilter, metaBody: String): Unit = {
+    f.mkdirs(new HPath(dir))
+    val tmpB = new HPath(dir, s".bloom-${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmpB, true)
+    try bloom.writeTo(out) finally out.close()
+    if (!f.rename(tmpB, bin)) { f.delete(tmpB, false); () }
+    val tmpM = new HPath(dir, s".meta-${java.util.UUID.randomUUID()}.tmp")
+    val mo = f.create(tmpM, true)
+    try mo.write(metaBody.getBytes("UTF-8")) finally mo.close()
+    if (!f.rename(tmpM, meta)) { f.delete(tmpM, false); () }
+  }
+}
+
 object DedupState {
 
   private val AppId = "graft-dedup-state-v2"
@@ -135,9 +156,10 @@ object DedupState {
           saveSidecar(spark, state, latest, bloom, expected, fpp,
             inserted, prefixLen)
         }
-        if (inserted > expected) rebuild(spark, state, latest, fpp,
-          prefixLen)
-        else Sidecar(bloom, latest, expected, fpp, inserted, prefixLen,
+        // invariant: every save path keeps inserted <= expected (the
+        // catch-up branch above rebuilds BEFORE overflowing), so no
+        // re-check is needed here
+        Sidecar(bloom, latest, expected, fpp, inserted, prefixLen,
           missing, rebuilt = false)
       case None =>
         // no sidecar (pre-existing table adopted into this flow):
@@ -178,24 +200,10 @@ object DedupState {
   private def saveSidecar(spark: SparkSession, state: String, v: Long,
       bloom: BloomFilter, expected: Long, fpp: Double, inserted: Long,
       prefixLen: Int): Unit = {
-    val f = fsOf(spark, state)
-    f.mkdirs(new HPath(sidecarDir(state)))
-    // tmp + rename: a concurrent saver of the same version wrote the
-    // same state — losing the rename is a no-op (the GraftLog
-    // checkpoint-writer convention)
-    val tmpB = new HPath(sidecarDir(state),
-      s".bloom-${java.util.UUID.randomUUID()}.tmp")
-    val out = f.create(tmpB, true)
-    try bloom.writeTo(out) finally out.close()
-    if (!f.rename(tmpB, binPath(state, v))) { f.delete(tmpB, false); () }
-    val tmpM = new HPath(sidecarDir(state),
-      s".meta-${java.util.UUID.randomUUID()}.tmp")
-    val mo = f.create(tmpM, true)
-    try mo.write(
-      (s"expected=$expected\nfpp=$fpp\ninserted=$inserted\n" +
-        s"prefixLen=$prefixLen\n").getBytes("UTF-8"))
-    finally mo.close()
-    if (!f.rename(tmpM, metaPath(state, v))) { f.delete(tmpM, false); () }
+    SidecarIO.write(fsOf(spark, state), sidecarDir(state),
+      binPath(state, v), metaPath(state, v), bloom,
+      s"expected=$expected\nfpp=$fpp\ninserted=$inserted\n" +
+        s"prefixLen=$prefixLen\n")
   }
 
   /** The exact-verification probe: digests of `cand`

@@ -97,16 +97,12 @@ object NearDupState {
 
   private def saveSidecar(spark: SparkSession, state: String, v: Long,
       bloom: BloomFilter, expected: Long, fpp: Double,
-      inserted: Long): Unit = {
-    val f = fsOf(spark, state)
-    val out = f.create(binPath(state, v), true)
-    try bloom.writeTo(out) finally out.close()
-    val m = f.create(metaPath(state, v), true)
-    try m.write(
-      s"expected=$expected\nfpp=$fpp\ninserted=$inserted\n"
-        .getBytes("UTF-8"))
-    finally m.close()
-  }
+      inserted: Long): Unit =
+    // atomic tmp+rename via the shared helper: a concurrent loader that
+    // found the meta must never open a half-written bin
+    SidecarIO.write(fsOf(spark, state), sidecarDir(state),
+      binPath(state, v), metaPath(state, v), bloom,
+      s"expected=$expected\nfpp=$fpp\ninserted=$inserted\n")
 
   private[graft] final case class Sidecar(bloom: BloomFilter,
       expected: Long, fpp: Double, inserted: Long, rebuilt: Boolean)

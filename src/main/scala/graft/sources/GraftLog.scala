@@ -469,11 +469,22 @@ object GraftLog {
     val inheritGen = c.generated.isEmpty && c.version > 0
     val inheritProps = c.props.isEmpty && c.version > 0 &&
       !PropsAuthoritative(c.operation)
+    // the previous commit feeds BOTH metadata inheritance and the ICT
+    // clamp below; fetch it at most once per commit (an extra GET per
+    // commit is real money on an object store's hot write path)
+    var prevFetched: Option[Option[Commit]] = None
+    def prevOnce: Option[Commit] = prevFetched match {
+      case Some(p) => p
+      case None =>
+        val p = previousCommit(spark, table, c.version)
+        prevFetched = Some(p)
+        p
+    }
     val withMeta =
       if (!inheritMap && !inheritChecks && !inheritTags && !inheritGen &&
           !inheritProps) c
       else {
-        val prev = previousCommit(spark, table, c.version)
+        val prev = prevOnce
         c.copy(
           colMap = if (inheritMap) prev.map(_.colMap)
             .getOrElse(c.colMap) else c.colMap,
@@ -499,7 +510,7 @@ object GraftLog {
       if (withMeta.version > 0 && withMeta.props
           .get("graft.enableInCommitTimestamps")
           .exists(_.equalsIgnoreCase("true")))
-        previousCommit(spark, table, withMeta.version) match {
+        prevOnce match {
           case Some(p) if withMeta.timestampMs <= p.timestampMs =>
             withMeta.copy(timestampMs = p.timestampMs + 1)
           case _ => withMeta
@@ -3028,10 +3039,27 @@ object GraftLog {
     require(!partCols.exists(_.equalsIgnoreCase(name)),
       s"widenColumn: $name is a partition column; rewrite the layout " +
         "instead (path-parsed values key on the declared type)")
+    // hidden-bucket SOURCE columns refuse too: xxhash64 hashes int and
+    // long inputs differently, so widening the source type would make
+    // planner-side bucketFor probes (mayMatchBucket, the SPJ catalog)
+    // disagree with where the writer placed the rows — a silent
+    // definite-miss prune of live data. Covers both path-derived specs
+    // and the declared graft.partitionSpec (spec evolution).
+    val bucketSrcs = partCols.collect {
+      case HiddenBucketDir(_, src) => src
+    } ++ bucketSpecOf(properties(spark, table)).map(_._1)
+    require(!bucketSrcs.exists(_.equalsIgnoreCase(name)),
+      s"widenColumn: $name is a hidden-bucket source column; the " +
+        "bucket hash is type-sensitive — rewrite the layout " +
+        "(overwriteBucketTransform) under the wide type instead")
+    // identifier-boundary match, not substring: a constraint on
+    // band_id must not block widening id
     val refs = checkConstraints(spark, table).values ++
       generatedColumns(spark, table).values
-    require(!refs.exists(_.toLowerCase
-        .contains(name.toLowerCase)),
+    val ident = java.util.regex.Pattern.compile(
+      "(?i)(?<![A-Za-z0-9_])" +
+        java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])")
+    require(!refs.exists(r => ident.matcher(r).find()),
       s"widenColumn: $name is referenced by a CHECK constraint or " +
         "generated-column expression; drop it first")
     val p = physNameOf(cmap, name)
@@ -4667,16 +4695,31 @@ object GraftLog {
 
   def maybeAutoCompact(spark: SparkSession, table: String)
       : Option[Long] = {
-    val props = properties(spark, table)
-    if (!props.get("graft.autoCompact").exists(_.equalsIgnoreCase("true")))
-      None
-    else {
-      val minN = props.get("graft.autoCompact.minNumFiles")
-        .map(_.trim.toInt).getOrElse(16)
-      val maxSmall = props.get("graft.autoCompact.maxFileSize")
-        .map(_.trim.toLong).getOrElse(128L << 20)
-      try autoCompactOnce(spark, table, minN, maxSmall)
-      catch { case _: CommitConflictException => None } // abandon, never retry
+    // BEST-EFFORT end to end: the caller's data commit is already
+    // durable when this hook runs, so ANY failure here (conflict,
+    // transient FS error, a malformed property value) must not
+    // propagate — a caller that saw its append "fail" after the commit
+    // landed would retry the batch and double-ingest. Conflicts abandon
+    // by policy (maintenance never contends with ingest); everything
+    // else abandons with a warning. Same contract as
+    // maybeUpdateManifest.
+    try {
+      val props = properties(spark, table)
+      if (!props.get("graft.autoCompact")
+          .exists(_.equalsIgnoreCase("true"))) None
+      else {
+        val minN = props.get("graft.autoCompact.minNumFiles")
+          .map(_.trim.toInt).getOrElse(16)
+        val maxSmall = props.get("graft.autoCompact.maxFileSize")
+          .map(_.trim.toLong).getOrElse(128L << 20)
+        autoCompactOnce(spark, table, minN, maxSmall)
+      }
+    } catch {
+      case _: CommitConflictException => None // abandon, never retry
+      case scala.util.control.NonFatal(e) =>
+        println(s"[graft] WARN: autoCompact of $table abandoned: " +
+          s"${e.getMessage}")
+        None
     }
   }
 

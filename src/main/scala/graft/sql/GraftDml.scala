@@ -243,7 +243,7 @@ final class GraftSqlParser(
           zcols.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
           Option(files).map(_.toInt).getOrElse(8))
       } else GraftOptimizeCommand(target,
-        Option(files).map(_.toInt).getOrElse(1), full != null)
+        Option(files).map(_.toInt), full != null)
     // Delta ships the same statement (REORG … APPLY (PURGE)), so only
     // graft-owned targets are captured
     case ReorgStmt(target) if ownsTarget(target) =>
@@ -615,20 +615,24 @@ private object GraftTarget {
   * liquid-clustered table incrementally clusters new data instead of
   * blind-compacting; minFiles=1 — an explicit OPTIMIZE clusters
   * whatever arrived, only the zero-new-data case no-ops). */
-case class GraftOptimizeCommand(target: String, targetFiles: Int,
-    full: Boolean = false) extends LeafRunnableCommand {
+case class GraftOptimizeCommand(target: String,
+    targetFiles: Option[Int], full: Boolean = false)
+    extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftTarget.pathOf(session, target)
     if (GraftLog.properties(session, path).contains("graft.clusterBy"))
       // FULL re-clusters existing zcubes too — Delta's statement for
-      // "the CLUSTER BY columns changed, re-lay the table out"
-      GraftLog.clusterIncremental(session, path, targetFiles,
-        minFiles = 1, full = full)
+      // "the CLUSTER BY columns changed, re-lay the table out". With
+      // no FILES clause each route keeps its OWN default: compaction
+      // wants one file, clustering wants several (a 1-file zcube has
+      // no min/max resolution — the pruning the feature exists for)
+      GraftLog.clusterIncremental(session, path,
+        targetFiles.getOrElse(4), minFiles = 1, full = full)
     else {
       require(!full,
         s"OPTIMIZE $target FULL needs a graft.clusterBy declaration " +
           "(ALTER TABLE ... CLUSTER BY); plain OPTIMIZE compacts")
-      GraftLog.compact(session, path, targetFiles)
+      GraftLog.compact(session, path, targetFiles.getOrElse(1))
     }
     RefreshAfterDml(session, path, None)
     Seq.empty

@@ -509,6 +509,24 @@ class GraftLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraftLog.widenColumn(spark, tp, "p", LongType)
     }
+    // hidden-bucket SOURCE columns refuse: xxhash64 is type-sensitive,
+    // so widening the source would silently desync planner-side bucket
+    // probes from the written layout (a definite-miss prune of live rows)
+    val tb = tmp() + "_b"
+    GraftLog.overwriteBucketTransform(
+      (0 until 12).map(i => (i, s"v$i")).toDF("k", "v"), tb, "k", 4)
+    val eb = intercept[IllegalArgumentException] {
+      GraftLog.widenColumn(spark, tb, "k", LongType)
+    }
+    assert(eb.getMessage.contains("bucket"))
+    // …but an identifier-BOUNDARY constraint match must not block an
+    // unrelated column: a check on band_id does not reference id
+    val tc = tmp() + "_c"
+    GraftLog.overwrite((0 until 5).map(i => (i, i.toLong))
+      .toDF("id", "band_id"), tc)
+    GraftLog.addConstraint(spark, tc, "pos", "band_id >= 0")
+    GraftLog.widenColumn(spark, tc, "id", LongType) // must not throw
+    assert(GraftLog.snapshot(spark, tc)._2("id").dataType == LongType)
   }
 
   test("replaceWhere replaces exactly the slice, atomically, in one commit") {
