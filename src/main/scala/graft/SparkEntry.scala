@@ -97,6 +97,10 @@ object SparkEntry {
     // auto-refresh is pinned by reading ONLY through the manifest
     "d25_symlink_manifest" ->
       ((s, d) => Ddl.graftSqlSymlinkManifest(s, d)),
+    // column DEFAULTs: omitted columns fill from declared constant
+    // expressions at write time; supplied values always win
+    "d26_column_defaults" ->
+      ((s, d) => Ddl.graftSqlColumnDefaults(s, d)),
     // column-level ANALYZE: one-pass KMV ndv + min/max + null counts,
     // log-persisted and pushed to the catalog as CBO statistics
     "d20_analyze_columns" ->
@@ -1712,6 +1716,17 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS second_run_files,
         |  CAST(0 AS BIGINT) AS second_run_rows
         |FROM customer""".stripMargin,
+    // d26: defaults re-derived as literals — the omitted-both feed gets
+    // both fills, the acctbal-carrying feed keeps its own values
+    "d26_column_defaults" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, CAST(0.0 AS DOUBLE),
+        |  'UNSPECIFIED'
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey + 2000000, c_name, c_acctbal, 'UNSPECIFIED'
+        |FROM customer WHERE c_custkey % 10 = 3""".stripMargin,
     // d25: the manifest-routed read must equal the post-DELETE table;
     // manifest_per_partition pins one manifest file per segment dir
     "d25_symlink_manifest" ->

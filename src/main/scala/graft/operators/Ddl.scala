@@ -254,6 +254,40 @@ object Ddl {
       .withColumn("second_run_rows", lit(again.getLong(2)))
   }
 
+  /** d26 — column DEFAULTs (standard SQL `ALTER COLUMN … SET DEFAULT`,
+    * Delta's `defaults` writer feature): the table declares constant
+    * fill expressions for `c_acctbal` and `c_mktsegment` in one
+    * metadata commit each; an append that OMITS both columns gets them
+    * filled at write time (supplied values always win — the second
+    * append carries its own `c_acctbal` and keeps it). Omitting a
+    * column with no default still refuses loudly (pinned in
+    * GraftLogSpec). The oracle re-derives the fills as literals. */
+  def graftSqlColumnDefaults(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = graft.sources.Staging.tempDir("graft_defaults_") + "/cust"
+    val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+    graft.sources.GraftLog.overwrite(cust, t)                     // v0
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN c_mktsegment " +
+      "SET DEFAULT 'UNSPECIFIED'")                                // v1
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN c_acctbal " +
+      "SET DEFAULT CAST(0.0 AS DOUBLE)")                          // v2
+    // a narrow feed omitting BOTH defaulted columns
+    graft.sources.GraftLog.append(
+      cust.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          col("c_name")), t)                                      // v3
+    // a feed carrying ONE of them: the supplied value wins
+    graft.sources.GraftLog.append(
+      cust.filter(col("c_custkey") % 10 === 3)
+        .select((col("c_custkey") + 2000000).as("c_custkey"),
+          col("c_name"), col("c_acctbal")), t)                    // v4
+    graft.sources.GraftLog.read(spark, t)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+  }
+
   /** d25 — symlink-format manifest export (Delta's GENERATE +
     * `delta.compatibility.symlinkFormatManifest.enabled`): the bridge
     * to engines with NO graft-log reader. A partitioned customer table

@@ -2028,7 +2028,12 @@ object GraftLog {
         // the batch carries LOGICAL names; enforce against the logical
         // schema, then stage under the table's PHYSICAL names so every
         // data file stays uniformly physical under column mapping
-        val dfG0 = applyGenerated(df, gens0, "append")
+        // declared DEFAULTs fill omitted columns BEFORE enforcement
+        // (standard SQL / Delta `defaults`); a missing column with no
+        // default still refuses in enforceSchema below
+        val dfD = fillDefaults(df,
+          logicalSchema(cur, cmap), columnDefaults(spark, table))
+        val dfG0 = applyGenerated(dfD, gens0, "append")
         val (dfG, g2) = allocateIdentity(spark, dfG0, gens0)
         val logicalOk =
           enforceSchema(dfG, logicalSchema(cur, cmap), "append")
@@ -2250,6 +2255,71 @@ object GraftLog {
     }
   }
 
+  /** Declared column DEFAULTs (Delta's `defaults` writer feature /
+    * standard SQL `DEFAULT` clauses): LOWERCASE logical column name →
+    * SQL expression, from `graft.default.<col>` properties. A write
+    * that omits a defaulted column gets the expression's value
+    * ([[append]] fills before schema enforcement); omitting a column
+    * with NO default still refuses loudly. */
+  def columnDefaults(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Map[String, String] =
+    properties(spark, table, asOf).collect {
+      case (k, v) if k.startsWith("graft.default.") =>
+        k.stripPrefix("graft.default.").toLowerCase -> v
+    }
+
+  /** `ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>` — one
+    * metadata-only commit that records the default AND declares the
+    * `defaultColumns` writer feature atomically (an engine unaware of
+    * defaults would refuse the omitted-column write instead of
+    * mis-filling it, but the declaration keeps the contract explicit).
+    * The expression must be CONSTANT (evaluable with no input row —
+    * standard SQL's literal-or-function-call rule) and cast losslessly
+    * to the column's type; generated/identity columns and partition
+    * columns refuse. */
+  def setColumnDefault(spark: SparkSession, table: String,
+      name: String, exprStr: String): Long =
+      rebaseOnConflict(table, "set_default") { () =>
+    val vRead = latestVersion(spark, table)
+    require(vRead.nonEmpty, s"$table is not a graft table")
+    val (files, phys) = snapshot(spark, table)
+    val logical = logicalSchema(phys, columnMapping(spark, table))
+    val f = logical.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"SET DEFAULT: no column $name in $table " +
+          s"(has ${logical.fieldNames.mkString(",")})"))
+    require(!generatedColumns(spark, table).keys
+        .exists(_.equalsIgnoreCase(name)),
+      s"SET DEFAULT: $name is a generated/identity column")
+    require(!layoutPartCols(files).exists(_.equalsIgnoreCase(name)),
+      s"SET DEFAULT: $name is a partition column")
+    // constant + type check: analyze against a ZERO-COLUMN frame so any
+    // column reference fails resolution (spark.range would leak an `id`
+    // column into scope)
+    try spark.emptyDataFrame
+      .select(expr(exprStr).cast(f.dataType)).collect()
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"SET DEFAULT: '$exprStr' is not a constant expression " +
+          s"castable to ${f.dataType.simpleString}: ${e.getMessage}")
+    }
+    val v = vRead.get + 1
+    writeCommit(spark, table, Commit(v, "set_properties",
+      Seq.empty, Seq.empty, phys.toDDL, System.currentTimeMillis(),
+      props = withFeature(
+        properties(spark, table) +
+          (s"graft.default.${name.toLowerCase}" -> exprStr),
+        WriterFeaturesKey, "defaultColumns")))
+    v
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c DROP DEFAULT` (missing default =
+    * no-op, matching SQL). */
+  def dropColumnDefault(spark: SparkSession, table: String,
+      name: String): Long =
+    unsetProperties(spark, table,
+      Seq(s"graft.default.${name.toLowerCase}"))
+
   /** `ALTER TABLE … SET TBLPROPERTIES` — merge `kvs` over the current
     * map in a metadata-only commit (no files touched). Keys are
     * case-sensitive, matching Spark's TBLPROPERTIES semantics. */
@@ -2327,7 +2397,8 @@ object GraftLog {
     * implicitly required of writers too — a writer reads first). */
   private[sources] val SupportedWriterFeatures =
     SupportedReaderFeatures ++
-      Set("rowTracking", "checkConstraints", "generatedColumns")
+      Set("rowTracking", "checkConstraints", "generatedColumns",
+        "defaultColumns")
 
   private def parseFeatures(props: Map[String, String],
       key: String): Set[String] =
@@ -2759,6 +2830,20 @@ object GraftLog {
     * ALWAYS engine-allocated ([[allocateIdentity]], run by the caller
     * after this), so a batch supplying one is rejected — GENERATED
     * ALWAYS means always. */
+  /** Fill columns the batch omits from their declared DEFAULT
+    * expressions (see [[columnDefaults]]); columns present pass through
+    * untouched — a supplied value always wins over the default. */
+  private def fillDefaults(df: DataFrame, logical: StructType,
+      defaults: Map[String, String]): DataFrame =
+    if (defaults.isEmpty) df
+    else logical.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+      else defaults.get(f.name.toLowerCase) match {
+        case Some(e) => d.withColumn(f.name, expr(e).cast(f.dataType))
+        case None    => d
+      }
+    }
+
   private def applyGenerated(df: DataFrame, gens: Map[String, String],
       ctx: String): DataFrame =
     if (gens.isEmpty) df

@@ -210,6 +210,10 @@ final class GraftSqlParser(
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\S+?)\s*;?\s*""".r
   private val ClusterByStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+CLUSTER\s+BY\s*(?:\(([\w\s,]+)\)|(NONE))\s*;?\s*""".r
+  private val SetDefaultStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
+  private val DropDefaultStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*""".r
   private val SetNotNullStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
   private val DropNotNullStmt =
@@ -331,6 +335,12 @@ final class GraftSqlParser(
       GraftAnalyzeCommand(target)
     case ShowPartitionsStmt(target) if isGraftTable(target) =>
       GraftShowPartitionsCommand(target)
+    // standard SQL column DEFAULTs: a metadata commit declaring the
+    // fill expression; writes that omit the column get it
+    case SetDefaultStmt(target, colName, dexpr) if isGraftTable(target) =>
+      GraftSetDefaultCommand(target, colName, Some(dexpr.trim))
+    case DropDefaultStmt(target, colName) if isGraftTable(target) =>
+      GraftSetDefaultCommand(target, colName, None)
     // Delta's liquid-clustering DDL: CLUSTER BY (cols) declares the
     // clustering columns (a property commit — no data moves until the
     // next OPTIMIZE); CLUSTER BY NONE withdraws the declaration
@@ -635,6 +645,20 @@ case class GraftOptimizeCommand(target: String,
       GraftLog.compact(session, path, targetFiles.getOrElse(1))
     }
     RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT` →
+  * [[GraftLog.setColumnDefault]] / [[GraftLog.dropColumnDefault]]. */
+case class GraftSetDefaultCommand(target: String, column: String,
+    dexpr: Option[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftTarget.pathOf(session, target)
+    dexpr match {
+      case Some(e) => GraftLog.setColumnDefault(session, path, column, e)
+      case None    => GraftLog.dropColumnDefault(session, path, column)
+    }
     Seq.empty
   }
 }

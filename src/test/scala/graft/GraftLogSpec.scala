@@ -1589,6 +1589,42 @@ class GraftLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft.clusterBy"))
   }
 
+  test("column defaults: omitted columns fill, supplied values win") {
+    val t = tmp()
+    GraftLog.overwrite((0 until 5).map(i => (i.toLong, s"n$i", 1.5, "A"))
+      .toDF("id", "nm", "bal", "seg"), t)
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN seg SET DEFAULT 'X'")
+    spark.sql(
+      s"ALTER TABLE '$t' ALTER COLUMN bal SET DEFAULT CAST(0.0 AS DOUBLE)")
+    // both omitted → both fill
+    GraftLog.append(Seq((100L, "new")).toDF("id", "nm"), t)
+    val r = GraftLog.read(spark, t).filter($"id" === 100L).head()
+    assert(r.getAs[Double]("bal") == 0.0 && r.getAs[String]("seg") == "X")
+    // supplied wins over the default
+    GraftLog.append(Seq((101L, "own", 9.9)).toDF("id", "nm", "bal"), t)
+    val r2 = GraftLog.read(spark, t).filter($"id" === 101L).head()
+    assert(r2.getAs[Double]("bal") == 9.9 && r2.getAs[String]("seg") == "X")
+    // no default on nm: omitting it still refuses
+    intercept[IllegalArgumentException] {
+      GraftLog.append(Seq(Tuple1(102L)).toDF("id"), t)
+    }
+    // DROP DEFAULT: omission refuses again
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN seg DROP DEFAULT")
+    intercept[IllegalArgumentException] {
+      GraftLog.append(Seq((103L, "z")).toDF("id", "nm"), t)
+    }
+    // non-constant / ill-typed default expressions refuse at SET time
+    intercept[IllegalArgumentException] {
+      GraftLog.setColumnDefault(spark, t, "bal", "id + 1")
+    }
+    // the declaring commit carried the writer feature atomically
+    assert(GraftLog.properties(spark, t)
+      .get("graft.protocol.writerFeatures")
+      .exists(_.contains("defaultColumns")))
+    // time travel: pre-declaration versions unaffected
+    assert(GraftLog.readVersion(spark, t, 0L).count() == 5)
+  }
+
   test("racing overwrites converge to exactly one writer's rows") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 10, "seed"), t)
