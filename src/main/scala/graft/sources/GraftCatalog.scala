@@ -206,10 +206,18 @@ final class GraftSpjTable(spark: SparkSession, path: String,
     asOf: Option[Long] = None)
     extends Table with SupportsRead {
 
-  GraftLog.requireSpjReadable(spark, path, asOf)
+  // Resolve the snapshot version ONCE: the soundness gate and the file
+  // list must see the same snapshot — with asOf=None, two independent
+  // latest-version replays would let a concurrent commit that adds a
+  // deletion vector (or a hive layout) land between the gate and the
+  // listing and slip past the verbatim-read check.
+  private val pinned: Option[Long] =
+    asOf.orElse(GraftLog.latestVersion(spark, path))
+
+  GraftLog.requireSpjReadable(spark, path, pinned)
 
   private[sources] val (filesSized, tableSchema) =
-    GraftLog.liveFilesSized(spark, path, asOf)
+    GraftLog.liveFilesSized(spark, path, pinned)
 
   /** (srcCol, nBuckets) when EVERY live file sits under the same
     * single hidden-bucket spec; None on flat tables or mixed specs
@@ -258,10 +266,13 @@ final class GraftSpjScanBuilder(spark: SparkSession, path: String,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order (parquet readers want a subset in
-    // file order); empty projections (count(*)) keep one narrow column
+    // file order); empty projections (count(*)) keep the NARROWEST
+    // column by defaultSize — taking the first field would read a
+    // text column on wide-string tables, defeating the pruning
     required =
       if (requiredSchema.isEmpty)
-        StructType(table.tableSchema.fields.take(1))
+        StructType(Seq(table.tableSchema.fields
+          .minBy(_.dataType.defaultSize)))
       else StructType(table.tableSchema.fields.filter(f =>
         requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
 

@@ -6,7 +6,7 @@ import java.util.UUID
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
 
@@ -1979,7 +1979,23 @@ object GraftLog {
       if (fresh.isEmpty) return (-1L, 0L, 0L)
       val schema = logicalSchema(snapshot(spark, table)._2,
         columnMapping(spark, table))
-      val df = spark.read.format(fmt).options(options).schema(schema)
+      // Declared DEFAULTs apply to COPY INTO like every insert surface —
+      // but the explicit read schema would materialize omitted source
+      // columns as NULLs before append()'s fillDefaults can see them as
+      // omitted. When defaults exist, restrict the read schema to the
+      // columns the source files actually carry (one footer-sized
+      // inference pass); append() then fills the truly-absent ones.
+      val defaults = columnDefaults(spark, table)
+      val readSchema =
+        if (defaults.isEmpty) schema
+        else {
+          val present = spark.read.format(fmt).options(options)
+            .load(fresh: _*).schema.fieldNames.map(_.toLowerCase).toSet
+          StructType(schema.fields.filter(f =>
+            present.contains(f.name.toLowerCase) ||
+              !defaults.contains(f.name.toLowerCase)))
+        }
+      val df = spark.read.format(fmt).options(options).schema(readSchema)
         .load(fresh: _*)
       // the abandon baseline is the PRE-STAGING ledger regardless of
       // force: only entries a COMPETING commit added since count as
@@ -2293,16 +2309,27 @@ object GraftLog {
       s"SET DEFAULT: $name is a generated/identity column")
     require(!layoutPartCols(files).exists(_.equalsIgnoreCase(name)),
       s"SET DEFAULT: $name is a partition column")
-    // constant + type check: analyze against a ZERO-COLUMN frame so any
-    // column reference fails resolution (spark.range would leak an `id`
-    // column into scope)
-    try spark.emptyDataFrame
-      .select(expr(exprStr).cast(f.dataType)).collect()
-    catch {
+    // constant + type check: analyze against a ONE-ROW ZERO-COLUMN frame
+    // so any column reference fails resolution (spark.range would leak an
+    // `id` column into scope) AND the cast actually EVALUATES — a
+    // zero-row frame analyzes 'abc'::double happily and every later
+    // omitted-column append would silently fill NULL (non-ANSI cast of an
+    // un-castable literal), contradicting the lossless-cast contract. A
+    // null POST-cast with a non-null pre-cast value = lossy; a null
+    // pre-cast value (literal NULL / null-producing constant) is fine.
+    val checked = try {
+      val oneRow = spark.createDataFrame(
+        java.util.Collections.singletonList(Row()), StructType(Nil))
+      oneRow.select(expr(exprStr).as("raw"),
+        expr(exprStr).cast(f.dataType).as("cast")).head()
+    } catch {
       case e: Exception => throw new IllegalArgumentException(
         s"SET DEFAULT: '$exprStr' is not a constant expression " +
           s"castable to ${f.dataType.simpleString}: ${e.getMessage}")
     }
+    require(checked.isNullAt(0) || !checked.isNullAt(1),
+      s"SET DEFAULT: '$exprStr' does not cast losslessly to " +
+        s"${f.dataType.simpleString} (the cast evaluates to NULL)")
     val v = vRead.get + 1
     writeCommit(spark, table, Commit(v, "set_properties",
       Seq.empty, Seq.empty, phys.toDDL, System.currentTimeMillis(),
@@ -3225,7 +3252,11 @@ object GraftLog {
           val (files, cur) = snapshot(spark, table)
           requireUnpartitioned(files, "streaming append")
           val cmap = columnMapping(spark, table)
-          val logicalOk = enforceSchema(df, logicalSchema(cur, cmap),
+          // declared DEFAULTs fill omitted columns on EVERY insert
+          // surface (Delta semantics), not only plain append
+          val dfD = fillDefaults(df, logicalSchema(cur, cmap),
+            columnDefaults(spark, table))
+          val logicalOk = enforceSchema(dfD, logicalSchema(cur, cmap),
             "streaming append")
           enforceChecks(logicalOk, checkConstraints(spark, table),
             "streaming append")
@@ -3276,7 +3307,9 @@ object GraftLog {
             s"streaming appendPartitioned(${partCols.mkString(",")}) " +
               s"does not match the table's layout " +
               s"(${existing.mkString(",")})")
-          val ok = enforceSchema(df, cur, "streaming append (partitioned)")
+          val ok = enforceSchema(
+            fillDefaults(df, cur, columnDefaults(spark, table)), cur,
+            "streaming append (partitioned)")
           enforceChecks(ok, checkConstraints(spark, table),
             "streaming append (partitioned)")
           (ok, cur.toDDL)

@@ -1625,6 +1625,42 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.readVersion(spark, t, 0L).count() == 5)
   }
 
+  test("column defaults: every insert surface fills; lossy literals refuse") {
+    // an un-castable literal refuses at SET time — the validation must
+    // EVALUATE the cast, not just analyze it (a zero-row check accepts
+    // 'abc'::double and every later omitted-column write fills NULL)
+    val t0 = tmp()
+    GraftLog.overwrite(Seq((1L, 2.0)).toDF("id", "bal"), t0)
+    intercept[IllegalArgumentException] {
+      GraftLog.setColumnDefault(spark, t0, "bal", "'abc'")
+    }
+    GraftLog.setColumnDefault(spark, t0, "bal", "NULL") // literal NULL ok
+    GraftLog.append(Seq(Tuple1(2L)).toDF("id"), t0)
+    assert(GraftLog.read(spark, t0).filter($"id" === 2L).head().isNullAt(1))
+
+    // defaults fill through txnAppend and COPY INTO, not only append
+    val t = tmp()
+    GraftLog.overwrite(Seq((1L, "a", "A")).toDF("id", "nm", "seg"), t)
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN seg SET DEFAULT 'X'")
+    assert(GraftLog.txnAppend(Seq((2L, "b")).toDF("id", "nm"), t, "dflt", 0L))
+    val srcDir = graft.sources.Staging.tempDir("graft_dflt_src_")
+    Seq((3L, "c")).toDF("id", "nm").write.parquet(s"$srcDir/in")
+    val (v, nf, nr) = GraftLog.copyInto(spark, t, s"$srcDir/in")
+    assert(v >= 0 && nf == 1 && nr == 1)
+    val back = GraftLog.read(spark, t).orderBy("id").collect()
+    assert(back.map(_.getAs[String]("seg")).toSeq == Seq("A", "X", "X"))
+
+    // hive-partitioned streaming append fills too
+    val tp = tmp()
+    GraftLog.overwritePartitioned(
+      Seq((1L, "a", "p1")).toDF("id", "seg", "pt"), tp, Seq("pt"))
+    spark.sql(s"ALTER TABLE '$tp' ALTER COLUMN seg SET DEFAULT 'Y'")
+    assert(GraftLog.txnAppendPartitioned(
+      Seq((2L, "p1")).toDF("id", "pt"), tp, "dfltp", 0L, Seq("pt")))
+    assert(GraftLog.read(spark, tp).filter($"id" === 2L)
+      .select("seg").as[String].head() == "Y")
+  }
+
   test("racing overwrites converge to exactly one writer's rows") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 10, "seed"), t)
