@@ -72,15 +72,29 @@ object Bench {
       // a failed query must not masquerade as a fast one
       if (ok) dt else -1.0
     }
+    // WARM second reps for every query whose cold rep crossed the
+    // threshold (supersedes the old end-of-run slowest-10 loop): the
+    // first rep of a heavy query absorbs staging IO and any transient
+    // host contention; the warm rep is the number BenchOne
+    // re-measurements reproduce, so the record carries its own
+    // adjudication evidence. Running warm IMMEDIATELY after cold — and
+    // deleting the query's staging right after — keeps /tmp holding at
+    // most ONE query's residue: the end-of-run loop ran its warm reps
+    // against the tmpfs residue of the entire suite (RAM stolen from
+    // the page cache), which made staging-bound lifecycle queries the
+    // only ones whose warm reps measured SLOWER than cold.
+    val warmThreshold = 5.0
+    val warmAcc = scala.collection.mutable.ListBuffer[(String, Double)]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> timed(fn)
+      val before = graft.sources.Staging.snapshot
+      val cold = timed(fn)
+      if (cold >= warmThreshold) warmAcc += (name -> timed(fn))
+      // reclaim this query's per-call staging now (keyed cross-query
+      // staging is exempt); no later rep of this query exists to break
+      graft.sources.Staging.cleanupSince(before)
+      name -> cold
     }
-    // WARM second reps for the slowest ten: the first rep of a heavy
-    // query absorbs staging IO and any transient host contention; the
-    // warm rep is the number BenchOne re-measurements reproduce, so the
-    // record carries its own adjudication evidence
-    val warm = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (name, _) => name -> timed(SparkEntry.queries(name)) }
+    val warm = warmAcc.toList
     val loadEnd = loadavg
     def fmt(entries: Iterable[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

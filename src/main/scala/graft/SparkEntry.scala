@@ -125,6 +125,11 @@ object SparkEntry {
     // ANALYZE TABLE: rowCount/bytes folded from log metadata, no scan
     "d17_analyze_stats" ->
       ((s, d) => Ddl.graftSqlAnalyze(s, d)),
+    // incremental stats refresh: two drift waves past the staleness
+    // horizon; the guard folds metadata + merges KMV sketches over new
+    // files only — final stats equal a from-scratch ANALYZE
+    "d28_stats_refresh" ->
+      ((s, d) => Ddl.graftSqlStatsRefresh(s, d)),
     // metadata tables: SHOW PARTITIONS + the files metadata read
     "d18_metadata_tables" ->
       ((s, d) => Ddl.graftMetadataTables(s, d)),
@@ -453,6 +458,17 @@ object SparkEntry {
     // independent of the stream checkpoint
     "i29_agg_view_stream" ->
       ((s, d) => AggView.incrementalAggViewStream(s, d)),
+    // e20 under streaming admission: checkpointed file stream feeds the
+    // rolling near-dup state; verdicts persist ledger-first so a
+    // crash-window re-delivery re-serves them instead of re-probing the
+    // already-advanced state; kill/resume between waves + replay pinned
+    "i30_neardup_stream_ingest" ->
+      ((s, d) => NearDupState.nearDupStreamIngest(s, d)),
+    // MV auto-rewrite: a fresh maintained rollup serves the fact-table
+    // aggregate from the planner (view scanned, fact skipped); a stale
+    // view falls back to the base plan — both decisions pinned
+    "d27_mv_auto_rewrite" ->
+      ((s, d) => AggView.aggViewAutoRewrite(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1565,6 +1581,20 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, 3 AS applied_incr, TRUE AS replay_noop
         |FROM final GROUP BY 1""".stripMargin,
+    // d27: the auto-rewritten aggregate's VALUES are i28's recompute at
+    // the maintained state (the stale commit v4 is invisible: the plan
+    // reads the view table); used_view/fell_back pin the two plan
+    // decisions
+    "d27_mv_auto_rewrite" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 7 <> 0)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, TRUE AS used_view, TRUE AS fell_back
+        |FROM final GROUP BY 1""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,
     // delete, update), pure replay is a ledger no-op
@@ -1703,6 +1733,66 @@ object SparkEntry {
         |  SELECT 'c_mktsegment', min(c_mktsegment), max(c_mktsegment),
         |    count(*) - count(c_mktsegment)
         |  FROM customer
+        |)
+        |SELECT mm.col_name, est.ndv_est, mm.min_v, mm.max_v,
+        |  CAST(mm.null_count AS BIGINT) AS null_count,
+        |  (SELECT row_count FROM r) AS row_count
+        |FROM mm JOIN est USING (col_name)""".stripMargin,
+    // d28: the incrementally-refreshed stats must equal a from-scratch
+    // ANALYZE of the final (triple-domain) table — KMV union over
+    // disjoint inputs IS the KMV of the union, min/max/nullCount fold
+    // exactly from per-file metadata
+    "d28_stats_refresh" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 20000000, c_acctbal, c_mktsegment
+        |  FROM customer),
+        |r AS (SELECT count(*) AS row_count FROM cust),
+        |k AS (SELECT 256 AS k),
+        |hk AS (
+        |  SELECT col_name, hv,
+        |    row_number() OVER (PARTITION BY col_name ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY col_name) AS nd
+        |  FROM (
+        |    SELECT DISTINCT col_name,
+        |      CAST(('0x' || substr(md5(sval), 1, 15))::UBIGINT AS BIGINT)
+        |        AS hv
+        |    FROM (
+        |      SELECT 'c_custkey' AS col_name,
+        |        CAST(c_custkey AS VARCHAR) AS sval FROM cust
+        |      UNION ALL
+        |      SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM cust
+        |      UNION ALL
+        |      SELECT 'c_mktsegment', c_mktsegment FROM cust)
+        |    WHERE sval IS NOT NULL)
+        |), est AS (
+        |  SELECT col_name,
+        |    CASE WHEN max(nd) < (SELECT k FROM k)
+        |      THEN CAST(max(nd) AS DOUBLE)
+        |      ELSE round(((SELECT k FROM k) - 1) * pow(2.0, 60)
+        |        / CAST(max(CASE WHEN rn = (SELECT k FROM k)
+        |                        THEN hv END) AS DOUBLE), 6)
+        |      END AS ndv_est
+        |  FROM hk GROUP BY 1
+        |), mm AS (
+        |  SELECT 'c_custkey' AS col_name,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_v,
+        |    CAST(max(c_custkey) AS VARCHAR) AS max_v,
+        |    count(*) - count(c_custkey) AS null_count
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT 'c_acctbal', CAST(min(c_acctbal) AS VARCHAR),
+        |    CAST(max(c_acctbal) AS VARCHAR),
+        |    count(*) - count(c_acctbal)
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', min(c_mktsegment), max(c_mktsegment),
+        |    count(*) - count(c_mktsegment)
+        |  FROM cust
         |)
         |SELECT mm.col_name, est.ndv_est, mm.min_v, mm.max_v,
         |  CAST(mm.null_count AS BIGINT) AS null_count,
@@ -2833,6 +2923,85 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), u.doc_id, coalesce(v.n, 0),
         |  round(v.m, 6), (v.doc_b IS NOT NULL)
+        |FROM univ u LEFT JOIN ver2 v ON v.doc_b = u.doc_id
+        |WHERE u.tag = 2""".stripMargin,
+    // i30: the streamed transport must reproduce e20's verdicts exactly
+    // — identical replay SQL, plus the replay-no-op pin
+    "i30_neardup_stream_ingest" ->
+      """WITH univ AS (
+        |  SELECT doc_id, text, 0 AS tag FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 450
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 1 FROM documents
+        |  WHERE doc_id < 300 AND doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, 2 FROM documents WHERE doc_id >= 450
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, 2 FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 450 AND doc_id % 5 = 0
+        |), base AS (
+        |  SELECT doc_id, tag, string_split(lower(text), ' ') AS toks
+        |  FROM univ
+        |), sh AS (
+        |  SELECT doc_id, tag, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    AS shingles
+        |  FROM base WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, tag, list_transform(shingles,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT
+        |         % 2147483647 AS BIGINT)) AS h
+        |  FROM sh
+        |), sigs AS (
+        |  SELECT doc_id, tag, list_transform(range(0, 64), i ->
+        |    list_aggregate(list_transform(h,
+        |      x -> ((2*i + 1) * x + i + 1) % 2147483647), 'min')) AS sig
+        |  FROM hs
+        |), banded AS (
+        |  SELECT doc_id, tag, band,
+        |    sig[band*4 + 1] AS s0, sig[band*4 + 2] AS s1,
+        |    sig[band*4 + 3] AS s2, sig[band*4 + 4] AS s3
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) bs
+        |), est1 AS (
+        |  SELECT c.doc_b, c.doc_c,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64 AS est
+        |  FROM (SELECT DISTINCT x.doc_id AS doc_b, y.doc_id AS doc_c
+        |        FROM banded x JOIN banded y ON x.band = y.band
+        |          AND x.s0 = y.s0 AND x.s1 = y.s1
+        |          AND x.s2 = y.s2 AND x.s3 = y.s3
+        |        WHERE x.tag = 1 AND y.tag = 0) c
+        |  JOIN sigs a ON a.doc_id = c.doc_b
+        |  JOIN sigs b ON b.doc_id = c.doc_c
+        |), ver1 AS (
+        |  SELECT doc_b, count(DISTINCT doc_c) AS n, max(est) AS m
+        |  FROM est1 WHERE est >= 0.5 GROUP BY 1
+        |), est2 AS (
+        |  SELECT c.doc_b, c.doc_c,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64 AS est
+        |  FROM (SELECT DISTINCT x.doc_id AS doc_b, y.doc_id AS doc_c
+        |        FROM banded x JOIN banded y ON x.band = y.band
+        |          AND x.s0 = y.s0 AND x.s1 = y.s1
+        |          AND x.s2 = y.s2 AND x.s3 = y.s3
+        |        WHERE x.tag = 2 AND (y.tag = 0 OR (y.tag = 1
+        |          AND y.doc_id NOT IN (SELECT doc_b FROM ver1)))) c
+        |  JOIN sigs a ON a.doc_id = c.doc_b
+        |  JOIN sigs b ON b.doc_id = c.doc_c
+        |), ver2 AS (
+        |  SELECT doc_b, count(DISTINCT doc_c) AS n, max(est) AS m
+        |  FROM est2 WHERE est >= 0.5 GROUP BY 1
+        |)
+        |SELECT CAST(0 AS BIGINT) AS batch_id, u.doc_id,
+        |  coalesce(v.n, 0) AS n_near_dups, round(v.m, 6) AS best_sim,
+        |  (v.doc_b IS NOT NULL) AS is_near_dup, TRUE AS replay_noop
+        |FROM univ u LEFT JOIN ver1 v ON v.doc_b = u.doc_id
+        |WHERE u.tag = 1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), u.doc_id, coalesce(v.n, 0),
+        |  round(v.m, 6), (v.doc_b IS NOT NULL), TRUE
         |FROM univ u LEFT JOIN ver2 v ON v.doc_b = u.doc_id
         |WHERE u.tag = 2""".stripMargin,
     "e16_dedup_incremental" ->

@@ -76,7 +76,7 @@ object AggView {
     * the full recompute over the source's final state — the incremental
     * fold must be bit-identical. */
   def incrementalAggView(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = graft.sources.Staging.tempDir("graft_aggv_")
+    val root = graft.sources.Staging.scratchDir("graft_aggv_")
     val (src, view) = (s"$root/src", s"$root/view")
     val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -98,6 +98,61 @@ object AggView {
     read(spark, view, "event_type")
       .withColumn("applied_incr", lit(applied))
       .withColumn("replay_noop", lit(replay == 0))
+  }
+
+  /** Register `view` (maintained by [[maintain]]) for planner
+    * auto-rewrite of matching aggregates over `src` — see
+    * [[graft.sql.GraftMvRewriteRule]] for the soundness gates. */
+  def registerForRewrite(src: String, view: String, groupCol: String,
+      valueCol: String): Unit =
+    graft.sql.MvRegistry.register(src,
+      graft.sql.MvRegistry.MvDef(view, groupCol, valueCol, AppId))
+
+  /** d27 — MV auto-rewrite, the planner half of i28: the SAME
+    * fact-table aggregate is written twice; while the view is FRESH
+    * the planner serves it from the delta-log rollup (plan scans the
+    * view, never the fact table), and one un-maintained source commit
+    * later the SAME text falls back to the base plan. `used_view` /
+    * `fell_back` pin both plan decisions in the result; the values are
+    * the i28 recompute (the rewrite must be invisible to them). */
+  def aggViewAutoRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvrw_")
+    val (src, view) = (s"$root/src", s"$root/view")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    GraftLog.delete(spark, src, col("event_id") % 7 === 0)        // v2
+    GraftLog.update(spark, src, col("event_id") % 5 === 0,
+      Seq("value" -> (col("value") + 100)))                       // v3
+    maintain(spark, src, view, "event_id", "event_type", "value")
+    registerForRewrite(src, view, "event_type", "value")
+    try {
+      def q = spark.read.format("graft").load(src)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sumExact(col("value")).cast("double"), 6)
+            .as("total_value"))
+      def scans(df: DataFrame, path: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toString == path)
+          case _ => false
+        }
+      val fresh = q // analyzed NOW, while the view is current
+      val usedView = scans(fresh, view) && !scans(fresh, src)
+      // one source commit the view has not folded → same text, base plan
+      GraftLog.append(ev.filter(col("event_id") % 3 === 2)
+        .limit(50), src)                                          // v4
+      val stale = q
+      val fellBack = scans(stale, src) && !scans(stale, view)
+      // `fresh` executes lazily AFTER v4 landed: only the view rewrite
+      // (whose table v4 never touched) keeps its values at the v3 state
+      fresh.withColumn("used_view", lit(usedView))
+        .withColumn("fell_back", lit(fellBack))
+    } finally graft.sql.MvRegistry.unregister(src)
   }
 
   private val stagedStream =

@@ -170,7 +170,7 @@ object Ddl {
   def graftSqlAnalyzeColumns(spark: SparkSession,
       sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val d = graft.sources.Staging.tempDir("graft_anacol_") + "/cust"
+    val d = graft.sources.Staging.scratchDir("graft_anacol_") + "/cust"
     graft.sources.GraftLog.overwrite(
       graft.sources.Sources.testTable(spark, sfDir, "customer"), d)
     val tag = math.abs(sfDir.hashCode).toString.take(8)
@@ -191,6 +191,52 @@ object Ddl {
       "row_count")
   }
 
+  /** d28 — INCREMENTAL stats refresh through the DML staleness guard:
+    * ANALYZE once, then two MERGE waves each tripling-ish the key
+    * domain (far past the 20% drift horizon). Each wave's post-DML
+    * guard refreshes the stats INCREMENTALLY — exact
+    * rowCount/nullCount and live-file min/max folded from commit
+    * metadata, ndv by merging the persisted KMV sketch with a sketch
+    * over only that wave's new files — so the log-carried stats read
+    * back AFTER both waves must equal a from-scratch ANALYZE of the
+    * final table (the oracle replays exactly that: KMV union over
+    * disjoint inputs is the KMV of the union). The catalog
+    * broadcast-flip this preserves is pinned by AnalyticsSpec. */
+  def graftSqlStatsRefresh(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Staging.scratchDir("graft_statsref_") + "/cust"
+    val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+    graft.sources.GraftLog.overwrite(cust, d)
+    val tag = math.abs(sfDir.hashCode).toString.take(8)
+    val t = s"graft_statsref_cust_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft OPTIONS (path '$d')")
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS " +
+      "c_custkey, c_acctbal, c_mktsegment").collect()
+    Seq(10000000L, 20000000L).foreach { shift =>
+      cust.withColumn("c_custkey", col("c_custkey") + shift)
+        .createOrReplaceTempView(s"graft_statsref_src_$tag")
+      spark.sql(
+        s"""MERGE INTO $t AS t USING graft_statsref_src_$tag AS s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    spark.catalog.dropTempView(s"graft_statsref_src_$tag")
+    val props = graft.sources.GraftLog.properties(spark, d)
+    val rows = props("graft.stats.rowCount").toLong
+    import spark.implicits._
+    Seq("c_custkey", "c_acctbal", "c_mktsegment").map { c =>
+      (c, props(s"graft.stats.col.$c.ndv").toDouble,
+        props.get(s"graft.stats.col.$c.min").orNull,
+        props.get(s"graft.stats.col.$c.max").orNull,
+        props(s"graft.stats.col.$c.nullCount").toLong, rows)
+    }.toDF("col_name", "ndv_est", "min_v", "max_v", "null_count",
+      "row_count")
+  }
+
   /** d24 — extra MERGE ON conjuncts (the full Delta ON surface): the
     * statement `ON t.key = s.key AND t.segment = 'BUILDING'` updates
     * only BUILDING customers; a key-matching row that FAILS the extra
@@ -199,7 +245,7 @@ object Ddl {
     * the oracle. The key equalities remain the file-pruning anchor. */
   def graftSqlMergeOnExtra(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val d = graft.sources.Staging.tempDir("graft_monex_") + "/cust"
+    val d = graft.sources.Staging.scratchDir("graft_monex_") + "/cust"
     val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
     graft.sources.GraftLog.overwrite(cust, d)
     val tag = math.abs(sfDir.hashCode).toString.take(8)
@@ -228,7 +274,7 @@ object Ddl {
     * re-run costs one metadata fold, no data files opened. */
   def graftSqlCopyInto(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val root = graft.sources.Staging.tempDir("graft_copyinto_")
+    val root = graft.sources.Staging.scratchDir("graft_copyinto_")
     val t = s"$root/cust"
     val incoming = s"$root/incoming"
     val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
@@ -265,7 +311,7 @@ object Ddl {
   def graftSqlColumnDefaults(spark: SparkSession,
       sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val t = graft.sources.Staging.tempDir("graft_defaults_") + "/cust"
+    val t = graft.sources.Staging.scratchDir("graft_defaults_") + "/cust"
     val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
         col("c_mktsegment"))
@@ -303,7 +349,7 @@ object Ddl {
       sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit,
       regexp_extract, round, sum, count}
-    val root = graft.sources.Staging.tempDir("graft_manifest_")
+    val root = graft.sources.Staging.scratchDir("graft_manifest_")
     val t = s"$root/cust"
     val cust = graft.sources.Sources.testTable(spark, sfDir, "customer")
       .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
@@ -348,7 +394,7 @@ object Ddl {
     // is NOT idempotent over its own output — a cached dir would
     // resurrect deleted keys on a second run (d11's staging contract
     // requires idempotence; this statement's does not, so no cache)
-    val dir = graft.sources.Staging.tempDir("graft_mcond_") + "/customer"
+    val dir = graft.sources.Staging.scratchDir("graft_mcond_") + "/customer"
     graft.sources.GraftLog.overwrite(
       graft.sources.Sources.testTable(spark, sfDir, "customer"), dir)
     val tag = math.abs(sfDir.hashCode).toString.take(8)

@@ -1076,7 +1076,7 @@ object Dedup {
       split: Long = 300, split2: Long = 450): DataFrame = {
     import graft.sources.GraftLog
     val docs = Sources.testTable(spark, sfDir, "documents")
-    val state = graft.sources.Staging.tempDir("graft_dstate_") +
+    val state = graft.sources.Staging.scratchDir("graft_dstate_") +
       "/digests"
     GraftLog.overwrite(docs.filter(col("doc_id") < split)
       .select(sha2(col("text"), 256).as("content_hash")).distinct(),

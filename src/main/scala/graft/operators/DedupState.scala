@@ -52,6 +52,11 @@ import graft.sources.GraftLog
   * checkpoint-writer convention). Used by [[DedupState]] and
   * [[NearDupState]]. */
 private[operators] object SidecarIO {
+  /** Superseded versions kept beside the newest on every save — grace
+    * for a concurrent reader that listed the dir just before the save
+    * (the GraftLog checkpoint-retention convention). */
+  val KeepVersions = 2
+
   def write(f: FileSystem, dir: String, bin: HPath, meta: HPath,
       bloom: BloomFilter, metaBody: String): Unit = {
     f.mkdirs(new HPath(dir))
@@ -63,6 +68,27 @@ private[operators] object SidecarIO {
     val mo = f.create(tmpM, true)
     try mo.write(metaBody.getBytes("UTF-8")) finally mo.close()
     if (!f.rename(tmpM, meta)) { f.delete(tmpM, false); () }
+  }
+
+  /** Delete superseded sidecar versions of `prefix` (e.g.
+    * `dedup-bloom-v`), keeping the newest [[KeepVersions]] complete
+    * pairs. Without this, every batch leaves an O(4× corpus)-byte
+    * bitset behind forever — a year of 5-minute batches is ~100k dead
+    * bloom files beside the state table. Loaders only ever read the
+    * newest version at-or-below the table version, so pruning behind
+    * the grace window is invisible to them. */
+  def pruneSuperseded(f: FileSystem, dir: String, prefix: String,
+      keep: Int = KeepVersions): Unit = {
+    val d = new HPath(dir)
+    if (!f.exists(d)) return
+    val versions = f.listStatus(d).map(_.getPath.getName).collect {
+      case n if n.startsWith(prefix) && n.endsWith(".meta") =>
+        n.stripPrefix(prefix).stripSuffix(".meta").toLong
+    }.sorted
+    versions.dropRight(keep).foreach { v =>
+      f.delete(new HPath(d, f"$prefix$v%020d.bin"), false)
+      f.delete(new HPath(d, f"$prefix$v%020d.meta"), false)
+    }
   }
 }
 
@@ -200,10 +226,12 @@ object DedupState {
   private def saveSidecar(spark: SparkSession, state: String, v: Long,
       bloom: BloomFilter, expected: Long, fpp: Double, inserted: Long,
       prefixLen: Int): Unit = {
-    SidecarIO.write(fsOf(spark, state), sidecarDir(state),
+    val f = fsOf(spark, state)
+    SidecarIO.write(f, sidecarDir(state),
       binPath(state, v), metaPath(state, v), bloom,
       s"expected=$expected\nfpp=$fpp\ninserted=$inserted\n" +
         s"prefixLen=$prefixLen\n")
+    SidecarIO.pruneSuperseded(f, sidecarDir(state), "dedup-bloom-v")
   }
 
   /** The exact-verification probe: digests of `cand`
@@ -228,9 +256,16 @@ object DedupState {
     * novel digests in one idempotent ledger-stamped commit and the
     * Bloom sidecar rolls forward by a bitwise merge. Per-batch cost:
     * sidecar load + batch-sized hashing + prefix-pruned exact probe +
-    * O(novel) append — independent of corpus history. */
+    * O(novel) append — independent of corpus history.
+    *
+    * Multi-writer contract: the (appId, batchId) ledger is MONOTONIC
+    * per appId, so each concurrent writer must carry its OWN `appId`
+    * (its stream identity); batch ids stay idempotent within it.
+    * Interleaved commits are reconciled on the sidecar save path — see
+    * the version check below. */
   def probeAndAdvance(spark: SparkSession, state: String,
-      batch: DataFrame, batchId: Long): DataFrame = {
+      batch: DataFrame, batchId: Long, appId: String = AppId)
+      : DataFrame = {
     val sc = loadSidecar(spark, state)
     val bBloom = spark.sparkContext.broadcast(sc.bloom)
     val mightContain =
@@ -259,15 +294,23 @@ object DedupState {
       .select("content_hash", "h2").distinct()
       .transform(graft.CacheScope.tracked)
     val nNovel = novel.count()
-    val committed = GraftLog.txnAppendPartitioned(novel, state, AppId,
+    val committed = GraftLog.txnAppendPartitioned(novel, state, appId,
       batchId, Seq("h2"))
     if (committed && nNovel > 0) {
-      // roll the sidecar: fold ONLY the novel digests into the loaded
-      // bitset (same layout → bitwise OR), stamp at the new version
       val v = GraftLog.latestVersion(spark, state).get
-      if (sc.inserted + nNovel > sc.expected) {
+      if (v != sc.version + 1) {
+        // a concurrent writer committed between our sidecar load and
+        // our append: the locally-merged bitset would silently MISS its
+        // digests (Bloom false negatives → duplicate state rows and
+        // wrong verdicts downstream). Reconcile through the load path
+        // instead — it folds the CDF of every version past the newest
+        // persisted sidecar, covering theirs AND ours.
+        loadSidecar(spark, state): Unit
+      } else if (sc.inserted + nNovel > sc.expected) {
         rebuild(spark, state, v, sc.fpp, sc.prefixLen); ()
       } else {
+        // steady state: fold ONLY the novel digests into the loaded
+        // bitset (same layout → bitwise OR), stamp at the new version
         sc.bloom.mergeInPlace(
           novel.stat.bloomFilter("content_hash", sc.expected, sc.fpp))
         saveSidecar(spark, state, v, sc.bloom, sc.expected, sc.fpp,
@@ -284,7 +327,7 @@ object DedupState {
   def dedupStateScalable(spark: SparkSession, sfDir: String,
       split: Long = 300, split2: Long = 450): DataFrame = {
     val docs = graft.sources.Sources.testTable(spark, sfDir, "documents")
-    val state = graft.sources.Staging.tempDir("graft_dstate2_") +
+    val state = graft.sources.Staging.scratchDir("graft_dstate2_") +
       "/digests"
     init(spark, docs.filter(col("doc_id") < split)
       .select(sha2(col("text"), 256).as("content_hash")),

@@ -97,15 +97,19 @@ object NearDupState {
 
   private def saveSidecar(spark: SparkSession, state: String, v: Long,
       bloom: BloomFilter, expected: Long, fpp: Double,
-      inserted: Long): Unit =
+      inserted: Long): Unit = {
     // atomic tmp+rename via the shared helper: a concurrent loader that
     // found the meta must never open a half-written bin
-    SidecarIO.write(fsOf(spark, state), sidecarDir(state),
+    val f = fsOf(spark, state)
+    SidecarIO.write(f, sidecarDir(state),
       binPath(state, v), metaPath(state, v), bloom,
       s"expected=$expected\nfpp=$fpp\ninserted=$inserted\n")
+    SidecarIO.pruneSuperseded(f, sidecarDir(state), "band-bloom-v")
+  }
 
   private[graft] final case class Sidecar(bloom: BloomFilter,
-      expected: Long, fpp: Double, inserted: Long, rebuilt: Boolean)
+      version: Long, expected: Long, fpp: Double, inserted: Long,
+      rebuilt: Boolean)
 
   /** Newest sidecar at-or-below the table version; missing or
     * over-capacity → one key-only rebuild at 4x (see class doc for the
@@ -130,15 +134,15 @@ object NearDupState {
             case Array(k, x) => k -> x }.toMap
         val in = f.open(binPath(state, v))
         val bloom = try BloomFilter.readFrom(in) finally in.close()
-        Sidecar(bloom, meta("expected").toLong, meta("fpp").toDouble,
-          meta("inserted").toLong, rebuilt = false)
+        Sidecar(bloom, latest, meta("expected").toLong,
+          meta("fpp").toDouble, meta("inserted").toLong, rebuilt = false)
       case _ => // stale or missing: key-only rebuild, 4x headroom
         val keys = GraftLog.read(spark, state).select("bk")
         val cnt = keys.count()
         val expected = math.max(cnt * 4, 1024L)
         val bloom = keys.stat.bloomFilter("bk", expected, 0.01)
         saveSidecar(spark, state, latest, bloom, expected, 0.01, cnt)
-        Sidecar(bloom, expected, 0.01, cnt, rebuilt = true)
+        Sidecar(bloom, latest, expected, 0.01, cnt, rebuilt = true)
     }
   }
 
@@ -164,42 +168,67 @@ object NearDupState {
     * non-duplicate docs' band rows in one ledger-stamped commit and
     * the sidecar rolls forward by bitwise merge. Per-batch cost:
     * sidecar IO + batch banding + candidate-partition-pruned verify +
-    * O(kept) append. */
+    * O(kept) append.
+    *
+    * Multi-writer contract: the (appId, batchId) ledger is MONOTONIC
+    * per appId — concurrent writers carry their own `appId`.
+    * Interleaved commits reconcile on the save path (version check
+    * below; [[DedupState.probeAndAdvance]] has the same guard).
+    *
+    * `verdictTable`: when set, verdicts land in that graft table as a
+    * ledger-stamped (appId, batchId) commit BEFORE the state advances —
+    * the streaming exactly-once seam. Order matters: a crash-window
+    * re-delivery probes a state the original delivery already advanced,
+    * so recomputed verdicts would flag the batch against its own band
+    * rows; persisting first makes the verdict ledger the gate, and a
+    * re-delivered batch REREADS its persisted verdicts (then re-attempts
+    * the state advance, which the state ledger no-ops if it landed). */
   def probeAndAdvance(spark: SparkSession, state: String,
       batch: DataFrame, batchId: Long, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, appId: String = AppId,
+      verdictTable: Option[String] = None): DataFrame = {
     val sc = loadSidecar(spark, state)
-    val bBloom = spark.sparkContext.broadcast(sc.bloom)
-    val mightContain = udf((k: String) => bBloom.value.mightContainString(k))
     val b = banded(batch, n).transform(graft.CacheScope.tracked)
-    // Bloom gate: only band keys the state MIGHT contain become
-    // candidates (exact band equality is re-checked by the join below;
-    // Bloom false positives cost one pruned lookup, never a verdict)
-    val cand = b.filter(mightContain(col("bk")))
-      .select(col("bk"), col("bp"), col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"))
-      .transform(graft.CacheScope.tracked)
-    val bps = cand.select("bp").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val stateSide = GraftLog.read(spark, state)
-      .filter(col("bp").isin(bps: _*)) // static partition pruning
-      .select(col("bk"), col("doc_id").as("doc_c"),
-        col("sig").as("sig_c"))
-    val verified = stateSide
-      .join(broadcast(cand), Seq("bk"))
-      .withColumn("est", sigEst(col("sig_b"), col("sig_c")))
-      .filter(col("est") >= threshold)
-      .groupBy(col("doc_b").as("doc_id"))
-      .agg(countDistinct(col("doc_c")).as("n_near_dups"),
-        round(max(col("est")), 6).as("best_sim"))
-    val verdicts = batch.select(col("doc_id"))
-      .join(verified.withColumn("__hit", lit(true)), Seq("doc_id"), "left")
-      .select(lit(batchId).as("batch_id"), col("doc_id"),
-        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
-        col("best_sim"),
-        coalesce(col("__hit"), lit(false)).as("is_near_dup"))
-      .transform(graft.CacheScope.tracked)
+    val replayed = verdictTable.exists(t =>
+      GraftLog.lastCommittedBatch(spark, t, appId).exists(_ >= batchId))
+    val verdicts = (if (replayed)
+      GraftLog.read(spark, verdictTable.get)
+        .filter(col("batch_id") === batchId)
+    else {
+      val bBloom = spark.sparkContext.broadcast(sc.bloom)
+      val mightContain =
+        udf((k: String) => bBloom.value.mightContainString(k))
+      // Bloom gate: only band keys the state MIGHT contain become
+      // candidates (exact band equality is re-checked by the join below;
+      // Bloom false positives cost one pruned lookup, never a verdict)
+      val cand = b.filter(mightContain(col("bk")))
+        .select(col("bk"), col("bp"), col("doc_id").as("doc_b"),
+          col("sig").as("sig_b"))
+        .transform(graft.CacheScope.tracked)
+      val bps = cand.select("bp").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val stateSide = GraftLog.read(spark, state)
+        .filter(col("bp").isin(bps: _*)) // static partition pruning
+        .select(col("bk"), col("doc_id").as("doc_c"),
+          col("sig").as("sig_c"))
+      val verified = stateSide
+        .join(broadcast(cand), Seq("bk"))
+        .withColumn("est", sigEst(col("sig_b"), col("sig_c")))
+        .filter(col("est") >= threshold)
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(countDistinct(col("doc_c")).as("n_near_dups"),
+          round(max(col("est")), 6).as("best_sim"))
+      batch.select(col("doc_id"))
+        .join(verified.withColumn("__hit", lit(true)), Seq("doc_id"), "left")
+        .select(lit(batchId).as("batch_id"), col("doc_id"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("best_sim"),
+          coalesce(col("__hit"), lit(false)).as("is_near_dup"))
+    }).transform(graft.CacheScope.tracked)
     verdicts.count() // verdicts must outlive the advance below
+    if (!replayed) verdictTable.foreach { t =>
+      GraftLog.txnAppend(verdicts, t, appId, batchId): Unit
+    }
     val kept = b.join(
         verdicts.filter(col("is_near_dup")).select("doc_id"),
         Seq("doc_id"), "left_anti")
@@ -208,11 +237,18 @@ object NearDupState {
     val keptKeys = kept.select("bk")
       .transform(graft.CacheScope.tracked)
     val nKept = keptKeys.count()
-    val committed = GraftLog.txnAppendPartitioned(kept, state, AppId,
+    val committed = GraftLog.txnAppendPartitioned(kept, state, appId,
       batchId, Seq("bp"))
     if (committed) {
       val v = GraftLog.latestVersion(spark, state).get
-      if (nKept == 0)
+      if (v != sc.version + 1) {
+        // a concurrent writer interleaved between our sidecar load and
+        // our append — the local bitset misses its band keys (false
+        // negatives → missed near-dups). Reconcile via the load path:
+        // this module's lean form rebuilds key-only at the current
+        // version (the rare race, never the steady state).
+        loadSidecar(spark, state): Unit
+      } else if (nKept == 0)
         // the ledger commit advanced the table with zero new keys
         // (every batch doc was a near-dup) — re-stamp the unchanged
         // bitset at the new version so the next load stays steady-state
@@ -245,7 +281,7 @@ object NearDupState {
   def nearDupStateRolling(spark: SparkSession, sfDir: String,
       split: Long = 300, split2: Long = 450): DataFrame = {
     val docs = graft.sources.Sources.testTable(spark, sfDir, "documents")
-    val state = graft.sources.Staging.tempDir("graft_ndstate_") +
+    val state = graft.sources.Staging.scratchDir("graft_ndstate_") +
       "/bands"
     init(spark, docs.filter(col("doc_id") < split), state)
     val b1 = docs.filter(col("doc_id") >= split && col("doc_id") < split2)
@@ -262,5 +298,67 @@ object NearDupState {
     val v1 = probeAndAdvance(spark, state, b1, 0L)
     val v2 = probeAndAdvance(spark, state, b2, 1L)
     v1.unionByName(v2)
+  }
+
+  /** i30 — e20 under STREAMING admission: the rolling near-dup state
+    * fed by a checkpointed file stream (the Auto-Loader ingest shape).
+    * Waves land as parquet files; each micro-batch probes + advances
+    * through [[probeAndAdvance]] with the verdicts persisted FIRST as a
+    * ledger-stamped commit (see the verdictTable contract there), so
+    * exactly-once holds across the kill/resume between the waves AND
+    * the crash-window re-delivery this query replays out-of-band after
+    * the final drain: both ledgers reject it, pinned by `replay_noop`.
+    * Same doc phasing — and the same full-MinHash-replay oracle — as
+    * e20; the transport changes, the verdicts cannot. */
+  def nearDupStreamIngest(spark: SparkSession, sfDir: String,
+      split: Long = 300, split2: Long = 450): DataFrame = {
+    val docs = graft.sources.Sources.testTable(spark, sfDir, "documents")
+    val root = graft.sources.Staging.scratchDir("graft_ndstream_")
+    val (in, state, verd, ckpt) =
+      (s"$root/in", s"$root/bands", s"$root/verdicts", s"$root/ckpt")
+    init(spark, docs.filter(col("doc_id") < split), state)
+    val appId = "graft-neardup-stream"
+    val b1 = docs.filter(col("doc_id") >= split && col("doc_id") < split2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") < split && col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val b2 = docs.filter(col("doc_id") >= split2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") >= split && col("doc_id") < split2 &&
+          col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    def land(df: DataFrame): Unit =
+      df.coalesce(2).write.mode("append").parquet(in)
+    def drain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          probeAndAdvance(spark, state, batch, bid, appId = appId,
+            verdictTable = Some(verd)).count(): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land(b1); drain() // wave 1 = micro-batch 0, then "kill"
+    drain()           // restart with nothing new: must be a no-op
+    land(b2); drain() // resume picks up ONLY wave 2 = micro-batch 1
+    // crash-window re-delivery of the last batch, out-of-band: the
+    // verdict ledger re-serves batch 1's persisted verdicts and the
+    // state ledger rejects the advance — nothing moves
+    val (vs, vv) = (GraftLog.latestVersion(spark, state),
+      GraftLog.latestVersion(spark, verd))
+    probeAndAdvance(spark, state, b2, 1L, appId = appId,
+      verdictTable = Some(verd)).count()
+    val noop = GraftLog.latestVersion(spark, state) == vs &&
+      GraftLog.latestVersion(spark, verd) == vv
+    GraftLog.read(spark, verd)
+      .select(col("batch_id"), col("doc_id"), col("n_near_dups"),
+        col("best_sim"), col("is_near_dup"))
+      .withColumn("replay_noop", lit(noop))
   }
 }

@@ -221,7 +221,7 @@ object Similarity {
       split: Long = 350, numQueries: Int = 10, k: Int = 5,
       nCent: Int = 16, nprobe: Int = 4): DataFrame = {
     import graft.sources.GraftLog
-    val dir = graft.sources.Staging.tempDir("graft_ivf_inc_")
+    val dir = graft.sources.Staging.scratchDir("graft_ivf_inc_")
     val all = normed(spark, sfDir)
     val corpus = all.filter(col("vec_id") < split)
     // build over the corpus only (f10's shape)
@@ -285,7 +285,7 @@ object Similarity {
       nCent: Int = 16, nprobe: Int = 4,
       skewThreshold: Double = 2.0): DataFrame = {
     import graft.sources.GraftLog
-    val dir = graft.sources.Staging.tempDir("graft_ivf_drift_")
+    val dir = graft.sources.Staging.scratchDir("graft_ivf_drift_")
     val base = normed(spark, sfDir)
     val corpus = base.filter(col("vec_id") < split)
     // f10 build over the pre-drift corpus

@@ -1147,7 +1147,7 @@ object Transactions {
     * (what one giant batch COPY INTO would have landed). */
   def streamingCopyInto(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Deterministic.sumExact
-    val root = graft.sources.Staging.tempDir("graft_scopy_")
+    val root = graft.sources.Staging.scratchDir("graft_scopy_")
     val (landing, t, ckpt) = (s"$root/landing", s"$root/t", s"$root/ckpt")
     val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
     GraftLog.overwrite(ev.limit(0), t) // v0: schema-only target
@@ -1368,7 +1368,7 @@ object Transactions {
     * table aggregate equals the plain batch SQL over ALL events. */
   private[graft] final class GraftSinkHarness(
       spark: SparkSession, sfDir: String, mode: String = "append") {
-    private val root = graft.sources.Staging.tempDir("graft_sink_")
+    private val root = graft.sources.Staging.scratchDir("graft_sink_")
     private val (in, ckpt) = (s"$root/in", s"$root/ckpt")
     val table = s"$root/events_gl"
     private val appId = "graft-sink-harness"

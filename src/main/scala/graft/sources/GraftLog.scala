@@ -1364,7 +1364,7 @@ object GraftLog {
     * million-sliver tables. Ingest paths only (append / overwrite /
     * txnAppend / COPY INTO families): rewrite paths (compact / merge /
     * autocompact / reorg) choose their own distribution deliberately. */
-  private def optimizedWrite(df: DataFrame, table: String,
+  private[graft] def optimizedWrite(df: DataFrame, table: String,
       partCols: Seq[String]): DataFrame = {
     val on = df.sparkSession.conf
       .getOption("spark.graft.optimizeWrite.enabled")
@@ -2602,7 +2602,13 @@ object GraftLog {
       Map(s"graft.stats.col.$c.ndv" -> st.ndvEst.toString,
         s"graft.stats.col.$c.nullCount" -> st.nullCount.toString) ++
         st.min.map(v => s"graft.stats.col.$c.min" -> v) ++
-        st.max.map(v => s"graft.stats.col.$c.max" -> v)
+        st.max.map(v => s"graft.stats.col.$c.max" -> v) ++
+        // the KMV sketch itself (k smallest 60-bit hashes, base64 of
+        // big-endian longs): the mergeable state incremental refresh
+        // needs — a later [[refreshStats]] folds only NEW files' hashes
+        // into it instead of re-scanning the table
+        Map(s"graft.stats.col.$c.kmv" ->
+          encodeKmv(row.getAs[scala.collection.Seq[Long]](s"__kmv_$c")))
     }
     val vRead = latestVersion(spark, table)
     rebaseOnConflict(table, "analyze") { () =>
@@ -2613,10 +2619,147 @@ object GraftLog {
         props = properties(spark, table) ++ colProps ++ Map(
           "graft.stats.rowCount" -> rows.toString,
           "graft.stats.sizeInBytes" -> bytes.toString,
+          "graft.stats.kmvK" -> k.toString,
           "graft.stats.analyzedAtVersion" -> vRead.get.toString)))
       v
     }
     (rows, bytes, per)
+  }
+
+  private def encodeKmv(sk: scala.collection.Seq[Long]): String = {
+    val buf = java.nio.ByteBuffer.allocate(sk.size * 8)
+    sk.foreach(buf.putLong)
+    java.util.Base64.getEncoder.encodeToString(buf.array())
+  }
+
+  private def decodeKmv(s: String): Seq[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    Seq.fill(bytes.length / 8)(buf.getLong)
+  }
+
+  private def kmvEstimate(sk: Seq[Long], k: Int): Double =
+    if (sk.size < k) sk.size.toDouble
+    else BigDecimal((k - 1).toDouble * math.pow(2.0, 60) /
+        sk.last.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Incremental statistics refresh — the maintenance half of
+    * [[analyzeColumns]]: fold what the commits already know into the
+    * recorded stats WITHOUT re-scanning the table. rowCount/sizeInBytes
+    * re-fold exactly from per-file metadata; per-column nullCount sums
+    * the live files' `#nulls` entries exactly; numeric min/max fold the
+    * live files' skipping stats (exact bounds of the LIVE data — they
+    * can even narrow after deletes, which a plain re-ANALYZE would need
+    * a scan to discover); ndv merges the persisted KMV sketch with a
+    * sketch over ONLY the files added since the last analyze/refresh
+    * (KMV union = take the k smallest of the union — the one scan here,
+    * bounded by NEW data, never the table). Results re-persist as one
+    * metadata commit with the sketch and `analyzedAtVersion` advanced,
+    * so successive refreshes stay bounded by data since the LAST one.
+    *
+    * Returns None when the table has no analyzed column stats to
+    * refresh (or uses column mapping — physical/logical name folding
+    * is not supported here); the caller falls back to table-level
+    * stats only. */
+  def refreshStats(spark: SparkSession, table: String)
+      : Option[(Long, Long, Map[String, ColumnStats])] = {
+    val props = properties(spark, table)
+    val analyzedAt = props.get("graft.stats.analyzedAtVersion")
+      .map(_.toLong)
+    val ColKey = """graft\.stats\.col\.(.+)\.ndv""".r
+    val cols = props.keys.collect { case ColKey(c) => c }.toSeq.sorted
+    if (analyzedAt.isEmpty || cols.isEmpty ||
+      columnMapping(spark, table).nonEmpty) return None
+    val k = props.get("graft.stats.kmvK").map(_.toInt).getOrElse(256)
+    val latest = latestVersion(spark, table).get
+    val (live, schema, _, _, _, _) = replay(spark, table, None)
+    val (curRows, curBytes) = metadataRowCount(spark, table)
+    // files added since the recorded analyze point and still live —
+    // the only data the ndv merge needs to read
+    val newFiles = versions(spark, table)
+      .filter(_ > analyzedAt.get)
+      .flatMap(v => readCommit(spark, table, v).add)
+      .distinct.filter(live.contains)
+    val numericNames = numericFields(schema).map(_.name).toSet
+    // hive-partition columns live in DIR names, not the data files: a
+    // raw-file read yields NULLs for them, so their sketches never
+    // merge (recorded ndv kept) and the read schema excludes them
+    val partCols = layoutPartCols(live.keys.toSeq)
+      .map(_.toLowerCase).toSet
+    val sketchCols = cols.filterNot(c => partCols.contains(c.toLowerCase))
+    val newSketches: Map[String, Seq[Long]] =
+      if (newFiles.isEmpty || sketchCols.isEmpty) Map.empty
+      else {
+        val readSchema = StructType(schema.fields.filterNot(f =>
+          partCols.contains(f.name.toLowerCase)))
+        val aggs = sketchCols.map(c =>
+          graft.functions.KMinValues.kmv_sketch(
+            conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
+              .cast("long"), k).as(s"__kmv_$c"))
+        val row = spark.read.schema(readSchema)
+          .parquet(newFiles.map(f => absPath(table, f)): _*)
+          .agg(aggs.head, aggs.tail: _*).collect().head
+        sketchCols.map(c => c ->
+          row.getAs[scala.collection.Seq[Long]](s"__kmv_$c").toSeq).toMap
+      }
+    val per = cols.map { c =>
+      val merged = props.get(s"graft.stats.col.$c.kmv") match {
+        case Some(enc) =>
+          (decodeKmv(enc) ++ newSketches.getOrElse(c, Seq.empty))
+            .distinct.sorted.take(k)
+        case None => newSketches.getOrElse(c, Seq.empty)
+      }
+      val ndv =
+        if (merged.nonEmpty) kmvEstimate(merged, k)
+        else props(s"graft.stats.col.$c.ndv").toDouble
+      val nulls = live.values
+        .flatMap(_.get(s"$c$NullStatsSuffix")).map(_._1).sum.toLong
+      // numeric min/max: exact bounds of the LIVE files' skipping stats
+      val (mn, mx) =
+        if (!numericNames.contains(c))
+          (props.get(s"graft.stats.col.$c.min"),
+            props.get(s"graft.stats.col.$c.max"))
+        else {
+          val mms = live.values.flatMap(_.get(c))
+          if (mms.isEmpty) (None, None)
+          else {
+            val isIntegral = schema.fields
+              .find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
+                case org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.ShortType => true
+                case _ => false
+              }
+            def fmt(d: Double): String =
+              if (isIntegral) math.round(d).toString else d.toString
+            (Some(fmt(mms.map(_._1).min)), Some(fmt(mms.map(_._2).max)))
+          }
+        }
+      c -> (ColumnStats(ndv, mn, mx, nulls), merged)
+    }.toMap
+    val colProps = per.flatMap { case (c, (st, merged)) =>
+      Map(s"graft.stats.col.$c.ndv" -> st.ndvEst.toString,
+        s"graft.stats.col.$c.nullCount" -> st.nullCount.toString) ++
+        st.min.map(v => s"graft.stats.col.$c.min" -> v) ++
+        st.max.map(v => s"graft.stats.col.$c.max" -> v) ++
+        (if (merged.nonEmpty)
+          Map(s"graft.stats.col.$c.kmv" -> encodeKmv(merged))
+        else Map.empty)
+    }
+    rebaseOnConflict(table, "analyze_incremental") { () =>
+      val v = latestVersion(spark, table).get + 1
+      writeCommit(spark, table, Commit(v, "analyze_incremental",
+        Seq.empty, Seq.empty, snapshot(spark, table)._2.toDDL,
+        System.currentTimeMillis(),
+        props = properties(spark, table) ++ colProps ++ Map(
+          "graft.stats.rowCount" -> curRows.toString,
+          "graft.stats.sizeInBytes" -> curBytes.toString,
+          "graft.stats.kmvK" -> k.toString,
+          "graft.stats.analyzedAtVersion" -> latest.toString)))
+      v
+    }
+    Some((curRows, curBytes, per.map { case (c, (st, _)) => c -> st }))
   }
 
   def backfillRowIds(spark: SparkSession, table: String): Long =
@@ -5568,6 +5711,9 @@ object GraftLog {
     * retained them on disk. */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int): Unit = {
     val all = versions(spark, table)
+    // sidecar residue is independent of log truncation — sweep it even
+    // when every version is retained (the early return below)
+    sweepSidecars(fs(spark, table), table)
     if (all.size <= retainVersions) return
     val keep = all.takeRight(retainVersions)
     // tagged versions below the horizon are PINNED (Iceberg's
@@ -5618,6 +5764,28 @@ object GraftLog {
       .filter(v => v < keep.head && !pinned.contains(v)).foreach { v =>
       f.delete(new HPath(logDir, ckptName(v)), false)
       f.delete(new HPath(logDir, ckptParquetName(v)), true)
+    }
+  }
+
+  /** Sweep `_graft_sidecar/` of superseded derived-state versions
+    * (rolling dedup/near-dup Bloom sidecars — commit-versioned bitsets
+    * beside the log). Loaders only read the newest version per family
+    * at-or-below the table version, so everything older than the
+    * newest two per family (`<prefix>-vNNN.bin/.meta`) is dead weight
+    * the save-path pruning may have missed (crashed writers, adopted
+    * tables). Same grace window as the save path. */
+  private def sweepSidecars(f: FileSystem, table: String): Unit = {
+    val dir = new HPath(table, "_graft_sidecar")
+    if (!f.exists(dir)) return
+    val pat = """^(.*-v)(\d{20})\.(bin|meta)$""".r
+    val parsed = f.listStatus(dir).map(_.getPath.getName).collect {
+      case pat(pfx, v, _) => (pfx, v.toLong)
+    }
+    parsed.groupBy(_._1).foreach { case (pfx, vs) =>
+      vs.map(_._2).distinct.sorted.dropRight(2).foreach { v =>
+        f.delete(new HPath(dir, f"$pfx$v%020d.bin"), false)
+        f.delete(new HPath(dir, f"$pfx$v%020d.meta"), false)
+      }
     }
   }
 

@@ -40,6 +40,10 @@ import graft.sources.{GraftFileIndex, GraftLog}
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+    // materialized-view auto-rewrite: aggregates over a registered,
+    // FRESH view source are served from the maintained rollup
+    ext.injectPostHocResolutionRule(session =>
+      new GraftMvRewriteRule(session))
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // the Delta `table_changes` TVF surface, registered the way Delta
     // registers its own (injectTableFunction from the session
@@ -1469,14 +1473,55 @@ private object StatsFreshness {
         val base = math.max(1L, recorded.toLong)
         val drift = math.abs(curRows - base).toDouble / base
         if (drift > maxDrift) {
-          session.sessionState.catalog.alterTableStats(ident,
-            Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
-              BigInt(curBytes), Some(BigInt(curRows)))))
-          System.err.println(s"[graft] stats staleness guard: $table " +
-            f"drifted ${drift * 100}%.1f%% from its ANALYZE " +
-            s"($recorded → $curRows rows); refreshed table-level " +
-            "stats, dropped stale column ndv/min/max (re-run " +
-            "ANALYZE … FOR COLUMNS to restore CBO column estimates)")
+          // INCREMENTAL refresh first (GraftLog.refreshStats): exact
+          // rowCount/sizeInBytes/nullCount and live-file min/max from
+          // commit metadata, ndv by merging the persisted KMV sketch
+          // with a sketch of only the NEW files — the table keeps its
+          // CBO column estimates (and its broadcast flips) through
+          // unbounded append streams instead of losing them at the
+          // first drift past the horizon. Falls back to the old
+          // drop-column-stats behavior when there is nothing to refresh.
+          GraftLog.refreshStats(session, path) match {
+            case Some((rows, bytes, per)) =>
+              import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+              val tblSchema = session.sessionState.catalog
+                .getTableMetadata(ident).schema
+              val colStats = per.flatMap { case (c, st) =>
+                tblSchema.find(_.name.equalsIgnoreCase(c)).map { f =>
+                  val numeric =
+                    f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+                      f.dataType == org.apache.spark.sql.types.DateType ||
+                      f.dataType == org.apache.spark.sql.types.TimestampType
+                  c -> CatalogColumnStat(
+                    distinctCount = Some(BigInt(math.max(1L,
+                      math.round(st.ndvEst)))),
+                    min = if (numeric) st.min else None,
+                    max = if (numeric) st.max else None,
+                    nullCount = Some(BigInt(st.nullCount)),
+                    avgLen = Some(f.dataType.defaultSize.toLong),
+                    maxLen = Some(f.dataType.defaultSize.toLong))
+                }
+              }
+              session.sessionState.catalog.alterTableStats(ident,
+                Some(org.apache.spark.sql.catalyst.catalog
+                  .CatalogStatistics(BigInt(bytes), Some(BigInt(rows)),
+                    colStats)))
+              System.err.println(s"[graft] stats staleness guard: " +
+                f"$table drifted ${drift * 100}%.1f%% from its ANALYZE " +
+                s"($recorded → $rows rows); refreshed table AND column " +
+                "stats incrementally (metadata fold + KMV merge over " +
+                "new files only)")
+            case None =>
+              session.sessionState.catalog.alterTableStats(ident,
+                Some(org.apache.spark.sql.catalyst.catalog
+                  .CatalogStatistics(BigInt(curBytes),
+                    Some(BigInt(curRows)))))
+              System.err.println(s"[graft] stats staleness guard: " +
+                f"$table drifted ${drift * 100}%.1f%% from its ANALYZE " +
+                s"($recorded → $curRows rows); refreshed table-level " +
+                "stats, dropped stale column ndv/min/max (re-run " +
+                "ANALYZE … FOR COLUMNS to restore CBO column estimates)")
+          }
         }
     }
   } catch { case scala.util.control.NonFatal(_) => () }

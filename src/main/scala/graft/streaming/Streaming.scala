@@ -318,7 +318,7 @@ object Streaming {
     * pin the per-stage invariants; the driver query runs it end-to-end). */
   private[graft] final class RestartHarness(
       spark: SparkSession, sfDir: String) {
-    private val root = graft.sources.Staging.tempDir("graft_restart_")
+    private val root = graft.sources.Staging.scratchDir("graft_restart_")
     private val (in, sink, ckpt) = (s"$root/in", s"$root/sink", s"$root/ckpt")
     private val ev = eventsBatch(spark, sfDir)
 

@@ -62,6 +62,58 @@ class AggViewSpec extends AnyFunSuite {
     assert(m == viewNow(view))
   }
 
+  test("MV auto-rewrite: fresh view serves the plan, stale falls back") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/rw_src", s"$root/rw_view")
+    GraftLog.overwrite(srcDf(0 until 100), src)                    // v0
+    GraftLog.append(srcDf(100 until 140), src)                     // v1
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v")
+    try {
+      def q = spark.read.format("graft").load(src)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.sumExact(col("v"))
+            .cast("double"), 6).as("t"))
+      def scans(df: org.apache.spark.sql.DataFrame, p: String) =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources
+              .LogicalRelation(fs: org.apache.spark.sql.execution
+              .datasources.HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toString == p)
+          case _ => false
+        }
+      val fresh = q
+      assert(scans(fresh, view) && !scans(fresh, src),
+        "fresh view: the rewritten plan must scan the view, skip the fact")
+      // the rewrite is invisible to the VALUES
+      val expect = recompute(src)
+      val got = fresh.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == expect, s"rewritten answer drifted: $got vs $expect")
+      // a float sum must NOT rewrite (the view folds exact decimal)
+      val floatQ = spark.read.format("graft").load(src)
+        .groupBy(col("g")).agg(sum(col("v")).as("t"))
+      assert(scans(floatQ, src) && !scans(floatQ, view),
+        "a non-exact aggregate shape must keep the base plan")
+      // deleted-to-zero groups must not resurface through the view
+      GraftLog.delete(spark, src, col("g") === "g2")               // v2
+      AggView.maintain(spark, src, view, "id", "g", "v")
+      val afterDel = q
+      assert(scans(afterDel, view), "re-maintained view serves again")
+      assert(!afterDel.collect().map(_.getString(0)).contains("g2"),
+        "emptied group must vanish from the rewritten answer")
+      // stale: one unmaintained source commit → base plan
+      GraftLog.append(srcDf(140 until 150), src)                   // v3
+      val stale = q
+      assert(scans(stale, src) && !scans(stale, view),
+        "stale view: the SAME query text must fall back to the fact scan")
+      assert(stale.collect().map(
+        r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        == recompute(src), "fallback answer = base recompute")
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   test("streaming CDF emits preimages only when asked") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val src = s"$root/pre_src"

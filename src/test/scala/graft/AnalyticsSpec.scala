@@ -662,7 +662,7 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE cbo_keep_t")
   }
 
-  test("stats staleness guard: a grown dim stops broadcasting off stale ndv") {
+  test("stats staleness guard: drift triggers incremental refresh, broadcast survives") {
     import graft.sources.{GraftLog, Sources, Staging}
     val root = Staging.tempDir("graft_cbo_stale_")
     val (dimD, factD) = (s"$root/dim", s"$root/fact")
@@ -711,19 +711,49 @@ class AnalyticsSpec extends AnyFunSuite {
         """MERGE INTO cbo_stale_dim t USING cbo_stale_src s
           |ON t.c_custkey = s.c_custkey
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      // guard fired: column ndv dropped, table-level truth refreshed
+      // guard fired: stats refreshed INCREMENTALLY (not dropped) —
+      // exact rowCount/nullCount + live-file min/max from metadata,
+      // ndv by KMV merge over only the new files
       val st = catStats().getOrElse(fail("catalog stats entry missing"))
-      assert(st.colStats.isEmpty,
-        s"stale column stats must be dropped: ${st.colStats.keySet}")
       assert(st.rowCount.exists(_.toLong == 3 * n0),
         s"rowCount must be re-folded from the log: ${st.rowCount}")
-      // the re-plan no longer uses the stale ndv: the filtered dim
-      // estimate is the (tripled) honest size → no broadcast
+      val cs = st.colStats.getOrElse("c_custkey",
+        fail(s"column stats must SURVIVE drift via incremental " +
+          s"refresh: ${st.colStats.keySet}"))
+      val ndv = cs.distinctCount.get.toLong
+      assert(ndv > 2 * n0 && ndv <= 4 * n0,
+        s"refreshed ndv must see the tripled key space: $ndv vs n0=$n0")
+      assert(cs.max.exists(_.toLong >= 20000000L),
+        s"refreshed max must cover the shifted keys: ${cs.max}")
+      // the re-plan broadcasts off the HONEST refreshed estimate: the
+      // filtered dim really is small (the filter selects the original
+      // key range, a sliver of the tripled domain)
       val after = planOf()
-      assert(after.contains("SortMergeJoin") &&
-          !after.contains("BroadcastHashJoin"),
-        s"post-mutation plan must not broadcast off stale ndv:\n" +
+      assert(after.contains("BroadcastHashJoin"),
+        s"post-refresh plan must broadcast off honest column stats:\n" +
           after.take(1500))
+      // a SECOND drift wave (2x the staleness horizon): the refresh is
+      // rolling — stats keep pace commit after commit, bounded by new
+      // data since the LAST refresh, never re-scanning the table
+      Sources.testTable(spark, TestSpark.sf, "customer")
+        .withColumn("c_custkey", col("c_custkey") + 30000000L)
+        .unionByName(Sources.testTable(spark, TestSpark.sf, "customer")
+          .withColumn("c_custkey", col("c_custkey") + 40000000L))
+        .createOrReplaceTempView("cbo_stale_src2")
+      spark.sql(
+        """MERGE INTO cbo_stale_dim t USING cbo_stale_src2 s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val st2 = catStats().getOrElse(fail("stats entry missing"))
+      assert(st2.rowCount.exists(_.toLong == 5 * n0),
+        s"second wave rowCount: ${st2.rowCount}")
+      val cs2 = st2.colStats.getOrElse("c_custkey",
+        fail("column stats must survive the second wave too"))
+      assert(cs2.distinctCount.get.toLong > 4 * n0,
+        s"ndv must keep pace: ${cs2.distinctCount}")
+      assert(cs2.max.exists(_.toLong >= 40000000L), s"max: ${cs2.max}")
+      assert(planOf().contains("BroadcastHashJoin"),
+        "the broadcast flip must survive unbounded append drift")
     } finally {
       olds.foreach { case (k, v) => v match {
         case Some(x) => spark.conf.set(k, x)

@@ -133,6 +133,95 @@ class DedupStateSpec extends AnyFunSuite {
         verdicts.mkString(","))
   }
 
+  private def sidecarFiles(state: String): Seq[String] = {
+    val d = new java.io.File(s"$state/_graft_sidecar")
+    if (!d.exists) Seq.empty
+    else d.listFiles.map(_.getName).filterNot(_.endsWith(".tmp")).toSeq
+  }
+
+  test("sidecar retention: saves prune superseded versions; vacuum sweeps") {
+    import spark.implicits._
+    val state = Staging.tempDir("graft_dstate_spec_") + "/digests"
+    DedupState.init(spark, spark.range(100)
+      .select(sha2(concat(lit("c-"), col("id")), 256).as("content_hash")),
+      state, prefixLen = 1)
+    (0 until 4).foreach { b =>
+      DedupState.probeAndAdvance(spark, state, spark.range(20)
+        .select(col("id").as("doc_id"),
+          concat(lit(s"r$b-"), col("id")).as("text")), b.toLong)
+    }
+    // 5 saves happened (init + 4 advances) but only the newest 2 pairs
+    // may remain — superseded bitsets are O(4x corpus) dead weight
+    val files = sidecarFiles(state)
+    assert(files.count(_.endsWith(".bin")) <= 2 &&
+      files.count(_.endsWith(".meta")) <= 2,
+      s"retention must cap sidecar versions: ${files.mkString(",")}")
+    // the survivor is still the current one: next load is steady-state
+    val sc = DedupState.loadSidecar(spark, state)
+    assert(sc.catchupVersions == 0 && !sc.rebuilt)
+    // vacuum sweeps residue the save path missed (crashed writers,
+    // adopted tables): manufacture two stale pairs below the newest
+    val dir = new java.io.File(s"$state/_graft_sidecar")
+    Seq(1L, 2L).foreach { v =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        dir.getPath, f"dedup-bloom-v$v%020d.bin"), Array[Byte](1))
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        dir.getPath, f"dedup-bloom-v$v%020d.meta"), Array[Byte](1))
+    }
+    assert(sidecarFiles(state).size >= 6)
+    GraftLog.vacuum(spark, state, retainVersions = 10)
+    val after = sidecarFiles(state)
+    assert(after.count(_.endsWith(".bin")) == 2 &&
+      after.count(_.endsWith(".meta")) == 2,
+      s"vacuum must sweep superseded sidecars: ${after.mkString(",")}")
+    assert(!DedupState.loadSidecar(spark, state).rebuilt,
+      "the current sidecar must survive vacuum")
+  }
+
+  test("concurrent writers: interleaved advances never lose digests") {
+    import spark.implicits._
+    val state = Staging.tempDir("graft_dstate_spec_") + "/digests"
+    DedupState.init(spark, spark.range(100)
+      .select(sha2(concat(lit("c-"), col("id")), 256).as("content_hash")),
+      state, prefixLen = 1)
+    // two writers race the same state with disjoint novel docs; each
+    // carries its OWN appId (the ledger is monotonic per appId)
+    def batchDf(tag: String) = spark.range(30)
+      .select((col("id") + (if (tag == "A") 0L else 1000L)).as("doc_id"),
+        concat(lit(s"$tag-"), col("id")).as("text"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = Seq("A", "B").map { tag =>
+      new Thread(() =>
+        try { DedupState.probeAndAdvance(spark, state, batchDf(tag), 0L,
+          appId = s"writer-$tag").collect(): Unit }
+        catch { case t: Throwable => errs.add(t): Unit })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent advance failed: ${errs.peek()}")
+    // exact state contents: seed + both batches' digests, no duplicates
+    val stateH = GraftLog.read(spark, state)
+      .select("content_hash").as[String].collect().toSeq
+    assert(stateH.distinct.size == stateH.size, "state must stay unique")
+    assert(stateH.size == 100 + 60, s"both writers' novels must land")
+    // verdict stability: re-probing both batches now flags EVERY doc —
+    // a lost sidecar merge would miss the other writer's digests and
+    // re-admit them as novel
+    val reprobe = DedupState.probeAndAdvance(spark, state,
+      batchDf("A").unionByName(batchDf("B"))
+        .withColumn("doc_id", col("doc_id") + 5000L), 99L).collect()
+    assert(reprobe.length == 60 && reprobe.forall(_.getBoolean(2)),
+      "all re-probed docs are duplicates of the raced state")
+    assert(GraftLog.read(spark, state).count() == 160,
+      "the duplicate re-probe must append nothing")
+    // replayed batchId within one appId stays a no-op
+    val v = GraftLog.latestVersion(spark, state)
+    DedupState.probeAndAdvance(spark, state, batchDf("A"), 0L,
+      appId = "writer-A")
+    assert(GraftLog.latestVersion(spark, state) == v)
+    // retention holds under racing too
+    assert(sidecarFiles(state).count(_.endsWith(".bin")) <= 2)
+  }
+
   test("re-delivered batch id is a ledger no-op (state version fixed)") {
     import spark.implicits._
     val state = Staging.tempDir("graft_dstate_spec_") + "/digests"

@@ -452,6 +452,18 @@ class GraftLogSpec extends AnyFunSuite {
       s"optimized partitioned append staged ${appendFiles(p)} files")
     assert(GraftLog.read(spark, p).count() == 2000)
     assert(GraftLog.read(spark, p).filter($"p" === 2).count() == 500)
+    // plan pin: the opt-in ingest plan carries the AQE rebalance node
+    // (the mechanism, not just the file-count effect)
+    import org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions
+    def hasRebalance(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed.exists {
+        case _: RebalancePartitions => true; case _ => false }
+    assert(hasRebalance(
+      GraftLog.optimizedWrite(df(0 until 10, "x"), t, Nil)),
+      "opted-in table: ingest plan must rebalance")
+    assert(!hasRebalance(
+      GraftLog.optimizedWrite(df(0 until 10, "x"), c, Nil)),
+      "control table: no rebalance node without the property")
   }
 
   test("type widening: metadata-only, narrow pages decode wide, guards hold") {
@@ -1566,22 +1578,36 @@ class GraftLogSpec extends AnyFunSuite {
 
   test("liquid clustering: OPTIMIZE FULL re-clusters after a column change") {
     val t = tmp()
-    GraftLog.overwrite(df(0 until 20, "a").coalesce(1), t)
+    // second numeric column so the post-FULL layout has prunable stats
+    def d2(ids: Range) = ids
+      .map(i => (i.toLong, (i % 5).toLong, s"r$i")).toDF("id", "id2", "tag")
+    GraftLog.overwrite(d2(0 until 200).coalesce(1), t)
     spark.sql(s"ALTER TABLE '$t' CLUSTER BY (id)")
-    GraftLog.append(df(20 until 40, "b").coalesce(1), t)
+    GraftLog.append(d2(200 until 400).coalesce(1), t)
     spark.sql(s"OPTIMIZE '$t'")
     val zcubeA = GraftLog.snapshot(spark, t)._1.toSet
     // the clustering columns change; incremental runs never revisit a
     // zcube, so plain OPTIMIZE is a no-op — FULL re-lays everything out
-    spark.sql(s"ALTER TABLE '$t' CLUSTER BY (tag)")
+    spark.sql(s"ALTER TABLE '$t' CLUSTER BY (id2)")
     spark.sql(s"OPTIMIZE '$t'")
     assert(GraftLog.snapshot(spark, t)._1.toSet == zcubeA,
       "incremental OPTIMIZE must not revisit existing zcubes")
-    spark.sql(s"OPTIMIZE '$t' FULL")
+    spark.sql(s"OPTIMIZE '$t' FILES 4 FULL")
     val after = GraftLog.snapshot(spark, t)._1.toSet
     assert((after intersect zcubeA).isEmpty,
       "FULL must rewrite every file under the new clustering")
-    assert(GraftLog.read(spark, t).count() == 40)
+    assert(GraftLog.read(spark, t).count() == 400)
+    // plan pin (numFiles): a point probe on the NEW clustering column
+    // scans strictly fewer files than the table holds — the pruning
+    // OPTIMIZE FULL exists to buy
+    val idx = new graft.sources.GraftFileIndex(spark, t)
+    val probe = org.apache.spark.sql.catalyst.expressions.EqualTo(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "id2", org.apache.spark.sql.types.LongType)(),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    val kept = idx.listFiles(Seq.empty, Seq(probe)).flatMap(_.files).size
+    assert(after.size >= 4 && kept < after.size,
+      s"post-FULL probe must prune: kept $kept of ${after.size}")
     // FULL without a declaration refuses
     val p = tmp()
     GraftLog.overwrite(df(0 until 5, "x"), p)

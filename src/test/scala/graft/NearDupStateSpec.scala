@@ -46,4 +46,60 @@ class NearDupStateSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, state).select("doc_id").distinct()
       .count() >= sizeAfterB1)
   }
+
+  test("sidecar retention caps band-bloom versions; race reconciles") {
+    import spark.implicits._
+    val docs = Sources.testTable(spark, TestSpark.sf, "documents")
+    val state = Staging.tempDir("graft_ndspec_") + "/bands"
+    NearDupState.init(spark, docs.filter(col("doc_id") < 60), state)
+    (0 until 3).foreach { b =>
+      NearDupState.probeAndAdvance(spark, state,
+        docs.filter(col("doc_id") >= 60 + b * 20 &&
+          col("doc_id") < 80 + b * 20)
+          .select(col("doc_id"), col("text")), b.toLong).count()
+    }
+    val files = Option(new java.io.File(s"$state/_graft_sidecar")
+      .listFiles).map(_.map(_.getName).toSeq).getOrElse(Seq.empty)
+    assert(files.count(_.endsWith(".bin")) <= 2 &&
+      files.count(_.endsWith(".meta")) <= 2,
+      s"retention must cap sidecar versions: ${files.mkString(",")}")
+    // interleaved writers (own appIds): near-dups of BOTH batches'
+    // novel docs still flag afterwards — a lost sidecar merge would
+    // false-negative the other writer's band keys
+    def b(tag: String, lo: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < lo + 20)
+      .select(col("doc_id") + (if (tag == "A") 0L else 500000L),
+        col("text")).toDF("doc_id", "text")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = Seq(("A", 140L), ("B", 160L)).map { case (tag, lo) =>
+      new Thread(() =>
+        try { NearDupState.probeAndAdvance(spark, state, b(tag, lo),
+          10L, appId = s"nd-$tag").collect(): Unit }
+        catch { case t: Throwable => errs.add(t): Unit })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent advance failed: ${errs.peek()}")
+    val twins = b("A", 140L).unionByName(b("B", 160L))
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    val verdicts = NearDupState.probeAndAdvance(spark, state, twins, 11L)
+      .collect()
+    assert(verdicts.length == 40 && verdicts.forall(_.getBoolean(4)),
+      s"raced state must flag twins of both writers' docs: " +
+        verdicts.filterNot(_.getBoolean(4)).mkString(","))
+  }
+
+  test("i30 streamed transport reproduces e20's verdicts; replay no-ops") {
+    val streamed = NearDupState.nearDupStreamIngest(spark, TestSpark.sf)
+      .collect()
+    assert(streamed.forall(_.getBoolean(5)),
+      "the out-of-band re-delivery must move neither ledger")
+    val batch = NearDupState.nearDupStateRolling(spark, TestSpark.sf)
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(3)), r.getBoolean(4))
+    val (sm, bm) = (streamed.map(key).toMap, batch.map(key).toMap)
+    assert(sm.size == bm.size && sm == bm,
+      "streaming admission must not change a single verdict")
+  }
 }
