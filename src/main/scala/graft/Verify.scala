@@ -25,6 +25,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val staged = graft.sources.Staging.snapshot
       try CacheScope.withScope {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -34,6 +35,10 @@ object Verify {
       // operators persist multi-consumed frames for intra-query reuse;
       // CacheScope releases the tracked ones, clearCache the rest
       spark.catalog.clearCache()
+      // reclaim this query's scratch staging (memoized cross-query
+      // staging is exempt) — /tmp holds one query's residue, not the
+      // whole 199-query suite's
+      graft.sources.Staging.cleanupSince(staged)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
