@@ -16,10 +16,14 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 20).selectExpr("sum(id)").collect() // JVM warm
     (1 to reps).foreach { i =>
+      val staged = graft.sources.Staging.snapshot
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n = CacheScope.withScope { fn(spark, sfDir).count() }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // per-rep scratch reclaim, matching Bench — a lifecycle query's
+      // rep N must not run against reps 1..N-1's staging residue
+      graft.sources.Staging.cleanupSince(staged)
       println(f"BENCHONE $name rep$i: $dt%.2f s, $n rows")
     }
     spark.stop()

@@ -92,7 +92,10 @@ object ExplainDump {
       "t42_liquid_clustering",   // incremental zcube read-back
       "e19_dedup_state_scalable",  // Bloom sidecar + prefix-pruned probe
       "e20_neardup_state_rolling", // band-key sidecar + pruned verify
-      "i28_incremental_agg_view")  // CDF fold into the delta-log view
+      "i28_incremental_agg_view",  // CDF fold into the delta-log view
+      "i30_neardup_stream_ingest", // streamed e20: ledger-first verdicts
+      "d27_mv_auto_rewrite",       // aggregate rewritten to the view scan
+      "d28_stats_refresh")         // metadata fold + KMV merge, no rescan
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.ExplainDump)\n\n")

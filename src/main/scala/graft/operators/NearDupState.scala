@@ -78,6 +78,11 @@ object NearDupState {
         pmod(xxhash64(col("x.bk")), lit(64L)).cast("int").as("bp"))
   }
 
+  /** The banding projection, exposed for specs that simulate an
+    * out-of-band writer landing state rows directly. */
+  private[graft] def bandedForTest(docs: DataFrame): DataFrame =
+    banded(docs, 3)
+
   /** Seed the state from a corpus frame (`doc_id`, `text`) and persist
     * the v0 band-key Bloom sized 4x for growth headroom. */
   def init(spark: SparkSession, docs: DataFrame, state: String,
@@ -109,11 +114,15 @@ object NearDupState {
 
   private[graft] final case class Sidecar(bloom: BloomFilter,
       version: Long, expected: Long, fpp: Double, inserted: Long,
-      rebuilt: Boolean)
+      catchupVersions: Int, rebuilt: Boolean)
 
-  /** Newest sidecar at-or-below the table version; missing or
-    * over-capacity → one key-only rebuild at 4x (see class doc for the
-    * CDF catch-up refinement this lean form omits). */
+  /** Newest sidecar at-or-below the table version, reconciled: a
+    * sidecar left behind the table (external writer, crashed save)
+    * catches up by folding the CDF inserts' band keys of the missing
+    * versions — a file-bounded read of just those commits' added
+    * files, never a corpus scan (the [[DedupState.loadSidecar]]
+    * mechanism, key = `bk`). Missing sidecar or over-capacity → one
+    * key-only rebuild at 4x headroom. */
   private[graft] def loadSidecar(spark: SparkSession, state: String)
       : Sidecar = {
     val latest = GraftLog.latestVersion(spark, state).getOrElse(
@@ -128,22 +137,55 @@ object NearDupState {
       }.filter(v => v <= latest && f.exists(binPath(state, v)))
         .sorted.lastOption
     found match {
-      case Some(v) if v == latest =>
+      case Some(v) =>
         val meta = new String(readAll(f, metaPath(state, v)), "UTF-8")
           .linesIterator.map(_.split('=')).collect {
             case Array(k, x) => k -> x }.toMap
+        val expected = meta("expected").toLong
+        val fpp = meta("fpp").toDouble
+        var inserted = meta("inserted").toLong
         val in = f.open(binPath(state, v))
         val bloom = try BloomFilter.readFrom(in) finally in.close()
-        Sidecar(bloom, latest, meta("expected").toLong,
-          meta("fpp").toDouble, meta("inserted").toLong, rebuilt = false)
-      case _ => // stale or missing: key-only rebuild, 4x headroom
-        val keys = GraftLog.read(spark, state).select("bk")
-        val cnt = keys.count()
-        val expected = math.max(cnt * 4, 1024L)
-        val bloom = keys.stat.bloomFilter("bk", expected, 0.01)
-        saveSidecar(spark, state, latest, bloom, expected, 0.01, cnt)
-        Sidecar(bloom, latest, expected, 0.01, cnt, rebuilt = true)
+        val missing = GraftLog.versions(spark, state)
+          .count(x => x > v && x <= latest)
+        if (missing > 0) {
+          // fold only the missing commits' inserted band keys (rows
+          // are unique by (bk, doc_id); rewrite-only commits diff
+          // empty, so OPTIMIZE between sidecar saves is invisible)
+          val catchup = spark.read.format("graft")
+            .option("readChangeFeed", "true")
+            .option("cdfKeys", "bk,doc_id")
+            .option("startingVersion", v + 1)
+            .option("endingVersion", latest)
+            .load(state)
+            .filter(col("_change_type") === "insert")
+            .select("bk").distinct()
+          val nNew = catchup.count()
+          if (inserted + nNew > expected)
+            return rebuild(spark, state, latest)
+          if (nNew > 0)
+            bloom.mergeInPlace(
+              catchup.stat.bloomFilter("bk", expected, fpp))
+          inserted += nNew
+          saveSidecar(spark, state, latest, bloom, expected, fpp,
+            inserted)
+        }
+        Sidecar(bloom, latest, expected, fpp, inserted,
+          missing, rebuilt = false)
+      case None => rebuild(spark, state, latest)
     }
+  }
+
+  /** One key-only corpus scan, 4x headroom — the bootstrap/overflow
+    * path, never the steady state. */
+  private def rebuild(spark: SparkSession, state: String, latest: Long)
+      : Sidecar = {
+    val keys = GraftLog.read(spark, state).select("bk")
+    val cnt = keys.count()
+    val expected = math.max(cnt * 4, 1024L)
+    val bloom = keys.stat.bloomFilter("bk", expected, 0.01)
+    saveSidecar(spark, state, latest, bloom, expected, 0.01, cnt)
+    Sidecar(bloom, latest, expected, 0.01, cnt, 0, rebuilt = true)
   }
 
   private def readAll(f: FileSystem, p: HPath): Array[Byte] = {

@@ -88,6 +88,28 @@ class NearDupStateSpec extends AnyFunSuite {
         verdicts.filterNot(_.getBoolean(4)).mkString(","))
   }
 
+  test("out-of-band append: CDF catch-up folds, no corpus rebuild") {
+    val docs = Sources.testTable(spark, TestSpark.sf, "documents")
+    val state = Staging.tempDir("graft_ndspec_") + "/bands"
+    NearDupState.init(spark, docs.filter(col("doc_id") < 80), state)
+    // an external writer lands banded rows WITHOUT touching the sidecar
+    val oob = NearDupState.bandedForTest(
+      docs.filter(col("doc_id") >= 80 && col("doc_id") < 90))
+    GraftLog.appendPartitioned(oob.repartition(col("bp")), state,
+      Seq("bp"))
+    val sc = NearDupState.loadSidecar(spark, state)
+    assert(sc.catchupVersions == 1 && !sc.rebuilt,
+      s"one missing version must FOLD via CDF, not rebuild: $sc")
+    // twins of the out-of-band docs now flag — the folded keys gate
+    val twins = docs.filter(col("doc_id") >= 80 && col("doc_id") < 90)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+    val verdicts = NearDupState
+      .probeAndAdvance(spark, state, twins, 50L).collect()
+    assert(verdicts.length == 10 && verdicts.forall(_.getBoolean(4)),
+      s"catch-up must surface out-of-band band keys: " +
+        verdicts.filterNot(_.getBoolean(4)).mkString(","))
+  }
+
   test("i30 streamed transport reproduces e20's verdicts; replay no-ops") {
     val streamed = NearDupState.nearDupStreamIngest(spark, TestSpark.sf)
       .collect()
