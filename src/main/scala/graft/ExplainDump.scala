@@ -95,6 +95,7 @@ object ExplainDump {
       "i28_incremental_agg_view",  // CDF fold into the delta-log view
       "i30_neardup_stream_ingest", // streamed e20: ledger-first verdicts
       "d27_mv_auto_rewrite",       // aggregate rewritten to the view scan
+      "d29_mv_compensated_rewrite",// stale view + CDF tail, always fresh
       "d28_stats_refresh")         // metadata fold + KMV merge, no rescan
 
     val sb = new StringBuilder

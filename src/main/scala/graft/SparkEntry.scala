@@ -469,6 +469,11 @@ object SparkEntry {
     // view falls back to the base plan — both decisions pinned
     "d27_mv_auto_rewrite" ->
       ((s, d) => AggView.aggViewAutoRewrite(s, d)),
+    // delta-compensated rewrite: a STALE view still serves — the plan
+    // folds the view's delta log plus the source's file-bounded CDF
+    // tail, current answer at O(changes), never the fact scan
+    "d29_mv_compensated_rewrite" ->
+      ((s, d) => AggView.aggViewCompensatedRewrite(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1594,6 +1599,23 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, TRUE AS used_view, TRUE AS fell_back
+        |FROM final GROUP BY 1""".stripMargin,
+    // d29: the compensated fold must be CURRENT — the recompute
+    // INCLUDES the un-maintained %11 append the view never folded
+    "d29_mv_compensated_rewrite" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 7 <> 0),
+        |extra AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id % 11 = 0),
+        |final AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM extra)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, TRUE AS used_view, TRUE AS compensated
         |FROM final GROUP BY 1""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,

@@ -102,11 +102,16 @@ object AggView {
 
   /** Register `view` (maintained by [[maintain]]) for planner
     * auto-rewrite of matching aggregates over `src` — see
-    * [[graft.sql.GraftMvRewriteRule]] for the soundness gates. */
+    * [[graft.sql.GraftMvRewriteRule]] for the soundness gates. With
+    * `compensate = true` (requires `key`, the CDF row identity) a
+    * stale view still serves: the rewrite folds the view plus the
+    * source's CDF tail, always-current at O(changes). */
   def registerForRewrite(src: String, view: String, groupCol: String,
-      valueCol: String): Unit =
+      valueCol: String, key: String = "",
+      compensate: Boolean = false): Unit =
     graft.sql.MvRegistry.register(src,
-      graft.sql.MvRegistry.MvDef(view, groupCol, valueCol, AppId))
+      graft.sql.MvRegistry.MvDef(view, groupCol, valueCol, AppId,
+        key, compensate))
 
   /** d27 — MV auto-rewrite, the planner half of i28: the SAME
     * fact-table aggregate is written twice; while the view is FRESH
@@ -152,6 +157,54 @@ object AggView {
       // (whose table v4 never touched) keeps its values at the v3 state
       fresh.withColumn("used_view", lit(usedView))
         .withColumn("fell_back", lit(fellBack))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
+  /** d29 — DELTA-COMPENSATED rewrite, the stale half d27 falls back
+    * on: registered with `compensate = true`, the SAME aggregate text
+    * over a source the view lags by one commit plans as
+    * view-delta-log ∪ CDF-tail-deltas → fold — the answer is CURRENT
+    * (includes the un-maintained commit) at O(changes) extra cost,
+    * never the fact scan and never a stale result. `used_view` /
+    * `compensated` pin the plan shape (view scanned; source touched
+    * only through the file-bounded CDF tail). */
+  def aggViewCompensatedRewrite(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvcomp_")
+    val (src, view) = (s"$root/src", s"$root/view")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    GraftLog.delete(spark, src, col("event_id") % 7 === 0)        // v2
+    GraftLog.update(spark, src, col("event_id") % 5 === 0,
+      Seq("value" -> (col("value") + 100)))                       // v3
+    maintain(spark, src, view, "event_id", "event_type", "value")
+    registerForRewrite(src, view, "event_type", "value",
+      key = "event_id", compensate = true)
+    try {
+      // the view now LAGS: one deterministic un-maintained commit
+      GraftLog.append(ev.filter(col("event_id") % 11 === 0), src) // v4
+      val q = spark.read.format("graft").load(src)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sumExact(col("value")).cast("double"), 6)
+            .as("total_value"))
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def fileScan(path: String): Boolean = leaves.exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toUri.getPath == path)
+        case _ => false
+      }
+      // compensated = the view's file scan PLUS a second (non-file)
+      // leaf — the CDF tail's row-level relation — and NO fact-root
+      // scan (the fallback plan's signature)
+      val usedView = fileScan(view)
+      val compensated = usedView && !fileScan(src) && leaves.size > 1
+      q.withColumn("used_view", lit(usedView))
+        .withColumn("compensated", lit(compensated))
     } finally graft.sql.MvRegistry.unregister(src)
   }
 

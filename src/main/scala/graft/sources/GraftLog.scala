@@ -2669,8 +2669,13 @@ object GraftLog {
       .map(_.toLong)
     val ColKey = """graft\.stats\.col\.(.+)\.ndv""".r
     val cols = props.keys.collect { case ColKey(c) => c }.toSeq.sorted
+    // active deletion vectors: per-file stats still describe the
+    // pre-erasure rows, so the metadata fold would overcount — refuse
+    // (caller falls back to table-level stats, which metadataRowCount
+    // keeps DV-exact)
     if (analyzedAt.isEmpty || cols.isEmpty ||
-      columnMapping(spark, table).nonEmpty) return None
+      columnMapping(spark, table).nonEmpty ||
+      deletionVectors(spark, table).nonEmpty) return None
     val k = props.get("graft.stats.kmvK").map(_.toInt).getOrElse(256)
     val latest = latestVersion(spark, table).get
     val (live, schema, _, _, _, _) = replay(spark, table, None)

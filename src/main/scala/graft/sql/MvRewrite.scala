@@ -44,9 +44,16 @@ object MvRegistry {
 
   /** One registered rollup: `view` maintains `groupCol` →
     * (count, exact sum of `valueCol`) over its source, stamped by
-    * `appId` in the maintenance ledger. */
+    * `appId` in the maintenance ledger. `key` is the source's row
+    * identity (the CDF diff key); with `compensate = true` a STALE
+    * view still serves — the rewrite unions the view's delta log with
+    * freshly-derived deltas from the source's CDF tail
+    * (ledger-high-water, latest], so the answer is always CURRENT at
+    * O(changes) extra cost instead of falling back to the full fact
+    * scan. */
   final case class MvDef(view: String, groupCol: String,
-      valueCol: String, appId: String)
+      valueCol: String, appId: String, key: String = "",
+      compensate: Boolean = false)
 
   private val bySrc =
     new scala.collection.concurrent.TrieMap[String, MvDef]
@@ -98,18 +105,51 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if a.name.equalsIgnoreCase(d.groupCol) => Some(a)
       case _ => None
     }
-    // freshness: the view's maintenance ledger high-water must BE the
-    // source's latest version — otherwise fall back to the base plan
-    if GraftLog.versions(spark, src).lastOption.exists(v =>
-      GraftLog.lastCommittedBatch(spark, d.view, d.appId).contains(v))
-    rewritten <- build(agg, d, g)
+    child <- deltaSource(d, src)
+    rewritten <- build(agg, d, g, child)
   } yield rewritten
 
+  /** The delta-log plan the rewritten aggregate folds. FRESH view
+    * (ledger high-water == source latest): the view table verbatim.
+    * STALE + `compensate`: the view's deltas UNIONed with per-row
+    * deltas derived from the source's CDF tail (high-water, latest] —
+    * exactly what the next `maintain` would fold, read file-bounded,
+    * so the answer is current at O(changes) extra cost. Stale without
+    * compensation (or an unreadable tail, e.g. vacuumed versions):
+    * None → base plan — wrong-but-fast is never acceptable. */
+  private def deltaSource(d: MvRegistry.MvDef, src: String)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val latest = GraftLog.versions(spark, src).lastOption
+    val hw = GraftLog.lastCommittedBatch(spark, d.view, d.appId)
+    val viewDf = spark.read.format("graft").load(d.view)
+      .select(col(d.groupCol), col("d_count"), col("d_value"))
+    if (latest.exists(v => hw.contains(v)))
+      Some(viewDf.queryExecution.analyzed)
+    else if (d.compensate && d.key.nonEmpty && hw.isDefined &&
+        latest.isDefined) try {
+      val tail = spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("cdfKeys", d.key)
+        .option("includePreimages", "true")
+        .option("startingVersion", (hw.get + 1).toString)
+        .option("endingVersion", latest.get.toString)
+        .load(src)
+      val sign = when(col("_change_type")
+          .isin("insert", "update_postimage"), lit(1L))
+        .otherwise(lit(-1L))
+      val tailDeltas = tail.select(col(d.groupCol),
+        sign.as("d_count"),
+        (sign * col(d.valueCol)).cast("decimal(38,10)").as("d_value"))
+      Some(viewDf.unionByName(tailDeltas).queryExecution.analyzed)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    else None
+  }
+
   private def build(agg: Aggregate, d: MvRegistry.MvDef,
-      g: AttributeReference): Option[LogicalPlan] = {
-    // the view's analyzed scan + its three columns
-    val viewPlan = spark.read.format("graft").load(d.view)
-      .queryExecution.analyzed
+      g: AttributeReference,
+      viewPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[LogicalPlan] = {
     def attr(n: String): Option[AttributeReference] =
       viewPlan.output.collectFirst {
         case a: AttributeReference if a.name.equalsIgnoreCase(n) => a }

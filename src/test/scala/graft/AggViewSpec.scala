@@ -114,6 +114,51 @@ class AggViewSpec extends AnyFunSuite {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  test("compensated rewrite: stale view + CDF tail = current answer") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/comp_src", s"$root/comp_view")
+    GraftLog.overwrite(srcDf(0 until 100), src)                    // v0
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v",
+      key = "id", compensate = true)
+    try {
+      // the view lags by an append AND a delete AND an update — the
+      // tail deltas must fold all three change classes
+      GraftLog.append(srcDf(100 until 130), src)                   // v1
+      GraftLog.delete(spark, src, col("id") % 9 === 0)             // v2
+      GraftLog.update(spark, src, col("id") % 4 === 0,
+        Seq("v" -> (col("v") + 2.0)))                              // v3
+      def q = spark.read.format("graft").load(src)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.sumExact(col("v"))
+            .cast("double"), 6).as("t"))
+      def scans(df: org.apache.spark.sql.DataFrame, p: String) =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources
+              .LogicalRelation(fs: org.apache.spark.sql.execution
+              .datasources.HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath.startsWith(p))
+          case _ => false
+        }
+      val comp = q
+      assert(scans(comp, view),
+        "compensated plan must still fold the view's delta log")
+      val got = comp.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == recompute(src),
+        s"compensated answer must be CURRENT: $got vs ${recompute(src)}")
+      // catching the view up makes the SAME text drop the tail leg
+      AggView.maintain(spark, src, view, "id", "g", "v")
+      val fresh = q
+      assert(scans(fresh, view) && !scans(fresh, src),
+        "fresh view: no compensation leg")
+      assert(fresh.collect().map(
+        r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        == recompute(src))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   test("streaming CDF emits preimages only when asked") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val src = s"$root/pre_src"
