@@ -474,6 +474,11 @@ object SparkEntry {
     // tail, current answer at O(changes), never the fact scan
     "d29_mv_compensated_rewrite" ->
       ((s, d) => AggView.aggViewCompensatedRewrite(s, d)),
+    // multi-column maintained rollup + rewrite (the reference's gold
+    // year x month x ticker shape): two-column group key matched as a
+    // SET, the query's own grouping order preserved
+    "d30_mv_multicol" ->
+      ((s, d) => AggView.aggViewMultiCol(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1600,6 +1605,18 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, TRUE AS used_view, TRUE AS fell_back
         |FROM final GROUP BY 1""".stripMargin,
+    // d30: the two-column maintained fold equals the recompute over
+    // the source's final state, served through the view
+    "d30_mv_multicol" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type, user_id % 4 AS ub,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 7 <> 0)
+        |SELECT ub, event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, TRUE AS used_view
+        |FROM final GROUP BY 1, 2""".stripMargin,
     // d29: the compensated fold must be CURRENT — the recompute
     // INCLUDES the un-maintained %11 append the view never folded
     "d29_mv_compensated_rewrite" ->

@@ -39,20 +39,23 @@ object AggView {
   /** Fold every source commit past the view's ledger high-water into
     * the delta log: one file-bounded CDF diff + one ledger-stamped
     * append per version. Returns the number of versions applied (0 on
-    * a pure replay — the idempotence pin). */
-  def maintain(spark: SparkSession, src: String, view: String,
-      key: String, groupCol: String, valueCol: String): Int = {
+    * a pure replay — the idempotence pin). Multi-column group keys
+    * carry straight through (the reference's gold rollup is
+    * year × month × ticker — `financial_dl_gold.py`). */
+  def maintainCols(spark: SparkSession, src: String, view: String,
+      key: String, groupCols: Seq[String], valueCol: String): Int = {
+    require(groupCols.nonEmpty, "maintain needs at least one group col")
     val from = GraftLog.lastCommittedBatch(spark, view, AppId)
       .getOrElse(-1L)
     var applied = 0
     GraftLog.versions(spark, src).filter(_ > from).foreach { v =>
       val cdf = GraftLog.changesAt(spark, src, Seq(key), v,
         preimages = true)
-      val deltas = cdf.select(col(groupCol),
+      val deltas = cdf.select(groupCols.map(col) ++ Seq(
           when(col("_change_type").isin("insert", "update_postimage"),
             lit(1L)).otherwise(lit(-1L)).as("__sign"),
-          col(valueCol).as("__v"))
-        .groupBy(col(groupCol))
+          col(valueCol).as("__v")): _*)
+        .groupBy(groupCols.map(col): _*)
         .agg(sum(col("__sign")).as("d_count"),
           sumExact(col("__sign") * col("__v")).as("d_value"))
       if (GraftLog.txnAppend(deltas, view, AppId, v)) applied += 1
@@ -60,15 +63,22 @@ object AggView {
     applied
   }
 
+  def maintain(spark: SparkSession, src: String, view: String,
+      key: String, groupCol: String, valueCol: String): Int =
+    maintainCols(spark, src, view, key, Seq(groupCol), valueCol)
+
   /** The view's answer: fold the delta log. Groups whose running count
     * is zero no longer exist (all their rows were deleted). */
-  def read(spark: SparkSession, view: String, groupCol: String)
-      : DataFrame =
+  def readCols(spark: SparkSession, view: String,
+      groupCols: Seq[String]): DataFrame =
     GraftLog.read(spark, view)
-      .groupBy(col(groupCol))
+      .groupBy(groupCols.map(col): _*)
       .agg(sum(col("d_count")).as("n_events"),
         round(sum(col("d_value")).cast("double"), 6).as("total_value"))
       .filter(col("n_events") > 0)
+
+  def read(spark: SparkSession, view: String, groupCol: String)
+      : DataFrame = readCols(spark, view, Seq(groupCol))
 
   /** i28 — the registered lifecycle: seed → maintain → append + delete +
     * update on the SOURCE → maintain (three file-bounded diffs, no
@@ -109,8 +119,14 @@ object AggView {
   def registerForRewrite(src: String, view: String, groupCol: String,
       valueCol: String, key: String = "",
       compensate: Boolean = false): Unit =
+    registerForRewriteCols(src, view, Seq(groupCol), valueCol, key,
+      compensate)
+
+  def registerForRewriteCols(src: String, view: String,
+      groupCols: Seq[String], valueCol: String, key: String = "",
+      compensate: Boolean = false): Unit =
     graft.sql.MvRegistry.register(src,
-      graft.sql.MvRegistry.MvDef(view, groupCol, valueCol, AppId,
+      graft.sql.MvRegistry.MvDef(view, groupCols, valueCol, AppId,
         key, compensate))
 
   /** d27 — MV auto-rewrite, the planner half of i28: the SAME
@@ -205,6 +221,46 @@ object AggView {
       val compensated = usedView && !fileScan(src) && leaves.size > 1
       q.withColumn("used_view", lit(usedView))
         .withColumn("compensated", lit(compensated))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
+  /** d30 — MULTI-COLUMN maintained rollup + rewrite: the reference's
+    * gold tier groups by year × month × ticker
+    * (`financial_dl_gold.py`), the canonical shape this generalizes
+    * to. The view maintains (event_type, user-bucket) keys through the
+    * same append/delete/update lifecycle as i28; the matching
+    * two-column aggregate plans against the view (group order in the
+    * QUERY deliberately differs from the registration — the rewrite
+    * matches the SET, preserving the query's order). */
+  def aggViewMultiCol(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvmc_")
+    val (src, view) = (s"$root/src", s"$root/view")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        pmod(col("user_id"), lit(4L)).as("ub"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    GraftLog.delete(spark, src, col("event_id") % 7 === 0)        // v2
+    GraftLog.update(spark, src, col("event_id") % 5 === 0,
+      Seq("value" -> (col("value") + 100)))                       // v3
+    maintainCols(spark, src, view, "event_id",
+      Seq("event_type", "ub"), "value")
+    registerForRewriteCols(src, view, Seq("event_type", "ub"), "value")
+    try {
+      val q = spark.read.format("graft").load(src)
+        .groupBy(col("ub"), col("event_type")) // reversed order
+        .agg(count(lit(1)).as("n_events"),
+          round(sumExact(col("value")).cast("double"), 6)
+            .as("total_value"))
+      val usedView = q.queryExecution.optimizedPlan.collectLeaves()
+        .exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == view)
+          case _ => false
+        }
+      q.withColumn("used_view", lit(usedView))
     } finally graft.sql.MvRegistry.unregister(src)
   }
 

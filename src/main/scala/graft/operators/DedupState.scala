@@ -124,6 +124,14 @@ object DedupState {
     val withPrefix = digests.select(col("content_hash"),
       substring(col("content_hash"), 1, prefixLen).as("h2")).distinct()
     GraftLog.overwritePartitioned(withPrefix, state, Seq("h2"))
+    // the state is a rolling-ingest table: every batch lands small
+    // files across the prefix dirs forever — opt into write-path
+    // compaction so file count stays bounded (the i28 delta-log
+    // discipline; compaction commits are rewrite-only, so the
+    // sidecar's CDF catch-up sees them as empty diffs)
+    GraftLog.setProperties(spark, state, Map(
+      "graft.autoCompact" -> "true",
+      "graft.autoCompact.minNumFiles" -> "8")): Unit
     val n = GraftLog.read(spark, state).count()
     val expected = math.max(n * 4, 1024L)
     val bloom = GraftLog.read(spark, state)

@@ -93,6 +93,12 @@ object NearDupState {
     // predate the table's first commit)
     GraftLog.overwritePartitioned(
       banded(docs, n).repartition(col("bp")), state, Seq("bp"))
+    // rolling-ingest table: bound the per-dir file count (see
+    // [[DedupState.init]] — compaction commits diff empty in CDF, so
+    // the sidecar machinery is unaffected)
+    GraftLog.setProperties(spark, state, Map(
+      "graft.autoCompact" -> "true",
+      "graft.autoCompact.minNumFiles" -> "8")): Unit
     val keys = GraftLog.read(spark, state).select("bk")
     val cnt = keys.count()
     val expected = math.max(cnt * 4, 1024L)

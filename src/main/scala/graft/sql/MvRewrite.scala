@@ -51,18 +51,26 @@ object MvRegistry {
     * (ledger-high-water, latest], so the answer is always CURRENT at
     * O(changes) extra cost instead of falling back to the full fact
     * scan. */
-  final case class MvDef(view: String, groupCol: String,
+  final case class MvDef(view: String, groupCols: Seq[String],
       valueCol: String, appId: String, key: String = "",
       compensate: Boolean = false)
 
   private val bySrc =
     new scala.collection.concurrent.TrieMap[String, MvDef]
 
-  def register(src: String, d: MvDef): Unit = { bySrc.put(src, d): Unit }
-  def unregister(src: String): Unit = { bySrc.remove(src): Unit }
+  /** Scheme-normalized key: a catalog table's resolved location is
+    * URI-qualified (`file:/tmp/...`) while registrations usually carry
+    * the bare path — both must hit the same entry. */
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  def register(src: String, d: MvDef): Unit = {
+    bySrc.put(norm(src), d): Unit
+  }
+  def unregister(src: String): Unit = { bySrc.remove(norm(src)): Unit }
   def clear(): Unit = bySrc.clear()
   def isEmpty: Boolean = bySrc.isEmpty
-  def lookup(src: String): Option[MvDef] = bySrc.get(src)
+  def lookup(src: String): Option[MvDef] = bySrc.get(norm(src))
 }
 
 /** The session-extension-injected rule. Post-hoc resolution placement:
@@ -99,14 +107,18 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     src <- scannedGraftPath(agg.child)
     d <- MvRegistry.lookup(src)
-    // grouping: exactly the view's group column
-    g <- agg.groupingExpressions match {
-      case Seq(a: AttributeReference)
-        if a.name.equalsIgnoreCase(d.groupCol) => Some(a)
-      case _ => None
+    // grouping: exactly the view's group columns (any order)
+    gs <- {
+      val attrs = agg.groupingExpressions.collect {
+        case a: AttributeReference => a }
+      if (attrs.length == agg.groupingExpressions.length &&
+          attrs.length == d.groupCols.length &&
+          d.groupCols.forall(c =>
+            attrs.exists(_.name.equalsIgnoreCase(c))))
+        Some(attrs) else None
     }
     child <- deltaSource(d, src)
-    rewritten <- build(agg, d, g, child)
+    rewritten <- build(agg, d, gs, child)
   } yield rewritten
 
   /** The delta-log plan the rewritten aggregate folds. FRESH view
@@ -123,7 +135,8 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val latest = GraftLog.versions(spark, src).lastOption
     val hw = GraftLog.lastCommittedBatch(spark, d.view, d.appId)
     val viewDf = spark.read.format("graft").load(d.view)
-      .select(col(d.groupCol), col("d_count"), col("d_value"))
+      .select(d.groupCols.map(col) ++
+        Seq(col("d_count"), col("d_value")): _*)
     if (latest.exists(v => hw.contains(v)))
       Some(viewDf.queryExecution.analyzed)
     else if (d.compensate && d.key.nonEmpty && hw.isDefined &&
@@ -138,28 +151,34 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val sign = when(col("_change_type")
           .isin("insert", "update_postimage"), lit(1L))
         .otherwise(lit(-1L))
-      val tailDeltas = tail.select(col(d.groupCol),
+      val tailDeltas = tail.select(d.groupCols.map(col) ++ Seq(
         sign.as("d_count"),
-        (sign * col(d.valueCol)).cast("decimal(38,10)").as("d_value"))
+        (sign * col(d.valueCol)).cast("decimal(38,10)").as("d_value")): _*)
       Some(viewDf.unionByName(tailDeltas).queryExecution.analyzed)
     } catch { case scala.util.control.NonFatal(_) => None }
     else None
   }
 
   private def build(agg: Aggregate, d: MvRegistry.MvDef,
-      g: AttributeReference,
+      gs: Seq[AttributeReference],
       viewPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[LogicalPlan] = {
     def attr(n: String): Option[AttributeReference] =
       viewPlan.output.collectFirst {
         case a: AttributeReference if a.name.equalsIgnoreCase(n) => a }
-    (attr(d.groupCol), attr("d_count"), attr("d_value")) match {
-      case (Some(vg), Some(dCount), Some(dValue)) =>
+    // original grouping attr exprId -> the view-side twin, in the
+    // ORIGINAL grouping order
+    val groupMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+      AttributeReference] = gs.flatMap(a =>
+        attr(a.name).map(v => a.exprId -> v)).toMap
+    (groupMap.size == gs.length, attr("d_count"), attr("d_value")) match {
+      case (true, Some(dCount), Some(dValue)) =>
         // every aggregate expression must decompose; scalar wrappers
         // above the AggregateExpression carry over verbatim
         var ok = true
         def sub(e: Expression): Expression = e match {
-          case a: AttributeReference if a.exprId == g.exprId => vg
+          case a: AttributeReference if groupMap.contains(a.exprId) =>
+            groupMap(a.exprId)
           case ae: AggregateExpression
               if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
@@ -187,8 +206,8 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case a: Alias =>
               a.withNewChildren(Seq(sub(a.child)))
                 .asInstanceOf[NamedExpression]
-            case a: AttributeReference if a.exprId == g.exprId =>
-              Alias(vg, a.name)(exprId = a.exprId)
+            case a: AttributeReference if groupMap.contains(a.exprId) =>
+              Alias(groupMap(a.exprId), a.name)(exprId = a.exprId)
             case _ => ok = false
               agg.aggregateExpressions.head // unused: ok=false bails
           }
@@ -198,7 +217,8 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // folded to 0 were fully deleted and must not resurface
           val cnt = Alias(
             new Sum(dCount).toAggregateExpression(), "__mv_cnt")()
-          val rewritten = Aggregate(Seq(vg), newAggExprs :+ cnt, viewPlan)
+          val rewritten = Aggregate(
+            gs.map(a => groupMap(a.exprId)), newAggExprs :+ cnt, viewPlan)
           val filtered = Filter(
             GreaterThan(cnt.toAttribute, Literal(0L)), rewritten)
           Some(Project(newAggExprs.map(_.toAttribute), filtered))

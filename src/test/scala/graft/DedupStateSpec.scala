@@ -145,17 +145,32 @@ class DedupStateSpec extends AnyFunSuite {
     DedupState.init(spark, spark.range(100)
       .select(sha2(concat(lit("c-"), col("id")), 256).as("content_hash")),
       state, prefixLen = 1)
-    (0 until 4).foreach { b =>
+    (0 until 9).foreach { b =>
       DedupState.probeAndAdvance(spark, state, spark.range(20)
         .select(col("id").as("doc_id"),
           concat(lit(s"r$b-"), col("id")).as("text")), b.toLong)
     }
-    // 5 saves happened (init + 4 advances) but only the newest 2 pairs
+    // 10 saves happened (init + 9 advances) but only the newest 2 pairs
     // may remain — superseded bitsets are O(4x corpus) dead weight
     val files = sidecarFiles(state)
     assert(files.count(_.endsWith(".bin")) <= 2 &&
       files.count(_.endsWith(".meta")) <= 2,
       s"retention must cap sidecar versions: ${files.mkString(",")}")
+    // the state table itself is rolling ingest: write-path auto-compact
+    // (opted in by init) keeps the per-dir small-file count bounded —
+    // without it, 10 commits x 16 prefix dirs accrete one file per
+    // batch per dir forever
+    assert(GraftLog.history(spark, state).select("operation")
+      .collect().map(_.getString(0)).contains("autocompact"),
+      "rolling state must engage write-path compaction")
+    // per hive PARTITION (h2=x), not per staging dir — each commit
+    // stages under its own uuid, so the partition value is the unit
+    // the compactor (and a reader's pruning) cares about
+    val perDir = GraftLog.snapshot(spark, state)._1
+      .groupBy(_.split('/').find(_.startsWith("h2=")).getOrElse(""))
+      .values.map(_.size)
+    assert(perDir.max < 9,
+      s"auto-compact must bound per-partition files: max ${perDir.max}")
     // the survivor is still the current one: next load is steady-state
     val sc = DedupState.loadSidecar(spark, state)
     assert(sc.catchupVersions == 0 && !sc.rebuilt)
