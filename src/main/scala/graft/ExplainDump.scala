@@ -96,6 +96,7 @@ object ExplainDump {
       "i30_neardup_stream_ingest", // streamed e20: ledger-first verdicts
       "d27_mv_auto_rewrite",       // aggregate rewritten to the view scan
       "d29_mv_compensated_rewrite",// stale view + CDF tail, always fresh
+      "d30_mv_multicol",           // N-column key, query's order kept
       "d28_stats_refresh")         // metadata fold + KMV merge, no rescan
 
     val sb = new StringBuilder
