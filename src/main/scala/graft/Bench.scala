@@ -88,10 +88,19 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val before = graft.sources.Staging.snapshot
       val cold = timed(fn)
-      if (cold >= warmThreshold) warmAcc += (name -> timed(fn))
-      // reclaim this query's per-call staging now (keyed cross-query
-      // staging is exempt); no later rep of this query exists to break
+      // per-REP reclaim (the BenchOne pattern): reclaim the COLD rep's
+      // staging BEFORE the warm rep runs — a lifecycle query's warm rep
+      // must measure the query, not the cold rep's hive-dir/sidecar/
+      // checkpoint residue (the round-12 gate carried e19 warm 47.5 s
+      // vs 17.1 cold for exactly this reason). Keyed cross-query
+      // staging is exempt from cleanupSince, so warm reps of staged
+      // queries still reuse their corpus.
       graft.sources.Staging.cleanupSince(before)
+      if (cold >= warmThreshold) {
+        val beforeWarm = graft.sources.Staging.snapshot
+        warmAcc += (name -> timed(fn))
+        graft.sources.Staging.cleanupSince(beforeWarm)
+      }
       name -> cold
     }
     val warm = warmAcc.toList

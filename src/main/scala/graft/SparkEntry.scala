@@ -479,6 +479,13 @@ object SparkEntry {
     // SET, the query's own grouping order preserved
     "d30_mv_multicol" ->
       ((s, d) => AggView.aggViewMultiCol(s, d)),
+    // the reference's own gold-rollup shape (avg + stddev,
+    // financial_dl_etl.py:88-94) auto-rewritten: avg as Average's own
+    // exact-decimal sum/count divide over the view, stddev_samp via
+    // the maintained second moment — plan scans the view, never the
+    // fact table
+    "d31_mv_avg_stddev" ->
+      ((s, d) => AggView.aggViewGoldRollupRewrite(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1634,6 +1641,32 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, TRUE AS used_view, TRUE AS compensated
         |FROM final GROUP BY 1""".stripMargin,
+    // d31: avg/stddev served from the view — avg is the exact-decimal
+    // sum/count divide, stddev the exact second moment (the same
+    // stddev6 decomposition a4's oracle replays); used_view pins the
+    // plan decision
+    "d31_mv_avg_stddev" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 7 <> 0),
+        |sums AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    sum(CAST(value AS DECIMAL(38,10))) AS s_dec,
+        |    sum(CAST(value * value AS DECIMAL(38,10))) AS ss_dec
+        |  FROM final GROUP BY 1)
+        |SELECT event_type, n_events,
+        |  round(CAST(s_dec AS DOUBLE) / n_events, 6) AS average_roi,
+        |  CASE WHEN n_events > 1 THEN
+        |    round(sqrt(greatest(
+        |      (CAST(ss_dec AS DOUBLE)
+        |        - CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE)
+        |          / CAST(n_events AS DOUBLE))
+        |      / (CAST(n_events AS DOUBLE) - 1.0), 0.0)), 6)
+        |  ELSE NULL END AS volatility,
+        |  TRUE AS used_view
+        |FROM sums""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,
     // delete, update), pure replay is a ledger no-op

@@ -54,10 +54,17 @@ object AggView {
       val deltas = cdf.select(groupCols.map(col) ++ Seq(
           when(col("_change_type").isin("insert", "update_postimage"),
             lit(1L)).otherwise(lit(-1L)).as("__sign"),
-          col(valueCol).as("__v")): _*)
+          col(valueCol).as("__v"),
+          // second moment for the stddev rewrite: the square is taken
+          // in DOUBLE (exactly the per-row value stddev_samp sees),
+          // then summed in exact decimal — deterministic under any
+          // partitioning, like d_value
+          col(valueCol).cast("double").as("__vd")): _*)
         .groupBy(groupCols.map(col): _*)
         .agg(sum(col("__sign")).as("d_count"),
-          sumExact(col("__sign") * col("__v")).as("d_value"))
+          sumExact(col("__sign") * col("__v")).as("d_value"),
+          sumExact(col("__sign") * col("__vd") * col("__vd"))
+            .as("d_sumsq"))
       if (GraftLog.txnAppend(deltas, view, AppId, v)) applied += 1
     }
     applied
@@ -264,6 +271,50 @@ object AggView {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  /** d31 — the reference's OWN gold-rollup shape served from the view:
+    * `avg` + `stddev` (`financial_dl_etl.py:88-94` — AverageROI /
+    * Volatility) over a maintained rollup, auto-rewritten by the
+    * planner. The view's delta log carries (d_count, d_value, d_sumsq);
+    * avg rebuilds as Average's own exact-decimal sum/count divide, and
+    * stddev_samp as the exact second moment sqrt((Σx² − (Σx)²/n)/(n−1))
+    * — only the final sqrt floats. `used_view` pins that the plan scans
+    * the VIEW and never the fact table; the values are the recompute
+    * over the source's post-lifecycle state (append + delete + update
+    * folded). At 100 TB this turns the reference's nightly full-lake
+    * gold recompute into a groups-sized view read. */
+  def aggViewGoldRollupRewrite(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvavg_")
+    val (src, view) = (s"$root/src", s"$root/view")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    GraftLog.delete(spark, src, col("event_id") % 7 === 0)        // v2
+    GraftLog.update(spark, src, col("event_id") % 5 === 0,
+      Seq("value" -> (col("value") + 100)))                       // v3
+    maintain(spark, src, view, "event_id", "event_type", "value")
+    registerForRewrite(src, view, "event_type", "value")
+    try {
+      val q = spark.read.format("graft").load(src)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(col("value").cast("decimal(38,10)")).cast("double"),
+            6).as("average_roi"),
+          round(stddev_samp(col("value")), 6).as("volatility"))
+      def scans(path: String): Boolean =
+        q.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == path)
+          case _ => false
+        }
+      val usedView = scans(view) && !scans(src)
+      q.withColumn("used_view", lit(usedView))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   private val stagedStream =
     new scala.collection.concurrent.TrieMap[String, (String, Boolean)]
 
@@ -303,10 +354,13 @@ object AggView {
                   when(col("_change_type")
                       .isin("insert", "update_postimage"), lit(1L))
                     .otherwise(lit(-1L)).as("__sign"),
-                  col("value").as("__v"))
+                  col("value").as("__v"),
+                  col("value").cast("double").as("__vd"))
                 .groupBy(col("event_type"))
                 .agg(sum(col("__sign")).as("d_count"),
-                  sumExact(col("__sign") * col("__v")).as("d_value"))
+                  sumExact(col("__sign") * col("__v")).as("d_value"),
+                  sumExact(col("__sign") * col("__vd") * col("__vd"))
+                    .as("d_sumsq"))
               if (!deltas.isEmpty) {
                 GraftLog.txnAppend(deltas, vw, s"$AppId-stream", v); ()
               }

@@ -79,6 +79,13 @@ final class GraftFileIndex(spark: SparkSession, table: String,
   // O(1) metadata reads and one namenode round-trip per live file on
   // every query (Delta likewise carries sizes in its log).
   private val knownSizes = GraftLog.fileSizes(spark, table, asOf)
+
+  /** The snapshot version this index is anchored at, when TIME-TRAVELED
+    * (`versionAsOf`/`timestampAsOf`). Planner rules that substitute a
+    * scan with derived state (the MV rewrite) must check this: two
+    * indexes over the same rootPaths are NOT interchangeable when one
+    * reads a historical snapshot. */
+  private[graft] def asOfVersion: Option[Long] = asOf
   private val statuses: Seq[(String, FileStatus)] =
     liveFiles.map { f =>
       val p = fsys.makeQualified(new HPath(GraftLog.absPath(table, f)))

@@ -1986,14 +1986,40 @@ object GraftLog {
       // columns the source files actually carry (one footer-sized
       // inference pass); append() then fills the truly-absent ones.
       val defaults = columnDefaults(spark, table)
+      // the presence probe is BY-NAME: parquet/json carry field names,
+      // and csv only with header=true. Headerless CSV infers _c0.._cN
+      // — a name probe would drop every default-bearing column and the
+      // positional read would then silently misalign; there the probe
+      // is by FIELD COUNT (the file carries a prefix of the schema).
+      val byName = fmt == "parquet" || fmt == "json" ||
+        (fmt == "csv" && options.get("header")
+          .exists(_.equalsIgnoreCase("true")))
       val readSchema =
         if (defaults.isEmpty) schema
-        else {
+        else if (byName) {
           val present = spark.read.format(fmt).options(options)
             .load(fresh: _*).schema.fieldNames.map(_.toLowerCase).toSet
           StructType(schema.fields.filter(f =>
             present.contains(f.name.toLowerCase) ||
               !defaults.contains(f.name.toLowerCase)))
+        } else {
+          val n = spark.read.format(fmt).options(options)
+            .load(fresh: _*).schema.length
+          if (n >= schema.length) schema
+          else {
+            // positional mapping: only a TRAILING omission is
+            // expressible, and every dropped column must carry a
+            // default (append() fills it); anything else must refuse
+            // loudly rather than shift values across columns
+            val dropped = schema.fields.drop(n)
+            require(dropped.forall(f =>
+              defaults.contains(f.name.toLowerCase)),
+              s"COPY INTO $table: headerless CSV carries $n of " +
+                s"${schema.length} columns but a dropped trailing " +
+                "column has no DEFAULT — positional mapping cannot " +
+                "tell which columns were omitted")
+            StructType(schema.fields.take(n))
+          }
         }
       val df = spark.read.format(fmt).options(options).schema(readSchema)
         .load(fresh: _*)
@@ -2659,8 +2685,12 @@ object GraftLog {
     * so successive refreshes stay bounded by data since the LAST one.
     *
     * Returns None when the table has no analyzed column stats to
-    * refresh (or uses column mapping — physical/logical name folding
-    * is not supported here); the caller falls back to table-level
+    * refresh, uses column mapping (physical/logical name folding is
+    * not supported here), carries active deletion vectors, or has
+    * DATA-ERASING commits (delete/update/merge/truncate/replace/fsck/
+    * reorg removes — anything but a pure compaction rewrite) since the
+    * analyze point: the KMV sketch cannot un-merge deleted values, so
+    * ndv would only ever grow. The caller falls back to table-level
     * stats only. */
   def refreshStats(spark: SparkSession, table: String)
       : Option[(Long, Long, Map[String, ColumnStats])] = {
@@ -2680,11 +2710,26 @@ object GraftLog {
     val latest = latestVersion(spark, table).get
     val (live, schema, _, _, _, _) = replay(spark, table, None)
     val (curRows, curBytes) = metadataRowCount(spark, table)
+    val sinceAnalyze = versions(spark, table)
+      .filter(_ > analyzedAt.get)
+      .map(v => readCommit(spark, table, v))
+    // DATA-ERASING removes poison the fold: the merged KMV sketch
+    // retains deleted values' hashes (ndv could only grow, diverging
+    // from a re-ANALYZE after delete-heavy drift). Pure REWRITE
+    // commits (compaction/clustering) remove files but not rows — only
+    // those keep the incremental path; anything else falls back to the
+    // table-level stats (caller re-ANALYZEs when it needs columns).
+    // reorg is NOT a pure rewrite: it physically purges DV-masked rows
+    // (the DVs themselves may have landed after the analyze point and
+    // be gone by now — the erasure must poison the sketch).
+    val rewriteOps = Set("compact", "autocompact", "cluster",
+      "rowid_backfill")
+    if (sinceAnalyze.exists(c =>
+        c.remove.nonEmpty && !rewriteOps.contains(c.operation)))
+      return None
     // files added since the recorded analyze point and still live —
     // the only data the ndv merge needs to read
-    val newFiles = versions(spark, table)
-      .filter(_ > analyzedAt.get)
-      .flatMap(v => readCommit(spark, table, v).add)
+    val newFiles = sinceAnalyze.flatMap(_.add)
       .distinct.filter(live.contains)
     val numericNames = numericFields(schema).map(_.name).toSet
     // hive-partition columns live in DIR names, not the data files: a
@@ -2720,10 +2765,15 @@ object GraftLog {
         else props(s"graft.stats.col.$c.ndv").toDouble
       val nulls = live.values
         .flatMap(_.get(s"$c$NullStatsSuffix")).map(_._1).sum.toLong
-      // numeric min/max: exact bounds of the LIVE files' skipping stats
+      // numeric min/max: exact bounds of the LIVE files' skipping stats.
+      // Non-numeric columns have no per-file fold here: their recorded
+      // bounds carry over only while NO new data arrived — new files
+      // could widen them, so a grown table DROPS them rather than
+      // re-asserting analyze-time bounds the data may now exceed
       val (mn, mx) =
         if (!numericNames.contains(c))
-          (props.get(s"graft.stats.col.$c.min"),
+          if (newFiles.nonEmpty) (None, None)
+          else (props.get(s"graft.stats.col.$c.min"),
             props.get(s"graft.stats.col.$c.max"))
         else {
           val mms = live.values.flatMap(_.get(c))
@@ -3369,12 +3419,17 @@ object GraftLog {
     * the folded ledger from the newest checkpoint (which survives
     * vacuum's log truncation) plus the commits after it. */
   def lastCommittedBatch(spark: SparkSession, table: String,
-      appId: String): Option[Long] = {
-    val ckpt = checkpointVersions(spark, table).lastOption
+      appId: String, asOf: Option[Long] = None): Option[Long] = {
+    // asOf anchors the ledger read at a pinned snapshot VERSION — the
+    // MV rewrite reads the view's high-water at the same version its
+    // file scan is pinned to, so a maintenance commit racing the gate
+    // can never pair one version's ledger with another's files
+    val ckpt = checkpointVersions(spark, table)
+      .filter(cv => asOf.forall(cv <= _)).lastOption
     val base = ckpt.flatMap(cv =>
       readCheckpoint(spark, table, cv).txns.get(appId))
     val tail = versions(spark, table)
-      .filter(v => ckpt.forall(v > _))
+      .filter(v => ckpt.forall(v > _) && asOf.forall(v <= _))
       .map(readCommit(spark, table, _))
       .flatMap(_.txn)
       .collect { case (app, batch) if app == appId => batch }
@@ -5205,6 +5260,10 @@ object GraftLog {
     // restore can remove rows appended after the target version —
     // covered by the append-only contract like every destructive op.
     requireAppendable(spark, table, "RESTORE")
+    // MV lifecycle: a rewind invalidates any registration this path
+    // participates in (as source OR view) — the maintenance ledger and
+    // the delta log no longer describe the restored state
+    graft.sql.MvRegistry.unregisterMatching(table)
     val vRead = latestVersion(spark, table)
     val (cur, _) = snapshot(spark, table)
     val (files, schema) = snapshot(spark, table, Some(v))

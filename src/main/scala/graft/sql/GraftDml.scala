@@ -194,6 +194,8 @@ final class GraftSqlParser(
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+CREATE\s+TAG\s+(\S+?)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val DropTagStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+TAG\s+(\S+?)\s*;?\s*""".r
+  private val DropTableStmt =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([^\s;]+)(?:\s+PURGE)?\s*;?\s*""".r
   private val AddConstraintStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintStmt =
@@ -363,6 +365,14 @@ final class GraftSqlParser(
     case CloneStmt(dst, kind, src, ver, ts) if ownsTarget(src) =>
       GraftCloneCommand(dst, src, Option(ver).map(_.toLong), Option(ts),
         deep = kind.equalsIgnoreCase("DEEP"))
+    // MV-registry lifecycle: DROP TABLE on a graft table keeps Spark's
+    // own drop semantics verbatim (the delegate plan runs unchanged)
+    // but first invalidates any registration whose source or view is
+    // this table's path — only intercepted while registrations exist,
+    // so the common case costs nothing
+    case DropTableStmt(target)
+        if !MvRegistry.isEmpty && isGraftTable(target) =>
+      GraftDropLifecycleCommand(target, delegate.parsePlan(sqlText))
     case _ => GraftTimeTravel(delegate.parsePlan(sqlText))
   }
 
@@ -549,6 +559,24 @@ case class GraftRestoreCommand(target: String, version: Option[Long],
         "RESTORE needs VERSION AS OF or TIMESTAMP AS OF"))
     GraftLog.restore(session, path, v)
     RefreshAfterDml(session, path, None)
+    Seq.empty
+  }
+}
+
+/** `DROP TABLE` on a graft table, wrapped only while MV registrations
+  * exist: unregister every MvDef whose source OR view path is the
+  * dropped table's, then run Spark's own (delegate-parsed) drop plan
+  * unchanged. Without this, a DROP + re-CREATE at the same path could
+  * serve the next table's aggregates from the old view's MvDef. The
+  * path resolves BEFORE the drop (afterwards the catalog entry is
+  * gone); an unresolvable/non-graft target skips the invalidation and
+  * still drops normally. */
+case class GraftDropLifecycleCommand(target: String,
+    inner: LogicalPlan) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    try MvRegistry.unregisterMatching(GraftTarget.pathOf(session, target))
+    catch { case scala.util.control.NonFatal(_) => () }
+    StreamBatch.ofPlan(session, inner).collect()
     Seq.empty
   }
 }

@@ -1,12 +1,12 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, GreaterThan, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EqualTo, EvalMode, Expression, Greatest, GreaterThan, If, Literal, Multiply, NamedExpression, Sqrt, Subtract}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, StddevSamp, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.sources.{GraftFileIndex, GraftLog}
 
@@ -22,18 +22,30 @@ import graft.sources.{GraftFileIndex, GraftLog}
   *
   * Soundness gates, all checked per candidate aggregate:
   *   - the scanned path is a REGISTERED view source;
+  *   - the scan is at the LATEST snapshot: a `versionAsOf`/
+  *     `timestampAsOf` read anchored anywhere else keeps its base plan
+  *     (the view folds CURRENT state — serving it to a time-traveled
+  *     query would be a wrong historical answer);
   *   - the view is FRESH: its maintenance ledger high-water equals the
   *     source's latest commit version (one small-JSON read each). A
   *     stale view silently falls back to the base-table plan — a
   *     wrong-but-fast answer is never acceptable;
   *   - the aggregate decomposes over the view's delta log: grouping on
   *     exactly the view's group column, aggregates limited to
-  *     `count(1)` (→ `sum(d_count)`) and the exact-decimal
-  *     `sum(cast(value as decimal(38,10)))` (→ `sum(d_value)`) with
+  *     `count(1)` (→ `sum(d_count)`), the exact-decimal
+  *     `sum(cast(value as decimal(38,10)))` (→ `sum(d_value)`), its
+  *     `avg` twin (→ Average's own sum/count divide over the folded
+  *     exact sums — bit-identical), and `stddev_samp(value)` via the
+  *     exact second moment when the view maintains `d_sumsq` — with
   *     arbitrary scalar wrappers above the aggregate (round/cast carry
-  *     over verbatim). A FLOAT sum is deliberately NOT rewritten: the
-  *     view folds in exact decimal, and "the rewrite changed my
-  *     floating-point sum" is a correctness bug, not a win.
+  *     over verbatim). The decimal cast must wrap the value column
+  *     DIRECTLY (a nested truncating cast changes the base answer and
+  *     refuses). A FLOAT sum is deliberately NOT rewritten: the view
+  *     folds in exact decimal, and "the rewrite changed my
+  *     floating-point sum" is a correctness bug, not a win; stddev is
+  *     the one float exception because the base op's own answer is
+  *     partition-order-dependent — the rewrite serves the
+  *     deterministic two-pass moment value within that tolerance.
   *
   * Groups whose running d_count reaches 0 exist in the delta log but
   * not in the base table — the rewritten plan filters them with a
@@ -68,9 +80,28 @@ object MvRegistry {
     bySrc.put(norm(src), d): Unit
   }
   def unregister(src: String): Unit = { bySrc.remove(norm(src)): Unit }
+
+  /** Lifecycle invalidation: drop every registration whose SOURCE or
+    * VIEW path is `path`. DROP TABLE and RESTORE call this — a
+    * dangling registration would otherwise let the next CREATE at the
+    * same path rewrite against a stale MvDef (the freshness gate reads
+    * the view's ledger, which a recreated view may satisfy again with
+    * unrelated contents). */
+  def unregisterMatching(path: String): Unit = {
+    val p = norm(path)
+    bySrc.filter { case (s, d) => s == p || norm(d.view) == p }
+      .keys.foreach(k => bySrc.remove(k): Unit)
+  }
   def clear(): Unit = bySrc.clear()
   def isEmpty: Boolean = bySrc.isEmpty
   def lookup(src: String): Option[MvDef] = bySrc.get(norm(src))
+}
+
+object GraftMvRewriteRule {
+  /** Test seam for the freshness race: runs between the source-version
+    * read and the view snapshot pin — the widest window in which a
+    * concurrent maintenance commit can land. Production no-op. */
+  private[graft] var raceSeam: () => Unit = () => ()
 }
 
 /** The session-extension-injected rule. Post-hoc resolution placement:
@@ -84,28 +115,30 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** The source path scanned by `plan`, when it is (modulo aliases and
-    * a pure-attribute projection) one graft relation. */
-  private def scannedGraftPath(plan: LogicalPlan): Option[String] =
+  /** The source path scanned by `plan` — and the snapshot version it is
+    * anchored at — when it is (modulo aliases and a pure-attribute
+    * projection) one graft relation. The asOf travels with the path
+    * because two GraftFileIndexes over the same rootPaths are NOT
+    * interchangeable: a `versionAsOf`/`timestampAsOf` scan reads a
+    * HISTORICAL snapshot, and serving it from the CURRENT view state
+    * would be a wrong historical answer. */
+  private def scannedGraftPath(plan: LogicalPlan)
+      : Option[(String, Option[Long])] =
     plan match {
       case SubqueryAlias(_, child) => scannedGraftPath(child)
       case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         scannedGraftPath(child)
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location match {
-          case g: GraftFileIndex => g.rootPaths.headOption.map(_.toString)
+          case g: GraftFileIndex =>
+            g.rootPaths.headOption.map(p => (p.toString, g.asOfVersion))
           case _ => None
         }
       case _ => None
     }
 
-  private def stripCasts(e: Expression): Expression = e match {
-    case Cast(c, _, _, _) => stripCasts(c)
-    case other => other
-  }
-
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
-    src <- scannedGraftPath(agg.child)
+    (src, asOf) <- scannedGraftPath(agg.child)
     d <- MvRegistry.lookup(src)
     // grouping: exactly the view's group columns (any order)
     gs <- {
@@ -117,7 +150,7 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             attrs.exists(_.name.equalsIgnoreCase(c))))
         Some(attrs) else None
     }
-    child <- deltaSource(d, src)
+    child <- deltaSource(d, src, asOf)
     rewritten <- build(agg, d, gs, child)
   } yield rewritten
 
@@ -129,14 +162,38 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * so the answer is current at O(changes) extra cost. Stale without
     * compensation (or an unreadable tail, e.g. vacuumed versions):
     * None → base plan — wrong-but-fast is never acceptable. */
-  private def deltaSource(d: MvRegistry.MvDef, src: String)
+  private def deltaSource(d: MvRegistry.MvDef, src: String,
+      asOf: Option[Long])
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val latest = GraftLog.versions(spark, src).lastOption
-    val hw = GraftLog.lastCommittedBatch(spark, d.view, d.appId)
-    val viewDf = spark.read.format("graft").load(d.view)
+    // TIME-TRAVELED scan: the view folds the CURRENT state; a
+    // versionAsOf/timestampAsOf read at anything but the latest
+    // snapshot must keep its base plan (wrong-but-fast is never
+    // acceptable — a historical answer least of all)
+    if (asOf.nonEmpty && asOf != latest) return None
+    GraftMvRewriteRule.raceSeam()
+    // pin ONE view snapshot version and read both the maintenance
+    // ledger AND the file scan at it: a maintenance commit landing
+    // between a naive ledger read and the scan would otherwise pair an
+    // old high-water with a newer delta log — the compensated path
+    // would then fold the same source versions twice (view + CDF
+    // tail), a torn answer equal to neither the pre- nor post-commit
+    // state. With the pin, concurrent maintenance only shifts WHICH
+    // consistent snapshot serves.
+    val vPin = GraftLog.versions(spark, d.view).lastOption
+    if (vPin.isEmpty) return None
+    val hw = GraftLog.lastCommittedBatch(spark, d.view, d.appId, vPin)
+    val viewRaw = spark.read.format("graft")
+      .option("versionAsOf", vPin.get.toString).load(d.view)
+    // d_sumsq is the second-moment column newer views maintain for the
+    // stddev decomposition; older views lack it — select it only when
+    // present (build() refuses stddev rewrites without it)
+    val hasSq = viewRaw.schema.fieldNames.exists(_ == "d_sumsq")
+    val viewDf = viewRaw
       .select(d.groupCols.map(col) ++
-        Seq(col("d_count"), col("d_value")): _*)
+        Seq(col("d_count"), col("d_value")) ++
+        (if (hasSq) Seq(col("d_sumsq")) else Nil): _*)
     if (latest.exists(v => hw.contains(v)))
       Some(viewDf.queryExecution.analyzed)
     else if (d.compensate && d.key.nonEmpty && hw.isDefined &&
@@ -151,9 +208,13 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val sign = when(col("_change_type")
           .isin("insert", "update_postimage"), lit(1L))
         .otherwise(lit(-1L))
+      val vd = col(d.valueCol).cast("double")
       val tailDeltas = tail.select(d.groupCols.map(col) ++ Seq(
         sign.as("d_count"),
-        (sign * col(d.valueCol)).cast("decimal(38,10)").as("d_value")): _*)
+        (sign * col(d.valueCol)).cast("decimal(38,10)").as("d_value")) ++
+        (if (hasSq)
+          Seq((sign * vd * vd).cast("decimal(38,10)").as("d_sumsq"))
+        else Nil): _*)
       Some(viewDf.unionByName(tailDeltas).queryExecution.analyzed)
     } catch { case scala.util.control.NonFatal(_) => None }
     else None
@@ -173,6 +234,32 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         attr(a.name).map(v => a.exprId -> v)).toMap
     (groupMap.size == gs.length, attr("d_count"), attr("d_value")) match {
       case (true, Some(dCount), Some(dValue)) =>
+        val dSumsq = attr("d_sumsq")
+        // the exact-decimal discipline: the decimal(38,10) cast must
+        // wrap the value column DIRECTLY — no intermediate casts. A
+        // nested cast (e.g. cast(cast(v AS INT) AS DECIMAL(38,10)))
+        // truncates in the base plan; serving it from the view's exact
+        // sum would silently change the query's result.
+        def exactDecimalOfValue(c: Expression): Boolean = c match {
+          case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
+            a.name.equalsIgnoreCase(d.valueCol) &&
+              dt.precision == 38 && dt.scale == 10
+          case _ => false
+        }
+        // the stddev gate: the per-row input is the value column as
+        // the aggregate sees it in DOUBLE — the bare double attribute,
+        // or one widening cast to double (what type coercion inserts
+        // for non-double numeric columns). Exactly the values d_sumsq
+        // squares during maintenance.
+        def doubleOfValue(c: Expression): Boolean = c match {
+          case a: AttributeReference =>
+            a.name.equalsIgnoreCase(d.valueCol) && a.dataType == DoubleType
+          case Cast(a: AttributeReference, DoubleType, _, _) =>
+            a.name.equalsIgnoreCase(d.valueCol)
+          case _ => false
+        }
+        def sumOf(a: AttributeReference): Expression =
+          new Sum(a).toAggregateExpression()
         // every aggregate expression must decompose; scalar wrappers
         // above the AggregateExpression carry over verbatim
         var ok = true
@@ -182,21 +269,48 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case ae: AggregateExpression
               if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
-              case Count(Seq(Literal(_, _))) =>
-                new Sum(dCount).toAggregateExpression()
-              case Sum(c, _) => stripCasts(c) match {
-                // ONLY the exact-decimal discipline rewrites: the cast
-                // to decimal(38,10) must wrap the value column directly
-                case a: AttributeReference
-                    if a.name.equalsIgnoreCase(d.valueCol) &&
-                      (c match {
-                        case Cast(_, dt: DecimalType, _, _) =>
-                          dt.precision == 38 && dt.scale == 10
-                        case _ => false
-                      }) =>
-                  new Sum(dValue).toAggregateExpression()
-                case _ => ok = false; ae
-              }
+              case Count(Seq(Literal(_, _))) => sumOf(dCount)
+              case Sum(c, _) if exactDecimalOfValue(c) => sumOf(dValue)
+              // avg = sum/count, rebuilt as Average's OWN internal
+              // decomposition (Divide(sum, count cast decimal(20,0))
+              // cast to the result type): decimal arithmetic is exact
+              // and the folded sums equal the base plan's accumulators
+              // bit-for-bit, so the rewrite is invisible
+              case Average(c, _) if exactDecimalOfValue(c) =>
+                Cast(
+                  Divide(sumOf(dValue),
+                    Cast(sumOf(dCount), DecimalType(20, 0)),
+                    EvalMode.LEGACY),
+                  ae.dataType)
+              // stddev_samp via the exact second moment:
+              // sqrt((Σx² − (Σx)²/n) / (n−1)) with both Σ folded in
+              // exact decimal and only the final double ops floating.
+              // The base op (streaming Welford over partitions) is
+              // itself partition-order-dependent; this serves the
+              // DETERMINISTIC textbook moment answer within the same
+              // tolerance — the float-sum refusal rationale applies to
+              // the final sqrt only. Requires a d_sumsq-bearing view.
+              case StddevSamp(c, nullOnDiv) if doubleOfValue(c) &&
+                  dSumsq.isDefined =>
+                val n = sumOf(dCount)
+                val nD = Cast(sumOf(dCount), DoubleType)
+                val svD = Cast(sumOf(dValue), DoubleType)
+                val sqD = Cast(sumOf(dSumsq.get), DoubleType)
+                val m2 = Subtract(sqD,
+                  Divide(Multiply(svD, svD, EvalMode.LEGACY), nD,
+                    EvalMode.LEGACY), EvalMode.LEGACY)
+                // n==1 mirrors StddevSamp's own divide-by-zero
+                // contract: NULL by default, NaN under the legacy
+                // statistical-aggregate flag the expression carries
+                If(EqualTo(n, Literal(0L)),
+                  Literal(null, DoubleType),
+                  If(EqualTo(sumOf(dCount), Literal(1L)),
+                    if (nullOnDiv) Literal(null, DoubleType)
+                    else Literal(Double.NaN, DoubleType),
+                    Sqrt(Divide(
+                      Greatest(Seq(m2, Literal(0.0d))),
+                      Subtract(nD, Literal(1.0d), EvalMode.LEGACY),
+                      EvalMode.LEGACY))))
               case _ => ok = false; ae
             }
           case other => other.mapChildren(sub)

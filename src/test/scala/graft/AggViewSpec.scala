@@ -201,6 +201,215 @@ class AggViewSpec extends AnyFunSuite {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  private def scansPath(df: org.apache.spark.sql.DataFrame,
+      p: String): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case org.apache.spark.sql.execution.datasources
+          .LogicalRelation(fs: org.apache.spark.sql.execution
+          .datasources.HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.exists(_.toUri.getPath == p)
+      case _ => false
+    }
+
+  test("MV rewrite serves avg and stddev from the maintained moments") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/avg_src", s"$root/avg_view")
+    GraftLog.overwrite(srcDf(0 until 100), src)                    // v0
+    GraftLog.append(srcDf(100 until 150), src)                     // v1
+    GraftLog.delete(spark, src, col("id") % 10 === 0)              // v2
+    GraftLog.update(spark, src, col("id") % 3 === 0,
+      Seq("v" -> (col("v") + 1.0)))                                // v3
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v")
+    try {
+      val q = spark.read.format("graft").load(src)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v").cast("decimal(38,10)")).cast("double"), 6)
+            .as("a"),
+          round(stddev_samp(col("v")), 6).as("s"))
+      assert(scansPath(q, view) && !scansPath(q, src),
+        "avg+stddev aggregate must rewrite to the view scan")
+      val got = q.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      val expect = GraftLog.read(spark, src).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v").cast("decimal(38,10)")).cast("double"), 6)
+            .as("a"),
+          round(stddev_samp(col("v")), 6).as("s"))
+        .collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      assert(got == expect,
+        s"rewritten avg/stddev drifted: $got vs $expect")
+      // a FLOAT avg (no exact-decimal cast) must keep the base plan
+      val floatQ = spark.read.format("graft").load(src)
+        .groupBy(col("g")).agg(avg(col("v")).as("a"))
+      assert(scansPath(floatQ, src) && !scansPath(floatQ, view),
+        "float avg must not rewrite")
+      // a view WITHOUT d_sumsq cannot serve stddev: simulate by
+      // registering a legacy two-column view
+      val legacy = s"$root/avg_legacy"
+      GraftLog.overwrite(GraftLog.read(spark, view)
+        .select(col("g"), col("d_count"), col("d_value")), legacy)
+      // (not ledger-maintained, so only the shape gate is exercised:
+      // the stddev branch must refuse BEFORE any freshness read)
+      val q2 = spark.read.format("graft").load(src)
+        .groupBy(col("g")).agg(round(stddev_samp(col("v")), 6).as("s"))
+      assert(scansPath(q2, view),
+        "stddev alone rewrites against the d_sumsq-bearing view")
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
+  test("time-traveled scans never rewrite to the current view") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/tt_src", s"$root/tt_view")
+    GraftLog.overwrite(srcDf(0 until 100), src)                    // v0
+    GraftLog.append(srcDf(100 until 140), src)                     // v1
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v")
+    try {
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      // a historical read must keep its base plan AND its answer
+      val hist = agg(spark.read.format("graft")
+        .option("versionAsOf", "0").load(src))
+      assert(scansPath(hist, src) && !scansPath(hist, view),
+        "versionAsOf scan must NOT be served from the current view")
+      assert(hist.agg(sum(col("n"))).head.getLong(0) == 100L,
+        "historical answer must be the v0 state, not the current one")
+      // a versionAsOf pinned AT the latest snapshot is the current
+      // state — the rewrite stays sound and may fire
+      val atLatest = agg(spark.read.format("graft")
+        .option("versionAsOf", "1").load(src))
+      assert(scansPath(atLatest, view),
+        "versionAsOf == latest is the current snapshot; rewrite serves")
+      assert(atLatest.agg(sum(col("n"))).head.getLong(0) == 140L)
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
+  test("nested truncating casts refuse the exact-decimal gate") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/cast_src", s"$root/cast_view")
+    GraftLog.overwrite(srcDf(0 until 80)
+      .withColumn("v", col("v") + 0.5), src)
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v")
+    spark.sql("DROP TABLE IF EXISTS mv_cast_t")
+    spark.sql(s"CREATE TABLE mv_cast_t USING graft OPTIONS (path '$src')")
+    try {
+      // the inner CAST(v AS INT) truncates in the base plan — serving
+      // the view's exact-decimal sum would change the answer
+      val q = spark.sql(
+        """SELECT g, sum(CAST(CAST(v AS INT) AS DECIMAL(38,10))) AS t
+          |FROM mv_cast_t GROUP BY g""".stripMargin)
+      assert(scansPath(q, src) && !scansPath(q, view),
+        "sum over a nested truncating cast must keep the base plan")
+      val direct = spark.sql(
+        """SELECT g, sum(CAST(v AS DECIMAL(38,10))) AS t
+          |FROM mv_cast_t GROUP BY g""".stripMargin)
+      assert(scansPath(direct, view) && !scansPath(direct, src),
+        "the direct exact-decimal cast still rewrites")
+      // answers agree with their own base recomputes
+      val baseTrunc = GraftLog.read(spark, src).groupBy(col("g"))
+        .agg(sum(col("v").cast("int").cast("decimal(38,10)")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      val gotTrunc = q.collect()
+        .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      assert(gotTrunc == baseTrunc)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mv_cast_t")
+      graft.sql.MvRegistry.unregister(src)
+    }
+  }
+
+  test("freshness race: maintenance mid-gate never tears the answer") {
+    // a maintenance commit landing between the gate's ledger read and
+    // the view scan must not double-fold (view + CDF tail deriving the
+    // same versions). Maintenance never changes the SOURCE, so the
+    // rewritten answer must equal the base recompute regardless of
+    // where in the gate the commit lands — the pinned-snapshot gate
+    // guarantees it; the pre-pin code double-counted here.
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/race_src", s"$root/race_view")
+    GraftLog.overwrite(srcDf(0 until 100), src)                    // v0
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v",
+      key = "id", compensate = true)
+    // the view LAGS by two commits the seam will fold mid-gate
+    GraftLog.append(srcDf(100 until 130), src)                     // v1
+    GraftLog.update(spark, src, col("id") % 4 === 0,
+      Seq("v" -> (col("v") + 2.0)))                                // v2
+    // the expected base answer, pinned BEFORE the seam is armed (the
+    // source never changes below; only maintenance commits land)
+    val expect = recompute(src)
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.sql.GraftMvRewriteRule.raceSeam = () => {
+      if (fired.incrementAndGet() == 1) {
+        AggView.maintain(spark, src, view, "id", "g", "v"): Unit
+      }
+    }
+    try {
+      val q = spark.read.format("graft").load(src)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.sumExact(col("v"))
+            .cast("double"), 6).as("t"))
+      val got = q.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(fired.get() >= 1, "the seam must have run inside the gate")
+      assert(scansPath(q, view), "the (now fresh) view serves the plan")
+      assert(got == expect,
+        s"mid-gate maintenance tore the answer: $got vs $expect")
+    } finally {
+      graft.sql.GraftMvRewriteRule.raceSeam = () => ()
+      graft.sql.MvRegistry.unregister(src)
+    }
+  }
+
+  test("DROP TABLE and RESTORE invalidate matching MV registrations") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/life_src", s"$root/life_view")
+    GraftLog.overwrite(srcDf(0 until 50), src)
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v")
+    spark.sql("DROP TABLE IF EXISTS mv_life_t")
+    spark.sql(s"CREATE TABLE mv_life_t USING graft OPTIONS (path '$src')")
+    try {
+      assert(graft.sql.MvRegistry.lookup(src).isDefined)
+      // DROP TABLE on the SOURCE's catalog entry invalidates by path
+      spark.sql("DROP TABLE mv_life_t")
+      assert(graft.sql.MvRegistry.lookup(src).isEmpty,
+        "DROP TABLE must unregister the MvDef keyed at the path")
+      // re-register; RESTORE on the VIEW path also invalidates (the
+      // rewound ledger no longer describes the delta log)
+      AggView.registerForRewrite(src, view, "g", "v")
+      GraftLog.restore(spark, view, 0L)
+      assert(graft.sql.MvRegistry.lookup(src).isEmpty,
+        "RESTORE of the view must unregister the MvDef")
+      // and RESTORE on the SOURCE path, via the SQL statement surface
+      AggView.registerForRewrite(src, view, "g", "v")
+      GraftLog.append(srcDf(50 until 60), src)
+      spark.sql(s"RESTORE '$src' TO VERSION AS OF 0")
+      assert(graft.sql.MvRegistry.lookup(src).isEmpty,
+        "SQL RESTORE of the source must unregister the MvDef")
+      // a drop of an UNRELATED graft table leaves registrations alone
+      AggView.registerForRewrite(src, view, "g", "v")
+      val other = s"$root/life_other"
+      GraftLog.overwrite(srcDf(0 until 5), other)
+      spark.sql("DROP TABLE IF EXISTS mv_life_o")
+      spark.sql(s"CREATE TABLE mv_life_o USING graft OPTIONS (path '$other')")
+      spark.sql("DROP TABLE mv_life_o")
+      assert(graft.sql.MvRegistry.lookup(src).isDefined,
+        "unrelated DROP must not disturb other registrations")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mv_life_t")
+      spark.sql("DROP TABLE IF EXISTS mv_life_o")
+      graft.sql.MvRegistry.unregister(src)
+    }
+  }
+
   test("streaming CDF emits preimages only when asked") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val src = s"$root/pre_src"

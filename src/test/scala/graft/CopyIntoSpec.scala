@@ -68,6 +68,42 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(GraftLog.read(spark, t).count() == 8)
   }
 
+  test("headerless CSV + defaults: positional mapping never misaligns") {
+    // the presence probe is by-NAME only for named formats; headerless
+    // CSV infers _c0.._cN, so a name probe would drop every
+    // default-bearing column from the read schema and the positional
+    // read would replace real file values with defaults
+    val r = root(); val t = s"$r/t"; val src = s"$r/csvnohdr"
+    GraftLog.overwrite(Seq((1L, "a", "A")).toDF("id", "nm", "seg"), t)
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN seg SET DEFAULT 'X'")
+    // (a) the file CARRIES all three columns → file values must win
+    Seq((2L, "b", "B"), (3L, "c", "C")).toDF("id", "nm", "seg")
+      .coalesce(1).write.csv(src)
+    val (v1, _, nr1) = GraftLog.copyInto(spark, t, src, format = "csv")
+    assert(v1 >= 0 && nr1 == 2)
+    val segs = GraftLog.read(spark, t).orderBy("id")
+      .select("seg").collect().map(_.getString(0)).toSeq
+    assert(segs == Seq("A", "B", "C"),
+      s"file-carried seg values must survive, got $segs")
+    // (b) a trailing default-bearing column omitted → default fills
+    val src2 = s"$r/csvprefix"
+    Seq((4L, "d")).toDF("id", "nm").coalesce(1).write.csv(src2)
+    val (v2, _, nr2) = GraftLog.copyInto(spark, t, src2, format = "csv")
+    assert(v2 >= 0 && nr2 == 1)
+    assert(GraftLog.read(spark, t).filter(col("id") === 4L)
+      .select("seg").collect().head.getString(0) == "X")
+    // (c) a dropped trailing column WITHOUT a default refuses loudly
+    val r3 = root(); val t3 = s"$r3/t"; val src3 = s"$r3/csvshort"
+    GraftLog.overwrite(Seq((1L, "a", "A")).toDF("id", "nm", "seg"), t3)
+    spark.sql(s"ALTER TABLE '$t3' ALTER COLUMN nm SET DEFAULT 'n'")
+    Seq(Tuple1(9L)).toDF("id").coalesce(1).write.csv(src3)
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.copyInto(spark, t3, src3, format = "csv")
+    }
+    assert(e.getMessage.contains("DEFAULT"),
+      s"positional short read without defaults must refuse: $e")
+  }
+
   test("SQL COPY INTO statement: result row and no-op re-run") {
     val r = root(); val t = s"$r/t"; val src = s"$r/incoming"
     GraftLog.overwrite(df(0 until 3, "base"), t)

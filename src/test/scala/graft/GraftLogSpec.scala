@@ -15,6 +15,35 @@ class GraftLogSpec extends AnyFunSuite {
   private def df(ids: Range, tag: String) =
     ids.map(i => (i.toLong, tag)).toDF("id", "tag")
 
+  test("refreshStats: appends fold, data-erasing removes poison") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 100, "a"), t)
+    GraftLog.analyzeColumns(spark, t, Seq("id", "tag"))
+    // append-only drift folds incrementally
+    GraftLog.append(df(100 until 160, "b"), t)
+    val r1 = GraftLog.refreshStats(spark, t)
+    assert(r1.isDefined, "append-only drift must refresh")
+    assert(r1.get._1 == 160L, s"exact rowCount, got ${r1.get._1}")
+    // pure compaction removes files, not rows — still refreshes
+    GraftLog.compact(spark, t)
+    val r2 = GraftLog.refreshStats(spark, t)
+    assert(r2.isDefined && r2.get._1 == 160L,
+      "a compaction rewrite must not poison the fold")
+    // a DELETE erases rows the KMV sketch cannot un-merge → None
+    GraftLog.delete(spark, t, col("id") < 50)
+    assert(GraftLog.refreshStats(spark, t).isEmpty,
+      "data-erasing removes since the analyze point must refuse")
+    // a fresh ANALYZE re-arms the incremental path
+    GraftLog.analyzeColumns(spark, t, Seq("id", "tag"))
+    GraftLog.append(df(200 until 220, "c"), t)
+    val r3 = GraftLog.refreshStats(spark, t)
+    assert(r3.isDefined && r3.get._1 == 130L)
+    // string min/max are NOT re-asserted once new data arrived (the
+    // fold has no per-file bounds for strings; "c" may widen them)
+    assert(r3.get._3("tag").min.isEmpty && r3.get._3("tag").max.isEmpty,
+      "grown table must drop analyze-time string bounds")
+  }
+
   test("overwrite/append/read roundtrip + history") {
     val t = tmp()
     assert(GraftLog.overwrite(df(0 until 10, "a"), t) == 0L)
