@@ -396,6 +396,12 @@ object SparkEntry {
     // stability, materialization through compact (enableRowTracking)
     "t34_row_tracking" ->
       ((s, d) => Transactions.rowTracking(s, d)),
+    // row-id preservation THROUGH MERGE: matched-updated rows keep
+    // their ids (materialized through the rewrite), inserted rows get
+    // fresh monotone ids past the high water — the CDC/incremental-MV
+    // identity contract across the one rewrite that mixes both
+    "t43_row_tracking_merge" ->
+      ((s, d) => Transactions.rowTrackingMerge(s, d)),
     // table-features protocol: introducing commits declare reader/
     // writer features; unknown declarations refuse the table loudly
     "t35_protocol_features" ->
@@ -1503,6 +1509,25 @@ object SparkEntry {
         |    AS n_stable,
         |  5 AS n_versions
         |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin,
+    // t43: the merge replay (matched %3 keys updated, shifted twins
+    // inserted); id invariants pinned as booleans/cardinalities —
+    // n_stable = every pre-merge row (the whole customer table by then)
+    "t43_row_tracking_merge" ->
+      """WITH updated AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer),
+        |ins AS (
+        |  SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |final AS (SELECT * FROM updated UNION ALL SELECT * FROM ins)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  (SELECT count(*) FROM customer) AS n_stable,
+        |  TRUE AS fresh_monotone, TRUE AS all_ids_distinct
+        |FROM final""".stripMargin,
     // t32: partition-scoped compaction is a pure layout change on one
     // partition — full rows, one BUILDING file, rest carried
     "t32_optimize_where" ->

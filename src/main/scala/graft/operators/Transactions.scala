@@ -469,6 +469,75 @@ object Transactions {
         lit(GraftLog.versions(spark, dir).size))
   }
 
+  private val stagedRowTrackingMerge =
+    new scala.collection.concurrent.TrieMap[String,
+      (String, Long, Boolean)]
+
+  /** t43 — ROW IDS THROUGH MERGE (Delta's rowTrackingPreserved): the
+    * t34 lifecycle extended through the one rewrite class that both
+    * updates AND inserts in a single commit. Lifecycle: seed →
+    * enableRowTracking → backfill → append (auto-allocated bases) →
+    * compact (materializes ids) → MERGE that updates every %3 key and
+    * inserts shifted twins of them. Pinned invariants: `n_stable` —
+    * every pre-merge row keeps its id THROUGH the merge rewrite
+    * (matched-updated rows included: an update changes values, never
+    * identity); `fresh_monotone` — every inserted row's id is fresh
+    * above the pre-merge high water (allocated base + row_index, so a
+    * fresh id can never collide with a preserved one); `n_ids` — ids
+    * stay globally distinct. The id VALUES are engine-internal, so the
+    * oracle checks the row set + these cardinalities.
+    *
+    * Why it matters at 100 TB: CDC consumers and incremental-MV
+    * maintenance key on row identity; without preservation every MERGE
+    * wave re-keys the touched files and a downstream `changesByRowId`
+    * reports millions of phantom delete+insert pairs. */
+  def rowTrackingMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.GraftLog
+    val (dir, nStable, freshOk) =
+      stagedRowTrackingMerge.getOrElseUpdate(sfDir, {
+        val d = graft.sources.Staging.tempDir("graft_rtmerge_") + "/cust"
+        val cust = Sources.testTable(spark, sfDir, "customer")
+        GraftLog.overwrite(cust.filter(col("c_custkey") % 2 === 0), d) // v0
+        GraftLog.setProperties(spark, d,
+          Map("graft.enableRowTracking" -> "true"))                   // v1
+        GraftLog.backfillRowIds(spark, d)                             // v2
+        GraftLog.append(cust.filter(col("c_custkey") % 2 === 1), d)   // v3
+        GraftLog.compact(spark, d)                                    // v4
+        val pre = GraftLog.readWithRowIds(spark, d)
+          .select(col("c_custkey").as("k"),
+            col("_graft_row_id").as("pre_id"))
+          .transform(graft.CacheScope.tracked)
+        val preMax = pre.agg(max(col("pre_id"))).head.getLong(0)
+        val preCount = pre.count()
+        val updates = cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        val inserts = updates
+          .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        GraftLog.merge(updates.unionByName(inserts), d,
+          Seq("c_custkey"))                                           // v5
+        val post = GraftLog.readWithRowIds(spark, d)
+          .select(col("c_custkey").as("k"),
+            col("_graft_row_id").as("post_id"))
+          .transform(graft.CacheScope.tracked)
+        val stable = pre.join(post, "k")
+          .filter(col("pre_id") === col("post_id")).count()
+        require(stable == preCount,
+          s"merge moved ${preCount - stable} of $preCount row ids")
+        val freshMin = post.filter(col("k") >= 10000000L)
+          .agg(min(col("post_id"))).head.getLong(0)
+        (d, stable, freshMin > preMax)
+      })
+    val withIds = GraftLog.readWithRowIds(spark, dir)
+      .transform(graft.CacheScope.tracked)
+    val nIds = withIds.select(countDistinct(col("_graft_row_id")))
+      .head.getLong(0)
+    withIds
+      .select(customerCols.map(col): _*)
+      .withColumn("n_stable", lit(nStable))
+      .withColumn("fresh_monotone", lit(freshOk))
+      .withColumn("all_ids_distinct", lit(nIds == withIds.count()))
+  }
+
   /** t33 — NULL-COUNT data skipping (Delta's nullCount/numRecords
     * stats): a sparse enrichment column is populated only in the
     * low-key range of a range-clustered layout, and `IS NOT NULL`

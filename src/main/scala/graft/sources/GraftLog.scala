@@ -2518,12 +2518,16 @@ object GraftLog {
   // pseudo key -> (base, numRecords) — the same zero-format-change trick
   // as `#nulls`, so checkpoints, clones, and restores carry it for free.
   //
-  // Preservation contract (matching Delta-without-the-preservation
-  // feature): appends/overwrites allocate, DV deletes preserve
-  // trivially (positions untouched), compact preserves by
-  // materialization; file-REWRITING DML (update/merge/delete) assigns
-  // fresh ids to rewritten files — on a tracked table, prefer
-  // deleteVectors for deletes.
+  // Preservation contract (Delta's rowTrackingPreserved semantics on
+  // flat un-mapped layouts): appends/overwrites allocate, DV deletes
+  // preserve trivially (positions untouched), compact preserves by
+  // materialization, and file-REWRITING DML preserves too — UPDATE and
+  // DELETE carry survivors' ids through the rewrite, MERGE keeps
+  // matched rows' ids and allocates fresh monotone ids (base +
+  // row_index past the high water) for its inserts. Partitioned or
+  // column-mapped layouts — and the multi-clause mergeClauses form —
+  // fall back to fresh ids on rewrite
+  // (Delta-without-the-preservation-feature behavior).
 
   private[sources] val RowBaseKey = "#rowbase"
   private[sources] val RowIdCol = "_graft_row_id"
@@ -3779,11 +3783,13 @@ object GraftLog {
       mergeImpl(source, table, keys, txn = None, updateMatched,
         insertUnmatched, deleteUnmatchedBySource, mergeSchema)
     }
-    // row tracking: MERGE rewrites files without materializing ids
-    // (matched updates and inserts are one mixed rewrite); rewritten
-    // rows are NEW rows — Delta's semantics without the preservation
-    // feature — so give them FRESH ids immediately rather than leaving
-    // NULLs until the next manual backfill
+    // row tracking: on flat un-mapped layouts mergeImpl PRESERVES ids
+    // (matched rows materialize theirs; inserts resolve base +
+    // row_index from the commit's own allocation) and this backfill is
+    // a no-op. It remains the safety net for the layouts mergeImpl
+    // cannot preserve on (partitioned / column-mapped): their rewritten
+    // files get fresh ids immediately rather than NULLs until the next
+    // manual backfill.
     maybeBackfillAfterRewrite(source.sparkSession, table)
     v
   }
@@ -4285,8 +4291,20 @@ object GraftLog {
         dataCols.map(c => col(c).as(s"__s_$c")) :+
         lit(true).as("__s_matched"): _*)
 
+    // row tracking through MERGE (flat un-mapped layouts, like
+    // update/delete): carried and UPDATED rows keep their ids by
+    // MATERIALIZATION — the rewrite reads them with the physical id
+    // column and writes it back; INSERTED rows carry a NULL physical id
+    // and receive base + row_index from the commit's allocRowIds, so
+    // fresh ids are monotone past the high water and can never collide
+    // with a preserved one
+    val tracked = partCols.isEmpty && cmap.isEmpty &&
+      rowTrackingEnabled(spark, table)
+
     val updated = if (touched.isEmpty) None else {
-      val t = readSubset(spark, table, touched, schema)
+      val t = if (tracked)
+        readWithRowIds(spark, table, only = Some(touched.toSet))
+      else readSubset(spark, table, touched, schema)
       val joined = t.join(broadcast(marked), keysPhys, "left_outer")
       // NOT MATCHED BY SOURCE DELETE drops the unmatched rows instead of
       // carrying them through the rewrite
@@ -4296,7 +4314,7 @@ object GraftLog {
         if (keysPhys.contains(c) || !updateMatched) col(c)
         else when(col("__s_matched"), col(s"__s_$c")).otherwise(col(c))
           .as(c)
-      }: _*))
+      } ++ (if (tracked) Seq(col(RowIdCol)) else Nil): _*))
     }
     // insert probe: with updateMatched, a source key matching ANY target
     // row makes its file touched, so "not matched in the touched files"
@@ -4309,7 +4327,9 @@ object GraftLog {
       val targetKeys = readSubset(spark, table, probeFiles, schema)
         .select(keysPhys.map(col): _*)
       Some(src.join(targetKeys, keysPhys, "left_anti")
-        .select(schema.fieldNames.map(col): _*))
+        .select(schema.fieldNames.map(col) ++
+          (if (tracked)
+            Seq(lit(null).cast("long").as(RowIdCol)) else Nil): _*))
     }
     val rewritten = (updated, inserts) match {
       case (Some(u), Some(i)) => u.unionByName(i)
@@ -4320,7 +4340,8 @@ object GraftLog {
     // constraints hold over the rows this transaction writes (the
     // carried-through rows of touched files were validated when first
     // written; re-checking them costs only touched-file scans)
-    enforceChecks(toLogicalDf(rewritten, schema, cmap),
+    enforceChecks(if (tracked) rewritten
+      else toLogicalDf(rewritten, schema, cmap),
       checkConstraints(spark, table), "merge")
     // a partitioned target re-stages hive-partitioned, so the rewrite
     // keeps the layout (files land back under their col=val dirs); a
@@ -4333,9 +4354,13 @@ object GraftLog {
         withHiddenPartCols(rewritten, partCols), table, partCols)
       else stageWithStats(rewritten, table)
     val v = vRead.map(_ + 1).getOrElse(0L)
+    // bases for the staged files: inserted rows (NULL physical id)
+    // resolve to base + row_index; materialized ids win by coalesce.
+    // No-op map when tracking is off (plain props inheritance).
+    val (st2, pr2) = allocRowIds(spark, table, s)
     writeCommit(spark, table, Commit(v, "merge", s.files, touched,
-      schema.toDDL, System.currentTimeMillis(), txn, stats = s.stats,
-      sizes = s.sizes))
+      schema.toDDL, System.currentTimeMillis(), txn, stats = st2,
+      sizes = s.sizes, props = pr2))
     v
   }
 

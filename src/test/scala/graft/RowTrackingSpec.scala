@@ -141,7 +141,7 @@ class RowTrackingSpec extends AnyFunSuite {
       == "update_postimage")
   }
 
-  test("MERGE auto-backfills: rewritten rows get fresh ids, never null") {
+  test("MERGE preserves matched ids; inserts get fresh monotone ids") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 6, "a"), t)
     GraftLog.setProperties(spark, t,
@@ -152,20 +152,48 @@ class RowTrackingSpec extends AnyFunSuite {
     GraftLog.merge(df(0 until 2, "m").unionByName(df(6 until 8, "m")),
       t, Seq("id"))
     val after = idsOf(t)
-    // every row has an id (the auto-backfill), all unique
     assert(after.size == 8)
     assert(after.values.toSeq.distinct.size == 8)
-    // rewritten rows are NEW rows (Delta-without-preservation): every
-    // id is either one the row already had, or FRESH — above the old
-    // high water, never a reissue of a replaced id. (Whole touched
-    // FILES rewrite, so carried neighbors of matched keys re-id too.)
+    // preservation (Delta rowTrackingPreserved): EVERY pre-merge row —
+    // matched-updated AND carried neighbors — keeps its exact id; an
+    // update changes values, never identity
+    before.foreach { case (k, id) =>
+      assert(after.get(k).contains(id),
+        s"merge moved row $k: ${before.get(k)} -> ${after.get(k)}")
+    }
+    // inserted rows are FRESH, above the old high water
     val hw = before.values.max
-    val oldIds = before.values.toSet
-    assert(after.forall { case (k, id) =>
-      before.get(k).contains(id) || id > hw },
-      s"ids must be kept-or-fresh, never reissued: before=$before after=$after")
-    assert(!after.exists { case (k, id) =>
-      !before.get(k).contains(id) && oldIds.contains(id) })
+    Seq(6L, 7L).foreach(k => assert(after(k) > hw,
+      s"insert $k got a non-fresh id ${after(k)} (hw $hw)"))
+    // the values themselves updated (identity stable ≠ data stable)
+    val tags = GraftLog.read(spark, t).select(col("id"), col("tag"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tags(0L) == "m" && tags(1L) == "m" && tags(2L) == "a")
+  }
+
+  test("MERGE id preservation survives a later compact + second wave") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 10, "a"), t)
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableRowTracking" -> "true"))
+    GraftLog.backfillRowIds(spark, t)
+    GraftLog.append(df(10 until 14, "b"), t)
+    GraftLog.compact(spark, t)
+    val before = idsOf(t)
+    GraftLog.merge(df(3 until 6, "m").unionByName(df(20 until 23, "n")),
+      t, Seq("id"))
+    GraftLog.compact(spark, t)
+    val mid = idsOf(t)
+    GraftLog.merge(df(20 until 22, "m2"), t, Seq("id"))
+    val after = idsOf(t)
+    assert(after.size == 17 &&
+      after.values.toSeq.distinct.size == 17)
+    // wave-1 survivors hold through merge+compact+merge; wave-2
+    // updates of wave-1's own INSERTS keep those fresh ids too
+    (before ++ mid).foreach { case (k, id) =>
+      assert(after.get(k).contains(id),
+        s"row $k drifted across merge/compact waves")
+    }
   }
 
   test("shallow clone of a tracked table reads the source's ids") {
