@@ -212,6 +212,12 @@ object SparkEntry {
     // candidate-partition-pruned state rows
     "e20_neardup_state_rolling" ->
       ((s, d) => NearDupState.nearDupStateRolling(s, d)),
+    // the staged training-data pipeline composed end-to-end: graft
+    // ingest -> exact dedup -> MinHash-LSH near-dup -> quality gate ->
+    // mixture sample -> sequence pack, per-stage survivor counts
+    // pinned as audit columns
+    "e22_training_pipeline"     ->
+      ((s, d) => Pipeline.trainingDataPipeline(s, d)),
     "e17_neardup_incremental"   -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
@@ -2945,6 +2951,109 @@ object SparkEntry {
     // phase-2 state = seed + batch-1 docs NOT flagged near-dup (the
     // kept-representative rule); verify = sig-estimated Jaccard >= 0.5
     // on band-colliding pairs only
+    // e22: the full staged replay — inject twins, sha256 winners,
+    // MinHash 64/16x4 band candidates + sig-estimate verify (the e20
+    // idioms), g20's quality score, g15's content-hash mixture, g16's
+    // prefix-sum pack — with every stage's survivor count re-derived
+    "e22_training_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, lang, source, text FROM documents
+        |  WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, lang, source,
+        |    text || ' pipeline near twin suffix' FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), winners AS (
+        |  SELECT sha256(text) AS h, min(doc_id) AS keep_id
+        |  FROM base GROUP BY 1
+        |), exact_kept AS (
+        |  SELECT b.* FROM base b JOIN winners w
+        |    ON sha256(b.text) = w.h AND b.doc_id = w.keep_id
+        |), tk AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM exact_kept
+        |), sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    AS shingles
+        |  FROM tk WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT
+        |         % 2147483647 AS BIGINT)) AS h
+        |  FROM sh
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(0, 64), i ->
+        |    list_aggregate(list_transform(h,
+        |      x -> ((2*i + 1) * x + i + 1) % 2147483647), 'min')) AS sig
+        |  FROM hs
+        |), banded AS (
+        |  SELECT doc_id, band,
+        |    sig[band*4 + 1] AS s0, sig[band*4 + 2] AS s1,
+        |    sig[band*4 + 3] AS s2, sig[band*4 + 4] AS s3
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) bs
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x JOIN banded y ON x.band = y.band
+        |    AND x.s0 = y.s0 AND x.s1 = y.s1
+        |    AND x.s2 = y.s2 AND x.s3 = y.s3
+        |  WHERE x.doc_id < y.doc_id
+        |), drops AS (
+        |  SELECT DISTINCT c.doc_b AS doc_id
+        |  FROM cand c
+        |  JOIN sigs a ON a.doc_id = c.doc_a
+        |  JOIN sigs b ON b.doc_id = c.doc_b
+        |  WHERE CAST(len(list_filter(range(1, 65),
+        |    i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64 >= 0.5
+        |), near_kept AS (
+        |  SELECT e.* FROM exact_kept e
+        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)
+        |), q AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |      AS INTEGER) AS sum_len,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['the','a','and','of','to'], x))) AS INTEGER)
+        |      AS cnt_en,
+        |    text
+        |  FROM (SELECT *, string_split(lower(text), ' ') AS toks
+        |        FROM near_kept)
+        |), gated AS (
+        |  SELECT *,
+        |    round(0.5 * (CAST(cnt_en AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |      + 0.2 * greatest(1.0 - abs(CAST(sum_len AS DOUBLE)
+        |          / CAST(n_tokens AS DOUBLE) - 5.0) / 10.0, 0.0), 6)
+        |      AS quality_score
+        |  FROM q
+        |), qual_kept AS (
+        |  SELECT * FROM gated WHERE quality_score >= 0.4
+        |), sampled AS (
+        |  SELECT doc_id, lang, n_tokens FROM qual_kept
+        |  WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 1000 <
+        |    (CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 750
+        |      WHEN 'de' THEN 500 WHEN 'es' THEN 500 WHEN 'fr' THEN 250
+        |      ELSE 0 END)
+        |), p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS prefix_tokens
+        |  FROM sampled
+        |)
+        |SELECT lang, CAST(prefix_tokens // 512 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  (SELECT count(*) FROM base) AS n_ingested,
+        |  (SELECT count(*) FROM exact_kept) AS n_after_exact,
+        |  (SELECT count(*) FROM near_kept) AS n_after_neardup,
+        |  (SELECT count(*) FROM qual_kept) AS n_after_quality,
+        |  (SELECT count(*) FROM sampled) AS n_after_sample
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "e20_neardup_state_rolling" ->
       """WITH univ AS (
         |  SELECT doc_id, text, 0 AS tag FROM documents WHERE doc_id < 300
