@@ -2522,10 +2522,10 @@ object GraftLog {
   // flat un-mapped layouts): appends/overwrites allocate, DV deletes
   // preserve trivially (positions untouched), compact preserves by
   // materialization, and file-REWRITING DML preserves too — UPDATE and
-  // DELETE carry survivors' ids through the rewrite, MERGE keeps
-  // matched rows' ids and allocates fresh monotone ids (base +
-  // row_index past the high water) for its inserts. Partitioned or
-  // column-mapped layouts — and the multi-clause mergeClauses form —
+  // DELETE carry survivors' ids through the rewrite, and MERGE (both
+  // the two-clause and the multi-clause form) keeps matched rows' ids
+  // while allocating fresh monotone ids (base + row_index past the
+  // high water) for its inserts. Partitioned or column-mapped layouts
   // fall back to fresh ids on rewrite
   // (Delta-without-the-preservation-feature behavior).
 
@@ -4011,9 +4011,18 @@ object GraftLog {
           .exists(rel => mxAllByRel.getOrElse(rel, 0L) > 1L))
       else !keysOnlyRewrite
 
+    // row tracking (flat layouts; column mapping already refused
+    // above): carried/updated rows materialize their ids through the
+    // rewrite, inserts carry NULL and resolve base + row_index from
+    // the commit's allocRowIds — the same preservation contract as the
+    // two-clause merge
+    val trackedIds = partCols.isEmpty && rowTrackingEnabled(spark, table)
+
     // ---- rewrite of touched files: one left-outer join + CASE cascade
     val rewritten = if (touched.isEmpty) None else {
-      val tgt = readSubset(spark, table, touched, schema)
+      val tgt = (if (trackedIds)
+          readWithRowIds(spark, table, only = Some(touched.toSet))
+        else readSubset(spark, table, touched, schema))
         .withColumn("__gf_rid", monotonically_increasing_id()).alias("t")
       val rewriteSrc =
         if (keysOnlyRewrite)
@@ -4074,7 +4083,8 @@ object GraftLog {
           chain(matchedN, col("__gf_midx"), col(s"t.$c")))
       }
       Some(kept.select(schema.fieldNames.map(c =>
-        valueOf(c).as(c)): _*))
+        valueOf(c).as(c)) ++
+        (if (trackedIds) Seq(col(s"t.$RowIdCol")) else Nil): _*))
     }
 
     // ---- inserts: anti join against target keys. With UNCONDITIONAL
@@ -4118,7 +4128,9 @@ object GraftLog {
       }
       Some(unmatched.withColumn("__gf_iidx", iIdx)
         .filter(col("__gf_iidx") > 0)
-        .select(schema.fieldNames.map(c => insValue(c).as(c)): _*))
+        .select(schema.fieldNames.map(c => insValue(c).as(c)) ++
+          (if (trackedIds)
+            Seq(lit(null).cast("long").as(RowIdCol)) else Nil): _*))
     }
 
     val combined = (rewritten, insertRows) match {
@@ -4137,7 +4149,8 @@ object GraftLog {
       else applyGenerated(combined.drop(
           genCols.map(c => fieldByName(c.toLowerCase).name): _*),
         gens.filter(g => genCols.exists(_.equalsIgnoreCase(g._1))),
-        "merge").select(schema.fieldNames.map(col): _*)
+        "merge").select(schema.fieldNames.map(col) ++
+          (if (trackedIds) Seq(col(RowIdCol)) else Nil): _*)
     enforceChecks(regenerated, checkConstraints(spark, table), "merge")
     val s =
       if (touched.isEmpty && insertRows.isEmpty)
@@ -4146,15 +4159,19 @@ object GraftLog {
         withHiddenPartCols(regenerated, partCols), table, partCols)
       else stageWithStats(regenerated, table)
     val v = vRead.map(_ + 1).getOrElse(0L)
+    // bases for inserted rows (NULL physical id → base + row_index);
+    // no-op when tracking is off
+    val (st2c, pr2c) = allocRowIds(spark, table, s)
     writeCommit(spark, table, Commit(v, "merge", s.files, touched,
-      schema.toDDL, System.currentTimeMillis(), stats = s.stats,
-      sizes = s.sizes))
+      schema.toDDL, System.currentTimeMillis(), stats = st2c,
+      sizes = s.sizes, props = pr2c))
     v
   }
 
   /** Post-rewrite id assignment for ops that do not materialize
-    * (MERGE / replaceWhere): a metadata-only backfill commit, skipped
-    * when the table does not track rows or nothing needs ids. */
+    * (replaceWhere; merges on non-preserving layouts): a metadata-only
+    * backfill commit, skipped when the table does not track rows or
+    * nothing needs ids. */
   private def maybeBackfillAfterRewrite(spark: SparkSession,
       table: String): Unit =
     if (rowTrackingEnabled(spark, table))

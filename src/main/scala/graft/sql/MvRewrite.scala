@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EqualTo, EvalMode, Expression, Greatest, GreaterThan, If, Literal, Multiply, NamedExpression, Sqrt, Subtract}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, StddevSamp, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, StddevSamp, Sum, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -35,8 +35,9 @@ import graft.sources.{GraftFileIndex, GraftLog}
   *     `count(1)` (→ `sum(d_count)`), the exact-decimal
   *     `sum(cast(value as decimal(38,10)))` (→ `sum(d_value)`), its
   *     `avg` twin (→ Average's own sum/count divide over the folded
-  *     exact sums — bit-identical), and `stddev_samp(value)` via the
-  *     exact second moment when the view maintains `d_sumsq` — with
+  *     exact sums — bit-identical), and `stddev_samp`/`var_samp` of
+  *     the value column via the exact second moment when the view
+  *     maintains `d_sumsq` — with
   *     arbitrary scalar wrappers above the aggregate (round/cast carry
   *     over verbatim). The decimal cast must wrap the value column
   *     DIRECTLY (a nested truncating cast changes the base answer and
@@ -220,6 +221,35 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else None
   }
 
+  /** The exact-second-moment rewrite shared by stddev_samp and
+    * var_samp: (Σx² − (Σx)²/n) / (n−1), sqrt for stddev. n==0/1
+    * mirrors the expressions' own divide-by-zero contract (NULL by
+    * default, NaN under the legacy statistical-aggregate flag); the
+    * tiny-negative clamp guards the float subtraction (Welford
+    * guarantees m2 ≥ 0; the two-pass form can land at −1e−12). */
+  private def moment2(dCount: AttributeReference,
+      dValue: AttributeReference, dSumsq: AttributeReference,
+      nullOnDiv: Boolean, sqrtIt: Boolean): Expression = {
+    def sumOf(a: AttributeReference): Expression =
+      new Sum(a).toAggregateExpression()
+    val nD = Cast(sumOf(dCount), DoubleType)
+    val svD = Cast(sumOf(dValue), DoubleType)
+    val sqD = Cast(sumOf(dSumsq), DoubleType)
+    val m2 = Subtract(sqD,
+      Divide(Multiply(svD, svD, EvalMode.LEGACY), nD,
+        EvalMode.LEGACY), EvalMode.LEGACY)
+    val core = Divide(
+      Greatest(Seq(m2, Literal(0.0d))),
+      Subtract(nD, Literal(1.0d), EvalMode.LEGACY),
+      EvalMode.LEGACY)
+    If(EqualTo(sumOf(dCount), Literal(0L)),
+      Literal(null, DoubleType),
+      If(EqualTo(sumOf(dCount), Literal(1L)),
+        if (nullOnDiv) Literal(null, DoubleType)
+        else Literal(Double.NaN, DoubleType),
+        if (sqrtIt) Sqrt(core) else core))
+  }
+
   private def build(agg: Aggregate, d: MvRegistry.MvDef,
       gs: Seq[AttributeReference],
       viewPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -282,35 +312,23 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     Cast(sumOf(dCount), DecimalType(20, 0)),
                     EvalMode.LEGACY),
                   ae.dataType)
-              // stddev_samp via the exact second moment:
-              // sqrt((Σx² − (Σx)²/n) / (n−1)) with both Σ folded in
-              // exact decimal and only the final double ops floating.
-              // The base op (streaming Welford over partitions) is
-              // itself partition-order-dependent; this serves the
-              // DETERMINISTIC textbook moment answer within the same
-              // tolerance — the float-sum refusal rationale applies to
-              // the final sqrt only. Requires a d_sumsq-bearing view.
+              // stddev_samp / var_samp via the exact second moment:
+              // (Σx² − (Σx)²/n) / (n−1), sqrt for stddev — both Σ
+              // folded in exact decimal, only the final double ops
+              // floating. The base ops (streaming Welford over
+              // partitions) are themselves partition-order-dependent;
+              // this serves the DETERMINISTIC textbook moment answer
+              // within the same tolerance — the float-sum refusal
+              // rationale applies to the final double math only.
+              // Requires a d_sumsq-bearing view.
               case StddevSamp(c, nullOnDiv) if doubleOfValue(c) &&
                   dSumsq.isDefined =>
-                val n = sumOf(dCount)
-                val nD = Cast(sumOf(dCount), DoubleType)
-                val svD = Cast(sumOf(dValue), DoubleType)
-                val sqD = Cast(sumOf(dSumsq.get), DoubleType)
-                val m2 = Subtract(sqD,
-                  Divide(Multiply(svD, svD, EvalMode.LEGACY), nD,
-                    EvalMode.LEGACY), EvalMode.LEGACY)
-                // n==1 mirrors StddevSamp's own divide-by-zero
-                // contract: NULL by default, NaN under the legacy
-                // statistical-aggregate flag the expression carries
-                If(EqualTo(n, Literal(0L)),
-                  Literal(null, DoubleType),
-                  If(EqualTo(sumOf(dCount), Literal(1L)),
-                    if (nullOnDiv) Literal(null, DoubleType)
-                    else Literal(Double.NaN, DoubleType),
-                    Sqrt(Divide(
-                      Greatest(Seq(m2, Literal(0.0d))),
-                      Subtract(nD, Literal(1.0d), EvalMode.LEGACY),
-                      EvalMode.LEGACY))))
+                moment2(dCount, dValue, dSumsq.get, nullOnDiv,
+                  sqrtIt = true)
+              case VarianceSamp(c, nullOnDiv) if doubleOfValue(c) &&
+                  dSumsq.isDefined =>
+                moment2(dCount, dValue, dSumsq.get, nullOnDiv,
+                  sqrtIt = false)
               case _ => ok = false; ae
             }
           case other => other.mapChildren(sub)

@@ -262,6 +262,40 @@ class AggViewSpec extends AnyFunSuite {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  test("compensated rewrite serves avg/stddev/var from view + CDF tail") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/cavg_src", s"$root/cavg_view")
+    GraftLog.overwrite(srcDf(0 until 100), src)                    // v0
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v",
+      key = "id", compensate = true)
+    try {
+      // the view LAGS by an append + update the tail must fold,
+      // including the d_sumsq second-moment deltas
+      GraftLog.append(srcDf(100 until 130), src)                   // v1
+      GraftLog.update(spark, src, col("id") % 4 === 0,
+        Seq("v" -> (col("v") + 3.0)))                              // v2
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v").cast("decimal(38,10)")).cast("double"), 6)
+            .as("a"),
+          round(stddev_samp(col("v")), 6).as("s"),
+          round(var_samp(col("v")), 6).as("vv"))
+      val q = shape(spark.read.format("graft").load(src))
+      assert(scansPath(q, view),
+        "compensated plan must fold the view's delta log")
+      def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      val got = toMap(q.collect())
+      val expect = toMap(shape(GraftLog.read(spark, src)).collect())
+      assert(got == expect,
+        s"compensated avg/stddev/var must be CURRENT: $got vs $expect")
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   test("time-traveled scans never rewrite to the current view") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view) = (s"$root/tt_src", s"$root/tt_view")

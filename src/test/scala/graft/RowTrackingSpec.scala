@@ -171,6 +171,38 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(tags(0L) == "m" && tags(1L) == "m" && tags(2L) == "a")
   }
 
+  test("multi-clause MERGE preserves ids through the CASE cascade") {
+    import GraftLog.MergeClause._
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 8, "a"), t)
+    GraftLog.setProperties(spark, t,
+      Map("graft.enableRowTracking" -> "true"))
+    GraftLog.backfillRowIds(spark, t)
+    val before = idsOf(t)
+    // conditional cascade: matched %2 keys update, matched others
+    // DELETE, novel keys insert — all three classes in one commit
+    GraftLog.mergeClauses(
+      df(0 until 4, "m").unionByName(df(10 until 12, "n")), t,
+      Seq("id"),
+      matched = Seq(
+        Update(Some(org.apache.spark.sql.functions.expr("t.id % 2 = 0")),
+          Seq("tag" -> org.apache.spark.sql.functions.lit("upd"))),
+        Delete(None)),
+      notMatched = Seq(Insert(None, Nil)))
+    val after = idsOf(t)
+    // survivors: 0,2 updated; 1,3 deleted; 4-7 carried; 10,11 inserted
+    assert(after.keySet ==
+      Set(0L, 2L, 4L, 5L, 6L, 7L, 10L, 11L))
+    (before -- Seq(1L, 3L)).foreach { case (k, id) =>
+      assert(after.get(k).contains(id),
+        s"clause merge moved row $k: ${before.get(k)} -> ${after.get(k)}")
+    }
+    val hw = before.values.max
+    Seq(10L, 11L).foreach(k => assert(after(k) > hw,
+      s"clause-merge insert $k must get a fresh id above $hw"))
+    assert(after.values.toSeq.distinct.size == after.size)
+  }
+
   test("MERGE id preservation survives a later compact + second wave") {
     val t = tmp()
     GraftLog.overwrite(df(0 until 10, "a"), t)
