@@ -97,7 +97,10 @@ object ExplainDump {
       "d27_mv_auto_rewrite",       // aggregate rewritten to the view scan
       "d29_mv_compensated_rewrite",// stale view + CDF tail, always fresh
       "d30_mv_multicol",           // N-column key, query's order kept
-      "d28_stats_refresh")         // metadata fold + KMV merge, no rescan
+      "d28_stats_refresh",         // metadata fold + KMV merge, no rescan
+      "d31_mv_avg_stddev",         // avg/stddev served from the moments
+      "t43_row_tracking_merge",    // id-preserving MERGE read-back
+      "e22_training_pipeline")     // staged pipeline: cached seams only
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.ExplainDump)\n\n")
