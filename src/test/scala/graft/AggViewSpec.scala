@@ -262,6 +262,42 @@ class AggViewSpec extends AnyFunSuite {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  test("HAVING and ORDER BY resolve over the rewritten aggregate") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/hav_src", s"$root/hav_view")
+    GraftLog.overwrite(srcDf(0 until 120), src)
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v")
+    spark.sql("DROP TABLE IF EXISTS mv_hav_t")
+    spark.sql(s"CREATE TABLE mv_hav_t USING graft OPTIONS (path '$src')")
+    try {
+      // parent plan nodes (HAVING filter, sort, limit) reference the
+      // aggregate's output attributes — the rewrite preserves their
+      // exprIds, so the whole statement resolves over the view scan
+      val q = spark.sql(
+        """SELECT g, count(1) AS n,
+          |  round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE), 6)
+          |    AS t
+          |FROM mv_hav_t GROUP BY g HAVING count(1) > 25
+          |ORDER BY t DESC LIMIT 3""".stripMargin)
+      assert(scansPath(q, view) && !scansPath(q, src),
+        "HAVING/ORDER BY/LIMIT statement must still rewrite to the view")
+      val expect = GraftLog.read(spark, src).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.sumExact(col("v"))
+            .cast("double"), 6).as("t"))
+        .filter(col("n") > 25).orderBy(col("t").desc).limit(3)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val got = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == expect, s"HAVING rewrite drifted: $got vs $expect")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mv_hav_t")
+      graft.sql.MvRegistry.unregister(src)
+    }
+  }
+
   test("compensated rewrite serves avg/stddev/var from view + CDF tail") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view) = (s"$root/cavg_src", s"$root/cavg_view")
