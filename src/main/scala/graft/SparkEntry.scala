@@ -339,6 +339,10 @@ object SparkEntry {
       ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "g16_sequence_pack" ->
       ((s, d) => TextAnalysis.sequencePack(s, d)),
+    // packing with document SPLITTING: every bin but each language's
+    // last carries exactly 512 tokens (zero padding waste)
+    "g23_sequence_pack_split" ->
+      ((s, d) => TextAnalysis.sequencePackSplit(s, d)),
     // sliding token windows with overlap (RAG-index / packed-shard prep)
     "g21_chunk_overlap" ->
       ((s, d) => TextAnalysis.chunkOverlap(s, d)),
@@ -498,6 +502,11 @@ object SparkEntry {
     // fact table
     "d31_mv_avg_stddev" ->
       ((s, d) => AggView.aggViewGoldRollupRewrite(s, d)),
+    // group-column WHERE carried onto the view scan (whole-group
+    // predicate = identical answer from per-group delta rows); a
+    // row-level WHERE keeps the base plan — both decisions pinned
+    "d32_mv_filtered_rewrite" ->
+      ((s, d) => AggView.aggViewFilteredRewrite(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1698,6 +1707,17 @@ object SparkEntry {
         |  ELSE NULL END AS volatility,
         |  TRUE AS used_view
         |FROM sums""".stripMargin,
+    // d32: the filtered fold — WHERE on the group column replayed over
+    // the post-lifecycle state (v0 overwrite, v1 append, v2 delete)
+    "d32_mv_filtered_rewrite" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id % 7 <> 0)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, TRUE AS used_view, TRUE AS row_fell_back
+        |FROM final WHERE event_type IN ('click', 'view')
+        |GROUP BY 1""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,
     // delete, update), pure replay is a ledger no-op
@@ -3353,6 +3373,36 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // g23: same prefix-sum grid in DuckDB — each doc's [start, end)
+    // interval fragments over 512-token bins via unnest(range(...))
+    "g23_sequence_pack_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS endt
+        |  FROM t
+        |), b AS (
+        |  SELECT doc_id, lang, n_tokens, endt,
+        |    endt - n_tokens AS start FROM p
+        |), x AS (
+        |  SELECT doc_id, lang, start, endt,
+        |    unnest(range(start // 512, (endt - 1) // 512 + 1)) AS seq_id
+        |  FROM b
+        |)
+        |SELECT lang, seq_id, count(*) AS n_frags,
+        |  CAST(sum(CASE WHEN start >= seq_id * 512
+        |    AND endt <= (seq_id + 1) * 512 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_whole,
+        |  CAST(sum(least(endt, (seq_id + 1) * 512)
+        |    - greatest(start, seq_id * 512)) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM x GROUP BY 1, 2""".stripMargin,
     // g17: the profiler emits one row per customer column; the oracle
     // re-derives every metric from one aggregate row and unions the
     // per-column projections (names/types mirror Spark simpleString)

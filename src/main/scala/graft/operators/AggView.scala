@@ -315,6 +315,50 @@ object AggView {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  /** d32 — GROUP-COLUMN WHERE served from the view: the dashboard
+    * point-query shape (`WHERE type IN (…) GROUP BY type`). A
+    * predicate referencing group columns only selects whole groups, so
+    * the rewrite carries it onto the view's per-group delta rows —
+    * identical answer, still never the fact scan. A predicate touching
+    * any OTHER column cannot be answered from the rollup and keeps the
+    * base plan — both decisions pinned (`used_view` / `row_fell_back`).
+    * At 100 TB this is the difference between a filtered groups-sized
+    * view read and a full fact scan for every dashboard filter. */
+  def aggViewFilteredRewrite(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvflt_")
+    val (src, view) = (s"$root/src", s"$root/view")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    GraftLog.delete(spark, src, col("event_id") % 7 === 0)        // v2
+    maintain(spark, src, view, "event_id", "event_type", "value")
+    registerForRewrite(src, view, "event_type", "value")
+    try {
+      def scans(df: DataFrame, path: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == path)
+          case _ => false
+        }
+      def agg(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sumExact(col("value")).cast("double"), 6)
+            .as("total_value"))
+      val q = agg(spark.read.format("graft").load(src)
+        .filter(col("event_type").isin("click", "view")))
+      val usedView = scans(q, view) && !scans(q, src)
+      val rowQ = agg(spark.read.format("graft").load(src)
+        .filter(col("value") > 0))
+      val rowFellBack = scans(rowQ, src) && !scans(rowQ, view)
+      q.withColumn("used_view", lit(usedView))
+        .withColumn("row_fell_back", lit(rowFellBack))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   private val stagedStream =
     new scala.collection.concurrent.TrieMap[String, (String, Boolean)]
 

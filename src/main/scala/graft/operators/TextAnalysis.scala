@@ -604,6 +604,53 @@ object TextAnalysis {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** g23 — SEQUENCE PACKING WITH DOCUMENT SPLITTING: the real
+    * pretraining packer. g16 bins whole documents greedily (a document
+    * never crosses a bin), which wastes the tail of every bin; actual
+    * packed-pretraining shards split documents across fixed-size
+    * sequences so every sequence but each stream's last carries
+    * EXACTLY `budget` tokens. Per language: the running token offset
+    * places each doc at [start, end); the doc contributes a fragment
+    * to every `budget`-token grid bin its interval overlaps
+    * (`sequence(start DIV b, (end-1) DIV b)` exploded — pure integer
+    * arithmetic, engine-portable), with fragment size = the overlap
+    * length. Output per (lang, seq_id): fragment count, whole-doc
+    * count, packed tokens (== budget except the final bin — the
+    * zero-waste invariant the oracle pins), first/last doc.
+    *
+    * Scale shape: one window prefix-sum per language (single hash
+    * exchange) + a narrow codegen'd explode whose fan-out is
+    * 1 + tokens/budget per doc — no joins, no second shuffle beyond
+    * the final partial-combined aggregate. At 100 TB the packer is
+    * scan-bound, exactly like the g16 form, while eliminating the
+    * per-bin padding waste a whole-doc packer ships to the trainer. */
+  def sequencePackSplit(spark: SparkSession, sfDir: String,
+      budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val b = lit(budget.toLong)
+    Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("endt", sum(col("n_tokens")).over(w))
+      .withColumn("start", col("endt") - col("n_tokens"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start DIV $budget"), expr(s"(endt - 1) DIV $budget"))))
+      .withColumn("take",
+        least(col("endt"), (col("seq_id") + 1) * b) -
+          greatest(col("start"), col("seq_id") * b))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_frags"),
+        sum(when(col("start") >= col("seq_id") * b &&
+          col("endt") <= (col("seq_id") + 1) * b, 1L).otherwise(0L))
+          .as("n_whole"),
+        sum(col("take")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** g22 — deterministic SHARD SHUFFLE: the global-permutation step of
     * training-data prep (every pretraining run wants examples in a
     * reproducible pseudo-random order, sharded for parallel loaders)

@@ -30,6 +30,10 @@ import graft.sources.{GraftFileIndex, GraftLog}
   *     source's latest commit version (one small-JSON read each). A
   *     stale view silently falls back to the base-table plan — a
   *     wrong-but-fast answer is never acceptable;
+  *   - scan-side WHERE predicates reference GROUP columns only (they
+  *     select whole groups, so the view's per-group rows answer them
+  *     identically — carried onto the view scan attribute-substituted;
+  *     any other column refuses: the rollup cannot answer it);
   *   - the aggregate decomposes over the view's delta log: grouping on
   *     exactly the view's group column, aggregates limited to
   *     `count(1)` (→ `sum(d_count)`), the exact-decimal
@@ -116,30 +120,39 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** The source path scanned by `plan` — and the snapshot version it is
-    * anchored at — when it is (modulo aliases and a pure-attribute
-    * projection) one graft relation. The asOf travels with the path
-    * because two GraftFileIndexes over the same rootPaths are NOT
-    * interchangeable: a `versionAsOf`/`timestampAsOf` scan reads a
-    * HISTORICAL snapshot, and serving it from the CURRENT view state
-    * would be a wrong historical answer. */
+  /** The source path scanned by `plan` — plus the snapshot version it
+    * is anchored at and any Filters met on the way down — when it is
+    * (modulo aliases, pure-attribute projections, and filters) one
+    * graft relation. The asOf travels with the path because two
+    * GraftFileIndexes over the same rootPaths are NOT interchangeable:
+    * a `versionAsOf`/`timestampAsOf` scan reads a HISTORICAL snapshot,
+    * and serving it from the CURRENT view state would be a wrong
+    * historical answer. Filters are collected, not skipped — the
+    * caller rewrites only when every one references group columns
+    * exclusively (a group-column predicate selects whole GROUPS, so
+    * applying it to the view's rows is the identical answer; any
+    * other column cannot be answered from the rollup and refuses). */
   private def scannedGraftPath(plan: LogicalPlan)
-      : Option[(String, Option[Long])] =
+      : Option[(String, Option[Long], Seq[Expression])] =
     plan match {
       case SubqueryAlias(_, child) => scannedGraftPath(child)
       case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         scannedGraftPath(child)
+      case Filter(cond, child) =>
+        scannedGraftPath(child).map { case (p, v, fs) =>
+          (p, v, cond +: fs) }
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location match {
           case g: GraftFileIndex =>
-            g.rootPaths.headOption.map(p => (p.toString, g.asOfVersion))
+            g.rootPaths.headOption.map(p =>
+              (p.toString, g.asOfVersion, Seq.empty[Expression]))
           case _ => None
         }
       case _ => None
     }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
-    (src, asOf) <- scannedGraftPath(agg.child)
+    (src, asOf, filters) <- scannedGraftPath(agg.child)
     d <- MvRegistry.lookup(src)
     // grouping: exactly the view's group columns (any order)
     gs <- {
@@ -151,8 +164,18 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             attrs.exists(_.name.equalsIgnoreCase(c))))
         Some(attrs) else None
     }
+    // every scan-side filter must reference group columns ONLY: such a
+    // predicate selects whole groups, so evaluating it on the view's
+    // per-group delta rows gives the identical answer (including NULL
+    // semantics — a NULL-group row fails the predicate on both sides).
+    // Any other reference means the rollup cannot answer it — refuse.
+    _ <- {
+      val gids = gs.map(_.exprId).toSet
+      if (filters.forall(_.references.forall(a =>
+        gids.contains(a.exprId)))) Some(()) else None
+    }
     child <- deltaSource(d, src, asOf)
-    rewritten <- build(agg, d, gs, child)
+    rewritten <- build(agg, d, gs, child, filters)
   } yield rewritten
 
   /** The delta-log plan the rewritten aggregate folds. FRESH view
@@ -252,7 +275,8 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def build(agg: Aggregate, d: MvRegistry.MvDef,
       gs: Seq[AttributeReference],
-      viewPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      viewPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      scanFilters: Seq[Expression] = Seq.empty)
       : Option[LogicalPlan] = {
     def attr(n: String): Option[AttributeReference] =
       viewPlan.output.collectFirst {
@@ -345,12 +369,22 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         if (!ok) None
         else {
+          // group-column scan filters carry over onto the view's rows
+          // (attribute-substituted) — a whole-group predicate selects
+          // the same groups from per-group delta rows as from fact rows
+          val filteredView = scanFilters.foldLeft(viewPlan) { (p, f) =>
+            Filter(f.transform {
+              case a: AttributeReference if groupMap.contains(a.exprId) =>
+                groupMap(a.exprId)
+            }, p)
+          }
           // hidden liveness count: delta-log groups whose running count
           // folded to 0 were fully deleted and must not resurface
           val cnt = Alias(
             new Sum(dCount).toAggregateExpression(), "__mv_cnt")()
           val rewritten = Aggregate(
-            gs.map(a => groupMap(a.exprId)), newAggExprs :+ cnt, viewPlan)
+            gs.map(a => groupMap(a.exprId)), newAggExprs :+ cnt,
+            filteredView)
           val filtered = Filter(
             GreaterThan(cnt.toAttribute, Literal(0L)), rewritten)
           Some(Project(newAggExprs.map(_.toAttribute), filtered))

@@ -262,6 +262,46 @@ class AggViewSpec extends AnyFunSuite {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  test("group-column WHERE rewrites; row-level WHERE keeps base plan") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/where_src", s"$root/where_view")
+    GraftLog.overwrite(srcDf(0 until 120), src)
+    GraftLog.delete(spark, src, col("id") % 11 === 0)
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v")
+    try {
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.sumExact(col("v"))
+            .cast("double"), 6).as("t"))
+      // a WHERE on the GROUP column selects whole groups — served
+      // from the view with the predicate carried over
+      val q = agg(spark.read.format("graft").load(src)
+        .filter(col("g").isin("g0", "g2")))
+      assert(scansPath(q, view) && !scansPath(q, src),
+        "group-column WHERE must rewrite to a filtered view scan")
+      val got = q.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val expect = agg(GraftLog.read(spark, src)
+        .filter(col("g").isin("g0", "g2"))).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == expect && got.keySet == Set("g0", "g2"),
+        s"filtered rewrite drifted: $got vs $expect")
+      // a predicate on a NON-group column cannot be answered from the
+      // rollup — the base plan must survive
+      val rowQ = agg(spark.read.format("graft").load(src)
+        .filter(col("id") % 2 === 0))
+      assert(scansPath(rowQ, src) && !scansPath(rowQ, view),
+        "row-level WHERE must keep the base plan")
+      // mixed conjunction (group AND row column) also refuses
+      val mixQ = agg(spark.read.format("graft").load(src)
+        .filter(col("g") === "g1" && col("id") > 10))
+      assert(scansPath(mixQ, src) && !scansPath(mixQ, view),
+        "mixed-column WHERE must keep the base plan")
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   test("HAVING and ORDER BY resolve over the rewritten aggregate") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view) = (s"$root/hav_src", s"$root/hav_view")

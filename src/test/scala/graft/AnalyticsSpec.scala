@@ -8,6 +8,34 @@ import graft.operators.{Dedup, Profile, StarJoin, Windows}
 class AnalyticsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  // ----------------------------------------------------- g23 pack-split
+
+  test("pack-with-split: every non-final bin carries exactly the budget") {
+    val out = graft.operators.TextAnalysis
+      .sequencePackSplit(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val lastBin = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    // the zero-waste invariant a whole-doc packer cannot give: every
+    // bin except each language's final one is EXACTLY 512 tokens
+    out.filter { case (l, s, _, _, _) => s < lastBin(l) }.foreach {
+      case (l, s, _, _, tok) =>
+        assert(tok == 512L, s"bin ($l, $s) carries $tok tokens")
+    }
+    // token conservation: bins partition the corpus exactly
+    val packed = out.map(_._5).sum
+    val corpus = spark.read
+      .parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(sum(size(split(lower(col("text")), " "))))
+      .head.getLong(0)
+    assert(packed == corpus, s"packed $packed vs corpus $corpus tokens")
+    // fragments ≥ whole docs per bin; a doc spanning k bins appears in
+    // each — whole-doc count never exceeds fragment count
+    out.foreach { case (l, s, frags, whole, _) =>
+      assert(whole <= frags, s"bin ($l, $s): $whole whole > $frags frags")
+    }
+  }
+
   // ------------------------------------------------------------- j8 cube
 
   test("cube = rollup + nation-only supergroups; grand total matches j1") {
