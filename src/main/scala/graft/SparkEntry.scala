@@ -240,6 +240,10 @@ object SparkEntry {
       ((s, d) => Similarity.ivfIndexedTopK(s, d)),
     "f11_knn_ivf_incremental" ->
       ((s, d) => Similarity.ivfIndexIncrementalTopK(s, d)),
+    // erasure-aware index: deleted vectors leave via ONE file-pruned
+    // DML commit; answers == a rebuild without them, no torn cells
+    "f14_knn_ivf_delete" ->
+      ((s, d) => Similarity.ivfIndexDeleteTopK(s, d)),
     // filtered search: the metadata predicate (same label as the query)
     // applied inside the probed cells, not post-hoc on the ranked answer
     "f12_knn_filtered" ->
@@ -3799,6 +3803,13 @@ object SparkEntry {
     // shares this oracle verbatim.
     "f3_knn_ivf" -> ivfSqlOracle,
     "f10_knn_ivf_persisted" -> ivfSqlOracle,
+    // f14: the same IVF replay over an index REBUILT without the
+    // erased ids — the erasure DML must be answer-equivalent to it
+    "f14_knn_ivf_delete" -> ivfSqlOracle
+      .replace("WHERE a.vec_id != p.query_id",
+        "WHERE a.vec_id != p.query_id AND a.vec_id % 5 <> 0")
+      .replace("SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine",
+        "SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine,\n  TRUE AS deleted_absent"),
     // f11: fixed centroids make the incremental append bit-identical to
     // a full rebuild, so the split never shows in the answer
     "f11_knn_ivf_incremental" -> ivfSqlOracle,

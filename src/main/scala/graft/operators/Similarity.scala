@@ -201,6 +201,60 @@ object Similarity {
         col("rank"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** f14 — ERASURE-AWARE persisted index: deleted vectors LEAVE the
+    * index as one transactional DML commit, no rebuild. A training-data
+    * pipeline that honors deletion requests must erase embeddings from
+    * its ANN index too — here the index IS a graft table, so
+    * `GraftLog.delete` rewrites exactly the cell files holding erased
+    * ids (file-pruned like every DML) and the probe path is untouched:
+    * post-erasure answers are BIT-IDENTICAL to an index rebuilt without
+    * the erased vectors (the oracle replays that rebuild), and a query
+    * racing the erasure sees the old or the new index, never a torn
+    * cell (snapshot isolation). At 100 TB this is the difference
+    * between a petabyte index rebuild per erasure batch and one
+    * pruned rewrite commit. `deleted_absent` pins the result-level
+    * contract. */
+  def ivfIndexDeleteTopK(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nCent: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import graft.sources.GraftLog
+    val dir = graft.sources.Staging.scratchDir("graft_ivf_del_")
+    val corpus = normed(spark, sfDir)
+    val cents0 = seedCentroids(corpus, nCent)
+    GraftLog.overwritePartitioned(
+      nearestCents(corpus, cents0, "vec_id", 1)
+        .select(col("cent_id"), col("vec_id"), col("v"), col("norm")),
+      s"$dir/cells", Seq("cent_id"))
+    GraftLog.overwrite(cents0, s"$dir/centroids")
+    // the erasure wave: one file-pruned transactional DML on the index
+    GraftLog.delete(spark, s"$dir/cells", col("vec_id") % 5 === 0)
+    val cents = broadcast(GraftLog.read(spark, s"$dir/centroids"))
+    val probes = nearestCents(
+      normed(spark, sfDir).filter(col("vec_id") < numQueries),
+      cents, "vec_id", nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .transform(graft.CacheScope.tracked)
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val cells = spark.read.format("graft").load(s"$dir/cells")
+      .filter(col("cent_id").isin(probedCells: _*))
+    val cand = cells.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val topk = cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
+      .transform(graft.CacheScope.tracked)
+    val leaked = topk.filter(col("neighbor_id") % 5 === 0).count()
+    topk.withColumn("deleted_absent", lit(leaked == 0L))
+  }
+
   /** f11 — INCREMENTAL index update: new vectors join a live persisted
     * IVF index WITHOUT a rebuild. The index is built over the corpus
     * (vec_id < split) as in f10 — cells hive-partitioned, codebook
