@@ -100,7 +100,10 @@ object ExplainDump {
       "d28_stats_refresh",         // metadata fold + KMV merge, no rescan
       "d31_mv_avg_stddev",         // avg/stddev served from the moments
       "t43_row_tracking_merge",    // id-preserving MERGE read-back
-      "e22_training_pipeline")     // staged pipeline: cached seams only
+      "e22_training_pipeline",     // staged pipeline: cached seams only
+      "d32_mv_filtered_rewrite",   // group-column WHERE on the view scan
+      "g23_sequence_pack_split",   // grid-fragment explode, one window
+      "f14_knn_ivf_delete")        // erasure DML + pruned probe
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.ExplainDump)\n\n")
