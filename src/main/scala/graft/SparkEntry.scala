@@ -347,6 +347,10 @@ object SparkEntry {
     // last carries exactly 512 tokens (zero padding waste)
     "g23_sequence_pack_split" ->
       ((s, d) => TextAnalysis.sequencePackSplit(s, d)),
+    // token-budgeted quality selection: the quality-ordered prefix per
+    // language under a 10k-token budget, with the implied quality bar
+    "g24_token_budget_select" ->
+      ((s, d) => TextAnalysis.tokenBudgetSelect(s, d)),
     // sliding token windows with overlap (RAG-index / packed-shard prep)
     "g21_chunk_overlap" ->
       ((s, d) => TextAnalysis.chunkOverlap(s, d)),
@@ -3377,6 +3381,44 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // g24: the same quality-ordered prefix selection — the score is
+    // rounded to 6 in BOTH engines BEFORE ordering, ties by doc_id, so
+    // the selected set replays exactly
+    "g24_token_budget_select" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |      AS INTEGER) AS sum_len,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['the','a','and','of','to'], x))) AS INTEGER)
+        |      AS cnt_en
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ')
+        |          AS toks FROM documents)
+        |), s AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    round(0.5 * (CAST(cnt_en AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |      + 0.2 * greatest(1.0 - abs(CAST(sum_len AS DOUBLE)
+        |          / CAST(n_tokens AS DOUBLE) - 5.0) / 10.0, 0.0), 6)
+        |      AS quality_score
+        |  FROM c
+        |), r AS (
+        |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY quality_score DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS running_tokens
+        |  FROM s
+        |)
+        |SELECT lang, count(*) AS n_available,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_available,
+        |  CAST(sum(CASE WHEN running_tokens <= 10000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_selected,
+        |  CAST(sum(CASE WHEN running_tokens <= 10000 THEN n_tokens
+        |    ELSE 0 END) AS BIGINT) AS tokens_selected,
+        |  round(min(CASE WHEN running_tokens <= 10000
+        |    THEN quality_score END), 6) AS quality_bar
+        |FROM r GROUP BY 1""".stripMargin,
     // g23: same prefix-sum grid in DuckDB — each doc's [start, end)
     // interval fragments over 512-token bins via unnest(range(...))
     "g23_sequence_pack_split" ->

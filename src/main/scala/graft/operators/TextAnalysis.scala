@@ -604,6 +604,63 @@ object TextAnalysis {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** g24 — TOKEN-BUDGETED QUALITY SELECTION: the "best N tokens per
+    * language" curation step every pretraining mix runs — rank
+    * documents by quality (the g2/g20 score), take the quality-ordered
+    * prefix while the running token total stays within the per-language
+    * budget. Deterministic order (quality desc, doc_id asc tiebreak),
+    * INCLUSIVE prefix rule (a doc is selected iff its own running
+    * total fits), so both engines replay the identical selection.
+    * Output per language: docs/tokens selected vs available, the
+    * selection's minimum admitted quality (the effective per-language
+    * quality bar a fixed token budget implies — the number mixture
+    * designers actually want).
+    *
+    * Scale shape: one narrow codegen'd scoring projection + ONE window
+    * prefix-sum per language (single hash exchange) + a
+    * partial-combined aggregate — no joins; at 100 TB the selection is
+    * scan-bound exactly like the packer. */
+  def tokenBudgetSelect(spark: SparkSession, sfDir: String,
+      budget: Long = 10000L): DataFrame = {
+    val toked = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), " ").as("toks"))
+    val cntEn = size(filter(col("toks"),
+      t => markers("en").map(t === lit(_)).reduce(_ || _)))
+    val scored = toked.select(col("doc_id"), col("lang"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      aggregate(transform(col("toks"), t => length(t)),
+        lit(0), (a, x) => a + x).as("sum_len"),
+      cntEn.as("cnt_en"))
+    val quality = {
+      val stopR = col("cnt_en").cast("double") /
+        col("n_tokens").cast("double")
+      val lenSat =
+        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0))
+      val avgLen = col("sum_len").cast("double") /
+        col("n_tokens").cast("double")
+      val lenShape = greatest(
+        lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0), lit(0.0))
+      round(lit(0.5) * stopR + lit(0.3) * lenSat + lit(0.2) * lenShape, 6)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.withColumn("quality_score", quality)
+      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("selected", col("running_tokens") <= budget)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_available"),
+        sum(col("n_tokens")).as("tokens_available"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("selected"), col("n_tokens")).otherwise(0L))
+          .as("tokens_selected"),
+        round(min(when(col("selected"), col("quality_score"))), 6)
+          .as("quality_bar"))
+  }
+
   /** g23 — SEQUENCE PACKING WITH DOCUMENT SPLITTING: the real
     * pretraining packer. g16 bins whole documents greedily (a document
     * never crosses a bin), which wastes the tail of every bin; actual

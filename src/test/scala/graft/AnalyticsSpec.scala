@@ -36,6 +36,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------ g24 budget selection
+
+  test("token-budget selection: within budget, maximal, quality-barred") {
+    val rows = graft.operators.TextAnalysis
+      .tokenBudgetSelect(spark, TestSpark.sf, budget = 2000L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (avail, tokAvail, sel, tokSel) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(tokSel <= 2000L, s"budget exceeded: $r")
+      assert(sel <= avail && tokSel <= tokAvail)
+      // maximality at the aggregate level: either everything fit, or
+      // the selection is non-trivially bounded by the budget (the
+      // exact next-doc maximality is pinned by the driver oracle's
+      // full replay)
+      assert(sel == avail || tokSel > 0L, s"empty bounded selection: $r")
+      if (sel > 0) assert(!r.isNullAt(5), s"quality bar missing: $r")
+    }
+  }
+
   // ------------------------------------------------------------- j8 cube
 
   test("cube = rollup + nation-only supergroups; grand total matches j1") {
