@@ -51,7 +51,8 @@ object AggView {
     GraftLog.versions(spark, src).filter(_ > from).foreach { v =>
       val cdf = GraftLog.changesAt(spark, src, Seq(key), v,
         preimages = true)
-      val deltas = cdf.select(groupCols.map(col) ++ Seq(
+      val deltas = graft.CacheScope.tracked(
+        cdf.select(groupCols.map(col) ++ Seq(
           when(col("_change_type").isin("insert", "update_postimage"),
             lit(1L)).otherwise(lit(-1L)).as("__sign"),
           col(valueCol).as("__v"),
@@ -60,15 +61,45 @@ object AggView {
           // then summed in exact decimal — deterministic under any
           // partitioning, like d_value
           col(valueCol).cast("double").as("__vd")): _*)
+        .withColumn("__sq",
+          (col("__sign") * col("__vd") * col("__vd"))
+            .cast("decimal(38,10)"))
         .groupBy(groupCols.map(col): _*)
         .agg(sum(col("__sign")).as("d_count"),
           sumExact(col("__sign") * col("__v")).as("d_value"),
-          sumExact(col("__sign") * col("__vd") * col("__vd"))
-            .as("d_sumsq"))
-      if (GraftLog.txnAppend(deltas, view, AppId, v)) applied += 1
+          sum(col("__sq")).as("d_sumsq"),
+          // NON-NULL value count: avg/stddev/var divide by the count
+          // of non-null VALUES, not rows — d_count counts rows, so a
+          // nullable value column needs this as the rewrite's n
+          sum(col("__sign") *
+            when(col("__v").isNull, 0L).otherwise(1L)).as("d_vcount"),
+          // overflow sentinel: decimal(38,10) holds |x| < 1e28, so a
+          // |value| ≥ ~1e14 squares to a NULL cast under non-ANSI
+          // mode — indistinguishable from a NULL input after the Sum
+          // skips it, which would silently corrupt the served moment
+          max(col("__vd").isNotNull && col("__sq").isNull)
+            .as("__sq_of")))
+      val poisoned =
+        deltas.filter(col("__sq_of") === true).limit(1).count() > 0
+      if (GraftLog.txnAppend(deltas.drop("__sq_of"), view, AppId, v))
+        applied += 1
+      // poison AFTER the append (the view must exist); the rewrite
+      // checks this property and refuses the stddev/var decomposition
+      // — wrong-but-fast is never acceptable, and a dropped square is
+      // a wrong moment. avg/sum/count keep serving: d_value/d_count/
+      // d_vcount never overflow this way (the base Sum would overflow
+      // identically).
+      if (poisoned)
+        GraftLog.setProperties(spark, view,
+          Map(SumsqOverflowProp -> "true")): Unit
     }
     applied
   }
+
+  /** Set on a view whose delta log dropped at least one second-moment
+    * square to decimal overflow (|value| ≥ ~1e14): the stddev/var
+    * rewrite refuses such a view; everything else still serves. */
+  val SumsqOverflowProp = "graft.aggview.sumsqOverflow"
 
   def maintain(spark: SparkSession, src: String, view: String,
       key: String, groupCol: String, valueCol: String): Int =
@@ -400,14 +431,28 @@ object AggView {
                     .otherwise(lit(-1L)).as("__sign"),
                   col("value").as("__v"),
                   col("value").cast("double").as("__vd"))
+                .withColumn("__sq",
+                  (col("__sign") * col("__vd") * col("__vd"))
+                    .cast("decimal(38,10)"))
                 .groupBy(col("event_type"))
                 .agg(sum(col("__sign")).as("d_count"),
                   sumExact(col("__sign") * col("__v")).as("d_value"),
-                  sumExact(col("__sign") * col("__vd") * col("__vd"))
-                    .as("d_sumsq"))
+                  sum(col("__sq")).as("d_sumsq"),
+                  sum(col("__sign") * when(col("__v").isNull, 0L)
+                    .otherwise(1L)).as("d_vcount"),
+                  max(col("__vd").isNotNull && col("__sq").isNull)
+                    .as("__sq_of"))
+                .persist()
+              val poisoned = deltas.filter(col("__sq_of") === true)
+                .limit(1).count() > 0
               if (!deltas.isEmpty) {
-                GraftLog.txnAppend(deltas, vw, s"$AppId-stream", v); ()
+                GraftLog.txnAppend(deltas.drop("__sq_of"), vw,
+                  s"$AppId-stream", v); ()
               }
+              if (poisoned)
+                GraftLog.setProperties(spark, vw,
+                  Map(SumsqOverflowProp -> "true")): Unit
+              deltas.unpersist(); ()
             }
             ()
           }

@@ -148,15 +148,15 @@ object Pipeline {
       .transform(graft.CacheScope.tracked)
     val nSample = sampled.count()
 
-    // ---- stage 5: SEQUENCE PACK — per-language 512-token bins (g16)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    sampled
-      .withColumn("prefix_tokens",
-        sum(col("n_tokens")).over(w) - col("n_tokens"))
+    // ---- stage 5: SEQUENCE PACK — per-language 512-token bins (g16).
+    // Distributed prefix sum, NOT Window.partitionBy(lang): at 100 TB
+    // a corpus is ~half one language and the per-language window is a
+    // single ~50 TB task; PrefixSum range-partitions on (lang, doc_id)
+    // and runs the running sum partition-locally under broadcast
+    // offsets — identical answers, bounded tasks.
+    PrefixSum.runningSum(sampled, "lang", Seq(col("doc_id")),
+        "n_tokens", "endt")
+      .withColumn("prefix_tokens", col("endt") - col("n_tokens"))
       .withColumn("seq_id", expr("prefix_tokens DIV 512"))
       .groupBy(col("lang"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),

@@ -577,23 +577,22 @@ object TextAnalysis {
     * standard concat-and-wrap packing every pre-training loader runs;
     * see e.g. the T5 / GPT-NeoX input pipelines). A doc's sequence id is
     * `floor(prefix_tokens / budget)` — the running token count BEFORE
-    * the doc — so assignment is a window prefix-sum, not an iterative
-    * loop. Packing runs PER LANGUAGE SHARD (window partitioned by lang):
-    * the global-order form would funnel everything through one
-    * partition, and real loaders pack per shard/stream anyway — that
-    * shard-parallelism is the 100 TB shape. Emits one row per packed
-    * sequence with its fill statistics. */
+    * the doc — so assignment is a prefix-sum, not an iterative loop.
+    * Packing runs PER LANGUAGE, but NOT as a per-language window (a
+    * real corpus is ~half one language, so `Window.partitionBy(lang)`
+    * is one ~50 TB task at the 100 TB target): the running count comes
+    * from [[PrefixSum.runningSum]] — range-partition on
+    * (lang, doc_id), per-partition subtotals, broadcast offsets,
+    * partition-local windows — identical answers, bounded tasks.
+    * Emits one row per packed sequence with its fill statistics. */
   def sequencePack(spark: SparkSession, sfDir: String,
       budget: Int = 512): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Sources.testTable(spark, sfDir, "documents")
+    val toked = Sources.testTable(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
         size(Dedup.tokens(col("text"))).as("n_tokens"))
-      .withColumn("prefix_tokens",
-        sum(col("n_tokens")).over(w) - col("n_tokens"))
+    PrefixSum.runningSum(toked, "lang", Seq(col("doc_id")),
+        "n_tokens", "endt")
+      .withColumn("prefix_tokens", col("endt") - col("n_tokens"))
       // DIV, not cast(x/y): double-cast would round-vs-truncate drift
       // between engines (driver-gate decimal trap discipline)
       .withColumn("seq_id", expr(s"prefix_tokens DIV $budget"))
@@ -616,9 +615,11 @@ object TextAnalysis {
     * quality bar a fixed token budget implies — the number mixture
     * designers actually want).
     *
-    * Scale shape: one narrow codegen'd scoring projection + ONE window
-    * prefix-sum per language (single hash exchange) + a
-    * partial-combined aggregate — no joins; at 100 TB the selection is
+    * Scale shape: one narrow codegen'd scoring projection + a
+    * distributed running sum ([[PrefixSum.runningSum]] — range
+    * partition on (lang, quality desc, doc_id), broadcast offsets,
+    * partition-local windows; never a single task per language) + a
+    * partial-combined aggregate; at 100 TB the selection is
     * scan-bound exactly like the packer. */
   def tokenBudgetSelect(spark: SparkSession, sfDir: String,
       budget: Long = 10000L): DataFrame = {
@@ -643,13 +644,11 @@ object TextAnalysis {
         lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0), lit(0.0))
       round(lit(0.5) * stopR + lit(0.3) * lenSat + lit(0.2) * lenShape, 6)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(col("quality_score").desc, col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    scored.withColumn("quality_score", quality)
-      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+    val qscored = scored.withColumn("quality_score", quality)
+      .drop("sum_len", "cnt_en")
+    PrefixSum.runningSum(qscored, "lang",
+        Seq(col("quality_score").desc, col("doc_id").asc),
+        "n_tokens", "running_tokens")
       .withColumn("selected", col("running_tokens") <= budget)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_available"),
@@ -675,23 +674,22 @@ object TextAnalysis {
     * count, packed tokens (== budget except the final bin — the
     * zero-waste invariant the oracle pins), first/last doc.
     *
-    * Scale shape: one window prefix-sum per language (single hash
-    * exchange) + a narrow codegen'd explode whose fan-out is
-    * 1 + tokens/budget per doc — no joins, no second shuffle beyond
-    * the final partial-combined aggregate. At 100 TB the packer is
-    * scan-bound, exactly like the g16 form, while eliminating the
+    * Scale shape: a distributed running sum ([[PrefixSum.runningSum]]
+    * — range partition on (lang, doc_id), broadcast offsets,
+    * partition-local windows; never a single task per language) + a
+    * narrow codegen'd explode whose fan-out is 1 + tokens/budget per
+    * doc — no joins beyond the broadcast offsets, no second shuffle
+    * beyond the final partial-combined aggregate. At 100 TB the packer
+    * is scan-bound, exactly like the g16 form, while eliminating the
     * per-bin padding waste a whole-doc packer ships to the trainer. */
   def sequencePackSplit(spark: SparkSession, sfDir: String,
       budget: Int = 512): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
     val b = lit(budget.toLong)
-    Sources.testTable(spark, sfDir, "documents")
+    val toked = Sources.testTable(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
         size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("endt", sum(col("n_tokens")).over(w))
+    PrefixSum.runningSum(toked, "lang", Seq(col("doc_id")),
+        "n_tokens", "endt")
       .withColumn("start", col("endt") - col("n_tokens"))
       .withColumn("seq_id", explode(sequence(
         expr(s"start DIV $budget"), expr(s"(endt - 1) DIV $budget"))))

@@ -169,10 +169,15 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // per-group delta rows gives the identical answer (including NULL
     // semantics — a NULL-group row fails the predicate on both sides).
     // Any other reference means the rollup cannot answer it — refuse.
+    // It must also be DETERMINISTIC: a reference-free non-deterministic
+    // leaf (e.g. `g = 'x' AND rand() < 0.5`) passes the reference check
+    // vacuously but evaluates once per DELTA-LOG row instead of once
+    // per fact row — different semantics, refuse.
     _ <- {
       val gids = gs.map(_.exprId).toSet
-      if (filters.forall(_.references.forall(a =>
-        gids.contains(a.exprId)))) Some(()) else None
+      if (filters.forall(f => f.deterministic &&
+        f.references.forall(a => gids.contains(a.exprId))))
+        Some(()) else None
     }
     child <- deltaSource(d, src, asOf)
     rewritten <- build(agg, d, gs, child, filters)
@@ -212,12 +217,27 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .option("versionAsOf", vPin.get.toString).load(d.view)
     // d_sumsq is the second-moment column newer views maintain for the
     // stddev decomposition; older views lack it — select it only when
-    // present (build() refuses stddev rewrites without it)
-    val hasSq = viewRaw.schema.fieldNames.exists(_ == "d_sumsq")
+    // present (build() refuses stddev rewrites without it). A view
+    // whose maintenance ever dropped a square to decimal overflow
+    // (|value| ≥ ~1e14 → NULL cast, silently skipped by Sum) carries
+    // the poison property and its moment must not serve — read at the
+    // pinned snapshot so the check and the scan agree.
+    val poisoned = scala.util.Try(
+      GraftLog.properties(spark, d.view, vPin)
+        .get(graft.operators.AggView.SumsqOverflowProp)
+        .exists(_.equalsIgnoreCase("true"))).getOrElse(true)
+    val hasSq = !poisoned &&
+      viewRaw.schema.fieldNames.exists(_ == "d_sumsq")
+    // d_vcount is the NON-NULL value count newer views maintain:
+    // avg/stddev/var divide by the count of non-null values, and
+    // d_count counts rows — build() falls back to d_count only when
+    // the scanned value attribute is provably non-nullable
+    val hasV = viewRaw.schema.fieldNames.exists(_ == "d_vcount")
     val viewDf = viewRaw
       .select(d.groupCols.map(col) ++
         Seq(col("d_count"), col("d_value")) ++
-        (if (hasSq) Seq(col("d_sumsq")) else Nil): _*)
+        (if (hasSq) Seq(col("d_sumsq")) else Nil) ++
+        (if (hasV) Seq(col("d_vcount")) else Nil): _*)
     if (latest.exists(v => hw.contains(v)))
       Some(viewDf.queryExecution.analyzed)
     else if (d.compensate && d.key.nonEmpty && hw.isDefined &&
@@ -233,29 +253,43 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .isin("insert", "update_postimage"), lit(1L))
         .otherwise(lit(-1L))
       val vd = col(d.valueCol).cast("double")
+      // overflow in the TAIL is runtime data the plan-time poison
+      // property cannot see: fail loudly rather than silently drop
+      // the square (wrong-but-fast is never acceptable; an error is
+      // recoverable, a wrong moment is not)
+      val sq = (sign * vd * vd).cast("decimal(38,10)")
+      val sqSafe = when(vd.isNotNull && sq.isNull,
+        org.apache.spark.sql.functions.raise_error(lit(
+          "graft MV compensation: second-moment square overflows " +
+            "decimal(38,10); refresh the view instead"))).otherwise(sq)
       val tailDeltas = tail.select(d.groupCols.map(col) ++ Seq(
         sign.as("d_count"),
         (sign * col(d.valueCol)).cast("decimal(38,10)").as("d_value")) ++
-        (if (hasSq)
-          Seq((sign * vd * vd).cast("decimal(38,10)").as("d_sumsq"))
-        else Nil): _*)
+        (if (hasSq) Seq(sqSafe.as("d_sumsq")) else Nil) ++
+        (if (hasV) Seq(
+          (sign * when(col(d.valueCol).isNull, 0L).otherwise(1L))
+            .as("d_vcount")) else Nil): _*)
       Some(viewDf.unionByName(tailDeltas).queryExecution.analyzed)
     } catch { case scala.util.control.NonFatal(_) => None }
     else None
   }
 
   /** The exact-second-moment rewrite shared by stddev_samp and
-    * var_samp: (Σx² − (Σx)²/n) / (n−1), sqrt for stddev. n==0/1
+    * var_samp: (Σx² − (Σx)²/n) / (n−1), sqrt for stddev. `nCount` is
+    * the view's NON-NULL value count (`d_vcount`; `d_count` only for a
+    * provably non-nullable value column) — the base operators
+    * aggregate non-null rows only, so an all-NULL group serves NULL
+    * here exactly as the base plan would. n==0/1
     * mirrors the expressions' own divide-by-zero contract (NULL by
     * default, NaN under the legacy statistical-aggregate flag); the
     * tiny-negative clamp guards the float subtraction (Welford
     * guarantees m2 ≥ 0; the two-pass form can land at −1e−12). */
-  private def moment2(dCount: AttributeReference,
+  private def moment2(nCount: AttributeReference,
       dValue: AttributeReference, dSumsq: AttributeReference,
       nullOnDiv: Boolean, sqrtIt: Boolean): Expression = {
     def sumOf(a: AttributeReference): Expression =
       new Sum(a).toAggregateExpression()
-    val nD = Cast(sumOf(dCount), DoubleType)
+    val nD = Cast(sumOf(nCount), DoubleType)
     val svD = Cast(sumOf(dValue), DoubleType)
     val sqD = Cast(sumOf(dSumsq), DoubleType)
     val m2 = Subtract(sqD,
@@ -265,9 +299,9 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Greatest(Seq(m2, Literal(0.0d))),
       Subtract(nD, Literal(1.0d), EvalMode.LEGACY),
       EvalMode.LEGACY)
-    If(EqualTo(sumOf(dCount), Literal(0L)),
+    If(EqualTo(sumOf(nCount), Literal(0L)),
       Literal(null, DoubleType),
-      If(EqualTo(sumOf(dCount), Literal(1L)),
+      If(EqualTo(sumOf(nCount), Literal(1L)),
         if (nullOnDiv) Literal(null, DoubleType)
         else Literal(Double.NaN, DoubleType),
         if (sqrtIt) Sqrt(core) else core))
@@ -289,6 +323,18 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     (groupMap.size == gs.length, attr("d_count"), attr("d_value")) match {
       case (true, Some(dCount), Some(dValue)) =>
         val dSumsq = attr("d_sumsq")
+        val dVcount = attr("d_vcount")
+        // the n for avg/stddev/var: the base operators count NON-NULL
+        // value rows, d_count counts ALL rows. A d_vcount-bearing view
+        // serves any value column; without it, d_count is a sound n
+        // only when the scanned value attribute is provably
+        // non-nullable — otherwise refuse (a NULL-bearing column would
+        // silently shift the divisor).
+        def nFor(c: Expression): Option[AttributeReference] =
+          dVcount.orElse {
+            val a = c.collectFirst { case ar: AttributeReference => ar }
+            if (a.exists(!_.nullable)) Some(dCount) else None
+          }
         // the exact-decimal discipline: the decimal(38,10) cast must
         // wrap the value column DIRECTLY — no intermediate casts. A
         // nested cast (e.g. cast(cast(v AS INT) AS DECIMAL(38,10)))
@@ -330,10 +376,11 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               // cast to the result type): decimal arithmetic is exact
               // and the folded sums equal the base plan's accumulators
               // bit-for-bit, so the rewrite is invisible
-              case Average(c, _) if exactDecimalOfValue(c) =>
+              case Average(c, _)
+                  if exactDecimalOfValue(c) && nFor(c).isDefined =>
                 Cast(
                   Divide(sumOf(dValue),
-                    Cast(sumOf(dCount), DecimalType(20, 0)),
+                    Cast(sumOf(nFor(c).get), DecimalType(20, 0)),
                     EvalMode.LEGACY),
                   ae.dataType)
               // stddev_samp / var_samp via the exact second moment:
@@ -346,12 +393,12 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               // rationale applies to the final double math only.
               // Requires a d_sumsq-bearing view.
               case StddevSamp(c, nullOnDiv) if doubleOfValue(c) &&
-                  dSumsq.isDefined =>
-                moment2(dCount, dValue, dSumsq.get, nullOnDiv,
+                  dSumsq.isDefined && nFor(c).isDefined =>
+                moment2(nFor(c).get, dValue, dSumsq.get, nullOnDiv,
                   sqrtIt = true)
               case VarianceSamp(c, nullOnDiv) if doubleOfValue(c) &&
-                  dSumsq.isDefined =>
-                moment2(dCount, dValue, dSumsq.get, nullOnDiv,
+                  dSumsq.isDefined && nFor(c).isDefined =>
+                moment2(nFor(c).get, dValue, dSumsq.get, nullOnDiv,
                   sqrtIt = false)
               case _ => ok = false; ae
             }

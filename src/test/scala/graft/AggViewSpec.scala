@@ -555,4 +555,108 @@ class AggViewSpec extends AnyFunSuite {
     assert(withPre.get("update_preimage").contains(6L) &&
       withPre.get("update_postimage").contains(6L), s"preimages: $withPre")
   }
+
+  test("NULL-bearing value column: avg/stddev/var divide by d_vcount") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/null_src", s"$root/null_view")
+    // v NULL on every 5th row, plus a group whose values are ALL NULL —
+    // the base operators aggregate non-null rows only, so the rewrite's
+    // divisor must be the maintained non-null count, never d_count
+    val base = srcDf(0 until 100)
+      .withColumn("v", when(col("id") % 5 === 0, lit(null)
+        .cast("double")).otherwise(col("v")))
+    val allNull = (100L until 105L).map(i => (i, "gn")).toSeq
+      .toDF("id", "g").withColumn("v", lit(null).cast("double"))
+    GraftLog.overwrite(base.unionByName(allNull), src)             // v0
+    GraftLog.append(srcDf(200 until 230)
+      .withColumn("v", when(col("id") % 7 === 0, lit(null)
+        .cast("double")).otherwise(col("v"))), src)                // v1
+    GraftLog.delete(spark, src, col("id") % 10 === 3)              // v2
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v").cast("decimal(38,10)")).cast("double"), 6)
+          .as("a"),
+        round(stddev_samp(col("v")), 6).as("s"),
+        round(var_samp(col("v")), 6).as("vv"))
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    // expected = the base plan, collected BEFORE registration
+    val expect = toMap(shape(spark.read.format("graft").load(src))
+      .collect())
+    assert(expect("gn")._2.isEmpty && expect("gn")._3.isEmpty,
+      s"all-NULL group must answer NULL in the base plan: $expect")
+    AggView.registerForRewrite(src, view, "g", "v")
+    try {
+      val q = shape(spark.read.format("graft").load(src))
+      assert(scansPath(q, view) && !scansPath(q, src),
+        "a d_vcount-bearing view serves a nullable value column")
+      val got = toMap(q.collect())
+      assert(got == expect,
+        s"NULL-safe rewrite must equal the base plan: $got vs $expect")
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
+  test("non-deterministic scan filters refuse the rewrite") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/nd_src", s"$root/nd_view")
+    GraftLog.overwrite(srcDf(0 until 100), src)                    // v0
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    AggView.registerForRewrite(src, view, "g", "v")
+    try {
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      // rand() references no columns, so the group-column reference
+      // check passes vacuously — but the predicate would evaluate once
+      // per DELTA-LOG row instead of once per fact row: refuse
+      val nd = agg(spark.read.format("graft").load(src)
+        .filter(col("g") === "g1" && rand() < 2.0))
+      assert(scansPath(nd, src) && !scansPath(nd, view),
+        "non-deterministic filter must keep the base plan")
+      // the deterministic twin still rewrites
+      val det = agg(spark.read.format("graft").load(src)
+        .filter(col("g") === "g1"))
+      assert(scansPath(det, view) && !scansPath(det, src))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
+  test("second-moment overflow poisons stddev/var; sum/count/avg serve") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/of_src", s"$root/of_view")
+    // |v| = 1e15 squares to 1e30 > decimal(38,10)'s 1e28 bound: the
+    // per-row cast NULLs under non-ANSI mode and Sum would silently
+    // skip it — maintenance must detect and poison the view instead
+    val big = srcDf(0 until 60).withColumn("v",
+      when(col("id") % 13 === 0, lit(1.0e15)).otherwise(col("v")))
+    GraftLog.overwrite(big, src)                                   // v0
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    assert(GraftLog.properties(spark, view)
+      .get(AggView.SumsqOverflowProp).contains("true"),
+      "maintenance must stamp the overflow poison property")
+    AggView.registerForRewrite(src, view, "g", "v")
+    try {
+      val sd = spark.read.format("graft").load(src).groupBy(col("g"))
+        .agg(round(stddev_samp(col("v")), 6).as("s"))
+      assert(scansPath(sd, src) && !scansPath(sd, view),
+        "a poisoned view must never serve the second moment")
+      // first-moment aggregates are unaffected by the dropped square
+      val ok = spark.read.format("graft").load(src).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v").cast("decimal(38,10)")).cast("double"), 6)
+            .as("a"))
+      assert(scansPath(ok, view) && !scansPath(ok, src),
+        "count/avg still serve from a sumsq-poisoned view")
+      val expect = GraftLog.read(spark, src).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v").cast("decimal(38,10)")).cast("double"), 6)
+            .as("a"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      val got = ok.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2))).toSet
+      assert(got == expect, s"$got vs $expect")
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
 }

@@ -56,6 +56,33 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------- packer scale-shape plan pin
+
+  test("packers run the distributed prefix sum, never a per-group window") {
+    CacheScope.withScope {
+      val dfs = Seq(
+        "g16" -> graft.operators.TextAnalysis
+          .sequencePack(spark, TestSpark.sf),
+        "g23" -> graft.operators.TextAnalysis
+          .sequencePackSplit(spark, TestSpark.sf),
+        "g24" -> graft.operators.TextAnalysis
+          .tokenBudgetSelect(spark, TestSpark.sf))
+      dfs.foreach { case (name, df) =>
+        val bad = TestSpark.unboundedGroupWindows(df)
+        assert(bad.isEmpty,
+          s"$name funnels each group through one window task on: $bad")
+        // the distributed form IS present: a running-sum window keyed by
+        // (partition id, group) — bounded by the range-partition size
+        val twoKey = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.size >= 2 => w
+        }
+        assert(twoKey.nonEmpty,
+          s"$name lost its partition-local running-sum window")
+      }
+    }
+  }
+
   // ------------------------------------------------------------- j8 cube
 
   test("cube = rollup + nation-only supergroups; grand total matches j1") {

@@ -12,6 +12,23 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Scale-killer detector for the packing family: logical Window
+    * nodes whose partition spec is a SINGLE expression run one task
+    * per group value (one ~50 TB task for the majority language at the
+    * 100 TB target). Exempt: a window whose subtree contains an
+    * Aggregate — that is the tiny per-(partition, group) offsets frame
+    * of the distributed prefix sum (≤ partitions × groups rows), not
+    * corpus data. */
+  def unboundedGroupWindows(df: org.apache.spark.sql.DataFrame)
+      : Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.size < 2 && !w.child.exists(
+            _.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Aggregate]) =>
+        w.partitionSpec.map(_.sql).mkString(",")
+    }
 }
 
 class MedallionSpec extends AnyFunSuite {

@@ -40,6 +40,15 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stage 5 packs via the distributed prefix sum, no per-lang window") {
+    CacheScope.withScope {
+      val out = Pipeline.trainingDataPipeline(spark, sf)
+      val bad = TestSpark.unboundedGroupWindows(out)
+      assert(bad.isEmpty,
+        s"e22 stage 5 funnels each language through one task on: $bad")
+    }
+  }
+
   test("stage seams are persisted: no stage recomputes a prior frame") {
     CacheScope.withScope {
       val out = Pipeline.trainingDataPipeline(spark, sf)
