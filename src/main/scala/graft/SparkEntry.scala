@@ -515,6 +515,13 @@ object SparkEntry {
     // row-level WHERE keeps the base plan — both decisions pinned
     "d32_mv_filtered_rewrite" ->
       ((s, d) => AggView.aggViewFilteredRewrite(s, d)),
+    // non-group-column WHERE served by a FINER view: the (event_type,
+    // ub) rollup answers `WHERE ub = 2 GROUP BY event_type` by
+    // bucket-exact filter + re-aggregation, the unfiltered rollup by
+    // subset re-aggregation, and a column outside the maintained
+    // granularity still refuses — all three plan decisions pinned
+    "d33_mv_subset_filter" ->
+      ((s, d) => AggView.aggViewSubsetFilterRewrite(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1725,6 +1732,19 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
         |    AS total_value, TRUE AS used_view, TRUE AS row_fell_back
         |FROM final WHERE event_type IN ('click', 'view')
+        |GROUP BY 1""".stripMargin,
+    // d33: the (event_type, ub) view answers the ub-filtered dashboard
+    // query over the post-lifecycle state (v0 overwrite, v1 append,
+    // v2 delete); the three plan pins land as literal booleans
+    "d33_mv_subset_filter" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type, user_id % 4 AS ub, value
+        |  FROM events WHERE event_id % 7 <> 0)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value, TRUE AS used_view, TRUE AS rollup_used_view,
+        |  TRUE AS row_fell_back
+        |FROM final WHERE ub = 2
         |GROUP BY 1""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,

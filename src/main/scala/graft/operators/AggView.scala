@@ -390,6 +390,63 @@ object AggView {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  /** d33 — NON-GROUP-COLUMN WHERE served by a finer view: the round-13
+    * boundary (a WHERE on a column outside the query's GROUP BY
+    * refused) closed the production way — maintain the view at
+    * (group, filter-column) granularity and let the rewrite
+    * RE-AGGREGATE. Three plan decisions pinned: (1) `WHERE ub = 2
+    * GROUP BY event_type` serves from the (event_type, ub) view — the
+    * filter column is answered bucket-exactly, the coarser grouping by
+    * folding buckets; (2) the unfiltered `GROUP BY event_type` rollup
+    * serves from the SAME view (subset re-aggregation — one maintained
+    * view answers the whole dashboard family); (3) a WHERE on a column
+    * the view does not bucket (value) still refuses — the boundary
+    * moved to exactly where the maintained granularity ends. At 100 TB
+    * one (group, filter)-bucketed view of size O(groups × buckets)
+    * replaces a full fact scan for every filtered dashboard variant. */
+  def aggViewSubsetFilterRewrite(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvsub_")
+    val (src, view) = (s"$root/src", s"$root/view")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        pmod(col("user_id"), lit(4L)).as("ub"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    GraftLog.delete(spark, src, col("event_id") % 7 === 0)        // v2
+    maintainCols(spark, src, view, "event_id",
+      Seq("event_type", "ub"), "value")
+    registerForRewriteCols(src, view, Seq("event_type", "ub"), "value")
+    try {
+      def scans(df: DataFrame, path: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == path)
+          case _ => false
+        }
+      def agg(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sumExact(col("value")).cast("double"), 6)
+            .as("total_value"))
+      // the dashboard shape: filter on ub (NOT in the query grouping)
+      val q = agg(spark.read.format("graft").load(src)
+        .filter(col("ub") === 2))
+      val usedView = scans(q, view) && !scans(q, src)
+      // the same view serves the coarser unfiltered rollup
+      val roll = agg(spark.read.format("graft").load(src))
+      val rollupUsedView = scans(roll, view) && !scans(roll, src)
+      // a column the view does not bucket still refuses
+      val rowQ = agg(spark.read.format("graft").load(src)
+        .filter(col("value") > 0))
+      val rowFellBack = scans(rowQ, src) && !scans(rowQ, view)
+      q.withColumn("used_view", lit(usedView))
+        .withColumn("rollup_used_view", lit(rollupUsedView))
+        .withColumn("row_fell_back", lit(rowFellBack))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   private val stagedStream =
     new scala.collection.concurrent.TrieMap[String, (String, Boolean)]
 

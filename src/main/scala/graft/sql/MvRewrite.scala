@@ -30,12 +30,17 @@ import graft.sources.{GraftFileIndex, GraftLog}
   *     source's latest commit version (one small-JSON read each). A
   *     stale view silently falls back to the base-table plan — a
   *     wrong-but-fast answer is never acceptable;
-  *   - scan-side WHERE predicates reference GROUP columns only (they
-  *     select whole groups, so the view's per-group rows answer them
-  *     identically — carried onto the view scan attribute-substituted;
-  *     any other column refuses: the rollup cannot answer it);
+  *   - scan-side WHERE predicates reference VIEW group columns only
+  *     (they select whole view-granularity buckets, so the per-bucket
+  *     rows answer them identically — carried onto the view scan
+  *     attribute-substituted; the filter column need not appear in the
+  *     query's own GROUP BY when the view is maintained at
+  *     (group, filter-column) granularity; any other column refuses:
+  *     the rollup cannot answer it);
   *   - the aggregate decomposes over the view's delta log: grouping on
-  *     exactly the view's group column, aggregates limited to
+  *     a SUBSET of the view's group columns (a strict subset
+  *     re-aggregates the finer buckets — every served aggregate folds
+  *     additively over delta rows), aggregates limited to
   *     `count(1)` (→ `sum(d_count)`), the exact-decimal
   *     `sum(cast(value as decimal(38,10)))` (→ `sum(d_value)`), its
   *     `avg` twin (→ Average's own sum/count divide over the folded
@@ -154,29 +159,43 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     (src, asOf, filters) <- scannedGraftPath(agg.child)
     d <- MvRegistry.lookup(src)
-    // grouping: exactly the view's group columns (any order)
+    // grouping: a SUBSET of the view's group columns (any order). An
+    // exact match reads the view's granularity verbatim; a strict
+    // subset RE-AGGREGATES the finer per-(view-group) delta rows —
+    // sound because every served aggregate (count/sum/avg and the
+    // moments) decomposes additively over delta rows however finely
+    // they are bucketed. This is what lets a (group, filter-column)
+    // view answer both the rollup query and the filtered dashboard
+    // query below.
     gs <- {
       val attrs = agg.groupingExpressions.collect {
         case a: AttributeReference => a }
-      if (attrs.length == agg.groupingExpressions.length &&
-          attrs.length == d.groupCols.length &&
-          d.groupCols.forall(c =>
-            attrs.exists(_.name.equalsIgnoreCase(c))))
+      // nonEmpty: a GLOBAL aggregate always returns one row even over
+      // an empty table, but the rewritten plan's liveness filter
+      // (sum(d_count) > 0) would drop it after a full delete — refuse
+      if (attrs.nonEmpty &&
+          attrs.length == agg.groupingExpressions.length &&
+          attrs.map(_.name.toLowerCase).distinct.length == attrs.length &&
+          attrs.forall(a =>
+            d.groupCols.exists(_.equalsIgnoreCase(a.name))))
         Some(attrs) else None
     }
-    // every scan-side filter must reference group columns ONLY: such a
-    // predicate selects whole groups, so evaluating it on the view's
-    // per-group delta rows gives the identical answer (including NULL
-    // semantics — a NULL-group row fails the predicate on both sides).
-    // Any other reference means the rollup cannot answer it — refuse.
+    // every scan-side filter must reference VIEW group columns ONLY:
+    // such a predicate selects whole view-granularity buckets, so
+    // evaluating it on the per-bucket delta rows gives the identical
+    // answer (including NULL semantics — a NULL-bucket row fails the
+    // predicate on both sides). The filter column need NOT appear in
+    // the query's own GROUP BY — the dashboard shape `WHERE f = 'x'
+    // GROUP BY g` serves from a (g, f) view. Any other reference means
+    // the rollup cannot answer it — refuse.
     // It must also be DETERMINISTIC: a reference-free non-deterministic
     // leaf (e.g. `g = 'x' AND rand() < 0.5`) passes the reference check
     // vacuously but evaluates once per DELTA-LOG row instead of once
     // per fact row — different semantics, refuse.
     _ <- {
-      val gids = gs.map(_.exprId).toSet
       if (filters.forall(f => f.deterministic &&
-        f.references.forall(a => gids.contains(a.exprId))))
+        f.references.forall(a =>
+          d.groupCols.exists(_.equalsIgnoreCase(a.name)))))
         Some(()) else None
     }
     child <- deltaSource(d, src, asOf)
@@ -414,15 +433,30 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => ok = false
               agg.aggregateExpressions.head // unused: ok=false bails
           }
-        if (!ok) None
+        // filters may reference view group columns the QUERY does not
+        // group by (the `WHERE f = 'x' GROUP BY g` dashboard shape) —
+        // resolve those by name into the view; a reference that
+        // resolves to neither refuses the rewrite
+        val filterMap: Map[
+          org.apache.spark.sql.catalyst.expressions.ExprId,
+          AttributeReference] =
+          scanFilters.flatMap(_.references).filterNot(a =>
+            groupMap.contains(a.exprId)).flatMap(a =>
+              attr(a.name).map(v => a.exprId -> v)).toMap
+        val filterRefsOk = scanFilters.flatMap(_.references).forall(a =>
+          groupMap.contains(a.exprId) || filterMap.contains(a.exprId))
+        if (!ok || !filterRefsOk) None
         else {
-          // group-column scan filters carry over onto the view's rows
-          // (attribute-substituted) — a whole-group predicate selects
-          // the same groups from per-group delta rows as from fact rows
+          // view-group-column scan filters carry over onto the view's
+          // rows (attribute-substituted) — a whole-bucket predicate
+          // selects the same rows from per-bucket delta rows as the
+          // original selects fact rows
           val filteredView = scanFilters.foldLeft(viewPlan) { (p, f) =>
             Filter(f.transform {
               case a: AttributeReference if groupMap.contains(a.exprId) =>
                 groupMap(a.exprId)
+              case a: AttributeReference if filterMap.contains(a.exprId) =>
+                filterMap(a.exprId)
             }, p)
           }
           // hidden liveness count: delta-log groups whose running count

@@ -659,4 +659,51 @@ class AggViewSpec extends AnyFunSuite {
       assert(got == expect, s"$got vs $expect")
     } finally graft.sql.MvRegistry.unregister(src)
   }
+
+  test("subset grouping re-aggregates the finer view; global agg refuses") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/sub_src", s"$root/sub_view")
+    val data = srcDf(0 until 200)
+      .withColumn("b", col("id") % 3)
+    GraftLog.overwrite(data, src)                                  // v0
+    GraftLog.delete(spark, src, col("id") % 10 === 4)              // v1
+    AggView.maintainCols(spark, src, view, "id", Seq("g", "b"), "v")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.Deterministic.sumExact(col("v"))
+          .cast("double"), 6).as("t"),
+        round(avg(col("v").cast("decimal(38,10)")).cast("double"), 6)
+          .as("a"),
+        round(stddev_samp(col("v")), 6).as("s"))
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val expectFiltered = toMap(shape(spark.read.format("graft")
+      .load(src).filter(col("b") === 1)).collect())
+    val expectRollup = toMap(shape(spark.read.format("graft")
+      .load(src)).collect())
+    AggView.registerForRewriteCols(src, view, Seq("g", "b"), "v")
+    try {
+      // WHERE on the bucket column, GROUP BY the coarser key: served
+      // by bucket-exact filtering + re-aggregation over the view
+      val q = shape(spark.read.format("graft").load(src)
+        .filter(col("b") === 1))
+      assert(scansPath(q, view) && !scansPath(q, src),
+        "bucket-filtered subset grouping must serve from the view")
+      assert(toMap(q.collect()) == expectFiltered)
+      // the unfiltered coarser rollup re-aggregates the same view —
+      // count/sum/avg AND the second moment fold over finer buckets
+      val roll = shape(spark.read.format("graft").load(src))
+      assert(scansPath(roll, view) && !scansPath(roll, src),
+        "subset re-aggregation must serve from the view")
+      assert(toMap(roll.collect()) == expectRollup)
+      // a GLOBAL aggregate refuses: after a full delete the liveness
+      // filter would drop the one row a base global agg still returns
+      val glob = spark.read.format("graft").load(src)
+        .agg(count(lit(1)).as("n"))
+      assert(scansPath(glob, src) && !scansPath(glob, view),
+        "global aggregates must keep the base plan")
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
 }
