@@ -5,17 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.{GraftLog, Sources, Staging}
 
-/** e22 — the TRAINING-DATA PIPELINE composed end-to-end across the lake
-  * and LLM tiers, the staged run SURVEY §0's "training-data pipeline"
-  * describes: INGEST (three commits into a graft bronze table) → EXACT
-  * DEDUP (digest shuffle, first-occurrence winner) → NEAR-DUP (MinHash
-  * 64-perm / 16-band LSH candidates, signature-estimate verify, drop
-  * the younger of each pair) → QUALITY GATE (the g2/g20 score) →
-  * MIXTURE SAMPLE (per-language content-hash permille, g15) → SEQUENCE
-  * PACK (per-language greedy 512-token bins, g16). Every stage is
-  * individually oracle-checked elsewhere (d-queries, e1, e3/e20, g2,
-  * g15, g16); this query pins their COMPOSITION, with each stage's
-  * surviving row count carried as an audit column — the per-stage
+/** e22/e23 — the TRAINING-DATA PIPELINE composed end-to-end across the
+  * lake and LLM tiers, the staged run SURVEY §0's "training-data
+  * pipeline" describes: INGEST (three commits into a graft bronze
+  * table) → EXACT DEDUP (digest shuffle, first-occurrence winner) →
+  * NEAR-DUP (MinHash 64-perm / 16-band LSH candidates,
+  * signature-estimate verify, drop the younger of each pair) → QUALITY
+  * GATE (the g2/g20 score) → MIXTURE SAMPLE (per-language content-hash
+  * permille, g15) → SEQUENCE PACK (per-language 512-token bins, g16,
+  * via the distributed prefix sum). Every stage is individually
+  * oracle-checked elsewhere (d-queries, e1, e3/e20, g2, g15, g16);
+  * e22 pins their COMPOSITION as one batch, e23 pins the SAME
+  * composition run INCREMENTALLY over arriving commits — each stage's
+  * surviving row count carried as an audit column, the per-stage
   * accounting a production curation run reports.
   *
   * The corpus is the documents table plus two deterministic injected
@@ -30,22 +32,96 @@ import graft.sources.{GraftLog, Sources, Staging}
   * sides + verification) — so every seam is persisted via CacheScope
   * (released when the query's scope drains). Stage costs: exact dedup
   * shuffles 32-byte digests; LSH candidates come from an equi-join on
-  * raw signature slices (never all-pairs) with verification confined to
-  * candidate pairs; the quality/mixture gates are one codegen'd
-  * projection each (zero exchanges); the pack is one hash exchange on
-  * lang + a per-partition running sum. Reference anchor: the medallion
-  * chain (`mage_demo/custom/financial_dl_etl.py`) runs bronze→silver→
-  * gold the same way — this is that shape for LLM data curation. */
+  * band keys (never all-pairs) with verification confined to candidate
+  * pairs; the quality/mixture gates are one codegen'd projection each
+  * (zero exchanges); the pack is the PrefixSum distributed running sum
+  * (range partition + broadcast offsets — no per-language task).
+  * Reference anchor: the medallion chain
+  * (`mage_demo/custom/financial_dl_etl.py`) runs bronze→silver→gold
+  * the same way — this is that shape for LLM data curation. */
 object Pipeline {
 
-  def trainingDataPipeline(spark: SparkSession, sfDir: String)
-      : DataFrame = {
-    val root = Staging.scratchDir("graft_pipe_")
-    val bronze = s"$root/bronze"
+  private val Bands = 16
+  private val Rows = 4
+
+  /** MinHash signatures over the 3-token shingles of `docs` — one
+    * (doc_id, sig) row per doc with ≥ 3 tokens. */
+  private def minhashSigs(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    .filter(size(col("toks")) >= 3)
+    .select(col("doc_id"), graft.functions.SketchExpressions
+      .shingle_minhash(col("toks"), 3, Bands * Rows).as("sig"))
+
+  /** One row per (doc, band): `bk` is the band id plus its signature
+    * slice joined injectively — band equality as ONE equi-join key, so
+    * a persisted band index and an in-flight batch join identically. */
+  private def bandFrame(sigs: DataFrame): DataFrame = sigs
+    .select(col("doc_id"), explode(array((0 until Bands).map { b =>
+      concat_ws(":", (lit(b) +: (0 until Rows).map(r =>
+        col("sig").getItem(b * Rows + r))): _*)
+    }: _*)).as("bk"))
+
+  /** Verified near-dup drops among `cand` (doc_a < doc_b) pairs:
+    * signature-estimated Jaccard ≥ 0.5 drops the LARGER id
+    * (first-occurrence keeps, the e3/e20 discipline). */
+  private def verifiedDrops(cand: DataFrame, allSigs: DataFrame)
+      : DataFrame = cand
+    .join(allSigs.select(col("doc_id").as("doc_a"),
+      col("sig").as("sig_a")), Seq("doc_a"))
+    .join(allSigs.select(col("doc_id").as("doc_b"),
+      col("sig").as("sig_b")), Seq("doc_b"))
+    .withColumn("est", aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (a, v) => a + v).cast("double") / lit(Bands * Rows * 1.0))
+    .filter(col("est") >= 0.5)
+    .select(col("doc_b").as("doc_id")).distinct()
+
+  /** The g20 quality score as one codegen'd projection: keeps
+    * (doc_id, lang, text, n_tokens, quality_score). */
+  private def scoreQuality(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"), col("lang"), col("text"),
+      split(lower(col("text")), " ").as("toks"))
+    val cntEn = size(filter(col("toks"),
+      t => TextAnalysis.markers("en").map(t === lit(_)).reduce(_ || _)))
+    val scored = toked.select(col("doc_id"), col("lang"), col("text"),
+      size(col("toks")).as("n_tokens"),
+      aggregate(transform(col("toks"), t => length(t)),
+        lit(0), (a, x) => a + x).as("sum_len"),
+      cntEn.as("cnt_en"))
+    val stopR = col("cnt_en").cast("double") /
+      col("n_tokens").cast("double")
+    val lenSat =
+      least(col("n_tokens").cast("double") / lit(100.0), lit(1.0))
+    val avgLen = col("sum_len").cast("double") /
+      col("n_tokens").cast("double")
+    val lenShape = greatest(
+      lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0), lit(0.0))
+    scored.withColumn("quality_score",
+        round(lit(0.5) * stopR + lit(0.3) * lenSat +
+          lit(0.2) * lenShape, 6))
+      .drop("sum_len", "cnt_en")
+  }
+
+  /** g15 mixture sample: per-language content-hash permille —
+    * deterministic, engine-portable, no rand(). Keeps
+    * (doc_id, lang, n_tokens). */
+  private def mixtureSample(qualKept: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val permille = TextAnalysis.mixturePermille.foldLeft(lit(0)) {
+      case (acc, (l, p)) => when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    qualKept.filter(bucket < permille)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
+  /** Stage the e22/e23 bronze table: the corpus plus the two injected
+    * twin waves, three commits (v0 overwrite, v1/v2 appends). */
+  private def stageBronze(spark: SparkSession, sfDir: String,
+      bronze: String): Unit = {
     val base = Sources.testTable(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-
-    // ---- stage 0: INGEST — three commits into the bronze lake table
     GraftLog.overwrite(base, bronze)                               // v0
     GraftLog.append(base.filter(col("doc_id") % 9 === 0)
       .withColumn("doc_id", col("doc_id") + 10000L), bronze)       // v1
@@ -54,6 +130,15 @@ object Pipeline {
       .withColumn("text",
         concat(col("text"), lit(" pipeline near twin suffix"))),
       bronze)                                                      // v2
+  }
+
+  def trainingDataPipeline(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = Staging.scratchDir("graft_pipe_")
+    val bronze = s"$root/bronze"
+    stageBronze(spark, sfDir, bronze)
+
+    // ---- stage 0: INGEST
     val ingested = spark.read.format("graft").load(bronze)
       .transform(graft.CacheScope.tracked)
     val nIngested = ingested.count()
@@ -70,81 +155,29 @@ object Pipeline {
 
     // ---- stage 2: NEAR-DUP — MinHash LSH over the exact survivors
     // (filter-before-near-dup: why sketch rows stage 1 discards?).
-    // Candidates by band-slice equi-join, sig-estimate verify >= 0.5,
-    // drop the LARGER doc_id of each verified pair (first-occurrence
-    // keeps, the e3/e20 discipline).
-    val (bands, rows) = (16, 4)
-    val sigs = exactKept
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), graft.functions.SketchExpressions
-        .shingle_minhash(col("toks"), 3, bands * rows).as("sig"))
+    // Candidates by band-key equi-join, sig-estimate verify >= 0.5,
+    // drop the LARGER doc_id of each verified pair.
+    val sigs = minhashSigs(exactKept)
       .transform(graft.CacheScope.tracked)
-    val keyCols = "band" +: (0 until rows).map(r => s"s$r")
-    val banded = sigs.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct((lit(b).as("band") +: (0 until rows).map(r =>
-          col("sig").getItem(b * rows + r).as(s"s$r"))): _*)
-      }: _*)).as("bk"))
-      .select(col("doc_id") +: keyCols.map(c => col(s"bk.$c")): _*)
-    val bandEq = keyCols.map(c => col(s"x.$c") === col(s"y.$c"))
-      .reduce(_ && _)
+    val banded = bandFrame(sigs)
     val cand = banded.as("x").join(banded.as("y"),
-        bandEq && col("x.doc_id") < col("y.doc_id"))
+        col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val est = cand
-      .join(sigs.select(col("doc_id").as("doc_a"),
-        col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b")), Seq("doc_b"))
-      .withColumn("est", aggregate(
-        zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (a, v) => a + v).cast("double") / lit(64.0))
-    val drops = est.filter(col("est") >= 0.5)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val drops = verifiedDrops(cand, sigs)
     val nearKept = exactKept.join(drops, Seq("doc_id"), "left_anti")
       .transform(graft.CacheScope.tracked)
     val nNear = nearKept.count()
 
-    // ---- stage 3: QUALITY GATE — the g20 score (stopword ratio +
-    // length saturation + token-shape), one codegen'd projection
-    val toked = nearKept.select(col("doc_id"), col("lang"),
-      col("source"), col("text"),
-      split(lower(col("text")), " ").as("toks"))
-    val cntEn = size(filter(col("toks"),
-      t => TextAnalysis.markers("en").map(t === lit(_)).reduce(_ || _)))
-    val scored = toked.select(col("doc_id"), col("lang"), col("source"),
-      col("text"), size(col("toks")).as("n_tokens"),
-      aggregate(transform(col("toks"), t => length(t)),
-        lit(0), (a, x) => a + x).as("sum_len"),
-      cntEn.as("cnt_en"))
-    val quality = {
-      val stopR = col("cnt_en").cast("double") /
-        col("n_tokens").cast("double")
-      val lenSat =
-        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0))
-      val avgLen = col("sum_len").cast("double") /
-        col("n_tokens").cast("double")
-      val lenShape = greatest(
-        lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0), lit(0.0))
-      round(lit(0.5) * stopR + lit(0.3) * lenSat + lit(0.2) * lenShape, 6)
-    }
-    val qualKept = scored.withColumn("quality_score", quality)
+    // ---- stage 3: QUALITY GATE (g20 score, one codegen'd projection)
+    val qualKept = scoreQuality(nearKept)
       .filter(col("quality_score") >= 0.4)
       .transform(graft.CacheScope.tracked)
     val nQuality = qualKept.count()
 
-    // ---- stage 4: MIXTURE SAMPLE — per-language content-hash
-    // permille (g15): deterministic, engine-portable, no rand()
-    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
-      .cast("long") % 1000
-    val permille = TextAnalysis.mixturePermille.foldLeft(lit(0)) {
-      case (acc, (l, p)) => when(col("lang") === l, lit(p)).otherwise(acc)
-    }
-    val sampled = qualKept.filter(bucket < permille)
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    // ---- stage 4: MIXTURE SAMPLE (g15 permille)
+    val sampled = mixtureSample(qualKept)
       .transform(graft.CacheScope.tracked)
     val nSample = sampled.count()
 
@@ -168,5 +201,185 @@ object Pipeline {
       .withColumn("n_after_neardup", lit(nNear))
       .withColumn("n_after_quality", lit(nQuality))
       .withColumn("n_after_sample", lit(nSample))
+  }
+
+  /** e23 — the INCREMENTAL composition: the same six stages advanced
+    * per arriving bronze commit wave, so curation cost per refresh is
+    * bounded by the NEW documents, never the corpus. The reference's
+    * incremental scratchpad (`scratchpads/increamental_dataload.py`)
+    * is this micro-batch pattern; at LLM scale the composition needs
+    * per-stage STATE, each a transactional graft table advanced by a
+    * ledger-stamped commit keyed by the bronze high-water it absorbed
+    * (the AggView/i30 exactly-once discipline — a replayed wave is a
+    * per-table ledger no-op):
+    *
+    *   - `st_digest` (h): every kept digest — the e18-style exact-dedup
+    *     state a new batch anti-joins (at 100 TB: a digest shuffle of
+    *     the BATCH probing a hash-partitioned state, never a rescan);
+    *   - `st_sig` (doc_id, sig) + `st_band` (doc_id, bk): the e20/i30
+    *     LSH band index over ALL exact survivors — including near-dup
+    *     DROPPED docs, deliberately: batch semantics drop any doc
+    *     paired with ANY earlier survivor, so the probe side must see
+    *     exactly the batch run's pair universe (state∪batch candidates
+    *     = the batch run's pairs restricted to this wave's doc_b side);
+    *   - `st_lang` (lang, d_tokens): per-language packed-token deltas —
+    *     the packer's running offset continues from their fold, so a
+    *     wave appends to the last OPEN sequence per language (partial
+    *     bins re-aggregate: n_docs/seq_tokens sum, first/last min/max);
+    *   - `st_pack`: the partial bins; `st_audit`: one per-stage count
+    *     row per wave (committed LAST — the wave's high-water advances
+    *     only after every state table landed).
+    *
+    * Quality and mixture are stateless projections (their verdict
+    * depends only on the doc), so incremental = batch for free. The
+    * two-wave result must equal [[trainingDataPipeline]] on the union
+    * corpus BIT-FOR-BIT — same oracle, `n_batches`/`replay_noop`
+    * pinned on top. Monotone doc_ids across waves make min-id
+    * first-occurrence winners order-stable, exactly the property a
+    * production ingest with monotone ingest keys has. */
+  def trainingDataPipelineIncremental(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = Staging.scratchDir("graft_pipei_")
+    val bronze = s"$root/bronze"
+    stageBronze(spark, sfDir, bronze)
+    val (stDigest, stSig, stBand) =
+      (s"$root/st_digest", s"$root/st_sig", s"$root/st_band")
+    val (stLang, stPack, stAudit) =
+      (s"$root/st_lang", s"$root/st_pack", s"$root/st_audit")
+    val appId = "graft-pipeline-incr"
+
+    def stateOr(path: String, empty: => DataFrame): DataFrame =
+      if (GraftLog.versions(spark, path).nonEmpty)
+        GraftLog.read(spark, path) else empty
+
+    // advance the pipeline over bronze versions (high-water, target];
+    // returns 0 when the target is already absorbed (the replay pin)
+    def processUpTo(target: Long): Int = {
+      val from = GraftLog.lastCommittedBatch(spark, stAudit, appId)
+        .getOrElse(-1L)
+      val vs = GraftLog.versions(spark, bronze)
+        .filter(v => v > from && v <= target)
+      if (vs.isEmpty) return 0
+      val newDocs = vs.map(v =>
+          GraftLog.changesAt(spark, bronze, Seq("doc_id"), v)
+            .filter(col("_change_type") === "insert")
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("text")))
+        .reduce(_ unionByName _)
+        .transform(graft.CacheScope.tracked)
+      val nIn = newDocs.count()
+
+      // exact dedup: min-id winner WITHIN the wave, then the digest
+      // state drops anything any earlier wave kept
+      val withH = newDocs.withColumn("h", sha2(col("text"), 256))
+      val winners = withH.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val waveWinners = withH.join(winners, Seq("h"))
+        .filter(col("doc_id") === col("keep_id"))
+      val exactKept = waveWinners
+        .join(stateOr(stDigest, waveWinners.select("h").limit(0)),
+          Seq("h"), "left_anti")
+        .select(col("h"), col("doc_id"), col("lang"), col("text"))
+        .transform(graft.CacheScope.tracked)
+      val nEx = exactKept.count()
+
+      // near-dup: the wave's sigs probe the persisted band index AND
+      // themselves; state doc_ids are always the smaller (earlier)
+      // side, so the drop discipline matches the batch run exactly
+      val sigs = minhashSigs(exactKept)
+        .transform(graft.CacheScope.tracked)
+      val banded = bandFrame(sigs)
+        .transform(graft.CacheScope.tracked)
+      val stateBands = stateOr(stBand, banded.limit(0))
+      val stateSigs = stateOr(stSig, sigs.limit(0))
+      val candState = stateBands.as("x").join(banded.as("y"),
+          col("x.bk") === col("y.bk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b"))
+      val candWave = banded.as("x").join(banded.as("y"),
+          col("x.bk") === col("y.bk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b"))
+      val cand = candState.unionByName(candWave).distinct()
+      val allSigs = stateSigs.unionByName(sigs)
+        .transform(graft.CacheScope.tracked)
+      val drops = verifiedDrops(cand, allSigs)
+      val nearKept = exactKept.join(drops, Seq("doc_id"), "left_anti")
+        .transform(graft.CacheScope.tracked)
+      val nNear = nearKept.count()
+
+      // quality + mixture: stateless projections
+      val qualKept = scoreQuality(nearKept)
+        .filter(col("quality_score") >= 0.4)
+        .transform(graft.CacheScope.tracked)
+      val nQ = qualKept.count()
+      val sampled = mixtureSample(qualKept)
+        .transform(graft.CacheScope.tracked)
+      val nS = sampled.count()
+
+      // pack: the per-language running offset continues from the
+      // folded st_lang deltas — materialized BEFORE this wave's delta
+      // lands so the plan can never read its own append
+      val offs = stateOr(stLang,
+          sampled.groupBy(col("lang"))
+            .agg(sum(col("n_tokens")).as("d_tokens")).limit(0))
+        .groupBy(col("lang"))
+        .agg(sum(col("d_tokens")).as("lang_start"))
+        .transform(graft.CacheScope.tracked)
+      offs.count(): Unit
+      val bins = PrefixSum.runningSum(sampled, "lang",
+          Seq(col("doc_id")), "n_tokens", "endt_local")
+        .join(broadcast(offs), Seq("lang"), "left_outer")
+        .withColumn("endt",
+          coalesce(col("lang_start"), lit(0L)) + col("endt_local"))
+        .withColumn("prefix_tokens", col("endt") - col("n_tokens"))
+        .withColumn("seq_id", expr("prefix_tokens DIV 512"))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+
+      // state advance, every table ledger-stamped at the same bronze
+      // high-water; audit LAST so a torn advance re-runs the wave and
+      // each landed table no-ops its replayed append
+      GraftLog.txnAppend(exactKept.select("h"), stDigest, appId,
+        target): Unit
+      GraftLog.txnAppend(sigs, stSig, appId, target): Unit
+      GraftLog.txnAppend(banded, stBand, appId, target): Unit
+      GraftLog.txnAppend(bins, stPack, appId, target): Unit
+      GraftLog.txnAppend(sampled.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("d_tokens")), stLang, appId,
+        target): Unit
+      val audit = spark.range(1).select(lit(nIn).as("n_in"),
+        lit(nEx).as("n_ex"), lit(nNear).as("n_near"),
+        lit(nQ).as("n_q"), lit(nS).as("n_s"))
+      GraftLog.txnAppend(audit, stAudit, appId, target): Unit
+      1
+    }
+
+    processUpTo(0L)                 // wave A: the base corpus
+    processUpTo(2L): Unit           // wave B: both twin commits
+    val replayNoop = processUpTo(2L) == 0 // absorbed waves re-deliver
+
+    val a = GraftLog.read(spark, stAudit)
+      .agg(sum(col("n_in")), sum(col("n_ex")), sum(col("n_near")),
+        sum(col("n_q")), sum(col("n_s")), count(lit(1)))
+      .head()
+    GraftLog.read(spark, stPack)
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("seq_tokens")).as("seq_tokens"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+      .withColumn("n_ingested", lit(a.getLong(0)))
+      .withColumn("n_after_exact", lit(a.getLong(1)))
+      .withColumn("n_after_neardup", lit(a.getLong(2)))
+      .withColumn("n_after_quality", lit(a.getLong(3)))
+      .withColumn("n_after_sample", lit(a.getLong(4)))
+      .withColumn("n_batches", lit(a.getLong(5)))
+      .withColumn("replay_noop", lit(replayNoop))
   }
 }

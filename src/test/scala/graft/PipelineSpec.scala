@@ -72,4 +72,26 @@ class PipelineSpec extends AnyFunSuite {
         "the packed report must not re-scan the bronze table")
     }
   }
+
+  test("incremental composition equals the batch run; replay no-ops") {
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getAs[Long]("n_ingested"), r.getAs[Long]("n_after_exact"),
+      r.getAs[Long]("n_after_neardup"), r.getAs[Long]("n_after_quality"),
+      r.getAs[Long]("n_after_sample"))
+    val batch = CacheScope.withScope {
+      Pipeline.trainingDataPipeline(spark, sf).collect().map(key).toSet
+    }
+    val (incr, nb, noop) = CacheScope.withScope {
+      val rows = Pipeline.trainingDataPipelineIncremental(spark, sf)
+        .collect()
+      (rows.map(key).toSet, rows.head.getAs[Long]("n_batches"),
+        rows.head.getAs[Boolean]("replay_noop"))
+    }
+    assert(nb == 2L, s"expected two absorbed waves, got $nb")
+    assert(noop, "re-delivering absorbed waves must be a ledger no-op")
+    assert(incr == batch,
+      s"incremental != batch: only-incr=${(incr -- batch).take(3)} " +
+        s"only-batch=${(batch -- incr).take(3)}")
+  }
 }
