@@ -251,6 +251,12 @@ object SparkEntry {
     // DML commit; answers == a rebuild without them, no torn cells
     "f14_knn_ivf_delete" ->
       ((s, d) => Similarity.ivfIndexDeleteTopK(s, d)),
+    // streaming erasure SLA for the index: a topic of deletion
+    // requests drained by a checkpointed stream, one ledger-gated
+    // deletion-vector commit per micro-batch (kill/resume + full
+    // checkpoint-loss redrain both no-op), compaction materializes
+    "f15_knn_ivf_erase_stream" ->
+      ((s, d) => Similarity.ivfIndexStreamingErasure(s, d)),
     // filtered search: the metadata predicate (same label as the query)
     // applied inside the probed cells, not post-hoc on the ranked answer
     "f12_knn_filtered" ->
@@ -3982,6 +3988,14 @@ object SparkEntry {
         "WHERE a.vec_id != p.query_id AND a.vec_id % 5 <> 0")
       .replace("SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine",
         "SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine,\n  TRUE AS deleted_absent"),
+    // f15: the streamed erasure must equal the same rebuilt-without-
+    // erased replay as f14; n_erased is the %5==0 corpus population
+    // (every masked row ledger-accounted), replay_noop the redrain pin
+    "f15_knn_ivf_erase_stream" -> ivfSqlOracle
+      .replace("WHERE a.vec_id != p.query_id",
+        "WHERE a.vec_id != p.query_id AND a.vec_id % 5 <> 0")
+      .replace("SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine",
+        "SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine,\n  TRUE AS deleted_absent,\n  (SELECT count(*) FROM n WHERE vec_id % 5 = 0) AS n_erased,\n  TRUE AS replay_noop"),
     // f11: fixed centroids make the incremental append bit-identical to
     // a full rebuild, so the split never shows in the answer
     "f11_knn_ivf_incremental" -> ivfSqlOracle,

@@ -234,7 +234,8 @@ object NearDupState {
   def probeAndAdvance(spark: SparkSession, state: String,
       batch: DataFrame, batchId: Long, n: Int = 3,
       threshold: Double = 0.5, appId: String = AppId,
-      verdictTable: Option[String] = None): DataFrame = {
+      verdictTable: Option[String] = None,
+      hotBandThreshold: Int = 256, saltBuckets: Int = 16): DataFrame = {
     val sc = loadSidecar(spark, state)
     val b = banded(batch, n).transform(graft.CacheScope.tracked)
     val replayed = verdictTable.exists(t =>
@@ -259,8 +260,41 @@ object NearDupState {
         .filter(col("bp").isin(bps: _*)) // static partition pruning
         .select(col("bk"), col("doc_id").as("doc_c"),
           col("sig").as("sig_c"))
-      val verified = stateSide
-        .join(broadcast(cand), Seq("bk"))
+        .transform(graft.CacheScope.tracked)
+      // HOT-BAND detection: one viral boilerplate string gives many
+      // state docs the SAME band key, and an unsalted bk join puts
+      // |state ∩ bk| × |batch ∩ bk| verify work in one key group. Band
+      // keys above the threshold (counted over the PRUNED candidate
+      // partitions only — cheap) verify through a SALTED (bk, salt)
+      // join instead: state rows salted by doc hash, candidate rows
+      // replicated across all salts — the IDENTICAL pair set (each
+      // state×cand pair meets on exactly one salt), with every join
+      // group bounded by ~hotBandThreshold/saltBuckets state rows.
+      // j7's skew-join discipline applied to the LSH band index.
+      val hotKeys = stateSide.groupBy(col("bk"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > hotBandThreshold)
+        .select(col("bk"))
+        .transform(graft.CacheScope.tracked)
+      val joined = if (hotKeys.limit(1).count() == 0)
+        stateSide.join(broadcast(cand), Seq("bk"))
+      else {
+        val cold = stateSide
+          .join(broadcast(hotKeys), Seq("bk"), "left_anti")
+          .join(broadcast(cand), Seq("bk"))
+        val hotState = stateSide
+          .join(broadcast(hotKeys), Seq("bk"), "left_semi")
+          .withColumn("__salt",
+            pmod(xxhash64(col("doc_c")), lit(saltBuckets.toLong))
+              .cast("int"))
+        val hotCand = cand
+          .join(broadcast(hotKeys), Seq("bk"), "left_semi")
+          .withColumn("__salt",
+            explode(array((0 until saltBuckets).map(lit(_)): _*)))
+        cold.unionByName(
+          hotState.join(hotCand, Seq("bk", "__salt")).drop("__salt"))
+      }
+      val verified = joined
         .withColumn("est", sigEst(col("sig_b"), col("sig_c")))
         .filter(col("est") >= threshold)
         .groupBy(col("doc_b").as("doc_id"))

@@ -255,6 +255,134 @@ object Similarity {
     topk.withColumn("deleted_absent", lit(leaked == 0L))
   }
 
+  private val stagedStreamErase =
+    new scala.collection.concurrent.TrieMap[String, (String, Long, Boolean)]
+
+  /** f15 — STREAMING GDPR erasure for the persisted ANN index: f14's
+    * erasure arrives as a TOPIC of deletion requests drained by a
+    * checkpointed stream, each micro-batch landing as ONE
+    * deletion-vector commit on the index cells
+    * ([[graft.sources.GraftLog.deleteVectorsMatching]] — no cell file
+    * rewritten while requests drain; the final compaction
+    * materializes), gated EXACTLY-ONCE by an erasure ledger: every
+    * applied batch appends a ledger-stamped (appId, batchId) row to a
+    * sidecar graft table, and a batch at-or-below the ledger
+    * high-water — a crash-window re-delivery, or a full
+    * checkpoint-LOSS redrain — is skipped entirely (the i30
+    * double-ledger discipline: engine checkpoints are transport state,
+    * the ledger is table state). The two waves split f14's erased set
+    * (%10==0 then %10==5, union %5==0); wave 2 RESUMES the same
+    * checkpoint (the kill/restart pin) and the post-drain redrain from
+    * a fresh checkpoint must leave both the cells and the ledger at
+    * their pre-redrain versions (`replay_noop`). Post-erasure answers
+    * are BIT-IDENTICAL to an index rebuilt without the erased vectors
+    * (f14's oracle, `n_erased`/`replay_noop` pinned on top). At 100 TB
+    * this is a continuously-draining erasure SLA: cost per request
+    * batch = the DV-masked rows' file probes, never an index rebuild,
+    * and re-deliveries never double-commit. */
+  def ivfIndexStreamingErasure(spark: SparkSession, sfDir: String,
+      numQueries: Int = 10, k: Int = 5, nCent: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import graft.sources.GraftLog
+    val (root, nErased, replayNoop) =
+      stagedStreamErase.getOrElseUpdate(sfDir, {
+        val dir = graft.sources.Staging.tempDir("graft_ivf_se_")
+        val (cellsT, ledger, topic) =
+          (s"$dir/cells", s"$dir/erase_ledger", s"$dir/topic")
+        val corpus = normed(spark, sfDir)
+        val cents0 = seedCentroids(corpus, nCent)
+        GraftLog.overwritePartitioned(
+          nearestCents(corpus, cents0, "vec_id", 1)
+            .select(col("cent_id"), col("vec_id"), col("v"),
+              col("norm")),
+          cellsT, Seq("cent_id"))
+        GraftLog.overwrite(cents0, s"$dir/centroids")
+        val appId = "graft-ivf-erase"
+        def requests(pred: org.apache.spark.sql.Column) = corpus
+          .filter(pred)
+          .select(col("vec_id").cast("string").as("key"),
+            concat_ws("|", lit("erase"), col("vec_id")).as("value"),
+            expr("timestamp_micros(0)").as("timestamp"), col("vec_id"))
+        def drain(ckpt: String): Unit = {
+          val q = graft.sources.Topic.readStream(spark, topic, 4)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              val sp = batch.sparkSession
+              // the erasure ledger is the exactly-once gate: at or
+              // below its high-water means this batch's DV commit
+              // already landed — skip (re-delivery or redrain)
+              if (!batch.isEmpty &&
+                  !GraftLog.lastCommittedBatch(sp, ledger, appId)
+                    .exists(_ >= batchId)) {
+                val keys = batch.select(
+                  split(col("value"), "\\|").getItem(1).cast("long")
+                    .as("vec_id"))
+                // rows this wave masks = live index rows matching the
+                // requested keys (the read applies prior waves' DVs,
+                // so a key erased twice counts once)
+                val masked = GraftLog.read(sp, cellsT)
+                  .join(broadcast(keys.distinct()), Seq("vec_id"),
+                    "left_semi").count()
+                GraftLog.deleteVectorsMatching(sp, cellsT,
+                  keys, Seq("vec_id")): Unit
+                GraftLog.txnAppend(
+                  sp.range(1).select(lit(batchId).as("batch_id"),
+                    lit(masked).as("n_masked")),
+                  ledger, appId, batchId): Unit
+              }
+              ()
+            }
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        graft.sources.Topic.produce(spark, topic,
+          requests(col("vec_id") % 10 === 0), 4, col("vec_id"))
+        drain(s"$dir/ckpt")                    // wave 1
+        graft.sources.Topic.produce(spark, topic,
+          requests(col("vec_id") % 10 === 5), 4, col("vec_id"))
+        drain(s"$dir/ckpt")                    // wave 2: resume (kill/restart)
+        val before = (GraftLog.latestVersion(spark, cellsT),
+          GraftLog.latestVersion(spark, ledger))
+        drain(s"$dir/ckpt_lost")               // checkpoint loss: full redrain
+        val noop = before == (GraftLog.latestVersion(spark, cellsT),
+          GraftLog.latestVersion(spark, ledger))
+        GraftLog.compact(spark, cellsT, targetFiles = 2) // materialize DVs
+        val erased = GraftLog.read(spark, ledger)
+          .agg(sum(col("n_masked"))).head.getLong(0)
+        (dir, erased, noop)
+      })
+    val cents = broadcast(GraftLog.read(spark, s"$root/centroids"))
+    val probes = nearestCents(
+      normed(spark, sfDir).filter(col("vec_id") < numQueries),
+      cents, "vec_id", nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+      .transform(graft.CacheScope.tracked)
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val cells = spark.read.format("graft").load(s"$root/cells")
+      .filter(col("cent_id").isin(probedCells: _*))
+    val cand = cells.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val topk = cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
+      .transform(graft.CacheScope.tracked)
+    val leaked = topk.filter(col("neighbor_id") % 5 === 0).count()
+    topk.withColumn("deleted_absent", lit(leaked == 0L))
+      .withColumn("n_erased", lit(nErased))
+      .withColumn("replay_noop", lit(replayNoop))
+  }
+
   /** f11 — INCREMENTAL index update: new vectors join a live persisted
     * IVF index WITHOUT a rebuild. The index is built over the corpus
     * (vec_id < split) as in f10 — cells hive-partitioned, codebook

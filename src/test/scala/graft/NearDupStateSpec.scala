@@ -124,4 +124,52 @@ class NearDupStateSpec extends AnyFunSuite {
     assert(sm.size == bm.size && sm == bm,
       "streaming admission must not change a single verdict")
   }
+
+  test("viral boilerplate: hot bands verify salted, answers unchanged") {
+    // adversarial skew: 400 state docs share ONE text, so every band
+    // key of that signature holds 400 entries — the degenerate corpus
+    // that concentrates an unsalted bk join into one quadratic group
+    val boiler = "the quick brown fox jumps over the lazy dog " +
+      "click here to subscribe now for free daily updates"
+    import spark.implicits._
+    val stateDocs = spark.range(400)
+      .select((col("id") + 50000).as("doc_id"), lit(boiler).as("text"))
+      .unionByName(Sources.testTable(spark, TestSpark.sf, "documents")
+        .filter(col("doc_id") < 50).select(col("doc_id"), col("text")))
+    val batch = spark.range(20)
+      .select((col("id") + 60000).as("doc_id"), lit(boiler).as("text"))
+      .unionByName(Sources.testTable(spark, TestSpark.sf, "documents")
+        .filter(col("doc_id") >= 200 && col("doc_id") < 210)
+        .select(col("doc_id"), col("text")))
+    def run(threshold: Int): Map[Long, (Boolean, Long, Any)] = {
+      val st = Staging.tempDir("graft_ndskew_") + "/bands"
+      NearDupState.init(spark, stateDocs, st)
+      NearDupState.probeAndAdvance(spark, st, batch, 0L,
+          hotBandThreshold = threshold, saltBuckets = 16)
+        .collect().map(r => r.getLong(1) ->
+          ((r.getBoolean(4), r.getLong(2), r.get(3)))).toMap
+    }
+    val unsalted = run(threshold = 1000000) // never hot: the reference
+    val salted = run(threshold = 100)       // 400 > 100: salted path
+    assert(salted == unsalted,
+      s"salting changed answers: ${salted.toSeq.diff(unsalted.toSeq).take(3)}")
+    // every boiler batch doc flags against all 400 state copies
+    (60000L until 60020L).foreach { id =>
+      assert(salted(id)._1 && salted(id)._2 == 400L, s"doc $id: ${salted(id)}")
+    }
+    // the bound the salt buys: the unsalted max band-key group is the
+    // full 400; salted (bk, salt) groups stay near 400/16
+    val st2 = Staging.tempDir("graft_ndskew_") + "/bands"
+    NearDupState.init(spark, stateDocs, st2)
+    val perKey = GraftLog.read(spark, st2)
+      .groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    val perSalt = GraftLog.read(spark, st2)
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16L)))
+      .groupBy(col("bk"), col("salt")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    assert(perKey >= 400L, s"adversarial corpus lost its hot band: $perKey")
+    assert(perSalt <= 80L,
+      s"salted group must be ~400/16, got $perSalt (unsalted $perKey)")
+  }
 }

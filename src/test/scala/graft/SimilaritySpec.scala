@@ -287,4 +287,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("occupancy trigger"))
   }
+
+  test("f15 streaming erasure: ledger-gated waves, redrain no-op, clean") {
+    CacheScope.withScope {
+      val rows = graft.operators.Similarity
+        .ivfIndexStreamingErasure(spark, TestSpark.sf).collect()
+      assert(rows.nonEmpty)
+      val r = rows.head
+      assert(r.getAs[Boolean]("deleted_absent"),
+        "an erased vector must never surface as a neighbor")
+      assert(r.getAs[Boolean]("replay_noop"),
+        "a checkpoint-loss redrain must leave cells+ledger versions put")
+      // every %5==0 corpus vector masked exactly once across the two
+      // waves (the ledger accounts each row once, waves never overlap)
+      val expected = spark.read
+        .parquet(s"${TestSpark.sf}/embeddings.parquet")
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 0)
+        .count()
+      assert(r.getAs[Long]("n_erased") == expected,
+        s"ledger-accounted erasures ${r.getAs[Long]("n_erased")} " +
+          s"!= $expected")
+      // no surviving neighbor is an erased id, in EVERY row
+      assert(rows.forall(x => x.getAs[Long]("neighbor_id") % 5 != 0))
+    }
+  }
 }
