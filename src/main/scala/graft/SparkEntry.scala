@@ -535,6 +535,12 @@ object SparkEntry {
     // granularity still refuses — all three plan decisions pinned
     "d33_mv_subset_filter" ->
       ((s, d) => AggView.aggViewSubsetFilterRewrite(s, d)),
+    // maintained MIN/MAX (the reference's silver OHLC shape): extrema
+    // fold over per-commit candidates while the source is insert-only;
+    // the first DELETE poisons them (a removed row may have been the
+    // minimum) and the same text falls back — both decisions pinned
+    "d34_mv_minmax" ->
+      ((s, d) => AggView.aggViewMinMaxRewrite(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1759,6 +1765,18 @@ object SparkEntry {
         |  TRUE AS row_fell_back
         |FROM final WHERE ub = 2
         |GROUP BY 1""".stripMargin,
+    // d34: the post-delete recompute (the min/max text falls back to
+    // the base plan once removes poison the extrema; while insert-only
+    // it served from the view — both pinned as literal booleans)
+    "d34_mv_minmax" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id % 7 <> 0)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(min(value), 6) AS min_value,
+        |  round(max(value), 6) AS max_value,
+        |  TRUE AS used_view, TRUE AS minmax_fell_back
+        |FROM final GROUP BY 1""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,
     // delete, update), pure replay is a ledger no-op

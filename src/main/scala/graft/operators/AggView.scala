@@ -73,25 +73,40 @@ object AggView {
           // nullable value column needs this as the rewrite's n
           sum(col("__sign") *
             when(col("__v").isNull, 0L).otherwise(1L)).as("d_vcount"),
+          // per-commit extrema over INSERTED rows: min/max fold over
+          // the delta log (min of mins) while the table is
+          // insert-only; any remove poisons them below — a deleted
+          // row may have BEEN the minimum, and no delta can restore it
+          min(when(col("__sign") === 1L, col("__v"))).as("d_min"),
+          max(when(col("__sign") === 1L, col("__v"))).as("d_max"),
           // overflow sentinel: decimal(38,10) holds |x| < 1e28, so a
           // |value| ≥ ~1e14 squares to a NULL cast under non-ANSI
           // mode — indistinguishable from a NULL input after the Sum
           // skips it, which would silently corrupt the served moment
           max(col("__vd").isNotNull && col("__sq").isNull)
-            .as("__sq_of")))
-      val poisoned =
-        deltas.filter(col("__sq_of") === true).limit(1).count() > 0
-      if (GraftLog.txnAppend(deltas.drop("__sq_of"), view, AppId, v))
+            .as("__sq_of"),
+          max(col("__sign") === -1L).as("__rm")))
+      val f = deltas
+        .agg(max(col("__sq_of")).as("of"), max(col("__rm")).as("rm"))
+        .head()
+      val (poisoned, removes) =
+        (!f.isNullAt(0) && f.getBoolean(0),
+          !f.isNullAt(1) && f.getBoolean(1))
+      if (GraftLog.txnAppend(deltas.drop("__sq_of", "__rm"), view,
+          AppId, v))
         applied += 1
       // poison AFTER the append (the view must exist); the rewrite
-      // checks this property and refuses the stddev/var decomposition
-      // — wrong-but-fast is never acceptable, and a dropped square is
-      // a wrong moment. avg/sum/count keep serving: d_value/d_count/
-      // d_vcount never overflow this way (the base Sum would overflow
-      // identically).
+      // checks these properties and refuses the affected
+      // decompositions — wrong-but-fast is never acceptable, and a
+      // dropped square (or a vanished minimum) is a wrong answer. The
+      // additive aggregates keep serving: d_value/d_count/d_vcount
+      // fold exactly under removes.
       if (poisoned)
         GraftLog.setProperties(spark, view,
           Map(SumsqOverflowProp -> "true")): Unit
+      if (removes)
+        GraftLog.setProperties(spark, view,
+          Map(RemovesSeenProp -> "true")): Unit
     }
     applied
   }
@@ -100,6 +115,13 @@ object AggView {
     * square to decimal overflow (|value| ≥ ~1e14): the stddev/var
     * rewrite refuses such a view; everything else still serves. */
   val SumsqOverflowProp = "graft.aggview.sumsqOverflow"
+
+  /** Set once the maintained source has seen any DELETE or UPDATE:
+    * min/max are not additive under removes (the removed row may have
+    * been the extremum), so the min/max rewrite refuses such a view
+    * while count/sum/avg/stddev keep serving — they fold signed
+    * deltas exactly. */
+  val RemovesSeenProp = "graft.aggview.removesSeen"
 
   def maintain(spark: SparkSession, src: String, view: String,
       key: String, groupCol: String, valueCol: String): Int =
@@ -444,6 +466,56 @@ object AggView {
       q.withColumn("used_view", lit(usedView))
         .withColumn("rollup_used_view", lit(rollupUsedView))
         .withColumn("row_fell_back", lit(rowFellBack))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
+  /** d34 — maintained MIN/MAX rollup rewrite: the reference's silver
+    * OHLC shape (`financial_dl_etl.py` high/low per day×ticker) served
+    * from the view. Extrema fold over per-commit candidates (min of
+    * mins) ONLY while the source is insert-only: a DELETE may remove
+    * the current minimum and no delta can restore it, so the first
+    * remove poisons min/max serving via a table property
+    * ([[RemovesSeenProp]]) while count/sum/avg/stddev — which fold
+    * signed deltas exactly — keep serving. Both plan decisions pinned
+    * (`used_view` while insert-only, `minmax_fell_back` after the
+    * delete); the returned values are the post-delete recompute. At
+    * 100 TB an insert-only fact stream (the common append-only
+    * telemetry shape) gets its high/low dashboard from a groups-sized
+    * view; the first erasure wave degrades ONLY the extrema to fact
+    * scans instead of serving them wrong. */
+  def aggViewMinMaxRewrite(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvmm_")
+    val (src, view) = (s"$root/src", s"$root/view")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    maintain(spark, src, view, "event_id", "event_type", "value")
+    registerForRewrite(src, view, "event_type", "value")
+    try {
+      def scans(df: DataFrame, path: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == path)
+          case _ => false
+        }
+      def q = spark.read.format("graft").load(src)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(min(col("value")), 6).as("min_value"),
+          round(max(col("value")), 6).as("max_value"))
+      // insert-only: extrema serve from the view
+      val usedView = scans(q, view) && !scans(q, src)
+      // the first remove poisons min/max — the SAME text falls back
+      GraftLog.delete(spark, src, col("event_id") % 7 === 0)       // v2
+      maintain(spark, src, view, "event_id", "event_type", "value")
+      val after = q
+      val fellBack = scans(after, src) && !scans(after, view)
+      after.withColumn("used_view", lit(usedView))
+        .withColumn("minmax_fell_back", lit(fellBack))
     } finally graft.sql.MvRegistry.unregister(src)
   }
 

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EqualTo, EvalMode, Expression, Greatest, GreaterThan, If, Literal, Multiply, NamedExpression, Sqrt, Subtract}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, StddevSamp, Sum, VarianceSamp}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, StddevSamp, Sum, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -252,11 +252,25 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // d_count counts rows — build() falls back to d_count only when
     // the scanned value attribute is provably non-nullable
     val hasV = viewRaw.schema.fieldNames.exists(_ == "d_vcount")
+    // per-commit extrema serve min/max ONLY while the source is
+    // insert-only (the removes property unset — a deleted row may have
+    // been the extremum and no delta restores it) AND the view is
+    // FRESH (the CDF tail may carry removes the property cannot see
+    // yet, so the compensated path never serves extrema)
+    val isFresh = latest.exists(v => hw.contains(v))
+    val removesSeen = scala.util.Try(
+      GraftLog.properties(spark, d.view, vPin)
+        .get(graft.operators.AggView.RemovesSeenProp)
+        .exists(_.equalsIgnoreCase("true"))).getOrElse(true)
+    val hasMinMax = isFresh && !removesSeen &&
+      viewRaw.schema.fieldNames.contains("d_min") &&
+      viewRaw.schema.fieldNames.contains("d_max")
     val viewDf = viewRaw
       .select(d.groupCols.map(col) ++
         Seq(col("d_count"), col("d_value")) ++
         (if (hasSq) Seq(col("d_sumsq")) else Nil) ++
-        (if (hasV) Seq(col("d_vcount")) else Nil): _*)
+        (if (hasV) Seq(col("d_vcount")) else Nil) ++
+        (if (hasMinMax) Seq(col("d_min"), col("d_max")) else Nil): _*)
     if (latest.exists(v => hw.contains(v)))
       Some(viewDf.queryExecution.analyzed)
     else if (d.compensate && d.key.nonEmpty && hw.isDefined &&
@@ -354,6 +368,12 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val a = c.collectFirst { case ar: AttributeReference => ar }
             if (a.exists(!_.nullable)) Some(dCount) else None
           }
+        val dMin = attr("d_min")
+        val dMax = attr("d_max")
+        def bareValue(c: Expression): Boolean = c match {
+          case a: AttributeReference => a.name.equalsIgnoreCase(d.valueCol)
+          case _ => false
+        }
         // the exact-decimal discipline: the decimal(38,10) cast must
         // wrap the value column DIRECTLY — no intermediate casts. A
         // nested cast (e.g. cast(cast(v AS INT) AS DECIMAL(38,10)))
@@ -411,6 +431,17 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               // within the same tolerance — the float-sum refusal
               // rationale applies to the final double math only.
               // Requires a d_sumsq-bearing view.
+              // min/max fold over the per-commit extrema (min of
+              // mins); deltaSource exposes d_min/d_max only while the
+              // source is insert-only AND the view is fresh — a
+              // removed row may have been the extremum. Bare value
+              // attribute only, same type as the maintained column.
+              case Min(c) if bareValue(c) && dMin.isDefined &&
+                  c.dataType == dMin.get.dataType =>
+                new Min(dMin.get).toAggregateExpression()
+              case Max(c) if bareValue(c) && dMax.isDefined &&
+                  c.dataType == dMax.get.dataType =>
+                new Max(dMax.get).toAggregateExpression()
               case StddevSamp(c, nullOnDiv) if doubleOfValue(c) &&
                   dSumsq.isDefined && nFor(c).isDefined =>
                 moment2(nFor(c).get, dValue, dSumsq.get, nullOnDiv,

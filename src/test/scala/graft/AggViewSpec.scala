@@ -706,4 +706,46 @@ class AggViewSpec extends AnyFunSuite {
         "global aggregates must keep the base plan")
     } finally graft.sql.MvRegistry.unregister(src)
   }
+
+  test("min/max serve while insert-only; any remove poisons them only") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/mm_src", s"$root/mm_view")
+    GraftLog.overwrite(srcDf(0 until 100), src)                    // v0
+    GraftLog.append(srcDf(100 until 140), src)                     // v1
+    AggView.maintain(spark, src, view, "id", "g", "v")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 6).as("mn"),
+        round(max(col("v")), 6).as("mx"))
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val expect = toMap(shape(spark.read.format("graft").load(src))
+      .collect())
+    AggView.registerForRewrite(src, view, "g", "v")
+    try {
+      val q = shape(spark.read.format("graft").load(src))
+      assert(scansPath(q, view) && !scansPath(q, src),
+        "insert-only extrema must serve from the view")
+      assert(toMap(q.collect()) == expect)
+      // an UPDATE is a remove+insert — it must poison extrema too
+      GraftLog.update(spark, src, col("id") % 9 === 0,
+        Seq("v" -> (col("v") + 5.0)))                              // v2
+      AggView.maintain(spark, src, view, "id", "g", "v")
+      assert(GraftLog.properties(spark, view)
+        .get(AggView.RemovesSeenProp).contains("true"))
+      val after = shape(spark.read.format("graft").load(src))
+      assert(scansPath(after, src) && !scansPath(after, view),
+        "extrema must fall back once removes were folded")
+      // the additive aggregates still serve from the same view
+      val additive = spark.read.format("graft").load(src)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.sumExact(col("v"))
+            .cast("double"), 6).as("t"))
+      assert(scansPath(additive, view) && !scansPath(additive, src),
+        "count/sum keep serving from a removes-poisoned view")
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
 }
