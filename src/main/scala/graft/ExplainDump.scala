@@ -103,7 +103,12 @@ object ExplainDump {
       "e22_training_pipeline",     // staged pipeline: cached seams only
       "d32_mv_filtered_rewrite",   // group-column WHERE on the view scan
       "g23_sequence_pack_split",   // grid-fragment explode, one window
-      "f14_knn_ivf_delete")        // erasure DML + pruned probe
+      "f14_knn_ivf_delete",        // erasure DML + pruned probe
+      "g24_token_budget_select",   // quality-ordered distributed prefix
+      "d33_mv_subset_filter",      // bucket WHERE + subset re-aggregation
+      "d34_mv_minmax",             // extrema fold (post-delete fallback)
+      "e23_training_pipeline_incr",// per-wave state advance read-back
+      "f15_knn_ivf_erase_stream")  // DV-masked cells + pruned probe
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.ExplainDump)\n\n")
