@@ -364,6 +364,16 @@ object SparkEntry {
     // language under a 10k-token budget, with the implied quality bar
     "g24_token_budget_select" ->
       ((s, d) => TextAnalysis.tokenBudgetSelect(s, d)),
+    // per-source frequency capping (C4/RefinedWeb host caps): best 10
+    // docs per source by quality, via the bounded two-level top-N (no
+    // per-source single-task window)
+    "g25_source_cap" ->
+      ((s, d) => TextAnalysis.sourceCap(s, d)),
+    // Count-Min-Sketch token frequency: 4×512 exact counter cells
+    // (map-side combined, mergeable), engine-portable bucket hashes;
+    // top-20 tokens with exact vs estimated counts
+    "g26_cms_token_frequency" ->
+      ((s, d) => TextAnalysis.cmsTokenFrequency(s, d)),
     // sliding token windows with overlap (RAG-index / packed-shard prep)
     "g21_chunk_overlap" ->
       ((s, d) => TextAnalysis.chunkOverlap(s, d)),
@@ -541,6 +551,12 @@ object SparkEntry {
     // minimum) and the same text falls back — both decisions pinned
     "d34_mv_minmax" ->
       ((s, d) => AggView.aggViewMinMaxRewrite(s, d)),
+    // JOIN-MV (eager aggregation): `fact ⋈ dim GROUP BY dim.attr`
+    // served from a view maintained at fact-JOIN-KEY granularity —
+    // the plan joins the groups-sized view to the dim, never the
+    // fact; one un-maintained commit later the same text falls back
+    "d35_mv_join_rewrite" ->
+      ((s, d) => AggView.aggViewJoinRewrite(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1777,6 +1793,27 @@ object SparkEntry {
         |  round(max(value), 6) AS max_value,
         |  TRUE AS used_view, TRUE AS minmax_fell_back
         |FROM final GROUP BY 1""".stripMargin,
+    // d35: the join-MV values are the v3-state recompute of the star
+    // aggregate (the stale v4 commit is invisible: the plan reads the
+    // view ⋈ dim); avg replays as the exact-decimal sum/count divide
+    "d35_mv_join_rewrite" ->
+      """WITH final AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 7 <> 0),
+        |dim AS (
+        |  SELECT DISTINCT user_id AS uid,
+        |    'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment
+        |  FROM events)
+        |SELECT segment, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(*), 6) AS avg_value,
+        |  TRUE AS used_view, TRUE AS fell_back
+        |FROM final JOIN dim ON final.user_id = dim.uid
+        |GROUP BY 1""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,
     // delete, update), pure replay is a ledger no-op
@@ -3573,6 +3610,64 @@ object SparkEntry {
         |  round(min(CASE WHEN running_tokens <= 10000
         |    THEN quality_score END), 6) AS quality_bar
         |FROM r GROUP BY 1""".stripMargin,
+    // g25: the per-source cap is salt-invariant, so the oracle is the
+    // PLAIN per-source quality window the two-level form replaces
+    "g25_source_cap" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(toks, t ->
+        |      list_contains(['the','a','and','of','to'], t))) AS INTEGER)
+        |      AS n_stop,
+        |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |      AS INTEGER) AS sum_len
+        |  FROM (SELECT doc_id, source, string_split(lower(text), ' ')
+        |          AS toks FROM documents)
+        |), s AS (
+        |  SELECT source, doc_id,
+        |    round(0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |      + 0.2 * greatest(1.0 - abs(CAST(sum_len AS DOUBLE)
+        |          / CAST(n_tokens AS DOUBLE) - 5.0) / 10.0, 0.0), 6)
+        |      AS quality_score
+        |  FROM c
+        |), r AS (
+        |  SELECT source, doc_id, quality_score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY quality_score DESC, doc_id ASC) AS INTEGER)
+        |      AS src_rank,
+        |    count(*) OVER (PARTITION BY source) AS n_source_docs
+        |  FROM s
+        |)
+        |SELECT source, doc_id, quality_score, src_rank, n_source_docs
+        |FROM r WHERE src_rank <= 10""".stripMargin,
+    // g26: DuckDB rebuilds every CMS cell from the same md5-slice
+    // bucket hashes, so the compare pins the exact estimates (and the
+    // exact collision overestimates) — not just the >= floor
+    "g26_cms_token_frequency" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents
+        |), rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (
+        |  SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |      token), 1, 15))::UBIGINT % 512 AS BIGINT) AS b,
+        |    count(*) AS c
+        |  FROM toks CROSS JOIN rows_
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT token, count(*) AS exact_count FROM toks GROUP BY 1
+        |  ORDER BY exact_count DESC, token LIMIT 20
+        |), probes AS (
+        |  SELECT t.token, t.exact_count, rows_.r,
+        |    CAST(('0x' || substr(md5(CAST(rows_.r AS VARCHAR) || ':' ||
+        |      t.token), 1, 15))::UBIGINT % 512 AS BIGINT) AS b
+        |  FROM top t CROSS JOIN rows_
+        |)
+        |SELECT p.token, p.exact_count, min(c.c) AS cms_estimate,
+        |  min(c.c) - p.exact_count AS overestimate
+        |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+        |GROUP BY 1, 2""".stripMargin,
     // g23: same prefix-sum grid in DuckDB — each doc's [start, end)
     // interval fragments over 512-token bins via unnest(range(...))
     "g23_sequence_pack_split" ->

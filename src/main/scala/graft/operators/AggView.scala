@@ -519,6 +519,78 @@ object AggView {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  /** d35 — the JOIN-MV rewrite (eager aggregation): the star shape
+    * `fact ⋈ dim GROUP BY dim.attr` — the reference's silver
+    * enrichment joins against its gold rollups exactly like this —
+    * served from a view maintained at fact-JOIN-KEY granularity. The
+    * rewritten plan joins the groups-sized view to the dim table and
+    * re-aggregates: each per-key delta row replicates once per
+    * matching dim row, which is exactly the multiplicity every fact
+    * row with that key would see, so counts/sums/averages fold to the
+    * base plan's answer bit-for-bit (see
+    * [[graft.sql.GraftMvRewriteRule]] for the zombie-key and NULL-key
+    * arguments). Plan pins: `used_view` (the fresh plan scans the view
+    * and the dim, never the fact root) and `fell_back` (one
+    * un-maintained fact commit later the SAME text replans as the base
+    * join). At 100 TB this turns every per-segment dashboard over a
+    * fact ⋈ dim star into a |keys|-sized view join — the fact table is
+    * never rescanned, and the view maintains at O(changes) per
+    * commit. */
+  def aggViewJoinRewrite(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvjn_")
+    val (src, view, dimPath) = (s"$root/src", s"$root/view", s"$root/dim")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    GraftLog.delete(spark, src, col("event_id") % 7 === 0)        // v2
+    GraftLog.update(spark, src, col("event_id") % 5 === 0,
+      Seq("value" -> (col("value") + 100)))                       // v3
+    maintainCols(spark, src, view, "event_id", Seq("user_id"), "value")
+    registerForRewriteCols(src, view, Seq("user_id"), "value")
+    // the dim: one row per user, derived deterministically from the
+    // full corpus (a distinct-key parquet relation, like the
+    // reference's listing/asset lookups)
+    ev.select(col("user_id").as("uid")).distinct()
+      .withColumn("segment",
+        concat(lit("seg_"), pmod(col("uid"), lit(5L))))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    try {
+      def scans(df: DataFrame, path: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == path)
+          case _ => false
+        }
+      def q = {
+        val fact = spark.read.format("graft").load(src)
+        fact.join(dim, fact("user_id") === dim("uid"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sumExact(col("value")).cast("double"), 6)
+              .as("total_value"),
+            round(avg(col("value").cast("decimal(38,10)"))
+              .cast("double"), 6).as("avg_value"))
+      }
+      val fresh = q // analyzed NOW, while the view is current
+      val usedView = scans(fresh, view) && !scans(fresh, src)
+      // one un-maintained fact commit → the SAME text replans as the
+      // base join (wrong-but-fast is never acceptable)
+      GraftLog.append(ev.filter(col("event_id") % 3 === 2)
+        .limit(50), src)                                          // v4
+      val stale = q
+      val fellBack = scans(stale, src) && !scans(stale, view)
+      // `fresh` executes lazily AFTER v4 landed: only the view rewrite
+      // (whose tables v4 never touched) keeps its values at v3 state
+      fresh.withColumn("used_view", lit(usedView))
+        .withColumn("fell_back", lit(fellBack))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   private val stagedStream =
     new scala.collection.concurrent.TrieMap[String, (String, Boolean)]
 

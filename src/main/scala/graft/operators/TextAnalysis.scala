@@ -660,6 +660,110 @@ object TextAnalysis {
           .as("quality_bar"))
   }
 
+  /** g25 — PER-SOURCE FREQUENCY CAPPING: the C4 (Raffel et al. 2020) /
+    * RefinedWeb (Penedo et al. 2023) host-cap curation stage — no
+    * single domain may dominate the corpus. Keep the best `cap`
+    * documents per source under the g2 quality order (score desc,
+    * doc_id tiebreak), reporting each survivor's in-source rank and
+    * the source's pre-cap size.
+    *
+    * Scale shape: the naive form is ONE row_number window per source —
+    * a single task holding the hottest domain's full row set at 100 TB
+    * (the round-13 packer lesson, in window form). This runs the
+    * bounded two-level top-N instead: (1) rank within
+    * (source, doc_id mod salts) — window groups are 1/salts of a
+    * source, and any globally-top-`cap` doc is also top-`cap` within
+    * its salt slice (its salt-local rank never exceeds its global
+    * rank, since its salt-local superiors are a subset of its global
+    * superiors); (2) exact ranks over the ≤ salts × cap survivors per
+    * source — bounded by construction, not by data. The answer is
+    * salt-invariant, so the oracle is the plain per-source window. */
+  def sourceCap(spark: SparkSession, sfDir: String, cap: Int = 10,
+      salts: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks).as("n_tokens"),
+        markerCount("en").as("n_stop"),
+        aggregate(transform(toks, t => length(t)),
+          lit(0), (a, x) => a + x).as("sum_len"))
+      .withColumn("quality_score", {
+        val stopR = col("n_stop").cast("double") /
+          col("n_tokens").cast("double")
+        val lenSat =
+          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0))
+        val avgLen = col("sum_len").cast("double") /
+          col("n_tokens").cast("double")
+        val lenShape = greatest(
+          lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0), lit(0.0))
+        round(lit(0.5) * stopR + lit(0.3) * lenSat + lit(0.2) * lenShape,
+          6)
+      })
+      .select(col("source"), col("doc_id"), col("quality_score"))
+    val counts = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source_docs"))
+    val w1 = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(salts.toLong)))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val survivors = scored
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= cap).drop("__r1")
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    survivors.withColumn("src_rank", row_number().over(w2))
+      .filter(col("src_rank") <= cap)
+      .join(broadcast(counts), Seq("source"))
+  }
+
+  /** g26 — COUNT-MIN-SKETCH token frequency (Cormode & Muthukrishnan
+    * 2005): `depth` rows × `width` buckets of exact counter sums — the
+    * mergeable fixed-size sketch that answers "how often does token X
+    * occur" over a 100 TB corpus with one depth×width-CELL shuffle
+    * (map-side combined: each task emits at most depth×width partial
+    * cells regardless of corpus size) instead of a vocabulary-sized
+    * one; the estimate (min over rows of the colliding bucket sums)
+    * only ever OVER-counts. Cells from disjoint corpus shards ADD —
+    * the property that lets every ingest batch maintain the sketch
+    * incrementally (spec-pinned). The hash family is the
+    * engine-portable md5 slice with the row index salted into the
+    * preimage, so DuckDB reproduces every bucket and the oracle checks
+    * the ESTIMATES exactly, not just their floor. Output: the top-`k`
+    * exact tokens with exact count, CMS estimate, and the collision
+    * overestimate (≥ 0 always; the spec pins the invariant corpus-wide
+    * and the oracle pins the exact collision values at this width). */
+  /** The per-row bucket array for a `token` column: row index salted
+    * into the md5 preimage — `depth` independent engine-portable
+    * hashes. */
+  private[graft] def cmsBuckets(depth: Int, width: Int): Column =
+    array((0 until depth).map(r =>
+      pmod(conv(substring(md5(concat(lit(s"$r:"), col("token"))), 1, 15),
+        16, 10).cast("long"), lit(width.toLong))): _*)
+
+  /** The sketch itself: (row, bucket) → exact counter sum over a
+    * `token`-column frame. Cells from disjoint shards ADD (counter
+    * sums) — the merge property the spec pins. */
+  private[graft] def cmsCells(tokens: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    tokens.select(posexplode(cmsBuckets(depth, width)).as(Seq("r", "b")))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+
+  def cmsTokenFrequency(spark: SparkSession, sfDir: String,
+      depth: Int = 4, width: Int = 512, k: Int = 20): DataFrame = {
+    val tokens = Sources.testTable(spark, sfDir, "documents")
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+    val cells = cmsCells(tokens, depth, width)
+    val top = tokens.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token").asc).limit(k)
+    val probes = top.select(col("token"), col("exact_count"),
+      posexplode(cmsBuckets(depth, width)).as(Seq("r", "b")))
+    probes.join(cells, Seq("r", "b"))
+      .groupBy(col("token"), col("exact_count"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .withColumn("overestimate",
+        col("cms_estimate") - col("exact_count"))
+  }
+
   /** g23 — SEQUENCE PACKING WITH DOCUMENT SPLITTING: the real
     * pretraining packer. g16 bins whole documents greedily (a document
     * never crosses a bin), which wastes the tail of every bin; actual

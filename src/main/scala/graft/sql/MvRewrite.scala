@@ -1,9 +1,10 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EqualTo, EvalMode, Expression, Greatest, GreaterThan, If, Literal, Multiply, NamedExpression, Sqrt, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Divide, EqualTo, EvalMode, Expression, Greatest, GreaterThan, If, Literal, Multiply, NamedExpression, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, StddevSamp, Sum, VarianceSamp}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -122,7 +123,8 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvRegistry.isEmpty) plan
     else plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
     }
 
   /** The source path scanned by `plan` — plus the snapshot version it
@@ -201,6 +203,147 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     child <- deltaSource(d, src, asOf)
     rewritten <- build(agg, d, gs, child, filters)
   } yield rewritten
+
+  /** The JOIN-MV rewrite (eager aggregation — Yan & Larson's
+    * "aggregate pushdown below join", the single-table-MV join serving
+    * StarRocks/BigQuery ship): an aggregate over
+    * `fact ⋈_inner dim ON fact.k = dim.k GROUP BY dim.attr` is served
+    * from a view maintained at fact-JOIN-KEY granularity — the
+    * rewritten plan joins the groups-sized view to the dim subtree
+    * (kept verbatim) and re-aggregates, never scanning the fact table.
+    *
+    * Soundness: the view carries one signed delta row set per fact
+    * key; the inner equi-join replicates each of them once per
+    * matching dim row — exactly the multiplicity every FACT row with
+    * that key would see — so folded counts/sums/second-moments equal
+    * the base plan's, a NULL key joins to nothing on both sides, and
+    * extrema are replication-invariant. Fully-deleted fact keys still
+    * carry net-zero delta rows through the join: they add zero to
+    * every sum, and a group consisting ONLY of zombie keys folds its
+    * hidden count to 0 and is dropped by the liveness filter — but an
+    * aggregate over a DIM column (which zombie replication WOULD
+    * corrupt) refuses, as does any non-decomposable aggregate.
+    *
+    * Gates on top of the single-table ones: INNER equi-join whose
+    * every conjunct pairs a fact view-group column with a dim column;
+    * grouping and join-level filters reference dim columns or fact
+    * view-group columns only; exactly one side is a registered fact
+    * scan. */
+  private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+    def unwrap(p: LogicalPlan, fs: Seq[Expression])
+        : Option[(Join, Seq[Expression])] = p match {
+      case SubqueryAlias(_, c) => unwrap(c, fs)
+      case Project(ps, c)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(c, fs)
+      case Filter(cond, c) => unwrap(c, cond +: fs)
+      case j: Join => Some((j, fs))
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    unwrap(agg.child, Seq.empty).flatMap { case (jn, above) =>
+      rewriteJoin(agg, jn, above, conjuncts) }
+  }
+
+  private def rewriteJoin(agg: Aggregate, jn: Join,
+      above: Seq[Expression],
+      conjuncts: Expression => Seq[Expression]): Option[LogicalPlan] = {
+    if (jn.joinType != Inner || jn.condition.isEmpty) return None
+    // exactly one side must be a registered fact scan (both → refuse:
+    // a self-join of the fact cannot be served from one rollup)
+    val lp = scannedGraftPath(jn.left)
+      .filter(t => MvRegistry.lookup(t._1).isDefined)
+    val rp = scannedGraftPath(jn.right)
+      .filter(t => MvRegistry.lookup(t._1).isDefined)
+    val (factSide, dimSide, src, asOf, scanFilters) = (lp, rp) match {
+      case (Some((p, v, fs)), None) => (jn.left, jn.right, p, v, fs)
+      case (None, Some((p, v, fs))) => (jn.right, jn.left, p, v, fs)
+      case _ => return None
+    }
+    val d = MvRegistry.lookup(src).getOrElse(return None)
+    val factOut = factSide.outputSet
+    val dimOut = dimSide.outputSet
+    def isViewGroupCol(a: AttributeReference): Boolean =
+      factOut.contains(a) &&
+        d.groupCols.exists(_.equalsIgnoreCase(a.name))
+    // every join conjunct pairs one fact VIEW-GROUP column with one
+    // dim column — (factAttr, dimAttr)
+    val keyPairs = conjuncts(jn.condition.get).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if isViewGroupCol(a) && dimOut.contains(b) => Some((a, b))
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if isViewGroupCol(b) && dimOut.contains(a) => Some((b, a))
+      case _ => None
+    }
+    if (keyPairs.exists(_.isEmpty)) return None
+    val keys = keyPairs.flatten
+    // grouping: plain attrs only; dim-side pass through, fact-side
+    // must be view group columns. nonEmpty: the liveness filter would
+    // drop a global aggregate's single row after a full delete.
+    val gAttrsOpt = agg.groupingExpressions.map {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+    if (gAttrsOpt.isEmpty || gAttrsOpt.exists(_.isEmpty)) return None
+    val gAttrs = gAttrsOpt.flatten
+    val (gsFact, gsDim) = gAttrs.partition(a => factOut.contains(a))
+    if (gsDim.exists(a => !dimOut.contains(a))) return None
+    if (gsFact.exists(a => !isViewGroupCol(a))) return None
+    // fact-side scan filters: the single-table gate (deterministic,
+    // view group columns only); filters between the join and the
+    // aggregate: deterministic, dim columns or fact view-group
+    // columns only (whole-bucket predicates on either side)
+    if (!scanFilters.forall(f => f.deterministic &&
+        f.references.forall(a =>
+          d.groupCols.exists(_.equalsIgnoreCase(a.name)))))
+      return None
+    if (!above.forall(f => f.deterministic && f.references.forall {
+        case a: AttributeReference =>
+          dimOut.contains(a) || isViewGroupCol(a)
+        case _ => false
+      }))
+      return None
+    deltaSource(d, src, asOf).flatMap { viewPlan =>
+      def vAttr(n: String): Option[AttributeReference] =
+        viewPlan.output.collectFirst {
+          case a: AttributeReference if a.name.equalsIgnoreCase(n) => a }
+      // every referenced fact-side attr must have a view twin: join
+      // keys, fact grouping attrs, and fact refs in carried filters
+      val factRefAttrs: Seq[AttributeReference] =
+        (keys.map(_._1) ++ gsFact ++
+          above.flatMap(_.references.toSeq).collect {
+            case a: AttributeReference if factOut.contains(a) => a })
+          .distinct
+      val subPairs = factRefAttrs.flatMap(a =>
+        vAttr(a.name).map(v => a.exprId -> v))
+      if (subPairs.length != factRefAttrs.length) None
+      else {
+        val subMap = subPairs.toMap
+        def subFact(e: Expression): Expression = e.transform {
+          case a: AttributeReference if subMap.contains(a.exprId) =>
+            subMap(a.exprId)
+        }
+        val newCond = keys.map { case (f, dm) =>
+          EqualTo(subMap(f.exprId), dm): Expression }.reduce(And(_, _))
+        // the assembler: build() hands us the scan-filtered view; we
+        // re-join it to the UNTOUCHED dim subtree and re-apply the
+        // join-level filters (fact refs substituted to view attrs)
+        def assembleChild(filteredView: LogicalPlan): LogicalPlan = {
+          val j = Join(filteredView, dimSide, Inner, Some(newCond),
+            JoinHint.NONE)
+          above.foldLeft(j: LogicalPlan)((p, f) =>
+            Filter(subFact(f), p))
+        }
+        build(agg, d, gsFact, viewPlan, scanFilters,
+          factOk = a => factOut.contains(a),
+          assembleChild = assembleChild,
+          passThroughGroups = gsDim)
+      }
+    }
+  }
 
   /** The delta-log plan the rewritten aggregate folds. FRESH view
     * (ledger high-water == source latest): the view table verbatim.
@@ -343,17 +486,30 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def build(agg: Aggregate, d: MvRegistry.MvDef,
       gs: Seq[AttributeReference],
       viewPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      scanFilters: Seq[Expression] = Seq.empty)
+      scanFilters: Seq[Expression] = Seq.empty,
+      // join-rewrite seams (identity/true/empty on the single-table
+      // path): `factOk` gates value-column NAME matches to fact-side
+      // attributes — in a join a dim column that happens to share the
+      // value column's name must not be served from the view;
+      // `assembleChild` wraps the filtered view into the rewritten
+      // child (the join rewrite rebuilds Join(view, dim) + carried
+      // filters here); `passThroughGroups` are grouping attrs the view
+      // does not carry (dim-side columns) — they map to themselves.
+      factOk: AttributeReference => Boolean = _ => true,
+      assembleChild: LogicalPlan => LogicalPlan = identity,
+      passThroughGroups: Seq[AttributeReference] = Seq.empty)
       : Option[LogicalPlan] = {
     def attr(n: String): Option[AttributeReference] =
       viewPlan.output.collectFirst {
         case a: AttributeReference if a.name.equalsIgnoreCase(n) => a }
-    // original grouping attr exprId -> the view-side twin, in the
-    // ORIGINAL grouping order
+    // original grouping attr exprId -> the view-side twin (dim-side
+    // pass-throughs map to themselves), in the ORIGINAL grouping order
     val groupMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
-      AttributeReference] = gs.flatMap(a =>
-        attr(a.name).map(v => a.exprId -> v)).toMap
-    (groupMap.size == gs.length, attr("d_count"), attr("d_value")) match {
+      AttributeReference] = (gs.flatMap(a =>
+        attr(a.name).map(v => a.exprId -> v)) ++
+        passThroughGroups.map(a => a.exprId -> a)).toMap
+    (groupMap.size == gs.length + passThroughGroups.length,
+        attr("d_count"), attr("d_value")) match {
       case (true, Some(dCount), Some(dValue)) =>
         val dSumsq = attr("d_sumsq")
         val dVcount = attr("d_vcount")
@@ -371,7 +527,8 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val dMin = attr("d_min")
         val dMax = attr("d_max")
         def bareValue(c: Expression): Boolean = c match {
-          case a: AttributeReference => a.name.equalsIgnoreCase(d.valueCol)
+          case a: AttributeReference =>
+            factOk(a) && a.name.equalsIgnoreCase(d.valueCol)
           case _ => false
         }
         // the exact-decimal discipline: the decimal(38,10) cast must
@@ -381,7 +538,7 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // sum would silently change the query's result.
         def exactDecimalOfValue(c: Expression): Boolean = c match {
           case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
-            a.name.equalsIgnoreCase(d.valueCol) &&
+            factOk(a) && a.name.equalsIgnoreCase(d.valueCol) &&
               dt.precision == 38 && dt.scale == 10
           case _ => false
         }
@@ -392,9 +549,10 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // squares during maintenance.
         def doubleOfValue(c: Expression): Boolean = c match {
           case a: AttributeReference =>
-            a.name.equalsIgnoreCase(d.valueCol) && a.dataType == DoubleType
+            factOk(a) && a.name.equalsIgnoreCase(d.valueCol) &&
+              a.dataType == DoubleType
           case Cast(a: AttributeReference, DoubleType, _, _) =>
-            a.name.equalsIgnoreCase(d.valueCol)
+            factOk(a) && a.name.equalsIgnoreCase(d.valueCol)
           case _ => false
         }
         def sumOf(a: AttributeReference): Expression =
@@ -460,7 +618,10 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               a.withNewChildren(Seq(sub(a.child)))
                 .asInstanceOf[NamedExpression]
             case a: AttributeReference if groupMap.contains(a.exprId) =>
-              Alias(groupMap(a.exprId), a.name)(exprId = a.exprId)
+              // a pass-through (dim-side) group attr maps to itself —
+              // keep the bare reference rather than a self-alias
+              if (groupMap(a.exprId).exprId == a.exprId) a
+              else Alias(groupMap(a.exprId), a.name)(exprId = a.exprId)
             case _ => ok = false
               agg.aggregateExpressions.head // unused: ok=false bails
           }
@@ -494,12 +655,22 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // folded to 0 were fully deleted and must not resurface
           val cnt = Alias(
             new Sum(dCount).toAggregateExpression(), "__mv_cnt")()
-          val rewritten = Aggregate(
-            gs.map(a => groupMap(a.exprId)), newAggExprs :+ cnt,
-            filteredView)
-          val filtered = Filter(
-            GreaterThan(cnt.toAttribute, Literal(0L)), rewritten)
-          Some(Project(newAggExprs.map(_.toAttribute), filtered))
+          // grouping keys in the QUERY's original order (fact attrs →
+          // view twins, dim pass-throughs verbatim); the child is the
+          // filtered view, wrapped by the join assembler when present
+          val newGroups = agg.groupingExpressions.collect {
+            case a: AttributeReference if groupMap.contains(a.exprId) =>
+              groupMap(a.exprId)
+          }
+          if (newGroups.length != agg.groupingExpressions.length) None
+          else {
+            val rewritten = Aggregate(
+              newGroups, newAggExprs :+ cnt,
+              assembleChild(filteredView))
+            val filtered = Filter(
+              GreaterThan(cnt.toAttribute, Literal(0L)), rewritten)
+            Some(Project(newAggExprs.map(_.toAttribute), filtered))
+          }
         }
       case _ => None
     }

@@ -114,6 +114,133 @@ class AggViewSpec extends AnyFunSuite {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  test("join-MV: fact ⋈ dim aggregates serve from the key-grained view") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view, dimPath) =
+      (s"$root/jn_src", s"$root/jn_view", s"$root/jn_dim")
+    GraftLog.overwrite(srcDf(0 until 200)
+      .withColumn("k", col("id") % 10), src)                       // v0
+    GraftLog.delete(spark, src, col("id") % 7 === 0)               // v1
+    GraftLog.update(spark, src, col("id") % 5 === 0,
+      Seq("v" -> (col("v") + 1.0)))                                // v2
+    AggView.maintainCols(spark, src, view, "id", Seq("k"), "v")
+    AggView.registerForRewriteCols(src, view, Seq("k"), "v")
+    (0L until 10L).map(k => (k, s"s${k % 3}")).toDF("k2", "seg")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    def scans(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources
+            .LogicalRelation(fs: org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.exists(r =>
+            r.toString == p || r.toUri.getPath == p)
+        case _ => false
+      }
+    def baseJoin = {
+      val f = spark.read.format("graft").load(src)
+      f.join(dim, f("k") === dim("k2"))
+    }
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def q = baseJoin.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.Deterministic.sumExact(col("v"))
+          .cast("double"), 6).as("t"),
+        round(avg(col("v").cast("decimal(38,10)")).cast("double"), 6)
+          .as("a"))
+    try {
+      val fresh = q
+      assert(scans(fresh, view) && !scans(fresh, src),
+        "join rewrite must scan view ⋈ dim, never the fact table")
+      // the rewrite is invisible to the VALUES: compare against the
+      // unregistered base plan at the same table state
+      graft.sql.MvRegistry.unregister(src)
+      val expect = collectMap(q)
+      AggView.registerForRewriteCols(src, view, Seq("k"), "v")
+      assert(collectMap(fresh) == expect,
+        "rewritten star answer must equal the base join recompute")
+      // a DUPLICATE-key dim: the view row replicates once per matching
+      // dim row — exactly the multiplicity each fact row would see
+      val dupDim = dim.unionByName(dim.filter(col("k2") < 5))
+      def qd = {
+        val f = spark.read.format("graft").load(src)
+        f.join(dupDim, f("k") === dupDim("k2")).groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            round(graft.functions.Deterministic.sumExact(col("v"))
+              .cast("double"), 6).as("t"),
+            round(avg(col("v").cast("decimal(38,10)")).cast("double"),
+              6).as("a"))
+      }
+      val dupFresh = qd
+      assert(scans(dupFresh, view) && !scans(dupFresh, src),
+        "dup-key dim join must still serve from the view")
+      graft.sql.MvRegistry.unregister(src)
+      val dupExpect = collectMap(qd)
+      AggView.registerForRewriteCols(src, view, Seq("k"), "v")
+      assert(collectMap(dupFresh) == dupExpect,
+        "replicated fold must equal the base dup-key join")
+      // zombie keys: empty segment s1 (keys 1,4,7) entirely — its
+      // net-zero delta rows still flow through the join but must not
+      // resurface the group
+      GraftLog.delete(spark, src, col("k") % 3 === 1)              // v3
+      AggView.maintainCols(spark, src, view, "id", Seq("k"), "v")
+      val afterDel = q
+      assert(scans(afterDel, view),
+        "re-maintained view serves the join again")
+      assert(!afterDel.collect().map(_.getString(0)).contains("s1"),
+        "fully-deleted segment must vanish from the rewritten answer")
+      graft.sql.MvRegistry.unregister(src)
+      val delExpect = collectMap(q)
+      AggView.registerForRewriteCols(src, view, Seq("k"), "v")
+      assert(collectMap(afterDel) == delExpect)
+      // a dim-side filter above the join carries onto the rewritten
+      // join — still served, same answer
+      def fq = baseJoin.filter(col("seg") =!= "s0").groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.sumExact(col("v"))
+            .cast("double"), 6).as("t"),
+          round(avg(col("v").cast("decimal(38,10)")).cast("double"), 6)
+            .as("a"))
+      val filtered = fq
+      assert(scans(filtered, view) && !scans(filtered, src),
+        "dim-column filter must not block the join rewrite")
+      graft.sql.MvRegistry.unregister(src)
+      val fExpect = collectMap(fq)
+      AggView.registerForRewriteCols(src, view, Seq("k"), "v")
+      assert(collectMap(filtered) == fExpect)
+      // REFUSALS — each keeps the base plan:
+      // (1) an aggregate over a DIM column (zombie replication would
+      // corrupt it)
+      val dimAgg = baseJoin.groupBy(col("seg"))
+        .agg(max(col("k2")).as("m"))
+      assert(scans(dimAgg, src) && !scans(dimAgg, view),
+        "dim-side aggregate must refuse the join rewrite")
+      // (2) an OUTER join (unmatched dim rows have no view twin)
+      val f2 = spark.read.format("graft").load(src)
+      val leftQ = f2.join(dim, f2("k") === dim("k2"), "left")
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      assert(scans(leftQ, src) && !scans(leftQ, view),
+        "outer join must refuse the join rewrite")
+      // (3) a dim column that shares the VALUE column's name must not
+      // be served from the view's exact sum
+      val dimV = dim.withColumn("v", col("k2").cast("double") * 10)
+      val f3 = spark.read.format("graft").load(src)
+      val collQ = f3.join(dimV, f3("k") === dimV("k2"))
+        .groupBy(col("seg"))
+        .agg(round(graft.functions.Deterministic.sumExact(dimV("v"))
+          .cast("double"), 6).as("t"))
+      assert(scans(collQ, src) && !scans(collQ, view),
+        "dim column named like the value column must refuse")
+      // (4) a row-level filter on the fact value column
+      val rowQ = baseJoin.filter(col("v") > 3.0)
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      assert(scans(rowQ, src) && !scans(rowQ, view),
+        "fact row-level filter must refuse the join rewrite")
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   test("MV rewrite serves SQL text and derived averages") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view) = (s"$root/sql_src", s"$root/sql_view")

@@ -83,6 +83,90 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------ g25 source cap / g26 CMS
+
+  test("source cap: two-level top-N equals the plain per-source window") {
+    import org.apache.spark.sql.expressions.Window
+    val capped = graft.operators.TextAnalysis
+      .sourceCap(spark, TestSpark.sf, cap = 5, salts = 4)
+    // reference: the single-window form over the SAME quality scores
+    // (extracted from the capped frame's own lineage-free recompute)
+    val scored = graft.operators.TextAnalysis
+      .sourceCap(spark, TestSpark.sf, cap = Int.MaxValue, salts = 1)
+      .select(col("source"), col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val reference = scored.withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = capped.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got.map(t => (t._1, t._2)) == reference,
+      "two-level selection must equal the single-window top-N")
+    // ranks are exactly 1..min(cap, n_source_docs) per source
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size),
+        s"$src ranks not dense")
+      assert(rows.size <= 5, s"$src over cap")
+    }
+    // plan pin: the corpus-sized window is the TWO-key salted one; the
+    // per-source exact window runs only above the stage-1 cap filter
+    // (≤ salts × cap rows per source by construction)
+    val windows = capped.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val salted = windows.filter(_.partitionSpec.size >= 2)
+    val exact = windows.filter(_.partitionSpec.size < 2)
+    assert(salted.nonEmpty, "stage-1 salted window missing")
+    assert(exact.forall(_.child.exists {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.toString.contains("_r1") ||
+          f.condition.toString.contains("row_number")
+      case _ => false
+    }), "per-source window must run above the stage-1 cap filter only")
+  }
+
+  test("CMS: estimates over-count only, and shard sketches merge by addition") {
+    val out = graft.operators.TextAnalysis
+      .cmsTokenFrequency(spark, TestSpark.sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"CMS under-counted: $r")
+      assert(r.getLong(2) >= r.getLong(1), s"estimate < exact: $r")
+    }
+    // corpus-wide invariant, not just the head: every token's estimate
+    // (min over its row buckets) bounds its exact count from above
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val tokens = docs.select(
+      explode(Dedup.tokens(col("text"))).as("token"))
+    val cells = graft.operators.TextAnalysis.cmsCells(tokens, 4, 512)
+    val exact = tokens.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val probes = exact.select(col("token"), col("n"),
+      posexplode(graft.operators.TextAnalysis.cmsBuckets(4, 512))
+        .as(Seq("r", "b")))
+    val under = probes.join(cells, Seq("r", "b"))
+      .groupBy(col("token"), col("n"))
+      .agg(min(col("c")).as("est"))
+      .filter(col("est") < col("n")).count()
+    assert(under == 0L, "a CMS estimate under-counted somewhere")
+    // mergeability: cells(corpus) == cells(even docs) + cells(odd docs)
+    def toksOf(half: org.apache.spark.sql.DataFrame) =
+      half.select(explode(Dedup.tokens(col("text"))).as("token"))
+    val even = graft.operators.TextAnalysis
+      .cmsCells(toksOf(docs.filter(col("doc_id") % 2 === 0)), 4, 512)
+    val odd = graft.operators.TextAnalysis
+      .cmsCells(toksOf(docs.filter(col("doc_id") % 2 === 1)), 4, 512)
+    val merged = even.unionByName(odd)
+      .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val whole = cells.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole,
+      "shard sketches must merge to the corpus sketch by cell addition")
+  }
+
   // ------------------------------------------------------------- j8 cube
 
   test("cube = rollup + nation-only supergroups; grand total matches j1") {
