@@ -237,6 +237,12 @@ object SparkEntry {
       ((s, d) => Dedup.containmentBucketed(s, d)),
     "e15_dedup_substring_spans" ->
       ((s, d) => Dedup.substringSpans(s, d)),
+    // the REMOVER half of ExactSubstr: every ≥2-occurrence window keeps
+    // its canonical first occurrence (groupBy-min keeper election on
+    // the window-hash index), cut everywhere else; per-doc span merge
+    // reports exact cut/kept token counts
+    "e24_dedup_substring_cut" ->
+      ((s, d) => Dedup.substringCut(s, d)),
     // LLM-pipeline extensions: similarity search (SURVEY.md §7.6)
     "f1_knn_bruteforce"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "f2_knn_lsh"             -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -374,6 +380,12 @@ object SparkEntry {
     // top-20 tokens with exact vs estimated counts
     "g26_cms_token_frequency" ->
       ((s, d) => TextAnalysis.cmsTokenFrequency(s, d)),
+    // incrementally maintained CMS: the linear sketch folds signed
+    // per-commit CDF deltas (insert/delete/update) bit-identically to
+    // a from-scratch rebuild — cells_match_batch pins the linearity,
+    // the ledger pins exactly-once; refresh cost = changed docs' tokens
+    "g27_cms_incremental" ->
+      ((s, d) => TextAnalysis.cmsIncremental(s, d)),
     // sliding token windows with overlap (RAG-index / packed-shard prep)
     "g21_chunk_overlap" ->
       ((s, d) => TextAnalysis.chunkOverlap(s, d)),
@@ -2258,6 +2270,50 @@ object SparkEntry {
         |    list_transform(diffs, x -> least(x, 8)), 'sum'), 0) + 8
         |    AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS dup_fraction
         |FROM fin""".stripMargin,
+    // e24: the cut replay — keeper = min packed (doc_id, pos) per
+    // ≥2-occurrence window hash; every other occurrence merges into
+    // per-doc spans by the e15 gap fold
+    "e24_dedup_substring_cut" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_toks
+        |  FROM base WHERE len(toks) >= 8
+        |), wins AS (
+        |  SELECT doc_id, n_toks, CAST(j AS INTEGER) - 1 AS pos,
+        |    doc_id * 1048576 + CAST(j AS INTEGER) - 1 AS okey,
+        |    CAST(('0x' || substr(md5(array_to_string(
+        |      toks[CAST(j AS INTEGER):CAST(j AS INTEGER) + 7], ' ')),
+        |      1, 15))::UBIGINT AS BIGINT) AS h
+        |  FROM d, UNNEST(range(1, n_toks - 8 + 2)) AS u(j)
+        |), keepers AS (
+        |  SELECT h, min(okey) AS keep_key FROM wins GROUP BY h
+        |  HAVING count(*) >= 2
+        |), agg AS (
+        |  SELECT w.doc_id, w.n_toks, count(*) AS n_cut_windows,
+        |    list_sort(list(w.pos)) AS ps
+        |  FROM wins w JOIN keepers USING (h)
+        |  WHERE w.okey <> keepers.keep_key
+        |  GROUP BY 1, 2
+        |), fin AS (
+        |  SELECT doc_id, n_toks, n_cut_windows,
+        |    list_transform(range(2, len(ps) + 1),
+        |      i -> ps[CAST(i AS INTEGER)] - ps[CAST(i AS INTEGER) - 1])
+        |      AS diffs
+        |  FROM agg
+        |)
+        |SELECT doc_id, n_toks, n_cut_windows,
+        |  CAST(coalesce(list_aggregate(
+        |    list_transform(diffs, x -> least(x, 8)), 'sum'), 0) + 8
+        |    AS BIGINT) AS cut_tokens,
+        |  CAST(n_toks - (coalesce(list_aggregate(
+        |    list_transform(diffs, x -> least(x, 8)), 'sum'), 0) + 8)
+        |    AS BIGINT) AS kept_tokens,
+        |  round(CAST(coalesce(list_aggregate(
+        |    list_transform(diffs, x -> least(x, 8)), 'sum'), 0) + 8
+        |    AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS cut_fraction
+        |FROM fin""".stripMargin,
   )
 
   /** f4's Lloyd sweeps unrolled as CTEs: assignment (crank=1 vs c_i) →
@@ -3666,6 +3722,41 @@ object SparkEntry {
         |)
         |SELECT p.token, p.exact_count, min(c.c) AS cms_estimate,
         |  min(c.c) - p.exact_count AS overestimate
+        |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+        |GROUP BY 1, 2""".stripMargin,
+    // g27: the maintained sketch answers exactly like a fresh build
+    // over the post-lifecycle corpus (v0 seed, v1 append, v2 delete,
+    // v3 text update) — the oracle replays that state and the same
+    // CMS machinery; the three pins land as literals
+    "g27_cms_incremental" ->
+      """WITH final AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' extra' ELSE text
+        |      END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |), toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM final
+        |), rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (
+        |  SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |      token), 1, 15))::UBIGINT % 512 AS BIGINT) AS b,
+        |    count(*) AS c
+        |  FROM toks CROSS JOIN rows_
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT token, count(*) AS exact_count FROM toks GROUP BY 1
+        |  ORDER BY exact_count DESC, token LIMIT 20
+        |), probes AS (
+        |  SELECT t.token, t.exact_count, rows_.r,
+        |    CAST(('0x' || substr(md5(CAST(rows_.r AS VARCHAR) || ':' ||
+        |      t.token), 1, 15))::UBIGINT % 512 AS BIGINT) AS b
+        |  FROM top t CROSS JOIN rows_
+        |)
+        |SELECT p.token, p.exact_count, min(c.c) AS cms_estimate,
+        |  min(c.c) - p.exact_count AS overestimate,
+        |  3 AS applied_incr, TRUE AS replay_noop,
+        |  TRUE AS cells_match_batch
         |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
         |GROUP BY 1, 2""".stripMargin,
     // g23: same prefix-sum grid in DuckDB — each doc's [start, end)

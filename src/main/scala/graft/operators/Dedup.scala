@@ -393,6 +393,77 @@ object Dedup {
           col("n_toks").cast("double"), 6))
   }
 
+  /** e24 — EXACT-SUBSTRING CUT: e15 measures duplicated spans; this is
+    * the REMOVER half of Lee et al. 2022's ExactSubstr (the paper cuts
+    * every repeated substring, keeping one occurrence). Every
+    * spanLen-token window occurring ≥ 2 times in the corpus (within- or
+    * cross-document) keeps exactly its canonical first occurrence — the
+    * minimum (doc_id, pos), packed as doc_id·2²⁰ + pos so the keeper
+    * election is one groupBy-min on the window hash (engine-portable;
+    * positions are bounded ≪ 2²⁰ by document length, and a production
+    * corpus would widen the packing or use a struct min) — and is cut
+    * everywhere else. Per document: cut windows merge into spans by the
+    * e15 gap fold, giving the exact token count the cleaned corpus
+    * drops and keeps.
+    *
+    * Scale shape: identical to e15 — an inverted window-hash index
+    * (hash-partitioned groupBy over 64-bit md5 slices, map-side
+    * combined) elects keepers, one equi-join maps electors back to
+    * occurrences, one per-doc fold merges spans. Never all-pairs,
+    * nothing driver-side; a boilerplate hash with millions of
+    * occurrences is one combiner-reduced group of longs, and the join
+    * fans out only that hash's occurrence list.
+    * (Ref: `scratchpads/delta_datalake.py` has no dedup at all — this
+    * tier is the north-star LLM-pipeline extension.) */
+  def substringCut(spark: SparkSession, sfDir: String,
+      spanLen: Int = 8): DataFrame =
+    substringCutDocs(Sources.testTable(spark, sfDir, "documents"),
+      spanLen)
+
+  private[graft] def substringCutDocs(docsIn: DataFrame,
+      spanLen: Int): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= spanLen)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"))
+    val winHashes = transform(
+      sequence(lit(0), col("n_toks") - spanLen),
+      i => conv(substring(md5(
+        concat_ws(" ", slice(col("toks"), i + 1, lit(spanLen)))), 1, 15),
+        16, 10).cast("long"))
+    val wins = docs
+      .select(col("doc_id"), col("n_toks"),
+        posexplode(winHashes).as(Seq("pos", "h")))
+      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
+      .transform(graft.CacheScope.tracked)
+    // keeper election: the minimum packed (doc_id, pos) among ≥ 2
+    // occurrences of each window hash
+    val keepers = wins.groupBy(col("h"))
+      .agg(min(col("okey")).as("keep_key"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"), col("keep_key"))
+    val cut = wins.join(keepers, Seq("h"))
+      .filter(col("okey") =!= col("keep_key"))
+    val perDoc = cut
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(count(lit(1)).as("n_cut_windows"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+    val diffs = zip_with(
+      slice(col("ps"), lit(2), greatest(size(col("ps")) - 1, lit(0))),
+      slice(col("ps"), lit(1), greatest(size(col("ps")) - 1, lit(0))),
+      (a, b) => a - b)
+    perDoc
+      .withColumn("diffs", diffs)
+      .select(col("doc_id"), col("n_toks"), col("n_cut_windows"),
+        (aggregate(col("diffs"), lit(0L),
+          (acc, d) => acc + least(d, lit(spanLen.toLong))) + spanLen)
+          .as("cut_tokens"))
+      .withColumn("kept_tokens", col("n_toks") - col("cut_tokens"))
+      .withColumn("cut_fraction",
+        round(col("cut_tokens").cast("double") /
+          col("n_toks").cast("double"), 6))
+  }
+
   /** e8 — EXACT near-duplicate join with prefix + size filtering, the
     * AllPairs/PPJoin family (Bayardo/Ma/Srikant, WWW 2007; Xiao et al.,
     * WWW 2008; MapReduce formulation per Vernica/Carey/Li, SIGMOD 2010).

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.sources.Sources
+import graft.sources.{GraftLog, Sources}
 
 /** Text-analysis operators for LLM training-data pipelines (BASELINE.json
   * north star): token statistics, quality scoring, marker-based language
@@ -751,7 +751,13 @@ object TextAnalysis {
       depth: Int = 4, width: Int = 512, k: Int = 20): DataFrame = {
     val tokens = Sources.testTable(spark, sfDir, "documents")
       .select(explode(Dedup.tokens(col("text"))).as("token"))
-    val cells = cmsCells(tokens, depth, width)
+    cmsEstimates(cmsCells(tokens, depth, width), tokens, depth, width, k)
+  }
+
+  /** Top-`k` exact tokens of `tokens` with their estimates from
+    * `cells` (min over row buckets) and the collision overestimate. */
+  private def cmsEstimates(cells: DataFrame, tokens: DataFrame,
+      depth: Int, width: Int, k: Int): DataFrame = {
     val top = tokens.groupBy(col("token"))
       .agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("token").asc).limit(k)
@@ -762,6 +768,91 @@ object TextAnalysis {
       .agg(min(col("c")).as("cms_estimate"))
       .withColumn("overestimate",
         col("cms_estimate") - col("exact_count"))
+  }
+
+  private val CmsAppId = "graft-cms"
+
+  /** Fold every source commit past the sketch's ledger high-water into
+    * the cells table: CMS is a LINEAR sketch (cells are plain counter
+    * sums), so it maintains under inserts, deletes, AND updates by the
+    * same signed-delta fold the MV tier uses — +1 per token of an
+    * inserted/post-update text, −1 per token of a deleted/pre-update
+    * text — one ledger-stamped append per source version (exactly-once
+    * by the txn ledger; a replayed version is rejected atomically).
+    * Returns the number of versions applied (0 on a pure replay). */
+  private[graft] def cmsMaintain(spark: SparkSession, src: String,
+      cellsTable: String, depth: Int, width: Int): Int = {
+    val from = GraftLog.lastCommittedBatch(spark, cellsTable, CmsAppId)
+      .getOrElse(-1L)
+    var applied = 0
+    GraftLog.versions(spark, src).filter(_ > from).foreach { v =>
+      val cdf = GraftLog.changesAt(spark, src, Seq("doc_id"), v,
+        preimages = true)
+      val deltas = cdf.select(
+          when(col("_change_type").isin("insert", "update_postimage"),
+            lit(1L)).otherwise(lit(-1L)).as("__sign"),
+          explode(Dedup.tokens(col("text"))).as("token"))
+        .select(col("__sign"),
+          posexplode(cmsBuckets(depth, width)).as(Seq("r", "b")))
+        .groupBy(col("r"), col("b")).agg(sum(col("__sign")).as("c"))
+      if (GraftLog.txnAppend(deltas, cellsTable, CmsAppId, v))
+        applied += 1
+    }
+    applied
+  }
+
+  /** The maintained sketch's answer: fold the cell delta log. Buckets
+    * whose running count reaches 0 no longer exist (every contributing
+    * token occurrence was deleted) — identical to a fresh build. */
+  private[graft] def cmsRead(spark: SparkSession, cellsTable: String)
+      : DataFrame =
+    GraftLog.read(spark, cellsTable)
+      .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0)
+
+  /** g27 — INCREMENTALLY MAINTAINED CMS: the sketch-state tier's third
+    * member (e18 keeps exact digests, e20 the LSH band index; this
+    * keeps the frequency sketch) — and the cleanest one, because CMS
+    * is LINEAR: sketch(corpus ∪ batch) = sketch(corpus) + sketch(batch)
+    * and deletes subtract exactly, so per-commit CDF deltas maintain
+    * the sketch bit-identically to a from-scratch rebuild (the
+    * `cells_match_batch` pin computes both and compares — no tolerance).
+    * The staged corpus runs the canonical lifecycle (seed, append,
+    * delete, text UPDATE — the update folds −preimage +postimage
+    * tokens); refresh cost is the CHANGED documents' tokens into
+    * ≤ depth×width cells, never the corpus. At 100 TB this is how a
+    * heavy-hitter monitor tracks a continuously-ingesting lake: the
+    * sketch table is KB-sized, each commit folds in one file-bounded
+    * CDF read, and replays are ledger no-ops. */
+  def cmsIncremental(spark: SparkSession, sfDir: String,
+      depth: Int = 4, width: Int = 512, k: Int = 20): DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_cms_")
+    val (src, cellsTable) = (s"$root/src", s"$root/cells")
+    val docs = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    GraftLog.overwrite(docs.filter(col("doc_id") % 3 =!= 2), src)  // v0
+    cmsMaintain(spark, src, cellsTable, depth, width)
+    GraftLog.append(docs.filter(col("doc_id") % 3 === 2), src)     // v1
+    GraftLog.delete(spark, src, col("doc_id") % 7 === 0)           // v2
+    GraftLog.update(spark, src, col("doc_id") % 11 === 0,
+      Seq("text" -> concat(col("text"), lit(" extra"))))           // v3
+    val applied = cmsMaintain(spark, src, cellsTable, depth, width)
+    val replay = cmsMaintain(spark, src, cellsTable, depth, width)
+    // linearity pin: the maintained fold equals a from-scratch build
+    // over the source's final state, cell for cell
+    val tokens = spark.read.format("graft").load(src)
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+    val maintained = cmsRead(spark, cellsTable)
+    val batch = cmsCells(tokens, depth, width)
+    val cellsMatch = maintained.withColumnRenamed("c", "cm")
+      .join(batch, Seq("r", "b"), "full_outer")
+      .filter(col("cm").isNull || col("c").isNull ||
+        col("cm") =!= col("c"))
+      .isEmpty
+    cmsEstimates(maintained, tokens, depth, width, k)
+      .withColumn("applied_incr", lit(applied))
+      .withColumn("replay_noop", lit(replay == 0))
+      .withColumn("cells_match_batch", lit(cellsMatch))
   }
 
   /** g23 — SEQUENCE PACKING WITH DOCUMENT SPLITTING: the real

@@ -241,6 +241,55 @@ class AggViewSpec extends AnyFunSuite {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  test("join-MV: stale view + CDF tail still serves the star, current") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view, dimPath) =
+      (s"$root/jc_src", s"$root/jc_view", s"$root/jc_dim")
+    GraftLog.overwrite(srcDf(0 until 150)
+      .withColumn("k", col("id") % 8), src)                        // v0
+    AggView.maintainCols(spark, src, view, "id", Seq("k"), "v")
+    AggView.registerForRewriteCols(src, view, Seq("k"), "v",
+      key = "id", compensate = true)
+    (0L until 8L).map(k => (k, s"s${k % 3}")).toDF("k2", "seg")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    try {
+      // the view now LAGS by an append AND a delete
+      GraftLog.append(srcDf(150 until 180)
+        .withColumn("k", col("id") % 8), src)                      // v1
+      GraftLog.delete(spark, src, col("id") % 9 === 0)             // v2
+      def q = {
+        val f = spark.read.format("graft").load(src)
+        f.join(dim, f("k") === dim("k2")).groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            round(graft.functions.Deterministic.sumExact(col("v"))
+              .cast("double"), 6).as("t"))
+      }
+      val plan = q
+      val leaves = plan.queryExecution.optimizedPlan.collectLeaves()
+      def fileScan(p: String): Boolean = leaves.exists {
+        case org.apache.spark.sql.execution.datasources
+            .LogicalRelation(fs: org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.exists(r =>
+            r.toString == p || r.toUri.getPath == p)
+        case _ => false
+      }
+      assert(fileScan(view) && !fileScan(src),
+        "compensated join rewrite must scan view + tail, never the fact")
+      // the answer is CURRENT (folds the un-maintained v1 + v2)
+      graft.sql.MvRegistry.unregister(src)
+      val expect = q.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      AggView.registerForRewriteCols(src, view, Seq("k"), "v",
+        key = "id", compensate = true)
+      val got = plan.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == expect,
+        s"compensated star answer must be current: $got vs $expect")
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   test("MV rewrite serves SQL text and derived averages") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view) = (s"$root/sql_src", s"$root/sql_view")

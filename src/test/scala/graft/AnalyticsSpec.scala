@@ -167,6 +167,21 @@ class AnalyticsSpec extends AnyFunSuite {
       "shard sketches must merge to the corpus sketch by cell addition")
   }
 
+  test("incremental CMS: deleting everything folds every cell to zero") {
+    import graft.sources.GraftLog
+    val root = graft.sources.Staging.tempDir("graft_cms_spec_")
+    val (src, cells) = (s"$root/src", s"$root/cells")
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    GraftLog.overwrite(docs, src)
+    graft.operators.TextAnalysis.cmsMaintain(spark, src, cells, 4, 64)
+    assert(graft.operators.TextAnalysis.cmsRead(spark, cells).count() > 0)
+    GraftLog.delete(spark, src, lit(true))
+    graft.operators.TextAnalysis.cmsMaintain(spark, src, cells, 4, 64)
+    assert(graft.operators.TextAnalysis.cmsRead(spark, cells).count()
+      == 0, "a fully-deleted corpus must leave an all-zero sketch")
+  }
+
   // ------------------------------------------------------------- j8 cube
 
   test("cube = rollup + nation-only supergroups; grand total matches j1") {

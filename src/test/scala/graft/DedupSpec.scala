@@ -122,6 +122,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substring cut: keeps one occurrence, cuts the rest, conserves") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.substringCut(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nToks, nWin, cutToks, keptToks, frac) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))
+      assert(cutToks >= 8 && cutToks <= nToks,
+        s"cut $cutToks out of bounds for $nToks tokens")
+      assert(keptToks == nToks - cutToks, "conservation per doc")
+      assert(nWin >= 1 && frac > 0 && frac <= 1.0 + 1e-9)
+    }
+    // the keeper contract on a constructed fixture: doc 1 and doc 2
+    // are exact copies (doc 1 keeps, doc 2 is fully cut); doc 3
+    // repeats an 8-token span internally (second occurrence cut,
+    // first kept); doc 4 is unique (never appears)
+    import spark.implicits._
+    val span = (0 until 8).map(i => s"dup$i").mkString(" ")
+    val fillerA = (0 until 6).map(i => s"fa$i").mkString(" ")
+    val fillerB = (0 until 6).map(i => s"fb$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$span $fillerA"),
+      (2L, s"$span $fillerA"),
+      (3L, s"$span $fillerB $span"),
+      (4L, (0 until 20).map(i => s"uniq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cut = Dedup.substringCutDocs(fixture, 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(3), r.getDouble(5))).toMap
+    assert(!cut.contains(1L), "the keeper copy must not be cut")
+    assert(!cut.contains(4L), "a unique doc must not be cut")
+    assert(cut(2L)._2 == 14L && math.abs(cut(2L)._3 - 1.0) < 1e-9,
+      s"the non-keeper exact copy must be fully cut: ${cut.get(2L)}")
+    // doc 3: the span's corpus-wide keeper lives in doc 1, so BOTH of
+    // doc 3's occurrences are cut (two merged 8-token spans = 16); the
+    // filler between them survives
+    assert(cut(3L)._1 == 22 && cut(3L)._2 == 16L,
+      s"both non-keeper span occurrences must be cut: ${cut.get(3L)}")
+    // conservation on the real corpus: kept + cut == total per doc
+    val sums = out.map(r => (r.getLong(3), r.getLong(4), r.getInt(1)))
+    assert(sums.forall { case (c, k, n) => c + k == n })
+  }
+
   test("simhash: identical docs collide at distance 0, output bounded") {
     import spark.implicits._
     // identical texts → identical shingles → identical simhash, for both
