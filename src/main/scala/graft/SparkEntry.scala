@@ -569,6 +569,11 @@ object SparkEntry {
     // fact; one un-maintained commit later the same text falls back
     "d35_mv_join_rewrite" ->
       ((s, d) => AggView.aggViewJoinRewrite(s, d)),
+    // SNOWFLAKE join-MV: the fact leaf located anywhere in the
+    // inner-join tree is swapped for the key-grained view; dim-dim
+    // joins and conditions carry verbatim — fact never scanned
+    "d36_mv_snowflake" ->
+      ((s, d) => AggView.aggViewSnowflakeRewrite(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1825,6 +1830,28 @@ object SparkEntry {
         |    / count(*), 6) AS avg_value,
         |  TRUE AS used_view, TRUE AS fell_back
         |FROM final JOIN dim ON final.user_id = dim.uid
+        |GROUP BY 1""".stripMargin,
+    // d36: the snowflake replay — fact at v3 state through user → city
+    // dims to the region rollup; both plan pins as literals
+    "d36_mv_snowflake" ->
+      """WITH final AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 7 <> 0),
+        |du AS (
+        |  SELECT DISTINCT user_id AS uid, user_id % 7 AS city_id
+        |  FROM events),
+        |dc AS (
+        |  SELECT cid, 'r' || CAST(cid % 3 AS VARCHAR) AS region
+        |  FROM (SELECT unnest(range(0, 7)) AS cid))
+        |SELECT region, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  TRUE AS used_view, TRUE AS fell_back
+        |FROM final
+        |JOIN du ON final.user_id = du.uid
+        |JOIN dc ON du.city_id = dc.cid
         |GROUP BY 1""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,

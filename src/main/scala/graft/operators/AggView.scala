@@ -591,6 +591,73 @@ object AggView {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  /** d36 — the SNOWFLAKE join-MV rewrite: the d35 rule generalized to
+    * an arbitrary inner-join tree — `fact ⋈ dimUser ⋈ dimCity GROUP BY
+    * dimCity.region` locates the fact leaf anywhere in the tree,
+    * swaps it for the key-grained view, substitutes fact refs in the
+    * ancestor join conditions, and keeps every dim subtree (and the
+    * dim-dim join condition) verbatim. The replication argument
+    * composes transitively: each per-key delta row flows through the
+    * SAME join chain as the fact rows it summarizes, so it picks up
+    * exactly their multiplicity. Pins as d35: `used_view` (the fresh
+    * plan scans view + both dims, never the fact), `fell_back` (one
+    * un-maintained commit later the same text replans as the base
+    * snowflake). At 100 TB the two dim legs are broadcast-able and the
+    * fact leg is a |keys|-sized view — the canonical warehouse
+    * dashboard query with the fact scan deleted from it. */
+  def aggViewSnowflakeRewrite(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvsf_")
+    val (src, view) = (s"$root/src", s"$root/view")
+    val (duPath, dcPath) = (s"$root/dim_user", s"$root/dim_city")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    GraftLog.delete(spark, src, col("event_id") % 7 === 0)        // v2
+    GraftLog.update(spark, src, col("event_id") % 5 === 0,
+      Seq("value" -> (col("value") + 100)))                       // v3
+    maintainCols(spark, src, view, "event_id", Seq("user_id"), "value")
+    registerForRewriteCols(src, view, Seq("user_id"), "value")
+    // snowflake dims: user → city, city → region
+    ev.select(col("user_id").as("uid")).distinct()
+      .withColumn("city_id", pmod(col("uid"), lit(7L)))
+      .write.mode("overwrite").parquet(duPath)
+    spark.range(0, 7)
+      .select(col("id").as("cid"),
+        concat(lit("r"), pmod(col("id"), lit(3L))).as("region"))
+      .write.mode("overwrite").parquet(dcPath)
+    val (du, dc) = (spark.read.parquet(duPath), spark.read.parquet(dcPath))
+    try {
+      def scans(df: DataFrame, path: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == path)
+          case _ => false
+        }
+      def q = {
+        val fact = spark.read.format("graft").load(src)
+        fact.join(du, fact("user_id") === du("uid"))
+          .join(dc, du("city_id") === dc("cid"))
+          .groupBy(col("region"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sumExact(col("value")).cast("double"), 6)
+              .as("total_value"))
+      }
+      val fresh = q // analyzed NOW, while the view is current
+      val usedView = scans(fresh, view) && !scans(fresh, src) &&
+        scans(fresh, duPath) && scans(fresh, dcPath)
+      GraftLog.append(ev.filter(col("event_id") % 3 === 2)
+        .limit(50), src)                                          // v4
+      val stale = q
+      val fellBack = scans(stale, src) && !scans(stale, view)
+      fresh.withColumn("used_view", lit(usedView))
+        .withColumn("fell_back", lit(fellBack))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   private val stagedStream =
     new scala.collection.concurrent.TrieMap[String, (String, Boolean)]
 

@@ -251,38 +251,56 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteJoin(agg: Aggregate, jn: Join,
       above: Seq[Expression],
       conjuncts: Expression => Seq[Expression]): Option[LogicalPlan] = {
-    if (jn.joinType != Inner || jn.condition.isEmpty) return None
-    // exactly one side must be a registered fact scan (both → refuse:
-    // a self-join of the fact cannot be served from one rollup)
-    val lp = scannedGraftPath(jn.left)
-      .filter(t => MvRegistry.lookup(t._1).isDefined)
-    val rp = scannedGraftPath(jn.right)
-      .filter(t => MvRegistry.lookup(t._1).isDefined)
-    val (factSide, dimSide, src, asOf, scanFilters) = (lp, rp) match {
-      case (Some((p, v, fs)), None) => (jn.left, jn.right, p, v, fs)
-      case (None, Some((p, v, fs))) => (jn.right, jn.left, p, v, fs)
-      case _ => return None
+    // locate the registered fact scan anywhere in the join tree
+    // (snowflakes nest joins: fact ⋈ dim1 ⋈ dim2 — the fact leaf may
+    // sit arbitrarily deep). Exactly one: none means nothing to serve,
+    // two means a fact self-join no single rollup can answer.
+    final case class Fact(path: String, asOf: Option[Long],
+        scanFilters: Seq[Expression], subtree: LogicalPlan)
+    def find(p: LogicalPlan): Seq[Fact] = p match {
+      case j: Join => find(j.left) ++ find(j.right)
+      case other => scannedGraftPath(other)
+        .filter(t => MvRegistry.lookup(t._1).isDefined)
+        .map(t => Fact(t._1, t._2, t._3, other)).toSeq
     }
-    val d = MvRegistry.lookup(src).getOrElse(return None)
-    val factOut = factSide.outputSet
-    val dimOut = dimSide.outputSet
+    val facts = find(jn)
+    if (facts.length != 1) return None
+    val f = facts.head
+    val d = MvRegistry.lookup(f.path).getOrElse(return None)
+    val factOut = f.subtree.outputSet
+    def hasFact(p: LogicalPlan): Boolean = (p eq f.subtree) || (p match {
+      case j: Join => hasFact(j.left) || hasFact(j.right)
+      case _ => false
+    })
     def isViewGroupCol(a: AttributeReference): Boolean =
       factOut.contains(a) &&
         d.groupCols.exists(_.equalsIgnoreCase(a.name))
-    // every join conjunct pairs one fact VIEW-GROUP column with one
-    // dim column — (factAttr, dimAttr)
-    val keyPairs = conjuncts(jn.condition.get).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if isViewGroupCol(a) && dimOut.contains(b) => Some((a, b))
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if isViewGroupCol(b) && dimOut.contains(a) => Some((b, a))
-      case _ => None
+    // every join on the fact's ANCESTOR path must be INNER with a
+    // deterministic condition whose fact-touching conjuncts equi-match
+    // a view group column against a non-fact column; dim-only
+    // conjuncts (and whole dim-dim join subtrees) carry verbatim —
+    // they evaluate identically on the rewritten rows
+    def validate(p: LogicalPlan): Boolean = p match {
+      case j: Join if hasFact(j) =>
+        j.joinType == Inner && j.condition.isDefined &&
+          j.condition.get.deterministic &&
+          conjuncts(j.condition.get).forall { c =>
+            if (!c.references.exists(factOut.contains)) true
+            else c match {
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if isViewGroupCol(a) && !factOut.contains(b) => true
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if isViewGroupCol(b) && !factOut.contains(a) => true
+              case _ => false
+            }
+          } && validate(if (hasFact(j.left)) j.left else j.right)
+      case _ => true // the fact leaf itself
     }
-    if (keyPairs.exists(_.isEmpty)) return None
-    val keys = keyPairs.flatten
-    // grouping: plain attrs only; dim-side pass through, fact-side
-    // must be view group columns. nonEmpty: the liveness filter would
-    // drop a global aggregate's single row after a full delete.
+    if (!validate(jn)) return None
+    // grouping: plain attrs only; non-fact attrs pass through,
+    // fact-side attrs must be view group columns. nonEmpty: the
+    // liveness filter would drop a global aggregate's single row
+    // after a full delete.
     val gAttrsOpt = agg.groupingExpressions.map {
       case a: AttributeReference => Some(a)
       case _ => None
@@ -290,33 +308,38 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (gAttrsOpt.isEmpty || gAttrsOpt.exists(_.isEmpty)) return None
     val gAttrs = gAttrsOpt.flatten
     val (gsFact, gsDim) = gAttrs.partition(a => factOut.contains(a))
-    if (gsDim.exists(a => !dimOut.contains(a))) return None
     if (gsFact.exists(a => !isViewGroupCol(a))) return None
     // fact-side scan filters: the single-table gate (deterministic,
     // view group columns only); filters between the join and the
-    // aggregate: deterministic, dim columns or fact view-group
+    // aggregate: deterministic, non-fact columns or fact view-group
     // columns only (whole-bucket predicates on either side)
-    if (!scanFilters.forall(f => f.deterministic &&
-        f.references.forall(a =>
+    if (!f.scanFilters.forall(fl => fl.deterministic &&
+        fl.references.forall(a =>
           d.groupCols.exists(_.equalsIgnoreCase(a.name)))))
       return None
-    if (!above.forall(f => f.deterministic && f.references.forall {
+    if (!above.forall(fl => fl.deterministic && fl.references.forall {
         case a: AttributeReference =>
-          dimOut.contains(a) || isViewGroupCol(a)
+          !factOut.contains(a) || isViewGroupCol(a)
         case _ => false
       }))
       return None
-    deltaSource(d, src, asOf).flatMap { viewPlan =>
+    // fact attrs referenced anywhere outside the fact subtree — each
+    // needs a view twin for substitution
+    def ancestorConds(p: LogicalPlan): Seq[Expression] = p match {
+      case j: Join if hasFact(j) =>
+        j.condition.toSeq ++
+          ancestorConds(if (hasFact(j.left)) j.left else j.right)
+      case _ => Nil
+    }
+    deltaSource(d, f.path, f.asOf).flatMap { viewPlan =>
       def vAttr(n: String): Option[AttributeReference] =
         viewPlan.output.collectFirst {
           case a: AttributeReference if a.name.equalsIgnoreCase(n) => a }
-      // every referenced fact-side attr must have a view twin: join
-      // keys, fact grouping attrs, and fact refs in carried filters
       val factRefAttrs: Seq[AttributeReference] =
-        (keys.map(_._1) ++ gsFact ++
-          above.flatMap(_.references.toSeq).collect {
-            case a: AttributeReference if factOut.contains(a) => a })
-          .distinct
+        ((ancestorConds(jn) ++ above).flatMap(_.references.toSeq)
+          .collect {
+            case a: AttributeReference if factOut.contains(a) => a } ++
+          gsFact).distinct
       val subPairs = factRefAttrs.flatMap(a =>
         vAttr(a.name).map(v => a.exprId -> v))
       if (subPairs.length != factRefAttrs.length) None
@@ -326,18 +349,27 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case a: AttributeReference if subMap.contains(a.exprId) =>
             subMap(a.exprId)
         }
-        val newCond = keys.map { case (f, dm) =>
-          EqualTo(subMap(f.exprId), dm): Expression }.reduce(And(_, _))
         // the assembler: build() hands us the scan-filtered view; we
-        // re-join it to the UNTOUCHED dim subtree and re-apply the
-        // join-level filters (fact refs substituted to view attrs)
-        def assembleChild(filteredView: LogicalPlan): LogicalPlan = {
-          val j = Join(filteredView, dimSide, Inner, Some(newCond),
-            JoinHint.NONE)
-          above.foldLeft(j: LogicalPlan)((p, f) =>
-            Filter(subFact(f), p))
-        }
-        build(agg, d, gsFact, viewPlan, scanFilters,
+        // rebuild the ORIGINAL join tree with the fact subtree swapped
+        // for it (fact refs in ancestor conditions substituted to view
+        // attrs; every dim subtree untouched), then re-apply the
+        // join-level filters
+        def rebuildTree(p: LogicalPlan, v: LogicalPlan): LogicalPlan =
+          if (p eq f.subtree) v
+          else p match {
+            case j: Join if hasFact(j) =>
+              if (hasFact(j.left))
+                Join(rebuildTree(j.left, v), j.right, Inner,
+                  j.condition.map(subFact), JoinHint.NONE)
+              else
+                Join(j.left, rebuildTree(j.right, v), Inner,
+                  j.condition.map(subFact), JoinHint.NONE)
+            case other => other
+          }
+        def assembleChild(filteredView: LogicalPlan): LogicalPlan =
+          above.foldLeft(rebuildTree(jn, filteredView))((p, fl) =>
+            Filter(subFact(fl), p))
+        build(agg, d, gsFact, viewPlan, f.scanFilters,
           factOk = a => factOut.contains(a),
           assembleChild = assembleChild,
           passThroughGroups = gsDim)
