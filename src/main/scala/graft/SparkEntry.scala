@@ -574,6 +574,11 @@ object SparkEntry {
     // joins and conditions carry verbatim — fact never scanned
     "d36_mv_snowflake" ->
       ((s, d) => AggView.aggViewSnowflakeRewrite(s, d)),
+    // the MV SQL lifecycle: CREATE MATERIALIZED VIEW … KEY … AS SELECT
+    // derives the rollup from the analyzed plan and registers the
+    // rewrite; DROP un-serves; REFRESH folds the missing commits
+    "d37_mv_sql_lifecycle" ->
+      ((s, d) => AggView.mvSqlLifecycle(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1853,6 +1858,19 @@ object SparkEntry {
         |JOIN du ON final.user_id = du.uid
         |JOIN dc ON du.city_id = dc.cid
         |GROUP BY 1""".stripMargin,
+    // d37: the served values are the post-REFRESH state (all events +
+    // the duplicated %13 append); the four lifecycle pins as literals
+    "d37_mv_sql_lifecycle" ->
+      """WITH final AS (
+        |  SELECT event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_id % 13 = 0)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  TRUE AS used_view, TRUE AS drop_fell_back,
+        |  TRUE AS stale_fell_back, 1 AS versions_applied
+        |FROM final GROUP BY 1""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,
     // delete, update), pure replay is a ledger no-op

@@ -658,6 +658,75 @@ object AggView {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  /** d37 — the MV SQL LIFECYCLE surface: `CREATE MATERIALIZED VIEW …
+    * KEY … AS SELECT`, `REFRESH MATERIALIZED VIEW`, `DROP MATERIALIZED
+    * VIEW` (the Databricks/StarRocks statement family, parsed by
+    * [[graft.sql.GraftSqlParser]]). CREATE derives (source, group
+    * keys, value column) from the defining SELECT's analyzed plan,
+    * seeds the view from the source's commit history, persists the
+    * definition in view table properties (a FRESH session can REFRESH
+    * it — no registry state needed), and registers the planner
+    * rewrite. Four decisions pinned: the defining text serves from the
+    * view after CREATE; DROP un-registers (the same text replans to
+    * the fact — never a dropped rollup); an un-refreshed view falls
+    * back after a source commit; REFRESH folds exactly the missing
+    * versions and the text serves again with CURRENT values. */
+  def mvSqlLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvddl_")
+    val (src, view, view2) =
+      (s"$root/src", s"$root/view", s"$root/view2")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    spark.sql("DROP TABLE IF EXISTS mvddl_src")
+    spark.sql(s"CREATE TABLE mvddl_src USING graft OPTIONS (path '$src')")
+    val defSql =
+      s"""SELECT event_type, count(1) AS n_events,
+         |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+         |    AS total_value
+         |FROM mvddl_src GROUP BY event_type""".stripMargin
+    def scans(df: DataFrame, path: String): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toUri.getPath == path)
+        case _ => false
+      }
+    def q = spark.sql(defSql)
+    try {
+      // CREATE + DROP round-trip on a throwaway view: the dropped
+      // rollup must never serve again
+      spark.sql(
+        s"CREATE MATERIALIZED VIEW '$view2' KEY event_id AS $defSql")
+      val viaView2 = scans(q, view2)
+      spark.sql(s"DROP MATERIALIZED VIEW '$view2'")
+      val dropFellBack = viaView2 && scans(q, src) && !scans(q, view2)
+      // the real view: CREATE folds v0+v1 and the text serves
+      spark.sql(
+        s"CREATE MATERIALIZED VIEW '$view' KEY event_id AS $defSql")
+      val usedView = scans(q, view) && !scans(q, src)
+      // one source commit the view has not folded → same text, fact
+      GraftLog.append(ev.filter(col("event_id") % 13 === 0), src) // v2
+      val staleFellBack = scans(q, src) && !scans(q, view)
+      // REFRESH folds exactly the missing version; the text serves
+      // again with CURRENT values
+      val applied = spark.sql(s"REFRESH MATERIALIZED VIEW '$view'")
+        .collect()(0).getInt(0)
+      val served = q
+      val servedAgain = scans(served, view) && !scans(served, src)
+      served
+        .withColumn("used_view", lit(usedView && servedAgain))
+        .withColumn("drop_fell_back", lit(dropFellBack))
+        .withColumn("stale_fell_back", lit(staleFellBack))
+        .withColumn("versions_applied", lit(applied))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mvddl_src")
+      graft.sql.MvRegistry.unregisterMatching(src)
+    }
+  }
+
   private val stagedStream =
     new scala.collection.concurrent.TrieMap[String, (String, Boolean)]
 

@@ -230,8 +230,23 @@ final class GraftSqlParser(
   // only OUTSIDE quotes
   private val CopyIntoStmt =
     """(?is)\s*COPY\s+INTO\s+(\S+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+FORMAT_OPTIONS\s*\(((?:'[^']*'|[^)'])*)\))?(\s+FORCE)?\s*;?\s*""".r
+  // the MV lifecycle (Spark's grammar has no MATERIALIZED VIEW, so
+  // these are always safe to capture): KEY names the source's CDF row
+  // identity — it cannot be inferred from the defining SELECT
+  private val CreateMvStmt =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+)\s+KEY\s+(\w+)(\s+COMPENSATE)?\s+AS\s+(SELECT.+?)\s*;?\s*""".r
+  private val RefreshMvStmt =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
+  private val DropMvStmt =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateMvStmt(target, key, comp, select) =>
+      GraftCreateMvCommand(target, key, comp != null, select)
+    case RefreshMvStmt(target) =>
+      GraftRefreshMvCommand(target)
+    case DropMvStmt(target) =>
+      GraftDropMvCommand(target)
     case CopyIntoStmt(target, src, fmt, opts, force)
         if ownsTarget(target) =>
       GraftCopyIntoCommand(target, src, fmt,
@@ -577,6 +592,116 @@ case class GraftDropLifecycleCommand(target: String,
     try MvRegistry.unregisterMatching(GraftTarget.pathOf(session, target))
     catch { case scala.util.control.NonFatal(_) => () }
     StreamBatch.ofPlan(session, inner).collect()
+    Seq.empty
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW <view> KEY <rowId> [COMPENSATE] AS
+  * SELECT …` — the SQL lifecycle for the incremental-MV tier
+  * ([[graft.operators.AggView]] maintenance + [[GraftMvRewriteRule]]
+  * serving). The defining SELECT must be a GROUP-BY rollup over ONE
+  * graft source aggregating ONE value column (the maintainable shape);
+  * the command seeds the view from the source's full commit history,
+  * persists the definition in the view's table properties (so REFRESH
+  * re-derives it without any session state), and registers the source
+  * for planner auto-rewrite. KEY names the source's CDF row identity —
+  * the one piece the SELECT cannot express. */
+case class GraftCreateMvCommand(target: String, key: String,
+    compensate: Boolean, select: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val viewPath = GraftTarget.pathOf(session, target)
+    val analyzed = session.sql(select).queryExecution.analyzed
+    val agg = analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.getOrElse(throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW: the defining query must be a " +
+        "GROUP BY aggregate"))
+    val groupCols = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case other => throw new IllegalArgumentException(
+        "materialized-view group keys must be plain columns, got " +
+          other.sql)
+    }
+    if (groupCols.isEmpty) throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW: global aggregates are not " +
+        "maintainable (no group keys)")
+    val valueCols = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateExpression => ae
+    }).flatMap(_.references.toSeq.map(_.name))
+      .filterNot(n => groupCols.exists(_.equalsIgnoreCase(n))).distinct
+    val valueCol = valueCols match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        "the defining query must aggregate a value column")
+      case many => throw new IllegalArgumentException(
+        s"one maintainable value column expected, got: " +
+          many.mkString(", "))
+    }
+    val srcPath = analyzed.collectLeaves().collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+        fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+        _, _, _, _)
+        if fs.location.isInstanceOf[graft.sources.GraftFileIndex] =>
+        fs.location.rootPaths.head.toUri.getPath
+    }.getOrElse(throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW: the defining query must scan a " +
+        "graft table"))
+    graft.operators.AggView.maintainCols(session, srcPath, viewPath,
+      key, groupCols, valueCol)
+    GraftLog.setProperties(session, viewPath, Map(
+      "graft.mv.src" -> srcPath,
+      "graft.mv.key" -> key,
+      "graft.mv.groupCols" -> groupCols.mkString(","),
+      "graft.mv.valueCol" -> valueCol,
+      "graft.mv.compensate" -> compensate.toString))
+    graft.operators.AggView.registerForRewriteCols(srcPath, viewPath,
+      groupCols, valueCol, key, compensate)
+    Seq.empty
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW <view>` — fold every source commit past
+  * the view's ledger high-water ([[graft.operators.AggView
+  * .maintainCols]]) and re-register for rewrite, from the definition
+  * persisted in the view's table properties — no session state needed,
+  * so a fresh session can refresh a view another session created.
+  * Returns the number of versions applied (0 = already current). */
+case class GraftRefreshMvCommand(target: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.IntegerType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("versions_applied", IntegerType,
+      nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val viewPath = GraftTarget.pathOf(session, target)
+    val props = GraftLog.properties(session, viewPath)
+    val src = props.getOrElse("graft.mv.src",
+      throw new IllegalArgumentException(
+        s"$target is not a materialized view (no graft.mv.src " +
+          "property)"))
+    val (k, gs, v) = (props("graft.mv.key"),
+      props("graft.mv.groupCols").split(",").toSeq,
+      props("graft.mv.valueCol"))
+    val applied = graft.operators.AggView.maintainCols(
+      session, src, viewPath, k, gs, v)
+    graft.operators.AggView.registerForRewriteCols(src, viewPath,
+      gs, v, k, props.get("graft.mv.compensate").exists(_ == "true"))
+    Seq(Row(applied))
+  }
+}
+
+/** `DROP MATERIALIZED VIEW <view>` — unregister every MvDef touching
+  * the view (the planner must never serve from a dropped rollup) and
+  * delete its files. */
+case class GraftDropMvCommand(target: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val viewPath = GraftTarget.pathOf(session, target)
+    MvRegistry.unregisterMatching(viewPath)
+    val p = new org.apache.hadoop.fs.Path(viewPath)
+    val fs = p.getFileSystem(session.sessionState.newHadoopConf())
+    fs.delete(p, true)
     Seq.empty
   }
 }

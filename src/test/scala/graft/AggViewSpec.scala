@@ -290,6 +290,101 @@ class AggViewSpec extends AnyFunSuite {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  test("join-MV serves SQL text: catalog fact JOIN parquet dim") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view, dimPath) =
+      (s"$root/js_src", s"$root/js_view", s"$root/js_dim")
+    GraftLog.overwrite(srcDf(0 until 120)
+      .withColumn("k", col("id") % 6), src)
+    AggView.maintainCols(spark, src, view, "id", Seq("k"), "v")
+    AggView.registerForRewriteCols(src, view, Seq("k"), "v")
+    (0L until 6L).map(k => (k, s"s${k % 2}")).toDF("k2", "seg")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.sql("DROP TABLE IF EXISTS mvj_sql_t")
+    spark.sql(s"CREATE TABLE mvj_sql_t USING graft OPTIONS (path '$src')")
+    try {
+      def scans(df: org.apache.spark.sql.DataFrame, p: String) =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources
+              .LogicalRelation(fs: org.apache.spark.sql.execution
+              .datasources.HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == p)
+          case _ => false
+        }
+      // the SQL join shape, with a dim-side WHERE, plans through the
+      // same rule — star dashboards written as plain SQL lose the
+      // fact scan too
+      def q = spark.sql(
+        s"""SELECT d.seg, count(1) AS n,
+           |  round(CAST(sum(CAST(f.v AS DECIMAL(38,10))) AS DOUBLE), 6)
+           |    AS t
+           |FROM mvj_sql_t f JOIN parquet.`$dimPath` d ON f.k = d.k2
+           |WHERE d.seg <> 's0'
+           |GROUP BY d.seg""".stripMargin)
+      val plan = q
+      assert(scans(plan, view) && !scans(plan, src),
+        "SQL-text star aggregate must rewrite to the view join")
+      graft.sql.MvRegistry.unregister(src)
+      val expect = q.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      AggView.registerForRewriteCols(src, view, Seq("k"), "v")
+      val got = plan.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == expect, s"SQL join rewrite drifted: $got vs $expect")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mvj_sql_t")
+      graft.sql.MvRegistry.unregister(src)
+    }
+  }
+
+  test("MV DDL: definition survives registry loss; refusals are loud") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (src, view) = (s"$root/ddl_src", s"$root/ddl_view")
+    GraftLog.overwrite(srcDf(0 until 100), src)
+    spark.sql("DROP TABLE IF EXISTS mvddl_spec_t")
+    spark.sql(s"CREATE TABLE mvddl_spec_t USING graft OPTIONS (path '$src')")
+    def scans(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources
+            .LogicalRelation(fs: org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toUri.getPath == p)
+        case _ => false
+      }
+    val defSql =
+      """SELECT g, count(1) AS n,
+        |  round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE), 6) AS t
+        |FROM mvddl_spec_t GROUP BY g""".stripMargin
+    def q = spark.sql(defSql)
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$view' KEY id AS $defSql")
+      assert(scans(q, view), "CREATE must register the rewrite")
+      // a NEW session has no registry: simulate with a full clear —
+      // the definition must live in the view's table properties
+      graft.sql.MvRegistry.clear()
+      assert(scans(q, src), "cleared registry: the text falls back")
+      val applied = spark.sql(s"REFRESH MATERIALIZED VIEW '$view'")
+        .collect()(0).getInt(0)
+      assert(applied == 0, "already-current REFRESH must fold nothing")
+      assert(scans(q, view),
+        "REFRESH must re-register purely from table properties")
+      // refusals, each loud: non-aggregate defining query; more than
+      // one value column; REFRESH of a table that is not an MV
+      intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW '$root/x' KEY id AS " +
+          "SELECT * FROM mvddl_spec_t"))
+      intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW '$root/y' KEY id AS " +
+          "SELECT g, sum(CAST(v AS DECIMAL(38,10))) AS sv, " +
+          "count(id) AS ci FROM mvddl_spec_t GROUP BY g"))
+      intercept[Exception](
+        spark.sql(s"REFRESH MATERIALIZED VIEW '$src'"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mvddl_spec_t")
+      graft.sql.MvRegistry.unregisterMatching(src)
+    }
+  }
+
   test("MV rewrite serves SQL text and derived averages") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view) = (s"$root/sql_src", s"$root/sql_view")
