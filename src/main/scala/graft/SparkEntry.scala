@@ -579,6 +579,11 @@ object SparkEntry {
     // rewrite; DROP un-serves; REFRESH folds the missing commits
     "d37_mv_sql_lifecycle" ->
       ((s, d) => AggView.mvSqlLifecycle(s, d)),
+    // UNION-MV: one maintained rollup serves the aggregate over the
+    // UNION ALL of its fact sources (per-source ledger app ids); a
+    // single stale leg falls the whole union back
+    "d38_mv_union" ->
+      ((s, d) => AggView.aggViewUnionRewrite(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1870,6 +1875,22 @@ object SparkEntry {
         |    AS total_value,
         |  TRUE AS used_view, TRUE AS drop_fell_back,
         |  TRUE AS stale_fell_back, 1 AS versions_applied
+        |FROM final GROUP BY 1""".stripMargin,
+    // d38: the union replay — channel A (even ids) runs seed/append/
+    // delete, channel B (odd ids) seed/append; the union aggregate at
+    // both channels' maintained state; both plan pins as literals
+    "d38_mv_union" ->
+      """WITH a AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 0 AND event_id % 7 <> 0),
+        |b AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 1),
+        |final AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  TRUE AS used_view, TRUE AS fell_back
         |FROM final GROUP BY 1""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,

@@ -43,9 +43,35 @@ object AggView {
     * carry straight through (the reference's gold rollup is
     * year × month × ticker — `financial_dl_gold.py`). */
   def maintainCols(spark: SparkSession, src: String, view: String,
-      key: String, groupCols: Seq[String], valueCol: String): Int = {
+      key: String, groupCols: Seq[String], valueCol: String): Int =
+    maintainColsAs(spark, src, view, key, groupCols, valueCol, AppId)
+
+  /** d38 — maintain ONE view over SEVERAL fact sources (the medallion
+    * fan-in: events_mobile ∪ events_web → one rollup): each source
+    * folds under its own ledger app id, so per-source high-waters
+    * advance independently and the union rewrite's freshness gate can
+    * check every leg. Cost per refresh stays bounded by each source's
+    * CHANGES. */
+  def maintainUnion(spark: SparkSession, srcs: Seq[String],
+      view: String, key: String, groupCols: Seq[String],
+      valueCol: String): Int =
+    srcs.map(s => maintainColsAs(spark, s, view, key, groupCols,
+      valueCol, graft.sql.MvRegistry.unionAppId(AppId, s))).sum
+
+  /** Register every source of a union-MV for the planner rewrite of
+    * matching aggregates over their UNION ALL. */
+  def registerForRewriteUnion(srcs: Seq[String], view: String,
+      groupCols: Seq[String], valueCol: String): Unit = {
+    val d = graft.sql.MvRegistry.MvDef(view, groupCols, valueCol,
+      AppId, unionOf = srcs)
+    srcs.foreach(s => graft.sql.MvRegistry.register(s, d))
+  }
+
+  private def maintainColsAs(spark: SparkSession, src: String,
+      view: String, key: String, groupCols: Seq[String],
+      valueCol: String, appId: String): Int = {
     require(groupCols.nonEmpty, "maintain needs at least one group col")
-    val from = GraftLog.lastCommittedBatch(spark, view, AppId)
+    val from = GraftLog.lastCommittedBatch(spark, view, appId)
       .getOrElse(-1L)
     var applied = 0
     GraftLog.versions(spark, src).filter(_ > from).foreach { v =>
@@ -93,7 +119,7 @@ object AggView {
         (!f.isNullAt(0) && f.getBoolean(0),
           !f.isNullAt(1) && f.getBoolean(1))
       if (GraftLog.txnAppend(deltas.drop("__sq_of", "__rm"), view,
-          AppId, v))
+          appId, v))
         applied += 1
       // poison AFTER the append (the view must exist); the rewrite
       // checks these properties and refuses the affected
@@ -724,6 +750,72 @@ object AggView {
     } finally {
       spark.sql("DROP TABLE IF EXISTS mvddl_src")
       graft.sql.MvRegistry.unregisterMatching(src)
+    }
+  }
+
+  /** d38 — the UNION-MV: one maintained rollup serves the aggregate
+    * over the UNION ALL of its fact sources — the medallion fan-in
+    * every multi-channel pipeline has (the reference's per-symbol CSV
+    * ingests, `financial_dl_etl.py:102-108`, are exactly N sources
+    * feeding one gold rollup). Both sources run independent commit
+    * lifecycles and fold under per-source ledger app ids; the rewrite
+    * serves the union aggregate from the ONE view only while EVERY
+    * leg is fresh. Pins: `used_view` (view scanned, neither fact
+    * root), `fell_back` (one un-maintained commit on ONE source and
+    * the same text replans to the base union — a half-fresh view must
+    * never serve). At 100 TB this collapses every multi-source
+    * dashboard scan into one groups-sized read, with per-source
+    * refresh costs bounded by that source's changes. */
+  def aggViewUnionRewrite(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvun_")
+    val (srcA, srcB, view) =
+      (s"$root/mobile", s"$root/web", s"$root/view")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val (evA, evB) =
+      (ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1))
+    // independent lifecycles per channel
+    GraftLog.overwrite(evA.filter(col("event_id") % 3 =!= 2), srcA)
+    GraftLog.append(evA.filter(col("event_id") % 3 === 2), srcA)
+    GraftLog.delete(spark, srcA, col("event_id") % 7 === 0)
+    GraftLog.overwrite(evB.filter(col("event_id") % 5 =!= 3), srcB)
+    GraftLog.append(evB.filter(col("event_id") % 5 === 3), srcB)
+    maintainUnion(spark, Seq(srcA, srcB), view, "event_id",
+      Seq("event_type"), "value")
+    registerForRewriteUnion(Seq(srcA, srcB), view,
+      Seq("event_type"), "value")
+    try {
+      def scans(df: DataFrame, path: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == path)
+          case _ => false
+        }
+      def q = spark.read.format("graft").load(srcA)
+        .union(spark.read.format("graft").load(srcB))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sumExact(col("value")).cast("double"), 6)
+            .as("total_value"))
+      val fresh = q // analyzed NOW, while both legs are fresh
+      val usedView = scans(fresh, view) && !scans(fresh, srcA) &&
+        !scans(fresh, srcB)
+      // ONE un-maintained commit on ONE source: the whole union must
+      // fall back (a half-fresh view is a wrong answer)
+      GraftLog.append(evB.filter(col("event_id") % 5 === 3)
+        .limit(50), srcB)
+      val stale = q
+      val fellBack = scans(stale, srcA) && scans(stale, srcB) &&
+        !scans(stale, view)
+      fresh.withColumn("used_view", lit(usedView))
+        .withColumn("fell_back", lit(fellBack))
+    } finally {
+      graft.sql.MvRegistry.unregister(srcA)
+      graft.sql.MvRegistry.unregister(srcB)
     }
   }
 

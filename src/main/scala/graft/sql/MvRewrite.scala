@@ -74,9 +74,13 @@ object MvRegistry {
     * (ledger-high-water, latest], so the answer is always CURRENT at
     * O(changes) extra cost instead of falling back to the full fact
     * scan. */
+  /** `unionOf`: non-empty for a UNION-MV — ONE view maintained over
+    * several fact tables (each source folds under its own ledger app
+    * id). The union rewrite requires the query's union children to be
+    * exactly this source set. */
   final case class MvDef(view: String, groupCols: Seq[String],
       valueCol: String, appId: String, key: String = "",
-      compensate: Boolean = false)
+      compensate: Boolean = false, unionOf: Seq[String] = Nil)
 
   private val bySrc =
     new scala.collection.concurrent.TrieMap[String, MvDef]
@@ -90,6 +94,11 @@ object MvRegistry {
   def register(src: String, d: MvDef): Unit = {
     bySrc.put(norm(src), d): Unit
   }
+  def normPath(p: String): String = norm(p)
+  /** The per-source ledger app id a UNION-MV folds each fact under —
+    * shared by maintenance and the rewrite's freshness gate. */
+  def unionAppId(base: String, src: String): String =
+    base + "@" + norm(src)
   def unregister(src: String): Unit = { bySrc.remove(norm(src)): Unit }
 
   /** Lifecycle invalidation: drop every registration whose SOURCE or
@@ -124,7 +133,8 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (MvRegistry.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
+        tryRewrite(agg).orElse(tryRewriteJoin(agg))
+          .orElse(tryRewriteUnion(agg)).getOrElse(agg)
     }
 
   /** The source path scanned by `plan` — plus the snapshot version it
@@ -160,7 +170,11 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     (src, asOf, filters) <- scannedGraftPath(agg.child)
-    d <- MvRegistry.lookup(src)
+    // a union-MV source never serves a SINGLE-table aggregate: its
+    // view folds the OTHER sources' rows too (the freshness gate's
+    // per-source app ids would also refuse, but the soundness must
+    // not hinge on a ledger-key mismatch)
+    d <- MvRegistry.lookup(src).filter(_.unionOf.isEmpty)
     // grouping: a SUBSET of the view's group columns (any order). An
     // exact match reads the view's granularity verbatim; a strict
     // subset RE-AGGREGATES the finer per-(view-group) delta rows —
@@ -267,6 +281,9 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (facts.length != 1) return None
     val f = facts.head
     val d = MvRegistry.lookup(f.path).getOrElse(return None)
+    // a union-MV source never serves a single-fact join rewrite (the
+    // view folds its sibling sources' rows too)
+    if (d.unionOf.nonEmpty) return None
     val factOut = f.subtree.outputSet
     def hasFact(p: LogicalPlan): Boolean = (p eq f.subtree) || (p match {
       case j: Join => hasFact(j.left) || hasFact(j.right)
@@ -375,6 +392,114 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           passThroughGroups = gsDim)
       }
     }
+  }
+
+  /** The UNION-MV rewrite: ONE maintained rollup serves an aggregate
+    * over the UNION ALL of its fact sources — the medallion fan-in
+    * shape (events_mobile ∪ events_web → one dashboard). Sound because
+    * the view folds each source's signed deltas additively, which is
+    * exactly UNION ALL's bag semantics; gates: every union child is a
+    * bare (unfiltered, latest-snapshot) scan of a registered source of
+    * the SAME union-MV, each source exactly once and the set complete
+    * (a missing or extra leg would change the answer), EVERY source
+    * fresh under its own ledger app id, and union-level filters
+    * reference view group columns only. */
+  private def tryRewriteUnion(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    def unwrap(p: LogicalPlan, fs: Seq[Expression])
+        : Option[(Union, Seq[Expression])] = p match {
+      case SubqueryAlias(_, c) => unwrap(c, fs)
+      case Project(ps, c)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(c, fs)
+      case Filter(cond, c) => unwrap(c, cond +: fs)
+      case un: Union => Some((un, fs))
+      case _ => None
+    }
+    unwrap(agg.child, Seq.empty).flatMap { case (un, above) =>
+      rewriteUnion(agg, un, above) }
+  }
+
+  private def rewriteUnion(agg: Aggregate,
+      un: org.apache.spark.sql.catalyst.plans.logical.Union,
+      above: Seq[Expression]): Option[LogicalPlan] = {
+    // chained unions nest at analysis time (Union(Union(a,b),c)) —
+    // flatten to the leaf legs
+    def legs(p: LogicalPlan): Seq[LogicalPlan] = p match {
+      case u2: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        u2.children.flatMap(legs)
+      case other => Seq(other)
+    }
+    val kids = legs(un).map(scannedGraftPath)
+    if (kids.exists(_.isEmpty)) return None
+    val infos = kids.flatten
+    // no time-traveled legs (the view folds CURRENT state), and no
+    // per-leg filters (a predicate on ONE leg is not a predicate on
+    // the union — the view cannot answer it)
+    if (infos.exists(_._2.nonEmpty)) return None
+    if (infos.exists(_._3.nonEmpty)) return None
+    val paths = infos.map(t => MvRegistry.normPath(t._1))
+    val defs = paths.map(MvRegistry.lookup)
+    if (defs.exists(_.isEmpty)) return None
+    val d = defs.head.get
+    if (d.unionOf.isEmpty || defs.exists(_.get != d)) return None
+    if (paths.distinct.size != paths.size) return None
+    if (paths.toSet != d.unionOf.map(MvRegistry.normPath).toSet)
+      return None
+    if (!above.forall(f => f.deterministic && f.references.forall(a =>
+        d.groupCols.exists(_.equalsIgnoreCase(a.name)))))
+      return None
+    // grouping: the single-table gate, resolved against the union's
+    // output attributes
+    val gs = {
+      val attrs = agg.groupingExpressions.collect {
+        case a: AttributeReference => a }
+      if (attrs.nonEmpty &&
+          attrs.length == agg.groupingExpressions.length &&
+          attrs.map(_.name.toLowerCase).distinct.length == attrs.length &&
+          attrs.forall(a =>
+            d.groupCols.exists(_.equalsIgnoreCase(a.name))))
+        attrs
+      else return None
+    }
+    deltaSourceUnion(d).flatMap(viewPlan =>
+      build(agg, d, gs, viewPlan, above))
+  }
+
+  /** The pinned view plan for a UNION-MV, served only when EVERY
+    * source's ledger high-water (under its per-source app id, read at
+    * one pinned view snapshot) equals that source's latest commit. No
+    * compensation path: a stale leg falls back to the base union. */
+  private def deltaSourceUnion(d: MvRegistry.MvDef)
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions.col
+    GraftMvRewriteRule.raceSeam()
+    val vPin = GraftLog.versions(spark, d.view).lastOption
+    if (vPin.isEmpty) return None
+    val fresh = d.unionOf.forall { s =>
+      val latest = GraftLog.versions(spark, s).lastOption
+      latest.isDefined && GraftLog.lastCommittedBatch(spark, d.view,
+        MvRegistry.unionAppId(d.appId, s), vPin) == latest
+    }
+    if (!fresh) return None
+    val viewRaw = spark.read.format("graft")
+      .option("versionAsOf", vPin.get.toString).load(d.view)
+    val poisoned = scala.util.Try(
+      GraftLog.properties(spark, d.view, vPin)
+        .get(graft.operators.AggView.SumsqOverflowProp)
+        .exists(_.equalsIgnoreCase("true"))).getOrElse(true)
+    val hasSq = !poisoned &&
+      viewRaw.schema.fieldNames.exists(_ == "d_sumsq")
+    val hasV = viewRaw.schema.fieldNames.exists(_ == "d_vcount")
+    // extrema never serve from the union form: per-source remove
+    // tracking is not maintained there, and min/max are the one
+    // non-additive pair
+    Some(viewRaw
+      .select(d.groupCols.map(col) ++
+        Seq(col("d_count"), col("d_value")) ++
+        (if (hasSq) Seq(col("d_sumsq")) else Nil) ++
+        (if (hasV) Seq(col("d_vcount")) else Nil): _*)
+      .queryExecution.analyzed)
   }
 
   /** The delta-log plan the rewritten aggregate folds. FRESH view

@@ -337,6 +337,74 @@ class AggViewSpec extends AnyFunSuite {
     }
   }
 
+  test("union-MV: serves only the complete, fresh, unfiltered union") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (a, b, view) = (s"$root/un_a", s"$root/un_b", s"$root/un_view")
+    GraftLog.overwrite(srcDf(0 until 80), a)
+    GraftLog.overwrite(srcDf(100 until 160), b)
+    AggView.maintainUnion(spark, Seq(a, b), view, "id", Seq("g"), "v")
+    AggView.registerForRewriteUnion(Seq(a, b), view, Seq("g"), "v")
+    def scans(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources
+            .LogicalRelation(fs: org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toUri.getPath == p)
+        case _ => false
+      }
+    def t(p: String) = spark.read.format("graft").load(p)
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.Deterministic.sumExact(col("v"))
+          .cast("double"), 6).as("t"))
+    try {
+      val q = agg(t(a).union(t(b)))
+      assert(scans(q, view) && !scans(q, a) && !scans(q, b),
+        "complete fresh union must serve from the view")
+      graft.sql.MvRegistry.unregister(a)
+      graft.sql.MvRegistry.unregister(b)
+      val expect = agg(t(a).union(t(b))).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      AggView.registerForRewriteUnion(Seq(a, b), view, Seq("g"), "v")
+      assert(q.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap == expect,
+        "union rewrite must be invisible to the values")
+      // a group-column filter above the union still serves
+      val fq = agg(t(a).union(t(b)).filter(col("g") =!= "g0"))
+      assert(scans(fq, view) && !scans(fq, a),
+        "group-column filter must carry onto the view")
+      // REFUSALS — each keeps the base plan:
+      // one leg only (the view folds BOTH sources' rows)
+      val single = agg(t(a))
+      assert(scans(single, a) && !scans(single, view),
+        "a union-MV source must not serve a single-table aggregate")
+      // duplicate leg (multiplicities differ from the view's fold)
+      val dup = agg(t(a).union(t(b)).union(t(a)))
+      assert(scans(dup, a) && !scans(dup, view),
+        "a duplicated leg must refuse")
+      // per-leg filter (a predicate on ONE leg is not one on the union)
+      val legF = agg(t(a).filter(col("g") =!= "g0").union(t(b)))
+      assert(scans(legF, a) && !scans(legF, view),
+        "a per-leg filter must refuse")
+      // row-level filter above the union
+      val rowF = agg(t(a).union(t(b)).filter(col("v") > 2.0))
+      assert(scans(rowF, a) && !scans(rowF, view),
+        "a row-level filter must refuse")
+      // one stale leg: commit to b without maintaining — whole union
+      // falls back; re-maintaining serves again
+      GraftLog.append(srcDf(160 until 170), b)
+      val stale = agg(t(a).union(t(b)))
+      assert(scans(stale, a) && scans(stale, b) && !scans(stale, view),
+        "a single stale leg must fall the whole union back")
+      AggView.maintainUnion(spark, Seq(a, b), view, "id", Seq("g"), "v")
+      val again = agg(t(a).union(t(b)))
+      assert(scans(again, view), "re-maintained union serves again")
+    } finally {
+      graft.sql.MvRegistry.unregister(a)
+      graft.sql.MvRegistry.unregister(b)
+    }
+  }
+
   test("MV DDL: definition survives registry loss; refusals are loud") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view) = (s"$root/ddl_src", s"$root/ddl_view")
