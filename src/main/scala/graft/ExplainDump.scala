@@ -108,7 +108,13 @@ object ExplainDump {
       "d33_mv_subset_filter",      // bucket WHERE + subset re-aggregation
       "d34_mv_minmax",             // extrema fold (post-delete fallback)
       "e23_training_pipeline_incr",// per-wave state advance read-back
-      "f15_knn_ivf_erase_stream")  // DV-masked cells + pruned probe
+      "f15_knn_ivf_erase_stream",  // DV-masked cells + pruned probe
+      "d35_mv_join_rewrite",       // star served: view ⋈ dim, no fact
+      "d36_mv_snowflake",          // view swapped into the join tree
+      "d38_mv_union",              // union fan-in served from one view
+      "g25_source_cap",            // two-level bounded top-N windows
+      "g26_cms_token_frequency",   // cell-bounded sketch shuffle
+      "e24_dedup_substring_cut")   // keeper election on the hash index
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.ExplainDump)\n\n")
