@@ -430,7 +430,14 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         u2.children.flatMap(legs)
       case other => Seq(other)
     }
-    val kids = legs(un).map(scannedGraftPath)
+    val legPlans = legs(un)
+    // UNION is POSITIONAL: every leg's columns must line up with the
+    // union output BY NAME — a reordering (attribute-only) projection
+    // on one leg would silently feed one table's column into
+    // another's slot, an answer the view cannot represent
+    if (legPlans.exists(l => l.output.map(_.name.toLowerCase) !=
+        un.output.map(_.name.toLowerCase))) return None
+    val kids = legPlans.map(scannedGraftPath)
     if (kids.exists(_.isEmpty)) return None
     val infos = kids.flatten
     // no time-traveled legs (the view folds CURRENT state), and no

@@ -390,6 +390,34 @@ class AggViewSpec extends AnyFunSuite {
       val rowF = agg(t(a).union(t(b)).filter(col("v") > 2.0))
       assert(scans(rowF, a) && !scans(rowF, view),
         "a row-level filter must refuse")
+      // POSITIONAL hazard: with two same-typed value columns, a
+      // column-reordering leg feeds b.w into the union's v slot — a
+      // base answer the view cannot represent; the rewrite must
+      // refuse, not "serve"
+      val (a2, b2, view2) =
+        (s"$root/un_a2", s"$root/un_b2", s"$root/un_v2")
+      def df2(ids: Range) = ids
+        .map(i => (i.toLong, s"g${i % 3}", (i % 17).toDouble,
+          (i % 5).toDouble)).toDF("id", "g", "v", "w")
+      GraftLog.overwrite(df2(0 until 60), a2)
+      GraftLog.overwrite(df2(100 until 150), b2)
+      AggView.maintainUnion(spark, Seq(a2, b2), view2, "id",
+        Seq("g"), "v")
+      AggView.registerForRewriteUnion(Seq(a2, b2), view2, Seq("g"), "v")
+      try {
+        def t2(p: String) = spark.read.format("graft").load(p)
+        val straight = agg(t2(a2).union(t2(b2)))
+        assert(scans(straight, view2), "the straight union serves")
+        val reordered = agg(
+          t2(a2).select(col("id"), col("g"), col("v"), col("w"))
+            .union(
+              t2(b2).select(col("id"), col("g"), col("w"), col("v"))))
+        assert(!scans(reordered, view2),
+          "a reordering leg must refuse the union rewrite")
+      } finally {
+        graft.sql.MvRegistry.unregister(a2)
+        graft.sql.MvRegistry.unregister(b2)
+      }
       // one stale leg: commit to b without maintaining — whole union
       // falls back; re-maintaining serves again
       GraftLog.append(srcDf(160 until 170), b)
