@@ -386,6 +386,11 @@ object SparkEntry {
     // the ledger pins exactly-once; refresh cost = changed docs' tokens
     "g27_cms_incremental" ->
       ((s, d) => TextAnalysis.cmsIncremental(s, d)),
+    // corpus drift report: per-commit per-language doc/token deltas
+    // from ONE batch CDF read — the dataset-card audit trail; report
+    // size O(versions × languages), never a corpus rescan
+    "g28_corpus_drift" ->
+      ((s, d) => TextAnalysis.corpusDriftReport(s, d)),
     // sliding token windows with overlap (RAG-index / packed-shard prep)
     "g21_chunk_overlap" ->
       ((s, d) => TextAnalysis.chunkOverlap(s, d)),
@@ -3825,6 +3830,37 @@ object SparkEntry {
         |  TRUE AS cells_match_batch
         |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
         |GROUP BY 1, 2""".stripMargin,
+    // g28: the drift replay — v0 seed inserts (%3<>2), v1 append
+    // inserts (%3=2), v2 deletes (%7=0 of everything), v3 updates
+    // (%11=0 survivors: one remove at n tokens + one add at n+1 — the
+    // ' extra' suffix is exactly one token)
+    "g28_corpus_drift" ->
+      """WITH toked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |v0 AS (
+        |  SELECT 0 AS version, lang, count(*) AS docs_added,
+        |    0 AS docs_removed, sum(n) AS tokens_added,
+        |    0 AS tokens_removed
+        |  FROM toked WHERE doc_id % 3 <> 2 GROUP BY 2),
+        |v1 AS (
+        |  SELECT 1, lang, count(*), 0, sum(n), 0
+        |  FROM toked WHERE doc_id % 3 = 2 GROUP BY 2),
+        |v2 AS (
+        |  SELECT 2, lang, 0, count(*), 0, sum(n)
+        |  FROM toked WHERE doc_id % 7 = 0 GROUP BY 2),
+        |v3 AS (
+        |  SELECT 3, lang, count(*), count(*), sum(n) + count(*), sum(n)
+        |  FROM toked WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+        |  GROUP BY 2)
+        |SELECT CAST(version AS BIGINT) AS version, lang,
+        |  CAST(docs_added AS BIGINT) AS docs_added,
+        |  CAST(docs_removed AS BIGINT) AS docs_removed,
+        |  CAST(tokens_added AS BIGINT) AS tokens_added,
+        |  CAST(tokens_removed AS BIGINT) AS tokens_removed
+        |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+        |  UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)""".stripMargin,
     // g23: same prefix-sum grid in DuckDB — each doc's [start, end)
     // interval fragments over 512-token bins via unnest(range(...))
     "g23_sequence_pack_split" ->

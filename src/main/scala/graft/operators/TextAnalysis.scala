@@ -855,6 +855,47 @@ object TextAnalysis {
       .withColumn("cells_match_batch", lit(cellsMatch))
   }
 
+  /** g28 — CORPUS DRIFT REPORT: per-commit, per-language document and
+    * token deltas over a versioned corpus — the dataset-card audit
+    * trail every training-data pipeline owes its consumers ("what
+    * changed between corpus v7 and v9, and in which languages?"). One
+    * batch CDF read (startingVersion 0, preimages on) delivers every
+    * version's row-level changes version-stamped; the report is one
+    * grouped fold: inserts/update-postimages count as added,
+    * deletes/update-preimages as removed, token deltas from the same
+    * rows. A text UPDATE therefore shows as equal doc add/remove with
+    * the exact token delta — the accounting a reproducibility review
+    * needs.
+    *
+    * Scale shape: the CDF read is file-bounded per version (only the
+    * files each commit touched), the fold is one partial-combined
+    * aggregate keyed (version, lang) — report size O(versions ×
+    * languages), never a corpus rescan. */
+  def corpusDriftReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_drift_")
+    val src = s"$root/src"
+    val docs = Sources.testTable(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    GraftLog.overwrite(docs.filter(col("doc_id") % 3 =!= 2), src)  // v0
+    GraftLog.append(docs.filter(col("doc_id") % 3 === 2), src)     // v1
+    GraftLog.delete(spark, src, col("doc_id") % 7 === 0)           // v2
+    GraftLog.update(spark, src, col("doc_id") % 11 === 0,
+      Seq("text" -> concat(col("text"), lit(" extra"))))           // v3
+    val cdf = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("cdfKeys", "doc_id")
+      .option("includePreimages", "true")
+      .option("startingVersion", "0")
+      .load(src)
+    val ins = col("_change_type").isin("insert", "update_postimage")
+    val nToks = size(Dedup.tokens(col("text"))).cast("long")
+    cdf.groupBy(col("_commit_version").as("version"), col("lang"))
+      .agg(sum(when(ins, 1L).otherwise(0L)).as("docs_added"),
+        sum(when(ins, 0L).otherwise(1L)).as("docs_removed"),
+        sum(when(ins, nToks).otherwise(0L)).as("tokens_added"),
+        sum(when(ins, 0L).otherwise(nToks)).as("tokens_removed"))
+  }
+
   /** g23 — SEQUENCE PACKING WITH DOCUMENT SPLITTING: the real
     * pretraining packer. g16 bins whole documents greedily (a document
     * never crosses a bin), which wastes the tail of every bin; actual

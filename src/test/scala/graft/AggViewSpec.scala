@@ -62,6 +62,46 @@ class AggViewSpec extends AnyFunSuite {
     assert(m == viewNow(view))
   }
 
+  test("maintenance property: random mutation lifecycles == recompute") {
+    // seeded generator: 3 trials × 6 random ops (append / modular
+    // delete / modular update), maintenance interleaved at random
+    // points — the fold must equal the full recompute at the end of
+    // every trial regardless of when maintenance ran
+    val rnd = new scala.util.Random(20260816L)
+    def mk(ids: Seq[Long]) = ids
+      .map(i => (i, s"g${i % 5}", (i % 13).toDouble)).toDF("id", "g", "v")
+    (0 until 3).foreach { trial =>
+      val root = Staging.tempDir("graft_mvprop_")
+      val (src, view) = (s"$root/src", s"$root/view")
+      var nextId = 200L
+      GraftLog.overwrite(mk(0L until 100L), src)
+      AggView.maintain(spark, src, view, "id", "g", "v")
+      (0 until 6).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val n = 10 + rnd.nextInt(30)
+            GraftLog.append(mk(nextId until (nextId + n)), src)
+            nextId += n
+          case 1 =>
+            val m = 2 + rnd.nextInt(9)
+            GraftLog.delete(spark, src,
+              col("id") % m === rnd.nextInt(m))
+          case _ =>
+            val m = 2 + rnd.nextInt(9)
+            GraftLog.update(spark, src,
+              col("id") % m === rnd.nextInt(m),
+              Seq("v" -> (col("v") + rnd.nextInt(50))))
+        }
+        if (rnd.nextBoolean()) {
+          AggView.maintain(spark, src, view, "id", "g", "v"); ()
+        }
+      }
+      AggView.maintain(spark, src, view, "id", "g", "v")
+      assert(viewNow(view) == recompute(src),
+        s"trial $trial: maintained fold diverged from the recompute")
+    }
+  }
+
   test("MV auto-rewrite: fresh view serves the plan, stale falls back") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view) = (s"$root/rw_src", s"$root/rw_view")
