@@ -589,6 +589,10 @@ object SparkEntry {
     // single stale leg falls the whole union back
     "d38_mv_union" ->
       ((s, d) => AggView.aggViewUnionRewrite(s, d)),
+    // DESCRIBE MATERIALIZED VIEW: metadata-only freshness/lag
+    // introspection through created → stale → refreshed
+    "d39_mv_describe" ->
+      ((s, d) => AggView.mvDescribeLifecycle(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1897,6 +1901,17 @@ object SparkEntry {
         |    AS total_value,
         |  TRUE AS used_view, TRUE AS fell_back
         |FROM final GROUP BY 1""".stripMargin,
+    // d39: three metadata-only describes — created fresh, stale 1
+    // behind after the un-refreshed commit, fresh again post-REFRESH
+    "d39_mv_describe" ->
+      """SELECT 'event_type' AS group_cols, 'value' AS value_col,
+        |  'event_id' AS key, FALSE AS compensate,
+        |  TRUE AS is_fresh, CAST(0 AS BIGINT) AS versions_behind,
+        |  'created' AS stage
+        |UNION ALL SELECT 'event_type', 'value', 'event_id', FALSE,
+        |  FALSE, 1, 'stale'
+        |UNION ALL SELECT 'event_type', 'value', 'event_id', FALSE,
+        |  TRUE, 0, 'refreshed'""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,
     // delete, update), pure replay is a ledger no-op

@@ -34,7 +34,7 @@ import graft.sources.GraftLog
   * vanish on read. */
 object AggView {
 
-  private val AppId = "graft-aggview"
+  private[graft] val AppId = "graft-aggview"
 
   /** Fold every source commit past the view's ledger high-water into
     * the delta log: one file-bounded CDF diff + one ledger-stamped
@@ -816,6 +816,42 @@ object AggView {
     } finally {
       graft.sql.MvRegistry.unregister(srcA)
       graft.sql.MvRegistry.unregister(srcB)
+    }
+  }
+
+  /** d39 — DESCRIBE MATERIALIZED VIEW through the lifecycle: the
+    * freshness/lag introspection an operator consults before REFRESH —
+    * created (fresh, 0 behind) → one source commit (stale, 1 behind) →
+    * refreshed (fresh again). Metadata-only: properties + two
+    * small-JSON ledger reads, no data scan at any stage. */
+  def mvDescribeLifecycle(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvdesc_")
+    val (src, view) = (s"$root/src", s"$root/view")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    spark.sql("DROP TABLE IF EXISTS mvdesc_src")
+    spark.sql(s"CREATE TABLE mvdesc_src USING graft OPTIONS (path '$src')")
+    try {
+      spark.sql(s"""CREATE MATERIALIZED VIEW '$view' KEY event_id AS
+        |SELECT event_type, count(1) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value
+        |FROM mvdesc_src GROUP BY event_type""".stripMargin)
+      def desc(stage: String) =
+        spark.sql(s"DESCRIBE MATERIALIZED VIEW '$view'")
+          .withColumn("stage", lit(stage))
+      val created = desc("created")
+      GraftLog.append(ev.filter(col("event_id") % 13 === 0), src)  // v2
+      val stale = desc("stale")
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$view'").collect()
+      val refreshed = desc("refreshed")
+      created.unionByName(stale).unionByName(refreshed)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mvdesc_src")
+      graft.sql.MvRegistry.unregisterMatching(src)
     }
   }
 

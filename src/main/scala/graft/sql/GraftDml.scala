@@ -237,6 +237,8 @@ final class GraftSqlParser(
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+)\s+KEY\s+(\w+)(\s+COMPENSATE)?\s+AS\s+(SELECT.+?)\s*;?\s*""".r
   private val RefreshMvStmt =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
+  private val DescMvStmt =
+    """(?is)\s*DESC(?:RIBE)?\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
   private val DropMvStmt =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
 
@@ -245,6 +247,8 @@ final class GraftSqlParser(
       GraftCreateMvCommand(target, key, comp != null, select)
     case RefreshMvStmt(target) =>
       GraftRefreshMvCommand(target)
+    case DescMvStmt(target) =>
+      GraftDescribeMvCommand(target)
     case DropMvStmt(target) =>
       GraftDropMvCommand(target)
     case CopyIntoStmt(target, src, fmt, opts, force)
@@ -688,6 +692,41 @@ case class GraftRefreshMvCommand(target: String)
     graft.operators.AggView.registerForRewriteCols(src, viewPath,
       gs, v, k, props.get("graft.mv.compensate").exists(_ == "true"))
     Seq(Row(applied))
+  }
+}
+
+/** `DESCRIBE MATERIALIZED VIEW <view>` — the freshness/lag
+  * introspection the REFRESH decision needs: the persisted definition
+  * (group keys, value column, CDF key, compensate flag) plus
+  * `is_fresh` (ledger high-water == source latest) and
+  * `versions_behind` (how many source commits the next REFRESH will
+  * fold). All derived from table properties + two small-JSON reads —
+  * no data scan. */
+case class GraftDescribeMvCommand(target: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("group_cols", StringType, nullable = false)(),
+      AttributeReference("value_col", StringType, nullable = false)(),
+      AttributeReference("key", StringType, nullable = false)(),
+      AttributeReference("compensate", BooleanType, nullable = false)(),
+      AttributeReference("is_fresh", BooleanType, nullable = false)(),
+      AttributeReference("versions_behind", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val viewPath = GraftTarget.pathOf(session, target)
+    val props = GraftLog.properties(session, viewPath)
+    val src = props.getOrElse("graft.mv.src",
+      throw new IllegalArgumentException(
+        s"$target is not a materialized view (no graft.mv.src " +
+          "property)"))
+    val latest = GraftLog.versions(session, src).lastOption
+      .getOrElse(-1L)
+    val hw = GraftLog.lastCommittedBatch(session, viewPath,
+      graft.operators.AggView.AppId).getOrElse(-1L)
+    Seq(Row(props("graft.mv.groupCols"), props("graft.mv.valueCol"),
+      props("graft.mv.key"),
+      props.get("graft.mv.compensate").exists(_ == "true"),
+      hw == latest, math.max(0L, latest - hw)))
   }
 }
 
