@@ -201,6 +201,11 @@ class AggViewSpec extends AnyFunSuite {
       AggView.registerForRewriteCols(src, view, Seq("k"), "v")
       assert(collectMap(fresh) == expect,
         "rewritten star answer must equal the base join recompute")
+      // scale shape: the groups-sized view leg BROADCASTS (the 100 TB
+      // claim — the fact scan is gone and the join ships no fact rows)
+      assert(fresh.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "the rewritten star must broadcast the view leg")
       // a DUPLICATE-key dim: the view row replicates once per matching
       // dim row — exactly the multiplicity each fact row would see
       val dupDim = dim.unionByName(dim.filter(col("k2") < 5))
