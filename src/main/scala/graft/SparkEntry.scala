@@ -593,6 +593,12 @@ object SparkEntry {
     // introspection through created → stale → refreshed
     "d39_mv_describe" ->
       ((s, d) => AggView.mvDescribeLifecycle(s, d)),
+    // STREAMING union-MV: two channel CDF streams fold into ONE view
+    // under per-source ledger app ids; the d38 rewrite serves the
+    // stream-maintained view between micro-batches, kill/resume folds
+    // exactly the missed versions, full re-drain is a ledger no-op
+    "i31_union_view_stream" ->
+      ((s, d) => AggView.unionViewStream(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1912,6 +1918,23 @@ object SparkEntry {
         |  FALSE, 1, 'stale'
         |UNION ALL SELECT 'event_type', 'value', 'event_id', FALSE,
         |  TRUE, 0, 'refreshed'""".stripMargin,
+    // i31: the stream-maintained union view equals the recompute over
+    // both channels' final states (d38's corpus); four pins as
+    // literals
+    "i31_union_view_stream" ->
+      """WITH a AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 0 AND event_id % 7 <> 0),
+        |b AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 1),
+        |final AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  TRUE AS served_mid, TRUE AS fell_back,
+        |  TRUE AS served_after, TRUE AS replay_noop
+        |FROM final GROUP BY 1""".stripMargin,
     // i29: the stream-maintained fold equals the recompute over the
     // source's final state; 4 versions folded (snapshot, append,
     // delete, update), pure replay is a ledger no-op

@@ -855,8 +855,148 @@ object AggView {
     }
   }
 
+  private val stagedUnionStream = new scala.collection.concurrent
+    .TrieMap[String, (String, Boolean, Boolean, Boolean, Boolean)]
+
+  /** i31 — STREAMING union-MV maintenance: d38's multi-channel fan-in
+    * driven by streams. Two channel tables each feed a CDF readStream
+    * whose micro-batches fold into the ONE view under that channel's
+    * union ledger app id — so the d38 rewrite serves the union
+    * aggregate from a STREAM-maintained view between micro-batches,
+    * and its per-source freshness gate reads the same ledgers the
+    * streams stamp. Pins: `served_mid` (the rewrite fires on the
+    * stream-maintained view), `fell_back` (three source commits land
+    * before the next drains — the same text replans to the base
+    * union), `served_after` (kill/resume drains fold them and the
+    * text serves again), `replay_noop` (a full re-drain appends
+    * nothing: version-keyed ledger, the i27 lesson). At 100 TB this
+    * is the multi-channel dashboard: N ingest streams, one
+    * groups-sized view, refresh latency one micro-batch per
+    * channel. */
+  def unionViewStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (view, servedMid, fellBack, servedAfter, replayNoop) =
+      stagedUnionStream.getOrElseUpdate(sfDir, {
+        val root = graft.sources.Staging.tempDir("graft_aggvu_")
+        val (srcA, srcB, vw) =
+          (s"$root/mobile", s"$root/web", s"$root/view")
+        val (ckA, ckB) = (s"$root/ckA", s"$root/ckB")
+        val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val (evA, evB) =
+          (ev.filter(col("event_id") % 2 === 0),
+            ev.filter(col("event_id") % 2 === 1))
+        GraftLog.overwrite(evA.filter(col("event_id") % 3 =!= 2), srcA)
+        GraftLog.overwrite(evB.filter(col("event_id") % 5 =!= 3), srcB)
+        def drain(src: String, ckpt: String): Unit = {
+          val appId = graft.sql.MvRegistry.unionAppId(AppId, src)
+          val q = spark.readStream.format("graft")
+            .option("readChangeFeed", "true")
+            .option("cdfKeys", "event_id")
+            .option("includePreimages", "true")
+            .load(src)
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              foldCdfMicroBatch(b, vw, appId)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain(srcA, ckA); drain(srcB, ckB)        // v0 snapshot folds
+        registerForRewriteUnion(Seq(srcA, srcB), vw,
+          Seq("event_type"), "value")
+        try {
+          def scans(df: DataFrame, path: String): Boolean =
+            df.queryExecution.optimizedPlan.collectLeaves().exists {
+              case org.apache.spark.sql.execution.datasources
+                  .LogicalRelation(fs: org.apache.spark.sql.execution
+                  .datasources.HadoopFsRelation, _, _, _, _) =>
+                fs.location.rootPaths.exists(_.toUri.getPath == path)
+              case _ => false
+            }
+          def q = spark.read.format("graft").load(srcA)
+            .union(spark.read.format("graft").load(srcB))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              round(sumExact(col("value")).cast("double"), 6)
+                .as("total_value"))
+          val mid = q
+          val servedMid = scans(mid, vw) && !scans(mid, srcA)
+          // three source commits the streams have not yet delivered
+          GraftLog.append(evA.filter(col("event_id") % 3 === 2), srcA)
+          GraftLog.delete(spark, srcA, col("event_id") % 7 === 0)
+          GraftLog.append(evB.filter(col("event_id") % 5 === 3), srcB)
+          val stale = q
+          val fellBack = scans(stale, srcA) && !scans(stale, vw)
+          // kill/resume: FRESH stream instances on the same
+          // checkpoints deliver exactly the missed versions
+          drain(srcA, ckA); drain(srcB, ckB)
+          val before = GraftLog.latestVersion(spark, vw)
+          drain(srcA, ckA); drain(srcB, ckB)      // pure replay
+          val replayNoop =
+            GraftLog.latestVersion(spark, vw) == before
+          val after = q
+          val servedAfter = scans(after, vw) && !scans(after, srcA)
+          (vw, servedMid, fellBack, servedAfter, replayNoop)
+        } finally {
+          graft.sql.MvRegistry.unregister(srcA)
+          graft.sql.MvRegistry.unregister(srcB)
+        }
+      })
+    read(spark, view, "event_type")
+      .withColumn("served_mid", lit(servedMid))
+      .withColumn("fell_back", lit(fellBack))
+      .withColumn("served_after", lit(servedAfter))
+      .withColumn("replay_noop", lit(replayNoop))
+  }
+
   private val stagedStream =
     new scala.collection.concurrent.TrieMap[String, (String, Boolean)]
+
+  /** One delivered CDF micro-batch folded into the view's delta log:
+    * one version-keyed ledger append per `_commit_version` present in
+    * the batch, under `appId` — shared by the single-source stream
+    * (i29) and the multi-channel union form (i31). The ledger, not
+    * the stream checkpoint, is the exactly-once authority: replayed
+    * versions are rejected atomically with the data commit. */
+  private def foldCdfMicroBatch(b: DataFrame, view: String,
+      appId: String): Unit = {
+    val spark = b.sparkSession
+    val vs = b.select(col("_commit_version")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    vs.foreach { v =>
+      val bv = b.filter(col("_commit_version") === v)
+      val deltas = bv.select(col("event_type"),
+          when(col("_change_type")
+              .isin("insert", "update_postimage"), lit(1L))
+            .otherwise(lit(-1L)).as("__sign"),
+          col("value").as("__v"),
+          col("value").cast("double").as("__vd"))
+        .withColumn("__sq",
+          (col("__sign") * col("__vd") * col("__vd"))
+            .cast("decimal(38,10)"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("__sign")).as("d_count"),
+          sumExact(col("__sign") * col("__v")).as("d_value"),
+          sum(col("__sq")).as("d_sumsq"),
+          sum(col("__sign") * when(col("__v").isNull, 0L)
+            .otherwise(1L)).as("d_vcount"),
+          max(col("__vd").isNotNull && col("__sq").isNull)
+            .as("__sq_of"))
+        .persist()
+      val poisoned = deltas.filter(col("__sq_of") === true)
+        .limit(1).count() > 0
+      if (!deltas.isEmpty) {
+        GraftLog.txnAppend(deltas.drop("__sq_of"), view, appId, v); ()
+      }
+      if (poisoned)
+        GraftLog.setProperties(spark, view,
+          Map(SumsqOverflowProp -> "true")): Unit
+      deltas.unpersist(); ()
+    }
+  }
 
   /** i29 — the STREAMING form of [[maintain]]: the CDF readStream
     * (`includePreimages` — the fold needs the old value to subtract)
@@ -886,40 +1026,7 @@ object AggView {
           .load(src)
           .writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val vs = b.select(col("_commit_version")).distinct()
-              .collect().map(_.getLong(0)).sorted
-            vs.foreach { v =>
-              val bv = b.filter(col("_commit_version") === v)
-              val deltas = bv.select(col("event_type"),
-                  when(col("_change_type")
-                      .isin("insert", "update_postimage"), lit(1L))
-                    .otherwise(lit(-1L)).as("__sign"),
-                  col("value").as("__v"),
-                  col("value").cast("double").as("__vd"))
-                .withColumn("__sq",
-                  (col("__sign") * col("__vd") * col("__vd"))
-                    .cast("decimal(38,10)"))
-                .groupBy(col("event_type"))
-                .agg(sum(col("__sign")).as("d_count"),
-                  sumExact(col("__sign") * col("__v")).as("d_value"),
-                  sum(col("__sq")).as("d_sumsq"),
-                  sum(col("__sign") * when(col("__v").isNull, 0L)
-                    .otherwise(1L)).as("d_vcount"),
-                  max(col("__vd").isNotNull && col("__sq").isNull)
-                    .as("__sq_of"))
-                .persist()
-              val poisoned = deltas.filter(col("__sq_of") === true)
-                .limit(1).count() > 0
-              if (!deltas.isEmpty) {
-                GraftLog.txnAppend(deltas.drop("__sq_of"), vw,
-                  s"$AppId-stream", v); ()
-              }
-              if (poisoned)
-                GraftLog.setProperties(spark, vw,
-                  Map(SumsqOverflowProp -> "true")): Unit
-              deltas.unpersist(); ()
-            }
-            ()
+            foldCdfMicroBatch(b, vw, s"$AppId-stream")
           }
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
