@@ -509,6 +509,22 @@ class AggViewSpec extends AnyFunSuite {
       assert(applied == 0, "already-current REFRESH must fold nothing")
       assert(scans(q, view),
         "REFRESH must re-register purely from table properties")
+      // CREATE … COMPENSATE: the SQL-created view serves even while
+      // STALE (view ∪ CDF tail — the d29 path through the DDL surface)
+      val viewC = s"$root/ddl_view_c"
+      spark.sql(s"DROP MATERIALIZED VIEW '$view'")
+      spark.sql(
+        s"CREATE MATERIALIZED VIEW '$viewC' KEY id COMPENSATE AS $defSql")
+      GraftLog.append(srcDf(100 until 120), src) // un-refreshed commit
+      val comp = q
+      assert(scans(comp, viewC) && !scans(comp, src),
+        "a COMPENSATE view must serve while stale via the CDF tail")
+      // compare against the log-direct recompute: the CACHED catalog
+      // relation is stale until REFRESH TABLE (Spark's own caching),
+      // while the compensated plan is current by construction
+      assert(comp.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        == recompute(src), "the compensated answer must be CURRENT")
       // refusals, each loud: non-aggregate defining query; more than
       // one value column; REFRESH of a table that is not an MV
       intercept[Exception](spark.sql(
