@@ -537,6 +537,22 @@ object GraftLog {
       try { checkpoint(spark, table, Some(withMeta.version)); () }
       catch { case scala.util.control.NonFatal(_) => () }
     maybeUpdateManifest(spark, table, withMeta)
+    // catalog-table freshness: a CATALOG table backed by this path
+    // caches its resolved relation in the session's V1 relation cache
+    // (keyed by table NAME, which a path-level commit cannot know), so
+    // an API-path commit would otherwise stay invisible to SQL readers
+    // until a manual REFRESH TABLE — plain-parquet behavior, but a
+    // transactional format owes readers the latest commit (Delta gets
+    // this from its DSv2 catalog). Drop every relation pin (the
+    // metadata cache only — cached DATA and already-analyzed plans
+    // keep their pinned snapshots, exactly the time-travel contract);
+    // re-resolution costs one log snapshot read per catalog table
+    // actually read next. Best-effort: freshness must never fail a
+    // durable commit.
+    try {
+      spark.catalog.refreshByPath(table)
+      spark.sessionState.catalog.invalidateAllCachedTables()
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Commits between automatic checkpoints (Delta's own cadence). */

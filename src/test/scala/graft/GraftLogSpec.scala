@@ -44,6 +44,25 @@ class GraftLogSpec extends AnyFunSuite {
       "grown table must drop analyze-time string bounds")
   }
 
+  test("API-path commits refresh cached catalog relations") {
+    val t = tmp()
+    GraftLog.overwrite(df(0 until 50, "a"), t)
+    spark.sql("DROP TABLE IF EXISTS glog_fresh_t")
+    spark.sql(s"CREATE TABLE glog_fresh_t USING graft OPTIONS (path '$t')")
+    try {
+      assert(spark.table("glog_fresh_t").count() == 50) // cache it
+      // an API-path write (no SQL DML command, no manual REFRESH) must
+      // be visible to the next catalog read — writeCommit invalidates
+      // the cached relation by path
+      GraftLog.append(df(50 until 80, "b"), t)
+      assert(spark.table("glog_fresh_t").count() == 80,
+        "catalog read must see the API-path append without REFRESH")
+      GraftLog.delete(spark, t, col("id") < 10)
+      assert(spark.table("glog_fresh_t").count() == 70,
+        "catalog read must see the API-path delete without REFRESH")
+    } finally spark.sql("DROP TABLE IF EXISTS glog_fresh_t")
+  }
+
   test("overwrite/append/read roundtrip + history") {
     val t = tmp()
     assert(GraftLog.overwrite(df(0 until 10, "a"), t) == 0L)
