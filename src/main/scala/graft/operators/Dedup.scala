@@ -398,10 +398,9 @@ object Dedup {
     * every repeated substring, keeping one occurrence). Every
     * spanLen-token window occurring ≥ 2 times in the corpus (within- or
     * cross-document) keeps exactly its canonical first occurrence — the
-    * minimum (doc_id, pos), packed as doc_id·2²⁰ + pos so the keeper
-    * election is one groupBy-min on the window hash (engine-portable;
-    * positions are bounded ≪ 2²⁰ by document length, and a production
-    * corpus would widen the packing or use a struct min) — and is cut
+    * lexicographic minimum (doc_id, pos), elected as one groupBy
+    * struct-min on the window hash, so no document-length or doc_id
+    * bound (Spark orders structs field-by-field natively) — and is cut
     * everywhere else. Per document: cut windows merge into spans by the
     * e15 gap fold, giving the exact token count the cleaned corpus
     * drops and keeps.
@@ -434,16 +433,19 @@ object Dedup {
     val wins = docs
       .select(col("doc_id"), col("n_toks"),
         posexplode(winHashes).as(Seq("pos", "h")))
-      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
       .transform(graft.CacheScope.tracked)
-    // keeper election: the minimum packed (doc_id, pos) among ≥ 2
-    // occurrences of each window hash
+    // keeper election: the lexicographic minimum (doc_id, pos) among
+    // ≥ 2 occurrences of each window hash — a struct min, so no
+    // packed-long bound on document length or doc_id range (a packed
+    // doc_id·2²⁰+pos key would silently alias past 2²⁰ windows)
     val keepers = wins.groupBy(col("h"))
-      .agg(min(col("okey")).as("keep_key"), count(lit(1)).as("n_occ"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
+        count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
-      .select(col("h"), col("keep_key"))
+      .select(col("h"), col("keep"))
     val cut = wins.join(keepers, Seq("h"))
-      .filter(col("okey") =!= col("keep_key"))
+      .filter(col("doc_id") =!= col("keep.doc_id") ||
+        col("pos") =!= col("keep.pos"))
     val perDoc = cut
       .groupBy(col("doc_id"), col("n_toks"))
       .agg(count(lit(1)).as("n_cut_windows"),

@@ -547,12 +547,48 @@ object GraftLog {
     // metadata cache only — cached DATA and already-analyzed plans
     // keep their pinned snapshots, exactly the time-travel contract);
     // re-resolution costs one log snapshot read per catalog table
-    // actually read next. Best-effort: freshness must never fail a
-    // durable commit.
+    // actually read next. Invalidation is SCOPED to cached relations
+    // whose scan roots match the committed path — a commit to one
+    // table must not force every other catalog table in a multi-table
+    // pipeline to re-read its log snapshot (the session-wide flush
+    // survives only as the fallback when the cache can't be
+    // enumerated). Best-effort: freshness must never fail a durable
+    // commit.
     try {
       spark.catalog.refreshByPath(table)
-      spark.sessionState.catalog.invalidateAllCachedTables()
+      invalidateCachedRelationsAt(spark, table)
     } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Drop V1 relation-cache pins for catalog tables backed by `table`
+    * (and only those). The cache keyed by table name is private to
+    * SessionCatalog with no enumeration API, so we reach it
+    * reflectively; any surprise there degrades to the old session-wide
+    * flush — correct, just broader. */
+  private def invalidateCachedRelationsAt(spark: SparkSession,
+      table: String): Unit = {
+    val sc = spark.sessionState.catalog
+    val committed = new org.apache.hadoop.fs.Path(table).toUri.getPath
+    try {
+      val m = sc.getClass.getDeclaredMethod("tableRelationCache")
+      m.setAccessible(true)
+      val cache = m.invoke(sc).asInstanceOf[org.sparkproject.guava.cache
+        .Cache[org.apache.spark.sql.catalyst.QualifiedTableName,
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
+      import scala.jdk.CollectionConverters._
+      val hits = cache.asMap().asScala.iterator.collect {
+        case (key, plan) if plan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == committed)
+          case _ => false
+        } => key
+      }.toVector
+      hits.foreach(sc.invalidateCachedTable)
+    } catch {
+      case scala.util.control.NonFatal(_) => sc.invalidateAllCachedTables()
+    }
   }
 
   /** Commits between automatic checkpoints (Delta's own cadence). */

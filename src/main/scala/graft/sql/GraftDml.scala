@@ -642,6 +642,22 @@ case class GraftCreateMvCommand(target: String, key: String,
         s"one maintainable value column expected, got: " +
           many.mkString(", "))
     }
+    // Maintenance seeds/advances the view from (groupCols, valueCol)
+    // over the FULL source — a Filter/Join/window between the
+    // Aggregate and the scan would be silently dropped from the
+    // persisted definition. Refuse those shapes loudly (same posture
+    // as the group-key/value-col refusals above) instead of creating
+    // a view that doesn't mean what the user wrote.
+    agg.child.foreach {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project => ()
+      case _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => ()
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => ()
+      case other => throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW: unmaintainable shape — only " +
+          "GROUP BY over a bare graft scan is maintainable; found " +
+          s"${other.nodeName} between the aggregate and the scan " +
+          "(filters/joins in the defining query are not supported)")
+    }
     val srcPath = analyzed.collectLeaves().collectFirst {
       case org.apache.spark.sql.execution.datasources.LogicalRelation(
         fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
@@ -732,11 +748,24 @@ case class GraftDescribeMvCommand(target: String)
 
 /** `DROP MATERIALIZED VIEW <view>` — unregister every MvDef touching
   * the view (the planner must never serve from a dropped rollup) and
-  * delete its files. */
+  * delete its files. The destructive step is gated the same way
+  * REFRESH/DESCRIBE gate their reads: the target's persisted
+  * properties must carry `graft.mv.src`, i.e. the path really holds a
+  * CREATE MATERIALIZED VIEW product. Without the gate a mistyped
+  * target — the FACT table, or any directory — would be recursively
+  * deleted; Databricks/StarRocks raise `not a materialized view`
+  * there, and so do we. */
 case class GraftDropMvCommand(target: String)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val viewPath = GraftTarget.pathOf(session, target)
+    val props =
+      try GraftLog.properties(session, viewPath)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+    if (!props.contains("graft.mv.src"))
+      throw new IllegalArgumentException(
+        s"$target is not a materialized view (no graft.mv.src " +
+          "property); refusing to delete")
     MvRegistry.unregisterMatching(viewPath)
     val p = new org.apache.hadoop.fs.Path(viewPath)
     val fs = p.getFileSystem(session.sessionState.newHadoopConf())

@@ -542,6 +542,49 @@ class AggViewSpec extends AnyFunSuite {
     }
   }
 
+  test("MV DDL guards: DROP refuses non-views; CREATE refuses " +
+      "filtered/joined shapes") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val src = s"$root/guard_src"
+    GraftLog.overwrite(srcDf(0 until 50), src)
+    spark.sql("DROP TABLE IF EXISTS mvguard_spec_t")
+    spark.sql(s"CREATE TABLE mvguard_spec_t USING graft OPTIONS (path '$src')")
+    try {
+      // DROP MATERIALIZED VIEW is the destructive statement — a
+      // mistyped target (the FACT table, or any directory) must raise
+      // `not a materialized view`, not recursively delete it
+      val e1 = intercept[Exception](
+        spark.sql(s"DROP MATERIALIZED VIEW '$src'"))
+      assert(e1.getMessage.contains("not a materialized view"))
+      assert(spark.read.format("graft").load(src).count() == 50,
+        "the mistargeted table must survive the refused DROP")
+      val stray = s"$root/stray_dir"
+      new java.io.File(stray).mkdirs()
+      new java.io.File(s"$stray/keep.txt").createNewFile()
+      val e2 = intercept[Exception](
+        spark.sql(s"DROP MATERIALIZED VIEW '$stray'"))
+      assert(e2.getMessage.contains("not a materialized view"))
+      assert(new java.io.File(s"$stray/keep.txt").exists(),
+        "an arbitrary directory must survive the refused DROP")
+      // CREATE with a WHERE or a join between the aggregate and the
+      // scan: maintenance would silently drop it — refuse loudly
+      val e3 = intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW '$root/vf' KEY id AS " +
+          "SELECT g, sum(CAST(v AS DECIMAL(38,10))) AS sv " +
+          "FROM mvguard_spec_t WHERE v > 10 GROUP BY g"))
+      assert(e3.getMessage.contains("unmaintainable shape"))
+      val e4 = intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW '$root/vj' KEY id AS " +
+          "SELECT a.g, sum(CAST(a.v AS DECIMAL(38,10))) AS sv " +
+          "FROM mvguard_spec_t a JOIN mvguard_spec_t b ON a.id = b.id " +
+          "GROUP BY a.g"))
+      assert(e4.getMessage.contains("unmaintainable shape"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mvguard_spec_t")
+      graft.sql.MvRegistry.unregisterMatching(src)
+    }
+  }
+
   test("MV rewrite serves SQL text and derived averages") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view) = (s"$root/sql_src", s"$root/sql_view")

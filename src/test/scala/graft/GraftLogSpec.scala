@@ -60,6 +60,26 @@ class GraftLogSpec extends AnyFunSuite {
       GraftLog.delete(spark, t, col("id") < 10)
       assert(spark.table("glog_fresh_t").count() == 70,
         "catalog read must see the API-path delete without REFRESH")
+      // …and the invalidation is SCOPED: a commit to THIS table must
+      // not evict an unrelated table's cached relation (a multi-table
+      // pipeline would otherwise re-read every log snapshot per commit)
+      val t2 = tmp()
+      GraftLog.overwrite(df(0 until 5, "z"), t2)
+      spark.sql("DROP TABLE IF EXISTS glog_fresh_other")
+      spark.sql(
+        s"CREATE TABLE glog_fresh_other USING graft OPTIONS (path '$t2')")
+      assert(spark.table("glog_fresh_other").count() == 5) // cache it
+      val key = org.apache.spark.sql.catalyst.QualifiedTableName(
+        "spark_catalog", // CatalogManager.SESSION_CATALOG_NAME (private[sql])
+        spark.sessionState.catalog.getCurrentDatabase, "glog_fresh_other")
+      assert(spark.sessionState.catalog.getCachedTable(key) != null,
+        "precondition: the unrelated relation is cached")
+      GraftLog.append(df(80 until 90, "c"), t)
+      assert(spark.sessionState.catalog.getCachedTable(key) != null,
+        "a commit to one table must not flush other tables' pins")
+      assert(spark.table("glog_fresh_t").count() == 80,
+        "the committed table itself is fresh")
+      spark.sql("DROP TABLE IF EXISTS glog_fresh_other")
     } finally spark.sql("DROP TABLE IF EXISTS glog_fresh_t")
   }
 
