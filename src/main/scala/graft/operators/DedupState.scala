@@ -259,6 +259,78 @@ object DedupState {
       .select("content_hash").distinct()
   }
 
+  /** Bloom-gated, prefix-pruned membership probe: the subset of
+    * `batchH`'s digests (`content_hash`, `h2`) present in the state.
+    * The Bloom gate bounds the exact probe's candidate set by the
+    * BATCH (a false positive costs one pruned lookup, never a wrong
+    * answer); the prefix filter bounds the state read to the
+    * candidates' partitions. Output is batch-bounded and exact.
+    * Shared by [[probeAndAdvance]] and the e23 incremental pipeline
+    * ([[Pipeline.trainingDataPipelineIncremental]]). */
+  private[graft] def pruneProbe(spark: SparkSession, state: String,
+      sc: Sidecar, batchH: DataFrame): DataFrame = {
+    val bBloom = spark.sparkContext.broadcast(sc.bloom)
+    val mightContain =
+      udf((h: String) => bBloom.value.mightContainString(h))
+    val cand = batchH.filter(mightContain(col("content_hash")))
+      .select("content_hash", "h2").distinct()
+      .transform(graft.CacheScope.tracked)
+    presentProbe(spark, state, cand)
+  }
+
+  /** Ledger-stamped state advance: append `novel` (`content_hash`,
+    * `h2`) under (appId, batchId) and roll the Bloom sidecar forward
+    * by a bitwise fold of ONLY the novel digests. `sc = None` means a
+    * fresh state (first wave; the table may not exist yet): the commit
+    * creates the prefix-partitioned layout, opts into write-path
+    * compaction, and the sidecar bootstraps from the (batch-sized)
+    * state scan. A ledger-rejected (replayed) commit leaves the
+    * sidecar untouched. */
+  private[graft] def advance(spark: SparkSession, state: String,
+      sc: Option[Sidecar], novel: DataFrame, appId: String,
+      batchId: Long, prefixLen: Int = 2, fpp: Double = 0.01): Unit = {
+    val novelC = novel.transform(graft.CacheScope.tracked)
+    val nNovel = novelC.count()
+    val committed = GraftLog.txnAppendPartitioned(novelC, state, appId,
+      batchId, Seq("h2"))
+    if (!committed) return
+    val v = GraftLog.latestVersion(spark, state).get
+    sc match {
+      case None =>
+        GraftLog.setProperties(spark, state, Map(
+          "graft.autoCompact" -> "true",
+          "graft.autoCompact.minNumFiles" -> "8")): Unit
+        rebuild(spark, state,
+          GraftLog.latestVersion(spark, state).get, fpp, prefixLen): Unit
+      case Some(s) if nNovel > 0 =>
+        if (v != s.version + 1) {
+          // a concurrent writer interleaved between our sidecar load
+          // and our append: the locally-merged bitset would silently
+          // MISS its digests (false negatives → duplicate state rows
+          // and wrong verdicts downstream). Reconcile through the load
+          // path — it folds the CDF of every version past the newest
+          // persisted sidecar, covering theirs AND ours.
+          loadSidecar(spark, state): Unit
+        } else if (s.inserted + nNovel > s.expected) {
+          rebuild(spark, state, v, s.fpp, s.prefixLen); ()
+        } else {
+          // steady state: fold ONLY the novel digests into the loaded
+          // bitset (same layout → bitwise OR), stamp at the new version
+          s.bloom.mergeInPlace(
+            novelC.stat.bloomFilter("content_hash", s.expected, s.fpp))
+          saveSidecar(spark, state, v, s.bloom, s.expected, s.fpp,
+            s.inserted + nNovel, s.prefixLen)
+        }
+      case Some(s) =>
+        // zero novel digests but the ledger advanced the version:
+        // re-stamp the unchanged bitset so the next load stays
+        // steady-state (no catch-up fold)
+        if (v != s.version)
+          saveSidecar(spark, state, v, s.bloom, s.expected, s.fpp,
+            s.inserted, s.prefixLen)
+    }
+  }
+
   /** One rolling-ingest step: verdicts for `batch` (`doc_id`, `text`)
     * against the current state, then the state advances by the batch's
     * novel digests in one idempotent ledger-stamped commit and the
@@ -270,22 +342,16 @@ object DedupState {
     * per appId, so each concurrent writer must carry its OWN `appId`
     * (its stream identity); batch ids stay idempotent within it.
     * Interleaved commits are reconciled on the sidecar save path — see
-    * the version check below. */
+    * [[advance]]. */
   def probeAndAdvance(spark: SparkSession, state: String,
       batch: DataFrame, batchId: Long, appId: String = AppId)
       : DataFrame = {
     val sc = loadSidecar(spark, state)
-    val bBloom = spark.sparkContext.broadcast(sc.bloom)
-    val mightContain =
-      udf((h: String) => bBloom.value.mightContainString(h))
     val batchH = batch
       .withColumn("content_hash", sha2(col("text"), 256))
       .withColumn("h2", substring(col("content_hash"), 1, sc.prefixLen))
       .transform(graft.CacheScope.tracked)
-    val cand = batchH.filter(mightContain(col("content_hash")))
-      .select("content_hash", "h2").distinct()
-      .transform(graft.CacheScope.tracked)
-    val present = presentProbe(spark, state, cand)
+    val present = pruneProbe(spark, state, sc, batchH)
       .withColumn("__dup", lit(true))
       .transform(graft.CacheScope.tracked)
     val verdicts = batchH
@@ -300,31 +366,8 @@ object DedupState {
     val novel = batchH
       .join(broadcast(present), Seq("content_hash"), "left_anti")
       .select("content_hash", "h2").distinct()
-      .transform(graft.CacheScope.tracked)
-    val nNovel = novel.count()
-    val committed = GraftLog.txnAppendPartitioned(novel, state, appId,
-      batchId, Seq("h2"))
-    if (committed && nNovel > 0) {
-      val v = GraftLog.latestVersion(spark, state).get
-      if (v != sc.version + 1) {
-        // a concurrent writer committed between our sidecar load and
-        // our append: the locally-merged bitset would silently MISS its
-        // digests (Bloom false negatives → duplicate state rows and
-        // wrong verdicts downstream). Reconcile through the load path
-        // instead — it folds the CDF of every version past the newest
-        // persisted sidecar, covering theirs AND ours.
-        loadSidecar(spark, state): Unit
-      } else if (sc.inserted + nNovel > sc.expected) {
-        rebuild(spark, state, v, sc.fpp, sc.prefixLen); ()
-      } else {
-        // steady state: fold ONLY the novel digests into the loaded
-        // bitset (same layout → bitwise OR), stamp at the new version
-        sc.bloom.mergeInPlace(
-          novel.stat.bloomFilter("content_hash", sc.expected, sc.fpp))
-        saveSidecar(spark, state, v, sc.bloom, sc.expected, sc.fpp,
-          sc.inserted + nNovel, sc.prefixLen)
-      }
-    }
+    advance(spark, state, Some(sc), novel, appId, batchId,
+      sc.prefixLen, sc.fpp)
     verdicts
   }
 

@@ -211,6 +211,127 @@ object NearDupState {
         when(x === y, lit(1)).otherwise(lit(0))),
       lit(0), (acc, x) => acc + x).cast("double") / lit(NumPerm)
 
+  /** Bloom-gated, partition-pruned, hot-band-salted join of a banded
+    * batch frame against the persisted band index: one row per
+    * state×batch band-key match, `(bk, doc_a, sig_a, doc_b, sig_b)`
+    * with the `_a` side from STATE. `b` needs columns
+    * (bk, bp, doc_id, sig). The pair set is IDENTICAL to the unpruned,
+    * unsalted join: the Bloom admits every present key (reconciled
+    * sidecars have no false negatives; a false positive costs one
+    * pruned lookup), `bp` pruning keeps every partition a matching key
+    * lives in (bp is a function of bk), and the salted hot-band path
+    * meets each state×batch pair on exactly one salt. Shared by
+    * [[probeAndAdvance]] and the e23 incremental pipeline. */
+  private[graft] def prunedBandJoin(spark: SparkSession, state: String,
+      sc: Sidecar, b: DataFrame, hotBandThreshold: Int = 256,
+      saltBuckets: Int = 16): DataFrame = {
+    val bBloom = spark.sparkContext.broadcast(sc.bloom)
+    val mightContain =
+      udf((k: String) => bBloom.value.mightContainString(k))
+    // Bloom gate: only band keys the state MIGHT contain become
+    // candidates (exact band equality is re-checked by the join below)
+    val cand = b.filter(mightContain(col("bk")))
+      .select(col("bk"), col("bp"), col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"))
+      .transform(graft.CacheScope.tracked)
+    val bps = cand.select("bp").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val stateSide = GraftLog.read(spark, state)
+      .filter(col("bp").isin(bps: _*)) // static partition pruning
+      .select(col("bk"), col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"))
+      .transform(graft.CacheScope.tracked)
+    // HOT-BAND detection: one viral boilerplate string gives many
+    // state docs the SAME band key, and an unsalted bk join puts
+    // |state ∩ bk| × |batch ∩ bk| verify work in one key group. Band
+    // keys above the threshold (counted over the PRUNED candidate
+    // partitions only — cheap) verify through a SALTED (bk, salt)
+    // join instead: state rows salted by doc hash, candidate rows
+    // replicated across all salts — the IDENTICAL pair set (each
+    // state×cand pair meets on exactly one salt), with every join
+    // group bounded by ~hotBandThreshold/saltBuckets state rows.
+    // j7's skew-join discipline applied to the LSH band index.
+    val hotKeys = stateSide.groupBy(col("bk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotBandThreshold)
+      .select(col("bk"))
+      .transform(graft.CacheScope.tracked)
+    if (hotKeys.limit(1).count() == 0)
+      stateSide.join(broadcast(cand), Seq("bk"))
+    else {
+      val cold = stateSide
+        .join(broadcast(hotKeys), Seq("bk"), "left_anti")
+        .join(broadcast(cand), Seq("bk"))
+      val hotState = stateSide
+        .join(broadcast(hotKeys), Seq("bk"), "left_semi")
+        .withColumn("__salt",
+          pmod(xxhash64(col("doc_a")), lit(saltBuckets.toLong))
+            .cast("int"))
+      val hotCand = cand
+        .join(broadcast(hotKeys), Seq("bk"), "left_semi")
+        .withColumn("__salt",
+          explode(array((0 until saltBuckets).map(lit(_)): _*)))
+      cold.unionByName(
+        hotState.join(hotCand, Seq("bk", "__salt")).drop("__salt"))
+    }
+  }
+
+  /** Ledger-stamped state advance: append `kept` band rows (any frame
+    * carrying `bk` and the `bp` partition column) under
+    * (appId, batchId) and roll the band-key Bloom sidecar forward.
+    * `sc = None` means a fresh state (first wave): the commit creates
+    * the bp-partitioned layout, opts into write-path compaction, and
+    * the sidecar bootstraps from the (batch-sized) state scan. A
+    * ledger-rejected commit leaves the sidecar untouched. */
+  private[graft] def advance(spark: SparkSession, state: String,
+      sc: Option[Sidecar], kept: DataFrame, appId: String,
+      batchId: Long, fpp: Double = 0.01): Unit = {
+    val keptC = kept.repartition(col("bp")) // one writer per dir
+      .transform(graft.CacheScope.tracked)
+    val keptKeys = keptC.select("bk")
+      .transform(graft.CacheScope.tracked)
+    val nKept = keptKeys.count()
+    val committed = GraftLog.txnAppendPartitioned(keptC, state, appId,
+      batchId, Seq("bp"))
+    if (!committed) return
+    val v = GraftLog.latestVersion(spark, state).get
+    sc match {
+      case None =>
+        GraftLog.setProperties(spark, state, Map(
+          "graft.autoCompact" -> "true",
+          "graft.autoCompact.minNumFiles" -> "8")): Unit
+        rebuild(spark, state,
+          GraftLog.latestVersion(spark, state).get): Unit
+      case Some(s) =>
+        if (v != s.version + 1) {
+          // a concurrent writer interleaved between our sidecar load
+          // and our append — the local bitset misses its band keys
+          // (false negatives → missed near-dups). Reconcile via the
+          // load path: this module's lean form rebuilds key-only at
+          // the current version (the rare race, never steady state).
+          loadSidecar(spark, state): Unit
+        } else if (nKept == 0)
+          // the ledger commit advanced the table with zero new keys —
+          // re-stamp the unchanged bitset at the new version so the
+          // next load stays steady-state
+          saveSidecar(spark, state, v, s.bloom, s.expected, s.fpp,
+            s.inserted)
+        else if (s.inserted + nKept > s.expected) {
+          val keys = GraftLog.read(spark, state).select("bk")
+          val cnt = keys.count()
+          val expected = math.max(cnt * 4, 1024L)
+          saveSidecar(spark, state, v,
+            keys.stat.bloomFilter("bk", expected, s.fpp), expected,
+            s.fpp, cnt)
+        } else {
+          s.bloom.mergeInPlace(
+            keptKeys.stat.bloomFilter("bk", s.expected, s.fpp))
+          saveSidecar(spark, state, v, s.bloom, s.expected, s.fpp,
+            s.inserted + nKept)
+        }
+    }
+  }
+
   /** One rolling step: near-dup verdicts for `batch` (`doc_id`,
     * `text`) against the CURRENT state, then the state advances by the
     * non-duplicate docs' band rows in one ledger-stamped commit and
@@ -244,56 +365,10 @@ object NearDupState {
       GraftLog.read(spark, verdictTable.get)
         .filter(col("batch_id") === batchId)
     else {
-      val bBloom = spark.sparkContext.broadcast(sc.bloom)
-      val mightContain =
-        udf((k: String) => bBloom.value.mightContainString(k))
-      // Bloom gate: only band keys the state MIGHT contain become
-      // candidates (exact band equality is re-checked by the join below;
-      // Bloom false positives cost one pruned lookup, never a verdict)
-      val cand = b.filter(mightContain(col("bk")))
-        .select(col("bk"), col("bp"), col("doc_id").as("doc_b"),
-          col("sig").as("sig_b"))
-        .transform(graft.CacheScope.tracked)
-      val bps = cand.select("bp").distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val stateSide = GraftLog.read(spark, state)
-        .filter(col("bp").isin(bps: _*)) // static partition pruning
-        .select(col("bk"), col("doc_id").as("doc_c"),
-          col("sig").as("sig_c"))
-        .transform(graft.CacheScope.tracked)
-      // HOT-BAND detection: one viral boilerplate string gives many
-      // state docs the SAME band key, and an unsalted bk join puts
-      // |state ∩ bk| × |batch ∩ bk| verify work in one key group. Band
-      // keys above the threshold (counted over the PRUNED candidate
-      // partitions only — cheap) verify through a SALTED (bk, salt)
-      // join instead: state rows salted by doc hash, candidate rows
-      // replicated across all salts — the IDENTICAL pair set (each
-      // state×cand pair meets on exactly one salt), with every join
-      // group bounded by ~hotBandThreshold/saltBuckets state rows.
-      // j7's skew-join discipline applied to the LSH band index.
-      val hotKeys = stateSide.groupBy(col("bk"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > hotBandThreshold)
-        .select(col("bk"))
-        .transform(graft.CacheScope.tracked)
-      val joined = if (hotKeys.limit(1).count() == 0)
-        stateSide.join(broadcast(cand), Seq("bk"))
-      else {
-        val cold = stateSide
-          .join(broadcast(hotKeys), Seq("bk"), "left_anti")
-          .join(broadcast(cand), Seq("bk"))
-        val hotState = stateSide
-          .join(broadcast(hotKeys), Seq("bk"), "left_semi")
-          .withColumn("__salt",
-            pmod(xxhash64(col("doc_c")), lit(saltBuckets.toLong))
-              .cast("int"))
-        val hotCand = cand
-          .join(broadcast(hotKeys), Seq("bk"), "left_semi")
-          .withColumn("__salt",
-            explode(array((0 until saltBuckets).map(lit(_)): _*)))
-        cold.unionByName(
-          hotState.join(hotCand, Seq("bk", "__salt")).drop("__salt"))
-      }
+      val joined = prunedBandJoin(spark, state, sc, b,
+          hotBandThreshold, saltBuckets)
+        .select(col("bk"), col("doc_a").as("doc_c"),
+          col("sig_a").as("sig_c"), col("doc_b"), col("sig_b"))
       val verified = joined
         .withColumn("est", sigEst(col("sig_b"), col("sig_c")))
         .filter(col("est") >= threshold)
@@ -315,41 +390,7 @@ object NearDupState {
         verdicts.filter(col("is_near_dup")).select("doc_id"),
         Seq("doc_id"), "left_anti")
       .select("bk", "band", "doc_id", "sig", "bp")
-      .repartition(col("bp")) // one writer per dir, not one per task
-    val keptKeys = kept.select("bk")
-      .transform(graft.CacheScope.tracked)
-    val nKept = keptKeys.count()
-    val committed = GraftLog.txnAppendPartitioned(kept, state, appId,
-      batchId, Seq("bp"))
-    if (committed) {
-      val v = GraftLog.latestVersion(spark, state).get
-      if (v != sc.version + 1) {
-        // a concurrent writer interleaved between our sidecar load and
-        // our append — the local bitset misses its band keys (false
-        // negatives → missed near-dups). Reconcile via the load path:
-        // this module's lean form rebuilds key-only at the current
-        // version (the rare race, never the steady state).
-        loadSidecar(spark, state): Unit
-      } else if (nKept == 0)
-        // the ledger commit advanced the table with zero new keys
-        // (every batch doc was a near-dup) — re-stamp the unchanged
-        // bitset at the new version so the next load stays steady-state
-        saveSidecar(spark, state, v, sc.bloom, sc.expected, sc.fpp,
-          sc.inserted)
-      else if (sc.inserted + nKept > sc.expected) {
-        val keys = GraftLog.read(spark, state).select("bk")
-        val cnt = keys.count()
-        val expected = math.max(cnt * 4, 1024L)
-        saveSidecar(spark, state, v,
-          keys.stat.bloomFilter("bk", expected, sc.fpp), expected,
-          sc.fpp, cnt)
-      } else {
-        sc.bloom.mergeInPlace(
-          keptKeys.stat.bloomFilter("bk", sc.expected, sc.fpp))
-        saveSidecar(spark, state, v, sc.bloom, sc.expected, sc.fpp,
-          sc.inserted + nKept)
-      }
-    }
+    advance(spark, state, Some(sc), kept, appId, batchId, sc.fpp)
     verdicts
   }
 

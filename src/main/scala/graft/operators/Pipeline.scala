@@ -52,14 +52,27 @@ object Pipeline {
     .select(col("doc_id"), graft.functions.SketchExpressions
       .shingle_minhash(col("toks"), 3, Bands * Rows).as("sig"))
 
-  /** One row per (doc, band): `bk` is the band id plus its signature
-    * slice joined injectively — band equality as ONE equi-join key, so
-    * a persisted band index and an in-flight batch join identically. */
-  private def bandFrame(sigs: DataFrame): DataFrame = sigs
-    .select(col("doc_id"), explode(array((0 until Bands).map { b =>
+  /** `bk`: the band id plus its signature slice joined injectively —
+    * band equality as ONE equi-join key, so a persisted band index and
+    * an in-flight batch join identically. One exploded row per band. */
+  private def bkCol: org.apache.spark.sql.Column =
+    explode(array((0 until Bands).map { b =>
       concat_ws(":", (lit(b) +: (0 until Rows).map(r =>
         col("sig").getItem(b * Rows + r))): _*)
-    }: _*)).as("bk"))
+    }: _*)).as("bk")
+
+  /** One row per (doc, band). */
+  private def bandFrame(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), bkCol)
+
+  /** Signature-estimated Jaccard for a pair of signature arrays —
+    * ONE expression shared by the batch and incremental paths, so the
+    * two runs' verify filters are bit-identical. */
+  private def sigEstCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") /
+      lit(Bands * Rows * 1.0)
 
   /** Verified near-dup drops among `cand` (doc_a < doc_b) pairs:
     * signature-estimated Jaccard ≥ 0.5 drops the LARGER id
@@ -70,12 +83,17 @@ object Pipeline {
       col("sig").as("sig_a")), Seq("doc_a"))
     .join(allSigs.select(col("doc_id").as("doc_b"),
       col("sig").as("sig_b")), Seq("doc_b"))
-    .withColumn("est", aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (a, v) => a + v).cast("double") / lit(Bands * Rows * 1.0))
+    .withColumn("est", sigEstCol(col("sig_a"), col("sig_b")))
     .filter(col("est") >= 0.5)
     .select(col("doc_b").as("doc_id")).distinct()
+
+  /** [[bandFrame]] carrying the signature and the
+    * [[NearDupState]]-convention partition key `bp = hash(bk) mod 64` —
+    * the shape the persisted e23 band index stores and probes. */
+  private def bandFrameSig(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"), bkCol)
+      .withColumn("bp",
+        pmod(xxhash64(col("bk")), lit(64L)).cast("int"))
 
   /** The g20 quality score as one codegen'd projection: keeps
     * (doc_id, lang, text, n_tokens, quality_score). */
@@ -137,9 +155,17 @@ object Pipeline {
     val root = Staging.scratchDir("graft_pipe_")
     val bronze = s"$root/bronze"
     stageBronze(spark, sfDir, bronze)
+    batchStages(spark, spark.read.format("graft").load(bronze))
+  }
 
+  /** Stages 1–5 of the batch run over an already-ingested corpus —
+    * the REFERENCE SEMANTICS the incremental form must reproduce
+    * bit-for-bit; exposed so the many-wave property spec can fold an
+    * arbitrary commit history and compare. */
+  private[graft] def batchStages(spark: SparkSession,
+      ingestedIn: DataFrame): DataFrame = {
     // ---- stage 0: INGEST
-    val ingested = spark.read.format("graft").load(bronze)
+    val ingested = ingestedIn
       .transform(graft.CacheScope.tracked)
     val nIngested = ingested.count()
 
@@ -213,15 +239,22 @@ object Pipeline {
     * (the AggView/i30 exactly-once discipline — a replayed wave is a
     * per-table ledger no-op):
     *
-    *   - `st_digest` (h): every kept digest — the e18-style exact-dedup
-    *     state a new batch anti-joins (at 100 TB: a digest shuffle of
-    *     the BATCH probing a hash-partitioned state, never a rescan);
-    *   - `st_sig` (doc_id, sig) + `st_band` (doc_id, bk): the e20/i30
-    *     LSH band index over ALL exact survivors — including near-dup
-    *     DROPPED docs, deliberately: batch semantics drop any doc
-    *     paired with ANY earlier survivor, so the probe side must see
-    *     exactly the batch run's pair universe (state∪batch candidates
-    *     = the batch run's pairs restricted to this wave's doc_b side);
+    *   - `st_digest` (content_hash, h2): every kept digest in the
+    *     [[DedupState]] layout — hive-partitioned by the 2-char digest
+    *     prefix with a versioned Bloom sidecar, so a wave's anti-join
+    *     is a Bloom-gated, prefix-PRUNED probe reading only the state
+    *     partitions its own candidates touch (at 100 TB: O(batch)
+    *     probes, never a state rescan);
+    *   - `st_band` (bk, doc_id, sig, bp): the e20/i30 LSH band index
+    *     over ALL exact survivors — including near-dup DROPPED docs,
+    *     deliberately: batch semantics drop any doc paired with ANY
+    *     earlier survivor, so the probe side must see exactly the
+    *     batch run's pair universe (state∪batch candidates = the batch
+    *     run's pairs restricted to this wave's doc_b side). Stored in
+    *     the [[NearDupState]] layout (bp-partitioned, band-key Bloom
+    *     sidecar) and probed via its Bloom-gated pruned join with the
+    *     hot-band salted verify; band rows CARRY their signature, so
+    *     there is no separate signature state to scan;
     *   - `st_lang` (lang, d_tokens): per-language packed-token deltas —
     *     the packer's running offset continues from their fold, so a
     *     wave appends to the last OPEN sequence per language (partial
@@ -242,8 +275,35 @@ object Pipeline {
     val root = Staging.scratchDir("graft_pipei_")
     val bronze = s"$root/bronze"
     stageBronze(spark, sfDir, bronze)
-    val (stDigest, stSig, stBand) =
-      (s"$root/st_digest", s"$root/st_sig", s"$root/st_band")
+    pipelineAdvance(spark, bronze, root, 0L): Unit // wave A: base corpus
+    pipelineAdvance(spark, bronze, root, 2L): Unit // wave B: both twins
+    val replayNoop =                      // absorbed waves re-deliver
+      pipelineAdvance(spark, bronze, root, 2L) == 0
+    foldResult(spark, root, replayNoop)
+  }
+
+  /** Digest-prefix length of the e23 exact-dedup state: 2 hex chars =
+    * 256 partitions, the 100 TB setting ([[DedupState]]'s sandbox
+    * forms use 1; the pipeline keeps the production layout because the
+    * pruning spec pins the per-wave probe to a partition subset). */
+  private val DigestPrefixLen = 2
+
+  /** One incremental advance of the composed pipeline over bronze
+    * versions (high-water, target]; state tables live under `root`.
+    * Returns 0 when the target is already absorbed (the replay pin).
+    *
+    * Per-wave state cost is O(batch), never O(corpus): the exact-dedup
+    * probe routes through [[DedupState.pruneProbe]] (Bloom sidecar
+    * gate + digest-prefix static partition pruning) and the band-index
+    * probe through [[NearDupState.prunedBandJoin]] (band-key Bloom
+    * gate + `bp` partition pruning + hot-band salted verify), so a
+    * wave reads only the state partitions its own candidates touch —
+    * the e19/e20 rolling-state discipline applied to the composed
+    * pipeline. Band rows carry their signature, so verification needs
+    * no separate signature-state scan at all. */
+  private[graft] def pipelineAdvance(spark: SparkSession,
+      bronze: String, root: String, target: Long): Int = {
+    val (stDigest, stBand) = (s"$root/st_digest", s"$root/st_band")
     val (stLang, stPack, stAudit) =
       (s"$root/st_lang", s"$root/st_pack", s"$root/st_audit")
     val appId = "graft-pipeline-incr"
@@ -252,118 +312,142 @@ object Pipeline {
       if (GraftLog.versions(spark, path).nonEmpty)
         GraftLog.read(spark, path) else empty
 
-    // advance the pipeline over bronze versions (high-water, target];
-    // returns 0 when the target is already absorbed (the replay pin)
-    def processUpTo(target: Long): Int = {
-      val from = GraftLog.lastCommittedBatch(spark, stAudit, appId)
-        .getOrElse(-1L)
-      val vs = GraftLog.versions(spark, bronze)
-        .filter(v => v > from && v <= target)
-      if (vs.isEmpty) return 0
-      val newDocs = vs.map(v =>
-          GraftLog.changesAt(spark, bronze, Seq("doc_id"), v)
-            .filter(col("_change_type") === "insert")
-            .select(col("doc_id"), col("lang"), col("source"),
-              col("text")))
-        .reduce(_ unionByName _)
-        .transform(graft.CacheScope.tracked)
-      val nIn = newDocs.count()
+    val from = GraftLog.lastCommittedBatch(spark, stAudit, appId)
+      .getOrElse(-1L)
+    val vs = GraftLog.versions(spark, bronze)
+      .filter(v => v > from && v <= target)
+    if (vs.isEmpty) return 0
+    val newDocs = vs.map(v =>
+        GraftLog.changesAt(spark, bronze, Seq("doc_id"), v)
+          .filter(col("_change_type") === "insert")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("text")))
+      .reduce(_ unionByName _)
+      .transform(graft.CacheScope.tracked)
+    val nIn = newDocs.count()
 
-      // exact dedup: min-id winner WITHIN the wave, then the digest
-      // state drops anything any earlier wave kept
-      val withH = newDocs.withColumn("h", sha2(col("text"), 256))
-      val winners = withH.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("keep_id"))
-      val waveWinners = withH.join(winners, Seq("h"))
-        .filter(col("doc_id") === col("keep_id"))
-      val exactKept = waveWinners
-        .join(stateOr(stDigest, waveWinners.select("h").limit(0)),
-          Seq("h"), "left_anti")
-        .select(col("h"), col("doc_id"), col("lang"), col("text"))
-        .transform(graft.CacheScope.tracked)
-      val nEx = exactKept.count()
+    // exact dedup: min-id winner WITHIN the wave, then the digest
+    // state drops anything any earlier wave kept — probed via the
+    // Bloom-gated, prefix-pruned machinery, never a whole-state scan
+    val withH = newDocs
+      .withColumn("content_hash", sha2(col("text"), 256))
+    val winners = withH.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val waveWinners = withH.join(winners, Seq("content_hash"))
+      .filter(col("doc_id") === col("keep_id"))
+      .withColumn("h2",
+        substring(col("content_hash"), 1, DigestPrefixLen))
+      .transform(graft.CacheScope.tracked)
+    val scD = if (GraftLog.versions(spark, stDigest).nonEmpty)
+      Some(DedupState.loadSidecar(spark, stDigest)) else None
+    val exactKept = (scD match {
+        case Some(sc) =>
+          val present =
+            DedupState.pruneProbe(spark, stDigest, sc, waveWinners)
+          waveWinners.join(broadcast(present), Seq("content_hash"),
+            "left_anti")
+        case None => waveWinners
+      })
+      .select(col("content_hash"), col("h2"), col("doc_id"),
+        col("lang"), col("text"))
+      .transform(graft.CacheScope.tracked)
+    val nEx = exactKept.count()
 
-      // near-dup: the wave's sigs probe the persisted band index AND
-      // themselves; state doc_ids are always the smaller (earlier)
-      // side, so the drop discipline matches the batch run exactly
-      val sigs = minhashSigs(exactKept)
-        .transform(graft.CacheScope.tracked)
-      val banded = bandFrame(sigs)
-        .transform(graft.CacheScope.tracked)
-      val stateBands = stateOr(stBand, banded.limit(0))
-      val stateSigs = stateOr(stSig, sigs.limit(0))
-      val candState = stateBands.as("x").join(banded.as("y"),
-          col("x.bk") === col("y.bk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"),
-          col("y.doc_id").as("doc_b"))
-      val candWave = banded.as("x").join(banded.as("y"),
-          col("x.bk") === col("y.bk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"),
-          col("y.doc_id").as("doc_b"))
-      val cand = candState.unionByName(candWave).distinct()
-      val allSigs = stateSigs.unionByName(sigs)
-        .transform(graft.CacheScope.tracked)
-      val drops = verifiedDrops(cand, allSigs)
-      val nearKept = exactKept.join(drops, Seq("doc_id"), "left_anti")
-        .transform(graft.CacheScope.tracked)
-      val nNear = nearKept.count()
-
-      // quality + mixture: stateless projections
-      val qualKept = scoreQuality(nearKept)
-        .filter(col("quality_score") >= 0.4)
-        .transform(graft.CacheScope.tracked)
-      val nQ = qualKept.count()
-      val sampled = mixtureSample(qualKept)
-        .transform(graft.CacheScope.tracked)
-      val nS = sampled.count()
-
-      // pack: the per-language running offset continues from the
-      // folded st_lang deltas — materialized BEFORE this wave's delta
-      // lands so the plan can never read its own append
-      val offs = stateOr(stLang,
-          sampled.groupBy(col("lang"))
-            .agg(sum(col("n_tokens")).as("d_tokens")).limit(0))
-        .groupBy(col("lang"))
-        .agg(sum(col("d_tokens")).as("lang_start"))
-        .transform(graft.CacheScope.tracked)
-      offs.count(): Unit
-      val bins = PrefixSum.runningSum(sampled, "lang",
-          Seq(col("doc_id")), "n_tokens", "endt_local")
-        .join(broadcast(offs), Seq("lang"), "left_outer")
-        .withColumn("endt",
-          coalesce(col("lang_start"), lit(0L)) + col("endt_local"))
-        .withColumn("prefix_tokens", col("endt") - col("n_tokens"))
-        .withColumn("seq_id", expr("prefix_tokens DIV 512"))
-        .groupBy(col("lang"), col("seq_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("seq_tokens"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
-
-      // state advance, every table ledger-stamped at the same bronze
-      // high-water; audit LAST so a torn advance re-runs the wave and
-      // each landed table no-ops its replayed append
-      GraftLog.txnAppend(exactKept.select("h"), stDigest, appId,
-        target): Unit
-      GraftLog.txnAppend(sigs, stSig, appId, target): Unit
-      GraftLog.txnAppend(banded, stBand, appId, target): Unit
-      GraftLog.txnAppend(bins, stPack, appId, target): Unit
-      GraftLog.txnAppend(sampled.groupBy(col("lang"))
-        .agg(sum(col("n_tokens")).as("d_tokens")), stLang, appId,
-        target): Unit
-      val audit = spark.range(1).select(lit(nIn).as("n_in"),
-        lit(nEx).as("n_ex"), lit(nNear).as("n_near"),
-        lit(nQ).as("n_q"), lit(nS).as("n_s"))
-      GraftLog.txnAppend(audit, stAudit, appId, target): Unit
-      1
+    // near-dup: the wave's band rows probe the persisted band index
+    // (Bloom gate + bp pruning + hot-band salting — identical pair
+    // set to the full join) AND themselves; state doc_ids are always
+    // the smaller (earlier) side, so the drop discipline matches the
+    // batch run exactly. Stored band rows carry `sig`, so both pair
+    // sides arrive with their signatures attached — no signature
+    // state table, no second state scan.
+    val sigs = minhashSigs(exactKept)
+      .transform(graft.CacheScope.tracked)
+    val banded = bandFrameSig(sigs)
+      .transform(graft.CacheScope.tracked)
+    val scB = if (GraftLog.versions(spark, stBand).nonEmpty)
+      Some(NearDupState.loadSidecar(spark, stBand)) else None
+    val candState = scB match {
+      case Some(sc) =>
+        NearDupState.prunedBandJoin(spark, stBand, sc, banded)
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            col("sig_a"), col("sig_b"))
+      case None =>
+        banded.select(col("doc_id").as("doc_a"),
+          col("doc_id").as("doc_b"), col("sig").as("sig_a"),
+          col("sig").as("sig_b")).limit(0)
     }
+    val candWave = banded.as("x").join(banded.as("y"),
+        col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+    val drops = candState.unionByName(candWave)
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est", sigEstCol(col("sig_a"), col("sig_b")))
+      .filter(col("est") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val nearKept = exactKept.join(drops, Seq("doc_id"), "left_anti")
+      .transform(graft.CacheScope.tracked)
+    val nNear = nearKept.count()
 
-    processUpTo(0L)                 // wave A: the base corpus
-    processUpTo(2L): Unit           // wave B: both twin commits
-    val replayNoop = processUpTo(2L) == 0 // absorbed waves re-deliver
+    // quality + mixture: stateless projections
+    val qualKept = scoreQuality(nearKept)
+      .filter(col("quality_score") >= 0.4)
+      .transform(graft.CacheScope.tracked)
+    val nQ = qualKept.count()
+    val sampled = mixtureSample(qualKept)
+      .transform(graft.CacheScope.tracked)
+    val nS = sampled.count()
 
+    // pack: the per-language running offset continues from the
+    // folded st_lang deltas — materialized BEFORE this wave's delta
+    // lands so the plan can never read its own append
+    val offs = stateOr(stLang,
+        sampled.groupBy(col("lang"))
+          .agg(sum(col("n_tokens")).as("d_tokens")).limit(0))
+      .groupBy(col("lang"))
+      .agg(sum(col("d_tokens")).as("lang_start"))
+      .transform(graft.CacheScope.tracked)
+    offs.count(): Unit
+    val bins = PrefixSum.runningSum(sampled, "lang",
+        Seq(col("doc_id")), "n_tokens", "endt_local")
+      .join(broadcast(offs), Seq("lang"), "left_outer")
+      .withColumn("endt",
+        coalesce(col("lang_start"), lit(0L)) + col("endt_local"))
+      .withColumn("prefix_tokens", col("endt") - col("n_tokens"))
+      .withColumn("seq_id", expr("prefix_tokens DIV 512"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+    // state advance, every table ledger-stamped at the same bronze
+    // high-water; audit LAST so a torn advance re-runs the wave and
+    // each landed table no-ops its replayed append. The digest/band
+    // advances roll their Bloom sidecars forward in the same step.
+    DedupState.advance(spark, stDigest, scD,
+      exactKept.select("content_hash", "h2"), appId, target,
+      DigestPrefixLen)
+    NearDupState.advance(spark, stBand, scB,
+      banded.select("bk", "doc_id", "sig", "bp"), appId, target)
+    GraftLog.txnAppend(bins, stPack, appId, target): Unit
+    GraftLog.txnAppend(sampled.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("d_tokens")), stLang, appId,
+      target): Unit
+    val audit = spark.range(1).select(lit(nIn).as("n_in"),
+      lit(nEx).as("n_ex"), lit(nNear).as("n_near"),
+      lit(nQ).as("n_q"), lit(nS).as("n_s"))
+    GraftLog.txnAppend(audit, stAudit, appId, target): Unit
+    1
+  }
+
+  /** Fold the per-wave audit + pack state into the e23 result shape. */
+  private[graft] def foldResult(spark: SparkSession, root: String,
+      replayNoop: Boolean): DataFrame = {
+    val (stPack, stAudit) = (s"$root/st_pack", s"$root/st_audit")
     val a = GraftLog.read(spark, stAudit)
       .agg(sum(col("n_in")), sum(col("n_ex")), sum(col("n_near")),
         sum(col("n_q")), sum(col("n_s")), count(lit(1)))
