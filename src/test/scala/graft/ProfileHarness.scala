@@ -99,4 +99,30 @@ class ProfileHarness extends AnyFunSuite {
     time("full query")(Dedup.simhash(spark, sf).count())
     withSim.unpersist()
   }
+
+  test("profile e23 wave cost vs state growth",
+      org.scalatest.Tag("profile")) {
+    assume(profilingEnabled, "set GRAFT_PROFILE=1 to run")
+    // equal 500-doc waves against a state that grows 3500 → 4000 →
+    // 4500 kept docs: the pruned probes keep per-wave cost flat
+    // (wave 3 ≈ wave 1) where a whole-state scan would climb
+    import graft.sources.{GraftLog, Staging}
+    val root = Staging.tempDir("graft_pipei_prof_")
+    val bronze = s"$root/bronze"
+    val base = Sources.testTable(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    GraftLog.overwrite(base.filter(col("doc_id") < 3500), bronze)
+    Seq(3500L, 4000L, 4500L).foreach { lo =>
+      GraftLog.append(base.filter(col("doc_id") >= lo &&
+        col("doc_id") < lo + 500), bronze): Unit }
+    (0 to 3).foreach { k =>
+      val t0 = System.nanoTime()
+      CacheScope.withScope {
+        graft.operators.Pipeline.pipelineAdvance(
+          spark, bronze, root, k.toLong): Unit }
+      info(f"wave $k (${if (k == 0) "seed 3500 docs"
+        else s"500 docs vs ${3000 + k * 500} kept"}): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+  }
 }
