@@ -593,6 +593,12 @@ object SparkEntry {
     // introspection through created → stale → refreshed
     "d39_mv_describe" ->
       ((s, d) => AggView.mvDescribeLifecycle(s, d)),
+    // TWO-FACT join-MV (double eager aggregation): fact1 ⋈ fact2 on
+    // their view keys served from BOTH views pre-aggregated to key
+    // granularity with cross-weighted moment folds; one stale side
+    // falls the whole join back
+    "d40_mv_two_fact_join" ->
+      ((s, d) => AggView.aggViewTwoFactJoin(s, d)),
     // STREAMING union-MV: two channel CDF streams fold into ONE view
     // under per-source ledger app ids; the d38 rewrite serves the
     // stream-maintained view between micro-batches, kill/resume folds
@@ -1877,6 +1883,32 @@ object SparkEntry {
         |FROM final
         |JOIN du ON final.user_id = du.uid
         |JOIN dc ON du.city_id = dc.cid
+        |GROUP BY 1""".stripMargin,
+    // d40: fact1 = %3==0 slice with delete(%7)+update(%5) churn,
+    // fact2 = %3==1 slice (qty = 2*value) with delete(%11); the join
+    // values are both facts' maintained (pre-v3-append) states — the
+    // stale append is invisible to the view plan; avg replays as the
+    // exact sum/count divide, both plan pins as literals
+    "d40_mv_two_fact_join" ->
+      """WITH f1 AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events
+        |  WHERE event_id % 3 = 0 AND event_id % 7 <> 0),
+        |f2 AS (
+        |  SELECT user_id AS uid2, value * 2 AS qty
+        |  FROM events
+        |  WHERE event_id % 3 = 1 AND event_id % 11 <> 0)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  round(CAST(sum(CAST(qty AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_qty,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(*), 6) AS avg_value,
+        |  TRUE AS used_view, TRUE AS fell_back
+        |FROM f1 JOIN f2 ON f1.user_id = f2.uid2
         |GROUP BY 1""".stripMargin,
     // d37: the served values are the post-REFRESH state (all events +
     // the duplicated %13 append); the four lifecycle pins as literals

@@ -684,6 +684,89 @@ object AggView {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  /** d40 — the TWO-FACT join-MV rewrite (double eager aggregation):
+    * `revenue ⋈ volume ON user key GROUP BY user` with BOTH sides
+    * registered facts — the medallion "gold revenue × gold volume"
+    * dashboard — served by joining the two views pre-aggregated to
+    * key granularity and folding cross-weighted moments
+    * (`sum(v1) = Σ_k sum1(k)·cnt2(k)` etc.; soundness in
+    * [[graft.sql.GraftMvRewriteRule]]'s two-fact scaladoc). Pins:
+    * `used_view` (the fresh plan scans BOTH views and NEITHER fact
+    * root) and `fell_back` (one un-maintained commit to EITHER side
+    * replans the same text as the base join — each side's gates hold
+    * independently). At 100 TB this turns a fact×fact reconciliation
+    * join — the worst shuffle in the warehouse — into a
+    * |keys|×|keys| view join. */
+  def aggViewTwoFactJoin(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mv2f_")
+    val (src1, view1) = (s"$root/rev", s"$root/rev_view")
+    val (src2, view2) = (s"$root/vol", s"$root/vol_view")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    // fact 1 REVENUE: the %3==0 slice with delete + update churn
+    val f1 = ev.filter(col("event_id") % 3 === 0)
+    GraftLog.overwrite(f1.filter(col("event_id") % 2 === 0), src1) // v0
+    GraftLog.append(f1.filter(col("event_id") % 2 === 1), src1)   // v1
+    GraftLog.delete(spark, src1, col("event_id") % 7 === 0)       // v2
+    GraftLog.update(spark, src1, col("event_id") % 5 === 0,
+      Seq("value" -> (col("value") + 100)))                       // v3
+    maintainCols(spark, src1, view1, "event_id", Seq("user_id"), "value")
+    registerForRewriteCols(src1, view1, Seq("user_id"), "value")
+    // fact 2 VOLUME: the %3==1 slice renamed (eid2, uid2, qty) with
+    // its own churn — distinct column names keep the oracle readable;
+    // the rewrite itself disambiguates by attribute, not name
+    val f2 = ev.filter(col("event_id") % 3 === 1)
+      .select(col("event_id").as("eid2"), col("user_id").as("uid2"),
+        (col("value") * 2).as("qty"))
+    GraftLog.overwrite(f2.filter(col("eid2") % 2 === 1), src2)    // v0
+    GraftLog.append(f2.filter(col("eid2") % 2 === 0), src2)       // v1
+    GraftLog.delete(spark, src2, col("eid2") % 11 === 0)          // v2
+    maintainCols(spark, src2, view2, "eid2", Seq("uid2"), "qty")
+    registerForRewriteCols(src2, view2, Seq("uid2"), "qty")
+    try {
+      def scans(df: DataFrame, path: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == path)
+          case _ => false
+        }
+      def q = {
+        val a = spark.read.format("graft").load(src1)
+        val b = spark.read.format("graft").load(src2)
+        a.join(b, a("user_id") === b("uid2"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sumExact(col("value")).cast("double"), 6)
+              .as("total_value"),
+            round(sumExact(col("qty")).cast("double"), 6)
+              .as("total_qty"),
+            round(avg(col("value").cast("decimal(38,10)"))
+              .cast("double"), 6).as("avg_value"))
+      }
+      val fresh = q // analyzed NOW, while both views are current
+      val usedView = scans(fresh, view1) && scans(fresh, view2) &&
+        !scans(fresh, src1) && !scans(fresh, src2)
+      // one un-maintained commit to ONE side → the SAME text replans
+      // as the base fact×fact join (either side's gates failing kills
+      // the whole rewrite — never a half-served join)
+      GraftLog.append(f2.limit(20), src2)                         // v3
+      val stale = q
+      val fellBack = scans(stale, src1) && scans(stale, src2) &&
+        !scans(stale, view1) && !scans(stale, view2)
+      // `fresh` executes lazily AFTER the v3 append: only the view
+      // plan (whose tables that commit never touched) keeps the
+      // pre-append values
+      fresh.withColumn("used_view", lit(usedView))
+        .withColumn("fell_back", lit(fellBack))
+    } finally {
+      graft.sql.MvRegistry.unregister(src1)
+      graft.sql.MvRegistry.unregister(src2)
+    }
+  }
+
   /** d37 — the MV SQL LIFECYCLE surface: `CREATE MATERIALIZED VIEW …
     * KEY … AS SELECT`, `REFRESH MATERIALIZED VIEW`, `DROP MATERIALIZED
     * VIEW` (the Databricks/StarRocks statement family, parsed by

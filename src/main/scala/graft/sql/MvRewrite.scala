@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Divide, EqualTo, EvalMode, Expression, Greatest, GreaterThan, If, Literal, Multiply, NamedExpression, Sqrt, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, Cast, Divide, EqualTo, EvalMode, Expression, Greatest, GreaterThan, If, IsNotNull, IsNull, Literal, Multiply, NamedExpression, RaiseError, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, StddevSamp, Sum, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
@@ -278,6 +278,11 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .map(t => Fact(t._1, t._2, t._3, other)).toSeq
     }
     val facts = find(jn)
+    if (facts.length == 2)
+      return rewriteJoinTwoFacts(agg, jn, above, conjuncts,
+        facts.head.path, facts.head.asOf, facts.head.scanFilters,
+        facts.head.subtree, facts(1).path, facts(1).asOf,
+        facts(1).scanFilters, facts(1).subtree)
     if (facts.length != 1) return None
     val f = facts.head
     val d = MvRegistry.lookup(f.path).getOrElse(return None)
@@ -391,6 +396,250 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           assembleChild = assembleChild,
           passThroughGroups = gsDim)
       }
+    }
+  }
+
+  /** The TWO-FACT join-MV rewrite (double eager aggregation — Yan &
+    * Larson's pushdown applied to BOTH join inputs): an aggregate over
+    * `fact1 ⋈_inner fact2 ON k1 = k2 GROUP BY k` where both sides are
+    * registered fact scans — the medallion "gold revenue × gold
+    * volume" shape — is served by joining the two views pre-aggregated
+    * to key granularity and folding CROSS-WEIGHTED moments.
+    *
+    * Soundness: each fact1 row replicates once per matching fact2 row,
+    * so per join key `count(*) = cnt1(k)·cnt2(k)`,
+    * `sum(v1) = sum1(k)·cnt2(k)`, `#nonnull(v1) = vcnt1(k)·cnt2(k)` —
+    * and the per-key join of pre-aggregates yields exactly one row per
+    * surviving key carrying those factors, so the weighted fold equals
+    * the base plan's answer in exact decimal. Zombie (fully-deleted)
+    * keys fold cnt = 0 and zero every product — exactly the empty
+    * join they produce in base — and a group of only-zombie keys drops
+    * via the `__mv_cnt > 0` liveness filter; a NULL join key fails the
+    * equi-condition on both plans.
+    *
+    * ADDITIVE moments only — count(1), the exact-decimal sum, avg:
+    * extrema refuse (a key whose OTHER side was fully deleted must not
+    * contribute its folded extremum, per-key liveness a global min
+    * cannot express), stddev/var refuse (kept to the single-fact
+    * path). The weighted products run in decimal(29,10)×decimal(8,0)
+    * → decimal(38,10) — exact, with a loud RaiseError if a per-key sum
+    * or count overflows those bounds (wrong-but-fast is never
+    * acceptable; an error is recoverable).
+    *
+    * Gates: the join is EXACTLY the two fact subtrees (fact ⋈ dims ⋈
+    * fact does not serve — compose the d35 star per fact instead);
+    * inner, deterministic, every conjunct an equi-pair of view group
+    * columns across the two sides; distinct sources (a fact self-join
+    * needs doubled multiplicity bookkeeping — refused); grouping and
+    * every filter on view group columns only; each side passes the
+    * single-fact freshness/compensation gates independently via
+    * [[deltaSource]]. */
+  private def rewriteJoinTwoFacts(agg: Aggregate, jn: Join,
+      above: Seq[Expression], conjuncts: Expression => Seq[Expression],
+      path1: String, asOf1: Option[Long], scan1: Seq[Expression],
+      sub1: LogicalPlan, path2: String, asOf2: Option[Long],
+      scan2: Seq[Expression], sub2: LogicalPlan): Option[LogicalPlan] = {
+    // the join must be exactly fact1 ⋈ fact2 — each side's subtree IS
+    // a join input (find() returns the left subtree's fact first)
+    if (!(sub1 eq jn.left) || !(sub2 eq jn.right)) return None
+    if (jn.joinType != Inner) return None
+    val cond = jn.condition.getOrElse(return None)
+    if (!cond.deterministic) return None
+    if (MvRegistry.normPath(path1) == MvRegistry.normPath(path2))
+      return None // self-join: multiplicity doubles, not cross-weights
+    val d1 = MvRegistry.lookup(path1).getOrElse(return None)
+    val d2 = MvRegistry.lookup(path2).getOrElse(return None)
+    if (d1.unionOf.nonEmpty || d2.unionOf.nonEmpty) return None
+    val (out1, out2) = (sub1.outputSet, sub2.outputSet)
+    def isVG(a: org.apache.spark.sql.catalyst.expressions.Attribute,
+        out: AttributeSet, d: MvRegistry.MvDef): Boolean =
+      out.contains(a) && d.groupCols.exists(_.equalsIgnoreCase(a.name))
+    def vg1(a: org.apache.spark.sql.catalyst.expressions.Attribute) =
+      isVG(a, out1, d1)
+    def vg2(a: org.apache.spark.sql.catalyst.expressions.Attribute) =
+      isVG(a, out2, d2)
+    // every conjunct equi-pairs view group columns across the sides
+    if (!conjuncts(cond).forall {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          (vg1(a) && vg2(b)) || (vg1(b) && vg2(a))
+        case _ => false
+      }) return None
+    // grouping: plain view-group attrs of either side, non-empty
+    val gAttrsOpt = agg.groupingExpressions.map {
+      case a: AttributeReference if vg1(a) || vg2(a) => Some(a)
+      case _ => None
+    }
+    if (gAttrsOpt.isEmpty || gAttrsOpt.exists(_.isEmpty)) return None
+    // filters: deterministic whole-bucket predicates per side (scan)
+    // or across both (join-level)
+    if (!scan1.forall(f => f.deterministic && f.references.forall(vg1)))
+      return None
+    if (!scan2.forall(f => f.deterministic && f.references.forall(vg2)))
+      return None
+    if (!above.forall(f => f.deterministic &&
+        f.references.forall(a => vg1(a) || vg2(a)))) return None
+    for {
+      v1 <- deltaSource(d1, path1, asOf1)
+      v2 <- deltaSource(d2, path2, asOf2)
+      out <- buildTwoFacts(agg, d1, d2, v1, v2, out1, out2, cond,
+        above, scan1, scan2)
+    } yield out
+  }
+
+  private def buildTwoFacts(agg: Aggregate, d1: MvRegistry.MvDef,
+      d2: MvRegistry.MvDef, v1: LogicalPlan, v2: LogicalPlan,
+      out1: AttributeSet, out2: AttributeSet, cond: Expression,
+      above: Seq[Expression], scan1: Seq[Expression],
+      scan2: Seq[Expression]): Option[LogicalPlan] = {
+    def sumOf(e: Expression): Expression =
+      new Sum(e).toAggregateExpression()
+    // per-side pre-aggregate: the view's delta rows folded to ONE row
+    // per key — (groupCols, __cnt, __sval, [__vcnt]) — with the
+    // side's scan filters applied on the delta rows first (whole-
+    // bucket predicates, same rows as the fact scan they replace)
+    final case class Pre(plan: Aggregate,
+        groupByName: Map[String, AttributeReference],
+        cnt: org.apache.spark.sql.catalyst.expressions.Attribute,
+        sval: org.apache.spark.sql.catalyst.expressions.Attribute,
+        vcnt: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
+        valueNullable: Boolean)
+    def pre(view: LogicalPlan, d: MvRegistry.MvDef,
+        scanFs: Seq[Expression]): Option[Pre] = {
+      def vAttr(n: String): Option[AttributeReference] =
+        view.output.collectFirst {
+          case a: AttributeReference if a.name.equalsIgnoreCase(n) => a }
+      for {
+        dCount <- vAttr("d_count")
+        dValue <- vAttr("d_value")
+        gAttrs <- {
+          val gs = d.groupCols.flatMap(vAttr)
+          if (gs.length == d.groupCols.length) Some(gs) else None
+        }
+        filtered <- {
+          // substitute filter refs onto the view's attrs by name; a
+          // ref without a view twin cannot be served
+          var ok = true
+          val p = scanFs.foldLeft(view)((p, f) => Filter(f.transform {
+            case a: AttributeReference =>
+              vAttr(a.name).getOrElse { ok = false; a }
+          }, p))
+          if (ok) Some(p) else None
+        }
+      } yield {
+        val cntA = Alias(sumOf(dCount), "__cnt")()
+        val svalA = Alias(sumOf(dValue), "__sval")()
+        val vcntA = vAttr("d_vcount").map(v =>
+          Alias(sumOf(v), "__vcnt")())
+        Pre(Aggregate(gAttrs,
+            gAttrs ++ (Seq(cntA, svalA) ++ vcntA.toSeq), filtered),
+          gAttrs.map(a => a.name.toLowerCase -> a).toMap,
+          cntA.toAttribute, svalA.toAttribute,
+          vcntA.map(_.toAttribute), valueNullable = true)
+      }
+    }
+    (pre(v1, d1, scan1), pre(v2, d2, scan2)) match {
+      case (Some(p1), Some(p2)) =>
+        // original fact attr -> its pre-aggregate twin, by side + name
+        def twin(a: AttributeReference): Option[AttributeReference] =
+          if (out1.contains(a)) p1.groupByName.get(a.name.toLowerCase)
+          else if (out2.contains(a))
+            p2.groupByName.get(a.name.toLowerCase)
+          else None
+        var ok = true
+        def subRefs(e: Expression): Expression = e.transform {
+          case a: AttributeReference =>
+            twin(a).getOrElse { ok = false; a }
+        }
+        val joined = Join(p1.plan, p2.plan, Inner,
+          Some(subRefs(cond)), JoinHint.NONE)
+        val withAbove = above.foldLeft(joined: LogicalPlan)((p, f) =>
+          Filter(subRefs(f), p))
+        if (!ok) return None
+        // the cross-weighted exact product: per-key sum × other-side
+        // count in decimal(29,10) × decimal(8,0) → decimal(38,10).
+        // LEGACY cast overflow yields NULL, which Sum would silently
+        // skip — a wrong answer; fail loudly instead.
+        def weighted(sval: org.apache.spark.sql.catalyst.expressions
+              .Attribute,
+            otherCnt: org.apache.spark.sql.catalyst.expressions
+              .Attribute): Expression = {
+          val prod = Multiply(Cast(sval, DecimalType(29, 10)),
+            Cast(otherCnt, DecimalType(8, 0)), EvalMode.LEGACY)
+          If(And(IsNotNull(sval), IsNull(prod)),
+            Cast(new RaiseError(Literal(
+              "graft two-fact MV rewrite: weighted sum overflows " +
+                "decimal(29,10)x(8,0); query the base tables")),
+              DecimalType(38, 10)),
+            prod)
+        }
+        val pairCnt = Multiply(p1.cnt, p2.cnt, EvalMode.LEGACY)
+        def exactDecimalOf(c: Expression, out: AttributeSet,
+            d: MvRegistry.MvDef): Boolean = c match {
+          case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
+            out.contains(a) && a.name.equalsIgnoreCase(d.valueCol) &&
+              dt.precision == 38 && dt.scale == 10
+          case _ => false
+        }
+        // n for avg: the side's non-null value count (d_vcount), or
+        // its row count when the scanned value attr is provably
+        // non-nullable
+        def nOf(c: Expression, p: Pre)
+            : Option[org.apache.spark.sql.catalyst.expressions.Attribute] =
+          p.vcnt.orElse {
+            val a = c.collectFirst { case ar: AttributeReference => ar }
+            if (a.exists(!_.nullable)) Some(p.cnt) else None
+          }
+        def sideOf(c: Expression): Option[(Pre, Pre)] =
+          if (exactDecimalOf(c, out1, d1)) Some((p1, p2))
+          else if (exactDecimalOf(c, out2, d2)) Some((p2, p1))
+          else None
+        def sub(e: Expression): Expression = e match {
+          case a: AttributeReference if twin(a).isDefined => twin(a).get
+          case ae: AggregateExpression
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case Count(Seq(Literal(_, _))) => sumOf(pairCnt)
+              case Sum(c, _) if sideOf(c).isDefined =>
+                val (mine, other) = sideOf(c).get
+                Cast(sumOf(weighted(mine.sval, other.cnt)), ae.dataType)
+              case Average(c, _) if sideOf(c).isDefined &&
+                  nOf(c, sideOf(c).get._1).isDefined =>
+                val (mine, other) = sideOf(c).get
+                Cast(
+                  Divide(sumOf(weighted(mine.sval, other.cnt)),
+                    Cast(sumOf(Multiply(nOf(c, mine).get, other.cnt,
+                      EvalMode.LEGACY)), DecimalType(20, 0)),
+                    EvalMode.LEGACY),
+                  ae.dataType)
+              case _ => ok = false; ae
+            }
+          case other => other.mapChildren(sub)
+        }
+        val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions
+          .map {
+            case a: Alias =>
+              a.withNewChildren(Seq(sub(a.child)))
+                .asInstanceOf[NamedExpression]
+            case a: AttributeReference if twin(a).isDefined =>
+              if (twin(a).get.exprId == a.exprId) a
+              else Alias(twin(a).get, a.name)(exprId = a.exprId)
+            case _ => ok = false
+              agg.aggregateExpressions.head // unused: ok=false bails
+          }
+        val newGroups = agg.groupingExpressions.collect {
+          case a: AttributeReference if twin(a).isDefined => twin(a).get
+        }
+        if (!ok ||
+          newGroups.length != agg.groupingExpressions.length) None
+        else {
+          val cnt = Alias(sumOf(pairCnt), "__mv_cnt")()
+          val rewritten = Aggregate(
+            newGroups, newAggExprs :+ cnt, withAbove)
+          val filtered = Filter(
+            GreaterThan(cnt.toAttribute, Literal(0L)), rewritten)
+          Some(Project(newAggExprs.map(_.toAttribute), filtered))
+        }
+      case _ => None
     }
   }
 

@@ -262,12 +262,25 @@ class AggViewSpec extends AnyFunSuite {
         .agg(max(col("k2")).as("m"))
       assert(scans(dimAgg, src) && !scans(dimAgg, view),
         "dim-side aggregate must refuse the join rewrite")
-      // (2) an OUTER join (unmatched dim rows have no view twin)
+      // (2) an OUTER join: null-extended rows change eager-aggregation
+      // semantics (an unmatched fact key would need a synthetic
+      // null-dim twin the view join cannot produce) — the join-MV path
+      // is inner-only by construction, and the refusal must serve the
+      // CORRECT base answer, including any null-extended group
       val f2 = spark.read.format("graft").load(src)
-      val leftQ = f2.join(dim, f2("k") === dim("k2"), "left")
+      def leftQ = f2.join(dim, f2("k") === dim("k2"), "left")
         .groupBy(col("seg")).agg(count(lit(1)).as("n"))
-      assert(scans(leftQ, src) && !scans(leftQ, view),
+      val leftPlan = leftQ
+      assert(scans(leftPlan, src) && !scans(leftPlan, view),
         "outer join must refuse the join rewrite")
+      val leftVals = leftPlan.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.sql.MvRegistry.unregister(src)
+      val leftBase = leftQ.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      AggView.registerForRewriteCols(src, view, Seq("k"), "v")
+      assert(leftVals == leftBase,
+        "the refused left-outer star must serve the exact base answer")
       // (3) a dim column that shares the VALUE column's name must not
       // be served from the view's exact sum
       val dimV = dim.withColumn("v", col("k2").cast("double") * 10)
@@ -284,6 +297,107 @@ class AggViewSpec extends AnyFunSuite {
       assert(scans(rowQ, src) && !scans(rowQ, view),
         "fact row-level filter must refuse the join rewrite")
     } finally graft.sql.MvRegistry.unregister(src)
+  }
+
+  test("two-fact join-MV: cross-weighted serve equals base; gates " +
+      "refuse extrema, non-key joins, outer joins, mixed trees") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (s1, v1p) = (s"$root/tf_a", s"$root/tf_av")
+    val (s2, v2p) = (s"$root/tf_b", s"$root/tf_bv")
+    GraftLog.overwrite(srcDf(0 until 120)
+      .withColumn("k", col("id") % 10), s1)
+    GraftLog.delete(spark, s1, col("id") % 7 === 0) // removes churn
+    AggView.maintainCols(spark, s1, v1p, "id", Seq("k"), "v")
+    AggView.registerForRewriteCols(s1, v1p, Seq("k"), "v")
+    GraftLog.overwrite(srcDf(0 until 90)
+      .select(col("id").as("id2"), (col("id") % 10).as("k2"),
+        (col("v") * 3).as("w")), s2)
+    GraftLog.delete(spark, s2, col("id2") % 5 === 0)
+    AggView.maintainCols(spark, s2, v2p, "id2", Seq("k2"), "w")
+    AggView.registerForRewriteCols(s2, v2p, Seq("k2"), "w")
+    def scans(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources
+            .LogicalRelation(fs: org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toUri.getPath == p)
+        case _ => false
+      }
+    def a = spark.read.format("graft").load(s1)
+    def b = spark.read.format("graft").load(s2)
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    def q = {
+      val (fa, fb) = (a, b)
+      fa.join(fb, fa("k") === fb("k2")).groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.sumExact(col("v"))
+            .cast("double"), 6).as("tv"),
+          round(graft.functions.Deterministic.sumExact(col("w"))
+            .cast("double"), 6).as("tw"),
+          round(avg(col("v").cast("decimal(38,10)")).cast("double"), 6)
+            .as("av"))
+    }
+    try {
+      val fresh = q
+      assert(scans(fresh, v1p) && scans(fresh, v2p) &&
+        !scans(fresh, s1) && !scans(fresh, s2),
+        "the two-fact plan must scan BOTH views and NEITHER fact")
+      graft.sql.MvRegistry.unregister(s1)
+      graft.sql.MvRegistry.unregister(s2)
+      val expect = collectMap(q)
+      AggView.registerForRewriteCols(s1, v1p, Seq("k"), "v")
+      AggView.registerForRewriteCols(s2, v2p, Seq("k2"), "w")
+      assert(collectMap(fresh) == expect,
+        "cross-weighted fold must equal the base fact x fact join")
+      // REFUSALS — each keeps the base plan (both facts scanned):
+      // (1) extrema: a key whose OTHER side was fully deleted must not
+      // contribute its folded extremum — min/max refuse outright
+      val (m1, m2) = (a, b)
+      val mn = m1.join(m2, m1("k") === m2("k2"))
+        .groupBy(col("k")).agg(max(col("v")).as("m"))
+      assert(scans(mn, s1) && !scans(mn, v1p),
+        "two-fact extrema must refuse")
+      // (2) a join on a NON-view-group column (row identity, not key
+      // granularity — the views cannot reproduce that multiplicity)
+      val (r1, r2) = (a, b)
+      val rowJoin = r1.join(r2, r1("id") === r2("id2"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(scans(rowJoin, s1) && !scans(rowJoin, v1p),
+        "a non-group-column equi-join must refuse")
+      // (3) outer two-fact join: inner-only by construction
+      val (l1, l2) = (a, b)
+      val leftJ = l1.join(l2, l1("k") === l2("k2"), "left")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(scans(leftJ, s1) && !scans(leftJ, v1p),
+        "a left-outer two-fact join must refuse")
+      // (4) fact ⋈ dim ⋈ fact: the two-fact shape is exactly the two
+      // fact subtrees — a mixed tree refuses (compose d35 stars there)
+      val dimPath = s"$root/tf_dim"
+      (0L until 10L).map(x => (x, s"s${x % 3}")).toDF("kd", "seg")
+        .write.mode("overwrite").parquet(dimPath)
+      val dimDf = spark.read.parquet(dimPath)
+      val (x1, x2) = (a, b)
+      val mixed = x1.join(dimDf, x1("k") === dimDf("kd"))
+        .join(x2, x1("k") === x2("k2"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      assert(scans(mixed, s1) && scans(mixed, s2) &&
+        !scans(mixed, v1p) && !scans(mixed, v2p),
+        "a fact-dim-fact tree must refuse the two-fact rewrite")
+      // (5) one stale side fails the WHOLE rewrite — never half-served
+      GraftLog.append(srcDf(200 until 210)
+        .select(col("id").as("id2"), (col("id") % 10).as("k2"),
+          (col("v") * 3).as("w")), s2)
+      val stale = q
+      assert(scans(stale, s1) && scans(stale, s2) &&
+        !scans(stale, v1p) && !scans(stale, v2p),
+        "one stale side must fall the whole two-fact join back")
+    } finally {
+      graft.sql.MvRegistry.unregister(s1)
+      graft.sql.MvRegistry.unregister(s2)
+    }
   }
 
   test("join-MV: stale view + CDF tail still serves the star, current") {
