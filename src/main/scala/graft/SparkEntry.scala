@@ -605,6 +605,12 @@ object SparkEntry {
     // exactly the missed versions, full re-drain is a ledger no-op
     "i31_union_view_stream" ->
       ((s, d) => AggView.unionViewStream(s, d)),
+    // STREAMING join-MV: fact commits arrive on a CDF stream that
+    // folds the join-key-grained view exactly-once; the d35 star
+    // serves from view >< dim between micro-batches, one un-drained
+    // commit falls back, kill/resume re-serves, re-drain no-ops
+    "i32_join_view_stream" ->
+      ((s, d) => AggView.joinViewStream(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -1950,6 +1956,26 @@ object SparkEntry {
         |  FALSE, 1, 'stale'
         |UNION ALL SELECT 'event_type', 'value', 'event_id', FALSE,
         |  TRUE, 0, 'refreshed'""".stripMargin,
+    // i32: the final fact state (all events, %9 deleted, %5 updated)
+    // through the user->segment dim; all five stream/serve pins as
+    // literals
+    "i32_join_view_stream" ->
+      """WITH final AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 9 <> 0),
+        |dim AS (
+        |  SELECT DISTINCT user_id AS uid,
+        |    'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment
+        |  FROM events)
+        |SELECT segment, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  TRUE AS served_mid, TRUE AS fell_back, TRUE AS served_after,
+        |  TRUE AS replay_noop, TRUE AS served_equals_base
+        |FROM final JOIN dim ON final.user_id = dim.uid
+        |GROUP BY 1""".stripMargin,
     // i31: the stream-maintained union view equals the recompute over
     // both channels' final states (d38's corpus); four pins as
     // literals

@@ -1035,6 +1035,123 @@ object AggView {
       .withColumn("replay_noop", lit(replayNoop))
   }
 
+  private val stagedJoinStream = new scala.collection.concurrent
+    .TrieMap[String, (String, String, Boolean, Boolean, Boolean,
+      Boolean, Boolean)]
+
+  /** i32 — STREAMING join-MV maintenance: the d35 star served from a
+    * view that STREAMS its maintenance. Fact commits arrive on a CDF
+    * readStream whose micro-batches fold into the join-key-grained
+    * view exactly-once (one version-keyed ledger append per delivered
+    * commit — the i29/i31 discipline), dims stay static parquet, and
+    * between micro-batches the d35 rewrite serves `fact ⋈ dim GROUP BY
+    * dim.attr` from view ⋈ dim. Pins: `served_mid` (the star serves
+    * from the stream-maintained view), `fell_back` (three fact commits
+    * land before the next drain — the same text replans to the base
+    * star), `served_after` (a FRESH stream instance on the same
+    * checkpoint folds exactly the missed versions and the text serves
+    * again), `replay_noop` (a further re-drain appends nothing),
+    * `served_equals_base` (the served star's values equal the
+    * unregistered base recompute at the same state). At 100 TB this is
+    * the continuously-fresh dashboard star: refresh latency one
+    * micro-batch, the fact table never rescanned by the dashboard. */
+  def joinViewStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, dimPath, servedMid, fellBack, servedAfter, replayNoop,
+        servedEq) =
+      stagedJoinStream.getOrElseUpdate(sfDir, {
+        val root = graft.sources.Staging.tempDir("graft_aggvj_")
+        val (srcP, vw, ck, dimP) =
+          (s"$root/fact", s"$root/view", s"$root/ck", s"$root/dim")
+        val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        GraftLog.overwrite(ev.filter(col("event_id") % 4 =!= 3), srcP)
+        ev.select(col("user_id").as("uid")).distinct()
+          .withColumn("segment",
+            concat(lit("seg_"), pmod(col("uid"), lit(5L))))
+          .write.mode("overwrite").parquet(dimP)
+        val dim = spark.read.parquet(dimP)
+        def drain(): Unit = {
+          val q = spark.readStream.format("graft")
+            .option("readChangeFeed", "true")
+            .option("cdfKeys", "event_id")
+            .option("includePreimages", "true")
+            .load(srcP)
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              foldCdfMicroBatch(b, vw, s"$AppId-jstream",
+                Seq("user_id"), "value")
+            }
+            .option("checkpointLocation", ck)
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain() // the v0 snapshot folds
+        // register under the STREAM's ledger app id — the rewrite's
+        // freshness gate must read the same ledger the stream stamps
+        graft.sql.MvRegistry.register(srcP, graft.sql.MvRegistry
+          .MvDef(vw, Seq("user_id"), "value", s"$AppId-jstream"))
+        try {
+          def scans(df: DataFrame, path: String): Boolean =
+            df.queryExecution.optimizedPlan.collectLeaves().exists {
+              case org.apache.spark.sql.execution.datasources
+                  .LogicalRelation(fs: org.apache.spark.sql.execution
+                  .datasources.HadoopFsRelation, _, _, _, _) =>
+                fs.location.rootPaths.exists(_.toUri.getPath == path)
+              case _ => false
+            }
+          def q = {
+            val f = spark.read.format("graft").load(srcP)
+            f.join(dim, f("user_id") === dim("uid"))
+              .groupBy(col("segment"))
+              .agg(count(lit(1)).as("n_events"),
+                round(sumExact(col("value")).cast("double"), 6)
+                  .as("total_value"))
+          }
+          def vals(df: DataFrame) = df.collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+            .toMap
+          val mid = q
+          val servedMid = scans(mid, vw) && !scans(mid, srcP)
+          // three fact commits the stream has not yet delivered
+          GraftLog.append(ev.filter(col("event_id") % 4 === 3), srcP)
+          GraftLog.delete(spark, srcP, col("event_id") % 9 === 0)
+          GraftLog.update(spark, srcP, col("event_id") % 5 === 0,
+            Seq("value" -> (col("value") + 100)))
+          val stale = q
+          val fellBack = scans(stale, srcP) && !scans(stale, vw)
+          // kill/resume: a FRESH stream instance on the same
+          // checkpoint delivers exactly the missed versions
+          drain()
+          val before = GraftLog.latestVersion(spark, vw)
+          drain() // pure replay
+          val replayNoop = GraftLog.latestVersion(spark, vw) == before
+          val after = q
+          val servedAfter = scans(after, vw) && !scans(after, srcP)
+          val servedVals = vals(after)
+          graft.sql.MvRegistry.unregister(srcP)
+          val baseVals = vals(q)
+          (srcP, dimP, servedMid, fellBack, servedAfter, replayNoop,
+            servedVals == baseVals)
+        } finally graft.sql.MvRegistry.unregister(srcP)
+      })
+    // post-staging the registration is gone: this is the plain base
+    // star at the (stable) final fact state on every call
+    val f = spark.read.format("graft").load(src)
+    val dim = spark.read.parquet(dimPath)
+    f.join(dim, f("user_id") === dim("uid"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumExact(col("value")).cast("double"), 6)
+          .as("total_value"))
+      .withColumn("served_mid", lit(servedMid))
+      .withColumn("fell_back", lit(fellBack))
+      .withColumn("served_after", lit(servedAfter))
+      .withColumn("replay_noop", lit(replayNoop))
+      .withColumn("served_equals_base", lit(servedEq))
+  }
+
   private val stagedStream =
     new scala.collection.concurrent.TrieMap[String, (String, Boolean)]
 
@@ -1045,22 +1162,23 @@ object AggView {
     * the stream checkpoint, is the exactly-once authority: replayed
     * versions are rejected atomically with the data commit. */
   private def foldCdfMicroBatch(b: DataFrame, view: String,
-      appId: String): Unit = {
+      appId: String, groupCols: Seq[String] = Seq("event_type"),
+      valueCol: String = "value"): Unit = {
     val spark = b.sparkSession
     val vs = b.select(col("_commit_version")).distinct()
       .collect().map(_.getLong(0)).sorted
     vs.foreach { v =>
       val bv = b.filter(col("_commit_version") === v)
-      val deltas = bv.select(col("event_type"),
+      val deltas = bv.select(groupCols.map(col) ++ Seq(
           when(col("_change_type")
               .isin("insert", "update_postimage"), lit(1L))
             .otherwise(lit(-1L)).as("__sign"),
-          col("value").as("__v"),
-          col("value").cast("double").as("__vd"))
+          col(valueCol).as("__v"),
+          col(valueCol).cast("double").as("__vd")): _*)
         .withColumn("__sq",
           (col("__sign") * col("__vd") * col("__vd"))
             .cast("decimal(38,10)"))
-        .groupBy(col("event_type"))
+        .groupBy(groupCols.map(col): _*)
         .agg(sum(col("__sign")).as("d_count"),
           sumExact(col("__sign") * col("__v")).as("d_value"),
           sum(col("__sq")).as("d_sumsq"),
