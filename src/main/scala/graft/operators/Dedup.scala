@@ -669,6 +669,16 @@ object Dedup {
     * j≈0.3, so j>=0.35 pairs are found w.h.p. while the ~0.001-avg-Jaccard
     * bulk (measured on this corpus) almost never collides. */
   def minhashLsh(spark: SparkSession, sfDir: String, n: Int = 3,
+      threshold: Double = 0.2, numPerm: Int = 64, bands: Int = 16): DataFrame =
+    minhashLshDocs(Sources.testTable(spark, sfDir, "documents"), n,
+      threshold, numPerm, bands)
+
+  /** [[minhashLsh]] over an arbitrary (doc_id, text) frame — the seam
+    * the adversarial-skew spec drives with a viral-boilerplate corpus
+    * (one text duplicated across many doc_ids → one giant band group;
+    * AQE's skew-join split keeps the candidate join's task sizes
+    * bounded with the identical pair set). */
+  private[graft] def minhashLshDocs(docsIn: DataFrame, n: Int = 3,
       threshold: Double = 0.2, numPerm: Int = 64, bands: Int = 16): DataFrame = {
     // bands must tile the signature exactly: rows=0 would hash an empty
     // slice (every doc collides in every band → O(n²)), and a non-dividing
@@ -676,7 +686,7 @@ object Dedup {
     require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
     val rows = numPerm / bands
-    val base = Sources.testTable(spark, sfDir, "documents")
+    val base = docsIn
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
     // fused token->shingle-hash->minhash (no shingle strings materialized);
@@ -940,8 +950,12 @@ object Dedup {
     * equi-join on cent_id. At 100 TB, `nCent` grows with the corpus
     * (n/⟨cluster size⟩ — SemDeDup used 50k clusters for LAION-440M) so
     * per-cluster pair volume stays bounded; a skewed giant cluster is the
-    * known failure mode, handled the same way as any skewed join
-    * (AQE skew split, or salt the cell and re-verify across salts). */
+    * known failure mode, handled the same way as any skewed join:
+    * AQE's skew-join split (demonstrated on the banded LSH join against
+    * a viral-boilerplate corpus — identical pair set, `skew=true`
+    * markers — in DedupSpec's adversarial spec), or the salted
+    * (key, salt) join the rolling form uses
+    * ([[NearDupState.prunedBandJoin]]). */
   def semanticDedup(spark: SparkSession, sfDir: String,
       nCent: Int = 16, tau: Double = 0.4): DataFrame = {
     val corpus = Similarity.normed(spark, sfDir)

@@ -29,6 +29,69 @@ class DedupSpec extends AnyFunSuite {
       s"LSH missed high-jaccard pairs: ${exact.diff(lsh)}")
   }
 
+  test("viral boilerplate: AQE skew-split bounds the batch band join, " +
+      "answers unchanged") {
+    import org.apache.spark.sql.DataFrame
+    // adversarial corpus: a real document slice plus ONE boilerplate
+    // text duplicated across 600 doc_ids — every copy shares every
+    // band, so the candidate self-join meets one giant band group
+    // (the e3/e22-stage-3 hazard a viral string creates at 100 TB)
+    val base = graft.sources.Sources
+      .testTable(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 150)
+    val viral = spark.range(600).select(
+      (col("id") + 100000L).as("doc_id"),
+      lit("breaking news subscribe to our channel for more updates " +
+        "and hit the bell icon now thanks for watching").as("text"))
+    val docs = base.unionByName(viral)
+    def pairs(df: DataFrame) = df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def withConfs[T](cs: (String, String)*)(f: => T): T = {
+      val olds = cs.map { case (k, _) =>
+        k -> spark.conf.getOption(k) }
+      cs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // skew-split run: thresholds lowered so the fixture-sized giant
+    // partition qualifies, broadcast off so the candidate join is the
+    // sort-merge join AQE can split
+    val (skewPairs, skewPlanned) = withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val out = Dedup.minhashLshDocs(docs)
+      // execute OUT itself (a derived .select would leave out's own
+      // adaptive plan un-finalized and the markers unset), then read
+      // its final plan
+      val p = out.collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      // the EXPLAIN pin: the executed candidate join carries AQE's
+      // skew markers — the giant band group was split across tasks
+      (p, out.queryExecution.executedPlan.toString.contains("skew=true"))
+    }
+    assert(skewPlanned,
+      "AQE must mark the band self-join's skewed partitions (skew=true)")
+    assert(skewPairs.exists(_._1 >= 100000L),
+      "the viral copies must surface as near-dup pairs")
+    // reference run with the skew optimization off: the IDENTICAL set
+    val plainPairs = withConfs(
+      "spark.sql.adaptive.skewJoin.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      pairs(Dedup.minhashLshDocs(docs))
+    }
+    assert(skewPairs == plainPairs,
+      "skew-split must change task bounds, never the answer")
+  }
+
   test("minhash LSH output is verified: every pair truly >= threshold") {
     val lsh = Dedup.minhashLsh(spark, TestSpark.sf, threshold = 0.2)
     assert(lsh.filter(col("jaccard") < 0.2).count() == 0)
