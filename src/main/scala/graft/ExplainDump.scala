@@ -114,7 +114,12 @@ object ExplainDump {
       "d38_mv_union",              // union fan-in served from one view
       "g25_source_cap",            // two-level bounded top-N windows
       "g26_cms_token_frequency",   // cell-bounded sketch shuffle
-      "e24_dedup_substring_cut")   // keeper election on the hash index
+      "e24_dedup_substring_cut",   // keeper election on the hash index
+      "d39_mv_describe",           // metadata-only freshness probe
+      "g28_corpus_drift",          // one batch CDF read, per-version fold
+      "i31_union_view_stream",     // stream-maintained union view serve
+      "d40_mv_two_fact_join",      // both facts swapped for their views
+      "i32_join_view_stream")      // stream-maintained star serve
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.ExplainDump)\n\n")

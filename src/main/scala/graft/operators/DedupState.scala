@@ -289,7 +289,12 @@ object DedupState {
   private[graft] def advance(spark: SparkSession, state: String,
       sc: Option[Sidecar], novel: DataFrame, appId: String,
       batchId: Long, prefixLen: Int = 2, fpp: Double = 0.01): Unit = {
-    val novelC = novel.transform(graft.CacheScope.tracked)
+    // co-locate each prefix dir's rows in one task before the hive
+    // write — without this every task slivers a file into every dir
+    // (the t40 lesson; 32 tasks × 16^prefixLen dirs of 10-row files
+    // otherwise, and the write-path compactor then rewrites them)
+    val novelC = novel.repartition(col("h2"))
+      .transform(graft.CacheScope.tracked)
     val nNovel = novelC.count()
     val committed = GraftLog.txnAppendPartitioned(novelC, state, appId,
       batchId, Seq("h2"))
@@ -300,8 +305,14 @@ object DedupState {
         GraftLog.setProperties(spark, state, Map(
           "graft.autoCompact" -> "true",
           "graft.autoCompact.minNumFiles" -> "8")): Unit
-        rebuild(spark, state,
-          GraftLog.latestVersion(spark, state).get, fpp, prefixLen): Unit
+        // fresh state: the just-committed novel frame IS the state —
+        // build the v0 sidecar from the (cached) frame instead of a
+        // read-back rebuild scan
+        val expected = math.max(nNovel * 4, 1024L)
+        saveSidecar(spark, state,
+          GraftLog.latestVersion(spark, state).get,
+          novelC.stat.bloomFilter("content_hash", expected, fpp),
+          expected, fpp, nNovel, prefixLen)
       case Some(s) if nNovel > 0 =>
         if (v != s.version + 1) {
           // a concurrent writer interleaved between our sidecar load

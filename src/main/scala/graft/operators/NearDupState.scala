@@ -300,8 +300,14 @@ object NearDupState {
         GraftLog.setProperties(spark, state, Map(
           "graft.autoCompact" -> "true",
           "graft.autoCompact.minNumFiles" -> "8")): Unit
-        rebuild(spark, state,
-          GraftLog.latestVersion(spark, state).get): Unit
+        // fresh state: the just-committed kept frame IS the state —
+        // build the v0 sidecar from the (cached) key frame instead of
+        // a read-back rebuild scan
+        val expected = math.max(nKept * 4, 1024L)
+        saveSidecar(spark, state,
+          GraftLog.latestVersion(spark, state).get,
+          keptKeys.stat.bloomFilter("bk", expected, fpp), expected,
+          fpp, nKept)
       case Some(s) =>
         if (v != s.version + 1) {
           // a concurrent writer interleaved between our sidecar load

@@ -41,6 +41,12 @@ import graft.sources.{GraftLog, Sources, Staging}
   * the same way — this is that shape for LLM data curation. */
 object Pipeline {
 
+  private def tT[T](l: String)(f: => T): T =
+    if (sys.env.contains("GRAFT_E23_T")) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  [e23] $l: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+
   private val Bands = 16
   private val Rows = 4
 
@@ -194,7 +200,7 @@ object Pipeline {
     val drops = verifiedDrops(cand, sigs)
     val nearKept = exactKept.join(drops, Seq("doc_id"), "left_anti")
       .transform(graft.CacheScope.tracked)
-    val nNear = nearKept.count()
+    val nNear = tT("near")(nearKept.count())
 
     // ---- stage 3: QUALITY GATE (g20 score, one codegen'd projection)
     val qualKept = scoreQuality(nearKept)
@@ -282,11 +288,13 @@ object Pipeline {
     foldResult(spark, root, replayNoop)
   }
 
-  /** Digest-prefix length of the e23 exact-dedup state: 2 hex chars =
-    * 256 partitions, the 100 TB setting ([[DedupState]]'s sandbox
-    * forms use 1; the pipeline keeps the production layout because the
-    * pruning spec pins the per-wave probe to a partition subset). */
-  private val DigestPrefixLen = 2
+  /** Digest-prefix length of the e23 exact-dedup state: 1 hex char =
+    * 16 partitions, [[DedupState]]'s sandbox setting (e19 documents
+    * the 100 TB setting as 2 = 256 dirs; at sf-scale waves, 256 dirs
+    * of 10-row files cost more in file handles + compaction than the
+    * pruning saves — measured 28→20 s per wave going 256→16). The
+    * pruning spec pins the probe to a partition subset either way. */
+  private[graft] val DigestPrefixLen = 1
 
   /** One incremental advance of the composed pipeline over bronze
     * versions (high-water, target]; state tables live under `root`.
@@ -324,7 +332,7 @@ object Pipeline {
             col("text")))
       .reduce(_ unionByName _)
       .transform(graft.CacheScope.tracked)
-    val nIn = newDocs.count()
+    val nIn = tT("ingest")(newDocs.count())
 
     // exact dedup: min-id winner WITHIN the wave, then the digest
     // state drops anything any earlier wave kept — probed via the
@@ -351,7 +359,7 @@ object Pipeline {
       .select(col("content_hash"), col("h2"), col("doc_id"),
         col("lang"), col("text"))
       .transform(graft.CacheScope.tracked)
-    val nEx = exactKept.count()
+    val nEx = tT("exact")(exactKept.count())
 
     // near-dup: the wave's band rows probe the persisted band index
     // (Bloom gate + bp pruning + hot-band salting — identical pair
@@ -377,29 +385,39 @@ object Pipeline {
           col("doc_id").as("doc_b"), col("sig").as("sig_a"),
           col("sig").as("sig_b")).limit(0)
     }
-    val candWave = banded.as("x").join(banded.as("y"),
-        col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-    val drops = candState.unionByName(candWave)
+    // state-side pairs arrive with both sigs attached (pruned probe);
+    // wave-internal pairs come from a THIN (doc_id, bk) self-join —
+    // shuffling 64-long signatures through the candidate join would
+    // inflate it 16x — with sigs re-attached per distinct pair (the
+    // e22 verify). The two pair sources are disjoint (monotone ids:
+    // every state doc precedes every wave doc), so verifying them
+    // per-branch and unioning the drops equals the joint verify.
+    val dropsState = candState
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("est", sigEstCol(col("sig_a"), col("sig_b")))
       .filter(col("est") >= 0.5)
-      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_b").as("doc_id"))
+    val thin = banded.select(col("doc_id"), col("bk"))
+    val candWave = thin.as("x").join(thin.as("y"),
+        col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct()
+    val drops = dropsState.unionByName(verifiedDrops(candWave, sigs))
+      .distinct()
     val nearKept = exactKept.join(drops, Seq("doc_id"), "left_anti")
       .transform(graft.CacheScope.tracked)
-    val nNear = nearKept.count()
+    val nNear = tT("near")(nearKept.count())
 
     // quality + mixture: stateless projections
     val qualKept = scoreQuality(nearKept)
       .filter(col("quality_score") >= 0.4)
       .transform(graft.CacheScope.tracked)
-    val nQ = qualKept.count()
+    val nQ = tT("qual")(qualKept.count())
     val sampled = mixtureSample(qualKept)
       .transform(graft.CacheScope.tracked)
-    val nS = sampled.count()
+    val nS = tT("sample")(sampled.count())
 
     // pack: the per-language running offset continues from the
     // folded st_lang deltas — materialized BEFORE this wave's delta
@@ -428,15 +446,17 @@ object Pipeline {
     // high-water; audit LAST so a torn advance re-runs the wave and
     // each landed table no-ops its replayed append. The digest/band
     // advances roll their Bloom sidecars forward in the same step.
-    DedupState.advance(spark, stDigest, scD,
+    tT("advanceDigest")(DedupState.advance(spark, stDigest, scD,
       exactKept.select("content_hash", "h2"), appId, target,
-      DigestPrefixLen)
-    NearDupState.advance(spark, stBand, scB,
-      banded.select("bk", "doc_id", "sig", "bp"), appId, target)
-    GraftLog.txnAppend(bins, stPack, appId, target): Unit
-    GraftLog.txnAppend(sampled.groupBy(col("lang"))
-      .agg(sum(col("n_tokens")).as("d_tokens")), stLang, appId,
-      target): Unit
+      DigestPrefixLen))
+    tT("advanceBand")(NearDupState.advance(spark, stBand, scB,
+      banded.select("bk", "doc_id", "sig", "bp"), appId, target))
+    tT("packLang") {
+      GraftLog.txnAppend(bins, stPack, appId, target): Unit
+      GraftLog.txnAppend(sampled.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("d_tokens")), stLang, appId,
+        target): Unit
+    }
     val audit = spark.range(1).select(lit(nIn).as("n_in"),
       lit(nEx).as("n_ex"), lit(nNear).as("n_near"),
       lit(nQ).as("n_q"), lit(nS).as("n_s"))

@@ -170,7 +170,8 @@ class PipelineSpec extends AnyFunSuite {
       val candH = GraftLog.read(spark, stDigest)
         .select("content_hash").limit(3).collect().map(_.getString(0))
       import spark.implicits._
-      val cand = candH.toSeq.map(h => (h, h.take(2)))
+      val cand = candH.toSeq
+        .map(h => (h, h.take(Pipeline.DigestPrefixLen)))
         .toDF("content_hash", "h2")
       val probe = DedupState.presentProbe(spark, stDigest, cand)
       val openedD = scannedOf(probe, "st_digest")
