@@ -352,6 +352,31 @@ class AggViewSpec extends AnyFunSuite {
       AggView.registerForRewriteCols(s2, v2p, Seq("k2"), "w")
       assert(collectMap(fresh) == expect,
         "cross-weighted fold must equal the base fact x fact join")
+      // a view-group-column WHERE (whole-bucket predicate) still
+      // serves — carried onto the key-grained pre-aggregates
+      def fq = {
+        val (fa, fb) = (a, b)
+        fa.join(fb, fa("k") === fb("k2")).filter(col("k") =!= 3L)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"),
+            round(graft.functions.Deterministic.sumExact(col("v"))
+              .cast("double"), 6).as("tv"),
+            round(graft.functions.Deterministic.sumExact(col("w"))
+              .cast("double"), 6).as("tw"),
+            round(avg(col("v").cast("decimal(38,10)")).cast("double"),
+              6).as("av"))
+      }
+      val filteredQ = fq
+      assert(scans(filteredQ, v1p) && scans(filteredQ, v2p) &&
+        !scans(filteredQ, s1),
+        "a group-column WHERE must not block the two-fact rewrite")
+      graft.sql.MvRegistry.unregister(s1)
+      graft.sql.MvRegistry.unregister(s2)
+      val fExpect = collectMap(fq)
+      AggView.registerForRewriteCols(s1, v1p, Seq("k"), "v")
+      AggView.registerForRewriteCols(s2, v2p, Seq("k2"), "w")
+      assert(collectMap(filteredQ) == fExpect,
+        "filtered two-fact fold must equal the filtered base join")
       // REFUSALS — each keeps the base plan (both facts scanned):
       // (1) extrema: a key whose OTHER side was fully deleted must not
       // contribute its folded extremum — min/max refuse outright
