@@ -576,13 +576,28 @@ object GraftLog {
         .Cache[org.apache.spark.sql.catalyst.QualifiedTableName,
           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
       import scala.jdk.CollectionConverters._
+      // prefix match in BOTH directions: a relation rooted at a
+      // partition subdirectory of the committed path reads the commit,
+      // and a commit into a subdirectory of a relation's root changes
+      // that relation — exact equality would leave either pinned. A
+      // leaf we cannot inspect (non-LogicalRelation — e.g. a V2 or
+      // hive relation) might read the path too: drop its pin rather
+      // than silently under-invalidate (the old behavior flushed
+      // EVERYTHING, so this is still strictly narrower).
+      def touches(p: org.apache.hadoop.fs.Path): Boolean = {
+        val rp = p.toUri.getPath
+        rp == committed || rp.startsWith(committed + "/") ||
+          committed.startsWith(rp + "/")
+      }
       val hits = cache.asMap().asScala.iterator.collect {
         case (key, plan) if plan.collectLeaves().exists {
           case org.apache.spark.sql.execution.datasources.LogicalRelation(
             fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
             _, _, _, _) =>
-            fs.location.rootPaths.exists(_.toUri.getPath == committed)
-          case _ => false
+            fs.location.rootPaths.exists(touches)
+          case _: org.apache.spark.sql.catalyst.plans.logical
+            .LocalRelation => false
+          case _ => true
         } => key
       }.toVector
       hits.foreach(sc.invalidateCachedTable)

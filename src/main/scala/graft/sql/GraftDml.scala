@@ -649,7 +649,25 @@ case class GraftCreateMvCommand(target: String, key: String,
     // as the group-key/value-col refusals above) instead of creating
     // a view that doesn't mean what the user wrote.
     agg.child.foreach {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Project => ()
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        // the projection must be PURE pass-through: a computed or
+        // RENAMING projection (SELECT v*2 AS v, or b AS v) would leave
+        // maintenance reading the raw source column of the same name —
+        // exactly the silently-wrong view this guard exists to refuse.
+        // Same-name aliases of bare attributes (what the analyzer
+        // inserts) are the only aliases allowed.
+        p.projectList.foreach {
+          case _: AttributeReference => ()
+          case al: org.apache.spark.sql.catalyst.expressions.Alias
+              if al.child.isInstanceOf[AttributeReference] &&
+                al.child.asInstanceOf[AttributeReference].name
+                  .equalsIgnoreCase(al.name) => ()
+          case other => throw new IllegalArgumentException(
+            "CREATE MATERIALIZED VIEW: unmaintainable shape — " +
+              "projections in the defining query must be bare " +
+              s"source columns, got ${other.sql} (computed or " +
+              "renaming projections are not maintainable)")
+        }
       case _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => ()
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => ()
       case other => throw new IllegalArgumentException(
@@ -657,6 +675,24 @@ case class GraftCreateMvCommand(target: String, key: String,
           "GROUP BY over a bare graft scan is maintainable; found " +
           s"${other.nodeName} between the aggregate and the scan " +
           "(filters/joins in the defining query are not supported)")
+    }
+    // the aggregate arguments themselves must be a bare column or a
+    // Cast of one: sum(v+1) resolves its references to {v}, so the
+    // value-column extraction above would happily persist `v` and
+    // maintenance would maintain sum(v) — a different query.
+    agg.aggregateExpressions.flatMap(_.collect {
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateExpression => ae
+    }).foreach { ae =>
+      ae.aggregateFunction.children.foreach {
+        case _: org.apache.spark.sql.catalyst.expressions.Literal => ()
+        case _: AttributeReference => ()
+        case Cast(_: AttributeReference, _, _, _) => ()
+        case other => throw new IllegalArgumentException(
+          "CREATE MATERIALIZED VIEW: unmaintainable shape — " +
+            "aggregate arguments must be a bare column or a CAST of " +
+            s"one, got ${other.sql}")
+      }
     }
     val srcPath = analyzed.collectLeaves().collectFirst {
       case org.apache.spark.sql.execution.datasources.LogicalRelation(

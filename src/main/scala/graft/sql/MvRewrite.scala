@@ -572,7 +572,25 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               DecimalType(38, 10)),
             prod)
         }
-        val pairCnt = Multiply(p1.cnt, p2.cnt, EvalMode.LEGACY)
+        // per-key count products run in decimal too — a long-by-long
+        // Multiply wraps SILENTLY on overflow in LEGACY mode, and the
+        // product feeds both count(*) and the __mv_cnt liveness filter.
+        // decimal(29,0) × decimal(8,0) → decimal(38,0) exact, with the
+        // same IsNull-then-RaiseError guard the weighted sums get.
+        def cntProduct(c1: org.apache.spark.sql.catalyst.expressions
+              .Attribute,
+            c2: org.apache.spark.sql.catalyst.expressions.Attribute)
+            : Expression = {
+          val prod = Multiply(Cast(c1, DecimalType(29, 0)),
+            Cast(c2, DecimalType(8, 0)), EvalMode.LEGACY)
+          If(And(IsNotNull(c1), IsNull(prod)),
+            Cast(new RaiseError(Literal(
+              "graft two-fact MV rewrite: per-key count product " +
+                "overflows decimal(29,0)x(8,0); query the base tables")),
+              DecimalType(38, 0)),
+            prod)
+        }
+        val pairCnt = cntProduct(p1.cnt, p2.cnt)
         def exactDecimalOf(c: Expression, out: AttributeSet,
             d: MvRegistry.MvDef): Boolean = c match {
           case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
@@ -598,7 +616,8 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case ae: AggregateExpression
               if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
-              case Count(Seq(Literal(_, _))) => sumOf(pairCnt)
+              case Count(Seq(Literal(_, _))) =>
+                Cast(sumOf(pairCnt), ae.dataType)
               case Sum(c, _) if sideOf(c).isDefined =>
                 val (mine, other) = sideOf(c).get
                 Cast(sumOf(weighted(mine.sval, other.cnt)), ae.dataType)
@@ -607,12 +626,19 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 val (mine, other) = sideOf(c).get
                 Cast(
                   Divide(sumOf(weighted(mine.sval, other.cnt)),
-                    Cast(sumOf(Multiply(nOf(c, mine).get, other.cnt,
-                      EvalMode.LEGACY)), DecimalType(20, 0)),
+                    Cast(sumOf(cntProduct(nOf(c, mine).get, other.cnt)),
+                      DecimalType(20, 0)),
                     EvalMode.LEGACY),
                   ae.dataType)
               case _ => ok = false; ae
             }
+          // a DISTINCT or FILTER aggregate must NOT fall through to the
+          // generic recursion below: mapChildren would substitute view
+          // twins INSIDE the aggregate function — sum(DISTINCT cast(v))
+          // would leave the fact's value attr unresolved, and
+          // count(DISTINCT k) over the pre-aggregate join would count
+          // zombie fully-deleted keys the join still carries. Refuse.
+          case ae: AggregateExpression => ok = false; ae
           case other => other.mapChildren(sub)
         }
         val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions
@@ -635,8 +661,11 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val cnt = Alias(sumOf(pairCnt), "__mv_cnt")()
           val rewritten = Aggregate(
             newGroups, newAggExprs :+ cnt, withAbove)
+          // pairCnt folds in decimal(38,0) now — compare same-typed
           val filtered = Filter(
-            GreaterThan(cnt.toAttribute, Literal(0L)), rewritten)
+            GreaterThan(cnt.toAttribute,
+              Literal(org.apache.spark.sql.types.Decimal(0),
+                DecimalType(38, 0))), rewritten)
           Some(Project(newAggExprs.map(_.toAttribute), filtered))
         }
       case _ => None
@@ -1023,6 +1052,12 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   sqrtIt = false)
               case _ => ok = false; ae
             }
+          // DISTINCT/FILTER aggregates fail the guarded case above and
+          // must not reach the generic recursion: mapChildren would
+          // substitute group twins INSIDE the aggregate function (e.g.
+          // count(DISTINCT g) counting delta-log bucket rows instead of
+          // fact rows). Refuse the rewrite instead.
+          case ae: AggregateExpression => ok = false; ae
           case other => other.mapChildren(sub)
         }
         val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions

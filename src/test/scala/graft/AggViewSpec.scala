@@ -425,6 +425,93 @@ class AggViewSpec extends AnyFunSuite {
     }
   }
 
+  test("MV rewrite: DISTINCT and FILTER aggregates refuse on every " +
+      "path — never substituted inside the aggregate function") {
+    // round-16 ADVICE (high): sum(DISTINCT cast(v)) used to fall
+    // through to the generic recursion, leaving the fact's value attr
+    // unresolved (analysis failure); count(DISTINCT <group col>) got
+    // twin-substituted and silently counted zombie fully-deleted
+    // buckets the delta log still carries. Both must REFUSE instead.
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (s1, v1p) = (s"$root/dk_a", s"$root/dk_av")
+    val (s2, v2p) = (s"$root/dk_b", s"$root/dk_bv")
+    GraftLog.overwrite(srcDf(0 until 120)
+      .withColumn("k", col("id") % 10), s1)
+    // fully delete one (g, k) bucket so the delta log carries zombie
+    // net-zero rows — the distinct-count corruption fuel
+    GraftLog.delete(spark, s1, col("g") === "g1" && col("k") === 1L)
+    AggView.maintainCols(spark, s1, v1p, "id", Seq("g", "k"), "v")
+    AggView.registerForRewriteCols(s1, v1p, Seq("g", "k"), "v")
+    GraftLog.overwrite(srcDf(0 until 90)
+      .select(col("id").as("id2"), (col("id") % 10).as("k2"),
+        (col("v") * 3).as("w")), s2)
+    AggView.maintainCols(spark, s2, v2p, "id2", Seq("k2"), "w")
+    AggView.registerForRewriteCols(s2, v2p, Seq("k2"), "w")
+    def scans(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources
+            .LogicalRelation(fs: org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toUri.getPath == p)
+        case _ => false
+      }
+    spark.sql("DROP TABLE IF EXISTS mv_distinct_t")
+    spark.sql(
+      s"CREATE TABLE mv_distinct_t USING graft OPTIONS (path '$s1')")
+    try {
+      // (1) single-fact count(DISTINCT <other group col>): the zombie
+      // (g1, 1) bucket exists only in the delta log — a substituted
+      // rewrite would count it. Must keep the base plan and the base
+      // answer.
+      def dq = spark.read.format("graft").load(s1)
+        .groupBy(col("g"))
+        .agg(count_distinct(col("k")).as("nk"))
+      val dPlan = dq
+      assert(scans(dPlan, s1) && !scans(dPlan, v1p),
+        "count(DISTINCT group col) must refuse the rewrite")
+      val served = dPlan.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.sql.MvRegistry.unregister(s1)
+      val base = dq.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      AggView.registerForRewriteCols(s1, v1p, Seq("g", "k"), "v")
+      assert(served == base,
+        "the refused distinct count must serve the exact base answer")
+      // (2) single-fact sum(DISTINCT cast(v)): previously an analysis
+      // failure (unresolved value attr) — must refuse AND run
+      val sd = spark.read.format("graft").load(s1)
+        .groupBy(col("g"))
+        .agg(sum_distinct(col("v").cast("decimal(38,10)")).as("sv"))
+      assert(scans(sd, s1) && !scans(sd, v1p),
+        "sum(DISTINCT cast(v)) must refuse the rewrite")
+      assert(sd.collect().length == 4,
+        "the refused distinct sum must execute cleanly")
+      // (3) FILTER-clause aggregate (SQL surface): same fall-through
+      val fq = spark.sql(
+        "SELECT g, sum(CAST(v AS DECIMAL(38,10))) " +
+          "FILTER (WHERE k = 0) AS sv FROM mv_distinct_t GROUP BY g")
+      assert(scans(fq, s1) && !scans(fq, v1p),
+        "a FILTER-clause aggregate must refuse the rewrite")
+      assert(fq.collect().length == 4,
+        "the refused filtered aggregate must execute cleanly")
+      // (4) the two-fact path has the same fall-through: sum(DISTINCT)
+      // over fact1 ⋈ fact2 must keep both base scans and run
+      val (fa, fb) = (spark.read.format("graft").load(s1),
+        spark.read.format("graft").load(s2))
+      val tf = fa.join(fb, fa("k") === fb("k2")).groupBy(col("k"))
+        .agg(sum_distinct(col("v").cast("decimal(38,10)")).as("sv"))
+      assert(scans(tf, s1) && scans(tf, s2) &&
+        !scans(tf, v1p) && !scans(tf, v2p),
+        "two-fact sum(DISTINCT) must refuse the rewrite")
+      assert(tf.collect().nonEmpty,
+        "the refused two-fact distinct must execute cleanly")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mv_distinct_t")
+      graft.sql.MvRegistry.unregister(s1)
+      graft.sql.MvRegistry.unregister(s2)
+    }
+  }
+
   test("join-MV: stale view + CDF tail still serves the star, current") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view, dimPath) =
@@ -718,6 +805,22 @@ class AggViewSpec extends AnyFunSuite {
           "FROM mvguard_spec_t a JOIN mvguard_spec_t b ON a.id = b.id " +
           "GROUP BY a.g"))
       assert(e4.getMessage.contains("unmaintainable shape"))
+      // a COMPUTED projection rebinding the value column's name:
+      // maintenance would read the RAW source `v` — the silently-wrong
+      // view the guard exists to refuse (round-16 ADVICE)
+      val e5 = intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW '$root/vp' KEY id AS " +
+          "SELECT g, sum(CAST(v AS DECIMAL(38,10))) AS sv " +
+          "FROM (SELECT g, v * 2 AS v FROM mvguard_spec_t) GROUP BY g"))
+      assert(e5.getMessage.contains("unmaintainable shape"))
+      // an EXPRESSION aggregate argument: sum(v+1) resolves its
+      // references to {v}, so the persisted definition would silently
+      // maintain sum(v) — refuse loudly
+      val e6 = intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW '$root/va' KEY id AS " +
+          "SELECT g, sum(CAST(v + 1 AS DECIMAL(38,10))) AS sv " +
+          "FROM mvguard_spec_t GROUP BY g"))
+      assert(e6.getMessage.contains("unmaintainable shape"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS mvguard_spec_t")
       graft.sql.MvRegistry.unregisterMatching(src)
