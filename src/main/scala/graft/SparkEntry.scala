@@ -206,6 +206,11 @@ object SparkEntry {
     // so the exact probe file-prunes — same replay and oracle as e18
     "e19_dedup_state_scalable" ->
       ((s, d) => DedupState.dedupStateScalable(s, d)),
+    // GDPR erasure through the rolling dedup state: prefix-pruned
+    // transactional delete + Bloom-sidecar re-mint; erased texts
+    // re-admit fresh, untouched verdicts undisturbed
+    "e25_dedup_state_erasure" ->
+      ((s, d) => DedupState.dedupStateErasure(s, d)),
     // persisted rolling NEAR-dup state: LSH band keys as a graft table
     // with a band-key Bloom sidecar; batch 2's twins of batch 1's novel
     // docs prove the state advanced; verify = signature-est Jaccard on
@@ -3286,6 +3291,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), b2.doc_id, (s1.h IS NOT NULL)
         |FROM b2 LEFT JOIN state1 s1 ON b2.h = s1.h""".stripMargin,
+    // e25: e19's membership algebra with an erasure between the
+    // batches — state2 = (corpus ∪ batch1) \ erased, so re-submitted
+    // erased texts admit fresh while untouched verdicts hold
+    "e25_dedup_state_erasure" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT sha256(text) AS h
+        |  FROM documents WHERE doc_id < 300),
+        |b1 AS (
+        |  SELECT doc_id, sha256(text) AS h
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 450
+        |  UNION ALL
+        |  SELECT doc_id + 2000, sha256(text)
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 9 = 0),
+        |erased AS (
+        |  SELECT DISTINCT sha256(text) AS h
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 9 = 0),
+        |state2 AS (
+        |  SELECT h FROM (
+        |    SELECT h FROM corpus UNION SELECT h FROM b1) s
+        |  WHERE h NOT IN (SELECT h FROM erased)),
+        |b2 AS (
+        |  SELECT doc_id, sha256(text) AS h
+        |  FROM documents WHERE doc_id >= 450
+        |  UNION ALL
+        |  SELECT doc_id + 5000, sha256(text)
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000, sha256(text)
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 9 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 7000, sha256(text)
+        |  FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 450 AND doc_id % 5 = 0)
+        |SELECT CAST(0 AS BIGINT) AS batch_id, b1.doc_id,
+        |  (c.h IS NOT NULL) AS is_duplicate
+        |FROM b1 LEFT JOIN corpus c ON b1.h = c.h
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), b2.doc_id, (s2.h IS NOT NULL)
+        |FROM b2 LEFT JOIN state2 s2 ON b2.h = s2.h""".stripMargin,
     // e20: full MinHash/band replay with phased state membership —
     // phase-2 state = seed + batch-1 docs NOT flagged near-dup (the
     // kept-representative rule); verify = sig-estimated Jaccard >= 0.5

@@ -382,6 +382,87 @@ object DedupState {
     verdicts
   }
 
+  /** GDPR erasure through the rolling exact-dedup state (e25): delete
+    * the given digests' state rows in ONE file-pruned transactional
+    * commit, then RE-MINT the Bloom sidecar from the surviving state at
+    * the delete version. Without this path, an erased document's digest
+    * blocks re-admission of identical text FOREVER — retained derived
+    * data a compliance pipeline must be able to purge (the f14/f15 ANN
+    * erasure contract, applied to the dedup state).
+    *
+    * Scale shape: the erasure batch's digest-PREFIX set (bounded by
+    * 16^prefixLen values — a metadata-sized collect, never of keys)
+    * statically prunes the touched-file probe to the candidate
+    * partitions, and only files actually holding matching digests are
+    * rewritten ([[GraftLog.deleteMatching]] semantics); the key frame
+    * itself stays distributed. The sidecar re-mint is a full state
+    * scan — a Bloom cannot unset bits, and the erased digests' bits are
+    * themselves retained derived data, so the compliance path pays
+    * O(state) once per erasure batch (never per ingest batch; steady-
+    * state advance cost is unchanged). Re-erasing already-erased keys
+    * rewrites nothing.
+    *
+    * `digests` needs a `content_hash` column (erase by digest: the
+    * state holds no doc ids — callers map doc → digest exactly the way
+    * admission did, sha2(text, 256)). Returns the delete commit
+    * version. */
+  def erase(spark: SparkSession, state: String, digests: DataFrame)
+      : Long = {
+    val (fpp, pl) = probeMeta(spark, state)
+    val keys = digests.select(col("content_hash")).distinct()
+      .withColumn("h2", substring(col("content_hash"), 1, pl))
+      .transform(graft.CacheScope.tracked)
+    // candidate PREFIX set: metadata-sized (≤ 16^prefixLen values)
+    val prefixes = keys.select("h2").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val v = GraftLog.deleteMatching(spark, state, keys,
+      Seq("content_hash"), prune = Some(col("h2").isin(prefixes: _*)))
+    rebuild(spark, state,
+      GraftLog.latestVersion(spark, state).getOrElse(v), fpp, pl)
+    v
+  }
+
+  /** e25 — the erasure lifecycle as a registered query: seed + batch 1
+    * (e19's shape), then GDPR-erase the twinned seed docs' digests, then
+    * batch 2 re-submits the erased texts (admitted fresh), twins of
+    * UNTOUCHED seed docs (still duplicates — erasure must not disturb
+    * neighbors), and twins of batch 1's novel docs (still duplicates —
+    * the advance survives the erase commit). The oracle replays the
+    * same membership algebra: state2 = (corpus ∪ batch1) \ erased. */
+  def dedupStateErasure(spark: SparkSession, sfDir: String,
+      split: Long = 300, split2: Long = 450): DataFrame = {
+    val docs = graft.sources.Sources.testTable(spark, sfDir, "documents")
+    val state = graft.sources.Staging.scratchDir("graft_dserase_") +
+      "/digests"
+    init(spark, docs.filter(col("doc_id") < split)
+      .select(sha2(col("text"), 256).as("content_hash")),
+      state, prefixLen = 1)
+    val b1 = docs.filter(col("doc_id") >= split && col("doc_id") < split2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") < split && col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+    val v1 = probeAndAdvance(spark, state, b1, 0L)
+    // the GDPR request: every %9==0 seed doc must be forgotten
+    erase(spark, state, docs
+      .filter(col("doc_id") < split && col("doc_id") % 9 === 0)
+      .select(sha2(col("text"), 256).as("content_hash")))
+    val b2 = docs.filter(col("doc_id") >= split2)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs // re-submission of the ERASED texts: admitted
+        .filter(col("doc_id") < split && col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 5000).as("doc_id"), col("text")))
+      .unionByName(docs // twins of untouched seed docs: still dups
+        .filter(col("doc_id") < split && col("doc_id") % 9 === 1)
+        .select((col("doc_id") + 6000).as("doc_id"), col("text")))
+      .unionByName(docs // twins of batch 1 novels: still dups
+        .filter(col("doc_id") >= split && col("doc_id") < split2 &&
+          col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 7000).as("doc_id"), col("text")))
+    val v2 = probeAndAdvance(spark, state, b2, 1L)
+    v1.unionByName(v2)
+  }
+
   /** e19 — the registered-query form: same two-batch replay (and the
     * same oracle) as e18, run through the sidecar + prefix-partitioned
     * machinery. prefixLen 1 keeps the sandbox layout at 16 dirs; the

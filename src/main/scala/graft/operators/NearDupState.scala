@@ -400,6 +400,44 @@ object NearDupState {
     verdicts
   }
 
+  /** GDPR erasure through the rolling near-dup state: delete every band
+    * row of the given docs in ONE transactional commit, then RE-MINT the
+    * band-key Bloom sidecar from the surviving state. Without this, an
+    * erased document's MinHash signature lives on in its band rows —
+    * retained derived data (signatures reconstruct similarity structure)
+    * — and its band keys keep flagging future near-identical text
+    * against a document the corpus no longer holds.
+    *
+    * Band keys SHARED with surviving docs stay in the re-minted sidecar
+    * (they are the survivors' data); keys unique to the erased docs
+    * vanish. Pass `texts` (doc_id, text) when available: the erased
+    * docs' band rows live only in their band keys' `bp` partitions, so
+    * banding the texts yields a static partition prune for the
+    * touched-file probe — without it the probe is one key-semi-joined
+    * scan (file rewrite stays bounded to touched files either way). The
+    * sidecar re-mint is a key-only state scan — the compliance path
+    * pays O(state) once per erasure batch, never per ingest batch.
+    * Re-erasing already-erased docs rewrites nothing. Returns the
+    * delete commit version. */
+  def erase(spark: SparkSession, state: String, docIds: DataFrame,
+      texts: Option[DataFrame] = None, n: Int = 3): Long = {
+    val keys = docIds.select(col("doc_id")).distinct()
+    val prune = texts.map { t =>
+      // bp is a pure function of bk, which is a pure function of the
+      // text (at the state's shingle width n) — the banding projection
+      // reproduces exactly the partitions the doc's state rows landed
+      // in. Metadata-sized collect (≤ 64).
+      val bps = banded(t, n).select("bp").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      col("bp").isin(bps: _*)
+    }
+    val v = GraftLog.deleteMatching(spark, state, keys, Seq("doc_id"),
+      prune = prune)
+    rebuild(spark, state,
+      GraftLog.latestVersion(spark, state).getOrElse(v)): Unit
+    v
+  }
+
   /** e20 — the registered-query form: e19's two-batch replay shape
     * (corpus seed, then two batches carrying twins of EARLIER novel
     * docs) with NEAR-dup verdicts. Batch 2's twins duplicate batch 1's

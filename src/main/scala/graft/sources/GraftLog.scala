@@ -4537,16 +4537,27 @@ object GraftLog {
     * the mask-only sibling for erasure latency. Join strategy is left
     * to AQE: a small key frame broadcasts, a huge one shuffles —
     * forcing broadcast here would OOM the 100 TB bulk case. */
+  /** `prune`: an optional coarse predicate applied to the touched-file
+    * probe's scan BEFORE the key semi-join — the caller's statically-
+    * derivable bound on where matching rows can live (e.g. the digest-
+    * prefix partition set of an erasure batch). It pushes into the
+    * FileIndex as a plain filter, so partition dirs and stat-disjoint
+    * files prune without reading them; the semi-join alone cannot
+    * prune statically. Soundness is the caller's contract: every row
+    * matching the key set must satisfy `prune` (rows outside it are
+    * simply never probed). */
   def deleteMatching(spark: SparkSession, table: String,
-      keys: DataFrame, keyCols: Seq[String]): Long = {
+      keys: DataFrame, keyCols: Seq[String],
+      prune: Option[Column] = None): Long = {
     requireAppendable(spark, table, "DELETE (keyed)")
     rebaseOnConflict(table, "deleteMatching") { () =>
-      deleteMatchingOnce(spark, table, keys, keyCols)
+      deleteMatchingOnce(spark, table, keys, keyCols, prune)
     }
   }
 
   private def deleteMatchingOnce(spark: SparkSession, table: String,
-      keys: DataFrame, keyCols: Seq[String]): Long = {
+      keys: DataFrame, keyCols: Seq[String],
+      prune: Option[Column] = None): Long = {
     val vRead = latestVersion(spark, table)
     requireNoDvs(spark, table, "delete")
     val (files, schema) = snapshot(spark, table)
@@ -4560,10 +4571,13 @@ object GraftLog {
     val touched =
       if (cmap.nonEmpty)
         touchedFiles(spark, table, files, schema,
-          df => toLogicalDf(df, schema, cmap, keep = Seq("__gf_file"))
+          df => prune.foldLeft(
+            toLogicalDf(df, schema, cmap, keep = Seq("__gf_file")))(
+              (d, p) => d.filter(p))
             .join(keyset, keyCols, "left_semi"))
       else {
-        val rels = GraftFileIndex.read(spark, table)
+        val rels = prune.foldLeft(GraftFileIndex.read(spark, table))(
+            (d, p) => d.filter(p))
           .withColumn("__gf_file", input_file_name())
           .join(keyset, keyCols, "left_semi")
           .select("__gf_file").distinct().collect()

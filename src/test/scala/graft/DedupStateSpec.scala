@@ -237,6 +237,57 @@ class DedupStateSpec extends AnyFunSuite {
     assert(sidecarFiles(state).count(_.endsWith(".bin")) <= 2)
   }
 
+  test("GDPR erase: prefix-pruned delete, sidecar re-mint, erased " +
+      "text re-admits fresh, neighbors undisturbed, re-erase no-ops") {
+    import spark.implicits._
+    val state = Staging.tempDir("graft_dstate_spec_") + "/digests"
+    DedupState.init(spark, spark.range(400)
+      .select(sha2(concat(lit("c-"), col("id")), 256).as("content_hash")),
+      state, prefixLen = 1)
+    // one erasure subject + one untouched neighbor, with known texts
+    val subjectH = spark.range(1).select(
+      sha2(lit("c-42"), 256).as("content_hash")).as[String].head()
+    val files0 = GraftLog.snapshot(spark, state)._1.toSet
+    val v0 = GraftLog.latestVersion(spark, state).get
+    DedupState.erase(spark, state,
+      Seq(subjectH).toDF("content_hash"))
+    // (1) pruned delete: every file the commit removed OR added lives
+    // in the subject's prefix dir — untouched partitions' files are
+    // carried by reference, never rewritten
+    val files1 = GraftLog.snapshot(spark, state)._1.toSet
+    val touched = (files0 -- files1) ++ (files1 -- files0)
+    val dir = s"h2=${subjectH.take(1)}/"
+    assert(touched.nonEmpty && touched.forall(_.contains(dir)),
+      s"erase must rewrite only the candidate prefix dir: $touched")
+    // (2) the digest is gone from the state
+    assert(GraftLog.read(spark, state)
+      .filter(col("content_hash") === subjectH).count() == 0)
+    // (3) sidecar re-minted AT the delete version: next load is
+    // steady-state (no catch-up, no rebuild)
+    val sc = DedupState.loadSidecar(spark, state)
+    assert(sc.version > v0 && sc.catchupVersions == 0 && !sc.rebuilt,
+      s"erase must re-mint the sidecar at the delete version: $sc")
+    // (4) the erased text re-admits FRESH; the untouched neighbor's
+    // twin still flags duplicate
+    val batch = Seq((1L, "c-42"), (2L, "c-43")).toDF("doc_id", "text")
+    val verdicts = DedupState.probeAndAdvance(spark, state, batch, 0L)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(!verdicts(1L), "the erased text must be admitted fresh")
+    assert(verdicts(2L), "an untouched digest must keep flagging")
+    // re-admitted means IN the state again: a second submission dups
+    val again = DedupState.probeAndAdvance(spark, state,
+      Seq((3L, "c-42")).toDF("doc_id", "text"), 1L).collect()
+    assert(again.head.getBoolean(2),
+      "the re-admitted text must flag duplicate on re-submission")
+    // (5) re-erasing a no-longer-present digest rewrites nothing
+    DedupState.erase(spark, state, Seq("0" * 64).toDF("content_hash"))
+    val hist = GraftLog.history(spark, state)
+      .orderBy(col("version").desc).limit(2).collect()
+    val delRow = hist.find(_.getString(1) == "delete").get
+    assert(delRow.getInt(3) == 0,
+      s"an all-miss erase must remove zero files: $delRow")
+  }
+
   test("re-delivered batch id is a ledger no-op (state version fixed)") {
     import spark.implicits._
     val state = Staging.tempDir("graft_dstate_spec_") + "/digests"

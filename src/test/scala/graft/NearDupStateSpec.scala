@@ -125,6 +125,61 @@ class NearDupStateSpec extends AnyFunSuite {
       "streaming admission must not change a single verdict")
   }
 
+  test("GDPR erase: band rows purged (bp-pruned with texts), sidecar " +
+      "re-mint, twin of erased doc no longer flags, neighbors hold") {
+    import spark.implicits._
+    val docs = Sources.testTable(spark, TestSpark.sf, "documents")
+    val state = Staging.tempDir("graft_ndspec_") + "/bands"
+    NearDupState.init(spark, docs.filter(col("doc_id") < 100), state)
+    val subject = docs.filter(col("doc_id") === 3L)
+      .select(col("doc_id"), col("text"))
+    // pre-erase: a twin of doc 3 flags near-dup
+    val pre = NearDupState.probeAndAdvance(spark, state,
+      subject.select((col("doc_id") + 9000).as("doc_id"), col("text")),
+      0L).collect()
+    assert(pre.head.getBoolean(4), "twin must flag before erasure")
+    val files0 = GraftLog.snapshot(spark, state)._1.toSet
+    val v0 = GraftLog.latestVersion(spark, state).get
+    NearDupState.erase(spark, state,
+      subject.select("doc_id"), texts = Some(subject))
+    // (1) every band row of doc 3 is gone; neighbors' rows intact
+    val left = GraftLog.read(spark, state)
+    assert(left.filter(col("doc_id") === 3L).count() == 0,
+      "erased doc's band rows must be purged")
+    assert(left.filter(col("doc_id") === 4L).count() > 0,
+      "neighbors' band rows must survive")
+    // (2) text-derived bp pruning: every file the delete rewrote lives
+    // in one of the subject's band-key partitions
+    val files1 = GraftLog.snapshot(spark, state)._1.toSet
+    val touched = (files0 -- files1) ++ (files1 -- files0)
+    val bps = NearDupState.bandedForTest(subject)
+      .select("bp").distinct().as[Int].collect().toSet
+    assert(touched.nonEmpty && touched.forall(f =>
+      bps.exists(bp => f.contains(s"bp=$bp/"))),
+      s"erase must rewrite only the subject's bp dirs: $touched")
+    // (3) sidecar re-minted at the delete version: steady next load
+    val sc = NearDupState.loadSidecar(spark, state)
+    assert(sc.version > v0 && sc.catchupVersions == 0 && !sc.rebuilt,
+      s"erase must re-mint the sidecar at the delete version: $sc")
+    // (4) the forgotten doc's twin is ADMITTED now (and joins the
+    // state as the new representative); an untouched doc's twin
+    // still flags
+    val post = NearDupState.probeAndAdvance(spark, state,
+      subject.select((col("doc_id") + 9500).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") === 7L)
+          .select((col("doc_id") + 9500).as("doc_id"), col("text"))),
+      1L).collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(!post(9503L), "the erased doc's twin must be admitted fresh")
+    assert(post(9507L), "an untouched doc's twin must keep flagging")
+    // (5) re-erasing the already-erased doc rewrites nothing
+    NearDupState.erase(spark, state, subject.select("doc_id"),
+      texts = Some(subject))
+    val delRow = GraftLog.history(spark, state)
+      .orderBy(col("version").desc).limit(1).collect().head
+    assert(delRow.getString(1) == "delete" && delRow.getInt(3) == 0,
+      s"re-erase must remove zero files: $delRow")
+  }
+
   test("viral boilerplate: hot bands verify salted, answers unchanged") {
     // adversarial skew: 400 state docs share ONE text, so every band
     // key of that signature holds 400 entries — the degenerate corpus
