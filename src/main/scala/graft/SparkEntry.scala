@@ -589,6 +589,11 @@ object SparkEntry {
     // rewrite; DROP un-serves; REFRESH folds the missing commits
     "d37_mv_sql_lifecycle" ->
       ((s, d) => AggView.mvSqlLifecycle(s, d)),
+    // the STAR-MV SQL lifecycle: CREATE derives the fact + join-key
+    // granularity from the analyzed join tree (fact-only definition,
+    // dims rejoin at plan time); DROP/stale/REFRESH pins as d37
+    "d41_mv_star_sql_lifecycle" ->
+      ((s, d) => AggView.mvStarSqlLifecycle(s, d)),
     // UNION-MV: one maintained rollup serves the aggregate over the
     // UNION ALL of its fact sources (per-source ledger app ids); a
     // single stale leg falls the whole union back
@@ -1934,6 +1939,25 @@ object SparkEntry {
         |  TRUE AS used_view, TRUE AS drop_fell_back,
         |  TRUE AS stale_fell_back, 1 AS versions_applied
         |FROM final GROUP BY 1""".stripMargin,
+    // d41: the star-MV lifecycle — served values are the post-REFRESH
+    // fact state (all events + the %13 append) through the user→segment
+    // dim; the four lifecycle pins as literals
+    "d41_mv_star_sql_lifecycle" ->
+      """WITH final AS (
+        |  SELECT user_id, value FROM events
+        |  UNION ALL
+        |  SELECT user_id, value FROM events WHERE event_id % 13 = 0),
+        |dim AS (
+        |  SELECT DISTINCT user_id AS uid,
+        |    'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment
+        |  FROM events)
+        |SELECT segment, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  TRUE AS used_view, TRUE AS drop_fell_back,
+        |  TRUE AS stale_fell_back, 1 AS versions_applied
+        |FROM final JOIN dim ON final.user_id = dim.uid
+        |GROUP BY 1""".stripMargin,
     // d38: the union replay — channel A (even ids) runs seed/append/
     // delete, channel B (odd ids) seed/append; the union aggregate at
     // both channels' maintained state; both plan pins as literals

@@ -836,6 +836,83 @@ object AggView {
     }
   }
 
+  /** d41 — the STAR-MV SQL lifecycle: `CREATE MATERIALIZED VIEW` whose
+    * defining SELECT is the d35 star (`fact ⋈ dim GROUP BY dim.attr`,
+    * the reference's silver→gold join shape,
+    * `financial_dl_etl.py:88-94` generalized). CREATE derives the FACT
+    * and its join-key granularity from the analyzed join tree and
+    * persists a fact-only definition — dims are never materialized;
+    * the rewrite rejoins the query's own dim subtree to the key-grained
+    * view at plan time — so a SQL-only user reaches the join-MV serving
+    * that was previously API-only. The same four lifecycle pins as d37:
+    * the defining text serves from the view after CREATE; DROP
+    * un-registers (same text replans to the base join); an un-refreshed
+    * fact commit falls back; REFRESH folds exactly the missing versions
+    * and the text serves again with CURRENT values. */
+  def mvStarSqlLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvstar_")
+    val (src, dimPath, view, view2) =
+      (s"$root/fact", s"$root/dim", s"$root/view", s"$root/view2")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    // user → segment dim: plain parquet — dims carry no commit log,
+    // the rewrite keeps their subtree verbatim
+    ev.select(col("user_id").as("uid")).distinct()
+      .withColumn("segment",
+        concat(lit("seg_"), (col("uid") % 5).cast("string")))
+      .write.mode("overwrite").parquet(dimPath)
+    spark.sql("DROP TABLE IF EXISTS mvstar_fact")
+    spark.sql(s"CREATE TABLE mvstar_fact USING graft OPTIONS (path '$src')")
+    spark.sql("DROP TABLE IF EXISTS mvstar_dim")
+    spark.sql(
+      s"CREATE TABLE mvstar_dim USING parquet OPTIONS (path '$dimPath')")
+    val defSql =
+      s"""SELECT d.segment, count(1) AS n_events,
+         |  round(CAST(sum(CAST(f.value AS DECIMAL(38,10))) AS DOUBLE), 6)
+         |    AS total_value
+         |FROM mvstar_fact f JOIN mvstar_dim d ON f.user_id = d.uid
+         |GROUP BY d.segment""".stripMargin
+    def scans(df: DataFrame, path: String): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toUri.getPath == path)
+        case _ => false
+      }
+    def q = spark.sql(defSql)
+    try {
+      // CREATE + DROP round-trip on a throwaway view
+      spark.sql(
+        s"CREATE MATERIALIZED VIEW '$view2' KEY event_id AS $defSql")
+      val viaView2 = scans(q, view2) && !scans(q, src)
+      spark.sql(s"DROP MATERIALIZED VIEW '$view2'")
+      val dropFellBack = viaView2 && scans(q, src) && !scans(q, view2)
+      // the real view: CREATE folds v0+v1 and the star text serves
+      spark.sql(
+        s"CREATE MATERIALIZED VIEW '$view' KEY event_id AS $defSql")
+      val usedView = scans(q, view) && !scans(q, src)
+      // one un-folded fact commit → same text, base join again
+      GraftLog.append(ev.filter(col("event_id") % 13 === 0), src) // v2
+      val staleFellBack = scans(q, src) && !scans(q, view)
+      val applied = spark.sql(s"REFRESH MATERIALIZED VIEW '$view'")
+        .collect()(0).getInt(0)
+      val served = q
+      val servedAgain = scans(served, view) && !scans(served, src)
+      served
+        .withColumn("used_view", lit(usedView && servedAgain))
+        .withColumn("drop_fell_back", lit(dropFellBack))
+        .withColumn("stale_fell_back", lit(staleFellBack))
+        .withColumn("versions_applied", lit(applied))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mvstar_fact")
+      spark.sql("DROP TABLE IF EXISTS mvstar_dim")
+      graft.sql.MvRegistry.unregisterMatching(src)
+    }
+  }
+
   /** d38 — the UNION-MV: one maintained rollup serves the aggregate
     * over the UNION ALL of its fact sources — the medallion fan-in
     * every multi-channel pipeline has (the reference's per-symbol CSV

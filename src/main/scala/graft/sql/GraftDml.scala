@@ -603,38 +603,115 @@ case class GraftDropLifecycleCommand(target: String,
 /** `CREATE MATERIALIZED VIEW <view> KEY <rowId> [COMPENSATE] AS
   * SELECT …` — the SQL lifecycle for the incremental-MV tier
   * ([[graft.operators.AggView]] maintenance + [[GraftMvRewriteRule]]
-  * serving). The defining SELECT must be a GROUP-BY rollup over ONE
-  * graft source aggregating ONE value column (the maintainable shape);
-  * the command seeds the view from the source's full commit history,
+  * serving). Three maintainable shapes, matching the rewrite rule's
+  * serving surface:
+  *
+  *   - **single-table**: GROUP BY over a bare graft scan aggregating
+  *     ONE value column — the view is the (groupCols, valueCol) rollup;
+  *   - **star / snowflake**: GROUP BY over an INNER equi-join tree with
+  *     exactly one graft FACT (the join input carrying the aggregated
+  *     value column). The persisted definition is the fact rolled up at
+  *     its JOIN-KEY (+ any fact-side group column) granularity — dims
+  *     are NOT materialized: the rewrite rule rejoins the query's own
+  *     dim subtrees to the key-grained view at plan time, so the stored
+  *     definition (and REFRESH cost) is fact-only;
+  *   - **union**: GROUP BY over a UNION ALL of bare graft scans — one
+  *     view maintained under per-source ledger app ids
+  *     ([[graft.operators.AggView.maintainUnion]]).
+  *
+  * The command seeds the view from the source's full commit history,
   * persists the definition in the view's table properties (so REFRESH
-  * re-derives it without any session state), and registers the source
-  * for planner auto-rewrite. KEY names the source's CDF row identity —
-  * the one piece the SELECT cannot express. */
+  * re-derives it without any session state), and registers the
+  * source(s) for planner auto-rewrite. KEY names the source's CDF row
+  * identity — the one piece the SELECT cannot express. Unmaintainable
+  * shapes (filters, computed projections, expression aggregate args,
+  * outer joins, two facts) refuse loudly instead of creating a view
+  * that doesn't mean what the user wrote. */
 case class GraftCreateMvCommand(target: String, key: String,
     compensate: Boolean, select: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Project, SubqueryAlias, Union}
+
+  private def refuse(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW: unmaintainable shape — " + msg)
+
+  /** Skip SubqueryAlias and PURE pass-through projections. A computed
+    * or RENAMING projection (SELECT v*2 AS v, or b AS v) would leave
+    * maintenance reading the raw source column of the same name —
+    * exactly the silently-wrong view this guard exists to refuse;
+    * same-name aliases of bare attributes (what the analyzer inserts)
+    * are the only aliases allowed. */
+  private def strip(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => strip(c)
+    case pr: Project =>
+      pr.projectList.foreach {
+        case _: AttributeReference => ()
+        case al: Alias if al.child.isInstanceOf[AttributeReference] &&
+            al.child.asInstanceOf[AttributeReference].name
+              .equalsIgnoreCase(al.name) => ()
+        case other => refuse(
+          "projections in the defining query must be bare source " +
+            s"columns, got ${other.sql} (computed or renaming " +
+            "projections are not maintainable)")
+      }
+      strip(pr.child)
+    case other => other
+  }
+
+  private def graftPathOf(p: LogicalPlan): Option[String] =
+    strip(p) match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+          if fs.location.isInstanceOf[graft.sources.GraftFileIndex] =>
+        Some(fs.location.rootPaths.head.toUri.getPath)
+      case _ => None
+    }
+
   override def run(session: SparkSession): Seq[Row] = {
     val viewPath = GraftTarget.pathOf(session, target)
     val analyzed = session.sql(select).queryExecution.analyzed
-    val agg = analyzed.collectFirst {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-    }.getOrElse(throw new IllegalArgumentException(
-      "CREATE MATERIALIZED VIEW: the defining query must be a " +
-        "GROUP BY aggregate"))
-    val groupCols = agg.groupingExpressions.map {
-      case a: AttributeReference => a.name
+    val agg = analyzed.collectFirst { case a: Aggregate => a }
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW: the defining query must be a " +
+          "GROUP BY aggregate"))
+    // the aggregate arguments must be a bare column or a Cast of one:
+    // sum(v+1) resolves its references to {v}, so the value-column
+    // extraction below would happily persist `v` and maintenance
+    // would maintain sum(v) — a different query.
+    agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    }).foreach { ae =>
+      ae.aggregateFunction.children.foreach {
+        case _: org.apache.spark.sql.catalyst.expressions.Literal => ()
+        case _: AttributeReference => ()
+        case Cast(_: AttributeReference, _, _, _) => ()
+        case other => refuse(
+          "aggregate arguments must be a bare column or a CAST of " +
+            s"one, got ${other.sql}")
+      }
+    }
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
       case other => throw new IllegalArgumentException(
         "materialized-view group keys must be plain columns, got " +
           other.sql)
     }
-    if (groupCols.isEmpty) throw new IllegalArgumentException(
+    if (groupAttrs.isEmpty) throw new IllegalArgumentException(
       "CREATE MATERIALIZED VIEW: global aggregates are not " +
         "maintainable (no group keys)")
-    val valueCols = agg.aggregateExpressions.flatMap(_.collect {
-      case ae: org.apache.spark.sql.catalyst.expressions.aggregate
-        .AggregateExpression => ae
-    }).flatMap(_.references.toSeq.map(_.name))
-      .filterNot(n => groupCols.exists(_.equalsIgnoreCase(n))).distinct
-    val valueCol = valueCols match {
+    // the aggregated value attributes: everything an aggregate
+    // references that is not a group key
+    val valueAttrs = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    }).flatMap(_.references.toSeq)
+      .filterNot(a => groupAttrs.exists(_.exprId == a.exprId))
+      .foldLeft(Vector.empty[
+          org.apache.spark.sql.catalyst.expressions.Attribute])(
+        (acc, a) =>
+          if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
+    val valueCol = valueAttrs.map(_.name).distinct match {
       case Seq(one) => one
       case Seq() => throw new IllegalArgumentException(
         "the defining query must aggregate a value column")
@@ -642,78 +719,164 @@ case class GraftCreateMvCommand(target: String, key: String,
         s"one maintainable value column expected, got: " +
           many.mkString(", "))
     }
-    // Maintenance seeds/advances the view from (groupCols, valueCol)
-    // over the FULL source — a Filter/Join/window between the
-    // Aggregate and the scan would be silently dropped from the
-    // persisted definition. Refuse those shapes loudly (same posture
-    // as the group-key/value-col refusals above) instead of creating
-    // a view that doesn't mean what the user wrote.
-    agg.child.foreach {
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-        // the projection must be PURE pass-through: a computed or
-        // RENAMING projection (SELECT v*2 AS v, or b AS v) would leave
-        // maintenance reading the raw source column of the same name —
-        // exactly the silently-wrong view this guard exists to refuse.
-        // Same-name aliases of bare attributes (what the analyzer
-        // inserts) are the only aliases allowed.
-        p.projectList.foreach {
-          case _: AttributeReference => ()
-          case al: org.apache.spark.sql.catalyst.expressions.Alias
-              if al.child.isInstanceOf[AttributeReference] &&
-                al.child.asInstanceOf[AttributeReference].name
-                  .equalsIgnoreCase(al.name) => ()
-          case other => throw new IllegalArgumentException(
-            "CREATE MATERIALIZED VIEW: unmaintainable shape — " +
-              "projections in the defining query must be bare " +
-              s"source columns, got ${other.sql} (computed or " +
-              "renaming projections are not maintainable)")
-        }
-      case _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => ()
-      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => ()
-      case other => throw new IllegalArgumentException(
-        "CREATE MATERIALIZED VIEW: unmaintainable shape — only " +
-          "GROUP BY over a bare graft scan is maintainable; found " +
+    strip(agg.child) match {
+      case jn: Join =>
+        createStar(session, viewPath, jn, groupAttrs, valueAttrs,
+          valueCol)
+      case un: Union =>
+        createUnion(session, viewPath, un, groupAttrs.map(_.name),
+          valueCol)
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+          if fs.location.isInstanceOf[graft.sources.GraftFileIndex] =>
+        createSingle(session, viewPath, groupAttrs.map(_.name),
+          valueCol, fs.location.rootPaths.head.toUri.getPath)
+      case other => refuse(
+        "only GROUP BY over a bare graft scan, an inner join of one, " +
+          s"or a UNION ALL of several is maintainable; found " +
           s"${other.nodeName} between the aggregate and the scan " +
-          "(filters/joins in the defining query are not supported)")
+          "(filters in the defining query are not supported)")
     }
-    // the aggregate arguments themselves must be a bare column or a
-    // Cast of one: sum(v+1) resolves its references to {v}, so the
-    // value-column extraction above would happily persist `v` and
-    // maintenance would maintain sum(v) — a different query.
-    agg.aggregateExpressions.flatMap(_.collect {
-      case ae: org.apache.spark.sql.catalyst.expressions.aggregate
-        .AggregateExpression => ae
-    }).foreach { ae =>
-      ae.aggregateFunction.children.foreach {
-        case _: org.apache.spark.sql.catalyst.expressions.Literal => ()
-        case _: AttributeReference => ()
-        case Cast(_: AttributeReference, _, _, _) => ()
-        case other => throw new IllegalArgumentException(
-          "CREATE MATERIALIZED VIEW: unmaintainable shape — " +
-            "aggregate arguments must be a bare column or a CAST of " +
-            s"one, got ${other.sql}")
-      }
-    }
-    val srcPath = analyzed.collectLeaves().collectFirst {
-      case org.apache.spark.sql.execution.datasources.LogicalRelation(
-        fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
-        _, _, _, _)
-        if fs.location.isInstanceOf[graft.sources.GraftFileIndex] =>
-        fs.location.rootPaths.head.toUri.getPath
-    }.getOrElse(throw new IllegalArgumentException(
-      "CREATE MATERIALIZED VIEW: the defining query must scan a " +
-        "graft table"))
+    Seq.empty
+  }
+
+  /** The shared tail: seed the fact rollup, persist the definition,
+    * register the rewrite. For a star-defined view, `srcPath` is the
+    * FACT and `groupCols` its join-key granularity — identical
+    * property shape to a single-table view, so REFRESH and DESCRIBE
+    * work on both without knowing which statement created them. */
+  private def createSingle(session: SparkSession, viewPath: String,
+      groupCols: Seq[String], valueCol: String, srcPath: String)
+      : Unit = {
     graft.operators.AggView.maintainCols(session, srcPath, viewPath,
-      key, groupCols, valueCol)
+      key, groupCols, valueCol): Unit
     GraftLog.setProperties(session, viewPath, Map(
       "graft.mv.src" -> srcPath,
       "graft.mv.key" -> key,
       "graft.mv.groupCols" -> groupCols.mkString(","),
       "graft.mv.valueCol" -> valueCol,
-      "graft.mv.compensate" -> compensate.toString))
+      "graft.mv.compensate" -> compensate.toString)): Unit
     graft.operators.AggView.registerForRewriteCols(srcPath, viewPath,
       groupCols, valueCol, key, compensate)
-    Seq.empty
+  }
+
+  /** The d41 star shape: derive (fact path, join-key columns) from the
+    * analyzed join tree and persist the fact-granularity rollup. The
+    * gates mirror [[GraftMvRewriteRule]]'s serving gates — a CREATE
+    * the rewrite could never serve would break the lifecycle's
+    * "defining text serves after CREATE" contract. */
+  private def createStar(session: SparkSession, viewPath: String,
+      jn: Join, groupAttrs: Seq[AttributeReference],
+      valueAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      valueCol: String): Unit = {
+    if (valueAttrs.length != 1)
+      refuse("the aggregated value column must come from exactly one " +
+        "join input")
+    val vAttr = valueAttrs.head
+    def leaves(p: LogicalPlan): Seq[LogicalPlan] = strip(p) match {
+      case j: Join => leaves(j.left) ++ leaves(j.right)
+      case other => Seq(other)
+    }
+    // the FACT is the join input carrying the aggregated value column
+    val factLeaf = leaves(jn).find(_.outputSet.contains(vAttr))
+      .getOrElse(refuse(
+        "the aggregated value column must come from a join input"))
+    val factPath = graftPathOf(factLeaf).getOrElse(refuse(
+      "the fact side (the join input carrying the aggregated value " +
+        "column) must be a bare graft scan"))
+    val factOut = factLeaf.outputSet
+    def hasFact(p: LogicalPlan): Boolean = {
+      val s = strip(p)
+      (s eq factLeaf) || (s match {
+        case j: Join => hasFact(j.left) || hasFact(j.right)
+        case _ => false
+      })
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // every join on the fact's ancestor path: INNER, deterministic,
+    // fact-touching conjuncts equi-pair a fact column with a dim
+    // column. The fact-side join columns ARE the view's granularity.
+    val joinKeys = scala.collection.mutable.LinkedHashSet[String]()
+    def validate(p: LogicalPlan): Unit = strip(p) match {
+      case j: Join if hasFact(j) =>
+        if (j.joinType != Inner)
+          refuse("only INNER joins are maintainable on the fact's " +
+            s"join path, got ${j.joinType}")
+        val cond = j.condition.getOrElse(refuse(
+          "the fact join needs an equi-join condition"))
+        if (!cond.deterministic)
+          refuse("non-deterministic join conditions are not " +
+            "maintainable")
+        conjuncts(cond).foreach { c =>
+          if (c.references.exists(factOut.contains)) c match {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if factOut.contains(a) && !factOut.contains(b) =>
+              joinKeys += a.name: Unit
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if factOut.contains(b) && !factOut.contains(a) =>
+              joinKeys += b.name: Unit
+            case other => refuse(
+              "every fact-touching join conjunct must equi-pair a " +
+                s"fact column with a dim column, got ${other.sql}")
+          }
+        }
+        validate(if (hasFact(j.left)) j.left else j.right)
+      case _ => () // the fact leaf, or a dim-only subtree (the
+        // rewrite carries dim subtrees verbatim at query time)
+    }
+    validate(jn)
+    // fact-side grouping attrs widen the view granularity; dim-side
+    // grouping attrs pass through at query time and are NOT persisted
+    val gsFact = groupAttrs.filter(a => factOut.contains(a))
+    val groupCols = (joinKeys.toSeq ++ gsFact.map(_.name))
+      .foldLeft(Vector.empty[String])((acc, n) =>
+        if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n)
+    if (groupCols.isEmpty)
+      refuse("the fact join path yields no view group columns")
+    if (groupCols.exists(_.equalsIgnoreCase(valueCol)))
+      refuse("the aggregated value column cannot also be a join key " +
+        "or group key")
+    createSingle(session, viewPath, groupCols, valueCol, factPath)
+  }
+
+  /** The union shape: one view over the UNION ALL of bare graft scans,
+    * maintained under per-source ledger app ids. No COMPENSATE: the
+    * union rewrite has no compensation path (a stale leg falls the
+    * whole union back — see [[GraftMvRewriteRule]]). */
+  private def createUnion(session: SparkSession, viewPath: String,
+      un: Union, groupCols: Seq[String], valueCol: String): Unit = {
+    if (compensate)
+      refuse("COMPENSATE is not supported for UNION materialized " +
+        "views (a stale leg falls back to the base union)")
+    def legs(p: LogicalPlan): Seq[LogicalPlan] = p match {
+      case u: Union => u.children.flatMap(legs)
+      case other => Seq(other)
+    }
+    val legPlans = legs(un)
+    // UNION is positional: every leg's columns must line up with the
+    // union output BY NAME (the rewrite's own gate — a reordering leg
+    // feeds one table's column into another's slot)
+    if (legPlans.exists(l => l.output.map(_.name.toLowerCase) !=
+        un.output.map(_.name.toLowerCase)))
+      refuse("every UNION leg's columns must line up with the union " +
+        "output by name")
+    val paths = legPlans.map(l => graftPathOf(l).getOrElse(refuse(
+      "every UNION leg must be a bare graft scan")))
+    if (paths.map(MvRegistry.normPath).distinct.length != paths.length)
+      refuse("each UNION source may appear only once")
+    graft.operators.AggView.maintainUnion(session, paths, viewPath,
+      key, groupCols, valueCol): Unit
+    GraftLog.setProperties(session, viewPath, Map(
+      "graft.mv.src" -> paths.head,
+      "graft.mv.unionOf" -> paths.mkString(";;"),
+      "graft.mv.key" -> key,
+      "graft.mv.groupCols" -> groupCols.mkString(","),
+      "graft.mv.valueCol" -> valueCol,
+      "graft.mv.compensate" -> "false")): Unit
+    graft.operators.AggView.registerForRewriteUnion(paths, viewPath,
+      groupCols, valueCol)
   }
 }
 
@@ -739,10 +902,24 @@ case class GraftRefreshMvCommand(target: String)
     val (k, gs, v) = (props("graft.mv.key"),
       props("graft.mv.groupCols").split(",").toSeq,
       props("graft.mv.valueCol"))
-    val applied = graft.operators.AggView.maintainCols(
-      session, src, viewPath, k, gs, v)
-    graft.operators.AggView.registerForRewriteCols(src, viewPath,
-      gs, v, k, props.get("graft.mv.compensate").exists(_ == "true"))
+    val applied = props.get("graft.mv.unionOf") match {
+      case Some(u) =>
+        // union MV: fold every leg under its own ledger app id and
+        // re-register the union rewrite
+        val srcs = u.split(";;").toSeq
+        val n = graft.operators.AggView.maintainUnion(
+          session, srcs, viewPath, k, gs, v)
+        graft.operators.AggView.registerForRewriteUnion(
+          srcs, viewPath, gs, v)
+        n
+      case None =>
+        val n = graft.operators.AggView.maintainCols(
+          session, src, viewPath, k, gs, v)
+        graft.operators.AggView.registerForRewriteCols(src, viewPath,
+          gs, v, k,
+          props.get("graft.mv.compensate").exists(_ == "true"))
+        n
+    }
     Seq(Row(applied))
   }
 }
@@ -771,14 +948,28 @@ case class GraftDescribeMvCommand(target: String)
       throw new IllegalArgumentException(
         s"$target is not a materialized view (no graft.mv.src " +
           "property)"))
-    val latest = GraftLog.versions(session, src).lastOption
-      .getOrElse(-1L)
-    val hw = GraftLog.lastCommittedBatch(session, viewPath,
-      graft.operators.AggView.AppId).getOrElse(-1L)
+    // union MVs sum per-leg lag (each leg has its own app-id ledger);
+    // is_fresh = EVERY leg current — the rewrite's own serving gate
+    val behind = props.get("graft.mv.unionOf") match {
+      case Some(u) => u.split(";;").toSeq.map { s =>
+        val latest = GraftLog.versions(session, s).lastOption
+          .getOrElse(-1L)
+        val hw = GraftLog.lastCommittedBatch(session, viewPath,
+          MvRegistry.unionAppId(graft.operators.AggView.AppId, s))
+          .getOrElse(-1L)
+        math.max(0L, latest - hw)
+      }
+      case None =>
+        val latest = GraftLog.versions(session, src).lastOption
+          .getOrElse(-1L)
+        val hw = GraftLog.lastCommittedBatch(session, viewPath,
+          graft.operators.AggView.AppId).getOrElse(-1L)
+        Seq(math.max(0L, latest - hw))
+    }
     Seq(Row(props("graft.mv.groupCols"), props("graft.mv.valueCol"),
       props("graft.mv.key"),
       props.get("graft.mv.compensate").exists(_ == "true"),
-      hw == latest, math.max(0L, latest - hw)))
+      behind.forall(_ == 0L), behind.sum))
   }
 }
 

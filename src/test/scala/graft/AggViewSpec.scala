@@ -827,6 +827,104 @@ class AggViewSpec extends AnyFunSuite {
     }
   }
 
+  test("MV DDL: UNION lifecycle (CREATE/REFRESH/DESCRIBE per-leg) " +
+      "and star-shape refusals") {
+    val root = Staging.tempDir("graft_aggv_spec_")
+    val (a, b, view) = (s"$root/un_a", s"$root/un_b", s"$root/un_view")
+    GraftLog.overwrite(srcDf(0 until 80), a)
+    GraftLog.overwrite(srcDf(80 until 140), b)
+    spark.sql("DROP TABLE IF EXISTS mvddl_un_a")
+    spark.sql("DROP TABLE IF EXISTS mvddl_un_b")
+    spark.sql(s"CREATE TABLE mvddl_un_a USING graft OPTIONS (path '$a')")
+    spark.sql(s"CREATE TABLE mvddl_un_b USING graft OPTIONS (path '$b')")
+    def scans(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources
+            .LogicalRelation(fs: org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toUri.getPath == p)
+        case _ => false
+      }
+    val defSql =
+      """SELECT g, count(1) AS n,
+        |  round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE), 6) AS t
+        |FROM (SELECT id, g, v FROM mvddl_un_a
+        |      UNION ALL SELECT id, g, v FROM mvddl_un_b) u
+        |GROUP BY g""".stripMargin
+    def q = spark.sql(defSql)
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$view' KEY id AS $defSql")
+      assert(scans(q, view) && !scans(q, a) && !scans(q, b),
+        "the union text must serve from the CREATE'd view")
+      // DESCRIBE: fresh, zero behind
+      val d0 = spark.sql(s"DESCRIBE MATERIALIZED VIEW '$view'")
+        .collect().head
+      assert(d0.getBoolean(4) && d0.getLong(5) == 0L,
+        s"freshly created union view must describe fresh: $d0")
+      // one leg advances → whole union stale, lag counted per leg
+      GraftLog.append(srcDf(140 until 160), b)
+      assert(scans(q, a) && scans(q, b) && !scans(q, view),
+        "a stale leg must fall the union text back")
+      val d1 = spark.sql(s"DESCRIBE MATERIALIZED VIEW '$view'")
+        .collect().head
+      assert(!d1.getBoolean(4) && d1.getLong(5) == 1L,
+        s"stale union view must report the lagging leg: $d1")
+      // REFRESH folds the lagging leg only; the text serves again
+      val applied = spark.sql(s"REFRESH MATERIALIZED VIEW '$view'")
+        .collect().head.getInt(0)
+      assert(applied == 1, s"one leg one version behind: $applied")
+      assert(scans(q, view), "refreshed union view must serve again")
+      // the served answer is the recompute over both legs
+      val got = q.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      graft.sql.MvRegistry.unregisterMatching(a)
+      graft.sql.MvRegistry.unregisterMatching(b)
+      val base = q.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(got == base, "union view must serve the exact recompute")
+      // refusals: COMPENSATE on a union; outer-join star; WHERE in a
+      // star; a fact side that is not a graft table
+      val eC = intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW '$root/unc' KEY id COMPENSATE " +
+          s"AS $defSql"))
+      assert(eC.getMessage.contains("COMPENSATE"))
+      val dimP = s"$root/st_dim"
+      (0L until 4L).map(k => (s"g$k", s"s${k % 2}")).toDF("gk", "seg")
+        .write.mode("overwrite").parquet(dimP)
+      spark.sql("DROP TABLE IF EXISTS mvddl_st_dim")
+      spark.sql(
+        s"CREATE TABLE mvddl_st_dim USING parquet OPTIONS (path '$dimP')")
+      val eL = intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW '$root/stl' KEY id AS " +
+          "SELECT d.seg, sum(CAST(f.v AS DECIMAL(38,10))) AS sv " +
+          "FROM mvddl_un_a f LEFT JOIN mvddl_st_dim d ON f.g = d.gk " +
+          "GROUP BY d.seg"))
+      assert(eL.getMessage.contains("INNER"),
+        s"outer star must refuse: ${eL.getMessage}")
+      val eW = intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW '$root/stw' KEY id AS " +
+          "SELECT d.seg, sum(CAST(f.v AS DECIMAL(38,10))) AS sv " +
+          "FROM mvddl_un_a f JOIN mvddl_st_dim d ON f.g = d.gk " +
+          "WHERE f.v > 3 GROUP BY d.seg"))
+      assert(eW.getMessage.contains("unmaintainable shape"))
+      val eF = intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW '$root/stf' KEY gk AS " +
+          "SELECT f.g, count(d.seg) AS n " +
+          "FROM mvddl_un_a f JOIN mvddl_st_dim d ON f.g = d.gk " +
+          "GROUP BY f.g"))
+      assert(eF.getMessage.contains("graft scan"),
+        s"a non-graft fact must refuse: ${eF.getMessage}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mvddl_un_a")
+      spark.sql("DROP TABLE IF EXISTS mvddl_un_b")
+      spark.sql("DROP TABLE IF EXISTS mvddl_st_dim")
+      graft.sql.MvRegistry.unregisterMatching(a)
+      graft.sql.MvRegistry.unregisterMatching(b)
+    }
+  }
+
   test("MV rewrite serves SQL text and derived averages") {
     val root = Staging.tempDir("graft_aggv_spec_")
     val (src, view) = (s"$root/sql_src", s"$root/sql_view")
