@@ -584,6 +584,11 @@ object SparkEntry {
     // joins and conditions carry verbatim — fact never scanned
     "d36_mv_snowflake" ->
       ((s, d) => AggView.aggViewSnowflakeRewrite(s, d)),
+    // the LEFT-OUTER star served: unmatched view keys null-extend into
+    // the NULL-dim group with exactly their per-key counts; the
+    // dim-preserved direction stays refused
+    "d42_mv_outer_star" ->
+      ((s, d) => AggView.aggViewOuterStarRewrite(s, d)),
     // the MV SQL lifecycle: CREATE MATERIALIZED VIEW … KEY … AS SELECT
     // derives the rollup from the analyzed plan and registers the
     // rewrite; DROP un-serves; REFRESH folds the missing commits
@@ -1878,6 +1883,28 @@ object SparkEntry {
         |  TRUE AS used_view, TRUE AS fell_back
         |FROM final JOIN dim ON final.user_id = dim.uid
         |GROUP BY 1""".stripMargin,
+    // d42: the left-outer star replay — fact at v3 state LEFT JOINed
+    // to the partial dim (user buckets %7==0 missing → the 'unmatched'
+    // group); both plan pins as literals
+    "d42_mv_outer_star" ->
+      """WITH final AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 7 <> 0),
+        |dim AS (
+        |  SELECT DISTINCT user_id AS uid,
+        |    'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment
+        |  FROM events WHERE user_id % 7 <> 0)
+        |SELECT coalesce(segment, 'unmatched') AS segment,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(*), 6) AS avg_value,
+        |  TRUE AS used_view, TRUE AS fell_back
+        |FROM final LEFT JOIN dim ON final.user_id = dim.uid
+        |GROUP BY segment""".stripMargin,
     // d36: the snowflake replay — fact at v3 state through user → city
     // dims to the region rollup; both plan pins as literals
     "d36_mv_snowflake" ->

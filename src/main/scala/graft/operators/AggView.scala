@@ -617,6 +617,77 @@ object AggView {
     } finally graft.sql.MvRegistry.unregister(src)
   }
 
+  /** d42 — the LEFT-OUTER star served (the d35 gate relaxed to
+    * FACT-PRESERVED outer joins): `fact LEFT JOIN dim GROUP BY
+    * dim.attr` where some fact keys have no dim row. The rewritten
+    * plan left-joins the key-grained view to the dim: an unmatched
+    * view key null-extends once per delta row — exactly the base
+    * multiplicity — so the NULL-dim group folds sum(d_count) to its
+    * true row count, and zombie (fully-deleted) keys net zero wherever
+    * they land, with an all-zombie NULL group dropped by the liveness
+    * filter. The DIM-preserved direction stays refused (an unmatched
+    * dim row would join net-zero delta rows the base join never
+    * produces), as does the dim-side aggregate. The dim here drops one
+    * user bucket in seven, so the NULL group carries real rows; it
+    * surfaces as 'unmatched' (a post-aggregate coalesce — carried
+    * verbatim above the rewrite). Pins as d35: `used_view` /
+    * `fell_back`. */
+  def aggViewOuterStarRewrite(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val root = graft.sources.Staging.scratchDir("graft_mvos_")
+    val (src, view, dimPath) = (s"$root/src", s"$root/view", s"$root/dim")
+    val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    GraftLog.overwrite(ev.filter(col("event_id") % 3 =!= 2), src) // v0
+    GraftLog.append(ev.filter(col("event_id") % 3 === 2), src)    // v1
+    GraftLog.delete(spark, src, col("event_id") % 7 === 0)        // v2
+    GraftLog.update(spark, src, col("event_id") % 5 === 0,
+      Seq("value" -> (col("value") + 100)))                       // v3
+    maintainCols(spark, src, view, "event_id", Seq("user_id"), "value")
+    registerForRewriteCols(src, view, Seq("user_id"), "value")
+    // the PARTIAL dim: every seventh user bucket is missing, so those
+    // users' events null-extend — the shape the inner-only gate used
+    // to refuse
+    ev.select(col("user_id").as("uid")).distinct()
+      .filter(pmod(col("uid"), lit(7L)) =!= 0L)
+      .withColumn("segment",
+        concat(lit("seg_"), pmod(col("uid"), lit(5L))))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    try {
+      def scans(df: DataFrame, path: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+            fs.location.rootPaths.exists(_.toUri.getPath == path)
+          case _ => false
+        }
+      def q = {
+        val fact = spark.read.format("graft").load(src)
+        fact.join(dim, fact("user_id") === dim("uid"), "left")
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sumExact(col("value")).cast("double"), 6)
+              .as("total_value"),
+            round(avg(col("value").cast("decimal(38,10)"))
+              .cast("double"), 6).as("avg_value"))
+          .withColumn("segment",
+            coalesce(col("segment"), lit("unmatched")))
+      }
+      val fresh = q // analyzed NOW, while the view is current
+      val usedView = scans(fresh, view) && !scans(fresh, src)
+      // one un-maintained fact commit → the SAME text replans as the
+      // base outer join
+      GraftLog.append(ev.filter(col("event_id") % 3 === 2)
+        .limit(50), src)                                          // v4
+      val stale = q
+      val fellBack = scans(stale, src) && !scans(stale, view)
+      fresh.withColumn("used_view", lit(usedView))
+        .withColumn("fell_back", lit(fellBack))
+    } finally graft.sql.MvRegistry.unregister(src)
+  }
+
   /** d36 — the SNOWFLAKE join-MV rewrite: the d35 rule generalized to
     * an arbitrary inner-join tree — `fact ⋈ dimUser ⋈ dimCity GROUP BY
     * dimCity.region` locates the fact leaf anywhere in the tree,

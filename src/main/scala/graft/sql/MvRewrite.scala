@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, Cast, Divide, EqualTo, EvalMode, Expression, Greatest, GreaterThan, If, IsNotNull, IsNull, Literal, Multiply, NamedExpression, RaiseError, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, StddevSamp, Sum, VarianceSamp}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -238,8 +238,9 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * aggregate over a DIM column (which zombie replication WOULD
     * corrupt) refuses, as does any non-decomposable aggregate.
     *
-    * Gates on top of the single-table ones: INNER equi-join whose
-    * every conjunct pairs a fact view-group column with a dim column;
+    * Gates on top of the single-table ones: INNER (or fact-preserved
+    * OUTER — see validate()) equi-join whose every fact-touching
+    * conjunct pairs a fact view-group column with a dim column;
     * grouping and join-level filters reference dim columns or fact
     * view-group columns only; exactly one side is a registered fact
     * scan. */
@@ -297,14 +298,26 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def isViewGroupCol(a: AttributeReference): Boolean =
       factOut.contains(a) &&
         d.groupCols.exists(_.equalsIgnoreCase(a.name))
-    // every join on the fact's ANCESTOR path must be INNER with a
-    // deterministic condition whose fact-touching conjuncts equi-match
-    // a view group column against a non-fact column; dim-only
-    // conjuncts (and whole dim-dim join subtrees) carry verbatim —
-    // they evaluate identically on the rewritten rows
+    // every join on the fact's ANCESTOR path must be INNER — or a
+    // FACT-PRESERVED outer join (LEFT with the fact on the left, RIGHT
+    // with it on the right; d42): an unmatched fact key null-extends
+    // ONCE per delta row exactly as each unmatched fact row does, so
+    // the NULL-dim group folds sum(d_count) = its true row count, and
+    // a NULL group of only-zombie keys folds to 0 and drops via the
+    // liveness filter. The DIM-preserved direction refuses: an
+    // unmatched dim row appears once in base but would join every
+    // net-zero delta row of a fully-deleted key in the rewrite —
+    // multiplicity the view cannot represent. Conditions must be
+    // deterministic with fact-touching conjuncts equi-matching a view
+    // group column against a non-fact column; dim-only conjuncts (and
+    // whole dim-dim join subtrees) carry verbatim — they evaluate
+    // identically on the rewritten rows
     def validate(p: LogicalPlan): Boolean = p match {
       case j: Join if hasFact(j) =>
-        j.joinType == Inner && j.condition.isDefined &&
+        (j.joinType == Inner ||
+          (j.joinType == LeftOuter && hasFact(j.left)) ||
+          (j.joinType == RightOuter && hasFact(j.right))) &&
+          j.condition.isDefined &&
           j.condition.get.deterministic &&
           conjuncts(j.condition.get).forall { c =>
             if (!c.references.exists(factOut.contains)) true
@@ -380,11 +393,13 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (p eq f.subtree) v
           else p match {
             case j: Join if hasFact(j) =>
+              // joinType carries verbatim: validate() admitted only
+              // Inner and fact-preserved outer types
               if (hasFact(j.left))
-                Join(rebuildTree(j.left, v), j.right, Inner,
+                Join(rebuildTree(j.left, v), j.right, j.joinType,
                   j.condition.map(subFact), JoinHint.NONE)
               else
-                Join(j.left, rebuildTree(j.right, v), Inner,
+                Join(j.left, rebuildTree(j.right, v), j.joinType,
                   j.condition.map(subFact), JoinHint.NONE)
             case other => other
           }

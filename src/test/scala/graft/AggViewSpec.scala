@@ -262,25 +262,42 @@ class AggViewSpec extends AnyFunSuite {
         .agg(max(col("k2")).as("m"))
       assert(scans(dimAgg, src) && !scans(dimAgg, view),
         "dim-side aggregate must refuse the join rewrite")
-      // (2) an OUTER join: null-extended rows change eager-aggregation
-      // semantics (an unmatched fact key would need a synthetic
-      // null-dim twin the view join cannot produce) — the join-MV path
-      // is inner-only by construction, and the refusal must serve the
-      // CORRECT base answer, including any null-extended group
+      // (2) a FACT-PRESERVED outer join SERVES (d42): unmatched view
+      // keys null-extend once per delta row and fold sum(d_count) into
+      // the NULL-dim group — exactly the base multiplicity. Keys 2 and
+      // 5 are dropped from the dim so real rows land in the NULL
+      // group; the zombie keys (1,4,7 — fully deleted above, key 1
+      // also unmatched) contribute net zero wherever they land.
+      val dimPartial = dim.filter(!col("k2").isin(1L, 2L, 5L))
       val f2 = spark.read.format("graft").load(src)
-      def leftQ = f2.join(dim, f2("k") === dim("k2"), "left")
-        .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      def leftQ = f2
+        .join(dimPartial, f2("k") === dimPartial("k2"), "left")
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"),
+          round(graft.functions.Deterministic.sumExact(col("v"))
+            .cast("double"), 6).as("t"))
+      def leftMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => Option(r.getString(0)).getOrElse("NULL") ->
+          (r.getLong(1), r.getDouble(2))).toMap
       val leftPlan = leftQ
-      assert(scans(leftPlan, src) && !scans(leftPlan, view),
-        "outer join must refuse the join rewrite")
-      val leftVals = leftPlan.collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(scans(leftPlan, view) && !scans(leftPlan, src),
+        "a fact-preserved left-outer star must serve (d42)")
+      val leftVals = leftMap(leftPlan)
       graft.sql.MvRegistry.unregister(src)
-      val leftBase = leftQ.collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val leftBase = leftMap(leftQ)
       AggView.registerForRewriteCols(src, view, Seq("k"), "v")
+      assert(leftVals.contains("NULL"),
+        "unmatched fact keys must fold into the NULL-dim group")
       assert(leftVals == leftBase,
-        "the refused left-outer star must serve the exact base answer")
+        "the served left-outer star must equal the base answer exactly")
+      // the DIM-preserved direction still refuses: an unmatched dim
+      // row appears once in base but would join every net-zero delta
+      // row of a fully-deleted key in the rewrite
+      val f2b = spark.read.format("graft").load(src)
+      val rightQ = f2b
+        .join(dimPartial, f2b("k") === dimPartial("k2"), "right")
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      assert(scans(rightQ, src) && !scans(rightQ, view),
+        "a dim-preserved outer join must refuse")
       // (3) a dim column that shares the VALUE column's name must not
       // be served from the view's exact sum
       val dimV = dim.withColumn("v", col("k2").cast("double") * 10)
