@@ -236,22 +236,30 @@ object NearDupState {
       .transform(graft.CacheScope.tracked)
     val bps = cand.select("bp").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val stateSide = GraftLog.read(spark, state)
+    // NOT cached: the pruned state side carries the 64-long signature
+    // arrays, and materializing them into the cache costs more than
+    // the one extra column-pruned parquet read the (rare) hot path
+    // pays — the common no-hot path reads these partitions exactly
+    // once either way (round-16 e23 shave).
+    def stateSide = GraftLog.read(spark, state)
       .filter(col("bp").isin(bps: _*)) // static partition pruning
       .select(col("bk"), col("doc_id").as("doc_a"),
         col("sig").as("sig_a"))
-      .transform(graft.CacheScope.tracked)
     // HOT-BAND detection: one viral boilerplate string gives many
     // state docs the SAME band key, and an unsalted bk join puts
     // |state ∩ bk| × |batch ∩ bk| verify work in one key group. Band
     // keys above the threshold (counted over the PRUNED candidate
-    // partitions only — cheap) verify through a SALTED (bk, salt)
-    // join instead: state rows salted by doc hash, candidate rows
-    // replicated across all salts — the IDENTICAL pair set (each
-    // state×cand pair meets on exactly one salt), with every join
-    // group bounded by ~hotBandThreshold/saltBuckets state rows.
-    // j7's skew-join discipline applied to the LSH band index.
-    val hotKeys = stateSide.groupBy(col("bk"))
+    // partitions only, via a KEY-ONLY column-pruned scan — cheap)
+    // verify through a SALTED (bk, salt) join instead: state rows
+    // salted by doc hash, candidate rows replicated across all
+    // salts — the IDENTICAL pair set (each state×cand pair meets on
+    // exactly one salt), with every join group bounded by
+    // ~hotBandThreshold/saltBuckets state rows. j7's skew-join
+    // discipline applied to the LSH band index.
+    val hotKeys = GraftLog.read(spark, state)
+      .filter(col("bp").isin(bps: _*))
+      .select(col("bk"))
+      .groupBy(col("bk"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotBandThreshold)
       .select(col("bk"))

@@ -280,11 +280,11 @@ object Pipeline {
       : DataFrame = {
     val root = Staging.scratchDir("graft_pipei_")
     val bronze = s"$root/bronze"
-    stageBronze(spark, sfDir, bronze)
-    pipelineAdvance(spark, bronze, root, 0L): Unit // wave A: base corpus
-    pipelineAdvance(spark, bronze, root, 2L): Unit // wave B: both twins
-    val replayNoop =                      // absorbed waves re-deliver
-      pipelineAdvance(spark, bronze, root, 2L) == 0
+    tT("stageBronze")(stageBronze(spark, sfDir, bronze))
+    tT("waveA")(pipelineAdvance(spark, bronze, root, 0L)): Unit // wave A: base corpus
+    tT("waveB")(pipelineAdvance(spark, bronze, root, 2L)): Unit // wave B: both twins
+    val replayNoop = tT("replay")(                      // absorbed waves re-deliver
+      pipelineAdvance(spark, bronze, root, 2L) == 0)
     foldResult(spark, root, replayNoop)
   }
 
@@ -312,15 +312,20 @@ object Pipeline {
   private[graft] def pipelineAdvance(spark: SparkSession,
       bronze: String, root: String, target: Long): Int = {
     val (stDigest, stBand) = (s"$root/st_digest", s"$root/st_band")
-    val (stLang, stPack, stAudit) =
-      (s"$root/st_lang", s"$root/st_pack", s"$root/st_audit")
+    val stPack = s"$root/st_pack"
     val appId = "graft-pipeline-incr"
 
     def stateOr(path: String, empty: => DataFrame): DataFrame =
       if (GraftLog.versions(spark, path).nonEmpty)
         GraftLog.read(spark, path) else empty
 
-    val from = GraftLog.lastCommittedBatch(spark, stAudit, appId)
+    // st_pack is the wave's ledger GATE: it carries the audit sentinel
+    // row and commits LAST, so a torn advance re-runs the wave and the
+    // earlier state appends no-op their replays (round-16 shave: the
+    // audit and per-language offset tables used to be two more commits
+    // per wave; the audit now rides the pack commit and the offsets
+    // fold from the pack bins themselves)
+    val from = GraftLog.lastCommittedBatch(spark, stPack, appId)
       .getOrElse(-1L)
     val vs = GraftLog.versions(spark, bronze)
       .filter(v => v > from && v <= target)
@@ -346,8 +351,8 @@ object Pipeline {
       .withColumn("h2",
         substring(col("content_hash"), 1, DigestPrefixLen))
       .transform(graft.CacheScope.tracked)
-    val scD = if (GraftLog.versions(spark, stDigest).nonEmpty)
-      Some(DedupState.loadSidecar(spark, stDigest)) else None
+    val scD = tT("loadScD")(if (GraftLog.versions(spark, stDigest).nonEmpty)
+      Some(DedupState.loadSidecar(spark, stDigest)) else None)
     val exactKept = (scD match {
         case Some(sc) =>
           val present =
@@ -372,8 +377,8 @@ object Pipeline {
       .transform(graft.CacheScope.tracked)
     val banded = bandFrameSig(sigs)
       .transform(graft.CacheScope.tracked)
-    val scB = if (GraftLog.versions(spark, stBand).nonEmpty)
-      Some(NearDupState.loadSidecar(spark, stBand)) else None
+    val scB = tT("loadScB")(if (GraftLog.versions(spark, stBand).nonEmpty)
+      Some(NearDupState.loadSidecar(spark, stBand)) else None)
     val candState = scB match {
       case Some(sc) =>
         NearDupState.prunedBandJoin(spark, stBand, sc, banded)
@@ -419,16 +424,19 @@ object Pipeline {
       .transform(graft.CacheScope.tracked)
     val nS = tT("sample")(sampled.count())
 
-    // pack: the per-language running offset continues from the
-    // folded st_lang deltas — materialized BEFORE this wave's delta
-    // lands so the plan can never read its own append
-    val offs = stateOr(stLang,
+    // pack: the per-language running offset folds from the PACK BINS
+    // already committed (Σ seq_tokens per language ≡ the old st_lang
+    // delta table — one state table and one commit per wave fewer),
+    // materialized BEFORE this wave's append so the plan can never
+    // read its own commit
+    val offs = stateOr(stPack,
         sampled.groupBy(col("lang"))
-          .agg(sum(col("n_tokens")).as("d_tokens")).limit(0))
+          .agg(sum(col("n_tokens")).as("seq_tokens")).limit(0))
+      .filter(col("lang") =!= AuditLang)
       .groupBy(col("lang"))
-      .agg(sum(col("d_tokens")).as("lang_start"))
+      .agg(sum(col("seq_tokens")).as("lang_start"))
       .transform(graft.CacheScope.tracked)
-    offs.count(): Unit
+    tT("offs")(offs.count()): Unit
     val bins = PrefixSum.runningSum(sampled, "lang",
         Seq(col("doc_id")), "n_tokens", "endt_local")
       .join(broadcast(offs), Seq("lang"), "left_outer")
@@ -443,36 +451,53 @@ object Pipeline {
         max(col("doc_id")).as("last_doc"))
 
     // state advance, every table ledger-stamped at the same bronze
-    // high-water; audit LAST so a torn advance re-runs the wave and
-    // each landed table no-ops its replayed append. The digest/band
-    // advances roll their Bloom sidecars forward in the same step.
+    // high-water; the PACK commit (carrying the audit sentinel) lands
+    // LAST — it is the wave gate, so a torn advance re-runs the wave
+    // and each landed table no-ops its replayed append. The digest/
+    // band advances roll their Bloom sidecars forward in the same
+    // step.
     tT("advanceDigest")(DedupState.advance(spark, stDigest, scD,
       exactKept.select("content_hash", "h2"), appId, target,
       DigestPrefixLen))
     tT("advanceBand")(NearDupState.advance(spark, stBand, scB,
       banded.select("bk", "doc_id", "sig", "bp"), appId, target))
-    tT("packLang") {
-      GraftLog.txnAppend(bins, stPack, appId, target): Unit
-      GraftLog.txnAppend(sampled.groupBy(col("lang"))
-        .agg(sum(col("n_tokens")).as("d_tokens")), stLang, appId,
-        target): Unit
-    }
-    val audit = spark.range(1).select(lit(nIn).as("n_in"),
-      lit(nEx).as("n_ex"), lit(nNear).as("n_near"),
-      lit(nQ).as("n_q"), lit(nS).as("n_s"))
-    GraftLog.txnAppend(audit, stAudit, appId, target): Unit
+    // the audit sentinel: one row per wave under the reserved language
+    // key, its per-stage counts in the audit columns (NULL on bin
+    // rows) — a wave with an empty sample still lands its sentinel,
+    // so the high-water always advances
+    val nullL = lit(null).cast("long")
+    val binsAudited = bins
+      .select(col("lang"), col("seq_id"), col("n_docs"),
+        col("seq_tokens"), col("first_doc"), col("last_doc"),
+        nullL.as("n_in"), nullL.as("n_ex"), nullL.as("n_near"),
+        nullL.as("n_q"), nullL.as("n_s"))
+      .unionByName(spark.range(1).select(lit(AuditLang).as("lang"),
+        lit(target).as("seq_id"), lit(0L).as("n_docs"),
+        lit(0L).as("seq_tokens"), lit(0L).as("first_doc"),
+        lit(0L).as("last_doc"), lit(nIn).as("n_in"),
+        lit(nEx).as("n_ex"), lit(nNear).as("n_near"),
+        lit(nQ).as("n_q"), lit(nS).as("n_s")))
+    tT("pack")(
+      GraftLog.txnAppend(binsAudited, stPack, appId, target)): Unit
     1
   }
 
-  /** Fold the per-wave audit + pack state into the e23 result shape. */
+  /** Reserved `lang` key of the per-wave audit sentinel row in the
+    * pack state (no real language collides with it). */
+  private[graft] val AuditLang = "__audit"
+
+  /** Fold the pack state (bins + per-wave audit sentinels) into the
+    * e23 result shape. */
   private[graft] def foldResult(spark: SparkSession, root: String,
       replayNoop: Boolean): DataFrame = {
-    val (stPack, stAudit) = (s"$root/st_pack", s"$root/st_audit")
-    val a = GraftLog.read(spark, stAudit)
+    val stPack = s"$root/st_pack"
+    val packed = GraftLog.read(spark, stPack)
+      .transform(graft.CacheScope.tracked)
+    val a = packed.filter(col("lang") === AuditLang)
       .agg(sum(col("n_in")), sum(col("n_ex")), sum(col("n_near")),
         sum(col("n_q")), sum(col("n_s")), count(lit(1)))
       .head()
-    GraftLog.read(spark, stPack)
+    packed.filter(col("lang") =!= AuditLang)
       .groupBy(col("lang"), col("seq_id"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("seq_tokens")).as("seq_tokens"),

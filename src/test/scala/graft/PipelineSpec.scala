@@ -246,8 +246,9 @@ class PipelineSpec extends AnyFunSuite {
     (0 until waves).foreach { k =>
       assert(Pipeline.pipelineAdvance(spark, bronze, root, k.toLong)
         == 0, s"replayed wave $k must no-op") }
-    assert(GraftLog.read(spark, s"$root/st_audit").count() ==
-      waves.toLong, "exactly one audit ledger row per wave")
+    assert(GraftLog.read(spark, s"$root/st_pack")
+      .filter(col("lang") === Pipeline.AuditLang).count() ==
+      waves.toLong, "exactly one audit sentinel row per wave")
     def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
       r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
       r.getAs[Long]("n_ingested"), r.getAs[Long]("n_after_exact"),
