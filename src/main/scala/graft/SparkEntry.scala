@@ -230,6 +230,13 @@ object SparkEntry {
     // bit-for-bit, a replayed wave is a per-table ledger no-op
     "e23_training_pipeline_incr" ->
       ((s, d) => Pipeline.trainingDataPipelineIncremental(s, d)),
+    // the CURATED incremental pipeline: e23's staged composition plus
+    // the eval-contamination gate (g8 broadcast probe shingles) and
+    // the per-source frequency cap (g25, incremental form: per-source
+    // running admit counts as a state table) — per-wave cost still
+    // O(batch)
+    "e26_training_pipeline_curated" ->
+      ((s, d) => Pipeline.trainingDataPipelineCurated(s, d)),
     "e17_neardup_incremental"   -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "e3_dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "e4_dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
@@ -3589,6 +3596,132 @@ object SparkEntry {
         |  (SELECT count(*) FROM near_kept) AS n_after_neardup,
         |  (SELECT count(*) FROM qual_kept) AS n_after_quality,
         |  (SELECT count(*) FROM sampled) AS n_after_sample,
+        |  2 AS n_batches, TRUE AS replay_noop
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    // e26: the curated replay — e23's chain with the g8 contamination
+    // gate after near-dup (probes = doc 0's five smallest 3-gram
+    // shingles) and the g25 source cap (smallest-6-by-doc_id per
+    // source ≡ the incremental running admit count under monotone ids)
+    // after the mixture sample
+    "e26_training_pipeline_curated" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, lang, source, text FROM documents
+        |  WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, lang, source,
+        |    text || ' pipeline near twin suffix' FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), winners AS (
+        |  SELECT sha256(text) AS h, min(doc_id) AS keep_id
+        |  FROM base GROUP BY 1
+        |), exact_kept AS (
+        |  SELECT b.* FROM base b JOIN winners w
+        |    ON sha256(b.text) = w.h AND b.doc_id = w.keep_id
+        |), tk AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM exact_kept
+        |), sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    AS shingles
+        |  FROM tk WHERE len(toks) >= 3
+        |), hs AS (
+        |  SELECT doc_id, list_transform(shingles,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT
+        |         % 2147483647 AS BIGINT)) AS h
+        |  FROM sh
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(0, 64), i ->
+        |    list_aggregate(list_transform(h,
+        |      x -> ((2*i + 1) * x + i + 1) % 2147483647), 'min')) AS sig
+        |  FROM hs
+        |), banded AS (
+        |  SELECT doc_id, band,
+        |    sig[band*4 + 1] AS s0, sig[band*4 + 2] AS s1,
+        |    sig[band*4 + 3] AS s2, sig[band*4 + 4] AS s3
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) bs
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x JOIN banded y ON x.band = y.band
+        |    AND x.s0 = y.s0 AND x.s1 = y.s1
+        |    AND x.s2 = y.s2 AND x.s3 = y.s3
+        |  WHERE x.doc_id < y.doc_id
+        |), drops AS (
+        |  SELECT DISTINCT c.doc_b AS doc_id
+        |  FROM cand c
+        |  JOIN sigs a ON a.doc_id = c.doc_a
+        |  JOIN sigs b ON b.doc_id = c.doc_b
+        |  WHERE CAST(len(list_filter(range(1, 65),
+        |    i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64 >= 0.5
+        |), near_kept AS (
+        |  SELECT e.* FROM exact_kept e
+        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)
+        |), probes AS (
+        |  SELECT DISTINCT sh_el AS probe
+        |  FROM (SELECT unnest(list_distinct(list_transform(
+        |          range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |          AS sh_el
+        |        FROM (SELECT string_split(lower(text), ' ') AS toks
+        |              FROM documents WHERE doc_id = 0))
+        |  ORDER BY 1 LIMIT 5
+        |), contam_kept AS (
+        |  SELECT n.* FROM near_kept n
+        |  WHERE NOT EXISTS (SELECT 1 FROM probes p
+        |    WHERE contains(' ' || lower(n.text) || ' ',
+        |      ' ' || p.probe || ' '))
+        |), q AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+        |      AS INTEGER) AS sum_len,
+        |    CAST(len(list_filter(toks, x ->
+        |      list_contains(['the','a','and','of','to'], x))) AS INTEGER)
+        |      AS cnt_en,
+        |    text
+        |  FROM (SELECT *, string_split(lower(text), ' ') AS toks
+        |        FROM contam_kept)
+        |), gated AS (
+        |  SELECT *,
+        |    round(0.5 * (CAST(cnt_en AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |      + 0.2 * greatest(1.0 - abs(CAST(sum_len AS DOUBLE)
+        |          / CAST(n_tokens AS DOUBLE) - 5.0) / 10.0, 0.0), 6)
+        |      AS quality_score
+        |  FROM q
+        |), qual_kept AS (
+        |  SELECT * FROM gated WHERE quality_score >= 0.4
+        |), sampled AS (
+        |  SELECT doc_id, lang, source, n_tokens FROM qual_kept
+        |  WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 1000 <
+        |    (CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 750
+        |      WHEN 'de' THEN 500 WHEN 'es' THEN 500 WHEN 'fr' THEN 250
+        |      ELSE 0 END)
+        |), capped AS (
+        |  SELECT doc_id, lang, n_tokens FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id ASC) AS rr
+        |    FROM sampled) WHERE rr <= 6
+        |), p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS prefix_tokens
+        |  FROM capped
+        |)
+        |SELECT lang, CAST(prefix_tokens // 512 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  (SELECT count(*) FROM base) AS n_ingested,
+        |  (SELECT count(*) FROM exact_kept) AS n_after_exact,
+        |  (SELECT count(*) FROM near_kept) AS n_after_neardup,
+        |  (SELECT count(*) FROM contam_kept) AS n_after_contam,
+        |  (SELECT count(*) FROM qual_kept) AS n_after_quality,
+        |  (SELECT count(*) FROM sampled) AS n_after_sample,
+        |  (SELECT count(*) FROM capped) AS n_after_cap,
         |  2 AS n_batches, TRUE AS replay_noop
         |FROM p GROUP BY 1, 2""".stripMargin,
     "e20_neardup_state_rolling" ->

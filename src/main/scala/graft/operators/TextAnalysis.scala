@@ -337,8 +337,8 @@ object TextAnalysis {
     * (Locale.ROOT, like Spark's lower()), and ordering is UTF-8 byte
     * order (DuckDB ORDER BY / Spark sort), not Java's UTF-16 order.
     * Memoized per (sfDir, n): the collect scan runs once per corpus. */
-  private def contaminationProbes(spark: SparkSession, sfDir: String,
-      nProbes: Int): Seq[String] =
+  private[graft] def contaminationProbes(spark: SparkSession,
+      sfDir: String, nProbes: Int): Seq[String] =
     probeCache.getOrElseUpdate((sfDir, nProbes), {
       val utf8Order: Ordering[String] = new Ordering[String] {
         def compare(a: String, b: String): Int = {

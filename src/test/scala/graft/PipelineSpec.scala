@@ -201,6 +201,80 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("curated many-wave fold equals the curated batch run; replay " +
+      "sweep no-ops; cap state advances per wave") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.GraftLog
+    val waves = 8
+    val root = graft.sources.Staging.tempDir("graft_pipec_many_")
+    val bronze = s"$root/bronze"
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    def slice(k: Int) = base.filter(col("doc_id") % waves === k)
+    (0 until waves).foreach { k =>
+      val fresh = slice(k)
+        .withColumn("doc_id", col("doc_id") + k * 1000000L)
+      val wave =
+        if (k == 0) fresh
+        else fresh.unionByName(slice(k - 1)
+          .withColumn("doc_id",
+            col("doc_id") + (k * 1000000L + 500000L)))
+      if (k == 0) GraftLog.overwrite(wave, bronze)
+      else { GraftLog.append(wave, bronze): Unit }
+    }
+    val probes = graft.operators.TextAnalysis
+      .contaminationProbes(spark, sf, 5)
+    assert(probes.nonEmpty, "doc 0 must yield probe shingles")
+    (0 until waves).foreach { k =>
+      CacheScope.withScope {
+        assert(Pipeline.curatedAdvance(spark, bronze, root, k.toLong,
+          probes) == 1, s"wave $k must process") }
+    }
+    (0 until waves).foreach { k =>
+      assert(Pipeline.curatedAdvance(spark, bronze, root, k.toLong,
+        probes) == 0, s"replayed wave $k must no-op") }
+    // one audit sentinel per wave rides the pack commits; the source
+    // cap state advanced alongside (one d_admits commit per wave with
+    // any admissions)
+    assert(GraftLog.read(spark, s"$root/st_pack")
+      .filter(col("lang") === Pipeline.AuditLang).count() ==
+      waves.toLong, "exactly one audit sentinel row per wave")
+    assert(GraftLog.read(spark, s"$root/st_src")
+      .agg(sum(col("d_admits"))).head().getLong(0) > 0,
+      "the running admit counts must have advanced")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getAs[Long]("n_ingested"), r.getAs[Long]("n_after_exact"),
+      r.getAs[Long]("n_after_neardup"), r.getAs[Long]("n_after_contam"),
+      r.getAs[Long]("n_after_quality"), r.getAs[Long]("n_after_sample"),
+      r.getAs[Long]("n_after_cap"))
+    val incr = CacheScope.withScope {
+      Pipeline.foldCurated(spark, root, replayNoop = true)
+        .collect().map(key).toSet }
+    val batch = CacheScope.withScope {
+      Pipeline.batchStagesCurated(spark, GraftLog.read(spark, bronze),
+          probes)
+        .collect().map(key).toSet }
+    assert(incr == batch,
+      s"$waves-wave curated fold != batch: " +
+        s"only-incr=${(incr -- batch).take(3)} " +
+        s"only-batch=${(batch -- incr).take(3)}")
+    // the cap actually cuts at this corpus (sources sample past their
+    // budget), and no source ever exceeds it
+    val head = CacheScope.withScope {
+      Pipeline.foldCurated(spark, root, replayNoop = true)
+        .limit(1).collect().head }
+    assert(head.getAs[Long]("n_after_cap") <
+      head.getAs[Long]("n_after_sample"),
+      "the per-source cap must cut in this corpus")
+    // the budget invariant holds at every SF (binding itself is
+    // pinned by the e26 oracle at sf0.01, where sources overflow)
+    assert(GraftLog.read(spark, s"$root/st_src")
+      .groupBy(col("source")).agg(sum(col("d_admits")).as("n"))
+      .filter(col("n") > Pipeline.SrcCap.toLong).count() == 0,
+      "no source may exceed its admission budget")
+  }
+
   test("many-wave fold stays identical to the batch run; one audit " +
       "row per wave") {
     import org.apache.spark.sql.functions._
