@@ -633,6 +633,11 @@ object SparkEntry {
     // commit falls back, kill/resume re-serves, re-drain no-ops
     "i32_join_view_stream" ->
       ((s, d) => AggView.joinViewStream(s, d)),
+    // streaming TWO-FACT maintenance: both views driven by their own
+    // CDF streams (per-channel checkpoints + ledger app ids), the d40
+    // cross-weighted rewrite serving between micro-batches
+    "i33_two_fact_view_stream" ->
+      ((s, d) => AggView.twoFactViewStream(s, d)),
     // the partitioned direct sink: partitionBy through writeStream →
     // one ledger-stamped hive-partitioned commit per micro-batch
     "i24_direct_sink_partitioned" ->
@@ -2038,6 +2043,30 @@ object SparkEntry {
         |  TRUE AS served_mid, TRUE AS fell_back, TRUE AS served_after,
         |  TRUE AS replay_noop, TRUE AS served_equals_base
         |FROM final JOIN dim ON final.user_id = dim.uid
+        |GROUP BY 1""".stripMargin,
+    // i33: both facts' final streamed states (fact1 = %3==0 slice with
+    // the delete(%7)+update(%5) churn, fact2 = %3==1 slice qty=2·value
+    // with delete(%11)) joined on the user key; all five stream/serve
+    // pins as literals
+    "i33_two_fact_view_stream" ->
+      """WITH f1 AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 3 = 0 AND event_id % 7 <> 0),
+        |f2 AS (
+        |  SELECT user_id AS uid2, value * 2 AS qty
+        |  FROM events WHERE event_id % 3 = 1 AND event_id % 11 <> 0)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  round(CAST(sum(CAST(qty AS DECIMAL(38,10))) AS DOUBLE), 6)
+        |    AS total_qty,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(*), 6) AS avg_value,
+        |  TRUE AS served_mid, TRUE AS fell_back, TRUE AS served_after,
+        |  TRUE AS replay_noop, TRUE AS served_equals_base
+        |FROM f1 JOIN f2 ON f1.user_id = f2.uid2
         |GROUP BY 1""".stripMargin,
     // i31: the stream-maintained union view equals the recompute over
     // both channels' final states (d38's corpus); four pins as

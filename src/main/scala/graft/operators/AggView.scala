@@ -1300,6 +1300,151 @@ object AggView {
       .withColumn("served_equals_base", lit(servedEq))
   }
 
+  private val stagedTwoFactStream = new scala.collection.concurrent
+    .TrieMap[String, (String, String, Boolean, Boolean, Boolean,
+      Boolean, Boolean)]
+
+  /** i33 — STREAMING two-fact maintenance: d40's `revenue ⋈ volume`
+    * reconciliation star with BOTH views driven by their own CDF
+    * readStream (the i31 two-channel pattern over the i32 fold — one
+    * stream, checkpoint, and ledger app id per fact), and the d40
+    * cross-weighted rewrite serving BETWEEN micro-batches. Pins mirror
+    * i32: `served_mid` (the fresh plan scans both views, neither
+    * fact), `fell_back` (un-delivered commits on BOTH facts — delete+
+    * update churn on one, delete on the other — replan the same text
+    * as the base join; either side's staleness kills the whole
+    * rewrite), `served_after` (fresh stream instances on the same
+    * checkpoints fold exactly the missed versions), `replay_noop` (a
+    * further re-drain of both channels appends nothing — the ledgers,
+    * not the checkpoints, are the exactly-once authority),
+    * `served_equals_base` (the served values equal the unregistered
+    * recompute at the same state). At 100 TB: the fact×fact
+    * reconciliation dashboard stays one |keys|×|keys| view join with
+    * refresh latency of one micro-batch per channel. */
+  def twoFactViewStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src1, src2, servedMid, fellBack, servedAfter, replayNoop,
+        servedEq) =
+      stagedTwoFactStream.getOrElseUpdate(sfDir, {
+        val root = graft.sources.Staging.tempDir("graft_aggv2fs_")
+        val (s1, v1, c1) = (s"$root/rev", s"$root/rev_view", s"$root/ck1")
+        val (s2, v2, c2) = (s"$root/vol", s"$root/vol_view", s"$root/ck2")
+        val ev = graft.streaming.Streaming.eventsBatch(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        GraftLog.overwrite(ev.filter(col("event_id") % 3 === 0), s1)
+        GraftLog.overwrite(ev.filter(col("event_id") % 3 === 1)
+          .select(col("event_id").as("eid2"), col("user_id").as("uid2"),
+            (col("value") * 2).as("qty")), s2)
+        def drain(src: String, view: String, ck: String, key: String,
+            groupCol: String, valueCol: String, appId: String): Unit = {
+          val q = spark.readStream.format("graft")
+            .option("readChangeFeed", "true")
+            .option("cdfKeys", key)
+            .option("includePreimages", "true")
+            .load(src)
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              foldCdfMicroBatch(b, view, appId, Seq(groupCol), valueCol)
+            }
+            .option("checkpointLocation", ck)
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        def drainBoth(): Unit = {
+          drain(s1, v1, c1, "event_id", "user_id", "value",
+            s"$AppId-2fs1")
+          drain(s2, v2, c2, "eid2", "uid2", "qty", s"$AppId-2fs2")
+        }
+        drainBoth() // both v0 snapshots fold
+        // register each fact under ITS stream's ledger app id — the
+        // two-fact rewrite gates each side's freshness independently
+        graft.sql.MvRegistry.register(s1, graft.sql.MvRegistry
+          .MvDef(v1, Seq("user_id"), "value", s"$AppId-2fs1"))
+        graft.sql.MvRegistry.register(s2, graft.sql.MvRegistry
+          .MvDef(v2, Seq("uid2"), "qty", s"$AppId-2fs2"))
+        try {
+          def scans(df: DataFrame, path: String): Boolean =
+            df.queryExecution.optimizedPlan.collectLeaves().exists {
+              case org.apache.spark.sql.execution.datasources
+                  .LogicalRelation(fs: org.apache.spark.sql.execution
+                  .datasources.HadoopFsRelation, _, _, _, _) =>
+                fs.location.rootPaths.exists(_.toUri.getPath == path)
+              case _ => false
+            }
+          def q = {
+            val a = spark.read.format("graft").load(s1)
+            val b = spark.read.format("graft").load(s2)
+            a.join(b, a("user_id") === b("uid2"))
+              .groupBy(col("user_id"))
+              .agg(count(lit(1)).as("n_pairs"),
+                round(sumExact(col("value")).cast("double"), 6)
+                  .as("total_value"),
+                round(sumExact(col("qty")).cast("double"), 6)
+                  .as("total_qty"),
+                round(avg(col("value").cast("decimal(38,10)"))
+                  .cast("double"), 6).as("avg_value"))
+          }
+          def vals(df: DataFrame) = df.collect()
+            .map(r => r.getLong(0) ->
+              (r.getLong(1), r.getDouble(2), r.getDouble(3),
+                r.getDouble(4)))
+            .toMap
+          val mid = q
+          val servedMid = scans(mid, v1) && scans(mid, v2) &&
+            !scans(mid, s1) && !scans(mid, s2)
+          // un-delivered churn on BOTH channels
+          GraftLog.delete(spark, s1, col("event_id") % 7 === 0)
+          GraftLog.update(spark, s1, col("event_id") % 5 === 0,
+            Seq("value" -> (col("value") + 100)))
+          GraftLog.delete(spark, s2, col("eid2") % 11 === 0)
+          val stale = q
+          val fellBack = scans(stale, s1) && scans(stale, s2) &&
+            !scans(stale, v1) && !scans(stale, v2)
+          // fresh stream instances on the same checkpoints deliver
+          // exactly the missed versions of each channel
+          drainBoth()
+          val before =
+            (GraftLog.latestVersion(spark, v1),
+              GraftLog.latestVersion(spark, v2))
+          drainBoth() // pure replay of both channels
+          val replayNoop =
+            (GraftLog.latestVersion(spark, v1),
+              GraftLog.latestVersion(spark, v2)) == before
+          val after = q
+          val servedAfter = scans(after, v1) && scans(after, v2) &&
+            !scans(after, s1) && !scans(after, s2)
+          val servedVals = vals(after)
+          graft.sql.MvRegistry.unregister(s1)
+          graft.sql.MvRegistry.unregister(s2)
+          val baseVals = vals(q)
+          (s1, s2, servedMid, fellBack, servedAfter, replayNoop,
+            servedVals == baseVals)
+        } finally {
+          graft.sql.MvRegistry.unregister(s1)
+          graft.sql.MvRegistry.unregister(s2)
+        }
+      })
+    // post-staging the registrations are gone: the plain base join at
+    // the (stable) final fact states on every call
+    val a = spark.read.format("graft").load(src1)
+    val b = spark.read.format("graft").load(src2)
+    a.join(b, a("user_id") === b("uid2"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sumExact(col("value")).cast("double"), 6)
+          .as("total_value"),
+        round(sumExact(col("qty")).cast("double"), 6)
+          .as("total_qty"),
+        round(avg(col("value").cast("decimal(38,10)"))
+          .cast("double"), 6).as("avg_value"))
+      .withColumn("served_mid", lit(servedMid))
+      .withColumn("fell_back", lit(fellBack))
+      .withColumn("served_after", lit(servedAfter))
+      .withColumn("replay_noop", lit(replayNoop))
+      .withColumn("served_equals_base", lit(servedEq))
+  }
+
   private val stagedStream =
     new scala.collection.concurrent.TrieMap[String, (String, Boolean)]
 
