@@ -119,7 +119,12 @@ object ExplainDump {
       "g28_corpus_drift",          // one batch CDF read, per-version fold
       "i31_union_view_stream",     // stream-maintained union view serve
       "d40_mv_two_fact_join",      // both facts swapped for their views
-      "i32_join_view_stream")      // stream-maintained star serve
+      "i32_join_view_stream",      // stream-maintained star serve
+      "e25_dedup_state_erasure",   // pruned erase + re-minted sidecar
+      "d41_mv_star_sql_lifecycle", // CREATE'd star served post-REFRESH
+      "d42_mv_outer_star",         // left-outer star: view left-joins dim
+      "e26_training_pipeline_curated", // contamination + source caps
+      "i33_two_fact_view_stream")  // two CDF channels, d40 serve mid
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.ExplainDump)\n\n")

@@ -783,6 +783,15 @@ case class GraftCreateMvCommand(target: String, key: String,
     val factPath = graftPathOf(factLeaf).getOrElse(refuse(
       "the fact side (the join input carrying the aggregated value " +
         "column) must be a bare graft scan"))
+    // a fact SELF-JOIN can never be served from one rollup (the
+    // rewrite's two-fact path refuses identical sources — doubled
+    // multiplicity, not cross-weights), so a CREATE'd definition
+    // would break the "defining text serves after CREATE" contract
+    if (leaves(jn).exists(l => !(l eq factLeaf) &&
+        graftPathOf(l).exists(p =>
+          MvRegistry.normPath(p) == MvRegistry.normPath(factPath))))
+      refuse("the defining query self-joins the fact table — one " +
+        "rollup cannot reproduce that multiplicity")
     val factOut = factLeaf.outputSet
     def hasFact(p: LogicalPlan): Boolean = {
       val s = strip(p)
