@@ -102,17 +102,21 @@ object Pipeline {
         pmod(xxhash64(col("bk")), lit(64L)).cast("int"))
 
   /** The g20 quality score as one codegen'd projection: keeps
-    * (doc_id, lang, text, n_tokens, quality_score). */
-  private def scoreQuality(docs: DataFrame): DataFrame = {
-    val toked = docs.select(col("doc_id"), col("lang"), col("text"),
-      split(lower(col("text")), " ").as("toks"))
+    * (doc_id, lang, text, n_tokens, quality_score) plus any `keep`
+    * pass-through columns (the curated pipeline carries `source`
+    * through to the cap stage this way — no re-join). */
+  private def scoreQuality(docs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    val toked = docs.select(col("doc_id") +: col("lang") +:
+      col("text") +: split(lower(col("text")), " ").as("toks") +:
+      keep.map(col): _*)
     val cntEn = size(filter(col("toks"),
       t => TextAnalysis.markers("en").map(t === lit(_)).reduce(_ || _)))
-    val scored = toked.select(col("doc_id"), col("lang"), col("text"),
-      size(col("toks")).as("n_tokens"),
+    val scored = toked.select(col("doc_id") +: col("lang") +:
+      col("text") +: size(col("toks")).as("n_tokens") +:
       aggregate(transform(col("toks"), t => length(t)),
-        lit(0), (a, x) => a + x).as("sum_len"),
-      cntEn.as("cnt_en"))
+        lit(0), (a, x) => a + x).as("sum_len") +:
+      cntEn.as("cnt_en") +: keep.map(col): _*)
     val stopR = col("cnt_en").cast("double") /
       col("n_tokens").cast("double")
     val lenSat =
@@ -281,10 +285,17 @@ object Pipeline {
     val root = Staging.scratchDir("graft_pipei_")
     val bronze = s"$root/bronze"
     tT("stageBronze")(stageBronze(spark, sfDir, bronze))
-    tT("waveA")(pipelineAdvance(spark, bronze, root, 0L)): Unit // wave A: base corpus
-    tT("waveB")(pipelineAdvance(spark, bronze, root, 2L)): Unit // wave B: both twins
-    val replayNoop = tT("replay")(                      // absorbed waves re-deliver
-      pipelineAdvance(spark, bronze, root, 2L) == 0)
+    // one cache scope PER WAVE: a wave's outputs are durably committed
+    // to the state tables before it returns, so its cached seams
+    // (full-text frames + 3.7M-row signature bands at sf0.1) must not
+    // stay resident while the next wave runs — heap pressure there
+    // shows up as across-the-board stage inflation, not a clean OOM
+    tT("waveA")(graft.CacheScope.withScope(
+      pipelineAdvance(spark, bronze, root, 0L))): Unit
+    tT("waveB")(graft.CacheScope.withScope(
+      pipelineAdvance(spark, bronze, root, 2L))): Unit
+    val replayNoop = tT("replay")(graft.CacheScope.withScope(
+      pipelineAdvance(spark, bronze, root, 2L)) == 0)
     foldResult(spark, root, replayNoop)
   }
 
@@ -585,11 +596,8 @@ object Pipeline {
       .transform(graft.CacheScope.tracked)
     val nNear = nearKept.count()
     val contamKept = decontaminate(nearKept, probes)
-      .transform(graft.CacheScope.tracked)
     val nContam = contamKept.count()
-    val qualKept = scoreQuality(contamKept.drop("source"))
-      .join(contamKept.select(col("doc_id"), col("source")),
-        Seq("doc_id"))
+    val qualKept = scoreQuality(contamKept, keep = Seq("source"))
       .filter(col("quality_score") >= 0.4)
       .transform(graft.CacheScope.tracked)
     val nQuality = qualKept.count()
@@ -631,10 +639,13 @@ object Pipeline {
     val bronze = s"$root/bronze"
     stageBronze(spark, sfDir, bronze)
     val probes = TextAnalysis.contaminationProbes(spark, sfDir, 5)
-    curatedAdvance(spark, bronze, root, 0L, probes): Unit
-    curatedAdvance(spark, bronze, root, 2L, probes): Unit
-    val replayNoop =
-      curatedAdvance(spark, bronze, root, 2L, probes) == 0
+    // per-wave cache scopes — see trainingDataPipelineIncremental
+    graft.CacheScope.withScope(
+      curatedAdvance(spark, bronze, root, 0L, probes)): Unit
+    graft.CacheScope.withScope(
+      curatedAdvance(spark, bronze, root, 2L, probes)): Unit
+    val replayNoop = graft.CacheScope.withScope(
+      curatedAdvance(spark, bronze, root, 2L, probes)) == 0
     foldCurated(spark, root, replayNoop)
   }
 
@@ -665,7 +676,7 @@ object Pipeline {
             col("text")))
       .reduce(_ unionByName _)
       .transform(graft.CacheScope.tracked)
-    val nIn = newDocs.count()
+    val nIn = tT("c.ingest")(newDocs.count())
 
     val withH = newDocs
       .withColumn("content_hash", sha2(col("text"), 256))
@@ -689,7 +700,7 @@ object Pipeline {
       .select(col("content_hash"), col("h2"), col("doc_id"),
         col("lang"), col("source"), col("text"))
       .transform(graft.CacheScope.tracked)
-    val nEx = exactKept.count()
+    val nEx = tT("c.exact")(exactKept.count())
 
     val sigs = minhashSigs(exactKept)
       .transform(graft.CacheScope.tracked)
@@ -724,22 +735,22 @@ object Pipeline {
       .distinct()
     val nearKept = exactKept.join(drops, Seq("doc_id"), "left_anti")
       .transform(graft.CacheScope.tracked)
-    val nNear = nearKept.count()
+    val nNear = tT("c.near")(nearKept.count())
 
-    // contamination: stateless given the fixed probe set
+    // contamination: a cheap 5-contains filter over the CACHED
+    // near-dup survivors — deliberately NOT cached itself (a second
+    // full-text cache of the corpus thrashes the heap; consumers read
+    // through the nearKept cache)
     val contamKept = decontaminate(nearKept, probes)
-      .transform(graft.CacheScope.tracked)
-    val nContam = contamKept.count()
+    val nContam = tT("c.contam")(contamKept.count())
 
-    val qualKept = scoreQuality(contamKept.drop("source"))
-      .join(contamKept.select(col("doc_id"), col("source")),
-        Seq("doc_id"))
+    val qualKept = scoreQuality(contamKept, keep = Seq("source"))
       .filter(col("quality_score") >= 0.4)
       .transform(graft.CacheScope.tracked)
-    val nQ = qualKept.count()
+    val nQ = tT("c.qual")(qualKept.count())
     val sampled = mixtureSampleSrc(qualKept)
       .transform(graft.CacheScope.tracked)
-    val nS = sampled.count()
+    val nS = tT("c.sample")(sampled.count())
 
     // source cap: prior admits fold from st_src, materialized BEFORE
     // this wave's append
@@ -749,10 +760,10 @@ object Pipeline {
       .groupBy(col("source"))
       .agg(sum(col("d_admits")).as("n_admitted"))
       .transform(graft.CacheScope.tracked)
-    prior.count(): Unit
+    tT("c.prior")(prior.count()): Unit
     val capped = capBySource(sampled, prior)
       .transform(graft.CacheScope.tracked)
-    val nCap = capped.count()
+    val nCap = tT("c.cap")(capped.count())
 
     val offs = stateOr(stPack,
         capped.groupBy(col("lang"))
@@ -776,13 +787,13 @@ object Pipeline {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
 
-    DedupState.advance(spark, stDigest, scD,
+    tT("c.advanceDigest")(DedupState.advance(spark, stDigest, scD,
       exactKept.select("content_hash", "h2"), appId, target,
-      DigestPrefixLen)
-    NearDupState.advance(spark, stBand, scB,
-      banded.select("bk", "doc_id", "sig", "bp"), appId, target)
-    GraftLog.txnAppend(capped.groupBy(col("source"))
-      .agg(count(lit(1)).as("d_admits")), stSrc, appId, target): Unit
+      DigestPrefixLen))
+    tT("c.advanceBand")(NearDupState.advance(spark, stBand, scB,
+      banded.select("bk", "doc_id", "sig", "bp"), appId, target))
+    tT("c.src")(GraftLog.txnAppend(capped.groupBy(col("source"))
+      .agg(count(lit(1)).as("d_admits")), stSrc, appId, target)): Unit
     val nullL = lit(null).cast("long")
     val binsAudited = bins
       .select(col("lang"), col("seq_id"), col("n_docs"),
@@ -797,7 +808,8 @@ object Pipeline {
         lit(nEx).as("n_ex"), lit(nNear).as("n_near"),
         lit(nContam).as("n_ct"), lit(nQ).as("n_q"),
         lit(nS).as("n_s"), lit(nCap).as("n_cap")))
-    GraftLog.txnAppend(binsAudited, stPack, appId, target): Unit
+    tT("c.pack")(
+      GraftLog.txnAppend(binsAudited, stPack, appId, target)): Unit
     1
   }
 
